@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale notes (100 TB design):
+  *  - exact dedup is a single hash-shuffle on the digest key; map-side
+  *    partial aggregation keeps the shuffle narrow (digest + counts).
+  *  - n-gram Jaccard self-join shuffles on the shingle key; the shingle
+  *    space partitions the pair generation, so skewed (very common)
+  *    shingles are the only hotspot — callers can pre-filter top-frequency
+  *    shingles (stopword shingles) exactly like common LSH practice.
+  *  - MinHash/LSH replaces the quadratic candidate space with
+  *    band-bucket joins: k hashes, b bands — candidates only share a
+  *    full band, so work is proportional to true near-duplicates.
+  *  - everything is column expressions (codegen) — no UDFs.
+  */
+object DedupOps {
+
+  /** Exact duplicate groups keyed by md5 of the raw text. */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def wordShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = split(lower(col(textCol)), "\\s+")
+    val grams = transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*))
+    docs.select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs (a < b, jaccard >= minJaccard).
+    * Pair generation via inverted index on the shingle (shuffle key), so
+    * only documents sharing at least one shingle ever meet.
+    */
+  def ngramJaccardPairs(shingles: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = shingles.as("a")
+    val b = shingles.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "a_id", "n_sh" -> "n_a")), "a_id")
+      .join(sizes.withColumnsRenamed(Map("id" -> "b_id", "n_sh" -> "n_b")), "b_id")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 5))
+      .filter(col("jaccard") >= minJaccard)
+      .select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash signature matrix: (id, perm, minhash). Deterministic family:
+    * h_i(s) = xxhash64(i || s) — i salts the 64-bit hash, giving k
+    * independent permutations without any RNG state.
+    */
+  def minHash(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val hashes = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")
+    }
+    shingles.groupBy("id").agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** LSH banding over a minhash signature: (id, band, band_hash).
+    * Documents agreeing on all rows of any band become candidates.
+    */
+  def lshBands(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"mh_$i")): _*)
+          .as("band_hash"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs from LSH buckets + estimated jaccard = fraction of
+    * agreeing minhashes, computed from the signatures of both sides.
+    */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val sig = minHash(wordShingles(docs, idCol, textCol, shingleN), numHashes)
+    val bandsDf = lshBands(sig, numHashes, bands)
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("a_id") === col("a.id"))
+      .join(sig.as("b"), col("b_id") === col("b.id"))
+      .select(col("a_id"), col("b_id"),
+        round(agree.cast("double") / numHashes, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** 64-bit SimHash over whitespace tokens (unit weights): (id, simhash).
+    * bit b of the result = sign of sum over tokens of (2*bit_b(h)-1).
+    * One explode + one map-side-combined hash aggregate (64 int sums),
+    * then a single projection folds the sums into the 64-bit code — a
+    * single narrow shuffle keyed by the id, no UDFs.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = explode(filter(split(lower(col(textCol)), "\\s+"), _ =!= "")).as("tok")
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s_$b")
+    }
+    val folded = (0 until 64)
+      .map(b => when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    docs.select(col(idCol).as("id"), tok)
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), folded.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,427 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.EventOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational operator surface over the TPC-H-ish tables, each
+  * with a DuckDB oracle. Naming/rounding contract (driver hash-compare):
+  *  - every computed column is aliased identically on both sides;
+  *  - double aggregates are rounded (sums 2dp, avgs/ratios 4-5dp) so
+  *    engine-specific summation order can't flip a hash;
+  *  - DuckDB integer sums are CAST to BIGINT (its SUM(int) is HUGEINT);
+  *  - no raw timestamp outputs (ns vs us precision) — epoch secs/dates.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Full-scan aggregation (TPC-H Q1 shape): map-side partial agg, one
+    // narrow shuffle on the 2 group keys.
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Filter + projection — predicate and column pruning reach the scan.
+    "q02_filter_project" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"),
+          col("l_shipdate").cast("date").as("ship_date"))
+    }),
+
+    // Broadcast equi-join (dim customer) + aggregation.
+    "q03_join_agg" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+
+    // 4-way broadcast join chain: fact lineitem never re-shuffles — all
+    // dims broadcast, the agg is the only exchange.
+    "q04_nation_revenue" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val sup = Tables(s, d, "supplier")
+      val nat = Tables(s, d, "nation")
+      val reg = Tables(s, d, "region")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Left-semi join (EXISTS).
+    "q05_semijoin" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val li = Tables(s, d, "lineitem").filter(col("l_quantity") >= 48)
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Left-anti join (NOT EXISTS).
+    "q06_antijoin" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // Ranking window: top-3 orders per market segment.
+    "q07_topk_per_group" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    }),
+
+    // Running (prefix) aggregate window.
+    "q08_running_sum" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend"))
+    }),
+
+    // lag/lead window on the event stream.
+    "q09_lag_delta" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      e.select(col("event_id"), col("user_id"), col("value"),
+        round(col("value") - lag("value", 1).over(w), 4).as("delta"))
+    }),
+
+    // DISTINCT projection.
+    "q10_distinct" -> ((s, d) =>
+      Tables(s, d, "customer").select("c_mktsegment", "c_nationkey").distinct()),
+
+    // Global top-k with deterministic tie-break (TakeOrderedAndProject).
+    "q11_topk_global" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)),
+
+    // UNION ALL.
+    "q12_union" -> ((s, d) => {
+      val c = Tables(s, d, "customer").select(col("c_custkey").as("id"), lit("customer").as("src"))
+      val sup = Tables(s, d, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("src"))
+      c.unionByName(sup)
+    }),
+
+    // INTERSECT (distinct semantics).
+    "q13_intersect" -> ((s, d) =>
+      Tables(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables(s, d, "supplier").select(col("s_nationkey").as("nationkey")))),
+
+    // EXCEPT (distinct semantics).
+    "q14_except" -> ((s, d) =>
+      Tables(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(Tables(s, d, "supplier").select(col("s_nationkey").as("nationkey")))),
+
+    // ROLLUP hierarchy totals.
+    "q15_rollup" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))),
+
+    // CUBE over two dimensions.
+    "q16_cube" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))),
+
+    // GROUPING SETS (via SQL — the one grouping shape without a typed API).
+    "q17_grouping_sets" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("graft_li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 2) AS sum_qty, count(1) AS n
+          |FROM graft_li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+    }),
+
+    // Conditional aggregation (pivot-style).
+    "q18_conditional_agg" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)), 2).as("returned_rev"),
+          round(sum(when(col("l_returnflag") =!= "R", col("l_extendedprice")).otherwise(0.0)), 2).as("kept_rev"),
+          count(lit(1)).as("n"))),
+
+    // String scalar functions.
+    "q19_string_funcs" -> ((s, d) =>
+      Tables(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), " ", "_").as("type_u"))),
+
+    // Date part extraction + aggregation.
+    "q20_date_funcs" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))),
+
+    // HAVING (post-aggregation filter).
+    "q21_having" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+        .filter(col("n_orders") >= 3)),
+
+    // Correlated-subquery shape via a window (per-group average).
+    "q22_above_avg" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val w = Window.partitionBy("o_custkey")
+      o.withColumn("ap", avg("o_totalprice").over(w))
+        .filter(col("o_totalprice") > col("ap"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // Range (band) join against a tiny in-line dimension -> broadcast
+    // nested-loop; at scale the bands become an equi-key via width_bucket.
+    "q23_range_join" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val bands = s.createDataFrame(Seq(
+        ("band1_lo", 0.0, 50000.0),
+        ("band2_mid", 50000.0, 150000.0),
+        ("band3_hi", 150000.0, 300000.0),
+        ("band4_top", 300000.0, 1e12))).toDF("band", "lo", "hi")
+      o.join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+    }),
+
+    // As-of join: most recent prior click before each purchase.
+    "q24_asof_join" -> ((s, d) =>
+      EventOps.asOfPriorEventId(Tables(s, d, "events"), "click", "purchase")
+        .withColumnRenamed("prev_left_id", "prev_click_id")),
+
+    // Sessionization (30-minute inactivity gap).
+    "q25_sessionize" -> ((s, d) =>
+      EventOps.sessionCounts(Tables(s, d, "events"), 1800.0)),
+
+    // Fixed 5-minute tumbling window aggregate (batch twin of the
+    // streaming windowed count).
+    "q26_time_bucket" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy(EventOps.timeBucketS(col("ts"), 300), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
+
+    // Exact count-distinct per group.
+    "q27_count_distinct" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("n_parts"),
+          count_distinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))),
+
+    // Regex field extraction from a JSON-ish payload column.
+    "q28_regex_extract" -> ((s, d) =>
+      Tables(s, d, "events").select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))),
+
+    // Join + dim filter + group, classic star-schema probe.
+    "q29_star_probe" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val n = Tables(s, d, "nation")
+      val o = Tables(s, d, "orders")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), round(avg("o_totalprice"), 4).as("avg_price"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity,
+        | round(l_extendedprice * (1.0 - l_discount), 2) AS revenue,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE l_quantity >= 45 AND l_discount > 0.05""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_nation_revenue" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q05_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q06_antijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q07_topk_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+        | SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn <= 3""".stripMargin,
+    "q08_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders""".stripMargin,
+    "q09_lag_delta" ->
+      """SELECT event_id, user_id, value,
+        | round(value - lag(value, 1) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id), 4) AS delta
+        |FROM events""".stripMargin,
+    "q10_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q11_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q12_union" ->
+      """SELECT c_custkey AS id, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, 'supplier' AS src FROM supplier""".stripMargin,
+    "q13_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q14_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q15_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q16_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q17_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "q18_conditional_agg" ->
+      """SELECT l_linestatus,
+        | round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS returned_rev,
+        | round(sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS kept_rev,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q19_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        | substr(p_name, 1, 8) AS name8,
+        | CAST(length(p_name) AS INTEGER) AS name_len,
+        | p_brand || '#' || p_type AS brand_type,
+        | replace(p_type, ' ', '_') AS type_u
+        |FROM part""".stripMargin,
+    "q20_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q21_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 3""".stripMargin,
+    "q22_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        | SELECT o_orderkey, o_custkey, o_totalprice,
+        |  avg(o_totalprice) OVER (PARTITION BY o_custkey) AS ap
+        | FROM orders) t
+        |WHERE o_totalprice > ap""".stripMargin,
+    "q23_range_join" ->
+      """SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |JOIN (VALUES ('band1_lo', 0.0, 50000.0),
+        |             ('band2_mid', 50000.0, 150000.0),
+        |             ('band3_hi', 150000.0, 300000.0),
+        |             ('band4_top', 300000.0, 1e12)) AS v(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band""".stripMargin,
+    "q24_asof_join" ->
+      """SELECT event_id, user_id, prev_click_id FROM (
+        | SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_id
+        | FROM events WHERE event_type IN ('click', 'purchase')) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q25_sessionize" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN prev_ts IS NULL
+        |                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_sessions
+        |FROM (SELECT user_id, ts,
+        |       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events) t
+        |GROUP BY user_id""".stripMargin,
+    "q26_time_bucket" ->
+      """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS bucket_s,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q27_count_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q28_regex_extract" ->
+      """SELECT event_id,
+        | TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+        |FROM events""".stripMargin,
+    "q29_star_probe" ->
+      """SELECT n_name, count(*) AS n_orders,
+        | round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name""".stripMargin)
+}
