@@ -14,5 +14,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw
+    * nanosecond longs, then truncate to microseconds — exactly what the
+    * DuckDB oracle does when it loads the same file (its parquet reader
+    * floors ns → µs into a TIMESTAMP). `ts div 1000` is integral
+    * division: a double-precision detour would round at ~256 ns for
+    * 2024-era epochs and desync the hashes.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
 }

@@ -27,9 +27,14 @@ object DedupOps {
   /** Distinct word n-gram shingles per document: (id, shingle). */
   def wordShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val words = split(lower(col(textCol)), "\\s+")
-    val grams = transform(
-      sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*))
+    // Docs with < n tokens yield NO shingles: sequence(1, size-(n-1))
+    // would count DOWN to a [1, 0] array there and element_at would
+    // throw under ANSI mode, so guard with an empty array instead.
+    val grams = when(size(words) >= n,
+      transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*))
+    ).otherwise(array())
     docs.select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
   }
 

@@ -5,8 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered/event-time operators: sessionization, time bucketing, as-of
-  * joins. These are the batch twins of the Structured Streaming ops in
-  * `graft.streaming` — same semantics, verifiable against a SQL oracle.
+  * joins — batch semantics, verifiable against a SQL oracle.
   *
   * Scale notes: everything partitions by the entity key (user_id);
   * window functions sort within the hash-shuffled partition only. The

@@ -40,12 +40,15 @@ object SimilarityOps {
       queryPred: Column, k: Int): DataFrame = {
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val q = base.filter(queryPred).select(col("id").as("query_id"), col("v").as("qv"))
+    // Rank on the ROUNDED similarity (ties broken by id) so sub-ulp
+    // engine differences in the dot-product fold can't flip the top-k
+    // membership vs the oracle.
     val sims = base.join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("cand_id"),
-        cosine(col("qv"), col("v")).as("sim_raw"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim_raw").desc, col("cand_id"))
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("cand_id"), round(col("sim_raw"), 6).as("sim"))
+      .select(col("query_id"), col("cand_id"), col("sim"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
@@ -78,9 +81,9 @@ object SimilarityOps {
     val sims = base.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("cand_id"),
-        cosine(col("qv"), col("v")).as("sim_raw"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim_raw").desc, col("cand_id"))
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("cand_id"), round(col("sim_raw"), 6).as("sim"))
+      .select(col("query_id"), col("cand_id"), col("sim"))
   }
 }

@@ -62,11 +62,11 @@ object TextOps {
     * determinism — integer counts divide exactly in ieee754 but the
     * rounding keeps the oracle contract explicit).
     */
-  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = regexp_count(t, lit("\\S+"))
     df.select(
-      col("doc_id"),
+      col(idCol),
       toks.as("n_tokens"),
       punctCount(t).as("n_punct"),
       stopwordCount(t).as("n_stop"),

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator surface (dedup / text analysis /
+  * similarity search / multimodal) over the `documents` and
+  * `embeddings` tables, registered with DuckDB oracles wherever the
+  * semantics are ANSI-SQL-expressible. Hash-unexpressible operators
+  * (xxhash64-based MinHash/SimHash/LSH) are registered without an
+  * oracle — the driver records a rows-only check — and additionally
+  * covered by ScalaTest invariants in `src/test`.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: single hash shuffle keyed by the text digest.
+    "q30_exact_dedup" -> ((s, d) =>
+      DedupOps.exactDupGroups(Tables(s, d, "documents"), "doc_id", "text")),
+
+    // Per-document quality scoring — pure codegen projections, no shuffle.
+    "q31_quality_metrics" -> ((s, d) =>
+      TextOps.qualityMetrics(Tables(s, d, "documents"), "doc_id", "text")),
+
+    // Heuristic language-ID: marker-regex counts + argmax.
+    "q32_lang_predict" -> ((s, d) => {
+      val t = col("text")
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.langScore(t, "en").as("s_en"),
+        TextOps.langScore(t, "de").as("s_de"),
+        TextOps.langScore(t, "fr").as("s_fr"),
+        TextOps.langScore(t, "es").as("s_es"),
+        TextOps.langPredict(t).as("lang_pred"))
+    }),
+
+    // Whitespace-insensitive fingerprint (near-dup key modulo formatting).
+    "q33_fingerprint" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // BPE-ish regex tokenizer count (letters run | digit | other symbol).
+    "q34_bpe_tokens" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).as("n_bpe"))),
+
+    // Multimodal plumbing: binary payload + per-partition decode (stub
+    // codec, real schema/batch shape — deterministic so oracle-checkable).
+    "q35_multimodal_meta" -> ((s, d) =>
+      MultimodalOps.decodeMeta(s,
+        MultimodalOps.withBinaryPayload(Tables(s, d, "documents"), "doc_id", "text"))),
+
+    // Exact brute-force cosine top-10 for 5 query vectors (the exact
+    // baseline; the scale path is q38's LSH variant).
+    "q36_knn_brute" -> ((s, d) =>
+      SimilarityOps.knnBrute(Tables(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10)),
+
+    // Documents rollup by (lang, source).
+    "q37_doc_stats" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          sum("n_chars").as("sum_chars"))),
+
+    // LSH-bucketed approximate top-k (hyperplane sign bits) — no oracle
+    // (xxhash64 planes), rows-only + recall spec in ScalaTest.
+    "q38_knn_lsh" -> ((s, d) =>
+      SimilarityOps.knnLsh(Tables(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10, nbits = 4)),
+
+    // Exact n-gram Jaccard pairs over 3-gram shingles.
+    "q39_ngram_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccardPairs(
+        DedupOps.wordShingles(Tables(s, d, "documents"), "doc_id", "text", 3), 0.2)),
+
+    // MinHash+LSH near-dup candidate pairs — no oracle (xxhash64).
+    "q40_minhash_lsh" -> ((s, d) =>
+      DedupOps.minHashLshPairs(Tables(s, d, "documents"), "doc_id", "text")),
+
+    // 64-bit SimHash — no oracle (xxhash64).
+    "q41_simhash" -> ((s, d) =>
+      DedupOps.simHash(Tables(s, d, "documents"), "doc_id", "text")))
+
+  /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
+  val oracles: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q31_quality_metrics" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
+        | CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and)\b')) AS INTEGER) AS n_stop,
+        | round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+        |       / greatest(length(text), 1), 5) AS punct_ratio,
+        | round(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and)\b')) * 1.0
+        |       / greatest(len(regexp_extract_all(text, '\S+')), 1), 5) AS stop_ratio,
+        | round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+        |       / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q32_lang_predict" ->
+      """SELECT doc_id, s_en, s_de, s_fr, s_es,
+        | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |      WHEN s_fr >= s_es THEN 'fr'
+        |      ELSE 'es' END AS lang_pred
+        |FROM (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of)\b')) AS INTEGER) AS s_en,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|und)\b')) AS INTEGER) AS s_de,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|et)\b')) AS INTEGER) AS s_fr,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|y)\b')) AS INTEGER) AS s_es
+        | FROM documents) t""".stripMargin,
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(text), '\s+', '', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "q34_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe
+        |FROM documents""".stripMargin,
+    "q35_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        | CAST(octet_length(CAST(text AS BLOB)) % 64 + 1 AS INTEGER) AS width,
+        | CAST((octet_length(CAST(text AS BLOB)) // 64) % 64 + 1 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+    "q36_knn_brute" ->
+      """SELECT query_id, cand_id, sim FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |    c.vec_id) AS rn
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 5) t
+        |WHERE rn <= 10""".stripMargin,
+    "q37_doc_stats" ->
+      """SELECT lang, source, count(*) AS n,
+        | round(avg(n_chars), 4) AS avg_chars,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "q39_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id AS id, shingle FROM (
+        |  SELECT doc_id,
+        |   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |        FROM documents) t0) t1),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |inter AS (
+        | SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        | round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 5) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON inter.a_id = sa.id
+        |JOIN sizes sb ON inter.b_id = sb.id
+        |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 5) >= 0.2""".stripMargin)
+}

@@ -39,7 +39,10 @@ object RelationalQueries {
       Tables(s, d, "lineitem")
         .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"),
+          // 4dp: price(2dp) × discount-complement(2dp) has exactly 4
+          // decimal digits, so rounding AT the grid has no half-way
+          // cases — 2dp would diverge between engines on exact .xx5s.
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
           col("l_shipdate").cast("date").as("ship_date"))
     }),
 
@@ -154,15 +157,15 @@ object RelationalQueries {
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))),
 
-    // GROUPING SETS (via SQL — the one grouping shape without a typed API).
-    "q17_grouping_sets" -> ((s, d) => {
-      Tables(s, d, "lineitem").createOrReplaceTempView("graft_li_gs")
+    // GROUPING SETS (via SQL — the one grouping shape without a typed
+    // API). Direct parquet-path SQL: no temp-view session mutation, so
+    // queries stay safe to run concurrently.
+    "q17_grouping_sets" -> ((s, d) =>
       s.sql(
-        """SELECT l_returnflag, l_linestatus,
-          |       round(sum(l_quantity), 2) AS sum_qty, count(1) AS n
-          |FROM graft_li_gs
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
-    }),
+        s"""SELECT l_returnflag, l_linestatus,
+           |       round(sum(l_quantity), 2) AS sum_qty, count(1) AS n
+           |FROM parquet.`$d/lineitem.parquet`
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)),
 
     // Conditional aggregation (pivot-style).
     "q18_conditional_agg" -> ((s, d) =>
@@ -200,7 +203,9 @@ object RelationalQueries {
     "q22_above_avg" -> ((s, d) => {
       val o = Tables(s, d, "orders")
       val w = Window.partitionBy("o_custkey")
-      o.withColumn("ap", avg("o_totalprice").over(w))
+      // Compare against the ROUNDED average (both engines) so summation
+      // order can't flip membership by an ulp.
+      o.withColumn("ap", round(avg("o_totalprice").over(w), 4))
         .filter(col("o_totalprice") > col("ap"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
@@ -247,7 +252,9 @@ object RelationalQueries {
     "q28_regex_extract" -> ((s, d) =>
       Tables(s, d, "events").select(
         col("event_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))),
+        // try_cast: regexp_extract yields '' on non-match and ANSI
+        // cast('') would throw; the oracle uses TRY_CAST.
+        expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS int)").as("k"))),
 
     // Join + dim filter + group, classic star-schema probe.
     "q29_star_probe" -> ((s, d) => {
@@ -275,7 +282,7 @@ object RelationalQueries {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity,
-        | round(l_extendedprice * (1.0 - l_discount), 2) AS revenue,
+        | round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
         | CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem WHERE l_quantity >= 45 AND l_discount > 0.05""".stripMargin,
     "q03_join_agg" ->
@@ -373,7 +380,7 @@ object RelationalQueries {
     "q22_above_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM (
         | SELECT o_orderkey, o_custkey, o_totalprice,
-        |  avg(o_totalprice) OVER (PARTITION BY o_custkey) AS ap
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey), 4) AS ap
         | FROM orders) t
         |WHERE o_totalprice > ap""".stripMargin,
     "q23_range_join" ->
