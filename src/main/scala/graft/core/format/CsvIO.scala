@@ -1,0 +1,171 @@
+package graft.core.format
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Format-validated CSV scan/sink (reference: tabular/csvio.py:19-83,
+  * tabular/pandasutils.py:19-52).
+  *
+  * Scan pipeline: header read (all columns string-typed) → `?`/`??`/
+  * `???` → null scrub → compound SiteHole split → synonym resolution →
+  * required-column validation (fail fast with FormatError) → optional
+  * columns appended with defaults → rename to internal names → NUMERIC
+  * cast to double → STRING null→"" scrub. Extra input columns pass
+  * through untouched (open-world schema).
+  *
+  * Scale notes: resolution/validation is pure driver-side header work;
+  * the data path is a single projection over the scan, fully inside
+  * whole-stage codegen. The `_seq` ordering column is the explicit
+  * file-order contract the splice fold (O1) depends on — derived from
+  * a single-partition read of these small control tables. Bulk fact
+  * tables (measurement data) never need `_seq` ordering semantics
+  * beyond presentation, so at 100 TB they load without the coalesce.
+  */
+object CsvIO {
+
+  val NaValues: Seq[String] = Seq("?", "??", "???")
+  val SeqCol = "_seq"
+
+  /** Raw CSV scan, BOM-tolerant, blank lines skipped, all columns
+    * string (types are applied by the format layer, exactly like the
+    * reference's post-load coercion). (pandasutils.py:19-36)
+    */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .option("mode", "PERMISSIVE")
+      .option("ignoreLeadingWhiteSpace", "true")
+      .option("ignoreTrailingWhiteSpace", "true")
+      .csv(path)
+
+  def headers(spark: SparkSession, path: String): Seq[String] =
+    readRaw(spark, path).schema.fieldNames.toSeq
+
+  /** S4: can this file be parsed as fmt? Headers-only probe, like the
+    * reference does not account for SiteHole splitting here.
+    * (csvio.py:78-83)
+    */
+  def canLoad(spark: SparkSession, path: String, fmt: FormatSpec): Boolean =
+    fmt.missingRequired(headers(spark, path)).isEmpty
+
+  /** S3: format-validated scan. With `withSeq`, appends a `_seq` long
+    * preserving file row order (single small file ⇒ single partition ⇒
+    * monotonically_increasing_id is file order).
+    */
+  def load(spark: SparkSession, path: String, fmt: FormatSpec,
+      withSeq: Boolean = false): DataFrame = {
+    var df = readRaw(spark, path).coalesce(1)
+    if (withSeq) df = df.withColumn(SeqCol, monotonically_increasing_id())
+
+    // multi-valued NA scrub (csvio.py:21): '?','??','???' → null
+    val scrubbed = df.columns.filterNot(_ == SeqCol).foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(col(c).isin(NaValues: _*), lit(null)).otherwise(col(c)))
+    }
+    val split = splitSiteHole(scrubbed)
+
+    val inputCols = split.columns.filterNot(_ == SeqCol).toSeq
+    val colmap = fmt.mapColumns(inputCols)
+    val missingReq = fmt.missingRequired(inputCols)
+    if (missingReq.nonEmpty)
+      throw new FormatError(
+        s"The ${fmt.name} format requires the following column(s): ${missingReq.mkString(",")}")
+
+    // append missing optional columns with defaults (csvio.py:36-39)
+    val missingOpt = fmt.cols.filter(c => c.optional && !colmap.contains(c.name))
+    val withOpt = missingOpt.foldLeft(split) { (d, c) =>
+      d.withColumn(c.name,
+        if (c.isString) lit("") else lit(null).cast("double"))
+    }
+    // rename inputs to internal names (csvio.py:41-43)
+    val renamed = withOpt.withColumnsRenamed(colmap.map(_.swap))
+    // NUMERIC → double, STRING → null-scrubbed string (pandasutils.py:102-108)
+    val typed = fmt.cols.foldLeft(renamed) { (d, c) =>
+      if (!d.columns.contains(c.name)) d
+      else if (c.isNumeric) d.withColumn(c.name, col(c.name).cast("double"))
+      else d.withColumn(c.name, coalesce(col(c.name).cast("string"), lit("")))
+    }
+    typed
+  }
+
+  /** Split a compound SiteHole column ("1A") into Site and Hole when
+    * neither exists yet; original column is kept, split columns append
+    * at the end. (csvio.py:55-67)
+    */
+  def splitSiteHole(df: DataFrame): DataFrame =
+    Las.findMatch("SiteHole", df.columns.toSeq) match {
+      case Some(sh) if !df.columns.contains("Site") && !df.columns.contains("Hole") =>
+        val parts = Las.splitCaps(sh) // e.g. Seq("Site", "Hole")
+        df.withColumn(parts.head, regexp_extract(col(sh), "([0-9]+)([A-Z]+)", 1))
+          .withColumn(parts(1), regexp_extract(col(sh), "([0-9]+)([A-Z]+)", 2))
+      case _ => df
+    }
+
+  /** Drop split Site/Hole on write when the compound column is present.
+    * (csvio.py:70-74)
+    */
+  def dropSiteHole(df: DataFrame): DataFrame =
+    Las.findMatch("SiteHole", df.columns.toSeq) match {
+      case Some(_) if df.columns.contains("Site") && df.columns.contains("Hole") =>
+        df.drop("Site", "Hole")
+      case _ => df
+    }
+
+  /** P10: round the format's NUMERIC columns to `digits` decimals.
+    * (feldman.py:538-544)
+    */
+  def roundNumeric(df: DataFrame, fmt: FormatSpec, digits: Int = 3): DataFrame =
+    fmt.cols.filter(c => c.isNumeric && df.columns.contains(c.name))
+      .foldLeft(df)((d, c) => d.withColumn(c.name, round(col(c.name), digits)))
+
+  /** P8: rename internal names to org-vocabulary pretty names.
+    * (feldman.py:533-535)
+    */
+  def prettyColumns(df: DataFrame, fmt: FormatSpec, org: String = "IODP"): DataFrame = {
+    val m = fmt.cols.filter(c => df.columns.contains(c.name))
+      .map(c => c.name -> c.prettyName(org)).toMap
+    df.withColumnsRenamed(m)
+  }
+
+  /** S5: single-file CSV sink with the exact target filename (the
+    * reference writes one CSV per output). Internal `_`-prefixed
+    * columns are dropped; SiteHole compounds collapse back.
+    */
+  def save(df: DataFrame, path: String): Unit = {
+    val cleaned = dropSiteHole(df.drop(df.columns.filter(_.startsWith("_")): _*))
+    val tmp = Files.createTempDirectory("graft_csv").toString + "/out"
+    cleaned.coalesce(1).write.option("header", "true").mode("overwrite").csv(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .find(p => p.endsWith(".csv") && p.contains("part-"))
+      .getOrElse(throw new IllegalStateException(s"no csv part written under $tmp"))
+    Files.createDirectories(Paths.get(path).toAbsolutePath.getParent)
+    Files.move(Paths.get(part), Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** S6: Correlator's legacy " \t"-delimited .dat reader with its fixed
+    * 11-column header. (feldman.py:42-49 — vestigial in the reference,
+    * kept for surface completeness.)
+    */
+  def loadCorrelatorDat(spark: SparkSession, path: String): DataFrame = {
+    val names = Seq("Exp", "Site", "Hole", "Core", "CoreType", "Section",
+      "TopOffset", "BottomOffset", "Depth", "Data", "RunNo")
+    val df = spark.read
+      .option("header", "false").option("sep", " \t")
+      .option("comment", "#").option("ignoreLeadingWhiteSpace", "true")
+      .csv(path)
+    df.toDF(names.take(df.columns.length): _*)
+  }
+
+  /** S7: names of columns that parse fully as numeric in a quick
+    * inference pass — depth-column candidates. (qtmain.py:27-30)
+    */
+  def numericColumns(spark: SparkSession, path: String): Seq[String] = {
+    val df = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path)
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSeq
+  }
+}

@@ -1,0 +1,60 @@
+package graft.core.splice
+
+import graft.core.format.{CsvIO, FormatError}
+import graft.core.model.CoringFormats._
+import graft.core.ops.DepthOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entry point 3.1: Sparse Splice → Affine table + Splice Interval
+  * Table. (reference: /root/reference/feldman.py:96-142)
+  *
+  * The reference's mid-pipeline file round-trip (it reloads the SIT it
+  * just wrote, feldman.py:117) is kept deliberately: reloading applies
+  * the 3-decimal output rounding to the depths the off-splice chain
+  * consumes, and that rounding is part of the observable semantics.
+  */
+object Convert {
+
+  /** P16 pre-flight: every value integer or 'CC'. (feldman.py:107-112) */
+  def validateSectionColumn(df: DataFrame, colName: String, what: String): Unit = {
+    val bad = df.filter(!DepthOps.isValidSection(col(colName))).limit(1).count()
+    if (bad > 0)
+      throw new FormatError(
+        s"$colName column in $what contains one or more non-integer values.")
+  }
+
+  def convertSparseSplice(spark: SparkSession,
+      secSummPath: String, sparsePath: String,
+      affineOutPath: String, sitOutPath: String,
+      opts: SpliceOptions = SpliceOptions(),
+      manualCorrelationPath: Option[String] = None): Unit = {
+
+    val secsumm = CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true)
+    val sparse = CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true)
+
+    validateSectionColumn(sparse, "TopSection", "Sparse Splice")
+    validateSectionColumn(sparse, "BottomSection", "Sparse Splice")
+    validateSectionColumn(secsumm, "Section", "Section Summary")
+
+    val (sitDf, onAffines) = SpliceBuilder.sparseSpliceToSIT(spark, sparse, secsumm, opts)
+    CsvIO.save(
+      CsvIO.prettyColumns(CsvIO.roundNumeric(sitDf, SITFormat), SITFormat),
+      sitOutPath)
+
+    // reload the written SIT — 3-decimal rounding now applied
+    val sit = CsvIO.load(spark, sitOutPath, SITFormat, withSeq = true)
+
+    val mancorr = manualCorrelationPath.map { p =>
+      ManualCorrelation.load(spark, p).getOrElse(
+        throw new FormatError(s"The manual correlation file $p could not be loaded."))
+    }
+
+    val offAffines = OffSplice.gather(spark, secsumm, sit, mancorr)
+    val all = onAffines.unionByName(offAffines)
+    val affDf = AffineFinish.finish(all)
+    CsvIO.save(
+      CsvIO.prettyColumns(CsvIO.roundNumeric(affDf, AffineFormat), AffineFormat),
+      affineOutPath)
+  }
+}

@@ -1,0 +1,177 @@
+package graft.core
+
+import graft.core.format._
+import graft.core.model.CoringFormats._
+import org.apache.spark.sql.functions._
+
+/** Port of the reference's format-layer test suites:
+  * tabular/columns.py:147-219, tabular/csvio.py:100-116,
+  * tabular/pandasutils.py:161-188, coring/sectionSummary.py:255-282.
+  */
+class FormatLayerSpec extends SparkSpec {
+
+  // --- Las (columns.py Tests) ---
+  test("strip_unit") {
+    assert(Las.stripUnit("Column") == "Column")
+    assert(Las.stripUnit("Column(m)") == "Column")
+    assert(Las.stripUnit("Column()") == "Column")
+    assert(Las.stripUnit("(m)Column") == "Column")
+    assert(Las.stripUnit("Column (a) (b)") == "Column  ")
+  }
+
+  test("find_unit") {
+    assert(Las.findUnit("Column").isEmpty)
+    assert(Las.findUnit("Column()").isEmpty)
+    assert(Las.findUnit("Column(m)").contains("m"))
+    assert(Las.findUnit("Column (counts/sec)").contains("counts/sec"))
+  }
+
+  test("lowerstrip and las") {
+    assert(Las.lowerstrip("columnname") == "columnname")
+    assert(Las.lowerstrip("Column Name") == "columnname")
+    assert(Las.lowerstrip(" Column Name ") == "columnname")
+    assert(Las.las("Column (counts/sec)") == "column")
+    assert(Las.las("  Column (counts/sec) () ") == "column")
+  }
+
+  test("space_caps / split_caps") {
+    assert(Las.spaceCaps("AbeBobCarl") == "Abe Bob Carl")
+    assert(Las.spaceCaps("abeBobcarL") == "abe Bobcar L")
+    assert(Las.spaceCaps("noupper") == "noupper")
+    assert(Las.spaceCaps("Abe Bob") == "Abe Bob")
+    assert(Las.spaceCaps("") == "")
+    assert(Las.splitCaps("AbeBobCarl") == Seq("Abe", "Bob", "Carl"))
+    assert(Las.splitCaps("ABC") == Seq("ABC"))
+    assert(Las.splitCaps("Abe    Bob") == Seq("Abe", "Bob"))
+    assert(Las.splitCaps("") == Seq(""))
+  }
+
+  test("map_columns with synonyms, case, spacing, units") {
+    val fmt = FormatSpec("t", Seq(
+      ColId("Foo", Seq("Fu", "Phooey")),
+      ColId("Bar", Seq("Bear", "Tavern")),
+      ColId("Baz", Seq("Bizarre", "Boz"))))
+    assert(fmt.mapColumns(Seq("Foo", "Bar", "Baz")).size == 3)
+    assert(fmt.mapColumns(Seq(" phooey ", "TAVERN (m)", "biz arre")).size == 3)
+  }
+
+  test("pretty_name fallback chain") {
+    val c = ColId("ShortA", orgNames = Map("A" -> "Pretty A Name", "IODP" -> "Purty B Name"))
+    assert(c.prettyName("A") == "Pretty A Name")
+    assert(c.prettyName() == "Purty B Name")
+    assert(ColId("ShortA").prettyName() == "Short A")
+  }
+
+  // --- CsvIO SiteHole compound (csvio.py Tests) ---
+  test("SiteHole split and drop") {
+    import spark.implicits._
+    val df = Seq("1A", "2B").toDF("SiteHole")
+    val split = CsvIO.splitSiteHole(df)
+    val rows = split.orderBy("SiteHole").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("1", "2"))
+    assert(rows.map(_.getString(2)).toSeq == Seq("A", "B"))
+    assert(CsvIO.dropSiteHole(split).columns.toSeq == Seq("SiteHole"))
+    // no split when Site/Hole already present
+    val noNeed = Seq(("1", "A")).toDF("Site", "Hole")
+    assert(CsvIO.splitSiteHole(noNeed).columns.length == 2)
+  }
+
+  // --- file reading (pandasutils.py Tests) ---
+  test("readHeaders on GLAD9 section summary") {
+    val hs = CsvIO.headers(spark, s"$RefData/GLAD9_SectionSummary.csv")
+    assert(hs.length == 10)
+    assert(hs.contains("Site") && hs.contains("CuratedLength"))
+  }
+
+  test("BOM + blank lines tolerated") {
+    val df = CsvIO.readRaw(spark, s"$RefData/utf8_bom_blanklines.csv")
+    assert(df.count() == 4)
+  }
+
+  test("malformed utf8 tolerated") {
+    val df = CsvIO.readRaw(spark, s"$RefData/utf8err.csv")
+    assert(df.count() == 2)
+  }
+
+  // --- SectionSummary load semantics (sectionSummary.py Tests) ---
+  lazy val ss = CsvIO.load(spark, s"$RefData/GLAD9_SectionSummary.csv",
+    SectionSummaryFormat, withSeq = true).cache()
+
+  test("section summary: sites, containsCore, golden tops") {
+    assert(ss.select("Site").distinct().count() == 7)
+    def hasCore(s: String, h: String, c: String): Boolean =
+      ss.filter(col("Site") === s && col("Hole") === h && col("Core") === c)
+        .limit(1).count() > 0
+    assert(hasCore("1", "A", "33"))
+    assert(!hasCore("1", "A", "34"))
+    val top = ss.filter(col("Site") === "1" && col("Hole") === "A" &&
+        col("Core") === "33" && col("Section") === "9")
+      .select(round(col("TopDepth"), 3)).head().getDouble(0)
+    assert(top == 92.73)
+    // P3: section at depth 4.4 in 1-B-2 is section 3
+    val sec = ss.filter(col("Site") === "1" && col("Hole") === "B" && col("Core") === "2" &&
+        lit(4.4) >= col("TopDepth") && lit(4.4) <= col("BottomDepth"))
+      .select("Section").head().getString(0)
+    assert(sec == "3")
+  }
+
+  test("gaps parsing and gap-above sums") {
+    import graft.core.ops.DepthOps
+    val wg = CsvIO.load(spark, s"$RefData/SectionSummaryWithGaps.csv", SectionSummaryFormat)
+    def gapsOf(c: String, s: String): Seq[(Double, Double)] =
+      wg.filter(col("Core") === c && col("Section") === s)
+        .select(DepthOps.parseGaps(col("Gaps"))).head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(gapsOf("2", "1").isEmpty)
+    assert(gapsOf("3", "2") == Seq((0.0, 2.5)))
+    assert(gapsOf("18", "1") == Seq((0.0, 0.5), (94.5, 96.0), (151.0, 152.5)))
+    def gapAbove(c: String, s: String, off: Double): Double =
+      wg.filter(col("Core") === c && col("Section") === s)
+        .select(DepthOps.gapAbove(col("Gaps"), lit(off))).head().getDouble(0)
+    assert(gapAbove("3", "2", 0.0) == 0.0)
+    assert(gapAbove("3", "2", 1.0) == 2.5)
+    assert(gapAbove("18", "1", 95.0) == 2.0)
+    assert(gapAbove("18", "1", 152.5) == 3.5)
+  }
+
+  test("missing optional Gaps column appended with default") {
+    val ng = CsvIO.load(spark, s"$RefData/SectionSummaryNoGaps.csv", SectionSummaryFormat)
+    assert(ng.columns.contains("Gaps"))
+    assert(ng.filter(col("Gaps") =!= "").count() == 0)
+  }
+
+  test("missing required column raises FormatError") {
+    val e = intercept[FormatError] {
+      CsvIO.load(spark, s"$RefData/SectionSummaryNoSite.csv", SectionSummaryFormat)
+    }
+    assert(e.getMessage.contains("Site"))
+  }
+
+  test("format sniffing dispatches manual correlation flavor") {
+    assert(CsvIO.canLoad(spark, s"$RefData/ManualCorrelationTable.csv", ManualCorrelationFormat))
+    assert(!CsvIO.canLoad(spark, s"$RefData/ManualCorrelationTable.csv", ManualOffsetFormat))
+    assert(!CsvIO.canLoad(spark, s"$RefData/GLAD9_SectionSummary.csv", ManualCorrelationFormat))
+  }
+
+  test("manual correlation golden lookup") {
+    val mc = CsvIO.load(spark, s"$RefData/ManualCorrelationTable.csv", ManualCorrelationFormat)
+    assert(mc.count() == 90)
+    val r = mc.filter(col("Site1") === "1" && col("Hole1") === "D" && col("Core1") === "2")
+      .select("SectionDepth1", "SectionDepth2").head()
+    assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 30.0)
+  }
+
+  // --- identity parsing (identity.py) ---
+  test("core identity parse") {
+    import graft.core.ops.IdentityOps
+    import spark.implicits._
+    val df = Seq("GLAD7-MAL05-1B-32E-4-A", "TDP-TOW15-1B-23H-2", "FOO-BAR69-6Z-3A-4-J")
+      .toDF("id")
+    val parsed = df.select(IdentityOps.parseCoreIdentity(col("id")).as("p"))
+      .select("p.name", "p.site", "p.hole", "p.core", "p.tool", "p.section", "p.half")
+      .collect()
+    assert(parsed(0).toSeq == Seq("GLAD7-MAL05", "1", "B", "32", "E", "4", "A"))
+    assert(parsed(1).toSeq == Seq("TDP-TOW15", "1", "B", "23", "H", "2", null))
+    assert(parsed(2).getString(6) == null) // J is not a valid half
+  }
+}
