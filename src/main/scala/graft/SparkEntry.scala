@@ -1,5 +1,5 @@
 package graft
-import graft.queries.{PipelineQueries, RelationalQueries}
+import graft.queries.{DomainQueries, PipelineQueries, RelationalQueries}
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -8,9 +8,9 @@ object SparkEntry {
     RelationalQueries.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries ++ DomainQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ PipelineQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles ++ DomainQueries.oracles
 }

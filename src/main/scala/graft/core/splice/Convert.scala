@@ -24,6 +24,32 @@ object Convert {
         s"$colName column in $what contains one or more non-integer values.")
   }
 
+  /** In-memory variant: returns (SIT, affine) DataFrames without the
+    * file sinks. The reference's SIT file round-trip is replaced by an
+    * explicit 3-decimal rounding — numerically identical to writing
+    * and re-parsing the CSV.
+    */
+  def convertInMemory(spark: SparkSession,
+      secSummPath: String, sparsePath: String,
+      opts: SpliceOptions = SpliceOptions(),
+      manualCorrelationPath: Option[String] = None): (DataFrame, DataFrame) = {
+    val secsumm = CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true)
+    val sparse = CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true)
+    validateSectionColumn(sparse, "TopSection", "Sparse Splice")
+    validateSectionColumn(sparse, "BottomSection", "Sparse Splice")
+    validateSectionColumn(secsumm, "Section", "Section Summary")
+    val (sitDf, onAffines) = SpliceBuilder.sparseSpliceToSIT(spark, sparse, secsumm, opts)
+    val sitRounded = CsvIO.roundNumeric(sitDf, SITFormat)
+    val mancorr = manualCorrelationPath.map { p =>
+      ManualCorrelation.load(spark, p).getOrElse(
+        throw new FormatError(s"The manual correlation file $p could not be loaded."))
+    }
+    val offAffines = OffSplice.gather(spark, secsumm, sitRounded, mancorr)
+    val affDf = CsvIO.roundNumeric(
+      AffineFinish.finish(onAffines.unionByName(offAffines)), AffineFormat)
+    (sitRounded, affDf)
+  }
+
   def convertSparseSplice(spark: SparkSession,
       secSummPath: String, sparsePath: String,
       affineOutPath: String, sitOutPath: String,

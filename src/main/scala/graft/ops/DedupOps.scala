@@ -41,11 +41,28 @@ object DedupOps {
   /** Exact n-gram Jaccard near-duplicate pairs (a < b, jaccard >= minJaccard).
     * Pair generation via inverted index on the shingle (shuffle key), so
     * only documents sharing at least one shingle ever meet.
+    *
+    * Skew guard: a shingle shared by f documents contributes O(f²)
+    * candidate pairs — one stopword 3-gram in a million docs is 10¹²
+    * pairs. `maxDocFrequency` drops shingles above that document
+    * frequency BEFORE the self-join (one extra narrow aggregation).
+    * Dropped shingles still count toward each document's shingle-set
+    * size, so the Jaccard denominator stays exact; only intersections
+    * through ultra-common shingles are forfeited — standard inverted-
+    * index prefix-filter practice.
     */
-  def ngramJaccardPairs(shingles: DataFrame, minJaccard: Double): DataFrame = {
+  def ngramJaccardPairs(shingles: DataFrame, minJaccard: Double,
+      maxDocFrequency: Long = Long.MaxValue): DataFrame = {
     val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = shingles.as("a")
-    val b = shingles.as("b")
+    val rare =
+      if (maxDocFrequency == Long.MaxValue) shingles
+      else {
+        val freq = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFrequency).select("shingle")
+        shingles.join(freq, "shingle")
+      }
+    val a = rare.as("a")
+    val b = rare.as("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .agg(count(lit(1)).as("n_common"))

@@ -1,0 +1,60 @@
+package graft.core
+
+import graft.core.format.CsvIO
+import graft.core.model.CoringFormats._
+import graft.core.ops.SectionSummaryOps
+import graft.ops.DedupOps
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A1: per-core range excludes CC sections, rounds to 3dp") {
+    val ss = CsvIO.load(spark, s"$RefData/GLAD9_SectionSummary.csv", SectionSummaryFormat)
+    val r = SectionSummaryOps.coreRanges(ss)
+      .filter(col("Site") === "1" && col("Hole") === "A" && col("Core") === "1")
+      .head()
+    // core 1A-1: sections 1,2,9 span 0.1 .. 2.863
+    assert(r.getDouble(3) == 0.1 && r.getDouble(4) == 2.863)
+    // synthetic: a CC section must not extend its core's range
+    val synth = Seq(
+      ("1", "A", "1", "1", 0.0, 1.5), ("1", "A", "1", "2", 1.5, 3.0),
+      ("1", "A", "1", "CC", 3.0, 3.4))
+      .toDF("Site", "Hole", "Core", "Section", "TopDepth", "BottomDepth")
+    val rng = SectionSummaryOps.coreRanges(synth).head()
+    assert(rng.getDouble(3) == 0.0 && rng.getDouble(4) == 3.0)
+  }
+
+  test("O4: gap-column consolidation") {
+    val df = Seq(
+      ("s1", Some(0.0), Some(0.5), Some(94.5), Some(96.0)),
+      ("s2", None: Option[Double], None: Option[Double], None: Option[Double], None: Option[Double]),
+      ("s3", Some(1.0), Some(2.0), None: Option[Double], None: Option[Double]))
+      .toDF("Section", "Gap 1 T", "Gap 1 B", "Gap 2 T", "Gap 2 B")
+    val out = SectionSummaryOps.consolidateGapColumns(df, 2)
+      .orderBy("Section").select("Gaps").collect().map(_.getString(0))
+    assert(out(0) == "0.0-0.5 94.5-96.0")
+    assert(out(1) == "")
+    assert(out(2) == "1.0-2.0")
+  }
+
+  test("ngram Jaccard skew guard caps hot shingles, keeps exact denominators") {
+    // 40 docs all sharing one stopword-heavy phrase + a unique tail;
+    // two true near-duplicates sharing rare shingles.
+    val hot = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0 until 40).map(i => (i.toLong, s"$hot unique tail $i $i")) ++
+      Seq((100L, "rare alpha beta gamma delta epsilon zeta"),
+        (101L, "rare alpha beta gamma delta epsilon eta"))
+    val sh = DedupOps.wordShingles(docs.toDF("doc_id", "text"), "doc_id", "text", 3)
+    // uncapped: the hot phrase makes every pair of the 40 docs a candidate
+    val uncapped = DedupOps.ngramJaccardPairs(sh, 0.01)
+    // capped at df<=5: hot shingles dropped pre-join; only the rare pair meets
+    val capped = DedupOps.ngramJaccardPairs(sh, 0.01, maxDocFrequency = 5)
+    assert(uncapped.count() > 700) // ~40*39/2 pairs through the hot shingles
+    val pairs = capped.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((100L, 101L)), pairs.mkString(","))
+    // denominator exactness: capped jaccard uses FULL shingle-set sizes
+    val j = capped.select("n_a", "n_b").head()
+    assert(j.getLong(0) == 5 && j.getLong(1) == 5)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.core.export.MeasurementExport
+import graft.core.splice.{Convert, SpliceOptions}
+
+/** Option-coverage golden tests: each pipeline option compared against
+  * a reference run with the same flags (see golden/README.md).
+  * Covers useScaledDepths (CSF-B space + compression quirk),
+  * lazyAppend (cross-hole APPEND inherits the previous affine),
+  * spliceStartDepth (first interval anchored at a chosen depth),
+  * wholeSpliceSection and includeOffSplice=false on export.
+  */
+class SpliceOptionsSpec extends SparkSpec {
+
+  private lazy val outDir = Files.createTempDirectory("graft_opts").toString
+
+  private def convert(opts: SpliceOptions, tag: String): (String, String) = {
+    val a = s"$outDir/${tag}_Affine.csv"
+    val s = s"$outDir/${tag}_SIT.csv"
+    Convert.convertSparseSplice(spark,
+      s"$RefData/GLAD9_SectionSummary.csv",
+      s"$RefData/GLAD9_Site1_SparseSplice.csv", a, s, opts)
+    (a, s)
+  }
+
+  private def assertGolden(actual: String, goldenName: String): Unit = {
+    val diffs = CsvCompare.diff(actual, golden(goldenName))
+    assert(diffs.isEmpty, diffs.mkString("\n"))
+  }
+
+  test("useScaledDepths: CSF-B depth space") {
+    val (a, s) = convert(SpliceOptions(useScaledDepths = true), "Scaled")
+    assertGolden(s, "Scaled_SIT.csv")
+    assertGolden(a, "Scaled_Affine.csv")
+  }
+
+  test("lazyAppend: cross-hole APPEND inherits previous affine") {
+    val (a, s) = convert(SpliceOptions(lazyAppend = true), "Lazy")
+    assertGolden(s, "Lazy_SIT.csv")
+    assertGolden(a, "Lazy_Affine.csv")
+  }
+
+  test("spliceStartDepth: first interval anchored at 5.0 m") {
+    val (a, s) = convert(SpliceOptions(spliceStartDepth = Some(5.0)), "Start5")
+    assertGolden(s, "Start5_SIT.csv")
+    assertGolden(a, "Start5_Affine.csv")
+  }
+
+  test("export: wholeSpliceSection without off-splice rows") {
+    val exportPath = s"$outDir/XRF_whole.csv"
+    MeasurementExport.exportMeasurementData(spark,
+      golden("GLAD9_Site1_TestAffine.csv"), golden("GLAD9_Site1_TestSIT.csv"),
+      s"$RefData/GLAD9_Site1_XRF.csv", exportPath,
+      depthColumn = "Sediment Depth, unscaled (MBS / CSF-A)",
+      includeOffSplice = false, wholeSpliceSection = true)
+    assertGolden(exportPath, "XRF_whole.csv")
+  }
+}

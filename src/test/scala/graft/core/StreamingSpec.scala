@@ -1,0 +1,68 @@
+package graft.core
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming semantics checks via MemoryStream: the
+  * streaming operators must agree with their batch twins on the same
+  * data (the batch twins are DuckDB-oracle-verified as q25/q26).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  test("windowed counts agree with the batch time-bucket aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "event_type", "value")
+
+    val q = StreamOps.windowedCounts(events, windowSeconds = 300)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, ts(10), "click", 1.0), (1L, ts(200), "click", 2.0),
+      (2L, ts(400), "view", 3.0), (1L, ts(650), "click", 4.0),
+      // late-but-in-watermark row, then an advancing row to close windows
+      (2L, ts(20), "view", 5.0), (1L, ts(5000), "click", 0.0))
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_counts")
+      .select(col("bucket_start").cast("long").as("bucket_s"), col("event_type"),
+        col("n"), col("sum_value"))
+    val batch = rows.toDF("user_id", "ts", "event_type", "value")
+      .groupBy((floor(col("ts").cast("double") / 300) * 300).cast("long").as("bucket_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      // the stream's append mode only emits windows closed by the watermark
+      .filter(col("bucket_s") < 5000 - 600)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("stateful sessionizer agrees with the batch gap sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.sessionize(spark, input.toDS(), gapSeconds = 1800.0)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    // user 1: 3 sessions (gaps of 2h); user 2: 1 session
+    input.addData(
+      Event(1L, ts(0), 1.0), Event(1L, ts(600), 1.0),
+      Event(1L, ts(600 + 7200), 1.0), Event(1L, ts(600 + 14400), 1.0),
+      Event(2L, ts(100), 1.0), Event(2L, ts(200), 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("sessions").as[SessionOut].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.map(_.n_sessions).max }
+    assert(last(1L) == 3L, s"user 1: $last")
+    assert(last(2L) == 1L, s"user 2: $last")
+  }
+}
