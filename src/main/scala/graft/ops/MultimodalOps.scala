@@ -40,4 +40,56 @@ object MultimodalOps {
       }
       .toDF()
   }
+
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Int, frame: Array[Byte])
+
+  /** Frame sampling: cut each payload into `nFrames` evenly-spaced
+    * byte windows — the Spark-side shape of video frame extraction
+    * (one input row → N frame rows with index + offset + bytes).
+    * STUB codec: real frame boundaries need a demuxer; the windowing,
+    * schema, and explode shape are the real plumbing. Narrow map, no
+    * shuffle: frames stay co-partitioned with their source rows.
+    */
+  def sampleFrames(spark: SparkSession, binDocs: DataFrame, nFrames: Int,
+      frameBytes: Int = 32): DataFrame = {
+    import spark.implicits._
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = bytes.length
+        (0 until nFrames).iterator.map { i =>
+          val off = if (nFrames == 1) 0 else (i.toLong * math.max(n - frameBytes, 0) / math.max(nFrames - 1, 1)).toInt
+          Frame(id, i, off, bytes.slice(off, math.min(off + frameBytes, n)))
+        }
+      }
+      .toDF()
+  }
+
+  /** "Resize": deterministic fixed-size feature from a payload — the
+    * shape of an image-resize/thumbnail stage (binary in, fixed-width
+    * vector out). STUB: real resizing needs a codec; here each output
+    * element is a byte-bucket average so the batch shape, schema and
+    * determinism are testable end-to-end.
+    */
+  def resizeFeature(spark: SparkSession, binDocs: DataFrame, width: Int): DataFrame = {
+    import spark.implicits._
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val out = new Array[Double](width)
+        if (bytes.nonEmpty) {
+          val bucket = math.max(bytes.length / width, 1)
+          var i = 0
+          while (i < width) {
+            val from = math.min(i * bucket, bytes.length - 1)
+            val until = math.min(from + bucket, bytes.length)
+            var s = 0.0
+            var j = from
+            while (j < until) { s += (bytes(j) & 0xff); j += 1 }
+            out(i) = s / math.max(until - from, 1)
+            i += 1
+          }
+        }
+        (id, out)
+      }
+      .toDF("doc_id", "feature")
+  }
 }

@@ -68,6 +68,65 @@ object SimilarityOps {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Embedding-cosine near-duplicate pairs: bucket by hyperplane sign
+    * bits, generate pairs only within a bucket, keep pairs above the
+    * cosine threshold. The bucket equi-join replaces the all-pairs
+    * cross product; recall is tuned by nbits (fewer bits → bigger
+    * buckets → higher recall, more work).
+    */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nbits: Int = 8): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nbits))
+    base.as("x").join(base.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        round(cosine(col("x.v"), col("y.v")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into cells; each query searches only its
+    * `nprobe` nearest cells. The scale path for billion-row corpora:
+    * train on a sample, assign once (narrow map), and the query join
+    * touches nprobe/k of the data. Deterministic via fixed seed.
+    */
+  def knnIvf(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      idCol: String, vecCol: String, queryPred: Column, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val feat = base.withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(feat)
+    val centers: Array[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+
+    // cell assignment + per-query probe list, both as broadcast-joined
+    // literal center arrays (no per-row model invocation: the distance
+    // expressions stay in codegen)
+    def dist2(vec: Column, center: Array[Double]): Column = {
+      val c = array(center.map(lit): _*)
+      aggregate(zip_with(vec, c, (a, b) => (a - b) * (a - b)), lit(0.0d), _ + _)
+    }
+    val cellOf = centers.map { case (i, c) => struct(dist2(col("v"), c).as("d"), lit(i).as("i")) }
+    val assigned = base.withColumn("cell", array_min(array(cellOf: _*)).getField("i"))
+    val probeCells = explode(slice(
+      array_sort(array(cellOf: _*)), 1, nprobe)).as("probe")
+    val q = assigned.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"), probeCells)
+      .select(col("query_id"), col("qv"), col("probe.i").as("cell"))
+
+    val sims = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Bucketing the corpus is one projection; the join is an equi-join on
     * the bucket key (hash-partitioned, no broadcast of the corpus).

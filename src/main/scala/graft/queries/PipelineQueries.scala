@@ -85,7 +85,35 @@ object PipelineQueries {
 
     // 64-bit SimHash — no oracle (xxhash64).
     "q41_simhash" -> ((s, d) =>
-      DedupOps.simHash(Tables(s, d, "documents"), "doc_id", "text")))
+      DedupOps.simHash(Tables(s, d, "documents"), "doc_id", "text")),
+
+    // Embedding-cosine near-dup pairs via hyperplane buckets — no
+    // oracle (xxhash64 planes), recall covered in ScalaTest.
+    "q47_embedding_neardup" -> ((s, d) =>
+      SimilarityOps.embeddingNearDupPairs(Tables(s, d, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.35, nbits = 4)),
+
+    // IVF approximate top-k (KMeans coarse quantizer) — no oracle
+    // (iterative clustering has no SQL equivalent); recall vs the
+    // exact baseline is asserted in ScalaTest.
+    "q48_knn_ivf" -> ((s, d) =>
+      SimilarityOps.knnIvf(s, Tables(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10)),
+
+    // Frame sampling plumbing: evenly-spaced byte windows per payload.
+    "q49_frame_sample" -> ((s, d) =>
+      MultimodalOps.sampleFrames(s,
+          MultimodalOps.withBinaryPayload(Tables(s, d, "documents"), "doc_id", "text"), 4)
+        .select(col("doc_id"), col("frame_idx"), col("offset"),
+          length(col("frame")).cast("int").as("frame_len"))),
+
+    // Resize-feature plumbing (fixed-width byte-bucket vector) — no
+    // oracle (blob byte indexing is not portable SQL); rows-only +
+    // determinism spec in ScalaTest.
+    "q50_resize_feature" -> ((s, d) =>
+      MultimodalOps.resizeFeature(s,
+          MultimodalOps.withBinaryPayload(Tables(s, d, "documents"), "doc_id", "text"), 8)
+        .select(col("doc_id"), round(aggregate(col("feature"), lit(0.0d), _ + _), 4).as("feat_sum"))))
 
   /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
   val oracles: Map[String, String] = Map(
@@ -166,5 +194,12 @@ object PipelineQueries {
         |FROM inter
         |JOIN sizes sa ON inter.a_id = sa.id
         |JOIN sizes sb ON inter.b_id = sb.id
-        |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 5) >= 0.2""".stripMargin)
+        |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 5) >= 0.2""".stripMargin,
+    "q49_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        | CAST((i * greatest(n - 32, 0)) // 3 AS INTEGER) AS "offset",
+        | CAST(least((i * greatest(n - 32, 0)) // 3 + 32, n)
+        |      - (i * greatest(n - 32, 0)) // 3 AS INTEGER) AS frame_len
+        |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        |     (SELECT unnest(generate_series(0, 3)) AS i)""".stripMargin)
 }
