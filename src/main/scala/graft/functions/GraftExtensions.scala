@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native expressions.
+  *
+  * Two entry points:
+  *  - `GraftExtensions` for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (SQL users get `graft_cosine(a, b)` in every session);
+  *  - `GraftFunctions.register(spark)` for programmatic sessions
+  *    (used by Verify/Bench), plus typed `Column` wrappers.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_cosine requires exactly 2 arguments, got ${children.size}")
+        CosineSimilarity(children.head, children(1))
+      }))
+
+  /** Register into an existing session's function registry. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    descriptors.foreach { case (name, info, builder) =>
+      reg.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+
+  /** Typed wrapper: native cosine over array<double> columns. Resolves
+    * through the session's function registry (register(spark) first).
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+}

@@ -29,7 +29,19 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Composed-built-ins cosine (reference form; bit-identical to the
+    * native expression below, which fuses the three passes).
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native fused cosine (graft.functions.CosineSimilarity, codegen'd):
+    * no intermediate array allocation, one pass per input. Registered
+    * on demand in the DataFrame's session.
+    */
+  private def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function("graft_cosine", a, b)
+  }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -45,7 +57,7 @@ object SimilarityOps {
     // membership vs the oracle.
     val sims = base.join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("cand_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(nativeCosine(emb)(col("qv"), col("v")), 6).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"))
@@ -81,7 +93,7 @@ object SimilarityOps {
     base.as("x").join(base.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        round(cosine(col("x.v"), col("y.v")), 6).as("cos"))
+        round(nativeCosine(emb)(col("x.v"), col("y.v")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 
@@ -121,7 +133,7 @@ object SimilarityOps {
     val sims = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("cand_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(nativeCosine(emb)(col("qv"), col("v")), 6).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"))
@@ -140,7 +152,7 @@ object SimilarityOps {
     val sims = base.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("cand_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(nativeCosine(emb)(col("qv"), col("v")), 6).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"))

@@ -55,6 +55,28 @@ class SimilaritySpec extends SparkSpec {
     assert(f1.exceptAll(f2).isEmpty)
   }
 
+  test("native graft_cosine: SQL-registered, bit-identical to composed form, null-safe") {
+    graft.functions.GraftFunctions.register(spark)
+    // SQL surface
+    val one = spark.sql("SELECT graft_cosine(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12) // sqrt(5)² ≠ 5 exactly; both forms agree
+    // bit-identical to the composed built-ins form over real data
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(500)
+      .select(
+        SimilarityOps.cosine(col("a.v"), col("b.v")).as("composed"),
+        expr("graft_cosine(a.v, b.v)").as("native"))
+    assert(both.filter(col("composed") =!= col("native")).count() == 0)
+    // null propagation
+    assert(spark.sql("SELECT graft_cosine(NULL, array(1.0d)) AS c").head().isNullAt(0))
+    // type check rejects non-array args at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine('a', 'b')").collect()
+    }
+  }
+
   test("resize feature: fixed width, deterministic, bounded values") {
     val bin = MultimodalOps.withBinaryPayload(docs, "doc_id", "text")
     val r = MultimodalOps.resizeFeature(spark, bin, 8)
