@@ -38,6 +38,23 @@ class OpsSpec extends SparkSpec {
     assert(out(2) == "1.0-2.0")
   }
 
+  test("salted join equals plain join; hot-key detection finds the skew") {
+    import graft.ops.SkewOps
+    // one hot key (0) with 5000 rows, long tail of singletons
+    val big = ((1 to 5000).map(i => (0L, i)) ++ (1 to 500).map(i => (i.toLong, i)))
+      .toDF("k", "payload")
+    val dim = (0L to 500L).map(k => (k, s"dim_$k")).toDF("k", "label")
+    val plain = big.join(dim, Seq("k")).orderBy("k", "payload").collect()
+    val salted = SkewOps.saltedJoin(big, dim, "k", buckets = 8)
+      .orderBy("k", "payload").collect()
+    assert(salted.length == plain.length)
+    assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+    val hot = SkewOps.hotKeys(big, "k", threshold = 1000).collect()
+    assert(hot.map(_.getLong(0)).toSeq == Seq(0L))
+    val hc = SkewOps.hotColdJoin(big, dim, "k", Seq(0L)).orderBy("k", "payload").collect()
+    assert(hc.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
   test("ngram Jaccard skew guard caps hot shingles, keeps exact denominators") {
     // 40 docs all sharing one stopword-heavy phrase + a unique tail;
     // two true near-duplicates sharing rare shingles.
