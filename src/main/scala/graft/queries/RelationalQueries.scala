@@ -256,6 +256,22 @@ object RelationalQueries {
         // cast('') would throw; the oracle uses TRY_CAST.
         expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS int)").as("k"))),
 
+    // Approximate count-distinct (HyperLogLog++): the scale-path twin
+    // of q27 — constant memory per group vs exact expand. No oracle
+    // (sketch internals are engine-specific); exactness bound asserted
+    // in ScalaTest instead.
+    "q51_approx_distinct" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
+          count(lit(1)).as("n"))),
+
+    // Seeded Bernoulli sampling — deterministic per (seed, partition
+    // layout); rows-only check (no cross-engine RNG parity).
+    "q52_sample" -> ((s, d) =>
+      Tables(s, d, "orders").sample(withReplacement = false, 0.1, seed = 42L)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
+
     // Join + dim filter + group, classic star-schema probe.
     "q29_star_probe" -> ((s, d) => {
       val c = Tables(s, d, "customer")

@@ -38,6 +38,19 @@ class OpsSpec extends SparkSpec {
     assert(out(2) == "1.0-2.0")
   }
 
+  test("approx_count_distinct within its stated error bound of the exact count") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val both = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .collect()
+    both.foreach { r =>
+      val (exact, approx) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact <= 0.06,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("salted join equals plain join; hot-key detection finds the skew") {
     import graft.ops.SkewOps
     // one hot key (0) with 5000 rows, long tail of singletons

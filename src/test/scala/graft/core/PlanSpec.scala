@@ -70,6 +70,33 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
   }
 
+  test("bucketed co-located join plans with zero exchanges") {
+    import graft.ops.BucketOps
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    BucketOps.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+    BucketOps.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 4)
+    // disable auto-broadcast: at this tiny SF the planner would
+    // broadcast (and skip bucketed reading) — the technique under test
+    // is the shuffle-free fact-to-fact sort-merge path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = BucketOps.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(joined.count() > 0)
+      // contrast: the same join on unbucketed reads DOES shuffle
+      val unbucketed = orders.join(lineitem, Seq("o_orderkey"))
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen spans cover the scan pipelines") {
     // formatted mode marks codegen'd operators with `[codegen id : N]`
     val s = formatted("q31_quality_metrics")
