@@ -1,0 +1,88 @@
+package graft
+
+import graft.core.export.MeasurementExport
+import graft.core.splice.{Convert, SpliceOptions}
+import org.apache.spark.sql.SparkSession
+
+/** CLI mirroring the reference's two entry points (feldman.py:96,298)
+  * so a feldman user can run the same jobs with spark-submit:
+  *
+  *   graft.Main convert <sectionSummary.csv> <sparseSplice.csv>
+  *       <affineOut.csv> <sitOut.csv>
+  *       [--scaled] [--lazy-append] [--splice-start-depth D]
+  *       [--manual-correlation FILE]
+  *
+  *   graft.Main export <affine.csv> <sit.csv> <measurement.csv>
+  *       <out.csv> --depth-column NAME
+  *       [--no-off-splice] [--whole-section]
+  */
+object Main {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage:
+        |  convert <secSumm> <sparse> <affineOut> <sitOut>
+        |      [--scaled] [--lazy-append] [--splice-start-depth D]
+        |      [--manual-correlation FILE]
+        |  export <affine> <sit> <measurement> <out> --depth-column NAME
+        |      [--no-off-splice] [--whole-section]""".stripMargin)
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 1) usage()
+    // spark-submit injects the master; default to local[*] when run
+    // directly (sbt runMain, plain java -cp)
+    val builder = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    try args(0) match {
+      case "convert" =>
+        val pos = args.drop(1).takeWhile(!_.startsWith("--"))
+        if (pos.length != 4) usage()
+        var opts = SpliceOptions()
+        var mancorr: Option[String] = None
+        var rest = args.drop(5).toList
+        while (rest.nonEmpty) rest = rest match {
+          case "--scaled" :: t => opts = opts.copy(useScaledDepths = true); t
+          case "--lazy-append" :: t => opts = opts.copy(lazyAppend = true); t
+          case "--splice-start-depth" :: d :: t =>
+            opts = opts.copy(spliceStartDepth = Some(d.toDouble)); t
+          case "--manual-correlation" :: f :: t => mancorr = Some(f); t
+          case unknown :: _ =>
+            System.err.println(s"unknown option: $unknown"); usage()
+        }
+        Convert.convertSparseSplice(spark, pos(0), pos(1), pos(2), pos(3), opts, mancorr)
+        println(s"wrote ${pos(2)} and ${pos(3)}")
+
+      case "export" =>
+        val pos = args.drop(1).takeWhile(!_.startsWith("--"))
+        if (pos.length != 4) usage()
+        var depthColumn: Option[String] = None
+        var includeOffSplice = true
+        var wholeSection = false
+        var rest = args.drop(5).toList
+        while (rest.nonEmpty) rest = rest match {
+          case "--depth-column" :: n :: t => depthColumn = Some(n); t
+          case "--no-off-splice" :: t => includeOffSplice = false; t
+          case "--whole-section" :: t => wholeSection = true; t
+          case unknown :: _ =>
+            System.err.println(s"unknown option: $unknown"); usage()
+        }
+        val dc = depthColumn.getOrElse {
+          System.err.println("--depth-column is required"); usage()
+        }
+        MeasurementExport.exportMeasurementData(spark, pos(0), pos(1), pos(2), pos(3),
+          dc, includeOffSplice, wholeSection)
+        println(s"wrote ${pos(3)}")
+
+      case other =>
+        System.err.println(s"unknown command: $other"); usage()
+    } finally spark.stop()
+  }
+}
