@@ -38,6 +38,23 @@ class OpsSpec extends SparkSpec {
     assert(out(2) == "1.0-2.0")
   }
 
+  test("splice diagnostics surface the reference's warnings as a dataset") {
+    import graft.core.splice.SpliceDiagnostics
+    val ss = CsvIO.load(spark, s"$RefData/GLAD9_SectionSummary.csv",
+      SectionSummaryFormat, withSeq = true)
+    val sp = CsvIO.load(spark, s"$RefData/GLAD9_Site1_SparseSplice.csv",
+      SparseSpliceFormat, withSeq = true)
+    val diags = SpliceDiagnostics.inputDiagnostics(spark, sp, ss).collect()
+    // the reference's own run warns on 1B-19-3 (offset 115cm > 0.14m)
+    assert(diags.exists(r => r.getString(1) == "OFFSET_BEYOND_CURATED_LENGTH" &&
+      r.getString(2).contains("1B-19")), diags.mkString("\n"))
+    assert(!diags.exists(_.getString(1).startsWith("MISSING_")), diags.mkString("\n"))
+    // doctored: a sparse row pointing at a nonexistent section
+    val bad = sp.limit(1).withColumn("TopSection", org.apache.spark.sql.functions.lit("99"))
+    val missing = SpliceDiagnostics.inputDiagnostics(spark, bad, ss).collect()
+    assert(missing.exists(_.getString(1) == "MISSING_TOP_SECTION"), missing.mkString("\n"))
+  }
+
   test("approx_count_distinct within its stated error bound of the exact count") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val both = li.groupBy("l_returnflag")
