@@ -60,10 +60,14 @@ object CsvIO {
     var df = readRaw(spark, path).coalesce(1)
     if (withSeq) df = df.withColumn(SeqCol, monotonically_increasing_id())
 
-    // multi-valued NA scrub (csvio.py:21): '?','??','???' → null
-    val scrubbed = df.columns.filterNot(_ == SeqCol).foldLeft(df) { (d, c) =>
-      d.withColumn(c, when(col(c).isin(NaValues: _*), lit(null)).otherwise(col(c)))
-    }
+    // multi-valued NA scrub (csvio.py:21): '?','??','???' → null.
+    // Single select, not a per-column withColumn fold — a fold builds
+    // one nested Project per column and Catalyst analysis time on the
+    // resulting plan dwarfs the actual scan for these control tables.
+    val scrubbed = df.select(df.columns.map { c =>
+      if (c == SeqCol) col(c)
+      else when(col(c).isin(NaValues: _*), lit(null)).otherwise(col(c)).as(c)
+    }.toSeq: _*)
     val split = splitSiteHole(scrubbed)
 
     val inputCols = split.columns.filterNot(_ == SeqCol).toSeq
@@ -73,21 +77,24 @@ object CsvIO {
       throw new FormatError(
         s"The ${fmt.name} format requires the following column(s): ${missingReq.mkString(",")}")
 
-    // append missing optional columns with defaults (csvio.py:36-39)
+    // One flat projection: rename inputs to internal names, apply the
+    // format types (NUMERIC → double, STRING → ""-for-null), append
+    // missing optional columns with defaults. (csvio.py:36-43,
+    // pandasutils.py:102-108)
+    val renameMap = colmap.map(_.swap) // input name → internal name
+    val byName = fmt.cols.map(c => c.name -> c).toMap
     val missingOpt = fmt.cols.filter(c => c.optional && !colmap.contains(c.name))
-    val withOpt = missingOpt.foldLeft(split) { (d, c) =>
-      d.withColumn(c.name,
-        if (c.isString) lit("") else lit(null).cast("double"))
-    }
-    // rename inputs to internal names (csvio.py:41-43)
-    val renamed = withOpt.withColumnsRenamed(colmap.map(_.swap))
-    // NUMERIC → double, STRING → null-scrubbed string (pandasutils.py:102-108)
-    val typed = fmt.cols.foldLeft(renamed) { (d, c) =>
-      if (!d.columns.contains(c.name)) d
-      else if (c.isNumeric) d.withColumn(c.name, col(c.name).cast("double"))
-      else d.withColumn(c.name, coalesce(col(c.name).cast("string"), lit("")))
-    }
-    typed
+    val outCols = split.columns.map { c =>
+      val name = renameMap.getOrElse(c, c)
+      byName.get(name) match {
+        case Some(fc) if fc.isNumeric => col(c).cast("double").as(name)
+        case Some(fc) if fc.isString =>
+          coalesce(col(c).cast("string"), lit("")).as(name)
+        case _ => col(c).as(name)
+      }
+    }.toSeq ++ missingOpt.map(c =>
+      (if (c.isString) lit("") else lit(null).cast("double")).as(c.name))
+    split.select(outCols: _*)
   }
 
   /** Split a compound SiteHole column ("1A") into Site and Hole when
@@ -116,9 +123,11 @@ object CsvIO {
   /** P10: round the format's NUMERIC columns to `digits` decimals.
     * (feldman.py:538-544)
     */
-  def roundNumeric(df: DataFrame, fmt: FormatSpec, digits: Int = 3): DataFrame =
-    fmt.cols.filter(c => c.isNumeric && df.columns.contains(c.name))
-      .foldLeft(df)((d, c) => d.withColumn(c.name, round(col(c.name), digits)))
+  def roundNumeric(df: DataFrame, fmt: FormatSpec, digits: Int = 3): DataFrame = {
+    val numeric = fmt.cols.filter(_.isNumeric).map(_.name).toSet
+    df.select(df.columns.map(c =>
+      if (numeric(c)) round(col(c), digits).as(c) else col(c)).toSeq: _*)
+  }
 
   /** P8: rename internal names to org-vocabulary pretty names.
     * (feldman.py:533-535)

@@ -34,10 +34,14 @@ object AffineFinish {
     val slope = (n * sxy - sx * sy) / denom
 
     affines.toDF()
-      .withColumn("diffOffset", col("offset") - lag("offset", 1, 0.0).over(w))
+      // `+ 0.0` canonicalizes IEEE negative zero (-0.0 + 0.0 == +0.0):
+      // the reference emits -0.0 where a tiny negative rounds to zero,
+      // and hash-based comparison distinguishes the sign bit.
+      .withColumn("diffOffset",
+        col("offset") - lag("offset", 1, 0.0).over(w) + lit(0.0))
       .withColumn("growthRate",
         when(row_number().over(w) === 1 || denom === 0.0, 0.0)
-          .otherwise(round(slope, 3)))
+          .otherwise(round(slope, 3) + lit(0.0)))
       .orderBy(col("site"), col("hole"), coreInt)
       .select(
         col("site").as(Site.name), col("hole").as(Hole.name),

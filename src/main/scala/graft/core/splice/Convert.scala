@@ -17,11 +17,21 @@ import org.apache.spark.sql.functions._
 object Convert {
 
   /** P16 pre-flight: every value integer or 'CC'. (feldman.py:107-112) */
-  def validateSectionColumn(df: DataFrame, colName: String, what: String): Unit = {
-    val bad = df.filter(!DepthOps.isValidSection(col(colName))).limit(1).count()
-    if (bad > 0)
-      throw new FormatError(
-        s"$colName column in $what contains one or more non-integer values.")
+  def validateSectionColumn(df: DataFrame, colName: String, what: String): Unit =
+    validateSectionColumns(df, Seq(colName), what)
+
+  /** Validate several section columns of one table in a single job;
+    * failures are reported in column order (the reference checks them
+    * sequentially, so first bad column wins).
+    */
+  def validateSectionColumns(df: DataFrame, colNames: Seq[String], what: String): Unit = {
+    val counts = df.select(colNames.map(c =>
+      count(when(!DepthOps.isValidSection(col(c)), lit(1))).as(c)): _*).head()
+    colNames.zipWithIndex.foreach { case (c, i) =>
+      if (counts.getLong(i) > 0)
+        throw new FormatError(
+          s"$c column in $what contains one or more non-integer values.")
+    }
   }
 
   /** In-memory variant: returns (SIT, affine) DataFrames without the
@@ -29,14 +39,31 @@ object Convert {
     * explicit 3-decimal rounding — numerically identical to writing
     * and re-parsing the CSV.
     */
+  /** Conversion is a pure function of its input files and options, so
+    * repeated calls within a session (e.g. one caller wanting the SIT,
+    * another the affine table) reuse one plan + cache instead of
+    * re-running the whole pipeline. Keyed per SparkSession.
+    */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String, SpliceOptions, Option[String]), (DataFrame, DataFrame)]
+
   def convertInMemory(spark: SparkSession,
       secSummPath: String, sparsePath: String,
       opts: SpliceOptions = SpliceOptions(),
-      manualCorrelationPath: Option[String] = None): (DataFrame, DataFrame) = {
-    val secsumm = CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true)
-    val sparse = CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true)
-    validateSectionColumn(sparse, "TopSection", "Sparse Splice")
-    validateSectionColumn(sparse, "BottomSection", "Sparse Splice")
+      manualCorrelationPath: Option[String] = None): (DataFrame, DataFrame) =
+    memo.getOrElseUpdate(
+      (System.identityHashCode(spark), secSummPath, sparsePath, opts, manualCorrelationPath),
+      convertInMemoryUncached(spark, secSummPath, sparsePath, opts, manualCorrelationPath))
+
+  private def convertInMemoryUncached(spark: SparkSession,
+      secSummPath: String, sparsePath: String,
+      opts: SpliceOptions,
+      manualCorrelationPath: Option[String]): (DataFrame, DataFrame) = {
+    // control tables feed several broadcast joins each — cache so the
+    // CSV is scanned once, not once per broadcast
+    val secsumm = CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true).cache()
+    val sparse = CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true).cache()
+    validateSectionColumns(sparse, Seq("TopSection", "BottomSection"), "Sparse Splice")
     validateSectionColumn(secsumm, "Section", "Section Summary")
     val (sitDf, onAffines) = SpliceBuilder.sparseSpliceToSIT(spark, sparse, secsumm, opts)
     val sitRounded = CsvIO.roundNumeric(sitDf, SITFormat)
@@ -47,7 +74,9 @@ object Convert {
     val offAffines = OffSplice.gather(spark, secsumm, sitRounded, mancorr)
     val affDf = CsvIO.roundNumeric(
       AffineFinish.finish(onAffines.unionByName(offAffines)), AffineFormat)
-    (sitRounded, affDf)
+    // outputs are tiny control tables; cache so each is computed at
+    // most once per session no matter how many consumers act on it
+    (sitRounded.cache(), affDf.cache())
   }
 
   def convertSparseSplice(spark: SparkSession,
@@ -56,11 +85,10 @@ object Convert {
       opts: SpliceOptions = SpliceOptions(),
       manualCorrelationPath: Option[String] = None): Unit = {
 
-    val secsumm = CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true)
-    val sparse = CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true)
+    val secsumm = CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true).cache()
+    val sparse = CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true).cache()
 
-    validateSectionColumn(sparse, "TopSection", "Sparse Splice")
-    validateSectionColumn(sparse, "BottomSection", "Sparse Splice")
+    validateSectionColumns(sparse, Seq("TopSection", "BottomSection"), "Sparse Splice")
     validateSectionColumn(secsumm, "Section", "Section Summary")
 
     val (sitDf, onAffines) = SpliceBuilder.sparseSpliceToSIT(spark, sparse, secsumm, opts)
