@@ -32,14 +32,86 @@ object CsvIO {
     * string (types are applied by the format layer, exactly like the
     * reference's post-load coercion). (pandasutils.py:19-36)
     */
-  def readRaw(spark: SparkSession, path: String): DataFrame =
-    spark.read
+  def readRaw(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read
       .option("header", "true")
       .option("encoding", "UTF-8")
       .option("mode", "PERMISSIVE")
       .option("ignoreLeadingWhiteSpace", "true")
       .option("ignoreTrailingWhiteSpace", "true")
-      .csv(path)
+    // Supplying the header-derived schema up front skips Spark's
+    // name-inference pass (one job + a second file open per load) —
+    // measurable when a pipeline loads several control tables. Any
+    // oddity (directory input, unbalanced quotes, duplicate names)
+    // falls back to Spark's own inference.
+    headerSchema(spark, path) match {
+      case Some(sch) => base.schema(sch).csv(path)
+      case None => base.csv(path)
+    }
+  }
+
+  /** Driver-side header probe via the Hadoop FS API (works for any
+    * supported filesystem, not just file://): first non-blank line,
+    * BOM stripped, parsed with CSV quote rules. None ⇒ caller should
+    * let Spark infer.
+    */
+  private def headerSchema(spark: SparkSession, path: String): Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(hPath)
+      if (!st.isFile) return None
+      val in = fs.open(hPath)
+      val line =
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+          var l = br.readLine()
+          while (l != null && l.trim.isEmpty) l = br.readLine()
+          l
+        } finally in.close()
+      if (line == null) return None
+      parseCsvLine(line.stripPrefix("﻿")).flatMap { raw =>
+        val names = raw.zipWithIndex.map { case (n, i) => if (n.isEmpty) s"_c$i" else n }
+        if (names.distinct.length != names.length) None // let Spark handle dup headers
+        else Some(org.apache.spark.sql.types.StructType(names.map(n =>
+          org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One CSV record: comma-separated, double-quote delimited, ""
+    * escapes a quote inside a quoted field; unquoted fields trimmed
+    * (matching the ignore*WhiteSpace scan options). None on
+    * unbalanced quotes (e.g. a header spanning lines).
+    */
+  private[format] def parseCsvLine(line: String): Option[Seq[String]] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quoted = false
+    var wasQuoted = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (quoted) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else quoted = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => quoted = true; wasQuoted = true
+        case ',' =>
+          out += (if (wasQuoted) cur.toString else cur.toString.trim)
+          cur.clear(); wasQuoted = false
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    if (quoted) None
+    else {
+      out += (if (wasQuoted) cur.toString else cur.toString.trim)
+      Some(out.result())
+    }
+  }
 
   def headers(spark: SparkSession, path: String): Seq[String] =
     readRaw(spark, path).schema.fieldNames.toSeq

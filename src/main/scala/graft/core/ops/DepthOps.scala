@@ -49,18 +49,9 @@ object DepthOps {
     * (coring/sectionSummary.py:53-75, feldman.py:52-74)
     */
   def offsetDepth(secTop: Column, secBot: Column, curatedLength: Column,
-      gaps: Column, offsetCm: Column, scaled: Boolean): Column = {
-    val top = r3(secTop)
-    val bot = r3(secBot)
-    val depth = top + offsetCm / 100.0 - gapAbove(gaps, offsetCm) / 100.0
-    if (!scaled) depth
-    else {
-      val curated = r3(curatedLength)
-      val drilled = (bot - top) * 100.0
-      when(curated > drilled, top + (offsetCm / 100.0) * (drilled / curated))
-        .otherwise(depth)
-    }
-  }
+      gaps: Column, offsetCm: Column, scaled: Boolean): Column =
+    call_function("graft_offset_depth",
+      secTop, secBot, curatedLength, gaps, offsetCm, lit(scaled))
 
   /** P17: cm → m. */
   def cmToM(cm: Column): Column = cm / 100.0

@@ -34,9 +34,12 @@ object AffineFinish {
     val slope = (n * sxy - sx * sy) / denom
 
     affines.toDF()
-      // `+ 0.0` canonicalizes IEEE negative zero (-0.0 + 0.0 == +0.0):
-      // the reference emits -0.0 where a tiny negative rounds to zero,
-      // and hash-based comparison distinguishes the sign bit.
+      // `+ 0.0` canonicalizes IEEE negative zero (-0.0 + 0.0 == +0.0).
+      // numpy/pandas can emit -0.0 where a tiny negative rounds to
+      // zero, while Spark's BigDecimal round already yields +0.0; both
+      // this output and the q43 oracle SQL normalize the sign before
+      // hashing, so the bit-level gate compares sign-normalized values
+      // on both sides (numerically -0.0 == 0.0 either way).
       .withColumn("diffOffset",
         col("offset") - lag("offset", 1, 0.0).over(w) + lit(0.0))
       .withColumn("growthRate",

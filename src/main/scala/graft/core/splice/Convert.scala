@@ -16,6 +16,43 @@ import org.apache.spark.sql.functions._
   */
 object Convert {
 
+  /** Run `body` with codegen disabled (whole-stage AND generated
+    * projections), restoring the session conf after.
+    *
+    * Scale rationale, not a hack: the splice conversion is a chain of
+    * ~15 distinct tiny plans over control tables (58 splice rows, ~600
+    * section rows — still small when the measurement data is 100 TB,
+    * because a splice is a human-authored table). Compiling bespoke
+    * Java for each of those plans costs seconds of Janino time per
+    * fresh pipeline and saves microseconds of execution; interpreted
+    * mode is strictly faster at this cardinality. Bulk paths
+    * (measurement export, relational/LLM queries) never pass through
+    * here and keep full codegen.
+    */
+  private def interpretedControlPlans[A](spark: SparkSession)(body: => A): A = {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode",
+      "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions",
+      "spark.sql.constraintPropagation.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    // AQE re-plans per shuffle stage; for single-digit-partition
+    // control plans that is pure driver latency with nothing to adapt
+    conf.set("spark.sql.adaptive.enabled", "false")
+    // one shuffle partition: a 32-task stage over a 58-row table is
+    // 32 task launches for one task's work (windows, orderBy)
+    conf.set("spark.sql.shuffle.partitions", "1")
+    // constraint propagation is quadratic-ish in projection width and
+    // buys nothing on already-broadcast-joined control plans
+    conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   /** P16 pre-flight: every value integer or 'CC'. (feldman.py:107-112) */
   def validateSectionColumn(df: DataFrame, colName: String, what: String): Unit =
     validateSectionColumns(df, Seq(colName), what)
@@ -23,14 +60,35 @@ object Convert {
   /** Validate several section columns of one table in a single job;
     * failures are reported in column order (the reference checks them
     * sequentially, so first bad column wins).
+    *
+    * Scaling note: this is one full-table aggregate per call — the
+    * right trade for the tiny control tables that reach it (one scan
+    * validates every column at once). A bulk-table caller that wants
+    * fail-fast should probe with filter().limit(1) per column instead.
     */
-  def validateSectionColumns(df: DataFrame, colNames: Seq[String], what: String): Unit = {
-    val counts = df.select(colNames.map(c =>
-      count(when(!DepthOps.isValidSection(col(c)), lit(1))).as(c)): _*).head()
-    colNames.zipWithIndex.foreach { case (c, i) =>
-      if (counts.getLong(i) > 0)
-        throw new FormatError(
-          s"$c column in $what contains one or more non-integer values.")
+  def validateSectionColumns(df: DataFrame, colNames: Seq[String], what: String): Unit =
+    validateSectionColumnsBatch(Seq((df, colNames, what)))
+
+  /** Validate section columns across SEVERAL tables in one Spark job
+    * (a union of one aggregate row per table). Failures surface in
+    * argument order, preserving the reference's first-bad-column-wins
+    * sequencing across tables.
+    */
+  def validateSectionColumnsBatch(tables: Seq[(DataFrame, Seq[String], String)]): Unit = {
+    if (tables.isEmpty) return
+    val unioned = tables.map { case (df, cols, what) =>
+      df.select(lit(what).as("what"),
+        array(cols.map(c =>
+          count(when(!DepthOps.isValidSection(col(c)), lit(1)))): _*).as("bad"))
+    }.reduce(_ unionByName _)
+    val byWhat = unioned.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    tables.foreach { case (_, cols, what) =>
+      val bad = byWhat(what)
+      cols.zipWithIndex.foreach { case (c, i) =>
+        if (bad(i) > 0)
+          throw new FormatError(
+            s"$c column in $what contains one or more non-integer values.")
+      }
     }
   }
 
@@ -42,20 +100,54 @@ object Convert {
   /** Conversion is a pure function of its input files and options, so
     * repeated calls within a session (e.g. one caller wanting the SIT,
     * another the affine table) reuse one plan + cache instead of
-    * re-running the whole pipeline. Keyed per SparkSession.
+    * re-running the whole pipeline.
+    *
+    * The memo lives in a WeakHashMap keyed by the live session object:
+    * entries (and the cached DataFrames they pin) become collectable
+    * as soon as the session is, and a new session can never collide
+    * with a stopped one's key. Input files are additionally keyed by
+    * (size, mtime) so rewriting a CSV at the same path within a
+    * session is seen as a new input, not served stale.
     */
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String, SpliceOptions, Option[String]), (DataFrame, DataFrame)]
+  private val memos = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[
+      (String, String, String, String, SpliceOptions, Option[String]),
+      (DataFrame, DataFrame)]]()
+
+  /** Local-file change detector; non-local/absent paths degrade to a
+    * constant (path identity only, the pre-fingerprint behavior). */
+  private def fingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    if (f.exists) s"${f.length}:${f.lastModified}" else "-"
+  }
 
   def convertInMemory(spark: SparkSession,
       secSummPath: String, sparsePath: String,
       opts: SpliceOptions = SpliceOptions(),
-      manualCorrelationPath: Option[String] = None): (DataFrame, DataFrame) =
+      manualCorrelationPath: Option[String] = None): (DataFrame, DataFrame) = {
+    val memo = memos.synchronized {
+      var m = memos.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        memos.put(spark, m)
+      }
+      m
+    }
     memo.getOrElseUpdate(
-      (System.identityHashCode(spark), secSummPath, sparsePath, opts, manualCorrelationPath),
+      (secSummPath, fingerprint(secSummPath), sparsePath, fingerprint(sparsePath),
+        opts, manualCorrelationPath),
       convertInMemoryUncached(spark, secSummPath, sparsePath, opts, manualCorrelationPath))
+  }
 
   private def convertInMemoryUncached(spark: SparkSession,
+      secSummPath: String, sparsePath: String,
+      opts: SpliceOptions,
+      manualCorrelationPath: Option[String]): (DataFrame, DataFrame) =
+    interpretedControlPlans(spark) {
+      convertInMemoryImpl(spark, secSummPath, sparsePath, opts, manualCorrelationPath)
+    }
+
+  private def convertInMemoryImpl(spark: SparkSession,
       secSummPath: String, sparsePath: String,
       opts: SpliceOptions,
       manualCorrelationPath: Option[String]): (DataFrame, DataFrame) = {
@@ -63,8 +155,9 @@ object Convert {
     // CSV is scanned once, not once per broadcast
     val secsumm = CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true).cache()
     val sparse = CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true).cache()
-    validateSectionColumns(sparse, Seq("TopSection", "BottomSection"), "Sparse Splice")
-    validateSectionColumn(secsumm, "Section", "Section Summary")
+    validateSectionColumnsBatch(Seq(
+      (sparse, Seq("TopSection", "BottomSection"), "Sparse Splice"),
+      (secsumm, Seq("Section"), "Section Summary")))
     val (sitDf, onAffines) = SpliceBuilder.sparseSpliceToSIT(spark, sparse, secsumm, opts)
     val sitRounded = CsvIO.roundNumeric(sitDf, SITFormat)
     val mancorr = manualCorrelationPath.map { p =>
@@ -74,22 +167,34 @@ object Convert {
     val offAffines = OffSplice.gather(spark, secsumm, sitRounded, mancorr)
     val affDf = CsvIO.roundNumeric(
       AffineFinish.finish(onAffines.unionByName(offAffines)), AffineFormat)
-    // outputs are tiny control tables; cache so each is computed at
-    // most once per session no matter how many consumers act on it
-    (sitRounded.cache(), affDf.cache())
+    // Outputs are tiny control tables; cache AND materialize both now.
+    // Eager materialization matters: the affine plan subsumes the SIT
+    // plan, so computing the pair together shares one pass, and a
+    // caller that only touches the SIT doesn't silently defer the
+    // entire off-splice compile+compute onto the next caller.
+    val sitOut = sitRounded.cache()
+    val affOut = affDf.cache()
+    affOut.count()
+    sitOut.count()
+    // the memoized cached outputs are now self-contained; drop the
+    // input caches so they don't pin executor storage for the session
+    secsumm.unpersist()
+    sparse.unpersist()
+    (sitOut, affOut)
   }
 
   def convertSparseSplice(spark: SparkSession,
       secSummPath: String, sparsePath: String,
       affineOutPath: String, sitOutPath: String,
       opts: SpliceOptions = SpliceOptions(),
-      manualCorrelationPath: Option[String] = None): Unit = {
+      manualCorrelationPath: Option[String] = None): Unit = interpretedControlPlans(spark) {
 
     val secsumm = CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true).cache()
     val sparse = CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true).cache()
 
-    validateSectionColumns(sparse, Seq("TopSection", "BottomSection"), "Sparse Splice")
-    validateSectionColumn(secsumm, "Section", "Section Summary")
+    validateSectionColumnsBatch(Seq(
+      (sparse, Seq("TopSection", "BottomSection"), "Sparse Splice"),
+      (secsumm, Seq("Section"), "Section Summary")))
 
     val (sitDf, onAffines) = SpliceBuilder.sparseSpliceToSIT(spark, sparse, secsumm, opts)
     CsvIO.save(
@@ -110,5 +215,8 @@ object Convert {
     CsvIO.save(
       CsvIO.prettyColumns(CsvIO.roundNumeric(affDf, AffineFormat), AffineFormat),
       affineOutPath)
+    // both sinks are written; drop the control-table caches
+    secsumm.unpersist()
+    sparse.unpersist()
   }
 }

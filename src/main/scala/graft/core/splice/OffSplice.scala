@@ -58,6 +58,7 @@ object OffSplice {
   def gather(spark: SparkSession, secsumm: DataFrame, sit: DataFrame,
       mancorr: Option[ManualCorrelation]): Dataset[AffineEmit] = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark) // graft_offset_depth
 
     val ssCores = secsumm.filter(col("Section") === "1")
       .select(col(CsvIO.SeqCol).as("ss_seq"), col("Site"), col("Hole"),

@@ -65,12 +65,18 @@ object SpliceBuilder {
     */
   def resolve(spark: SparkSession, sparse: DataFrame, secsumm: DataFrame): Dataset[ResolvedInterval] = {
     import spark.implicits._
-    def sec(prefix: String) = broadcast(secsumm.select(
-      col("Site").as(s"${prefix}_site"), col("Hole").as(s"${prefix}_hole"),
-      col("Core").as(s"${prefix}_core"), col("Section").as(s"${prefix}_sec"),
-      col("TopDepth").as(s"${prefix}_td"), col("BottomDepth").as(s"${prefix}_bd"),
-      col("TopDepthScaled").as(s"${prefix}_tds"), col("BottomDepthScaled").as(s"${prefix}_bds"),
-      col("CuratedLength").as(s"${prefix}_cl"), col("Gaps").as(s"${prefix}_gaps")))
+    graft.functions.GraftFunctions.register(spark) // graft_offset_depth
+    // One canonical projection, aliased per use: the two broadcast
+    // exchanges canonicalize to the same plan, so Spark builds the
+    // hashed relation once and ReusedExchange serves the second join.
+    val secProj = secsumm.select(
+      col("Site").as("s_site"), col("Hole").as("s_hole"),
+      col("Core").as("s_core"), col("Section").as("s_sec"),
+      col("TopDepth").as("s_td"), col("BottomDepth").as("s_bd"),
+      col("TopDepthScaled").as("s_tds"), col("BottomDepthScaled").as("s_bds"),
+      col("CuratedLength").as("s_cl"), col("Gaps").as("s_gaps"))
+    def sec(prefix: String) = broadcast(secProj.select(secProj.columns.map(c =>
+      col(c).as(prefix + c.stripPrefix("s"))): _*))
 
     val coreTops = broadcast(secsumm.filter(col("Section") === "1")
       .groupBy(col("Site").as("ct_site"), col("Hole").as("ct_hole"), col("Core").as("ct_core"))

@@ -29,6 +29,14 @@ object GraftFunctions {
         require(children.size == 2,
           s"graft_cosine requires exactly 2 arguments, got ${children.size}")
         CosineSimilarity(children.head, children(1))
+      }),
+    ("graft_offset_depth",
+      new ExpressionInfo(classOf[OffsetDepth].getName, "graft_offset_depth"),
+      (children: Seq[Expression]) => {
+        require(children.size == 6,
+          s"graft_offset_depth requires exactly 6 arguments, got ${children.size}")
+        OffsetDepth(children(0), children(1), children(2), children(3),
+          children(4), children(5))
       }))
 
   /** Register into an existing session's function registry. Idempotent. */
