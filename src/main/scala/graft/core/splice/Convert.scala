@@ -147,19 +147,35 @@ object Convert {
       convertInMemoryImpl(spark, secSummPath, sparsePath, opts, manualCorrelationPath)
     }
 
+  /** Materialize a CONTROL table as a LocalRelation-backed DataFrame.
+    *
+    * Why not .cache(): block-caching keeps the full physical plan
+    * inside the InMemoryRelation, and the convert nests caches inside
+    * caches (secsumm → folded → SIT → affine) — every downstream task
+    * closure then serializes the whole chain (measured 24-33 MiB task
+    * binaries). Collecting the handful of rows and re-planting them as
+    * a LocalRelation truncates ALL lineage: downstream plans carry the
+    * literal rows (kilobytes) and re-execute nothing. Only ever
+    * applied to control tables, which are small by construction (a
+    * splice is a human-authored table) at any measurement-data scale.
+    */
+  private def localize(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(df.collectAsList(), df.schema)
+
   private def convertInMemoryImpl(spark: SparkSession,
       secSummPath: String, sparsePath: String,
       opts: SpliceOptions,
       manualCorrelationPath: Option[String]): (DataFrame, DataFrame) = {
-    // control tables feed several broadcast joins each — cache so the
-    // CSV is scanned once, not once per broadcast
-    val secsumm = CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true).cache()
-    val sparse = CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true).cache()
+    // control tables feed several broadcast joins each — localize so
+    // the CSV is scanned once and every consumer plans over literal
+    // rows instead of re-deriving the scan
+    val secsumm = localize(spark, CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true))
+    val sparse = localize(spark, CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true))
     validateSectionColumnsBatch(Seq(
       (sparse, Seq("TopSection", "BottomSection"), "Sparse Splice"),
       (secsumm, Seq("Section"), "Section Summary")))
     val (sitDf, onAffines) = SpliceBuilder.sparseSpliceToSIT(spark, sparse, secsumm, opts)
-    val sitRounded = CsvIO.roundNumeric(sitDf, SITFormat)
+    val sitRounded = localize(spark, CsvIO.roundNumeric(sitDf, SITFormat))
     val mancorr = manualCorrelationPath.map { p =>
       ManualCorrelation.load(spark, p).getOrElse(
         throw new FormatError(s"The manual correlation file $p could not be loaded."))
@@ -167,20 +183,11 @@ object Convert {
     val offAffines = OffSplice.gather(spark, secsumm, sitRounded, mancorr)
     val affDf = CsvIO.roundNumeric(
       AffineFinish.finish(onAffines.unionByName(offAffines)), AffineFormat)
-    // Outputs are tiny control tables; cache AND materialize both now.
-    // Eager materialization matters: the affine plan subsumes the SIT
-    // plan, so computing the pair together shares one pass, and a
-    // caller that only touches the SIT doesn't silently defer the
-    // entire off-splice compile+compute onto the next caller.
-    val sitOut = sitRounded.cache()
-    val affOut = affDf.cache()
-    affOut.count()
-    sitOut.count()
-    // the memoized cached outputs are now self-contained; drop the
-    // input caches so they don't pin executor storage for the session
-    secsumm.unpersist()
-    sparse.unpersist()
-    (sitOut, affOut)
+    // Both outputs leave as localized (eagerly materialized, lineage-
+    // free) tables: the memo hands every later consumer literal rows,
+    // and a caller that only touches the SIT never defers the
+    // off-splice compute onto the next caller.
+    (sitRounded, localize(spark, affDf))
   }
 
   def convertSparseSplice(spark: SparkSession,
@@ -189,8 +196,8 @@ object Convert {
       opts: SpliceOptions = SpliceOptions(),
       manualCorrelationPath: Option[String] = None): Unit = interpretedControlPlans(spark) {
 
-    val secsumm = CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true).cache()
-    val sparse = CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true).cache()
+    val secsumm = localize(spark, CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true))
+    val sparse = localize(spark, CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true))
 
     validateSectionColumnsBatch(Seq(
       (sparse, Seq("TopSection", "BottomSection"), "Sparse Splice"),
@@ -215,8 +222,5 @@ object Convert {
     CsvIO.save(
       CsvIO.prettyColumns(CsvIO.roundNumeric(affDf, AffineFormat), AffineFormat),
       affineOutPath)
-    // both sinks are written; drop the control-table caches
-    secsumm.unpersist()
-    sparse.unpersist()
   }
 }

@@ -37,6 +37,13 @@ object GraftFunctions {
           s"graft_offset_depth requires exactly 6 arguments, got ${children.size}")
         OffsetDepth(children(0), children(1), children(2), children(3),
           children(4), children(5))
+      }),
+    ("graft_nearest_cells",
+      new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_nearest_cells requires exactly 2 arguments, got ${children.size}")
+        NearestCells(children.head, children(1))
       }))
 
   /** Register into an existing session's function registry. Idempotent. */

@@ -39,8 +39,11 @@ object DedupOps {
         sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
     ).otherwise(array())
+    // per-document set semantics via array_distinct BEFORE the
+    // explode: narrow per-row dedup, where a post-explode .distinct()
+    // is a full shuffle of every (id, shingle) row for the same result
     docs.select(col(idCol).as("id"), split(lower(col(textCol)), "\\s+").as("_w"))
-      .select(col("id"), explode(grams).as("shingle")).distinct()
+      .select(col("id"), explode(array_distinct(grams)).as("shingle"))
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs (a < b, jaccard >= minJaccard).
@@ -135,7 +138,7 @@ object DedupOps {
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
     val agree = (0 until numHashes)
-      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .map(i => (col(s"a.mh_$i") === col(s"b.mh_$i")).cast("int"))
       .reduce(_ + _)
     cand
       .join(sig.as("a"), col("a_id") === col("a.id"))

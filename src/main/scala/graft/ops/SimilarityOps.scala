@@ -100,37 +100,101 @@ object SimilarityOps {
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     * partitions the corpus into cells; each query searches only its
     * `nprobe` nearest cells. The scale path for billion-row corpora:
-    * train on a sample, assign once (narrow map), and the query join
-    * touches nprobe/k of the data. Deterministic via fixed seed.
+    * the quantizer trains on a seeded SAMPLE (`fitFraction`, sized so
+    * ~10-100k vectors reach the driver regardless of corpus size —
+    * never a full-data ML fit), assignment is one narrow map, and the
+    * query join touches ~nprobe/nCells of the data. Deterministic via
+    * fixed seed.
+    *
+    * The centers travel as ONE 2-D array literal evaluated once per
+    * row (`scored` holds all cell distances sorted): a per-cell
+    * `array(lit,…)` repeated per use put nCells×dims literal NODES in
+    * the plan ×3 and bloated task binaries to tens of MiB.
     */
+  /** Seeded Lloyd's iterations over an in-memory sample. A 16-cell
+    * coarse quantizer needs only a bounded sample (the caller sizes
+    * `fitFraction` so ~10-100k vectors land here); running the
+    * iterations on the driver costs milliseconds and zero Spark jobs,
+    * where a distributed ML fit costs dozens of scheduler round-trips
+    * per iteration — the wrong trade at ANY corpus size once the
+    * sample is driver-bounded anyway. Empty clusters keep their old
+    * center; init picks seeded distinct sample points.
+    */
+  private[ops] def lloydFit(points: Array[Array[Double]], nCells: Int,
+      maxIter: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "kmeans fit sample is empty")
+    val rng = new scala.util.Random(seed)
+    val centers = rng.shuffle(points.indices.toVector).take(nCells)
+      .map(i => points(i).clone).toArray
+    val kEff = centers.length
+    val assign = new Array[Int](points.length)
+    var iter = 0
+    while (iter < maxIter) {
+      var changed = false
+      var p = 0
+      while (p < points.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kEff) {
+          var d = 0.0; var j = 0
+          val pv = points(p); val cv = centers(c)
+          while (j < pv.length) { val t = pv(j) - cv(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(p) != best) { assign(p) = best; changed = true }
+        p += 1
+      }
+      if (!changed && iter > 0) iter = maxIter
+      else {
+        val sums = Array.fill(kEff)(new Array[Double](points(0).length))
+        val counts = new Array[Int](kEff)
+        var i = 0
+        while (i < points.length) {
+          val a = assign(i); counts(a) += 1
+          val pv = points(i); val sv = sums(a)
+          var j = 0
+          while (j < pv.length) { sv(j) += pv(j); j += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < kEff) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < sums(c).length) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          }
+          c += 1
+        }
+        iter += 1
+      }
+    }
+    centers
+  }
+
   def knnIvf(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
       idCol: String, vecCol: String, queryPred: Column, k: Int,
-      nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
+      nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      fitFraction: Double = 0.1): DataFrame = {
+    import spark.implicits._
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val feat = base.withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(feat)
-    val centers: Array[(Int, Array[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    var sample = base.sample(withReplacement = false, fitFraction, seed)
+      .select("v").as[Seq[Double]].collect().map(_.toArray)
+    if (sample.isEmpty) // tiny-corpus guard
+      sample = base.select("v").limit(nCells * 8).as[Seq[Double]].collect().map(_.toArray)
+    val centers2d: Seq[Seq[Double]] =
+      lloydFit(sample, nCells, maxIter = 10, seed).map(_.toSeq).toSeq
 
-    // cell assignment + per-query probe list, both as broadcast-joined
-    // literal center arrays (no per-row model invocation: the distance
-    // expressions stay in codegen)
-    def dist2(vec: Column, center: Array[Double]): Column = {
-      val c = array(center.map(lit): _*)
-      aggregate(zip_with(vec, c, (a, b) => (a - b) * (a - b)), lit(0.0d), _ + _)
-    }
-    val cellOf = centers.map { case (i, c) => struct(dist2(col("v"), c).as("d"), lit(i).as("i")) }
-    val assigned = base.withColumn("cell", array_min(array(cellOf: _*)).getField("i"))
-    val probeCells = explode(slice(
-      array_sort(array(cellOf: _*)), 1, nprobe)).as("probe")
+    // native cell ranking (graft.functions.NearestCells): one plan
+    // node; the composed HOF form cost ~2s of codegen per fresh plan
+    graft.functions.GraftFunctions.register(spark)
+    val ranked = call_function("graft_nearest_cells", col("v"), typedlit(centers2d))
+    val assigned = base.withColumn("ranked", ranked)
+      .withColumn("cell", element_at(col("ranked"), 1))
     val q = assigned.filter(queryPred)
-      .select(col("id").as("query_id"), col("v").as("qv"), probeCells)
-      .select(col("query_id"), col("qv"), col("probe.i").as("cell"))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(slice(col("ranked"), 1, nprobe)).as("cell"))
 
-    val sims = assigned.join(broadcast(q), Seq("cell"))
+    val sims = assigned.drop("scored").join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("cand_id"),
         round(nativeCosine(emb)(col("qv"), col("v")), 6).as("sim"))
