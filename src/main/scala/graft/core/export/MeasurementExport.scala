@@ -3,20 +3,20 @@ package graft.core.export
 import graft.core.format.{CsvIO, Las}
 import graft.core.model.CoringFormats._
 import graft.core.ops.DepthOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Entry point 3.2 / O3: splice measurement data onto the composite
   * depth scale and export. (reference: /root/reference/feldman.py:298-393)
   *
   * Plan shape for 100 TB: the measurement table is the only large
-  * input. On-splice selection is ONE broadcast hash join (SIT is tiny)
-  * with the interval's section-array + depth-range condition evaluated
-  * as a post-join filter; off-splice tagging is an anti-join on the row
-  * id followed by another broadcast join against the affine table. The
-  * measurement scan is never shuffled except for the final presentation
-  * sort, which a cluster deployment would drop or replace with a
-  * per-file sort — the semantics live in the `block`/row-order keys.
+  * input. The SIT and affine tables are control tables (driver-small
+  * by construction), so on/off-splice classification is ONE narrow
+  * projection against map literals — no join, no shuffle, no anti-join
+  * on row identity anywhere in the bulk path. The measurement scan is
+  * never shuffled except for the optional final presentation sort
+  * (`sortForPresentation`); the ordering semantics live in the
+  * `_block`/row-order keys either way.
   */
 object MeasurementExport {
 
@@ -26,74 +26,120 @@ object MeasurementExport {
   private val OffsetCol = "Offset"
   private val OnSpliceCol = "On-Splice"
 
+  /** One splice interval, as carried in the plan's map literal. */
+  private[export] case class SpliceIv(seq: Long, sections: Seq[String],
+      top: Double, bot: Double, offset: Double)
+
+  /** One affine row (file order + cumulative offset). */
+  private[export] case class AffEntry(seq: Long, offset: Double)
+
   def exportMeasurementData(spark: SparkSession,
       affinePath: String, sitPath: String, mdPath: String, exportPath: String,
       depthColumn: String,
       includeOffSplice: Boolean = true,
-      wholeSpliceSection: Boolean = false): Unit = {
+      wholeSpliceSection: Boolean = false,
+      sortForPresentation: Boolean = true): Unit = {
+    val (frame, unwritten) = buildExport(spark, affinePath, sitPath, mdPath,
+      depthColumn, includeOffSplice, wholeSpliceSection, sortForPresentation)
+    unwritten.foreach { u =>
+      if (u.limit(1).count() > 0) {
+        val unwrittenPath = mdPath.replaceAll("\\.[^.]*$", "") + "-unwritten.csv"
+        CsvIO.save(
+          CsvIO.prettyColumns(u.orderBy(CsvIO.SeqCol), MeasurementFormat),
+          unwrittenPath)
+      }
+    }
+    CsvIO.save(CsvIO.prettyColumns(frame, MeasurementFormat), exportPath)
+  }
+
+  /** Build the spliced-export frame (and the unwritten remainder when
+    * off-splice rows are included) without touching any sink.
+    *
+    * `sortForPresentation = false` skips the final global orderBy —
+    * the ordering semantics live entirely in the `_block` / `_seq`
+    * keys, so a 100 TB deployment writes partition-local order (or
+    * sorts within files) instead of paying one total-order shuffle of
+    * the full measurement table; the single-file CSV export keeps the
+    * sort so the output is byte-identical to the reference's.
+    */
+  def buildExport(spark: SparkSession,
+      affinePath: String, sitPath: String, mdPath: String,
+      depthColumn: String,
+      includeOffSplice: Boolean = true,
+      wholeSpliceSection: Boolean = false,
+      sortForPresentation: Boolean = true): (DataFrame, Option[DataFrame]) = {
 
     val affine = CsvIO.load(spark, affinePath, AffineFormat, withSeq = true)
     val sit = CsvIO.load(spark, sitPath, SITFormat, withSeq = true)
     val md = CsvIO.load(spark, mdPath, MeasurementFormat, withSeq = true)
     val depth = col(depthColumn).cast("double")
 
-    val nIntervals = sit.count()
+    // J7 + J3 + J4, all as NARROW row classification: the SIT and
+    // affine tables are driver-small control tables, so they ride into
+    // the plan as map literals keyed by site|hole|core, and every
+    // measurement row classifies itself in one projection — zero
+    // joins, zero shuffles over the bulk scan. (An earlier broadcast-
+    // join + anti-join-on-row-identity formulation planned the
+    // off-splice exclusion as a sort-merge anti join, i.e. a full
+    // shuffle of the measurement table.)
+    val sitRows = sit.select(col(CsvIO.SeqCol), col("Site"), col("Hole"), col("Core"),
+      col("TopSection"), col("BottomSection"),
+      col(TopDepthCSF.name), col(TopDepthCCSF.name), col(BottomDepthCSF.name)).collect()
+    val nIntervals = sitRows.length.toLong
+    val ivMap: Map[String, Seq[SpliceIv]] = sitRows.map { r =>
+      val key = s"${r.get(1)}|${r.get(2)}|${r.get(3)}"
+      // J7: expand [topSection .. botSection] (feldman.py:323-328)
+      val (ts, bs) = (r.getString(4), r.getString(5))
+      val sections = if (ts == bs) Seq(ts) else (ts.toInt to bs.toInt).map(_.toString)
+      key -> SpliceIv(r.getLong(0), sections,
+        r.getDouble(6), r.getDouble(8), r.getDouble(7) - r.getDouble(6))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.seq).toSeq).toMap
 
-    // J7 + J3: per-interval row selection on (identity, section set,
-    // depth range) — SIT broadcast, measurement scan untouched.
-    val intervals = broadcast(sit.select(
-      col(CsvIO.SeqCol).as("int_seq"),
-      col("Site").as("i_site"), col("Hole").as("i_hole"), col("Core").as("i_core"),
-      DepthOps.sectionRange(col("TopSection"), col("BottomSection")).as("i_sections"),
-      col(TopDepthCSF.name).as("i_top"), col(BottomDepthCSF.name).as("i_bot"),
-      (col(TopDepthCCSF.name) - col(TopDepthCSF.name)).as("i_offset")))
+    val affMap: Map[String, AffEntry] = affine
+      .select(col(CsvIO.SeqCol), col("Site"), col("Hole"), col("Core"), col(Offset.name))
+      .collect()
+      .map(r => s"${r.get(1)}|${r.get(2)}|${r.get(3)}" -> AffEntry(r.getLong(0), r.getDouble(4)))
+      .reverse.toMap // first row per core wins on (impossible) duplicates
 
-    val rangeCond =
-      if (wholeSpliceSection) lit(true)
-      else depth >= col("i_top") && depth <= col("i_bot")
+    val mdKey = concat_ws("|", col("Site"), col("Hole"), col("Core"))
+    // A row matching SEVERAL intervals is exported once PER interval —
+    // the reference concats per-interval selections without dedup
+    // (feldman.py:316-343); `explode` reproduces exactly that. The
+    // off-splice side excludes rows matched by ANY interval (P5
+    // anti-membership, feldman.py:347).
+    val rangeOk: Column => Column =
+      if (wholeSpliceSection) _ => lit(true)
+      else iv => depth >= iv.getField("top") && depth <= iv.getField("bot")
+    val matched = filter(element_at(typedlit(ivMap), mdKey),
+      iv => array_contains(iv.getField("sections"), col("Section")) && rangeOk(iv))
+    val classified = md.withColumn("_ivs", matched)
 
-    val onSplice = md.join(intervals,
-        col("Site") === col("i_site") && col("Hole") === col("i_hole") &&
-          col("Core") === col("i_core") &&
-          array_contains(col("i_sections"), col("Section")) && rangeCond)
-      .withColumn(SpliceDepth, depth + col("i_offset"))
-      .withColumn(OffsetCol, col("i_offset"))
+    val onSplice = classified.withColumn("_iv", explode(col("_ivs")))
+      .withColumn(SpliceDepth, depth + col("_iv").getField("offset"))
+      .withColumn(OffsetCol, col("_iv").getField("offset"))
       .withColumn(OnSpliceCol, lit("splice"))
-      .withColumn("_block", col("int_seq"))
-      .drop("int_seq", "i_site", "i_hole", "i_core", "i_sections", "i_top", "i_bot", "i_offset")
+      .withColumn("_block", col("_iv").getField("seq"))
+      .drop("_ivs", "_iv")
 
+    var unwrittenOut: Option[DataFrame] = None
     val result =
       if (!includeOffSplice) onSplice
       else {
-        val matchedSeqs = onSplice.select(col(CsvIO.SeqCol)).distinct()
-        val offRows = md.join(matchedSeqs, Seq(CsvIO.SeqCol), "left_anti")
-        // J4: apply each affine row's cumulative offset to its core's
-        // off-splice rows; blocks follow affine-file order after all
-        // interval blocks (feldman.py:346-366).
-        val aff = broadcast(affine.select(
-          col(CsvIO.SeqCol).as("aff_seq"),
-          col("Site").as("a_site"), col("Hole").as("a_hole"), col("Core").as("a_core"),
-          col(Offset.name).as("a_offset")))
-        val offSplice = offRows.join(aff,
-            col("Site") === col("a_site") && col("Hole") === col("a_hole") &&
-              col("Core") === col("a_core"))
-          .withColumn(SpliceDepth, depth + col("a_offset"))
-          .withColumn(OffsetCol, col("a_offset"))
+        val isOff = col("_ivs").isNull || size(col("_ivs")) === 0
+        val aff = element_at(typedlit(affMap), mdKey)
+        // J4: each affine row's cumulative offset applies to its
+        // core's off-splice rows; blocks follow affine-file order
+        // after all interval blocks (feldman.py:346-366).
+        val offSplice = classified.filter(isOff && aff.isNotNull)
+          .withColumn(SpliceDepth, depth + aff.getField("offset"))
+          .withColumn(OffsetCol, aff.getField("offset"))
           .withColumn(OnSpliceCol, lit("off-splice"))
-          .withColumn("_block", col("aff_seq") + lit(nIntervals))
-          .drop("aff_seq", "a_site", "a_hole", "a_core", "a_offset")
+          .withColumn("_block", aff.getField("seq") + lit(nIntervals))
+          .drop("_ivs")
 
-        // remainder: off-splice rows matching no affine core → side sink
-        // (feldman.py:370-376)
-        val unwritten = offRows.join(
-          affine.select(col("Site"), col("Hole"), col("Core")).distinct(),
-          Seq("Site", "Hole", "Core"), "left_anti")
-        if (unwritten.limit(1).count() > 0) {
-          val unwrittenPath = mdPath.replaceAll("\\.[^.]*$", "") + "-unwritten.csv"
-          CsvIO.save(
-            CsvIO.prettyColumns(unwritten.orderBy(CsvIO.SeqCol), MeasurementFormat),
-            unwrittenPath)
-        }
+        // remainder: off-splice rows matching no affine core → the
+        // caller's side sink (feldman.py:370-376)
+        unwrittenOut = Some(classified.filter(isOff && aff.isNull).drop("_ivs"))
         onSplice.unionByName(offSplice)
       }
 
@@ -107,8 +153,9 @@ object MeasurementExport {
     }
     baseCols.insertAll(insertAt, Seq(SpliceDepth, OffsetCol, OnSpliceCol))
 
-    val ordered = result.orderBy(col("_block"), col(CsvIO.SeqCol))
-      .select(baseCols.toSeq.map(col): _*)
-    CsvIO.save(CsvIO.prettyColumns(ordered, MeasurementFormat), exportPath)
+    val ordered =
+      if (sortForPresentation) result.orderBy(col("_block"), col(CsvIO.SeqCol))
+      else result
+    (ordered.select(baseCols.toSeq.map(col): _*), unwrittenOut)
   }
 }

@@ -23,10 +23,50 @@ object MultimodalOps {
   def withBinaryPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).cast("binary").as("payload"))
 
-  /** "Decode" each payload into media metadata via a per-partition pass.
-    * STUB: a real implementation would parse the container format here
-    * (e.g. PNG IHDR / JPEG SOF0); this fake derives deterministic
-    * dimensions from the byte length so the plumbing is testable.
+  /** True pixel dimensions from a PNG IHDR or JPEG SOF frame header —
+    * pure header arithmetic, no codec library.
+    *
+    *  - PNG: 8-byte signature, IHDR chunk fixed at offset 8; width and
+    *    height are the two big-endian u32s at offsets 16 and 20.
+    *  - JPEG: walk FFxx segments from SOI; any start-of-frame marker
+    *    (C0-CF except C4/C8/CC) carries [len][precision][height u16]
+    *    [width u16]. Standalone markers (SOI, RSTn, TEM) have no
+    *    length field; fill bytes are skipped.
+    *
+    * None ⇒ not a recognizable image payload.
+    */
+  private[ops] def parseImageDims(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int) = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
+      Some((u32(16).toInt, u32(20).toInt))
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(i) != 0xff) return None // lost marker sync
+        val m = u8(i + 1)
+        if (m == 0xff) i += 1 // fill byte
+        else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+        else {
+          val len = u16(i + 2)
+          if (len < 2) return None
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            return if (i + 9 <= b.length) Some((u16(i + 7), u16(i + 5))) else None
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Decode each payload into media metadata via a per-partition pass.
+    * PNG/JPEG payloads get their TRUE header dimensions
+    * (parseImageDims); anything else falls back to the clearly-marked
+    * deterministic stub (fake dims from byte length) so the plumbing
+    * stays testable on text-derived payloads.
     */
   def decodeMeta(spark: SparkSession, binDocs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -34,8 +74,11 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val n = bytes.length
-          // STUB decode — deterministic fake dimensions from the length.
-          MediaMeta(id, n, n % 64 + 1, (n / 64) % 64 + 1)
+          parseImageDims(bytes) match {
+            case Some((w, h)) => MediaMeta(id, n, w, h)
+            // STUB decode — deterministic fake dimensions from the length.
+            case None => MediaMeta(id, n, n % 64 + 1, (n / 64) % 64 + 1)
+          }
         }
       }
       .toDF()

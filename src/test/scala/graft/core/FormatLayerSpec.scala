@@ -62,6 +62,24 @@ class FormatLayerSpec extends SparkSpec {
     assert(ColId("ShortA").prettyName() == "Short A")
   }
 
+  test("LacCore output vocabulary: whole-table org switch (qtmain.py:36, columns.py:49-60)") {
+    import spark.implicits._
+    // the reference switches the output vocab globally; Tool is the
+    // column whose LacCore name ("Tool") differs from IODP ("Core type"),
+    // and columns without a LacCore entry fall back to their IODP name
+    val df = Seq(("1", "A", "1", "H", 0.1, 0.2, 0.1, "TIE"))
+      .toDF("Site", "Hole", "Core", "Tool", "DepthCSF", "DepthCCSF", "Offset", "ShiftType")
+    import graft.core.model.CoringFormats.AffineFormat
+    val iodp = CsvIO.prettyColumns(df, AffineFormat).columns.toSeq
+    val laccore = CsvIO.prettyColumns(df, AffineFormat, org = "LacCore").columns.toSeq
+    assert(iodp.contains("Core type") && !iodp.contains("Tool"))
+    assert(laccore.contains("Tool") && !laccore.contains("Core type"))
+    // IODP fallback for LacCore-less columns, on both vocabularies
+    assert(iodp.contains("Core top depth CSF-A (m)"))
+    assert(laccore.contains("Core top depth CSF-A (m)"))
+    assert(laccore.contains("Shift type"))
+  }
+
   // --- CsvIO SiteHole compound (csvio.py Tests) ---
   test("SiteHole split and drop") {
     import spark.implicits._

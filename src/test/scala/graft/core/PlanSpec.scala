@@ -55,6 +55,21 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("export without presentation sort: no total-order exchange") {
+    import graft.core.export.MeasurementExport
+    val (frame, _) = MeasurementExport.buildExport(spark,
+      s"$RefData/GLAD9_Site1_Affine.csv", s"$RefData/GLAD9_Site1_SITfromSparse.csv",
+      s"$RefData/GLAD9_Site1_XRF.csv",
+      depthColumn = "Sediment Depth, scaled (MBS / CSF-B)",
+      sortForPresentation = false)
+    val s = frame.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!s.toLowerCase.contains("rangepartitioning"), s)
+    // the measurement scan side still never shuffles: only broadcast
+    // exchanges may appear
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+  }
+
   test("splice resolve: depth lookups are broadcast hash joins") {
     import graft.core.format.CsvIO
     import graft.core.model.CoringFormats._

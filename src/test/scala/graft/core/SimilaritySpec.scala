@@ -55,6 +55,29 @@ class SimilaritySpec extends SparkSpec {
     assert(f1.exceptAll(f2).isEmpty)
   }
 
+  test("decodeMeta parses true PNG IHDR / JPEG SOF0 dimensions; stub only for unknown payloads") {
+    import spark.implicits._
+    // minimal PNG: signature + IHDR length + "IHDR" + w=640, h=480
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ Array[Byte](8, 6, 0, 0, 0)
+    // minimal JPEG: SOI, APP0 (16 bytes), SOF0 with h=333, w=222, then EOI
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++ new Array[Byte](14) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(333) ++ be16(222) ++ new Array[Byte](10) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    val text = "not an image at all".getBytes("UTF-8")
+    val bin = Seq((1L, png), (2L, jpeg), (3L, text)).toDF("doc_id", "payload")
+    val meta = MultimodalOps.decodeMeta(spark, bin)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(meta(1L) == ((640, 480)))
+    assert(meta(2L) == ((222, 333)))
+    val n = text.length
+    assert(meta(3L) == ((n % 64 + 1, (n / 64) % 64 + 1))) // stub fallback
+  }
+
   test("native graft_cosine: SQL-registered, bit-identical to composed form, null-safe") {
     graft.functions.GraftFunctions.register(spark)
     // SQL surface
