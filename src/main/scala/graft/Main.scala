@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   *
   *   graft.Main export <affine.csv> <sit.csv> <measurement.csv>
   *       <out.csv> --depth-column NAME
-  *       [--no-off-splice] [--whole-section]
+  *       [--no-off-splice] [--whole-section] [--no-sort] [--vocab ORG]
+  *
+  * `--vocab` switches the output column vocabulary globally (IODP or
+  * LacCore, reference qtmain.py:56-58); `--no-sort` skips the
+  * total-order presentation sort for cluster-scale exports.
   */
 object Main {
 
@@ -23,9 +27,9 @@ object Main {
       """usage:
         |  convert <secSumm> <sparse> <affineOut> <sitOut>
         |      [--scaled] [--lazy-append] [--splice-start-depth D]
-        |      [--manual-correlation FILE]
+        |      [--manual-correlation FILE] [--vocab ORG]
         |  export <affine> <sit> <measurement> <out> --depth-column NAME
-        |      [--no-off-splice] [--whole-section]""".stripMargin)
+        |      [--no-off-splice] [--whole-section] [--no-sort] [--vocab ORG]""".stripMargin)
     sys.exit(2)
   }
 
@@ -47,6 +51,7 @@ object Main {
         if (pos.length != 4) usage()
         var opts = SpliceOptions()
         var mancorr: Option[String] = None
+        var vocab = "IODP"
         var rest = args.drop(5).toList
         while (rest.nonEmpty) rest = rest match {
           case "--scaled" :: t => opts = opts.copy(useScaledDepths = true); t
@@ -54,10 +59,11 @@ object Main {
           case "--splice-start-depth" :: d :: t =>
             opts = opts.copy(spliceStartDepth = Some(d.toDouble)); t
           case "--manual-correlation" :: f :: t => mancorr = Some(f); t
+          case "--vocab" :: v :: t => vocab = v; t
           case unknown :: _ =>
             System.err.println(s"unknown option: $unknown"); usage()
         }
-        Convert.convertSparseSplice(spark, pos(0), pos(1), pos(2), pos(3), opts, mancorr)
+        Convert.convertSparseSplice(spark, pos(0), pos(1), pos(2), pos(3), opts, mancorr, vocab)
         println(s"wrote ${pos(2)} and ${pos(3)}")
 
       case "export" =>
@@ -66,11 +72,15 @@ object Main {
         var depthColumn: Option[String] = None
         var includeOffSplice = true
         var wholeSection = false
+        var sortOut = true
+        var vocab = "IODP"
         var rest = args.drop(5).toList
         while (rest.nonEmpty) rest = rest match {
           case "--depth-column" :: n :: t => depthColumn = Some(n); t
           case "--no-off-splice" :: t => includeOffSplice = false; t
           case "--whole-section" :: t => wholeSection = true; t
+          case "--no-sort" :: t => sortOut = false; t
+          case "--vocab" :: v :: t => vocab = v; t
           case unknown :: _ =>
             System.err.println(s"unknown option: $unknown"); usage()
         }
@@ -78,7 +88,7 @@ object Main {
           System.err.println("--depth-column is required"); usage()
         }
         MeasurementExport.exportMeasurementData(spark, pos(0), pos(1), pos(2), pos(3),
-          dc, includeOffSplice, wholeSection)
+          dc, includeOffSplice, wholeSection, sortOut, vocab)
         println(s"wrote ${pos(3)}")
 
       case other =>

@@ -38,18 +38,24 @@ object MeasurementExport {
       depthColumn: String,
       includeOffSplice: Boolean = true,
       wholeSpliceSection: Boolean = false,
-      sortForPresentation: Boolean = true): Unit = {
+      sortForPresentation: Boolean = true,
+      org: String = "IODP"): Unit = {
+    import graft.core.Progress
+    // feldman.py:307
+    Progress.report(0, s"Splicing ${new java.io.File(mdPath).getName}...")
     val (frame, unwritten) = buildExport(spark, affinePath, sitPath, mdPath,
       depthColumn, includeOffSplice, wholeSpliceSection, sortForPresentation)
     unwritten.foreach { u =>
+      Progress.report(50, "Gathering data for off-splice rows...")
       if (u.limit(1).count() > 0) {
         val unwrittenPath = mdPath.replaceAll("\\.[^.]*$", "") + "-unwritten.csv"
         CsvIO.save(
-          CsvIO.prettyColumns(u.orderBy(CsvIO.SeqCol), MeasurementFormat),
+          CsvIO.prettyColumns(u.orderBy(CsvIO.SeqCol), MeasurementFormat, org),
           unwrittenPath)
       }
     }
-    CsvIO.save(CsvIO.prettyColumns(frame, MeasurementFormat), exportPath)
+    Progress.report(100, s"Writing spliced data to ${new java.io.File(exportPath).getName}...")
+    CsvIO.save(CsvIO.prettyColumns(frame, MeasurementFormat, org), exportPath)
   }
 
   /** Build the spliced-export frame (and the unwritten remainder when

@@ -194,8 +194,11 @@ object Convert {
       secSummPath: String, sparsePath: String,
       affineOutPath: String, sitOutPath: String,
       opts: SpliceOptions = SpliceOptions(),
-      manualCorrelationPath: Option[String] = None): Unit = interpretedControlPlans(spark) {
+      manualCorrelationPath: Option[String] = None,
+      org: String = "IODP"): Unit = interpretedControlPlans(spark) {
+    import graft.core.Progress
 
+    Progress.report(0, "Loading section summary and sparse splice...")
     val secsumm = localize(spark, CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true))
     val sparse = localize(spark, CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true))
 
@@ -203,9 +206,10 @@ object Convert {
       (sparse, Seq("TopSection", "BottomSection"), "Sparse Splice"),
       (secsumm, Seq("Section"), "Section Summary")))
 
+    Progress.report(25, "Processing sparse splice intervals...")
     val (sitDf, onAffines) = SpliceBuilder.sparseSpliceToSIT(spark, sparse, secsumm, opts)
     CsvIO.save(
-      CsvIO.prettyColumns(CsvIO.roundNumeric(sitDf, SITFormat), SITFormat),
+      CsvIO.prettyColumns(CsvIO.roundNumeric(sitDf, SITFormat), SITFormat, org),
       sitOutPath)
 
     // reload the written SIT — 3-decimal rounding now applied
@@ -216,11 +220,14 @@ object Convert {
         throw new FormatError(s"The manual correlation file $p could not be loaded."))
     }
 
+    Progress.report(50, "Determining affine shifts for off-splice cores...")
     val offAffines = OffSplice.gather(spark, secsumm, sit, mancorr)
     val all = onAffines.unionByName(offAffines)
     val affDf = AffineFinish.finish(all)
+    // feldman.py:134
+    Progress.report(100, "Writing affine and SIT to file...")
     CsvIO.save(
-      CsvIO.prettyColumns(CsvIO.roundNumeric(affDf, AffineFormat), AffineFormat),
+      CsvIO.prettyColumns(CsvIO.roundNumeric(affDf, AffineFormat), AffineFormat, org),
       affineOutPath)
   }
 }

@@ -30,6 +30,34 @@ class SpliceOptionsSpec extends SparkSpec {
     assert(diffs.isEmpty, diffs.mkString("\n"))
   }
 
+  test("LacCore vocab + progress listener surface (qtmain.py:56-58, feldman.py:28-39)") {
+    val events = scala.collection.mutable.ArrayBuffer.empty[(Double, String)]
+    var cleared = false
+    graft.core.Progress.setProgressListener(new graft.core.Progress.Listener {
+      override def setValueAndText(value: Double, text: String): Unit =
+        events += ((value, text))
+      override def clear(): Unit = cleared = true
+    })
+    try {
+      val a = s"$outDir/Vocab_Affine.csv"
+      val s = s"$outDir/Vocab_SIT.csv"
+      Convert.convertSparseSplice(spark,
+        s"$RefData/GLAD9_SectionSummary.csv",
+        s"$RefData/GLAD9_Site1_SparseSplice.csv", a, s, SpliceOptions(),
+        manualCorrelationPath = None, org = "LacCore")
+      // LacCore vocabulary: the Tool column keeps its LacCore name in
+      // both outputs; IODP-only names fall back unchanged
+      val affHeader = scala.io.Source.fromFile(a).getLines().next()
+      assert(affHeader.contains("Tool") && !affHeader.contains("Core type"), affHeader)
+      assert(affHeader.contains("Core top depth CSF-A (m)"), affHeader)
+      // progress shim: cleared on registration, monotone 0→100 reports
+      assert(cleared)
+      val values = events.map(_._1)
+      assert(values.nonEmpty && values.head == 0.0 && values.last == 100.0, values)
+      assert(values == values.sorted, values)
+    } finally graft.core.Progress.clearProgressListener()
+  }
+
   test("useScaledDepths: CSF-B depth space") {
     val (a, s) = convert(SpliceOptions(useScaledDepths = true), "Scaled")
     assertGolden(s, "Scaled_SIT.csv")
