@@ -62,6 +62,31 @@ class FormatLayerSpec extends SparkSpec {
     assert(ColId("ShortA").prettyName() == "Short A")
   }
 
+  test("legacy Correlator ' \\t' .dat reader: fixed 11-column header, comments skipped (feldman.py:42-49)") {
+    val p = java.nio.file.Files.createTempFile("graft_corr", ".dat")
+    java.nio.file.Files.writeString(p,
+      """# Correlator export
+        |GLAD9 \t1 \tA \t1 \tH \t1 \t0.0 \t1.5 \t0.1 \t42.5 \t1
+        |GLAD9 \t1 \tA \t1 \tH \t2 \t0.0 \t1.4 \t1.6 \t43.0 \t2
+        |""".stripMargin.replace(" \\t", " \t"))
+    val df = CsvIO.loadCorrelatorDat(spark, p.toString)
+    assert(df.columns.toSeq == Seq("Exp", "Site", "Hole", "Core", "CoreType",
+      "Section", "TopOffset", "BottomOffset", "Depth", "Data", "RunNo"))
+    val rows = df.collect()
+    assert(rows.length == 2) // comment line skipped
+    assert(rows(0).getString(0) == "GLAD9" && rows(0).getString(9) == "42.5")
+  }
+
+  test("numeric-column discovery finds depth-column candidates (qtmain.py:27-30)") {
+    val p = java.nio.file.Files.createTempFile("graft_numcols", ".csv")
+    java.nio.file.Files.writeString(p,
+      """SectionID,Depth,Value,Note
+        |GLAD9-1A-1H-1,0.1,42.5,ok
+        |GLAD9-1A-1H-2,1.6,43.0,meh
+        |""".stripMargin)
+    assert(CsvIO.numericColumns(spark, p.toString) == Seq("Depth", "Value"))
+  }
+
   test("LacCore output vocabulary: whole-table org switch (qtmain.py:36, columns.py:49-60)") {
     import spark.implicits._
     // the reference switches the output vocab globally; Tool is the
