@@ -30,6 +30,21 @@ object StreamOps {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on a content key with a watermark: the
+    * streaming twin of DedupOps.exactDupGroups for continuous
+    * ingestion. `dropDuplicatesWithinWatermark` keeps per-key state
+    * only for the watermark horizon, so state is bounded by
+    * (horizon × distinct keys per horizon) — the standard shape for
+    * deduplicating a training-data firehose where true duplicates
+    * arrive close together (a crawl re-fetch, an at-least-once
+    * source), rather than unbounded dropDuplicates state.
+    */
+  def dedupStream(docs: DataFrame, keyCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(count: Long, lastTsMs: Long)
   case class SessionOut(user_id: Long, n_sessions: Long)

@@ -46,6 +46,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming dedup keeps one row per content key, matching batch exact-dedup groups") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text_hash")
+
+    val q = StreamOps.dedupStream(docs, "text_hash", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, ts(10), "h_a"), (2L, ts(20), "h_b"),
+      (3L, ts(30), "h_a"), // duplicate within the watermark → dropped
+      (4L, ts(40), "h_c"), (5L, ts(50), "h_b"))
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("dedup_out")
+    // exactly one survivor per distinct key, same key set as batch dedup
+    assert(streamed.count() == 3)
+    val streamKeys = streamed.select("text_hash").as[String].collect().toSet
+    val batchKeys = rows.toDF("doc_id", "ts", "text_hash")
+      .select("text_hash").distinct().as[String].collect().toSet
+    assert(streamKeys == batchKeys)
+    // first arrival wins within a micro-batch
+    val survivors = streamed.select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 4L))
+  }
+
   test("stateful sessionizer agrees with the batch gap sessionization") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
