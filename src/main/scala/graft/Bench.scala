@@ -28,6 +28,29 @@ object Bench {
       .readRaw(spark, "/root/reference/testdata/GLAD9_SectionSummary.csv")
       .limit(1).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Warm the convert machinery (interpreted projections, window
+    // exec, encoders, broadcast path) on a 2-interval SYNTHETIC input:
+    // different files than any query, so query memoization stays cold
+    // and only generic JVM/Spark machinery carries over.
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_warm")
+      val sec = dir.resolve("sec.csv")
+      val sp = dir.resolve("sparse.csv")
+      java.nio.file.Files.writeString(sec,
+        """Site,Hole,Core,CoreType,Section,CuratedLength,TopDepth,BottomDepth,TopDepthScaled,BottomDepthScaled
+          |1,A,1,H,1,1.5,0.0,1.5,0.0,1.5
+          |1,A,1,H,2,1.5,1.5,3.0,1.5,3.0
+          |1,B,1,H,1,1.5,0.5,2.0,0.5,2.0
+          |1,B,1,H,2,1.5,2.0,3.5,2.0,3.5
+          |1,C,1,H,1,1.5,0.2,1.7,0.2,1.7
+          |""".stripMargin)
+      java.nio.file.Files.writeString(sp,
+        """Site,Hole,Core,Type,TopSection,TopOffset,BottomSection,BottomOffset,SpliceType,Comment
+          |1,A,1,H,1,10,2,50,,
+          |1,B,1,H,1,5,2,40,TIE,
+          |""".stripMargin)
+      graft.core.splice.Convert.convertInMemory(spark, sec.toString, sp.toString)
+    } catch { case _: Throwable => () }
     // Each query runs twice: `queries` (cold) carries first-plan
     // analysis/codegen cost; `queries_warm` is the steady-state
     // second run — separable so plan-compile vs data-path cost is
