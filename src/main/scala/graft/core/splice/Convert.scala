@@ -166,6 +166,8 @@ object Convert {
       secSummPath: String, sparsePath: String,
       opts: SpliceOptions,
       manualCorrelationPath: Option[String]): (DataFrame, DataFrame) = {
+    import graft.core.Progress
+    Progress.report(0, "Loading section summary and sparse splice...")
     // control tables feed several broadcast joins each — localize so
     // the CSV is scanned once and every consumer plans over literal
     // rows instead of re-deriving the scan
@@ -174,12 +176,14 @@ object Convert {
     validateSectionColumnsBatch(Seq(
       (sparse, Seq("TopSection", "BottomSection"), "Sparse Splice"),
       (secsumm, Seq("Section"), "Section Summary")))
+    Progress.report(25, "Processing sparse splice intervals...")
     val (sitDf, onAffines) = SpliceBuilder.sparseSpliceToSIT(spark, sparse, secsumm, opts)
     val sitRounded = localize(spark, CsvIO.roundNumeric(sitDf, SITFormat))
     val mancorr = manualCorrelationPath.map { p =>
       ManualCorrelation.load(spark, p).getOrElse(
         throw new FormatError(s"The manual correlation file $p could not be loaded."))
     }
+    Progress.report(50, "Determining affine shifts for off-splice cores...")
     val offAffines = OffSplice.gather(spark, secsumm, sitRounded, mancorr)
     val affDf = CsvIO.roundNumeric(
       AffineFinish.finish(onAffines.unionByName(offAffines)), AffineFormat)
@@ -190,44 +194,23 @@ object Convert {
     (sitRounded, localize(spark, affDf))
   }
 
+  /** File-sink form: the in-memory conversion (memoized — a session
+    * converting then exporting pays for one pipeline, not two) plus
+    * the two pretty-named CSV sinks. The reference's mid-pipeline SIT
+    * file round-trip is represented by convertInMemory's explicit
+    * 3-decimal rounding; SpliceGoldenSpec diffs this path's outputs
+    * byte-for-byte against reference runs.
+    */
   def convertSparseSplice(spark: SparkSession,
       secSummPath: String, sparsePath: String,
       affineOutPath: String, sitOutPath: String,
       opts: SpliceOptions = SpliceOptions(),
       manualCorrelationPath: Option[String] = None,
       org: String = "IODP"): Unit = interpretedControlPlans(spark) {
-    import graft.core.Progress
-
-    Progress.report(0, "Loading section summary and sparse splice...")
-    val secsumm = localize(spark, CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true))
-    val sparse = localize(spark, CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true))
-
-    validateSectionColumnsBatch(Seq(
-      (sparse, Seq("TopSection", "BottomSection"), "Sparse Splice"),
-      (secsumm, Seq("Section"), "Section Summary")))
-
-    Progress.report(25, "Processing sparse splice intervals...")
-    val (sitDf, onAffines) = SpliceBuilder.sparseSpliceToSIT(spark, sparse, secsumm, opts)
-    CsvIO.save(
-      CsvIO.prettyColumns(CsvIO.roundNumeric(sitDf, SITFormat), SITFormat, org),
-      sitOutPath)
-
-    // reload the written SIT — 3-decimal rounding now applied
-    val sit = CsvIO.load(spark, sitOutPath, SITFormat, withSeq = true)
-
-    val mancorr = manualCorrelationPath.map { p =>
-      ManualCorrelation.load(spark, p).getOrElse(
-        throw new FormatError(s"The manual correlation file $p could not be loaded."))
-    }
-
-    Progress.report(50, "Determining affine shifts for off-splice cores...")
-    val offAffines = OffSplice.gather(spark, secsumm, sit, mancorr)
-    val all = onAffines.unionByName(offAffines)
-    val affDf = AffineFinish.finish(all)
+    val (sit, aff) = convertInMemory(spark, secSummPath, sparsePath, opts, manualCorrelationPath)
     // feldman.py:134
-    Progress.report(100, "Writing affine and SIT to file...")
-    CsvIO.save(
-      CsvIO.prettyColumns(CsvIO.roundNumeric(affDf, AffineFormat), AffineFormat, org),
-      affineOutPath)
+    graft.core.Progress.report(100, "Writing affine and SIT to file...")
+    CsvIO.save(CsvIO.prettyColumns(sit, SITFormat, org), sitOutPath)
+    CsvIO.save(CsvIO.prettyColumns(aff, AffineFormat, org), affineOutPath)
   }
 }

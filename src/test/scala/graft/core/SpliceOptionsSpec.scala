@@ -41,9 +41,15 @@ class SpliceOptionsSpec extends SparkSpec {
     try {
       val a = s"$outDir/Vocab_Affine.csv"
       val s = s"$outDir/Vocab_SIT.csv"
-      Convert.convertSparseSplice(spark,
-        s"$RefData/GLAD9_SectionSummary.csv",
-        s"$RefData/GLAD9_Site1_SparseSplice.csv", a, s, SpliceOptions(),
+      // fresh input copies: a memoized conversion legitimately skips
+      // the pipeline (and its progress reports) for already-seen inputs
+      val secCopy = s"$outDir/Vocab_sec.csv"
+      val spCopy = s"$outDir/Vocab_sparse.csv"
+      Files.copy(java.nio.file.Paths.get(s"$RefData/GLAD9_SectionSummary.csv"),
+        java.nio.file.Paths.get(secCopy))
+      Files.copy(java.nio.file.Paths.get(s"$RefData/GLAD9_Site1_SparseSplice.csv"),
+        java.nio.file.Paths.get(spCopy))
+      Convert.convertSparseSplice(spark, secCopy, spCopy, a, s, SpliceOptions(),
         manualCorrelationPath = None, org = "LacCore")
       // LacCore vocabulary: the Tool column keeps its LacCore name in
       // both outputs; IODP-only names fall back unchanged
