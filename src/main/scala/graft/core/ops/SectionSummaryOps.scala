@@ -31,6 +31,72 @@ object SectionSummaryOps {
   /** P6/P7: one row per core (its first section). */
   def cores(secsumm: DataFrame): DataFrame = secsumm.filter(col("Section") === "1")
 
+  // ---- Scalar accessor surface (sectionSummary.py:39-157) ----
+  // The reference exposes per-section lookups a host application calls
+  // interactively; here they are driver-side probes over the (small,
+  // usually localized) section-summary table. First-match semantics
+  // (`iloc[0]`) follow file order via `_seq` when the loader attached
+  // it.
+
+  private def firstMatch(secsumm: DataFrame, site: String, hole: String,
+      core: String, section: Option[String]): Option[org.apache.spark.sql.Row] = {
+    var df = secsumm.filter(col("Site") === site && col("Hole") === hole &&
+      col("Core") === core)
+    section.foreach(s => df = df.filter(col("Section") === s))
+    if (df.columns.contains(graft.core.format.CsvIO.SeqCol))
+      df = df.orderBy(graft.core.format.CsvIO.SeqCol)
+    df.limit(1).collect().headOption
+  }
+
+  /** containsCore (sectionSummary.py:39-41). */
+  def containsCore(secsumm: DataFrame, site: String, hole: String, core: String): Boolean =
+    firstMatch(secsumm, site, hole, core, None).nonEmpty
+
+  /** getSites (sectionSummary.py:48-51): distinct site values. */
+  def sites(secsumm: DataFrame): Seq[String] =
+    secsumm.select(col("Site").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  private def r3(v: Double): Double =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def numValue(secsumm: DataFrame, site: String, hole: String, core: String,
+      section: String, colName: String): Option[Double] =
+    firstMatch(secsumm, site, hole, core, Some(section))
+      .flatMap(r => Option(r.getAs[Any](colName)))
+      .map(v => r3(v.toString.toDouble))
+
+  /** getSectionTop / getSectionBot / scaled variants / getSectionLength —
+    * all rounded to 3 decimals like every summary lookup
+    * (sectionSummary.py:105-123).
+    */
+  def sectionTop(ss: DataFrame, s: String, h: String, c: String, sec: String): Option[Double] =
+    numValue(ss, s, h, c, sec, "TopDepth")
+  def sectionBot(ss: DataFrame, s: String, h: String, c: String, sec: String): Option[Double] =
+    numValue(ss, s, h, c, sec, "BottomDepth")
+  def scaledSectionTop(ss: DataFrame, s: String, h: String, c: String, sec: String): Option[Double] =
+    numValue(ss, s, h, c, sec, "TopDepthScaled")
+  def scaledSectionBot(ss: DataFrame, s: String, h: String, c: String, sec: String): Option[Double] =
+    numValue(ss, s, h, c, sec, "BottomDepthScaled")
+  def sectionLength(ss: DataFrame, s: String, h: String, c: String, sec: String): Option[Double] =
+    numValue(ss, s, h, c, sec, "CuratedLength")
+
+  /** getSectionTool (sectionSummary.py:125-126) — unrounded string. */
+  def sectionTool(ss: DataFrame, s: String, h: String, c: String, sec: String): Option[String] =
+    firstMatch(ss, s, h, c, Some(sec)).flatMap(r => Option(r.getAs[Any]("Tool"))).map(_.toString)
+
+  /** getCoreTop = top of section '1' (sectionSummary.py:102-103). */
+  def coreTop(ss: DataFrame, s: String, h: String, c: String): Option[Double] =
+    sectionTop(ss, s, h, c, "1")
+
+  /** sectionDepthToTotal (sectionSummary.py:152-155): rounded section
+    * top + cm→m offset — deliberately WITHOUT gap subtraction, unlike
+    * the full offsetDepth mapping.
+    */
+  def sectionDepthToTotal(ss: DataFrame, s: String, h: String, c: String,
+      sec: String, secDepthCm: Double): Option[Double] =
+    sectionTop(ss, s, h, c, sec).map(_ + secDepthCm / 100.0)
+
   /** A3: duplicate-identity probe — keys appearing more than once. */
   def duplicateSections(secsumm: DataFrame): DataFrame =
     secsumm.groupBy("Site", "Hole", "Core", "Section")

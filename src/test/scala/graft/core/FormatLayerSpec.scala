@@ -158,6 +158,22 @@ class FormatLayerSpec extends SparkSpec {
     assert(sec == "3")
   }
 
+  test("scalar accessor surface mirrors the reference's SectionSummary API (sectionSummary.py Tests)") {
+    import graft.core.ops.SectionSummaryOps._
+    assert(sites(ss).length == 7)
+    assert(containsCore(ss, "1", "A", "33"))
+    assert(!containsCore(ss, "1", "A", "34"))
+    assert(sectionTop(ss, "1", "A", "33", "9").contains(92.73))
+    assert(sectionBot(ss, "1", "A", "33", "9").isDefined)
+    assert(coreTop(ss, "1", "A", "33") == sectionTop(ss, "1", "A", "33", "1"))
+    assert(sectionTool(ss, "1", "A", "33", "9").contains("A")) // raw data: tool 'A' here
+    assert(sectionTool(ss, "1", "B", "33", "1").contains("H"))
+    // sectionDepthToTotal: rounded top + cm→m, deliberately gap-blind
+    val top = sectionTop(ss, "1", "A", "33", "9").get
+    assert(sectionDepthToTotal(ss, "1", "A", "33", "9", 50.0).contains(top + 0.5))
+    assert(sectionTop(ss, "9", "Z", "1", "1").isEmpty) // absent core → None
+  }
+
   test("gaps parsing and gap-above sums") {
     import graft.core.ops.DepthOps
     val wg = CsvIO.load(spark, s"$RefData/SectionSummaryWithGaps.csv", SectionSummaryFormat)
