@@ -25,6 +25,29 @@ class SpliceGoldenSpec extends SparkSpec {
     s"$RefData/GLAD9_Site1_SparseSplice.csv",
     affinePath, sitPath, SpliceOptions())
 
+  test("SIT/affine scalar accessors mirror the reference API (spliceInterval.py, affine.py)") {
+    converted
+    import graft.core.ops.{AffineOps, SitOps}
+    val sit = CsvIO.load(spark, sitPath, SITFormat, withSeq = true)
+    val aff = CsvIO.load(spark, affinePath, AffineFormat, withSeq = true)
+    assert(SitOps.sites(sit) == Seq("1"))
+    assert(SitOps.containsCore(sit, "1", "C", "1"))
+    assert(!SitOps.containsCore(sit, "1", "Z", "1"))
+    // first interval anchors the splice: zero offset
+    assert(SitOps.coreOffset(sit, "1", "C", "1").contains(0.0))
+    val ivs = SitOps.intervals(sit)
+    assert(ivs.length == 58)
+    assert(ivs.head.site == "1" && ivs.head.hole == "C" && ivs.head.core == "1")
+    // per-interval affine is constant pre-rounding; the 3-decimal file
+    // values agree only to a rounding ulp
+    assert(ivs.forall(iv =>
+      math.abs((iv.topCCSF - iv.topCSF) - (iv.botCCSF - iv.botCSF)) < 0.0011))
+    // golden affine: 1A-1H cumulative offset 0.19
+    assert(AffineOps.offset(aff, "1", "A", "1", "H").contains(0.19))
+    assert(AffineOps.offset(aff, "1", "Z", "1", "H").isEmpty)
+    assert(AffineOps.sites(aff).toSet.size == 7)
+  }
+
   test("sparse splice → SIT matches reference output (58 rows)") {
     converted
     val diffs = CsvCompare.diff(sitPath, golden("GLAD9_Site1_TestSIT.csv"))
