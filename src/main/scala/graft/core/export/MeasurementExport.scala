@@ -58,6 +58,36 @@ object MeasurementExport {
     CsvIO.save(CsvIO.prettyColumns(frame, MeasurementFormat, org), exportPath)
   }
 
+  /** Cluster-scale sink: multi-file CSV export, range-partitioned and
+    * sorted within partitions by the (block, file-order) keys. The
+    * concatenation of part files in filename order reproduces the
+    * single-file export's row order EXACTLY — but the only shuffle is
+    * the range partitioning (no single-partition collect, no driver
+    * bottleneck), and each task writes its own file. This is the
+    * 100 TB form of `exportMeasurementData`; the single-file form
+    * remains for byte-identical reference parity.
+    */
+  def exportMeasurementDataPartitioned(spark: SparkSession,
+      affinePath: String, sitPath: String, mdPath: String, exportDir: String,
+      depthColumn: String,
+      includeOffSplice: Boolean = true,
+      wholeSpliceSection: Boolean = false,
+      numFiles: Int = 0,
+      org: String = "IODP"): Unit = {
+    val (frame, _) = buildExport(spark, affinePath, sitPath, mdPath,
+      depthColumn, includeOffSplice, wholeSpliceSection,
+      sortForPresentation = false, keepOrderColumns = true)
+    val n = if (numFiles > 0) numFiles
+            else spark.sessionState.conf.numShufflePartitions
+    CsvIO.saveDir(
+      CsvIO.prettyColumns(
+        frame.repartitionByRange(n, col("_block"), col(CsvIO.SeqCol))
+          .sortWithinPartitions(col("_block"), col(CsvIO.SeqCol))
+          .drop("_block", CsvIO.SeqCol),
+        MeasurementFormat, org),
+      exportDir)
+  }
+
   /** Build the spliced-export frame (and the unwritten remainder when
     * off-splice rows are included) without touching any sink.
     *
@@ -73,7 +103,8 @@ object MeasurementExport {
       depthColumn: String,
       includeOffSplice: Boolean = true,
       wholeSpliceSection: Boolean = false,
-      sortForPresentation: Boolean = true): (DataFrame, Option[DataFrame]) = {
+      sortForPresentation: Boolean = true,
+      keepOrderColumns: Boolean = false): (DataFrame, Option[DataFrame]) = {
 
     val affine = CsvIO.load(spark, affinePath, AffineFormat, withSeq = true)
     val sit = CsvIO.load(spark, sitPath, SITFormat, withSeq = true)
@@ -162,6 +193,8 @@ object MeasurementExport {
     val ordered =
       if (sortForPresentation) result.orderBy(col("_block"), col(CsvIO.SeqCol))
       else result
-    (ordered.select(baseCols.toSeq.map(col): _*), unwrittenOut)
+    val outCols = baseCols.toSeq ++
+      (if (keepOrderColumns) Seq("_block", CsvIO.SeqCol) else Nil)
+    (ordered.select(outCols.map(col): _*), unwrittenOut)
   }
 }

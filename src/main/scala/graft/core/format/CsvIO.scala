@@ -225,6 +225,16 @@ object CsvIO {
     Files.move(Paths.get(part), Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Multi-file sibling of `save`: identical cleaning (helper columns
+    * and split SiteHole dropped), one CSV part file per partition —
+    * the cluster-scale sink where a single-file coalesce would
+    * bottleneck on one task.
+    */
+  def saveDir(df: DataFrame, dir: String): Unit = {
+    val cleaned = dropSiteHole(df.drop(df.columns.filter(_.startsWith("_")): _*))
+    cleaned.write.option("header", "true").mode("overwrite").csv(dir)
+  }
+
   /** S6: Correlator's legacy " \t"-delimited .dat reader with its fixed
     * 11-column header. (feldman.py:42-49 — vestigial in the reference,
     * kept for surface completeness.)

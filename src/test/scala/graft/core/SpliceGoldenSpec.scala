@@ -72,6 +72,29 @@ class SpliceGoldenSpec extends SparkSpec {
     assert(diffs.isEmpty, diffs.mkString("\n"))
   }
 
+  test("partitioned export reproduces the single-file export's row order across part files") {
+    converted
+    val singlePath = s"$outDir/XRF_single.csv"
+    MeasurementExport.exportMeasurementData(spark, affinePath, sitPath,
+      s"$RefData/GLAD9_Site1_XRF.csv", singlePath,
+      depthColumn = "Sediment Depth, unscaled (MBS / CSF-A)")
+    val partDir = s"$outDir/XRF_parts"
+    MeasurementExport.exportMeasurementDataPartitioned(spark, affinePath, sitPath,
+      s"$RefData/GLAD9_Site1_XRF.csv", partDir,
+      depthColumn = "Sediment Depth, unscaled (MBS / CSF-A)", numFiles = 7)
+    // concatenate part files in filename order (range partitioning is
+    // monotone in the sort key), dropping the per-file headers
+    val partFiles = new java.io.File(partDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .sortBy(_.getName)
+    assert(partFiles.length > 1, "expected a multi-file export")
+    val concat = partFiles.toSeq.flatMap(f =>
+      scala.io.Source.fromFile(f).getLines().drop(1).toSeq)
+    val single = scala.io.Source.fromFile(singlePath).getLines().toSeq
+    assert(concat.length == single.length - 1)
+    assert(concat == single.drop(1))
+  }
+
   test("measurement range predicates: golden counts") {
     val md = CsvIO.load(spark, s"$RefData/GLAD9_Site1_XRF.csv", MeasurementFormat)
     val dc = "Sediment Depth, scaled (MBS / CSF-B)"
