@@ -54,6 +54,7 @@ object Main {
         var vocab = "IODP"
         var rest = args.drop(5).toList
         while (rest.nonEmpty) rest = rest match {
+          case Nil => Nil
           case "--scaled" :: t => opts = opts.copy(useScaledDepths = true); t
           case "--lazy-append" :: t => opts = opts.copy(lazyAppend = true); t
           case "--splice-start-depth" :: d :: t =>
@@ -76,6 +77,7 @@ object Main {
         var vocab = "IODP"
         var rest = args.drop(5).toList
         while (rest.nonEmpty) rest = rest match {
+          case Nil => Nil
           case "--depth-column" :: n :: t => depthColumn = Some(n); t
           case "--no-off-splice" :: t => includeOffSplice = false; t
           case "--whole-section" :: t => wholeSection = true; t

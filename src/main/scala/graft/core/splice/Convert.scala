@@ -96,8 +96,8 @@ object Convert {
     * file sinks. The reference's SIT file round-trip is replaced by an
     * explicit 3-decimal rounding — numerically identical to writing
     * and re-parsing the CSV.
-    */
-  /** Conversion is a pure function of its input files and options, so
+    *
+    * Conversion is a pure function of its input files and options, so
     * repeated calls within a session (e.g. one caller wanting the SIT,
     * another the affine table) reuse one plan + cache instead of
     * re-running the whole pipeline.
