@@ -215,7 +215,7 @@ object CsvIO {
     * columns are dropped; SiteHole compounds collapse back.
     */
   def save(df: DataFrame, path: String): Unit = {
-    val cleaned = dropSiteHole(df.drop(df.columns.filter(_.startsWith("_")): _*))
+    val cleaned = dropSiteHole(df.drop(df.columns.filter(_.startsWith("_")).toIndexedSeq: _*))
     val tmp = Files.createTempDirectory("graft_csv").toString + "/out"
     cleaned.coalesce(1).write.option("header", "true").mode("overwrite").csv(tmp)
     val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
@@ -231,7 +231,7 @@ object CsvIO {
     * bottleneck on one task.
     */
   def saveDir(df: DataFrame, dir: String): Unit = {
-    val cleaned = dropSiteHole(df.drop(df.columns.filter(_.startsWith("_")): _*))
+    val cleaned = dropSiteHole(df.drop(df.columns.filter(_.startsWith("_")).toIndexedSeq: _*))
     cleaned.write.option("header", "true").mode("overwrite").csv(dir)
   }
 

@@ -75,7 +75,7 @@ object SpliceBuilder {
       col("TopDepth").as("s_td"), col("BottomDepth").as("s_bd"),
       col("TopDepthScaled").as("s_tds"), col("BottomDepthScaled").as("s_bds"),
       col("CuratedLength").as("s_cl"), col("Gaps").as("s_gaps"))
-    def sec(prefix: String) = broadcast(secProj.select(secProj.columns.map(c =>
+    def sec(prefix: String) = broadcast(secProj.select(secProj.columns.toIndexedSeq.map(c =>
       col(c).as(prefix + c.stripPrefix("s"))): _*))
 
     val coreTops = broadcast(secsumm.filter(col("Section") === "1")
