@@ -84,7 +84,7 @@ object CsvIO {
     * (matching the ignore*WhiteSpace scan options). None on
     * unbalanced quotes (e.g. a header spanning lines).
     */
-  private[format] def parseCsvLine(line: String): Option[Seq[String]] = {
+  private[core] def parseCsvLine(line: String): Option[Seq[String]] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quoted = false

@@ -62,6 +62,40 @@ class FormatLayerSpec extends SparkSpec {
     assert(ColId("ShortA").prettyName() == "Short A")
   }
 
+  test("text ops: empty and whitespace-only documents degrade gracefully") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val docs = Seq((1L, ""), (2L, "   \t\n "), (3L, "the cat and the hat"))
+      .toDF("doc_id", "text")
+    val q = TextOps.qualityMetrics(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getInt(1) == 0 && q(2L).getInt(1) == 0) // n_tokens
+    assert(q(3L).getInt(1) == 5)
+    val lang = docs.select(col("doc_id"), TextOps.langPredict(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lang(3L) == "en")
+    assert(lang(1L) == "en") // all-zero scores resolve to the first marker
+    // fingerprint: whitespace-insensitive, empty-safe
+    val fp = docs.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fp(0) == fp(1)) // "" and whitespace-only collapse to the same key
+    assert(fp(2) != fp(0))
+  }
+
+  test("header-line CSV parse: quotes, escaped quotes, trimming, unbalanced fallback") {
+    def p(s: String) = CsvIO.parseCsvLine(s)
+    assert(p("a,b,c").contains(Seq("a", "b", "c")))
+    assert(p("""a,"b, with comma",c""").contains(Seq("a", "b, with comma", "c")))
+    assert(p("a,\"say \"\"hi\"\"\",c").contains(Seq("a", "say \"hi\"", "c")))
+    assert(p(" a , b ").contains(Seq("a", "b"))) // unquoted fields trim
+    assert(p("""a," b ",c""").contains(Seq("a", " b ", "c"))) // quoted keep space
+    assert(p("a,,c").contains(Seq("a", "", "c")))
+    assert(p("a,b,").contains(Seq("a", "b", ""))) // trailing empty kept
+    assert(p("a,\"unbalanced,c").isEmpty) // header spans lines → fallback
+    // the quoted-comma header of the real XRF file resolves correctly
+    assert(CsvIO.headers(spark, s"$RefData/GLAD9_Site1_XRF.csv")
+      .contains("Sediment Depth, unscaled (MBS / CSF-A)"))
+  }
+
   test("legacy Correlator ' \\t' .dat reader: fixed 11-column header, comments skipped (feldman.py:42-49)") {
     val p = java.nio.file.Files.createTempFile("graft_corr", ".dat")
     java.nio.file.Files.writeString(p,
