@@ -85,6 +85,33 @@ class OpsSpec extends SparkSpec {
     assert(hc.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("dedup cross-method invariant: exact duplicates are caught by every path") {
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different content about geology and sediment cores here now"
+    val docs = Seq((1L, text), (2L, text), (3L, other)).toDF("doc_id", "text")
+
+    // exact: one group of two copies
+    val groups = DedupOps.exactDupGroups(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("n_copies") == 2)
+
+    // jaccard: the duplicate pair at exactly 1.0, no cross pair at 1.0
+    val sh = DedupOps.wordShingles(docs, "doc_id", "text", 3)
+    val jac = DedupOps.ngramJaccardPairs(sh, minJaccard = 0.99).collect()
+    assert(jac.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+
+    // minhash+LSH: identical signatures bucket together with est 1.0
+    val mh = DedupOps.minHashLshPairs(docs, "doc_id", "text", minEstJaccard = 0.99)
+      .collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+
+    // simhash: identical codes, hamming 0; the unrelated doc differs
+    val simhashes = DedupOps.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(simhashes(1L) == simhashes(2L))
+    assert(simhashes(1L) != simhashes(3L))
+  }
+
   test("ngram Jaccard skew guard caps hot shingles, keeps exact denominators") {
     // 40 docs all sharing one stopword-heavy phrase + a unique tail;
     // two true near-duplicates sharing rare shingles.
