@@ -3,12 +3,20 @@ package graft.core.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Depth-domain scalar operators as pure column expressions (whole-
-  * stage codegen, no UDFs) — P14/P15/P17/A4/J7 of SURVEY §2.
+/** Depth-domain scalar operators — P14/P15/P17/A4/J7 of SURVEY §2.
   *
-  * Scale: these are narrow per-row expressions; joined against a
-  * broadcast section summary they run at full scan speed over any
-  * number of splice/measurement rows.
+  * P15 (`offsetDepth`) routes to the native Catalyst expression
+  * `graft_offset_depth` (graft.functions.OffsetDepth): one plan node,
+  * one fused kernel shared by eval and codegen — the composed
+  * parse/filter/aggregate tree it replaced dominated plan compile
+  * time when expanded four times per splice resolve. The composed
+  * forms of P14/A4 remain here as Column combinators (and as the
+  * executable spec the native kernel is property-tested against,
+  * OffsetDepthPropertySpec).
+  *
+  * Scale: all narrow per-row expressions; joined against a broadcast
+  * section summary they run at full scan speed over any number of
+  * splice/measurement rows.
   */
 object DepthOps {
 
