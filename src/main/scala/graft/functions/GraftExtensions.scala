@@ -44,6 +44,13 @@ object GraftFunctions {
         require(children.size == 2,
           s"graft_nearest_cells requires exactly 2 arguments, got ${children.size}")
         NearestCells(children.head, children(1))
+      }),
+    ("graft_minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_minhash_sig requires exactly 2 arguments, got ${children.size}")
+        MinHashSig(children.head, children(1))
       }))
 
   /** Register into an existing session's function registry. Idempotent. */

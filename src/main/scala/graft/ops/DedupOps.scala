@@ -94,15 +94,22 @@ object DedupOps {
       .select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
   }
 
-  /** MinHash signature matrix: (id, perm, minhash). Deterministic family:
-    * h_i(s) = xxhash64(i || s) — i salts the 64-bit hash, giving k
-    * independent permutations without any RNG state.
+  /** MinHash signature matrix: (id, mh_0..mh_{k-1}). Deterministic
+    * family: h_i(s) = xxhash64(i || s) — i salts the 64-bit hash,
+    * giving k independent permutations without any RNG state.
+    *
+    * Computed by the native graft_minhash_sig aggregate (ONE
+    * array-buffer aggregate; bit-identical to k separate
+    * min(xxhash64(lit(i), shingle)) columns, which put k aggregate
+    * expressions in the plan) then unpacked to columns for the band /
+    * agreement consumers.
     */
   def minHash(shingles: DataFrame, numHashes: Int): DataFrame = {
-    val hashes = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")
-    }
-    shingles.groupBy("id").agg(hashes.head, hashes.tail: _*)
+    graft.functions.GraftFunctions.register(shingles.sparkSession)
+    val sig = shingles.groupBy("id")
+      .agg(call_function("graft_minhash_sig", col("shingle"), lit(numHashes)).as("sig"))
+    sig.select(col("id") +: (0 until numHashes).map(i =>
+      element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
   }
 
   /** LSH banding over a minhash signature: (id, band, band_hash).

@@ -85,6 +85,20 @@ class OpsSpec extends SparkSpec {
     assert(hc.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("graft_minhash_sig is bit-identical to k separate min(xxhash64(i, s)) aggregates") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val sh = DedupOps.wordShingles(docs, "doc_id", "text", 2)
+    val k = 8
+    val native = DedupOps.minHash(sh, k)
+    val composed = sh.groupBy("id").agg(
+      min(xxhash64(lit(0), col("shingle"))).as("mh_0"),
+      (1 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")): _*)
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+  }
+
   test("dedup cross-method invariant: exact duplicates are caught by every path") {
     val text = "the quick brown fox jumps over the lazy dog again and again today"
     val other = "completely different content about geology and sediment cores here now"
