@@ -51,6 +51,13 @@ object GraftFunctions {
         require(children.size == 2,
           s"graft_minhash_sig requires exactly 2 arguments, got ${children.size}")
         MinHashSig(children.head, children(1))
+      }),
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_simhash requires exactly 1 argument, got ${children.size}")
+        SimHashAgg(children.head)
       }))
 
   /** Register into an existing session's function registry. Idempotent. */

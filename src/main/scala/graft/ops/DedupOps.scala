@@ -164,22 +164,18 @@ object DedupOps {
 
   /** 64-bit SimHash over whitespace tokens (unit weights): (id, simhash).
     * bit b of the result = sign of sum over tokens of (2*bit_b(h)-1).
-    * One explode + one map-side-combined hash aggregate (64 int sums),
-    * then a single projection folds the sums into the 64-bit code — a
-    * single narrow shuffle keyed by the id, no UDFs.
+    * One explode + ONE native map-side-combined aggregate
+    * (graft.functions.SimHashAgg: a long[64] counter buffer that also
+    * folds the final code) — a single narrow shuffle keyed by the id,
+    * one plan expression where the composed form carried 64 sum
+    * columns plus a 64-term fold projection.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = explode(filter(split(lower(col(textCol)), "\\s+"), _ =!= "")).as("tok")
-    val bitSums = (0 until 64).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s_$b")
-    }
-    val folded = (0 until 64)
-      .map(b => when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
     docs.select(col(idCol).as("id"), tok)
       .select(col("id"), xxhash64(col("tok")).as("h"))
-      .groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), folded.as("simhash"))
+      .groupBy("id").agg(call_function("graft_simhash", col("h")).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -99,6 +99,27 @@ class OpsSpec extends SparkSpec {
     assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
   }
 
+  test("graft_simhash is bit-identical to the composed 64-column bit-sum fold") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "mixed content alpha two zeta nine")).toDF("doc_id", "text")
+    val native = DedupOps.simHash(docs, "doc_id", "text")
+    // the pre-round-4 composed form, kept as the executable spec
+    val tok = explode(filter(split(lower(col("text")), "\\s+"), _ =!= "")).as("tok")
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s_$b")
+    }
+    val folded = (0 until 64)
+      .map(b => when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val composed = docs.select(col("doc_id").as("id"), tok)
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), folded.as("simhash"))
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+  }
+
   test("dedup cross-method invariant: exact duplicates are caught by every path") {
     val text = "the quick brown fox jumps over the lazy dog again and again today"
     val other = "completely different content about geology and sediment cores here now"
