@@ -100,6 +100,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("every native function resolves and computes through the SQL surface") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1.0, "0.0-2.0", 50.0)).toDF("t", "g", "o").createOrReplaceTempView("sql_probe")
+    // graft_offset_depth: 1.0 + 0.5 − gapAbove(50 in [0,2])=2.0cm → 1.48
+    val od = spark.sql(
+      "SELECT graft_offset_depth(t, t + 1.5, 1.5, g, o, false) FROM sql_probe").head().getDouble(0)
+    assert(math.abs(od - 1.48) < 1e-9)
+    // graft_nearest_cells: nearer center first
+    val nc = spark.sql(
+      "SELECT graft_nearest_cells(array(0.9d, 0.1d), array(array(1.0d, 0.0d), array(0.0d, 1.0d)))")
+      .head().getSeq[Int](0)
+    assert(nc == Seq(0, 1))
+    // aggregates: minhash signature length k; simhash of equal inputs equal
+    Seq((1L, "aa"), (1L, "bb"), (2L, "aa"), (2L, "bb")).toDF("id", "sh")
+      .createOrReplaceTempView("sql_sh")
+    val sig = spark.sql(
+      "SELECT id, graft_minhash_sig(sh, 4) AS s, graft_simhash(xxhash64(sh)) AS c FROM sql_sh GROUP BY id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).sortBy(_._1)
+    assert(sig.length == 2 && sig(0)._2.length == 4)
+    assert(sig(0)._2 == sig(1)._2 && sig(0)._3 == sig(1)._3) // same inputs, same codes
+  }
+
   test("resize feature: fixed width, deterministic, bounded values") {
     val bin = MultimodalOps.withBinaryPayload(docs, "doc_id", "text")
     val r = MultimodalOps.resizeFeature(spark, bin, 8)
