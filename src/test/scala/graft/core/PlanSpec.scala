@@ -55,6 +55,19 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("native minhash/simhash aggregates plan as ObjectHashAggregate, not per-group sorts") {
+    import graft.ops.DedupOps
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (df <- Seq(
+        DedupOps.minHash(DedupOps.wordShingles(docs, "doc_id", "text", 3), 8),
+        DedupOps.simHash(docs, "doc_id", "text"))) {
+      val s = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(s.contains("ObjectHashAggregate"), s)
+      assert(!s.contains("SortAggregate"), s)
+    }
+  }
+
   test("export without presentation sort: no total-order exchange") {
     import graft.core.export.MeasurementExport
     val (frame, _) = MeasurementExport.buildExport(spark,
