@@ -64,6 +64,25 @@ class SpliceOptionsSpec extends SparkSpec {
     } finally graft.core.Progress.clearProgressListener()
   }
 
+  test("convertInMemory is stable under concurrent callers (memo races resolve to one result)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // fresh copies → fresh memo key, so this test really races the build
+    val secCopy = s"$outDir/Conc_sec.csv"
+    val spCopy = s"$outDir/Conc_sparse.csv"
+    Files.copy(java.nio.file.Paths.get(s"$RefData/GLAD9_SectionSummary.csv"),
+      java.nio.file.Paths.get(secCopy))
+    Files.copy(java.nio.file.Paths.get(s"$RefData/GLAD9_Site1_SparseSplice.csv"),
+      java.nio.file.Paths.get(spCopy))
+    val futures = (1 to 4).map(_ => Future {
+      val (sit, aff) = Convert.convertInMemory(spark, secCopy, spCopy)
+      (sit.count(), aff.count())
+    })
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    assert(results.toSet == Set((58L, 509L)))
+  }
+
   test("useScaledDepths: CSF-B depth space") {
     val (a, s) = convert(SpliceOptions(useScaledDepths = true), "Scaled")
     assertGolden(s, "Scaled_SIT.csv")
