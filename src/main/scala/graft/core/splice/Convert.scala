@@ -29,7 +29,25 @@ object Convert {
     * (measurement export, relational/LLM queries) never pass through
     * here and keep full codegen.
     */
+  /** One monitor per session: concurrent scopes would race the
+    * save/restore of shared session confs (a second caller can save an
+    * already-modified value and "restore" it permanently). The scope
+    * guards seconds-long control-table work, so serializing it per
+    * session costs nothing; the monitor is reentrant, so the
+    * file-sink convert nesting the in-memory convert stays safe.
+    */
+  private val scopeLocks = new java.util.WeakHashMap[SparkSession, Object]()
+
   private def interpretedControlPlans[A](spark: SparkSession)(body: => A): A = {
+    val lock = scopeLocks.synchronized {
+      var l = scopeLocks.get(spark)
+      if (l == null) { l = new Object; scopeLocks.put(spark, l) }
+      l
+    }
+    lock.synchronized { interpretedControlPlansLocked(spark)(body) }
+  }
+
+  private def interpretedControlPlansLocked[A](spark: SparkSession)(body: => A): A = {
     val conf = spark.conf
     val keys = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode",
       "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions",
