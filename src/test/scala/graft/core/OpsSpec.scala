@@ -90,7 +90,9 @@ class OpsSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "one two three four five six seven eight nine ten"),
       (3L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
-    val sh = DedupOps.wordShingles(docs, "doc_id", "text", 2)
+    // repartition forces cross-partition partial buffers through the
+    // aggregate's serialize/merge path
+    val sh = DedupOps.wordShingles(docs, "doc_id", "text", 2).repartition(8)
     val k = 8
     val native = DedupOps.minHash(sh, k)
     val composed = sh.groupBy("id").agg(
@@ -104,7 +106,7 @@ class OpsSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "one two three four five six seven"),
       (3L, "mixed content alpha two zeta nine")).toDF("doc_id", "text")
-    val native = DedupOps.simHash(docs, "doc_id", "text")
+    val native = DedupOps.simHash(docs.repartition(8), "doc_id", "text")
     // the pre-round-4 composed form, kept as the executable spec
     val tok = explode(filter(split(lower(col("text")), "\\s+"), _ =!= "")).as("tok")
     val bitSums = (0 until 64).map { b =>
