@@ -199,4 +199,47 @@ object DedupOps {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Benchmark-contamination check: for each corpus document, how many
+    * of its distinct word n-grams appear anywhere in the benchmark
+    * set, and the contaminated fraction. Standard eval-decontamination
+    * sweep for training corpora.
+    *
+    * Scale shape: the benchmark is small by construction (eval sets
+    * are thousands of documents, the corpus is the 100 TB side), so
+    * its distinct-gram set BROADCASTS and the corpus pays one narrow
+    * left-semi probe plus one aggregation keyed by doc id — the
+    * corpus is never shuffled on the gram.
+    */
+  def contaminationOverlap(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val cg = wordShingles(corpus, idCol, textCol, n)
+    val bg = wordShingles(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    cg.join(broadcast(bg), Seq("shingle"), "left_semi")
+      .groupBy("id", "n_sh").agg(count(lit(1)).as("n_contaminated"))
+      .select(col("id"), col("n_sh").as("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_sh"), 5)
+          .as("contamination"))
+  }
+
+  /** Cluster-dedup retention policy: among documents sharing a dedup
+    * key (exact text hash, whitespace-insensitive fingerprint, or an
+    * LSH cluster id), keep the best-scoring one (ties → lowest id).
+    * ONE shuffle keyed by the dedup key; the window's rank is computed
+    * within each key's partition-local sorted run.
+    */
+  def keepBest(docs: DataFrame, idCol: String, dedupKey: Column,
+      score: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dedup_key").orderBy(col("_score").desc, col("id"))
+    docs.select(col(idCol).as("id"), dedupKey.as("dedup_key"), score.as("_score"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_candidates", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("dedup_key")))
+      .filter(col("rn") === 1)
+      .select(col("dedup_key"), col("id").as("keep_id"),
+        col("_score").as("keep_score"), col("n_candidates"))
+  }
 }

@@ -58,6 +58,70 @@ object TextOps {
     }
   }
 
+  /** Token-frequency repetition stats per document: total/distinct
+    * token counts, the most-frequent token's share, and the duplicate-
+    * token fraction (Gopher-style repetition signals for corpus
+    * filtering).
+    *
+    * Physical form is explode → two-level aggregate; BOTH aggregations
+    * combine map-side (partial agg on (id, token), then on id), so the
+    * shuffles carry near-distinct rows only — nothing here is
+    * O(tokens²) per document, and a 100 TB corpus pays two narrow
+    * hash shuffles keyed by doc id.
+    */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = explode(filter(split(lower(col(textCol)), "\\s+"), _ =!= "")).as("tok")
+    df.select(col(idCol).as("id"), tok)
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_count"))
+      .select(col("id"), col("n_tokens"), col("n_distinct"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_tokens"), 5).as("top_frac"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 5)
+          .as("dup_frac"))
+  }
+
+  /** Duplicate word-n-gram fractions per document (gram-count share and
+    * character share), the Gopher "repetitive content" filters. Pure
+    * per-row array expressions — zero shuffles; the arrays live only
+    * inside one projection, so the operator composes with any scan at
+    * any scale.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val w = col("_w")
+    def grams(n: Int) = when(size(w) >= n,
+      transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
+    ).otherwise(array())
+    def charLen(a: Column) = aggregate(transform(a, x => length(x)), lit(0), _ + _)
+    val metricCols = ns.flatMap { n =>
+      val g = col(s"_g$n")
+      val total = size(g)
+      val dist = size(array_distinct(g))
+      val chars = charLen(g)
+      val distChars = charLen(array_distinct(g))
+      Seq(
+        when(total > 0,
+          round(lit(1.0) - dist.cast("double") / total, 5)).otherwise(0.0)
+          .as(s"dup_${n}gram_frac"),
+        when(chars > 0,
+          round(lit(1.0) - distChars.cast("double") / chars, 5)).otherwise(0.0)
+          .as(s"dup_${n}gram_char_frac"))
+    }
+    // explode(array(..)) barriers as in DedupOps.wordShingles: a plain
+    // Project would collapse into the split Project and inline the
+    // tokenizer into the per-element gram lambdas (O(len²)/doc).
+    df.select(col(idCol).as("id"), split(lower(col(textCol)), "\\s+").as("_w"))
+      .select(col("id"),
+        explode(array(struct(ns.map(n => grams(n).as(s"_a$n")): _*))).as("_s"))
+      .select(col("id") +: ns.map(n => col(s"_s._a$n").as(s"_g$n")): _*)
+      .select(col("id") +: metricCols: _*)
+  }
+
   /** Per-document quality metrics (ratios rounded for cross-engine
     * determinism — integer counts divide exactly in ieee754 but the
     * rounding keeps the oracle contract explicit).

@@ -113,7 +113,34 @@ object PipelineQueries {
     "q50_resize_feature" -> ((s, d) =>
       MultimodalOps.resizeFeature(s,
           MultimodalOps.withBinaryPayload(Tables(s, d, "documents"), "doc_id", "text"), 8)
-        .select(col("doc_id"), round(aggregate(col("feature"), lit(0.0d), _ + _), 4).as("feat_sum"))))
+        .select(col("doc_id"), round(aggregate(col("feature"), lit(0.0d), _ + _), 4).as("feat_sum"))),
+
+    // Token-frequency repetition stats (Gopher-style): explode + two
+    // map-side-combined aggregations, shuffles keyed by doc id.
+    "q58_token_stats" -> ((s, d) =>
+      TextOps.tokenStats(Tables(s, d, "documents"), "doc_id", "text")),
+
+    // Duplicate n-gram fractions (count + character share) — pure
+    // per-row array expressions, zero shuffles.
+    "q59_repetition" -> ((s, d) =>
+      TextOps.repetitionMetrics(Tables(s, d, "documents"), "doc_id", "text")),
+
+    // Benchmark-contamination sweep: corpus docs vs the distinct
+    // 3-gram set of a (deterministic) benchmark slice; broadcast
+    // semi-join, corpus never shuffled on the gram.
+    "q60_contamination" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      DedupOps.contaminationOverlap(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", 3)
+    }),
+
+    // Cluster-dedup retention: keep the longest doc per whitespace-
+    // insensitive fingerprint (ties → lowest id); one key shuffle.
+    "q61_keep_best" -> ((s, d) =>
+      DedupOps.keepBest(Tables(s, d, "documents"), "doc_id",
+        TextOps.fingerprint(col("text")), col("n_chars"))))
 
   /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
   val oracles: Map[String, String] = Map(
@@ -195,6 +222,67 @@ object PipelineQueries {
         |JOIN sizes sa ON inter.a_id = sa.id
         |JOIN sizes sb ON inter.b_id = sb.id
         |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 5) >= 0.2""".stripMargin,
+    "q58_token_stats" ->
+      """WITH tk AS (SELECT doc_id AS id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        | FROM documents),
+        |pc AS (SELECT id, tok, count(*) AS c FROM tk GROUP BY 1, 2)
+        |SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        | CAST(max(c) AS BIGINT) AS top_count,
+        | round(max(c) * 1.0 / sum(c), 5) AS top_frac,
+        | round(1.0 - count(*) * 1.0 / sum(c), 5) AS dup_frac
+        |FROM pc GROUP BY id""".stripMargin,
+    "q59_repetition" ->
+      """WITH w AS (SELECT doc_id AS id, string_split_regex(lower(text), '\s+') AS w
+        | FROM documents),
+        |g AS (SELECT id,
+        | CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
+        |   i -> w[i] || ' ' || w[i+1]) ELSE [] END AS g2,
+        | CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS g3
+        | FROM w)
+        |SELECT id,
+        | CASE WHEN len(g2) > 0
+        |   THEN round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 5)
+        |   ELSE 0.0 END AS dup_2gram_frac,
+        | CASE WHEN coalesce(list_sum(list_transform(g2, x -> length(x))), 0) > 0
+        |   THEN round(1.0 - list_sum(list_transform(list_distinct(g2), x -> length(x))) * 1.0
+        |        / list_sum(list_transform(g2, x -> length(x))), 5)
+        |   ELSE 0.0 END AS dup_2gram_char_frac,
+        | CASE WHEN len(g3) > 0
+        |   THEN round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 5)
+        |   ELSE 0.0 END AS dup_3gram_frac,
+        | CASE WHEN coalesce(list_sum(list_transform(g3, x -> length(x))), 0) > 0
+        |   THEN round(1.0 - list_sum(list_transform(list_distinct(g3), x -> length(x))) * 1.0
+        |        / list_sum(list_transform(g3, x -> length(x))), 5)
+        |   ELSE 0.0 END AS dup_3gram_char_frac
+        |FROM g""".stripMargin,
+    "q60_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        | FROM documents),
+        |g AS (SELECT doc_id,
+        | CASE WHEN len(w) >= 3
+        |   THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |   ELSE [] END AS gl
+        | FROM w),
+        |cg AS (SELECT doc_id AS id, len(gl) AS n_grams, unnest(gl) AS shingle
+        |       FROM g WHERE doc_id % 97 <> 0),
+        |bg AS (SELECT DISTINCT unnest(gl) AS shingle FROM g WHERE doc_id % 97 = 0)
+        |SELECT id, CAST(n_grams AS BIGINT) AS n_grams, count(*) AS n_contaminated,
+        | round(count(*) * 1.0 / n_grams, 5) AS contamination
+        |FROM cg WHERE shingle IN (SELECT shingle FROM bg)
+        |GROUP BY id, n_grams""".stripMargin,
+    "q61_keep_best" ->
+      """SELECT dedup_key, keep_id, keep_score, n_candidates FROM (
+        | SELECT md5(regexp_replace(lower(text), '\s+', '', 'g')) AS dedup_key,
+        |  doc_id AS keep_id, n_chars AS keep_score,
+        |  count(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', '', 'g')))
+        |    AS n_candidates,
+        |  row_number() OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', '', 'g'))
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn = 1""".stripMargin,
     "q49_frame_sample" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         | CAST((i * greatest(n - 32, 0)) // 3 AS INTEGER) AS "offset",

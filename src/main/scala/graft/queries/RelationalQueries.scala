@@ -240,6 +240,20 @@ object RelationalQueries {
         .groupBy(EventOps.timeBucketS(col("ts"), 300), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
 
+    // Exact interpolated percentiles per group. At 100 TB the scale
+    // path is approx_percentile (bounded-memory sketch, same call
+    // shape); the exact form here is the oracle-checkable twin —
+    // Spark's percentile agg gathers per-group value counts, it does
+    // NOT globally sort the table.
+    "q62_percentiles" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med_price"))),
+
     // Exact count-distinct per group.
     "q27_count_distinct" -> ((s, d) =>
       Tables(s, d, "lineitem")
@@ -429,6 +443,13 @@ object RelationalQueries {
       """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS bucket_s,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q62_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        | round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q27_count_distinct" ->
       """SELECT l_returnflag,
         | count(DISTINCT l_partkey) AS n_parts,

@@ -149,6 +149,63 @@ class OpsSpec extends SparkSpec {
     assert(simhashes(1L) != simhashes(3L))
   }
 
+  test("token stats and repetition metrics match hand counts") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "a a a b"),          // 4 tokens, 2 distinct, top=3
+      (2L, "x y z"),            // all distinct
+      (3L, "go go go go"),      // 4 tokens, 1 distinct
+      (4L, "solo"))             // 1 token — no 2-grams
+      .toDF("doc_id", "text")
+    val ts = TextOps.tokenStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(ts(1L).getLong(1) == 4 && ts(1L).getLong(2) == 2 && ts(1L).getLong(3) == 3)
+    assert(ts(1L).getDouble(4) == 0.75 && ts(1L).getDouble(5) == 0.5)
+    assert(ts(2L).getDouble(5) == 0.0)
+    assert(ts(3L).getDouble(4) == 1.0 && ts(3L).getDouble(5) == 0.75)
+
+    val rm = TextOps.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 2-grams: [a a, a a, a b] -> 1 dup of 3; chars 3+3+3 dup 3/9
+    assert(rm(1L).getDouble(1) == 0.33333)
+    assert(rm(1L).getDouble(2) == 0.33333)
+    // doc 3 2-grams: [go go]x3 -> dup 2/3; 3-grams [go go go]x2 -> 1/2
+    assert(rm(3L).getDouble(1) == 0.66667 && rm(3L).getDouble(3) == 0.5)
+    // doc 4: no grams at all -> all zeros, no division error
+    assert(rm(4L).getDouble(1) == 0.0 && rm(4L).getDouble(3) == 0.0)
+  }
+
+  test("contamination overlap counts benchmark grams; benchmark side broadcasts") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),  // shares "the quick brown", "quick brown fox"
+      (2L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.contaminationOverlap(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 has 3 distinct 3-grams, 2 of them in the benchmark set
+    assert(out(1L).getLong(1) == 3 && out(1L).getLong(2) == 2)
+    assert(out(1L).getDouble(3) == 0.66667)
+    assert(!out.contains(2L)) // zero-overlap docs don't appear
+    val plan = DedupOps.contaminationOverlap(corpus, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"benchmark gram set must broadcast:\n$plan")
+  }
+
+  test("keepBest keeps the top scorer per key, lowest id on ties") {
+    val docs = Seq(
+      (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L),
+      (4L, "k2", 5L))
+      .toDF("doc_id", "fp", "score")
+    val out = DedupOps.keepBest(docs, "doc_id", col("fp"), col("score"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k1").getLong(1) == 2L)   // ties 2,3 at 30 -> lowest id
+    assert(out("k1").getLong(2) == 30L && out("k1").getLong(3) == 3L)
+    assert(out("k2").getLong(1) == 4L && out("k2").getLong(3) == 1L)
+  }
+
   test("ngram Jaccard skew guard caps hot shingles, keeps exact denominators") {
     // 40 docs all sharing one stopword-heavy phrase + a unique tail;
     // two true near-duplicates sharing rare shingles.
