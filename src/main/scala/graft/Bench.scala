@@ -44,10 +44,14 @@ object Bench {
           |1,B,1,H,2,1.5,2.0,3.5,2.0,3.5
           |1,C,1,H,1,1.5,0.2,1.7,0.2,1.7
           |""".stripMargin)
+      // Row 1 must carry a valid SpliceType: the fold consults the
+      // PREVIOUS row's type for each subsequent interval and aborts on
+      // unknown (reference semantics) — an empty type here made the
+      // whole warmup silently no-op for several rounds.
       java.nio.file.Files.writeString(sp,
         """Site,Hole,Core,Type,TopSection,TopOffset,BottomSection,BottomOffset,SpliceType,Comment
-          |1,A,1,H,1,10,2,50,,
-          |1,B,1,H,1,5,2,40,TIE,
+          |1,A,1,H,1,10,2,50,TIE,
+          |1,B,1,H,1,5,2,40,,
           |""".stripMargin)
       graft.core.splice.Convert.convertInMemory(spark, sec.toString, sp.toString)
     } catch { case _: Throwable => () }
