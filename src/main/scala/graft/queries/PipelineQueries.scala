@@ -140,7 +140,18 @@ object PipelineQueries {
     // insensitive fingerprint (ties → lowest id); one key shuffle.
     "q61_keep_best" -> ((s, d) =>
       DedupOps.keepBest(Tables(s, d, "documents"), "doc_id",
-        TextOps.fingerprint(col("text")), col("n_chars"))))
+        TextOps.fingerprint(col("text")), col("n_chars"))),
+
+    // End-to-end curation funnel: length → language → repetition →
+    // contamination → dedup, all signals from ONE corpus scan, stage
+    // counts from one aggregation of cumulative flags.
+    "q63_curation_funnel" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      graft.ops.CurationPipeline.funnel(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text")
+    }))
 
   /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
   val oracles: Map[String, String] = Map(
@@ -283,6 +294,43 @@ object PipelineQueries {
         |    ORDER BY n_chars DESC, doc_id) AS rn
         | FROM documents) t
         |WHERE rn = 1""".stripMargin,
+    "q63_curation_funnel" ->
+      """WITH w0 AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w
+        | FROM documents),
+        |g AS (SELECT doc_id, text,
+        | CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
+        |   i -> w[i] || ' ' || w[i+1]) ELSE [] END AS g2,
+        | CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS g3
+        | FROM w0),
+        |bg AS (SELECT DISTINCT unnest(g3) AS sh FROM g WHERE doc_id % 97 = 0),
+        |cont AS (SELECT doc_id, round(count(*) * 1.0 / len3, 5) AS frac
+        | FROM (SELECT doc_id, len(g3) AS len3, unnest(g3) AS sh FROM g
+        |        WHERE doc_id % 97 <> 0) cg
+        | WHERE sh IN (SELECT sh FROM bg) GROUP BY doc_id, len3),
+        |sig AS (SELECT g.doc_id,
+        | len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        | len(regexp_extract_all(lower(text), '\b(the|and|of)\b')) AS s_en,
+        | CASE WHEN len(g2) > 0
+        |   THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) ELSE 0.0 END AS dup2,
+        | md5(regexp_replace(lower(text), '\s+', '', 'g')) AS fp,
+        | coalesce(cont.frac, 0.0) AS frac
+        | FROM g LEFT JOIN cont ON g.doc_id = cont.doc_id
+        | WHERE g.doc_id % 97 <> 0),
+        |f AS (SELECT fp,
+        | (n_tokens BETWEEN 25 AND 95) AS p1,
+        | (n_tokens BETWEEN 25 AND 95) AND s_en > 0 AS p2,
+        | (n_tokens BETWEEN 25 AND 95) AND s_en > 0 AND dup2 <= 0.1 AS p3,
+        | (n_tokens BETWEEN 25 AND 95) AND s_en > 0 AND dup2 <= 0.1
+        |   AND frac < 0.05 AS p4
+        | FROM sig)
+        |SELECT count(*) AS n_total,
+        | CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+        | CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        | CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+        | CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        | count(DISTINCT CASE WHEN p4 THEN fp END) AS n_dedup
+        |FROM f""".stripMargin,
     "q49_frame_sample" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         | CAST((i * greatest(n - 32, 0)) // 3 AS INTEGER) AS "offset",

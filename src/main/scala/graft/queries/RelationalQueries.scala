@@ -249,10 +249,15 @@ object RelationalQueries {
       Tables(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med_price"))),
+          // one counts-buffer per COLUMN (array form), not one per
+          // requested percentile — halves the aggregate state
+          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("_q"),
+          expr("percentile(l_extendedprice, array(0.99D, 0.5D))").as("_p"))
+        .select(col("l_returnflag"),
+          round(element_at(col("_q"), 1), 4).as("p50_qty"),
+          round(element_at(col("_q"), 2), 4).as("p90_qty"),
+          round(element_at(col("_p"), 1), 4).as("p99_price"),
+          round(element_at(col("_p"), 2), 4).as("med_price"))),
 
     // Exact count-distinct per group.
     "q27_count_distinct" -> ((s, d) =>

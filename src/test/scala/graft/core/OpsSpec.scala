@@ -194,6 +194,30 @@ class OpsSpec extends SparkSpec {
       s"benchmark gram set must broadcast:\n$plan")
   }
 
+  test("curation funnel: each stage drops exactly the crafted offenders") {
+    import graft.ops.CurationPipeline
+    val uniq = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val cont = (1 to 30).map(i => s"cont$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"the $uniq"),        // passes everything
+      (2L, Seq.fill(50)("x").mkString(" ")), // no en markers (also repetitive)
+      (3L, "the quick brown fox jumps over the lazy dog"), // too short
+      (4L, s"the $cont"),        // contaminated vs the benchmark
+      (5L, s"the  $uniq"))       // doc 1 duplicate modulo whitespace
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, cont)).toDF("doc_id", "text")
+    val f = CurationPipeline.funnel(corpus, bench, "doc_id", "text").head()
+    assert(f.getLong(0) == 5, "n_total")
+    assert(f.getLong(1) == 4, "n_len: doc 3 dropped")
+    assert(f.getLong(2) == 3, "n_lang: doc 2 dropped")
+    assert(f.getLong(3) == 3, "n_rep: nothing new dropped")
+    assert(f.getLong(4) == 2, "n_clean: doc 4 dropped")
+    assert(f.getLong(5) == 1, "n_dedup: docs 1/5 share a fingerprint")
+    val kept = CurationPipeline.curate(corpus, bench, "doc_id", "text").collect()
+    assert(kept.length == 1 && kept.head.getLong(0) == 1L,
+      s"curate keeps doc 1: ${kept.mkString(",")}")
+  }
+
   test("keepBest keeps the top scorer per key, lowest id on ties") {
     val docs = Seq(
       (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L),
