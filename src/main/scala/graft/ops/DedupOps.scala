@@ -153,32 +153,47 @@ object DedupOps {
   }
 
   /** Candidate pairs from LSH buckets + estimated jaccard = fraction of
-    * agreeing minhashes, computed from the signatures of both sides.
+    * agreeing minhashes.
+    *
+    * Physical form: the signature ARRAY rides into the band buckets, a
+    * bucket's member list expands its ordered pairs in-row, and each
+    * pair's agreement is computed inline from the two carried arrays —
+    * THREE shuffles total (signature agg, bucket group, final pair
+    * distinct), no join machinery at all. The earlier formulation
+    * (band self-join → candidate distinct → two signature re-joins)
+    * paid five shuffles and re-materialized the signature matrix
+    * twice; measured ~2× slower cold at sf0.1. Bucket member lists are
+    * bounded by band collision counts — the same O(f²) feasibility
+    * argument (and `maxDocFrequency`-style mitigation, were a bucket
+    * ever hot) as the Jaccard posting lists.
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       minEstJaccard: Double = 0.5): DataFrame = {
-    // The signature matrix feeds the banding and both sides of the
-    // candidate join; the sig aggregation's exchange is reused across
-    // consumers. (At cluster scale the natural checkpoint is writing
-    // signatures to parquet and bucket-joining from there.)
-    val sig = minHash(wordShingles(docs, idCol, textCol, shingleN), numHashes)
-    val bandsDf = lshBands(sig, numHashes, bands)
-    val cand = bandsDf.as("x").join(bandsDf.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
-    val agree = (0 until numHashes)
-      .map(i => (col(s"a.mh_$i") === col(s"b.mh_$i")).cast("int"))
-      .reduce(_ + _)
-    cand
-      .join(sig.as("a"), col("a_id") === col("a.id"))
-      .join(sig.as("b"), col("b_id") === col("b.id"))
-      .select(col("a_id"), col("b_id"),
-        round(agree.cast("double") / numHashes, 4).as("est_jaccard"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val rows = numHashes / bands
+    val sig = wordShingles(docs, idCol, textCol, shingleN)
+      .groupBy("id")
+      .agg(call_function("graft_minhash_sig", col("shingle"), lit(numHashes)).as("sig"))
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64((bnd * rows until (bnd + 1) * rows)
+          .map(i => element_at(col("sig"), i + 1)): _*).as("band_hash"))
+    }
+    val banded = sig.select(col("id"), col("sig"),
+      explode(array(bandCols: _*)).as("b"))
+    val grouped = banded.groupBy(col("b"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    grouped.select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+          struct(x.getField("id").as("a"), y.getField("id").as("b"),
+            size(filter(zip_with(x.getField("sig"), y.getField("sig"),
+              (p, q) => p === q), e => e)).as("agree")))))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
+        round(col("p.agree").cast("double") / numHashes, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
   }
 
   /** 64-bit SimHash over whitespace tokens (unit weights): (id, simhash).
