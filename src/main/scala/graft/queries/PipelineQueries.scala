@@ -294,6 +294,19 @@ object PipelineQueries {
         |    ORDER BY n_chars DESC, doc_id) AS rn
         | FROM documents) t
         |WHERE rn = 1""".stripMargin,
+    // The oracle reads payload bytes as code points, valid because the
+    // synthetic corpus is pure ASCII (byte == code point, verified);
+    // the engine side works on arbitrary binary.
+    "q50_resize_feature" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+        | FROM documents),
+        |f AS (SELECT doc_id, text, n, greatest(n // 8, 1) AS bk FROM b)
+        |SELECT doc_id, round(list_sum(list_transform(generate_series(0, 7), i ->
+        |  list_avg(list_transform(
+        |    generate_series(least(i * bk, n - 1) + 1,
+        |                    least(least(i * bk, n - 1) + bk, n)),
+        |    j -> unicode(text[j]))))), 4) AS feat_sum
+        |FROM f""".stripMargin,
     "q63_curation_funnel" ->
       """WITH w0 AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w
         | FROM documents),
