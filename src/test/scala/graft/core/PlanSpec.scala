@@ -130,4 +130,28 @@ class PlanSpec extends SparkSpec {
     val s = formatted("q31_quality_metrics")
     assert(s.contains("[codegen id :"), s)
   }
+
+  private def planString(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("repetition metrics are shuffle-free; token stats shuffle exactly twice") {
+    val rep = planString("q59_repetition")
+    assert(!rep.contains("Exchange"), rep)
+    val ts = planString("q58_token_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(ts).size == 2, ts)
+    // both aggregations combine map-side before their exchange
+    assert("HashAggregate".r.findAllIn(ts).size >= 4, ts)
+  }
+
+  test("jaccard pipeline: two aggregation exchanges, no joins") {
+    val s = planString("q39_ngram_jaccard")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 2, s)
+    assert(!s.contains("Join"), s)
+  }
+
+  test("curation signals: corpus-side work is scans + one id join; benchmark grams broadcast") {
+    val s = formatted("q63_curation_funnel")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
 }
