@@ -242,19 +242,28 @@ object DedupOps {
   /** Cluster-dedup retention policy: among documents sharing a dedup
     * key (exact text hash, whitespace-insensitive fingerprint, or an
     * LSH cluster id), keep the best-scoring one (ties → lowest id).
-    * ONE shuffle keyed by the dedup key; the window's rank is computed
-    * within each key's partition-local sorted run.
+    *
+    * ONE aggregation with map-side combine: each partition reduces to
+    * one candidate per key BEFORE the shuffle, so a dup-heavy corpus
+    * (the whole point of dedup) moves ~distinct-keys rows, not every
+    * duplicate — where the obvious `row_number over (partition by
+    * key)` window ships and sorts all members of every cluster, and a
+    * viral million-copy document becomes one task's sort.
+    *
+    * `min_by` over (−score, id): min of the negated score is the max
+    * score, ties resolve to the lowest id. The score is cast to
+    * double for negation (exact for |score| < 2⁵³); the emitted
+    * keep_score keeps the original type.
     */
   def keepBest(docs: DataFrame, idCol: String, dedupKey: Column,
-      score: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("dedup_key").orderBy(col("_score").desc, col("id"))
+      score: Column): DataFrame =
     docs.select(col(idCol).as("id"), dedupKey.as("dedup_key"), score.as("_score"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_candidates", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("dedup_key")))
-      .filter(col("rn") === 1)
-      .select(col("dedup_key"), col("id").as("keep_id"),
-        col("_score").as("keep_score"), col("n_candidates"))
-  }
+      .groupBy("dedup_key")
+      .agg(
+        min_by(struct(col("id"), col("_score")),
+          struct((-col("_score").cast("double")).as("negScore"), col("id")))
+          .as("best"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("dedup_key"), col("best.id").as("keep_id"),
+        col("best._score").as("keep_score"), col("n_candidates"))
 }
