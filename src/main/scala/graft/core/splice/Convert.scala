@@ -110,6 +110,26 @@ object Convert {
     }
   }
 
+  /** P16 over a LocalRelation-backed control table: `collect()` on a
+    * local plan short-circuits to the driver (no job), so the check is
+    * a plain Scala scan. Bad-value predicate matches the aggregate
+    * form exactly: a value is bad iff it is non-null and neither 'CC'
+    * nor an integer (nulls never survive the format layer's scrub).
+    */
+  private def validateSectionColumnsLocal(df: DataFrame, colNames: Seq[String],
+      what: String): Unit = {
+    val rows = df.select(colNames.map(col): _*).collect()
+    colNames.zipWithIndex.foreach { case (c, i) =>
+      val bad = rows.exists { r =>
+        val v = r.getString(i)
+        v != null && !(v == "CC" || v.matches("^-?[0-9]+$"))
+      }
+      if (bad)
+        throw new FormatError(
+          s"$c column in $what contains one or more non-integer values.")
+    }
+  }
+
   /** In-memory variant: returns (SIT, affine) DataFrames without the
     * file sinks. The reference's SIT file round-trip is replaced by an
     * explicit 3-decimal rounding — numerically identical to writing
@@ -191,9 +211,11 @@ object Convert {
     // rows instead of re-deriving the scan
     val secsumm = localize(spark, CsvIO.load(spark, secSummPath, SectionSummaryFormat, withSeq = true))
     val sparse = localize(spark, CsvIO.load(spark, sparsePath, SparseSpliceFormat, withSeq = true))
-    validateSectionColumnsBatch(Seq(
-      (sparse, Seq("TopSection", "BottomSection"), "Sparse Splice"),
-      (secsumm, Seq("Section"), "Section Summary")))
+    // the tables were just collected into LocalRelations, so the P16
+    // pre-flight validates the local rows directly — zero Spark jobs
+    // (the aggregate form below stays the API for distributed tables)
+    validateSectionColumnsLocal(sparse, Seq("TopSection", "BottomSection"), "Sparse Splice")
+    validateSectionColumnsLocal(secsumm, Seq("Section"), "Section Summary")
     Progress.report(25, "Processing sparse splice intervals...")
     val (sitDf, onAffines) = SpliceBuilder.sparseSpliceToSIT(spark, sparse, secsumm, opts)
     val sitRounded = localize(spark, CsvIO.roundNumeric(sitDf, SITFormat))
