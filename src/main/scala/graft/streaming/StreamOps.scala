@@ -45,6 +45,43 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming curation filter: the stateless stages of
+    * `graft.ops.CurationPipeline` (length / language / repetition)
+    * applied to a document stream. Stateless selects compose with any
+    * downstream watermarked stage (e.g. `dedupStream` on the
+    * fingerprint) — the standard shape for filtering a crawl firehose
+    * before it ever lands: per-row expressions only, no state, no
+    * shuffle, identical semantics to the batch operator (asserted by
+    * StreamingSpec against `CurationPipeline.signals`).
+    */
+  def curationFilter(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 25, maxTokens: Long = 95,
+      maxDup2gramFrac: Double = 0.1): DataFrame = {
+    val w = col("_w")
+    val g2 = col("_g2")
+    val grams2 = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    ).otherwise(array())
+    val passthrough = docs.columns.map(col).toSeq
+    docs
+      .withColumn("_w", split(lower(col(textCol)), "\\s+"))
+      // explode(array(..)) Generate barrier (see DedupOps.wordShingles)
+      // so the tokenizer is not inlined into the per-element gram
+      // lambda; Generate is stateless and streaming-safe
+      .withColumn("_g2x", explode(array(grams2)))
+      .select(passthrough :+ col("_g2x").as("_g2"): _*)
+      .withColumn("_toks", regexp_count(col(textCol), lit("\\S+")))
+      .withColumn("_dup2", when(size(g2) > 0,
+        lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2))
+        .otherwise(0.0))
+      .filter(col("_toks").between(minTokens, maxTokens) &&
+        graft.ops.TextOps.langScore(col(textCol), "en") > 0 &&
+        col("_dup2") <= maxDup2gramFrac)
+      .withColumn("fp", graft.ops.TextOps.fingerprint(col(textCol)))
+      .drop("_g2", "_toks", "_dup2")
+  }
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(count: Long, lastTsMs: Long)
   case class SessionOut(user_id: Long, n_sessions: Long)

@@ -68,6 +68,18 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile lands within its rank-accuracy bound of the exact median") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val n = li.count()
+    val approx = li.agg(expr("approx_percentile(l_extendedprice, 0.5D, 100)"))
+      .head().getDouble(0)
+    // the sketch guarantees rank error <= n/accuracy; verify the rank
+    // of the returned value, not its magnitude
+    val rank = li.filter(col("l_extendedprice") <= approx).count()
+    assert(math.abs(rank - n / 2.0) <= n / 100.0 + 1,
+      s"approx median $approx has rank $rank of $n")
+  }
+
   test("salted join equals plain join; hot-key detection finds the skew") {
     import graft.ops.SkewOps
     // one hot key (0) with 5000 rows, long tail of singletons

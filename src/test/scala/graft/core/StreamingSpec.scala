@@ -74,6 +74,34 @@ class StreamingSpec extends SparkSpec {
     assert(survivors == Set(1L, 2L, 4L))
   }
 
+  test("streaming curation filter keeps exactly the batch pipeline's stateless survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val uniq = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"the $uniq"),                       // survives
+      (2L, Seq.fill(50)("x").mkString(" ")),    // no en markers
+      (3L, "the quick brown fox"),              // too short
+      (4L, "the " + Seq.fill(30)("ab cd").mkString(" ")))  // repetitive
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamOps.curationFilter(docs, "doc_id", "text")
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curated")
+    assert(streamed.columns.toSet == Set("doc_id", "text", "fp"))
+    val streamIds = streamed.select("doc_id").as[Long].collect().toSet
+    // the batch pipeline's pass_rep flag covers the same stateless stages
+    val batchIds = graft.ops.CurationPipeline
+      .signals(rows.toDF("doc_id", "text"),
+        spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit("").as("text")),
+        "doc_id", "text")
+      .filter(col("pass_rep")).select("id").as[Long].collect().toSet
+    assert(streamIds == batchIds && streamIds == Set(1L), s"$streamIds vs $batchIds")
+  }
+
   test("stateful sessionizer agrees with the batch gap sessionization") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
