@@ -58,6 +58,13 @@ object GraftFunctions {
         require(children.size == 1,
           s"graft_simhash requires exactly 1 argument, got ${children.size}")
         SimHashAgg(children.head)
+      }),
+    ("graft_ordered_pairs",
+      new ExpressionInfo(classOf[OrderedPairs].getName, "graft_ordered_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_ordered_pairs requires exactly 1 argument, got ${children.size}")
+        OrderedPairs(children.head)
       }))
 
   /** Register into an existing session's function registry. Idempotent. */

@@ -103,15 +103,16 @@ object DedupOps {
     // dropping it here keeps every denominator exact — only
     // intersections through ultra-common shingles are forfeited,
     // standard inverted-index prefix-filter practice.
+    graft.functions.GraftFunctions.register(shingles.sparkSession)
     val grouped = hashed.groupBy("shingle")
       .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDocFrequency)
-    grouped.select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.getField("id").as("a"), x.getField("n_sh").as("n_a"),
-            y.getField("id").as("b"), y.getField("n_sh").as("n_b")))))).as("p"))
-      .groupBy(col("p.a").as("a_id"), col("p.b").as("b_id"),
-        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+    // pair expansion via the native generator (graft_ordered_pairs):
+    // lazy (a, b) emission straight from the posting list — no nested
+    // array materialization, no per-element slice copies
+    grouped.select(call_function("graft_ordered_pairs", col("ids")).as(Seq("x", "y")))
+      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
@@ -185,13 +186,13 @@ object DedupOps {
     val grouped = banded.groupBy(col("b"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
       .filter(size(col("ms")) > 1)
-    grouped.select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
-          struct(x.getField("id").as("a"), y.getField("id").as("b"),
-            size(filter(zip_with(x.getField("sig"), y.getField("sig"),
-              (p, q) => p === q), e => e)).as("agree")))))).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
-        round(col("p.agree").cast("double") / numHashes, 4).as("est_jaccard"))
+    // native lazy pair expansion (see ngramJaccardPairs); agreement is
+    // computed on the emitted pair's carried signature arrays
+    grouped.select(call_function("graft_ordered_pairs", col("ms")).as(Seq("x", "y")))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        round(size(filter(zip_with(col("x.sig"), col("y.sig"),
+          (p, q) => p === q), e => e)).cast("double") / numHashes, 4)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .distinct()
   }

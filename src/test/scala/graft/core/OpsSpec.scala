@@ -242,6 +242,37 @@ class OpsSpec extends SparkSpec {
     assert(out("k2").getLong(1) == 4L && out("k2").getLong(3) == 1L)
   }
 
+  test("graft_ordered_pairs emits exactly the composed expansion's pairs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val lists = Seq(
+      Seq(1L, 2L, 3L, 4L), Seq(7L), Seq.empty[Long], Seq(5L, 6L),
+      (1L to 30L))
+    val df = lists.toDF("ids")
+    val native = df
+      .select(call_function("graft_ordered_pairs", col("ids")).as(Seq("a", "b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val composed = df
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(native.sameElements(composed),
+      s"native ${native.length} vs composed ${composed.length}")
+    assert(native.length == 6 + 0 + 0 + 1 + 30 * 29 / 2)
+    // struct elements pass through by field
+    val s = Seq(Seq((1L, "x"), (2L, "y"), (3L, "z"))).toDF("ids")
+      .select(call_function("graft_ordered_pairs", col("ids")).as(Seq("a", "b")))
+      .select(col("a._1"), col("b._2"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s.toSet == Set((1L, "y"), (1L, "z"), (2L, "z")))
+    // SQL surface + null propagation
+    assert(spark.sql("SELECT graft_ordered_pairs(array(1, 2, 3))").count() == 3)
+    assert(spark.sql(
+      "SELECT graft_ordered_pairs(CAST(NULL AS ARRAY<INT>))").count() == 0)
+  }
+
   test("ngram Jaccard skew guard caps hot shingles, keeps exact denominators") {
     // 40 docs all sharing one stopword-heavy phrase + a unique tail;
     // two true near-duplicates sharing rare shingles.
