@@ -82,16 +82,25 @@ object SimilarityOps {
 
   /** Embedding-cosine near-duplicate pairs: bucket by hyperplane sign
     * bits, generate pairs only within a bucket, keep pairs above the
-    * cosine threshold. The bucket equi-join replaces the all-pairs
-    * cross product; recall is tuned by nbits (fewer bits → bigger
-    * buckets → higher recall, more work).
+    * cosine threshold. Bucketing replaces the all-pairs cross product;
+    * recall is tuned by nbits (fewer bits → bigger buckets → higher
+    * recall, more work).
+    *
+    * Physical form matches the other posting-list expanders: ONE
+    * shuffle groups each bucket's (id, vector) members, then
+    * `graft_ordered_pairs` lazily emits the i<j pairs — no self-join,
+    * no second exchange. Buckets are the skew contract: a bucket of f
+    * members costs O(f²) pairs, bounded by nbits.
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, nbits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), nbits))
-    base.as("x").join(base.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+    base.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(call_function("graft_ordered_pairs", col("ms")).as(Seq("x", "y")))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         round(nativeCosine(emb)(col("x.v"), col("y.v")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
