@@ -36,7 +36,12 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 1) usage()
     // spark-submit injects the master; default to local[*] when run
-    // directly (sbt runMain, plain java -cp)
+    // directly (sbt runMain, plain java -cp). When a host application
+    // (or test harness) already owns a session, reuse it and do NOT
+    // stop it on exit — stopping a borrowed session would tear down
+    // the caller's executors.
+    val borrowed = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val builder = SparkSession.builder()
       .appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
@@ -95,6 +100,6 @@ object Main {
 
       case other =>
         System.err.println(s"unknown command: $other"); usage()
-    } finally spark.stop()
+    } finally if (!borrowed) spark.stop()
   }
 }
