@@ -122,6 +122,30 @@ object TextOps {
       .select(col("id") +: metricCols: _*)
   }
 
+  /** PII patterns (fixed, deterministic): emails, IPv4 addresses,
+    * simple dashed phone numbers. Pure codegen regex — a scrub over
+    * 100 TB is a projection, no shuffle. The pattern set is
+    * deliberately conservative/auditable, not a best-effort NER.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Re))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
+  /** Redact all PII matches with a fixed token (order: email, ip,
+    * phone — emails are scrubbed before the ip pattern can nibble at
+    * dotted hostnames).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<PII>"),
+        Ipv4Re, "<PII>"),
+      PhoneRe, "<PII>")
+
   /** Per-document quality metrics (ratios rounded for cross-engine
     * determinism — integer counts divide exactly in ieee754 but the
     * rounding keeps the oracle contract explicit).

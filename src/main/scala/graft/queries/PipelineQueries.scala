@@ -142,6 +142,25 @@ object PipelineQueries {
       DedupOps.keepBest(Tables(s, d, "documents"), "doc_id",
         TextOps.fingerprint(col("text")), col("n_chars"))),
 
+    // PII detect + redact: deterministic PII is injected into the
+    // synthetic corpus (which has none) so the scrub has real work;
+    // everything is codegen regex in one projection — no shuffle.
+    "q64_pii_scrub" -> ((s, d) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 250).cast("string"), lit(".1")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          TextOps.emailCount(col("t")).as("n_email"),
+          TextOps.ipv4Count(col("t")).as("n_ip"),
+          TextOps.phoneCount(col("t")).as("n_phone"),
+          md5(TextOps.redactPii(col("t")).cast("binary")).as("redacted_md5"))
+    }),
+
     // End-to-end curation funnel: length → language → repetition →
     // contamination → dedup, all signals from ONE corpus scan, stage
     // counts from one aggregation of cumulative flags.
@@ -307,6 +326,22 @@ object PipelineQueries {
         |                    least(least(i * bk, n - 1) + bk, n)),
         |    j -> unicode(text[j]))))), 4) AS feat_sum
         |FROM f""".stripMargin,
+    "q64_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com'
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN ' from 10.0.' || (doc_id % 250) || '.1' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+        | CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
+        | CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INTEGER) AS n_phone,
+        | md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+        |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<PII>', 'g'),
+        |   '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PII>', 'g')) AS redacted_md5
+        |FROM t""".stripMargin,
     "q63_curation_funnel" ->
       """WITH w0 AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w
         | FROM documents),

@@ -206,6 +206,27 @@ class OpsSpec extends SparkSpec {
       s"benchmark gram set must broadcast:\n$plan")
   }
 
+  test("PII scrub redacts every detected pattern and only those") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "mail a.b+c@ex-ample.co.uk then 192.168.1.10 or 555-123-4567 end"),
+      (2L, "clean text, version 1.2 build 3.4.5, ext 12345"),
+      (3L, "two mails x@y.io z@w.ai"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextOps.emailCount(col("text")).as("e"),
+      TextOps.ipv4Count(col("text")).as("i"),
+      TextOps.phoneCount(col("text")).as("p"),
+      TextOps.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1 && out(1L).getInt(2) == 1 && out(1L).getInt(3) == 1)
+    assert(out(1L).getString(4) == "mail <PII> then <PII> or <PII> end")
+    // version strings and short numbers are NOT eaten
+    assert(out(2L).getInt(1) == 0 && out(2L).getInt(2) == 0 && out(2L).getInt(3) == 0)
+    assert(out(2L).getString(4) == "clean text, version 1.2 build 3.4.5, ext 12345")
+    assert(out(3L).getInt(1) == 2 && out(3L).getString(4) == "two mails <PII> <PII>")
+  }
+
   test("curation funnel: each stage drops exactly the crafted offenders") {
     import graft.ops.CurationPipeline
     val uniq = (1 to 40).map(i => s"tok$i").mkString(" ")
