@@ -122,6 +122,23 @@ object TextOps {
       .select(col("id") +: metricCols: _*)
   }
 
+  /** Corpus vocabulary: per token, total occurrences (tf) and document
+    * frequency (df) — the input a tokenizer-training or stopword-
+    * mining stage consumes. One explode + one aggregation; tf comes
+    * from a count and df from counting each document's DISTINCT
+    * tokens, both map-side-combined on the token key. `topK` bounds
+    * the result via one final ordered take (ties broken by token).
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    val tok = explode(filter(split(lower(col(textCol)), "\\s+"), _ =!= "")).as("tok")
+    df.select(col(idCol).as("id"), tok)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(topK)
+  }
+
   /** PII patterns (fixed, deterministic): emails, IPv4 addresses,
     * simple dashed phone numbers. Pure codegen regex — a scrub over
     * 100 TB is a projection, no shuffle. The pattern set is

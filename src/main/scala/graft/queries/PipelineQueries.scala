@@ -142,6 +142,11 @@ object PipelineQueries {
       DedupOps.keepBest(Tables(s, d, "documents"), "doc_id",
         TextOps.fingerprint(col("text")), col("n_chars"))),
 
+    // Corpus vocabulary (tokenizer-training / stopword-mining input):
+    // explode + one token-keyed aggregation + bounded ordered take.
+    "q65_vocabulary" -> ((s, d) =>
+      TextOps.vocabulary(Tables(s, d, "documents"), "doc_id", "text", 100)),
+
     // PII detect + redact: deterministic PII is injected into the
     // synthetic corpus (which has none) so the scrub has real work;
     // everything is codegen regex in one projection — no shuffle.
@@ -326,6 +331,13 @@ object PipelineQueries {
         |                    least(least(i * bk, n - 1) + bk, n)),
         |    j -> unicode(text[j]))))), 4) AS feat_sum
         |FROM f""".stripMargin,
+    "q65_vocabulary" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        | FROM documents)
+        |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM tk GROUP BY tok
+        |ORDER BY tf DESC, tok LIMIT 100""".stripMargin,
     "q64_pii_scrub" ->
       """WITH t AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@example.com'
