@@ -46,4 +46,45 @@ object LayoutOps {
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
   }
+
+  /** Z-value (Morton code) of two numeric columns: each is normalized
+    * into `bits`-bit integer grid cells over its [min, max] domain,
+    * then the bits interleave. Sorting by the z-value keeps rows that
+    * are close in BOTH dimensions close in file order — so per-file
+    * min/max envelopes stay tight on every participating column, and a
+    * predicate on ANY of them prunes. A 1-D sort gives tight envelopes
+    * only on its own key; the second column smears across the full
+    * domain in every file (asserted in LayoutSpec).
+    *
+    * Pure codegen bit arithmetic — no UDF, no shuffle of its own.
+    * Domains are caller-supplied (at scale: from table stats or a
+    * sampling pass), matching how table formats implement OPTIMIZE
+    * ZORDER.
+    */
+  def zValue(x: Column, xMin: Double, xMax: Double,
+      y: Column, yMin: Double, yMax: Double, bits: Int = 16): Column = {
+    import org.apache.spark.sql.functions.{least, lit, greatest, shiftleft, shiftright}
+    val cells = (1 << bits) - 1
+    def cell(c: Column, lo: Double, hi: Double): Column =
+      least(greatest(((c.cast("double") - lo) / (hi - lo) * cells).cast("long"),
+        lit(0L)), lit(cells.toLong))
+    val cx = cell(x, xMin, xMax)
+    val cy = cell(y, yMin, yMax)
+    (0 until bits).map { i =>
+      shiftleft(shiftright(cx, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(cy, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered parquet layout over two pruning columns. */
+  def writeZOrdered(df: DataFrame, path: String,
+      x: String, xMin: Double, xMax: Double,
+      y: String, yMin: Double, yMax: Double,
+      numFiles: Int): Unit =
+    df.withColumn("_z", zValue(col(x), xMin, xMax, col(y), yMin, yMax))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
 }

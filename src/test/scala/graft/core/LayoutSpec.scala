@@ -70,4 +70,42 @@ class LayoutSpec extends SparkSpec {
       .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp")).count()
     assert(a == b && a > 0)
   }
+
+  test("z-order layout keeps BOTH columns prunable where a 1-D sort smears the second") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val dom = orders.agg(
+      min("o_totalprice"), max("o_totalprice"),
+      min("o_custkey").cast("double"), max("o_custkey").cast("double")).head()
+    val (pLo, pHi, cLo, cHi) =
+      (dom.getDouble(0), dom.getDouble(1), dom.getDouble(2), dom.getDouble(3))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val pDir = java.nio.file.Files.createTempDirectory("graft_p").toString
+    LayoutOps.writeZOrdered(orders, zDir,
+      "o_totalprice", pLo, pHi, "o_custkey", cLo, cHi, numFiles = 16)
+    LayoutOps.writeRangeSorted(orders, pDir, Seq("o_totalprice"), 16)
+
+    // per-file envelopes of the SECOND column (custkey)
+    def custEnvelopes(dir: String): Array[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("o_custkey").as("lo"), max("o_custkey").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // box: bottom quarter of the custkey domain
+    val cut = (cLo + (cHi - cLo) / 4).toLong
+    def overlapping(env: Array[(Long, Long)]): Int =
+      env.count { case (lo, _) => lo <= cut }
+    val zEnv = custEnvelopes(zDir)
+    val pEnv = custEnvelopes(pDir)
+    assert(zEnv.length == 16 && pEnv.length == 16)
+    // price-sorted files each span ~the whole custkey domain: no
+    // custkey pruning at all
+    assert(overlapping(pEnv) == 16, s"price-sorted: ${overlapping(pEnv)} of 16")
+    // z-ordered files tile the (price, cust) plane: a custkey quarter
+    // touches only the files in that stripe
+    assert(overlapping(zEnv) <= 12,
+      s"z-ordered: ${overlapping(zEnv)} of 16 overlap " +
+        zEnv.map(e => s"[${e._1},${e._2}]").mkString(","))
+    // layout changes nothing about the data
+    assert(spark.read.parquet(zDir).count() == orders.count())
+  }
 }
