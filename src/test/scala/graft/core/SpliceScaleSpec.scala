@@ -48,7 +48,9 @@ class SpliceScaleSpec extends SparkSpec {
     assert(tops.sliding(2).forall { case Array(a, b) => a < b; case _ => true },
       "TopDepthCCSF not monotone")
     // bounded time: the 58-interval reference case runs ~3 s; 2000
-    // intervals must stay same-order (fold is linear, plans constant)
-    assert(secs < 30.0, s"2000-interval convert took $secs s")
+    // intervals must stay same-order (fold is linear, plans constant).
+    // The bound is deliberately loose — it exists to catch a quadratic
+    // regression, not to benchmark a possibly-loaded CI machine.
+    assert(secs < 60.0, s"2000-interval convert took $secs s")
   }
 }
