@@ -116,13 +116,21 @@ object Convert {
     * form exactly: a value is bad iff it is non-null and neither 'CC'
     * nor an integer (nulls never survive the format layer's scrub).
     */
-  private def validateSectionColumnsLocal(df: DataFrame, colNames: Seq[String],
+  private[core] def validateSectionColumnsLocal(df: DataFrame, colNames: Seq[String],
       what: String): Unit = {
+    // Regex parity with the distributed path: DepthOps.isValidSection
+    // uses `rlike`, whose FIND semantics let `$` match before a final
+    // newline (reachable via quoted CSV fields) — `String.matches`
+    // would reject such a value that the distributed validator
+    // accepts. Use the same find semantics here.
+    val pat = java.util.regex.Pattern.compile("^-?[0-9]+$")
     val rows = df.select(colNames.map(col): _*).collect()
     colNames.zipWithIndex.foreach { case (c, i) =>
       val bad = rows.exists { r =>
-        val v = r.getString(i)
-        v != null && !(v == "CC" || v.matches("^-?[0-9]+$"))
+        // Non-string cells coerce via toString, matching rlike's
+        // implicit string cast (and never throwing ClassCastException).
+        val v = r.get(i) match { case null => null; case o => o.toString }
+        v != null && !(v == "CC" || pat.matcher(v).find())
       }
       if (bad)
         throw new FormatError(

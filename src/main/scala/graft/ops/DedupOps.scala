@@ -70,20 +70,30 @@ object DedupOps {
     * size, so the Jaccard denominator stays exact; only intersections
     * through ultra-common shingles are forfeited — standard inverted-
     * index prefix-filter practice.
+    *
+    * `sizesProvided = true` promises the input is `wordShingles`-shaped:
+    * distinct (id, shingle) rows carrying the per-document set size in
+    * `n_sh`. That skips a size aggregation + join (the fast path is TWO
+    * total shuffles). The promise is an explicit opt-in, not inferred
+    * from the column name — a caller-supplied frame that merely happens
+    * to contain an unrelated `n_sh` column gets the safe path.
     */
   def ngramJaccardPairs(shingles: DataFrame, minJaccard: Double,
-      maxDocFrequency: Long = Long.MaxValue): DataFrame = {
+      maxDocFrequency: Long = Long.MaxValue,
+      sizesProvided: Boolean = false): DataFrame = {
     // The Jaccard denominator (per-doc set size) rides along each
-    // exploded row when the input came from `wordShingles` (narrow,
-    // free); a generic (id, shingle) input derives it with one
-    // aggregation + join. The fast path is TWO total shuffles:
-    // groupBy(shingle) to form posting lists, groupBy(pair) to count
-    // intersections — sizes never need re-aggregating or joining back.
+    // exploded row when the caller vouches for wordShingles shape
+    // (narrow, free); otherwise derive it with one aggregation + join
+    // over distinct (id, shingle) rows.
     val sized =
-      if (shingles.columns.contains("n_sh")) shingles
-      else {
-        val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n_sh"))
-        shingles.join(sizes, "id")
+      if (sizesProvided) {
+        require(shingles.columns.contains("n_sh"),
+          "sizesProvided = true requires an n_sh column (wordShingles output)")
+        shingles
+      } else {
+        val distinctSh = shingles.select("id", "shingle").distinct()
+        val sizes = distinctSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+        distinctSh.join(sizes, "id")
       }
     // Join on the 64-bit shingle hash, not the string: ~3× narrower
     // shuffle and cheaper equality. A cross-document hash collision
@@ -254,7 +264,11 @@ object DedupOps {
     * `min_by` over (−score, id): min of the negated score is the max
     * score, ties resolve to the lowest id. The score is cast to
     * double for negation (exact for |score| < 2⁵³); the emitted
-    * keep_score keeps the original type.
+    * keep_score keeps the original type. A NULL score negates to
+    * +Infinity so unscored documents lose to any scored one (bare
+    * struct ordering would sort nulls FIRST and pick them); NaN
+    * negates to NaN, which Spark orders above +Infinity — last either
+    * way.
     */
   def keepBest(docs: DataFrame, idCol: String, dedupKey: Column,
       score: Column): DataFrame =
@@ -262,7 +276,8 @@ object DedupOps {
       .groupBy("dedup_key")
       .agg(
         min_by(struct(col("id"), col("_score")),
-          struct((-col("_score").cast("double")).as("negScore"), col("id")))
+          struct(coalesce(-col("_score").cast("double"),
+            lit(Double.PositiveInfinity)).as("negScore"), col("id")))
           .as("best"),
         count(lit(1)).as("n_candidates"))
       .select(col("dedup_key"), col("best.id").as("keep_id"),

@@ -63,8 +63,11 @@ object LayoutOps {
     */
   def zValue(x: Column, xMin: Double, xMax: Double,
       y: Column, yMin: Double, yMax: Double, bits: Int = 16): Column = {
+    // bits > 31 would push shift amounts past 63, where Java/Spark
+    // shifts wrap mod 64 and silently corrupt the interleave.
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     import org.apache.spark.sql.functions.{least, lit, greatest, shiftleft, shiftright}
-    val cells = (1 << bits) - 1
+    val cells = (1L << bits) - 1
     def cell(c: Column, lo: Double, hi: Double): Column =
       least(greatest(((c.cast("double") - lo) / (hi - lo) * cells).cast("long"),
         lit(0L)), lit(cells.toLong))

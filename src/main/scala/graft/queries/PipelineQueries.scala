@@ -77,7 +77,8 @@ object PipelineQueries {
     // Exact n-gram Jaccard pairs over 3-gram shingles.
     "q39_ngram_jaccard" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(
-        DedupOps.wordShingles(Tables(s, d, "documents"), "doc_id", "text", 3), 0.2)),
+        DedupOps.wordShingles(Tables(s, d, "documents"), "doc_id", "text", 3), 0.2,
+        sizesProvided = true)),
 
     // MinHash+LSH near-dup candidate pairs — no oracle (xxhash64).
     "q40_minhash_lsh" -> ((s, d) =>

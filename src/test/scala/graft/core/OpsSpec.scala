@@ -146,7 +146,8 @@ class OpsSpec extends SparkSpec {
 
     // jaccard: the duplicate pair at exactly 1.0, no cross pair at 1.0
     val sh = DedupOps.wordShingles(docs, "doc_id", "text", 3)
-    val jac = DedupOps.ngramJaccardPairs(sh, minJaccard = 0.99).collect()
+    val jac = DedupOps.ngramJaccardPairs(sh, minJaccard = 0.99,
+      sizesProvided = true).collect()
     assert(jac.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
 
     // minhash+LSH: identical signatures bucket together with est 1.0
@@ -261,6 +262,42 @@ class OpsSpec extends SparkSpec {
     assert(out("k1").getLong(1) == 2L)   // ties 2,3 at 30 -> lowest id
     assert(out("k1").getLong(2) == 30L && out("k1").getLong(3) == 3L)
     assert(out("k2").getLong(1) == 4L && out("k2").getLong(3) == 1L)
+  }
+
+  test("keepBest never elects a NULL-scored document over a scored one") {
+    // Bare ascending struct ordering sorts nulls FIRST — a null score
+    // would beat every real one. The coalesce(−score, +Inf) fix makes
+    // unscored docs lose; an all-null cluster still resolves (lowest id).
+    val docs = Seq(
+      (1L, "k1", Some(2L)), (2L, "k1", None), (3L, "k1", Some(7L)),
+      (4L, "k2", None), (5L, "k2", None))
+      .toDF("doc_id", "fp", "score")
+    val out = DedupOps.keepBest(docs, "doc_id", col("fp"), col("score"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k1").getLong(1) == 3L, "scored doc beats null-scored")
+    assert(out("k2").getLong(1) == 4L, "all-null cluster keeps lowest id")
+  }
+
+  test("jaccard safe path ignores an unrelated n_sh column and derives sizes") {
+    // A caller-supplied frame with a bogus n_sh column must NOT be
+    // trusted as wordShingles output: denominators are derived from
+    // the distinct (id, shingle) rows unless sizesProvided = true.
+    val sh = Seq(
+      (1L, "a a a", 999L), (1L, "b b b", 999L),
+      (2L, "a a a", 999L), (2L, "b b b", 999L), (2L, "b b b", 999L))
+      .toDF("id", "shingle", "n_sh")
+    val out = DedupOps.ngramJaccardPairs(sh, 0.1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // |A|=2, |B|=2 (duplicate row deduped), |A∩B|=2 -> jaccard 1.0
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("zValue rejects bit widths that would wrap 64-bit shifts") {
+    import graft.ops.LayoutOps
+    intercept[IllegalArgumentException] { LayoutOps.zValue(col("x"), 0, 1, col("y"), 0, 1, bits = 32) }
+    intercept[IllegalArgumentException] { LayoutOps.zValue(col("x"), 0, 1, col("y"), 0, 1, bits = 0) }
   }
 
   test("graft_ordered_pairs emits exactly the composed expansion's pairs") {

@@ -61,4 +61,29 @@ class SpliceAbortSpec extends SparkSpec {
     val second = apOut(1).sit
     assert(second.topCCSF >= apOut(0).sit.botCCSF)
   }
+
+  test("P16 local validator matches the distributed rlike semantics") {
+    import graft.core.splice.Convert
+    import graft.core.format.FormatError
+    import spark.implicits._
+    // rlike has FIND semantics: `$` matches before a trailing newline
+    // (reachable via a quoted CSV field), so "3\n" is VALID to the
+    // distributed check — the local one must agree, and a genuinely
+    // bad value must still raise FormatError, not pass or CCE.
+    val ok = Seq("3\n", "CC", "-2", "117").toDF("Section")
+    Convert.validateSectionColumnsLocal(ok, Seq("Section"), "Section Summary")
+    val e = intercept[FormatError] {
+      Convert.validateSectionColumnsLocal(
+        Seq("3", "4A").toDF("Section"), Seq("Section"), "Section Summary")
+    }
+    assert(e.getMessage.contains("non-integer values"))
+    // non-string cells coerce like rlike's implicit cast — no
+    // ClassCastException, integers validate as their decimal form
+    Convert.validateSectionColumnsLocal(
+      Seq(1, 2, -3).toDF("Section"), Seq("Section"), "Section Summary")
+    intercept[FormatError] {
+      Convert.validateSectionColumnsLocal(
+        Seq(1.5).toDF("Section"), Seq("Section"), "Section Summary")
+    }
+  }
 }
