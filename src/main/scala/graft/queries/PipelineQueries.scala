@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, MultimodalOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -176,10 +176,78 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text")
+    }),
+
+    // Near-dup clusters: connected components over the exact-Jaccard
+    // pair graph (q39's edge set) — pairs become actionable dedup
+    // groups. Iterative min-label propagation, lineage truncated per
+    // round (GraphOps scaladoc).
+    "q66_dup_components" -> ((s, d) =>
+      GraphOps.connectedComponents(
+        DedupOps.ngramJaccardPairs(
+          DedupOps.wordShingles(Tables(s, d, "documents"), "doc_id", "text", 3),
+          0.2, sizesProvided = true),
+        "a_id", "b_id")
+        .select(col("id"), col("comp").as("component"))),
+
+    // Cluster-dedup end-to-end: one survivor per near-dup cluster
+    // (longest text, ties to lowest id), untouched documents kept.
+    "q67_dedup_survivors" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      GraphOps.nearDupSurvivors(docs, "doc_id", "n_chars",
+        DedupOps.ngramJaccardPairs(
+          DedupOps.wordShingles(docs, "doc_id", "text", 3), 0.2,
+          sizesProvided = true),
+        "a_id", "b_id")
+        .select(col("doc_id"), col("n_chars"))
     }))
+
+  /** Shared oracle prefix for q66/q67: the q39 Jaccard pair graph,
+    * symmetrized, closed under reachability with a recursive CTE
+    * (UNION set semantics terminate the recursion), reduced to
+    * min-reachable-id components — the SQL mirror of
+    * GraphOps.connectedComponents.
+    */
+  private val componentsCte: String =
+    """WITH RECURSIVE sh AS (
+      | SELECT DISTINCT doc_id AS id, shingle FROM (
+      |  SELECT doc_id,
+      |   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |        FROM documents) t0) t1),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+      |inter AS (
+      | SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+      | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      | GROUP BY 1, 2),
+      |edges AS (
+      | SELECT a_id, b_id FROM inter
+      | JOIN sizes sa ON inter.a_id = sa.id
+      | JOIN sizes sb ON inter.b_id = sb.id
+      | WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 5) >= 0.2),
+      |bi AS (SELECT a_id AS u, b_id AS v FROM edges
+      |       UNION SELECT b_id, a_id FROM edges),
+      |reach(u, v) AS (
+      | SELECT u, u FROM (SELECT DISTINCT u FROM bi) nodes
+      | UNION
+      | SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+      |comps AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u)
+      |""".stripMargin
 
   /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
   val oracles: Map[String, String] = Map(
+    "q66_dup_components" ->
+      (componentsCte + "SELECT id, component FROM comps"),
+    "q67_dedup_survivors" ->
+      (componentsCte +
+        """,keep AS (SELECT id FROM (
+          | SELECT c.id, row_number() OVER (PARTITION BY c.component
+          |   ORDER BY d.n_chars DESC, c.id) AS rn
+          | FROM comps c JOIN documents d ON d.doc_id = c.id) t WHERE rn = 1),
+          |losers AS (SELECT id FROM comps WHERE id NOT IN (SELECT id FROM keep))
+          |SELECT doc_id, n_chars FROM documents
+          |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin),
     "q30_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies

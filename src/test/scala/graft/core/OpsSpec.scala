@@ -300,6 +300,48 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { LayoutOps.zValue(col("x"), 0, 1, col("y"), 0, 1, bits = 0) }
   }
 
+  test("connectedComponents closes chains, honors duplicates/reversed edges") {
+    import graft.ops.GraphOps
+    // Two components: a 5-node CHAIN (diameter 4 — forces multiple
+    // propagation rounds) and a pair; duplicate + reversed edges must
+    // not change the result. Nodes appear only via edges.
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (5L, 4L), (4L, 3L),
+      (10L, 11L))
+      .toDF("src", "dst")
+    val cc = GraphOps.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents maxIter caps rounds but still labels every node") {
+    import graft.ops.GraphOps
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val capped = GraphOps.connectedComponents(chain, "src", "dst", maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.keySet == (1L to 8L).toSet)
+    // one round: each node has min(self, neighbors' initial) — not yet all 1
+    assert(capped(8L) == 7L && capped(1L) == 1L)
+    val full = GraphOps.connectedComponents(chain, "src", "dst")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(full == Set(1L))
+  }
+
+  test("nearDupSurvivors keeps the best per cluster and all untouched docs") {
+    import graft.ops.GraphOps
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "b", 30L), (3L, "c", 20L), // cluster 1-2-3
+      (7L, "d", 5L),                                   // untouched
+      (8L, "e", 4L), (9L, "f", 4L))                    // cluster 8-9, tie
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a_id", "b_id")
+    val out = GraphOps.nearDupSurvivors(docs, "doc_id", "n_chars",
+      pairs, "a_id", "b_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 7L, 8L)) // 2: top score; 7: no edges; 8: tie->low id
+  }
+
   test("graft_ordered_pairs emits exactly the composed expansion's pairs") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
