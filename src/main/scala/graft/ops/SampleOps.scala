@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and split assignment.
+  *
+  * Training-data pipelines need sampling that is REPRODUCIBLE — the
+  * same document lands in the same sample/split on every rerun, on
+  * any engine, at any parallelism. RNG-based sampling (`df.sample`,
+  * `rand(seed)`) is none of those: it depends on partition layout and
+  * the engine's generator. The standard fix is content hashing: a
+  * document is kept iff a hash of (salt, key) falls below the target
+  * fraction.
+  *
+  * Implementation note: the decision compares a fixed-width lowercase
+  * hex PREFIX of md5 against a precomputed hex threshold STRING.
+  * Lexicographic order on lowercase hex equals numeric order, md5 is
+  * identical everywhere, and string comparison avoids float parsing —
+  * so the exact same rows pass in Spark and in any SQL engine with
+  * md5() (the DuckDB oracles replay the identical expression).
+  * 13 hex digits = 52 bits of hash: fraction resolution ~2⁻⁵², far
+  * below any corpus-size granularity.
+  *
+  * Scale: pure per-row codegen'd expressions — no shuffle, no state,
+  * no driver involvement; filters push down past them freely.
+  */
+object SampleOps {
+
+  private val Width = 13
+  private val Space = BigInt(16).pow(Width) // 2^52 buckets
+
+  /** Lowercase-hex md5 prefix of (salt, key) — the sampling coordinate
+    * in [0, 16^13) as a fixed-width hex string.
+    */
+  def hashCoord(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast("string")).cast("binary")), 1, Width)
+
+  /** Hex threshold below which a coordinate is "kept" for `fraction`.
+    * fraction >= 1 returns "g" (sorts above every hex digit: keep
+    * all); fraction <= 0 returns 13 zeros (keep none).
+    */
+  def thresholdHex(fraction: Double): String =
+    if (fraction >= 1.0) "g"
+    else if (fraction <= 0.0) "0" * Width
+    else {
+      val t = (BigDecimal(fraction) * BigDecimal(Space)).toBigInt
+      val hex = t.toString(16)
+      "0" * (Width - hex.length) + hex
+    }
+
+  /** Keep-predicate: true iff (salt, key) hashes into the bottom
+    * `fraction` of the coordinate space.
+    */
+  def keepPredicate(key: Column, fraction: Double, salt: String): Column =
+    hashCoord(key, salt) < lit(thresholdHex(fraction))
+
+  /** Deterministic uniform sample: every engine, every rerun, every
+    * partitioning keeps exactly the same rows.
+    */
+  def deterministicSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      fraction: Double, salt: String): org.apache.spark.sql.DataFrame =
+    df.filter(keepPredicate(col(keyCol), fraction, salt))
+
+  /** Stratified deterministic sample: per-stratum keep fractions (the
+    * domain-mixing primitive — "keep 50% of web, 5% of forums"),
+    * `default` for strata not in the map. One CASE expression, no
+    * shuffle, no per-stratum passes.
+    */
+  def mixturePredicate(key: Column, stratum: Column,
+      fractions: Map[String, Double], default: Double, salt: String): Column = {
+    val coord = hashCoord(key, salt)
+    val byStratum = fractions.foldLeft(lit(thresholdHex(default))) {
+      case (acc, (s, f)) => when(stratum === s, lit(thresholdHex(f))).otherwise(acc)
+    }
+    coord < byStratum
+  }
+
+  /** Deterministic train/val/test (or arbitrary) split assignment:
+    * consecutive half-open intervals of the hash space, in the given
+    * order, remainder to the last label. A document's split never
+    * changes across reruns, and sampling (different salt) stays
+    * independent of splitting.
+    */
+  def assignSplit(key: Column, splits: Seq[(String, Double)], salt: String): Column = {
+    require(splits.nonEmpty, "assignSplit needs at least one (label, fraction)")
+    val coord = hashCoord(key, salt)
+    val cuts = splits.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val cased = splits.init.zip(cuts).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), cut)) =>
+        val cond = coord < lit(thresholdHex(cut))
+        Some(acc.fold(when(cond, lit(label)))(_.when(cond, lit(label))))
+    }
+    cased.fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1)))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{DedupOps, GraphOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, MultimodalOps, SampleOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** q68/q69 parameters, shared between the Spark queries and their
+    * DuckDB oracles (thresholds are embedded as hex strings so both
+    * engines compare the identical md5 coordinate).
+    */
+  private val MixtureFractions =
+    Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.1)
+  private val SplitSpec =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: single hash shuffle keyed by the text digest.
@@ -190,6 +199,23 @@ object PipelineQueries {
         "a_id", "b_id")
         .select(col("id"), col("comp").as("component"))),
 
+    // Deterministic domain-mixing sample: per-source keep fractions
+    // decided by an md5-prefix coordinate — rerun/engine/partitioning
+    //-stable, pure codegen filter (SampleOps scaladoc).
+    "q68_mixture_sample" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .filter(SampleOps.mixturePredicate(col("doc_id"), col("source"),
+          MixtureFractions, default = 0.05, salt = "mix1"))
+        .select(col("doc_id"), col("source"))),
+
+    // Deterministic train/val/test split assignment on the same hash
+    // coordinate scheme (independent salt).
+    "q69_split_assign" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          SampleOps.assignSplit(col("doc_id"), SplitSpec, salt = "split1")
+            .as("split"))),
+
     // Cluster-dedup end-to-end: one survivor per near-dup cluster
     // (longest text, ties to lowest id), untouched documents kept.
     "q67_dedup_survivors" -> ((s, d) => {
@@ -237,6 +263,25 @@ object PipelineQueries {
 
   /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
   val oracles: Map[String, String] = Map(
+    "q68_mixture_sample" -> {
+      val coord = "substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 13)"
+      val cases = MixtureFractions.map { case (s, f) =>
+        s"WHEN '$s' THEN '${SampleOps.thresholdHex(f)}'"
+      }.mkString(" ")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE $coord < CASE source $cases
+         |  ELSE '${SampleOps.thresholdHex(0.05)}' END""".stripMargin
+    },
+    "q69_split_assign" -> {
+      val coord = "substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 13)"
+      val cuts = SplitSpec.init.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
+      val whens = SplitSpec.init.zip(cuts).map { case ((label, _), cut) =>
+        s"WHEN $coord < '${SampleOps.thresholdHex(cut)}' THEN '$label'"
+      }.mkString(" ")
+      s"""SELECT doc_id,
+         |CASE $whens ELSE '${SplitSpec.last._1}' END AS split
+         |FROM documents""".stripMargin
+    },
     "q66_dup_components" ->
       (componentsCte + "SELECT id, component FROM comps"),
     "q67_dedup_survivors" ->

@@ -342,6 +342,54 @@ class OpsSpec extends SparkSpec {
     assert(out == Set(2L, 7L, 8L)) // 2: top score; 7: no edges; 8: tie->low id
   }
 
+  test("deterministic sampling: partition-invariant, rate-accurate, salt-independent") {
+    import graft.ops.SampleOps
+    val ids = spark.range(0, 20000).toDF("id")
+    val a = SampleOps.deterministicSample(ids, "id", 0.3, "s1")
+      .collect().map(_.getLong(0)).toSet
+    // same rows regardless of physical layout
+    val b = SampleOps.deterministicSample(ids.repartition(7), "id", 0.3, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // empirical rate ~ Binomial(20000, 0.3): ±5σ ≈ ±0.016
+    assert(math.abs(a.size / 20000.0 - 0.3) < 0.017, s"rate ${a.size / 20000.0}")
+    // different salt = independent draw, overlap ~ 0.09 of corpus
+    val c = SampleOps.deterministicSample(ids, "id", 0.3, "s2")
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (a & c).size / 20000.0
+    assert(math.abs(overlap - 0.09) < 0.02, s"overlap $overlap")
+    // nesting: a smaller fraction under the SAME salt is a subset
+    val nested = SampleOps.deterministicSample(ids, "id", 0.1, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(nested.subsetOf(a))
+    // degenerate fractions
+    assert(SampleOps.deterministicSample(ids, "id", 1.0, "s1").count() == 20000)
+    assert(SampleOps.deterministicSample(ids, "id", 0.0, "s1").count() == 0)
+  }
+
+  test("split assignment is exhaustive, exclusive, and rate-accurate") {
+    import graft.ops.SampleOps
+    val ids = spark.range(0, 20000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = ids.withColumn("split",
+      SampleOps.assignSplit(col("id"), splits, "sp"))
+    val counts = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 20000) // every row exactly one label
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02)
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.015)
+    assert(math.abs(counts("test") / 20000.0 - 0.1) < 0.015)
+    // mixture: per-stratum rates follow their own fractions
+    val strat = ids.withColumn("src",
+      concat(lit("src"), (col("id") % 2).cast("string")))
+    val kept = strat.filter(SampleOps.mixturePredicate(col("id"), col("src"),
+        Map("src0" -> 0.5), default = 0.1, salt = "m"))
+      .groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("src0") / 10000.0 - 0.5) < 0.03)
+    assert(math.abs(kept("src1") / 10000.0 - 0.1) < 0.02)
+  }
+
   test("graft_ordered_pairs emits exactly the composed expansion's pairs") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
