@@ -54,27 +54,32 @@ object GraphOps {
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("u").as("id"), col("u").as("comp")).distinct()
+    // Init fuses the first propagation round for free: the label
+    // starts at min(self, direct neighbors) straight off the grouped
+    // edge list, so near-clique dedup graphs need one fewer round.
+    var labels = sym.groupBy("u").agg(min("v").as("_mv"))
+      .select(col("u").as("id"), least(col("u"), col("_mv")).as("comp"))
       .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // Each node hears its neighbors' current labels, then keeps the
       // min of (own label, heard labels). Union + one aggregation —
-      // no outer join needed, and the combine happens map-side.
+      // no outer join needed, and the combine happens map-side. The
+      // node's PREVIOUS label rides through the same aggregation
+      // (min over own-tagged rows only), so convergence — "did any
+      // label strictly decrease?" — is a LOCAL scan of the
+      // checkpointed result, not a join job per round.
       val heard = sym.join(labels.withColumnRenamed("id", "v"), "v")
-        .select(col("u").as("id"), col("comp"))
-      val next = labels.union(heard)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(col("u").as("id"), col("comp"), lit(false).as("own"))
+      val next = labels.withColumn("own", lit(true)).union(heard)
+        .groupBy("id").agg(
+          min("comp").as("comp"),
+          min(when(col("own"), col("comp"))).as("prev"))
         .localCheckpoint()
-      // A label can only decrease; any strict decrease means another
-      // round is needed. The probe is a semi-join-sized check, cheap
-      // against the label table.
-      converged = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") < col("o.comp"))
-        .isEmpty
+      converged = next.filter(col("comp") < col("prev")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "comp")
       iter += 1
     }
     sym.unpersist()

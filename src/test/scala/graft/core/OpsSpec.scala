@@ -321,8 +321,9 @@ class OpsSpec extends SparkSpec {
     val capped = GraphOps.connectedComponents(chain, "src", "dst", maxIter = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped.keySet == (1L to 8L).toSet)
-    // one round: each node has min(self, neighbors' initial) — not yet all 1
-    assert(capped(8L) == 7L && capped(1L) == 1L)
+    // init gives min(self, neighbors); one loop round propagates one
+    // more hop (8 -> 7 at init, hears 7's label 6) — not yet all 1
+    assert(capped(8L) == 6L && capped(1L) == 1L)
     val full = GraphOps.connectedComponents(chain, "src", "dst")
       .collect().map(r => r.getLong(1)).toSet
     assert(full == Set(1L))
