@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column-level data profiling — the guardrail a pipeline runs before
+  * and after every large transform (schema drift, null regressions,
+  * key-cardinality sanity; at 100 TB you profile a table, you don't
+  * eyeball it).
+  *
+  * ONE scan for all columns: the null and distinct counts ride a
+  * single aggregation (multi-column count-distinct plans as one
+  * Expand — rows multiply by the column count map-side, but the input
+  * is read once and the combine is map-side; the alternative, one
+  * pass per column, re-reads the table N times). The wide one-row
+  * result is then unpivoted driver-free into long form.
+  */
+object ProfileOps {
+
+  /** (column, n_nulls, n_distinct) per requested column. Distinct
+    * counts are EXACT (null excluded, matching COUNT(DISTINCT c));
+    * swap countDistinct for approx_count_distinct when profiling at
+    * full corpus scale and ±2% is acceptable.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_nn_$c"), countDistinct(col(c)).as(s"_nd_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("_n_rows"), aggs: _*)
+    wide.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"),
+          (col("_n_rows") - col(s"_nn_$c")).as("n_nulls"),
+          col(s"_nd_$c").as("n_distinct"))
+      }: _*)).as("p"))
+      .select(col("p.column"), col("p.n_nulls"), col("p.n_distinct"))
+  }
+}

@@ -245,6 +245,13 @@ object RelationalQueries {
     // shape); the exact form here is the oracle-checkable twin —
     // Spark's percentile agg gathers per-group value counts, it does
     // NOT globally sort the table.
+    // Column profiling: null + exact distinct counts for four columns
+    // in ONE scan (multi-count-distinct Expand, map-side combine).
+    "q70_profile" -> ((s, d) =>
+      graft.ops.ProfileOps.profile(Tables(s, d, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        .withColumnRenamed("column", "col_name")),
+
     "q62_percentiles" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -448,6 +455,11 @@ object RelationalQueries {
       """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS bucket_s,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q70_profile" ->
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q62_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,

@@ -82,6 +82,20 @@ object StreamOps {
       .drop("_g2", "_toks", "_dup2")
   }
 
+  /** Stream-static anti join: drop stream documents whose key appears
+    * in a static blocklist (known benchmark/eval documents, takedown
+    * lists, previously-ingested fingerprints). The static side is
+    * re-planned per micro-batch (so an updated blocklist table is
+    * picked up) and broadcast when small — the standard shape for
+    * filtering a crawl firehose against curated exclusion sets.
+    * Stateless on the stream side: no watermark required.
+    */
+  def blocklistFilter(stream: DataFrame, keyCol: String,
+      blocklist: DataFrame, blockKeyCol: String): DataFrame =
+    stream.join(
+      broadcast(blocklist.select(col(blockKeyCol).as(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(count: Long, lastTsMs: Long)
   case class SessionOut(user_id: Long, n_sessions: Long)

@@ -391,6 +391,21 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(kept("src1") / 10000.0 - 0.1) < 0.02)
   }
 
+  test("profile counts nulls and exact distincts in one pass") {
+    import graft.ops.ProfileOps
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None), (None, Some("b")),
+      (Some(2L), Some("a")))
+      .toDF("k", "s")
+    val p = ProfileOps.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(p("k") == (1L, 2L)) // one null, distinct {1,2}
+    assert(p("s") == (1L, 2L)) // one null, distinct {a,b}
+    // single-scan shape: exactly one Expand, no union of scans
+    val plan = ProfileOps.profile(df, Seq("k", "s")).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") && !plan.contains("Union"))
+  }
+
   test("graft_ordered_pairs emits exactly the composed expansion's pairs") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

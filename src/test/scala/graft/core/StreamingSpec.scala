@@ -74,6 +74,29 @@ class StreamingSpec extends SparkSpec {
     assert(survivors == Set(1L, 2L, 4L))
   }
 
+  test("stream-static blocklist filter drops exactly the blocklisted keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "fp")
+    val blocklist = Seq("bad1", "bad2", "unused").toDF("blocked_fp")
+
+    val q = StreamOps.blocklistFilter(docs, "fp", blocklist, "blocked_fp")
+      .writeStream.format("memory").queryName("blocked_out")
+      .outputMode("append").start()
+    val rows = Seq((1L, "ok1"), (2L, "bad1"), (3L, "ok2"),
+      (4L, "bad2"), (5L, "bad1"), (6L, "ok3"))
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("blocked_out").select("doc_id").as[Long].collect().toSet
+    // batch twin: plain left_anti
+    val batch = rows.toDF("doc_id", "fp")
+      .join(blocklist, col("fp") === col("blocked_fp"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch && streamed == Set(1L, 3L, 6L))
+  }
+
   test("streaming curation filter keeps exactly the batch pipeline's stateless survivors") {
     implicit val sqlCtx = spark.sqlContext
     val uniq = (1 to 40).map(i => s"tok$i").mkString(" ")
