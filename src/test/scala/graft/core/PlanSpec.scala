@@ -33,6 +33,16 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"), readSchema)
   }
 
+  test("q68: hash sampling is a pruned scan + one codegen filter, no shuffle") {
+    val s = formatted("q68_mixture_sample")
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    // only (doc_id, source) read — not text/lang/n_chars
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"), readSchema)
+    assert(!s.contains("Exchange"), "sampling must not shuffle")
+    // thresholds folded to string literals, no runtime BigDecimal math
+    assert(s.contains("substring(md5("), s)
+  }
+
   test("q04: all three dimension joins broadcast; fact side never shuffles before agg") {
     val s = formatted("q04_nation_revenue")
     assert("BroadcastHashJoin".r.findAllIn(s).size >= 3, s)
