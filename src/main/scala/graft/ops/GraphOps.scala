@@ -18,11 +18,8 @@ import org.apache.spark.storage.StorageLevel
   *    needed = graph diameter; dedup graphs are near-cliques with tiny
   *    diameters (a transitive near-dup chain longer than ~10 hops is
   *    pathological), so the loop converges in a handful of rounds.
-  *    For adversarial long-path graphs the known fix is alternating
-  *    large-star/small-star (Kiveris et al., "Connected Components in
-  *    MapReduce and Beyond", SoCC'14) at O(log n) rounds — same
-  *    per-round shape, so it can replace the loop body without
-  *    touching callers if ever needed.
+  *    For adversarial long-path graphs use
+  *    `connectedComponentsStars` (same contract, O(log n) rounds).
   *  - each round ends in `localCheckpoint`: iterative DataFrame loops
   *    otherwise stack plans (round k replays rounds 1..k-1 — quadratic
   *    work and an eventually-OOM driver plan). Checkpointing pins the
@@ -84,6 +81,82 @@ object GraphOps {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Connected components in O(log n) rounds via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the adversarial-diameter path.
+    * Min-label propagation (above) needs diameter-many rounds: right
+    * for near-clique dedup graphs, wrong for a million-hop chain. The
+    * star operations instead rewire edges toward each neighborhood's
+    * minimum, provably halving component height per round pair.
+    *
+    * Per round: two (groupBy-min + join-back) passes over a SHRINKING
+    * edge set. The neighborhood minimum is computed with an
+    * aggregation, never by collecting neighbor lists — a hub with 10⁸
+    * neighbors stays map-side combinable instead of materializing one
+    * giant row. Same localCheckpoint lineage-truncation discipline and
+    * the same output contract as `connectedComponents`.
+    *
+    * Convergence: the edge set is a fixed point of both stars iff it
+    * is a disjoint union of min-rooted stars; detected by an
+    * (edge-count, bit_xor of edge hashes) signature going stable —
+    * one cheap aggregation on data each round already materializes.
+    */
+  def connectedComponentsStars(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val allNodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct()
+      .localCheckpoint()
+    // canonical (u < v) edge set; self-loops carry no connectivity
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR at every node n: each strictly-larger neighbor is
+      // rewired to m = min(N(n) ∪ {n}). Each canonical edge is
+      // processed once, at its smaller endpoint (m <= n < v keeps the
+      // output canonical).
+      val nbrs = e.union(e.select(col("v"), col("u")))
+      val minN = nbrs.groupBy("u").agg(min("v").as("_mv"))
+        .select(col("u"), least(col("u"), col("_mv")).as("_m"))
+      val ls = nbrs.join(minN, "u").filter(col("v") > col("u"))
+        .select(col("_m").as("u"), col("v")).distinct()
+      // SMALL-STAR at every node n over its SMALLER neighbors N⁻
+      // (canonical edges already point large -> small when read as
+      // (v, u)): all of N⁻ ∪ {n} except the minimum m attach to m.
+      val minS = ls.groupBy("v").agg(min("u").as("_m"))
+      val ss = ls.join(minS, "v")
+        .filter(col("u") =!= col("_m"))
+        .select(col("_m").as("u"), col("u").as("v"))
+        .union(minS.select(col("_m").as("u"), col("v")))
+        .distinct()
+        .localCheckpoint()
+      val nextSig = signature(ss)
+      converged = nextSig == sig
+      sig = nextSig
+      e.unpersist()
+      e = ss
+      iter += 1
+    }
+    // fixed point = min-rooted stars: leaves label to their root,
+    // roots and edge-less nodes to themselves
+    val labeled = e.select(col("v").as("id"), col("u").as("comp"))
+      .union(e.select(col("u").as("id"), col("u").as("comp")))
+      .distinct()
+    val isolated = allNodes.join(labeled, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    labeled.union(isolated)
   }
 
   /** Near-duplicate cluster dedup decision: given documents and a

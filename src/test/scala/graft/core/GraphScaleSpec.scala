@@ -38,4 +38,38 @@ class GraphScaleSpec extends SparkSpec {
       .select("comp").distinct().collect().map(_.getLong(0)).toSeq
     assert(comps == Seq(base), s"chain should collapse to $base, got $comps")
   }
+
+  test("large-star/small-star agrees with min-label on random graphs") {
+    import spark.implicits._
+    // Differential check: both algorithms must produce the identical
+    // (id -> min reachable id) map on graphs with mixed shapes —
+    // chains, cliques, stars, singleton edges, dup/reversed edges.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 6) {
+      val n = 30 + trial * 10
+      val nEdges = n + rnd.nextInt(2 * n)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("src", "dst")
+      val label = GraphOps.connectedComponents(df, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val stars = GraphOps.connectedComponentsStars(df, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stars == label, s"trial $trial (n=$n, e=$nEdges) diverged")
+    }
+  }
+
+  test("large-star/small-star: long chain in logarithmic rounds, self-loops ignored") {
+    import spark.implicits._
+    val base = 20000000L
+    // diameter 200 — min-label would need ~200 rounds; stars must
+    // finish well inside the default 50-round cap
+    val chain = spark.range(0, 200).toDF("i")
+      .select((col("i") + base).as("src"), (col("i") + base + 1).as("dst"))
+      .union(Seq((base + 5, base + 5)).toDF("src", "dst")) // self-loop noise
+    val cc = GraphOps.connectedComponentsStars(chain, "src", "dst")
+    assert(cc.select("comp").distinct().count() == 1)
+    assert(cc.count() == 201)
+  }
 }
