@@ -24,14 +24,17 @@ object ProfileOps {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"_nn_$c"), countDistinct(col(c)).as(s"_nd_$c"))
+    // internal aliases are index-based, not name-based: a profiled
+    // column named "a.b" (or carrying backticks) must not leak into
+    // alias resolution
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"_nn_$i"), countDistinct(col(c)).as(s"_nd_$i"))
     }
     val wide = df.agg(count(lit(1)).as("_n_rows"), aggs: _*)
-    wide.select(explode(array(cols.map { c =>
+    wide.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
         struct(lit(c).as("column"),
-          (col("_n_rows") - col(s"_nn_$c")).as("n_nulls"),
-          col(s"_nd_$c").as("n_distinct"))
+          (col("_n_rows") - col(s"_nn_$i")).as("n_nulls"),
+          col(s"_nd_$i").as("n_distinct"))
       }: _*)).as("p"))
       .select(col("p.column"), col("p.n_nulls"), col("p.n_distinct"))
   }
