@@ -76,6 +76,29 @@ object SampleOps {
     coord < byStratum
   }
 
+  /** Exact-n deterministic sample per stratum (eval-set construction:
+    * "exactly 20 docs from every source"): rank each stratum's rows by
+    * the hash coordinate (ties by key — total order) and keep the
+    * first `n`. Re-running, re-partitioning, or porting engines keeps
+    * the SAME n rows, and growing a stratum only ever displaces the
+    * highest-coordinate survivors.
+    *
+    * One shuffle (window partitioned by stratum). At 100 TB pre-filter
+    * with [[deterministicSample]] at a fraction safely above
+    * n/stratum-size first, so the per-stratum sort sees a bounded
+    * slice instead of the full corpus.
+    */
+  def stratifiedTake(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      stratumCol: String, n: Int, salt: String): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "stratifiedTake needs n >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashCoord(col(keyCol), salt), col(keyCol))
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") <= n)
+      .drop("_graft_rn")
+  }
+
   /** Deterministic train/val/test (or arbitrary) split assignment:
     * consecutive half-open intervals of the hash space, in the given
     * order, remainder to the last label. A document's split never

@@ -163,6 +163,85 @@ object TextOps {
         Ipv4Re, "<PII>"),
       PhoneRe, "<PII>")
 
+  /** Line-level deduplication (the RefinedWeb/CCNet corpus-cleaning
+    * stage): a line that appears verbatim at least `minDupCount` times
+    * ACROSS the corpus (boilerplate, navigation chrome, license
+    * banners) is removed from every document; surviving lines are
+    * reassembled in their original order.
+    *
+    * Physical form, scan to output:
+    *  1. `posexplode` lines — narrow, order captured as `pos`;
+    *  2. banned-line set: one aggregation keyed by `md5(line)` (the
+    *     16-byte key keeps the shuffle narrow — full line text never
+    *     shuffles in the counting pass);
+    *  3. `left_anti` equi-join on the hash (AQE broadcasts the banned
+    *     side when small — boilerplate sets usually are);
+    *  4. reassembly: one aggregation keyed by doc id (`collect_list`
+    *     of (pos, line) + in-row sort — per-doc line counts are
+    *     bounded, so the struct list is too).
+    * Two key-hashed shuffles + one join at any corpus size. Documents
+    * whose every line was banned survive with empty cleaned text.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDupCount: Int = 2): DataFrame = {
+    require(minDupCount >= 2, "minDupCount < 2 would ban every line")
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("line_key", md5(col("line").cast("binary")))
+    val banned = lines.groupBy("line_key").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minDupCount)
+      .select("line_key")
+    val rebuilt = lines.join(banned, Seq("line_key"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            _.getField("line")),
+          "\n").as("cleaned"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("cleaned"), lit("")).cast("binary")).as("cleaned_md5"))
+  }
+
+  /** BM25 relevance scores (Okapi, Lucene's +1 idf smoothing) of every
+    * document against a fixed bag of query terms — the retrieval/
+    * quality-ranking primitive (e.g. scoring a crawl against a topic
+    * seed list).
+    *
+    * The document-length norm (`dl`) is computed BEFORE the explode
+    * and carried alongside each token, so no per-doc join is needed;
+    * the explode is filtered to the query terms immediately, so the
+    * (id, term) aggregation shuffles only matching tokens. Corpus
+    * stats (N, avgdl) are one scalar aggregate broadcast via a
+    * 1-row cross join; per-term document frequencies are a second
+    * tiny broadcast. At 100 TB: two corpus scans (stats + terms),
+    * both narrow, one near-empty shuffle.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), _ =!= "")
+    val base = df.select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    val stats = df.select(count(lit(1)).as("n_docs"),
+      avg(size(toks)).as("avgdl"))
+    val tf = base.groupBy("id", "tok")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy("id").agg(round(sum("w"), 5).as("bm25"))
+  }
+
   /** Per-document quality metrics (ratios rounded for cross-engine
     * determinism — integer counts divide exactly in ieee754 but the
     * rounding keeps the oracle contract explicit).

@@ -216,6 +216,35 @@ object PipelineQueries {
           SampleOps.assignSplit(col("doc_id"), SplitSpec, salt = "split1")
             .as("split"))),
 
+    // Line-level dedup (RefinedWeb-style boilerplate removal). The
+    // synthetic corpus has no newlines, so the harness query injects
+    // them deterministically (before every "table" token — same
+    // expression replayed in the oracle); the operator itself is
+    // generic over any line-structured text.
+    "q71_line_dedup" -> ((s, d) =>
+      TextOps.lineDedup(
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), " table", "\ntable").as("text")),
+        "doc_id", "text", minDupCount = 2)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("cleaned_md5"))),
+
+    // BM25 relevance of every document against a fixed term bag —
+    // retrieval-style quality ranking; doc-length norm carried through
+    // the explode so the scoring needs no per-doc join.
+    "q72_bm25" -> ((s, d) =>
+      TextOps.bm25(Tables(s, d, "documents"), "doc_id", "text",
+        terms = Seq("spark", "join", "merge"))
+        .select(col("id").as("doc_id"), col("bm25"))),
+
+    // Exact-n per-stratum deterministic sample (eval-set construction):
+    // 20 docs per source, stable across reruns/engines/partitionings.
+    "q73_stratified_take" -> ((s, d) =>
+      SampleOps.stratifiedTake(
+        Tables(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", n = 20, salt = "strat1")),
+
     // Cluster-dedup end-to-end: one survivor per near-dup cluster
     // (longest text, ties to lowest id), untouched documents kept.
     "q67_dedup_survivors" -> ((s, d) => {
@@ -293,6 +322,46 @@ object PipelineQueries {
           |losers AS (SELECT id FROM comps WHERE id NOT IN (SELECT id FROM keep))
           |SELECT doc_id, n_chars FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin),
+    "q71_line_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  replace(text, ' table', chr(10) || 'table') AS tx FROM documents),
+        |la AS (SELECT doc_id, string_split(tx, chr(10)) AS arr FROM t),
+        |l AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr
+        |      FROM la),
+        |l2 AS (SELECT doc_id, pos, arr[pos] AS line FROM l),
+        |c AS (SELECT line, count(*) AS n FROM l2 GROUP BY line),
+        |kept AS (SELECT doc_id, pos, line FROM l2 JOIN c USING (line)
+        |         WHERE n < 2),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(line, chr(10) ORDER BY pos) AS cleaned
+        |        FROM kept GROUP BY doc_id)
+        |SELECT la.doc_id, CAST(len(la.arr) AS INTEGER) AS n_lines,
+        | coalesce(reb.n_kept, 0) AS n_kept,
+        | md5(coalesce(reb.cleaned, '')) AS cleaned_md5
+        |FROM la LEFT JOIN reb ON la.doc_id = reb.doc_id""".stripMargin,
+    "q72_bm25" ->
+      """WITH tk AS (SELECT doc_id AS id,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS dl,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        | FROM documents),
+        |tf AS (SELECT id, tok, max(dl) AS dl, count(*) AS tf FROM tk
+        |       WHERE tok IN ('spark', 'join', 'merge') GROUP BY id, tok),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |st AS (SELECT count(*) AS n_docs,
+        |       avg(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS avgdl
+        |       FROM documents)
+        |SELECT id AS doc_id, round(sum(
+        |  ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 5) AS bm25
+        |FROM tf JOIN dfq ON tf.tok = dfq.tok, st
+        |GROUP BY id""".stripMargin,
+    "q73_stratified_take" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |   ORDER BY substr(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 13),
+        |            doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn <= 20""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies

@@ -391,6 +391,64 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(kept("src1") / 10000.0 - 0.1) < 0.02)
   }
 
+  test("line dedup removes corpus-frequent lines, keeps order, survives full removal") {
+    import graft.ops.TextOps
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "keep one\nBOILER\nkeep two"),
+      (2L, "BOILER\nunique here"),
+      (3L, "BOILER"), // every line banned -> empty survivor
+      (4L, "solo line"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs, "doc_id", "text", minDupCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3, 2L, md5hex("keep one\nkeep two")))) // order kept
+    assert(out(2L) == ((2, 1L, md5hex("unique here"))))
+    assert(out(3L) == ((1, 0L, md5hex("")))) // doc not dropped
+    assert(out(4L) == ((1, 1L, md5hex("solo line"))))
+  }
+
+  test("bm25 matches the closed-form score on a hand corpus") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "spark join spark"), (2L, "join fast"), (3L, "slow code"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, "doc_id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent arithmetic path: plain Scala doubles, same formula
+    val n = 3.0; val avgdl = (3 + 2 + 2) / 3.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, df: Double, dl: Double) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == r5(w(2, 1, 3) + w(1, 2, 3)))
+    assert(out(2L) == r5(w(1, 2, 2)))
+    assert(!out.contains(3L)) // no query term, no score
+    assert(out(1L) > out(2L)) // tf + rarity dominate
+  }
+
+  test("stratified take: exact n per stratum, deterministic, nested") {
+    import graft.ops.SampleOps
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 3).cast("string")))
+    val take5 = SampleOps.stratifiedTake(df, "id", "src", 5, "st")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(take5.length == 15)
+    assert(take5.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("s0" -> 5, "s1" -> 5, "s2" -> 5))
+    // physical layout does not change the chosen rows
+    val relaid = SampleOps.stratifiedTake(df.repartition(7), "id", "src", 5, "st")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(take5.toSet == relaid.toSet)
+    // smaller n under the same salt is a prefix (subset) of larger n
+    val take3 = SampleOps.stratifiedTake(df, "id", "src", 3, "st")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(take3.toSet.subsetOf(take5.toSet))
+  }
+
   test("profile counts nulls and exact distincts in one pass") {
     import graft.ops.ProfileOps
     val df = Seq(
