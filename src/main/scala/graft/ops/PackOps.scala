@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence assembly: turning a cleaned corpus into the
+  * fixed-length sequences a pretraining run actually consumes.
+  *
+  * Two stages, both deterministic and engine-portable:
+  *  - [[chunkTokens]] splits each document into overlapping
+  *    fixed-token chunks (context-window sharding of long docs);
+  *  - [[packSequences]] lays documents end-to-end inside hash buckets
+  *    and reports which fixed-size training sequences each document
+  *    lands in (the "concat then cut every L tokens" packing used by
+  *    GPT-style pipelines).
+  */
+object PackOps {
+
+  /** Overlapping fixed-token chunks per document. Chunk `i` covers
+    * tokens `[i*stride, i*stride + chunkSize)` (stride = chunkSize −
+    * overlap); the last chunk truncates at the document end. Documents
+    * shorter than `chunkSize` yield exactly one chunk.
+    *
+    * Pure per-row array expressions + one `posexplode` — zero
+    * shuffles, composes with any scan. The token array is materialized
+    * through a generate barrier first (see DedupOps.wordShingles):
+    * without it Catalyst collapses the Projects and re-runs the
+    * tokenizer split once per chunk.
+    *
+    * Chunk count uses integer arithmetic — `(n − overlap + stride − 1)
+    * div stride`, floored via exact double division (n < 2⁵³) — so any
+    * engine computes the same chunking.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val w = col("_w")
+    val n = size(w)
+    val nChunks = greatest(
+      floor((n - lit(overlap) + lit(stride - 1)).cast("double") / lit(stride)),
+      lit(1L))
+    def chunk(i: Column) = slice(w, (i * stride + 1).cast("int"), lit(chunkSize))
+    df.select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"), _ =!= "").as("_toks"))
+      .select(col("id"), explode(array(col("_toks"))).as("_w")) // barrier
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1), i =>
+          struct(size(chunk(i)).as("n_chunk_tokens"),
+            concat_ws(" ", chunk(i)).as("chunk")))).as(Seq("chunk_idx", "c")))
+      .select(col("id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("c.n_chunk_tokens").as("n_chunk_tokens"), col("c.chunk").as("chunk"))
+  }
+
+  /** Sequence packing: documents are laid end-to-end in `bucketCol`
+    * order-independent buckets, ordered by id within each bucket, and
+    * the concatenated token stream is cut every `contextLen` tokens.
+    * Reports, per document, its start offset in the bucket stream and
+    * the first/last training sequence it lands in (`n_seqs` > 1 means
+    * the document straddles a cut).
+    *
+    * One shuffle: the per-bucket window. Buckets are the scale
+    * contract — packing is inherently sequential inside a stream, so
+    * the caller picks enough buckets that each stream fits an executor
+    * (1000 buckets over 100 TB ≈ 100 GB of token COUNTS per stream —
+    * the window carries (id, n_tokens) only, never text).
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: Column,
+      bucketCol: Column, contextLen: Int): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val base = df.select(col(idCol).as("id"), nTokCol.cast("long").as("n_tokens"),
+      bucketCol.cast("long").as("bucket"))
+    val w = Window.partitionBy("bucket").orderBy("id")
+    val start = sum("n_tokens").over(w) - col("n_tokens")
+    base
+      .withColumn("start_tok", start)
+      .withColumn("seq_first", floor(col("start_tok").cast("double") / contextLen))
+      .withColumn("seq_last",
+        floor((col("start_tok") + greatest(col("n_tokens"), lit(1L)) - 1)
+          .cast("double") / contextLen))
+      .select(col("bucket"), col("id"), col("n_tokens"), col("start_tok"),
+        col("seq_first"), col("seq_last"),
+        (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
+  }
+}

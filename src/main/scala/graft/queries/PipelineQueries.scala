@@ -245,6 +245,21 @@ object PipelineQueries {
         Tables(s, d, "documents").select(col("doc_id"), col("source")),
         "doc_id", "source", n = 20, salt = "strat1")),
 
+    // Context-window sharding: overlapping 64-token chunks (stride 48)
+    // per document — zero shuffles, chunk text hashed for compactness.
+    "q74_chunk_tokens" -> ((s, d) =>
+      graft.ops.PackOps.chunkTokens(Tables(s, d, "documents"),
+          "doc_id", "text", chunkSize = 64, overlap = 16)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("n_chunk_tokens"), md5(col("chunk").cast("binary")).as("chunk_md5"))),
+
+    // Sequence packing: docs laid end-to-end in 8 hash buckets, cut
+    // every 256 tokens; reports each doc's sequence span.
+    "q75_pack_sequences" -> ((s, d) =>
+      graft.ops.PackOps.packSequences(Tables(s, d, "documents"), "doc_id",
+        regexp_count(col("text"), lit("\\S+")),
+        pmod(col("doc_id"), lit(8)), contextLen = 256)),
+
     // Cluster-dedup end-to-end: one survivor per near-dup cluster
     // (longest text, ties to lowest id), untouched documents kept.
     "q67_dedup_survivors" -> ((s, d) => {
@@ -355,6 +370,31 @@ object PipelineQueries {
         |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 5) AS bm25
         |FROM tf JOIN dfq ON tf.tok = dfq.tok, st
         |GROUP BY id""".stripMargin,
+    "q74_chunk_tokens" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        | FROM documents),
+        |p AS (SELECT doc_id, w, len(w) AS n,
+        |      greatest((len(w) - 16 + 47) // 48, 1) AS nc FROM w),
+        |c AS (SELECT doc_id, unnest(generate_series(0, nc - 1)) AS ci, w, n
+        |      FROM p)
+        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        | CAST(len(w[ci*48+1 : least(ci*48+64, n)]) AS INTEGER) AS n_chunk_tokens,
+        | md5(array_to_string(w[ci*48+1 : least(ci*48+64, n)], ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+    "q75_pack_sequences" ->
+      """WITH b AS (SELECT doc_id, doc_id % 8 AS bucket,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |s AS (SELECT bucket, doc_id AS id, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens
+        |    AS start_tok FROM b)
+        |SELECT bucket, id, n_tokens, start_tok,
+        | start_tok // 256 AS seq_first,
+        | (start_tok + greatest(n_tokens, 1) - 1) // 256 AS seq_last,
+        | (start_tok + greatest(n_tokens, 1) - 1) // 256
+        |   - start_tok // 256 + 1 AS n_seqs
+        |FROM s""".stripMargin,
     "q73_stratified_take" ->
       """SELECT doc_id, source FROM (
         | SELECT doc_id, source, row_number() OVER (PARTITION BY source

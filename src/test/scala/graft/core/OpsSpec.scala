@@ -449,6 +449,39 @@ class OpsSpec extends SparkSpec {
     assert(take3.toSet.subsetOf(take5.toSet))
   }
 
+  test("token chunking covers every token with the stated overlap") {
+    import graft.ops.PackOps
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b"))                            // shorter than one chunk
+      .toDF("doc_id", "text")
+    val out = PackOps.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3))))
+      .toMap
+    assert(out((1L, 0)) == ((4, "t1 t2 t3 t4")))
+    assert(out((1L, 1)) == ((4, "t4 t5 t6 t7"))) // one-token overlap
+    assert(out((1L, 2)) == ((4, "t7 t8 t9 t10"))) // truncates at doc end
+    assert(out((2L, 0)) == ((2, "a b"))) // short doc -> single chunk
+    assert(out.size == 4)
+  }
+
+  test("sequence packing: per-bucket prefix sums and straddle spans") {
+    import graft.ops.PackOps
+    val docs = Seq(
+      (1L, 100L, 0L), (2L, 200L, 0L), (3L, 30L, 0L), (4L, 50L, 0L),
+      (5L, 10L, 1L)) // second bucket starts its own stream
+      .toDF("doc_id", "n_tok", "b")
+    val out = PackOps.packSequences(docs, "doc_id", col("n_tok"), col("b"), 128)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out(1L) == ((0L, 0L, 0L, 1L)))
+    assert(out(2L) == ((100L, 0L, 2L, 3L))) // straddles two cuts
+    assert(out(3L) == ((300L, 2L, 2L, 1L)))
+    assert(out(4L) == ((330L, 2L, 2L, 1L)))
+    assert(out(5L) == ((0L, 0L, 0L, 1L))) // bucket independence
+  }
+
   test("profile counts nulls and exact distincts in one pass") {
     import graft.ops.ProfileOps
     val df = Seq(
