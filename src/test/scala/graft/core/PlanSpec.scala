@@ -159,6 +159,29 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Join"), s)
   }
 
+  test("chunking is shuffle-free; packing shuffles once on the bucket window") {
+    val ch = planString("q74_chunk_tokens")
+    assert(!ch.contains("Exchange"), ch)
+    val pk = planString("q75_pack_sequences")
+    assert("Exchange hashpartitioning".r.findAllIn(pk).size == 1, pk)
+    // the window carries counts, not text
+    assert(!pk.contains("CartesianProduct"), pk)
+  }
+
+  test("bm25: stats and term frequencies broadcast; the corpus never sort-merges") {
+    val s = planString("q72_bm25")
+    assert(s.contains("BroadcastNestedLoopJoin"), s) // 1-row corpus stats
+    assert(s.contains("BroadcastHashJoin"), s)       // per-term df
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("line dedup: no cartesian, bounded exchanges, md5-keyed banned-set agg") {
+    val s = planString("q71_line_dedup")
+    assert(!s.contains("CartesianProduct"), s)
+    // line-key agg + reassembly + docs join side; anti join may add two
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 5, s)
+  }
+
   test("curation signals: corpus-side work is scans + one id join; benchmark grams broadcast") {
     val s = formatted("q63_curation_funnel")
     assert(s.contains("BroadcastHashJoin"), s)
