@@ -59,6 +59,13 @@ object GraftFunctions {
           s"graft_simhash requires exactly 1 argument, got ${children.size}")
         SimHashAgg(children.head)
       }),
+    ("graft_bloom_contains",
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_bloom_contains requires exactly 2 arguments, got ${children.size}")
+        BloomContains(children.head, children(1))
+      }),
     ("graft_ordered_pairs",
       new ExpressionInfo(classOf[OrderedPairs].getName, "graft_ordered_pairs"),
       (children: Seq[Expression]) => {

@@ -252,6 +252,18 @@ object RelationalQueries {
         Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
         .withColumnRenamed("column", "col_name")),
 
+    // Runtime bloom pre-filter: lineitem probes a bloom of the urgent
+    // orders' keys BEFORE the semi-join shuffle (native codegen
+    // graft_bloom_contains); the exact semi join then removes the
+    // bloom's false positives, so the result is exact.
+    "q76_bloom_semijoin" -> ((s, d) =>
+      graft.ops.BloomOps.bloomPrunedSemiJoin(
+        Tables(s, d, "lineitem"),
+        Tables(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))),
+
     "q62_percentiles" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -460,6 +472,14 @@ object RelationalQueries {
         s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
            | count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n"),
+    "q76_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
     "q62_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,

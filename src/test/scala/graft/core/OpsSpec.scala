@@ -482,6 +482,34 @@ class OpsSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, 0L, 1L))) // bucket independence
   }
 
+  test("bloom-pruned semi join is exact, actually prunes, and takes string keys") {
+    import graft.ops.BloomOps
+    val large = spark.range(0, 2000).toDF("k")
+      .withColumn("v", concat(lit("v"), col("k")))
+      .union(spark.range(1).select(lit(null).cast("long").as("k"),
+        lit("vnull").as("v")))
+    val small = spark.range(0, 2000, 7).toDF("k") // every 7th key matches
+    val expected = large.join(small, Seq("k"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val out = BloomOps.bloomPrunedSemiJoin(large, small, "k", "k")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == expected && out.size == 286)
+    // the bloom ALONE (before the exact join) kills almost all
+    // non-matching rows: matches + ~1% fp, never a false negative
+    val bf = BloomOps.buildBloom(small, "k")
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    graft.functions.GraftFunctions.register(spark)
+    val prunedCnt = large.filter(
+      call_function("graft_bloom_contains", lit(bos.toByteArray), col("k"))).count()
+    assert(prunedCnt >= 286 && prunedCnt <= 286 + 60, s"pruned to $prunedCnt")
+    // string keys use the same putString/mightContainString pair
+    val ls = large.withColumn("ks", concat(lit("s"), col("k")))
+    val ss = small.select(concat(lit("s"), col("k")).as("ks"))
+    val sOut = BloomOps.bloomPrunedSemiJoin(ls, ss, "ks", "ks")
+      .select("ks").collect().map(_.getString(0)).toSet
+    assert(sOut == expected.map("s" + _))
+  }
+
   test("profile counts nulls and exact distincts in one pass") {
     import graft.ops.ProfileOps
     val df = Seq(

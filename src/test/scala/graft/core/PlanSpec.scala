@@ -182,6 +182,16 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(s).size <= 5, s)
   }
 
+  test("q76: the bloom probe filters the fact scan before the semi join") {
+    val s = planString("q76_bloom_semijoin")
+    assert(s.contains("graft_bloom_contains"), s)
+    assert(s.contains("LeftSemi"), s)
+    // the probe filter must sit BELOW the join (prune before shuffle)
+    val filterIdx = s.indexOf("graft_bloom_contains")
+    val joinIdx = s.indexOf("LeftSemi")
+    assert(joinIdx < filterIdx, "bloom filter should be under the join in the plan tree")
+  }
+
   test("curation signals: corpus-side work is scans + one id join; benchmark grams broadcast") {
     val s = formatted("q63_curation_funnel")
     assert(s.contains("BroadcastHashJoin"), s)
