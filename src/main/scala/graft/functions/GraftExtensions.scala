@@ -59,6 +59,13 @@ object GraftFunctions {
           s"graft_simhash requires exactly 1 argument, got ${children.size}")
         SimHashAgg(children.head)
       }),
+    ("graft_topk_freq",
+      new ExpressionInfo(classOf[TopKFreq].getName, "graft_topk_freq"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_topk_freq requires exactly 2 arguments, got ${children.size}")
+        TopKFreq(children.head, children(1))
+      }),
     ("graft_bloom_contains",
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => {

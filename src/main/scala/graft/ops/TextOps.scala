@@ -139,6 +139,23 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Approximate heavy-hitter tokens in ONE pass with BOUNDED memory:
+    * the Misra–Gries aggregate (`graft_topk_freq`) keeps at most
+    * `capacity` candidates per partial buffer, so each partition ships
+    * a small summary instead of its whole distinct-token set — the
+    * 100 TB twin of [[vocabulary]] (whose token-keyed shuffle is
+    * proportional to the vocabulary itself). Every token with true
+    * count > n/(capacity+1) is guaranteed present; with `capacity` ≥
+    * the distinct-token count the result is exact.
+    */
+  def approxTopTokens(df: DataFrame, textCol: String, capacity: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(explode(filter(split(lower(col(textCol)), "\\s+"), _ =!= "")).as("tok"))
+      .agg(call_function("graft_topk_freq", col("tok"), lit(capacity)).as("tops"))
+      .select(explode(col("tops")).as("t"))
+      .select(col("t.tok").as("tok"), col("t.est").as("est"))
+  }
+
   /** PII patterns (fixed, deterministic): emails, IPv4 addresses,
     * simple dashed phone numbers. Pure codegen regex — a scrub over
     * 100 TB is a projection, no shuffle. The pattern set is

@@ -260,6 +260,13 @@ object PipelineQueries {
         regexp_count(col("text"), lit("\\S+")),
         pmod(col("doc_id"), lit(8)), contextLen = 256)),
 
+    // One-pass bounded-memory heavy hitters (Misra-Gries native
+    // aggregate). The synthetic corpus has ~31 distinct tokens, below
+    // the capacity, so the summary is provably exact here (the oracle
+    // pins that property); the approximate regime is spec-tested.
+    "q77_heavy_hitters" -> ((s, d) =>
+      TextOps.approxTopTokens(Tables(s, d, "documents"), "text", capacity = 64)),
+
     // Cluster-dedup end-to-end: one survivor per near-dup cluster
     // (longest text, ties to lowest id), untouched documents kept.
     "q67_dedup_survivors" -> ((s, d) => {
@@ -337,6 +344,11 @@ object PipelineQueries {
           |losers AS (SELECT id FROM comps WHERE id NOT IN (SELECT id FROM keep))
           |SELECT doc_id, n_chars FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin),
+    "q77_heavy_hitters" ->
+      """WITH tk AS (SELECT
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        | FROM documents)
+        |SELECT tok, count(*) AS est FROM tk GROUP BY tok""".stripMargin,
     "q71_line_dedup" ->
       """WITH t AS (SELECT doc_id,
         |  replace(text, ' table', chr(10) || 'table') AS tx FROM documents),

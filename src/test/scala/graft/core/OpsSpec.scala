@@ -510,6 +510,29 @@ class OpsSpec extends SparkSpec {
     assert(sOut == expected.map("s" + _))
   }
 
+  test("misra-gries heavy hitters: exact under capacity, bounded error above") {
+    import graft.ops.TextOps
+    // exact regime: capacity >= distinct tokens
+    val docs = Seq((1L, "a b a c"), (2L, "a b b d")).toDF("doc_id", "text")
+    val exact = TextOps.approxTopTokens(docs, "text", capacity = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("a" -> 3L, "b" -> 3L, "c" -> 1L, "d" -> 1L))
+    // approximate regime: 500 distinct tokens vs capacity 16, with
+    // repartition forcing partial buffers and merges
+    val n = 20000L
+    val stream = spark.range(0, n).select(
+      when(col("id") % 10 < 3, lit("hot"))
+        .otherwise(concat(lit("t"), (col("id") % 499).cast("string"))).as("text"))
+      .repartition(8)
+    val out = TextOps.approxTopTokens(stream, "text", capacity = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hotTrue = 6000L // ids with id%10 in {0,1,2}
+    assert(out.size <= 16)
+    assert(out.contains("hot"), s"heavy hitter evicted: $out") // > n/(cap+1)
+    assert(out("hot") <= hotTrue, "MG must never overcount")
+    assert(out("hot") >= hotTrue - n / 17, s"undercount beyond n/(cap+1): ${out("hot")}")
+  }
+
   test("profile counts nulls and exact distincts in one pass") {
     import graft.ops.ProfileOps
     val df = Seq(
