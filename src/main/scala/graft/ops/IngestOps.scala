@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Corpus ingest: JSONL (one JSON document per line, optionally
+  * gzip-compressed — Spark decompresses by extension) with explicit
+  * schema enforcement and corrupt-record quarantine.
+  *
+  * Design rules for a 100 TB crawl drop:
+  *  - ALWAYS pass an explicit schema — schema inference is a full
+  *    extra pass over the data and non-deterministic under evolution;
+  *  - never drop malformed lines silently: PERMISSIVE parsing routes
+  *    them to a quarantine frame the pipeline can count/inspect/replay
+  *    (a crawler bug that produces 1% garbage should be SEEN, not
+  *    swallowed);
+  *  - the split is computed from one parse: the parsed frame is
+  *    persisted before filtering on the corrupt column (Spark
+  *    disallows filtering raw file rows on the corrupt column alone),
+  *    and callers unpersist via the returned handle when done.
+  */
+object IngestOps {
+
+  val CorruptCol = "_graft_corrupt"
+
+  /** Parse `path` as JSONL against `schema`. Returns (good, quarantine)
+    * — `good` has exactly `schema`'s columns, `quarantine` carries the
+    * raw offending line. Both derive from one cached parse; call
+    * `good.unpersist()` when finished to drop it.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not already contain $CorruptCol")
+    val withCorrupt = StructType(schema.fields :+
+      StructField(CorruptCol, StringType, nullable = true))
+    val parsed = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .cache()
+    val good = parsed.filter(col(CorruptCol).isNull)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val quarantine = parsed.filter(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol).as("raw_line"))
+    (good, quarantine)
+  }
+}

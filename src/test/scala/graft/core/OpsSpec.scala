@@ -533,6 +533,33 @@ class OpsSpec extends SparkSpec {
     assert(out("hot") >= hotTrue - n / 17, s"undercount beyond n/(cap+1): ${out("hot")}")
   }
 
+  test("jsonl ingest parses good lines, quarantines corrupt ones, reads gzip") {
+    import graft.ops.IngestOps
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world"}""",
+      """not json at all {{{""",
+      """{"doc_id": 2, "text": "second doc"}""",
+      """{"doc_id": 3, "text": "unterminated""")
+    java.nio.file.Files.write(dir.resolve("part1.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    // gzip part: Spark decompresses by extension
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("part2.jsonl.gz")))
+    gz.write("""{"doc_id": 4, "text": "from gzip"}""".getBytes("UTF-8"))
+    gz.close()
+    val (good, bad) = IngestOps.readJsonl(spark, dir.toString, schema)
+    val ids = good.collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L))
+    assert(good.columns.toSeq == Seq("doc_id", "text")) // corrupt col not leaked
+    val rawBad = bad.collect().map(_.getString(0))
+    assert(rawBad.length == 2 && rawBad.exists(_.contains("not json")))
+    good.unpersist()
+  }
+
   test("profile counts nulls and exact distincts in one pass") {
     import graft.ops.ProfileOps
     val df = Seq(
