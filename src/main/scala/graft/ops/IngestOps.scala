@@ -24,13 +24,19 @@ object IngestOps {
 
   val CorruptCol = "_graft_corrupt"
 
-  /** Parse `path` as JSONL against `schema`. Returns (good, quarantine)
-    * — `good` has exactly `schema`'s columns, `quarantine` carries the
-    * raw offending line. Both derive from one cached parse; call
-    * `good.unpersist()` when finished to drop it.
+  /** One ingested batch: `good` has exactly the requested schema,
+    * `quarantine` carries each offending raw line. Both derive from
+    * one cached parse — call `release()` when done with BOTH frames
+    * (unpersisting either derived frame alone would be a no-op).
     */
+  final case class JsonlBatch(good: DataFrame, quarantine: DataFrame,
+      private val parsed: DataFrame) {
+    def release(): Unit = { parsed.unpersist(); () }
+  }
+
+  /** Parse `path` as JSONL against `schema` into a [[JsonlBatch]]. */
   def readJsonl(spark: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): JsonlBatch = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not already contain $CorruptCol")
     val withCorrupt = StructType(schema.fields :+
@@ -45,6 +51,6 @@ object IngestOps {
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val quarantine = parsed.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
-    (good, quarantine)
+    JsonlBatch(good, quarantine, parsed)
   }
 }

@@ -551,13 +551,13 @@ class OpsSpec extends SparkSpec {
       java.nio.file.Files.newOutputStream(dir.resolve("part2.jsonl.gz")))
     gz.write("""{"doc_id": 4, "text": "from gzip"}""".getBytes("UTF-8"))
     gz.close()
-    val (good, bad) = IngestOps.readJsonl(spark, dir.toString, schema)
-    val ids = good.collect().map(_.getLong(0)).toSet
+    val batch = IngestOps.readJsonl(spark, dir.toString, schema)
+    val ids = batch.good.collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 4L))
-    assert(good.columns.toSeq == Seq("doc_id", "text")) // corrupt col not leaked
-    val rawBad = bad.collect().map(_.getString(0))
+    assert(batch.good.columns.toSeq == Seq("doc_id", "text")) // corrupt col not leaked
+    val rawBad = batch.quarantine.collect().map(_.getString(0))
     assert(rawBad.length == 2 && rawBad.exists(_.contains("not json")))
-    good.unpersist()
+    batch.release()
   }
 
   test("profile counts nulls and exact distincts in one pass") {

@@ -32,7 +32,8 @@ class PipelineE2ESpec extends SparkSpec {
 
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val (good, quarantine) = IngestOps.readJsonl(spark, dir.toString, schema)
+    val batch = IngestOps.readJsonl(spark, dir.toString, schema)
+    val (good, quarantine) = (batch.good, batch.quarantine)
     assert(good.count() == 5 && quarantine.count() == 1)
 
     // benchmark set shares doc 4's distinctive 3-grams
