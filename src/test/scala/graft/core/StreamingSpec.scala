@@ -144,4 +144,28 @@ class StreamingSpec extends SparkSpec {
     assert(last(1L) == 3L, s"user 1: $last")
     assert(last(2L) == 1L, s"user 2: $last")
   }
+
+  test("streaming heavy hitters accumulate across micro-batches") {
+    // complete-mode streaming aggregation with the native Misra-Gries
+    // aggregate: the second batch forces the state store to round-trip
+    // (serialize/deserialize/merge) the custom buffer between batches
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("tok")
+      .agg(call_function("graft_topk_freq", col("tok"), lit(4)).as("tops"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    input.addData("a", "b", "a", "c")
+    q.processAllAvailable()
+    input.addData("a", "d", "d", "a")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("hh_stream")
+      .select(explode(col("tops")).as("t"))
+      .select(col("t.tok"), col("t.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 4 distinct tokens = capacity -> exact cumulative counts
+    assert(out == Map("a" -> 4L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+  }
 }
