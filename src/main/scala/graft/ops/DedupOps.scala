@@ -282,4 +282,52 @@ object DedupOps {
         count(lit(1)).as("n_candidates"))
       .select(col("dedup_key"), col("best.id").as("keep_id"),
         col("best._score").as("keep_score"), col("n_candidates"))
+
+  /** Cross-batch exact dedup against a persisted signature store — the
+    * operational loop of a continuous ingest: each incoming batch is
+    * deduped (a) within itself (first id per content hash wins) and
+    * (b) against every previously-admitted batch, then the store
+    * learns the admitted hashes.
+    *
+    * The store is a plain parquet directory of 16-byte hex digests —
+    * no service, engine-agnostic, append-only (admission order gives
+    * idempotency: re-running a batch admits nothing new). At 100 TB
+    * the anti join is a shuffle on the digest only; the corpus text
+    * never moves, and the store stays ~32 bytes × corpus size.
+    *
+    * Returns the admitted rows (original columns). Batch admission is
+    * ONE atomic parquet append of the admitted digests; concurrent
+    * writers need an external commit protocol, as with any file sink.
+    */
+  def dedupAgainstStore(batch: DataFrame, idCol: String, textCol: String,
+      storePath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val sigged = batch.withColumn("_sig", md5(col(textCol).cast("binary")))
+    val inBatchFirst = sigged.withColumn("_rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("_sig")
+            .orderBy(col(idCol))))
+      .filter(col("_rn") === 1).drop("_rn")
+    val seen = try {
+      spark.read.parquet(storePath)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => // first batch
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("_sig",
+              org.apache.spark.sql.types.StringType))))
+    }
+    // The admitted set MUST be materialized with its lineage cut
+    // BEFORE the append: writing to storePath triggers Spark's
+    // path-cache refresh, so a lazy (or merely persisted) plan that
+    // still references the store would re-list it on the caller's
+    // action and anti-join the batch against its own just-written
+    // sigs — admitting nothing. localCheckpoint is eager and leaves
+    // no reference to the path.
+    val admitted = inBatchFirst.join(seen, Seq("_sig"), "left_anti")
+      .localCheckpoint()
+    admitted.select("_sig").write.mode("append").parquet(storePath)
+    admitted.drop("_sig")
+  }
 }

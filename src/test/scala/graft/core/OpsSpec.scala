@@ -560,6 +560,21 @@ class OpsSpec extends SparkSpec {
     batch.release()
   }
 
+  test("store-backed dedup admits each content hash exactly once across batches") {
+    val store = java.nio.file.Files.createTempDirectory("graft_sigstore")
+      .resolve("sigs").toString
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("doc_id", "text")
+    val a1 = DedupOps.dedupAgainstStore(b1, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a1 == Set(1L, 2L)) // in-batch dup: 3 loses to 1
+    val b2 = Seq((10L, "beta"), (11L, "gamma"), (12L, "beta")).toDF("doc_id", "text")
+    val a2 = DedupOps.dedupAgainstStore(b2, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a2 == Set(11L)) // beta was admitted by batch 1
+    // idempotency: replaying an admitted batch admits nothing new
+    assert(DedupOps.dedupAgainstStore(b2, "doc_id", "text", store).count() == 0L)
+  }
+
   test("profile counts nulls and exact distincts in one pass") {
     import graft.ops.ProfileOps
     val df = Seq(
