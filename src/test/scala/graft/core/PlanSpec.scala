@@ -66,11 +66,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("native minhash/simhash aggregates plan as ObjectHashAggregate, not per-group sorts") {
-    import graft.ops.DedupOps
+    import graft.ops.{DedupOps, TextOps}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for (df <- Seq(
         DedupOps.minHash(DedupOps.wordShingles(docs, "doc_id", "text", 3), 8),
-        DedupOps.simHash(docs, "doc_id", "text"))) {
+        DedupOps.simHash(docs, "doc_id", "text"),
+        TextOps.approxTopTokens(docs, "text", 16))) {
       val s = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(s.contains("ObjectHashAggregate"), s)
