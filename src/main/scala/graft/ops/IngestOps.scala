@@ -34,6 +34,21 @@ object IngestOps {
     def release(): Unit = { parsed.unpersist(); () }
   }
 
+  /** Conform a heterogeneous batch to a target schema: missing columns
+    * materialize as typed nulls, extra columns are dropped, present
+    * columns are cast. Crawl drops evolve (fields appear/disappear
+    * between crawler versions); conforming each batch before
+    * `unionByName` keeps a decade of drops unionable. Pure projection
+    * — composes with any scan, nothing moves.
+    */
+  def conform(df: DataFrame, schema: StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** Parse `path` as JSONL against `schema` into a [[JsonlBatch]]. */
   def readJsonl(spark: SparkSession, path: String,
       schema: StructType): JsonlBatch = {

@@ -575,6 +575,42 @@ class OpsSpec extends SparkSpec {
     assert(DedupOps.dedupAgainstStore(b2, "doc_id", "text", store).count() == 0L)
   }
 
+  test("schema conform: missing cols null out, extras drop, casts apply, batches union") {
+    import graft.ops.IngestOps
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val v1 = Seq((1, "a doc")).toDF("doc_id", "text") // int id, no lang
+    val v2 = Seq((2L, "ein doc", "de", 0.9)).toDF("doc_id", "text", "lang", "boost")
+    val u = IngestOps.conform(v1, target).unionByName(IngestOps.conform(v2, target))
+    assert(u.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      target.fields.map(f => (f.name, f.dataType)).toSeq)
+    val rows = u.orderBy("doc_id").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).isNullAt(2))
+    assert(rows(1).getString(2) == "de")
+  }
+
+  test("line dedup at volume: global boilerplate stripped from 50k docs") {
+    import graft.ops.TextOps
+    // 50k docs, 10 unique lines each + the same 3 boilerplate lines
+    val docs = spark.range(0, 50000).select(col("id").as("doc_id"),
+      concat_ws("\n",
+        lit("NAV HEADER"),
+        concat(lit("u"), col("id"), lit("-a")), concat(lit("u"), col("id"), lit("-b")),
+        lit("COOKIE BANNER"),
+        concat(lit("u"), col("id"), lit("-c")), concat(lit("u"), col("id"), lit("-d")),
+        concat(lit("u"), col("id"), lit("-e")), concat(lit("u"), col("id"), lit("-f")),
+        concat(lit("u"), col("id"), lit("-g")), concat(lit("u"), col("id"), lit("-h")),
+        concat(lit("u"), col("id"), lit("-i")), concat(lit("u"), col("id"), lit("-j")),
+        lit("FOOTER © EXAMPLE")).as("text"))
+    val out = TextOps.lineDedup(docs, "doc_id", "text", minDupCount = 2)
+    val agg = out.agg(count(lit(1)), sum("n_lines"), sum("n_kept")).head()
+    assert(agg.getLong(0) == 50000L)
+    assert(agg.getLong(1) == 50000L * 13)   // 13 lines in
+    assert(agg.getLong(2) == 50000L * 10)   // 3 boilerplate lines stripped each
+  }
+
   test("profile counts nulls and exact distincts in one pass") {
     import graft.ops.ProfileOps
     val df = Seq(
