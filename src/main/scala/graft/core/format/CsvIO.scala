@@ -210,6 +210,14 @@ object CsvIO {
     df.withColumnsRenamed(m)
   }
 
+  /** Filename date suffix, `stem` → `stem_YYYY-MM-DD` (reference:
+    * feldman.py:546-547, `date.today().isoformat()`); `today`
+    * injectable for tests.
+    */
+  def appendDate(text: String,
+      today: java.time.LocalDate = java.time.LocalDate.now()): String =
+    s"${text}_$today"
+
   /** S5: single-file CSV sink with the exact target filename (the
     * reference writes one CSV per output). Internal `_`-prefixed
     * columns are dropped; SiteHole compounds collapse back.

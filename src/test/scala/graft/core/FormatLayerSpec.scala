@@ -121,6 +121,11 @@ class FormatLayerSpec extends SparkSpec {
     assert(CsvIO.numericColumns(spark, p.toString) == Seq("Depth", "Value"))
   }
 
+  test("appendDate suffixes the ISO date (feldman.py:546-547)") {
+    val d = java.time.LocalDate.of(2026, 3, 7)
+    assert(CsvIO.appendDate("GLAD9_Site1_SIT", d) == "GLAD9_Site1_SIT_2026-03-07")
+  }
+
   test("LacCore output vocabulary: whole-table org switch (qtmain.py:36, columns.py:49-60)") {
     import spark.implicits._
     // the reference switches the output vocab globally; Tool is the
