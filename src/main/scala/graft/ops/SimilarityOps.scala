@@ -212,22 +212,39 @@ object SimilarityOps {
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket.
-    * Bucketing the corpus is one projection; the join is an equi-join on
-    * the bucket key (hash-partitioned, no broadcast of the corpus).
+  /** Approximate top-k: candidates restricted to the query's LSH
+    * bucket, plus `probes − 1` MULTI-PROBE variants — the query also
+    * searches the buckets at Hamming distance 1 (one sign bit
+    * flipped), in bit order. A near neighbor that falls just on the
+    * other side of one hyperplane is recovered at (probes/2^nbits) of
+    * the corpus cost, the standard recall/latency dial for
+    * sign-bucket LSH.
+    *
+    * Bucketing the corpus is one projection; the join is an equi-join
+    * on the bucket key against the (probes×) exploded, broadcast query
+    * side — the corpus is never replicated or re-shuffled.
     */
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, nbits: Int = 8): DataFrame = {
+      queryPred: Column, k: Int, nbits: Int = 8, probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= nbits + 1,
+      s"probes must be in [1, nbits+1], got $probes for nbits=$nbits")
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), nbits))
+    val probeBuckets = array((0 until probes).map {
+      case 0 => col("bucket")
+      case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
+    }: _*)
     val q = base.filter(queryPred)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(probeBuckets).as("bucket"))
     val sims = base.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("cand_id"),
         round(nativeCosine(emb)(col("qv"), col("v")), 6).as("sim"))
+    // distinct: a candidate can surface through several probed buckets
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
-    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    sims.distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 }

@@ -240,6 +240,8 @@ object TextOps {
   def bm25(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct.size == terms.size,
+      s"duplicate query terms would double-count: $terms")
     val toks = filter(split(lower(col(textCol)), "\\s+"), _ =!= "")
     val base = df.select(col(idCol).as("id"), toks.as("toks"))
       .select(col("id"), size(col("toks")).as("dl"),

@@ -30,11 +30,19 @@ class SimilaritySpec extends SparkSpec {
       col("vec_id") < 5, 10)) == approx)
   }
 
-  test("knnLsh recall vs brute force") {
+  test("knnLsh recall vs brute force; multi-probe widens it") {
     val exact = pairsOf(SimilarityOps.knnBrute(emb, "vec_id", "embedding", col("vec_id") < 5, 10))
     val approx = pairsOf(SimilarityOps.knnLsh(emb, "vec_id", "embedding", col("vec_id") < 5, 10, nbits = 2))
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.2, s"LSH recall $recall")
+    // probing the Hamming-1 buckets searches a candidate superset, so
+    // recall vs brute force can only improve (identical rounded-sim
+    // displacements aside, which this fixed dataset doesn't hit)
+    val multi = pairsOf(SimilarityOps.knnLsh(emb, "vec_id", "embedding",
+      col("vec_id") < 5, 10, nbits = 2, probes = 3))
+    val recallM = (exact intersect multi).size.toDouble / exact.size
+    assert(recallM >= recall, s"multi-probe recall $recallM < single $recall")
+    assert(recallM >= 0.5, s"multi-probe recall $recallM") // 3 of 4 buckets probed
   }
 
   test("embedding near-dup pairs are ordered, thresholded, self-consistent") {
