@@ -156,6 +156,27 @@ object TextOps {
       .select(col("t.tok").as("tok"), col("t.est").as("est"))
   }
 
+  /** Adaptive length trim: keep documents whose length lies between
+    * the `lo` and `hi` quantiles OF THEIR OWN STRATUM — curation
+    * thresholds derived from the data (a fixed global cut is wrong
+    * when one source is tweets and another is books).
+    *
+    * Two passes: one per-stratum percentile aggregation (a counts
+    * buffer per group, map-side combined — no global sort), broadcast
+    * back onto the corpus, then a pure filter. The corpus scan is
+    * never shuffled.
+    */
+  def adaptiveLengthTrim(df: DataFrame, stratumCol: String, lenCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val cuts = df.groupBy(stratumCol).agg(
+      percentile(col(lenCol), lit(lo)).as("_lo"),
+      percentile(col(lenCol), lit(hi)).as("_hi"))
+    df.join(broadcast(cuts), stratumCol)
+      .filter(col(lenCol) >= col("_lo") && col(lenCol) <= col("_hi"))
+      .drop("_lo", "_hi")
+  }
+
   /** PII patterns (fixed, deterministic): emails, IPv4 addresses,
     * simple dashed phone numbers. Pure codegen regex — a scrub over
     * 100 TB is a projection, no shuffle. The pattern set is

@@ -267,6 +267,14 @@ object PipelineQueries {
     "q77_heavy_hitters" -> ((s, d) =>
       TextOps.approxTopTokens(Tables(s, d, "documents"), "text", capacity = 64)),
 
+    // Data-driven curation cut: per-source p10/p90 length trim —
+    // thresholds from a per-stratum percentile agg, broadcast back,
+    // pure filter (corpus never shuffles).
+    "q78_adaptive_trim" -> ((s, d) =>
+      TextOps.adaptiveLengthTrim(Tables(s, d, "documents"), "source", "n_chars",
+          lo = 0.1, hi = 0.9)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     // Cluster-dedup end-to-end: one survivor per near-dup cluster
     // (longest text, ties to lowest id), untouched documents kept.
     "q67_dedup_survivors" -> ((s, d) => {
@@ -344,6 +352,13 @@ object PipelineQueries {
           |losers AS (SELECT id FROM comps WHERE id NOT IN (SELECT id FROM keep))
           |SELECT doc_id, n_chars FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin),
+    "q78_adaptive_trim" ->
+      """WITH cuts AS (SELECT source,
+        |  quantile_cont(n_chars, 0.1) AS lo, quantile_cont(n_chars, 0.9) AS hi
+        | FROM documents GROUP BY source)
+        |SELECT doc_id, d.source, n_chars
+        |FROM documents d JOIN cuts c ON d.source = c.source
+        |WHERE n_chars >= lo AND n_chars <= hi""".stripMargin,
     "q77_heavy_hitters" ->
       """WITH tk AS (SELECT
         |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
