@@ -611,6 +611,56 @@ class OpsSpec extends SparkSpec {
     assert(agg.getLong(2) == 50000L * 10)   // 3 boilerplate lines stripped each
   }
 
+  test("chunk coverage property: random sizes reassemble the document exactly") {
+    import graft.ops.PackOps
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 6) {
+      val n = 1 + rnd.nextInt(200)
+      val cs = 2 + rnd.nextInt(40)
+      val ov = rnd.nextInt(cs - 1)
+      val stride = cs - ov
+      val toks = (0 until n).map(i => s"t$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = PackOps.chunkTokens(df, "doc_id", "text", cs, ov)
+        .orderBy("chunk_idx").collect()
+        .map(r => (r.getInt(1), r.getString(3).split(" ").toSeq))
+      // chunk i starts at i*stride and has chunkSize tokens (last truncates)
+      chunks.foreach { case (i, c) =>
+        assert(c == toks.slice(i * stride, math.min(i * stride + cs, n)),
+          s"n=$n cs=$cs ov=$ov chunk=$i")
+      }
+      // full coverage: the chunks' union is every token
+      assert(chunks.flatMap(_._2).toSet == toks.toSet, s"n=$n cs=$cs ov=$ov")
+      // no chunk beyond the document, none missing before its end
+      assert(chunks.length == math.max(1, (n - ov + stride - 1) / stride))
+    }
+  }
+
+  test("misra-gries membership property on random skewed streams") {
+    import graft.ops.TextOps
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 4000
+      val hotShare = 0.15 + rnd.nextDouble() * 0.2 // 15-35%
+      val cap = 8 + rnd.nextInt(12)
+      val tail = 50 + rnd.nextInt(300)
+      val hotN = (n * hotShare).toLong
+      val stream = spark.range(0, n).select(
+        when(col("id") < hotN, lit("HOT"))
+          .otherwise(concat(lit("t"), pmod(col("id") * 2654435761L, lit(tail))
+            .cast("string"))).as("text"))
+        .repartition(1 + trial)
+      val out = TextOps.approxTopTokens(stream, "text", cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the hot token exceeds n/(cap+1), so it must be present with
+      // an estimate in [true - n/(cap+1), true]
+      assert(out.contains("hot"), s"trial $trial cap=$cap: $out")
+      assert(out("hot") <= hotN && out("hot") >= hotN - n / (cap + 1),
+        s"trial $trial cap=$cap est=${out("hot")} true=$hotN")
+      assert(out.size <= cap)
+    }
+  }
+
   test("profile counts nulls and exact distincts in one pass") {
     import graft.ops.ProfileOps
     val df = Seq(
