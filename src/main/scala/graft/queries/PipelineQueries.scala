@@ -77,11 +77,12 @@ object PipelineQueries {
           round(avg("n_chars"), 4).as("avg_chars"),
           sum("n_chars").as("sum_chars"))),
 
-    // LSH-bucketed approximate top-k (hyperplane sign bits) — no oracle
-    // (xxhash64 planes), rows-only + recall spec in ScalaTest.
+    // LSH-bucketed approximate top-k (hyperplane sign bits), with one
+    // Hamming-1 multi-probe — no oracle (xxhash64 planes), rows-only +
+    // recall spec in ScalaTest.
     "q38_knn_lsh" -> ((s, d) =>
       SimilarityOps.knnLsh(Tables(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 5, 10, nbits = 4)),
+        col("vec_id") < 5, 10, nbits = 4, probes = 2)),
 
     // Exact n-gram Jaccard pairs over 3-gram shingles.
     "q39_ngram_jaccard" -> ((s, d) =>
