@@ -193,6 +193,18 @@ class PlanSpec extends SparkSpec {
     assert(joinIdx < filterIdx, "bloom filter should be under the join in the plan tree")
   }
 
+  test("zero-shuffle claims hold at runtime: measured shuffle bytes are zero") {
+    import graft.ops.PlanProbe
+    for (name <- Seq("q59_repetition", "q68_mixture_sample", "q74_chunk_tokens")) {
+      val b = PlanProbe.shuffleBytesWritten(SparkEntry.queries(name)(spark, sf))
+      assert(b == 0L, s"$name wrote $b shuffle bytes")
+    }
+    // sanity: the probe is live — a shuffling query measures non-zero
+    val shuffling = PlanProbe.shuffleBytesWritten(
+      SparkEntry.queries("q71_line_dedup")(spark, sf))
+    assert(shuffling > 0L, "probe failed to observe a real shuffle")
+  }
+
   test("curation signals: corpus-side work is scans + one id join; benchmark grams broadcast") {
     val s = formatted("q63_curation_funnel")
     assert(s.contains("BroadcastHashJoin"), s)
