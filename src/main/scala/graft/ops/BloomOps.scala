@@ -53,6 +53,18 @@ object BloomOps {
     */
   def bloomPrunedSemiJoin(large: DataFrame, small: DataFrame,
       largeKey: String, smallKey: String, fpp: Double = 0.01): DataFrame = {
+    // put/probe must use the same hash family: a long-built bloom
+    // probed as string (or vice versa) would be all false negatives —
+    // a silently empty "exact" result
+    def family(t: DataType): String = t match {
+      case StringType => "string"
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case other => throw new IllegalArgumentException(
+        s"bloomPrunedSemiJoin supports integral or string keys, got ${other.simpleString}")
+    }
+    require(family(large.schema(largeKey).dataType) == family(small.schema(smallKey).dataType),
+      s"key type families differ: ${large.schema(largeKey).dataType.simpleString} vs " +
+        s"${small.schema(smallKey).dataType.simpleString}")
     graft.functions.GraftFunctions.register(large.sparkSession)
     val bf = buildBloom(small, smallKey, fpp = fpp)
     val bos = new ByteArrayOutputStream()

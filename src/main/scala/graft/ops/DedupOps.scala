@@ -295,23 +295,36 @@ object DedupOps {
     * the anti join is a shuffle on the digest only; the corpus text
     * never moves, and the store stays ~32 bytes × corpus size.
     *
-    * Returns the admitted rows (original columns). Batch admission is
+    * Returns the admitted rows (original columns); rows with NULL text
+    * carry no signature and pass through un-deduped. Batch admission is
     * ONE atomic parquet append of the admitted digests; concurrent
     * writers need an external commit protocol, as with any file sink.
     */
   def dedupAgainstStore(batch: DataFrame, idCol: String, textCol: String,
       storePath: String): DataFrame = {
     val spark = batch.sparkSession
+    val cols = batch.columns.toIndexedSeq
     val sigged = batch.withColumn("_sig", md5(col(textCol).cast("binary")))
-    val inBatchFirst = sigged.withColumn("_rn",
-        org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("_sig")
-            .orderBy(col(idCol))))
-      .filter(col("_rn") === 1).drop("_rn")
+    // null text has no signature: such rows pass through un-deduped
+    // (admitting doc B because doc A was ALSO missing its text would
+    // be silent data loss) and contribute nothing to the store
+    val nullSig = sigged.filter(col("_sig").isNull).select(cols.map(col): _*)
+    // keep-first-per-sig as a map-side-combinable min_by aggregation,
+    // NOT a row_number window: a viral million-copy document combines
+    // to one candidate per partition instead of one task's sort
+    val inBatchFirst = sigged.filter(col("_sig").isNotNull)
+      .groupBy("_sig")
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(col("_sig") +: cols.map(c => col(s"_row.$c").as(c)): _*)
     val seen = try {
       spark.read.parquet(storePath)
     } catch {
-      case _: org.apache.spark.sql.AnalysisException => // first batch
+      // ONLY path-not-found means "first batch" — a corrupt or
+      // schema-broken store must fail loudly, not silently disable
+      // cross-batch dedup
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+            e.getMessage.toLowerCase.contains("path does not exist") =>
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(Seq(
@@ -328,6 +341,6 @@ object DedupOps {
     val admitted = inBatchFirst.join(seen, Seq("_sig"), "left_anti")
       .localCheckpoint()
     admitted.select("_sig").write.mode("append").parquet(storePath)
-    admitted.drop("_sig")
+    admitted.drop("_sig").unionByName(nullSig)
   }
 }

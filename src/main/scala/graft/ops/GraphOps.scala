@@ -32,6 +32,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Release a localCheckpoint's persisted partitions. Dataset
+    * .unpersist() is a NO-OP for checkpoints (it only consults the
+    * cache manager; the checkpoint persists its RDD directly), so the
+    * superseded rounds of an iterative loop must unpersist the
+    * underlying RDD via the plan's LogicalRDD leaf.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Connected components of the undirected graph given by an edge
     * list. Returns one row per distinct endpoint: (id, component),
     * where component = the smallest node id reachable from `id`
@@ -75,7 +88,7 @@ object GraphOps {
           min(when(col("own"), col("comp"))).as("prev"))
         .localCheckpoint()
       converged = next.filter(col("comp") < col("prev")).isEmpty
-      labels.unpersist()
+      releaseCheckpoint(labels) // superseded round's blocks freed NOW
       labels = next.select("id", "comp")
       iter += 1
     }
@@ -145,15 +158,19 @@ object GraphOps {
       val nextSig = signature(ss)
       converged = nextSig == sig
       sig = nextSig
-      e.unpersist()
+      releaseCheckpoint(e) // superseded round's blocks freed NOW
       e = ss
       iter += 1
     }
     // fixed point = min-rooted stars: leaves label to their root,
-    // roots and edge-less nodes to themselves
+    // roots and edge-less nodes to themselves. The min-reduction (not
+    // a plain distinct) keeps the one-row-per-node contract even when
+    // maxIter capped the loop before a true fixed point — each node
+    // then maps to SOME reachable smaller id, a valid refinement,
+    // exactly like the capped min-label variant.
     val labeled = e.select(col("v").as("id"), col("u").as("comp"))
       .union(e.select(col("u").as("id"), col("u").as("comp")))
-      .distinct()
+      .groupBy("id").agg(min("comp").as("comp"))
     val isolated = allNodes.join(labeled, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
     labeled.union(isolated)

@@ -241,10 +241,11 @@ object SimilarityOps {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("cand_id"),
         round(nativeCosine(emb)(col("qv"), col("v")), 6).as("sim"))
-    // distinct: a candidate can surface through several probed buckets
+    // no dedup needed: each candidate has exactly ONE bucket and a
+    // query's probed buckets are pairwise distinct, so a (query,
+    // candidate) pair can match at most one probe row
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
-    sims.distinct()
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 }

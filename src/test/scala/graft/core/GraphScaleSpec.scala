@@ -71,5 +71,12 @@ class GraphScaleSpec extends SparkSpec {
     val cc = GraphOps.connectedComponentsStars(chain, "src", "dst")
     assert(cc.select("comp").distinct().count() == 1)
     assert(cc.count() == 201)
+    // capped before convergence: the one-row-per-node contract still
+    // holds, each node mapping to SOME reachable smaller-or-equal id
+    val capped = GraphOps.connectedComponentsStars(chain, "src", "dst", maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(capped.map(_._1).distinct.length == capped.length, "duplicate node rows")
+    assert(capped.length == 201)
+    assert(capped.forall { case (id, comp) => comp <= id })
   }
 }

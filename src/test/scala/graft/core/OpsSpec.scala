@@ -508,6 +508,10 @@ class OpsSpec extends SparkSpec {
     val sOut = BloomOps.bloomPrunedSemiJoin(ls, ss, "ks", "ks")
       .select("ks").collect().map(_.getString(0)).toSet
     assert(sOut == expected.map("s" + _))
+    // mismatched key families would be all-false-negative: refuse
+    intercept[IllegalArgumentException] {
+      BloomOps.bloomPrunedSemiJoin(ls, small, "ks", "k")
+    }
   }
 
   test("misra-gries heavy hitters: exact under capacity, bounded error above") {
@@ -573,6 +577,22 @@ class OpsSpec extends SparkSpec {
     assert(a2 == Set(11L)) // beta was admitted by batch 1
     // idempotency: replaying an admitted batch admits nothing new
     assert(DedupOps.dedupAgainstStore(b2, "doc_id", "text", store).count() == 0L)
+    // null text has no signature: every such row passes through, and
+    // none of them poisons the store
+    val b3 = Seq((20L, Option("delta")), (21L, None), (22L, None))
+      .toDF("doc_id", "text")
+    val a3 = DedupOps.dedupAgainstStore(b3, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a3 == Set(20L, 21L, 22L))
+    val a4 = DedupOps.dedupAgainstStore(b3, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a4 == Set(21L, 22L)) // delta now seen; null rows pass again
+    // a corrupt store fails loudly instead of silently re-admitting
+    val bad = java.nio.file.Files.createTempDirectory("graft_badstore")
+    java.nio.file.Files.write(bad.resolve("junk.parquet"), "not parquet".getBytes)
+    intercept[Exception] {
+      DedupOps.dedupAgainstStore(b3, "doc_id", "text", bad.toString).count()
+    }
   }
 
   test("schema conform: missing cols null out, extras drop, casts apply, batches union") {
