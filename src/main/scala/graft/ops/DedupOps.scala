@@ -217,7 +217,7 @@ object DedupOps {
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val tok = explode(filter(split(lower(col(textCol)), "\\s+"), _ =!= "")).as("tok")
+    val tok = explode(TextOps.tokens(col(textCol))).as("tok")
     docs.select(col(idCol).as("id"), tok)
       .select(col("id"), xxhash64(col("tok")).as("h"))
       .groupBy("id").agg(call_function("graft_simhash", col("h")).as("simhash"))
@@ -296,9 +296,13 @@ object DedupOps {
     * never moves, and the store stays ~32 bytes × corpus size.
     *
     * Returns the admitted rows (original columns); rows with NULL text
-    * carry no signature and pass through un-deduped. Batch admission is
-    * ONE atomic parquet append of the admitted digests; concurrent
-    * writers need an external commit protocol, as with any file sink.
+    * carry no signature and pass through un-deduped. `idCol` must be
+    * unique per row (the winner's full row is recovered by a semi join
+    * on it). Batch admission is ONE atomic parquet append of the
+    * admitted digests; concurrent writers need an external commit
+    * protocol, as with any file sink. The returned frame is backed by
+    * a narrow (sig, id) localCheckpoint — free it with
+    * [[Checkpoints.release]] once consumed.
     */
   def dedupAgainstStore(batch: DataFrame, idCol: String, textCol: String,
       storePath: String): DataFrame = {
@@ -309,13 +313,14 @@ object DedupOps {
     // (admitting doc B because doc A was ALSO missing its text would
     // be silent data loss) and contribute nothing to the store
     val nullSig = sigged.filter(col("_sig").isNull).select(cols.map(col): _*)
-    // keep-first-per-sig as a map-side-combinable min_by aggregation,
-    // NOT a row_number window: a viral million-copy document combines
-    // to one candidate per partition instead of one task's sort
-    val inBatchFirst = sigged.filter(col("_sig").isNotNull)
+    // keep-first-per-sig as a map-side-combinable min aggregation, NOT
+    // a row_number window: a viral million-copy document combines to
+    // one candidate per partition instead of one task's sort. Keys
+    // only — the winners' full rows are recovered by a semi join at
+    // the end, so the checkpoint below stays two narrow columns.
+    val winners = sigged.filter(col("_sig").isNotNull)
       .groupBy("_sig")
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
-      .select(col("_sig") +: cols.map(c => col(s"_row.$c").as(c)): _*)
+      .agg(min(col(idCol)).as(idCol))
     val seen = try {
       spark.read.parquet(storePath)
     } catch {
@@ -331,16 +336,19 @@ object DedupOps {
             org.apache.spark.sql.types.StructField("_sig",
               org.apache.spark.sql.types.StringType))))
     }
-    // The admitted set MUST be materialized with its lineage cut
+    // The admitted KEY set MUST be materialized with its lineage cut
     // BEFORE the append: writing to storePath triggers Spark's
     // path-cache refresh, so a lazy (or merely persisted) plan that
     // still references the store would re-list it on the caller's
     // action and anti-join the batch against its own just-written
     // sigs — admitting nothing. localCheckpoint is eager and leaves
-    // no reference to the path.
-    val admitted = inBatchFirst.join(seen, Seq("_sig"), "left_anti")
+    // no reference to the path; it holds (sig, id) only — never the
+    // documents — and callers free it with Checkpoints.release on the
+    // returned frame once consumed.
+    val admittedKeys = winners.join(seen, Seq("_sig"), "left_anti")
       .localCheckpoint()
-    admitted.select("_sig").write.mode("append").parquet(storePath)
-    admitted.drop("_sig").unionByName(nullSig)
+    admittedKeys.select("_sig").write.mode("append").parquet(storePath)
+    batch.join(admittedKeys.select(idCol), Seq(idCol), "left_semi")
+      .unionByName(nullSig)
   }
 }

@@ -32,18 +32,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
-  /** Release a localCheckpoint's persisted partitions. Dataset
-    * .unpersist() is a NO-OP for checkpoints (it only consults the
-    * cache manager; the checkpoint persists its RDD directly), so the
-    * superseded rounds of an iterative loop must unpersist the
-    * underlying RDD via the plan's LogicalRDD leaf.
+  /** Superseded iteration rounds are released eagerly inside the
+    * loops below; the RETURNED frame is itself checkpoint-backed —
+    * callers that are done with it free its storage via
+    * [[Checkpoints.release]] (plain unpersist() is a no-op there).
     */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
+    Checkpoints.release(df)
 
   /** Connected components of the undirected graph given by an edge
     * list. Returns one row per distinct endpoint: (id, component),

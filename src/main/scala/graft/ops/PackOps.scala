@@ -44,7 +44,7 @@ object PackOps {
       lit(1L))
     def chunk(i: Column) = slice(w, (i * stride + 1).cast("int"), lit(chunkSize))
     df.select(col(idCol).as("id"),
-        filter(split(lower(col(textCol)), "\\s+"), _ =!= "").as("_toks"))
+        TextOps.tokens(col(textCol)).as("_toks"))
       .select(col("id"), explode(array(col("_toks"))).as("_w")) // barrier
       .select(col("id"),
         posexplode(transform(sequence(lit(0L), nChunks - 1), i =>

@@ -24,11 +24,13 @@ object ProfileOps {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    // internal aliases are index-based, not name-based: a profiled
-    // column named "a.b" (or carrying backticks) must not leak into
-    // alias resolution
+    // internal agg aliases are index-based so profiled column names
+    // never leak into alias resolution. Inputs resolve via df.col
+    // with backtick quoting, so a column literally named "a.b" is
+    // profiled as itself, not parsed as struct-field access.
+    def in(c: String) = df.col(s"`${c.replace("`", "``")}`")
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(count(col(c)).as(s"_nn_$i"), countDistinct(col(c)).as(s"_nd_$i"))
+      Seq(count(in(c)).as(s"_nn_$i"), countDistinct(in(c)).as(s"_nd_$i"))
     }
     val wide = df.agg(count(lit(1)).as("_n_rows"), aggs: _*)
     wide.select(explode(array(cols.zipWithIndex.map { case (c, i) =>

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** THE corpus tokenizer: lowercase, split on whitespace runs, drop
+    * empties. Every token-level operator (tokenStats, vocabulary,
+    * heavy hitters, bm25, chunking, simHash) and every DuckDB oracle
+    * replays exactly this expression — change it HERE or nowhere, or
+    * the operators silently diverge from each other and their oracles.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), _ =!= "")
+
   /** Number of non-whitespace token runs. */
   def tokenCount(text: Column): Column =
     regexp_count(text, lit("\\S+")).as("n_tokens")
@@ -70,7 +79,7 @@ object TextOps {
     * hash shuffles keyed by doc id.
     */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = explode(filter(split(lower(col(textCol)), "\\s+"), _ =!= "")).as("tok")
+    val tok = explode(tokens(col(textCol))).as("tok")
     df.select(col(idCol).as("id"), tok)
       .groupBy("id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(
@@ -131,7 +140,7 @@ object TextOps {
     */
   def vocabulary(df: DataFrame, idCol: String, textCol: String,
       topK: Int): DataFrame = {
-    val tok = explode(filter(split(lower(col(textCol)), "\\s+"), _ =!= "")).as("tok")
+    val tok = explode(tokens(col(textCol))).as("tok")
     df.select(col(idCol).as("id"), tok)
       .groupBy("tok")
       .agg(count(lit(1)).as("tf"), count_distinct(col("id")).as("df"))
@@ -150,7 +159,7 @@ object TextOps {
     */
   def approxTopTokens(df: DataFrame, textCol: String, capacity: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(explode(filter(split(lower(col(textCol)), "\\s+"), _ =!= "")).as("tok"))
+    df.select(explode(tokens(col(textCol))).as("tok"))
       .agg(call_function("graft_topk_freq", col("tok"), lit(capacity)).as("tops"))
       .select(explode(col("tops")).as("t"))
       .select(col("t.tok").as("tok"), col("t.est").as("est"))
@@ -263,7 +272,7 @@ object TextOps {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(terms.distinct.size == terms.size,
       s"duplicate query terms would double-count: $terms")
-    val toks = filter(split(lower(col(textCol)), "\\s+"), _ =!= "")
+    val toks = tokens(col(textCol))
     val base = df.select(col(idCol).as("id"), toks.as("toks"))
       .select(col("id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("tok"))

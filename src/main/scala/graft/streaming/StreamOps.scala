@@ -84,11 +84,16 @@ object StreamOps {
 
   /** Stream-static anti join: drop stream documents whose key appears
     * in a static blocklist (known benchmark/eval documents, takedown
-    * lists, previously-ingested fingerprints). The static side is
-    * re-planned per micro-batch (so an updated blocklist table is
-    * picked up) and broadcast when small — the standard shape for
-    * filtering a crawl firehose against curated exclusion sets.
-    * Stateless on the stream side: no watermark required.
+    * lists, previously-ingested fingerprints); broadcast when small —
+    * the standard shape for filtering a crawl firehose against curated
+    * exclusion sets. Stateless on the stream side: no watermark
+    * required.
+    *
+    * Freshness caveat: a PATH-based static frame (spark.read.parquet)
+    * snapshots its file listing at creation — appended blocklist files
+    * are NOT seen by a running stream. To pick up updates, pass a
+    * catalog/DSv2 table (re-resolved per micro-batch) or restart the
+    * query with a re-created static frame.
     */
   def blocklistFilter(stream: DataFrame, keyCol: String,
       blocklist: DataFrame, blockKeyCol: String): DataFrame =

@@ -631,6 +631,28 @@ class OpsSpec extends SparkSpec {
     assert(agg.getLong(2) == 50000L * 10)   // 3 boilerplate lines stripped each
   }
 
+  test("profile handles a literal dotted column name") {
+    import graft.ops.ProfileOps
+    val dotted = Seq((Some(1L), "x"), (None, "y")).toDF("a.b", "s")
+    val p = ProfileOps.profile(dotted, Seq("a.b")).collect()
+    assert(p.length == 1 && p(0).getString(0) == "a.b")
+    assert(p(0).getLong(1) == 1L && p(0).getLong(2) == 1L)
+  }
+
+  test("Checkpoints.release actually unpersists a localCheckpoint's RDD") {
+    import graft.ops.Checkpoints
+    val ck = spark.range(0, 100).toDF("i").localCheckpoint()
+    val ids = ck.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(ids.nonEmpty &&
+      ids.forall(spark.sparkContext.getPersistentRDDs.contains),
+      "checkpoint RDD not persisted")
+    Checkpoints.release(ck)
+    assert(ids.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)),
+      "release did not unpersist the checkpointed RDD")
+  }
+
   test("chunk coverage property: random sizes reassemble the document exactly") {
     import graft.ops.PackOps
     val rnd = new scala.util.Random(7)
