@@ -29,7 +29,9 @@ object Main {
         |      [--scaled] [--lazy-append] [--splice-start-depth D]
         |      [--manual-correlation FILE] [--vocab ORG]
         |  export <affine> <sit> <measurement> <out> --depth-column NAME
-        |      [--no-off-splice] [--whole-section] [--no-sort] [--vocab ORG]""".stripMargin)
+        |      [--no-off-splice] [--whole-section] [--no-sort] [--vocab ORG]
+        |  curate <docs.parquet> <benchmark.parquet> <outDir>
+        |      [--id-col C] [--text-col C]""".stripMargin)
     sys.exit(2)
   }
 
@@ -97,6 +99,31 @@ object Main {
         MeasurementExport.exportMeasurementData(spark, pos(0), pos(1), pos(2), pos(3),
           dc, includeOffSplice, wholeSection, sortOut, vocab)
         println(s"wrote ${pos(3)}")
+
+      case "curate" =>
+        // corpus curation over parquet: survivors + one-row funnel.
+        //   curate <docs.parquet> <benchmark.parquet> <outDir>
+        //       [--id-col C] [--text-col C]
+        val pos = args.drop(1).takeWhile(!_.startsWith("--"))
+        if (pos.length != 3) usage()
+        var idCol = "doc_id"
+        var textCol = "text"
+        var rest = args.drop(4).toList
+        while (rest.nonEmpty) rest = rest match {
+          case Nil => Nil
+          case "--id-col" :: c :: t => idCol = c; t
+          case "--text-col" :: c :: t => textCol = c; t
+          case unknown :: _ =>
+            System.err.println(s"unknown option: $unknown"); usage()
+        }
+        val docs = spark.read.parquet(pos(0))
+        val benchmark = spark.read.parquet(pos(1))
+        val survivors = graft.ops.CurationPipeline
+          .curate(docs, benchmark, idCol, textCol)
+        survivors.write.mode("overwrite").parquet(s"${pos(2)}/survivors")
+        graft.ops.CurationPipeline.funnel(docs, benchmark, idCol, textCol)
+          .write.mode("overwrite").parquet(s"${pos(2)}/funnel")
+        println(s"wrote ${pos(2)}/survivors and ${pos(2)}/funnel")
 
       case other =>
         System.err.println(s"unknown command: $other"); usage()

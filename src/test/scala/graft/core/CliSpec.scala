@@ -34,4 +34,25 @@ class CliSpec extends SparkSpec {
     // the session is still fully usable afterwards
     assert(spark.range(3).count() == 3)
   }
+
+  test("curate via the CLI matches the library pipeline") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cli_curate")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0)
+      .write.parquet(s"$dir/docs")
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
+      .write.parquet(s"$dir/bench")
+    graft.Main.main(Array("curate", s"$dir/docs", s"$dir/bench", s"$dir/out"))
+    assert(!spark.sparkContext.isStopped)
+    val survivors = spark.read.parquet(s"$dir/out/survivors")
+      .select("id").as[Long].collect().toSet
+    val expected = graft.ops.CurationPipeline.curate(
+        spark.read.parquet(s"$dir/docs"), spark.read.parquet(s"$dir/bench"),
+        "doc_id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(survivors == expected && survivors.nonEmpty)
+    val funnel = spark.read.parquet(s"$dir/out/funnel").head()
+    assert(funnel.getLong(0) > 0) // n_total
+  }
 }
