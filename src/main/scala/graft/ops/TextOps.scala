@@ -165,6 +165,41 @@ object TextOps {
       .select(col("t.tok").as("tok"), col("t.est").as("est"))
   }
 
+  /** Linear quality scorer (the shape of CCNet/RedPajama-style model
+    * quality filters): a fixed, auditable weight vector over the
+    * per-document quality signals, squashed to (0,1) with a logistic.
+    * Pure codegen projection — scoring 100 TB is a scan. Weights are
+    * caller-supplied (trained offline); the default is a sane
+    * hand-tuned prior favoring mid-length, punctuated, stopword-
+    * bearing prose.
+    */
+  final case class QualityWeights(
+      bias: Double = -1.0,
+      perToken: Double = 0.02,
+      punctRatio: Double = 8.0,
+      stopRatio: Double = 4.0,
+      avgTokenLen: Double = -0.15,
+      dup2gramFrac: Double = -6.0)
+
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      w: QualityWeights = QualityWeights()): DataFrame = {
+    val t = col(textCol)
+    val toks = regexp_count(t, lit("\\S+"))
+    val punct = punctCount(t).cast("double") / greatest(length(t), lit(1))
+    val stop = stopwordCount(t).cast("double") / greatest(toks, lit(1))
+    val atl = charNoWs(t).cast("double") / greatest(toks, lit(1))
+    val words = col("_w")
+    val dup2 = when(size(words) >= 2,
+      lit(1.0) - size(array_distinct(transform(sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))))
+        .cast("double") / (size(words) - 1)).otherwise(0.0)
+    val z = lit(w.bias) + toks * w.perToken + punct * w.punctRatio +
+      stop * w.stopRatio + atl * w.avgTokenLen + dup2 * w.dup2gramFrac
+    df.select(col(idCol).as("id"), t.as(textCol), tokens(t).as("_w"))
+      .select(col("id"), explode(array(col("_w"))).as("_w"), t) // barrier
+      .select(col("id"), round(lit(1.0) / (lit(1.0) + exp(-z)), 5).as("quality"))
+  }
+
   /** Adaptive length trim: keep documents whose length lies between
     * the `lo` and `hi` quantiles OF THEIR OWN STRATUM — curation
     * thresholds derived from the data (a fixed global cut is wrong

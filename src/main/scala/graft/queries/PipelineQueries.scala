@@ -276,6 +276,13 @@ object PipelineQueries {
           lo = 0.1, hi = 0.9)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    // Model-based quality scoring (CCNet/fasttext-filter shape): fixed
+    // auditable linear weights over the quality signals, logistic
+    // squash, one codegen projection.
+    "q79_quality_score" -> ((s, d) =>
+      TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("quality"))),
+
     // Cluster-dedup end-to-end: one survivor per near-dup cluster
     // (longest text, ties to lowest id), untouched documents kept.
     "q67_dedup_survivors" -> ((s, d) => {
@@ -353,6 +360,28 @@ object PipelineQueries {
           |losers AS (SELECT id FROM comps WHERE id NOT IN (SELECT id FROM keep))
           |SELECT doc_id, n_chars FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin),
+    // weight literals are ::DOUBLE-cast: bare decimal literals are
+    // DECIMAL in DuckDB and would change the arithmetic vs Spark
+    "q79_quality_score" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w,
+        |  len(regexp_extract_all(text, '\S+')) AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  -1.0::DOUBLE + toks * 0.02::DOUBLE
+        |  + (len(regexp_extract_all(text, '[.,;:!?]')) * 1.0::DOUBLE
+        |     / greatest(length(text), 1)) * 8.0::DOUBLE
+        |  + (len(regexp_extract_all(lower(text), '\b(the|a|of|to|and)\b')) * 1.0::DOUBLE
+        |     / greatest(toks, 1)) * 4.0::DOUBLE
+        |  + (length(regexp_replace(text, '\s', '', 'g')) * 1.0::DOUBLE
+        |     / greatest(toks, 1)) * -0.15::DOUBLE
+        |  + (CASE WHEN len(w) >= 2
+        |      THEN 1.0::DOUBLE - len(list_distinct(list_transform(
+        |        generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))
+        |        * 1.0::DOUBLE / (len(w) - 1)
+        |      ELSE 0.0::DOUBLE END) * -6.0::DOUBLE AS z
+        | FROM f)
+        |SELECT doc_id, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 5) AS quality
+        |FROM s""".stripMargin,
     "q78_adaptive_trim" ->
       """WITH cuts AS (SELECT source,
         |  quantile_cont(n_chars, 0.1) AS lo, quantile_cont(n_chars, 0.9) AS hi

@@ -631,6 +631,21 @@ class OpsSpec extends SparkSpec {
     assert(agg.getLong(2) == 50000L * 10)   // 3 boilerplate lines stripped each
   }
 
+  test("quality score: bounded, and repetition/missing-stopwords cost") {
+    import graft.ops.TextOps
+    val prose = "the cat sat on a mat, and the dog slept of course."
+    val docs = Seq(
+      (1L, prose),
+      (2L, Seq.fill(6)("buy now").mkString(" ")), // repetitive, no stopwords
+      (3L, prose))
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(q => q > 0.0 && q < 1.0))
+    assert(out(1L) > out(2L), s"spam should score lower: $out")
+    assert(out(1L) == out(3L)) // deterministic
+  }
+
   test("profile handles a literal dotted column name") {
     import graft.ops.ProfileOps
     val dotted = Seq((Some(1L), "x"), (None, "y")).toDF("a.b", "s")
