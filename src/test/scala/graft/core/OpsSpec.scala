@@ -631,6 +631,36 @@ class OpsSpec extends SparkSpec {
     assert(agg.getLong(2) == 50000L * 10)   // 3 boilerplate lines stripped each
   }
 
+  test("line dedup differential: random corpora match a pure-Scala reference") {
+    import graft.ops.TextOps
+    def md5hex2(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val nDocs = 30 + rnd.nextInt(40)
+      val vocabLines = (1 to 12).map(i => s"line$i") // small pool -> real dups
+      val corpus = (1 to nDocs).map { id =>
+        val lines = (0 to rnd.nextInt(6)).map(_ =>
+          if (rnd.nextBoolean()) vocabLines(rnd.nextInt(vocabLines.size))
+          else s"unique-$id-${rnd.nextInt(1000)}")
+        (id.toLong, lines.mkString("\n"))
+      }
+      // reference: count lines globally, rebuild keeping count<2 lines
+      val counts = corpus.flatMap(_._2.split("\n", -1)).groupBy(identity)
+        .map { case (l, g) => l -> g.size }
+      val expected = corpus.map { case (id, text) =>
+        val all = text.split("\n", -1).toSeq
+        val kept = all.filter(counts(_) < 2)
+        id -> ((all.size, kept.size.toLong, md5hex2(kept.mkString("\n"))))
+      }.toMap
+      val out = TextOps.lineDedup(corpus.toDF("doc_id", "text"), "doc_id", "text", 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+      assert(out == expected, s"trial $trial diverged")
+    }
+  }
+
   test("quality score: bounded, and repetition/missing-stopwords cost") {
     import graft.ops.TextOps
     val prose = "the cat sat on a mat, and the dog slept of course."
