@@ -661,6 +661,63 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 differential: random corpora match a pure-Scala reference") {
+    import graft.ops.TextOps
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("spark", "join", "scan", "agg", "sort", "merge", "row")
+    for (trial <- 1 to 3) {
+      val nDocs = 20 + rnd.nextInt(20)
+      val corpus = (1 to nDocs).map { id =>
+        id.toLong -> (0 to (3 + rnd.nextInt(20)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val terms = Seq("spark", "merge")
+      // pure-Scala reference of the exact formula
+      val docToks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
+      val n = docToks.size.toDouble
+      val avgdl = docToks.map(_._2.size).sum.toDouble / n
+      val df = terms.map(t => t -> docToks.count(_._2.contains(t)).toDouble).toMap
+      def idf(t: String) = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+      val expected = docToks.flatMap { case (id, toks) =>
+        val score = terms.map { t =>
+          val tf = toks.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else idf(t) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.size / avgdl))
+        }.sum
+        if (score == 0.0) None
+        else Some(id -> BigDecimal(score).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+      val out = TextOps.bm25(corpus.toDF("doc_id", "text"), "doc_id", "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out.keySet == expected.keySet, s"trial $trial doc sets diverged")
+      out.foreach { case (id, q) =>
+        assert(math.abs(q - expected(id)) <= 1e-5, s"trial $trial doc $id: $q vs ${expected(id)}")
+      }
+    }
+  }
+
+  test("sequence packing differential: random buckets match a pure-Scala reference") {
+    import graft.ops.PackOps
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 80).map(i =>
+      (i.toLong, (rnd.nextInt(300)).toLong, (i % 5).toLong))
+    val ctx = 64
+    val expected = rows.groupBy(_._3).flatMap { case (b, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).map { case (id, nt, _) =>
+        val start = cum; cum += nt
+        val first = start / ctx
+        val last = (start + math.max(nt, 1L) - 1) / ctx
+        id -> ((b, start, first, last, last - first + 1))
+      }
+    }
+    val out = PackOps.packSequences(rows.toDF("doc_id", "n_tok", "b"),
+        "doc_id", col("n_tok"), col("b"), ctx)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out == expected)
+  }
+
   test("quality score: bounded, and repetition/missing-stopwords cost") {
     import graft.ops.TextOps
     val prose = "the cat sat on a mat, and the dog slept of course."
