@@ -174,13 +174,20 @@ object DedupOps {
     * (band self-join → candidate distinct → two signature re-joins)
     * paid five shuffles and re-materialized the signature matrix
     * twice; measured ~2× slower cold at sf0.1. Bucket member lists are
-    * bounded by band collision counts — the same O(f²) feasibility
-    * argument (and `maxDocFrequency`-style mitigation, were a bucket
-    * ever hot) as the Jaccard posting lists.
+    * bounded by band collision counts in benign corpora, but a
+    * degenerate corpus (mass-duplicated boilerplate) collapses into
+    * one band bucket whose member list costs O(f²) pairs — so, exactly
+    * like `ngramJaccardPairs.maxDocFrequency`, buckets above
+    * `maxBucketSize` are dropped (documents duplicated at that volume
+    * are exact-dedup's catch, not minhash's). The cap filters on the
+    * collected size, same as the Jaccard path: band members are
+    * (id, 32-long sig) structs, narrow enough that the collect itself
+    * is not the hazard the embedding path's full vectors are.
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5, maxBucketSize: Int = 4096): DataFrame = {
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
     val sig = wordShingles(docs, idCol, textCol, shingleN)
@@ -195,7 +202,7 @@ object DedupOps {
       explode(array(bandCols: _*)).as("b"))
     val grouped = banded.groupBy(col("b"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
-      .filter(size(col("ms")) > 1)
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucketSize)
     // native lazy pair expansion (see ngramJaccardPairs); agreement is
     // computed on the emitted pair's carried signature arrays
     grouped.select(call_function("graft_ordered_pairs", col("ms")).as(Seq("x", "y")))

@@ -90,14 +90,30 @@ object SimilarityOps {
     * shuffle groups each bucket's (id, vector) members, then
     * `graft_ordered_pairs` lazily emits the i<j pairs — no self-join,
     * no second exchange. Buckets are the skew contract: a bucket of f
-    * members costs O(f²) pairs, bounded by nbits.
+    * members costs O(f²) pairs AND a collect_list row holding f full
+    * vectors, so over-capacity buckets are dropped BEFORE the collect:
+    * a count pass (groups only the ≤2^nbits bucket keys, map-side
+    * combined — near-free) finds hot buckets, and a broadcast anti
+    * join removes their members. The price is hashing the planes twice
+    * (both passes scan the vectors); the win is that no task ever
+    * materializes a hot bucket, where the pre-r7 form OOMed on one
+    * ~N/2^nbits-vector row at scale. Dropped buckets trade recall for
+    * boundedness — size nbits so expected f = N/2^nbits stays well
+    * under `maxBucketSize` (see [[lshBucketStats]] to observe the
+    * actual distribution; at 10⁹ rows nbits=8 is wrong — use 16+).
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, nbits: Int = 8): DataFrame = {
+      minCosine: Double, nbits: Int = 8,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(nbits >= 1 && nbits <= 62, s"nbits must be in [1,62], got $nbits")
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), nbits))
-    base.groupBy("bucket")
+    val hot = base.groupBy("bucket").agg(count(lit(1)).as("f"))
+      .filter(col("f") > maxBucketSize)
+    base.join(broadcast(hot.select("bucket")), Seq("bucket"), "left_anti")
+      .groupBy("bucket")
       .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(call_function("graft_ordered_pairs", col("ms")).as(Seq("x", "y")))
@@ -105,6 +121,17 @@ object SimilarityOps {
         round(nativeCosine(emb)(col("x.v"), col("y.v")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  /** Per-bucket population under [[lshBucket]] — the tuning probe for
+    * `nbits`/`maxBucketSize` on [[embeddingNearDupPairs]]: run once on
+    * a sample, look at the max/percentile bucket size, pick nbits so
+    * the cap never triggers on benign data. At most 2^nbits rows.
+    */
+  def lshBucketStats(emb: DataFrame, idCol: String, vecCol: String,
+      nbits: Int): DataFrame =
+    emb.select(asDouble(col(vecCol)).as("v"))
+      .select(lshBucket(col("v"), nbits).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("f"))
 
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     * partitions the corpus into cells; each query searches only its

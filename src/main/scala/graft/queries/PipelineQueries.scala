@@ -255,11 +255,16 @@ object PipelineQueries {
           col("n_chunk_tokens"), md5(col("chunk").cast("binary")).as("chunk_md5"))),
 
     // Sequence packing: docs laid end-to-end in 8 hash buckets, cut
-    // every 256 tokens; reports each doc's sequence span.
+    // every 256 tokens; reports each doc's sequence span. Every piece
+    // of the bucket/count arithmetic is engine-congruent with the
+    // DuckDB oracle: `%` (sign of the dividend in both engines, unlike
+    // pmod), an explicit whitespace class (Java `\s` includes \x0B,
+    // RE2's does not), and a null-text coalesce (DuckDB greatest()
+    // propagates NULL where Spark's skips it).
     "q75_pack_sequences" -> ((s, d) =>
       graft.ops.PackOps.packSequences(Tables(s, d, "documents"), "doc_id",
-        regexp_count(col("text"), lit("\\S+")),
-        pmod(col("doc_id"), lit(8)), contextLen = 256)),
+        coalesce(regexp_count(col("text"), lit("[^ \\t\\n\\f\\r]+")), lit(0)),
+        col("doc_id") % lit(8), contextLen = 256)),
 
     // One-pass bounded-memory heavy hitters (Misra-Gries native
     // aggregate). The synthetic corpus has ~31 distinct tokens, below
@@ -441,16 +446,18 @@ object PipelineQueries {
         |FROM c""".stripMargin,
     "q75_pack_sequences" ->
       """WITH b AS (SELECT doc_id, doc_id % 8 AS bucket,
-        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  coalesce(CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))
+        |    AS BIGINT), 0) AS n_tokens
         | FROM documents),
         |s AS (SELECT bucket, doc_id AS id, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens
-        |    AS start_tok FROM b)
+        |  CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+        |    - n_tokens AS BIGINT) AS start_tok FROM b)
         |SELECT bucket, id, n_tokens, start_tok,
-        | start_tok // 256 AS seq_first,
-        | (start_tok + greatest(n_tokens, 1) - 1) // 256 AS seq_last,
-        | (start_tok + greatest(n_tokens, 1) - 1) // 256
-        |   - start_tok // 256 + 1 AS n_seqs
+        | CAST(start_tok // 256 AS BIGINT) AS seq_first,
+        | CAST((start_tok + greatest(n_tokens, 1) - 1) // 256 AS BIGINT)
+        |   AS seq_last,
+        | CAST((start_tok + greatest(n_tokens, 1) - 1) // 256
+        |   - start_tok // 256 + 1 AS BIGINT) AS n_seqs
         |FROM s""".stripMargin,
     "q73_stratified_take" ->
       """SELECT doc_id, source FROM (

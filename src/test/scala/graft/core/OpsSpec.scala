@@ -718,6 +718,76 @@ class OpsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("sequence packing q75 edge fixtures: negative ids, null text, vertical tab") {
+    // Exercises the full q75 expression stack (engine-neutral whitespace
+    // class, null-text coalesce, sign-preserving % bucketing) against a
+    // pure-Scala reference with the exact semantics the DuckDB oracle
+    // computes — the r6 driver-corpus hash mismatch came from edges like
+    // these that the plain differential test (pre-counted tokens) skips.
+    import graft.ops.PackOps
+    val ctx = 16
+    val docs: Seq[(Long, String)] = Seq(
+      (-17L, "neg id two tokens"),
+      (-9L, null),
+      (-1L, "a\u000bb c"), // \x0B stays inside a token run under [^ \t\n\f\r]+
+      (0L, ""),
+      (3L, "  leading  and trailing  "),
+      (7L, "one two three four five six seven eight nine ten"),
+      (15L, "x\ty\nz\rw\fv"),
+      (23L, null))
+    val ws = Set(' ', '\t', '\n', '\f', '\r')
+    def nTok(t: String): Long =
+      if (t == null) 0L
+      else t.foldLeft((0L, false)) { case ((n, in), c) =>
+        if (ws(c)) (n, false) else (if (in) n else n + 1, true)
+      }._1
+    val expected = docs.map { case (id, t) => (id, nTok(t), id % 8) }
+      .groupBy(_._3).flatMap { case (b, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, nt, _) =>
+          val start = cum; cum += nt
+          val first = start / ctx
+          val last = (start + math.max(nt, 1L) - 1) / ctx
+          id -> ((b, nt, start, first, last, last - first + 1))
+        }
+      }
+    val out = PackOps.packSequences(docs.toDF("doc_id", "text"), "doc_id",
+        coalesce(regexp_count(col("text"), lit("[^ \\t\\n\\f\\r]+")), lit(0)),
+        col("doc_id") % lit(8), ctx)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out == expected)
+  }
+
+  test("LSH bucket caps bound degenerate corpora instead of going O(n²)") {
+    import graft.ops.{DedupOps, SimilarityOps}
+    // 60 identical docs: every minhash band collides into ONE bucket
+    // (1770 pairs uncapped). maxBucketSize must zero it out.
+    val dupDocs = (1L to 60L).map(i =>
+      (i, "identical boilerplate text repeated verbatim across the corpus"))
+      .toDF("doc_id", "text")
+    val uncapped = DedupOps.minHashLshPairs(dupDocs, "doc_id", "text")
+    assert(uncapped.count() == 60L * 59 / 2)
+    val capped = DedupOps.minHashLshPairs(dupDocs, "doc_id", "text",
+      maxBucketSize = 32)
+    assert(capped.count() == 0, "over-capacity band bucket must be dropped")
+
+    // 40 identical vectors: one LSH bucket; the cap must drop it before
+    // the pair generator, and benign-sized corpora must be unaffected.
+    val dupVecs = (1L to 40L).map(i => (i, Array.fill(8)(0.5f)))
+      .toDF("id", "vec")
+    val vu = SimilarityOps.embeddingNearDupPairs(dupVecs, "id", "vec",
+      minCosine = 0.9, nbits = 4)
+    assert(vu.count() == 40L * 39 / 2)
+    val vc = SimilarityOps.embeddingNearDupPairs(dupVecs, "id", "vec",
+      minCosine = 0.9, nbits = 4, maxBucketSize = 16)
+    assert(vc.count() == 0, "over-capacity embedding bucket must be dropped")
+    // stats probe sees the single hot bucket
+    val stats = SimilarityOps.lshBucketStats(dupVecs, "id", "vec", 4).collect()
+    assert(stats.length == 1 && stats.head.getLong(1) == 40L)
+  }
+
   test("quality score: bounded, and repetition/missing-stopwords cost") {
     import graft.ops.TextOps
     val prose = "the cat sat on a mat, and the dog slept of course."
