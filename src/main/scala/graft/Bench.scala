@@ -79,7 +79,17 @@ object Bench {
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = okResults.map(_._2).sum
     val totalWarm = okResults.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},"total_warm":$totalWarm,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},"total_warm":$totalWarm,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver scrapes stdout and has twice truncated the tail of
+    // this line (r5/r6: "parsed": null, cold block unreadable) — also
+    // persist the complete JSON to a file that gets committed, so the
+    // full cold+warm read-out survives any pipe truncation.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

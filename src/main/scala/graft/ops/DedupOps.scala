@@ -313,6 +313,34 @@ object DedupOps {
     */
   def dedupAgainstStore(batch: DataFrame, idCol: String, textCol: String,
       storePath: String): DataFrame = {
+    val staged = dedupAgainstStoreStaged(batch, idCol, textCol, storePath)
+    staged.commit()
+    staged.admitted
+  }
+
+  /** The admitted batch plus its not-yet-run store admission.
+    * `admitted` is safe to write/inspect before `commit()`; calling
+    * `commit()` appends the batch's digests to the store (idempotent
+    * to skip, NOT idempotent to run twice — commit exactly once, after
+    * the survivors are durably persisted).
+    */
+  final case class StagedAdmission(admitted: DataFrame, commit: () => Unit)
+
+  /** [[dedupAgainstStore]] with admission split from computation, for
+    * exactly-once recovery: the eager variant appends the admitted
+    * digests to the store BEFORE the caller has persisted the admitted
+    * rows, so a downstream write failure makes a re-run return empty
+    * (sigs already admitted) — silently and permanently dropping the
+    * batch. Staged order is: (1) read `admitted`, write the survivors
+    * wherever they live; (2) `commit()`. A crash between (1) and (2)
+    * re-admits the batch on retry — duplicate *writes* are then the
+    * caller's overwrite/idempotent-sink problem, never data loss.
+    * (If the eager variant's recovery is ever needed: delete the
+    * store's parquet files whose modification time matches the failed
+    * run before re-running.)
+    */
+  def dedupAgainstStoreStaged(batch: DataFrame, idCol: String,
+      textCol: String, storePath: String): StagedAdmission = {
     val spark = batch.sparkSession
     val cols = batch.columns.toIndexedSeq
     val sigged = batch.withColumn("_sig", md5(col(textCol).cast("binary")))
@@ -354,8 +382,10 @@ object DedupOps {
     // returned frame once consumed.
     val admittedKeys = winners.join(seen, Seq("_sig"), "left_anti")
       .localCheckpoint()
-    admittedKeys.select("_sig").write.mode("append").parquet(storePath)
-    batch.join(admittedKeys.select(idCol), Seq(idCol), "left_semi")
+    val admitted = batch
+      .join(admittedKeys.select(idCol), Seq(idCol), "left_semi")
       .unionByName(nullSig)
+    StagedAdmission(admitted,
+      () => admittedKeys.select("_sig").write.mode("append").parquet(storePath))
   }
 }

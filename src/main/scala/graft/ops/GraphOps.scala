@@ -110,6 +110,12 @@ object GraphOps {
     * is a disjoint union of min-rooted stars; detected by an
     * (edge-count, bit_xor of edge hashes) signature going stable —
     * one cheap aggregation on data each round already materializes.
+    * A signature match is then CONFIRMED by an exact set compare
+    * (count-equal + empty except ⇒ equal): the exact probe costs a
+    * join-shaped pass but runs only on candidate-convergence rounds
+    * (typically once), so a 2⁻⁶⁴-ish signature collision between two
+    * different successive edge sets can never terminate the loop with
+    * incompletely merged components.
     */
   def connectedComponentsStars(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
@@ -151,7 +157,10 @@ object GraphOps {
         .distinct()
         .localCheckpoint()
       val nextSig = signature(ss)
-      converged = nextSig == sig
+      // exact confirmation only when the cheap signature says "same":
+      // equal counts + empty (ss \ e) on canonical distinct sets is
+      // set equality, immune to hash collisions
+      converged = nextSig == sig && ss.except(e).isEmpty
       sig = nextSig
       releaseCheckpoint(e) // superseded round's blocks freed NOW
       e = ss

@@ -56,7 +56,10 @@ object SampleOps {
     hashCoord(key, salt) < lit(thresholdHex(fraction))
 
   /** Deterministic uniform sample: every engine, every rerun, every
-    * partitioning keeps exactly the same rows.
+    * partitioning keeps exactly the same rows. Rows with a NULL key
+    * are DROPPED at any fraction (NULL coordinate ⇒ NULL predicate) —
+    * same for [[mixturePredicate]]; handle null keys explicitly
+    * upstream if they must survive.
     */
   def deterministicSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
       fraction: Double, salt: String): org.apache.spark.sql.DataFrame =
@@ -104,6 +107,14 @@ object SampleOps {
     * order, remainder to the last label. A document's split never
     * changes across reruns, and sampling (different salt) stays
     * independent of splitting.
+    *
+    * NULL keys get a NULL split, never a label: a NULL hash coordinate
+    * makes every interval test NULL, which would silently fall through
+    * to the last label — every null-id document landing in "test" is
+    * eval contamination. This mirrors the filter-based samplers
+    * ([[deterministicSample]]/[[mixturePredicate]]), where a NULL
+    * coordinate makes the keep-predicate NULL and the row is DROPPED —
+    * filter / route / fail the nulls explicitly before splitting.
     */
   def assignSplit(key: Column, splits: Seq[(String, Double)], salt: String): Column = {
     require(splits.nonEmpty, "assignSplit needs at least one (label, fraction)")
@@ -114,6 +125,8 @@ object SampleOps {
         val cond = coord < lit(thresholdHex(cut))
         Some(acc.fold(when(cond, lit(label)))(_.when(cond, lit(label))))
     }
-    cased.fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1)))
+    val assigned =
+      cased.fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1)))
+    when(key.isNull, lit(null: String)).otherwise(assigned)
   }
 }

@@ -146,6 +146,15 @@ object SimilarityOps {
     * row (`scored` holds all cell distances sorted): a per-cell
     * `array(lit,…)` repeated per use put nCells×dims literal NODES in
     * the plan ×3 and bloated task binaries to tens of MiB.
+    *
+    * Sizing (defaults assume a ≤10⁶-row corpus): pick nCells ≈ √N (10⁹
+    * rows → ~32k cells; the center literal is then nCells×dims doubles
+    * — at 32k×768 that is ~200 MB, the point where the centers should
+    * move to a broadcast join instead of a literal) and fitFraction so
+    * nCells×50 … 10⁵ sample vectors reach the driver. nprobe is the
+    * recall dial: recall plateaus near nprobe/nCells ≈ 1/4 of the
+    * default; raising nCells without raising nprobe trades recall for
+    * speed silently — hence the guard below.
     */
   /** Seeded Lloyd's iterations over an in-memory sample. A 16-cell
     * coarse quantizer needs only a bounded sample (the caller sizes
@@ -211,6 +220,15 @@ object SimilarityOps {
       idCol: String, vecCol: String, queryPred: Column, k: Int,
       nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       fitFraction: Double = 0.1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nCells >= 2, s"nCells must be >= 2, got $nCells")
+    require(nprobe >= 1 && nprobe <= nCells,
+      s"nprobe must be in [1, nCells], got $nprobe for nCells=$nCells")
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"fitFraction must be in (0, 1], got $fitFraction")
+    if (nCells > 64 && nprobe.toDouble / nCells < 0.01)
+      System.err.println(s"[graft] knnIvf: nprobe=$nprobe of nCells=$nCells " +
+        "searches <1% of the corpus — recall will be poor; raise nprobe")
     import spark.implicits._
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     var sample = base.sample(withReplacement = false, fitFraction, seed)
@@ -250,6 +268,11 @@ object SimilarityOps {
     * Bucketing the corpus is one projection; the join is an equi-join
     * on the bucket key against the (probes×) exploded, broadcast query
     * side — the corpus is never replicated or re-shuffled.
+    *
+    * Sizing: expected candidates per query ≈ probes × N/2^nbits — keep
+    * that in the 10³–10⁵ band (10⁹ rows → nbits ≈ 16–20, probes 4–8;
+    * the nbits=8 default assumes ≤10⁶ rows). More nbits cuts cost and
+    * recall; more probes buys recall back linearly in cost.
     */
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nbits: Int = 8, probes: Int = 1): DataFrame = {

@@ -285,7 +285,7 @@ object TextOps {
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        md5(coalesce(col("cleaned"), lit("")).cast("binary")).as("cleaned_md5"))
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
   /** BM25 relevance scores (Okapi, Lucene's +1 idf smoothing) of every

@@ -223,13 +223,15 @@ object PipelineQueries {
     // expression replayed in the oracle); the operator itself is
     // generic over any line-structured text.
     "q71_line_dedup" -> ((s, d) =>
+      // the op returns the cleaned corpus text (its downstream use);
+      // the harness compacts it to md5 for the oracle compare
       TextOps.lineDedup(
         Tables(s, d, "documents")
           .select(col("doc_id"),
             regexp_replace(col("text"), " table", "\ntable").as("text")),
         "doc_id", "text", minDupCount = 2)
         .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
-          col("cleaned_md5"))),
+          md5(col("cleaned").cast("binary")).as("cleaned_md5"))),
 
     // BM25 relevance of every document against a fixed term bag —
     // retrieval-style quality ranking; doc-length norm carried through

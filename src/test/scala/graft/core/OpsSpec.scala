@@ -391,11 +391,23 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(kept("src1") / 10000.0 - 0.1) < 0.02)
   }
 
+  test("null keys: assignSplit yields NULL, samplers drop — never a silent label") {
+    import graft.ops.SampleOps
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val out = df.withColumn("split",
+        SampleOps.assignSplit(col("id"), splits, "sp"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        Option(r.getString(1))).toMap
+    assert(out(None).isEmpty, "null key must get a NULL split, not 'test'")
+    assert(out(Some(1L)).nonEmpty && out(Some(2L)).nonEmpty)
+    // filter-based samplers: NULL coordinate -> predicate NULL ->
+    // dropped, at ANY fraction (even keep-everything)
+    assert(SampleOps.deterministicSample(df, "id", 1.0, "s").count() == 2)
+  }
+
   test("line dedup removes corpus-frequent lines, keeps order, survives full removal") {
     import graft.ops.TextOps
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val docs = Seq(
       (1L, "keep one\nBOILER\nkeep two"),
       (2L, "BOILER\nunique here"),
@@ -405,10 +417,10 @@ class OpsSpec extends SparkSpec {
     val out = TextOps.lineDedup(docs, "doc_id", "text", minDupCount = 2)
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
-    assert(out(1L) == ((3, 2L, md5hex("keep one\nkeep two")))) // order kept
-    assert(out(2L) == ((2, 1L, md5hex("unique here"))))
-    assert(out(3L) == ((1, 0L, md5hex("")))) // doc not dropped
-    assert(out(4L) == ((1, 1L, md5hex("solo line"))))
+    assert(out(1L) == ((3, 2L, "keep one\nkeep two"))) // order kept
+    assert(out(2L) == ((2, 1L, "unique here")))
+    assert(out(3L) == ((1, 0L, ""))) // doc not dropped
+    assert(out(4L) == ((1, 1L, "solo line")))
   }
 
   test("bm25 matches the closed-form score on a hand corpus") {
@@ -595,6 +607,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("staged store dedup: a batch is only admitted once commit() runs") {
+    // the recovery contract: if the caller crashes before commit(),
+    // re-running the batch returns the SAME admitted rows (no loss);
+    // after commit(), a re-run admits nothing
+    val store = java.nio.file.Files.createTempDirectory("graft_sigstage")
+      .resolve("sigs").toString
+    val b = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val s1 = DedupOps.dedupAgainstStoreStaged(b, "doc_id", "text", store)
+    assert(s1.admitted.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // no commit — a retry sees an unchanged store and re-admits everything
+    val s2 = DedupOps.dedupAgainstStoreStaged(b, "doc_id", "text", store)
+    assert(s2.admitted.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    s2.commit()
+    val s3 = DedupOps.dedupAgainstStoreStaged(b, "doc_id", "text", store)
+    assert(s3.admitted.count() == 0L)
+  }
+
   test("schema conform: missing cols null out, extras drop, casts apply, batches union") {
     import graft.ops.IngestOps
     import org.apache.spark.sql.types._
@@ -633,9 +662,6 @@ class OpsSpec extends SparkSpec {
 
   test("line dedup differential: random corpora match a pure-Scala reference") {
     import graft.ops.TextOps
-    def md5hex2(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 3) {
       val nDocs = 30 + rnd.nextInt(40)
@@ -652,7 +678,7 @@ class OpsSpec extends SparkSpec {
       val expected = corpus.map { case (id, text) =>
         val all = text.split("\n", -1).toSeq
         val kept = all.filter(counts(_) < 2)
-        id -> ((all.size, kept.size.toLong, md5hex2(kept.mkString("\n"))))
+        id -> ((all.size, kept.size.toLong, kept.mkString("\n")))
       }.toMap
       val out = TextOps.lineDedup(corpus.toDF("doc_id", "text"), "doc_id", "text", 2)
         .collect().map(r => r.getLong(0) ->
