@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native BPE application: `graft_bpe_encode(text, merges)` → array of
+  * subword tokens. `merges` must be a FOLDABLE array<string> of
+  * space-joined pairs ("a b") in rank order — it is decoded once per
+  * task, not per row; the per-word encoding is memoized in a per-task
+  * cache (word frequency is Zipfian, so the cache removes nearly all
+  * re-encoding). Semantics live in graft.ops.BpeOps.encode — one
+  * implementation shared by the expression, the trainer, and the
+  * differential spec.
+  *
+  * Why an expression and not a UDF: no ScalaUDF boxing of the row, no
+  * per-row closure dispatch, and the output writes straight into an
+  * ArrayData the downstream size()/array_join() consume without a
+  * copy. CodegenFallback is fine here — the cost is the string work
+  * itself, not the interpreter hop.
+  */
+case class BpeEncode(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_bpe_encode"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+
+  @transient private lazy val merges: graft.ops.BpeOps.Merges = {
+    require(right.foldable,
+      s"$prettyName requires a foldable merges argument")
+    val arr = right.eval().asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val s = arr.getUTF8String(i).toString
+      val cut = s.indexOf(' ')
+      require(cut > 0 && cut < s.length - 1,
+        s"$prettyName: merge entry '$s' is not 'left right'")
+      (s.substring(0, cut), s.substring(cut + 1))
+    }
+  }
+
+  @transient private lazy val cache =
+    scala.collection.mutable.HashMap.empty[String, List[String]]
+
+  override def nullSafeEval(text: Any, mergesIgnored: Any): Any = {
+    val toks = graft.ops.BpeOps.encode(
+      text.asInstanceOf[UTF8String].toString, merges, cache)
+    new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}

@@ -79,6 +79,13 @@ object GraftFunctions {
         require(children.size == 1,
           s"graft_ordered_pairs requires exactly 1 argument, got ${children.size}")
         OrderedPairs(children.head)
+      }),
+    ("graft_bpe_encode",
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_bpe_encode requires exactly 2 arguments, got ${children.size}")
+        BpeEncode(children.head, children(1))
       }))
 
   /** Register into an existing session's function registry. Idempotent. */

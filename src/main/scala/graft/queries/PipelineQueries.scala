@@ -290,6 +290,15 @@ object PipelineQueries {
       TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("quality"))),
 
+    // Real BPE tokenization under the frozen 32-merge model (trained
+    // once on this corpus, shipped as constants — the normal BPE
+    // deployment artifact). The oracle replays the identical merge
+    // table through a recursive CTE, so the subword segmentation
+    // itself is value-checked cross-engine, not just counted.
+    "q80_bpe_encode" -> ((s, d) =>
+      graft.ops.BpeOps.bpeTokens(Tables(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bpe_tokens"), col("bpe_md5"))),
+
     // Cluster-dedup end-to-end: one survivor per near-dup cluster
     // (longest text, ties to lowest id), untouched documents kept.
     "q67_dedup_survivors" -> ((s, d) => {
@@ -389,6 +398,41 @@ object PipelineQueries {
         | FROM f)
         |SELECT doc_id, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 5) AS quality
         |FROM s""".stripMargin,
+    "q80_bpe_encode" -> {
+      // merge table interpolated from the SAME frozen constants the
+      // Spark expression ships — the two engines cannot drift
+      val mv = graft.ops.BpeOps.DefaultMerges.zipWithIndex
+        .map { case ((a, b), r) => s"($r,'$a','$b')" }.mkString(", ")
+      val nRanks = graft.ops.BpeOps.DefaultMerges.size
+      s"""WITH RECURSIVE
+         |m (r, a, b) AS (VALUES $mv),
+         |w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+         | FROM documents),
+         |wn AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws FROM w),
+         |wd AS (SELECT doc_id, CAST(wi AS INTEGER) AS wi,
+         |  list_transform(generate_series(1, len(ws[wi])), i -> ws[wi][i]) AS s
+         | FROM wn),
+         |enc (doc_id, wi, s, r) AS (
+         |  SELECT doc_id, wi, s, 0 AS r FROM wd
+         |  UNION ALL
+         |  SELECT doc_id, wi,
+         |    CASE WHEN p IS NULL THEN s
+         |         ELSE s[1:p-1] || [s[p] || s[p+1]] || s[p+2:] END AS s,
+         |    CASE WHEN p IS NULL THEN r + 1 ELSE r END AS r
+         |  FROM (
+         |    SELECT e.doc_id, e.wi, e.s, e.r,
+         |      list_filter(generate_series(1, len(e.s) - 1),
+         |        i -> e.s[i] = m.a AND e.s[i+1] = m.b)[1] AS p
+         |    FROM enc e JOIN m ON m.r = e.r) t),
+         |fin AS (SELECT doc_id, wi, s FROM enc WHERE r = $nRanks),
+         |agg AS (SELECT doc_id, CAST(sum(len(s)) AS INTEGER) AS n_bpe_tokens,
+         |  string_agg(array_to_string(s, ' '), ' ' ORDER BY wi) AS toks
+         | FROM fin GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+         |  md5(coalesce(a.toks, '')) AS bpe_md5
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+    },
     "q78_adaptive_trim" ->
       """WITH cuts AS (SELECT source,
         |  quantile_cont(n_chars, 0.1) AS lo, quantile_cont(n_chars, 0.9) AS hi
