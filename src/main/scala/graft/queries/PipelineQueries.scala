@@ -25,6 +25,46 @@ object PipelineQueries {
   private val SplitSpec =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** q81/q82 input: the documents table has no URL column, so both
+    * engines synthesize the SAME deterministic messy URLs from doc_id
+    * (templates shared between the Spark expression and the oracle
+    * CASE — one spec, no drift) and the normalization/quota rules are
+    * what gets value-checked.
+    */
+  private val UrlTemplates = Seq(
+    "HTTPS://WWW.Example{K}.CO.UK:443/Path/To/{ID}/?utm_source=feed&id={ID}&fbclid=abc#frag",
+    "http://example{K}.com:80/a//b/",
+    "https://Sub.Domain.Example{K}.COM/path?ref=tw&q=x&utm_campaign=c",
+    "ftp://Files.example{K}.org:21/pub/",
+    "https://example{K}.com",
+    "not a url {ID}")
+
+  private def fillTemplate(t: String, id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(t.split("(?=\\{)|(?<=\\})").map {
+      case "{K}" => (id % 20).cast("string")
+      case "{ID}" => id.cast("string")
+      case s => lit(s)
+    }.toIndexedSeq: _*)
+
+  private def messyUrl(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val m = (id % 6).cast("int")
+    UrlTemplates.zipWithIndex.dropRight(1)
+      .foldRight(fillTemplate(UrlTemplates.last, id)) { case ((t, i), acc) =>
+        when(m === i, fillTemplate(t, id)).otherwise(acc)
+      }
+  }
+
+  private def sqlUrlCase: String =
+    "CASE CAST(doc_id % 6 AS INTEGER) " + UrlTemplates.zipWithIndex.map {
+      case (t, i) =>
+        val l = "'" + t
+          .replace("{K}", "' || CAST(doc_id % 20 AS VARCHAR) || '")
+          .replace("{ID}", "' || CAST(doc_id AS VARCHAR) || '") + "'"
+        if (i < UrlTemplates.size - 1) s"WHEN $i THEN $l" else s"ELSE $l"
+    }.mkString(" ") + " END"
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: single hash shuffle keyed by the text digest.
     "q30_exact_dedup" -> ((s, d) =>
@@ -290,6 +330,27 @@ object PipelineQueries {
       TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("quality"))),
 
+    // URL canonicalization (crawl curation stage 1): scheme/host case,
+    // default ports, fragments, tracking params, trailing slashes —
+    // plus registered-domain extraction. Zero shuffles.
+    "q81_url_normalize" -> ((s, d) => {
+      val u = Tables(s, d, "documents")
+        .select(col("doc_id"), messyUrl(col("doc_id")).as("url"))
+      u.select(col("doc_id"),
+        graft.ops.UrlOps.urlNormalize(col("url")).as("url_norm"),
+        graft.ops.UrlOps.registeredDomain(
+          graft.ops.UrlOps.urlHost(col("url"))).as("domain"))
+    }),
+
+    // Per-domain quota (no site dominates the corpus): deterministic
+    // hash-coordinate take of at most 5 docs per registered domain.
+    "q82_domain_quota" -> ((s, d) =>
+      graft.ops.UrlOps.capPerDomain(
+        Tables(s, d, "documents")
+          .select(col("doc_id"), messyUrl(col("doc_id")).as("url")),
+        "doc_id", "url", n = 5, salt = "dq1")
+        .select(col("doc_id"), col("domain"))),
+
     // Real BPE tokenization under the frozen 32-merge model (trained
     // once on this corpus, shipped as constants — the normal BPE
     // deployment artifact). The oracle replays the identical merge
@@ -398,6 +459,64 @@ object PipelineQueries {
         | FROM f)
         |SELECT doc_id, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 5) AS quality
         |FROM s""".stripMargin,
+    "q81_url_normalize" -> {
+      val suffixes = graft.ops.UrlOps.MultiPartSuffixes
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id, $sqlUrlCase AS url FROM documents),
+         |p AS (SELECT doc_id, url,
+         |  regexp_extract(url, '^([^#]*)', 1) AS pre FROM u),
+         |c AS (SELECT doc_id, url,
+         |  lower(regexp_extract(pre, '^([^:/?#]+)://', 1)) AS scheme,
+         |  lower(regexp_extract(pre, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+         |  regexp_extract(pre, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+         |  regexp_extract(pre, '\\?(.*)$$', 1) AS query FROM p),
+         |n AS (SELECT doc_id, url, scheme,
+         |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+         |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |       ELSE hostport END AS host,
+         |  regexp_replace(path, '/+$$', '') AS cleanpath,
+         |  coalesce(array_to_string(list_filter(string_split(query, '&'),
+         |    x -> x <> '' AND NOT regexp_matches(x,
+         |      '^(utm_[^=]*|gclid|fbclid|ref)(=|$$)')), '&'), '') AS cleanquery
+         | FROM c),
+         |o AS (SELECT doc_id, url,
+         |  CASE WHEN scheme = '' THEN url
+         |       ELSE scheme || '://' || host || cleanpath ||
+         |         CASE WHEN cleanquery = '' THEN ''
+         |              ELSE '?' || cleanquery END END AS url_norm,
+         |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+         |    ':[0-9]+$$', '') AS hostnp
+         | FROM n),
+         |d AS (SELECT doc_id, url_norm, hostnp,
+         |  string_split(hostnp, '.') AS parts FROM o)
+         |SELECT doc_id, url_norm,
+         |  CASE WHEN len(parts) <= 2 THEN hostnp
+         |       WHEN parts[-2] || '.' || parts[-1] IN ($suffixes)
+         |         THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+         |       ELSE parts[-2] || '.' || parts[-1] END AS domain
+         |FROM d""".stripMargin
+    },
+    "q82_domain_quota" -> {
+      val suffixes = graft.ops.UrlOps.MultiPartSuffixes
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id, $sqlUrlCase AS url FROM documents),
+         |h AS (SELECT doc_id,
+         |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+         |    ':[0-9]+$$', '') AS hostnp FROM u),
+         |d AS (SELECT doc_id, hostnp, string_split(hostnp, '.') AS parts FROM h),
+         |dom AS (SELECT doc_id,
+         |  CASE WHEN len(parts) <= 2 THEN hostnp
+         |       WHEN parts[-2] || '.' || parts[-1] IN ($suffixes)
+         |         THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+         |       ELSE parts[-2] || '.' || parts[-1] END AS domain
+         | FROM d)
+         |SELECT doc_id, domain FROM (
+         | SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+         |   ORDER BY substr(md5('dq1' || CAST(doc_id AS VARCHAR)), 1, 13),
+         |            doc_id) AS rn
+         | FROM dom) t
+         |WHERE rn <= 5""".stripMargin
+    },
     "q80_bpe_encode" -> {
       // merge table interpolated from the SAME frozen constants the
       // Spark expression ships — the two engines cannot drift
