@@ -133,6 +133,62 @@ object SimilarityOps {
       .select(lshBucket(col("v"), nbits).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("f"))
 
+  /** Exact all-pairs cosine pairs above a threshold — the BASELINE-ONLY
+    * twin of [[embeddingNearDupPairs]] (O(n²); for recall measurement
+    * and small corpora, never the scale path).
+    */
+  def exactCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("a_id"), asDouble(col(vecCol)).as("av"))
+    val b = emb.select(col(idCol).as("b_id"), asDouble(col(vecCol)).as("bv"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(nativeCosine(emb)(col("av"), col("bv")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
+  /** One recall row: |approx ∩ exact| / |exact| over `keyCols`,
+    * computed as two 1-row aggregates joined — fully lazy, so it
+    * registers as a harness query like any other.
+    */
+  private def recallRow(exact: DataFrame, approx: DataFrame,
+      keyCols: Seq[String], method: String, k: Int): DataFrame = {
+    val e = exact.select(keyCols.map(col): _*).distinct()
+    val a = approx.select(keyCols.map(col): _*).distinct()
+    val nE = e.agg(count(lit(1)).as("n_exact"))
+    val nH = e.join(a, keyCols, "left_semi").agg(count(lit(1)).as("n_hit"))
+    nH.crossJoin(nE).select(lit(method).as("method"), lit(k).as("k"),
+      col("n_exact"), col("n_hit"),
+      round(col("n_hit").cast("double") /
+        greatest(col("n_exact"), lit(1L)), 4).as("recall"))
+  }
+
+  /** ANN quality as a harness-visible NUMBER: recall of the LSH and
+    * IVF top-k paths and the bucketed near-dup pairs against their
+    * exact baselines ([[knnBrute]], [[exactCosinePairs]]), one row per
+    * method. The approximate paths are xxhash64/sample-seeded and so
+    * can never have a SQL oracle — this query converts them from
+    * "rows>0" checks into a quantified quality signal at bench scale
+    * (thresholds pinned in SimilaritySpec; k is 0 on the pair row,
+    * where top-k doesn't apply).
+    */
+  def annRecallReport(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+      k: Int, nbitsKnn: Int, probes: Int, minCosine: Double,
+      nbitsPairs: Int): DataFrame = {
+    val exactTopK = knnBrute(emb, idCol, vecCol, queryPred, k)
+    val lsh = knnLsh(emb, idCol, vecCol, queryPred, k, nbitsKnn, probes)
+    val ivf = knnIvf(spark, emb, idCol, vecCol, queryPred, k)
+    val exactPairs = exactCosinePairs(emb, idCol, vecCol, minCosine)
+    val lshPairs = embeddingNearDupPairs(emb, idCol, vecCol, minCosine,
+      nbitsPairs)
+    recallRow(exactTopK, lsh, Seq("query_id", "cand_id"), "knn_lsh", k)
+      .unionByName(recallRow(exactTopK, ivf, Seq("query_id", "cand_id"),
+        "knn_ivf", k))
+      .unionByName(recallRow(exactPairs, lshPairs, Seq("a_id", "b_id"),
+        "neardup_pairs", 0))
+  }
+
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     * partitions the corpus into cells; each query searches only its
     * `nprobe` nearest cells. The scale path for billion-row corpora:

@@ -330,6 +330,16 @@ object PipelineQueries {
       TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("quality"))),
 
+    // ANN recall scoreboard: the approximate paths (q38/q47/q48) can
+    // never have SQL oracles (xxhash64/seeded-sample based), but their
+    // recall against the exact baselines IS computable — 3 rows of
+    // quantified quality instead of rows-only checks. Same parameters
+    // as q36/q38/q47/q48.
+    "q83_ann_recall" -> ((s, d) =>
+      SimilarityOps.annRecallReport(s, Tables(s, d, "embeddings"),
+        "vec_id", "embedding", col("vec_id") < 5, k = 10,
+        nbitsKnn = 4, probes = 2, minCosine = 0.35, nbitsPairs = 4)),
+
     // URL canonicalization (crawl curation stage 1): scheme/host case,
     // default ports, fragments, tracking params, trailing slashes —
     // plus registered-domain extraction. Zero shuffles.

@@ -53,6 +53,39 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("annRecallReport: consistent counts, pinned floors, nbits monotonicity") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val rep = SimilarityOps.annRecallReport(spark, emb01, "vec_id", "embedding",
+        col("vec_id") < 5, k = 10, nbitsKnn = 4, probes = 2,
+        minCosine = 0.35, nbitsPairs = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rep.keySet == Set("knn_lsh", "knn_ivf", "neardup_pairs"))
+    rep.foreach { case (m, (nExact, nHit, recall)) =>
+      assert(nHit <= nExact && recall >= 0.0 && recall <= 1.0, s"$m: $nHit/$nExact")
+      assert(math.abs(recall - nHit.toDouble / math.max(nExact, 1)) < 1e-3, m)
+    }
+    // floors at the harness parameters (measured 0.64/0.20/0.18 —
+    // sign-LSH at cos 0.35 ≈ 69° is intrinsically leaky; the report
+    // existing to SHOW that is the point)
+    assert(rep("knn_ivf")._3 >= 0.4, rep.toString)
+    assert(rep("knn_lsh")._3 >= 0.1, rep.toString)
+    assert(rep("neardup_pairs")._3 >= 0.1, rep.toString)
+    // recall dial: fewer hyperplane bits ⇒ coarser buckets ⇒ the
+    // near-dup pair recall can only grow (candidate superset)
+    val exact = SimilarityOps.exactCosinePairs(emb01, "vec_id", "embedding", 0.35)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairRecall(nbits: Int): Double = {
+      val got = SimilarityOps.embeddingNearDupPairs(emb01, "vec_id", "embedding",
+          0.35, nbits)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r1 = pairRecall(1); val r4 = pairRecall(4)
+    assert(r1 >= r4, s"nbits=1 recall $r1 < nbits=4 recall $r4")
+    assert(r1 >= 0.5, s"2-bucket recall should be substantial, got $r1")
+  }
+
   test("frame sampling: deterministic windows, correct shape") {
     val bin = MultimodalOps.withBinaryPayload(docs, "doc_id", "text")
     val f1 = MultimodalOps.sampleFrames(spark, bin, 4)
