@@ -86,6 +86,13 @@ object GraftFunctions {
         require(children.size == 2,
           s"graft_bpe_encode requires exactly 2 arguments, got ${children.size}")
         BpeEncode(children.head, children(1))
+      }),
+    ("graft_nfc",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_nfc requires exactly 1 argument, got ${children.size}")
+        NfcNormalize(children.head)
       }))
 
   /** Register into an existing session's function registry. Idempotent. */

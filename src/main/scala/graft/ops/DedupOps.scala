@@ -233,6 +233,46 @@ object DedupOps {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs (a < b, hamming <= maxHamming): the
+    * 64-bit code is banded into `bands` equal bit-chunks and pairs are
+    * generated only inside chunk buckets. By pigeonhole this is EXACT
+    * whenever `maxHamming < bands` — two codes differing in at most
+    * maxHamming bits cannot differ in every one of the bands — so the
+    * default (3, 4) finds precisely the hamming<=3 pairs, the standard
+    * simhash dedup operating point, at bucket-join cost instead of
+    * all-pairs. Same physical shape and `maxBucketSize` skew cap as
+    * [[minHashLshPairs]]: one signature aggregate, one bucket group,
+    * lazy in-row pair expansion, final distinct. A chunk bucket's
+    * members are (id, long) structs — 16 bytes each.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"exactness needs maxHamming < bands, got $maxHamming vs $bands")
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sh = simHash(docs, idCol, textCol)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array(bandCols: _*)).as("b"))
+    val grouped = banded.groupBy(col("b"))
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucketSize)
+    grouped.select(call_function("graft_ordered_pairs", col("ms")).as(Seq("x", "y")))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Benchmark-contamination check: for each corpus document, how many
     * of its distinct word n-grams appear anywhere in the benchmark
     * set, and the contaminated fraction. Standard eval-decontamination

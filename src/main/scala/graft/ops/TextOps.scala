@@ -245,6 +245,18 @@ object TextOps {
         Ipv4Re, "<PII>"),
       PhoneRe, "<PII>")
 
+  /** Canonical text normal form (corpus-cleaning stage 0, and the
+    * right key for exact dedup of cosmetically-different copies):
+    * Unicode NFC (native `graft_nfc` — register GraftFunctions
+    * first), lowercase, whitespace runs collapsed to single spaces,
+    * trimmed. The whitespace class is the engine-neutral
+    * [ \t\n\f\r] (Java's \s includes \x0B, RE2's does not). Pure
+    * per-row expressions, zero shuffle.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      lower(call_function("graft_nfc", text)), "[ \\t\\n\\f\\r]+", " "))
+
   /** Line-level deduplication (the RefinedWeb/CCNet corpus-cleaning
     * stage): a line that appears verbatim at least `minDupCount` times
     * ACROSS the corpus (boilerplate, navigation chrome, license
@@ -263,12 +275,19 @@ object TextOps {
     *     bounded, so the struct list is too).
     * Two key-hashed shuffles + one join at any corpus size. Documents
     * whose every line was banned survive with empty cleaned text.
+    *
+    * `sep` is the LITERAL block separator — "\n" gives RefinedWeb line
+    * dedup, "\n\n" paragraph dedup (the same pipeline's second pass);
+    * split and reassembly use the identical string, so
+    * clean(clean(x)) = clean(x).
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-      minDupCount: Int = 2): DataFrame = {
+      minDupCount: Int = 2, sep: String = "\n"): DataFrame = {
     require(minDupCount >= 2, "minDupCount < 2 would ban every line")
+    require(sep.nonEmpty, "sep must be non-empty")
     val lines = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
       .withColumn("line_key", md5(col("line").cast("binary")))
     val banned = lines.groupBy("line_key").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minDupCount)
@@ -279,9 +298,10 @@ object TextOps {
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             _.getField("line")),
-          "\n").as("cleaned"))
+          sep).as("cleaned"))
     df.select(col(idCol).as("id"),
-        size(split(col(textCol), "\n")).as("n_lines"))
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as("n_lines"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

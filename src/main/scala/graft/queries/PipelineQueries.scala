@@ -56,6 +56,42 @@ object PipelineQueries {
       }
   }
 
+  /** Shared q80/q85 oracle prelude: BPE-encode every document through
+    * a recursive CTE replaying the frozen merge table (interpolated
+    * from the SAME constants the Spark expression ships — the engines
+    * cannot drift). Ends with `agg(doc_id, n_bpe_tokens, toks)`.
+    */
+  private def bpeCteSql: String = {
+    val mv = graft.ops.BpeOps.DefaultMerges.zipWithIndex
+      .map { case ((a, b), r) => s"($r,'$a','$b')" }.mkString(", ")
+    val nRanks = graft.ops.BpeOps.DefaultMerges.size
+    s"""WITH RECURSIVE
+       |m (r, a, b) AS (VALUES $mv),
+       |w AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+       | FROM documents),
+       |wn AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws FROM w),
+       |wd AS (SELECT doc_id, CAST(wi AS INTEGER) AS wi,
+       |  list_transform(generate_series(1, len(ws[wi])), i -> ws[wi][i]) AS s
+       | FROM wn),
+       |enc (doc_id, wi, s, r) AS (
+       |  SELECT doc_id, wi, s, 0 AS r FROM wd
+       |  UNION ALL
+       |  SELECT doc_id, wi,
+       |    CASE WHEN p IS NULL THEN s
+       |         ELSE s[1:p-1] || [s[p] || s[p+1]] || s[p+2:] END AS s,
+       |    CASE WHEN p IS NULL THEN r + 1 ELSE r END AS r
+       |  FROM (
+       |    SELECT e.doc_id, e.wi, e.s, e.r,
+       |      list_filter(generate_series(1, len(e.s) - 1),
+       |        i -> e.s[i] = m.a AND e.s[i+1] = m.b)[1] AS p
+       |    FROM enc e JOIN m ON m.r = e.r) t),
+       |fin AS (SELECT doc_id, wi, s FROM enc WHERE r = $nRanks),
+       |agg AS (SELECT doc_id, CAST(sum(len(s)) AS INTEGER) AS n_bpe_tokens,
+       |  string_agg(array_to_string(s, ' '), ' ' ORDER BY wi) AS toks
+       | FROM fin GROUP BY doc_id)""".stripMargin
+  }
+
   private def sqlUrlCase: String =
     "CASE CAST(doc_id % 6 AS INTEGER) " + UrlTemplates.zipWithIndex.map {
       case (t, i) =>
@@ -137,6 +173,13 @@ object PipelineQueries {
     // 64-bit SimHash — no oracle (xxhash64).
     "q41_simhash" -> ((s, d) =>
       DedupOps.simHash(Tables(s, d, "documents"), "doc_id", "text")),
+
+    // SimHash near-dup PAIRS: banded chunk buckets, exact for
+    // hamming<=3 by pigeonhole — no oracle (xxhash64); exactness vs
+    // the brute-force hamming join is spec-verified.
+    "q86_simhash_pairs" -> ((s, d) =>
+      DedupOps.simHashPairs(Tables(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3)),
 
     // Embedding-cosine near-dup pairs via hyperplane buckets — no
     // oracle (xxhash64 planes), recall covered in ScalaTest.
@@ -329,6 +372,42 @@ object PipelineQueries {
     "q79_quality_score" -> ((s, d) =>
       TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("quality"))),
+
+    // Canonical text normal form: NFC + lowercase + whitespace
+    // collapse. Value-checked against DuckDB's nfc_normalize (both
+    // implement UAX#15).
+    "q87_text_normalize" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val norm = TextOps.normalizeText(coalesce(col("text"), lit("")))
+      Tables(s, d, "documents").select(col("doc_id"),
+        md5(norm.cast("binary")).as("norm_md5"),
+        length(norm).as("n_norm_chars"))
+    }),
+
+    // Sequence packing in the BPE token unit — the budget that
+    // actually matters for a pretraining run. Same pack machinery as
+    // q75 with the merges-based count (q75's whitespace unit kept as
+    // the cheap twin); cut every 128 BPE tokens.
+    "q85_pack_bpe" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.PackOps.packSequences(Tables(s, d, "documents"), "doc_id",
+        size(coalesce(graft.ops.BpeOps.bpeEncode(col("text")),
+          array().cast("array<string>"))),
+        col("doc_id") % lit(8), contextLen = 128)
+    }),
+
+    // Paragraph-level dedup (RefinedWeb's second structural pass):
+    // same banned-block machinery as q71, block = "\n\n"-separated
+    // paragraph (structure manufactured deterministically, mirrored in
+    // the oracle).
+    "q84_paragraph_dedup" -> ((s, d) =>
+      TextOps.lineDedup(
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), " value", "\n\nvalue").as("text")),
+        "doc_id", "text", minDupCount = 2, sep = "\n\n")
+        .select(col("id").as("doc_id"), col("n_lines").as("n_paras"),
+          col("n_kept"), md5(col("cleaned").cast("binary")).as("cleaned_md5"))),
 
     // ANN recall scoreboard: the approximate paths (q38/q47/q48) can
     // never have SQL oracles (xxhash64/seeded-sample based), but their
@@ -527,41 +606,26 @@ object PipelineQueries {
          | FROM dom) t
          |WHERE rn <= 5""".stripMargin
     },
-    "q80_bpe_encode" -> {
-      // merge table interpolated from the SAME frozen constants the
-      // Spark expression ships — the two engines cannot drift
-      val mv = graft.ops.BpeOps.DefaultMerges.zipWithIndex
-        .map { case ((a, b), r) => s"($r,'$a','$b')" }.mkString(", ")
-      val nRanks = graft.ops.BpeOps.DefaultMerges.size
-      s"""WITH RECURSIVE
-         |m (r, a, b) AS (VALUES $mv),
-         |w AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
-         | FROM documents),
-         |wn AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws FROM w),
-         |wd AS (SELECT doc_id, CAST(wi AS INTEGER) AS wi,
-         |  list_transform(generate_series(1, len(ws[wi])), i -> ws[wi][i]) AS s
-         | FROM wn),
-         |enc (doc_id, wi, s, r) AS (
-         |  SELECT doc_id, wi, s, 0 AS r FROM wd
-         |  UNION ALL
-         |  SELECT doc_id, wi,
-         |    CASE WHEN p IS NULL THEN s
-         |         ELSE s[1:p-1] || [s[p] || s[p+1]] || s[p+2:] END AS s,
-         |    CASE WHEN p IS NULL THEN r + 1 ELSE r END AS r
-         |  FROM (
-         |    SELECT e.doc_id, e.wi, e.s, e.r,
-         |      list_filter(generate_series(1, len(e.s) - 1),
-         |        i -> e.s[i] = m.a AND e.s[i+1] = m.b)[1] AS p
-         |    FROM enc e JOIN m ON m.r = e.r) t),
-         |fin AS (SELECT doc_id, wi, s FROM enc WHERE r = $nRanks),
-         |agg AS (SELECT doc_id, CAST(sum(len(s)) AS INTEGER) AS n_bpe_tokens,
-         |  string_agg(array_to_string(s, ' '), ' ' ORDER BY wi) AS toks
-         | FROM fin GROUP BY doc_id)
+    "q80_bpe_encode" ->
+      s"""$bpeCteSql
          |SELECT d.doc_id, coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
          |  md5(coalesce(a.toks, '')) AS bpe_md5
-         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
-    },
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    "q85_pack_bpe" ->
+      s"""$bpeCteSql,
+         |b AS (SELECT d.doc_id, d.doc_id % 8 AS bucket,
+         |  CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_tokens
+         | FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+         |st AS (SELECT bucket, doc_id AS id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+         |    - n_tokens AS BIGINT) AS start_tok FROM b)
+         |SELECT bucket, id, n_tokens, start_tok,
+         | CAST(start_tok // 128 AS BIGINT) AS seq_first,
+         | CAST((start_tok + greatest(n_tokens, 1) - 1) // 128 AS BIGINT)
+         |   AS seq_last,
+         | CAST((start_tok + greatest(n_tokens, 1) - 1) // 128
+         |   - start_tok // 128 + 1 AS BIGINT) AS n_seqs
+         |FROM st""".stripMargin,
     "q78_adaptive_trim" ->
       """WITH cuts AS (SELECT source,
         |  quantile_cont(n_chars, 0.1) AS lo, quantile_cont(n_chars, 0.9) AS hi
@@ -588,6 +652,31 @@ object PipelineQueries {
         |        string_agg(line, chr(10) ORDER BY pos) AS cleaned
         |        FROM kept GROUP BY doc_id)
         |SELECT la.doc_id, CAST(len(la.arr) AS INTEGER) AS n_lines,
+        | coalesce(reb.n_kept, 0) AS n_kept,
+        | md5(coalesce(reb.cleaned, '')) AS cleaned_md5
+        |FROM la LEFT JOIN reb ON la.doc_id = reb.doc_id""".stripMargin,
+    "q87_text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))),
+        |    '[ \t\n\f\r]+', ' ', 'g')) AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        |  CAST(length(norm) AS INTEGER) AS n_norm_chars
+        |FROM n""".stripMargin,
+    "q84_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  replace(text, ' value', chr(10) || chr(10) || 'value') AS tx
+        | FROM documents),
+        |la AS (SELECT doc_id, string_split(tx, chr(10) || chr(10)) AS arr FROM t),
+        |l AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr
+        |      FROM la),
+        |l2 AS (SELECT doc_id, pos, arr[pos] AS para FROM l),
+        |c AS (SELECT para, count(*) AS n FROM l2 GROUP BY para),
+        |kept AS (SELECT doc_id, pos, para FROM l2 JOIN c USING (para)
+        |         WHERE n < 2),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned
+        |        FROM kept GROUP BY doc_id)
+        |SELECT la.doc_id, CAST(len(la.arr) AS INTEGER) AS n_paras,
         | coalesce(reb.n_kept, 0) AS n_kept,
         | md5(coalesce(reb.cleaned, '')) AS cleaned_md5
         |FROM la LEFT JOIN reb ON la.doc_id = reb.doc_id""".stripMargin,

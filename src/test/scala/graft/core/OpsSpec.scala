@@ -814,6 +814,76 @@ class OpsSpec extends SparkSpec {
     assert(stats.length == 1 && stats.head.getLong(1) == 40L)
   }
 
+  test("paragraph dedup: custom separator splits/reassembles, idempotent") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "keep A\n\nBOILER PARA\n\nkeep B"),
+      (2L, "BOILER PARA\n\nonly here"),
+      (3L, "single paragraph with\nan internal newline"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs, "doc_id", "text", 2, sep = "\n\n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3, 2L, "keep A\n\nkeep B")))
+    assert(out(2L) == ((2, 1L, "only here")))
+    // internal single newlines are NOT paragraph boundaries
+    assert(out(3L) == ((1, 1L, "single paragraph with\nan internal newline")))
+    // idempotence: cleaning the cleaned corpus changes nothing
+    val cleaned = TextOps.lineDedup(docs, "doc_id", "text", 2, "\n\n")
+      .select(col("id").as("doc_id"), col("cleaned").as("text"))
+    val again = TextOps.lineDedup(cleaned, "doc_id", "text", 2, "\n\n")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again == out.view.mapValues(_._3).toMap)
+  }
+
+  test("simHashPairs is exact for hamming<=maxHamming vs the brute-force join") {
+    import graft.ops.DedupOps
+    val rnd = new scala.util.Random(53)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    // near-dup structure: pairs of docs sharing most tokens
+    val docs = (1L to 60L).map { i =>
+      val base = (0 until 12).map(_ => vocab((rnd.nextInt(vocab.size)))).toVector
+      val text = if (i % 2 == 0) base.updated(0, vocab(rnd.nextInt(vocab.size)))
+        else base
+      (i, text.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = DedupOps.simHash(docs, "doc_id", "text")
+    val a = sh.select(col("id").as("a_id"), col("simhash").as("ha"))
+    val b = sh.select(col("id").as("b_id"), col("simhash").as("hb"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        DedupOps.hamming(col("ha"), col("hb")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = DedupOps.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    // degenerate corpus: identical docs collapse to one bucket; cap bounds it
+    val dup = (1L to 40L).map((_, "same text everywhere always")).toDF("doc_id", "text")
+    assert(DedupOps.simHashPairs(dup, "doc_id", "text", 3, 4, maxBucketSize = 16)
+      .count() == 0)
+  }
+
+  test("normalizeText: NFC composition, lowercase, whitespace collapse") {
+    import graft.ops.TextOps
+    graft.functions.GraftFunctions.register(spark)
+    // "e" + combining acute (U+0301) must compose to precomposed é
+    val decomposed = "Cafe\u0301  du\tMonde\n"
+    val out = Seq((1L, decomposed), (2L, "  already  clean "), (3L, null))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.normalizeText(col("text")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == "caf\u00e9 du monde", out(1L))
+    assert(out(2L) == "already clean")
+    assert(out(3L) == null)
+    // idempotent
+    val again = Seq((1L, out(1L))).toDF("id", "text")
+      .select(TextOps.normalizeText(col("text"))).head().getString(0)
+    assert(again == out(1L))
+  }
+
   test("quality score: bounded, and repetition/missing-stopwords cost") {
     import graft.ops.TextOps
     val prose = "the cat sat on a mat, and the dog slept of course."
