@@ -65,6 +65,23 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("per-row curation layers are shuffle-free: url normalize, NFC, BPE encode") {
+    for (q <- Seq("q81_url_normalize", "q87_text_normalize", "q80_bpe_encode")) {
+      val s = formatted(q)
+      assert(!s.contains("Exchange"), s"$q must not shuffle:\n$s")
+    }
+    // q80/q87 read only (doc_id, text) — lang/source/n_chars pruned
+    for (q <- Seq("q80_bpe_encode", "q87_text_normalize")) {
+      val rs = formatted(q).linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(rs.contains("text") && !rs.contains("n_chars"), s"$q: $rs")
+    }
+  }
+
+  test("q86 simhash pairs: bucketed generation, no cartesian, no join machinery") {
+    val s = formatted("q86_simhash_pairs")
+    assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"), s)
+  }
+
   test("native minhash/simhash aggregates plan as ObjectHashAggregate, not per-group sorts") {
     import graft.ops.{DedupOps, TextOps}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
