@@ -166,6 +166,41 @@ object BpeOps {
     call_function("graft_bpe_encode", text,
       array(merges.map { case (a, b) => lit(s"$a $b") }: _*))
 
+  /** Token-ID mapping (the tokens→ids step of training-data assembly):
+    * the corpus vocabulary gets dense ids in lexicographic token order
+    * (engine-portable — any engine derives the identical assignment,
+    * unlike hash ids), and each document becomes its id sequence,
+    * digested for compactness.
+    *
+    * Scale shape: the ranking window runs over the DISTINCT-token
+    * vocabulary only (merges-bounded — ~|vocab| rows, never the
+    * corpus), and the id join broadcasts that vocabulary back; the
+    * corpus itself shuffles once, keyed by doc id, for the re-collect.
+    */
+  def tokenIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Merges = DefaultMerges): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val toks = df.select(col(idCol).as("id"),
+      coalesce(bpeEncode(col(textCol), merges),
+        array().cast("array<string>")).as("toks"))
+    val exploded = toks.select(col("id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val vocab = exploded.select("tok").distinct()
+      .withColumn("token_id", dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy("tok")))
+    val agged = exploded.join(broadcast(vocab), "tok")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bpe_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("token_id")))),
+            _.getField("token_id").cast("string")), ",").cast("binary"))
+          .as("ids_md5"))
+    // token-less documents (null/empty text) still get a row
+    df.select(col(idCol).as("id")).join(agged, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("ids_md5"), md5(lit("").cast("binary"))).as("ids_md5"))
+  }
+
   /** Per-document BPE token count + compact digest query surface.
     * Null text encodes as zero tokens (coalesced before size/join so
     * the count is 0, never NULL — mirrors the oracle's left join).

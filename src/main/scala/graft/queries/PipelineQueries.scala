@@ -373,6 +373,29 @@ object PipelineQueries {
       TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("quality"))),
 
+    // Tokens -> ids (training assembly's final mapping step): dense
+    // lexicographic vocabulary ids, per-doc id sequence digested.
+    "q88_token_ids" -> ((s, d) =>
+      graft.ops.BpeOps.tokenIds(Tables(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bpe_tokens"), col("ids_md5"))),
+
+    // SemDeDup-shape semantic dedup end-to-end: embedding near-dup
+    // pairs -> connected components -> keep the highest-QUALITY member
+    // of each semantic cluster (quality from the model-based scorer).
+    // Rows-only (xxhash planes); composition invariants in OpsSpec.
+    "q89_semantic_survivors" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val scored = docs.join(
+        TextOps.qualityScore(docs, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("quality")), Seq("doc_id"))
+      val pairs = SimilarityOps.embeddingNearDupPairs(
+        Tables(s, d, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.35, nbits = 4)
+      GraphOps.nearDupSurvivors(scored, "doc_id", "quality", pairs,
+        "a_id", "b_id")
+        .select(col("doc_id"), col("quality"))
+    }),
+
     // Canonical text normal form: NFC + lowercase + whitespace
     // collapse. Value-checked against DuckDB's nfc_normalize (both
     // implement UAX#15).
@@ -655,6 +678,20 @@ object PipelineQueries {
         | coalesce(reb.n_kept, 0) AS n_kept,
         | md5(coalesce(reb.cleaned, '')) AS cleaned_md5
         |FROM la LEFT JOIN reb ON la.doc_id = reb.doc_id""".stripMargin,
+    "q88_token_ids" ->
+      s"""$bpeCteSql,
+         |ft AS (SELECT doc_id, wi, unnest(generate_series(1, len(s))) AS ti, s
+         |       FROM fin),
+         |tok AS (SELECT doc_id, wi, ti, s[ti] AS tok FROM ft),
+         |voc AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS token_id
+         |        FROM (SELECT DISTINCT tok FROM tok)),
+         |ids AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe_tokens,
+         |  md5(string_agg(CAST(token_id AS VARCHAR), ','
+         |    ORDER BY wi, ti)) AS ids_md5
+         | FROM tok JOIN voc USING (tok) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(i.n_bpe_tokens, 0) AS n_bpe_tokens,
+         |  coalesce(i.ids_md5, md5('')) AS ids_md5
+         |FROM documents d LEFT JOIN ids i ON d.doc_id = i.doc_id""".stripMargin,
     "q87_text_normalize" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))),

@@ -112,6 +112,43 @@ class BpeSpec extends SparkSpec {
     assert(trained == BpeOps.DefaultMerges, trained.toString)
   }
 
+  test("tokenIds: lexicographic dense ids, order-preserving digest, empty docs kept") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "b a b"), (2L, "a c"), (3L, null), (4L, "b"))
+      .toDF("doc_id", "text")
+    // single-char words survive any merge table: vocab = {a, b, c} ->
+    // ids 1, 2, 3 in lex order
+    val out = BpeOps.tokenIds(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((3L, m("2,1,2")))) // order preserved, not sorted
+    assert(out(2L) == ((2L, m("1,3"))))
+    assert(out(3L) == ((0L, m(""))))     // null text still emits a row
+    assert(out(4L) == ((1L, m("2"))))
+  }
+
+  test("semantic survivors: one highest-quality doc per embedding cluster") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{GraphOps, SimilarityOps}
+    // two exact clusters (identical vectors) + a singleton
+    val emb = Seq(
+      (1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(1.0f)),
+      (3L, Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)),
+      (4L, Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)),
+      (5L, Array(0.2f, 0.9f, -0.4f, 0.1f, 0.5f, -0.8f, 0.3f, 0.6f)))
+      .toDF("id", "vec")
+    val docs = Seq((1L, 0.9), (2L, 0.2), (3L, 0.1), (4L, 0.8), (5L, 0.5))
+      .toDF("doc_id", "quality")
+    val pairs = SimilarityOps.embeddingNearDupPairs(emb, "id", "vec",
+      minCosine = 0.99, nbits = 2)
+    val out = GraphOps.nearDupSurvivors(docs, "doc_id", "quality", pairs,
+        "a_id", "b_id")
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2} -> 1 (q 0.9); {3,4} -> 4 (q 0.8); 5 untouched
+    assert(out == Set(1L, 4L, 5L), out.toString)
+  }
+
   test("native expression output equals the driver-side encode; nulls pass through") {
     val rnd = new scala.util.Random(7)
     val texts = (1 to 60).map { i =>
