@@ -308,6 +308,47 @@ object TextOps {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Corpus-LM log-perplexity per document (the CCNet quality filter's
+    * shape): a bigram language model with add-one smoothing is
+    * "trained" as two count aggregations over the corpus itself, and
+    * each document is scored by the mean negative log-likelihood of
+    * its bigrams — low = looks like the corpus, high = outlier/noise.
+    * `logppl = avg over bigrams of −ln((c(ab)+1) / (c(a)+V))`.
+    *
+    * Fully relational, so unlike a real KenLM this has an exact SQL
+    * oracle: unigram agg, bigram agg, one (a,b)-keyed join of the
+    * document bigrams against the model, per-doc mean. The model
+    * tables are vocabulary-bounded (≤V and ≤V² rows, far below corpus
+    * size); V and the unigram table broadcast. Documents with fewer
+    * than 2 tokens have no bigrams and score NULL.
+    */
+  def perplexityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol).as("id"), toks.as("t"))
+    // explode(when(...)) with no otherwise: docs with <2 tokens get a
+    // NULL bigram array, which explode drops — no descending-sequence
+    // trap, no empty-array type coercion
+    val bigrams = base.select(col("id"),
+      explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("a"),
+            element_at(col("t"), i + 2).as("b"))))).as("bg"))
+      .select(col("id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val uni = bigrams.groupBy("a").agg(count(lit(1)).as("c_a"))
+    // V = corpus vocabulary size (all tokens, not just bigram heads)
+    val v = base.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = bigrams
+      .join(bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab")), Seq("a", "b"))
+      .join(broadcast(uni), Seq("a"))
+      .crossJoin(broadcast(v))
+      .select(col("id"),
+        (-log((col("c_ab") + 1).cast("double") / (col("c_a") + col("v"))))
+          .as("nll"))
+      .groupBy("id").agg(round(avg("nll"), 5).as("logppl"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+  }
+
   /** BM25 relevance scores (Okapi, Lucene's +1 idf smoothing) of every
     * document against a fixed bag of query terms — the retrieval/
     * quality-ranking primitive (e.g. scoring a crawl against a topic

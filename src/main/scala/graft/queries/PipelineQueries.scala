@@ -373,6 +373,13 @@ object PipelineQueries {
       TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("quality"))),
 
+    // Corpus-LM log-perplexity (the CCNet quality filter's shape):
+    // add-one bigram model trained as two aggregations, each doc
+    // scored by mean bigram NLL. Fully relational -> exact oracle.
+    "q90_perplexity" -> ((s, d) =>
+      TextOps.perplexityScore(Tables(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("logppl"))),
+
     // Tokens -> ids (training assembly's final mapping step): dense
     // lexicographic vocabulary ids, per-doc id sequence digested.
     "q88_token_ids" -> ((s, d) =>
@@ -678,6 +685,23 @@ object PipelineQueries {
         | coalesce(reb.n_kept, 0) AS n_kept,
         | md5(coalesce(reb.cleaned, '')) AS cleaned_md5
         |FROM la LEFT JOIN reb ON la.doc_id = reb.doc_id""".stripMargin,
+    "q90_perplexity" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        | FROM documents),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+        |        FROM tk WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, t[i] AS a, t[i+1] AS b FROM pos),
+        |uni AS (SELECT a, count(*) AS c_a FROM bg GROUP BY a),
+        |big AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+        |vv AS (SELECT count(DISTINCT tok) AS v
+        |       FROM (SELECT unnest(t) AS tok FROM tk)),
+        |sc AS (SELECT doc_id,
+        |  round(avg(-ln(CAST(c_ab + 1 AS DOUBLE) / (c_a + v))), 5) AS logppl
+        | FROM bg JOIN big USING (a, b) JOIN uni USING (a), vv
+        | GROUP BY doc_id)
+        |SELECT d.doc_id, s.logppl
+        |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id""".stripMargin,
     "q88_token_ids" ->
       s"""$bpeCteSql,
          |ft AS (SELECT doc_id, wi, unnest(generate_series(1, len(s))) AS ti, s

@@ -865,6 +865,45 @@ class OpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("perplexity differential: random corpora match a pure-Scala bigram LM") {
+    import graft.ops.TextOps
+    val rnd = new scala.util.Random(67)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 6).map(i => s"w$i")
+      val corpus = (1L to 40L).map { id =>
+        val n = rnd.nextInt(8) // includes 0- and 1-token docs
+        (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // reference model: add-one bigram LM over the same corpus
+      val docsT = corpus.map { case (id, t) =>
+        (id, t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      }
+      val bgs = docsT.flatMap { case (_, t) => t.zip(t.drop(1)) }
+      val cAB = bgs.groupBy(identity).view.mapValues(_.size).toMap
+      val cA = bgs.groupBy(_._1).view.mapValues(_.size).toMap
+      val v = docsT.flatMap(_._2).distinct.size
+      val expected = docsT.map { case (id, t) =>
+        val nlls = t.zip(t.drop(1)).map { ab =>
+          -math.log((cAB(ab) + 1).toDouble / (cA(ab._1) + v))
+        }
+        id -> (if (nlls.isEmpty) None
+               else Some(BigDecimal(nlls.sum / nlls.size)
+                 .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toMap
+      val out = TextOps.perplexityScore(corpus.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      expected.foreach { case (id, want) =>
+        (out(id), want) match {
+          case (Some(g), Some(w)) =>
+            assert(math.abs(g - w) <= 2e-5, s"trial $trial doc $id: $g vs $w")
+          case (g, w) => assert(g == w, s"trial $trial doc $id: $g vs $w")
+        }
+      }
+    }
+  }
+
   test("normalizeText: NFC composition, lowercase, whitespace collapse") {
     import graft.ops.TextOps
     graft.functions.GraftFunctions.register(spark)
