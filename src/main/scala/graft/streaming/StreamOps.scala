@@ -128,4 +128,43 @@ object StreamOps {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
+
+  case class UrlDoc(doc_id: Long, url: String)
+  case class QuotaState(admitted: Long)
+  case class QuotaOut(doc_id: Long, domain: String)
+
+  /** Streaming per-domain quota: admit at most `n` documents per
+    * registered domain over the life of the stream — the ingest-time
+    * form of UrlOps.capPerDomain. Semantics necessarily differ from
+    * the batch form: a stream admits the FIRST n arrivals per domain
+    * (arrival order is the only order a stream has), where batch picks
+    * the n lowest hash coordinates; both bound every domain at n.
+    * State per domain is ONE long (the admitted count) — no timeout,
+    * since a quota is a lifetime budget, and state size is bounded by
+    * the domain cardinality, not the corpus.
+    */
+  def domainQuota(spark: SparkSession, docs: Dataset[UrlDoc], n: Int)
+      : Dataset[QuotaOut] = {
+    import spark.implicits._
+    require(n >= 1, s"quota must be >= 1, got $n")
+    val keyed = docs
+      .withColumn("domain",
+        graft.ops.UrlOps.registeredDomain(
+          graft.ops.UrlOps.urlHost(col("url"))))
+      .as[(Long, String, String)]
+    def update(domain: String, rows: Iterator[(Long, String, String)],
+        state: GroupState[QuotaState]): Iterator[QuotaOut] = {
+      var st = state.getOption.getOrElse(QuotaState(0L))
+      // deterministic admission inside a micro-batch: doc_id order
+      val out = rows.toSeq.sortBy(_._1).flatMap { case (id, _, dom) =>
+        if (st.admitted < n) { st = QuotaState(st.admitted + 1)
+          Some(QuotaOut(id, dom))
+        } else None
+      }
+      state.update(st)
+      out.iterator
+    }
+    keyed.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }

@@ -74,6 +74,33 @@ class StreamingSpec extends SparkSpec {
     assert(survivors == Set(1L, 2L, 4L))
   }
 
+  test("streaming domain quota: per-domain cap holds across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.UrlDoc]
+    val q = StreamOps.domainQuota(spark, input.toDS(), n = 2)
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    // batch 1: x.com gets 2 of 3, y.org 1 of 1
+    input.addData(
+      StreamOps.UrlDoc(3L, "https://a.x.com/1"),
+      StreamOps.UrlDoc(1L, "https://b.x.com/2"),
+      StreamOps.UrlDoc(2L, "https://c.x.com/3"),
+      StreamOps.UrlDoc(4L, "https://y.org/1"))
+    q.processAllAvailable()
+    // batch 2: x.com is EXHAUSTED (state carried), y.org admits 1 more
+    input.addData(
+      StreamOps.UrlDoc(5L, "https://d.x.com/4"),
+      StreamOps.UrlDoc(6L, "https://y.org/2"),
+      StreamOps.UrlDoc(7L, "https://y.org/3"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("quota_out")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // in-batch admission is doc_id-ordered: 1,2 beat 3
+    assert(out == Map(1L -> "x.com", 2L -> "x.com", 4L -> "y.org",
+      6L -> "y.org"), out.toString)
+  }
+
   test("stream-static blocklist filter drops exactly the blocklisted keys") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
