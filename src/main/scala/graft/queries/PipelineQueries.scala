@@ -373,6 +373,31 @@ object PipelineQueries {
       TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("quality"))),
 
+    // Dataset assembly report: per-source docs / whitespace tokens /
+    // BPE tokens and corpus shares — the "what did we build"
+    // scoreboard of a curation run. One corpus scan + one tiny agg.
+    "q91_dataset_report" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val perDoc = Tables(s, d, "documents").select(col("source"),
+        coalesce(regexp_count(col("text"), lit("[^ \\t\\n\\f\\r]+")), lit(0))
+          .as("n_tok"),
+        size(coalesce(graft.ops.BpeOps.bpeEncode(col("text")),
+          array().cast("array<string>"))).cast("long").as("n_bpe"))
+      val bySrc = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_bpe").as("n_bpe_tokens"))
+      val tot = bySrc.agg(sum("n_docs").as("t_docs"),
+        sum("n_tokens").as("t_tokens"))
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_bpe_tokens"),
+          round(col("n_docs").cast("double") / col("t_docs"), 5)
+            .as("doc_share"),
+          round(col("n_tokens").cast("double") / col("t_tokens"), 5)
+            .as("token_share"))
+    }),
+
     // Corpus-LM log-perplexity (the CCNet quality filter's shape):
     // add-one bigram model trained as two aggregations, each doc
     // scored by mean bigram NLL. Fully relational -> exact oracle.
@@ -685,6 +710,24 @@ object PipelineQueries {
         | coalesce(reb.n_kept, 0) AS n_kept,
         | md5(coalesce(reb.cleaned, '')) AS cleaned_md5
         |FROM la LEFT JOIN reb ON la.doc_id = reb.doc_id""".stripMargin,
+    "q91_dataset_report" ->
+      s"""$bpeCteSql,
+         |pd AS (SELECT d.source,
+         |  coalesce(CAST(len(regexp_extract_all(d.text, '[^ \\t\\n\\f\\r]+'))
+         |    AS BIGINT), 0) AS n_tok,
+         |  CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe
+         | FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+         |bysrc AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+         | FROM pd GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM bysrc)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+         |  n_bpe_tokens,
+         |  round(CAST(n_docs AS DOUBLE) / t_docs, 5) AS doc_share,
+         |  round(CAST(n_tokens AS DOUBLE) / t_tokens, 5) AS token_share
+         |FROM bysrc, tot""".stripMargin,
     "q90_perplexity" ->
       """WITH tk AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t

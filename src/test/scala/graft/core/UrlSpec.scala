@@ -37,6 +37,29 @@ class UrlSpec extends SparkSpec {
       "localhost", "co.uk", "site.com.au"))
   }
 
+  test("urlNormalize is idempotent on randomized messy URLs") {
+    val rnd = new scala.util.Random(83)
+    val schemes = Seq("http", "HTTPS", "ftp", "Http")
+    val hosts = Seq("WWW.Example.COM", "a.b.co.uk", "X.org:8080",
+      "site.com:80", "s.net:443", "localhost")
+    val paths = Seq("", "/", "/A/b", "/a/b/", "/x//", "/p%20q")
+    val queries = Seq("", "?utm_a=1", "?a=1&utm_b=2&c=3", "?ref=x", "?a=%3D&b=2")
+    val frags = Seq("", "#f", "#a?b=1")
+    val urls = (1 to 200).map { _ =>
+      schemes(rnd.nextInt(schemes.size)) + "://" +
+        hosts(rnd.nextInt(hosts.size)) + paths(rnd.nextInt(paths.size)) +
+        queries(rnd.nextInt(queries.size)) + frags(rnd.nextInt(frags.size))
+    } ++ Seq("no scheme here", "", "weird:///x")
+    val df = urls.toDF("u")
+    val once = df.select(UrlOps.urlNormalize(col("u")).as("n1"))
+    val twice = once.select(col("n1"), UrlOps.urlNormalize(col("n1")).as("n2"))
+      .collect()
+    twice.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"not a fixpoint: '${r.getString(0)}' -> '${r.getString(1)}'")
+    }
+  }
+
   test("capPerDomain: bounded per domain, deterministic, partition-invariant") {
     val df = (1L to 300L).map { i =>
       (i, s"https://site${i % 3}.example.com/page/$i")
