@@ -19,7 +19,9 @@ class GraphScaleSpec extends SparkSpec {
       .filter(col("id") % 10 =!= 0)
       .select((col("id") - (col("id") % 10)).as("src"), col("id").as("dst"))
     val t0 = System.nanoTime()
-    val cc = GraphOps.connectedComponents(edges, "src", "dst")
+    // driverMaxEdges = 0: this is the DISTRIBUTED loop's stress test
+    val cc = GraphOps.connectedComponents(edges, "src", "dst",
+      driverMaxEdges = 0L)
     val wrong = cc.filter(col("comp") =!= col("id") - (col("id") % 10)).count()
     val n = cc.count()
     val secs = (System.nanoTime() - t0) / 1e9
@@ -37,6 +39,24 @@ class GraphScaleSpec extends SparkSpec {
     val comps = GraphOps.connectedComponents(chain, "src", "dst")
       .select("comp").distinct().collect().map(_.getLong(0)).toSeq
     assert(comps == Seq(base), s"chain should collapse to $base, got $comps")
+  }
+
+  test("driver union-find fast path produces identical labels to the distributed loop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 4) {
+      val n = 40 + trial * 15
+      val edges = Seq.fill(n + rnd.nextInt(2 * n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("src", "dst")
+      val fast = GraphOps.connectedComponents(df, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = GraphOps.connectedComponents(df, "src", "dst",
+          driverMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"trial $trial diverged")
+    }
   }
 
   test("large-star/small-star agrees with min-label on random graphs") {

@@ -318,7 +318,10 @@ class OpsSpec extends SparkSpec {
   test("connectedComponents maxIter caps rounds but still labels every node") {
     import graft.ops.GraphOps
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
-    val capped = GraphOps.connectedComponents(chain, "src", "dst", maxIter = 1)
+    // maxIter caps the DISTRIBUTED loop; force it (the driver fast
+    // path always merges fully and ignores the cap)
+    val capped = GraphOps.connectedComponents(chain, "src", "dst",
+        maxIter = 1, driverMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped.keySet == (1L to 8L).toSet)
     // init gives min(self, neighbors); one loop round propagates one
