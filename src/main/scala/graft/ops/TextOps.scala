@@ -338,8 +338,14 @@ object TextOps {
     // V = corpus vocabulary size (all tokens, not just bigram heads)
     val v = base.select(explode(col("t")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
+    // BOTH model tables broadcast: the probe side is the exploded
+    // corpus (its bigram count ≈ corpus token count) — shuffling it on
+    // (a,b) to meet a vocab²-bounded table would be the whole job's
+    // cost at scale. Computing the model aggregations still shuffles,
+    // but only once and map-side combined down to vocab-bounded rows.
     val scored = bigrams
-      .join(bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab")), Seq("a", "b"))
+      .join(broadcast(bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))),
+        Seq("a", "b"))
       .join(broadcast(uni), Seq("a"))
       .crossJoin(broadcast(v))
       .select(col("id"),

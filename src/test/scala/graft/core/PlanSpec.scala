@@ -82,6 +82,12 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"), s)
   }
 
+  test("q90 perplexity: model tables broadcast; the exploded corpus never sort-merges") {
+    val s = formatted("q90_perplexity")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2, s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("native minhash/simhash aggregates plan as ObjectHashAggregate, not per-group sorts") {
     import graft.ops.{DedupOps, TextOps}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
