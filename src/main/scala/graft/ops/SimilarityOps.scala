@@ -139,7 +139,12 @@ object SimilarityOps {
     */
   def exactCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
+    // the O(n²) work happens in the nested-loop join's STREAMED side;
+    // a small parquet input arrives as 1-2 partitions, which would
+    // run the whole quadratic scan on as many cores — spread it first
+    val par = emb.sparkSession.sparkContext.defaultParallelism
     val a = emb.select(col(idCol).as("a_id"), asDouble(col(vecCol)).as("av"))
+      .repartition(par)
     val b = emb.select(col(idCol).as("b_id"), asDouble(col(vecCol)).as("bv"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
@@ -147,20 +152,22 @@ object SimilarityOps {
       .filter(col("cos") >= minCosine)
   }
 
-  /** One recall row: |approx ∩ exact| / |exact| over `keyCols`,
-    * computed as two 1-row aggregates joined — fully lazy, so it
-    * registers as a harness query like any other.
+  /** One recall row: |approx ∩ exact| / |exact| over `keyCols`. ONE
+    * pass over the exact set (left join + conditional count) — the
+    * earlier two-aggregate crossJoin planned the expensive exact
+    * subtree twice.
     */
   private def recallRow(exact: DataFrame, approx: DataFrame,
       keyCols: Seq[String], method: String, k: Int): DataFrame = {
     val e = exact.select(keyCols.map(col): _*).distinct()
     val a = approx.select(keyCols.map(col): _*).distinct()
-    val nE = e.agg(count(lit(1)).as("n_exact"))
-    val nH = e.join(a, keyCols, "left_semi").agg(count(lit(1)).as("n_hit"))
-    nH.crossJoin(nE).select(lit(method).as("method"), lit(k).as("k"),
-      col("n_exact"), col("n_hit"),
-      round(col("n_hit").cast("double") /
-        greatest(col("n_exact"), lit(1L)), 4).as("recall"))
+      .withColumn("_hit", lit(1))
+    e.join(a, keyCols, "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("_hit")).as("n_hit"))
+      .select(lit(method).as("method"), lit(k).as("k"),
+        col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          greatest(col("n_exact"), lit(1L)), 4).as("recall"))
   }
 
   /** ANN quality as a harness-visible NUMBER: recall of the LSH and
@@ -176,12 +183,17 @@ object SimilarityOps {
       emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
       k: Int, nbitsKnn: Int, probes: Int, minCosine: Double,
       nbitsPairs: Int): DataFrame = {
-    val exactTopK = knnBrute(emb, idCol, vecCol, queryPred, k)
-    val lsh = knnLsh(emb, idCol, vecCol, queryPred, k, nbitsKnn, probes)
-    val ivf = knnIvf(spark, emb, idCol, vecCol, queryPred, k)
-    val exactPairs = exactCosinePairs(emb, idCol, vecCol, minCosine)
-    val lshPairs = embeddingNearDupPairs(emb, idCol, vecCol, minCosine,
-      nbitsPairs)
+    // each result set is small (top-k rows / thresholded pairs) but
+    // expensive to produce, and the exact baseline feeds TWO recall
+    // rows — localCheckpoint pins each once instead of replanning the
+    // similarity subtrees per consuming aggregate
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+    val exactTopK = pin(knnBrute(emb, idCol, vecCol, queryPred, k))
+    val lsh = pin(knnLsh(emb, idCol, vecCol, queryPred, k, nbitsKnn, probes))
+    val ivf = pin(knnIvf(spark, emb, idCol, vecCol, queryPred, k))
+    val exactPairs = pin(exactCosinePairs(emb, idCol, vecCol, minCosine))
+    val lshPairs = pin(embeddingNearDupPairs(emb, idCol, vecCol, minCosine,
+      nbitsPairs))
     recallRow(exactTopK, lsh, Seq("query_id", "cand_id"), "knn_lsh", k)
       .unionByName(recallRow(exactTopK, ivf, Seq("query_id", "cand_id"),
         "knn_ivf", k))

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{DedupOps, GraphOps, MultimodalOps, SampleOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator surface (dedup / text analysis /
@@ -387,15 +388,18 @@ object PipelineQueries {
         count(lit(1)).as("n_docs"),
         sum("n_tok").as("n_tokens"),
         sum("n_bpe").as("n_bpe_tokens"))
-      val tot = bySrc.agg(sum("n_docs").as("t_docs"),
-        sum("n_tokens").as("t_tokens"))
-      bySrc.crossJoin(broadcast(tot))
+      // totals via an unpartitioned window on the AGGREGATED frame
+      // (source-cardinality rows): a crossJoin(agg(bySrc)) would plan
+      // the whole scan+BPE subtree twice
+      val w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      bySrc
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("n_bpe_tokens"),
-          round(col("n_docs").cast("double") / col("t_docs"), 5)
-            .as("doc_share"),
-          round(col("n_tokens").cast("double") / col("t_tokens"), 5)
-            .as("token_share"))
+          round(col("n_docs").cast("double") /
+            sum("n_docs").over(w), 5).as("doc_share"),
+          round(col("n_tokens").cast("double") /
+            sum("n_tokens").over(w), 5).as("token_share"))
     }),
 
     // Corpus-LM log-perplexity (the CCNet quality filter's shape):
