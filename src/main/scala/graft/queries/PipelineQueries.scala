@@ -374,6 +374,19 @@ object PipelineQueries {
       TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("quality"))),
 
+    // Incremental-pipeline change detection: current snapshot diffed
+    // against a deterministically-derived "previous" one (docs with
+    // doc_id % 7 = 0 didn't exist yet; % 5 = 0 had different text) —
+    // per-id added/removed/changed/unchanged. Digest-only join.
+    "q92_snapshot_diff" -> ((s, d) => {
+      val cur = Tables(s, d, "documents")
+      val prev = cur.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.SnapshotOps.snapshotDiff(cur, prev, "doc_id", "text")
+    }),
+
     // Dataset assembly report: per-source docs / whitespace tokens /
     // BPE tokens and corpus shares — the "what did we build"
     // scoreboard of a curation run. One corpus scan + one tiny agg.
@@ -714,6 +727,19 @@ object PipelineQueries {
         | coalesce(reb.n_kept, 0) AS n_kept,
         | md5(coalesce(reb.cleaned, '')) AS cleaned_md5
         |FROM la LEFT JOIN reb ON la.doc_id = reb.doc_id""".stripMargin,
+    "q92_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END AS text
+        | FROM documents WHERE doc_id % 7 <> 0),
+        |ck AS (SELECT doc_id, md5(c.text) AS cd, TRUE AS cp
+        |       FROM documents c),
+        |pk AS (SELECT doc_id, md5(text) AS pd, TRUE AS pp FROM prev)
+        |SELECT coalesce(ck.doc_id, pk.doc_id) AS id,
+        |  CASE WHEN pp IS NULL THEN 'added'
+        |       WHEN cp IS NULL THEN 'removed'
+        |       WHEN cd IS NOT DISTINCT FROM pd THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM ck FULL OUTER JOIN pk ON ck.doc_id = pk.doc_id""".stripMargin,
     "q91_dataset_report" ->
       s"""$bpeCteSql,
          |pd AS (SELECT d.source,

@@ -868,6 +868,25 @@ class OpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged, null text is content not absence") {
+    import graft.ops.SnapshotOps
+    val cur = Seq((1L, "same"), (2L, "new text"), (4L, "brand new"),
+      (5L, null), (6L, null))
+      .toDF("doc_id", "text")
+    val prev = Seq((1L, "same"), (2L, "old text"), (3L, "gone"),
+      (5L, null), (6L, "was text"))
+      .toDF("doc_id", "text")
+    val out = SnapshotOps.snapshotDiff(cur, prev, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed"), out.toString)
+    // the pushed-down filter drops unchanged rows before materializing
+    val delta = SnapshotOps.snapshotDiff(cur, prev, "doc_id", "text",
+        col("status") =!= "unchanged")
+      .collect().map(_.getLong(0)).toSet
+    assert(delta == Set(2L, 3L, 4L, 6L))
+  }
+
   test("perplexity differential: random corpora match a pure-Scala bigram LM") {
     import graft.ops.TextOps
     val rnd = new scala.util.Random(67)
