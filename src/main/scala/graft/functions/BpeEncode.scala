@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -28,15 +29,43 @@ case class BpeEncode(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = left.nullable
 
+  /** Validate at ANALYSIS time on the driver — a malformed call fails
+    * with an immediate AnalysisException instead of launching the job
+    * and dying per-task (×4 retry attempts) in the executor lazy val.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: text argument must be string, got ${left.dataType.sql}")
+    else if (!right.dataType.isInstanceOf[ArrayType] ||
+        right.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: merges argument must be array<string>, got ${right.dataType.sql}")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable (literal) merges argument")
+    else {
+      val arr = right.eval().asInstanceOf[ArrayData]
+      val bad = (0 until arr.numElements()).iterator.map { i =>
+        val e = arr.getUTF8String(i)
+        if (e == null) "null" else e.toString
+      }.find { s =>
+        val cut = s.indexOf(' ')
+        cut <= 0 || cut >= s.length - 1
+      }
+      bad match {
+        case Some(s) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: merge entry '$s' is not 'left right'")
+        case None => TypeCheckResult.TypeCheckSuccess
+      }
+    }
+  }
+
   @transient private lazy val merges: graft.ops.BpeOps.Merges = {
-    require(right.foldable,
-      s"$prettyName requires a foldable merges argument")
     val arr = right.eval().asInstanceOf[ArrayData]
     (0 until arr.numElements()).map { i =>
       val s = arr.getUTF8String(i).toString
       val cut = s.indexOf(' ')
-      require(cut > 0 && cut < s.length - 1,
-        s"$prettyName: merge entry '$s' is not 'left right'")
       (s.substring(0, cut), s.substring(cut + 1))
     }
   }

@@ -66,17 +66,24 @@ object BpeOps {
   /** Encode a text: lowercase, whitespace-split, per-word encode.
     * `cache` (optional) memoizes per-word encodings — word frequency
     * is Zipfian, so a small cache removes almost all re-encoding.
+    *
+    * Pre-tokenization matches [[TextOps.tokens]] exactly: lowercase
+    * via Locale.ROOT (a tr-TR default JVM would otherwise dot-swap
+    * i/ı and desync from Spark's lower() and the trained merges) and
+    * the engine-neutral whitespace class (Java's \s includes \x0B,
+    * the oracles' RE2 does not).
     */
   private[graft] def encode(text: String, merges: Merges,
       cache: scala.collection.mutable.Map[String, List[String]] = null)
       : Seq[String] =
-    text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
-      if (cache == null) encodeWord(w, merges)
-      else cache.getOrElseUpdate(w, {
-        if (cache.size > 65536) cache.clear() // bound task memory
-        encodeWord(w, merges)
-      })
-    }.toSeq
+    text.toLowerCase(java.util.Locale.ROOT).split("[ \t\n\f\r]+")
+      .iterator.filter(_.nonEmpty).flatMap { w =>
+        if (cache == null) encodeWord(w, merges)
+        else cache.getOrElseUpdate(w, {
+          if (cache.size > 65536) cache.clear() // bound task memory
+          encodeWord(w, merges)
+        })
+      }.toSeq
 
   /** Wait-free leftmost-repeat application is what [[applyMerge]]
     * does; training counts each ADJACENT pair once per occurrence in

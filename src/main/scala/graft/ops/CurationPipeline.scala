@@ -48,10 +48,10 @@ object CurationPipeline {
     // a plain Project would inline the tokenizer into the gram lambda.
     val base = corpus
       .select(col(idCol).as("id"), col(textCol).as("_t"),
-        split(lower(col(textCol)), "\\s+").as("_w"))
+        split(lower(col(textCol)), TextOps.Ws).as("_w"))
       .select(col("id"), col("_t"), explode(array(grams2)).as("_g2"))
       .select(col("id"),
-        regexp_count(col("_t"), lit("\\S+")).as("n_tokens"),
+        regexp_count(col("_t"), lit(TextOps.NonWs)).as("n_tokens"),
         TextOps.langScore(col("_t"), "en").as("s_en"),
         when(size(g2) > 0,
           lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2))

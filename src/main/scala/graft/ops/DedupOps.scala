@@ -52,7 +52,7 @@ object DedupOps {
     // array behind a Generate barrier: a plain Project here would
     // collapse into the token Project and inline `split` into the
     // per-element lambda — O(len²) per document again (measured 37×).
-    docs.select(col(idCol).as("id"), split(lower(col(textCol)), "\\s+").as("_w"))
+    docs.select(col(idCol).as("id"), split(lower(col(textCol)), TextOps.Ws).as("_w"))
       .select(col("id"), explode(array(array_distinct(grams))).as("_g"))
       .select(col("id"), size(col("_g")).cast("long").as("n_sh"),
         explode(col("_g")).as("shingle"))

@@ -74,7 +74,20 @@ object GraphOps {
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (driverMaxEdges > 0 && sym.count() <= driverMaxEdges) {
+    // the union coerces src/dst to their common type — that (not
+    // srcCol's declared type) is what collected values actually carry
+    val idType = sym.schema("u").dataType
+    // fast path only for id types whose driver-side ordering provably
+    // matches Spark's (long/int numeric order, string binary order);
+    // anything else takes the distributed loop rather than risk a
+    // wrong "minimum member" representative
+    val orderableOnDriver = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (driverMaxEdges > 0 && orderableOnDriver && sym.count() <= driverMaxEdges) {
       val rows = sym.collect()
       sym.unpersist()
       // generic union-find (ids can be any orderable key type); the
@@ -96,7 +109,13 @@ object GraphOps {
         (a: Any, b: Any) => (a, b) match {
           case (x: Long, y: Long) => java.lang.Long.compare(x, y)
           case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
-          case (x, y) => x.toString.compareTo(y.toString)
+          case (x: String, y: String) =>
+            // Spark compares strings in UTF-8 BINARY order; Java
+            // String order differs on supplementary-plane characters
+            org.apache.spark.unsafe.types.UTF8String.fromString(x)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+          case (x, y) => sys.error(
+            s"unreachable: fast path gated to long/int/string ids, got $x/$y")
         }
       val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
       parent.keys.foreach { id =>
@@ -104,7 +123,6 @@ object GraphOps {
         minOf.update(r, minOf.get(r).fold(id)(m => ord.min(m, id)))
       }
       val spark = edges.sparkSession
-      val idType = edges.schema(srcCol).dataType
       val outRows = parent.keys.toSeq.map { id =>
         org.apache.spark.sql.Row(id, minOf(find(id)))
       }

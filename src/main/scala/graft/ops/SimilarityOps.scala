@@ -155,7 +155,8 @@ object SimilarityOps {
   /** One recall row: |approx ∩ exact| / |exact| over `keyCols`. ONE
     * pass over the exact set (left join + conditional count) — the
     * earlier two-aggregate crossJoin planned the expensive exact
-    * subtree twice.
+    * subtree twice. An EMPTY exact baseline yields NULL recall (there
+    * was nothing to find — reporting 0 would read as total failure).
     */
   private def recallRow(exact: DataFrame, approx: DataFrame,
       keyCols: Seq[String], method: String, k: Int): DataFrame = {
@@ -166,8 +167,9 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_exact"), count(col("_hit")).as("n_hit"))
       .select(lit(method).as("method"), lit(k).as("k"),
         col("n_exact"), col("n_hit"),
-        round(col("n_hit").cast("double") /
-          greatest(col("n_exact"), lit(1L)), 4).as("recall"))
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double") / col("n_exact"), 4))
+          .as("recall"))
   }
 
   /** ANN quality as a harness-visible NUMBER: recall of the LSH and
@@ -194,11 +196,21 @@ object SimilarityOps {
     val exactPairs = pin(exactCosinePairs(emb, idCol, vecCol, minCosine))
     val lshPairs = pin(embeddingNearDupPairs(emb, idCol, vecCol, minCosine,
       nbitsPairs))
-    recallRow(exactTopK, lsh, Seq("query_id", "cand_id"), "knn_lsh", k)
-      .unionByName(recallRow(exactTopK, ivf, Seq("query_id", "cand_id"),
-        "knn_ivf", k))
-      .unionByName(recallRow(exactPairs, lshPairs, Seq("a_id", "b_id"),
-        "neardup_pairs", 0))
+    val report =
+      recallRow(exactTopK, lsh, Seq("query_id", "cand_id"), "knn_lsh", k)
+        .unionByName(recallRow(exactTopK, ivf, Seq("query_id", "cand_id"),
+          "knn_ivf", k))
+        .unionByName(recallRow(exactPairs, lshPairs, Seq("a_id", "b_id"),
+          "neardup_pairs", 0))
+    // the report is 3 rows — materialize it NOW so the five pinned
+    // frames' storage blocks can be released before returning, instead
+    // of leaking them for the session lifetime (the Checkpoints
+    // discipline GraphOps/DedupOps follow)
+    val rows = report.collect().toSeq
+    val schema = report.schema
+    Seq(exactTopK, lsh, ivf, exactPairs, lshPairs).foreach(Checkpoints.release)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer

@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Engine-neutral whitespace classes. Java's \s is [ \t\n\x0B\f\r];
+    * RE2's (DuckDB, and most other engines' regex) is [ \t\n\f\r] —
+    * no \x0B. Every oracle runs on RE2, so ALL Spark-side token
+    * splitting/counting spells the class out explicitly; a \x0B in a
+    * document then tokenizes identically on both engines (it stays
+    * inside a token run). This is the drift class that caused the r6
+    * q75 hash mismatch.
+    */
+  private[graft] val Ws = "[ \\t\\n\\f\\r]+"
+  private[graft] val NonWs = "[^ \\t\\n\\f\\r]+"
+
   /** THE corpus tokenizer: lowercase, split on whitespace runs, drop
     * empties. Every token-level operator (tokenStats, vocabulary,
     * heavy hitters, bm25, chunking, simHash) and every DuckDB oracle
@@ -19,11 +30,11 @@ object TextOps {
     * the operators silently diverge from each other and their oracles.
     */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), _ =!= "")
+    filter(split(lower(text), Ws), _ =!= "")
 
   /** Number of non-whitespace token runs. */
   def tokenCount(text: Column): Column =
-    regexp_count(text, lit("\\S+")).as("n_tokens")
+    regexp_count(text, lit(NonWs)).as("n_tokens")
 
   /** Count of punctuation characters (fixed ASCII class). */
   def punctCount(text: Column): Column =
@@ -35,13 +46,13 @@ object TextOps {
 
   /** Character count excluding all whitespace. */
   def charNoWs(text: Column): Column =
-    length(regexp_replace(text, "\\s", ""))
+    length(regexp_replace(text, "[ \\t\\n\\f\\r]", ""))
 
   /** Whitespace-normalized md5 fingerprint (document identity modulo
     * formatting). Deterministic — usable as an exact-dedup key.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "\\s+", "").cast("binary"))
+    md5(regexp_replace(lower(text), Ws, "").cast("binary"))
 
   /** Heuristic marker-word scores per language. */
   val langMarkers: Seq[(String, String)] = Seq(
@@ -124,7 +135,7 @@ object TextOps {
     // explode(array(..)) barriers as in DedupOps.wordShingles: a plain
     // Project would collapse into the split Project and inline the
     // tokenizer into the per-element gram lambdas (O(len²)/doc).
-    df.select(col(idCol).as("id"), split(lower(col(textCol)), "\\s+").as("_w"))
+    df.select(col(idCol).as("id"), split(lower(col(textCol)), Ws).as("_w"))
       .select(col("id"),
         explode(array(struct(ns.map(n => grams(n).as(s"_a$n")): _*))).as("_s"))
       .select(col("id") +: ns.map(n => col(s"_s._a$n").as(s"_g$n")): _*)
@@ -184,7 +195,7 @@ object TextOps {
   def qualityScore(df: DataFrame, idCol: String, textCol: String,
       w: QualityWeights = QualityWeights()): DataFrame = {
     val t = col(textCol)
-    val toks = regexp_count(t, lit("\\S+"))
+    val toks = regexp_count(t, lit(NonWs))
     val punct = punctCount(t).cast("double") / greatest(length(t), lit(1))
     val stop = stopwordCount(t).cast("double") / greatest(toks, lit(1))
     val atl = charNoWs(t).cast("double") / greatest(toks, lit(1))
@@ -334,7 +345,13 @@ object TextOps {
           i => struct(element_at(col("t"), i + 1).as("a"),
             element_at(col("t"), i + 2).as("b"))))).as("bg"))
       .select(col("id"), col("bg.a").as("a"), col("bg.b").as("b"))
-    val uni = bigrams.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val cab = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    // c(a) = Σ_b c(ab): re-aggregate the vocab²-bounded count table
+    // instead of scanning the exploded corpus a second time — the
+    // bigram subtrees under cab and uni are identical, so Spark's
+    // ReuseExchange shares one shuffle; deriving uni independently
+    // planned a whole extra corpus pass.
+    val uni = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
     // V = corpus vocabulary size (all tokens, not just bigram heads)
     val v = base.select(explode(col("t")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
@@ -344,8 +361,7 @@ object TextOps {
     // cost at scale. Computing the model aggregations still shuffles,
     // but only once and map-side combined down to vocab-bounded rows.
     val scored = bigrams
-      .join(broadcast(bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))),
-        Seq("a", "b"))
+      .join(broadcast(cab), Seq("a", "b"))
       .join(broadcast(uni), Seq("a"))
       .crossJoin(broadcast(v))
       .select(col("id"),
@@ -399,7 +415,7 @@ object TextOps {
     */
   def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = regexp_count(t, lit("\\S+"))
+    val toks = regexp_count(t, lit(NonWs))
     df.select(
       col(idCol),
       toks.as("n_tokens"),

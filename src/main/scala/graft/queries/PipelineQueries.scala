@@ -132,7 +132,9 @@ object PipelineQueries {
     "q34_bpe_tokens" -> ((s, d) =>
       Tables(s, d, "documents").select(
         col("doc_id"),
-        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).as("n_bpe"))),
+        // engine-neutral whitespace class (Java \s has \x0B, RE2 not)
+        regexp_count(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r]")).as("n_bpe"))),
 
     // Multimodal plumbing: binary payload + per-partition decode (stub
     // codec, real schema/batch shape — deterministic so oracle-checkable).

@@ -65,13 +65,13 @@ object StreamOps {
     ).otherwise(array())
     val passthrough = docs.columns.map(col).toSeq
     docs
-      .withColumn("_w", split(lower(col(textCol)), "\\s+"))
+      .withColumn("_w", split(lower(col(textCol)), graft.ops.TextOps.Ws))
       // explode(array(..)) Generate barrier (see DedupOps.wordShingles)
       // so the tokenizer is not inlined into the per-element gram
       // lambda; Generate is stateless and streaming-safe
       .withColumn("_g2x", explode(array(grams2)))
       .select(passthrough :+ col("_g2x").as("_g2"): _*)
-      .withColumn("_toks", regexp_count(col(textCol), lit("\\S+")))
+      .withColumn("_toks", regexp_count(col(textCol), lit(graft.ops.TextOps.NonWs)))
       .withColumn("_dup2", when(size(g2) > 0,
         lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2))
         .otherwise(0.0))
