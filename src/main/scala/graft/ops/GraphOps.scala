@@ -126,10 +126,14 @@ object GraphOps {
       val outRows = parent.keys.toSeq.map { id =>
         org.apache.spark.sql.Row(id, minOf(find(id)))
       }
+      // id nullability mirrors the coerced union column (what the
+      // distributed loop's groupBy key carries); comp stays nullable
+      // like the distributed loop's min-aggregate output
       return spark.createDataFrame(
         spark.sparkContext.parallelize(outRows, 1),
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("id", idType,
+            nullable = sym.schema("u").nullable),
           org.apache.spark.sql.types.StructField("comp", idType))))
     }
     // Init fuses the first propagation round for free: the label

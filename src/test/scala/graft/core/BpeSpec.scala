@@ -149,6 +149,27 @@ class BpeSpec extends SparkSpec {
     assert(out == Set(1L, 4L, 5L), out.toString)
   }
 
+  test("malformed graft_bpe_encode calls fail at analysis time on the driver") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, "abc")).toDF("id", "text")
+    // each bad call must die in analysis (checkInputDataTypes), not
+    // launch a job and fail per-task ×4 retries in the executor
+    val noSep = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_bpe_encode", col("text"),
+        array(lit("noseparator"))))
+    }
+    assert(noSep.getMessage.contains("not 'left right'"), noSep.getMessage)
+    val nonFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_bpe_encode", col("text"),
+        array(col("text"))))
+    }
+    assert(nonFoldable.getMessage.contains("foldable"), nonFoldable.getMessage)
+    val wrongType = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_bpe_encode", col("text"), lit(3)))
+    }
+    assert(wrongType.getMessage.contains("array<string>"), wrongType.getMessage)
+  }
+
   test("native expression output equals the driver-side encode; nulls pass through") {
     val rnd = new scala.util.Random(7)
     val texts = (1 to 60).map { i =>

@@ -59,6 +59,36 @@ class GraphScaleSpec extends SparkSpec {
     }
   }
 
+  test("fast path: mixed int/long id columns carry the union-coerced schema") {
+    import spark.implicits._
+    // src is int, dst is long — the src/dst union widens both to long,
+    // so the fast path must type its output from the COERCED schema
+    // (typing from srcCol's declared int put long values in int
+    // columns: ClassCastException on first action) and must agree with
+    // the distributed loop on both schema and labels
+    val df = Seq((1, 2L), (2, 3L), (10, 11L)).toDF("src", "dst")
+    val fast = GraphOps.connectedComponents(df, "src", "dst")
+    assert(fast.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(fast.schema("comp").dataType == org.apache.spark.sql.types.LongType)
+    val got = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val dist = GraphOps.connectedComponents(df, "src", "dst",
+      driverMaxEdges = 0L)
+    assert(dist.schema == fast.schema)
+    assert(dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+  }
+
+  test("double ids skip the fast path and still get the numeric-min label") {
+    import spark.implicits._
+    // toString ordering would pick "10.0" < "9.0"; the fast path is
+    // gated to long/int/string ids, so doubles must take the
+    // distributed loop and return the true numeric minimum
+    val df = Seq((9.0, 10.0), (10.0, 11.0)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(df, "src", "dst")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got == Map(9.0 -> 9.0, 10.0 -> 9.0, 11.0 -> 9.0))
+  }
+
   test("large-star/small-star agrees with min-label on random graphs") {
     import spark.implicits._
     // Differential check: both algorithms must produce the identical

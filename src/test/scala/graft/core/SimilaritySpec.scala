@@ -86,6 +86,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 >= 0.5, s"2-bucket recall should be substantial, got $r1")
   }
 
+  test("annRecallReport: empty exact baseline reports NULL recall, not 0") {
+    // a predicate matching no queries and an unreachable cosine floor:
+    // every exact baseline is empty, so each row must carry recall =
+    // NULL (nothing to find) — 0.0 would read as total ANN failure and
+    // spuriously trip the floor asserts above
+    val rep = SimilarityOps.annRecallReport(spark, emb, "vec_id", "embedding",
+        col("vec_id") < 0, k = 5, nbitsKnn = 4, probes = 1,
+        minCosine = 1.01, nbitsPairs = 4)
+      .collect()
+    assert(rep.length == 3)
+    rep.foreach { r =>
+      assert(r.getLong(2) == 0, s"n_exact: $r")
+      assert(r.isNullAt(4), s"recall must be NULL on an empty baseline: $r")
+    }
+  }
+
   test("frame sampling: deterministic windows, correct shape") {
     val bin = MultimodalOps.withBinaryPayload(docs, "doc_id", "text")
     val f1 = MultimodalOps.sampleFrames(spark, bin, 4)
