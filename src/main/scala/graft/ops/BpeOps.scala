@@ -179,33 +179,44 @@ object BpeOps {
     * unlike hash ids), and each document becomes its id sequence,
     * digested for compactness.
     *
-    * Scale shape: the ranking window runs over the DISTINCT-token
-    * vocabulary only (merges-bounded — ~|vocab| rows, never the
-    * corpus), and the id join broadcasts that vocabulary back; the
-    * corpus itself shuffles once, keyed by doc id, for the re-collect.
+    * Scale shape: the BPE symbol space is bounded (initial characters
+    * + one symbol per merge rule), so the vocabulary is a driver-small
+    * table regardless of corpus size. Pass 1 aggregates the DISTINCT
+    * tokens (map-side combine collapses each partition to ≤|vocab|
+    * rows before the one vocab-bounded shuffle) and collects the
+    * ranked vocabulary; pass 2 maps each document's token array
+    * through that map as ONE broadcast-sized literal inside
+    * `transform` — the corpus itself never shuffles and never
+    * explodes. The earlier shape (posexplode → id-keyed
+    * groupBy/collect_list re-assembly) shuffled every TOKEN of the
+    * corpus; at 100 TB that shuffle is the entire job.
+    * `maxVocab` guards the collect (a blown cap means the input is
+    * not BPE output — e.g. raw words — and the join plan would be
+    * needed instead).
     */
   def tokenIds(df: DataFrame, idCol: String, textCol: String,
-      merges: Merges = DefaultMerges): DataFrame = {
+      merges: Merges = DefaultMerges, maxVocab: Int = 1 << 20): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val toks = df.select(col(idCol).as("id"),
-      coalesce(bpeEncode(col(textCol), merges),
-        array().cast("array<string>")).as("toks"))
-    val exploded = toks.select(col("id"),
-      posexplode(col("toks")).as(Seq("pos", "tok")))
-    val vocab = exploded.select("tok").distinct()
+    def toks = coalesce(bpeEncode(col(textCol), merges),
+      array().cast("array<string>"))
+    val vocab = df.select(explode(toks).as("tok")).distinct()
       .withColumn("token_id", dense_rank().over(
         org.apache.spark.sql.expressions.Window.orderBy("tok")))
-    val agged = exploded.join(broadcast(vocab), "tok")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_bpe_tokens"),
-        md5(array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("token_id")))),
-            _.getField("token_id").cast("string")), ",").cast("binary"))
-          .as("ids_md5"))
-    // token-less documents (null/empty text) still get a row
-    df.select(col(idCol).as("id")).join(agged, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
-        coalesce(col("ids_md5"), md5(lit("").cast("binary"))).as("ids_md5"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    require(vocab.length <= maxVocab,
+      s"vocabulary ${vocab.length} exceeds maxVocab=$maxVocab — input does " +
+        "not look like a bounded BPE symbol space")
+    // one Literal node holding the whole map (the IVF-centers lesson:
+    // a per-entry CreateMap of 2×|vocab| expression nodes bloats the
+    // plan; a single typedlit is one constant in the task binary)
+    val idMap = typedlit(vocab.toMap)
+    df.select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"),
+        transform(col("toks"), t => element_at(idMap, t)).as("ids"))
+      .select(col("id"),
+        size(col("ids")).cast("long").as("n_bpe_tokens"),
+        md5(array_join(transform(col("ids"), _.cast("string")), ",")
+          .cast("binary")).as("ids_md5"))
   }
 
   /** Per-document BPE token count + compact digest query surface.

@@ -218,7 +218,12 @@ class PlanSpec extends SparkSpec {
 
   test("zero-shuffle claims hold at runtime: measured shuffle bytes are zero") {
     import graft.ops.PlanProbe
-    for (name <- Seq("q59_repetition", "q68_mixture_sample", "q74_chunk_tokens")) {
+    // q88: the vocab pass shuffles (vocab-bounded, during query
+    // construction); the returned corpus→ids mapping pass must not —
+    // the collected-vocab map literal replaced the token-level
+    // groupBy/collect_list re-assembly
+    for (name <- Seq("q59_repetition", "q68_mixture_sample", "q74_chunk_tokens",
+        "q88_token_ids")) {
       val b = PlanProbe.shuffleBytesWritten(SparkEntry.queries(name)(spark, sf))
       assert(b == 0L, s"$name wrote $b shuffle bytes")
     }
