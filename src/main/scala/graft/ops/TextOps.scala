@@ -345,12 +345,18 @@ object TextOps {
           i => struct(element_at(col("t"), i + 1).as("a"),
             element_at(col("t"), i + 2).as("b"))))).as("bg"))
       .select(col("id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    // The count table is vocab²-bounded — cache it so the corpus is
+    // scanned a single time for the model; without the pin, AQE plans
+    // the broadcast and the uni re-aggregation as independent subtrees
+    // and the exploded-corpus scan runs twice (measured: no
+    // ReusedExchange fires across the two). Lazy persist, not
+    // localCheckpoint: the eager checkpoint job cost more than the
+    // saved scan at small scale, while a cache hit serves both
+    // consumers from the first computation at any scale.
     val cab = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-    // c(a) = Σ_b c(ab): re-aggregate the vocab²-bounded count table
-    // instead of scanning the exploded corpus a second time — the
-    // bigram subtrees under cab and uni are identical, so Spark's
-    // ReuseExchange shares one shuffle; deriving uni independently
-    // planned a whole extra corpus pass.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // c(a) = Σ_b c(ab): re-aggregate the pinned count table instead of
+    // scanning the exploded corpus again
     val uni = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
     // V = corpus vocabulary size (all tokens, not just bigram heads)
     val v = base.select(explode(col("t")).as("tok"))
