@@ -59,6 +59,13 @@ object GraftFunctions {
           s"graft_simhash requires exactly 1 argument, got ${children.size}")
         SimHashAgg(children.head)
       }),
+    ("graft_lsh_bits",
+      new ExpressionInfo(classOf[LshBits].getName, "graft_lsh_bits"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_lsh_bits requires exactly 2 arguments, got ${children.size}")
+        LshBits(children.head, children(1))
+      }),
     ("graft_topk_freq",
       new ExpressionInfo(classOf[TopKFreq].getName, "graft_topk_freq"),
       (children: Seq[Expression]) => {

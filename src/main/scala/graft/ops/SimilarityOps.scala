@@ -69,8 +69,20 @@ object SimilarityOps {
   private def planeComponent(p: Int, d: Column): Column =
     (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** Sign-bit bucket key from `nbits` hyperplanes. */
-  def lshBucket(vec: Column, nbits: Int): Column = {
+  /** Sign-bit bucket key from `nbits` hyperplanes, via the native
+    * `graft_lsh_bits` expression (plane matrix cached per task, one
+    * tight dot-product loop per plane). Callers must have
+    * [[graft.functions.GraftFunctions.register]]ed the session.
+    */
+  def lshBucket(vec: Column, nbits: Int): Column =
+    call_function("graft_lsh_bits", vec, lit(nbits))
+
+  /** The composed-built-ins twin of [[lshBucket]] — the differential
+    * reference that pins the native expression bit-identical
+    * (SimilaritySpec); nbits×dims xxhash64 evals per row through
+    * interpreted lambdas, so never the production path.
+    */
+  private[graft] def composedLshBucket(vec: Column, nbits: Int): Column = {
     val dims = sequence(lit(0), size(vec) - 1)
     (0 until nbits).map { p =>
       val proj = aggregate(
@@ -128,10 +140,12 @@ object SimilarityOps {
     * the cap never triggers on benign data. At most 2^nbits rows.
     */
   def lshBucketStats(emb: DataFrame, idCol: String, vecCol: String,
-      nbits: Int): DataFrame =
+      nbits: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.select(asDouble(col(vecCol)).as("v"))
       .select(lshBucket(col("v"), nbits).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("f"))
+  }
 
   /** Exact all-pairs cosine pairs above a threshold — the BASELINE-ONLY
     * twin of [[embeddingNearDupPairs]] (O(n²); for recall measurement
@@ -358,6 +372,7 @@ object SimilarityOps {
       queryPred: Column, k: Int, nbits: Int = 8, probes: Int = 1): DataFrame = {
     require(probes >= 1 && probes <= nbits + 1,
       s"probes must be in [1, nbits+1], got $probes for nbits=$nbits")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), nbits))
     val probeBuckets = array((0 until probes).map {

@@ -336,11 +336,15 @@ object TextOps {
   def perplexityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val base = df.select(col(idCol).as("id"), toks.as("t"))
-    // explode(when(...)) with no otherwise: docs with <2 tokens get a
-    // NULL bigram array, which explode drops — no descending-sequence
-    // trap, no empty-array type coercion
+    // explode_OUTER(when(...)) with no otherwise: docs with <2 tokens
+    // get a NULL bigram array, which explode_outer keeps as one
+    // (id, null, null) row — it rides the null-key-safe left joins
+    // below into a NULL nll, so avg() scores the doc NULL without a
+    // corpus×corpus re-join at the end (the earlier
+    // `df.join(scored, "left")` sort-merged two corpus-sized sides
+    // just to re-attach token-poor ids)
     val bigrams = base.select(col("id"),
-      explode(when(size(col("t")) >= 2,
+      explode_outer(when(size(col("t")) >= 2,
         transform(sequence(lit(0), size(col("t")) - 2),
           i => struct(element_at(col("t"), i + 1).as("a"),
             element_at(col("t"), i + 2).as("b"))))).as("bg"))
@@ -353,7 +357,8 @@ object TextOps {
     // localCheckpoint: the eager checkpoint job cost more than the
     // saved scan at small scale, while a cache hit serves both
     // consumers from the first computation at any scale.
-    val cab = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val cab = bigrams.filter(col("a").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // c(a) = Σ_b c(ab): re-aggregate the pinned count table instead of
     // scanning the exploded corpus again
@@ -366,15 +371,16 @@ object TextOps {
     // (a,b) to meet a vocab²-bounded table would be the whole job's
     // cost at scale. Computing the model aggregations still shuffles,
     // but only once and map-side combined down to vocab-bounded rows.
-    val scored = bigrams
-      .join(broadcast(cab), Seq("a", "b"))
-      .join(broadcast(uni), Seq("a"))
+    // LEFT joins so the null-bigram sentinel rows survive (a real
+    // bigram always matches: cab is built from the same rows).
+    bigrams
+      .join(broadcast(cab), Seq("a", "b"), "left")
+      .join(broadcast(uni), Seq("a"), "left")
       .crossJoin(broadcast(v))
       .select(col("id"),
         (-log((col("c_ab") + 1).cast("double") / (col("c_a") + col("v"))))
           .as("nll"))
       .groupBy("id").agg(round(avg("nll"), 5).as("logppl"))
-    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
   }
 
   /** BM25 relevance scores (Okapi, Lucene's +1 idf smoothing) of every

@@ -86,6 +86,32 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 >= 0.5, s"2-bucket recall should be substantial, got $r1")
   }
 
+  test("native graft_lsh_bits is bit-identical to the composed HOF form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    // random dims incl. degenerate shapes: empty vec (bucket 0),
+    // NaN element (bit set: SQL NaN >= 0), tiny and odd lengths
+    val vecs: Seq[Seq[Double]] =
+      Seq(Seq.empty[Double], Seq(Double.NaN, 1.0), Seq(0.0)) ++
+        (1 to 40).map(i => Seq.fill(1 + rnd.nextInt(80))(rnd.nextGaussian()))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+    for (nbits <- Seq(1, 4, 8, 23)) {
+      val rows = df.select(col("id"),
+        SimilarityOps.lshBucket(col("v"), nbits).as("native"),
+        SimilarityOps.composedLshBucket(col("v"), nbits).as("composed"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"nbits=$nbits id=${r.getLong(0)}: native ${r.getLong(1)} != composed ${r.getLong(2)}")
+      }
+      // empty vector: sequence(0,-1) = [0,-1] null-pads the zip_with,
+      // the null poisons every fold -> bucket 0 on both forms
+      assert(rows.find(_.getLong(0) == 0L).get.getLong(1) == 0L)
+    }
+  }
+
   test("annRecallReport: empty exact baseline reports NULL recall, not 0") {
     // a predicate matching no queries and an unreachable cosine floor:
     // every exact baseline is empty, so each row must carry recall =
