@@ -44,20 +44,22 @@ case class BpeEncode(left: Expression, right: Expression)
     else if (!right.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a foldable (literal) merges argument")
-    else {
-      val arr = right.eval().asInstanceOf[ArrayData]
-      val bad = (0 until arr.numElements()).iterator.map { i =>
-        val e = arr.getUTF8String(i)
-        if (e == null) "null" else e.toString
-      }.find { s =>
-        val cut = s.indexOf(' ')
-        cut <= 0 || cut >= s.length - 1
-      }
-      bad match {
-        case Some(s) => TypeCheckResult.TypeCheckFailure(
-          s"$prettyName: merge entry '$s' is not 'left right'")
-        case None => TypeCheckResult.TypeCheckSuccess
-      }
+    else right.eval() match {
+      case null => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: merges must not be NULL")
+      case arr: ArrayData =>
+        val bad = (0 until arr.numElements()).iterator.map { i =>
+          val e = arr.getUTF8String(i)
+          if (e == null) "null" else e.toString
+        }.find { s =>
+          val cut = s.indexOf(' ')
+          cut <= 0 || cut >= s.length - 1
+        }
+        bad match {
+          case Some(s) => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: merge entry '$s' is not 'left right'")
+          case None => TypeCheckResult.TypeCheckSuccess
+        }
     }
   }
 

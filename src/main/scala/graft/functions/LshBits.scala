@@ -70,8 +70,10 @@ case class LshBits(left: Expression, right: Expression)
   private var cached: (Int, Array[Array[Double]]) = (-1, null)
 
   private def planes(len: Int): Array[Array[Double]] = {
+    // c == null after Java deserialization (@transient var fields come
+    // back null, not their initializer) — treat like an empty cache
     val c = cached
-    if (c._1 >= len) c._2
+    if (c != null && c._1 >= len) c._2
     else {
       val m = Array.tabulate(nbits, len) { (p, d) =>
         // = xxhash64(lit(p), d): seed 42, children chained as ints

@@ -67,16 +67,25 @@ object BpeOps {
     * `cache` (optional) memoizes per-word encodings — word frequency
     * is Zipfian, so a small cache removes almost all re-encoding.
     *
-    * Pre-tokenization matches [[TextOps.tokens]] exactly: lowercase
-    * via Locale.ROOT (a tr-TR default JVM would otherwise dot-swap
-    * i/ı and desync from Spark's lower() and the trained merges) and
-    * the engine-neutral whitespace class (Java's \s includes \x0B,
-    * the oracles' RE2 does not).
+    * Pre-tokenization matches [[TextOps.tokens]] exactly: lowercasing
+    * DELEGATES to Spark's own `UTF8String.toLowerCase` (`lower()`'s
+    * implementation: ASCII fast path, JVM-default-locale slow path
+    * for any string with a non-ASCII char) so the BPE unit and the
+    * trained merges can never desync from the Spark-side tokenizer —
+    * neither plain `toLowerCase` (tr-TR dot-swaps pure-ASCII "I") nor
+    * `Locale.ROOT` (diverges from Spark's slow path on mixed strings
+    * like "Iş" under tr-TR) reproduces it. Whitespace is the
+    * engine-neutral class (Java's \s includes \x0B, the oracles' RE2
+    * does not).
     */
+  private def sparkLower(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      .toLowerCase.toString
+
   private[graft] def encode(text: String, merges: Merges,
       cache: scala.collection.mutable.Map[String, List[String]] = null)
       : Seq[String] =
-    text.toLowerCase(java.util.Locale.ROOT).split("[ \t\n\f\r]+")
+    sparkLower(text).split("[ \t\n\f\r]+")
       .iterator.filter(_.nonEmpty).flatMap { w =>
         if (cache == null) encodeWord(w, merges)
         else cache.getOrElseUpdate(w, {
@@ -192,7 +201,16 @@ object BpeOps {
     * corpus; at 100 TB that shuffle is the entire job.
     * `maxVocab` guards the collect (a blown cap means the input is
     * not BPE output — e.g. raw words — and the join plan would be
-    * needed instead).
+    * needed instead). The guard limits BEFORE collecting: on a
+    * pathological vocabulary the driver receives maxVocab+1 rows and
+    * fails cleanly, never the unbounded set.
+    *
+    * `df` must be deterministic across the two evaluations (vocab
+    * pass, mapping pass) — standard Spark re-evaluation contract. If
+    * a token still escapes the vocabulary, its null id is KEPT in the
+    * digest as the literal "null" (`array_join` null-replacement), so
+    * the (count, digest) pair stays consistent and the divergence is
+    * visible, never silently dropped.
     */
   def tokenIds(df: DataFrame, idCol: String, textCol: String,
       merges: Merges = DefaultMerges, maxVocab: Int = 1 << 20): DataFrame = {
@@ -202,9 +220,10 @@ object BpeOps {
     val vocab = df.select(explode(toks).as("tok")).distinct()
       .withColumn("token_id", dense_rank().over(
         org.apache.spark.sql.expressions.Window.orderBy("tok")))
+      .limit(maxVocab + 1)
       .collect().map(r => r.getString(0) -> r.getInt(1))
     require(vocab.length <= maxVocab,
-      s"vocabulary ${vocab.length} exceeds maxVocab=$maxVocab — input does " +
+      s"vocabulary exceeds maxVocab=$maxVocab — input does " +
         "not look like a bounded BPE symbol space")
     // one Literal node holding the whole map (the IVF-centers lesson:
     // a per-entry CreateMap of 2×|vocab| expression nodes bloats the
@@ -215,7 +234,7 @@ object BpeOps {
         transform(col("toks"), t => element_at(idMap, t)).as("ids"))
       .select(col("id"),
         size(col("ids")).cast("long").as("n_bpe_tokens"),
-        md5(array_join(transform(col("ids"), _.cast("string")), ",")
+        md5(array_join(transform(col("ids"), _.cast("string")), ",", "null")
           .cast("binary")).as("ids_md5"))
   }
 

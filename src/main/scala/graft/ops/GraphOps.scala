@@ -89,6 +89,13 @@ object GraphOps {
     }
     if (driverMaxEdges > 0 && orderableOnDriver && sym.count() <= driverMaxEdges) {
       val rows = sym.collect()
+      // a NULL id can be neither union-found nor min-ordered here —
+      // those graphs fall through to the distributed loop, which
+      // treats null as an ordinary grouping key (same rows collected
+      // either way, so the check costs nothing extra)
+      if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        // sym stays persisted for the loop below
+      } else {
       sym.unpersist()
       // generic union-find (ids can be any orderable key type); the
       // component representative is the minimum member, matching the
@@ -115,7 +122,7 @@ object GraphOps {
             org.apache.spark.unsafe.types.UTF8String.fromString(x)
               .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
           case (x, y) => sys.error(
-            s"unreachable: fast path gated to long/int/string ids, got $x/$y")
+            s"unreachable: fast path gated to non-null long/int/string ids, got $x/$y")
         }
       val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
       parent.keys.foreach { id =>
@@ -135,6 +142,7 @@ object GraphOps {
           org.apache.spark.sql.types.StructField("id", idType,
             nullable = sym.schema("u").nullable),
           org.apache.spark.sql.types.StructField("comp", idType))))
+      }
     }
     // Init fuses the first propagation round for free: the label
     // starts at min(self, direct neighbors) straight off the grouped

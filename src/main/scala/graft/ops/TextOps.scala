@@ -333,6 +333,13 @@ object TextOps {
     * size); V and the unigram table broadcast. Documents with fewer
     * than 2 tokens have no bigrams and score NULL.
     */
+  /** Most recent call's persisted bigram-count table per session; see
+    * the release note inside [[perplexityScore]].
+    */
+  private val perplexityCabSlot =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, DataFrame]()
+
   def perplexityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val base = df.select(col(idCol).as("id"), toks.as("t"))
@@ -356,10 +363,25 @@ object TextOps {
     // ReusedExchange fires across the two). Lazy persist, not
     // localCheckpoint: the eager checkpoint job cost more than the
     // saved scan at small scale, while a cache hit serves both
-    // consumers from the first computation at any scale.
-    val cab = bigrams.filter(col("a").isNotNull)
+    // consumers from the first computation at any scale. The returned
+    // frame is lazy, so this call cannot unpersist its own cab —
+    // instead the session keeps ONE outstanding model cache: scoring
+    // the same corpus again reuses it (warm re-runs skip the model
+    // pass entirely), scoring a different corpus releases it. Bounded
+    // at one table per session, never an accumulating leak.
+    val cabPlan = bigrams.filter(col("a").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = perplexityCabSlot.get(df.sparkSession)
+    val cab =
+      if (prev != null && prev.queryExecution.analyzed.canonicalized ==
+          cabPlan.queryExecution.analyzed.canonicalized) prev
+      else {
+        val c = cabPlan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Option(perplexityCabSlot.put(df.sparkSession, c))
+          .foreach(_.unpersist(blocking = false))
+        c
+      }
     // c(a) = Σ_b c(ab): re-aggregate the pinned count table instead of
     // scanning the exploded corpus again
     val uni = cab.groupBy("a").agg(sum("c_ab").as("c_a"))

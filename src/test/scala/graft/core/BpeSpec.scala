@@ -170,6 +170,21 @@ class BpeSpec extends SparkSpec {
     assert(wrongType.getMessage.contains("array<string>"), wrongType.getMessage)
   }
 
+  test("NULL merges fails analysis cleanly; tiny maxVocab fails before collecting the world") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, "abc")).toDF("id", "text")
+    val nullMerges = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_bpe_encode", col("text"),
+        lit(null).cast("array<string>")))
+    }
+    assert(nullMerges.getMessage.contains("must not be NULL"), nullMerges.getMessage)
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val blown = intercept[IllegalArgumentException] {
+      BpeOps.tokenIds(docs, "doc_id", "text", maxVocab = 2).collect()
+    }
+    assert(blown.getMessage.contains("maxVocab"), blown.getMessage)
+  }
+
   test("native expression output equals the driver-side encode; nulls pass through") {
     val rnd = new scala.util.Random(7)
     val texts = (1 to 60).map { i =>

@@ -78,6 +78,18 @@ class GraphScaleSpec extends SparkSpec {
     assert(dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
   }
 
+  test("null ids fall back to the distributed loop instead of crashing the fast path") {
+    import spark.implicits._
+    // string ids with a null: the driver comparator can't order null,
+    // so the fast path must detect it in the collected rows and leave
+    // the graph to the distributed loop (null = ordinary grouping key)
+    val df = Seq(("a", "b"), (null, "b"), ("x", "y")).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(df, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("b") == "a" && got("x") == "x" && got("y") == "x", got.toString)
+    assert(got.contains(null), s"null id should be labeled as a node: $got")
+  }
+
   test("double ids skip the fast path and still get the numeric-min label") {
     import spark.implicits._
     // toString ordering would pick "10.0" < "9.0"; the fast path is

@@ -112,6 +112,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("graft_lsh_bits survives Java serialization (transient cache comes back null)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = graft.functions.LshBits(
+      BoundReference(0, ArrayType(DoubleType), nullable = true), Literal(4))
+    val row = InternalRow(new GenericArrayData(Array(0.7, -0.2, 1.3)))
+    val direct = e.eval(row)
+    // ship the bound instance the way an executor task receives it
+    val bytes = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bytes)
+    out.writeObject(e); out.close()
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+    val revived = in.readObject().asInstanceOf[graft.functions.LshBits]
+    assert(revived.eval(row) == direct,
+      "deserialized instance must compute the same bucket (no NPE on the transient cache)")
+  }
+
   test("annRecallReport: empty exact baseline reports NULL recall, not 0") {
     // a predicate matching no queries and an unreachable cosine floor:
     // every exact baseline is empty, so each row must carry recall =
