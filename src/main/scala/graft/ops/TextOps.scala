@@ -443,6 +443,33 @@ object TextOps {
     scored.groupBy("id").agg(round(sum("w"), 5).as("bm25"))
   }
 
+  /** TF-IDF term weights per (document, token) — the vector-space
+    * retrieval primitive between [[vocabulary]] (corpus tf/df) and
+    * [[bm25]] (scores against a fixed query): weight = tf · idf with
+    * the smoothed idf `ln((N+1)/(df+1)) + 1` (sklearn's convention —
+    * strictly positive, defined even for df = N). `minDf` drops
+    * hapax/noise terms before weighting.
+    *
+    * Scale shape (the canonical posting-list plan, same as bm25): one
+    * explode, one map-side-combined (id, tok) aggregation shuffle;
+    * document frequencies re-aggregate from that vocab-bounded table
+    * and broadcast back with the 1-row corpus count — the corpus
+    * never shuffles a second time.
+    */
+  def tfidfWeights(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 1): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = base.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(nDocs))
+      .select(col("id"), col("tok"), col("tf"), col("df"),
+        (col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+          + lit(1.0))).as("w"))
+  }
+
   /** Per-document quality metrics (ratios rounded for cross-engine
     * determinism — integer counts divide exactly in ieee754 but the
     * rounding keeps the oracle contract explicit).

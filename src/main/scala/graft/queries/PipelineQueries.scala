@@ -424,6 +424,17 @@ object PipelineQueries {
       TextOps.perplexityScore(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("logppl"))),
 
+    // TF-IDF (smoothed sklearn idf, minDf=2): per-doc summary of the
+    // vector-space weights — docs whose every term is sub-minDf drop
+    // out (inner semantics, mirrored by the oracle's join).
+    "q93_tfidf" -> ((s, d) =>
+      TextOps.tfidfWeights(Tables(s, d, "documents"), "doc_id", "text",
+          minDf = 2)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum("w"), 5).as("sum_w"),
+          round(max("w"), 5).as("max_w"))),
+
     // Tokens -> ids (training assembly's final mapping step): dense
     // lexicographic vocabulary ids, per-doc id sequence digested.
     "q88_token_ids" -> ((s, d) =>
@@ -777,6 +788,20 @@ object PipelineQueries {
         | GROUP BY doc_id)
         |SELECT d.doc_id, s.logppl
         |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id""".stripMargin,
+    "q93_tfidf" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf
+        |        GROUP BY tok HAVING count(*) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)), 5) AS sum_w,
+        |  round(max(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)), 5) AS max_w
+        |FROM tf JOIN dfq USING (tok), nd
+        |GROUP BY doc_id""".stripMargin,
     "q88_token_ids" ->
       s"""$bpeCteSql,
          |ft AS (SELECT doc_id, wi, unnest(generate_series(1, len(s))) AS ti, s

@@ -445,6 +445,25 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) > out(2L)) // tf + rarity dominate
   }
 
+  test("tfidf weights match the closed-form values; minDf prunes rare terms") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "spark join spark"), (2L, "join fast"), (3L, "slow code join"))
+      .toDF("doc_id", "text")
+    val out = TextOps.tfidfWeights(docs, "doc_id", "text", minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // only "join" appears in >= 2 docs; smoothed idf = ln((N+1)/(df+1))+1
+    val idfJoin = math.log(4.0 / 4.0) + 1.0
+    assert(out.keySet == Set((1L, "join"), (2L, "join"), (3L, "join")), out.toString)
+    assert(out((1L, "join")) == 1.0 * idfJoin)
+    // with minDf=1 every term scores and tf multiplies
+    val all = TextOps.tfidfWeights(docs, "doc_id", "text", minDf = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    val idfSpark = math.log(4.0 / 2.0) + 1.0
+    assert(all((1L, "spark")) == 2.0 * idfSpark, all.toString)
+    assert(all.size == 7, all.toString) // 2+2+3 distinct (doc, term) pairs
+  }
+
   test("stratified take: exact n per stratum, deterministic, nested") {
     import graft.ops.SampleOps
     val df = spark.range(0, 3000).toDF("id")
