@@ -55,10 +55,12 @@ object Bench {
           |""".stripMargin)
       graft.core.splice.Convert.convertInMemory(spark, sec.toString, sp.toString)
     } catch { case _: Throwable => () }
-    // Each query runs twice: `queries` (cold) carries first-plan
-    // analysis/codegen cost; `queries_warm` is the steady-state
-    // second run — separable so plan-compile vs data-path cost is
-    // visible in the read-out.
+    // Each query runs three times: `queries` (cold) carries
+    // first-plan analysis/codegen cost; `queries_warm` is the MIN of
+    // two steady-state runs — the bench box shows ±10-15% run-to-run
+    // noise (documented across rounds), and min-of-2 strips the
+    // scheduling spikes a single sample keeps, while cold stays a
+    // single sample by definition.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -70,7 +72,16 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, okCold) = run(fn)
-      val (warm, okWarm) = if (okCold) run(fn) else (0.0, false)
+      val (warm, okWarm) =
+        if (!okCold) (0.0, false)
+        else {
+          val (w1, ok1) = run(fn)
+          if (!ok1) (w1, false)
+          else {
+            val (w2, ok2) = run(fn)
+            if (ok2) (math.min(w1, w2), true) else (w2, false)
+          }
+        }
       (name, cold, warm, okCold && okWarm)
     }
     val okResults = results.filter(_._4)
