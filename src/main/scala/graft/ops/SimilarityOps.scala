@@ -202,14 +202,25 @@ object SimilarityOps {
     // each result set is small (top-k rows / thresholded pairs) but
     // expensive to produce, and the exact baseline feeds TWO recall
     // rows — localCheckpoint pins each once instead of replanning the
-    // similarity subtrees per consuming aggregate
-    def pin(df: DataFrame): DataFrame = df.localCheckpoint()
-    val exactTopK = pin(knnBrute(emb, idCol, vecCol, queryPred, k))
-    val lsh = pin(knnLsh(emb, idCol, vecCol, queryPred, k, nbitsKnn, probes))
-    val ivf = pin(knnIvf(spark, emb, idCol, vecCol, queryPred, k))
-    val exactPairs = pin(exactCosinePairs(emb, idCol, vecCol, minCosine))
-    val lshPairs = pin(embeddingNearDupPairs(emb, idCol, vecCol, minCosine,
-      nbitsPairs))
+    // similarity subtrees per consuming aggregate. The five
+    // materializations are INDEPENDENT jobs, so they checkpoint
+    // concurrently (Spark's scheduler interleaves jobs from multiple
+    // threads): the cheap approximate paths ride along with the O(n²)
+    // exact baseline instead of queueing behind it. Plans are built
+    // on this thread; only the blocking checkpoint action forks.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val frames = Seq(
+      knnBrute(emb, idCol, vecCol, queryPred, k),
+      knnLsh(emb, idCol, vecCol, queryPred, k, nbitsKnn, probes),
+      knnIvf(spark, emb, idCol, vecCol, queryPred, k),
+      exactCosinePairs(emb, idCol, vecCol, minCosine),
+      embeddingNearDupPairs(emb, idCol, vecCol, minCosine, nbitsPairs))
+    val Seq(exactTopK, lsh, ivf, exactPairs, lshPairs) =
+      Await.result(
+        Future.sequence(frames.map(f => Future(f.localCheckpoint()))),
+        Duration.Inf)
     val report =
       recallRow(exactTopK, lsh, Seq("query_id", "cand_id"), "knn_lsh", k)
         .unionByName(recallRow(exactTopK, ivf, Seq("query_id", "cand_id"),
