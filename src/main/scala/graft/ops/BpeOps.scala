@@ -220,7 +220,7 @@ object BpeOps {
     val vocab = df.select(explode(toks).as("tok")).distinct()
       .withColumn("token_id", dense_rank().over(
         org.apache.spark.sql.expressions.Window.orderBy("tok")))
-      .limit(maxVocab + 1)
+      .limit(if (maxVocab == Int.MaxValue) maxVocab else maxVocab + 1)
       .collect().map(r => r.getString(0) -> r.getInt(1))
     require(vocab.length <= maxVocab,
       s"vocabulary exceeds maxVocab=$maxVocab — input does " +

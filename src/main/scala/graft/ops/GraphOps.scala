@@ -74,6 +74,20 @@ object GraphOps {
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // NULL ids are rejected LOUDLY in both paths: the distributed
+    // loop's propagation equi-join drops null keys, so a null node
+    // would receive labels but never relay them — a null BRIDGING two
+    // subgraphs silently under-merges (and the driver comparator
+    // cannot order null at all). One aggregate doubles as the
+    // fast-path size gate: count(col) skips nulls, so any gap vs
+    // count(*) is a null id.
+    val probe = sym.agg(count(lit(1)), count(col("u")), count(col("v")))
+      .head()
+    val symCount = probe.getLong(0)
+    require(probe.getLong(1) == symCount && probe.getLong(2) == symCount,
+      s"connectedComponents: edge list contains NULL ids " +
+        s"(${symCount - math.min(probe.getLong(1), probe.getLong(2))}+ rows)" +
+        " — filter them out first")
     // the union coerces src/dst to their common type — that (not
     // srcCol's declared type) is what collected values actually carry
     val idType = sym.schema("u").dataType
@@ -87,15 +101,8 @@ object GraphOps {
            org.apache.spark.sql.types.StringType => true
       case _ => false
     }
-    if (driverMaxEdges > 0 && orderableOnDriver && sym.count() <= driverMaxEdges) {
+    if (driverMaxEdges > 0 && orderableOnDriver && symCount <= driverMaxEdges) {
       val rows = sym.collect()
-      // a NULL id can be neither union-found nor min-ordered here —
-      // those graphs fall through to the distributed loop, which
-      // treats null as an ordinary grouping key (same rows collected
-      // either way, so the check costs nothing extra)
-      if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
-        // sym stays persisted for the loop below
-      } else {
       sym.unpersist()
       // generic union-find (ids can be any orderable key type); the
       // component representative is the minimum member, matching the
@@ -142,7 +149,6 @@ object GraphOps {
           org.apache.spark.sql.types.StructField("id", idType,
             nullable = sym.schema("u").nullable),
           org.apache.spark.sql.types.StructField("comp", idType))))
-      }
     }
     // Init fuses the first propagation round for free: the label
     // starts at min(self, direct neighbors) straight off the grouped
@@ -205,6 +211,14 @@ object GraphOps {
   def connectedComponentsStars(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    // same NULL-id contract as [[connectedComponents]]: the canonical
+    // a =!= b filter would silently DROP null edges here (null
+    // predicate), diverging from the min-label variant — reject loudly
+    val nullProbe = edges
+      .agg(count(lit(1)), count(col(srcCol)), count(col(dstCol))).head()
+    require(nullProbe.getLong(1) == nullProbe.getLong(0) &&
+        nullProbe.getLong(2) == nullProbe.getLong(0),
+      "connectedComponentsStars: edge list contains NULL ids — filter them out first")
     val allNodes = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id"))).distinct()
       .localCheckpoint()

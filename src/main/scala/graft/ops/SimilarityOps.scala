@@ -217,10 +217,19 @@ object SimilarityOps {
       knnIvf(spark, emb, idCol, vecCol, queryPred, k),
       exactCosinePairs(emb, idCol, vecCol, minCosine),
       embeddingNearDupPairs(emb, idCol, vecCol, minCosine, nbitsPairs))
+    val futs = frames.map(f => Future(f.localCheckpoint()))
     val Seq(exactTopK, lsh, ivf, exactPairs, lshPairs) =
-      Await.result(
-        Future.sequence(frames.map(f => Future(f.localCheckpoint()))),
-        Duration.Inf)
+      try Await.result(Future.sequence(futs), Duration.Inf)
+      catch { case e: Throwable =>
+        // one checkpoint failed: the siblings' jobs can't be
+        // cancelled, but their pinned blocks must not outlive the
+        // error — release each as (or once) it completes
+        futs.foreach(_.onComplete {
+          case scala.util.Success(df) => Checkpoints.release(df)
+          case _ => ()
+        })
+        throw e
+      }
     val report =
       recallRow(exactTopK, lsh, Seq("query_id", "cand_id"), "knn_lsh", k)
         .unionByName(recallRow(exactTopK, ivf, Seq("query_id", "cand_id"),

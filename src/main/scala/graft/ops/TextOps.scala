@@ -371,8 +371,17 @@ object TextOps {
     // at one table per session, never an accumulating leak.
     val cabPlan = bigrams.filter(col("a").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-    val prev = perplexityCabSlot.get(df.sparkSession)
-    val cab =
+    // synchronized check-and-swap: two concurrent same-corpus calls
+    // racing through an unlocked check would both persist the same
+    // canonical plan and the loser's eviction would uncache the
+    // winner's entry too (CacheManager keys by canonicalized plan) —
+    // leaving the slot "reusing" a frame that silently recomputes.
+    // Also prune entries of stopped sessions so per-session caches
+    // don't outlive their session (their blocks die with the context,
+    // but the map reference would pin session + plan objects forever).
+    val cab = perplexityCabSlot.synchronized {
+      perplexityCabSlot.keySet.removeIf(s => s.sparkContext.isStopped)
+      val prev = perplexityCabSlot.get(df.sparkSession)
       if (prev != null && prev.queryExecution.analyzed.canonicalized ==
           cabPlan.queryExecution.analyzed.canonicalized) prev
       else {
@@ -382,6 +391,7 @@ object TextOps {
           .foreach(_.unpersist(blocking = false))
         c
       }
+    }
     // c(a) = Σ_b c(ab): re-aggregate the pinned count table instead of
     // scanning the exploded corpus again
     val uni = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
@@ -450,11 +460,15 @@ object TextOps {
     * strictly positive, defined even for df = N). `minDf` drops
     * hapax/noise terms before weighting.
     *
-    * Scale shape (the canonical posting-list plan, same as bm25): one
-    * explode, one map-side-combined (id, tok) aggregation shuffle;
-    * document frequencies re-aggregate from that vocab-bounded table
-    * and broadcast back with the 1-row corpus count — the corpus
-    * never shuffles a second time.
+    * Scale shape (the canonical posting-list plan, same as bm25): an
+    * explode into a map-side-combined (id, tok) aggregation, document
+    * frequencies re-aggregated from it and broadcast back with the
+    * 1-row corpus count. The (id, tok) subtree is planned twice —
+    * probe side and inside the broadcast df build (exchange reuse
+    * does not cross a broadcast boundary; measured on the same shape
+    * in [[perplexityScore]]) — so the corpus is aggregated twice per
+    * run. Callers looping over one corpus should persist the tf
+    * frame themselves; this op does not pin corpus-sized state.
     */
   def tfidfWeights(df: DataFrame, idCol: String, textCol: String,
       minDf: Int = 1): DataFrame = {

@@ -78,16 +78,26 @@ class GraphScaleSpec extends SparkSpec {
     assert(dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
   }
 
-  test("null ids fall back to the distributed loop instead of crashing the fast path") {
+  test("null ids are rejected loudly in both component variants") {
     import spark.implicits._
-    // string ids with a null: the driver comparator can't order null,
-    // so the fast path must detect it in the collected rows and leave
-    // the graph to the distributed loop (null = ordinary grouping key)
-    val df = Seq(("a", "b"), (null, "b"), ("x", "y")).toDF("src", "dst")
-    val got = GraphOps.connectedComponents(df, "src", "dst")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(got("b") == "a" && got("x") == "x" && got("y") == "x", got.toString)
-    assert(got.contains(null), s"null id should be labeled as a node: $got")
+    // the distributed loop's propagation equi-join drops null keys, so
+    // a null node bridging two subgraphs would silently under-merge
+    // (it receives labels but never relays them), and the driver
+    // comparator can't order null — both variants must fail loudly
+    // instead of returning wrong clusters
+    val df = Seq(("a", "b"), (null, "b"), (null, "z")).toDF("src", "dst")
+    val e1 = intercept[IllegalArgumentException] {
+      GraphOps.connectedComponents(df, "src", "dst").collect()
+    }
+    assert(e1.getMessage.contains("NULL ids"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraphOps.connectedComponents(df, "src", "dst", driverMaxEdges = 0L).collect()
+    }
+    assert(e2.getMessage.contains("NULL ids"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      GraphOps.connectedComponentsStars(df, "src", "dst").collect()
+    }
+    assert(e3.getMessage.contains("NULL ids"), e3.getMessage)
   }
 
   test("double ids skip the fast path and still get the numeric-min label") {
