@@ -426,8 +426,12 @@ object TextOps {
     * (id, term) aggregation shuffles only matching tokens. Corpus
     * stats (N, avgdl) are one scalar aggregate broadcast via a
     * 1-row cross join; per-term document frequencies are a second
-    * tiny broadcast. At 100 TB: two corpus scans (stats + terms),
-    * both narrow, one near-empty shuffle.
+    * tiny broadcast. At 100 TB: three corpus scans (stats, the tf
+    * probe, and the tf subtree re-planned inside the df broadcast
+    * build — exchange reuse does not cross a broadcast boundary),
+    * all narrow, one near-empty shuffle; tf itself can be corpus-
+    * order rows for stopword-frequency terms, so it is deliberately
+    * NOT pinned here.
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
