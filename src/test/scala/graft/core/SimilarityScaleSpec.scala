@@ -41,4 +41,32 @@ class SimilarityScaleSpec extends SparkSpec {
     // only a per-row plane-matrix rebuild or an O(n²) bucket fails it
     assert(secs < 90.0, s"near-dup pass took ${secs}s")
   }
+
+  test("50k-doc minhash LSH pass: planted duplicate docs found, bounded wall-clock") {
+    // deterministic word-soup text: 40 tokens drawn by hashing
+    // (id / 2, position) into a 1000-word vocabulary — consecutive ids
+    // (2k, 2k+1) share text exactly -> identical minhash signatures ->
+    // banded together with est_jaccard 1.0 at every band
+    val n = 50000L
+    val text = array_join(
+      transform(sequence(lit(0), lit(39)),
+        p => concat(lit("w"),
+          pmod(xxhash64((col("id") / 2).cast("long"), p), lit(1000)))),
+      " ")
+    val docs = spark.range(0, n).select(col("id"), text.as("text"))
+    val t0 = System.nanoTime()
+    val pairs = graft.ops.DedupOps.minHashLshPairs(docs, "id", "text",
+        minEstJaccard = 0.99)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    val planted = (0L until n by 2).map(k => (k, k + 1)).toSet
+    assert((planted -- pairs).isEmpty,
+      s"${(planted -- pairs).size} planted dup docs missed")
+    // distinct 1000-word-vocab 40-token docs rarely reach est 0.99,
+    // but hash-identical shingle SETS across different (id/2) seeds
+    // can — require the planted pairs dominate rather than exactness
+    assert(pairs.size <= planted.size * 1.01 + 10, s"unexpected pairs: ${pairs.size}")
+    assert(secs < 120.0, s"minhash pass took ${secs}s")
+  }
 }
