@@ -72,25 +72,33 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, okCold) = run(fn)
-      val (warm, okWarm) =
-        if (!okCold) (0.0, false)
+      val (warmRuns, okWarm) =
+        if (!okCold) (Seq.empty[Double], false)
         else {
           val (w1, ok1) = run(fn)
-          if (!ok1) (w1, false)
+          if (!ok1) (Seq(w1), false)
           else {
             val (w2, ok2) = run(fn)
-            if (ok2) (math.min(w1, w2), true) else (w2, false)
+            if (ok2) (Seq(w1, w2), true) else (Seq(w1, w2), false)
           }
         }
-      (name, cold, warm, okCold && okWarm)
+      val warm = if (warmRuns.nonEmpty) warmRuns.min else 0.0
+      (name, cold, warm, warmRuns, okCold && okWarm)
     }
-    val okResults = results.filter(_._4)
-    def jmap(f: ((String, Double, Double, Boolean)) => Double) =
+    val okResults = results.filter(_._5)
+    def jmap(f: ((String, Double, Double, Seq[Double], Boolean)) => Double) =
       okResults.map(r => "\"" + r._1 + "\":" + f"${f(r)}%.3f").mkString("{", ",", "}")
-    val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // Both steady-state samples per query, not just the min: the r7
+    // triage showed cross-round comparisons are impossible without the
+    // raw runs (was warm=5.58s a real plan cost or one scheduling
+    // spike? the second sample answers that for free).
+    val warmRunsJson = okResults.map(r =>
+      "\"" + r._1 + "\":[" + r._4.map(t => f"$t%.3f").mkString(",") + "]")
+      .mkString("{", ",", "}")
+    val errs = results.filterNot(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = okResults.map(_._2).sum
     val totalWarm = okResults.map(_._3).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},"total_warm":$totalWarm,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},"queries_warm_runs":$warmRunsJson,"warm_samples":2,"warm_stat":"min","total_warm":$totalWarm,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // The driver scrapes stdout and has twice truncated the tail of
     // this line (r5/r6: "parsed": null, cold block unreadable) — also

@@ -94,6 +94,28 @@ object GraftFunctions {
           s"graft_bpe_encode requires exactly 2 arguments, got ${children.size}")
         BpeEncode(children.head, children(1))
       }),
+    ("graft_bounded_collect",
+      new ExpressionInfo(classOf[BoundedCollect].getName, "graft_bounded_collect"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_bounded_collect requires exactly 2 arguments, got ${children.size}")
+        BoundedCollect(children.head, children(1))
+      }),
+    ("graft_drop_probe",
+      new ExpressionInfo(classOf[DropProbe].getName, "graft_drop_probe"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_drop_probe requires exactly 3 arguments, got ${children.size}")
+        // the name literal resolves to driver-registered accumulators,
+        // which then serialize into the expression like any metric
+        val name = children.head.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+          case other => sys.error(s"graft_drop_probe: non-string name $other")
+        }
+        val (t, d, h) = graft.ops.DropGuard.accumulators(name)
+        DropProbe(children(1), children(2), t, d, h)
+      }),
     ("graft_nfc",
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => {

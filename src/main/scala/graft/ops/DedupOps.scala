@@ -107,16 +107,24 @@ object DedupOps {
     // in-row (sorted (id, n_sh) structs ⇒ a < b) — measured equal
     // output to the hash self-join with half the cold cost (no join
     // machinery, one exchange fewer). Posting-list size IS the
-    // shingle's document frequency, so the skew cap is a plain filter
-    // on it: a shingle shared by f documents contributes O(f²) pairs
-    // (one stopword 3-gram in a million docs is 10¹² pairs), and
-    // dropping it here keeps every denominator exact — only
+    // shingle's document frequency, so the skew cap rides INSIDE the
+    // collect (graft_bounded_collect): a shingle shared by f documents
+    // contributes O(f²) pairs (one stopword 3-gram in a million docs
+    // is 10¹² pairs), and an over-frequency list is released the
+    // moment it exceeds the cap — never materialized whole, unlike a
+    // post-collect filter. Denominators stay exact; only
     // intersections through ultra-common shingles are forfeited,
-    // standard inverted-index prefix-filter practice.
+    // standard inverted-index prefix-filter practice, and the loss is
+    // observable (DropGuard metrics + stderr when material).
     graft.functions.GraftFunctions.register(shingles.sparkSession)
-    val grouped = hashed.groupBy("shingle")
-      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDocFrequency)
+    val capped = math.min(maxDocFrequency, Int.MaxValue.toLong).toInt
+    val grouped = DropGuard.observed(
+      hashed.groupBy("shingle")
+        .agg(call_function("graft_bounded_collect",
+          struct(col("id"), col("n_sh")), lit(capped)).as("c")),
+      "ngramJaccardPairs")
+      .filter(col("c.ms").isNotNull && size(col("c.ms")) > 1)
+      .select(col("c.ms").as("ids"))
     // pair expansion via the native generator (graft_ordered_pairs):
     // lazy (a, b) emission straight from the posting list — no nested
     // array materialization, no per-element slice copies
@@ -179,10 +187,11 @@ object DedupOps {
     * one band bucket whose member list costs O(f²) pairs — so, exactly
     * like `ngramJaccardPairs.maxDocFrequency`, buckets above
     * `maxBucketSize` are dropped (documents duplicated at that volume
-    * are exact-dedup's catch, not minhash's). The cap filters on the
-    * collected size, same as the Jaccard path: band members are
-    * (id, 32-long sig) structs, narrow enough that the collect itself
-    * is not the hazard the embedding path's full vectors are.
+    * are exact-dedup's catch, not minhash's). The cap is enforced
+    * INSIDE the aggregation (graft_bounded_collect releases a bucket's
+    * members the moment it exceeds the cap), so no task ever holds an
+    * over-capacity member list, and the drop is observable through
+    * DropGuard (stderr warning + metrics when material).
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
@@ -200,9 +209,13 @@ object DedupOps {
     }
     val banded = sig.select(col("id"), col("sig"),
       explode(array(bandCols: _*)).as("b"))
-    val grouped = banded.groupBy(col("b"))
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
-      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucketSize)
+    val grouped = DropGuard.observed(
+      banded.groupBy(col("b"))
+        .agg(call_function("graft_bounded_collect",
+          struct(col("id"), col("sig")), lit(maxBucketSize)).as("c")),
+      "minHashLshPairs")
+      .filter(col("c.ms").isNotNull && size(col("c.ms")) > 1)
+      .select(col("c.ms").as("ms"))
     // native lazy pair expansion (see ngramJaccardPairs); agreement is
     // computed on the emitted pair's carried signature arrays
     grouped.select(call_function("graft_ordered_pairs", col("ms")).as(Seq("x", "y")))
@@ -235,15 +248,20 @@ object DedupOps {
 
   /** SimHash near-duplicate pairs (a < b, hamming <= maxHamming): the
     * 64-bit code is banded into `bands` equal bit-chunks and pairs are
-    * generated only inside chunk buckets. By pigeonhole this is EXACT
-    * whenever `maxHamming < bands` — two codes differing in at most
-    * maxHamming bits cannot differ in every one of the bands — so the
-    * default (3, 4) finds precisely the hamming<=3 pairs, the standard
+    * generated only inside chunk buckets. By pigeonhole the banding
+    * loses nothing when `maxHamming < bands` — two codes differing in
+    * at most maxHamming bits cannot differ in every one of the bands —
+    * so the default (3, 4) finds the hamming<=3 pairs, the standard
     * simhash dedup operating point, at bucket-join cost instead of
-    * all-pairs. Same physical shape and `maxBucketSize` skew cap as
-    * [[minHashLshPairs]]: one signature aggregate, one bucket group,
-    * lazy in-row pair expansion, final distinct. A chunk bucket's
-    * members are (id, long) structs — 16 bytes each.
+    * all-pairs. Exactness holds UP TO the `maxBucketSize` cap: a chunk
+    * value shared by more documents than the cap (mass-duplicated
+    * boilerplate) has its bucket dropped, and pairs whose every
+    * agreeing band is that hot are lost — the drop is enforced inside
+    * the aggregation (graft_bounded_collect, a real memory bound) and
+    * reported through DropGuard (stderr + metrics when material), not
+    * silent. Same physical shape as [[minHashLshPairs]]: one signature
+    * aggregate, one bucket group, lazy in-row pair expansion, final
+    * distinct. A chunk bucket's members are (id, long) structs.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4,
@@ -263,9 +281,13 @@ object DedupOps {
     }
     val banded = sh.select(col("id"), col("simhash"),
       explode(array(bandCols: _*)).as("b"))
-    val grouped = banded.groupBy(col("b"))
-      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
-      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucketSize)
+    val grouped = DropGuard.observed(
+      banded.groupBy(col("b"))
+        .agg(call_function("graft_bounded_collect",
+          struct(col("id"), col("simhash")), lit(maxBucketSize)).as("c")),
+      "simHashPairs")
+      .filter(col("c.ms").isNotNull && size(col("c.ms")) > 1)
+      .select(col("c.ms").as("ms"))
     grouped.select(call_function("graft_ordered_pairs", col("ms")).as(Seq("x", "y")))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         hamming(col("x.simhash"), col("y.simhash")).as("hamming"))

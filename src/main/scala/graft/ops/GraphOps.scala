@@ -142,9 +142,14 @@ object GraphOps {
       }
       // id nullability mirrors the coerced union column (what the
       // distributed loop's groupBy key carries); comp stays nullable
-      // like the distributed loop's min-aggregate output
+      // like the distributed loop's min-aggregate output. Spread the
+      // result over defaultParallelism slices: labels are consumed by
+      // joins downstream (survivor anti-joins), and a single-partition
+      // frame at the 1M-edge upper end would serialize that work onto
+      // one task. Labels are deterministic regardless of partitioning.
       return spark.createDataFrame(
-        spark.sparkContext.parallelize(outRows, 1),
+        spark.sparkContext.parallelize(outRows,
+          math.max(1, spark.sparkContext.defaultParallelism)),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id", idType,
             nullable = sym.schema("u").nullable),

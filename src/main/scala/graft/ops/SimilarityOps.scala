@@ -102,16 +102,19 @@ object SimilarityOps {
     * shuffle groups each bucket's (id, vector) members, then
     * `graft_ordered_pairs` lazily emits the i<j pairs — no self-join,
     * no second exchange. Buckets are the skew contract: a bucket of f
-    * members costs O(f²) pairs AND a collect_list row holding f full
-    * vectors, so over-capacity buckets are dropped BEFORE the collect:
-    * a count pass (groups only the ≤2^nbits bucket keys, map-side
-    * combined — near-free) finds hot buckets, and a broadcast anti
-    * join removes their members. The price is hashing the planes twice
-    * (both passes scan the vectors); the win is that no task ever
-    * materializes a hot bucket, where the pre-r7 form OOMed on one
-    * ~N/2^nbits-vector row at scale. Dropped buckets trade recall for
-    * boundedness — size nbits so expected f = N/2^nbits stays well
-    * under `maxBucketSize` (see [[lshBucketStats]] to observe the
+    * members costs O(f²) pairs AND an aggregation row holding f full
+    * vectors, so the cap is enforced INSIDE the aggregation
+    * (graft_bounded_collect): the moment a bucket exceeds
+    * `maxBucketSize` its members are released and only a running count
+    * survives — no task ever materializes a hot bucket (the pre-r7
+    * form OOMed on one ~N/2^nbits-vector row at scale), and unlike the
+    * r7 count-then-anti-join shape the vectors are hashed and scanned
+    * ONCE. Dropped buckets trade recall for boundedness and the trade
+    * is OBSERVABLE: DropGuard reports dropped-member counts and warns
+    * loudly when most members (or all — zero pairs returned) fall in
+    * over-capacity buckets, the cliff a growing corpus hits once
+    * N/2^nbits passes the cap. Size nbits so expected f = N/2^nbits
+    * stays well under `maxBucketSize` (see [[lshBucketStats]] for the
     * actual distribution; at 10⁹ rows nbits=8 is wrong — use 16+).
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
@@ -122,13 +125,13 @@ object SimilarityOps {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), nbits))
-    val hot = base.groupBy("bucket").agg(count(lit(1)).as("f"))
-      .filter(col("f") > maxBucketSize)
-    base.join(broadcast(hot.select("bucket")), Seq("bucket"), "left_anti")
-      .groupBy("bucket")
-      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(call_function("graft_ordered_pairs", col("ms")).as(Seq("x", "y")))
+    DropGuard.observed(
+      base.groupBy("bucket")
+        .agg(call_function("graft_bounded_collect",
+          struct(col("id"), col("v")), lit(maxBucketSize)).as("c")),
+      "embeddingNearDupPairs")
+      .filter(col("c.ms").isNotNull && size(col("c.ms")) > 1)
+      .select(call_function("graft_ordered_pairs", col("c.ms")).as(Seq("x", "y")))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         round(nativeCosine(emb)(col("x.v"), col("y.v")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
