@@ -63,21 +63,21 @@ case class BpeEncode(left: Expression, right: Expression)
     }
   }
 
-  @transient private lazy val merges: graft.ops.BpeOps.Merges = {
+  @transient private lazy val model: graft.ops.BpeOps.BpeModel = {
     val arr = right.eval().asInstanceOf[ArrayData]
-    (0 until arr.numElements()).map { i =>
-      val s = arr.getUTF8String(i).toString
-      val cut = s.indexOf(' ')
-      (s.substring(0, cut), s.substring(cut + 1))
-    }
+    new graft.ops.BpeOps.BpeModel(
+      (0 until arr.numElements()).map { i =>
+        val s = arr.getUTF8String(i).toString
+        val cut = s.indexOf(' ')
+        (s.substring(0, cut), s.substring(cut + 1))
+      })
   }
 
-  @transient private lazy val cache =
-    scala.collection.mutable.HashMap.empty[String, List[String]]
+  @transient private lazy val cache = graft.ops.BpeOps.newWordCache()
 
   override def nullSafeEval(text: Any, mergesIgnored: Any): Any = {
     val toks = graft.ops.BpeOps.encode(
-      text.asInstanceOf[UTF8String].toString, merges, cache)
+      text.asInstanceOf[UTF8String].toString, model, cache)
     new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
   }
 

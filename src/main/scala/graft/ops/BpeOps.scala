@@ -54,13 +54,116 @@ object BpeOps {
     buf.toList
   }
 
-  /** Encode one word (no whitespace inside) under the ordered merges. */
+  /** Encode one word by sweeping every rank in order — the REFERENCE
+    * implementation (O(merges × len) per word): it is the literal
+    * transcription of the semantics contract and of the DuckDB oracle
+    * CTE, kept for the differential spec. Production encoding goes
+    * through [[encodeWordPq]], which is provably identical.
+    */
   private[graft] def encodeWord(word: String, merges: Merges): List[String] = {
     var symbols = word.map(_.toString).toList
     merges.foreach { case (a, b) =>
       if (symbols.lengthCompare(1) > 0) symbols = applyMerge(symbols, a, b)
     }
     symbols
+  }
+
+  /** A frozen merge table prepared for encoding: pair → rank lookup
+    * (first occurrence wins on duplicate pairs, matching the sweep —
+    * a later duplicate rank can never re-match because the first
+    * occurrence already exhausted the pair). Build ONCE per task /
+    * test, never per row.
+    */
+  final class BpeModel(val merges: Merges) extends Serializable {
+    private[graft] val ranks: java.util.HashMap[(String, String), Integer] = {
+      val m = new java.util.HashMap[(String, String), Integer](merges.size * 2)
+      merges.iterator.zipWithIndex.foreach { case (p, r) =>
+        m.putIfAbsent((p._1, p._2), Integer.valueOf(r))
+      }
+      m
+    }
+  }
+
+  /** Encode one word with a rank-ordered priority queue over a linked
+    * symbol list — O(len log len) per word, INDEPENDENT of the merge
+    * table size (the sweep pays O(merges) per word even when nothing
+    * applies; at a production 32k-rule vocabulary that is ~1000× waste).
+    *
+    * This is the GPT-2/tiktoken lowest-rank-first algorithm plus one
+    * guard that makes it exactly equivalent to the rank-sequential
+    * sweep on ARBITRARY tables, not just well-formed trained ones:
+    * a newly created adjacency whose rank is BELOW the last merged
+    * rank is skipped (`r >= rCur`), because the sweep has already
+    * passed that rank and never revisits it. Without the guard the
+    * two orders can diverge when a later rule's product string equals
+    * an earlier rule's operand (e.g. rules [("ab","c"), ("a","b")] on
+    * "abc": the sweep yields [ab, c], naive min-rank-first "abc").
+    * For tables out of [[trainBpe]] the guard never fires — training
+    * only learns a rule over symbols derivable from strictly earlier
+    * ranks — but correctness must not depend on that.
+    *
+    * Equivalence argument (either direction): adjacencies are created
+    * only at a merge of the current rank `rCur`; the sweep, standing
+    * at `rCur`, will later merge exactly those new pairs with rank
+    * ≥ rCur — which is exactly what the guard admits. Within a rank,
+    * heap order (rank, leftIndex) replays leftmost-first, and a rank-r
+    * merge can never create another rank-r adjacency (a+b = a or b
+    * needs an empty symbol), so exhausting-then-advancing and popping
+    * in heap order visit identical states. Stale heap entries are
+    * harmless: a popped (r, p) is re-validated against the CURRENT
+    * pair at p, and rank values are unique per pair, so a valid hit
+    * is always a genuine occurrence.
+    */
+  private[graft] def encodeWordPq(word: String, model: BpeModel): List[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    if (n == 1) return List(word)
+    val ranks = model.ranks
+    val sym = new Array[String](n)
+    val next = new Array[Int](n)
+    val prev = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      sym(i) = String.valueOf(word.charAt(i))
+      next(i) = if (i == n - 1) -1 else i + 1
+      prev(i) = i - 1
+      i += 1
+    }
+    var rCur = 0
+    // min-heap on (rank, leftIndex): lowest rank first, leftmost first
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Int, Int)](
+      Ordering.by { case (r, p) => (-r, -p) })
+    def offer(p: Int): Unit = if (p >= 0) {
+      val q = next(p)
+      if (q >= 0) {
+        val r = ranks.get((sym(p), sym(q)))
+        if (r != null && r.intValue() >= rCur) heap.enqueue((r.intValue(), p))
+      }
+    }
+    i = 0
+    while (i < n - 1) { offer(i); i += 1 }
+    while (heap.nonEmpty) {
+      val (r, p) = heap.dequeue()
+      if (sym(p) != null) {
+        val q = next(p)
+        if (q >= 0) {
+          val rr = ranks.get((sym(p), sym(q)))
+          if (rr != null && rr.intValue() == r) {
+            rCur = r
+            sym(p) = sym(p) + sym(q)
+            sym(q) = null
+            next(p) = next(q)
+            if (next(p) >= 0) prev(next(p)) = p
+            offer(prev(p))
+            offer(p)
+          }
+        }
+      }
+    }
+    val out = List.newBuilder[String]
+    var p = 0 // node 0 is never a merge's right operand, so always alive
+    while (p >= 0) { out += sym(p); p = next(p) }
+    out.result()
   }
 
   /** Encode a text: lowercase, whitespace-split, per-word encode.
@@ -82,17 +185,45 @@ object BpeOps {
     org.apache.spark.unsafe.types.UTF8String.fromString(s)
       .toLowerCase.toString
 
-  private[graft] def encode(text: String, merges: Merges,
-      cache: scala.collection.mutable.Map[String, List[String]] = null)
-      : Seq[String] =
+  /** Bounded LRU word-encoding cache (access-order LinkedHashMap):
+    * overflow evicts the least-recently-used entry, so the Zipfian
+    * head stays resident forever. The previous clear-on-overflow
+    * "eviction" threw the entire head away each time the tail of
+    * hapaxes pushed the map over capacity.
+    */
+  private[graft] def newWordCache(capacity: Int = 65536)
+      : java.util.Map[String, List[String]] =
+    new java.util.LinkedHashMap[String, List[String]](
+        capacity * 4 / 3 + 1, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, List[String]]): Boolean =
+        size() > capacity
+    }
+
+  private[graft] def encode(text: String, model: BpeModel,
+      cache: java.util.Map[String, List[String]]): Seq[String] =
     sparkLower(text).split("[ \t\n\f\r]+")
       .iterator.filter(_.nonEmpty).flatMap { w =>
-        if (cache == null) encodeWord(w, merges)
-        else cache.getOrElseUpdate(w, {
-          if (cache.size > 65536) cache.clear() // bound task memory
-          encodeWord(w, merges)
-        })
+        if (cache == null) encodeWordPq(w, model)
+        else {
+          var r = cache.get(w)
+          if (r == null) { r = encodeWordPq(w, model); cache.put(w, r) }
+          r
+        }
       }.toSeq
+
+  /** Convenience overload (tests, one-off encodes): builds the model
+    * inline. Production callers build the [[BpeModel]] once per task.
+    */
+  private[graft] def encode(text: String, merges: Merges): Seq[String] =
+    encode(text, new BpeModel(merges), null)
+
+  /** Sweep-encoder twin of [[encode]] — differential-spec reference
+    * only (O(merges × len) per word, no cache).
+    */
+  private[graft] def encodeSweep(text: String, merges: Merges): Seq[String] =
+    sparkLower(text).split("[ \t\n\f\r]+")
+      .iterator.filter(_.nonEmpty).flatMap(encodeWord(_, merges)).toSeq
 
   /** Wait-free leftmost-repeat application is what [[applyMerge]]
     * does; training counts each ADJACENT pair once per occurrence in
@@ -157,12 +288,18 @@ object BpeOps {
     merges.toList
   }
 
-  /** Default model: 32 merges trained with [[trainBpe]] on the
-    * sf0.01 synthetic `documents` corpus and FROZEN here, so the q80
-    * oracle can carry the identical table as a SQL literal and any
-    * engine reproduces the same segmentation. (A fixed public model's
-    * merge table is the normal deployment artifact — training it once
-    * and shipping constants is the point of BPE.)
+  /** Default model: [[trainBpe]] run TO SATURATION (numMerges=1000
+    * requested; training goes dry at 89 — no pair occurs twice) on
+    * the sf0.01 synthetic `documents` corpus and FROZEN here, so the
+    * q80 oracle can carry the identical table as a SQL literal and
+    * any engine reproduces the same segmentation. (A fixed public
+    * model's merge table is the normal deployment artifact — training
+    * once and shipping constants is the point of BPE.) The synthetic
+    * corpus has a 31-word closed vocabulary, so saturation means
+    * every corpus word is a single symbol — the most realistic token
+    * unit this corpus can define; a natural corpus would saturate far
+    * beyond any practical table, which is why [[encodeWordPq]] is
+    * merge-table-size-independent.
     */
   val DefaultMerges: Merges = Seq(
     ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
@@ -170,8 +307,19 @@ object BpeOps {
     ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
     ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
     ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
-    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
-    ("custo", "mer"), ("f", "i"), ("fi", "l"))
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"), ("custo", "mer"),
+    ("f", "i"), ("fi", "l"), ("fil", "t"), ("filt", "er"), ("a", "l"),
+    ("al", "l"), ("m", "all"), ("s", "mall"), ("g", "e"), ("l", "ow"),
+    ("mer", "ge"), ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
+    ("e", "ctor"), ("or", "der"), ("v", "ector"), ("in", "e"), ("l", "ine"),
+    ("a", "b"), ("ab", "l"), ("abl", "e"), ("at", "a"), ("d", "ata"),
+    ("t", "able"), ("u", "p"), ("a", "g"), ("ag", "g"), ("a", "lu"),
+    ("alu", "e"), ("v", "alue"), ("e", "y"), ("k", "ey"), ("a", "m"),
+    ("e", "am"), ("r", "eam"), ("st", "ream"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("par", "k"), ("s", "park"), ("g", "r"), ("gr", "o"),
+    ("gro", "up"), ("par", "t"), ("b", "i"), ("bi", "g"), ("or", "t"),
+    ("s", "ort"), ("er", "y"), ("q", "u"), ("qu", "ery"), ("a", "st"),
+    ("f", "ast"), ("h", "e"), ("t", "he"), ("d", "up"))
 
   /** Column form: array of BPE tokens for a text column, via the
     * native `graft_bpe_encode(text, merges)` expression (merges ride

@@ -63,11 +63,32 @@ object PipelineQueries {
     * cannot drift). Ends with `agg(doc_id, n_bpe_tokens, toks)`.
     */
   private def bpeCteSql: String = {
-    val mv = graft.ops.BpeOps.DefaultMerges.zipWithIndex
-      .map { case ((a, b), r) => s"($r,'$a','$b')" }.mkString(", ")
-    val nRanks = graft.ops.BpeOps.DefaultMerges.size
+    // pair → rank map literal, first-occurrence-wins on duplicate
+    // pairs (mirrors BpeModel.ranks); symbols never contain spaces,
+    // so 'a b' keys are unambiguous. Quotes escaped for SQL.
+    val dd = {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      graft.ops.BpeOps.DefaultMerges.zipWithIndex.flatMap {
+        case ((a, b), r) =>
+          val k = s"$a $b"
+          if (seen.add(k)) Some((r, k)) else None
+      }
+    }
+    val keys = dd.map { case (_, k) => "'" + k.replace("'", "''") + "'" }
+      .mkString(", ")
+    val rks = dd.map(_._1).mkString(", ")
+    // The recursion steps by MERGE, not by rank: each step finds the
+    // lowest applicable rank >= the last applied rank (the sweep
+    // never revisits a passed rank) and merges its leftmost
+    // occurrence; a word with no applicable rank left is emitted once
+    // under a sentinel rank and stops recursing. Depth is therefore
+    // O(merges actually applied per word) + 1, independent of the
+    // model size — the previous rank-by-rank form paid one iteration
+    // per RANK per word (measured 22s vs 0.26s on sf0.01 at 89
+    // ranks; at a production-sized table it would never finish).
+    val SENT = Int.MaxValue
     s"""WITH RECURSIVE
-       |m (r, a, b) AS (VALUES $mv),
+       |mm AS (SELECT MAP([$keys], [$rks]) AS m),
        |w AS (SELECT doc_id,
        |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
        | FROM documents),
@@ -79,15 +100,21 @@ object PipelineQueries {
        |  SELECT doc_id, wi, s, 0 AS r FROM wd
        |  UNION ALL
        |  SELECT doc_id, wi,
-       |    CASE WHEN p IS NULL THEN s
+       |    CASE WHEN rmin IS NULL THEN s
        |         ELSE s[1:p-1] || [s[p] || s[p+1]] || s[p+2:] END AS s,
-       |    CASE WHEN p IS NULL THEN r + 1 ELSE r END AS r
+       |    CASE WHEN rmin IS NULL THEN $SENT ELSE rmin END AS r
        |  FROM (
-       |    SELECT e.doc_id, e.wi, e.s, e.r,
-       |      list_filter(generate_series(1, len(e.s) - 1),
-       |        i -> e.s[i] = m.a AND e.s[i+1] = m.b)[1] AS p
-       |    FROM enc e JOIN m ON m.r = e.r) t),
-       |fin AS (SELECT doc_id, wi, s FROM enc WHERE r = $nRanks),
+       |    SELECT t.doc_id, t.wi, t.s, t.rmin,
+       |      list_filter(generate_series(1, len(t.s) - 1),
+       |        i -> t.m2[t.s[i] || ' ' || t.s[i+1]][1] = t.rmin)[1] AS p
+       |    FROM (
+       |      SELECT e.doc_id, e.wi, e.s, mm.m AS m2,
+       |        list_aggregate(list_transform(generate_series(1, len(e.s) - 1),
+       |          i -> CASE WHEN mm.m[e.s[i] || ' ' || e.s[i+1]][1] >= e.r
+       |               THEN mm.m[e.s[i] || ' ' || e.s[i+1]][1] END), 'min') AS rmin
+       |      FROM enc e, mm
+       |      WHERE e.r <> $SENT) t) u),
+       |fin AS (SELECT doc_id, wi, s FROM enc WHERE r = $SENT),
        |agg AS (SELECT doc_id, CAST(sum(len(s)) AS INTEGER) AS n_bpe_tokens,
        |  string_agg(array_to_string(s, ' '), ' ' ORDER BY wi) AS toks
        | FROM fin GROUP BY doc_id)""".stripMargin

@@ -67,6 +67,55 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("pq encoder == sweep encoder on adversarial merge tables") {
+    import graft.ops.BpeOps.{BpeModel, encodeWord, encodeWordPq}
+    // the divergence case from the scaladoc: a later rule's product
+    // equals an earlier rule's operand — naive min-rank-first gives
+    // "abc", the rank-sequential contract gives [ab, c]
+    val adv = Seq(("ab", "c"), ("a", "b"))
+    assert(encodeWordPq("abc", new BpeModel(adv)) == encodeWord("abc", adv))
+    assert(encodeWordPq("abc", new BpeModel(adv)) == List("ab", "c"))
+    // duplicate pair at two ranks: first occurrence wins, later is inert
+    val dup = Seq(("a", "b"), ("ab", "c"), ("a", "b"))
+    assert(encodeWordPq("ababc", new BpeModel(dup)) == encodeWord("ababc", dup))
+    // fully random tables over a tiny alphabet — arbitrary products,
+    // repeats, self-merges; sweep is ground truth
+    val rnd = new scala.util.Random(17)
+    val alpha = "ab"
+    def sym() = (0 until 1 + rnd.nextInt(3))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    for (trial <- 1 to 200) {
+      val merges = (0 until rnd.nextInt(8)).map(_ => (sym(), sym()))
+      val model = new BpeModel(merges)
+      for (_ <- 1 to 10) {
+        val w = (0 until 1 + rnd.nextInt(10))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        val got = encodeWordPq(w, model)
+        val want = encodeWord(w, merges)
+        assert(got == want, s"trial $trial word '$w' merges $merges: $got vs $want")
+      }
+    }
+    // and on realistic trained tables with longer words
+    val trained = graft.ops.BpeOps.DefaultMerges
+    val model = new BpeModel(trained)
+    val words = Seq("customer", "filibuster", "rowhashbatchscan", "a", "",
+      "columncolumncolumn", "joinjoin", "zzzz")
+    words.foreach { w =>
+      assert(encodeWordPq(w, model) == encodeWord(w, trained), w)
+    }
+  }
+
+  test("word cache is LRU: the head survives overflow, eldest is evicted") {
+    val cache = graft.ops.BpeOps.newWordCache(capacity = 3)
+    cache.put("hot", List("hot")); cache.put("b", List("b"))
+    cache.put("c", List("c"))
+    cache.get("hot")                  // touch: hot becomes most-recent
+    cache.put("d", List("d"))         // overflow: evicts LRU "b", not "hot"
+    assert(cache.containsKey("hot") && cache.containsKey("d"))
+    assert(!cache.containsKey("b"))
+    assert(cache.size() == 3)
+  }
+
   test("training picks the most frequent pair, ties lexicographic, stops when dry") {
     // "ab" x3, "cd" x3: pair counts tie at 3 -> (a,b) < (c,d) wins first
     val merges = BpeOps.trainOnDict(Seq(("ab", 3L), ("cd", 3L)), numMerges = 10)
@@ -106,10 +155,13 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  test("DefaultMerges is exactly trainBpe on the sf0.01 corpus (frozen provenance)") {
+  test("DefaultMerges is exactly trainBpe-to-saturation on the sf0.01 corpus (frozen provenance)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    val trained = BpeOps.trainBpe(docs, "text", numMerges = 32)
+    // requesting far more merges than the corpus supports must go dry
+    // exactly at the frozen table: 89 merges, every vocab word one symbol
+    val trained = BpeOps.trainBpe(docs, "text", numMerges = 1000)
     assert(trained == BpeOps.DefaultMerges, trained.toString)
+    assert(trained.size == 89, s"saturation point moved: ${trained.size}")
   }
 
   test("tokenIds: lexicographic dense ids, order-preserving digest, empty docs kept") {
