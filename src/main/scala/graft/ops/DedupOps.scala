@@ -450,4 +450,71 @@ object DedupOps {
     StagedAdmission(admitted,
       () => admittedKeys.select("_sig").write.mode("append").parquet(storePath))
   }
+
+  /** EXACT substring-level duplicate spans (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr family): maximal token spans of length >= `k` that
+    * occur verbatim more than once in the corpus — templated
+    * boilerplate shared inside otherwise-distinct documents, which
+    * document-level and probabilistic (MinHash/SimHash) dedup only
+    * catch by luck.
+    *
+    * Exactness argument: a verbatim repeat of >= k tokens contains an
+    * aligned repeat of SOME k-token gram, and conversely any k-gram
+    * with corpus frequency >= 2 IS a verbatim >= k-token repeat — so
+    * "positions whose k-gram repeats" identifies exactly the tokens
+    * covered by duplicated spans, and merging consecutive flagged
+    * positions per document reconstructs the maximal spans (start,
+    * token length). Within-document repeats count (Lee et al.
+    * semantics): the corpus-frequency criterion is over occurrences,
+    * not distinct documents.
+    *
+    * Scale shape, in suffix-array terms: the paper's suffix array is
+    * replaced by a gram-digest shuffle — same O(total tokens) working
+    * set, but expressed as groupBy/semi-join/window, so Spark
+    * partitions it instead of a single-machine sort. Three exchanges:
+    * (1) digest groupBy for frequencies (map-side combine collapses
+    * each partition to its distinct digests), (2) broadcast-or-
+    * shuffle LEFT SEMI join of positions against repeated digests —
+    * count>=2 filtering happens BEFORE the join, so the join's build
+    * side is only the duplicated grams, typically corpus-tiny; a
+    * bloom semijoin (BloomOps) can replace it when even that is big,
+    * (3) the per-document window for span merge, partitioned by doc
+    * (no global sort). Heavy-hitter grams are NOT a hotspot: the
+    * count aggregation never materializes member lists and the semi
+    * join emits each position at most once. Positions shuffle as
+    * (id, pos, 16-byte digest), never the gram text.
+    */
+  def substrDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = col("_w")
+    // gram starts at token i (1-based): k tokens i..i+k-1; digest via
+    // md5 (engine-portable, collision-negligible and documented)
+    val grams = when(size(w) >= k,
+      transform(
+        sequence(lit(1), size(w) - (k - 1)),
+        i => md5(concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*)
+          .cast("binary")))
+    ).otherwise(array())
+    val pos = docs
+      .select(col(idCol).as("id"), split(lower(col(textCol)), TextOps.Ws).as("_w"))
+      // Generate barrier so `split` runs once per row, not once per
+      // lambda element (the wordShingles lesson, measured 37×)
+      .select(col("id"), explode(array(grams)).as("_g"))
+      .select(col("id"), posexplode(col("_g")).as(Seq("pos", "gd")))
+    val repeated = pos.groupBy("gd").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val flagged = pos.join(repeated.select("gd"), Seq("gd"), "left_semi")
+    // gaps-and-islands: consecutive flagged gram starts share one span
+    val isl = flagged.withColumn("_isl",
+      col("pos") - row_number().over(
+        Window.partitionBy("id").orderBy("pos")))
+    isl.groupBy(col("id"), col("_isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + k).cast("long").as("span_tokens"))
+      .select(col("id"), col("span_start").cast("long").as("span_start"),
+        col("span_tokens"))
+  }
 }

@@ -468,6 +468,20 @@ object PipelineQueries {
       graft.ops.BpeOps.tokenIds(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_bpe_tokens"), col("ids_md5"))),
 
+    // Exact substring-level dedup (Lee et al. ExactSubstr family):
+    // per-doc summary of maximal verbatim >= 4-token spans repeated
+    // anywhere in the corpus.
+    "q94_substr_spans" -> ((s, d) => {
+      val spans = DedupOps.substrDupSpans(Tables(s, d, "documents"),
+        "doc_id", "text", k = 4)
+      Tables(s, d, "documents").select(col("doc_id"))
+        .join(spans.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("span_start")).as("n_spans"),
+          coalesce(sum("span_tokens"), lit(0L)).as("sum_span_tokens"),
+          coalesce(max("span_tokens"), lit(0L)).as("max_span_tokens"))
+    }),
+
     // SemDeDup-shape semantic dedup end-to-end: embedding near-dup
     // pairs -> connected components -> keep the highest-QUALITY member
     // of each semantic cluster (quality from the model-based scorer).
@@ -922,6 +936,28 @@ object PipelineQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "q94_substr_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    x -> x <> '') AS ws
+        | FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+        |    md5(array_to_string(ws[i:i+3], ' ')) AS gd
+        |  FROM t, unnest(generate_series(1, len(ws) - 3)) AS u(i)
+        |  WHERE len(ws) >= 4),
+        |rep AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
+        |f AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gd)),
+        |i AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM f),
+        |s AS (SELECT doc_id, min(pos) AS span_start,
+        |    max(pos) - min(pos) + 4 AS span_tokens
+        |  FROM i GROUP BY doc_id, isl)
+        |SELECT d.doc_id, CAST(count(s.span_start) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(sum(s.span_tokens), 0) AS BIGINT) AS sum_span_tokens,
+        |  CAST(coalesce(max(s.span_tokens), 0) AS BIGINT) AS max_span_tokens
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |GROUP BY d.doc_id""".stripMargin,
     "q31_quality_metrics" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,

@@ -1097,6 +1097,84 @@ class OpsSpec extends SparkSpec {
       "SELECT graft_ordered_pairs(CAST(NULL AS ARRAY<INT>))").count() == 0)
   }
 
+  private def refSubstrSpans(docs: Seq[(Long, String)], k: Int)
+      : Set[(Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty).toVector
+    }
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, ws) <- toks; i <- 0 to ws.length - k) {
+      val g = ws.slice(i, i + k).mkString(" ")
+      counts(g) = counts.getOrElse(g, 0) + 1
+    }
+    toks.flatMap { case (id, ws) =>
+      val flagged = (0 to ws.length - k)
+        .filter(i => counts(ws.slice(i, i + k).mkString(" ")) >= 2)
+      // merge consecutive flagged gram starts into maximal spans
+      flagged.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.map { case (s, e) => (id, s.toLong, (e - s + k).toLong) }
+    }.toSet
+  }
+
+  test("substrDupSpans: hand spans — maximal merge, within-doc repeats, short docs") {
+    val docs = Seq(
+      // docs 1 & 2 share the verbatim 6-token span "w x y z p q"
+      (1L, "a1 b1 w x y z p q c1 d1"),
+      (2L, "e2 w x y z p q f2"),
+      // doc 3 repeats a 4-token span WITHIN itself
+      (3L, "r s t u k3 m3 r s t u"),
+      // doc 4: unique content, no repeats anywhere
+      (4L, "one4 two4 three4 four4 five4 six4"),
+      // doc 5: shorter than k, yields nothing even though its text
+      // appears inside doc 6
+      (5L, "w x y"),
+      (6L, "zz6 w x y qq6"))
+    val got = DedupOps.substrDupSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // shared 6-token span = 3 consecutive flagged 4-gram starts merged
+    val want = Set((1L, 2L, 6L), (2L, 1L, 6L),
+      (3L, 0L, 4L), (3L, 6L, 4L))
+    assert(got == want, s"$got vs $want")
+    assert(got == refSubstrSpans(docs, 4))
+  }
+
+  test("substrDupSpans differential: random corpora match the brute-force reference") {
+    val rnd = new scala.util.Random(73)
+    val alpha = Vector("aa", "bb", "cc", "dd") // tiny vocab forces collisions
+    for (trial <- 1 to 4) {
+      val docs = (1L to 30L).map { id =>
+        (id, (0 until 4 + rnd.nextInt(20))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString(" "))
+      }
+      val k = 3 + (trial % 2)
+      val got = DedupOps.substrDupSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == refSubstrSpans(docs, k), s"trial $trial k=$k")
+    }
+  }
+
+  test("substrDupSpans volume: corpus-wide boilerplate never materializes a bucket") {
+    // 20k docs all sharing one 7-token boilerplate block: the hottest
+    // 4-gram has 20k occurrences. The count aggregation and semi join
+    // never build a member list, so this completes in bounded memory
+    // (the collect_list analogue would be one 20k-member row).
+    val docs = spark.range(20000).selectExpr("id AS doc_id",
+      "concat('u', id, ' v', id, ' boiler plate block common to all docs', ' w', id) AS text")
+    val spans = DedupOps.substrDupSpans(docs, "doc_id", "text", k = 4)
+    // every doc carries exactly one maximal span: the 7-token block
+    // ("boiler"..."docs") at position 2 — unique id-bearing neighbor
+    // tokens cut it there
+    val agg = spans.groupBy().agg(count(lit(1)), min("span_start"),
+      max("span_start"), min("span_tokens"), max("span_tokens")).head()
+    assert(agg.getLong(0) == 20000L, agg.toString)
+    assert(agg.getLong(1) == 2L && agg.getLong(2) == 2L, agg.toString)
+    assert(agg.getLong(3) == 7L && agg.getLong(4) == 7L, agg.toString)
+  }
+
   test("ngram Jaccard skew guard caps hot shingles, keeps exact denominators") {
     // 40 docs all sharing one stopword-heavy phrase + a unique tail;
     // two true near-duplicates sharing rare shingles.
