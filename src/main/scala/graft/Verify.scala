@@ -22,6 +22,36 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // ANN recall floors: the q83 scoreboard's approximate paths are
+    // xxhash/seed-based and can never have a DuckDB oracle, so a
+    // silent recall collapse would pass every oracle row. Enforce the
+    // pinned floors HERE (same parameters and floors as
+    // SimilaritySpec): on violation the q83 output is deleted so the
+    // driver's gate records a red row, not a quiet rows>0 pass. A
+    // NULL recall (empty exact baseline) also fails — at any real SF
+    // the baselines are nonempty, so NULL means the inputs broke.
+    try {
+      val rep = spark.read.parquet(s"$outDir/q83_ann_recall")
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+      val floors = Map("knn_ivf" -> 0.4, "knn_lsh" -> 0.1,
+        "neardup_pairs" -> 0.1)
+      val bad = floors.flatMap { case (m, f) =>
+        rep.get(m) match {
+          case Some(r) if r >= f => None
+          case got => Some(s"$m recall ${got.fold("missing")(_.toString)} < floor $f")
+        }
+      }
+      if (bad.nonEmpty) {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/q83_ann_recall"), true)
+        System.err.println(
+          s"[verify] q83_ann_recall failed: ${bad.mkString("; ")}")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] q83 floor check failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -197,11 +197,29 @@ object SimilarityOps {
     * "rows>0" checks into a quantified quality signal at bench scale
     * (thresholds pinned in SimilaritySpec; k is 0 on the pair row,
     * where top-k doesn't apply).
+    *
+    * `sampleFraction` is the AT-SCALE path: the exact baselines are
+    * O(n²) in the corpus, so beyond bench scale the scoreboard must
+    * run on a corpus sample — recall measured on a uniform sample is
+    * an unbiased estimate of full-corpus recall, and sampling the
+    * CORPUS (not the result) keeps baseline and approximate paths
+    * answering the same question on the same frame. The sample is
+    * deterministic (hash of the id, fixed salt — partition-invariant,
+    * re-evaluation-safe, so the five independently-checkpointed
+    * subtrees all see the identical sample). Size it so n·fraction is
+    * a few thousand rows: the quadratic baseline cost drops by
+    * fraction², the recall estimate's variance is governed only by
+    * the sampled result-set size.
     */
   def annRecallReport(spark: org.apache.spark.sql.SparkSession,
       emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
       k: Int, nbitsKnn: Int, probes: Int, minCosine: Double,
-      nbitsPairs: Int): DataFrame = {
+      nbitsPairs: Int, sampleFraction: Double = 1.0): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val emb0 = if (sampleFraction >= 1.0) emb
+      else SampleOps.deterministicSample(emb, idCol, sampleFraction,
+        salt = "ann_recall")
     // each result set is small (top-k rows / thresholded pairs) but
     // expensive to produce, and the exact baseline feeds TWO recall
     // rows — localCheckpoint pins each once instead of replanning the
@@ -215,11 +233,11 @@ object SimilarityOps {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val frames = Seq(
-      knnBrute(emb, idCol, vecCol, queryPred, k),
-      knnLsh(emb, idCol, vecCol, queryPred, k, nbitsKnn, probes),
-      knnIvf(spark, emb, idCol, vecCol, queryPred, k),
-      exactCosinePairs(emb, idCol, vecCol, minCosine),
-      embeddingNearDupPairs(emb, idCol, vecCol, minCosine, nbitsPairs))
+      knnBrute(emb0, idCol, vecCol, queryPred, k),
+      knnLsh(emb0, idCol, vecCol, queryPred, k, nbitsKnn, probes),
+      knnIvf(spark, emb0, idCol, vecCol, queryPred, k),
+      exactCosinePairs(emb0, idCol, vecCol, minCosine),
+      embeddingNearDupPairs(emb0, idCol, vecCol, minCosine, nbitsPairs))
     val futs = frames.map(f => Future(f.localCheckpoint()))
     val Seq(exactTopK, lsh, ivf, exactPairs, lshPairs) =
       try Await.result(Future.sequence(futs), Duration.Inf)

@@ -132,6 +132,48 @@ class SimilaritySpec extends SparkSpec {
       "deserialized instance must compute the same bucket (no NPE on the transient cache)")
   }
 
+  test("annRecallReport sampled path: baselines shrink, recall stays a valid estimate") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val full = SimilarityOps.annRecallReport(spark, emb01, "vec_id", "embedding",
+        col("vec_id") < 20, k = 10, nbitsKnn = 4, probes = 2,
+        minCosine = 0.35, nbitsPairs = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val sampled = SimilarityOps.annRecallReport(spark, emb01, "vec_id", "embedding",
+        col("vec_id") < 20, k = 10, nbitsKnn = 4, probes = 2,
+        minCosine = 0.35, nbitsPairs = 4, sampleFraction = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    assert(sampled.keySet == Set("knn_lsh", "knn_ivf", "neardup_pairs"))
+    sampled.foreach { case (m, (nExact, nHit, recall)) =>
+      // the sampled scoreboard answers the same question on a smaller
+      // frame: baselines shrink (quadratic cost drops), recall stays
+      // a valid [0,1] estimate over the sampled exact set
+      assert(nExact <= full(m), s"$m: sampled baseline $nExact > full ${full(m)}")
+      assert(nHit <= nExact, m)
+      if (nExact > 0) assert(recall >= 0.0 && recall <= 1.0, s"$m: $recall")
+    }
+    // the pair baseline must actually shrink ~quadratically (half the
+    // rows -> ~quarter the pairs); allow generous slack for variance
+    assert(sampled("neardup_pairs")._1 < full("neardup_pairs"),
+      s"${sampled("neardup_pairs")._1} vs ${full("neardup_pairs")}")
+    // determinism: the same call yields the identical report
+    val again = SimilarityOps.annRecallReport(spark, emb01, "vec_id", "embedding",
+        col("vec_id") < 20, k = 10, nbitsKnn = 4, probes = 2,
+        minCosine = 0.35, nbitsPairs = 4, sampleFraction = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    assert(again == sampled, s"$again vs $sampled")
+    // bad fractions fail fast on the driver
+    intercept[IllegalArgumentException] {
+      SimilarityOps.annRecallReport(spark, emb01, "vec_id", "embedding",
+        col("vec_id") < 20, 10, 4, 2, 0.35, 4, sampleFraction = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.annRecallReport(spark, emb01, "vec_id", "embedding",
+        col("vec_id") < 20, 10, 4, 2, 0.35, 4, sampleFraction = 1.5)
+    }
+  }
+
   test("annRecallReport: empty exact baseline reports NULL recall, not 0") {
     // a predicate matching no queries and an unreachable cosine floor:
     // every exact baseline is empty, so each row must carry recall =
