@@ -122,6 +122,13 @@ object GraftFunctions {
         require(children.size == 1,
           s"graft_nfc requires exactly 1 argument, got ${children.size}")
         NfcNormalize(children.head)
+      }),
+    ("graft_lang_scores",
+      new ExpressionInfo(classOf[LangNgramScores].getName, "graft_lang_scores"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_lang_scores requires exactly 1 argument, got ${children.size}")
+        LangNgramScores(children.head)
       }))
 
   /** Register into an existing session's function registry. Idempotent. */

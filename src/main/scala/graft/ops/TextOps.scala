@@ -190,20 +190,47 @@ object TextOps {
       punctRatio: Double = 8.0,
       stopRatio: Double = 4.0,
       avgTokenLen: Double = -0.15,
-      dup2gramFrac: Double = -6.0)
+      dup2gramFrac: Double = -6.0) {
+    def toArray: Array[Double] =
+      Array(bias, perToken, punctRatio, stopRatio, avgTokenLen, dup2gramFrac)
+  }
+
+  /** Weights FITTED by [[QualityFit.fit]] (deterministic IRLS, 8
+    * Newton steps, ridge 1e-3) on the sf0.01 documents corpus with
+    * label `lang = 'en'` — the CCNet shape: the positive class is the
+    * target-domain sample, the model scores how target-like a document
+    * reads. Frozen like [[BpeOps.DefaultMerges]] so the scorer stays a
+    * pure literal projection and the oracle can replay it; re-derive
+    * with QualityFitProbe after a corpus change.
+    */
+  val TrainedQualityWeights: QualityWeights = QualityWeights(
+    bias = 1.031039, perToken = -2.06e-4, punctRatio = 0.0,
+    stopRatio = 1.770983, avgTokenLen = -0.292766, dup2gramFrac = -2.253583)
+
+  /** The five quality signals x1..x5 over (`t`, tokenized `_w`):
+    * token count, punctuation ratio, stopword ratio, average token
+    * length, duplicate-bigram fraction. ONE definition shared by the
+    * fixed scorer, the IRLS fit, and their oracles — divergence here
+    * would silently train on different features than it scores.
+    */
+  private[graft] def qualitySignalCols(t: Column): Seq[Column] = {
+    val toks = regexp_count(t, lit(NonWs))
+    val words = col("_w")
+    Seq(
+      toks.cast("double"),
+      punctCount(t).cast("double") / greatest(length(t), lit(1)),
+      stopwordCount(t).cast("double") / greatest(toks, lit(1)),
+      charNoWs(t).cast("double") / greatest(toks, lit(1)),
+      when(size(words) >= 2,
+        lit(1.0) - size(array_distinct(transform(sequence(lit(1), size(words) - 1),
+          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))))
+          .cast("double") / (size(words) - 1)).otherwise(0.0))
+  }
 
   def qualityScore(df: DataFrame, idCol: String, textCol: String,
       w: QualityWeights = QualityWeights()): DataFrame = {
     val t = col(textCol)
-    val toks = regexp_count(t, lit(NonWs))
-    val punct = punctCount(t).cast("double") / greatest(length(t), lit(1))
-    val stop = stopwordCount(t).cast("double") / greatest(toks, lit(1))
-    val atl = charNoWs(t).cast("double") / greatest(toks, lit(1))
-    val words = col("_w")
-    val dup2 = when(size(words) >= 2,
-      lit(1.0) - size(array_distinct(transform(sequence(lit(1), size(words) - 1),
-        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))))
-        .cast("double") / (size(words) - 1)).otherwise(0.0)
+    val Seq(toks, punct, stop, atl, dup2) = qualitySignalCols(t)
     val z = lit(w.bias) + toks * w.perToken + punct * w.punctRatio +
       stop * w.stopRatio + atl * w.avgTokenLen + dup2 * w.dup2gramFrac
     df.select(col(idCol).as("id"), t.as(textCol), tokens(t).as("_w"))

@@ -120,6 +120,80 @@ object PipelineQueries {
        | FROM fin GROUP BY doc_id)""".stripMargin
   }
 
+  /** The quality-scorer oracle parameterized by its weight vector —
+    * one SQL template for the hand-tuned (q79) and IRLS-trained (q95)
+    * scorers; a drift between the two oracles would hide a drift
+    * between the two scorers. Weight literals are ::DOUBLE-cast: bare
+    * decimal literals are DECIMAL in DuckDB and would change the
+    * arithmetic vs Spark.
+    */
+  private def qualityOracleSql(qw: graft.ops.TextOps.QualityWeights): String = {
+    // valueOf uses Double.toString's shortest form — round-trips to
+    // the identical double when DuckDB parses it back
+    def d(v: Double) = java.math.BigDecimal.valueOf(v).toPlainString + "::DOUBLE"
+    s"""WITH f AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w,
+       |  len(regexp_extract_all(text, '\\S+')) AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  ${d(qw.bias)} + toks * ${d(qw.perToken)}
+       |  + (len(regexp_extract_all(text, '[.,;:!?]')) * 1.0::DOUBLE
+       |     / greatest(length(text), 1)) * ${d(qw.punctRatio)}
+       |  + (len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and)\\b')) * 1.0::DOUBLE
+       |     / greatest(toks, 1)) * ${d(qw.stopRatio)}
+       |  + (length(regexp_replace(text, '\\s', '', 'g')) * 1.0::DOUBLE
+       |     / greatest(toks, 1)) * ${d(qw.avgTokenLen)}
+       |  + (CASE WHEN len(w) >= 2
+       |      THEN 1.0::DOUBLE - len(list_distinct(list_transform(
+       |        generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))
+       |        * 1.0::DOUBLE / (len(w) - 1)
+       |      ELSE 0.0::DOUBLE END) * ${d(qw.dup2gramFrac)} AS z
+       | FROM f)
+       |SELECT doc_id, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 5) AS quality
+       |FROM s""".stripMargin
+  }
+
+  /** q96's oracle, generated FROM the frozen profile constants
+    * (LangNgram.merged/floors) — the weights appear as a VALUES
+    * literal, so profile and oracle cannot drift apart. Integer
+    * scores make the grouped sum order-independent; every engine
+    * computes the identical BIGINT.
+    */
+  private def langNgramOracleSql: String = {
+    val L = graft.ops.LangNgram
+    import scala.jdk.CollectionConverters._
+    def esc(s: String) = s.replace("'", "''")
+    val cols = L.langs.map(l => s"w_$l").mkString(", ")
+    val values = L.merged.asScala.toSeq.sortBy(_._1).map { case (t, ws) =>
+      s"('${esc(t)}', ${ws.mkString(", ")})"
+    }.mkString(",\n ")
+    val sums = L.langs.zip(L.floors).map { case (l, f) =>
+      s"CAST(sum(coalesce(w_$l, $f)) AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    val fills = L.langs.map(l =>
+      s"coalesce(s_$l, CAST(0 AS BIGINT)) AS s_$l").mkString(", ")
+    val pred = L.langs.zipWithIndex.map { case (l, i) =>
+      val laters = L.langs.drop(i + 1)
+      if (laters.isEmpty) s"ELSE '$l' END"
+      else s"WHEN ${laters.map(o => s"s_$l >= s_$o").mkString(" AND ")} THEN '$l'"
+    }.mkString("CASE ", " ", "")
+    s"""WITH docs AS (SELECT doc_id,
+       |  trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS t
+       | FROM documents),
+       |pos AS (SELECT doc_id, t,
+       |  unnest(range(1, greatest(length(t) - 1, 1))) AS i FROM docs),
+       |tri AS (SELECT doc_id, substring(t, CAST(i AS INTEGER), 3) AS tri FROM pos),
+       |prof (tri, $cols) AS (VALUES
+       | $values),
+       |sc AS (SELECT doc_id,
+       |    $sums
+       |  FROM tri LEFT JOIN prof USING (tri) GROUP BY doc_id),
+       |f AS (SELECT d.doc_id, $fills
+       |  FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+       |SELECT doc_id, ${L.langs.map(l => s"s_$l").mkString(", ")},
+       |  $pred AS lang_pred
+       |FROM f""".stripMargin
+  }
+
   private def sqlUrlCase: String =
     "CASE CAST(doc_id % 6 AS INTEGER) " + UrlTemplates.zipWithIndex.map {
       case (t, i) =>
@@ -148,6 +222,28 @@ object PipelineQueries {
         TextOps.langScore(t, "fr").as("s_fr"),
         TextOps.langScore(t, "es").as("s_es"),
         TextOps.langPredict(t).as("lang_pred"))
+    }),
+
+    // Char-trigram profile language-ID (Cavnar–Trenkle/langid shape):
+    // frozen seed-text profiles, integer log-prob weights, one native
+    // scan projection — the real upgrade over q32's marker heuristic.
+    "q96_lang_ngram" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val langs = graft.ops.LangNgram.langs
+      val scored = Tables(s, d, "documents").select(col("doc_id"),
+        call_function("graft_lang_scores",
+          coalesce(col("text"), lit(""))).as("_sc"))
+        .select(col("doc_id") +: langs.zipWithIndex.map { case (l, i) =>
+          element_at(col("_sc"), i + 1).as(s"s_$l")
+        }: _*)
+      // argmax, earlier language wins ties (same fold as langPredict)
+      val pred = langs.zipWithIndex.foldRight(lit(langs.last)) {
+        case ((l, i), rest) =>
+          val laters = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o"))
+          if (laters.isEmpty) rest
+          else when(laters.reduce(_ && _), lit(l)).otherwise(rest)
+      }
+      scored.withColumn("lang_pred", pred)
     }),
 
     // Whitespace-insensitive fingerprint (near-dup key modulo formatting).
@@ -403,6 +499,15 @@ object PipelineQueries {
       TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("quality"))),
 
+    // Same scorer with TRAINED weights: deterministic distributed
+    // IRLS (QualityFit.fit, label = target language) run offline and
+    // frozen — scoring stays one codegen projection; only the
+    // weight literals differ from q79.
+    "q95_trained_quality" -> ((s, d) =>
+      TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text",
+          TextOps.TrainedQualityWeights)
+        .select(col("id").as("doc_id"), col("quality"))),
+
     // Incremental-pipeline change detection: current snapshot diffed
     // against a deterministically-derived "previous" one (docs with
     // doc_id % 7 = 0 didn't exist yet; % 5 = 0 had different text) —
@@ -654,26 +759,9 @@ object PipelineQueries {
           |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin),
     // weight literals are ::DOUBLE-cast: bare decimal literals are
     // DECIMAL in DuckDB and would change the arithmetic vs Spark
-    "q79_quality_score" ->
-      """WITH f AS (SELECT doc_id, text,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w,
-        |  len(regexp_extract_all(text, '\S+')) AS toks FROM documents),
-        |s AS (SELECT doc_id,
-        |  -1.0::DOUBLE + toks * 0.02::DOUBLE
-        |  + (len(regexp_extract_all(text, '[.,;:!?]')) * 1.0::DOUBLE
-        |     / greatest(length(text), 1)) * 8.0::DOUBLE
-        |  + (len(regexp_extract_all(lower(text), '\b(the|a|of|to|and)\b')) * 1.0::DOUBLE
-        |     / greatest(toks, 1)) * 4.0::DOUBLE
-        |  + (length(regexp_replace(text, '\s', '', 'g')) * 1.0::DOUBLE
-        |     / greatest(toks, 1)) * -0.15::DOUBLE
-        |  + (CASE WHEN len(w) >= 2
-        |      THEN 1.0::DOUBLE - len(list_distinct(list_transform(
-        |        generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))
-        |        * 1.0::DOUBLE / (len(w) - 1)
-        |      ELSE 0.0::DOUBLE END) * -6.0::DOUBLE AS z
-        | FROM f)
-        |SELECT doc_id, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 5) AS quality
-        |FROM s""".stripMargin,
+    "q79_quality_score" -> qualityOracleSql(TextOps.QualityWeights()),
+    // same scorer, IRLS-trained frozen weights (QualityFit)
+    "q95_trained_quality" -> qualityOracleSql(TextOps.TrainedQualityWeights),
     "q81_url_normalize" -> {
       val suffixes = graft.ops.UrlOps.MultiPartSuffixes
         .map(s => s"'$s'").mkString(", ")
@@ -982,6 +1070,7 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|et)\b')) AS INTEGER) AS s_fr,
         |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|y)\b')) AS INTEGER) AS s_es
         | FROM documents) t""".stripMargin,
+    "q96_lang_ngram" -> langNgramOracleSql,
     "q33_fingerprint" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(text), '\s+', '', 'g')) AS fp
