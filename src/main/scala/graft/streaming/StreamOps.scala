@@ -101,6 +101,42 @@ object StreamOps {
       broadcast(blocklist.select(col(blockKeyCol).as(keyCol)).distinct()),
       Seq(keyCol), "left_anti")
 
+  /** Streaming snapshot diff — incremental corpus change detection,
+    * the streaming twin of [[graft.ops.SnapshotOps.snapshotDiff]]
+    * (q92 defines the batch semantics): documents ARRIVE as a stream
+    * (a crawl refresh, a re-ingest) and each is classified against
+    * the static previous snapshot the moment it lands, so downstream
+    * refresh work (re-embed, re-dedup, re-pack) starts per document
+    * instead of after a full batch diff.
+    *
+    * Same digest discipline as the batch op: the static side reduces
+    * to (id, 16-byte digest) once; each micro-batch ships digests,
+    * never text, through one stream-static LEFT join (broadcast the
+    * prev side when it fits). Stateless — no watermark, no keyed
+    * state; scale is bounded by the static side's size per executor,
+    * not the stream's length.
+    *
+    * Semantics caveat (inherent, documented not hidden): "removed"
+    * is undecidable from a stream — absence has no arrival time. A
+    * stream emits added/changed/unchanged; run the batch
+    * `snapshotDiff` filtered to "removed" as the end-of-epoch
+    * reconciliation. StreamingSpec pins streamed statuses ==
+    * batch statuses minus "removed".
+    */
+  def snapshotDiffStream(stream: DataFrame, prev: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val prevKeyed = prev.select(col(idCol).as("id"),
+      md5(col(textCol).cast("binary")).as("prev_digest"),
+      lit(true).as("prev_present"))
+    stream.select(col(idCol).as("id"),
+        md5(col(textCol).cast("binary")).as("cur_digest"))
+      .join(broadcast(prevKeyed), Seq("id"), "left")
+      .select(col("id"),
+        when(col("prev_present").isNull, lit("added"))
+          .when(col("cur_digest") <=> col("prev_digest"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(count: Long, lastTsMs: Long)
   case class SessionOut(user_id: Long, n_sessions: Long)

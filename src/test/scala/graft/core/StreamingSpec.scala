@@ -152,6 +152,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamIds == batchIds && streamIds == Set(1L), s"$streamIds vs $batchIds")
   }
 
+  test("streaming snapshot diff matches batch snapshotDiff minus removed") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevRows = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, null.asInstanceOf[String]), (9L, "will-be-removed"))
+    val curRows = Seq(
+      (1L, "alpha"),                      // unchanged
+      (2L, "beta v2"),                    // changed
+      (4L, null.asInstanceOf[String]),    // unchanged (null <=> null)
+      (5L, "new doc"),                    // added
+      (3L, null.asInstanceOf[String]))    // changed (text -> null)
+    val prev = prevRows.toDF("doc_id", "text")
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.snapshotDiffStream(
+        input.toDF().toDF("doc_id", "text"), prev, "doc_id", "text")
+      .writeStream.format("memory").queryName("snapdiff")
+      .outputMode("append").start()
+    // two micro-batches: classification is per-arrival, not end-of-batch
+    input.addData(curRows.take(2): _*)
+    q.processAllAvailable()
+    val afterFirst = spark.table("snapdiff").count()
+    input.addData(curRows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(afterFirst == 2, s"first micro-batch emitted $afterFirst rows")
+
+    val streamed = spark.table("snapdiff")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.ops.SnapshotOps
+      .snapshotDiff(curRows.toDF("doc_id", "text"), prev, "doc_id", "text",
+        statusFilter = col("status") =!= "removed")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch, s"$streamed vs $batch")
+    assert(streamed == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "changed", 4L -> "unchanged", 5L -> "added"))
+    // the batch op still owns end-of-epoch "removed" reconciliation
+    val removed = graft.ops.SnapshotOps
+      .snapshotDiff(curRows.toDF("doc_id", "text"), prev, "doc_id", "text",
+        statusFilter = col("status") === "removed")
+      .collect().map(_.getLong(0)).toSet
+    assert(removed == Set(9L))
+  }
+
   test("stateful sessionizer agrees with the batch gap sessionization") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
