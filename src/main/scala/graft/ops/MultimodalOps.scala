@@ -35,7 +35,7 @@ object MultimodalOps {
     *
     * None ⇒ not a recognizable image payload.
     */
-  private[ops] def parseImageDims(b: Array[Byte]): Option[(Int, Int)] = {
+  private[graft] def parseImageDims(b: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int) = b(i) & 0xff
     def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
     def u32(i: Int) = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
@@ -83,6 +83,149 @@ object MultimodalOps {
       }
       .toDF()
   }
+
+  // ---------------------------------------------------------------
+  // REAL pixel path (JDK ImageIO — no external codec library):
+  // synthetic formula-pixel images are PNG-ENCODED per row, then the
+  // decode/resize operators read the payload back through the real
+  // codec. PNG is lossless, so decoded pixels equal the generating
+  // formula exactly — which makes the whole encode→decode→stats
+  // round trip DuckDB-oracle-checkable (the oracle replays the
+  // formula; a codec bug, a channel swap, a stride error all break
+  // the hash). This replaces "stub decode" honesty with a verified
+  // decoder for PNG; JPEG stays spec-only (lossy ⇒ no exact oracle).
+  // ---------------------------------------------------------------
+
+  /** Synthetic image dims per doc: width ∈ {8,16,24}, height ∈
+    * {8,16,24}, both MULTIPLES of the 8×8 resize grid so box-average
+    * cells divide evenly and integer cell math is exact (the resize
+    * oracle depends on this).
+    */
+  private[graft] def imgDims(id: Long): (Int, Int) =
+    (((id % 3) + 1).toInt * 8, (((id / 3) % 3) + 1).toInt * 8)
+
+  /** Formula pixels (the oracle's ground truth): each channel a
+    * small affine pattern mod 256.
+    */
+  private[graft] def pxR(id: Long, x: Int, y: Int): Int = ((x * 7 + y * 13 + id * 31) % 256).toInt
+  private[graft] def pxG(id: Long, x: Int, y: Int): Int = ((x * 3 + y * 5 + id * 17) % 256).toInt
+  private[graft] def pxB(id: Long, x: Int, y: Int): Int = ((x * 11 + y * 2 + id * 23) % 256).toInt
+
+  private[graft] def syntheticImage(id: Long): java.awt.image.BufferedImage = {
+    val (w, h) = imgDims(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private[graft] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real PNG payloads (one per doc, ImageIO-encoded formula pixels).
+    * Narrow map — encoding rides the scan, no shuffle; at real scale
+    * this column comes from the data, the generator exists so the
+    * decode path has verifiable input.
+    */
+  def withImagePayload(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, encodePng(syntheticImage(id)))))
+      .toDF("doc_id", "payload")
+  }
+
+  case class ImageStats(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, mean_luma: Double)
+
+  /** REAL decode: ImageIO.read each payload, full pixel scan, exact
+    * integer channel sums + rounded mean luminance. Narrow
+    * per-partition pass, zero shuffle — decoding 100 TB of images is
+    * a CPU-bound scan that AQE/partition sizing parallelizes like any
+    * other. Non-decodable payloads are dropped (flatMap), the honest
+    * contract for a decode stage feeding stats.
+    */
+  def imageStats(spark: SparkSession, binDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          // same double expression the oracle computes: exact integer
+          // sums, ONE division, round-half-up at 5dp
+          val mean = BigDecimal((sr + sg + sb).toDouble / (3 * w * h))
+            .setScale(5, BigDecimal.RoundingMode.HALF_UP).doubleValue
+          ImageStats(id, w, h, sr, sg, sb, mean)
+        }
+      })
+      .toDF()
+  }
+
+  case class ResizeCells(doc_id: Long, n_cells: Int, cell_00: Long,
+      sum_cells: Long, min_cell: Long, max_cell: Long)
+
+  /** REAL resize: decode, box-average the pixels onto a `grid`×`grid`
+    * luminance thumbnail. Cell values are scaled-integer millis
+    * (sum·1000 / (3·boxPx), truncating division) so every engine —
+    * this kernel, the pure-Scala spec reference, the DuckDB oracle —
+    * computes the identical Long regardless of summation order;
+    * a double box-mean would hash-drift on aggregation order.
+    * Requires dims divisible by `grid` (the generator guarantees it);
+    * indivisible payloads are dropped like non-decodable ones.
+    */
+  def resizeGrid(spark: SparkSession, binDocs: DataFrame, grid: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).filter(i =>
+          i.getWidth % grid == 0 && i.getHeight % grid == 0).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (bx, by) = (w / grid, h / grid)
+          val cells = Array.ofDim[Long](grid, grid)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              cells(y / by)(x / bx) +=
+                ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val vals = for (j <- 0 until grid; i <- 0 until grid)
+            yield cells(j)(i) * 1000L / (3L * bx * by)
+          ResizeCells(id, grid * grid, vals.head, vals.sum, vals.min, vals.max)
+        }
+      })
+      .toDF()
+  }
+
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
 
   case class Frame(doc_id: Long, frame_idx: Int, offset: Int, frame: Array[Byte])
 

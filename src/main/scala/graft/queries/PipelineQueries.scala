@@ -194,6 +194,24 @@ object PipelineQueries {
        |FROM f""".stripMargin
   }
 
+  /** Ground truth for the image round-trip oracles: the same dims and
+    * per-channel affine pixel formulas as MultimodalOps.syntheticImage
+    * / pxR/pxG/pxB — PNG is lossless, so decoded pixels must equal
+    * the formula exactly. Two STAGED unnests build the (x, y) grid
+    * (unnests in one SELECT zip instead of crossing).
+    */
+  private def imagePxCte: String =
+    """WITH d AS (SELECT doc_id,
+      |  (doc_id % 3 + 1) * 8 AS w, ((doc_id // 3) % 3 + 1) * 8 AS h
+      | FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |px AS (SELECT doc_id, w, h, x, y,
+      |  (x * 7 + y * 13 + doc_id * 31) % 256 AS r,
+      |  (x * 3 + y * 5 + doc_id * 17) % 256 AS g,
+      |  (x * 11 + y * 2 + doc_id * 23) % 256 AS b
+      | FROM ys)""".stripMargin
+
   private def sqlUrlCase: String =
     "CASE CAST(doc_id % 6 AS INTEGER) " + UrlTemplates.zipWithIndex.map {
       case (t, i) =>
@@ -264,6 +282,20 @@ object PipelineQueries {
     "q35_multimodal_meta" -> ((s, d) =>
       MultimodalOps.decodeMeta(s,
         MultimodalOps.withBinaryPayload(Tables(s, d, "documents"), "doc_id", "text"))),
+
+    // REAL image decode: per-doc PNG payloads (ImageIO-encoded
+    // formula pixels) read back through the real codec; exact channel
+    // sums + mean luminance. PNG is lossless, so the oracle replays
+    // the pixel formula — a codec/stride/channel bug breaks the hash.
+    "q97_image_decode" -> ((s, d) =>
+      MultimodalOps.imageStats(s,
+        MultimodalOps.withImagePayload(s, Tables(s, d, "documents"), "doc_id"))),
+
+    // REAL image resize: decode + box-average onto an 8x8 luminance
+    // grid, cells as scaled-integer millis (order-free exact math).
+    "q98_image_resize" -> ((s, d) =>
+      MultimodalOps.resizeGrid(s,
+        MultimodalOps.withImagePayload(s, Tables(s, d, "documents"), "doc_id"))),
 
     // Exact brute-force cosine top-10 for 5 query vectors (the exact
     // baseline; the scale path is q38's LSH variant).
@@ -1071,6 +1103,33 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|y)\b')) AS INTEGER) AS s_es
         | FROM documents) t""".stripMargin,
     "q96_lang_ngram" -> langNgramOracleSql,
+    // the pixel-formula CTE both image oracles share: dims + a full
+    // (x, y) pixel grid per doc via two SEQUENTIAL unnests (same-
+    // select unnests zip in DuckDB; staged ones cross)
+    "q97_image_decode" ->
+      s"""$imagePxCte
+         |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(sum(r) AS BIGINT) AS sum_r,
+         |  CAST(sum(g) AS BIGINT) AS sum_g,
+         |  CAST(sum(b) AS BIGINT) AS sum_b,
+         |  round(CAST(sum(r) + sum(g) + sum(b) AS DOUBLE) / (3 * w * h), 5)
+         |    AS mean_luma
+         |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    "q98_image_resize" ->
+      s"""$imagePxCte,
+         |cells AS (SELECT doc_id, x // (w // 8) AS ci, y // (h // 8) AS cj,
+         |    CAST(sum(r + g + b) AS BIGINT) * 1000
+         |      // (3 * (w // 8) * (h // 8)) AS cell
+         |  FROM px GROUP BY doc_id, x // (w // 8), y // (h // 8), w, h),
+         |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_cells,
+         |    CAST(sum(cell) AS BIGINT) AS sum_cells,
+         |    CAST(min(cell) AS BIGINT) AS min_cell,
+         |    CAST(max(cell) AS BIGINT) AS max_cell
+         |  FROM cells GROUP BY doc_id)
+         |SELECT a.doc_id, a.n_cells,
+         |  CAST(c.cell AS BIGINT) AS cell_00, a.sum_cells, a.min_cell, a.max_cell
+         |FROM agg a JOIN cells c ON a.doc_id = c.doc_id
+         |  AND c.ci = 0 AND c.cj = 0""".stripMargin,
     "q33_fingerprint" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(text), '\s+', '', 'g')) AS fp

@@ -1,0 +1,85 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.ops.MultimodalOps
+
+class ImageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PNG round trip: decoded pixels equal the generating formula") {
+    Seq(0L, 7L, 42L, 6001L).foreach { id =>
+      val img = MultimodalOps.decodeImage(
+        MultimodalOps.encodePng(MultimodalOps.syntheticImage(id))).get
+      val (w, h) = MultimodalOps.imgDims(id)
+      assert((img.getWidth, img.getHeight) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == MultimodalOps.pxR(id, x, y), s"r($x,$y) id=$id")
+        assert(((rgb >> 8) & 0xff) == MultimodalOps.pxG(id, x, y), s"g($x,$y) id=$id")
+        assert((rgb & 0xff) == MultimodalOps.pxB(id, x, y), s"b($x,$y) id=$id")
+      }
+    }
+  }
+
+  test("imageStats matches a pure-formula reference") {
+    val docs = (0L to 20L).toDF("doc_id")
+    val stats = MultimodalOps.imageStats(spark,
+        MultimodalOps.withImagePayload(spark, docs, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stats.size == 21)
+    (0L to 20L).foreach { id =>
+      val (w, h) = MultimodalOps.imgDims(id)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += MultimodalOps.pxR(id, x, y)
+        sg += MultimodalOps.pxG(id, x, y)
+        sb += MultimodalOps.pxB(id, x, y)
+      }
+      val r = stats(id)
+      assert((r.getInt(1), r.getInt(2)) == (w, h), s"dims id=$id")
+      assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((sr, sg, sb)), s"sums id=$id")
+    }
+  }
+
+  test("resizeGrid cells are exact integer box averages") {
+    val docs = Seq(5L).toDF("doc_id") // dims (24, 16): boxes 3x2
+    val row = MultimodalOps.resizeGrid(spark,
+      MultimodalOps.withImagePayload(spark, docs, "doc_id")).head()
+    val id = 5L
+    val (w, h) = MultimodalOps.imgDims(id)
+    val (bx, by) = (w / 8, h / 8)
+    val cells = for (j <- 0 until 8; i <- 0 until 8) yield {
+      var s = 0L
+      for (y <- j * by until (j + 1) * by; x <- i * bx until (i + 1) * bx)
+        s += MultimodalOps.pxR(id, x, y) + MultimodalOps.pxG(id, x, y) +
+          MultimodalOps.pxB(id, x, y)
+      s * 1000L / (3L * bx * by)
+    }
+    assert(row.getInt(1) == 64)
+    assert(row.getLong(2) == cells.head)
+    assert(row.getLong(3) == cells.sum)
+    assert(row.getLong(4) == cells.min)
+    assert(row.getLong(5) == cells.max)
+  }
+
+  test("non-image payloads are dropped, not mis-decoded") {
+    val bin = Seq((1L, "not an image at all".getBytes("UTF-8")),
+      (2L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    assert(MultimodalOps.imageStats(spark, bin).count() == 0)
+    assert(MultimodalOps.resizeGrid(spark, bin).count() == 0)
+  }
+
+  test("JPEG: real lossy codec round trip keeps dims; header parser agrees") {
+    val img = MultimodalOps.syntheticImage(4L) // (16, 16)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+    val dec = MultimodalOps.decodeImage(jpeg).get
+    assert((dec.getWidth, dec.getHeight) == (16, 16))
+    // the q35 header parser and the full decoder must agree on dims
+    assert(MultimodalOps.parseImageDims(jpeg).contains((16, 16)))
+    val png = MultimodalOps.encodePng(img)
+    assert(MultimodalOps.parseImageDims(png).contains((16, 16)))
+  }
+}
