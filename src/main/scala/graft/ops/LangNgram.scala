@@ -102,10 +102,27 @@ object LangNgram {
   val unionVocabSize: Int =
     seeds.values.flatMap(s => trigrams(normalize(s))).toSeq.distinct.size
 
+  /** The SHARED unseen-trigram penalty. Each language paying its own
+    * floor ln(1/(total_l+V)) re-introduces the small-seed bias
+    * through the back door: on mostly-out-of-profile text (domain
+    * jargon) every position pays the floor, so the language with the
+    * smallest seed out-scores all others without matching anything —
+    * the sf0.01 corpus came out 500/500 "zh". With ONE floor for all
+    * languages, OOV positions shift every score equally (argmax-
+    * neutral) and only real profile hits discriminate; a document
+    * with no hits at all ties to the [[langs]] head, the documented
+    * default. Pooled-total denominator keeps the floor strictly below
+    * every kept weight (2/(total_l+V) > 1/(totalAll+V)).
+    */
+  val sharedFloor: Long = {
+    val totalAll = seeds.values.map(s => trigrams(normalize(s)).size).sum
+    math.round(1000.0 * math.log(1.0 / (totalAll + unionVocabSize)))
+  }
+
   /** Per-language (kept trigram → weight, floor): add-one smoothing
     * over the shared vocabulary, weight =
-    * round(1000·ln((c+1)/(total_l+V))), floor (unseen trigram) =
-    * round(1000·ln(1/(total_l+V))).
+    * round(1000·ln((c+1)/(total_l+V))); the floor is [[sharedFloor]]
+    * for every language.
     */
   val profiles: Seq[(String, Map[String, Long], Long)] = langs.map { l =>
     val tris = trigrams(normalize(seeds(l))).toSeq
@@ -114,7 +131,7 @@ object LangNgram {
     val kept = counts.toSeq
       .sortBy { case (t, c) => (-c, t) }.take(TopK)
       .map { case (t, c) => t -> math.round(1000.0 * math.log((c + 1) / denom)) }
-    (l, kept.toMap, math.round(1000.0 * math.log(1.0 / denom)))
+    (l, kept.toMap, sharedFloor)
   }
 
   /** Unseen-trigram penalty per language, in [[langs]] order. */
@@ -135,8 +152,54 @@ object LangNgram {
     m
   }
 
+  // -- second feature family: NON-ASCII character unigrams ----------
+  // Trigrams alone cannot identify CJK from short seeds: hanzi
+  // trigrams are three specific codepoints and essentially never
+  // recur in held-out text, so Chinese input degenerates to all-OOV.
+  // The standard langid fix is mixed n-gram orders; the minimal
+  // principled version for this language set is a unigram family
+  // restricted to codepoints > 127 — ASCII letters carry no unigram
+  // signal (shared by every Latin language), while hanzi and accented
+  // letters are highly discriminative. ASCII-only documents are
+  // untouched by this family (zero contribution), so the trigram
+  // behavior on the corpus is unchanged.
+
+  /** Distinct non-ASCII chars across all seeds (the family's V). */
+  val uniVocab: Seq[Char] =
+    seeds.values.flatMap(s => normalize(s).filter(_ > 127)).toSeq.distinct.sorted
+
+  /** Shared unigram floor, pooled like [[sharedFloor]]. */
+  val sharedUniFloor: Long = {
+    val totalAll = seeds.values.map(s => normalize(s).count(_ > 127)).sum
+    math.round(1000.0 * math.log(1.0 / (totalAll + uniVocab.size)))
+  }
+
+  /** Per-language non-ASCII char → weight (same add-one form as the
+    * trigram family).
+    */
+  val uniProfiles: Seq[(String, Map[Char, Long])] = langs.map { l =>
+    val chars = normalize(seeds(l)).filter(_ > 127)
+    val counts = chars.groupBy(identity).map { case (c, g) => c -> g.length.toLong }
+    val denom = (chars.length + uniVocab.size).toDouble
+    (l, counts.map { case (c, n) =>
+      c -> math.round(1000.0 * math.log((n + 1) / denom)) })
+  }
+
+  /** Union unigram profile: char → weight vector in [[langs]] order. */
+  val mergedUni: java.util.HashMap[Character, Array[Long]] = {
+    val m = new java.util.HashMap[Character, Array[Long]]()
+    uniVocab.foreach { c =>
+      m.put(c, uniProfiles.map { case (_, p) =>
+        p.getOrElse(c, sharedUniFloor)
+      }.toArray)
+    }
+    m
+  }
+
   /** Score all languages in one text pass (the expression's kernel —
-    * also the spec's reference). Empty/short text scores 0 everywhere.
+    * also the spec's reference): trigram family over every position,
+    * unigram family over non-ASCII positions. Empty/ASCII-short text
+    * scores 0 everywhere.
     */
   def scores(raw: String): Array[Long] = {
     val s = normalize(raw)
@@ -150,6 +213,19 @@ object LangNgram {
       } else {
         var j = 0
         while (j < out.length) { out(j) += w(j); j += 1 }
+      }
+      i += 1
+    }
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c > 127) {
+        val w = mergedUni.get(c)
+        var j = 0
+        if (w == null)
+          while (j < out.length) { out(j) += sharedUniFloor; j += 1 }
+        else
+          while (j < out.length) { out(j) += w(j); j += 1 }
       }
       i += 1
     }

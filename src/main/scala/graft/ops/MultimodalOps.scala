@@ -227,6 +227,119 @@ object MultimodalOps {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: java.io.IOException => None }
 
+  // ---------------------------------------------------------------
+  // REAL audio path (JDK javax.sound.sampled — WAV/PCM): same
+  // verified-decode discipline as the PNG path. Formula samples are
+  // WAV-encoded through AudioSystem per row; the decode operator
+  // reads them back through the real parser (header walk, fmt/data
+  // chunks, little-endian s16 frames). PCM is lossless, so decoded
+  // samples equal the formula exactly and the whole round trip is
+  // DuckDB-oracle-checkable. No audio hardware involved — WAV IO is
+  // pure bytes, headless-safe.
+  // ---------------------------------------------------------------
+
+  val AudioSampleRate = 8000f
+
+  /** Samples per doc: 400..2000, varying so frame-count handling is
+    * actually exercised.
+    */
+  private[graft] def audioLen(id: Long): Int = ((id % 5) + 1).toInt * 400
+
+  /** Formula sample (the oracle's ground truth): affine mod 2^16,
+    * shifted to signed s16 — full amplitude range, deterministic.
+    */
+  private[graft] def sampleAt(id: Long, i: Int): Int =
+    ((i * 37 + id * 101) % 65536).toInt - 32768
+
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val n = audioLen(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleAt(id, i)
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian s16
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(AudioSampleRate, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV payloads, one per doc — the audio twin of
+    * [[withImagePayload]].
+    */
+  def withAudioPayload(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeWav(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  case class AudioStats(doc_id: Long, n_samples: Int, sample_rate: Int,
+      min_s: Int, max_s: Int, sum_abs: Long, mean_abs: Double)
+
+  /** REAL audio decode: AudioSystem parses each WAV payload (format
+    * + frames), then a full sample scan computes exact integer
+    * amplitude stats + rounded mean |amplitude|. Narrow
+    * per-partition pass, zero shuffle — the audio-feature scan at
+    * 100 TB parallelizes like any other. Non-WAV or non-s16-mono
+    * payloads are dropped, same contract as [[imageStats]].
+    */
+  def audioStats(spark: SparkSession, binDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWavS16Mono(bytes).map { case (rate, samples) =>
+          var (mn, mx, sa) = (Int.MaxValue, Int.MinValue, 0L)
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i)
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            sa += math.abs(s)
+            i += 1
+          }
+          val mean = BigDecimal(sa.toDouble / samples.length)
+            .setScale(5, BigDecimal.RoundingMode.HALF_UP).doubleValue
+          AudioStats(id, samples.length, rate, mn, mx, sa, mean)
+        }
+      })
+      .toDF()
+  }
+
+  /** Decode a WAV payload to (sampleRate, s16 samples) through the
+    * real JDK parser; None unless PCM-signed 16-bit mono (the honest
+    * drop, not a guess).
+    */
+  private[graft] def decodeWavS16Mono(bytes: Array[Byte]): Option[(Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+      else {
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        if (f.isBigEndian)
+          while (i < n) { out(i) = (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff); i += 1 }
+        else
+          while (i < n) { out(i) = (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff); i += 1 }
+        Some((f.getSampleRate.toInt, out))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   case class Frame(doc_id: Long, frame_idx: Int, offset: Int, frame: Array[Byte])
 
   /** Frame sampling: cut each payload into `nFrames` evenly-spaced

@@ -166,11 +166,18 @@ object PipelineQueries {
     val values = L.merged.asScala.toSeq.sortBy(_._1).map { case (t, ws) =>
       s"('${esc(t)}', ${ws.mkString(", ")})"
     }.mkString(",\n ")
+    val uniValues = L.mergedUni.asScala.toSeq.sortBy(_._1).map { case (c, ws) =>
+      s"('${esc(c.toString)}', ${ws.mkString(", ")})"
+    }.mkString(",\n ")
     val sums = L.langs.zip(L.floors).map { case (l, f) =>
       s"CAST(sum(coalesce(w_$l, $f)) AS BIGINT) AS s_$l"
     }.mkString(",\n    ")
+    val uniSums = L.langs.map { l =>
+      s"CAST(sum(coalesce(w_$l, ${L.sharedUniFloor})) AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
     val fills = L.langs.map(l =>
-      s"coalesce(s_$l, CAST(0 AS BIGINT)) AS s_$l").mkString(", ")
+      s"coalesce(t3.s_$l, CAST(0 AS BIGINT)) + coalesce(u1.s_$l, CAST(0 AS BIGINT)) AS s_$l")
+      .mkString(",\n  ")
     val pred = L.langs.zipWithIndex.map { case (l, i) =>
       val laters = L.langs.drop(i + 1)
       if (laters.isEmpty) s"ELSE '$l' END"
@@ -187,8 +194,19 @@ object PipelineQueries {
        |sc AS (SELECT doc_id,
        |    $sums
        |  FROM tri LEFT JOIN prof USING (tri) GROUP BY doc_id),
-       |f AS (SELECT d.doc_id, $fills
-       |  FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+       |upos AS (SELECT doc_id,
+       |  substring(t, CAST(unnest(range(1, length(t) + 1)) AS INTEGER), 1) AS ch
+       | FROM docs),
+       |uch AS (SELECT doc_id, ch FROM upos WHERE unicode(ch) > 127),
+       |uprof (ch, $cols) AS (VALUES
+       | $uniValues),
+       |usc AS (SELECT doc_id,
+       |    $uniSums
+       |  FROM uch LEFT JOIN uprof USING (ch) GROUP BY doc_id),
+       |f AS (SELECT d.doc_id,
+       |  $fills
+       |  FROM docs d LEFT JOIN sc t3 ON d.doc_id = t3.doc_id
+       |  LEFT JOIN usc u1 ON d.doc_id = u1.doc_id)
        |SELECT doc_id, ${L.langs.map(l => s"s_$l").mkString(", ")},
        |  $pred AS lang_pred
        |FROM f""".stripMargin
@@ -296,6 +314,14 @@ object PipelineQueries {
     "q98_image_resize" -> ((s, d) =>
       MultimodalOps.resizeGrid(s,
         MultimodalOps.withImagePayload(s, Tables(s, d, "documents"), "doc_id"))),
+
+    // REAL audio decode: per-doc WAV payloads (AudioSystem-encoded
+    // formula samples) parsed back through the real codec; exact
+    // amplitude stats. PCM is lossless — the oracle replays the
+    // sample formula, so the decoder is verified, not trusted.
+    "q99_audio_decode" -> ((s, d) =>
+      MultimodalOps.audioStats(s,
+        MultimodalOps.withAudioPayload(s, Tables(s, d, "documents"), "doc_id"))),
 
     // Exact brute-force cosine top-10 for 5 query vectors (the exact
     // baseline; the scale path is q38's LSH variant).
@@ -1103,6 +1129,18 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|y)\b')) AS INTEGER) AS s_es
         | FROM documents) t""".stripMargin,
     "q96_lang_ngram" -> langNgramOracleSql,
+    // audio ground truth = the sample formula (WAV/PCM is lossless)
+    "q99_audio_decode" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 5 + 1) * 400 AS n FROM documents),
+        |ss AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |sm AS (SELECT doc_id, n,
+        |  (i * 37 + doc_id * 101) % 65536 - 32768 AS s FROM ss)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_samples,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(min(s) AS INTEGER) AS min_s, CAST(max(s) AS INTEGER) AS max_s,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  round(CAST(sum(abs(s)) AS DOUBLE) / n, 5) AS mean_abs
+        |FROM sm GROUP BY doc_id, n""".stripMargin,
     // the pixel-formula CTE both image oracles share: dims + a full
     // (x, y) pixel grid per doc via two SEQUENTIAL unnests (same-
     // select unnests zip in DuckDB; staged ones cross)

@@ -70,6 +70,36 @@ class ImageSpec extends SparkSpec {
     assert(MultimodalOps.resizeGrid(spark, bin).count() == 0)
   }
 
+  test("WAV round trip: decoded samples equal the generating formula") {
+    Seq(0L, 3L, 11L, 6002L).foreach { id =>
+      val (rate, samples) =
+        MultimodalOps.decodeWavS16Mono(MultimodalOps.encodeWav(id)).get
+      assert(rate == 8000)
+      assert(samples.length == MultimodalOps.audioLen(id))
+      samples.indices.foreach { i =>
+        assert(samples(i) == MultimodalOps.sampleAt(id, i), s"sample $i id=$id")
+      }
+    }
+  }
+
+  test("audioStats matches a pure-formula reference; non-audio dropped") {
+    val docs = (0L to 10L).toDF("doc_id")
+    val stats = MultimodalOps.audioStats(spark,
+        MultimodalOps.withAudioPayload(spark, docs, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stats.size == 11)
+    (0L to 10L).foreach { id =>
+      val n = MultimodalOps.audioLen(id)
+      val ss = (0 until n).map(MultimodalOps.sampleAt(id, _))
+      val r = stats(id)
+      assert(r.getInt(1) == n && r.getInt(2) == 8000, s"meta id=$id")
+      assert((r.getInt(3), r.getInt(4)) == ((ss.min, ss.max)), s"minmax id=$id")
+      assert(r.getLong(5) == ss.map(s => math.abs(s).toLong).sum, s"sum id=$id")
+    }
+    val garbage = Seq((1L, "RIFFnope".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(MultimodalOps.audioStats(spark, garbage).count() == 0)
+  }
+
   test("JPEG: real lossy codec round trip keeps dims; header parser agrees") {
     val img = MultimodalOps.syntheticImage(4L) // (16, 16)
     val bos = new java.io.ByteArrayOutputStream()
