@@ -97,4 +97,56 @@ object CurationPipeline {
       sum(col("pass_rep").cast("long")).as("n_rep"),
       sum(col("pass_clean").cast("long")).as("n_clean"),
       count_distinct(when(col("pass_clean"), col("fp"))).as("n_dedup"))
+
+  /** Curation funnel V2 — the same cumulative-funnel shape built from
+    * the TRAINED/MODEL-BASED stages instead of fixed heuristics:
+    *
+    *  1. language: char-trigram profile prediction == `targetLang`
+    *     ([[LangNgram]], native expression — replaces marker regexes);
+    *  2. quality: IRLS-trained logistic scorer ≥ `minQuality`
+    *     ([[TextOps.TrainedQualityWeights]] — replaces hand thresholds);
+    *  3. substring exposure: total tokens inside verbatim ≥4-token
+    *     spans repeated ANYWHERE in the corpus ≤ `maxSubstrTokens`
+    *     ([[DedupOps.substrDupSpans]] — boilerplate/template pressure);
+    *  4. dedup: distinct whitespace-insensitive fingerprints among
+    *     survivors.
+    *
+    * Physical shape: stages 1, 2 and the fingerprint are pure
+    * projections (two corpus scans joined back by id — the quality
+    * scorer needs its own Generate barrier); stage 3 is the
+    * posting-list span pass whose shuffles are keyed by k-gram digest
+    * and id. Everything aggregates to ONE row. Argmax here uses
+    * array_position(scores, array_max(scores)) — first occurrence, so
+    * ties resolve to the earlier language exactly like q96's CASE.
+    */
+  def funnelV2(corpus: DataFrame, idCol: String, textCol: String,
+      targetLang: String = "en", minQuality: Double = 0.44,
+      maxSubstrTokens: Long = 24): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val sc = call_function("graft_lang_scores",
+      coalesce(col(textCol), lit("")))
+    val langPred = element_at(typedLit(LangNgram.langs),
+      array_position(sc, array_max(sc)).cast("int"))
+    val base = corpus.select(col(idCol).as("id"),
+      langPred.as("lang_pred"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val qual = TextOps.qualityScore(corpus, idCol, textCol,
+      TextOps.TrainedQualityWeights)
+    val spans = DedupOps.substrDupSpans(corpus, idCol, textCol, k = 4)
+      .groupBy("id").agg(sum("span_tokens").as("substr_tokens"))
+    base
+      .join(qual, Seq("id"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("substr_tokens", coalesce(col("substr_tokens"), lit(0L)))
+      .withColumn("p_lang", col("lang_pred") === targetLang)
+      .withColumn("p_quality", col("p_lang") && col("quality") >= minQuality)
+      .withColumn("p_substr",
+        col("p_quality") && col("substr_tokens") <= maxSubstrTokens)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("p_lang").cast("long")).as("n_lang"),
+        sum(col("p_quality").cast("long")).as("n_quality"),
+        sum(col("p_substr").cast("long")).as("n_substr"),
+        count_distinct(when(col("p_substr"), col("fp"))).as("n_dedup"))
+  }
 }

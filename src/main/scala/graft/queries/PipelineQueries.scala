@@ -230,6 +230,30 @@ object PipelineQueries {
       |  (x * 11 + y * 2 + doc_id * 23) % 256 AS b
       | FROM ys)""".stripMargin
 
+  /** q94's oracle, also a CTE body of q100's composed funnel. */
+  private def substrSpansOracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+      |    x -> x <> '') AS ws
+      | FROM documents),
+      |g AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+      |    md5(array_to_string(ws[i:i+3], ' ')) AS gd
+      |  FROM t, unnest(generate_series(1, len(ws) - 3)) AS u(i)
+      |  WHERE len(ws) >= 4),
+      |rep AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
+      |f AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gd)),
+      |i AS (SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      |  FROM f),
+      |s AS (SELECT doc_id, min(pos) AS span_start,
+      |    max(pos) - min(pos) + 4 AS span_tokens
+      |  FROM i GROUP BY doc_id, isl)
+      |SELECT d.doc_id, CAST(count(s.span_start) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(sum(s.span_tokens), 0) AS BIGINT) AS sum_span_tokens,
+      |  CAST(coalesce(max(s.span_tokens), 0) AS BIGINT) AS max_span_tokens
+      |FROM documents d LEFT JOIN s USING (doc_id)
+      |GROUP BY d.doc_id""".stripMargin
+
   private def sqlUrlCase: String =
     "CASE CAST(doc_id % 6 AS INTEGER) " + UrlTemplates.zipWithIndex.map {
       case (t, i) =>
@@ -556,6 +580,15 @@ object PipelineQueries {
     "q79_quality_score" -> ((s, d) =>
       TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("quality"))),
+
+    // Curation funnel V2: the integration flagship of the trained/
+    // model-based stages — lang-ID (n-gram profiles) -> trained
+    // quality -> substring-dup exposure -> fingerprint dedup, one
+    // cumulative funnel row. Every stage's oracle composes into one
+    // SQL, so the whole pipeline is value-checked end to end.
+    "q100_curation_v2" -> ((s, d) =>
+      graft.ops.CurationPipeline.funnelV2(
+        Tables(s, d, "documents"), "doc_id", "text")),
 
     // Same scorer with TRAINED weights: deterministic distributed
     // IRLS (QualityFit.fit, label = target language) run offline and
@@ -1082,28 +1115,32 @@ object PipelineQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "q94_substr_spans" ->
-      """WITH t AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
-        |    x -> x <> '') AS ws
-        | FROM documents),
-        |g AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
-        |    md5(array_to_string(ws[i:i+3], ' ')) AS gd
-        |  FROM t, unnest(generate_series(1, len(ws) - 3)) AS u(i)
-        |  WHERE len(ws) >= 4),
-        |rep AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
-        |f AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gd)),
-        |i AS (SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-        |  FROM f),
-        |s AS (SELECT doc_id, min(pos) AS span_start,
-        |    max(pos) - min(pos) + 4 AS span_tokens
-        |  FROM i GROUP BY doc_id, isl)
-        |SELECT d.doc_id, CAST(count(s.span_start) AS BIGINT) AS n_spans,
-        |  CAST(coalesce(sum(s.span_tokens), 0) AS BIGINT) AS sum_span_tokens,
-        |  CAST(coalesce(max(s.span_tokens), 0) AS BIGINT) AS max_span_tokens
-        |FROM documents d LEFT JOIN s USING (doc_id)
-        |GROUP BY d.doc_id""".stripMargin,
+    "q94_substr_spans" -> substrSpansOracleSql,
+    "q100_curation_v2" ->
+      s"""WITH lang AS (SELECT doc_id, lang_pred FROM ($langNgramOracleSql) lt),
+         |qual AS (SELECT doc_id, quality FROM
+         |  (${qualityOracleSql(TextOps.TrainedQualityWeights)}) qt),
+         |sub AS (SELECT doc_id, sum_span_tokens FROM ($substrSpansOracleSql) st),
+         |fps AS (SELECT doc_id,
+         |  md5(regexp_replace(lower(text), '\\s+', '', 'g')) AS fp
+         | FROM documents),
+         |sig AS (SELECT d.doc_id,
+         |  (lang.lang_pred = 'en') AS p_lang,
+         |  (lang.lang_pred = 'en' AND qual.quality >= 0.44::DOUBLE) AS p_quality,
+         |  (lang.lang_pred = 'en' AND qual.quality >= 0.44::DOUBLE
+         |    AND sub.sum_span_tokens <= 24) AS p_substr,
+         |  fps.fp
+         | FROM documents d
+         | JOIN lang ON d.doc_id = lang.doc_id
+         | JOIN qual ON d.doc_id = qual.doc_id
+         | JOIN sub ON d.doc_id = sub.doc_id
+         | JOIN fps ON d.doc_id = fps.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN p_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         |  CAST(sum(CASE WHEN p_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN p_substr THEN 1 ELSE 0 END) AS BIGINT) AS n_substr,
+         |  CAST(count(DISTINCT CASE WHEN p_substr THEN fp END) AS BIGINT) AS n_dedup
+         |FROM sig""".stripMargin,
     "q31_quality_metrics" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
