@@ -20,12 +20,20 @@ object ProbeBench {
     val reps = args(1).toInt
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Hypothesis knobs ride in via SPARK_GRAFT_CONF="k=v;k=v" so a
+    // config theory ("is the ObjectHashAggregate sort-based fallback
+    // the cliff?") is one env var, not a recompile.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Same JIT warmup as Bench so rep 1 is comparable to a bench cold run.
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
