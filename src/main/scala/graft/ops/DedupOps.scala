@@ -471,19 +471,23 @@ object DedupOps {
     *
     * Scale shape, in suffix-array terms: the paper's suffix array is
     * replaced by a gram-digest shuffle — same O(total tokens) working
-    * set, but expressed as groupBy/semi-join/window, so Spark
-    * partitions it instead of a single-machine sort. Three exchanges:
-    * (1) digest groupBy for frequencies (map-side combine collapses
-    * each partition to its distinct digests), (2) broadcast-or-
-    * shuffle LEFT SEMI join of positions against repeated digests —
-    * count>=2 filtering happens BEFORE the join, so the join's build
-    * side is only the duplicated grams, typically corpus-tiny; a
-    * bloom semijoin (BloomOps) can replace it when even that is big,
-    * (3) the per-document window for span merge, partitioned by doc
-    * (no global sort). Heavy-hitter grams are NOT a hotspot: the
-    * count aggregation never materializes member lists and the semi
-    * join emits each position at most once. Positions shuffle as
-    * (id, pos, 16-byte digest), never the gram text.
+    * set, but expressed as window/groupBy, so Spark partitions it
+    * instead of a single-machine sort. The corpus is scanned and
+    * tokenized ONCE (the r8 shape fed a frequency groupBy and a
+    * semi-join probe from two separate scans — at 100 TB the
+    * tokenize+digest pass, the dominant cost, ran twice): occurrence
+    * counts per digest come from `count(*) over (partition by gd)` on
+    * the single position frame, so "repeated" positions are a filter,
+    * not a join. Two exchanges: (1) positions hash-shuffled by digest
+    * for the count window, (2) the per-document window for span merge,
+    * partitioned by doc (no global sort). Positions shuffle as
+    * (id, pos, 16-byte digest), never the gram text. Heavy-hitter
+    * caveat: the count window buffers each digest group's rows
+    * (UnsafeExternalSorter, disk-spilling — bounded by disk, not
+    * memory); a gram repeated 10⁹ times costs one task a large spill
+    * where the old groupBy map-side-combined it, which is the price of
+    * halving the corpus scans — the right trade while scan+digest
+    * dominates.
     */
   def substrDupSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
@@ -504,9 +508,9 @@ object DedupOps {
       // lambda element (the wordShingles lesson, measured 37×)
       .select(col("id"), explode(array(grams)).as("_g"))
       .select(col("id"), posexplode(col("_g")).as(Seq("pos", "gd")))
-    val repeated = pos.groupBy("gd").agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2)
-    val flagged = pos.join(repeated.select("gd"), Seq("gd"), "left_semi")
+    val flagged = pos
+      .withColumn("_n_occ", count(lit(1)).over(Window.partitionBy("gd")))
+      .filter(col("_n_occ") >= 2)
     // gaps-and-islands: consecutive flagged gram starts share one span
     val isl = flagged.withColumn("_isl",
       col("pos") - row_number().over(
@@ -516,5 +520,53 @@ object DedupOps {
         (max("pos") - min("pos") + k).cast("long").as("span_tokens"))
       .select(col("id"), col("span_start").cast("long").as("span_start"),
         col("span_tokens"))
+  }
+
+  /** Rewrite documents with flagged duplicate spans CUT OUT — the
+    * consumer of [[substrDupSpans]] that completes the Lee et al.
+    * ExactSubstr pipeline (detect → remove): `spans` is a frame of
+    * (id, span_start, span_tokens) token ranges (0-based start, the
+    * substrDupSpans output shape), and the result is each document
+    * with those token ranges deleted and the survivors rejoined by
+    * single spaces.
+    *
+    * Policy stays in the span frame, mechanism here: passing
+    * substrDupSpans verbatim cuts EVERY occurrence of duplicated
+    * text; a keep-one-copy policy is a filter on the span frame
+    * (e.g. anti-join the first doc per duplicate group) before
+    * calling — the rewrite itself does not decide.
+    *
+    * Token positions index the SAME boundaries substrDupSpans flagged:
+    * the split regex is identical and case-folding never moves a
+    * whitespace boundary, so cutting from the original-case token
+    * array is exact. Output text is token-normalized (whitespace runs
+    * collapse to one space) — the only honest contract once tokens,
+    * not characters, are the unit of removal.
+    *
+    * Scale shape: spans aggregate per doc (map-side combined; span
+    * lists are maximal merged islands, so their count is bounded by
+    * tokens/k), ONE shuffle on the doc id for the join, and the cut
+    * itself is a per-row codegen'd lambda — O(tokens × spans_per_doc)
+    * comparisons in-row, no explode of per-token rows, the corpus
+    * never shuffles by anything but its own id.
+    */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_tokens"))).as("_spans"))
+    val joined = docs.select(col(idCol).as("id"),
+        coalesce(col(textCol), lit("")).as("_text"))
+      .join(sp, Seq("id"), "left")
+    val toks = split(col("_text"), TextOps.Ws)
+    val spansArr = coalesce(col("_spans"),
+      array().cast("array<struct<span_start:bigint,span_tokens:bigint>>"))
+    // keep token i unless some span covers it; spans are few per doc
+    // (merged maximal islands), so exists() is a short in-row scan
+    val kept = filter(toks, (_, i) =>
+      !exists(spansArr, s => i.cast("long") >= s.getField("span_start") &&
+        i.cast("long") < s.getField("span_start") + s.getField("span_tokens")))
+    joined.select(col("id"),
+      (size(toks) - size(kept)).cast("long").as("n_tokens_removed"),
+      concat_ws(" ", kept).as("text_clean"))
   }
 }

@@ -254,6 +254,52 @@ object PipelineQueries {
       |FROM documents d LEFT JOIN s USING (doc_id)
       |GROUP BY d.doc_id""".stripMargin
 
+  /** q101's oracle: replay the ExactSubstr cut — same span CTEs as
+    * q94, then delete covered token positions from the ORIGINAL-case
+    * token list (case-folding never moves a whitespace boundary, so
+    * the indices line up) and string_agg the survivors in order.
+    */
+  private def removeSpansOracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+      |    x -> x <> '') AS ws
+      | FROM documents),
+      |o AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+      |    x -> x <> '') AS ws
+      | FROM documents),
+      |g AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+      |    md5(array_to_string(ws[i:i+3], ' ')) AS gd
+      |  FROM t, unnest(generate_series(1, len(ws) - 3)) AS u(i)
+      |  WHERE len(ws) >= 4),
+      |rep AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
+      |f AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gd)),
+      |i AS (SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      |  FROM f),
+      |s AS (SELECT doc_id, min(pos) AS span_start,
+      |    max(pos) - min(pos) + 4 AS span_tokens
+      |  FROM i GROUP BY doc_id, isl),
+      |cov AS (SELECT DISTINCT s.doc_id,
+      |    s.span_start + CAST(u.i AS BIGINT) AS p
+      |  FROM s, unnest(generate_series(0, span_tokens - 1)) AS u(i)),
+      |tok AS (SELECT doc_id, CAST(u.j AS BIGINT) - 1 AS p,
+      |    ws[CAST(u.j AS INTEGER)] AS tok
+      |  FROM o, unnest(generate_series(1, len(ws))) AS u(j)),
+      |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+      |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+      |  WHERE cov.p IS NULL),
+      |agg AS (SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+      |  FROM kept GROUP BY doc_id),
+      |nt AS (SELECT doc_id, len(ws) AS n_toks FROM o)
+      |SELECT d.doc_id,
+      |  CAST(nt.n_toks - coalesce(agg.n_kept, 0) AS BIGINT)
+      |    AS n_tokens_removed,
+      |  coalesce(agg.text_clean, '') AS text_clean
+      |FROM documents d JOIN nt USING (doc_id)
+      |LEFT JOIN agg USING (doc_id)""".stripMargin
+
   private def sqlUrlCase: String =
     "CASE CAST(doc_id % 6 AS INTEGER) " + UrlTemplates.zipWithIndex.map {
       case (t, i) =>
@@ -676,6 +722,17 @@ object PipelineQueries {
         .agg(count(col("span_start")).as("n_spans"),
           coalesce(sum("span_tokens"), lit(0L)).as("sum_span_tokens"),
           coalesce(max("span_tokens"), lit(0L)).as("max_span_tokens"))
+    }),
+
+    // ExactSubstr REMOVAL (Lee et al. detect → cut): every flagged
+    // duplicate span cut from its document, survivors token-rejoined.
+    // The oracle replays the cut in SQL (covered-position anti-join).
+    "q101_remove_spans" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val spans = DedupOps.substrDupSpans(docs, "doc_id", "text", k = 4)
+      DedupOps.removeSpans(docs, "doc_id", "text", spans)
+        .select(col("id").as("doc_id"), col("n_tokens_removed"),
+          col("text_clean"))
     }),
 
     // SemDeDup-shape semantic dedup end-to-end: embedding near-dup
@@ -1116,6 +1173,7 @@ object PipelineQueries {
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "q94_substr_spans" -> substrSpansOracleSql,
+    "q101_remove_spans" -> removeSpansOracleSql,
     "q100_curation_v2" ->
       s"""WITH lang AS (SELECT doc_id, lang_pred FROM ($langNgramOracleSql) lt),
          |qual AS (SELECT doc_id, quality FROM

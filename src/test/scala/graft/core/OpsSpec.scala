@@ -1175,6 +1175,58 @@ class OpsSpec extends SparkSpec {
     assert(agg.getLong(3) == 7L && agg.getLong(4) == 7L, agg.toString)
   }
 
+  test("substrDupSpans: ONE corpus scan feeds both the frequency count and the probe") {
+    // the r8 shape fed a groupBy and a semi-join from two separate
+    // scans — at 100 TB the tokenize+digest pass (the dominant cost)
+    // ran twice; the window restructure must keep exactly one scan
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val spans = DedupOps.substrDupSpans(docs, "doc_id", "text", k = 4)
+    spans.write.format("noop").mode("overwrite").save()
+    val scans = graft.ops.PlanProbe.allNodes(spans.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"expected 1 parquet scan, got $scans")
+  }
+
+  test("removeSpans: hand cut — spans excised, case kept, survivors single-spaced") {
+    val docs = Seq(
+      (1L, "Keep1 A B C D tail1"),
+      (2L, "head2 a b c d Keep2"),
+      (3L, "only unique content here")).toDF("doc_id", "text")
+    val spans = DedupOps.substrDupSpans(docs, "doc_id", "text", k = 4)
+    val got = DedupOps.removeSpans(docs, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // docs 1/2 share "a b c d" (case-insensitively); original case
+    // survives outside the cut
+    assert(got(1L) == ((4L, "Keep1 tail1")), got.toString)
+    assert(got(2L) == ((4L, "head2 Keep2")), got.toString)
+    assert(got(3L) == ((0L, "only unique content here")), got.toString)
+  }
+
+  test("removeSpans: detect→cut iterates to a span-free corpus (sf0.001)") {
+    // One pass is NOT a fixed point by nature: cutting a span joins
+    // its neighbors, and the seam can form a fresh >=k repeat (Lee et
+    // al. note the same for ExactSubstr; the fixture's ~30-word vocab
+    // makes seams collide often — 709 → 47 → 6 → 0 spans). Pin the
+    // contract that matters: every flagged occurrence is gone after
+    // its own cut, and repeated application converges, here in <= 4
+    // passes.
+    var docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    assert(DedupOps.substrDupSpans(docs, "doc_id", "text", k = 4).count() > 0,
+      "fixture must exercise the cut")
+    var remaining = -1L
+    for (_ <- 1 to 4 if remaining != 0) {
+      val spans = DedupOps.substrDupSpans(docs, "doc_id", "text", k = 4)
+      remaining = spans.count()
+      if (remaining > 0)
+        docs = DedupOps.removeSpans(docs, "doc_id", "text", spans)
+          .select(col("id").as("doc_id"), col("text_clean").as("text"))
+          .localCheckpoint()
+    }
+    assert(remaining == 0, s"still $remaining spans after 4 cut passes")
+    assert(DedupOps.substrDupSpans(docs, "doc_id", "text", k = 4).count() == 0)
+  }
+
   test("ngram Jaccard skew guard caps hot shingles, keeps exact denominators") {
     // 40 docs all sharing one stopword-heavy phrase + a unique tail;
     // two true near-duplicates sharing rare shingles.
