@@ -42,11 +42,20 @@ import org.apache.spark.util.LongAccumulator
   * (Spark's listener bus) — specs poll [[lastMetrics]].
   */
 object DropGuard {
-  private val ids = new AtomicLong(0L)
   private val sessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  /** name → (total, dropped, hot) accumulators; builder lookup. */
+  /** name → (total, dropped, hot) accumulators; builder lookup.
+    * Keyed by OP NAME, not a per-call id: `observed()` on the same op
+    * reuses the existing triple, so a long-lived session (streaming,
+    * notebook) holds one registry entry per distinct op — bounded —
+    * where the r8 shape minted three fresh accumulators per
+    * *invocation* and never pruned (a leak at 10⁶ invocations). The
+    * trade: two executions of the SAME op overlapping in time blend
+    * their counts into one delta at the next sweep — the warning
+    * still fires on the blended numbers; per-execution attribution
+    * was never a contract (listener delivery is already async).
+    */
   private val registry =
     new ConcurrentHashMap[String, (LongAccumulator, LongAccumulator, LongAccumulator)]()
   /** name → last reported cumulative totals (delta baseline). */
@@ -82,8 +91,13 @@ object DropGuard {
       }
     }
 
-  private def report(name: String, total: Long, dropped: Long, hot: Long): Unit = {
-    lastMetrics = lastMetrics.updated(name, (total, dropped, hot))
+  private def report(fullName: String, total: Long, dropped: Long, hot: Long): Unit = {
+    lastMetrics = lastMetrics.updated(fullName, (total, dropped, hot))
+    // strip the @appId scope for the human-facing line
+    val name = fullName.lastIndexOf('@') match {
+      case -1 => fullName
+      case i => fullName.substring(0, i)
+    }
     if (total > 0 && dropped == total)
       System.err.println(s"[graft] $name: ALL $total bucket members exceeded " +
         "the bucket cap — the op can only return ZERO pairs. The corpus is " +
@@ -109,13 +123,20 @@ object DropGuard {
     val spark = df.sparkSession
     ensure(spark)
     graft.functions.GraftFunctions.register(spark)
-    val name = s"graft_drop:$op#${ids.incrementAndGet()}"
     val sc = spark.sparkContext
-    registry.put(name, (
+    // the app-id suffix scopes the entry to ITS SparkContext: an
+    // accumulator outlives its context uselessly (updates are dropped
+    // after AccumulatorContext.clear), so a restarted session must
+    // mint fresh ones — one entry per (op, context), both bounded
+    val name = s"graft_drop:$op@${sc.applicationId}"
+    registry.computeIfAbsent(name, _ => (
       sc.longAccumulator(s"$name.total"),
       sc.longAccumulator(s"$name.dropped"),
       sc.longAccumulator(s"$name.hot")))
     df.filter(call_function("graft_drop_probe",
       lit(name), col("c.n"), col("c.ms").isNull))
   }
+
+  /** Registry cardinality — the lifecycle spec's bound probe. */
+  private[graft] def registrySize: Int = registry.size
 }

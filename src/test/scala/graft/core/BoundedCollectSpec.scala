@@ -58,6 +58,19 @@ class BoundedCollectSpec extends SparkSpec {
     assert(total == 160 && dropped == 160 && hot == 4) // 40 docs x 4 bands
   }
 
+  test("DropGuard registry stays bounded across repeated invocations") {
+    val docs = (1 to 10).map(i => (i.toLong, s"short text $i")).toDF("doc_id", "text")
+    // prime one invocation so the op's entry exists, then hammer it
+    DedupOps.simHashPairs(docs, "doc_id", "text").count()
+    val base = DropGuard.registrySize
+    for (_ <- 1 to 25)
+      DedupOps.simHashPairs(docs, "doc_id", "text").count()
+    // r8 minted 3 accumulators per *invocation* (registry +25 here);
+    // name+appId keying must reuse the existing triple
+    assert(DropGuard.registrySize == base,
+      s"registry grew from $base to ${DropGuard.registrySize}")
+  }
+
   test("DropGuard reports zero drops on a benign corpus") {
     val docs = (1 to 20).map(i => (i.toLong, s"distinct text number $i with unique words w$i v$i"))
       .toDF("doc_id", "text")
