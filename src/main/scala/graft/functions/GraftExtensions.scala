@@ -129,6 +129,19 @@ object GraftFunctions {
         require(children.size == 1,
           s"graft_lang_scores requires exactly 1 argument, got ${children.size}")
         LangNgramScores(children.head)
+      }),
+    ("graft_lang_model_scores",
+      new ExpressionInfo(classOf[LangModelScores].getName, "graft_lang_model_scores"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_lang_model_scores requires exactly 2 arguments, got ${children.size}")
+        // key literal → driver-registered model (DropProbe pattern)
+        val key = children.head.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+          case other => sys.error(s"graft_lang_model_scores: non-string key $other")
+        }
+        LangModelScores(children(1), graft.ops.LangProfiles.modelFor(key))
       }))
 
   /** Register into an existing session's function registry. Idempotent. */

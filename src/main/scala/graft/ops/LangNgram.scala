@@ -82,7 +82,21 @@ object LangNgram {
       "任何人不得使为奴隶或奴役 人人有思想 良心和宗教自由的权利 " +
       "法律之前人人平等 并有权享受法律的平等保护 不受任何歧视"))
 
-  /** The normalization BOTH engines replay before trigram extraction. */
+  /** The normalization BOTH engines replay before trigram extraction.
+    *
+    * BMP assumption (part of the determinism contract): [[scores]]
+    * indexes by Java UTF-16 *chars* while the DuckDB oracle indexes by
+    * *codepoints* — identical only while the text stays in the Basic
+    * Multilingual Plane. Astral-plane input (emoji, rare CJK
+    * extensions) shifts the trigram windows between engines: each
+    * astral codepoint is two UTF-16 chars (two window positions here,
+    * one in DuckDB). All frozen seeds are BMP, so the MODEL is safe by
+    * construction; scoring astral corpus text keeps the kernel
+    * deterministic (the spec's reference replays the same char
+    * semantics) but is not oracle-comparable. Iterating by codepoint
+    * would also double the per-position cost of the hot loop for a
+    * case the profiles carry no weights for — documented instead.
+    */
   def normalize(s: String): String =
     s.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("[ \\t\\n\\f\\r]+", " ").trim

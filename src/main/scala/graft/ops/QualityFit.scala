@@ -59,19 +59,51 @@ object QualityFit {
         TextOps.qualitySignalCols(t).zipWithIndex.map {
           case (c, i) => c.as(s"x${i + 1}")
         }: _*)
+    toWeights(fitPrepared(sig, NumFeatures, iters, ridge))
+  }
+
+  /** Fit logistic weights over an ARBITRARY feature-column list — the
+    * [[fit]] loop with the feature surface as a parameter instead of
+    * the five built-in quality signals (their Gram aggregation was
+    * always mechanically general; this exposes it). Returns
+    * (bias +: coefficients) aligned with `features`, rounded to 6
+    * decimals — the same frozen-model contract. Each feature column
+    * must be numeric over `df`'s columns; rows where any feature or
+    * the label is NULL would poison the decimal sums, so they are
+    * dropped (documented, observable via a count comparison).
+    *
+    * Scale shape identical to [[fit]]: per Newton step ONE corpus
+    * pass computing the (n+1)(n+2)/2 + (n+1) decimal sums map-side
+    * combined; the (n+1)×(n+1) solve is driver-side microseconds.
+    */
+  def fitColumns(df: DataFrame, label: Column, features: Seq[Column],
+      iters: Int = 8, ridge: Double = 1e-3): Array[Double] = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(features.nonEmpty, "need at least one feature column")
+    val sig = df.select(label.cast("double").as("y") +:
+        features.zipWithIndex.map { case (c, i) =>
+          c.cast("double").as(s"x${i + 1}")
+        }: _*)
+      .na.drop()
+    fitPrepared(sig, features.size, iters, ridge).map(r6)
+  }
+
+  /** The shared IRLS loop over a prepared (y, x1..x{nf}) frame. */
+  private def fitPrepared(sig: DataFrame, nf: Int, iters: Int,
+      ridge: Double): Array[Double] = {
     sig.cache()
     try {
-      var w = Array.fill(NumFeatures + 1)(0.0)
-      for (_ <- 1 to iters) w = newtonStep(sig, w, ridge)
-      toWeights(w)
-    } finally { sig.unpersist() }
+      var w = Array.fill(nf + 1)(0.0)
+      for (_ <- 1 to iters) w = newtonStep(sig, nf, w, ridge)
+      w
+    } finally { sig.unpersist(); () }
   }
 
   /** One Newton step: returns w + (X'SX + ridge·I)⁻¹ X'(y−μ). */
-  private def newtonStep(sig: DataFrame, w: Array[Double],
+  private def newtonStep(sig: DataFrame, nf: Int, w: Array[Double],
       ridge: Double): Array[Double] = {
-    val n = NumFeatures + 1
-    val x = lit(1.0) +: (1 to NumFeatures).map(i => col(s"x$i"))
+    val n = nf + 1
+    val x = lit(1.0) +: (1 to nf).map(i => col(s"x$i"))
     val z = x.zip(w).map { case (c, wi) => c * wi }.reduce(_ + _)
     val mu = lit(1.0) / (lit(1.0) + exp(-z))
     val s = mu * (lit(1.0) - mu)
@@ -102,7 +134,19 @@ object QualityFit {
     */
   def fitLocal(rows: Seq[(Array[Double], Double)], iters: Int = 8,
       ridge: Double = 1e-3): TextOps.QualityWeights = {
-    val n = NumFeatures + 1
+    val w = fitLocalVector(rows, iters, ridge)
+    require(w.length == NumFeatures + 1,
+      s"fitLocal needs $NumFeatures-feature rows, got ${w.length - 1}")
+    TextOps.QualityWeights(w(0), w(1), w(2), w(3), w(4), w(5))
+  }
+
+  /** [[fitLocal]] over arbitrary-width feature rows — the in-memory
+    * differential twin of [[fitColumns]].
+    */
+  def fitLocalVector(rows: Seq[(Array[Double], Double)], iters: Int = 8,
+      ridge: Double = 1e-3): Array[Double] = {
+    require(rows.nonEmpty, "need at least one row")
+    val n = rows.head._1.length + 1
     var w = Array.fill(n)(0.0)
     for (_ <- 1 to iters) {
       val a = Array.ofDim[Double](n, n)
@@ -119,7 +163,7 @@ object QualityFit {
       val delta = solve(a, g)
       w = w.zip(delta).map { case (wi, d) => wi + d }
     }
-    toWeights(w)
+    w.map(r6)
   }
 
   /** Signal rows for [[fitLocal]], via the same Spark signal
@@ -138,14 +182,14 @@ object QualityFit {
         r.getDouble(0)))
   }
 
-  private def toWeights(w: Array[Double]): TextOps.QualityWeights = {
-    def r6(v: Double) = BigDecimal(v)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+  private def r6(v: Double): Double = BigDecimal(v)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+
+  private def toWeights(w: Array[Double]): TextOps.QualityWeights =
     TextOps.QualityWeights(r6(w(0)), r6(w(1)), r6(w(2)), r6(w(3)),
       r6(w(4)), r6(w(5)))
-  }
 
-  /** Dense Gaussian elimination with partial pivoting (n=6). */
+  /** Dense Gaussian elimination with partial pivoting (small n). */
   private[graft] def solve(a0: Array[Array[Double]],
       b0: Array[Double]): Array[Double] = {
     val n = b0.length

@@ -160,26 +160,40 @@ object PipelineQueries {
     */
   private def langNgramOracleSql: String = {
     val L = graft.ops.LangNgram
+    langProfileOracleSql(L.langs, L.merged, L.floors, L.mergedUni,
+      L.sharedUniFloor)
+  }
+
+  /** The q96/q102 oracle shape for ANY (langs, weights, floors) model —
+    * q96 instantiates it with the compile-time LangNgram constants,
+    * q102 with the loaded wide profile table's model.
+    */
+  private def langProfileOracleSql(langsIn: Seq[String],
+      merged: java.util.HashMap[String, Array[Long]],
+      floors: Array[Long],
+      mergedUni: java.util.HashMap[Character, Array[Long]],
+      uniFloor: Long): String = {
+    val langs = langsIn
     import scala.jdk.CollectionConverters._
     def esc(s: String) = s.replace("'", "''")
-    val cols = L.langs.map(l => s"w_$l").mkString(", ")
-    val values = L.merged.asScala.toSeq.sortBy(_._1).map { case (t, ws) =>
+    val cols = langs.map(l => s"w_$l").mkString(", ")
+    val values = merged.asScala.toSeq.sortBy(_._1).map { case (t, ws) =>
       s"('${esc(t)}', ${ws.mkString(", ")})"
     }.mkString(",\n ")
-    val uniValues = L.mergedUni.asScala.toSeq.sortBy(_._1).map { case (c, ws) =>
+    val uniValues = mergedUni.asScala.toSeq.sortBy(_._1).map { case (c, ws) =>
       s"('${esc(c.toString)}', ${ws.mkString(", ")})"
     }.mkString(",\n ")
-    val sums = L.langs.zip(L.floors).map { case (l, f) =>
+    val sums = langs.zip(floors).map { case (l, f) =>
       s"CAST(sum(coalesce(w_$l, $f)) AS BIGINT) AS s_$l"
     }.mkString(",\n    ")
-    val uniSums = L.langs.map { l =>
-      s"CAST(sum(coalesce(w_$l, ${L.sharedUniFloor})) AS BIGINT) AS s_$l"
+    val uniSums = langs.map { l =>
+      s"CAST(sum(coalesce(w_$l, $uniFloor)) AS BIGINT) AS s_$l"
     }.mkString(",\n    ")
-    val fills = L.langs.map(l =>
+    val fills = langs.map(l =>
       s"coalesce(t3.s_$l, CAST(0 AS BIGINT)) + coalesce(u1.s_$l, CAST(0 AS BIGINT)) AS s_$l")
       .mkString(",\n  ")
-    val pred = L.langs.zipWithIndex.map { case (l, i) =>
-      val laters = L.langs.drop(i + 1)
+    val pred = langs.zipWithIndex.map { case (l, i) =>
+      val laters = langs.drop(i + 1)
       if (laters.isEmpty) s"ELSE '$l' END"
       else s"WHEN ${laters.map(o => s"s_$l >= s_$o").mkString(" AND ")} THEN '$l'"
     }.mkString("CASE ", " ", "")
@@ -207,9 +221,14 @@ object PipelineQueries {
        |  $fills
        |  FROM docs d LEFT JOIN sc t3 ON d.doc_id = t3.doc_id
        |  LEFT JOIN usc u1 ON d.doc_id = u1.doc_id)
-       |SELECT doc_id, ${L.langs.map(l => s"s_$l").mkString(", ")},
+       |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
        |  $pred AS lang_pred
        |FROM f""".stripMargin
+  }
+
+  private def langWideOracleSql: String = {
+    val m = graft.ops.LangProfiles.wideModel
+    langProfileOracleSql(m.langs, m.tri, m.triFloors, m.uni, m.uniFloor)
   }
 
   /** Ground truth for the image round-trip oracles: the same dims and
@@ -350,6 +369,17 @@ object PipelineQueries {
           else when(laters.reduce(_ && _), lit(l)).otherwise(rest)
       }
       scored.withColumn("lang_pred", pred)
+    }),
+
+    // Profile-TABLE language-ID: the wide (10-language) model routed
+    // through its DataFrame form (toTable -> fromTable -> score) — the
+    // model-as-data twin of q96's compile-time profiles; same kernel,
+    // same zero-shuffle scan, profiles swappable without a recompile.
+    "q102_lang_profile_table" -> ((s, d) => {
+      val P = graft.ops.LangProfiles
+      val model = P.fromTable(P.toTable(s, P.wideModel))
+      P.score(Tables(s, d, "documents"), "doc_id", "text", model)
+        .withColumnRenamed("id", "doc_id")
     }),
 
     // Whitespace-insensitive fingerprint (near-dup key modulo formatting).
@@ -1224,6 +1254,7 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|y)\b')) AS INTEGER) AS s_es
         | FROM documents) t""".stripMargin,
     "q96_lang_ngram" -> langNgramOracleSql,
+    "q102_lang_profile_table" -> langWideOracleSql,
     // audio ground truth = the sample formula (WAV/PCM is lossless)
     "q99_audio_decode" ->
       """WITH d AS (SELECT doc_id, (doc_id % 5 + 1) * 400 AS n FROM documents),

@@ -111,10 +111,13 @@ object StreamOps {
     *
     * Same digest discipline as the batch op: the static side reduces
     * to (id, 16-byte digest) once; each micro-batch ships digests,
-    * never text, through one stream-static LEFT join (broadcast the
-    * prev side when it fits). Stateless — no watermark, no keyed
-    * state; scale is bounded by the static side's size per executor,
-    * not the stream's length.
+    * never text, through one stream-static LEFT join.
+    * `broadcastPrev` (default true) pins the broadcast hint — right
+    * while the digest table fits an executor (~32 bytes/doc); pass
+    * false for a very large previous snapshot and the planner picks a
+    * non-broadcast stream-static join instead of OOMing executors.
+    * Stateless — no watermark, no keyed state; scale is bounded by
+    * the static side's size per executor, not the stream's length.
     *
     * Semantics caveat (inherent, documented not hidden): "removed"
     * is undecidable from a stream — absence has no arrival time. A
@@ -124,13 +127,14 @@ object StreamOps {
     * batch statuses minus "removed".
     */
   def snapshotDiffStream(stream: DataFrame, prev: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, broadcastPrev: Boolean = true): DataFrame = {
     val prevKeyed = prev.select(col(idCol).as("id"),
       md5(col(textCol).cast("binary")).as("prev_digest"),
       lit(true).as("prev_present"))
+    val prevSide = if (broadcastPrev) broadcast(prevKeyed) else prevKeyed
     stream.select(col(idCol).as("id"),
         md5(col(textCol).cast("binary")).as("cur_digest"))
-      .join(broadcast(prevKeyed), Seq("id"), "left")
+      .join(prevSide, Seq("id"), "left")
       .select(col("id"),
         when(col("prev_present").isNull, lit("added"))
           .when(col("cur_digest") <=> col("prev_digest"), lit("unchanged"))

@@ -58,6 +58,46 @@ class QualityFitSpec extends SparkSpec {
         "re-run QualityFitProbe and update the frozen constant")
   }
 
+  test("fitColumns: arbitrary signal columns match the in-memory reference") {
+    // fit on the documents table's OWN columns (not the 5 built-in
+    // text signals): the generalized Gram aggregation must agree with
+    // the plain-double local twin on a 3-feature surface
+    val d = docs001
+    val feats = Seq(col("n_chars").cast("double"),
+      length(col("text")).cast("double") / 100.0,
+      (col("doc_id") % 7).cast("double"))
+    val w = QualityFit.fitColumns(d, col("lang") === "en", feats, iters = 6)
+    assert(w.length == 4)
+    val rows = d.select(col("lang").cast("string").as("lang"),
+        feats(0).as("f1"), feats(1).as("f2"), feats(2).as("f3"))
+      .collect().map(r => (Array(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)), if (r.getString(0) == "en") 1.0 else 0.0)).toSeq
+    val lw = QualityFit.fitLocalVector(rows, iters = 6)
+    w.zip(lw).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(math.abs(x - y) < 1e-4, s"coef $i: spark=$x local=$y")
+    }
+  }
+
+  test("fitColumns: the 5 built-in signals reproduce fit exactly") {
+    val d = docs001
+    val w = QualityFit.fit(d, "text", col("lang") === "en", iters = 4)
+    // materialize the same 5 signal expressions as plain columns, then
+    // fit over THOSE — the decimal sums must match fit's bit-for-bit
+    val sig = d.select(col("lang"), col("text"),
+        TextOps.tokens(col("text")).as("_w"))
+      .select(col("lang"), explode(array(col("_w"))).as("_w"), col("text"))
+      .select(col("lang") +:
+        TextOps.qualitySignalCols(col("text")).zipWithIndex.map {
+          case (c, i) => c.as(s"f${i + 1}")
+        }: _*)
+    val viaColumns = QualityFit.fitColumns(sig, col("lang") === "en",
+      (1 to 5).map(i => col(s"f$i")), iters = 4)
+    val a = w.toArray
+    viaColumns.zip(a).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(math.abs(x - y) < 1e-9, s"coef $i: columns=$x fit=$y")
+    }
+  }
+
   test("solve: gaussian elimination inverts a known system") {
     val a = Array(
       Array(4.0, 1.0, 0.0, 0.0, 0.0, 0.0),
