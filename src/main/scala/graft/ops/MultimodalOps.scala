@@ -145,6 +145,105 @@ object MultimodalOps {
       .toDF("doc_id", "payload")
   }
 
+  // ---------------------------------------------------------------
+  // REAL JPEG path — the tolerance-band extension of the verified-
+  // decoder discipline to the codec that dominates web crawls. JPEG
+  // is lossy, so no exact oracle can exist; the engine-portable claim
+  // is the CONTRACT: decoded dimensions match and every channel of
+  // every pixel lands within a fixed error band of the generating
+  // formula. The formula here is deliberately JPEG-FRIENDLY (smooth
+  // per-channel linear ramps, no mod-256 wrap — the PNG path's
+  // sawtooth formula measures up to 185 max error even at quality
+  // 1.0, pure DCT/chroma noise): at quality 0.85 the measured worst
+  // per-channel error across 600 docs is 5, while a channel SWAP
+  // errs >= 27 on every doc — tolerance 12 sits between, so decode
+  // failures, dimension/stride bugs, and channel swaps all flip
+  // `within_tol` (a red hash row), and codec-version jitter does not.
+  // ---------------------------------------------------------------
+
+  private[graft] def jpxBase(id: Long, x: Int, y: Int): Int =
+    (x * 5 + y * 3 + (id % 32)).toInt
+  private[graft] def jpxR(id: Long, x: Int, y: Int): Int = jpxBase(id, x, y)
+  private[graft] def jpxG(id: Long, x: Int, y: Int): Int = jpxBase(id, x, y) * 3 / 4
+  private[graft] def jpxB(id: Long, x: Int, y: Int): Int = jpxBase(id, x, y) / 2
+
+  private[graft] val JpegQuality = 0.85f
+  private[graft] val JpegTolerance = 12
+
+  private[graft] def syntheticJpegImage(id: Long): java.awt.image.BufferedImage = {
+    val (w, h) = imgDims(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (jpxR(id, x, y) << 16) | (jpxG(id, x, y) << 8) | jpxB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private[graft] def encodeJpeg(img: java.awt.image.BufferedImage,
+      quality: Float = JpegQuality): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try { w.setOutput(ios); w.write(null, new javax.imageio.IIOImage(img, null, null), p) }
+    finally { ios.close(); w.dispose() }
+    bos.toByteArray
+  }
+
+  /** Real JPEG payloads (ImageIO-encoded smooth-formula pixels). */
+  def withJpegPayload(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeJpeg(syntheticJpegImage(id)))))
+      .toDF("doc_id", "payload")
+  }
+
+  case class JpegCheck(doc_id: Long, width: Int, height: Int,
+      n_px: Long, within_tol: Boolean)
+
+  /** Decode each JPEG payload through the real codec and verify the
+    * tolerance-band contract against the generating formula. Narrow
+    * per-partition pass, zero shuffle. Non-decodable payloads drop
+    * (a missing row is a red rows-count, not a silent pass).
+    */
+  def jpegDecodeCheck(spark: SparkSession, binDocs: DataFrame,
+      tol: Int = JpegTolerance): DataFrame = {
+    import spark.implicits._
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var maxErr = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val er = math.abs(((rgb >> 16) & 0xff) - jpxR(id, x, y))
+              val eg = math.abs(((rgb >> 8) & 0xff) - jpxG(id, x, y))
+              val eb = math.abs((rgb & 0xff) - jpxB(id, x, y))
+              val e = math.max(er, math.max(eg, eb))
+              if (e > maxErr) maxErr = e
+              x += 1
+            }
+            y += 1
+          }
+          JpegCheck(id, w, h, w.toLong * h, maxErr <= tol)
+        }
+      })
+      .toDF()
+  }
+
   case class ImageStats(doc_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long, mean_luma: Double)
 
@@ -174,7 +273,9 @@ object MultimodalOps {
           }
           // same double expression the oracle computes: exact integer
           // sums, ONE division, round-half-up at 5dp
-          val mean = BigDecimal((sr + sg + sb).toDouble / (3 * w * h))
+          // 3L: an Int product overflows past ~715M pixels (payloads
+          // are arbitrary, not just the small synthetic ones)
+          val mean = BigDecimal((sr + sg + sb).toDouble / (3L * w * h))
             .setScale(5, BigDecimal.RoundingMode.HALF_UP).doubleValue
           ImageStats(id, w, h, sr, sg, sb, mean)
         }
@@ -225,7 +326,11 @@ object MultimodalOps {
 
   private[graft] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    // NonFatal, not just IOException: codec internals throw unchecked
+    // (IllegalArgument/CMM/ArrayIndexOutOfBounds) on corrupt payloads,
+    // and the contract is "non-decodable payloads are dropped", not
+    // "one malformed image fails the task"
+    catch { case scala.util.control.NonFatal(_) => None }
 
   // ---------------------------------------------------------------
   // REAL audio path (JDK javax.sound.sampled — WAV/PCM): same
@@ -336,8 +441,8 @@ object MultimodalOps {
         Some((f.getSampleRate.toInt, out))
       }
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // same dropped-not-fatal contract as decodeImage
+      case scala.util.control.NonFatal(_) => None
     }
 
   case class Frame(doc_id: Long, frame_idx: Int, offset: Int, frame: Array[Byte])

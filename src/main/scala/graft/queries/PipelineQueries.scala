@@ -415,6 +415,16 @@ object PipelineQueries {
       MultimodalOps.resizeGrid(s,
         MultimodalOps.withImagePayload(s, Tables(s, d, "documents"), "doc_id"))),
 
+    // REAL JPEG decode under a tolerance band: smooth-formula pixels
+    // through the real lossy codec; the oracle pins the portable
+    // CONTRACT (decoded dims + every channel within 12 of the
+    // formula) — decode failures, stride bugs, and channel swaps all
+    // flip within_tol, codec-version jitter cannot (measured max
+    // error 5 at quality 0.85; a channel swap errs >= 27 everywhere).
+    "q103_jpeg_decode" -> ((s, d) =>
+      MultimodalOps.jpegDecodeCheck(s,
+        MultimodalOps.withJpegPayload(s, Tables(s, d, "documents"), "doc_id"))),
+
     // REAL audio decode: per-doc WAV payloads (AudioSystem-encoded
     // formula samples) parsed back through the real codec; exact
     // amplitude stats. PCM is lossless — the oracle replays the
@@ -1204,6 +1214,14 @@ object PipelineQueries {
         |FROM documents GROUP BY 1""".stripMargin,
     "q94_substr_spans" -> substrSpansOracleSql,
     "q101_remove_spans" -> removeSpansOracleSql,
+    "q103_jpeg_decode" ->
+      """SELECT doc_id,
+        | CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS width,
+        | CAST(((doc_id // 3) % 3 + 1) * 8 AS INTEGER) AS height,
+        | CAST(((doc_id % 3 + 1) * 8) * (((doc_id // 3) % 3 + 1) * 8)
+        |   AS BIGINT) AS n_px,
+        | true AS within_tol
+        |FROM documents""".stripMargin,
     "q100_curation_v2" ->
       s"""WITH lang AS (SELECT doc_id, lang_pred FROM ($langNgramOracleSql) lt),
          |qual AS (SELECT doc_id, quality FROM

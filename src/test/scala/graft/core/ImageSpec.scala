@@ -112,4 +112,52 @@ class ImageSpec extends SparkSpec {
     val png = MultimodalOps.encodePng(img)
     assert(MultimodalOps.parseImageDims(png).contains((16, 16)))
   }
+
+  test("JPEG tolerance band: within_tol everywhere, and the band does real work") {
+    import spark.implicits._
+    val docs = (0L until 60L).toDF("doc_id")
+    val checks = MultimodalOps.jpegDecodeCheck(spark,
+        MultimodalOps.withJpegPayload(spark, docs, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(checks.length == 60)
+    checks.foreach { case (id, w, h, npx, ok) =>
+      assert((w, h) == MultimodalOps.imgDims(id), s"dims id=$id")
+      assert(npx == w.toLong * h, s"n_px id=$id")
+      assert(ok, s"codec error above tolerance for id=$id")
+    }
+    // the codec is REALLY lossy on this formula (band > 0 is doing
+    // work, not vacuously passing a lossless path)
+    val lossy = (0L until 60L).exists { id =>
+      val dec = MultimodalOps.decodeImage(
+        MultimodalOps.encodeJpeg(MultimodalOps.syntheticJpegImage(id))).get
+      (0 until dec.getHeight).exists(y => (0 until dec.getWidth).exists { x =>
+        val rgb = dec.getRGB(x, y)
+        ((rgb >> 16) & 0xff) != MultimodalOps.jpxR(id, x, y) ||
+        ((rgb >> 8) & 0xff) != MultimodalOps.jpxG(id, x, y) ||
+        (rgb & 0xff) != MultimodalOps.jpxB(id, x, y)
+      })
+    }
+    assert(lossy, "JPEG round trip was bit-exact — the tolerance band is vacuous")
+  }
+
+  test("JPEG tolerance band catches a channel swap; corrupt payloads drop") {
+    import spark.implicits._
+    // encode with R and B swapped: a decoder channel-order bug
+    val swapped = (0L until 30L).map { id =>
+      val (w, h) = MultimodalOps.imgDims(id)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (MultimodalOps.jpxB(id, x, y) << 16) |
+          (MultimodalOps.jpxG(id, x, y) << 8) | MultimodalOps.jpxR(id, x, y))
+      (id, MultimodalOps.encodeJpeg(img))
+    }.toDF("doc_id", "payload")
+    val flags = MultimodalOps.jpegDecodeCheck(spark, swapped)
+      .select("within_tol").collect().map(_.getBoolean(0))
+    assert(flags.length == 30 && flags.forall(!_),
+      "channel swap must land outside the tolerance band for every doc")
+    val garbage = Seq((1L, Array.fill[Byte](64)(0x3f))).toDF("doc_id", "payload")
+    assert(MultimodalOps.jpegDecodeCheck(spark, garbage).count() == 0)
+  }
 }
