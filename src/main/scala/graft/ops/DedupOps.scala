@@ -471,26 +471,36 @@ object DedupOps {
     *
     * Scale shape, in suffix-array terms: the paper's suffix array is
     * replaced by a gram-digest shuffle — same O(total tokens) working
-    * set, but expressed as window/groupBy, so Spark partitions it
-    * instead of a single-machine sort. The corpus is scanned and
-    * tokenized ONCE (the r8 shape fed a frequency groupBy and a
-    * semi-join probe from two separate scans — at 100 TB the
-    * tokenize+digest pass, the dominant cost, ran twice): occurrence
-    * counts per digest come from `count(*) over (partition by gd)` on
-    * the single position frame, so "repeated" positions are a filter,
-    * not a join. Two exchanges: (1) positions hash-shuffled by digest
-    * for the count window, (2) the per-document window for span merge,
+    * set, but expressed as groupBy/semi-join/window, so Spark
+    * partitions it instead of a single-machine sort. Three exchanges:
+    * (1) digest groupBy for frequencies (map-side combine collapses
+    * each partition to its distinct digests — heavy-hitter grams are
+    * NOT a hotspot, no member list is ever materialized), (2)
+    * broadcast-or-shuffle LEFT SEMI join of positions against
+    * repeated digests — count>=2 filtering happens BEFORE the join,
+    * so the build side is only the duplicated grams, typically
+    * corpus-tiny, (3) the per-document window for span merge,
     * partitioned by doc (no global sort). Positions shuffle as
-    * (id, pos, 16-byte digest), never the gram text. Heavy-hitter
-    * caveat: the count window buffers each digest group's rows
-    * (UnsafeExternalSorter, disk-spilling — bounded by disk, not
-    * memory); a gram repeated 10⁹ times costs one task a large spill
-    * where the old groupBy map-side-combined it, which is the price of
-    * halving the corpus scans — the right trade while scan+digest
-    * dominates.
+    * (id, pos, 16-byte digest), never the gram text.
+    *
+    * Both branches consume the position frame; how it is produced is
+    * `persistPositions`'s trade, measured both ways at sf0.1:
+    *  - true (default): ONE tokenize+digest scan, lazily
+    *    localCheckpointed (memory-and-disk) and read twice. Right
+    *    while the ~28 B/token position cache is cheaper than a second
+    *    scan — always at bench scale, and at cluster scale whenever
+    *    tokenize+digest dominates I/O. Storage is released with
+    *    [[Checkpoints.release]] on the returned frame once consumed.
+    *  - false: recompute the projection from the source on each
+    *    branch (the r8 shape — two scans, zero cache). Right when the
+    *    position cache (~larger than the corpus) would out-cost the
+    *    rescan — e.g. cold object-store input with cheap tokens.
+    * A count-window one-pass variant was measured and rejected: per-
+    * group window machinery over millions of ~unique digests ran 25×
+    * slower cold than the groupBy+semi-join it replaced (BENCHNOTES).
     */
   def substrDupSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, persistPositions: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val w = col("_w")
@@ -502,15 +512,18 @@ object DedupOps {
         i => md5(concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*)
           .cast("binary")))
     ).otherwise(array())
-    val pos = docs
+    val posPlan = docs
       .select(col(idCol).as("id"), split(lower(col(textCol)), TextOps.Ws).as("_w"))
       // Generate barrier so `split` runs once per row, not once per
       // lambda element (the wordShingles lesson, measured 37×)
       .select(col("id"), explode(array(grams)).as("_g"))
       .select(col("id"), posexplode(col("_g")).as(Seq("pos", "gd")))
-    val flagged = pos
-      .withColumn("_n_occ", count(lit(1)).over(Window.partitionBy("gd")))
-      .filter(col("_n_occ") >= 2)
+    val pos =
+      if (persistPositions) posPlan.localCheckpoint(eager = false)
+      else posPlan
+    val repeated = pos.groupBy("gd").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val flagged = pos.join(repeated.select("gd"), Seq("gd"), "left_semi")
     // gaps-and-islands: consecutive flagged gram starts share one span
     val isl = flagged.withColumn("_isl",
       col("pos") - row_number().over(

@@ -1175,16 +1175,29 @@ class OpsSpec extends SparkSpec {
     assert(agg.getLong(3) == 7L && agg.getLong(4) == 7L, agg.toString)
   }
 
-  test("substrDupSpans: ONE corpus scan feeds both the frequency count and the probe") {
-    // the r8 shape fed a groupBy and a semi-join from two separate
-    // scans — at 100 TB the tokenize+digest pass (the dominant cost)
-    // ran twice; the window restructure must keep exactly one scan
+  test("substrDupSpans: ONE tokenize scan feeds both branches (checkpointed positions)") {
+    // the r8 shape fed the frequency groupBy and the semi-join probe
+    // from two separate corpus scans — at 100 TB the tokenize+digest
+    // pass (the dominant cost) ran twice. Default path: the position
+    // frame is checkpointed, so the SQL plan holds ZERO parquet scans
+    // (the one real scan lives in the checkpointed RDD's lineage);
+    // the recompute variant shows the two scans it pays, and both
+    // produce identical spans.
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int = {
+      df.write.format("noop").mode("overwrite").save()
+      graft.ops.PlanProbe.allNodes(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    }
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val spans = DedupOps.substrDupSpans(docs, "doc_id", "text", k = 4)
-    spans.write.format("noop").mode("overwrite").save()
-    val scans = graft.ops.PlanProbe.allNodes(spans.queryExecution.executedPlan)
-      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
-    assert(scans == 1, s"expected 1 parquet scan, got $scans")
+    val cached = DedupOps.substrDupSpans(docs, "doc_id", "text", k = 4)
+    val rescan = DedupOps.substrDupSpans(docs, "doc_id", "text", k = 4,
+      persistPositions = false)
+    assert(scanCount(cached) == 0, "checkpointed path must not rescan parquet")
+    assert(scanCount(rescan) == 2, "recompute path pays the two scans")
+    val a = cached.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = rescan.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b && a.nonEmpty)
+    graft.ops.Checkpoints.release(cached)
   }
 
   test("removeSpans: hand cut — spans excised, case kept, survivors single-spaced") {
