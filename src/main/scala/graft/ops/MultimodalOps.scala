@@ -445,6 +445,53 @@ object MultimodalOps {
       case scala.util.control.NonFatal(_) => None
     }
 
+  case class AudioFeatures(doc_id: Long, src_rate: Int, n_samples: Int,
+      duration_ms: Long, duration_bucket: Long, target_rate: Int,
+      n_out: Int, min_out: Int, max_out: Int, sum_abs_out: Long)
+
+  /** Audio FEATURES beyond raw stats: nearest-neighbor resample to
+    * `targetRate` plus duration bucketing — the two features a
+    * training-data audio pipeline derives before batching (uniform
+    * sample rate for the model, duration buckets for length-grouped
+    * packing). All math is integer-exact so the oracle replays it:
+    * the resampled signal is out(i) = s(floor(i·srcRate/targetRate))
+    * for i < floor(n·targetRate/srcRate) — nearest-neighbor on
+    * purpose: interpolation needs float rounding contracts that are
+    * codec-portable only by convention, while index arithmetic is
+    * exact in every engine, and the verified-decode contract (decoded
+    * samples equal the formula) carries through the index map
+    * untouched. duration_ms = n·1000/srcRate (integer), bucketed
+    * every `bucketMs`. Narrow per-partition pass, zero shuffle;
+    * non-WAV/non-s16-mono payloads drop.
+    */
+  def audioFeatures(spark: SparkSession, binDocs: DataFrame,
+      targetRate: Int = 3000, bucketMs: Int = 100): DataFrame = {
+    import spark.implicits._
+    require(targetRate >= 1, s"targetRate must be >= 1, got $targetRate")
+    require(bucketMs >= 1, s"bucketMs must be >= 1, got $bucketMs")
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWavS16Mono(bytes).map { case (rate, samples) =>
+          val n = samples.length
+          val nOut = (n.toLong * targetRate / rate).toInt
+          var (mn, mx, sa) = (Int.MaxValue, Int.MinValue, 0L)
+          var i = 0
+          while (i < nOut) {
+            val s = samples((i.toLong * rate / targetRate).toInt)
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            sa += math.abs(s)
+            i += 1
+          }
+          if (nOut == 0) { mn = 0; mx = 0 }
+          val durMs = n.toLong * 1000 / rate
+          AudioFeatures(id, rate, n, durMs, durMs / bucketMs,
+            targetRate, nOut, mn, mx, sa)
+        }
+      })
+      .toDF()
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, offset: Int, frame: Array[Byte])
 
   /** Frame sampling: cut each payload into `nFrames` evenly-spaced

@@ -433,6 +433,13 @@ object PipelineQueries {
       MultimodalOps.audioStats(s,
         MultimodalOps.withAudioPayload(s, Tables(s, d, "documents"), "doc_id"))),
 
+    // Audio FEATURES: integer-exact nearest-neighbor resample to 3 kHz
+    // + 100 ms duration buckets over the real-decoded WAV samples —
+    // the oracle replays the index map over the sample formula.
+    "q104_audio_features" -> ((s, d) =>
+      MultimodalOps.audioFeatures(s,
+        MultimodalOps.withAudioPayload(s, Tables(s, d, "documents"), "doc_id"))),
+
     // Exact brute-force cosine top-10 for 5 query vectors (the exact
     // baseline; the scale path is q38's LSH variant).
     "q36_knn_brute" -> ((s, d) =>
@@ -1285,6 +1292,24 @@ object PipelineQueries {
         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
         |  round(CAST(sum(abs(s)) AS DOUBLE) / n, 5) AS mean_abs
         |FROM sm GROUP BY doc_id, n""".stripMargin,
+    "q104_audio_features" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 5 + 1) * 400 AS n FROM documents),
+        |o AS (SELECT doc_id, n, n * 3000 // 8000 AS n_out FROM d),
+        |ss AS (SELECT doc_id, n, n_out, unnest(range(0, n_out)) AS i FROM o),
+        |sm AS (SELECT doc_id, n, n_out,
+        |  ((i * 8000 // 3000) * 37 + doc_id * 101) % 65536 - 32768 AS s
+        | FROM ss)
+        |SELECT doc_id, CAST(8000 AS INTEGER) AS src_rate,
+        |  CAST(n AS INTEGER) AS n_samples,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST((n * 1000 // 8000) // 100 AS BIGINT) AS duration_bucket,
+        |  CAST(3000 AS INTEGER) AS target_rate,
+        |  CAST(n_out AS INTEGER) AS n_out,
+        |  CAST(min(s) AS INTEGER) AS min_out,
+        |  CAST(max(s) AS INTEGER) AS max_out,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs_out
+        |FROM sm GROUP BY doc_id, n, n_out""".stripMargin,
+
     // the pixel-formula CTE both image oracles share: dims + a full
     // (x, y) pixel grid per doc via two SEQUENTIAL unnests (same-
     // select unnests zip in DuckDB; staged ones cross)

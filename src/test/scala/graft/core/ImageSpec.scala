@@ -160,4 +160,27 @@ class ImageSpec extends SparkSpec {
     val garbage = Seq((1L, Array.fill[Byte](64)(0x3f))).toDF("doc_id", "payload")
     assert(MultimodalOps.jpegDecodeCheck(spark, garbage).count() == 0)
   }
+
+  test("audioFeatures: integer-exact resample + duration buckets match a pure reference") {
+    import spark.implicits._
+    val docs = (0L until 20L).toDF("doc_id")
+    val got = MultimodalOps.audioFeatures(spark,
+        MultimodalOps.withAudioPayload(spark, docs, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 20)
+    for (id <- 0L until 20L) {
+      val n = MultimodalOps.audioLen(id)
+      val nOut = (n.toLong * 3000 / 8000).toInt
+      val out = (0 until nOut).map(i =>
+        MultimodalOps.sampleAt(id, (i.toLong * 8000 / 3000).toInt))
+      val r = got(id)
+      assert(r.getInt(2) == n && r.getInt(6) == nOut, s"counts id=$id")
+      assert(r.getLong(3) == n.toLong * 1000 / 8000, s"duration id=$id")
+      assert(r.getLong(4) == (n.toLong * 1000 / 8000) / 100, s"bucket id=$id")
+      assert((r.getInt(7), r.getInt(8)) == ((out.min, out.max)), s"minmax id=$id")
+      assert(r.getLong(9) == out.map(s => math.abs(s).toLong).sum, s"sum id=$id")
+    }
+    val garbage = Seq((1L, "not a wav".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(MultimodalOps.audioFeatures(spark, garbage).count() == 0)
+  }
 }
