@@ -35,7 +35,7 @@ object Verify {
         .collect().map(r => r.getString(0) ->
           (if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
       val floors = Map("knn_ivf" -> 0.4, "knn_lsh" -> 0.1,
-        "neardup_pairs" -> 0.1)
+        "knn_ivfpq" -> 0.4, "neardup_pairs" -> 0.1)
       val bad = floors.flatMap { case (m, f) =>
         rep.get(m) match {
           case Some(r) if r >= f => None

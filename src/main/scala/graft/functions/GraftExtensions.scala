@@ -116,6 +116,20 @@ object GraftFunctions {
         val (t, d, h) = graft.ops.DropGuard.accumulators(name)
         DropProbe(children(1), children(2), t, d, h)
       }),
+    ("graft_pq_encode",
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_pq_encode requires exactly 2 arguments, got ${children.size}")
+        PqEncode(children.head, children(1))
+      }),
+    ("graft_pq_adc_table",
+      new ExpressionInfo(classOf[PqAdcTable].getName, "graft_pq_adc_table"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_pq_adc_table requires exactly 2 arguments, got ${children.size}")
+        PqAdcTable(children.head, children(1))
+      }),
     ("graft_nfc",
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => {

@@ -205,7 +205,7 @@ object SimilarityOps {
     * CORPUS (not the result) keeps baseline and approximate paths
     * answering the same question on the same frame. The sample is
     * deterministic (hash of the id, fixed salt — partition-invariant,
-    * re-evaluation-safe, so the five independently-checkpointed
+    * re-evaluation-safe, so the six independently-checkpointed
     * subtrees all see the identical sample). Size it so n·fraction is
     * a few thousand rows: the quadratic baseline cost drops by
     * fraction², the recall estimate's variance is governed only by
@@ -223,7 +223,7 @@ object SimilarityOps {
     // each result set is small (top-k rows / thresholded pairs) but
     // expensive to produce, and the exact baseline feeds TWO recall
     // rows — localCheckpoint pins each once instead of replanning the
-    // similarity subtrees per consuming aggregate. The five
+    // similarity subtrees per consuming aggregate. The six
     // materializations are INDEPENDENT jobs, so they checkpoint
     // concurrently (Spark's scheduler interleaves jobs from multiple
     // threads): the cheap approximate paths ride along with the O(n²)
@@ -236,10 +236,14 @@ object SimilarityOps {
       knnBrute(emb0, idCol, vecCol, queryPred, k),
       knnLsh(emb0, idCol, vecCol, queryPred, k, nbitsKnn, probes),
       knnIvf(spark, emb0, idCol, vecCol, queryPred, k),
+      // PQ scoreboard params pinned with the q105 harness entry
+      // (measured 0.78 sf0.01 / 0.64 sf0.1; defaults land ~0.3)
+      knnIvfPq(spark, emb0, idCol, vecCol, queryPred, k,
+        nprobe = 8, m = 16, refine = 8),
       exactCosinePairs(emb0, idCol, vecCol, minCosine),
       embeddingNearDupPairs(emb0, idCol, vecCol, minCosine, nbitsPairs))
     val futs = frames.map(f => Future(f.localCheckpoint()))
-    val Seq(exactTopK, lsh, ivf, exactPairs, lshPairs) =
+    val Seq(exactTopK, lsh, ivf, ivfpq, exactPairs, lshPairs) =
       try Await.result(Future.sequence(futs), Duration.Inf)
       catch { case e: Throwable =>
         // one checkpoint failed: the siblings' jobs can't be
@@ -255,15 +259,17 @@ object SimilarityOps {
       recallRow(exactTopK, lsh, Seq("query_id", "cand_id"), "knn_lsh", k)
         .unionByName(recallRow(exactTopK, ivf, Seq("query_id", "cand_id"),
           "knn_ivf", k))
+        .unionByName(recallRow(exactTopK, ivfpq, Seq("query_id", "cand_id"),
+          "knn_ivfpq", k))
         .unionByName(recallRow(exactPairs, lshPairs, Seq("a_id", "b_id"),
           "neardup_pairs", 0))
-    // the report is 3 rows — materialize it NOW so the five pinned
+    // the report is 4 rows — materialize it NOW so the six pinned
     // frames' storage blocks can be released before returning, instead
     // of leaking them for the session lifetime (the Checkpoints
     // discipline GraphOps/DedupOps follow)
     val rows = report.collect().toSeq
     val schema = report.schema
-    Seq(exactTopK, lsh, ivf, exactPairs, lshPairs).foreach(Checkpoints.release)
+    Seq(exactTopK, lsh, ivf, ivfpq, exactPairs, lshPairs).foreach(Checkpoints.release)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
@@ -389,6 +395,153 @@ object SimilarityOps {
         round(nativeCosine(emb)(col("qv"), col("v")), 6).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+  }
+
+  /** Per-subspace PQ codebook fit on the driver sample: residuals vs
+    * the nearest coarse center, split into `m` contiguous subvectors,
+    * each clustered independently ([[lloydFit]], seeded per
+    * subspace). Driver cost is sample_size × m small fits —
+    * milliseconds for the 10-100k-vector samples [[knnIvf]] already
+    * bounds; the result is m × nCodes × (dim/m) doubles, the same
+    * size as ONE codebook of nCodes full-dim centers.
+    */
+  private[ops] def pqFit(sample: Array[Array[Double]],
+      coarse: Array[Array[Double]], m: Int, nCodes: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    val dim = sample(0).length
+    require(dim % m == 0,
+      s"embedding dim $dim must be divisible by m=$m subspaces")
+    val ds = dim / m
+    val resids = sample.map { p =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        val cv = coarse(c)
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = p(j) - cv(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val cv = coarse(best)
+      Array.tabulate(dim)(j => p(j) - cv(j))
+    }
+    Array.tabulate(m) { j =>
+      val sub = resids.map(r =>
+        java.util.Arrays.copyOfRange(r, j * ds, (j + 1) * ds))
+      lloydFit(sub, nCodes, maxIter = 10, seed + 1 + j)
+    }
+  }
+
+  /** IVF-PQ approximate top-k — the canonical billion-row ANN shape:
+    * an IVF coarse quantizer restricts each query to `nprobe` cells,
+    * and within them candidates are scored against PRODUCT-QUANTIZED
+    * codes (m sub-codes of ⌈log2 nCodes⌉ bits each) by asymmetric
+    * distance (ADC), not full vectors. At 100 TB this is the
+    * difference between scanning m bytes and 4·d bytes per candidate
+    * — the compressed `codes` frame (id, cell, array<int> — the
+    * persisted "index" in a real deployment, built once per corpus
+    * snapshot) is ~d·4/m× smaller than the embeddings, so the probe
+    * scan is memory-bandwidth-cheap; full vectors are touched only to
+    * re-rank the ADC shortlist (`refine`·k rows per query, a
+    * broadcast-join fetch).
+    *
+    * Cosine is served by unit-normalizing up front: for unit vectors
+    * argmin L2 = argmax cosine, so the L2 PQ machinery ranks
+    * correctly and the refine step reports exact cosine (scale-
+    * invariant, so it uses the RAW vectors — bit-identical to
+    * [[knnBrute]]'s similarity, which makes recall directly
+    * measurable).
+    *
+    * The ADC table is computed ONCE per (query, probed cell) by the
+    * native `graft_pq_adc_table` (the composed HOF form — m nested
+    * transform/aggregate trees over codebook literals — costs seconds
+    * of whole-stage codegen, the NearestCells lesson); per candidate
+    * the cost is m table lookups (`zip_with` over the m-element codes
+    * array) + a sum. Encoding is `graft_pq_encode`, one plan node.
+    *
+    * Sizing: defaults (nCells=16, m=8, nCodes=16 → 4-bit codes)
+    * assume the ≤10⁶-row bench corpus with its small fit sample; at
+    * 10⁹ rows use nCells ≈ √N, nCodes=256 (byte codes, the FAISS
+    * convention) and a fitFraction that still lands 10-100k sample
+    * vectors on the driver. Deterministic via fixed seed; a vector
+    * lands in exactly one cell and a query's probed cells are
+    * distinct, so no candidate dedup is needed.
+    */
+  def knnIvfPq(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      idCol: String, vecCol: String, queryPred: Column, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 8, nCodes: Int = 16,
+      refine: Int = 4, seed: Long = 42L,
+      fitFraction: Double = 0.1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nCells >= 2, s"nCells must be >= 2, got $nCells")
+    require(nprobe >= 1 && nprobe <= nCells,
+      s"nprobe must be in [1, nCells], got $nprobe for nCells=$nCells")
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(nCodes >= 2, s"nCodes must be >= 2, got $nCodes")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"fitFraction must be in (0, 1], got $fitFraction")
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val raw = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("rv"))
+    // unit-normalize once into the row (norm materialized first: a
+    // lambda referencing the aggregate directly would inline — and
+    // recompute — it per element)
+    val base = raw
+      .withColumn("nrm", sqrt(aggregate(col("rv"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("v", when(col("nrm") > 0,
+        transform(col("rv"), x => x / col("nrm"))).otherwise(col("rv")))
+      .drop("nrm")
+
+    var sample = base.sample(withReplacement = false, fitFraction, seed)
+      .select("v").as[Seq[Double]].collect().map(_.toArray)
+    if (sample.isEmpty) // tiny-corpus guard
+      sample = base.select("v").limit(nCells * 8).as[Seq[Double]].collect().map(_.toArray)
+    val coarse = lloydFit(sample, nCells, maxIter = 10, seed)
+    val books = pqFit(sample, coarse, m, nCodes, seed)
+    val centersLit = typedlit(coarse.map(_.toSeq).toSeq)
+    val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+
+    val assigned = base
+      .withColumn("ranked", call_function("graft_nearest_cells", col("v"), centersLit))
+      .withColumn("cell", element_at(col("ranked"), 1))
+      .withColumn("resid",
+        zip_with(col("v"), element_at(centersLit, col("cell") + 1), _ - _))
+    // the compressed index frame: all the probe scan ever reads
+    val codes = assigned.select(col("id"), col("cell"),
+      call_function("graft_pq_encode", col("resid"), booksLit).as("codes"))
+
+    val q = assigned.filter(queryPred)
+      .select(col("id").as("query_id"),
+        explode(slice(col("ranked"), 1, nprobe)).as("cell"), col("v"))
+      .withColumn("qresid",
+        zip_with(col("v"), element_at(centersLit, col("cell") + 1), _ - _))
+      .select(col("query_id"), col("cell"),
+        call_function("graft_pq_adc_table", col("qresid"), booksLit).as("tbl"))
+
+    val shortW = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("cand_id").asc)
+    val shortlist = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        aggregate(zip_with(col("codes"), col("tbl"),
+          (c, row) => element_at(row, c + 1)), lit(0.0d), _ + _).as("adc"))
+      .withColumn("rn", row_number().over(shortW))
+      .filter(col("rn") <= refine * k)
+      .select("query_id", "cand_id")
+
+    // refine: fetch full vectors for the tiny shortlist only, exact
+    // cosine on RAW vectors (scale-invariant ⇒ identical to knnBrute)
+    val qvecs = raw.filter(queryPred)
+      .select(col("id").as("query_id"), col("rv").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    raw.select(col("id").as("cand_id"), col("rv").as("cv"))
+      .join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(nativeCosine(emb)(col("qv"), col("cv")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 

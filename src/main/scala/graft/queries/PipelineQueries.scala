@@ -495,6 +495,14 @@ object PipelineQueries {
       SimilarityOps.knnIvf(s, Tables(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, 10)),
 
+    // IVF-PQ approximate top-k: coarse cells + product-quantized ADC
+    // scan + exact re-rank of the shortlist — the billion-row ANN
+    // shape (codes are ~32× smaller than the vectors). No oracle
+    // (sampled k-means); recall floor enforced via q83 + ScalaTest.
+    "q105_knn_ivfpq" -> ((s, d) =>
+      SimilarityOps.knnIvfPq(s, Tables(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 5, 10, nprobe = 8, m = 16, refine = 8)),
+
     // Frame sampling plumbing: evenly-spaced byte windows per payload.
     "q49_frame_sample" -> ((s, d) =>
       MultimodalOps.sampleFrames(s,
@@ -835,11 +843,11 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_lines").as("n_paras"),
           col("n_kept"), md5(col("cleaned").cast("binary")).as("cleaned_md5"))),
 
-    // ANN recall scoreboard: the approximate paths (q38/q47/q48) can
-    // never have SQL oracles (xxhash64/seeded-sample based), but their
-    // recall against the exact baselines IS computable — 3 rows of
-    // quantified quality instead of rows-only checks. Same parameters
-    // as q36/q38/q47/q48.
+    // ANN recall scoreboard: the approximate paths (q38/q47/q48/q105)
+    // can never have SQL oracles (xxhash64/seeded-sample based), but
+    // their recall against the exact baselines IS computable — 4 rows
+    // of quantified quality instead of rows-only checks. Same
+    // parameters as q36/q38/q47/q48/q105.
     "q83_ann_recall" -> ((s, d) =>
       SimilarityOps.annRecallReport(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", col("vec_id") < 5, k = 10,

@@ -45,6 +45,66 @@ class SimilaritySpec extends SparkSpec {
     assert(recallM >= 0.5, s"multi-probe recall $recallM") // 3 of 4 buckets probed
   }
 
+  test("knnIvfPq: k per query, recall vs brute force, determinism") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = pairsOf(SimilarityOps.knnBrute(emb01, "vec_id", "embedding",
+      col("vec_id") < 5, 10))
+    val pq = SimilarityOps.knnIvfPq(spark, emb01, "vec_id", "embedding",
+      col("vec_id") < 5, 10, nprobe = 8, m = 16, refine = 8)
+    val approx = pairsOf(pq)
+    val perQuery = pq.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQuery.length == 5 && perQuery.forall(_ == 10), perQuery.mkString(","))
+    // refine re-ranks with the exact rounded cosine, so any returned
+    // pair that IS in the exact top-k carries the identical sim value
+    val simOf = SimilarityOps.knnBrute(emb01, "vec_id", "embedding",
+        col("vec_id") < 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pq.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      simOf.get(key).foreach(s => assert(r.getDouble(2) == s, s"sim mismatch $key"))
+    }
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF-PQ recall $recall") // measured 0.78
+    assert(pairsOf(SimilarityOps.knnIvfPq(spark, emb01, "vec_id", "embedding",
+      col("vec_id") < 5, 10, nprobe = 8, m = 16, refine = 8)) == approx)
+    // parameter guards fail fast
+    intercept[IllegalArgumentException] {
+      SimilarityOps.knnIvfPq(spark, emb01, "vec_id", "embedding",
+        col("vec_id") < 5, 10, m = 7) // 64 % 7 != 0 → caught in pqFit
+        .collect()
+    }
+  }
+
+  test("graft_pq_encode / graft_pq_adc_table match a driver-side reference") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val m = 4; val ds = 3; val nCodes = 5
+    val books: Seq[Seq[Seq[Double]]] = Seq.fill(m)(
+      Seq.fill(nCodes)(Seq.fill(ds)(rnd.nextGaussian())))
+    val vecs: Seq[Seq[Double]] = Seq.fill(30)(Seq.fill(m * ds)(rnd.nextGaussian()))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      .select(col("i"), col("v").cast("array<double>").as("v"))
+      .withColumn("codes", call_function("graft_pq_encode", col("v"), typedlit(books)))
+      .withColumn("tbl", call_function("graft_pq_adc_table", col("v"), typedlit(books)))
+    def sqd(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    df.collect().foreach { r =>
+      val v = vecs(r.getInt(0))
+      val codes = r.getSeq[Int](2)
+      val tbl = r.getSeq[Seq[Double]](3)
+      (0 until m).foreach { j =>
+        val sub = v.slice(j * ds, (j + 1) * ds)
+        val dists = books(j).map(c => sqd(sub, c))
+        assert(codes(j) == dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2,
+          s"code j=$j row=${r.getInt(0)}")
+        dists.zip(tbl(j)).foreach { case (e, g) =>
+          assert(math.abs(e - g) < 1e-12, s"table j=$j row=${r.getInt(0)}")
+        }
+      }
+    }
+  }
+
   test("embedding near-dup pairs are ordered, thresholded, self-consistent") {
     val pairs = SimilarityOps.embeddingNearDupPairs(emb, "vec_id", "embedding",
       minCosine = 0.5, nbits = 2)
@@ -60,7 +120,7 @@ class SimilaritySpec extends SparkSpec {
         minCosine = 0.35, nbitsPairs = 4)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
-    assert(rep.keySet == Set("knn_lsh", "knn_ivf", "neardup_pairs"))
+    assert(rep.keySet == Set("knn_lsh", "knn_ivf", "knn_ivfpq", "neardup_pairs"))
     rep.foreach { case (m, (nExact, nHit, recall)) =>
       assert(nHit <= nExact && recall >= 0.0 && recall <= 1.0, s"$m: $nHit/$nExact")
       assert(math.abs(recall - nHit.toDouble / math.max(nExact, 1)) < 1e-3, m)
@@ -69,6 +129,7 @@ class SimilaritySpec extends SparkSpec {
     // sign-LSH at cos 0.35 ≈ 69° is intrinsically leaky; the report
     // existing to SHOW that is the point)
     assert(rep("knn_ivf")._3 >= 0.4, rep.toString)
+    assert(rep("knn_ivfpq")._3 >= 0.4, rep.toString)
     assert(rep("knn_lsh")._3 >= 0.1, rep.toString)
     assert(rep("neardup_pairs")._3 >= 0.1, rep.toString)
     // recall dial: fewer hyperplane bits ⇒ coarser buckets ⇒ the
@@ -143,7 +204,7 @@ class SimilaritySpec extends SparkSpec {
         minCosine = 0.35, nbitsPairs = 4, sampleFraction = 0.5)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(2), r.getLong(3), if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
-    assert(sampled.keySet == Set("knn_lsh", "knn_ivf", "neardup_pairs"))
+    assert(sampled.keySet == Set("knn_lsh", "knn_ivf", "knn_ivfpq", "neardup_pairs"))
     sampled.foreach { case (m, (nExact, nHit, recall)) =>
       // the sampled scoreboard answers the same question on a smaller
       // frame: baselines shrink (quadratic cost drops), recall stays
@@ -183,7 +244,7 @@ class SimilaritySpec extends SparkSpec {
         col("vec_id") < 0, k = 5, nbitsKnn = 4, probes = 1,
         minCosine = 1.01, nbitsPairs = 4)
       .collect()
-    assert(rep.length == 3)
+    assert(rep.length == 4)
     rep.foreach { r =>
       assert(r.getLong(2) == 0, s"n_exact: $r")
       assert(r.isNullAt(4), s"recall must be NULL on an empty baseline: $r")
