@@ -130,6 +130,13 @@ object GraftFunctions {
           s"graft_pq_adc_table requires exactly 2 arguments, got ${children.size}")
         PqAdcTable(children.head, children(1))
       }),
+    ("graft_cdc_chunks",
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_cdc_chunks requires exactly 3 arguments, got ${children.size}")
+        CdcChunks(children(0), children(1), children(2))
+      }),
     ("graft_nfc",
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => {

@@ -582,4 +582,54 @@ object DedupOps {
       (size(toks) - size(kept)).cast("long").as("n_tokens_removed"),
       concat_ws(" ", kept).as("text_clean"))
   }
+
+  /** Shift-tolerant chunk-level dedup via content-defined chunking
+    * (the Rabin-style rolling-hash fingerprint family): each document
+    * is split at content-defined boundaries (`graft_cdc_chunks` — an
+    * exact-integer polynomial window hash, cut where
+    * h % divisor == 0), chunks are md5-fingerprinted, and a chunk is
+    * "shared" when its fingerprint appears in more than one document.
+    * Because boundaries derive from CONTENT, identical passages align
+    * to identical chunks regardless of their byte offset — the
+    * property fixed-size blocking lacks, and the reason CDC is the
+    * standard dedup unit for storage systems and crawl snapshots.
+    *
+    * Returns one row per document: n_chunks, n_distinct (within-doc),
+    * n_shared (chunk instances whose fingerprint occurs in >1 doc),
+    * shared_ratio. Expected chunk length ≈ `divisor` chars.
+    *
+    * Scale shape: chunking and md5 are per-row codegen'd work — the
+    * chunk TEXT never shuffles; only (fp, doc_id) pairs move. One
+    * shuffle groups fingerprints for the shared set, one joins the
+    * flags back (shuffle join on fp — the shared set is corpus-sized
+    * in the worst case, so no broadcast), one aggregates per doc.
+    * The narrow fingerprint frame is lazily localCheckpointed and fed
+    * to both consumers (the substrDupSpans lesson: never re-tokenize
+    * the corpus for a second branch); callers release it via the
+    * returned frame with [[Checkpoints.release]] once consumed.
+    */
+  def cdcChunkStats(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 61,
+      persistFps: Boolean = true): DataFrame = {
+    require(window >= 2 && window <= 8,
+      s"window must be in [2, 8] (exact-arithmetic bound), got $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val fpsPlan = docs.select(col(idCol).as("doc_id"),
+        explode(call_function("graft_cdc_chunks",
+          col(textCol), lit(window), lit(divisor))).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("fp"))
+    val fps = if (persistFps) fpsPlan.localCheckpoint(eager = false) else fpsPlan
+    val shared = fps.groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("fp"), lit(1).as("is_shared"))
+    fps.join(shared, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct(col("fp")).as("n_distinct"),
+        count(col("is_shared")).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast("double") / col("n_chunks"), 5))
+  }
 }

@@ -440,6 +440,12 @@ object PipelineQueries {
       MultimodalOps.audioFeatures(s,
         MultimodalOps.withAudioPayload(s, Tables(s, d, "documents"), "doc_id"))),
 
+    // Content-defined chunking dedup: rolling-hash boundaries (exact
+    // polynomial window hash — the oracle replays it per position),
+    // md5 chunk fingerprints, shift-tolerant shared-chunk stats.
+    "q106_cdc_chunks" -> ((s, d) =>
+      DedupOps.cdcChunkStats(Tables(s, d, "documents"), "doc_id", "text")),
+
     // Exact brute-force cosine top-10 for 5 query vectors (the exact
     // baseline; the scale path is q38's LSH variant).
     "q36_knn_brute" -> ((s, d) =>
@@ -1317,6 +1323,38 @@ object PipelineQueries {
         |  CAST(max(s) AS INTEGER) AS max_out,
         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs_out
         |FROM sm GROUP BY doc_id, n, n_out""".stripMargin,
+
+    "q106_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, text, n, unnest(range(1, n - 6)) AS i FROM d),
+        |hv AS (SELECT doc_id, i + 8 AS b,
+        |  CAST(unicode(substr(text, i + 0, 1)) % 128 AS BIGINT) * 562949953421312
+        |  + CAST(unicode(substr(text, i + 1, 1)) % 128 AS BIGINT) * 4398046511104
+        |  + CAST(unicode(substr(text, i + 2, 1)) % 128 AS BIGINT) * 34359738368
+        |  + CAST(unicode(substr(text, i + 3, 1)) % 128 AS BIGINT) * 268435456
+        |  + CAST(unicode(substr(text, i + 4, 1)) % 128 AS BIGINT) * 2097152
+        |  + CAST(unicode(substr(text, i + 5, 1)) % 128 AS BIGINT) * 16384
+        |  + CAST(unicode(substr(text, i + 6, 1)) % 128 AS BIGINT) * 128
+        |  + CAST(unicode(substr(text, i + 7, 1)) % 128 AS BIGINT) AS h
+        | FROM p),
+        |bounds AS (SELECT doc_id, b FROM hv WHERE h % 61 = 0
+        |  UNION SELECT doc_id, 1 FROM d
+        |  UNION SELECT doc_id, n + 1 FROM d),
+        |spans AS (SELECT doc_id, b AS st,
+        |    lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS nxt
+        |  FROM bounds),
+        |fps AS (SELECT s.doc_id, md5(substr(d.text, s.st, s.nxt - s.st)) AS fp
+        |  FROM spans s JOIN d USING (doc_id) WHERE s.nxt IS NOT NULL),
+        |shared AS (SELECT fp FROM fps GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id,
+        |  count(*) AS n_chunks,
+        |  count(DISTINCT fp) AS n_distinct,
+        |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM shared) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shared,
+        |  round(CAST(sum(CASE WHEN fp IN (SELECT fp FROM shared) THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 5) AS shared_ratio
+        |FROM fps GROUP BY doc_id""".stripMargin,
 
     // the pixel-formula CTE both image oracles share: dims + a full
     // (x, y) pixel grid per doc via two SEQUENTIAL unnests (same-

@@ -1259,4 +1259,48 @@ class OpsSpec extends SparkSpec {
     val j = capped.select("n_a", "n_b").head()
     assert(j.getLong(0) == 5 && j.getLong(1) == 5)
   }
+
+  test("cdcChunkStats: shift tolerance, chunk reassembly, short-text and guard cases") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{call_function, col, lit, concat_ws}
+    val rnd = new scala.util.Random(13)
+    // long enough that the ~1/61 cut rate concentrates (~40 chunks)
+    val body = Seq.fill(2400)(('a' + rnd.nextInt(26)).toChar).mkString
+    // the SAME 400-char body at three different offsets
+    val docs = Seq(
+      (1L, body),
+      (2L, "PREFIX-" + body),
+      (3L, "A MUCH LONGER PREFIX THAT SHIFTS EVERYTHING " + body + " SUFFIX"),
+      (4L, "short"),
+      (5L, "")).toDF("doc_id", "text")
+    val chunked = docs.select(col("doc_id"),
+      call_function("graft_cdc_chunks", col("text"), lit(8), lit(61)).as("cs"))
+    // chunks reassemble to the original text exactly
+    chunked.select(col("doc_id"), concat_ws("", col("cs")).as("re"))
+      .join(docs, "doc_id").collect().foreach { r =>
+        assert(r.getString(1) == r.getString(2), s"reassembly doc ${r.getLong(0)}")
+      }
+    // shift tolerance: after the offset junk, the shared body aligns
+    // to mostly-identical chunks — fixed-size blocking would share ~0
+    val sets = chunked.as[(Long, Seq[String])].collect().map { case (id, cs) => id -> cs.toSet }.toMap
+    val common12 = (sets(1L) intersect sets(2L)).size
+    val common13 = (sets(1L) intersect sets(3L)).size
+    assert(common12.toDouble / sets(1L).size > 0.5, s"1∩2 = $common12 of ${sets(1L).size}")
+    assert(common13.toDouble / sets(1L).size > 0.5, s"1∩3 = $common13 of ${sets(1L).size}")
+    // short and empty text: one chunk, the text itself
+    assert(sets(4L) == Set("short") && sets(5L) == Set(""))
+    // the stats roll up: doc 4/5 unique, 1-3 heavily shared
+    val stats = DedupOps.cdcChunkStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(stats(4L) == ((1L, 0L)) && stats(5L) == ((1L, 0L)))
+    assert(stats(1L)._2 >= stats(1L)._1 / 2, s"doc 1 shared: ${stats(1L)}")
+    // guards fail fast
+    intercept[IllegalArgumentException] {
+      DedupOps.cdcChunkStats(docs, "doc_id", "text", window = 9)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.cdcChunkStats(docs, "doc_id", "text", divisor = 1)
+    }
+  }
 }
