@@ -130,6 +130,13 @@ object GraftFunctions {
           s"graft_pq_adc_table requires exactly 2 arguments, got ${children.size}")
         PqAdcTable(children.head, children(1))
       }),
+    ("graft_minhash_row",
+      new ExpressionInfo(classOf[MinHashRow].getName, "graft_minhash_row"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_minhash_row requires exactly 2 arguments, got ${children.size}")
+        MinHashRow(children.head, children(1))
+      }),
     ("graft_cdc_chunks",
       new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
       (children: Seq[Expression]) => {

@@ -171,6 +171,39 @@ object DedupOps {
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
   }
 
+  /** Per-band 64-bit join keys from a minhash signature array: band
+    * b's key hashes the band INDEX together with its signature rows,
+    * so equal row-patterns in different bands cannot alias. Shared by
+    * the batch [[minHashBandIndex]] and the streaming probe
+    * (StreamOps.nearDupFilterStream) — the two sides must derive keys
+    * identically or every probe is a silent miss.
+    */
+  def minHashBandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map { bnd =>
+      xxhash64((lit(bnd) +: (bnd * rows until (bnd + 1) * rows)
+        .map(i => element_at(sig, i + 1))): _*)
+    }: _*)
+  }
+
+  /** Batch band-key index over a corpus: (id, band_key) — the static
+    * side a streaming near-dup filter probes. Built once per corpus
+    * snapshot (bands × one row per document); the probe consumes
+    * `band_key` distinct, so the index is also the audit trail of
+    * WHICH document a colliding band belongs to.
+    */
+  def minHashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands must divide numHashes, got $numHashes/$bands")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sig = wordShingles(docs, idCol, textCol, shingleN)
+      .groupBy("id")
+      .agg(call_function("graft_minhash_sig", col("shingle"), lit(numHashes)).as("sig"))
+    sig.select(col("id"),
+      explode(minHashBandKeys(col("sig"), numHashes, bands)).as("band_key"))
+  }
+
   /** Candidate pairs from LSH buckets + estimated jaccard = fraction of
     * agreeing minhashes.
     *

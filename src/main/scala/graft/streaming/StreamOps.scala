@@ -207,4 +207,61 @@ object StreamOps {
     keyed.groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
+
+  /** Streaming near-duplicate filter against a STATIC corpus index:
+    * drop arriving documents whose minhash LSH bands collide with any
+    * indexed band (the incremental-crawl twin of the batch
+    * minHashLshPairs candidate rule — "agrees with some corpus doc on
+    * at least one full band").
+    *
+    * Mechanics: the per-row signature comes from `graft_minhash_row`
+    * (bit-identical hash family to the batch aggregate), band keys
+    * from the SHARED [[graft.ops.DedupOps.minHashBandKeys]]
+    * derivation, and membership is a driver-built bloom filter over
+    * the index's distinct band keys, evaluated per row — no join, no
+    * state, append-safe. That bloom is also the scale story: the
+    * band-key set of a 10⁹-doc corpus at 1e-4 fpp is a few GB as an
+    * exact set but ~2 bits/key as a bloom (bands×10⁹ keys ≈ 1-2 GB
+    * broadcast once per index snapshot, probed at memory speed by
+    * every executor).
+    *
+    * Honesty contract: a bloom false positive DROPS a novel document
+    * (rate ≤ `fpp`, tunable); false negatives cannot occur, so no
+    * near-dup candidate ever slips through. Documents with fewer than
+    * `shingleN` tokens have no signature and always pass (minhash is
+    * undefined there — exact dedup is their filter).
+    */
+  def nearDupFilterStream(stream: DataFrame, idCol: String, textCol: String,
+      bandIndex: DataFrame, shingleN: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, fpp: Double = 0.001): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands must divide numHashes, got $numHashes/$bands")
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val bf = graft.ops.BloomOps.buildBloom(
+      bandIndex.select("band_key").distinct(), "band_key", fpp = fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bloomLit = lit(bos.toByteArray)
+
+    val w = col("_w")
+    val grams = when(size(w) >= shingleN,
+      transform(sequence(lit(1), size(w) - (shingleN - 1)),
+        i => concat_ws(" ", (0 until shingleN).map(k => element_at(w, i + k)): _*))
+    ).otherwise(array())
+    val passthrough = stream.columns.map(col).toSeq
+    stream
+      .withColumn("_w", split(lower(col(textCol)), graft.ops.TextOps.Ws))
+      // Generate barrier (see DedupOps.wordShingles): stateless,
+      // streaming-safe, keeps split() out of the per-gram lambda
+      .withColumn("_gx", explode(array(array_distinct(grams))))
+      .select(passthrough :+ col("_gx").as("_g"): _*)
+      .withColumn("_bk", when(size(col("_g")) > 0,
+        graft.ops.DedupOps.minHashBandKeys(
+          call_function("graft_minhash_row", col("_g"), lit(numHashes)),
+          numHashes, bands)))
+      .filter(col("_bk").isNull ||
+        !exists(col("_bk"), bk =>
+          call_function("graft_bloom_contains", bloomLit, bk)))
+      .drop("_g", "_bk")
+  }
 }

@@ -233,6 +233,26 @@ class PlanSpec extends SparkSpec {
     assert(shuffling > 0L, "probe failed to observe a real shuffle")
   }
 
+  test("q105 ivf-pq: every join broadcasts the tiny side; no cartesian, no sort-merge") {
+    val s = formatted("q105_knn_ivfpq")
+    // codes ⋈ queries (on cell), vectors ⋈ shortlist, ⋈ query vectors:
+    // all three carry a corpus-side stream against a broadcast side
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q106 cdc: chunk text never shuffles — only fingerprints move") {
+    val s = formatted("q106_cdc_chunks")
+    assert(!s.contains("CartesianProduct"), s)
+    // every exchange key is the 32-hex fp or the doc id — if the raw
+    // chunk string appeared in an exchange's output, chunk text would
+    // be shuffling
+    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty, s)
+    assert(!s.contains("hashpartitioning(chunk"), s)
+  }
+
   test("curation signals: corpus-side work is scans + one id join; benchmark grams broadcast") {
     val s = formatted("q63_curation_funnel")
     assert(s.contains("BroadcastHashJoin"), s)

@@ -152,6 +152,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamIds == batchIds && streamIds == Set(1L), s"$streamIds vs $batchIds")
   }
 
+  test("streaming near-dup filter drops exactly the band-colliding docs (bloom, stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val index = graft.ops.DedupOps.minHashBandIndex(corpus, "doc_id", "text")
+    val streamRows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup
+      (2L, "one two three four five six seven eight nine TEN-X"),       // near dup
+      (3L, "completely different novel content with many fresh tokens here"),
+      (4L, "tiny")) // < shingleN tokens: no signature, must pass
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupFilterStream(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", index)
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    input.addData(streamRows: _*)
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("neardup").select("doc_id").as[Long].collect().toSet
+    assert(spark.table("neardup").columns.toSet == Set("doc_id", "text"))
+    // batch expectation: the SAME band-key derivation joined (exactly,
+    // no bloom) against the index — the stream must agree, i.e. the
+    // bloom added no false positives at this fpp/scale
+    val collide = graft.ops.DedupOps
+      .minHashBandIndex(streamRows.toDF("doc_id", "text"), "doc_id", "text")
+      .join(index.select("band_key"), Seq("band_key"), "left_semi")
+      .select("id").distinct().as[Long].collect().toSet
+    val expected = streamRows.map(_._1).toSet -- collide
+    assert(kept == expected, s"$kept vs $expected")
+    assert(!kept.contains(1L), "an exact duplicate must always be dropped")
+    assert(kept.contains(3L) && kept.contains(4L))
+  }
+
+  test("graft_minhash_row is bit-identical to the graft_minhash_sig aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "a b c a b c a b c")).toDF("doc_id", "text") // repeated shingles
+    val agg = graft.ops.DedupOps
+      .wordShingles(docs, "doc_id", "text", 3)
+      .groupBy("id")
+      .agg(call_function("graft_minhash_sig", col("shingle"), lit(16)).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val w = col("_w")
+    val grams = when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+    ).otherwise(array())
+    val row = docs
+      .withColumn("_w", split(lower(col("text")), graft.ops.TextOps.Ws))
+      .withColumn("_g", explode(array(array_distinct(grams))))
+      .select(col("doc_id"),
+        call_function("graft_minhash_row", col("_g"), lit(16)).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(row == agg, s"$row vs $agg")
+  }
+
   test("streaming snapshot diff matches batch snapshotDiff minus removed") {
     implicit val sqlCtx = spark.sqlContext
     val prevRows = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
