@@ -137,6 +137,30 @@ object SimilarityOps {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the
+    * standard 4× storage/bandwidth cut applied before vectors are
+    * indexed or shipped: per-vector scale = 127 / max|x| (zero-point
+    * free, sign-symmetric), codes = round(x·scale) ∈ [-127, 127].
+    * All math is double (exact float widening) with half-away-from-
+    * zero rounding — both replayable by an external engine, so the
+    * emitted summary (dims, code min/max/sum, scale) has an exact
+    * oracle. Pure projection: zero shuffle at any corpus size.
+    * All-zero vectors quantize to all-zero codes at scale 1.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale",
+        when(col("ma") > 0, lit(127.0d) / col("ma")).otherwise(lit(1.0d)))
+      .withColumn("q", transform(col("v"),
+        x => round(x * col("scale")).cast("int")))
+      .select(col("vec_id"),
+        size(col("q")).as("n_dims"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+        col("scale"))
+
   /** Per-bucket population under [[lshBucket]] — the tuning probe for
     * `nbits`/`maxBucketSize` on [[embeddingNearDupPairs]]: run once on
     * a sample, look at the max/percentile bucket size, pick nbits so

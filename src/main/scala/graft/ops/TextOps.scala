@@ -54,6 +54,36 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), Ws, "").cast("binary"))
 
+  /** HTML → text extraction (the crawl pipeline's boilerplate-strip
+    * stage, ahead of every dedup/quality operator): drop script and
+    * style blocks and comments wholesale, replace remaining tags with
+    * spaces, decode the minimal entity set (&lt; &gt; &quot; &#39;
+    * &nbsp; and — last, so freshly produced '&'s are never re-decoded
+    * — &amp;), collapse whitespace.
+    *
+    * Deliberately regex-chain built-ins, not a parser: every pattern
+    * is RE2-compatible (no backreferences, lazy quantifiers and (?is)
+    * flags only), so an external engine replays the extraction
+    * verbatim — and the whole chain is codegen'd row-local work, zero
+    * shuffle at any scale. Malformed nesting degrades to extra
+    * whitespace, never to lost non-markup text.
+    */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        call_function("replace", c, lit(from), lit(to))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Heuristic marker-word scores per language. */
   val langMarkers: Seq[(String, String)] = Seq(
     "en" -> "\\b(the|and|of)\\b",

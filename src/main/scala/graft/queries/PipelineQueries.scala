@@ -440,6 +440,30 @@ object PipelineQueries {
       MultimodalOps.audioFeatures(s,
         MultimodalOps.withAudioPayload(s, Tables(s, d, "documents"), "doc_id"))),
 
+    // HTML boilerplate strip (crawl extract stage): deterministic
+    // HTML manufactured around each document (messyUrl precedent),
+    // script/style/comment blocks dropped, tags to spaces, minimal
+    // entity set decoded — the oracle replays the same RE2-safe chain.
+    "q107_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>D"), col("doc_id").cast("string"),
+        lit("</title><style>p {color: red;}</style>" +
+          "<script>if (1<2) { go(); }</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><!-- hidden --><p>&nbsp;Tom &amp; Jerry &lt;3 " +
+          "&quot;quoted&quot; &#39;q&#39;</p></body></html>"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), TextOps.htmlExtract(html).as("text_clean"))
+        .withColumn("n_chars_clean", length(col("text_clean")))
+    }),
+
+    // Symmetric int8 embedding quantization (the 4x storage cut before
+    // indexing): per-vector scale, exact integer code summary.
+    "q108_embedding_quantize" -> ((s, d) =>
+      SimilarityOps.quantizeInt8(Tables(s, d, "embeddings"),
+        "vec_id", "embedding")),
+
     // Content-defined chunking dedup: rolling-hash boundaries (exact
     // polynomial window hash — the oracle replays it per position),
     // md5 chunk fingerprints, shift-tolerant shared-chunk stats.
@@ -1324,6 +1348,47 @@ object PipelineQueries {
         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs_out
         |FROM sm GROUP BY doc_id, n, n_out""".stripMargin,
 
+    "q107_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>D' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style>p {color: red;}</style>' ||
+        |  '<script>if (1<2) { go(); }</script></head><body><h1>Doc ' ||
+        |  CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |  '</p><!-- hidden --><p>&nbsp;Tom &amp; Jerry &lt;3 ' ||
+        |  '&quot;quoted&quot; &#39;q&#39;</p></body></html>' AS html
+        | FROM documents),
+        |e AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html,
+        |              '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |            '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS text_clean
+        | FROM h)
+        |SELECT doc_id, text_clean,
+        |  CAST(length(text_clean) AS INTEGER) AS n_chars_clean
+        |FROM e""".stripMargin,
+    "q108_embedding_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))) AS ma FROM embeddings),
+        |s AS (SELECT vec_id, embedding,
+        |  CASE WHEN ma > 0 THEN 127.0 / ma ELSE 1.0 END AS scale FROM m),
+        |q AS (SELECT vec_id, scale, list_transform(embedding,
+        |  x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qs
+        | FROM s)
+        |SELECT vec_id, CAST(len(qs) AS INTEGER) AS n_dims,
+        |  CAST(list_min(qs) AS INTEGER) AS q_min,
+        |  CAST(list_max(qs) AS INTEGER) AS q_max,
+        |  CAST(list_sum(qs) AS BIGINT) AS sum_q, scale
+        |FROM q""".stripMargin,
     "q106_cdc_chunks" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |p AS (SELECT doc_id, text, n, unnest(range(1, n - 6)) AS i FROM d),

@@ -1260,6 +1260,42 @@ class OpsSpec extends SparkSpec {
     assert(j.getLong(0) == 5 && j.getLong(1) == 5)
   }
 
+  test("htmlExtract: blocks dropped, entities decoded once, malformed markup degrades safely") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // script/style/comments vanish wholesale, incl. '<' inside them
+      (1L, "<p>keep</p><script>if (1<2) drop();</script><style>a{b}</style><!-- no -->tail",
+        "keep tail"),
+      // &amp;lt; must decode to the LITERAL '&lt;', never twice to '<'
+      (2L, "x &amp;lt; y &amp; z &lt;3", "x &lt; y & z <3"),
+      // unclosed tag swallows to the next '>', bare '<' survives
+      (3L, "a <b unclosed attr='v'> c < d", "a c < d"),
+      // nbsp and quotes
+      (4L, "one&nbsp;two &quot;three&quot; &#39;four&#39;", "one two \"three\" 'four'"),
+      (5L, "", ""))
+    val got = cases.toDF("id", "html", "want")
+      .select(col("id"), graft.ops.TextOps.htmlExtract(col("html")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"case ${r.getLong(0)}: got '${r.getString(1)}' want '${r.getString(2)}'"))
+  }
+
+  test("quantizeInt8: codes bounded, zero vector safe, reconstruction within half-step") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(3.0f))).toDF("vec_id", "embedding")
+    val rows = graft.ops.SimilarityOps.quantizeInt8(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getDouble(5)))).toMap
+    // max|x| maps to ±127 exactly; codes never exceed the band
+    assert(rows(1L) == ((3, -127, 64, -31L, 127.0)), rows(1L).toString)
+    assert(rows(2L) == ((2, 0, 0, 0L, 1.0)), rows(2L).toString)
+    assert(rows(3L) == ((1, 127, 127, 127L, 127.0 / 3.0)), rows(3L).toString)
+  }
+
   test("cdcChunkStats: shift tolerance, chunk reassembly, short-text and guard cases") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
