@@ -130,6 +130,13 @@ object GraftFunctions {
           s"graft_pq_adc_table requires exactly 2 arguments, got ${children.size}")
         PqAdcTable(children.head, children(1))
       }),
+    ("graft_deflate_len",
+      new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_deflate_len requires exactly 2 arguments, got ${children.size}")
+        DeflateLen(children.head, children(1))
+      }),
     ("graft_minhash_row",
       new ExpressionInfo(classOf[MinHashRow].getName, "graft_minhash_row"),
       (children: Seq[Expression]) => {

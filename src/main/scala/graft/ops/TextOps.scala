@@ -54,6 +54,27 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), Ws, "").cast("binary"))
 
+  /** Compression-ratio quality signal (deflate bytes / raw bytes):
+    * natural prose lands in a narrow band, boilerplate/template text
+    * compresses far below it, random or encoded noise barely
+    * compresses — the one-number entropy probe the classic corpus-
+    * quality rule sets threshold on. Zero shuffle; the deflate is a
+    * native codegen'd expression with a per-thread reused compressor.
+    * JVM-static (zlib build), so rows-only for the oracle — see
+    * [[graft.functions.DeflateLen]] for the determinism contract.
+    * Empty text yields a NULL ratio (nothing to measure).
+    */
+  def compressionSignal(docs: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol).cast("binary")).as("n_bytes"),
+        call_function("graft_deflate_len", col(textCol), lit(level))
+          .as("n_deflate"))
+      .withColumn("ratio", when(col("n_bytes") > 0,
+        round(col("n_deflate").cast("double") / col("n_bytes"), 5)))
+  }
+
   /** HTML → text extraction (the crawl pipeline's boilerplate-strip
     * stage, ahead of every dedup/quality operator): drop script and
     * style blocks and comments wholesale, replace remaining tags with

@@ -440,6 +440,11 @@ object PipelineQueries {
       MultimodalOps.audioFeatures(s,
         MultimodalOps.withAudioPayload(s, Tables(s, d, "documents"), "doc_id"))),
 
+    // Compression-ratio quality signal — no oracle (zlib is JVM-side
+    // only; rows-only check), ordering/determinism pinned in OpsSpec.
+    "q109_compression_ratio" -> ((s, d) =>
+      TextOps.compressionSignal(Tables(s, d, "documents"), "doc_id", "text")),
+
     // HTML boilerplate strip (crawl extract stage): deterministic
     // HTML manufactured around each document (messyUrl precedent),
     // script/style/comment blocks dropped, tags to spaces, minimal

@@ -1260,6 +1260,30 @@ class OpsSpec extends SparkSpec {
     assert(j.getLong(0) == 5 && j.getLong(1) == 5)
   }
 
+  test("compressionSignal: boilerplate < prose < noise; empty null; deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val docs = Seq(
+      (1L, Seq.fill(100)("the same phrase over and over").mkString(" ")),
+      (2L, "The quarterly report shows steady growth across most regions, " +
+        "though supply constraints continue to weigh on margins and the " +
+        "outlook remains uncertain into the next fiscal year for now."),
+      (3L, Seq.fill(200)(rnd.nextPrintableChar()).mkString),
+      (4L, "")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.compressionSignal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got(1L) < got(2L), s"boilerplate ${got(1L)} !< prose ${got(2L)}")
+    assert(got(2L) < got(3L), s"prose ${got(2L)} !< noise ${got(3L)}")
+    assert(got(1L) < 0.2 && got(3L) > 0.7, got.toString)
+    assert(got(4L).isNaN, "empty text must yield NULL ratio")
+    val again = graft.ops.TextOps.compressionSignal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got.keySet == again.keySet && got.keySet.forall(k =>
+      got(k).equals(again(k))), "signal must be deterministic")
+  }
+
   test("htmlExtract: blocks dropped, entities decoded once, malformed markup degrades safely") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
