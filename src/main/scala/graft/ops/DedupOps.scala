@@ -616,6 +616,52 @@ object DedupOps {
       concat_ws(" ", kept).as("text_clean"))
   }
 
+  /** Token spans of corpus documents that VERBATIM-overlap a
+    * benchmark k-gram set — the span-level view of
+    * [[contaminationOverlap]], and the detector half of surgical
+    * decontamination: feed the result to [[removeSpans]] to cut the
+    * leaked eval text while keeping the document (dropping whole docs
+    * for one leaked sentence wastes corpus; leaving the sentence in
+    * corrupts the eval).
+    *
+    * Same mechanics as [[substrDupSpans]] (one tokenize+posexplode
+    * pass, md5 gram digests, gaps-and-islands merge into maximal
+    * spans), but the flag is membership in the benchmark's digest set
+    * instead of corpus-wide repetition — so the probe side BROADCASTS
+    * (eval sets are small by construction) and the only shuffle is
+    * the per-doc island window, keyed by id. Output shape matches
+    * substrDupSpans: (id, span_start, span_tokens), 0-based token
+    * positions.
+    */
+  def benchmarkSpans(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val w = col("_w")
+    val grams = when(size(w) >= k,
+      transform(
+        sequence(lit(1), size(w) - (k - 1)),
+        i => md5(concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*)
+          .cast("binary")))
+    ).otherwise(array())
+    def gramPos(df: DataFrame) = df
+      .select(col(idCol).as("id"), split(lower(col(textCol)), TextOps.Ws).as("_w"))
+      // Generate barrier (see wordShingles): split runs once per row
+      .select(col("id"), explode(array(grams)).as("_g"))
+      .select(col("id"), posexplode(col("_g")).as(Seq("pos", "gd")))
+    val bg = gramPos(benchmark).select("gd").distinct()
+    val flagged = gramPos(corpus).join(broadcast(bg), Seq("gd"), "left_semi")
+    val isl = flagged.withColumn("_isl",
+      col("pos") - row_number().over(
+        Window.partitionBy("id").orderBy("pos")))
+    isl.groupBy(col("id"), col("_isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + k).cast("long").as("span_tokens"))
+      .select(col("id"), col("span_start").cast("long").as("span_start"),
+        col("span_tokens"))
+  }
+
   /** Shift-tolerant chunk-level dedup via content-defined chunking
     * (the Rabin-style rolling-hash fingerprint family): each document
     * is split at content-defined boundaries (`graft_cdc_chunks` — an

@@ -825,6 +825,20 @@ object PipelineQueries {
           col("text_clean"))
     }),
 
+    // Surgical decontamination (detect → cut vs a benchmark): spans
+    // of verbatim 3-gram overlap with the q60 benchmark slice are cut
+    // from the corpus slice; the oracle replays span detection AND
+    // the covered-position cut.
+    "q110_decontaminate" -> ((s, d) => {
+      val all = Tables(s, d, "documents")
+      val corpus = all.filter(col("doc_id") % 97 =!= 0)
+      val bench = all.filter(col("doc_id") % 97 === 0)
+      val spans = DedupOps.benchmarkSpans(corpus, bench, "doc_id", "text", 3)
+      DedupOps.removeSpans(corpus, "doc_id", "text", spans)
+        .select(col("id").as("doc_id"), col("n_tokens_removed"),
+          col("text_clean"))
+    }),
+
     // SemDeDup-shape semantic dedup end-to-end: embedding near-dup
     // pairs -> connected components -> keep the highest-QUALITY member
     // of each semantic cluster (quality from the model-based scorer).
@@ -1264,6 +1278,53 @@ object PipelineQueries {
         |FROM documents GROUP BY 1""".stripMargin,
     "q94_substr_spans" -> substrSpansOracleSql,
     "q101_remove_spans" -> removeSpansOracleSql,
+    "q110_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    x -> x <> '') AS ws
+        | FROM documents WHERE doc_id % 97 <> 0),
+        |tb AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    x -> x <> '') AS ws
+        | FROM documents WHERE doc_id % 97 = 0),
+        |o AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |    x -> x <> '') AS ws
+        | FROM documents WHERE doc_id % 97 <> 0),
+        |g AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+        |    md5(array_to_string(ws[i:i+2], ' ')) AS gd
+        |  FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+        |  WHERE len(ws) >= 3),
+        |bg AS (SELECT DISTINCT md5(array_to_string(ws[i:i+2], ' ')) AS gd
+        |  FROM tb, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+        |  WHERE len(ws) >= 3),
+        |f AS (SELECT g.doc_id, g.pos FROM g JOIN bg USING (gd)),
+        |i AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM f),
+        |s AS (SELECT doc_id, min(pos) AS span_start,
+        |    max(pos) - min(pos) + 3 AS span_tokens
+        |  FROM i GROUP BY doc_id, isl),
+        |cov AS (SELECT DISTINCT s.doc_id,
+        |    s.span_start + CAST(u.i AS BIGINT) AS p
+        |  FROM s, unnest(generate_series(0, span_tokens - 1)) AS u(i)),
+        |tok AS (SELECT doc_id, CAST(u.j AS BIGINT) - 1 AS p,
+        |    ws[CAST(u.j AS INTEGER)] AS tok
+        |  FROM o, unnest(generate_series(1, len(ws))) AS u(j)),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+        |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |  WHERE cov.p IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+        |  FROM kept GROUP BY doc_id),
+        |nt AS (SELECT doc_id, len(ws) AS n_toks FROM o)
+        |SELECT d.doc_id,
+        |  CAST(nt.n_toks - coalesce(agg.n_kept, 0) AS BIGINT)
+        |    AS n_tokens_removed,
+        |  coalesce(agg.text_clean, '') AS text_clean
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |JOIN nt USING (doc_id)
+        |LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q103_jpeg_decode" ->
       """SELECT doc_id,
         | CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS width,

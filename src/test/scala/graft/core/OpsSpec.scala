@@ -1260,6 +1260,34 @@ class OpsSpec extends SparkSpec {
     assert(j.getLong(0) == 5 && j.getLong(1) == 5)
   }
 
+  test("benchmarkSpans + removeSpans: surgical decontamination cuts the leak, keeps the doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val leak = "what is the capital of france"
+    val corpus = Seq(
+      (1L, s"Intro words here $leak and the rest of the document continues"),
+      (2L, "totally unrelated content with no benchmark overlap at all"),
+      (3L, s"$leak")).toDF("doc_id", "text") // fully-leaked doc → emptied
+    val bench = Seq((100L, s"Q: $leak A: paris")).toDF("doc_id", "text")
+    val spans = graft.ops.DedupOps.benchmarkSpans(corpus, bench, "doc_id", "text", 3)
+    val byId = spans.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byId(1L) == ((3L, 6L)), byId.toString) // tokens 3..8 = the 6-token leak
+    assert(!byId.contains(2L))
+    assert(byId(3L) == ((0L, 6L)))
+    val cleaned = graft.ops.DedupOps.removeSpans(corpus, "doc_id", "text", spans)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList.sortBy(_._1)
+    assert(cleaned(0) == ((1L, 6L,
+      "Intro words here and the rest of the document continues")))
+    assert(cleaned(1) == ((2L, 0L,
+      "totally unrelated content with no benchmark overlap at all")))
+    assert(cleaned(2) == ((3L, 6L, "")))
+    // decontaminated output carries no remaining benchmark span
+    val again = graft.ops.DedupOps.benchmarkSpans(
+      cleaned.map(c => (c._1, c._3)).toDF("doc_id", "text"), bench,
+      "doc_id", "text", 3)
+    assert(again.count() == 0, "cleaned corpus must have no benchmark spans")
+  }
+
   test("compressionSignal: boilerplate < prose < noise; empty null; deterministic") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
