@@ -1260,6 +1260,26 @@ class OpsSpec extends SparkSpec {
     assert(j.getLong(0) == 5 && j.getLong(1) == 5)
   }
 
+  test("cdcChunkStats volume: 30k docs sharing one hot chunk — counts only, no pair blowup") {
+    import spark.implicits._
+    // every doc embeds the same boilerplate passage (one hot chunk fp
+    // shared by ALL docs) plus a unique tail: the shared-set path must
+    // stay a count aggregation — unlike pair generators there is no
+    // O(f²) expansion to cap, so 30k-way sharing is just a big count
+    val boiler = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val docs = spark.range(30000).select(col("id").as("doc_id"),
+      concat(lit(boiler + " unique tail "), col("id").cast("string")).as("text"))
+    val t0 = System.nanoTime()
+    val stats = graft.ops.DedupOps.cdcChunkStats(docs, "doc_id", "text")
+    val agg = stats.agg(count(lit(1)), sum(when(col("n_shared") > 0, 1).otherwise(0)),
+      min("n_chunks")).collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(agg.getLong(0) == 30000L)
+    // the boilerplate chunk(s) are shared in (nearly) every doc
+    assert(agg.getLong(1) > 29000L, s"shared docs: ${agg.getLong(1)}")
+    assert(secs < 120, s"took ${secs}s")
+  }
+
   test("benchmarkSpans + removeSpans: surgical decontamination cuts the leak, keeps the doc") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
