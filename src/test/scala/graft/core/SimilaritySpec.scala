@@ -327,6 +327,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).sortBy(_._1)
     assert(sig.length == 2 && sig(0)._2.length == 4)
     assert(sig(0)._2 == sig(1)._2 && sig(0)._3 == sig(1)._3) // same inputs, same codes
+    // graft_pq_encode / graft_pq_adc_table: 2 subspaces × 2 codes × 1 dim
+    val books = "array(array(array(1.0d), array(0.0d)), array(array(0.0d), array(1.0d)))"
+    val pq = spark.sql(s"SELECT graft_pq_encode(array(0.9d, 0.1d), $books)")
+      .head().getSeq[Int](0)
+    assert(pq == Seq(0, 0), pq.toString)
+    val adc = spark.sql(s"SELECT graft_pq_adc_table(array(0.9d, 0.1d), $books)")
+      .head().getSeq[Seq[Double]](0)
+    assert(adc.flatten.zip(Seq(0.01, 0.81, 0.01, 0.81))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 }, adc.toString)
+    // graft_cdc_chunks: short text is one chunk
+    assert(spark.sql("SELECT graft_cdc_chunks('abc', 8, 61)")
+      .head().getSeq[String](0) == Seq("abc"))
+    // graft_minhash_row over {aa, bb} equals the aggregate over the same set
+    val rowSig = spark.sql("SELECT graft_minhash_row(array('aa', 'bb'), 4)")
+      .head().getSeq[Long](0)
+    assert(rowSig == sig(0)._2, s"$rowSig vs ${sig(0)._2}")
+    // graft_deflate_len: repetitive text compresses below its raw size
+    val dl = spark.sql("SELECT graft_deflate_len(repeat('ab', 200), 6)")
+      .head().getInt(0)
+    assert(dl > 0 && dl < 50, dl.toString)
   }
 
   test("resize feature: fixed width, deterministic, bounded values") {
