@@ -52,6 +52,37 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] q83 floor check failed: ${e.getMessage}")
     }
+    // Dedup scoreboard floors (q111): same rationale as q83 — the
+    // LSH candidate paths are xxhash-seeded (no SQL oracle possible),
+    // so a silent precision/recall collapse must fail the harness,
+    // not pass as rows>0. Floors sit under the sf0.01 measured values
+    // (minhash 1.0/1.0, simhash 0.88/0.60 — deterministic inputs and
+    // hash family, so the slack only covers data-scale drift).
+    try {
+      val rep = spark.read.parquet(s"$outDir/q111_dedup_recall")
+        .collect().map { r =>
+          def d(i: Int) = if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+          r.getString(0) -> ((d(5), d(6)))
+        }.toMap
+      val floors = Map( // method -> (precision floor, recall floor)
+        "minhash_lsh" -> ((0.9, 0.9)), "simhash" -> ((0.7, 0.45)))
+      val bad = floors.flatMap { case (m, (pf, rf)) =>
+        rep.get(m) match {
+          case Some((p, r)) if p >= pf && r >= rf => None
+          case got => Some(s"$m p/r ${got.fold("missing")(_.toString)} " +
+            s"< floors ($pf, $rf)")
+        }
+      }
+      if (bad.nonEmpty) {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/q111_dedup_recall"), true)
+        System.err.println(
+          s"[verify] q111_dedup_recall failed: ${bad.mkString("; ")}")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] q111 floor check failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -711,4 +711,101 @@ object DedupOps {
       .withColumn("shared_ratio",
         round(col("n_shared").cast("double") / col("n_chunks"), 5))
   }
+
+  /** One precision/recall row for a detected pair set against an exact
+    * truth pair set. Pairs are normalized to unordered (lo, hi) keys
+    * before the comparison — the three pair generators all emit
+    * ordered pairs, but their internal orderings differ (by (id, n_sh)
+    * struct vs posting order), so identity must not depend on emission
+    * order. ONE full-outer join + one aggregate; both inputs are
+    * already-materialized small pair sets. Empty denominators yield
+    * NULL (nothing to measure), mirroring [[SimilarityOps]]'s recall
+    * contract.
+    */
+  private def pairPrRow(truth: DataFrame, detected: DataFrame,
+      method: String, theta: Double): DataFrame = {
+    def keyed(df: DataFrame, marker: String) = df.select(
+        least(col("a_id"), col("b_id")).as("lo"),
+        greatest(col("a_id"), col("b_id")).as("hi"))
+      .distinct().withColumn(marker, lit(1))
+    keyed(truth, "_t").join(keyed(detected, "_d"), Seq("lo", "hi"), "full_outer")
+      .agg(count(col("_t")).as("n_true"), count(col("_d")).as("n_detected"),
+        count(when(col("_t").isNotNull && col("_d").isNotNull, 1)).as("n_hit"))
+      .select(lit(method).as("method"), lit(theta).as("theta"),
+        col("n_true"), col("n_detected"), col("n_hit"),
+        when(col("n_detected") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double") / col("n_detected"), 4))
+          .as("precision"),
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double") / col("n_true"), 4))
+          .as("recall"))
+  }
+
+  /** Near-dup detection quality as harness-visible NUMBERS: precision
+    * and recall of the MinHash-LSH and SimHash candidate paths against
+    * the exact n-gram-Jaccard ground truth, one row per method — the
+    * dedup twin of [[SimilarityOps.annRecallReport]]. The approximate
+    * paths are xxhash64-seeded and can never have a SQL oracle; this
+    * converts them from "rows>0" checks into quantified quality
+    * signals with Verify-enforced floors.
+    *
+    * Truth semantics per row: MinHash estimates Jaccard directly, so
+    * its truth is exact pairs at the SAME `minJaccard` threshold (its
+    * precision prices the estimation error of `numHashes` agreements;
+    * its recall prices banding misses plus bucket-cap drops). SimHash
+    * detects near-identical documents, not moderate overlap — scoring
+    * it against `minJaccard` truth would conflate design intent with
+    * failure — so its truth is exact pairs at `simHashTruthJaccard`.
+    *
+    * `sampleFraction` is the at-scale path (the exact baseline is the
+    * quadratic part): a deterministic corpus sample, identical across
+    * the three subtrees, gives an unbiased estimate of full-corpus
+    * precision/recall — same argument as the ANN scoreboard.
+    */
+  def dedupRecallReport(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 8,
+      simHashTruthJaccard: Double = 0.9, maxHamming: Int = 3,
+      sampleFraction: Double = 1.0): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    require(minJaccard <= simHashTruthJaccard,
+      s"simhash truth ($simHashTruthJaccard) must be at least as strict " +
+        s"as the jaccard threshold ($minJaccard)")
+    val docs0 = if (sampleFraction >= 1.0) docs
+      else SampleOps.deterministicSample(docs, idCol, sampleFraction,
+        salt = "dedup_recall")
+    // three independent expensive subtrees → concurrent localCheckpoint,
+    // released before returning (the annRecallReport discipline)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val frames = Seq(
+      ngramJaccardPairs(
+        wordShingles(docs0, idCol, textCol, shingleN), minJaccard,
+        sizesProvided = true),
+      minHashLshPairs(docs0, idCol, textCol, shingleN, numHashes, bands,
+        minEstJaccard = minJaccard),
+      simHashPairs(docs0, idCol, textCol, maxHamming))
+    val futs = frames.map(f => Future(f.localCheckpoint()))
+    val Seq(exact, mh, sim) =
+      try Await.result(Future.sequence(futs), Duration.Inf)
+      catch { case e: Throwable =>
+        futs.foreach(_.onComplete {
+          case scala.util.Success(df) => Checkpoints.release(df)
+          case _ => ()
+        })
+        throw e
+      }
+    val report =
+      pairPrRow(exact, mh, "minhash_lsh", minJaccard)
+        .unionByName(pairPrRow(
+          exact.filter(col("jaccard") >= simHashTruthJaccard), sim,
+          "simhash", simHashTruthJaccard))
+    val rows = report.collect().toSeq
+    val schema = report.schema
+    Seq(exact, mh, sim).foreach(Checkpoints.release)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
 }

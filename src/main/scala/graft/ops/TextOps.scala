@@ -566,6 +566,73 @@ object TextOps {
           + lit(1.0))).as("w"))
   }
 
+  /** C4/Gopher-style rule-based quality filter: the classic
+    * hand-crafted heuristic battery (word-count band, mean word
+    * length, symbol-to-word ratio, bullet-line and ellipsis-line
+    * fractions, alphabetic-word fraction, stopword presence,
+    * lorem-ipsum / curly-brace rejects) as ONE zero-shuffle
+    * projection — every signal is a codegen regex/array expression
+    * over the row, so a 100 TB sweep is a scan, nothing more. Rules
+    * evaluate on the ROUNDED ratios (the oracle contract: both
+    * engines threshold the same 5-decimal value, so boundary
+    * documents cannot split on ieee754 noise).
+    *
+    * Emits the signal columns, one boolean per rule, and the
+    * composite `passes` — curation pipelines filter on `passes` but
+    * audit on the bits (which rule fired is the actionable part).
+    * Thresholds are parameters with the published defaults.
+    */
+  def qualityRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 10, maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val words = tokens(t)
+    val nWords = size(words)
+    val lines = split(t, "\n", -1)
+    val nLines = size(lines)
+    def frac(n: Column, d: Column) =
+      round(n.cast("double") / greatest(d, lit(1)), 5)
+    val meanWordLen =
+      round(charNoWs(t).cast("double") / greatest(nWords, lit(1)), 4)
+    val symbolRatio = frac(
+      regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")) +
+        regexp_count(t, lit("…")), nWords)
+    val bulletFrac = frac(
+      size(filter(lines, l => l.rlike("^[-*•] "))), nLines)
+    val ellipsisFrac = frac(
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))), nLines)
+    val alphaFrac = frac(
+      size(filter(words, w => w.rlike("[a-z]"))), nWords)
+    val stopHits = stopwordCount(t)
+    val hasLorem = contains(lower(t), lit("lorem ipsum"))
+    val hasBrace = contains(t, lit("{"))
+    df.select(col(idCol),
+        nWords.cast("long").as("n_words"), meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+        stopHits.cast("long").as("n_stop_hits"),
+        hasLorem.as("_lorem"), hasBrace.as("_brace"))
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("bullet_line_frac"),
+        col("ellipsis_line_frac"), col("alpha_word_frac"), col("n_stop_hits"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("r_len"),
+        (col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen).as("r_word_len"),
+        (col("symbol_ratio") <= maxSymbolRatio).as("r_symbol"),
+        (col("bullet_line_frac") <= maxBulletFrac).as("r_bullet"),
+        (col("ellipsis_line_frac") <= maxEllipsisFrac).as("r_ellipsis"),
+        (col("alpha_word_frac") >= minAlphaFrac).as("r_alpha"),
+        (col("n_stop_hits") >= minStopHits).as("r_stop"),
+        (!col("_lorem") && !col("_brace")).as("r_clean"))
+      .withColumn("passes",
+        col("r_len") && col("r_word_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stop") && col("r_clean"))
+  }
+
   /** Per-document quality metrics (ratios rounded for cross-engine
     * determinism — integer counts divide exactly in ieee754 but the
     * rounding keeps the oracle contract explicit).

@@ -839,6 +839,53 @@ object PipelineQueries {
           col("text_clean"))
     }),
 
+    // Dedup-detection quality scoreboard: precision/recall of the
+    // MinHash-LSH and SimHash candidate paths against exact n-gram
+    // Jaccard truth, SAME parameters as the production q39/q40/q41
+    // paths. Rows-only (xxhash-seeded paths have no SQL oracle);
+    // floors enforced in Verify + DedupScoreboardSpec, the q83
+    // discipline applied to dedup.
+    "q111_dedup_recall" -> ((s, d) =>
+      DedupOps.dedupRecallReport(s, Tables(s, d, "documents"),
+        "doc_id", "text", shingleN = 3, minJaccard = 0.5,
+        numHashes = 32, bands = 8,
+        simHashTruthJaccard = 0.9, maxHamming = 3)),
+
+    // C4/Gopher-style rule battery over deterministically degraded
+    // docs (the synthetic corpus is uniformly clean, so boilerplate
+    // failure modes — bullet walls, ellipsis teasers, symbol spam,
+    // numeric spam, lorem ipsum, runt docs — are injected per doc_id
+    // residue, mirrored exactly in the oracle; the q64 idiom). The
+    // operator itself is one zero-shuffle projection.
+    "q112_quality_rules" -> ((s, d) => {
+      val injected = when(col("doc_id") % 29 === 0, lit("tiny doc"))
+        .otherwise(concat(col("text"),
+          when(col("doc_id") % 13 === 0,
+            concat(lit("\n"), repeat(lit("- bullet line\n"), 24)))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, lit(" lorem ipsum {"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 19 === 0,
+            lit("\nread more...\nsee details…\nmore..."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 23 === 0, repeat(lit(" #"), 40))
+            .otherwise(lit("")),
+          when(col("doc_id") % 31 === 0, repeat(lit(" 4242"), 30))
+            .otherwise(lit("")),
+          when(col("doc_id") % 37 === 0,
+            repeat(lit(" pneumonoultramicroscopicsilicovolcanoconiosis"), 25))
+            .otherwise(lit(""))))
+      val rules = TextOps.qualityRules(
+        Tables(s, d, "documents").select(col("doc_id"), injected.as("text")),
+        "doc_id", "text")
+      rules.select((Seq("doc_id", "n_words", "mean_word_len",
+          "symbol_ratio", "bullet_line_frac", "ellipsis_line_frac",
+          "alpha_word_frac", "n_stop_hits").map(col) ++
+        Seq("r_len", "r_word_len", "r_symbol", "r_bullet", "r_ellipsis",
+          "r_alpha", "r_stop", "r_clean", "passes")
+          .map(c => col(c).cast("int").as(c))): _*)
+    }),
+
     // SemDeDup-shape semantic dedup end-to-end: embedding near-dup
     // pairs -> connected components -> keep the highest-QUALITY member
     // of each semantic cluster (quality from the model-based scorer).
@@ -979,6 +1026,64 @@ object PipelineQueries {
 
   /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
   val oracles: Map[String, String] = Map(
+    "q112_quality_rules" ->
+      """WITH inj AS (SELECT doc_id,
+        | CASE WHEN doc_id % 29 = 0 THEN 'tiny doc'
+        |  ELSE text
+        |   || CASE WHEN doc_id % 13 = 0
+        |        THEN chr(10) || repeat('- bullet line' || chr(10), 24)
+        |        ELSE '' END
+        |   || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum {' ELSE '' END
+        |   || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'read more...'
+        |        || chr(10) || 'see details…' || chr(10) || 'more...'
+        |        ELSE '' END
+        |   || CASE WHEN doc_id % 23 = 0 THEN repeat(' #', 40) ELSE '' END
+        |   || CASE WHEN doc_id % 31 = 0 THEN repeat(' 4242', 30) ELSE '' END
+        |   || CASE WHEN doc_id % 37 = 0
+        |        THEN repeat(' pneumonoultramicroscopicsilicovolcanoconiosis', 25)
+        |        ELSE '' END
+        |  END AS t FROM documents),
+        |sig AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[^ \t\n\f\r]+')) AS BIGINT) AS n_words,
+        |  round(length(regexp_replace(t, '[ \t\n\f\r]', '', 'g')) * 1.0
+        |    / greatest(len(regexp_extract_all(t, '[^ \t\n\f\r]+')), 1), 4)
+        |    AS mean_word_len,
+        |  round((len(regexp_extract_all(t, '#'))
+        |    + len(regexp_extract_all(t, '\.\.\.'))
+        |    + len(regexp_extract_all(t, '…'))) * 1.0
+        |    / greatest(len(regexp_extract_all(t, '[^ \t\n\f\r]+')), 1), 5)
+        |    AS symbol_ratio,
+        |  round(len(list_filter(string_split(t, chr(10)),
+        |      x -> regexp_matches(x, '^[-*•] '))) * 1.0
+        |    / greatest(len(string_split(t, chr(10))), 1), 5)
+        |    AS bullet_line_frac,
+        |  round(len(list_filter(string_split(t, chr(10)),
+        |      x -> regexp_matches(x, '(\.\.\.|…)$'))) * 1.0
+        |    / greatest(len(string_split(t, chr(10))), 1), 5)
+        |    AS ellipsis_line_frac,
+        |  round(len(list_filter(regexp_extract_all(lower(t), '[^ \t\n\f\r]+'),
+        |      x -> regexp_matches(x, '[a-z]'))) * 1.0
+        |    / greatest(len(regexp_extract_all(t, '[^ \t\n\f\r]+')), 1), 5)
+        |    AS alpha_word_frac,
+        |  CAST(len(regexp_extract_all(lower(t), '\b(the|a|of|to|and)\b'))
+        |    AS BIGINT) AS n_stop_hits,
+        |  contains(lower(t), 'lorem ipsum') AS has_lorem,
+        |  contains(t, '{') AS has_brace
+        | FROM inj),
+        |r AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+        |  CAST(n_words >= 10 AND n_words <= 100000 AS INT) AS r_len,
+        |  CAST(mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS INT)
+        |    AS r_word_len,
+        |  CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
+        |  CAST(bullet_line_frac <= 0.9 AS INT) AS r_bullet,
+        |  CAST(ellipsis_line_frac <= 0.3 AS INT) AS r_ellipsis,
+        |  CAST(alpha_word_frac >= 0.8 AS INT) AS r_alpha,
+        |  CAST(n_stop_hits >= 2 AS INT) AS r_stop,
+        |  CAST(NOT has_lorem AND NOT has_brace AS INT) AS r_clean
+        | FROM sig)
+        |SELECT *, CAST(r_len + r_word_len + r_symbol + r_bullet + r_ellipsis
+        |  + r_alpha + r_stop + r_clean = 8 AS INT) AS passes FROM r""".stripMargin,
     "q68_mixture_sample" -> {
       val coord = "substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 13)"
       val cases = MixtureFractions.map { case (s, f) =>
