@@ -611,4 +611,102 @@ object SimilarityOps {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
+
+  /** Distributed Lloyd's k-means over the FULL corpus — the semantic
+    * clustering primitive behind cluster-balanced sampling, SemDeDup
+    * cluster-then-dedup, and mixture design. [[lloydFit]] (the IVF
+    * coarse quantizer) trains on a driver-bounded SAMPLE; this one is
+    * for when the cluster structure must reflect every vector: each
+    * iteration is ONE corpus pass — a narrow nearest-center map
+    * (native graft_nearest_cells against a center literal, the knnIvf
+    * idiom) feeding a (cell, dim)-keyed decimal sum that map-side
+    * combines to at most k·d rows per partition — and only k·d
+    * numbers ever reach the driver.
+    *
+    * Deterministic by construction, not by luck: init picks the k
+    * lexicographically-smallest md5-coordinate vectors (partition-
+    * invariant, no RNG), iteration count is FIXED (no convergence
+    * test, so the result cannot depend on scheduling), and every sum
+    * is decimal(38,18) — associative, so bit-identical under any
+    * partitioning. Empty cells keep their previous center (the
+    * lloydFit contract).
+    *
+    * Returns (finalCenters, assignment frame (id, cluster)); the
+    * assignment is lazily recomputed from the final centers — callers
+    * that persist it pay one extra scan, never a wide shuffle.
+    */
+  private def kmeansCore(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int): (Seq[Seq[Double]], DataFrame) = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // deterministic seeding: k distinct vectors in md5-coordinate
+    // order. The 8k-row candidate fetch is driver-bounded (TakeOrdered)
+    // and the overfetch absorbs duplicate vectors.
+    val cand = base
+      .withColumn("_c", md5(concat(lit("kmeans:"), col("id").cast("string"))))
+      .orderBy("_c").limit(math.max(k * 8, 64))
+      .select("v").as[Seq[Double]].collect()
+    val init = cand.distinct.take(k)
+    require(init.length == k,
+      s"corpus has only ${init.length} distinct vectors in the seed " +
+        s"window, need k=$k")
+    var centers: Seq[Seq[Double]] = init.toIndexedSeq.map(_.toSeq)
+    val sumT = "decimal(38,18)"
+    for (_ <- 1 to maxIter) {
+      val assigned = base.withColumn("cell",
+        element_at(call_function("graft_nearest_cells",
+          col("v"), typedlit(centers)), 1))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x").cast(sumT)).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centers.map(_.toArray).toArray
+      sums.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val n = rows.head.getLong(3)
+        if (n > 0) rows.foreach { r =>
+          next(cell)(r.getInt(1)) = (r.getDecimal(2).doubleValue) / n
+        }
+      }
+      centers = next.map(_.toSeq).toSeq
+    }
+    val assignment = base.withColumn("cluster",
+      element_at(call_function("graft_nearest_cells",
+        col("v"), typedlit(centers)), 1))
+    (centers, assignment)
+  }
+
+  /** Per-vector cluster assignment: (id, cluster). */
+  def kmeansAssign(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      idCol: String, vecCol: String, k: Int = 16, maxIter: Int = 5): DataFrame =
+    kmeansCore(spark, emb, idCol, vecCol, k, maxIter)._2.select("id", "cluster")
+
+  /** Cluster profile: one row per cluster with member count and
+    * decimal-exact inertia (sum of squared distances to the final
+    * center) — the shape/balance diagnostic a mixture designer reads
+    * before weighting clusters. k rows out; inertia sums are decimal
+    * so the profile is bit-reproducible under any partitioning.
+    */
+  def kmeansClusterProfile(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, maxIter: Int = 5): DataFrame = {
+    val (centers, assigned) = kmeansCore(spark, emb, idCol, vecCol, k, maxIter)
+    val centersDf = broadcast(
+      spark.createDataFrame(centers.zipWithIndex.map { case (c, i) => (i, c) })
+        .toDF("cluster", "_center"))
+    assigned.join(centersDf, "cluster")
+      .withColumn("_sq", aggregate(
+        zip_with(col("v"), col("_center"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("_sq").cast("decimal(38,12)")).cast("double"), 6)
+          .as("inertia"))
+      .withColumn("mean_sq_dist",
+        round(col("inertia") / col("n_members"), 6))
+  }
 }

@@ -839,6 +839,15 @@ object PipelineQueries {
           col("text_clean"))
     }),
 
+    // Distributed full-corpus k-means (cluster-balanced sampling /
+    // SemDeDup / mixture-design primitive): fixed iterations, decimal
+    // sums, hash-order init — bit-deterministic under any
+    // partitioning, but iterative and so rows-only for the oracle;
+    // KmeansSpec pins a differential against the in-memory reference.
+    "q113_kmeans_profile" -> ((s, d) =>
+      SimilarityOps.kmeansClusterProfile(s, Tables(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8, maxIter = 4)),
+
     // Dedup-detection quality scoreboard: precision/recall of the
     // MinHash-LSH and SimHash candidate paths against exact n-gram
     // Jaccard truth, SAME parameters as the production q39/q40/q41

@@ -1,0 +1,99 @@
+package graft.core
+
+import graft.ops.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Distributed full-corpus k-means (q113). */
+class KmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  /** In-memory reference: the same algorithm (hash-order init, fixed
+    * iterations, empty cells keep their center) in plain Scala. The
+    * distributed path must match its assignments exactly.
+    */
+  private def referenceKmeans(points: Seq[(Long, Array[Double])], k: Int,
+      maxIter: Int): (Array[Array[Double]], Map[Long, Int]) = {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val seedOrder = points.sortBy(p => md5hex(s"kmeans:${p._1}")).map(_._2)
+    var centers = seedOrder.map(_.toSeq).distinct.take(k).map(_.toArray).toArray
+    require(centers.length == k)
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- centers.indices) {
+        var d = 0.0
+        for (j <- v.indices) { val t = v(j) - centers(c)(j); d += t * t }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    for (_ <- 1 to maxIter) {
+      val byCell = points.groupBy(p => nearest(p._2))
+      val next = centers.map(_.clone)
+      byCell.foreach { case (c, ps) =>
+        val s = new Array[Double](ps.head._2.length)
+        ps.foreach(p => for (j <- s.indices) s(j) += p._2(j))
+        for (j <- s.indices) next(c)(j) = s(j) / ps.length
+      }
+      centers = next
+    }
+    (centers, points.map(p => p._1 -> nearest(p._2)).toMap)
+  }
+
+  test("kmeansAssign matches the in-memory reference on real data") {
+    val sub = emb01.filter(col("vec_id") < 120)
+    val got = SimilarityOps.kmeansAssign(spark, sub, "vec_id", "embedding",
+        k = 5, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pts = sub.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().map { case (i, v) => (i, v.toArray) }
+      .toSeq
+    val (_, want) = referenceKmeans(pts, k = 5, maxIter = 3)
+    assert(got.size == want.size)
+    val diff = got.count { case (id, c) => want(id) != c }
+    // the decimal-sum path divides at different precision than the
+    // reference's double sums, so a point EXACTLY on a boundary could
+    // flip; on real-valued embeddings that has measure zero
+    assert(diff == 0, s"$diff of ${got.size} assignments differ")
+  }
+
+  test("kmeansClusterProfile: partition-invariant, exhaustive, sane") {
+    val prof = SimilarityOps.kmeansClusterProfile(spark, emb01,
+      "vec_id", "embedding", k = 8, maxIter = 4)
+    val rows = prof.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == emb01.count(), "members must partition corpus")
+    assert(rows.forall(_._2 > 0), "empty cluster in the profile")
+    rows.foreach { case (_, n, inertia, msd) =>
+      assert(inertia >= 0 && math.abs(msd - inertia / n) < 1e-4)
+    }
+    val repart = SimilarityOps.kmeansClusterProfile(spark,
+      emb01.repartition(13), "vec_id", "embedding", k = 8, maxIter = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(repart.toSeq == rows.map(t => (t._1, t._2, t._3)).sortBy(_._1).toSeq,
+      "profile must be bit-identical under repartitioning")
+  }
+
+  test("more iterations cannot increase total inertia") {
+    def total(maxIter: Int): Double =
+      SimilarityOps.kmeansClusterProfile(spark, emb01, "vec_id", "embedding",
+        k = 8, maxIter = maxIter)
+        .agg(sum("inertia")).collect()(0).getDouble(0)
+    val i1 = total(1); val i4 = total(4)
+    assert(i4 <= i1 + 1e-6, s"inertia rose: $i1 -> $i4")
+  }
+
+  test("k larger than distinct vectors is rejected") {
+    val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.kmeansAssign(spark, tiny, "vec_id", "embedding", k = 3)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+}
