@@ -158,6 +158,13 @@ object GraftFunctions {
           s"graft_nfc requires exactly 1 argument, got ${children.size}")
         NfcNormalize(children.head)
       }),
+    ("graft_fix_mojibake",
+      new ExpressionInfo(classOf[FixMojibake].getName, "graft_fix_mojibake"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_fix_mojibake requires exactly 1 argument, got ${children.size}")
+        FixMojibake(children.head)
+      }),
     ("graft_lang_scores",
       new ExpressionInfo(classOf[LangNgramScores].getName, "graft_lang_scores"),
       (children: Seq[Expression]) => {

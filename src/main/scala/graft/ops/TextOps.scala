@@ -566,6 +566,26 @@ object TextOps {
           + lit(1.0))).as("w"))
   }
 
+  /** Mojibake (UTF-8-read-as-cp1252) detection count: a loose
+    * heuristic regex over the two dominant signatures (Ã + any char
+    * covers Latin-1 accents; â€ + any char covers general
+    * punctuation). Deliberately looser than the repair — detection
+    * flags candidates for audit, repair only acts on strict
+    * round-trips ([[graft.functions.FixMojibake]]). Portable: the
+    * same pattern runs in DuckDB.
+    */
+  val MojibakeRe = "(Ã.|â€.)"
+  def mojibakeCount(text: Column): Column =
+    regexp_count(text, lit(MojibakeRe))
+
+  /** Whole-string strict mojibake repair (native expression; see
+    * [[graft.functions.FixMojibake]] for the
+    * round-trip-or-untouched contract). Zero shuffle — an encoding
+    * scrub over 100 TB is a projection.
+    */
+  def fixMojibake(text: Column): Column =
+    call_function("graft_fix_mojibake", text)
+
   /** C4/Gopher-style rule-based quality filter: the classic
     * hand-crafted heuristic battery (word-count band, mean word
     * length, symbol-to-word ratio, bullet-line and ellipsis-line

@@ -839,6 +839,32 @@ object PipelineQueries {
           col("text_clean"))
     }),
 
+    // Mojibake detect + strict repair: UTF-8-read-as-cp1252 damage is
+    // injected into the (pure-ASCII) corpus per doc_id residue —
+    // accent mojibake, punctuation mojibake, and one UNREPAIRABLE
+    // case (a cp1252-undefined byte lost to U+FFFD) that the strict
+    // contract must refuse to touch. The oracle replays the injection
+    // and the expected repair (the byte-level recode inverts to a
+    // plain replace on this controlled corruption), so the native
+    // codec path is value-checked cross-engine; repair is a
+    // zero-shuffle projection.
+    "q114_fix_mojibake" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val corrupted =
+        when(col("doc_id") % 7 === 0,
+          replace(col("text"), lit("e"), lit("Ã©")))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" â€œquotedâ€¦")))
+        .when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" broken â€\uFFFD end")))
+        .otherwise(col("text"))
+      Tables(s, d, "documents").select(col("doc_id"), corrupted.as("t"))
+        .select(col("doc_id"),
+          TextOps.mojibakeCount(col("t")).cast("long").as("n_moji"),
+          (TextOps.fixMojibake(col("t")) =!= col("t")).cast("int").as("changed"),
+          md5(TextOps.fixMojibake(col("t")).cast("binary")).as("repaired_md5"))
+    }),
+
     // Distributed full-corpus k-means (cluster-balanced sampling /
     // SemDeDup / mixture-design primitive): fixed iterations, decimal
     // sums, hash-order init — bit-deterministic under any
@@ -1035,6 +1061,22 @@ object PipelineQueries {
 
   /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
   val oracles: Map[String, String] = Map(
+    "q114_fix_mojibake" ->
+      """WITH c AS (SELECT doc_id,
+        | CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©')
+        |      WHEN doc_id % 11 = 0 THEN text || ' â€œquotedâ€¦'
+        |      WHEN doc_id % 13 = 0 THEN text || ' broken â€' || chr(65533) || ' end'
+        |      ELSE text END AS t,
+        | CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'é')
+        |      WHEN doc_id % 11 = 0 THEN text || ' “quoted…'
+        |      WHEN doc_id % 13 = 0 THEN text || ' broken â€' || chr(65533) || ' end'
+        |      ELSE text END AS rep
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '(Ã.|â€.)')) AS BIGINT) AS n_moji,
+        | CAST(rep <> t AS INT) AS changed,
+        | md5(rep) AS repaired_md5
+        |FROM c""".stripMargin,
     "q112_quality_rules" ->
       """WITH inj AS (SELECT doc_id,
         | CASE WHEN doc_id % 29 = 0 THEN 'tiny doc'
