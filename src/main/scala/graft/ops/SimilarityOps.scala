@@ -685,6 +685,42 @@ object SimilarityOps {
       idCol: String, vecCol: String, k: Int = 16, maxIter: Int = 5): DataFrame =
     kmeansCore(spark, emb, idCol, vecCol, k, maxIter)._2.select("id", "cluster")
 
+  /** Cluster-balanced deterministic sample: ~`targetPerCluster`
+    * members from EACH semantic cluster — the "flatten the topic
+    * distribution" curation move (dominant web clusters down-sampled,
+    * rare technical clusters kept whole). Composition contract:
+    * cluster structure from the full-corpus k-means, membership
+    * decision from the content-hash sampler — so the sample is
+    * reproducible row-for-row on any engine/partitioning, and
+    * re-running with a different target only moves the per-cluster
+    * thresholds, not the coordinate each document hashes to.
+    *
+    * Scale shape: the corpus never shuffles — assignment is a narrow
+    * map, cluster sizes are a k-row aggregate collected as a control
+    * table, and the per-cluster keep-threshold returns to the plan as
+    * a CASE literal over [[SampleOps.thresholdHex]] strings feeding a
+    * pure filter.
+    */
+  def clusterBalancedSample(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, idCol: String, vecCol: String,
+      targetPerCluster: Long, k: Int = 16, maxIter: Int = 5,
+      salt: String = "cluster_balance"): DataFrame = {
+    require(targetPerCluster >= 1,
+      s"targetPerCluster must be >= 1, got $targetPerCluster")
+    val (_, assigned) = kmeansCore(spark, emb, idCol, vecCol, k, maxIter)
+    val keyed = assigned.select(col("id"), col("cluster"))
+    val sizes = keyed.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val thr = sizes.map { case (c, n) =>
+      c -> SampleOps.thresholdHex(
+        math.min(1.0, targetPerCluster.toDouble / n))
+    }
+    val thrCase = thr.foldLeft(lit(SampleOps.thresholdHex(0.0))) {
+      case (acc, (c, t)) => when(col("cluster") === c, lit(t)).otherwise(acc)
+    }
+    keyed.filter(SampleOps.hashCoord(col("id"), salt) < thrCase)
+  }
+
   /** Cluster profile: one row per cluster with member count and
     * decimal-exact inertia (sum of squared distances to the final
     * center) — the shape/balance diagnostic a mixture designer reads

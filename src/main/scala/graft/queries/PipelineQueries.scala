@@ -839,6 +839,15 @@ object PipelineQueries {
           col("text_clean"))
     }),
 
+    // Cluster-balanced sample: ~target members from each q113 cluster
+    // (flatten the topic distribution before mixing). Corpus never
+    // shuffles: assignment map + k-row control table + CASE-literal
+    // thresholds. Rows-only (kmeans is iterative); KmeansSpec pins
+    // determinism and per-cluster bounds.
+    "q115_cluster_balance" -> ((s, d) =>
+      SimilarityOps.clusterBalancedSample(s, Tables(s, d, "embeddings"),
+        "vec_id", "embedding", targetPerCluster = 40, k = 8, maxIter = 4)),
+
     // Mojibake detect + strict repair: UTF-8-read-as-cp1252 damage is
     // injected into the (pure-ASCII) corpus per doc_id residue —
     // accent mojibake, punctuation mojibake, and one UNREPAIRABLE

@@ -88,6 +88,40 @@ class KmeansSpec extends SparkSpec {
     assert(i4 <= i1 + 1e-6, s"inertia rose: $i1 -> $i4")
   }
 
+  test("clusterBalancedSample: deterministic, bounded, cluster-faithful") {
+    val sample = SimilarityOps.clusterBalancedSample(spark, emb01,
+      "vec_id", "embedding", targetPerCluster = 40, k = 8, maxIter = 4)
+    val rows = sample.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val again = SimilarityOps.clusterBalancedSample(spark,
+      emb01.repartition(7), "vec_id", "embedding",
+      targetPerCluster = 40, k = 8, maxIter = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq,
+      "sample must be row-identical under repartitioning")
+    // per-cluster counts: clusters at/below target keep everything;
+    // larger ones land near target (binomial, not exact — allow 3σ)
+    val full = SimilarityOps.kmeansAssign(spark, emb01, "vec_id", "embedding",
+        k = 8, maxIter = 4)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    full.foreach { case (c, n) =>
+      val s = got.getOrElse(c, 0L)
+      if (n <= 40) assert(s == n, s"cluster $c: kept $s of $n <= target")
+      else {
+        val sigma = math.sqrt(n * (40.0 / n) * (1 - 40.0 / n))
+        assert(math.abs(s - 40.0) <= 3 * sigma + 1,
+          s"cluster $c: $s of $n vs target 40")
+      }
+    }
+    // widening the target only ADDS rows (thresholds are monotone in
+    // the fraction, coordinates are fixed)
+    val wider = SimilarityOps.clusterBalancedSample(spark, emb01,
+      "vec_id", "embedding", targetPerCluster = 60, k = 8, maxIter = 4)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(rows.map(_._1).toSet.subsetOf(wider), "target widening must nest")
+  }
+
   test("k larger than distinct vectors is rejected") {
     val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)))
       .toDF("vec_id", "embedding")
