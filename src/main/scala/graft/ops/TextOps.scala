@@ -566,6 +566,83 @@ object TextOps {
           + lit(1.0))).as("w"))
   }
 
+  /** Per-document n-gram novelty against the whole corpus: how much
+    * of a document's distinct gram set appears NOWHERE else. High
+    * novelty marks fresh content; a low-novelty, high-`max_df` row is
+    * boilerplate assembled from corpus-common phrases — the
+    * complement of the dedup/contamination family (those find WHO
+    * shares text, this scores HOW MUCH of a doc is shared at all).
+    *
+    * Scale shape (the TF-IDF discipline): distinct (id, gram) rows
+    * from the narrow per-row shingle set, one gram-keyed aggregation
+    * for document frequency (map-side combined), one join back on the
+    * gram (64-bit hashed — the q39 narrowing), one id-keyed
+    * aggregation. The gram DF table is vocabulary-sized and never
+    * broadcast. Docs with < n tokens surface with n_grams = 0 and
+    * NULL novelty (nothing to measure).
+    */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = DedupOps.wordShingles(df, idCol, textCol, n)
+    val hashed = sh.select(col("id"), col("n_sh"),
+      xxhash64(col("shingle")).as("g"))
+    val freq = hashed.groupBy("g").agg(count(lit(1)).as("df"))
+    val per = hashed.join(freq, "g")
+      .groupBy("id")
+      .agg(first(col("n_sh")).as("_n"),
+        count(when(col("df") === 1, 1)).as("_novel"),
+        max(col("df")).as("_maxdf"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_n"), lit(0L)).as("n_grams"),
+        coalesce(col("_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("_maxdf"), lit(0L)).as("max_df"),
+        when(col("_n").isNull, lit(null).cast("double"))
+          .otherwise(round(col("_novel").cast("double") / col("_n"), 5))
+          .as("novelty"))
+  }
+
+  /** Unicode script profile: per-document character fractions by
+    * script block (Latin, Cyrillic, Greek, Arabic, Devanagari, CJK
+    * ideographs, kana, Hangul) over the non-whitespace length — the
+    * cheap routing signal that runs BEFORE language-ID at scale
+    * (don't score 100 TB of Chinese against Latin trigram models).
+    * Pure codegen regex projection, zero shuffle; the block ranges
+    * are BMP and the fractions round at 5 decimals (the oracle
+    * contract).
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val total = length(regexp_replace(t, "[ \\t\\n\\f\\r]", ""))
+    def f(pattern: String) =
+      round(regexp_count(t, lit(pattern)).cast("double") /
+        greatest(total, lit(1)), 5)
+    df.select(col(idCol),
+      total.cast("long").as("n_chars"),
+      f("[A-Za-z]").as("latin_frac"),
+      f("[\u0400-\u04FF]").as("cyrillic_frac"),
+      f("[\u0370-\u03FF]").as("greek_frac"),
+      f("[\u0600-\u06FF]").as("arabic_frac"),
+      f("[\u0900-\u097F]").as("devanagari_frac"),
+      f("[\u4E00-\u9FFF]").as("cjk_frac"),
+      f("[\u3040-\u30FF]").as("kana_frac"),
+      f("[\uAC00-\uD7AF]").as("hangul_frac"))
+  }
+
+  /** Zero-width / invisible character scrub: the crawl-artifact
+    * codepoints that break tokenizers and dedup keys while rendering
+    * as nothing — zero-width space/joiner/non-joiner, BOM, soft
+    * hyphen, directional marks and embeddings, word joiner — are
+    * DELETED; NBSP (which renders as a space and must stay a word
+    * boundary) is replaced WITH a space. Two codegen regex passes,
+    * zero shuffle.
+    */
+  val InvisibleRe = "[\u200B\u200C\u200D\uFEFF\u00AD\u200E\u200F\u202A-\u202E\u2060]"
+  def invisibleCount(text: Column): Column =
+    regexp_count(text, lit(InvisibleRe)) + regexp_count(text, lit(" "))
+  def scrubInvisible(text: Column): Column =
+    regexp_replace(regexp_replace(text, InvisibleRe, ""), " ", " ")
+
   /** Mojibake (UTF-8-read-as-cp1252) detection count: a loose
     * heuristic regex over the two dominant signatures (Ã + any char
     * covers Latin-1 accents; â€ + any char covers general

@@ -839,6 +839,55 @@ object PipelineQueries {
           col("text_clean"))
     }),
 
+    // Corpus-wide n-gram novelty: how much of each doc's distinct
+    // 3-gram set appears nowhere else (TF-IDF-shaped plan: gram-keyed
+    // DF aggregation + join back, both map-side combined).
+    "q116_gram_novelty" -> ((s, d) =>
+      TextOps.gramNovelty(Tables(s, d, "documents"), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Unicode script profile (the routing signal that runs BEFORE
+    // language-ID at 100 TB): per-script char fractions, zero
+    // shuffle. The ASCII corpus gets deterministic non-Latin snippet
+    // injection so every block is exercised (q64 idiom, mirrored in
+    // the oracle).
+    "q117_script_profile" -> ((s, d) => {
+      val t =
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" Привет мир")))
+        .when(col("doc_id") % 7 === 0, concat(col("text"), lit(" こんにちは世界")))
+        .when(col("doc_id") % 11 === 0, concat(col("text"), lit(" مرحبا بالعالم")))
+        .when(col("doc_id") % 13 === 0, concat(col("text"), lit(" 안녕하세요")))
+        .when(col("doc_id") % 17 === 0, concat(col("text"), lit(" Γειά σου κόσμε")))
+        .when(col("doc_id") % 19 === 0, concat(col("text"), lit(" नमस्ते दुनिया")))
+        .otherwise(col("text"))
+      TextOps.scriptProfile(
+        Tables(s, d, "documents").select(col("doc_id"), t.as("text")),
+        "doc_id", "text")
+    }),
+
+    // Zero-width / invisible character scrub (crawl artifacts that
+    // break tokenizers and dedup keys): injected per residue; every
+    // injected corruption scrubs back to the original text, and the
+    // oracle replays injection + scrub independently.
+    "q118_invisible_scrub" -> ((s, d) => {
+      val t =
+        when(col("doc_id") % 5 === 0,
+          replace(col("text"), lit("e"), lit("e\u200B")))
+        .when(col("doc_id") % 7 === 0, concat(lit("\uFEFF"), col("text")))
+        .when(col("doc_id") % 11 === 0,
+          replace(col("text"), lit(" "), lit("\u00A0")))
+        .when(col("doc_id") % 13 === 0,
+          replace(col("text"), lit("a"), lit("a\u00AD")))
+        .otherwise(col("text"))
+      Tables(s, d, "documents").select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          TextOps.invisibleCount(col("t")).cast("long").as("n_invisible"),
+          (TextOps.scrubInvisible(col("t")) =!= col("t")).cast("int")
+            .as("changed"),
+          md5(TextOps.scrubInvisible(col("t")).cast("binary"))
+            .as("cleaned_md5"))
+    }),
+
     // Cluster-balanced sample: ~target members from each q113 cluster
     // (flatten the topic distribution before mixing). Corpus never
     // shuffles: assignment map + k-row control table + CASE-literal
@@ -1070,6 +1119,68 @@ object PipelineQueries {
 
   /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
   val oracles: Map[String, String] = Map(
+    "q116_gram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        | FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |  ELSE [] END AS gl FROM w),
+        |e AS (SELECT doc_id, len(gl) AS n_grams, unnest(gl) AS gram FROM g),
+        |f AS (SELECT gram, count(*) AS df FROM e GROUP BY gram),
+        |p AS (SELECT e.doc_id, any_value(e.n_grams) AS n_grams,
+        |  sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_novel,
+        |  max(f.df) AS max_df
+        | FROM e JOIN f USING (gram) GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        | CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+        | CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+        | CAST(coalesce(p.max_df, 0) AS BIGINT) AS max_df,
+        | CASE WHEN p.n_grams > 0 THEN round(p.n_novel * 1.0 / p.n_grams, 5)
+        |   END AS novelty
+        |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin,
+    "q117_script_profile" ->
+      """WITH c AS (SELECT doc_id,
+        | CASE WHEN doc_id % 5 = 0 THEN text || ' Привет мир'
+        |      WHEN doc_id % 7 = 0 THEN text || ' こんにちは世界'
+        |      WHEN doc_id % 11 = 0 THEN text || ' مرحبا بالعالم'
+        |      WHEN doc_id % 13 = 0 THEN text || ' 안녕하세요'
+        |      WHEN doc_id % 17 = 0 THEN text || ' Γειά σου κόσμε'
+        |      WHEN doc_id % 19 = 0 THEN text || ' नमस्ते दुनिया'
+        |      ELSE text END AS t FROM documents),
+        |n AS (SELECT doc_id, t,
+        |  greatest(length(regexp_replace(t, '[ \t\n\f\r]', '', 'g')), 1) AS nc,
+        |  length(regexp_replace(t, '[ \t\n\f\r]', '', 'g')) AS n_chars
+        | FROM c)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        | round(len(regexp_extract_all(t, '[A-Za-z]')) * 1.0 / nc, 5) AS latin_frac,
+        | round(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) * 1.0 / nc, 5) AS cyrillic_frac,
+        | round(len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) * 1.0 / nc, 5) AS greek_frac,
+        | round(len(regexp_extract_all(t, '[\x{0600}-\x{06FF}]')) * 1.0 / nc, 5) AS arabic_frac,
+        | round(len(regexp_extract_all(t, '[\x{0900}-\x{097F}]')) * 1.0 / nc, 5) AS devanagari_frac,
+        | round(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]')) * 1.0 / nc, 5) AS cjk_frac,
+        | round(len(regexp_extract_all(t, '[\x{3040}-\x{30FF}]')) * 1.0 / nc, 5) AS kana_frac,
+        | round(len(regexp_extract_all(t, '[\x{AC00}-\x{D7AF}]')) * 1.0 / nc, 5) AS hangul_frac
+        |FROM n""".stripMargin,
+    "q118_invisible_scrub" ->
+      """WITH c AS (SELECT doc_id,
+        | CASE WHEN doc_id % 5 = 0 THEN replace(text, 'e', 'e' || chr(8203))
+        |      WHEN doc_id % 7 = 0 THEN chr(65279) || text
+        |      WHEN doc_id % 11 = 0 THEN replace(text, ' ', chr(160))
+        |      WHEN doc_id % 13 = 0 THEN replace(text, 'a', 'a' || chr(173))
+        |      ELSE text END AS t FROM documents),
+        |s AS (SELECT doc_id, t,
+        |  replace(regexp_replace(t,
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}\x{200E}\x{200F}\x{202A}-\x{202E}\x{2060}]',
+        |    '', 'g'), chr(160), ' ') AS clean
+        | FROM c)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t,
+        |   '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}\x{200E}\x{200F}\x{202A}-\x{202E}\x{2060}]'))
+        |  + len(regexp_extract_all(t, chr(160))) AS BIGINT) AS n_invisible,
+        | CAST(clean <> t AS INT) AS changed,
+        | md5(clean) AS cleaned_md5
+        |FROM s""".stripMargin,
     "q114_fix_mojibake" ->
       """WITH c AS (SELECT doc_id,
         | CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©')

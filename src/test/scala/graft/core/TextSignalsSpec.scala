@@ -1,0 +1,62 @@
+package graft.core
+
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+/** Gram novelty (q116), script profile (q117), invisible scrub (q118). */
+class TextSignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gramNovelty: unique, duplicated, and runt documents") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),     // unique grams
+      (2L, "shared phrase here we go again now"), // duplicated below
+      (3L, "shared phrase here we go again now"),
+      (4L, "too short")                           // < 3 tokens: no grams
+    ).toDF("doc_id", "text")
+    val out = TextOps.gramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    assert(out(1) == ((3L, 3L, 1L, 1.0)), out(1).toString)
+    // doc 2/3: every gram also in the twin -> df=2, zero novel
+    assert(out(2)._2 == 0 && out(2)._3 == 2 && out(2)._4 == 0.0)
+    assert(out(3) == out(2))
+    assert(out(4)._1 == 0 && out(4)._4.isNaN, "runt doc: 0 grams, NULL novelty")
+  }
+
+  test("scriptProfile: known mixtures, zero-shuffle plan") {
+    val docs = Seq(
+      (1L, "pure ascii words"),
+      (2L, "Привет мир"),
+      (3L, "日本語とカタカナ"),
+      (4L, "half latin половина")
+    ).toDF("doc_id", "text")
+    val prof = TextOps.scriptProfile(docs, "doc_id", "text")
+    val shuffles = prof.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, "script profile must stay a pure projection")
+    val m = prof.collect().map(r => r.getLong(0) -> r).toMap
+    def g(id: Long, c: String) = { val r = m(id); r.getDouble(r.fieldIndex(c)) }
+    assert(g(1, "latin_frac") == 1.0 && g(1, "cyrillic_frac") == 0.0)
+    assert(g(2, "cyrillic_frac") == 1.0)
+    assert(g(3, "cjk_frac") > 0 && g(3, "kana_frac") > 0 &&
+      math.abs(g(3, "cjk_frac") + g(3, "kana_frac") - 1.0) < 1e-9)
+    assert(g(4, "latin_frac") > 0.3 && g(4, "cyrillic_frac") > 0.3)
+  }
+
+  test("scrubInvisible: strips artifacts, preserves NBSP as boundary, idempotent") {
+    val dirty = "a\u200Bb\u00ADc \u00A0d \uFEFFe\u200E\u202Af"
+    val df = Seq((1L, dirty)).toDF("id", "t")
+      .select(TextOps.invisibleCount(col("t")).as("n"),
+        TextOps.scrubInvisible(col("t")).as("clean"))
+    val r = df.collect()(0)
+    assert(r.getInt(0) == 6, s"expected 6 invisibles, got ${r.getInt(0)}")
+    assert(r.getString(1) == "abc  d ef", s"got '${r.getString(1)}'")
+    val again = Seq((1L, r.getString(1))).toDF("id", "t")
+      .select(TextOps.invisibleCount(col("t")).as("n"),
+        TextOps.scrubInvisible(col("t")).as("clean")).collect()(0)
+    assert(again.getInt(0) == 0 && again.getString(1) == r.getString(1))
+  }
+}
