@@ -51,6 +51,28 @@ case class FixMojibake(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-span variant: `graft_fix_mojibake_spans(text)` — see
+  * [[FixMojibake.repairSpans]]. Use for corpora that mix scripts;
+  * the whole-string form is the conservative default.
+  */
+case class FixMojibakeSpans(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_fix_mojibake_spans"
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    FixMojibake.repairSpans(s) match {
+      case null => input
+      case fixed => UTF8String.fromString(fixed)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object FixMojibake {
   private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
 
@@ -70,6 +92,55 @@ object FixMojibake {
     // undefined-byte passthrough: U+0081 &c encode as their own value
     Seq(0x81, 0x8D, 0x8F, 0x90, 0x9D).foreach(b => m.put(b, b))
     m
+  }
+
+  /** Per-SPAN repair for mixed documents: one mojibake paragraph in a
+    * CJK (or emoji-bearing) document is the common real case, and
+    * whole-string strictness correctly refuses it. Here the text is
+    * split into maximal runs of cp1252-encodable codepoints (a
+    * mojibake sequence is by construction entirely cp1252 chars, so a
+    * non-encodable boundary can never cut one); each run containing a
+    * heuristic gate char gets the same strict round-trip-or-untouched
+    * attempt, independently. Returns null when nothing changed.
+    *
+    * Per-run strictness keeps the safety argument intact: "SÃO PAULO"
+    * inside a CJK document still refuses (its run is not valid
+    * UTF-8), destroyed bytes still refuse, and runs without gate
+    * chars are never touched.
+    */
+  def repairSpans(s: String): String = {
+    var changed = false
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      // collect a maximal cp1252-encodable run
+      val start = i
+      var hasGate = false
+      while (i < s.length && {
+        val cp = s.codePointAt(i)
+        cp < 0x80 || Reverse.containsKey(cp)
+      }) {
+        val c = s.charAt(i)
+        if (c == 'Â' || c == 'Ã' || c == 'â' || c == 'Å') hasGate = true
+        i += Character.charCount(s.codePointAt(i))
+      }
+      if (i > start) {
+        val run = s.substring(start, i)
+        val fixed = if (hasGate) repair(run) else null
+        if (fixed != null) { sb.append(fixed); changed = true }
+        else sb.append(run)
+      }
+      // copy the non-encodable stretch verbatim
+      while (i < s.length && {
+        val cp = s.codePointAt(i)
+        !(cp < 0x80 || Reverse.containsKey(cp))
+      }) {
+        val n = Character.charCount(s.codePointAt(i))
+        sb.append(s, i, i + n)
+        i += n
+      }
+    }
+    if (changed) sb.toString else null
   }
 
   /** Repaired string, or null when the input is not (whole-string,

@@ -165,6 +165,15 @@ object GraftFunctions {
           s"graft_fix_mojibake requires exactly 1 argument, got ${children.size}")
         FixMojibake(children.head)
       }),
+    ("graft_fix_mojibake_spans",
+      new ExpressionInfo(classOf[FixMojibakeSpans].getName,
+        "graft_fix_mojibake_spans"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_fix_mojibake_spans requires exactly 1 argument, " +
+            s"got ${children.size}")
+        FixMojibakeSpans(children.head)
+      }),
     ("graft_lang_scores",
       new ExpressionInfo(classOf[LangNgramScores].getName, "graft_lang_scores"),
       (children: Seq[Expression]) => {

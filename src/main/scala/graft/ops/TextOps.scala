@@ -663,6 +663,14 @@ object TextOps {
   def fixMojibake(text: Column): Column =
     call_function("graft_fix_mojibake", text)
 
+  /** Per-span mojibake repair for script-mixed documents (one bad
+    * paragraph in a CJK doc): each maximal cp1252-encodable run gets
+    * the strict round-trip-or-untouched attempt independently. See
+    * [[graft.functions.FixMojibake.repairSpans]].
+    */
+  def fixMojibakeSpans(text: Column): Column =
+    call_function("graft_fix_mojibake_spans", text)
+
   /** C4/Gopher-style rule-based quality filter: the classic
     * hand-crafted heuristic battery (word-count band, mean word
     * length, symbol-to-word ratio, bullet-line and ellipsis-line

@@ -839,6 +839,29 @@ object PipelineQueries {
           col("text_clean"))
     }),
 
+    // Per-span mojibake repair in script-MIXED documents — the case
+    // whole-string strictness (q114) correctly refuses: CJK context
+    // is kept verbatim, the broken Latin run repairs, and a run
+    // poisoned by an invalid sequence stays untouched even though it
+    // also holds a repairable one (per-run strictness, the documented
+    // coarseness). Oracle replays injection and the expected splice.
+    "q119_span_mojibake" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val t =
+        when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit(" 東京タワー cafÃ© corner")))
+        .when(col("doc_id") % 25 === 0,
+          concat(col("text"), lit(" 移動 SÃO PAULO â€”dash")))
+        .otherwise(col("text"))
+      Tables(s, d, "documents").select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          TextOps.mojibakeCount(col("t")).cast("long").as("n_moji"),
+          (TextOps.fixMojibakeSpans(col("t")) =!= col("t")).cast("int")
+            .as("changed"),
+          md5(TextOps.fixMojibakeSpans(col("t")).cast("binary"))
+            .as("repaired_md5"))
+    }),
+
     // Corpus-wide n-gram novelty: how much of each doc's distinct
     // 3-gram set appears nowhere else (TF-IDF-shaped plan: gram-keyed
     // DF aggregation + join back, both map-side combined).
@@ -1119,6 +1142,20 @@ object PipelineQueries {
 
   /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
   val oracles: Map[String, String] = Map(
+    "q119_span_mojibake" ->
+      """WITH c AS (SELECT doc_id,
+        | CASE WHEN doc_id % 6 = 0 THEN text || ' 東京タワー cafÃ© corner'
+        |      WHEN doc_id % 25 = 0 THEN text || ' 移動 SÃO PAULO â€”dash'
+        |      ELSE text END AS t,
+        | CASE WHEN doc_id % 6 = 0 THEN text || ' 東京タワー café corner'
+        |      WHEN doc_id % 25 = 0 THEN text || ' 移動 SÃO PAULO â€”dash'
+        |      ELSE text END AS rep
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '(Ã.|â€.)')) AS BIGINT) AS n_moji,
+        | CAST(rep <> t AS INT) AS changed,
+        | md5(rep) AS repaired_md5
+        |FROM c""".stripMargin,
     "q116_gram_novelty" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
         | FROM documents),

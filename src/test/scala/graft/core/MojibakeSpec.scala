@@ -75,6 +75,24 @@ class MojibakeSpec extends SparkSpec {
     assert(FixMojibake.repair(once) == orig)
   }
 
+  test("repairSpans: fixes the bad run, keeps mixed-script context") {
+    val moji = javaMoji("café")
+    // CJK context refuses whole-string repair but span repair works
+    assert(FixMojibake.repair(s"日本語 $moji text") == null)
+    assert(FixMojibake.repairSpans(s"日本語 $moji text") == "日本語 café text")
+    // emoji (astral, not cp1252) likewise breaks the run, not the fix
+    assert(FixMojibake.repairSpans(s"ok 😀 $moji") == "ok 😀 café")
+    // a run poisoned by an invalid sequence stays whole-run untouched
+    val poisoned = s"移動 SÃO PAULO ${javaMoji("—")}dash"
+    assert(FixMojibake.repairSpans(poisoned) == null,
+      "invalid sequence must hold its whole run back")
+    // no gate chars, no change
+    assert(FixMojibake.repairSpans("日本語 plain ascii") == null)
+    // idempotent on its own output
+    val once = FixMojibake.repairSpans(s"日本語 $moji")
+    assert(once != null && FixMojibake.repairSpans(once) == null)
+  }
+
   test("dataframe surface: detection counts and strict repair") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(
