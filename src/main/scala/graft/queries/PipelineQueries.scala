@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{DedupOps, GraphOps, MultimodalOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, MultimodalOps, ProfileOps, SampleOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -839,6 +839,13 @@ object PipelineQueries {
           col("text_clean"))
     }),
 
+    // One-pass Pearson correlation matrix over lineitem's numeric
+    // columns (feature-redundancy probe): decimal-exact sums, driver
+    // closed form, oracle generated from the same column list.
+    "q120_feature_corr" -> ((s, d) =>
+      ProfileOps.corrMatrix(Tables(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // Per-span mojibake repair in script-MIXED documents — the case
     // whole-string strictness (q114) correctly refuses: CJK context
     // is kept verbatim, the broken Latin run repairs, and a run
@@ -1142,6 +1149,8 @@ object PipelineQueries {
 
   /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
   val oracles: Map[String, String] = Map(
+    "q120_feature_corr" -> ProfileOps.corrOracleSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q119_span_mojibake" ->
       """WITH c AS (SELECT doc_id,
         | CASE WHEN doc_id % 6 = 0 THEN text || ' 東京タワー cafÃ© corner'

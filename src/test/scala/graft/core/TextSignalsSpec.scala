@@ -46,6 +46,51 @@ class TextSignalsSpec extends SparkSpec {
     assert(g(4, "latin_frac") > 0.3 && g(4, "cyrillic_frac") > 0.3)
   }
 
+  test("corrMatrix: hand case, repartition bit-identity, zero-variance NULL") {
+    val df = Seq(
+      (1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0), (4.0, 8.0, 5.0))
+      .toDF("x", "y", "z")
+    val out = graft.ops.ProfileOps.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out(("x", "y")) == 1.0, "perfect linear relation")
+    assert(out(("x", "z")) == null, "zero-variance column yields NULL")
+    assert(out(("y", "z")) == null)
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val a = graft.ops.ProfileOps.corrMatrix(li, cols).collect().toSeq
+    val b = graft.ops.ProfileOps.corrMatrix(li.repartition(17), cols)
+      .collect().toSeq
+    assert(a.map(_.toString).sorted == b.map(_.toString).sorted,
+      "corr must be bit-identical under repartitioning")
+  }
+
+  test("qualityRules is streaming-safe and matches the batch filter") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog and then runs off " +
+        "to the woods of the far north to rest for a little while"),
+      (2L, "tiny doc"),
+      (3L, "the start of something { lorem ipsum in the middle of it all " +
+        "and the rest of the words go on and on for a while longer"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.TextOps.qualityRules(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .filter(col("passes"))
+      .writeStream.format("memory").queryName("rules_stream")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rules_stream")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.ops.TextOps.qualityRules(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .filter(col("passes")).select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch && streamed == Set(1L), streamed.toString)
+  }
+
   test("scrubInvisible: strips artifacts, preserves NBSP as boundary, idempotent") {
     val dirty = "a\u200Bb\u00ADc \u00A0d \uFEFFe\u200E\u202Af"
     val df = Seq((1L, dirty)).toDF("id", "t")
