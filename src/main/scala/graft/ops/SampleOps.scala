@@ -129,4 +129,38 @@ object SampleOps {
       cased.fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1)))
     when(key.isNull, lit(null: String)).otherwise(assigned)
   }
+
+  /** Deterministic WEIGHTED sample without replacement (Efraimidis–
+    * Spirakis A-Res): keep the top-`n` rows by u^(1/w), where u is
+    * the row's content-hash coordinate mapped into (0, 1] and w its
+    * positive weight — quality-weighted corpus selection with every
+    * reproducibility property of the uniform sampler (same rows on
+    * any engine/partitioning/rerun), and the same nesting property (a
+    * larger n strictly extends the sample, since per-row keys never
+    * move).
+    *
+    * Ordering uses ln(u)/w (monotone in u^(1/w), no overflow at tiny
+    * weights). The engine-portability caveat: ln is evaluated in each
+    * engine's libm, so two rows whose keys differ by ~1 ulp could in
+    * principle order differently — with continuous weights the
+    * probability is negligible, and the q79/q95 oracles already pin
+    * exp/ln cross-engine on this corpus.
+    *
+    * Scale: a pure projection + global top-n (per-partition top-n,
+    * driver merge of n rows) — no shuffle of the corpus. Non-positive
+    * or NULL weights are dropped (a zero-weight row can never be
+    * selected; NULL would poison the ordering).
+    */
+  def weightedPriority(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      weightCol: String, n: Int, salt: String): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val u = (conv(hashCoord(col(keyCol), salt), 16, 10).cast("double") + 1) /
+      lit(Space.toDouble + 1)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(keyCol), col(weightCol).cast("double").as("weight"),
+        (log(u) / col(weightCol)).as("_key"))
+      .orderBy(col("_key").desc, col(keyCol))
+      .limit(n)
+      .drop("_key")
+  }
 }

@@ -721,6 +721,33 @@ object SimilarityOps {
     keyed.filter(SampleOps.hashCoord(col("id"), salt) < thrCase)
   }
 
+  /** Cluster exemplars: the `m` members nearest each final center
+    * (ties to lowest id) — what a human reads to label a cluster
+    * before weighting it, and the seed set for cluster-level audits.
+    * One narrow map for distances + a per-cluster top-m window (k·m
+    * rows out); the corpus never shuffles beyond the window's
+    * cluster-keyed exchange.
+    */
+  def kmeansExemplars(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, maxIter: Int = 5, m: Int = 3): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val (centers, assigned) = kmeansCore(spark, emb, idCol, vecCol, k, maxIter)
+    val centersDf = broadcast(
+      spark.createDataFrame(centers.zipWithIndex.map { case (c, i) => (i, c) })
+        .toDF("cluster", "_center"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("_sq").asc, col("id").asc)
+    assigned.join(centersDf, "cluster")
+      .withColumn("_sq", aggregate(
+        zip_with(col("v"), col("_center"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("cluster"), col("id"), col("rank"),
+        round(col("_sq"), 6).as("sq_dist"))
+  }
+
   /** Cluster profile: one row per cluster with member count and
     * decimal-exact inertia (sum of squared distances to the final
     * center) — the shape/balance diagnostic a mixture designer reads

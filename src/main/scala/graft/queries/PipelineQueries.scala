@@ -839,6 +839,19 @@ object PipelineQueries {
           col("text_clean"))
     }),
 
+    // Deterministic WEIGHTED sample (Efraimidis-Spirakis by content
+    // hash): top-50 docs by u^(1/n_chars) — quality/length-weighted
+    // corpus selection with the uniform sampler's reproducibility.
+    "q121_weighted_sample" -> ((s, d) =>
+      SampleOps.weightedPriority(Tables(s, d, "documents"),
+        "doc_id", "n_chars", n = 50, salt = "wsample:")),
+
+    // Cluster exemplars: the 3 members nearest each k-means center —
+    // the human-readable cluster label seed. Rows-only (iterative).
+    "q122_cluster_exemplars" -> ((s, d) =>
+      SimilarityOps.kmeansExemplars(s, Tables(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8, maxIter = 4, m = 3)),
+
     // One-pass Pearson correlation matrix over lineitem's numeric
     // columns (feature-redundancy probe): decimal-exact sums, driver
     // closed form, oracle generated from the same column list.
@@ -1151,6 +1164,13 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q120_feature_corr" -> ProfileOps.corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "q121_weighted_sample" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight
+        |FROM (SELECT doc_id, n_chars,
+        |  ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+        |     / 4503599627370497.0) / n_chars AS k
+        | FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |ORDER BY k DESC, doc_id LIMIT 50""".stripMargin,
     "q119_span_mojibake" ->
       """WITH c AS (SELECT doc_id,
         | CASE WHEN doc_id % 6 = 0 THEN text || ' 東京タワー cafÃ© corner'

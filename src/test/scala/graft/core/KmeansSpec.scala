@@ -122,6 +122,24 @@ class KmeansSpec extends SparkSpec {
     assert(rows.map(_._1).toSet.subsetOf(wider), "target widening must nest")
   }
 
+  test("kmeansExemplars: nearest members, consistent with the assignment") {
+    val ex = SimilarityOps.kmeansExemplars(spark, emb01, "vec_id", "embedding",
+      k = 8, maxIter = 4, m = 3)
+    val rows = ex.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.map(_._1).distinct.length == 8, "every cluster has exemplars")
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      assert(rs.length == 3 && rs.map(_._3).sorted.toSeq == Seq(1, 2, 3), s"cluster $c")
+      val byRank = rs.sortBy(_._3).map(_._4)
+      assert(byRank.sorted.toSeq == byRank.toSeq, s"cluster $c distances ordered")
+    }
+    // exemplars carry their own cluster's assignment
+    val assign = SimilarityOps.kmeansAssign(spark, emb01, "vec_id", "embedding",
+        k = 8, maxIter = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (c, id, _, _) => assert(assign(id) == c, s"id $id") }
+  }
+
   test("k larger than distinct vectors is rejected") {
     val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)))
       .toDF("vec_id", "embedding")

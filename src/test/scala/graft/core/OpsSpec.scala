@@ -346,6 +346,31 @@ class OpsSpec extends SparkSpec {
     assert(out == Set(2L, 7L, 8L)) // 2: top score; 7: no edges; 8: tie->low id
   }
 
+  test("weightedPriority: deterministic, nested, weight-biased, guards zero weights") {
+    import graft.ops.SampleOps
+    import org.apache.spark.sql.functions.{col, when}
+    // weights 1 vs 100: heavy rows must dominate the selection
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("w", when(col("id") < 1000, 100.0).otherwise(1.0))
+    val top = SampleOps.weightedPriority(df, "id", "w", 200, "t1")
+      .collect().map(_.getLong(0)).toSet
+    assert(top.size == 200)
+    val heavy = top.count(_ < 1000)
+    assert(heavy > 180, s"expected heavy-weight dominance, got $heavy/200")
+    // partition invariance
+    val again = SampleOps.weightedPriority(df.repartition(11), "id", "w", 200, "t1")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == top)
+    // nesting: larger n strictly extends (keys never move)
+    val wider = SampleOps.weightedPriority(df, "id", "w", 300, "t1")
+      .collect().map(_.getLong(0)).toSet
+    assert(top.subsetOf(wider))
+    // zero/null weights can never be selected
+    val z = df.withColumn("w", when(col("id") === 5, 0.0).otherwise(col("w")))
+    assert(!SampleOps.weightedPriority(z, "id", "w", 2000, "t1")
+      .collect().map(_.getLong(0)).contains(5L))
+  }
+
   test("deterministic sampling: partition-invariant, rate-accurate, salt-independent") {
     import graft.ops.SampleOps
     val ids = spark.range(0, 20000).toDF("id")
