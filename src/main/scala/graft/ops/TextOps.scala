@@ -754,4 +754,74 @@ object TextOps {
       round(stopwordCount(t).cast("double") / greatest(toks, lit(1)), 5).as("stop_ratio"),
       round(charNoWs(t).cast("double") / greatest(toks, lit(1)), 4).as("avg_token_len"))
   }
+
+  /** All-pairs TF-IDF cosine similarity above a threshold — the
+    * TEXT-side semantic near-duplicate join (no embeddings needed):
+    * document pairs whose L2-normalized TF-IDF vectors, restricted to
+    * the [minDf, maxDf] document-frequency band, have cosine ≥
+    * `minCosine`. The embedding family ([[graft.ops.SimilarityOps]])
+    * finds vectors a model put close together; this finds documents
+    * whose *word usage* overlaps — templated/boilerplate rewrites
+    * that n-gram Jaccard misses (word order changed) and embeddings
+    * blur (topic kept, wording half-shared).
+    *
+    * Physical form is the classic inverted-index similarity join:
+    * partial products meet on the TERM key, so the corpus is never
+    * self-joined row-against-row — a pair is generated only where the
+    * two documents actually share a banded term. Shuffles: the tf
+    * aggregation, the term-keyed pair join, the (a,b) product sum.
+    * The df band is the skew/volume contract, and it is exact, not a
+    * recall trade: a term seen in more than `maxDf` documents
+    * contributes ≤ cosine-epsilon per pair (idf ≈ 0 relative to rare
+    * terms) but O(df²) join rows — at web scale the df cap is the
+    * difference between an index over content words and a cross
+    * product over "the". Both sides of the oracle replay the same
+    * band, so results are engine-exact (Rahm/Do-style prefix
+    * filtering would additionally drop low-weight postings — that is
+    * a recall trade, deliberately NOT taken here).
+    *
+    * Doc-frequency table and norm table both flow through broadcast
+    * joins (vocabulary-sized after the band; one row per doc for
+    * norms — the norm join stays key-partitioned, not broadcast, as
+    * it is corpus-sized).
+    */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      minCosine: Double, minDf: Int = 2, maxDf: Int = 1000): DataFrame = {
+    require(minCosine > 0.0, s"minCosine must be > 0, got $minCosine")
+    require(maxDf >= minDf, s"maxDf ($maxDf) must be >= minDf ($minDf)")
+    val w = tfidfWeights(df, idCol, textCol, minDf)
+      .filter(col("df") <= maxDf)
+    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nn"))
+    val wn = w.join(norms, "id")
+      .select(col("tok"), col("id"), (col("w") / col("nn")).as("wn"))
+    val a = wn.select(col("tok"), col("id").as("a_id"), col("wn").as("wa"))
+    val b = wn.select(col("tok"), col("id").as("b_id"), col("wn").as("wb"))
+    a.join(b, Seq("tok"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(round(sum(col("wa") * col("wb")), 5).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
+  /** The DuckDB oracle for [[tfidfCosinePairs]] on a parquet `table`:
+    * replays the tokenizer, the tf/df/idf formulas, the df band, the
+    * L2 normalization, and the rounded threshold — term for term.
+    */
+  def tfidfCosinePairsOracleSql(table: String, idCol: String,
+      textCol: String, minCosine: Double, minDf: Int, maxDf: Int): String =
+    s"""WITH tk AS (SELECT $idCol AS id,
+       |  list_filter(string_split_regex(lower($textCol), '\\s+'), x -> x <> '') AS t
+       | FROM $table),
+       |tok AS (SELECT id, unnest(t) AS tok FROM tk),
+       |tf AS (SELECT id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS n_docs FROM $table),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf
+       |        GROUP BY tok HAVING count(*) >= $minDf AND count(*) <= $maxDf),
+       |w AS (SELECT id, tok, tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+       |      FROM tf JOIN dfq USING (tok), nd),
+       |nrm AS (SELECT id, sqrt(sum(w * w)) AS nn FROM w GROUP BY id),
+       |wn AS (SELECT w.id, tok, w / nn AS wn FROM w JOIN nrm USING (id))
+       |SELECT a.id AS a_id, b.id AS b_id, round(sum(a.wn * b.wn), 5) AS cos
+       |FROM wn a JOIN wn b USING (tok) WHERE a.id < b.id
+       |GROUP BY 1, 2 HAVING round(sum(a.wn * b.wn), 5) >= $minCosine""".stripMargin
 }
