@@ -17,17 +17,28 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw
-    * nanosecond longs, then truncate to microseconds — exactly what the
-    * DuckDB oracle does when it loads the same file (its parquet reader
-    * floors ns → µs into a TIMESTAMP). `ts div 1000` is integral
-    * division: a double-precision detour would round at ~256 ns for
-    * 2024-era epochs and desync the hashes.
+  /** `events.parquet` has shipped `ts` two ways across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 rejects
+    * outright — PARQUET_TYPE_ILLEGAL — so it is read as raw nanosecond
+    * longs and floored to microseconds, exactly what DuckDB's parquet
+    * reader does with the same file; `ts div 1000` is integral
+    * division because a double-precision detour would round at
+    * ~256 ns for 2024-era epochs and desync the hashes), and plain
+    * TIMESTAMP(MICROS) without timezone (Spark: TIMESTAMP_NTZ). Both
+    * normalize to session-TZ TIMESTAMP here: the session runs UTC, so
+    * the NTZ→TZ cast is value-preserving and matches DuckDB's naive
+    * reading of the same column.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
 }

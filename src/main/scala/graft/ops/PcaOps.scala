@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over an embedding column — the dimensionality
+  * probe/reduction a curation pipeline runs before storing, indexing,
+  * or clustering billions of vectors (effective rank of the embedding
+  * space, whitening/compression ahead of ANN, variance-explained
+  * budgeting for int8/PQ codecs).
+  *
+  * Reference has no counterpart (its tabular engine is 1-D numeric);
+  * this is part of the LLM-pipeline surface (builder brief), built on
+  * the same determinism discipline as QualityFit/ProfileOps.corrMatrix:
+  *
+  *  - **One corpus pass** computes every sufficient statistic: per-row
+  *    the flattened vector `[1, x_0..x_{d-1}, x_i*x_j (i<=j)]` is cast
+  *    to decimal(38,18) BEFORE summation (products are row-local ⇒
+  *    order-free; decimal sums are associative ⇒ bit-identical under
+  *    any partitioning). The flattened array posexplodes to
+  *    `(pos, term)` rows and aggregates by position — a map-side-
+  *    combined shuffle of exactly `1 + d + d(d+1)/2` groups, never a
+  *    join, never a second scan. At d=1024 that is ~525k groups of one
+  *    decimal each — trivial at any corpus size.
+  *  - **Driver-side eigensolve** on the d×d covariance (cyclic Jacobi
+  *    rotations, fixed sweep order, symmetric ⇒ guaranteed
+  *    convergence). d is model dimension, not data size: the solve is
+  *    O(d³) on ~KBs and independent of corpus scale.
+  *  - **Deterministic by construction**: exact decimal inputs, fixed
+  *    rotation order, eigenvalues sorted (desc, index tie-break), and
+  *    each eigenvector sign-normalized so its largest-|.|. coordinate
+  *    is positive. Same corpus ⇒ same bits, any partitioning.
+  *
+  * Projection ([[project]]) is a pure per-row codegen'd expression
+  * (zip_with/aggregate against component literals) — zero shuffle,
+  * zero driver involvement, filters push past it.
+  */
+object PcaOps {
+
+  private val D = "decimal(38,18)"
+
+  /** Sufficient statistics in one pass: (n, sums s_i, product sums
+    * p_ij for i<=j) — all exact decimal.
+    *
+    * The flattened term vector `[1, x_0..x_{d-1}, x_i*x_j (i<=j)]` is
+    * built with HIGHER-ORDER functions (`transform`/`slice`/`flatten`)
+    * so the Catalyst tree is O(1) in `d` — the naive `array(2145
+    * literal columns)` spelling at d=64 OOMs the driver during
+    * planning/codegen. Each term casts to decimal BEFORE the sum
+    * (row-local products → order-free; decimal sums associative →
+    * bit-identical under any partitioning). posexplode + groupBy(pos)
+    * is map-side combined: each partition emits exactly `1 + d +
+    * d(d+1)/2` (pos, partial-sum) rows regardless of row count, so
+    * the shuffle is O(partitions · d²), independent of corpus size.
+    * The d²-row explode per doc is CPU churn, not a shuffle: at
+    * d ≥ ~256 fit on a deterministic sample (SampleOps) — the model
+    * needs moments, not the full corpus — and keep [[project]] (zero
+    * shuffle) on everything.
+    */
+  private def moments(emb: DataFrame, vecCol: String, d: Int)
+      : (Long, Array[Double], Array[Array[Double]]) = {
+    val raw = col(vecCol).cast("array<double>")
+    // A short vector would SHIFT flattened positions, not null them —
+    // fail loudly instead (matches the fit() contract).
+    val vd = when(size(raw) >= d, slice(raw, 1, d))
+      .otherwise(raise_error(lit(s"pca: vector shorter than d=$d")))
+    val prods = flatten(transform(vd, (x, i0) =>
+      transform(slice(vd, i0 + 1, lit(d) - i0), y => x * y)))
+    val terms = concat(array(lit(1.0)), vd, prods).cast(s"array<$D>")
+    val sums = emb
+      .select(posexplode(terms).as(Seq("pos", "term")))
+      .groupBy("pos").agg(sum("term").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    def at(p: Int): Double = {
+      val x = sums.getOrElse(p, null); if (x == null) 0.0 else x.doubleValue
+    }
+    val n = math.round(at(0))
+    val s = Array.tabulate(d)(i => at(1 + i))
+    val p = Array.ofDim[Double](d, d)
+    var idx = 1 + d
+    for { i <- 0 until d; j <- i until d } {
+      p(i)(j) = at(idx); p(j)(i) = p(i)(j); idx += 1
+    }
+    (n, s, p)
+  }
+
+  /** Population covariance with a FIXED operation order (mirrors
+    * corrMatrix: cast-to-double first, then the closed form).
+    */
+  private def covariance(n: Long, s: Array[Double], p: Array[Array[Double]])
+      : Array[Array[Double]] = {
+    val d = s.length
+    val nn = n.toDouble
+    Array.tabulate(d, d)((i, j) => p(i)(j) / nn - (s(i) / nn) * (s(j) / nn))
+  }
+
+  /** Cyclic Jacobi eigensolve for a symmetric matrix: returns
+    * (eigenvalues, eigenvectors as rows), sorted by eigenvalue desc
+    * with index tie-break, each vector sign-normalized (largest-|.|
+    * coordinate positive, earliest index on ties).
+    */
+  private[graft] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for { i <- 0 until d; j <- (i + 1) until d } s += a(i)(j) * a(i)(j)
+      s
+    }
+    val eps = 1e-22 * math.max(1.0, m.map(r => r.map(math.abs).max).max)
+    var sweep = 0
+    while (sweep < 64 && off() > eps) {
+      for { pp <- 0 until (d - 1); qq <- (pp + 1) until d } {
+        val apq = a(pp)(qq)
+        if (math.abs(apq) > 0.0) {
+          val theta = (a(qq)(qq) - a(pp)(pp)) / (2.0 * apq)
+          val t = math.signum(theta) match {
+            case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+            case sg  => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val sN = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(pp); val akq = a(k)(qq)
+            a(k)(pp) = c * akp - sN * akq
+            a(k)(qq) = sN * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(pp)(k); val aqk = a(qq)(k)
+            a(pp)(k) = c * apk - sN * aqk
+            a(qq)(k) = sN * apk + c * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = v(k)(pp); val vkq = v(k)(qq)
+            v(k)(pp) = c * vkp - sN * vkq
+            v(k)(qq) = sN * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      val big = col.indices.maxBy(k => (math.abs(col(k)), -k))
+      if (col(big) < 0.0) col.map(x => -x) else col
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** Fitted model: row count, per-dim means, eigenvalues (desc), and
+    * eigenvectors (rows, orthonormal, sign-normalized).
+    */
+  case class PcaModel(n: Long, means: Array[Double],
+      eigenvalues: Array[Double], components: Array[Array[Double]])
+
+  /** Fit PCA on `emb(vecCol)` (dimension `d`): one corpus pass for the
+    * exact-decimal moments, then the driver-side covariance + Jacobi
+    * eigensolve. Vectors shorter than `d` raise_error inside the scan
+    * (a silent slice would shift flattened positions); longer vectors
+    * use their leading `d` coordinates.
+    */
+  def fit(emb: DataFrame, vecCol: String, d: Int): PcaModel = {
+    require(d >= 2, s"pca needs d >= 2, got $d")
+    val (n, s, p) = moments(emb, vecCol, d)
+    require(n >= 2, s"pca needs at least 2 rows, got $n")
+    val (evals, evecs) = jacobiEigen(covariance(n, s, p))
+    PcaModel(n, s.map(_ / n.toDouble), evals, evecs)
+  }
+
+  /** Variance report: one row per component — eigenvalue, fraction of
+    * total variance explained, cumulative fraction. The shape a
+    * pipeline owner reads to pick a truncation rank.
+    */
+  def varianceReport(emb: DataFrame, vecCol: String, d: Int): DataFrame = {
+    val m = fit(emb, vecCol, d)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val total = m.eigenvalues.sum
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    var cum = 0.0
+    m.eigenvalues.zipWithIndex.map { case (ev, i) =>
+      cum += ev
+      (i, m.n, r6(ev), r6(if (total == 0.0) 0.0 else ev / total),
+        r6(if (total == 0.0) 0.0 else cum / total))
+    }.toSeq.toDF("component", "n", "eigenvalue", "explained_frac", "cum_frac")
+  }
+
+  /** Project every vector onto the model's top-`k` components —
+    * centered dot products against component LITERALS via
+    * zip_with/aggregate (codegen'd, zero shuffle, zero driver). Output
+    * coords round to 6dp for cross-engine stability.
+    */
+  def project(emb: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel, k: Int): DataFrame = {
+    require(k >= 1 && k <= model.components.length,
+      s"k must be in [1, ${model.components.length}], got $k")
+    val v = col(vecCol).cast("array<double>")
+    val centered = zip_with(v, typedlit(model.means.toSeq), (x, mu) => x - mu)
+    val coords = (0 until k).map { j =>
+      val w = typedlit(model.components(j).toSeq)
+      round(aggregate(zip_with(centered, w, (x, wj) => x * wj),
+        lit(0.0), (acc, t) => acc + t), 6).as(s"pc_$j")
+    }
+    emb.select((col(idCol).as("id") +: coords): _*)
+  }
+}
