@@ -60,10 +60,14 @@ object PcaOps {
   private def moments(emb: DataFrame, vecCol: String, d: Int)
       : (Long, Array[Double], Array[Array[Double]]) = {
     val raw = col(vecCol).cast("array<double>")
-    // A short vector would SHIFT flattened positions, not null them —
-    // fail loudly instead (matches the fit() contract).
-    val vd = when(size(raw) >= d, slice(raw, 1, d))
-      .otherwise(raise_error(lit(s"pca: vector shorter than d=$d")))
+    // A short vector would SHIFT flattened positions, not null them,
+    // and a null ELEMENT would silently drop from per-position sums
+    // while the row still counts toward n — fail loudly on both
+    // (matches the fit() contract).
+    val vd = when(size(raw) >= d && size(filter(slice(raw, 1, d),
+        x => x.isNull)) === 0, slice(raw, 1, d))
+      .otherwise(raise_error(lit(
+        s"pca: vector shorter than d=$d or has null elements")))
     val prods = flatten(transform(vd, (x, i0) =>
       transform(slice(vd, i0 + 1, lit(d) - i0), y => x * y)))
     val terms = concat(array(lit(1.0)), vd, prods).cast(s"array<$D>")
@@ -200,7 +204,16 @@ object PcaOps {
       model: PcaModel, k: Int): DataFrame = {
     require(k >= 1 && k <= model.components.length,
       s"k must be in [1, ${model.components.length}], got $k")
-    val v = col(vecCol).cast("array<double>")
+    val d = model.means.length
+    val raw = col(vecCol).cast("array<double>")
+    // Mirror the fit() contract exactly: longer vectors use their
+    // leading d coords (slice BEFORE centering — zip_with null-pads
+    // the shorter side, which would null every pc_* column), shorter
+    // or null-element vectors fail loudly instead of yielding nulls.
+    val v = when(size(raw) >= d && size(filter(slice(raw, 1, d),
+        x => x.isNull)) === 0, slice(raw, 1, d))
+      .otherwise(raise_error(lit(
+        s"pca project: vector shorter than d=$d or has null elements")))
     val centered = zip_with(v, typedlit(model.means.toSeq), (x, mu) => x - mu)
     val coords = (0 until k).map { j =>
       val w = typedlit(model.components(j).toSeq)
@@ -208,5 +221,124 @@ object PcaOps {
         lit(0.0), (acc, t) => acc + t), 6).as(s"pc_$j")
     }
     emb.select((col(idCol).as("id") +: coords): _*)
+  }
+
+  /** Closed-form PCA over TWO integer feature columns — the
+    * cross-engine-exact twin of [[fit]] for the d=2 probe a pipeline
+    * owner runs on scalar signals (e.g. chars × tokens: is length one
+    * axis or two?). Moments are decimal(38,0) sums of integers (exact,
+    * associative — bit-identical under any partitioning, in Spark AND
+    * in any SQL engine), then the 2×2 eigensystem in a FIXED IEEE
+    * double operation order (documented inline; [[eigen2OracleSql]]
+    * replays the identical order), so the result is exactly
+    * reproducible — unlike the Jacobi path, whose rotation history is
+    * not SQL-expressible. One scan, one 6-group shuffle, O(1) driver.
+    *
+    * Output: one row per component (0, 1) with eigenvalue (population
+    * covariance), explained-variance fraction, and the sign-normalized
+    * eigenvector (largest-|.| coordinate positive, x on ties) — all
+    * rounded to 6dp for cross-engine hash stability.
+    */
+  def eigen2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val D0 = "decimal(38,0)"
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val r = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(D0)).as("sx"), sum(y.cast(D0)).as("sy"),
+        sum((x * x).cast(D0)).as("sxx"),
+        sum((y * y).cast(D0)).as("syy"),
+        sum((x * y).cast(D0)).as("sxy"))
+      .head()
+    val n = r.getLong(0).toDouble
+    require(n >= 2, s"pca2 needs at least 2 rows, got ${r.getLong(0)}")
+    def dd(i: Int): Double = r.getDecimal(i).doubleValue
+    // Fixed operation order — every line below is mirrored verbatim in
+    // eigen2OracleSql. Population covariance closed form:
+    val a = dd(3) / n - (dd(1) / n) * (dd(1) / n)
+    val c = dd(4) / n - (dd(2) / n) * (dd(2) / n)
+    val b = dd(5) / n - (dd(1) / n) * (dd(2) / n)
+    val half = (a + c) / 2.0
+    val disc = math.sqrt(((a - c) / 2.0) * ((a - c) / 2.0) + b * b)
+    val l1 = half + disc
+    val l2 = half - disc
+    val tot = l1 + l2
+    // Eigenvector for l: (b, l - a) unless b == 0 (already diagonal —
+    // axis vectors, ordered by which diagonal entry is larger).
+    def vec(l: Double, first: Boolean): (Double, Double) =
+      if (b == 0.0) { if ((a >= c) == first) (1.0, 0.0) else (0.0, 1.0) }
+      else {
+        val nr = math.sqrt(b * b + (l - a) * (l - a))
+        val (vx, vy) = (b / nr, (l - a) / nr)
+        // Sign-normalize: largest-|.| coordinate positive, x on ties.
+        if (if (math.abs(vx) >= math.abs(vy)) vx < 0.0 else vy < 0.0)
+          (-vx, -vy) else (vx, vy)
+      }
+    def r6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val (v1x, v1y) = vec(l1, first = true)
+    val (v2x, v2y) = vec(l2, first = false)
+    Seq(
+      (0, r.getLong(0), r6(l1), r6(if (tot == 0.0) 0.0 else l1 / tot),
+        r6(v1x), r6(v1y)),
+      (1, r.getLong(0), r6(l2), r6(if (tot == 0.0) 0.0 else l2 / tot),
+        r6(v2x), r6(v2y)))
+      .toDF("component", "n", "eigenvalue", "explained_frac", "vx", "vy")
+  }
+
+  /** DuckDB SQL replaying [[eigen2]]'s exact operation order over the
+    * same integer moments. `xExpr`/`yExpr` are SQL expressions for the
+    * two features (must be integral and match the Spark columns).
+    */
+  def eigen2OracleSql(table: String, xExpr: String, yExpr: String,
+      where: String = "TRUE"): String = {
+    val d = "CAST(%s AS DOUBLE)"
+    s"""WITH m AS (
+       | SELECT count(*) AS n,
+       |  sum(CAST(x AS DECIMAL(38,0))) AS sx,
+       |  sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |  sum(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+       |  sum(CAST(y*y AS DECIMAL(38,0))) AS syy,
+       |  sum(CAST(x*y AS DECIMAL(38,0))) AS sxy
+       | FROM (SELECT CAST($xExpr AS BIGINT) AS x, CAST($yExpr AS BIGINT) AS y
+       |       FROM $table
+       |       WHERE ($xExpr) IS NOT NULL AND ($yExpr) IS NOT NULL AND ($where))),
+       |cov AS (
+       | SELECT n,
+       |  ${d.format("sxx")} / ${d.format("n")}
+       |    - (${d.format("sx")} / ${d.format("n")}) * (${d.format("sx")} / ${d.format("n")}) AS a,
+       |  ${d.format("syy")} / ${d.format("n")}
+       |    - (${d.format("sy")} / ${d.format("n")}) * (${d.format("sy")} / ${d.format("n")}) AS c,
+       |  ${d.format("sxy")} / ${d.format("n")}
+       |    - (${d.format("sx")} / ${d.format("n")}) * (${d.format("sy")} / ${d.format("n")}) AS b
+       | FROM m),
+       |eig AS (
+       | SELECT n, a, b, c,
+       |  (a + c) / 2.0 + sqrt(((a - c) / 2.0) * ((a - c) / 2.0) + b * b) AS l1,
+       |  (a + c) / 2.0 - sqrt(((a - c) / 2.0) * ((a - c) / 2.0) + b * b) AS l2
+       | FROM cov),
+       |comp AS (
+       | SELECT 0 AS component, n, l1 AS l, l1 + l2 AS tot, a, b, c, TRUE AS first FROM eig
+       | UNION ALL
+       | SELECT 1 AS component, n, l2 AS l, l1 + l2 AS tot, a, b, c, FALSE AS first FROM eig),
+       |vecs AS (
+       | SELECT component, n, l, tot,
+       |  CASE WHEN b = 0.0 THEN (CASE WHEN (a >= c) = first THEN 1.0 ELSE 0.0 END)
+       |       ELSE b / sqrt(b * b + (l - a) * (l - a)) END AS rvx,
+       |  CASE WHEN b = 0.0 THEN (CASE WHEN (a >= c) = first THEN 0.0 ELSE 1.0 END)
+       |       ELSE (l - a) / sqrt(b * b + (l - a) * (l - a)) END AS rvy
+       | FROM comp)
+       |SELECT component, CAST(n AS BIGINT) AS n,
+       | round(l, 6) AS eigenvalue,
+       | round(CASE WHEN tot = 0.0 THEN 0.0 ELSE l / tot END, 6) AS explained_frac,
+       | round(CASE WHEN (CASE WHEN abs(rvx) >= abs(rvy) THEN rvx < 0.0 ELSE rvy < 0.0 END)
+       |   THEN -rvx ELSE rvx END, 6) AS vx,
+       | round(CASE WHEN (CASE WHEN abs(rvx) >= abs(rvy) THEN rvx < 0.0 ELSE rvy < 0.0 END)
+       |   THEN -rvy ELSE rvy END, 6) AS vy
+       |FROM vecs""".stripMargin
   }
 }

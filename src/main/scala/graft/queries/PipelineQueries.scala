@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{DedupOps, GraphOps, MultimodalOps, ProfileOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, MultimodalOps, PcaOps, ProfileOps, SampleOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -852,6 +852,27 @@ object PipelineQueries {
       SimilarityOps.kmeansExemplars(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, maxIter = 4, m = 3)),
 
+    // Closed-form 2-feature PCA over (chars, tokens): integer-exact
+    // moments, fixed-IEEE-order eigensystem — the one PCA shape whose
+    // full eigensolve an ANSI oracle can replay bit-for-bit.
+    "q123_pca2_eigen" -> ((s, d) =>
+      PcaOps.eigen2(
+        Tables(s, d, "documents").select(col("doc_id"),
+          col("n_chars"), TextOps.tokenCount(col("text")).as("n_tokens")),
+        "n_chars", "n_tokens")),
+
+    // Full PCA on the embedding corpus: fit d=16 (decimal-exact
+    // moments + driver Jacobi), project every vector onto the top-4
+    // components. Rows-only (the Jacobi rotation history is not
+    // SQL-expressible); PcaSpec pins orthonormality, variance
+    // ordering, and a differential vs a driver-side reference.
+    "q124_pca_project" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val m = PcaOps.fit(emb, "embedding", 16)
+      PcaOps.project(emb, "vec_id", "embedding", m, 4)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
     // One-pass Pearson correlation matrix over lineitem's numeric
     // columns (feature-redundancy probe): decimal-exact sums, driver
     // closed form, oracle generated from the same column list.
@@ -1164,6 +1185,8 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q120_feature_corr" -> ProfileOps.corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "q123_pca2_eigen" -> PcaOps.eigen2OracleSql("documents",
+      "n_chars", raw"len(regexp_extract_all(text, '\S+'))"),
     "q121_weighted_sample" ->
       """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight
         |FROM (SELECT doc_id, n_chars,
