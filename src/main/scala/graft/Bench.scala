@@ -109,6 +109,15 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // The driver keeps only the LAST ~2000 chars of stdout, so the full
+    // per-query line above always loses its head at 120+ queries
+    // ("parsed": null in BENCH_r08/r09). Print a compact summary LAST —
+    // it fits the tail window whole, so a line-wise JSON scrape finds
+    // at least one complete, parseable record; per-query detail lives
+    // in the full line and the committed bench_out.json.
+    val slowest = okResults.sortBy(-_._3).take(5)
+      .map(r => "\"" + r._1 + "\":" + f"${r._3}%.3f").mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${okResults.size},"total_warm":$totalWarm,"warm_stat":"min","slowest_warm":$slowest,"errors":$errs,"sf":"$sfDir","detail":"$outPath"}""")
     spark.stop()
   }
 }

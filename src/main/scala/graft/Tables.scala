@@ -31,6 +31,11 @@ object Tables {
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TIMESTAMP cast below is value-preserving ONLY under UTC;
+    // a non-UTC session would silently shift every event timestamp and
+    // desync the DuckDB oracle — enforce the invariant here rather
+    // than trusting every entry point's builder config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
