@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed interpolated Kneser–Ney bigram language model — the
+  * CCNet-style corpus filter (Wenzek et al., "CCNet: Extracting High
+  * Quality Monolingual Datasets", 2020): train a small LM on a trusted
+  * reference slice, score every candidate document by perplexity, and
+  * let the pipeline keep what "reads like" the reference. Unlike q90's
+  * add-one bigram probe, this is the real KN estimator — absolute
+  * discounting plus the continuation-probability backoff that makes it
+  * the standard n-gram smoother.
+  *
+  * Everything is relational, so the full estimator has an exact DuckDB
+  * oracle ([[knOracleWith]] emits the shared CTE prefix):
+  *
+  *  - One reference-corpus scan builds the bigram count table `cab`
+  *    (vocabulary²-bounded — persisted via the one-slot session cache,
+  *    the q90 idiom, so the FOUR model aggregations that derive from
+  *    it — head totals, head fan-out, tail fan-in, type count — reuse
+  *    one computation instead of re-scanning the corpus).
+  *  - Model tables broadcast (vocab-bounded); the probe side is the
+  *    exploded TARGET corpus, which never shuffles — at 100 TB the
+  *    only wide operation is the map-side-combined model aggregation
+  *    over the (much smaller) reference slice.
+  *  - Estimator, with D the absolute discount, c(a·)=Σ_b c(ab),
+  *    N1+(a·)=|{b: c(ab)>0}|, N1+(·b)=|{a: c(ab)>0}|, B=|{(a,b)}|,
+  *    Vc=|{b}| (tail vocabulary):
+  *      Pc(b)   = (N1+(·b) + 1) / (B + Vc + 1)    [+1-smoothed
+  *                continuation so unseen tails keep mass]
+  *      P(b|a)  = (c(ab) − D)/c(a·) + D·N1+(a·)/c(a·) · Pc(b)   [head seen;
+  *                c(ab)≥1 ⇒ the max(·,0) clamp is vacuous but kept]
+  *      P(b|a)  = Pc(b)                            [head unseen]
+  *    Every operand is an exact integer count; the double-precision
+  *    evaluation order is FIXED and mirrored verbatim in the oracle.
+  *  - Per-document score: logppl = round(avg(−ln P), 5) over the
+  *    doc's bigrams (q90's rounding discipline), plus how many of its
+  *    bigrams the model had never seen. Docs with <2 tokens score
+  *    NULL via the explode_outer sentinel (q90 idiom).
+  */
+object LmOps {
+
+  /** One outstanding reference-model count table per session (see
+    * TextOps.perplexityCabSlot for the release rationale).
+    */
+  private val cabSlot =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, DataFrame]()
+
+  private def bigramsOf(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("t"))
+    base.select(col("id"),
+      explode_outer(when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("a"),
+            element_at(col("t"), i + 2).as("b"))))).as("bg"))
+      .select(col("id"), col("bg.a").as("a"), col("bg.b").as("b"))
+  }
+
+  /** The persisted (a, b, c_ab) reference count table. */
+  private def refCounts(ref: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val plan = bigramsOf(ref, idCol, textCol)
+      .filter(col("a").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    cabSlot.synchronized {
+      cabSlot.keySet.removeIf(s => s.sparkContext.isStopped)
+      val prev = cabSlot.get(ref.sparkSession)
+      if (prev != null && prev.queryExecution.analyzed.canonicalized ==
+          plan.queryExecution.analyzed.canonicalized) prev
+      else {
+        val c = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Option(cabSlot.put(ref.sparkSession, c))
+          .foreach(_.unpersist(blocking = false))
+        c
+      }
+    }
+  }
+
+  /** The trained model as a dataset: one row per reference bigram type
+    * with its counts and the final interpolated-KN probability
+    * (rounded 6dp). `heads`/`conts` stay internal to [[score]]; this
+    * is the inspectable/persistable artifact.
+    */
+  def model(ref: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0,1), got $discount")
+    val cab = refCounts(ref, idCol, textCol)
+    val heads = cab.groupBy("a")
+      .agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1p_fwd"))
+    val conts = cab.groupBy("b").agg(count(lit(1)).as("n1p_back"))
+    val scalars = cab.agg(count(lit(1)).as("bt"),
+      countDistinct(col("b")).as("vc"))
+    val d = lit(discount)
+    cab
+      .join(broadcast(heads), Seq("a"))
+      .join(broadcast(conts), Seq("b"))
+      .crossJoin(broadcast(scalars))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(
+          greatest(col("c_ab").cast("double") - d, lit(0.0)) / col("c_a")
+            + d * col("n1p_fwd") / col("c_a")
+              * ((col("n1p_back") + 1).cast("double") / (col("bt") + col("vc") + 1)),
+          6).as("p_kn"))
+  }
+
+  /** Score `target` under the model trained on `ref`: per document the
+    * bigram count, how many bigrams were unseen pairs, and the KN
+    * log-perplexity (avg −ln P, 5dp; NULL for <2-token docs).
+    */
+  def score(target: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0,1), got $discount")
+    val cab = refCounts(ref, idCol, textCol)
+    val heads = cab.groupBy("a")
+      .agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1p_fwd"))
+    val conts = cab.groupBy("b").agg(count(lit(1)).as("n1p_back"))
+    val scalars = cab.agg(count(lit(1)).as("bt"),
+      countDistinct(col("b")).as("vc"))
+    val d = lit(discount)
+    // LEFT joins: unseen pairs/heads/tails coalesce into the backoff
+    // terms; the null-bigram sentinel row (short docs) keeps NULL nll.
+    val pc = (coalesce(col("n1p_back"), lit(0L)) + 1).cast("double") /
+      (col("bt") + col("vc") + 1)
+    val p = when(col("a").isNull, lit(null).cast("double"))
+      .when(col("c_a").isNull, pc)
+      .otherwise(
+        greatest(coalesce(col("c_ab"), lit(0L)).cast("double") - d, lit(0.0)) / col("c_a")
+          + d * col("n1p_fwd") / col("c_a") * pc)
+    bigramsOf(target, idCol, textCol)
+      .join(broadcast(cab), Seq("a", "b"), "left")
+      .join(broadcast(heads), Seq("a"), "left")
+      .join(broadcast(conts), Seq("b"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("id"), col("a"),
+        col("c_ab").isNull.and(col("a").isNotNull).cast("int").as("unseen"),
+        (-log(p)).as("nll"))
+      .groupBy("id").agg(
+        count(col("a")).as("n_bigrams"),
+        coalesce(sum("unseen"), lit(0L)).as("n_unseen"),
+        round(avg("nll"), 5).as("kn_logppl"))
+  }
+
+  /** Shared DuckDB CTE prefix replaying the model estimator over
+    * `refWhere`-filtered documents — appended to by the q125/q126
+    * oracles so the two cannot drift.
+    */
+  def knOracleWith(refWhere: String): String =
+    s"""WITH tk AS (SELECT doc_id AS id,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       | FROM documents),
+       |rpos AS (SELECT id, unnest(generate_series(1, len(t) - 1)) AS i, t
+       |         FROM tk JOIN documents d ON d.doc_id = tk.id
+       |         WHERE ($refWhere) AND len(t) >= 2),
+       |cab AS (SELECT t[i] AS a, t[i+1] AS b, count(*) AS c_ab
+       |        FROM rpos GROUP BY 1, 2),
+       |heads AS (SELECT a, sum(c_ab) AS c_a, count(*) AS n1p_fwd FROM cab GROUP BY a),
+       |conts AS (SELECT b, count(*) AS n1p_back FROM cab GROUP BY b),
+       |scalars AS (SELECT count(*) AS bt, count(DISTINCT b) AS vc FROM cab)""".stripMargin
+}

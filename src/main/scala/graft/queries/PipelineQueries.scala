@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{DedupOps, GraphOps, MultimodalOps, PcaOps, ProfileOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, LmOps, MultimodalOps, PcaOps, ProfileOps, SampleOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -852,6 +852,23 @@ object PipelineQueries {
       SimilarityOps.kmeansExemplars(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, maxIter = 4, m = 3)),
 
+    // Interpolated Kneser-Ney bigram LM trained on the English slice
+    // (the CCNet shape: trusted reference LM, score everything). The
+    // model is a dataset: every reference bigram type with its counts
+    // and final KN probability.
+    "q125_kn_model" -> ((s, d) =>
+      LmOps.model(Tables(s, d, "documents").where(col("lang") === "en"),
+        "doc_id", "text")),
+
+    // KN perplexity of EVERY document under the q125 English model —
+    // non-English docs surface as high-ppl/high-OOV outliers, the
+    // CCNet keep/bucket signal.
+    "q126_kn_ppl" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      LmOps.score(docs, docs.where(col("lang") === "en"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Closed-form 2-feature PCA over (chars, tokens): integer-exact
     // moments, fixed-IEEE-order eigensystem — the one PCA shape whose
     // full eigensolve an ANSI oracle can replay bit-for-bit.
@@ -1187,6 +1204,33 @@ object PipelineQueries {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q123_pca2_eigen" -> PcaOps.eigen2OracleSql("documents",
       "n_chars", raw"len(regexp_extract_all(text, '\S+'))"),
+    "q125_kn_model" -> (LmOps.knOracleWith("d.lang = 'en'") +
+      """
+        |SELECT a, b, c_ab,
+        | round(greatest(CAST(c_ab AS DOUBLE) - 0.75, 0.0) / c_a
+        |   + 0.75 * n1p_fwd / c_a
+        |     * (CAST(n1p_back + 1 AS DOUBLE) / (bt + vc + 1)), 6) AS p_kn
+        |FROM cab JOIN heads USING (a) JOIN conts USING (b), scalars""".stripMargin),
+    "q126_kn_ppl" -> (LmOps.knOracleWith("d.lang = 'en'") +
+      """,
+        |tpos AS (SELECT id, unnest(generate_series(1, len(t) - 1)) AS i, t
+        |         FROM tk WHERE len(t) >= 2),
+        |tbg AS (SELECT id, t[i] AS a, t[i+1] AS b FROM tpos),
+        |sc AS (SELECT id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN cab.c_ab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unseen,
+        |  round(avg(-ln(CASE WHEN heads.c_a IS NULL
+        |    THEN CAST(coalesce(conts.n1p_back, 0) + 1 AS DOUBLE) / (bt + vc + 1)
+        |    ELSE greatest(CAST(coalesce(cab.c_ab, 0) AS DOUBLE) - 0.75, 0.0) / c_a
+        |      + 0.75 * n1p_fwd / c_a
+        |        * (CAST(coalesce(conts.n1p_back, 0) + 1 AS DOUBLE) / (bt + vc + 1))
+        |    END)), 5) AS kn_logppl
+        | FROM tbg LEFT JOIN cab USING (a, b) LEFT JOIN heads USING (a)
+        |      LEFT JOIN conts USING (b), scalars
+        | GROUP BY id)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        | coalesce(s.n_unseen, 0) AS n_unseen, s.kn_logppl
+        |FROM documents d LEFT JOIN sc s ON d.doc_id = s.id""".stripMargin),
     "q121_weighted_sample" ->
       """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight
         |FROM (SELECT doc_id, n_chars,
