@@ -193,6 +193,23 @@ object GraftFunctions {
           case other => sys.error(s"graft_lang_model_scores: non-string key $other")
         }
         LangModelScores(children(1), graft.ops.LangProfiles.modelFor(key))
+      }),
+    ("graft_blocklist_counts",
+      new ExpressionInfo(classOf[BlocklistCounts].getName,
+        "graft_blocklist_counts"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_blocklist_counts requires exactly 2 arguments, " +
+            s"got ${children.size}")
+        // NUL-joined phrase-list literal (NUL cannot appear in a
+        // phrase) — the phrases ride the expression tree itself, no
+        // driver-side registry to keep alive.
+        val phrases = children.head.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String =>
+            s.toString.split('\u0000').toSeq
+          case other => sys.error(s"graft_blocklist_counts: non-string phrase list $other")
+        }
+        BlocklistCounts(children(1), phrases)
       }))
 
   /** Register into an existing session's function registry. Idempotent. */

@@ -163,4 +163,52 @@ object SampleOps {
       .limit(n)
       .drop("_key")
   }
+
+  /** Temperature-based domain mixture reweighting (the multilingual-
+    * pretraining sampler of XLM-R / mBERT: q_i = p_i^α / Σ_j p_j^α
+    * over token shares p_i): flattens the domain distribution so
+    * head domains stop drowning the tail, with α the flattening knob
+    * (α=1 natural, α→0 uniform). Output per domain: doc/token
+    * counts, natural share p, target share q, and the resulting
+    * up/down-sampling boost q/p — the table a pipeline owner feeds
+    * into [[mixturePredicate]]-style rate assignment.
+    *
+    * One corpus scan (map-side-combined token-count agg down to
+    * |domains| rows); the share/softmax math runs on the domain-
+    * bounded table via two broadcast scalar joins — no driver math,
+    * no second scan. Counts are exact longs; the double-precision
+    * evaluation order is fixed and mirrored in the q128 oracle.
+    */
+  def temperatureWeights(df: org.apache.spark.sql.DataFrame,
+      domainCol: String, textCol: String,
+      alpha: Double): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val da = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val tot = da.agg(sum("n_tokens").as("tot"))
+    val withP = da.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens").cast("double") / col("tot"))
+    val den = withP.agg(sum(pow(col("p"), alpha)).as("den"))
+    withP.crossJoin(broadcast(den))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        round(col("p"), 6).as("p"),
+        round(pow(col("p"), alpha) / col("den"), 6).as("q"),
+        round(pow(col("p"), alpha) / col("den") / col("p"), 4).as("boost"))
+  }
+
+  /** DuckDB oracle replaying [[temperatureWeights]]'s operation order. */
+  def temperatureWeightsOracleSql(table: String, domainCol: String,
+      textCol: String, alpha: Double): String =
+    s"""WITH da AS (SELECT $domainCol AS domain, count(*) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all($textCol, '\\S+'))) AS BIGINT) AS n_tokens
+       | FROM $table GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens) AS tot FROM da),
+       |wp AS (SELECT domain, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / tot AS p FROM da, tot),
+       |den AS (SELECT sum(pow(p, $alpha)) AS den FROM wp)
+       |SELECT domain, n_docs, n_tokens, round(p, 6) AS p,
+       | round(pow(p, $alpha) / den, 6) AS q,
+       | round(pow(p, $alpha) / den / p, 4) AS boost
+       |FROM wp, den""".stripMargin
 }

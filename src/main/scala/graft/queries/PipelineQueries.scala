@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{DedupOps, GraphOps, LmOps, MultimodalOps, PcaOps, ProfileOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{BlocklistOps, DedupOps, GraphOps, LmOps, MultimodalOps, PcaOps, ProfileOps, SampleOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -852,6 +852,33 @@ object PipelineQueries {
       SimilarityOps.kmeansExemplars(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, maxIter = 4, m = 3)),
 
+    // Temperature-based domain mixture reweighting (XLM-R sampler):
+    // token shares flattened at alpha=0.3, per-domain boost table.
+    "q128_domain_mixture" -> ((s, d) =>
+      SampleOps.temperatureWeights(Tables(s, d, "documents"),
+        "source", "text", alpha = 0.3)),
+
+    // Aho-Corasick phrase-blocklist tagging: every phrase counted in
+    // ONE text pass via the native automaton expression (10k phrases
+    // = still one scan; the regex alternative is one scan per
+    // phrase). Spam/boilerplate tells are injected per doc_id residue
+    // (the clean-corpus q112/q114 idiom), mirrored in the oracle.
+    "q127_blocklist" -> ((s, d) => {
+      val t =
+        when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit(" Click here to BUY NOW and buy now again")))
+        .when(col("doc_id") % 10 === 0,
+          concat(lit("Lorem Ipsum dolor. "), col("text"),
+            lit(" All Rights Reserved. Subscribe!")))
+        .when(col("doc_id") % 17 === 0,
+          concat(col("text"),
+            lit(" This site uses cookies. Sign up for free shipping. Limited Time Offer!")))
+        .otherwise(col("text"))
+      BlocklistOps.tag(
+        Tables(s, d, "documents").select(col("doc_id"), t.as("text")),
+        "doc_id", "text")
+    }),
+
     // Interpolated Kneser-Ney bigram LM trained on the English slice
     // (the CCNet shape: trusted reference LM, score everything). The
     // model is a dataset: every reference bigram type with its counts
@@ -1204,6 +1231,18 @@ object PipelineQueries {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q123_pca2_eigen" -> PcaOps.eigen2OracleSql("documents",
       "n_chars", raw"len(regexp_extract_all(text, '\S+'))"),
+    "q128_domain_mixture" -> SampleOps.temperatureWeightsOracleSql(
+      "documents", "source", "text", alpha = 0.3),
+    "q127_blocklist" -> ("""WITH c AS (SELECT doc_id,
+        | CASE WHEN doc_id % 6 = 0
+        |   THEN text || ' Click here to BUY NOW and buy now again'
+        |  WHEN doc_id % 10 = 0
+        |   THEN 'Lorem Ipsum dolor. ' || text || ' All Rights Reserved. Subscribe!'
+        |  WHEN doc_id % 17 = 0
+        |   THEN text || ' This site uses cookies. Sign up for free shipping. Limited Time Offer!'
+        |  ELSE text END AS t
+        | FROM documents)
+        |""".stripMargin + BlocklistOps.oracleSql("c", "doc_id", "t")),
     "q125_kn_model" -> (LmOps.knOracleWith("d.lang = 'en'") +
       """
         |SELECT a, b, c_ab,
