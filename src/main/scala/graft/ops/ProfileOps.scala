@@ -114,4 +114,67 @@ object ProfileOps {
     }).mkString("\nUNION ALL\n")
     s"WITH a AS (SELECT count(*) AS n,\n  $sums\n FROM $table)\n$rows"
   }
+
+  /** Zipf power-law fit of the corpus token-frequency distribution:
+    * OLS of ln(count) on ln(rank) over the full vocabulary — slope
+    * ≈ −1 is the Zipf signature; a materially flatter or steeper
+    * exponent (or low r²) is the one-row tell for synthetic/spammy/
+    * truncated corpora. One corpus scan map-side combines to the
+    * vocab-bounded count table; the rank is a TOTAL order
+    * (count desc, token asc — deterministic under ties) via a single
+    * window over the vocab table (single-partition but vocab-sized,
+    * i.e. millions of rows at 100 TB, not corpus-sized — fine; swap
+    * in a two-pass range-partitioned rank if the vocabulary itself
+    * ever outgrows one partition). Closed-form OLS in a fixed
+    * double-precision order, mirrored by [[zipfOracleSql]].
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val tc = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok"))
+    val r = tc.select(row_number().over(w).cast("double").as("rank"),
+      col("c").cast("double").as("cnt"))
+    val s = r.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(log(col("rank"))).as("sx"),
+      sum(log(col("cnt"))).as("sy"),
+      sum(log(col("rank")) * log(col("cnt"))).as("sxy"),
+      sum(log(col("rank")) * log(col("rank"))).as("sxx"),
+      sum(log(col("cnt")) * log(col("cnt"))).as("syy"),
+      sum(col("cnt")).cast("long").as("total_tokens"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val icept = (col("sy") - slope * col("sx")) / col("n")
+    val r2num = (col("n") * col("sxy") - col("sx") * col("sy")) *
+      (col("n") * col("sxy") - col("sx") * col("sy"))
+    val r2den = (col("n") * col("sxx") - col("sx") * col("sx")) *
+      (col("n") * col("syy") - col("sy") * col("sy"))
+    s.select(col("n").cast("long").as("vocab"), col("total_tokens"),
+      round(slope, 5).as("zipf_slope"),
+      round(icept, 5).as("intercept"),
+      round(r2num / r2den, 5).as("r2"))
+  }
+
+  /** DuckDB oracle replaying [[zipfFit]]'s rank order and OLS math. */
+  def zipfOracleSql(table: String, textCol: String): String =
+    s"""WITH tok AS (SELECT unnest(list_filter(
+       |    string_split_regex(lower($textCol), '\\s+'), x -> x <> '')) AS tok
+       |  FROM $table),
+       |tc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+       |r AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE)
+       |        AS rank, CAST(c AS DOUBLE) AS cnt FROM tc),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  sum(ln(rank)) AS sx, sum(ln(cnt)) AS sy,
+       |  sum(ln(rank) * ln(cnt)) AS sxy,
+       |  sum(ln(rank) * ln(rank)) AS sxx,
+       |  sum(ln(cnt) * ln(cnt)) AS syy,
+       |  CAST(sum(cnt) AS BIGINT) AS total_tokens FROM r)
+       |SELECT CAST(n AS BIGINT) AS vocab, total_tokens,
+       | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 5) AS zipf_slope,
+       | round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 5)
+       |   AS intercept,
+       | round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+       |   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 5) AS r2
+       |FROM s""".stripMargin
 }

@@ -852,6 +852,11 @@ object PipelineQueries {
       SimilarityOps.kmeansExemplars(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, maxIter = 4, m = 3)),
 
+    // Zipf power-law fit of the token-frequency distribution — the
+    // one-row corpus-health probe (slope ~ -1 is natural text).
+    "q129_zipf_fit" -> ((s, d) =>
+      ProfileOps.zipfFit(Tables(s, d, "documents"), "text")),
+
     // Temperature-based domain mixture reweighting (XLM-R sampler):
     // token shares flattened at alpha=0.3, per-domain boost table.
     "q128_domain_mixture" -> ((s, d) =>
@@ -1233,6 +1238,7 @@ object PipelineQueries {
       "n_chars", raw"len(regexp_extract_all(text, '\S+'))"),
     "q128_domain_mixture" -> SampleOps.temperatureWeightsOracleSql(
       "documents", "source", "text", alpha = 0.3),
+    "q129_zipf_fit" -> ProfileOps.zipfOracleSql("documents", "text"),
     "q127_blocklist" -> ("""WITH c AS (SELECT doc_id,
         | CASE WHEN doc_id % 6 = 0
         |   THEN text || ' Click here to BUY NOW and buy now again'

@@ -296,4 +296,59 @@ class StreamingSpec extends SparkSpec {
     // 4 distinct tokens = capacity -> exact cumulative counts
     assert(out == Map("a" -> 4L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
   }
+
+  test("streaming phrase-blocklist tag matches the batch tag (pure projection)") {
+    // The Aho-Corasick tag is a zero-shuffle projection, so it runs
+    // unchanged on a stream in append mode — the automaton builds once
+    // per executor and serves every micro-batch.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val rows = Seq(
+      (1L, "CLICK HERE and click here to Buy Now"),
+      (2L, "nothing to see"),
+      (3L, "subscribe now, free shipping, buy now"))
+    val q = graft.ops.BlocklistOps.tag(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("bl_tag_stream")
+      .outputMode("append").start()
+    input.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bl_tag_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+    val batch = graft.ops.BlocklistOps.tag(
+        rows.toDF("doc_id", "text"), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(streamed === batch)
+    assert(streamed(3L) === ((3L, 3, 1)))
+  }
+
+  test("streaming KN scoring via foreachBatch reuses the static model across batches") {
+    // Train-batch / score-stream: each micro-batch scores against the
+    // SAME reference model — LmOps' one-slot session cache makes the
+    // per-batch model recomputation a cache hit (identical canonical
+    // plan), so the reference corpus is scanned once, not once per
+    // micro-batch.
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug")).toDF("id", "text")
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val q = input.toDF().toDF("id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.LmOps.score(batch, ref, "id", "text").collect()
+          .foreach(r => acc.synchronized {
+            acc(r.getLong(0)) = (r.getLong(1), r.getLong(2))
+          })
+      }.start()
+    input.addData((10L, "the cat sat"))
+    q.processAllAvailable()
+    input.addData((11L, "zebra quark flux"))
+    q.processAllAvailable()
+    q.stop()
+    assert(acc(10L) === ((2L, 0L)))   // all bigrams seen in ref
+    assert(acc(11L) === ((2L, 2L)))   // all unseen
+  }
 }
