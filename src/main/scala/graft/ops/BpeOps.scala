@@ -399,4 +399,33 @@ object BpeOps {
       .select(col("id"), size(col("toks")).as("n_bpe_tokens"),
         md5(array_join(col("toks"), " ").cast("binary")).as("bpe_md5"))
   }
+
+  /** Tokenizer fertility by language — the multilingual-fairness
+    * report (how many characters one BPE token buys per language, and
+    * how many subword tokens a whitespace word fragments into): a
+    * language the tokenizer underserves pays more sequence length for
+    * the same text, which skews both training mixture math and
+    * serving cost. One zero-shuffle scan (the native encoder is a
+    * projection) into a |languages|-row aggregate; all sums are exact
+    * longs, the two ratios divide once at the end.
+    */
+  def fertilityByLang(df: DataFrame, textCol: String, langCol: String,
+      merges: Merges = DefaultMerges): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val toks = coalesce(bpeEncode(col(textCol), merges),
+      array().cast("array<string>"))
+    df.select(col(langCol).as("lang"),
+        length(col(textCol)).cast("long").as("nc"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("nw"),
+        size(toks).cast("long").as("nb"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("sum_chars"),
+        sum("nw").as("sum_words"), sum("nb").as("sum_bpe"))
+      .select(col("lang"), col("n_docs"), col("sum_chars"),
+        col("sum_words"), col("sum_bpe"),
+        round(col("sum_chars").cast("double") / col("sum_bpe"), 4)
+          .as("chars_per_token"),
+        round(col("sum_bpe").cast("double") / col("sum_words"), 4)
+          .as("tokens_per_word"))
+  }
 }

@@ -63,6 +63,33 @@ object SimilarityOps {
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors with a DIFFERENT
+    * label — maximally confusable negatives, the pairs a contrastive
+    * loss learns most from. Same exact-cosine machinery as
+    * [[knnBrute]] (rounded-sim ranking, id tie-break, broadcast query
+    * side); the label-mismatch predicate rides the join condition so
+    * same-label candidates never enter the ranking window. The at-
+    * scale path is the same as q36→q38/q48: swap the brute scan for
+    * the LSH/IVF candidate generator, keep the label filter.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      col(labelCol).as("lbl"))
+    val q = base.filter(queryPred).select(col("id").as("query_id"),
+      col("v").as("qv"), col("lbl").as("qlbl"))
+    val sims = base.join(broadcast(q),
+        col("id") =!= col("query_id") && col("lbl") =!= col("qlbl"))
+      .select(col("query_id"), col("qlbl").as("query_label"),
+        col("id").as("cand_id"), col("lbl").as("cand_label"),
+        round(nativeCosine(emb)(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("query_label"), col("cand_id"),
+        col("cand_label"), col("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * xxhash64 mapped to [-1, 1]. No RNG state — same planes everywhere.
     */

@@ -852,6 +852,19 @@ object PipelineQueries {
       SimilarityOps.kmeansExemplars(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, maxIter = 4, m = 3)),
 
+    // BPE fertility by language (chars/token, tokens/word): the
+    // multilingual tokenizer-fairness report over the frozen model.
+    "q130_bpe_fertility" -> ((s, d) =>
+      graft.ops.BpeOps.fertilityByLang(Tables(s, d, "documents"),
+        "text", "lang")),
+
+    // Hard-negative mining: top-3 most-similar DIFFERENT-label vectors
+    // per query — contrastive-training pair generation (exact
+    // baseline; LSH/IVF is the scale path, q38/q48).
+    "q131_hard_negatives" -> ((s, d) =>
+      SimilarityOps.hardNegatives(Tables(s, d, "embeddings"),
+        "vec_id", "embedding", "label", col("vec_id") < 8, 3)),
+
     // Zipf power-law fit of the token-frequency distribution — the
     // one-row corpus-health probe (slope ~ -1 is natural text).
     "q129_zipf_fit" -> ((s, d) =>
@@ -1239,6 +1252,37 @@ object PipelineQueries {
     "q128_domain_mixture" -> SampleOps.temperatureWeightsOracleSql(
       "documents", "source", "text", alpha = 0.3),
     "q129_zipf_fit" -> ProfileOps.zipfOracleSql("documents", "text"),
+    "q130_bpe_fertility" ->
+      s"""$bpeCteSql,
+         |cnt AS (SELECT doc_id, CAST(sum(len(s)) AS BIGINT) AS nb
+         |        FROM fin GROUP BY doc_id),
+         |base AS (SELECT doc_id, lang, length(text) AS nc,
+         |  len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '')) AS nw
+         | FROM documents),
+         |j AS (SELECT lang, nc, nw, coalesce(nb, 0) AS nb
+         |      FROM base LEFT JOIN cnt USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(nc) AS BIGINT) AS sum_chars,
+         | CAST(sum(nw) AS BIGINT) AS sum_words,
+         | CAST(sum(nb) AS BIGINT) AS sum_bpe,
+         | round(CAST(sum(nc) AS DOUBLE) / sum(nb), 4) AS chars_per_token,
+         | round(CAST(sum(nb) AS DOUBLE) / sum(nw), 4) AS tokens_per_word
+         |FROM j GROUP BY lang""".stripMargin,
+    "q131_hard_negatives" ->
+      """SELECT query_id, query_label, cand_id, cand_label, sim FROM (
+        | SELECT q.vec_id AS query_id, q.label AS query_label,
+        |  c.vec_id AS cand_id, c.label AS cand_label,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |    c.vec_id) AS rn
+        | FROM embeddings q JOIN embeddings c
+        |   ON q.vec_id <> c.vec_id AND q.label <> c.label
+        | WHERE q.vec_id < 8) t
+        |WHERE rn <= 3""".stripMargin,
     "q127_blocklist" -> ("""WITH c AS (SELECT doc_id,
         | CASE WHEN doc_id % 6 = 0
         |   THEN text || ' Click here to BUY NOW and buy now again'
