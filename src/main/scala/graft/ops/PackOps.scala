@@ -84,4 +84,42 @@ object PackOps {
         col("seq_first"), col("seq_last"),
         (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
   }
+
+  /** Context-length budgeting report: for each candidate sequence
+    * length L, what a naive pad-each-doc-to-L batcher wastes versus
+    * the contiguous packing [[packSequences]] implements — the table
+    * a pipeline owner reads to pick L before launching a training
+    * run. Per L: docs truncated, tokens lost to truncation, padding
+    * waste under per-doc padding, ideal packed-sequence count
+    * (⌈Σ min(n,L) / L⌉, exact integer math), and both utilizations.
+    * One pass over per-doc token counts (an |L-values|-way explode of
+    * a 3-long array — row growth ×3, all map-side combined to |L|
+    * rows); token counts come from the caller so the same report runs
+    * on BPE counts (q132) or whitespace counts unchanged.
+    */
+  def packEfficiency(counts: DataFrame, nTokCol: String,
+      lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ > 0), s"bad lengths $lengths")
+    val n = col(nTokCol).cast("long")
+    counts
+      .select(explode(typedlit(lengths.map(_.toLong))).as("seq_len"), n.as("n"))
+      .select(col("seq_len"), col("n"),
+        least(col("n"), col("seq_len")).as("kept"))
+      .groupBy("seq_len").agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n") > col("seq_len")).cast("long")).as("n_truncated"),
+        sum(greatest(col("n") - col("seq_len"), lit(0L))).as("trunc_loss_tokens"),
+        sum(col("seq_len") - col("kept")).as("pad_waste_tokens"),
+        sum(col("kept")).as("kept_tokens"))
+      .select(col("seq_len"), col("n_docs"), col("n_truncated"),
+        col("trunc_loss_tokens"), col("pad_waste_tokens"),
+        ((col("kept_tokens") + col("seq_len") - 1) / col("seq_len"))
+          .cast("long").as("n_packed_seqs"),
+        round(col("kept_tokens").cast("double") /
+          (col("n_docs") * col("seq_len")), 4).as("util_padded"),
+        round(col("kept_tokens").cast("double") /
+          (((col("kept_tokens") + col("seq_len") - 1) / col("seq_len"))
+            .cast("long") * col("seq_len")), 4).as("util_packed"))
+      .orderBy("seq_len")
+  }
 }

@@ -852,6 +852,17 @@ object PipelineQueries {
       SimilarityOps.kmeansExemplars(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, maxIter = 4, m = 3)),
 
+    // Context-length budgeting: truncation loss + padding waste vs
+    // packed utilization at candidate sequence lengths, over the
+    // frozen-BPE token counts — the pick-L-before-training table.
+    "q132_pack_efficiency" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val counts = Tables(s, d, "documents").select(
+        size(coalesce(graft.ops.BpeOps.bpeEncode(col("text")),
+          array().cast("array<string>"))).as("n_bpe"))
+      graft.ops.PackOps.packEfficiency(counts, "n_bpe", Seq(32, 64, 128))
+    }),
+
     // BPE fertility by language (chars/token, tokens/word): the
     // multilingual tokenizer-fairness report over the frozen model.
     "q130_bpe_fertility" -> ((s, d) =>
@@ -1269,6 +1280,30 @@ object PipelineQueries {
          | round(CAST(sum(nc) AS DOUBLE) / sum(nb), 4) AS chars_per_token,
          | round(CAST(sum(nb) AS DOUBLE) / sum(nw), 4) AS tokens_per_word
          |FROM j GROUP BY lang""".stripMargin,
+    "q132_pack_efficiency" ->
+      s"""$bpeCteSql,
+         |cnt0 AS (SELECT doc_id, CAST(sum(len(s)) AS BIGINT) AS nb
+         |         FROM fin GROUP BY doc_id),
+         |cnt AS (SELECT coalesce(nb, 0) AS n
+         |        FROM documents d LEFT JOIN cnt0 USING (doc_id)),
+         |l AS (SELECT unnest([CAST(32 AS BIGINT), CAST(64 AS BIGINT),
+         |                     CAST(128 AS BIGINT)]) AS seq_len),
+         |x AS (SELECT seq_len, n, least(n, seq_len) AS kept FROM cnt, l),
+         |g AS (SELECT seq_len, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n > seq_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         |  CAST(sum(greatest(n - seq_len, 0)) AS BIGINT) AS trunc_loss_tokens,
+         |  CAST(sum(seq_len - kept) AS BIGINT) AS pad_waste_tokens,
+         |  CAST(sum(kept) AS BIGINT) AS kept_tokens
+         | FROM x GROUP BY seq_len)
+         |SELECT seq_len, n_docs, n_truncated, trunc_loss_tokens,
+         | pad_waste_tokens,
+         | (kept_tokens + seq_len - 1) // seq_len AS n_packed_seqs,
+         | round(CAST(kept_tokens AS DOUBLE) / (n_docs * seq_len), 4)
+         |   AS util_padded,
+         | round(CAST(kept_tokens AS DOUBLE)
+         |   / (((kept_tokens + seq_len - 1) // seq_len) * seq_len), 4)
+         |   AS util_packed
+         |FROM g""".stripMargin,
     "q131_hard_negatives" ->
       """SELECT query_id, query_label, cand_id, cand_label, sim FROM (
         | SELECT q.vec_id AS query_id, q.label AS query_label,
