@@ -90,6 +90,43 @@ object ProfileOps {
     out.toDF("col_a", "col_b", "n", "corr")
   }
 
+  /** Double-sum variant of [[corrMatrix]] for when bit-reproducibility
+    * is not required: identical closed form and output shape, but the
+    * moments accumulate as IEEE doubles — ~20× faster per row than the
+    * decimal path (measured sf0.1, DecimalScaleProbe: 0.15s vs 3.4s;
+    * the cost is Spark's decimal Sum itself, not the scale — 38,4
+    * only bought ~10%), at the price of partition-order-dependent
+    * last-ulp results. The 6dp rounding hides that in practice, but
+    * "in practice" is not a reproducibility contract — anything that
+    * feeds a frozen artifact (QualityFit, model cards) should stay on
+    * [[corrMatrix]].
+    */
+  def corrMatrixApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val spark = df.sparkSession
+    val pairs = for { i <- cols.indices; j <- i until cols.size } yield (i, j)
+    val aggs = (cols.zipWithIndex.map { case (c, i) =>
+        sum(col(c).cast("double")).as(s"s_$i")
+      } ++ pairs.map { case (i, j) =>
+        sum((col(cols(i)) * col(cols(j))).cast("double")).as(s"p_${i}_$j")
+      }).toSeq
+    val r = df.agg(count(lit(1)).as("n"), aggs: _*).collect()(0)
+    val n = r.getLong(0).toDouble
+    def d(name: String): Double = r.getDouble(r.fieldIndex(name))
+    val out = for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+      val num = n * d(s"p_${i}_$j") - d(s"s_$i") * d(s"s_$j")
+      val den = math.sqrt(n * d(s"p_${i}_$i") - d(s"s_$i") * d(s"s_$i")) *
+        math.sqrt(n * d(s"p_${j}_$j") - d(s"s_$j") * d(s"s_$j"))
+      val corr: java.lang.Double =
+        if (den == 0.0 || den.isNaN) null
+        else java.math.BigDecimal.valueOf(num / den)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      (cols(i), cols(j), r.getLong(0), corr)
+    }
+    import spark.implicits._
+    out.toDF("col_a", "col_b", "n", "corr")
+  }
+
   /** The q120 oracle for ANY column list — DuckDB SQL computing the
     * identical decimal sums and the identical double arithmetic in
     * the identical order as [[corrMatrix]].

@@ -65,6 +65,19 @@ class TextSignalsSpec extends SparkSpec {
       "corr must be bit-identical under repartitioning")
   }
 
+  test("corrMatrixApprox agrees with the exact path to 1e-9") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val exact = toMap(graft.ops.ProfileOps.corrMatrix(li, cols))
+    val approx = toMap(graft.ops.ProfileOps.corrMatrixApprox(li, cols))
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - approx(k)) < 1e-9, s"$k: $v vs ${approx(k)}")
+    }
+  }
+
   test("qualityRules is streaming-safe and matches the batch filter") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
