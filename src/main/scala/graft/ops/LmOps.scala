@@ -80,16 +80,39 @@ object LmOps {
     }
   }
 
+  /** Raw reference bigram counts `(a, b, c_ab)` — the model's ADDITIVE
+    * sufficient statistic: counts from disjoint corpus batches merge
+    * by summation ([[mergeCounts]]), so an incremental pipeline
+    * maintains yesterday's count table and folds in today's batch
+    * without ever rescanning history — every KN quantity (head
+    * totals, fan-outs, type counts) re-derives from the merged table.
+    */
+  def counts(ref: DataFrame, idCol: String, textCol: String): DataFrame =
+    refCounts(ref, idCol, textCol)
+
+  /** Fold another batch's counts into an existing table: one
+    * vocab²-bounded union + re-aggregation, map-side combined.
+    */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("a", "b").agg(sum("c_ab").as("c_ab"))
+
   /** The trained model as a dataset: one row per reference bigram type
     * with its counts and the final interpolated-KN probability
     * (rounded 6dp). `heads`/`conts` stay internal to [[score]]; this
     * is the inspectable/persistable artifact.
     */
   def model(ref: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75): DataFrame = {
+      discount: Double = 0.75): DataFrame =
+    modelFromCounts(refCounts(ref, idCol, textCol), discount)
+
+  /** Model from a prebuilt (possibly incrementally merged) count
+    * table — the batch path [[model]] and the incremental path
+    * [[counts]]→[[mergeCounts]]→here produce bit-identical models
+    * over the same effective corpus (LmSpec pins it).
+    */
+  def modelFromCounts(cab: DataFrame, discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"KN discount must be in (0,1), got $discount")
-    val cab = refCounts(ref, idCol, textCol)
     val heads = cab.groupBy("a")
       .agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1p_fwd"))
     val conts = cab.groupBy("b").agg(count(lit(1)).as("n1p_back"))

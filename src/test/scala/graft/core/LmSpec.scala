@@ -52,6 +52,19 @@ class LmSpec extends SparkSpec {
     assert(m("sat") > 0.6)
   }
 
+  test("incremental counts merge: batch model == merged-batches model, bit for bit") {
+    val batchA = ref.where($"id" <= 2)
+    val batchB = ref.where($"id" === 3)
+    val merged = LmOps.modelFromCounts(
+      LmOps.mergeCounts(
+        LmOps.counts(batchA, "id", "text"),
+        LmOps.counts(batchB, "id", "text")))
+    val direct = LmOps.model(ref, "id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(merged) === m(direct))
+  }
+
   test("score: zero unseen on the training corpus; OOV docs rank worse") {
     val target = ref.union(Seq(
       (10L, "zebra quark flux zebra quark"),

@@ -258,4 +258,37 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"), s)
     assert(!s.contains("CartesianProduct"), s)
   }
+
+  test("q126 KN scoring: all model joins broadcast; the corpus bigram probe never sort-merges") {
+    val s = formatted("q126_kn_ppl")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 3, s)
+    assert(s.contains("BroadcastNestedLoopJoin"), "scalar table rides a broadcast cross join: " + s)
+    assert(!s.contains("SortMergeJoin"), "model join degraded to sort-merge: " + s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q127 blocklist: the automaton tag is a zero-shuffle pruned scan") {
+    val s = formatted("q127_blocklist")
+    assert(!s.contains("Exchange"), "phrase tagging must not shuffle: " + s)
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      "only (doc_id, text) should be read: " + readSchema)
+  }
+
+  test("q130 fertility: zero-shuffle encoder scan into one map-side-combined agg") {
+    val s = formatted("q130_bpe_fertility")
+    // exactly the lang-keyed aggregation exchange — nothing else moves
+    assert(s.contains("hashpartitioning(lang"), s)
+    assert("\\+- Exchange".r.findAllIn(s).size === 1,
+      "unexpected extra shuffle: " + s)
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("doc_id"), "doc_id not needed: " + readSchema)
+  }
+
+  test("q131 hard negatives: label filter rides the broadcast join, no cartesian") {
+    val s = formatted("q131_hard_negatives")
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
 }
