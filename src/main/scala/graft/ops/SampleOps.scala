@@ -197,8 +197,7 @@ object SampleOps {
         round(pow(col("p"), alpha) / col("den") / col("p"), 4).as("boost"))
   }
 
-  /** DuckDB oracle replaying [[temperatureWeights]]'s operation order. */
-  def temperatureWeightsOracleSql(table: String, domainCol: String,
+  private def temperatureCtePrefix(table: String, domainCol: String,
       textCol: String, alpha: Double): String =
     s"""WITH da AS (SELECT $domainCol AS domain, count(*) AS n_docs,
        |  CAST(sum(len(regexp_extract_all($textCol, '\\S+'))) AS BIGINT) AS n_tokens
@@ -206,9 +205,60 @@ object SampleOps {
        |tot AS (SELECT sum(n_tokens) AS tot FROM da),
        |wp AS (SELECT domain, n_docs, n_tokens,
        |  CAST(n_tokens AS DOUBLE) / tot AS p FROM da, tot),
-       |den AS (SELECT sum(pow(p, $alpha)) AS den FROM wp)
-       |SELECT domain, n_docs, n_tokens, round(p, 6) AS p,
+       |den AS (SELECT sum(pow(p, $alpha)) AS den FROM wp),
+       |tw AS (SELECT domain, n_docs, n_tokens, round(p, 6) AS p,
        | round(pow(p, $alpha) / den, 6) AS q,
        | round(pow(p, $alpha) / den / p, 4) AS boost
-       |FROM wp, den""".stripMargin
+       | FROM wp, den)""".stripMargin
+
+  /** DuckDB oracle replaying [[temperatureWeights]]'s operation order. */
+  def temperatureWeightsOracleSql(table: String, domainCol: String,
+      textCol: String, alpha: Double): String =
+    temperatureCtePrefix(table, domainCol, textCol, alpha) +
+      "\nSELECT * FROM tw"
+
+  /** Epoch/repetition budgeting on top of [[temperatureWeights]]: a
+    * training run wants `budgetTokens` total at mixture q, but no
+    * domain repeated past `maxEpochs` (repetition degrades past ~4
+    * epochs — the multi-epoch scaling-law constraint). Per domain:
+    * the mixture's desired token draw, the epoch count it implies,
+    * the `maxEpochs`-capped grant, and the shortfall the pipeline
+    * owner must re-allocate or accept. Downstream math consumes the
+    * ROUNDED q (exactly what q128 publishes), so the whole table is
+    * engine-exact; domain-bounded rows, no extra corpus work.
+    */
+  def epochBudget(df: org.apache.spark.sql.DataFrame,
+      domainCol: String, textCol: String, alpha: Double,
+      budgetTokens: Long, maxEpochs: Double): org.apache.spark.sql.DataFrame = {
+    require(budgetTokens > 0 && maxEpochs > 0.0,
+      s"bad budget $budgetTokens / maxEpochs $maxEpochs")
+    temperatureWeights(df, domainCol, textCol, alpha)
+      .select(col("domain"), col("n_tokens"), col("q"),
+        round(col("q") * budgetTokens).cast("long").as("desired_tokens"),
+        round(col("q") * budgetTokens / col("n_tokens"), 4).as("desired_epochs"),
+        least(round(col("q") * budgetTokens).cast("long"),
+          round(lit(maxEpochs) * col("n_tokens")).cast("long"))
+          .as("granted_tokens"),
+        (round(col("q") * budgetTokens).cast("long") -
+          least(round(col("q") * budgetTokens).cast("long"),
+            round(lit(maxEpochs) * col("n_tokens")).cast("long")))
+          .as("shortfall_tokens"))
+  }
+
+  /** DuckDB oracle replaying [[epochBudget]]. */
+  def epochBudgetOracleSql(table: String, domainCol: String,
+      textCol: String, alpha: Double, budgetTokens: Long,
+      maxEpochs: Double): String =
+    temperatureCtePrefix(table, domainCol, textCol, alpha) +
+      s"""
+         |SELECT domain, n_tokens, q,
+         | CAST(round(q * $budgetTokens) AS BIGINT) AS desired_tokens,
+         | round(q * $budgetTokens / n_tokens, 4) AS desired_epochs,
+         | least(CAST(round(q * $budgetTokens) AS BIGINT),
+         |   CAST(round($maxEpochs * n_tokens) AS BIGINT)) AS granted_tokens,
+         | CAST(round(q * $budgetTokens) AS BIGINT)
+         |   - least(CAST(round(q * $budgetTokens) AS BIGINT),
+         |       CAST(round($maxEpochs * n_tokens) AS BIGINT))
+         |   AS shortfall_tokens
+         |FROM tw""".stripMargin
 }

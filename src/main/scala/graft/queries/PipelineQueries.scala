@@ -852,6 +852,14 @@ object PipelineQueries {
       SimilarityOps.kmeansExemplars(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, maxIter = 4, m = 3)),
 
+    // Epoch/repetition budgeting: the q128 mixture priced against a
+    // 105k-token run with a 4-epoch repetition cap — desired vs
+    // granted tokens and the shortfall per domain.
+    "q133_epoch_budget" -> ((s, d) =>
+      SampleOps.epochBudget(Tables(s, d, "documents"),
+        "source", "text", alpha = 0.3, budgetTokens = 105000L,
+        maxEpochs = 4.0)),
+
     // Context-length budgeting: truncation loss + padding waste vs
     // packed utilization at candidate sequence lengths, over the
     // frozen-BPE token counts — the pick-L-before-training table.
@@ -1263,6 +1271,9 @@ object PipelineQueries {
     "q128_domain_mixture" -> SampleOps.temperatureWeightsOracleSql(
       "documents", "source", "text", alpha = 0.3),
     "q129_zipf_fit" -> ProfileOps.zipfOracleSql("documents", "text"),
+    "q133_epoch_budget" -> SampleOps.epochBudgetOracleSql(
+      "documents", "source", "text", alpha = 0.3,
+      budgetTokens = 105000L, maxEpochs = 4.0),
     "q130_bpe_fertility" ->
       s"""$bpeCteSql,
          |cnt AS (SELECT doc_id, CAST(sum(len(s)) AS BIGINT) AS nb
