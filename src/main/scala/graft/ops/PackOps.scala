@@ -85,6 +85,53 @@ object PackOps {
         (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
   }
 
+  /** Sentence-preserving passage windows — the RAG/retrieval chunker:
+    * split each document at sentence boundaries (literal ". ", chosen
+    * because the oracle's RE2 engine has no lookbehind; non-final
+    * sentences therefore shed their terminal period and passages
+    * reassemble with ". "), then open a new passage every time the
+    * running token count crosses a multiple of `tokensPerPassage`
+    * (cumulative-floor assignment: sentences never split, a passage
+    * may overshoot the budget by at most one sentence). Entirely
+    * per-row array expressions — ZERO shuffle; the explode emits
+    * (doc, passage) rows straight off the scan. Docs with no
+    * sentences emit nothing.
+    */
+  def passageWindows(df: DataFrame, idCol: String, textCol: String,
+      tokensPerPassage: Int): DataFrame = {
+    require(tokensPerPassage > 0, s"bad passage budget $tokensPerPassage")
+    val L = tokensPerPassage
+    val sents0 = filter(
+      transform(split(col(textCol), "\\. "), s => trim(s)), s => s =!= "")
+    val base = df.select(col(idCol).as("id"), sents0.as("sents"))
+      .where(size(col("sents")) > 0)
+    // passage id per sentence: floor(tokens-before / L)
+    val tc = transform(col("sents"),
+      s => size(TextOps.tokens(s)).cast("long"))
+    val withPid = base.select(col("id"), col("sents"),
+      transform(sequence(lit(1), size(col("sents"))), i =>
+        floor(aggregate(slice(tc, lit(1), i - 1), lit(0L), _ + _) / lit(L))
+          .cast("long")).as("pid"))
+    val pmax = element_at(col("pid"), -1)
+    val perPassage = withPid.select(col("id"),
+      explode(transform(sequence(lit(0L), pmax), p => {
+        val sel = transform(
+          filter(sequence(lit(1), size(col("sents"))),
+            i => element_at(col("pid"), i) === p),
+          i => element_at(col("sents"), i))
+        struct(p.as("passage_id"), sel.as("sel"))
+      })).as("x"))
+    perPassage
+      // an over-budget single sentence makes the running count skip a
+      // multiple of L; drop the resulting empty ids
+      .where(size(col("x.sel")) > 0)
+      .select(col("id"),
+        col("x.passage_id").as("passage_id"),
+        size(col("x.sel")).as("n_sentences"),
+        size(TextOps.tokens(array_join(col("x.sel"), ". "))).as("n_tokens"),
+        md5(array_join(col("x.sel"), ". ").cast("binary")).as("passage_md5"))
+  }
+
   /** Context-length budgeting report: for each candidate sequence
     * length L, what a naive pad-each-doc-to-L batcher wastes versus
     * the contiguous packing [[packSequences]] implements — the table

@@ -852,6 +852,19 @@ object PipelineQueries {
       SimilarityOps.kmeansExemplars(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, maxIter = 4, m = 3)),
 
+    // Sentence-preserving passage windows (the RAG chunker): new
+    // passage at each 40-token crossing, sentences never split;
+    // zero-shuffle array expressions. The synthetic corpus is one
+    // giant sentence per doc, so sentence boundaries are injected
+    // deterministically (q84's replace idiom, mirrored in the
+    // oracle) to exercise the multi-passage path.
+    "q134_passage_windows" -> ((s, d) =>
+      graft.ops.PackOps.passageWindows(
+        Tables(s, d, "documents").select(col("doc_id"),
+          replace(col("text"), lit(" value"), lit(". value")).as("text")),
+        "doc_id", "text", tokensPerPassage = 40)
+        .withColumnRenamed("id", "doc_id")),
+
     // Epoch/repetition budgeting: the q128 mixture priced against a
     // 105k-token run with a 4-epoch repetition cap — desired vs
     // granted tokens and the shortfall per domain.
@@ -1271,6 +1284,33 @@ object PipelineQueries {
     "q128_domain_mixture" -> SampleOps.temperatureWeightsOracleSql(
       "documents", "source", "text", alpha = 0.3),
     "q129_zipf_fit" -> ProfileOps.zipfOracleSql("documents", "text"),
+    "q134_passage_windows" ->
+      """WITH s0 AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split_regex(
+        |    replace(text, ' value', '. value'), '\. '),
+        |    x -> trim(x)), x -> x <> '') AS sents
+        | FROM documents),
+        |s1 AS (SELECT doc_id, sents,
+        |  list_transform(sents, s -> CAST(len(list_filter(
+        |    string_split_regex(lower(s), '\s+'), x -> x <> '')) AS BIGINT)) AS tc
+        | FROM s0 WHERE len(sents) > 0),
+        |s2 AS (SELECT doc_id, sents,
+        |  list_transform(generate_series(1, len(sents)), i ->
+        |    CAST(floor(coalesce(list_sum(tc[1:i-1]), 0) / 40) AS BIGINT)) AS pid
+        | FROM s1),
+        |px AS (SELECT doc_id, sents, pid,
+        |  unnest(generate_series(0, pid[len(pid)])) AS p FROM s2),
+        |sel AS (SELECT doc_id, p AS passage_id,
+        |  list_transform(list_filter(generate_series(1, len(sents)),
+        |    i -> pid[i] = p), i -> sents[i]) AS sel
+        | FROM px)
+        |SELECT doc_id, passage_id,
+        | CAST(len(sel) AS INTEGER) AS n_sentences,
+        | CAST(len(list_filter(string_split_regex(
+        |   lower(array_to_string(sel, '. ')), '\s+'), x -> x <> ''))
+        |   AS INTEGER) AS n_tokens,
+        | md5(array_to_string(sel, '. ')) AS passage_md5
+        |FROM sel WHERE len(sel) > 0""".stripMargin,
     "q133_epoch_budget" -> SampleOps.epochBudgetOracleSql(
       "documents", "source", "text", alpha = 0.3,
       budgetTokens = 105000L, maxEpochs = 4.0),

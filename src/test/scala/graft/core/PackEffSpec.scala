@@ -2,9 +2,28 @@ package graft.core
 
 import graft.ops.PackOps
 
-/** packEfficiency hand-computed contract. */
+/** packEfficiency + passageWindows hand-computed contracts. */
 class PackEffSpec extends SparkSpec {
   import spark.implicits._
+
+  test("passageWindows: cumulative-floor grouping, oversized sentences, skipped ids") {
+    val df = Seq(
+      // sentences of 3/3/3 tokens at L=5: cum 0,3,6 -> pids 0,0,1
+      (1L, "a b c. d e f. g h i"),
+      // 12-token monster then a short one: pids 0, 2 (id 1 skipped)
+      (2L, "w w w w w w w w w w w w. x y"),
+      (3L, "")).toDF("id", "text")
+    val got = graft.ops.PackOps.passageWindows(df, "id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3)))).toMap
+    assert(got((1L, 0L)) === ((2, 6)))   // "a b c. d e f"
+    assert(got((1L, 1L)) === ((1, 3)))   // "g h i"
+    assert(got((2L, 0L)) === ((1, 12)))  // oversized sentence kept whole
+    assert(got((2L, 2L)) === ((1, 2)))   // skipped id 1 never emitted
+    assert(!got.contains((2L, 1L)))
+    assert(!got.keySet.exists(_._1 == 3L), "empty doc emits nothing")
+    assert(got.size === 4)
+  }
 
   test("report matches hand math at two lengths") {
     // token counts: 3, 10, 10, 7
