@@ -37,8 +37,10 @@ object BlocklistOps {
       "blocklist phrases must be lowercase (text lowercases before the walk)")
     require(phrases.forall(!_.contains('\u0000')), "NUL in blocklist phrase")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // null text scores as empty (zero counts), not null columns
     val counts = call_function("graft_blocklist_counts",
-      lit(phrases.mkString("\u0000")), lower(col(textCol))).as("c")
+      lit(phrases.mkString("\u0000")),
+      lower(coalesce(col(textCol), lit("")))).as("c")
     df.select(col(idCol).as("id"), counts)
       .select(col("id"),
         aggregate(col("c"), lit(0L), (a, x) => a + x).as("n_hits"),

@@ -42,15 +42,17 @@ class BlocklistSpec extends SparkSpec {
     assert(ac.countAll("aaaa").toSeq === Seq(3L)) // brute(indexOf+1) agrees
   }
 
-  test("tag: case-insensitive counts, distinct phrases, block flag") {
+  test("tag: case-insensitive counts, distinct phrases, block flag, null-safe") {
     val df = Seq(
       (1L, "CLICK HERE and click here to Buy Now"),
       (2L, "nothing to see"),
-      (3L, "subscribe")).toDF("id", "text")
+      (3L, "subscribe"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
     val got = BlocklistOps.tag(df, "id", "text", minHits = 3)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
     assert(got(1L) === ((3L, 2, 1)))   // 2x click here + 1x buy now, blocked
     assert(got(2L) === ((0L, 0, 0)))
     assert(got(3L) === ((1L, 1, 0)))
+    assert(got(4L) === ((0L, 0, 0)), "null text scores as empty")
   }
 }
