@@ -169,6 +169,157 @@ object LmOps {
         round(avg("nll"), 5).as("kn_logppl"))
   }
 
+  /** Trigram interpolated KN (Chen & Goodman 1999): the highest order
+    * discounts raw token counts; the bigram level discounts
+    * CONTINUATION (type) counts, as the estimator prescribes; the
+    * unigram level is the +1-smoothed continuation distribution (the
+    * same OOV floor as the bigram model). All quantities derive from
+    * ONE trigram count table (one reference scan):
+    *
+    *   P3(c|ab) = (c(abc) − D)/c(ab·) + D·N1+(ab·)/c(ab·) · P2(c|b)
+    *   P2(c|b)  = (N1+(·bc) − D)/N1+(·b·) + D·N1+(b·)/N1+(·b·) · P1(c)
+    *   P1(c)    = (N1+(··c) + 1)/(B2 + V + 1)
+    *
+    * with N1+(·bc) = |{a : c(abc)>0}|, N1+(·b·) = Σ_c N1+(·bc),
+    * N1+(b·) = |{c : N1+(·bc)>0}|, N1+(··c) = |{b : N1+(·bc)>0}|,
+    * B2 = |{(b,c)}|, V = |{c}|. Every input is an exact integer
+    * count; double evaluation order fixed and mirrored in
+    * [[kn3OracleWith]]. The model table (one row per seen trigram
+    * type) is vocab³-bounded and broadcasts; like the bigram model it
+    * derives from a one-slot-cached count table.
+    */
+  private val tcabSlot =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, DataFrame]()
+
+  private def trigramsOf(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("t"))
+    base.select(col("id"),
+      explode_outer(when(size(col("t")) >= 3,
+        transform(sequence(lit(0), size(col("t")) - 3),
+          i => struct(element_at(col("t"), i + 1).as("a"),
+            element_at(col("t"), i + 2).as("b"),
+            element_at(col("t"), i + 3).as("c"))))).as("tg"))
+      .select(col("id"), col("tg.a").as("a"), col("tg.b").as("b"),
+        col("tg.c").as("c"))
+  }
+
+  private def refTriCounts(ref: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val plan = trigramsOf(ref, idCol, textCol)
+      .filter(col("a").isNotNull)
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("c_abc"))
+    tcabSlot.synchronized {
+      tcabSlot.keySet.removeIf(s => s.sparkContext.isStopped)
+      val prev = tcabSlot.get(ref.sparkSession)
+      if (prev != null && prev.queryExecution.analyzed.canonicalized ==
+          plan.queryExecution.analyzed.canonicalized) prev
+      else {
+        val c = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Option(tcabSlot.put(ref.sparkSession, c))
+          .foreach(_.unpersist(blocking = false))
+        c
+      }
+    }
+  }
+
+  /** The trigram model as a dataset: one row per seen trigram type
+    * with its count and the fully-interpolated probability (6dp).
+    */
+  def model3(ref: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0,1), got $discount")
+    val ct = refTriCounts(ref, idCol, textCol)
+    val ctx = ct.groupBy("a", "b")
+      .agg(sum("c_abc").as("c_ab"), count(lit(1)).as("n1p_ab"))
+    val tbc = ct.groupBy("b", "c").agg(count(lit(1)).as("nbc"))
+    val mid = tbc.groupBy("b")
+      .agg(sum("nbc").as("n_b_dot"), count(lit(1)).as("n1p_b"))
+    val uni = tbc.groupBy("c").agg(count(lit(1)).as("n_dot_c"))
+    val scalars = tbc.agg(count(lit(1)).as("b2"),
+      countDistinct(col("c")).as("v"))
+    val d = lit(discount)
+    val p1 = (col("n_dot_c") + 1).cast("double") / (col("b2") + col("v") + 1)
+    val p2 = greatest(col("nbc").cast("double") - d, lit(0.0)) / col("n_b_dot") +
+      d * col("n1p_b") / col("n_b_dot") * p1
+    val p3 = greatest(col("c_abc").cast("double") - d, lit(0.0)) / col("c_ab") +
+      d * col("n1p_ab") / col("c_ab") * p2
+    ct
+      .join(broadcast(ctx), Seq("a", "b"))
+      .join(broadcast(tbc), Seq("b", "c"))
+      .join(broadcast(mid), Seq("b"))
+      .join(broadcast(uni), Seq("c"))
+      .crossJoin(broadcast(scalars))
+      .select(col("a"), col("b"), col("c"), col("c_abc"),
+        round(p3, 6).as("p_kn3"))
+  }
+
+  /** Score `target` docs under the trigram model: per document the
+    * trigram count, unseen-trigram count, and avg −ln P with the full
+    * backoff chain (unseen context ab → P2; unseen middle b → P1).
+    * <3-token docs score NULL (explode_outer sentinel).
+    */
+  def score3(target: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0,1), got $discount")
+    val ct = refTriCounts(ref, idCol, textCol)
+    val ctx = ct.groupBy("a", "b")
+      .agg(sum("c_abc").as("c_ab"), count(lit(1)).as("n1p_ab"))
+    val tbc = ct.groupBy("b", "c").agg(count(lit(1)).as("nbc"))
+    val mid = tbc.groupBy("b")
+      .agg(sum("nbc").as("n_b_dot"), count(lit(1)).as("n1p_b"))
+    val uni = tbc.groupBy("c").agg(count(lit(1)).as("n_dot_c"))
+    val scalars = tbc.agg(count(lit(1)).as("b2"),
+      countDistinct(col("c")).as("v"))
+    val d = lit(discount)
+    val p1 = (coalesce(col("n_dot_c"), lit(0L)) + 1).cast("double") /
+      (col("b2") + col("v") + 1)
+    val p2 = greatest(coalesce(col("nbc"), lit(0L)).cast("double") - d, lit(0.0)) /
+      col("n_b_dot") + d * col("n1p_b") / col("n_b_dot") * p1
+    val p = when(col("a").isNull, lit(null).cast("double"))
+      .when(col("c_ab").isNull, when(col("n_b_dot").isNull, p1).otherwise(p2))
+      .otherwise(
+        greatest(coalesce(col("c_abc"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("c_ab") + d * col("n1p_ab") / col("c_ab") *
+          when(col("n_b_dot").isNull, p1).otherwise(p2))
+    trigramsOf(target, idCol, textCol)
+      .join(broadcast(ct), Seq("a", "b", "c"), "left")
+      .join(broadcast(ctx), Seq("a", "b"), "left")
+      .join(broadcast(tbc), Seq("b", "c"), "left")
+      .join(broadcast(mid), Seq("b"), "left")
+      .join(broadcast(uni), Seq("c"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("id"), col("a"),
+        col("c_abc").isNull.and(col("a").isNotNull).cast("int").as("unseen"),
+        (-log(p)).as("nll"))
+      .groupBy("id").agg(
+        count(col("a")).as("n_trigrams"),
+        coalesce(sum("unseen"), lit(0L)).as("n_unseen"),
+        round(avg("nll"), 5).as("kn3_logppl"))
+  }
+
+  /** Shared DuckDB CTE prefix for the trigram estimator (q135/q136). */
+  def kn3OracleWith(refWhere: String): String =
+    s"""WITH tk AS (SELECT doc_id AS id,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       | FROM documents),
+       |rpos AS (SELECT id, unnest(generate_series(1, len(t) - 2)) AS i, t
+       |         FROM tk JOIN documents d ON d.doc_id = tk.id
+       |         WHERE ($refWhere) AND len(t) >= 3),
+       |ct AS (SELECT t[i] AS a, t[i+1] AS b, t[i+2] AS c, count(*) AS c_abc
+       |       FROM rpos GROUP BY 1, 2, 3),
+       |ctx AS (SELECT a, b, sum(c_abc) AS c_ab, count(*) AS n1p_ab
+       |        FROM ct GROUP BY a, b),
+       |tbc AS (SELECT b, c, count(*) AS nbc FROM ct GROUP BY b, c),
+       |mid AS (SELECT b, sum(nbc) AS n_b_dot, count(*) AS n1p_b
+       |        FROM tbc GROUP BY b),
+       |uni AS (SELECT c, count(*) AS n_dot_c FROM tbc GROUP BY c),
+       |scalars AS (SELECT count(*) AS b2, count(DISTINCT c) AS v FROM tbc)""".stripMargin
+
   /** Shared DuckDB CTE prefix replaying the model estimator over
     * `refWhere`-filtered documents — appended to by the q125/q126
     * oracles so the two cannot drift.

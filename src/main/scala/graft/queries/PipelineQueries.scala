@@ -946,6 +946,29 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Full Chen-Goodman TRIGRAM interpolated KN: highest order
+    // discounts raw counts, bigram level discounts continuation
+    // (type) counts, +1-smoothed continuation unigram floor. One
+    // reference scan; model table = seen trigram types.
+    "q135_kn3_model" -> ((s, d) =>
+      LmOps.model3(Tables(s, d, "documents").where(col("lang") === "en"),
+        "doc_id", "text")),
+
+    // Trigram-KN perplexity of every doc (OOV gibberish injected per
+    // residue so all three backoff levels are exercised and
+    // oracle-checked: unseen trigram w/ seen context -> P2, unseen
+    // middle -> P1).
+    "q136_kn3_ppl" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val injected = docs.select(col("doc_id"),
+        when(col("doc_id") % 31 === 0,
+          concat(col("text"), lit(" zzq zzq zzq")))
+          .otherwise(col("text")).as("text"))
+      LmOps.score3(injected, docs.where(col("lang") === "en"),
+        "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Closed-form 2-feature PCA over (chars, tokens): integer-exact
     // moments, fixed-IEEE-order eigensystem — the one PCA shape whose
     // full eigensolve an ANSI oracle can replay bit-for-bit.
@@ -1379,6 +1402,51 @@ object PipelineQueries {
         |  ELSE text END AS t
         | FROM documents)
         |""".stripMargin + BlocklistOps.oracleSql("c", "doc_id", "t")),
+    "q135_kn3_model" -> (LmOps.kn3OracleWith("d.lang = 'en'") +
+      """
+        |SELECT a, b, c, c_abc,
+        | round(greatest(CAST(c_abc AS DOUBLE) - 0.75, 0.0) / c_ab
+        |  + 0.75 * n1p_ab / c_ab *
+        |   (greatest(CAST(nbc AS DOUBLE) - 0.75, 0.0) / n_b_dot
+        |    + 0.75 * n1p_b / n_b_dot
+        |      * (CAST(n_dot_c + 1 AS DOUBLE) / (b2 + v + 1))), 6) AS p_kn3
+        |FROM ct JOIN ctx USING (a, b) JOIN tbc USING (b, c)
+        |     JOIN mid USING (b) JOIN uni USING (c), scalars""".stripMargin),
+    "q136_kn3_ppl" -> (LmOps.kn3OracleWith("d.lang = 'en'") +
+      """,
+        |ttk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(
+        |  CASE WHEN doc_id % 31 = 0 THEN text || ' zzq zzq zzq' ELSE text END),
+        |  '\s+'), x -> x <> '') AS t FROM documents),
+        |tpos AS (SELECT id, unnest(generate_series(1, len(t) - 2)) AS i, t
+        |         FROM ttk WHERE len(t) >= 3),
+        |tg AS (SELECT id, t[i] AS a, t[i+1] AS b, t[i+2] AS c FROM tpos),
+        |sc AS (SELECT id, count(*) AS n_trigrams,
+        |  CAST(sum(CASE WHEN ct.c_abc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unseen,
+        |  round(avg(-ln(
+        |    CASE WHEN ctx.c_ab IS NULL THEN
+        |      CASE WHEN mid.n_b_dot IS NULL
+        |        THEN CAST(coalesce(uni.n_dot_c, 0) + 1 AS DOUBLE) / (b2 + v + 1)
+        |        ELSE greatest(CAST(coalesce(tbc.nbc, 0) AS DOUBLE) - 0.75, 0.0) / n_b_dot
+        |          + 0.75 * n1p_b / n_b_dot
+        |            * (CAST(coalesce(uni.n_dot_c, 0) + 1 AS DOUBLE) / (b2 + v + 1))
+        |      END
+        |    ELSE greatest(CAST(coalesce(ct.c_abc, 0) AS DOUBLE) - 0.75, 0.0) / c_ab
+        |      + 0.75 * n1p_ab / c_ab *
+        |      (CASE WHEN mid.n_b_dot IS NULL
+        |        THEN CAST(coalesce(uni.n_dot_c, 0) + 1 AS DOUBLE) / (b2 + v + 1)
+        |        ELSE greatest(CAST(coalesce(tbc.nbc, 0) AS DOUBLE) - 0.75, 0.0) / n_b_dot
+        |          + 0.75 * n1p_b / n_b_dot
+        |            * (CAST(coalesce(uni.n_dot_c, 0) + 1 AS DOUBLE) / (b2 + v + 1))
+        |      END)
+        |    END)), 5) AS kn3_logppl
+        | FROM tg LEFT JOIN ct USING (a, b, c) LEFT JOIN ctx USING (a, b)
+        |      LEFT JOIN tbc USING (b, c) LEFT JOIN mid USING (b)
+        |      LEFT JOIN uni USING (c), scalars
+        | GROUP BY id)
+        |SELECT d.doc_id, coalesce(s.n_trigrams, 0) AS n_trigrams,
+        | coalesce(s.n_unseen, 0) AS n_unseen, s.kn3_logppl
+        |FROM documents d LEFT JOIN sc s ON d.doc_id = s.id""".stripMargin),
     "q125_kn_model" -> (LmOps.knOracleWith("d.lang = 'en'") +
       """
         |SELECT a, b, c_ab,

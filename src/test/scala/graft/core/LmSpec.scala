@@ -52,6 +52,50 @@ class LmSpec extends SparkSpec {
     assert(m("sat") > 0.6)
   }
 
+  test("trigram model matches hand-computed Chen-Goodman interpolation") {
+    val ref3 = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran on the rug")).toDF("id", "text")
+    val m = LmOps.model3(ref3, "id", "text", discount = 0.75)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getDouble(4)).toMap
+    assert(m.size === 8, s"8 trigram types, got ${m.size}")
+    // By hand: B2=7 (b,c) types, V=6 tails, (on,the) has nbc=2.
+    // P1(mat) = (1+1)/(7+6+1) = 1/7
+    // P2(mat|the) = (1-.75)/2 + .75*2/2 * 1/7
+    // P3(mat|on,the) = (1-.75)/2 + .75*2/2 * P2
+    val p1 = 2.0 / 14.0
+    val p2 = 0.25 / 2.0 + 0.75 * 2.0 / 2.0 * p1
+    val p3 = 0.25 / 2.0 + 0.75 * 2.0 / 2.0 * p2
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(m(("on", "the", "mat")) === r6(p3), s"got ${m(("on", "the", "mat"))}")
+    // symmetric twin (rug) must score identically
+    assert(m(("on", "the", "rug")) === m(("on", "the", "mat")))
+  }
+
+  test("trigram scoring: full backoff chain ranks OOV worst, training corpus has zero unseen") {
+    val ref3 = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran on the rug")).toDF("id", "text")
+    val target = ref3.union(Seq(
+      (10L, "zzz yyy xxx www"),         // all-unseen: pure P1 floor
+      (11L, "the cat sat zzz"),          // seen context, unseen tail: P2 path
+      (12L, "a b")).toDF("id", "text"))  // <3 tokens: NULL
+    val got = LmOps.score3(target, ref3, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    Seq(1L, 2L).foreach(id => assert(got(id)._1._2 === 0L))
+    // pure-floor doc: every trigram scores P1 = 1/14 -> nll = ln 14
+    assert(got(10L)._1 === ((2L, 2L)))
+    assert(math.abs(got(10L)._2.get - math.log(14.0)) < 1e-4)
+    val refMax = Seq(1L, 2L).map(got(_)._2.get).max
+    assert(got(10L)._2.get > refMax && got(11L)._2.get > refMax)
+    assert(got(11L)._1 === ((2L, 1L)))   // (the,cat,sat) seen; (cat,sat,zzz) unseen
+    assert(got(12L)._1 === ((0L, 0L)) && got(12L)._2.isEmpty)
+  }
+
   test("incremental counts merge: batch model == merged-batches model, bit for bit") {
     val batchA = ref.where($"id" <= 2)
     val batchB = ref.where($"id" === 3)
