@@ -267,6 +267,13 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q136 trigram KN: all five model tables broadcast, no sort-merge, no cartesian") {
+    val s = formatted("q136_kn3_ppl")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 5, s)
+    assert(!s.contains("SortMergeJoin"), "model join degraded to sort-merge: " + s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q127 blocklist: the automaton tag is a zero-shuffle pruned scan") {
     val s = formatted("q127_blocklist")
     assert(!s.contains("Exchange"), "phrase tagging must not shuffle: " + s)
