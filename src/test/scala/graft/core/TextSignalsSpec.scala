@@ -65,6 +65,24 @@ class TextSignalsSpec extends SparkSpec {
       "corr must be bit-identical under repartitioning")
   }
 
+  test("corrMatrixFixedPoint is bit-identical to the decimal path") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val a = graft.ops.ProfileOps.corrMatrix(li, cols)
+      .collect().map(_.toString).sorted.toSeq
+    val b = graft.ops.ProfileOps.corrMatrixFixedPoint(li, cols, scale = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    // negatives stay exact (floor(x+0.5) at negative values)
+    val neg = Seq((-1.25, 2.5), (-3.75, -0.5), (2.25, 1.0), (0.0, -4.5))
+      .toDF("x", "y")
+    val an = graft.ops.ProfileOps.corrMatrix(neg, Seq("x", "y"))
+      .collect().map(_.toString).toSeq
+    val bn = graft.ops.ProfileOps.corrMatrixFixedPoint(neg, Seq("x", "y"), 2)
+      .collect().map(_.toString).toSeq
+    assert(an === bn)
+  }
+
   test("corrMatrixApprox agrees with the exact path to 1e-9") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
