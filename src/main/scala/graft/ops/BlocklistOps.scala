@@ -49,6 +49,18 @@ object BlocklistOps {
           .cast("int").as("blocked"))
   }
 
+  /** SQL expression for the total blocklist hit count of `textExpr` —
+    * the composable fragment [[oracleSql]] and the q137 manifest
+    * oracle share.
+    */
+  def hitsExprSql(textExpr: String,
+      phrases: Seq[String] = DefaultPhrases): String =
+    phrases.map { p =>
+      require(!p.exists("\\.[](){}*+?^$|'".contains(_)),
+        s"phrase not regex/SQL-safe: $p")
+      s"len(regexp_extract_all(lower($textExpr), '$p'))"
+    }.mkString(" + ")
+
   /** DuckDB oracle: per-phrase non-overlapping counts summed —
     * matches [[tag]] exactly for non-self-overlapping phrases.
     */

@@ -149,4 +149,55 @@ object CurationPipeline {
         sum(col("p_substr").cast("long")).as("n_substr"),
         count_distinct(when(col("p_substr"), col("fp"))).as("n_dedup"))
   }
+
+  /** Per-document curation DECISION MANIFEST — the audit artifact a
+    * funnel (q63/q100) deliberately aggregates away: for every doc,
+    * did it survive, and if not, which stage dropped it first. At
+    * 100 TB "why was this document removed" must be answerable
+    * without rerunning the pipeline; this IS the provenance record a
+    * release ships next to the corpus.
+    *
+    * Stages (first failure wins): `rules` (three representative
+    * battery rules — length band, symbol-spam ratio, stopword floor;
+    * the full battery stays q112), `blocklist` (Aho–Corasick hits ≥
+    * minHits), `duplicate` (exact text dup among docs that PASSED the
+    * earlier stages — first doc_id keeps, q63's first-wins
+    * semantics), else `keep`. Plan: zero-shuffle signals + one narrow
+    * (id, fp) window shuffle for the survivor dedup rank — text never
+    * moves.
+    */
+  def decisionManifest(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String] = BlocklistOps.DefaultPhrases,
+      minHits: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val t = col("t")
+    val nWords = size(TextOps.tokens(t))
+    val nSym = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")) +
+      regexp_count(t, lit("…"))
+    val symbolRatio = round(nSym.cast("double") / greatest(nWords, lit(1)), 5)
+    val hits = aggregate(call_function("graft_blocklist_counts",
+      lit(phrases.mkString("\u0000")), lower(t)), lit(0L), (a, x) => a + x)
+    val sig = df.select(col(idCol).as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .select(col("id"), col("t"), nWords.cast("long").as("n_words"),
+        symbolRatio.as("symbol_ratio"),
+        TextOps.stopwordCount(t).cast("long").as("n_stop"),
+        hits.as("n_hits"))
+      .withColumn("pass_rules",
+        col("n_words") >= 10 && col("n_words") <= 100000 &&
+          col("symbol_ratio") <= 0.1 && col("n_stop") >= 2)
+      .withColumn("pass_block", col("pass_rules") && col("n_hits") < minHits)
+    val ranked = sig.where(col("pass_block"))
+      .select(col("id"), md5(col("t").cast("binary")).as("fp"))
+      .withColumn("dup_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("id")))
+    sig.join(ranked.select(col("id"), col("dup_rank")), Seq("id"), "left")
+      .select(col("id"), col("n_words"), col("n_hits"),
+        when(!col("pass_rules"), lit("rules"))
+          .when(col("n_hits") >= minHits, lit("blocklist"))
+          .when(col("dup_rank") > 1, lit("duplicate"))
+          .otherwise(lit("keep")).as("reason"))
+      .withColumn("keep", (col("reason") === "keep").cast("int"))
+  }
 }

@@ -946,6 +946,27 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Per-doc curation decision manifest (the release provenance
+    // record): first-failing-stage reason per document — rules /
+    // blocklist / duplicate / keep. Failure modes injected per
+    // residue (q112 idiom), incl. a constant-text dup group.
+    "q137_decision_manifest" -> ((s, d) => {
+      val t =
+        when(col("doc_id") % 41 === 0,
+          lit("the shared boilerplate body of a page that repeats across the crawl"))
+        .when(col("doc_id") % 29 === 0, lit("tiny doc"))
+        .when(col("doc_id") % 23 === 0,
+          concat(col("text"), lit(" "), repeat(lit("# "), 25)))
+        .when(col("doc_id") % 19 === 0,
+          concat(col("text"),
+            lit(" Click here to buy now. Click here to buy now. Click here again")))
+        .otherwise(col("text"))
+      graft.ops.CurationPipeline.decisionManifest(
+        Tables(s, d, "documents").select(col("doc_id"), t.as("text")),
+        "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Full Chen-Goodman TRIGRAM interpolated KN: highest order
     // discounts raw counts, bigram level discounts continuation
     // (type) counts, +1-smoothed continuation unigram floor. One
@@ -1405,6 +1426,42 @@ object PipelineQueries {
         |  ELSE text END AS t
         | FROM documents)
         |""".stripMargin + BlocklistOps.oracleSql("c", "doc_id", "t")),
+    "q137_decision_manifest" -> {
+      val hits = BlocklistOps.hitsExprSql("t")
+      s"""WITH c AS (SELECT doc_id,
+         | CASE WHEN doc_id % 41 = 0
+         |   THEN 'the shared boilerplate body of a page that repeats across the crawl'
+         |  WHEN doc_id % 29 = 0 THEN 'tiny doc'
+         |  WHEN doc_id % 23 = 0 THEN text || ' ' || repeat('# ', 25)
+         |  WHEN doc_id % 19 = 0 THEN text ||
+         |   ' Click here to buy now. Click here to buy now. Click here again'
+         |  ELSE text END AS t
+         | FROM documents),
+         |sig AS (SELECT doc_id, t,
+         |  CAST(len(list_filter(string_split_regex(lower(t), '\\s+'),
+         |    x -> x <> '')) AS BIGINT) AS n_words,
+         |  len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.'))
+         |    + len(regexp_extract_all(t, '…')) AS nsym,
+         |  CAST(len(regexp_extract_all(lower(t), '\\b(the|a|of|to|and)\\b'))
+         |    AS BIGINT) AS n_stop,
+         |  CAST($hits AS BIGINT) AS n_hits
+         | FROM c),
+         |r AS (SELECT *, (n_words >= 10 AND n_words <= 100000
+         |  AND round(nsym * 1.0 / greatest(n_words, 1), 5) <= 0.1
+         |  AND n_stop >= 2) AS pass_rules FROM sig),
+         |b AS (SELECT *, pass_rules AND n_hits < 3 AS pass_block FROM r),
+         |rk AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(t)
+         |         ORDER BY doc_id) AS dup_rank
+         |       FROM b WHERE pass_block)
+         |SELECT b.doc_id, n_words, n_hits,
+         | CASE WHEN NOT pass_rules THEN 'rules'
+         |      WHEN n_hits >= 3 THEN 'blocklist'
+         |      WHEN rk.dup_rank > 1 THEN 'duplicate'
+         |      ELSE 'keep' END AS reason,
+         | CAST(CASE WHEN pass_block AND coalesce(rk.dup_rank, 1) = 1
+         |      THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM b LEFT JOIN rk ON b.doc_id = rk.doc_id""".stripMargin
+    },
     "q135_kn3_model" -> (LmOps.kn3OracleWith("d.lang = 'en'") +
       """
         |SELECT a, b, c, c_abc,

@@ -43,4 +43,25 @@ class CurationV2Spec extends SparkSpec {
     assert(r.getLong(4) == base.getLong(4),
       "distinct fingerprints must not grow on an exact duplicate")
   }
+
+  test("decision manifest: first-failure precedence, first-wins dedup, keep flag") {
+    val good = "the quick brown fox and the lazy dog keep running to the " +
+      "woods of the far north for a while longer"
+    val df = Seq(
+      (1L, good),                                     // keep (dup rank 1)
+      (2L, "tiny doc"),                               // rules (too short)
+      // blocklist phrases AND too short -> rules wins (first failure)
+      (3L, "click here buy now subscribe"),
+      // blocklist hits on a rules-passing doc -> blocklist
+      (4L, good + " click here and click here to buy now"),
+      (5L, good),                                     // duplicate of 1
+      (6L, good)).toDF("id", "text")                  // duplicate of 1
+    val got = graft.ops.CurationPipeline.decisionManifest(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(3), r.getInt(4)))).toMap
+    assert(got(1L) === (("keep", 1)))
+    assert(got(2L) === (("rules", 0)))
+    assert(got(3L) === (("rules", 0)), "earlier stage wins over blocklist")
+    assert(got(4L) === (("blocklist", 0)))
+    assert(got(5L) === (("duplicate", 0)) && got(6L) === (("duplicate", 0)))
+  }
 }
