@@ -63,6 +63,59 @@ object SimilarityOps {
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix parallel-corpus miner): absolute cosine is a bad
+    * mining signal (hub vectors score high against everything), so
+    * each candidate pair is scored by its cosine RELATIVE to both
+    * endpoints' neighborhood densities:
+    *
+    *   margin(x, y) = cos(x, y) / ((nn_k(x) + nn_k(y)) / 2)
+    *
+    * with nn_k(v) = mean cosine of v's k nearest neighbors on the
+    * OTHER side. Emitted: the best other-side candidate per query
+    * with its margin (≫1 = much closer than either side's typical
+    * neighbor — a translation/paraphrase pair; ~1 = hub noise).
+    *
+    * Determinism discipline: cosines round to 6dp BEFORE ranking and
+    * neighborhood averaging (knnBrute's rule), neighborhood means and
+    * margins round too — the oracle replays every step. Physical
+    * shape at test scale is the exact all-pairs baseline (query side
+    * and src side broadcast); at 100 TB swap the pair generator for
+    * the LSH/IVF candidate path (q38/q48) and keep the margin math —
+    * neighborhoods only need the candidates' cosines.
+    */
+  def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, queryPred: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = src.select(col(idCol).as("src_id"), asDouble(col(vecCol)).as("sv"))
+    val t = tgt.select(col(idCol).as("tgt_id"), asDouble(col(vecCol)).as("tv"))
+    // full pair table, cosine rounded once, reused by all three parts
+    // (localCheckpoint so the nn-mean windows and the query join all
+    // read one materialization; caller frees via Checkpoints.release)
+    val pairs = t.join(broadcast(s), lit(true))
+      .select(col("src_id"), col("tgt_id"),
+        round(nativeCosine(src)(col("sv"), col("tv")), 6).as("sim"))
+      .localCheckpoint()
+    def nnMean(side: String): DataFrame = {
+      val w = Window.partitionBy(side)
+        .orderBy(col("sim").desc, col(if (side == "src_id") "tgt_id" else "src_id"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(side).agg(round(avg("sim"), 6).as(s"nn_$side"))
+    }
+    val qs = s.filter(queryPred).select(col("src_id"))
+    val scored = pairs
+      .join(broadcast(qs), Seq("src_id"))
+      .join(broadcast(nnMean("src_id")), Seq("src_id"))
+      .join(broadcast(nnMean("tgt_id")), Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("sim"),
+        round(col("sim") / ((col("nn_src_id") + col("nn_tgt_id")) / 2.0), 6)
+          .as("margin"))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k most-similar corpus vectors with a DIFFERENT
     * label — maximally confusable negatives, the pairs a contrastive

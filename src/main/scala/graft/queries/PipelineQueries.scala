@@ -946,6 +946,18 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Margin-based bitext mining (Artetxe-Schwenk / CCMatrix): best
+    // other-side candidate per query scored by cosine relative to
+    // both endpoints' k-NN neighborhood density (hub correction).
+    // Sides = embedding label parity (demo split).
+    "q138_margin_mining" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      SimilarityOps.marginMining(
+        emb.where(col("label") % 2 === 0),
+        emb.where(col("label") % 2 === 1),
+        "vec_id", "embedding", col("vec_id") < 16, k = 4)
+    }),
+
     // Per-doc curation decision manifest (the release provenance
     // record): first-failing-stage reason per document — rules /
     // blocklist / duplicate / keep. Failure modes injected per
@@ -1426,6 +1438,29 @@ object PipelineQueries {
         |  ELSE text END AS t
         | FROM documents)
         |""".stripMargin + BlocklistOps.oracleSql("c", "doc_id", "t")),
+    "q138_margin_mining" ->
+      """WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv
+        |           FROM embeddings WHERE label % 2 = 0),
+        |t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tv
+        |      FROM embeddings WHERE label % 2 = 1),
+        |p AS (SELECT src_id, tgt_id,
+        |       round(list_cosine_similarity(sv, tv), 6) AS sim FROM s, t),
+        |nns AS (SELECT src_id, round(avg(sim), 6) AS nn_s FROM (
+        |   SELECT src_id, sim, row_number() OVER (PARTITION BY src_id
+        |     ORDER BY sim DESC, tgt_id) AS rn FROM p) x
+        |  WHERE rn <= 4 GROUP BY src_id),
+        |nnt AS (SELECT tgt_id, round(avg(sim), 6) AS nn_t FROM (
+        |   SELECT tgt_id, sim, row_number() OVER (PARTITION BY tgt_id
+        |     ORDER BY sim DESC, src_id) AS rn FROM p) x
+        |  WHERE rn <= 4 GROUP BY tgt_id),
+        |sc AS (SELECT p.src_id, p.tgt_id, sim,
+        |        round(sim / ((nn_s + nn_t) / 2.0), 6) AS margin
+        |       FROM p JOIN nns USING (src_id) JOIN nnt USING (tgt_id)
+        |       WHERE p.src_id < 16)
+        |SELECT src_id, tgt_id, sim, margin FROM (
+        | SELECT *, row_number() OVER (PARTITION BY src_id
+        |   ORDER BY margin DESC, tgt_id) AS rn FROM sc) f
+        |WHERE rn = 1""".stripMargin,
     "q137_decision_manifest" -> {
       val hits = BlocklistOps.hitsExprSql("t")
       s"""WITH c AS (SELECT doc_id,

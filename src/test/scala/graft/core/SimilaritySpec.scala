@@ -358,4 +358,27 @@ class SimilaritySpec extends SparkSpec {
       .agg(min("v"), max("v")).head()
     assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 255.0)
   }
+
+  test("margin mining surfaces a planted translation pair above hub noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(16)(rnd.nextDouble() - 0.5)
+    val srcVecs = (0L until 20L).map(i => (i, vec()))
+    // tgt 100 is src 7 with tiny noise (the true pair); rest random
+    val planted = srcVecs(7)._2.map(_ + 0.01)
+    val tgtVecs = (100L until 120L).map(i =>
+      (i, if (i == 100L) planted else vec()))
+    val src = srcVecs.toDF("vec_id", "embedding")
+    val tgt = tgtVecs.toDF("vec_id", "embedding")
+    val got = graft.ops.SimilarityOps.marginMining(
+        src, tgt, "vec_id", "embedding", col("vec_id") < 20, k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got.size === 20)
+    val (cand, margin7) = got(7L)
+    assert(cand === 100L, s"query 7 must mine its planted pair, got $cand")
+    // the planted pair's margin strictly tops every unplanted query's
+    val others = got.filterNot(_._1 == 7L).values.map(_._2)
+    assert(margin7 > others.max,
+      s"planted margin $margin7 vs noise max ${others.max}")
+  }
 }
