@@ -240,6 +240,13 @@ object RelationalQueries {
         .groupBy(EventOps.timeBucketS(col("ts"), 300), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
 
+    // Day-over-day categorical drift: Jensen-Shannon divergence of
+    // the event-type mix between consecutive daily buckets — the
+    // source-shape health monitor.
+    "q139_type_drift" -> ((s, d) =>
+      EventOps.typeDrift(Tables(s, d, "events"), "ts", "event_type",
+        widthSeconds = 86400)),
+
     // Exact interpolated percentiles per group. At 100 TB the scale
     // path is approx_percentile (bounded-memory sketch, same call
     // shape); the exact form here is the oracle-checkable twin —
@@ -467,6 +474,31 @@ object RelationalQueries {
       """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS bucket_s,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q139_type_drift" ->
+      """WITH c AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
+        |    AS bucket_s, event_type AS t, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT bucket_s, sum(c) AS n FROM c GROUP BY 1),
+        |a AS (SELECT bucket_s AS b, t, c AS ca FROM c),
+        |bn AS (SELECT bucket_s - 86400 AS b, t, c AS cb FROM c),
+        |na AS (SELECT bucket_s AS b, n AS n_a FROM tot),
+        |nb AS (SELECT bucket_s - 86400 AS b, n AS n_b FROM tot),
+        |j AS (SELECT coalesce(a.b, bn.b) AS b, coalesce(a.t, bn.t) AS t,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM a FULL OUTER JOIN bn ON a.b = bn.b AND a.t = bn.t),
+        |x AS (SELECT j.b, t,
+        |  CAST(ca AS DOUBLE) / n_a AS p, CAST(cb AS DOUBLE) / n_b AS q
+        | FROM j JOIN na ON j.b = na.b JOIN nb ON j.b = nb.b),
+        |g AS (SELECT b, count(*) AS n_types,
+        |  round(sum(
+        |    (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) * 0.5 ELSE 0 END)
+        |    + (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) * 0.5 ELSE 0 END)),
+        |   6) AS jsd
+        | FROM x GROUP BY b)
+        |SELECT g.b AS bucket_s, g.b + 86400 AS next_bucket_s,
+        | CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | n_types, jsd
+        |FROM g JOIN na ON g.b = na.b JOIN nb ON g.b = nb.b""".stripMargin,
     "q70_profile" ->
       Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate").map { c =>
         s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
