@@ -19,6 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Cross-source duplicate leakage — the release audit that catches
+    * the SAME text appearing under multiple provenance labels (mirror
+    * sites, syndication, a crawler double-listing a feed): if train
+    * and eval are later split BY SOURCE, each leaked pair is a
+    * contamination channel. Per unordered source pair: how many
+    * distinct texts they share and how many doc pairs that is.
+    * Physical shape: one scan to (source, md5) — text itself never
+    * shuffles — then an md5-keyed self-join; only duplicate groups
+    * (rare by construction) produce join matches.
+    */
+  def crossSourceDupLeakage(df: org.apache.spark.sql.DataFrame,
+      textCol: String, srcCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fp = df.select(col(srcCol).as("src"),
+      md5(coalesce(col(textCol), lit("")).cast("binary")).as("fp"))
+    val a = fp.select(col("src").as("source_a"), col("fp"))
+    val b = fp.select(col("src").as("source_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(countDistinct(col("fp")).as("n_shared_texts"),
+        count(lit(1)).as("n_doc_pairs"))
+  }
+
   /** Exact duplicate groups keyed by md5 of the raw text. */
   def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))

@@ -946,6 +946,19 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Cross-source duplicate leakage (release audit): same text under
+    // multiple provenance labels = a contamination channel for any
+    // split-by-source. Constant-text dups injected per residue (the
+    // q137 group spans many sources).
+    "q140_source_leakage" -> ((s, d) => {
+      val t = when(col("doc_id") % 41 === 0,
+          lit("the shared boilerplate body of a page that repeats across the crawl"))
+        .otherwise(col("text"))
+      DedupOps.crossSourceDupLeakage(
+        Tables(s, d, "documents").select(col("source"), t.as("text")),
+        "text", "source")
+    }),
+
     // Margin-based bitext mining (Artetxe-Schwenk / CCMatrix): best
     // other-side candidate per query scored by cosine relative to
     // both endpoints' k-NN neighborhood density (hub correction).
@@ -1438,6 +1451,17 @@ object PipelineQueries {
         |  ELSE text END AS t
         | FROM documents)
         |""".stripMargin + BlocklistOps.oracleSql("c", "doc_id", "t")),
+    "q140_source_leakage" ->
+      """WITH c AS (SELECT source,
+        | md5(CASE WHEN doc_id % 41 = 0
+        |  THEN 'the shared boilerplate body of a page that repeats across the crawl'
+        |  ELSE text END) AS fp
+        | FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | count(DISTINCT a.fp) AS n_shared_texts,
+        | CAST(count(*) AS BIGINT) AS n_doc_pairs
+        |FROM c a JOIN c b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "q138_margin_mining" ->
       """WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv
         |           FROM embeddings WHERE label % 2 = 0),
