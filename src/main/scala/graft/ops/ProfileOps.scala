@@ -223,6 +223,47 @@ object ProfileOps {
     s"WITH a AS (SELECT count(*) AS n,\n  $sums\n FROM $table)\n$rows"
   }
 
+  /** Log-normal fit of the document-length distribution — natural
+    * text lengths are approximately log-normal, so (μ, σ) of
+    * ln(tokens) plus the 3σ-outlier count is the one-row probe that
+    * flags truncation pipelines, concatenation bugs, and
+    * boilerplate floods (all of which bend the length distribution
+    * before they show up anywhere else). Two passes: a scalar moment
+    * aggregate, then the outlier count against the broadcast scalars
+    * — both map-side combined; fixed double order mirrored by
+    * [[lengthLogNormalOracleSql]].
+    */
+  def lengthLogNormal(df: DataFrame, textCol: String): DataFrame = {
+    val base = df
+      .select(size(TextOps.tokens(col(textCol))).cast("long").as("nt"))
+      .where(col("nt") > 0)
+      .select(log(col("nt").cast("double")).as("x"))
+    val s = base.agg(count(lit(1)).as("n"), avg("x").as("mu"),
+      avg(col("x") * col("x")).as("ex2"))
+    base.crossJoin(broadcast(s))
+      .select(col("n"), col("mu"),
+        sqrt(col("ex2") - col("mu") * col("mu")).as("sigma"), col("x"))
+      .groupBy("n", "mu", "sigma")
+      .agg(sum((abs(col("x") - col("mu")) > lit(3.0) * col("sigma"))
+        .cast("long")).as("n_outliers"))
+      .select(col("n"), round(col("mu"), 6).as("mu"),
+        round(col("sigma"), 6).as("sigma"), col("n_outliers"))
+  }
+
+  /** DuckDB oracle replaying [[lengthLogNormal]]. */
+  def lengthLogNormalOracleSql(table: String, textCol: String): String =
+    s"""WITH b AS (SELECT ln(CAST(len(list_filter(string_split_regex(
+       |    lower($textCol), '\\s+'), x -> x <> '')) AS DOUBLE)) AS x
+       |  FROM $table
+       |  WHERE len(list_filter(string_split_regex(lower($textCol), '\\s+'),
+       |    x -> x <> '')) > 0),
+       |s AS (SELECT count(*) AS n, avg(x) AS mu, avg(x * x) AS ex2 FROM b)
+       |SELECT CAST(n AS BIGINT) AS n, round(mu, 6) AS mu,
+       | round(sqrt(ex2 - mu * mu), 6) AS sigma,
+       | CAST(sum(CASE WHEN abs(x - mu) > 3.0 * sqrt(ex2 - mu * mu)
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM b, s GROUP BY n, mu, ex2""".stripMargin
+
   /** Zipf power-law fit of the corpus token-frequency distribution:
     * OLS of ln(count) on ln(rank) over the full vocabulary — slope
     * ≈ −1 is the Zipf signature; a materially flatter or steeper

@@ -946,6 +946,12 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Log-normal length fit + 3-sigma outlier count: the one-row
+    // length-distribution health probe (truncation/concat bugs bend
+    // it before anything else shows).
+    "q141_length_lognormal" -> ((s, d) =>
+      ProfileOps.lengthLogNormal(Tables(s, d, "documents"), "text")),
+
     // Cross-source duplicate leakage (release audit): same text under
     // multiple provenance labels = a contamination channel for any
     // split-by-source. Constant-text dups injected per residue (the
@@ -1451,6 +1457,8 @@ object PipelineQueries {
         |  ELSE text END AS t
         | FROM documents)
         |""".stripMargin + BlocklistOps.oracleSql("c", "doc_id", "t")),
+    "q141_length_lognormal" ->
+      ProfileOps.lengthLogNormalOracleSql("documents", "text"),
     "q140_source_leakage" ->
       """WITH c AS (SELECT source,
         | md5(CASE WHEN doc_id % 41 = 0

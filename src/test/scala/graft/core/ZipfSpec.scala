@@ -27,6 +27,20 @@ class ZipfSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.97, s"r2 ${r.getDouble(4)}")
   }
 
+  test("lengthLogNormal flags a planted length outlier") {
+    val normal = (1 to 200).map(i => (i.toLong,
+      Seq.fill(40 + i % 8)("w").mkString(" ")))
+    val monster = Seq((999L, Seq.fill(40000)("w").mkString(" ")))
+    val df = (normal ++ monster).toDF("id", "text")
+    val r = graft.ops.ProfileOps.lengthLogNormal(df, "text").collect().head
+    assert(r.getLong(0) === 201)
+    assert(r.getLong(3) === 1L, s"monster doc must be the one 3-sigma outlier: $r")
+    // remove the monster: zero outliers, sigma collapses
+    val r2 = graft.ops.ProfileOps
+      .lengthLogNormal(normal.toDF("id", "text"), "text").collect().head
+    assert(r2.getLong(3) === 0L && r2.getDouble(2) < r.getDouble(2))
+  }
+
   test("fit is partition-invariant") {
     val a = ProfileOps.zipfFit(corpus.repartition(1), "text").collect().head
     val b = ProfileOps.zipfFit(corpus.repartition(13), "text").collect().head
