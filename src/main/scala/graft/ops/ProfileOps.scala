@@ -223,6 +223,80 @@ object ProfileOps {
     s"WITH a AS (SELECT count(*) AS n,\n  $sums\n FROM $table)\n$rows"
   }
 
+  /** Pairwise token-distribution divergence between groups (sources,
+    * languages, time slices): Jensen–Shannon divergence of the
+    * unigram distributions for EVERY unordered group pair — the
+    * "which sources look alike" matrix that seeds mixture design and
+    * redundant-source pruning. Uses the entropy decomposition
+    *
+    *   JSD(P,Q) = G_P + G_Q + S_common − (H_P + H_Q)/2,
+    *   H_P = −Σ p ln p,  G_P = −Σ (p/2) ln(p/2)  (per-group scalars),
+    *   S_common = Σ_{common toks} [(p/2)ln(p/2) + (q/2)ln(q/2) − m ln m]
+    *
+    * so only COMMON tokens need the pairwise join — per-group
+    * entropies are independent aggregates, and a token appearing in
+    * one side only contributes through G alone (algebra pinned by the
+    * JSD(P,P)=0 identity in the spec). Shape: one corpus scan to the
+    * vocab-bounded (group, token, count) table; everything after is
+    * vocab-sized (a token-keyed self-join + a |groups|² scalar
+    * cross). Oracle replays term order; sums round to 6dp.
+    */
+  def tokenDistJsd(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val c = df.select(col(groupCol).as("g"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+    val n = c.groupBy("g").agg(sum("c").as("n"))
+    val dist = c.join(n, Seq("g"))
+      .select(col("g"), col("tok"),
+        (col("c").cast("double") / col("n")).as("p"))
+    val scal = dist.groupBy("g").agg(
+      (-sum(col("p") * log(col("p")))).as("h"),
+      (-sum((col("p") / 2.0) * log(col("p") / 2.0))).as("gg"))
+    val a = dist.select(col("g").as("ga"), col("tok"), col("p"))
+    val b = dist.select(col("g").as("gb"), col("tok"), col("p").as("q"))
+    val common = a.join(b, Seq("tok"))
+      .where(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(
+        count(lit(1)).as("n_common"),
+        sum((col("p") / 2.0) * log(col("p") / 2.0)
+          + (col("q") / 2.0) * log(col("q") / 2.0)
+          - ((col("p") + col("q")) / 2.0) * log((col("p") + col("q")) / 2.0))
+          .as("s_common"))
+    val sa = scal.select(col("g").as("ga"), col("h").as("ha"), col("gg").as("gga"))
+    val sb = scal.select(col("g").as("gb"), col("h").as("hb"), col("gg").as("ggb"))
+    sa.crossJoin(sb).where(col("ga") < col("gb"))
+      .join(common, Seq("ga", "gb"), "left")
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(col("gga") + col("ggb") + coalesce(col("s_common"), lit(0.0))
+          - (col("ha") + col("hb")) / 2.0, 6).as("jsd"))
+  }
+
+  /** DuckDB oracle replaying [[tokenDistJsd]]. */
+  def tokenDistJsdOracleSql(table: String, textCol: String,
+      groupCol: String): String =
+    s"""WITH c AS (SELECT $groupCol AS g, unnest(list_filter(
+       |    string_split_regex(lower($textCol), '\\s+'), x -> x <> '')) AS tok
+       |  FROM $table),
+       |cc AS (SELECT g, tok, count(*) AS c FROM c GROUP BY 1, 2),
+       |nn AS (SELECT g, sum(c) AS n FROM cc GROUP BY g),
+       |dist AS (SELECT cc.g, tok, CAST(c AS DOUBLE) / n AS p
+       |         FROM cc JOIN nn ON cc.g = nn.g),
+       |scal AS (SELECT g, -sum(p * ln(p)) AS h,
+       |  -sum((p / 2.0) * ln(p / 2.0)) AS gg FROM dist GROUP BY g),
+       |common AS (SELECT a.g AS ga, b.g AS gb, count(*) AS n_common,
+       |  sum((a.p / 2.0) * ln(a.p / 2.0) + (b.p / 2.0) * ln(b.p / 2.0)
+       |    - ((a.p + b.p) / 2.0) * ln((a.p + b.p) / 2.0)) AS s_common
+       | FROM dist a JOIN dist b ON a.tok = b.tok AND a.g < b.g
+       | GROUP BY 1, 2)
+       |SELECT sa.g AS group_a, sb.g AS group_b,
+       | coalesce(n_common, 0) AS n_common,
+       | round(sa.gg + sb.gg + coalesce(s_common, 0.0)
+       |   - (sa.h + sb.h) / 2.0, 6) AS jsd
+       |FROM scal sa JOIN scal sb ON sa.g < sb.g
+       |LEFT JOIN common ON common.ga = sa.g AND common.gb = sb.g""".stripMargin
+
   /** Log-normal fit of the document-length distribution — natural
     * text lengths are approximately log-normal, so (μ, σ) of
     * ln(tokens) plus the 3σ-outlier count is the one-row probe that

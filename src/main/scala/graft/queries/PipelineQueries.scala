@@ -946,6 +946,11 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Pairwise source-similarity matrix: token-distribution JSD for
+    // every source pair (mixture-design / redundant-source input).
+    "q142_source_jsd" -> ((s, d) =>
+      ProfileOps.tokenDistJsd(Tables(s, d, "documents"), "text", "source")),
+
     // Log-normal length fit + 3-sigma outlier count: the one-row
     // length-distribution health probe (truncation/concat bugs bend
     // it before anything else shows).
@@ -1457,6 +1462,8 @@ object PipelineQueries {
         |  ELSE text END AS t
         | FROM documents)
         |""".stripMargin + BlocklistOps.oracleSql("c", "doc_id", "t")),
+    "q142_source_jsd" ->
+      ProfileOps.tokenDistJsdOracleSql("documents", "text", "source"),
     "q141_length_lognormal" ->
       ProfileOps.lengthLogNormalOracleSql("documents", "text"),
     "q140_source_leakage" ->

@@ -27,6 +27,27 @@ class ZipfSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.97, s"r2 ${r.getDouble(4)}")
   }
 
+  test("tokenDistJsd: identical groups 0, disjoint groups ln 2, similarity ordering") {
+    val df = Seq(
+      ("s1", "a a b b c"), ("s1", "a b c"),
+      ("s2", "a a b b c"), ("s2", "a b c"),      // identical dist to s1
+      ("s3", "x y z x y z x y"),                 // disjoint vocabulary
+      ("s4", "a a a a b c")                      // same vocab, skewed
+    ).toDF("source", "text")
+    val got = graft.ops.ProfileOps.tokenDistJsd(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size === 6)
+    assert(got(("s1", "s2")) === ((3L, 0.0)), "identical distributions")
+    val lnTwo = java.math.BigDecimal.valueOf(math.log(2.0))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(got(("s1", "s3"))._1 === 0L && got(("s1", "s3"))._2 === lnTwo,
+      s"disjoint vocab: ${got(("s1", "s3"))}")
+    // skewed-same-vocab pair sits strictly between the endpoints
+    val mid = got(("s1", "s4"))._2
+    assert(mid > 0.0 && mid < lnTwo, s"s1-s4 jsd $mid")
+  }
+
   test("lengthLogNormal flags a planted length outlier") {
     val normal = (1 to 200).map(i => (i.toLong,
       Seq.fill(40 + i % 8)("w").mkString(" ")))
