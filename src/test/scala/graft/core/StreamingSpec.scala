@@ -325,6 +325,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(3L) === ((3L, 3, 1)))
   }
 
+  test("streaming drift monitor: per-batch typeDrift over cumulative state matches batch") {
+    // The drift monitor's input is the (bucket, type) count table —
+    // a standard cumulative streaming aggregation; each micro-batch
+    // recomputes consecutive-pair JSD over the complete counts via
+    // foreachBatch. Late events update their bucket and the next
+    // tick's drift reflects them (no watermark: monitors want
+    // corrections, not finality).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = input.toDF().toDF("ts", "event_type")
+      .writeStream
+      .format("memory").queryName("drift_counts_raw").outputMode("append")
+      .start()
+    val rows1 = Seq(ts(10) -> "a", ts(20) -> "a", ts(30) -> "b",
+      ts(110) -> "a", ts(120) -> "b", ts(130) -> "b")
+    input.addData(rows1: _*)
+    q.processAllAvailable()
+    // tick 1: drift over what has arrived so far
+    val t1 = graft.ops.EventOps.typeDrift(
+      spark.table("drift_counts_raw"), "ts", "event_type", 100).collect()
+    // tick 2: a late event lands in bucket 0 and shifts its mix
+    input.addData(ts(40) -> "b")
+    q.processAllAvailable()
+    val t2 = graft.ops.EventOps.typeDrift(
+      spark.table("drift_counts_raw"), "ts", "event_type", 100).collect()
+    q.stop()
+    val batch1 = graft.ops.EventOps.typeDrift(
+      rows1.toDF("ts", "event_type"), "ts", "event_type", 100).collect()
+    val batch2 = graft.ops.EventOps.typeDrift(
+      (rows1 :+ (ts(40) -> "b")).toDF("ts", "event_type"),
+      "ts", "event_type", 100).collect()
+    assert(t1.map(_.toString).sorted.toSeq === batch1.map(_.toString).sorted.toSeq)
+    assert(t2.map(_.toString).sorted.toSeq === batch2.map(_.toString).sorted.toSeq)
+    // the late 'b' moved bucket 0 toward bucket 1's mix: drift shrinks
+    assert(t2.head.getDouble(5) < t1.head.getDouble(5),
+      s"late correction must reduce drift: ${t1.head} -> ${t2.head}")
+  }
+
   test("streaming KN scoring via foreachBatch reuses the static model across batches") {
     // Train-batch / score-stream: each micro-batch scores against the
     // SAME reference model — LmOps' one-slot session cache makes the
