@@ -297,6 +297,58 @@ object ProfileOps {
        |FROM scal sa JOIN scal sb ON sa.g < sb.g
        |LEFT JOIN common ON common.ga = sa.g AND common.gb = sb.g""".stripMargin
 
+  /** Heaps' law fit of vocabulary growth: OLS of ln(vocab) on
+    * ln(tokens) across groups (sources/shards) — natural text sits
+    * near V = k·N^β with β ≈ 0.4–0.6, so a materially different
+    * exponent (or poor fit) flags template/synthetic/truncated
+    * sources the same way q129's Zipf slope flags token
+    * distributions. One scan to per-group (tokens, vocab) — both
+    * map-side combined — then the q129 closed form over |groups|
+    * points.
+    */
+  def heapsFit(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("g"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("g").agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("vocab"))
+      .select(log(col("n_tokens").cast("double")).as("x"),
+        log(col("vocab").cast("double")).as("y"))
+    val s = g.agg(count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val icept = (col("sy") - slope * col("sx")) / col("n")
+    val r2 = ((col("n") * col("sxy") - col("sx") * col("sy")) *
+        (col("n") * col("sxy") - col("sx") * col("sy"))) /
+      ((col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy")))
+    s.select(col("n").cast("long").as("n_groups"),
+      round(slope, 5).as("heaps_beta"),
+      round(exp(icept), 5).as("heaps_k"),
+      round(r2, 5).as("r2"))
+  }
+
+  /** DuckDB oracle replaying [[heapsFit]]. */
+  def heapsOracleSql(table: String, textCol: String,
+      groupCol: String): String =
+    s"""WITH t AS (SELECT $groupCol AS g, unnest(list_filter(
+       |    string_split_regex(lower($textCol), '\\s+'), x -> x <> '')) AS tok
+       |  FROM $table),
+       |gv AS (SELECT g, ln(CAST(count(*) AS DOUBLE)) AS x,
+       |  ln(CAST(count(DISTINCT tok) AS DOUBLE)) AS y FROM t GROUP BY g),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+       |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM gv)
+       |SELECT CAST(n AS BIGINT) AS n_groups,
+       | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 5) AS heaps_beta,
+       | round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n), 5)
+       |   AS heaps_k,
+       | round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+       |   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 5) AS r2
+       |FROM s""".stripMargin
+
   /** Log-normal fit of the document-length distribution — natural
     * text lengths are approximately log-normal, so (μ, σ) of
     * ln(tokens) plus the 3σ-outlier count is the one-row probe that

@@ -946,6 +946,29 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Per-source quality percentiles (mixture-design source ranking):
+    // exact interpolated p10/p50/p90 of the IRLS-trained quality
+    // score per source.
+    "q143_source_quality" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val qual = TextOps.qualityScore(docs, "doc_id", "text",
+        TextOps.TrainedQualityWeights)
+      docs.select(col("doc_id").as("id"), col("source"))
+        .join(qual, Seq("id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(quality, array(0.1D, 0.5D, 0.9D))").as("_p"))
+        .select(col("source"), col("n_docs"),
+          round(element_at(col("_p"), 1), 5).as("p10"),
+          round(element_at(col("_p"), 2), 5).as("p50"),
+          round(element_at(col("_p"), 3), 5).as("p90"))
+    }),
+
+    // Heaps' law vocabulary-growth fit across sources: V = k*N^beta;
+    // the q129 Zipf probe's companion corpus-health number.
+    "q144_heaps_fit" -> ((s, d) =>
+      ProfileOps.heapsFit(Tables(s, d, "documents"), "text", "source")),
+
     // Pairwise source-similarity matrix: token-distribution JSD for
     // every source pair (mixture-design / redundant-source input).
     "q142_source_jsd" -> ((s, d) =>
@@ -1464,6 +1487,16 @@ object PipelineQueries {
         |""".stripMargin + BlocklistOps.oracleSql("c", "doc_id", "t")),
     "q142_source_jsd" ->
       ProfileOps.tokenDistJsdOracleSql("documents", "text", "source"),
+    "q143_source_quality" ->
+      s"""SELECT d.source, count(*) AS n_docs,
+         | round(quantile_cont(q.quality, 0.1), 5) AS p10,
+         | round(quantile_cont(q.quality, 0.5), 5) AS p50,
+         | round(quantile_cont(q.quality, 0.9), 5) AS p90
+         |FROM (${qualityOracleSql(TextOps.TrainedQualityWeights)}) q
+         |JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
+    "q144_heaps_fit" ->
+      ProfileOps.heapsOracleSql("documents", "text", "source"),
     "q141_length_lognormal" ->
       ProfileOps.lengthLogNormalOracleSql("documents", "text"),
     "q140_source_leakage" ->

@@ -27,6 +27,24 @@ class ZipfSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.97, s"r2 ${r.getDouble(4)}")
   }
 
+  test("heapsFit recovers a planted V = 2 * N^0.5 growth law") {
+    // group g has N = (g*10)^2 tokens over a vocab of exactly 2*g*10
+    // distinct words -> ln V = ln 2 + 0.5 ln N exactly.
+    val rows = (1 to 8).flatMap { g =>
+      val vocab = 2 * g * 10
+      val n = (g * 10) * (g * 10)
+      val words = (0 until n).map(i => s"g${g}w${i % vocab}")
+      words.grouped(500).zipWithIndex.map { case (ws, i) =>
+        (s"src$g", ws.mkString(" ")) }
+    }
+    val df = rows.toDF("source", "text")
+    val r = graft.ops.ProfileOps.heapsFit(df, "text", "source").collect().head
+    assert(r.getLong(0) === 8)
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-6, s"beta ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-5, s"k ${r.getDouble(2)}")
+    assert(r.getDouble(3) > 0.99999, s"r2 ${r.getDouble(3)}")
+  }
+
   test("tokenDistJsd: identical groups 0, disjoint groups ln 2, similarity ordering") {
     val df = Seq(
       ("s1", "a a b b c"), ("s1", "a b c"),
