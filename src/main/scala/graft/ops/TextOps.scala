@@ -602,6 +602,36 @@ object TextOps {
           .as("novelty"))
   }
 
+  /** N-gram novelty versus a fixed REFERENCE corpus — the crawl-
+    * refresh signal: how much of each candidate document's distinct
+    * n-gram set appears nowhere in the reference (0 = already have
+    * it, 1 = entirely new material). The vs-ref twin of
+    * [[gramNovelty]] (which measures novelty WITHIN one corpus).
+    * Shape: both sides reduce to (digest) / (id, digest) before the
+    * gram-keyed join — shingle text never shuffles; at 100 TB put a
+    * bloom of the reference digests in front (BloomOps) so only
+    * candidate grams that might match pay the shuffle.
+    */
+  def gramNoveltyVsRef(target: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val refSet = DedupOps.wordShingles(ref, idCol, textCol, n)
+      .select(xxhash64(col("shingle")).as("g")).distinct()
+      .withColumn("known", lit(1))
+    val tg = DedupOps.wordShingles(target, idCol, textCol, n)
+      .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("g"))
+    val per = tg.join(refSet, Seq("g"), "left")
+      .groupBy("id").agg(
+        first(col("n_sh")).as("_n"),
+        sum(col("known").isNull.cast("long")).as("_novel"))
+    target.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_n"), lit(0L)).as("n_grams"),
+        coalesce(col("_novel"), lit(0L)).as("n_novel"),
+        when(col("_n").isNull, lit(null).cast("double"))
+          .otherwise(round(col("_novel").cast("double") / col("_n"), 5))
+          .as("novelty"))
+  }
+
   /** Unicode script profile: per-document character fractions by
     * script block (Latin, Cyrillic, Greek, Arabic, Devanagari, CJK
     * ideographs, kana, Hangul) over the non-whitespace length — the

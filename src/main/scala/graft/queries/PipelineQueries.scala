@@ -946,6 +946,18 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // N-gram novelty vs a reference corpus (crawl-refresh signal):
+    // even docs are "already crawled", odd docs are the candidate
+    // batch scored against them.
+    "q145_novelty_vs_ref" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      TextOps.gramNoveltyVsRef(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Per-source quality percentiles (mixture-design source ranking):
     // exact interpolated p10/p50/p90 of the IRLS-trained quality
     // score per source.
@@ -1487,6 +1499,27 @@ object PipelineQueries {
         |""".stripMargin + BlocklistOps.oracleSql("c", "doc_id", "t")),
     "q142_source_jsd" ->
       ProfileOps.tokenDistJsdOracleSql("documents", "text", "source"),
+    "q145_novelty_vs_ref" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        | FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |  ELSE [] END AS gl FROM w),
+        |refset AS (SELECT DISTINCT unnest(gl) AS gram FROM g
+        |           WHERE doc_id % 2 = 0),
+        |e AS (SELECT doc_id, len(gl) AS n_grams, unnest(gl) AS gram
+        |      FROM g WHERE doc_id % 2 = 1),
+        |p AS (SELECT e.doc_id, any_value(e.n_grams) AS n_grams,
+        |  sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS n_novel
+        | FROM e LEFT JOIN refset r ON e.gram = r.gram GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        | CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+        | CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+        | CASE WHEN p.n_grams > 0 THEN round(p.n_novel * 1.0 / p.n_grams, 5)
+        |   END AS novelty
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin,
     "q143_source_quality" ->
       s"""SELECT d.source, count(*) AS n_docs,
          | round(quantile_cont(q.quality, 0.1), 5) AS p10,

@@ -65,6 +65,25 @@ class TextSignalsSpec extends SparkSpec {
       "corr must be bit-identical under repartitioning")
   }
 
+  test("gramNoveltyVsRef: copied doc scores 0, new-vocab doc scores 1") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen liquor jugs now")).toDF("id", "text")
+    val target = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact copy
+      (11L, "zz yy xx ww vv uu tt ss"),                           // all new
+      (12L, "the quick brown fox went home early"),               // partial
+      (13L, "ab cd")).toDF("id", "text")                          // <3 tokens
+    val got = graft.ops.TextOps.gramNoveltyVsRef(target, ref, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(10L)._3 === Some(0.0), s"copy: ${got(10L)}")
+    assert(got(11L)._3 === Some(1.0), s"new vocab: ${got(11L)}")
+    val (n12, nov12, frac12) = got(12L)
+    assert(nov12 > 0L && nov12 < n12 && frac12.get > 0.0 && frac12.get < 1.0)
+    assert(got(13L) === ((0L, 0L, None)), "short doc: no grams, NULL novelty")
+  }
+
   test("corrMatrixFixedPoint is bit-identical to the decimal path") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
