@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-selection operators that turn per-document quality signals
+  * into training-set decisions: curriculum phase assignment and
+  * token-budget-constrained greedy selection.
+  */
+object SelectionOps {
+
+  /** Curriculum phase assignment (quality-quartile schedule, the
+    * "easy→hard" data-ordering input to curriculum training).
+    *
+    * Scale shape: NO global sort. One exact-percentile aggregate
+    * produces the three cutoffs (3 doubles, driver-held — the same
+    * control-table discipline as the BPE vocab), then a single
+    * broadcast-free comparison scan assigns phases, plus a per-doc
+    * md5 schedule key for deterministic within-phase shuffling. The
+    * exact `percentile` keeps DuckDB `quantile_cont` parity (q143
+    * precedent); at 100 TB you would swap in `approx_percentile` and
+    * lose only the oracle, not the shape.
+    *
+    * @return (id, quality, phase 1..4, sched_key) — phase 1 is the
+    *         lowest-quality quartile
+    */
+  def curriculumPhases(docs: DataFrame, idCol: String, textCol: String,
+      w: TextOps.QualityWeights = TextOps.TrainedQualityWeights): DataFrame = {
+    val qual = TextOps.qualityScore(docs, idCol, textCol, w)
+    val cuts = qual.agg(
+      expr("percentile(quality, array(0.25D, 0.5D, 0.75D))").as("c")).collect()(0)
+      .getSeq[Double](0)
+    // HALF_UP to match Spark round() / DuckDB round() (math.rint is
+    // half-even — would diverge from the oracle on exact .5 cutoffs)
+    val Seq(c1, c2, c3) = cuts.map(c =>
+      java.math.BigDecimal.valueOf(c).setScale(5, java.math.RoundingMode.HALF_UP).doubleValue)
+    qual.select(col("id"), col("quality"),
+      (lit(1) + (col("quality") > c1).cast("int") +
+        (col("quality") > c2).cast("int") +
+        (col("quality") > c3).cast("int")).as("phase"),
+      substring(md5(concat(lit("sched:"), col("id").cast("string")).cast("binary")),
+        1, 16).as("sched_key"))
+  }
+
+  /** DuckDB replay of [[curriculumPhases]]: quantile_cont cutoffs
+    * rounded to 5dp, identical comparison cascade. `qualitySubquery`
+    * must yield (doc_id, quality) — the shared qualityOracleSql. */
+  def curriculumOracleSql(qualitySubquery: String): String =
+    s"""WITH q AS ($qualitySubquery),
+       |c AS (SELECT round(quantile_cont(quality, 0.25), 5) AS c1,
+       |  round(quantile_cont(quality, 0.5), 5) AS c2,
+       |  round(quantile_cont(quality, 0.75), 5) AS c3 FROM q)
+       |SELECT q.doc_id AS id, q.quality,
+       |  1 + CAST(q.quality > c.c1 AS INT) + CAST(q.quality > c.c2 AS INT)
+       |    + CAST(q.quality > c.c3 AS INT) AS phase,
+       |  substr(md5('sched:' || CAST(q.doc_id AS VARCHAR)), 1, 16) AS sched_key
+       |FROM q, c""".stripMargin
+
+  /** Token-budget greedy selection per group: order each group's docs
+    * by quality (desc, id tiebreak) and keep documents while the
+    * running token total stays within `budget` — the fixed-budget
+    * mixture-shaping primitive ("give me the best N tokens per
+    * source"). Returns the per-group selection summary.
+    *
+    * Scale shape: one window (sort within group — the shuffle is by
+    * `groupCol`, which is exactly the partitioning the selection
+    * semantics require) + one group agg. Long-exact cumulative sums;
+    * quality ties at 5dp are broken by id, so selection is
+    * deterministic and engine-portable.
+    *
+    * @return (group, n_total, n_kept, tokens_kept, cutoff_quality)
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budget: Long,
+      w: TextOps.QualityWeights = TextOps.TrainedQualityWeights): DataFrame = {
+    val qual = TextOps.qualityScore(docs, idCol, textCol, w)
+    val base = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("toks"))
+      .join(qual, Seq("id"))
+    val win = Window.partitionBy("grp")
+      .orderBy(col("quality").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("cum", sum(col("toks")).over(win))
+      .withColumn("kept", col("cum") <= budget)
+      .groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        coalesce(sum(when(col("kept"), col("toks"))), lit(0L)).as("tokens_kept"),
+        min(when(col("kept"), col("quality"))).as("cutoff_quality"))
+  }
+
+  /** DuckDB replay of [[tokenBudgetSelect]]. */
+  def tokenBudgetOracleSql(table: String, idCol: String, textCol: String,
+      groupCol: String, budget: Long, qualitySubquery: String): String =
+    s"""WITH q AS ($qualitySubquery),
+       |b AS (SELECT d.$idCol AS id, d.$groupCol AS grp,
+       |  CAST(len(regexp_extract_all(d.$textCol, '\\S+')) AS BIGINT) AS toks,
+       |  q.quality
+       | FROM $table d JOIN q ON d.$idCol = q.doc_id),
+       |c AS (SELECT *, sum(toks) OVER (PARTITION BY grp
+       |   ORDER BY quality DESC, id ASC
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b)
+       |SELECT grp AS $groupCol, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN cum <= $budget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(sum(CASE WHEN cum <= $budget THEN toks END), 0) AS BIGINT)
+       |    AS tokens_kept,
+       |  min(CASE WHEN cum <= $budget THEN quality END) AS cutoff_quality
+       |FROM c GROUP BY grp""".stripMargin
+}

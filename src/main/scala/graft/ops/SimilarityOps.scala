@@ -852,4 +852,68 @@ object SimilarityOps {
       .withColumn("mean_sq_dist",
         round(col("inertia") / col("n_members"), 6))
   }
+
+  /** Per-label centroid outliers: the `topK` vectors farthest (L2)
+    * from their label's centroid — the embedding-space mislabel /
+    * contamination audit (a far outlier is a doc that does not belong
+    * to its class cluster).
+    *
+    * Exactness: per-dimension means use fixed-point DECIMAL(38,0)
+    * sums of round(x·10⁷) (the PcaOps moment discipline) — exact,
+    * order-independent, overflow-safe to ~10³⁰ rows — then round to
+    * 7dp, so both engines compare vectors against bit-identical
+    * centroids. The per-row distance is a deterministic left fold
+    * (zip_with + aggregate), rounded to 5dp before the top-k window.
+    *
+    * Scale shape: one posexplode scan → (label, pos) agg for the
+    * centroid table (labels × dim rows — broadcast), one corpus scan
+    * for distances, one top-k window partitioned by label.
+    *
+    * @return (label, vec_id, dist, rn) — rn 1..topK by dist desc
+    */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, topK: Int = 5): DataFrame = {
+    val scaled = emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        round(col("x").cast("double") * 1e7, 0).cast("decimal(38,0)").as("xi"))
+    val cent = scaled.groupBy("label", "pos")
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        round(col("s").cast("double") / 1e7 / col("n"), 7).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("_pc"))
+      .select(col("label"), transform(col("_pc"), _.getField("c")).as("cv"))
+    val dist = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .join(broadcast(cent), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(sqrt(aggregate(
+          zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _)), 5).as("dist"))
+    val w = Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id").asc)
+    dist.withColumn("rn", row_number().over(w)).where(col("rn") <= topK)
+  }
+
+  /** DuckDB replay of [[centroidOutliers]] (parallel-unnest zip for
+    * the position explode; list fold for the distance). */
+  def centroidOutliersOracleSql(table: String, idCol: String, vecCol: String,
+      labelCol: String, topK: Int = 5): String =
+    s"""WITH e AS (SELECT $idCol AS vec_id, $labelCol AS label,
+       |  CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |x AS (SELECT label, unnest(generate_series(1, len(v))) AS pos,
+       |  unnest(list_transform(v,
+       |    a -> CAST(round(a * 1e7, 0) AS DECIMAL(38,0)))) AS xi FROM e),
+       |cp AS (SELECT label, pos,
+       |  round(CAST(sum(xi) AS DOUBLE) / 1e7 / count(*), 7) AS c
+       | FROM x GROUP BY label, pos),
+       |cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cp GROUP BY label),
+       |d AS (SELECT e.label, e.vec_id,
+       |  round(sqrt(list_sum(list_transform(generate_series(1, len(e.v)),
+       |    i -> (e.v[i] - cv.cv[i]) * (e.v[i] - cv.cv[i])))), 5) AS dist
+       | FROM e JOIN cv USING (label)),
+       |r AS (SELECT label, vec_id, dist, row_number() OVER (
+       |   PARTITION BY label ORDER BY dist DESC, vec_id ASC) AS rn FROM d)
+       |SELECT label, vec_id, dist, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= $topK""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{BlocklistOps, DedupOps, GraphOps, LmOps, MultimodalOps, PcaOps, ProfileOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{BlocklistOps, DedupOps, DsirOps, GraphOps, LmOps, MultimodalOps, PcaOps, ProfileOps, SampleOps, SelectionOps, SimilarityOps, TextOps, WinnowOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -329,6 +329,44 @@ object PipelineQueries {
     }.mkString(" ") + " END"
 
   val queries: Map[String, Q] = Map(
+    // DSIR importance-resampling weights (Xie et al. 2023): hashed
+    // unigram target-vs-raw log-likelihood ratio per doc; the
+    // doc_id%7 residue stands in for the curated target domain.
+    "q146_dsir_weights" -> ((s, d) =>
+      DsirOps.importanceWeights(Tables(s, d, "documents"),
+        "doc_id", "text", col("doc_id") % 7 === 0)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Winnowing (MOSS) fingerprint dup pairs: injected boilerplate on
+    // the %29 residue exercises the shared-passage guarantee; the
+    // maxDf guard drops crawl-wide boilerplate before the pair join.
+    "q147_winnow_pairs" -> ((s, d) => {
+      val boiler = " Subscribe to our newsletter for weekly updates and exclusive offers today."
+      val t = when(col("doc_id") % 29 === 0, concat(col("text"), lit(boiler)))
+        .otherwise(col("text"))
+      WinnowOps.dupPairs(
+        Tables(s, d, "documents").withColumn("text", t),
+        "doc_id", "text")
+    }),
+
+    // Curriculum quartile schedule: exact-percentile cutoffs (no
+    // global sort), phase + deterministic shuffle key per doc.
+    "q148_curriculum" -> ((s, d) =>
+      SelectionOps.curriculumPhases(Tables(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // Token-budget greedy selection per source: best docs first until
+    // 5k tokens — the per-source mixture-shaping summary.
+    "q149_token_budget" -> ((s, d) =>
+      SelectionOps.tokenBudgetSelect(Tables(s, d, "documents"),
+        "doc_id", "text", "source", budget = 5000L)),
+
+    // Embedding centroid outliers: top-5 farthest vectors per label
+    // (mislabel/contamination audit) against exact fixed-point centroids.
+    "q150_centroid_outliers" -> ((s, d) =>
+      SimilarityOps.centroidOutliers(Tables(s, d, "embeddings"),
+        "vec_id", "embedding", "label", topK = 5)),
+
     // Exact dedup: single hash shuffle keyed by the text digest.
     "q30_exact_dedup" -> ((s, d) =>
       DedupOps.exactDupGroups(Tables(s, d, "documents"), "doc_id", "text")),
@@ -1395,6 +1433,21 @@ object PipelineQueries {
 
   /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
   val oracles: Map[String, String] = Map(
+    "q146_dsir_weights" -> (DsirOps.oracleSql("documents", "doc_id", "text",
+      "doc_id % 7 = 0")
+      .replaceFirst("SELECT d.doc_id AS id", "SELECT d.doc_id AS doc_id")),
+    "q147_winnow_pairs" -> WinnowOps.dupPairsOracleSql("documents", "doc_id",
+      "CASE WHEN doc_id % 29 = 0 THEN text || " +
+        "' Subscribe to our newsletter for weekly updates and exclusive offers today.'" +
+        " ELSE text END"),
+    "q148_curriculum" ->
+      (SelectionOps.curriculumOracleSql(qualityOracleSql(TextOps.TrainedQualityWeights))
+        .replaceFirst("SELECT q.doc_id AS id", "SELECT q.doc_id AS doc_id")),
+    "q149_token_budget" -> SelectionOps.tokenBudgetOracleSql("documents",
+      "doc_id", "text", "source", budget = 5000L,
+      qualityOracleSql(TextOps.TrainedQualityWeights)),
+    "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
+      "embeddings", "vec_id", "embedding", "label", topK = 5),
     "q120_feature_corr" -> ProfileOps.corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q123_pca2_eigen" -> PcaOps.eigen2OracleSql("documents",

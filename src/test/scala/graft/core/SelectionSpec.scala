@@ -1,0 +1,168 @@
+package graft.core
+
+import graft.ops.{DsirOps, SelectionOps, SimilarityOps, TextOps, WinnowOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** DSIR importance weights, winnowing fingerprints, curriculum
+  * phases, token-budget selection, centroid outliers. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- DSIR -------------------------------------------------------
+
+  /** Independent reimplementation of the bucket hash (JDK MessageDigest,
+    * not Spark md5) so the expected weights are derived outside the
+    * engine under test. */
+  private def bucketOf(tok: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    d.take(2).map("%02x".format(_)).mkString.substring(0, 3)
+  }
+
+  test("dsir: hand-computed log weights, empty-doc null") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha"),
+      (2L, "alpha beta"),
+      (3L, "beta beta beta beta"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = DsirOps.importanceWeights(docs, "doc_id", "text", col("doc_id") === 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+    // Expected model: raw alpha=4 beta=5 (Nr=9), target alpha=3 (Nt=3)
+    val B = DsirOps.Buckets
+    val bAlpha = bucketOf("alpha"); val bBeta = bucketOf("beta")
+    assert(bAlpha != bBeta) // fixed strings; 1/4096 collision would void the arithmetic below
+    def rMicro(tgt: Long, raw: Long): Long =
+      math.round((math.log((tgt + 1).toDouble / (3 + B)) -
+        math.log((raw + 1).toDouble / (9 + B))) * 1e6)
+    val rA = rMicro(3, 4); val rB = rMicro(0, 5)
+    def w(micro: Long): Double =
+      BigDecimal(micro.toDouble / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, Some(w(3 * rA)))))
+    assert(out(2L) == ((2L, Some(w(rA + rB)))))
+    assert(out(3L) == ((4L, Some(w(4 * rB)))))
+    assert(out(4L) == ((0L, None)))
+    // target-like text scores above raw-like text
+    assert(out(1L)._2.get > out(3L)._2.get)
+  }
+
+  // ---- Winnowing --------------------------------------------------
+
+  test("winnow: fingerprint counts, short docs, shared-substring guarantee") {
+    val k = 12; val w = 6
+    val docs = Seq(
+      (1L, "tiny"),                          // < k normalized chars: no fingerprints
+      (2L, "exactly12chr"),                  // == k: one gram, one fingerprint
+      (3L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+      (4L, "A COMPLETELY different start but quick brown fox jumps over the lazy dog too"),
+      (5L, "unrelated content with zero overlap whatsoever in this string")
+    ).toDF("doc_id", "text")
+    val fp = WinnowOps.fingerprints(docs, "doc_id", "text", k, w)
+    val byDoc = fp.groupBy("id").agg(count(lit(1)).as("n"), first("n_fp").as("nf"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!byDoc.contains(1L))
+    assert(byDoc(2L) == ((1L, 1L)))
+    // n_fp equals the distinct-fingerprint row count for every doc
+    byDoc.values.foreach { case (rows, nf) => assert(rows == nf) }
+
+    // docs 3 and 4 share "quickbrownfoxjumpsoverthelazydog" (>= k+w-1
+    // chars after whitespace strip) -> winnowing MUST give a shared
+    // fingerprint; doc 5 shares nothing
+    val pairs = WinnowOps.dupPairs(docs, "doc_id", "text", k, w,
+      maxDf = 64, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("winnow: identical docs share every fingerprint; df guard drops boilerplate") {
+    val docs = Seq(
+      (1L, "shared body of text that is long enough to fingerprint reliably"),
+      (2L, "shared body of text that is long enough to fingerprint reliably"),
+      (3L, "shared body of text that is long enough to fingerprint reliably")
+    ).toDF("doc_id", "text")
+    val nf = WinnowOps.fingerprints(docs, "doc_id", "text")
+      .groupBy("id").count().collect().map(_.getLong(1)).toSet
+    assert(nf.size == 1) // identical fingerprint cardinality
+    val shared = WinnowOps.dupPairs(docs, "doc_id", "text", minShared = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(shared.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // every fingerprint shared in full
+    assert(shared.values.toSet.size == 1)
+    // maxDf=2 drops fingerprints present in all 3 docs -> no pairs survive
+    assert(WinnowOps.dupPairs(docs, "doc_id", "text", maxDf = 2, minShared = 1)
+      .count() == 0)
+  }
+
+  // ---- Curriculum -------------------------------------------------
+
+  private val tokWeights =
+    TextOps.QualityWeights(bias = 0.0, perToken = 0.1, punctRatio = 0.0,
+      stopRatio = 0.0, avgTokenLen = 0.0, dup2gramFrac = 0.0)
+
+  test("curriculum: quartile phases follow quality order, balanced on distinct scores") {
+    val docs = (1L to 8L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = SelectionOps.curriculumPhases(docs, "doc_id", "text", tokWeights)
+      .orderBy("quality").collect()
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 1, 2, 2, 3, 3, 4, 4))
+    // schedule key is the md5 coordinate — deterministic per id
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val exp = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sched:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 16)
+      assert(r.getString(3) == exp)
+    }
+  }
+
+  // ---- Token budget -----------------------------------------------
+
+  test("tokenBudgetSelect: greedy within budget, oversize first doc, per-group") {
+    val docs = Seq(
+      // group a: 4 docs x 3 tokens, increasing quality with doc_id
+      (1L, "a", "w w w"), (2L, "a", "w w w w"), (3L, "a", "w w w w w"),
+      (4L, "a", "w w w w w w"),
+      // group b: single doc over budget
+      (5L, "b", Seq.fill(20)("w").mkString(" "))).toDF("doc_id", "src", "text")
+    val out = SelectionOps.tokenBudgetSelect(docs, "doc_id", "text", "src",
+        budget = 11L, tokWeights)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // group a: picks doc4 (6 toks) then doc3 (5 toks) = 11 <= 11; doc2 would exceed
+    val a = out("a")
+    assert(a._1 == 4L && a._2 == 2L && a._3 == 11L)
+    // cutoff = quality of the last doc admitted (doc3: 5 tokens)
+    val q3 = BigDecimal(1.0 / (1.0 + math.exp(-0.5)))
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a._4.contains(q3))
+    // group b: first doc alone exceeds the budget -> nothing kept
+    assert(out("b") == ((1L, 0L, 0L, None)))
+  }
+
+  // ---- Centroid outliers ------------------------------------------
+
+  test("centroidOutliers: planted outlier ranks first, exact distance, per-label topK") {
+    val rows = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.2f, 0.0f), 0),
+      (3L, Array(-0.2f, 0.0f), 0), (4L, Array(4.0f, 4.0f), 0),
+      (5L, Array(1.0f, 1.0f), 1), (6L, Array(1.0f, 1.2f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.centroidOutliers(emb, "vec_id", "embedding", "label", topK = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // label 0 centroid = (1.0, 1.0); v4 distance = sqrt(9+9)
+    val top0 = out.filter(_._1 == 0)
+    assert(top0.map(_._4).sorted.toSeq == Seq(1, 2))
+    val first = top0.find(_._4 == 1).get
+    assert(first._2 == 4L)
+    val expDist = BigDecimal(math.sqrt(9.0 + 9.0))
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(first._3 == expDist)
+    // label 1: only 2 members, both reported, rn bounded by topK
+    assert(out.count(_._1 == 1) == 2)
+    assert(out.forall(_._4 <= 2))
+  }
+}
