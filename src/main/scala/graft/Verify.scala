@@ -36,7 +36,7 @@ object Verify {
     // driver's gate records a red row, not a quiet rows>0 pass. A
     // NULL recall (empty exact baseline) also fails — at any real SF
     // the baselines are nonempty, so NULL means the inputs broke.
-    try {
+    if (only.forall(_.exists("q83_ann_recall".startsWith))) try {
       val rep = spark.read.parquet(s"$outDir/q83_ann_recall")
         .collect().map(r => r.getString(0) ->
           (if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
@@ -64,7 +64,7 @@ object Verify {
     // not pass as rows>0. Floors sit under the sf0.01 measured values
     // (minhash 1.0/1.0, simhash 0.88/0.60 — deterministic inputs and
     // hash family, so the slack only covers data-scale drift).
-    try {
+    if (only.forall(_.exists("q111_dedup_recall".startsWith))) try {
       val rep = spark.read.parquet(s"$outDir/q111_dedup_recall")
         .collect().map { r =>
           def d(i: Int) = if (r.isNullAt(i)) Double.NaN else r.getDouble(i)

@@ -100,4 +100,91 @@ object EventOps {
       .filter(col("event_type") === rightType)
       .select(col("event_id"), col("user_id"), col("prev_left_id"))
   }
+
+  /** Population Stability Index drift monitor over a numeric column:
+    * split the stream at its time midpoint, bin the reference half's
+    * value range into `nBins` fixed-width buckets, and compute
+    * PSI = Σ (p−q)·ln(p/q) with add-one smoothing — the standard
+    * "did the score distribution move" release gate (PSI > 0.2 ≈
+    * investigate). The numeric companion to [[typeDrift]]'s
+    * categorical JSD.
+    *
+    * Scale shape: two scalar aggregates (time midpoint, reference
+    * min/max — driver-held control values), then ONE binning scan +
+    * one `nBins`-row aggregate. PSI terms are fixed-point centinano
+    * longs so the final sum is exact and order-independent.
+    *
+    * @return one row (n_ref, n_cur, psi)
+    */
+  def psiDrift(events: DataFrame, tsCol: String, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    val ts = epochS(col(tsCol))
+    val tr = events.agg(min(ts).as("lo"), max(ts).as("hi")).collect()(0)
+    val mid = (tr.getDouble(0) + tr.getDouble(1)) / 2.0
+    val isRef = ts < mid
+    val vr = events.where(isRef)
+      .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi")).collect()(0)
+    val (vlo, vhi) = (vr.getDouble(0), vr.getDouble(1))
+    val width = (vhi - vlo) / nBins
+    val bin =
+      if (width == 0.0) lit(0)
+      else least(greatest(floor((col(valueCol) - vlo) / width), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("int")
+    val counts = events.select(isRef.as("r"), bin.as("bin"))
+      .groupBy("bin").agg(
+        sum(col("r").cast("long")).as("ref_c"),
+        sum((!col("r")).cast("long")).as("cur_c"))
+    // bins with no rows in either half still carry smoothing mass —
+    // join onto a full 0..nBins-1 spine before the PSI terms
+    val spine = counts.sparkSession.range(nBins)
+      .select(col("id").cast("int").as("bin"))
+    val full = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_c"), lit(0L)).as("ref_c"),
+        coalesce(col("cur_c"), lit(0L)).as("cur_c"))
+    val tot = full.agg(sum("ref_c").as("nr"), sum("cur_c").as("nc"))
+    val p = (col("ref_c") + 1).cast("double") / (col("nr") + nBins).cast("double")
+    val q = (col("cur_c") + 1).cast("double") / (col("nc") + nBins).cast("double")
+    full.crossJoin(broadcast(tot))
+      .select(col("nr"), col("nc"),
+        round((p - q) * log(p / q) * 1e8, 0).cast("long").as("t_micro"))
+      .groupBy("nr", "nc")
+      .agg(sum(col("t_micro")).as("s"))
+      .select(col("nr").as("n_ref"), col("nc").as("n_cur"),
+        round(col("s").cast("double") / 1e8, 6).as("psi"))
+  }
+
+  /** DuckDB replay of [[psiDrift]]. */
+  def psiOracleSql(table: String, tsCol: String, valueCol: String,
+      nBins: Int = 10): String =
+    s"""WITH tr AS (SELECT (min(epoch($tsCol)) + max(epoch($tsCol))) / 2.0 AS mid
+       |  FROM $table),
+       |vr AS (SELECT min($valueCol) AS vlo, max($valueCol) AS vhi
+       |  FROM $table, tr WHERE epoch($tsCol) < tr.mid),
+       |b AS (SELECT CASE WHEN (vr.vhi - vr.vlo) / $nBins = 0 THEN 0
+       |    ELSE CAST(least(greatest(floor(($valueCol - vr.vlo)
+       |      / ((vr.vhi - vr.vlo) / $nBins)), 0.0), ${nBins - 1}.0) AS INT)
+       |    END AS bin,
+       |   epoch($tsCol) < tr.mid AS r
+       |  FROM $table, tr, vr),
+       |c AS (SELECT bin,
+       |   CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS ref_c,
+       |   CAST(sum(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS cur_c
+       |  FROM b GROUP BY bin),
+       |f AS (SELECT s.bin, coalesce(c.ref_c, 0) AS ref_c,
+       |   coalesce(c.cur_c, 0) AS cur_c
+       |  FROM (SELECT unnest(generate_series(0, ${nBins - 1})) AS bin) s
+       |  LEFT JOIN c ON s.bin = c.bin),
+       |tot AS (SELECT CAST(sum(ref_c) AS BIGINT) AS nr,
+       |   CAST(sum(cur_c) AS BIGINT) AS nc FROM f),
+       |terms AS (SELECT nr, nc, CAST(round(
+       |   (((ref_c + 1) * 1.0::DOUBLE / (nr + $nBins))
+       |     - ((cur_c + 1) * 1.0::DOUBLE / (nc + $nBins)))
+       |   * ln(((ref_c + 1) * 1.0::DOUBLE / (nr + $nBins))
+       |     / ((cur_c + 1) * 1.0::DOUBLE / (nc + $nBins))) * 1e8, 0) AS BIGINT)
+       |   AS t_micro
+       |  FROM f, tot)
+       |SELECT nr AS n_ref, nc AS n_cur,
+       |  round(CAST(sum(t_micro) AS DOUBLE) / 1e8, 6) AS psi
+       |FROM terms GROUP BY nr, nc""".stripMargin
 }

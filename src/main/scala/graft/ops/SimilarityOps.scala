@@ -871,19 +871,25 @@ object SimilarityOps {
     *
     * @return (label, vec_id, dist, rn) — rn 1..topK by dist desc
     */
-  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, topK: Int = 5): DataFrame = {
-    val scaled = emb.select(col(labelCol).as("label"),
+  /** Exact per-label centroid table (label, cv: array<double>) —
+    * fixed-point DECIMAL(38,0) sums of round(x·10⁷), means rounded to
+    * 7dp. Labels × dim rows: always broadcastable. */
+  def labelCentroids(emb: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    emb.select(col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col("label"), col("pos"),
         round(col("x").cast("double") * 1e7, 0).cast("decimal(38,0)").as("xi"))
-    val cent = scaled.groupBy("label", "pos")
+      .groupBy("label", "pos")
       .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
       .select(col("label"), col("pos"),
         round(col("s").cast("double") / 1e7 / col("n"), 7).as("c"))
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("_pc"))
       .select(col("label"), transform(col("_pc"), _.getField("c")).as("cv"))
+
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, topK: Int = 5): DataFrame = {
+    val cent = labelCentroids(emb, vecCol, labelCol)
     val dist = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
         transform(col(vecCol), _.cast("double")).as("v"))
       .join(broadcast(cent), Seq("label"))
@@ -893,6 +899,114 @@ object SimilarityOps {
           lit(0.0), _ + _)), 5).as("dist"))
     val w = Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id").asc)
     dist.withColumn("rn", row_number().over(w)).where(col("rn") <= topK)
+  }
+
+  /** Nearest-centroid classification + confusion matrix: assign every
+    * vector to its closest label centroid and cross-tabulate against
+    * the given label — the embedding-space label-noise audit (an
+    * off-diagonal cell is a cluster of suspect annotations).
+    *
+    * Scale shape: the centroid table (labels × dim) broadcasts; the
+    * corpus meets it in ONE cross-join scan (|labels| distance folds
+    * per row, all codegen), then a per-vector argmin window keyed by
+    * id and a final small group-by. Distances are rounded to 5dp
+    * before the argmin with label-asc tie-break, so the assignment is
+    * deterministic and engine-portable.
+    *
+    * @return (label, pred_label, n_vecs)
+    */
+  def centroidConfusion(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cent = labelCentroids(emb, vecCol, labelCol)
+      .select(col("label").as("pred_label"), col("cv"))
+    val d = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        round(sqrt(aggregate(
+          zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _)), 5).as("dist"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("dist").asc, col("pred_label").asc)
+    d.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy("label", "pred_label")
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** DuckDB replay of [[centroidConfusion]]. */
+  def centroidConfusionOracleSql(table: String, idCol: String,
+      vecCol: String, labelCol: String): String =
+    s"""WITH e AS (SELECT $idCol AS vec_id, $labelCol AS label,
+       |  CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |x AS (SELECT label, unnest(generate_series(1, len(v))) AS pos,
+       |  unnest(list_transform(v,
+       |    a -> CAST(round(a * 1e7, 0) AS DECIMAL(38,0)))) AS xi FROM e),
+       |cp AS (SELECT label, pos,
+       |  round(CAST(sum(xi) AS DOUBLE) / 1e7 / count(*), 7) AS c
+       | FROM x GROUP BY label, pos),
+       |cv AS (SELECT label AS pred_label, list(c ORDER BY pos) AS cv
+       | FROM cp GROUP BY label),
+       |d AS (SELECT e.vec_id, e.label, cv.pred_label,
+       |  round(sqrt(list_sum(list_transform(generate_series(1, len(e.v)),
+       |    i -> (e.v[i] - cv.cv[i]) * (e.v[i] - cv.cv[i])))), 5) AS dist
+       | FROM e CROSS JOIN cv),
+       |a AS (SELECT vec_id, label, pred_label, row_number() OVER (
+       |   PARTITION BY vec_id ORDER BY dist ASC, pred_label ASC) AS rn FROM d)
+       |SELECT label, pred_label, count(*) AS n_vecs
+       |FROM a WHERE rn = 1 GROUP BY label, pred_label""".stripMargin
+
+  /** Deterministic Achlioptas/JL random projection: y = S·v / √m with
+    * S ∈ {±1}^{m×d}, the sign of entry (j,i) drawn from the first hex
+    * digit of md5("rp:j:i") — a data-independent, seedless projection
+    * both engines (and any future run) reproduce bit-for-bit. The
+    * Johnson-Lindenstrauss workhorse for shrinking embedding storage
+    * before ANN indexing: pairwise distances are preserved within
+    * 1±ε with m = O(ln n / ε²).
+    *
+    * Scale shape: the sign matrix is a compile-time literal (m×d
+    * ints, ~2 KB) folded into codegen — the projection is a pure
+    * narrow map, no shuffle, no model table to broadcast.
+    *
+    * @return (id, p1..pm) — projected coords rounded to 5dp; vectors
+    *         whose length ≠ d project to nulls (zip_with pads)
+    */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+      d: Int = 64, m: Int = 8): DataFrame = {
+    val signs = projectionSigns(d, m)
+    val v = transform(col(vecCol), _.cast("double"))
+    val cols = (0 until m).map { j =>
+      val s = typedlit(signs(j))
+      round(aggregate(zip_with(v, s, (x, sg) => x * sg),
+        lit(0.0), _ + _) / math.sqrt(m), 5).as(s"p${j + 1}")
+    }
+    emb.select(col(idCol).as("id") +: cols: _*)
+  }
+
+  /** The deterministic ±1.0 sign matrix, row j = output component. */
+  private[graft] def projectionSigns(d: Int, m: Int): IndexedSeq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until m).map { j =>
+      (0 until d).map { i =>
+        val h = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+        // first hex digit < 8 <=> top bit of byte 0 is clear
+        if ((h(0) & 0x80) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** DuckDB replay of [[randomProjection]] — the sign matrix is
+    * embedded as literal lists generated by the same Scala code. */
+  def randomProjectionOracleSql(table: String, idCol: String,
+      vecCol: String, d: Int = 64, m: Int = 8): String = {
+    val signs = projectionSigns(d, m)
+    val projCols = (0 until m).map { j =>
+      val lst = signs(j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"round(list_sum(list_transform(generate_series(1, $d), " +
+        s"i -> v[i] * ($lst::DOUBLE[])[i])) / sqrt(${m}.0), 5) AS p${j + 1}"
+    }.mkString(",\n  ")
+    s"""SELECT $idCol AS id,
+       |  $projCols
+       |FROM (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM $table) t""".stripMargin
   }
 
   /** DuckDB replay of [[centroidOutliers]] (parallel-unnest zip for

@@ -854,4 +854,46 @@ object TextOps {
        |SELECT a.id AS a_id, b.id AS b_id, round(sum(a.wn * b.wn), 5) AS cos
        |FROM wn a JOIN wn b USING (tok) WHERE a.id < b.id
        |GROUP BY 1, 2 HAVING round(sum(a.wn * b.wn), 5) >= $minCosine""".stripMargin
+  /** Vocabulary coverage curve: what fraction of all token
+    * occurrences the top-k most frequent types cover, at each k —
+    * the "how big must my tokenizer vocab be" sizing number (e.g.
+    * cov_1000 = 0.95 means a 1k vocab leaves 5% of the corpus OOV).
+    *
+    * Scale shape: one tokenize scan + one groupBy(token); the ranking
+    * window sorts the VOCABULARY (≪ corpus, Heaps-law sublinear), not
+    * the corpus, and the final agg is a single row. Counts are exact
+    * longs; each coverage ratio is one double division.
+    *
+    * @return one row (vocab_size, total_tokens, cov_<k>...)
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    val tc = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+    val ranked = tc.select(col("c"), row_number().over(w).as("rank"))
+    val covs = ks.map(k =>
+      round(sum(when(col("rank") <= k, col("c")).otherwise(0L)).cast("double") /
+        sum(col("c")).cast("double"), 6).as(s"cov_$k"))
+    ranked.agg(count(lit(1)).as("vocab_size"),
+      sum(col("c")).as("total_tokens") +: covs: _*)
+  }
+
+  /** DuckDB replay of [[vocabCoverage]]. */
+  def vocabCoverageOracleSql(table: String, textCol: String,
+      ks: Seq[Int] = Seq(100, 1000, 10000)): String = {
+    val covs = ks.map(k =>
+      s"round(sum(CASE WHEN rank <= $k THEN c ELSE 0 END) * 1.0::DOUBLE" +
+        s" / sum(c), 6) AS cov_$k").mkString(",\n  ")
+    s"""WITH tc AS (SELECT tok, count(*) AS c FROM (
+       |   SELECT unnest(list_filter(string_split_regex(lower($textCol),
+       |     '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS tok FROM $table) t
+       |  GROUP BY tok),
+       |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rank
+       |  FROM tc)
+       |SELECT count(*) AS vocab_size, CAST(sum(c) AS BIGINT) AS total_tokens,
+       |  $covs
+       |FROM r""".stripMargin
+  }
 }

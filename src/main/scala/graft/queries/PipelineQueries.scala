@@ -367,6 +367,31 @@ object PipelineQueries {
       SimilarityOps.centroidOutliers(Tables(s, d, "embeddings"),
         "vec_id", "embedding", "label", topK = 5)),
 
+    // Nearest-centroid classification confusion matrix: embedding-
+    // space label-noise audit (off-diagonal = suspect annotations).
+    "q151_centroid_confusion" -> ((s, d) =>
+      SimilarityOps.centroidConfusion(Tables(s, d, "embeddings"),
+        "vec_id", "embedding", "label")),
+
+    // Deterministic Achlioptas/JL random projection 64→8: the
+    // storage-shrink step before ANN indexing; sign matrix is a
+    // compile-time literal, the projection a pure codegen map.
+    "q152_random_projection" -> ((s, d) =>
+      SimilarityOps.randomProjection(Tables(s, d, "embeddings"),
+        "vec_id", "embedding", d = 64, m = 8)
+        .withColumnRenamed("id", "vec_id")),
+
+    // PSI numeric drift: first-half vs second-half value distribution
+    // over fixed reference bins — the release-gate companion to the
+    // q139 categorical JSD monitor.
+    "q153_psi_drift" -> ((s, d) =>
+      graft.ops.EventOps.psiDrift(Tables(s, d, "events"), "ts", "value")),
+
+    // Vocabulary coverage curve: corpus fraction covered by the top-k
+    // token types — tokenizer vocab sizing.
+    "q154_vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(Tables(s, d, "documents"), "text")),
+
     // Exact dedup: single hash shuffle keyed by the text digest.
     "q30_exact_dedup" -> ((s, d) =>
       DedupOps.exactDupGroups(Tables(s, d, "documents"), "doc_id", "text")),
@@ -1448,6 +1473,13 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q151_centroid_confusion" -> SimilarityOps.centroidConfusionOracleSql(
+      "embeddings", "vec_id", "embedding", "label"),
+    "q152_random_projection" -> SimilarityOps.randomProjectionOracleSql(
+      "embeddings", "vec_id", "embedding", d = 64, m = 8)
+      .replaceFirst("SELECT vec_id AS id", "SELECT vec_id AS vec_id"),
+    "q153_psi_drift" -> graft.ops.EventOps.psiOracleSql("events", "ts", "value"),
+    "q154_vocab_coverage" -> TextOps.vocabCoverageOracleSql("documents", "text"),
     "q120_feature_corr" -> ProfileOps.corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q123_pca2_eigen" -> PcaOps.eigen2OracleSql("documents",
