@@ -75,6 +75,53 @@ object DsirOps {
         round(col("_w_micro").cast("double") / 1e6, 6).as("log_w"))
   }
 
+  /** Fit the frozen DSIR model: bucket → micronat log-ratio map
+    * (≤ `Buckets` entries, driver-held — the BPE frozen-vocab
+    * contract). Feed to [[scoreWithModel]] for stateless scoring of
+    * new data, batch or streaming. */
+  def fitRatioModel(docs: DataFrame, textCol: String,
+      targetPred: Column): Map[String, Long] = {
+    val toks = docs
+      .select(targetPred.as("in_target"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("in_target"), bucket(col("tok")).as("b"))
+    val hist = toks.groupBy("b").agg(
+      count(lit(1)).as("raw_c"),
+      sum(col("in_target").cast("long")).as("tgt_c"))
+    logRatioMicro(hist).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Score documents against a FROZEN ratio model: one pure narrow
+    * map — per-row token fold over a literal bucket→micronat map, no
+    * explode, no shuffle, no state. Streaming-safe (the twin the
+    * batch fit feeds) and the right shape for scoring a 100 TB crawl
+    * against a model trained once: zero exchanges, whole-stage
+    * codegen end to end.
+    *
+    * Exactness: the same micronat long sums as [[importanceWeights]]
+    * — scores are bit-identical to the batch path for any document
+    * whose buckets all appear in the model (guaranteed when the
+    * scored corpus was part of the fit; unseen buckets contribute 0,
+    * the model's "no evidence" prior).
+    */
+  def scoreWithModel(docs: DataFrame, idCol: String, textCol: String,
+      model: Map[String, Long]): DataFrame = {
+    val m = typedlit(model)
+    docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_w"))
+      .select(col("id"), explode(array(col("_w"))).as("_w")) // barrier (see wordShingles)
+      .select(col("id"),
+        size(col("_w")).cast("long").as("n_tokens"),
+        transform(col("_w"),
+          t => coalesce(element_at(m, substring(md5(t.cast("binary")), 1, 3)),
+            lit(0L))).as("_r"))
+      .select(col("id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(aggregate(col("_r"), lit(0L), _ + _).cast("double") / 1e6, 6))
+          .as("log_w"))
+  }
+
   /** (b, r_micro): per-bucket log-ratio in integer micronats.
     * round((ln((tgt+1)/(Nt+B)) − ln((raw+1)/(Nr+B))) · 1e6) — computed
     * with Spark expressions so the DuckDB oracle can replay the exact

@@ -126,10 +126,7 @@ object EventOps {
       .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi")).collect()(0)
     val (vlo, vhi) = (vr.getDouble(0), vr.getDouble(1))
     val width = (vhi - vlo) / nBins
-    val bin =
-      if (width == 0.0) lit(0)
-      else least(greatest(floor((col(valueCol) - vlo) / width), lit(0.0)),
-        lit((nBins - 1).toDouble)).cast("int")
+    val bin = binCol(col(valueCol), vlo, width, nBins)
     val counts = events.select(isRef.as("r"), bin.as("bin"))
       .groupBy("bin").agg(
         sum(col("r").cast("long")).as("ref_c"),
@@ -152,6 +149,51 @@ object EventOps {
       .agg(sum(col("t_micro")).as("s"))
       .select(col("nr").as("n_ref"), col("nc").as("n_cur"),
         round(col("s").cast("double") / 1e8, 6).as("psi"))
+  }
+
+  /** Fixed-width clamped bin assignment shared by the batch PSI and
+    * its streaming twin. */
+  private[graft] def binCol(value: Column, vlo: Double, width: Double,
+      nBins: Int): Column =
+    if (width == 0.0) lit(0)
+    else least(greatest(floor((value - vlo) / width), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+
+  /** Frozen PSI reference model: bin geometry + reference counts —
+    * the driver-held control values a streaming monitor scores
+    * against. */
+  case class PsiRef(vlo: Double, width: Double, counts: Seq[Long]) {
+    def nBins: Int = counts.size
+    def nr: Long = counts.sum
+  }
+
+  /** Fit a [[PsiRef]] from a static reference window (bins span the
+    * reference's own value range, as in [[psiDrift]]). */
+  def fitPsiRef(ref: DataFrame, valueCol: String, nBins: Int = 10): PsiRef = {
+    val vr = ref.agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+      .collect()(0)
+    val (vlo, vhi) = (vr.getDouble(0), vr.getDouble(1))
+    val width = (vhi - vlo) / nBins
+    val got = ref
+      .select(binCol(col(valueCol), vlo, width, nBins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    PsiRef(vlo, width, (0 until nBins).map(b => got.getOrElse(b, 0L)))
+  }
+
+  /** PSI of a batch of counts against a frozen reference, as a pure
+    * column expression over `nBins` per-bin count columns — the core
+    * both the per-window streaming monitor and any ad-hoc scorer
+    * share. Same smoothing and centinano fixed-point discipline as
+    * [[psiDrift]]. */
+  private[graft] def psiExpr(ref: PsiRef, binCounts: Seq[Column],
+      nCur: Column): Column = {
+    val terms = binCounts.zipWithIndex.map { case (c, b) =>
+      val p = lit((ref.counts(b) + 1).toDouble / (ref.nr + ref.nBins))
+      val q = (c + 1).cast("double") / (nCur + ref.nBins).cast("double")
+      round((p - q) * log(p / q) * 1e8, 0).cast("long")
+    }
+    round(terms.reduce(_ + _).cast("double") / 1e8, 6)
   }
 
   /** DuckDB replay of [[psiDrift]]. */

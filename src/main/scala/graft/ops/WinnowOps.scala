@@ -80,6 +80,135 @@ object WinnowOps {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Position-localized fingerprints: each selected window-min hash
+    * with the (1-based, normalized-char) index of the k-gram it came
+    * from — min index per (doc, fingerprint). This is what turns
+    * winnowing from a similarity signal into passage LOCALIZATION:
+    * matching fingerprints pin down *where* the shared passage sits.
+    *
+    * @return (id, fp, pos)
+    */
+  def fingerprintsPos(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 6): DataFrame = {
+    val h = col("_h")
+    val m = greatest(size(h) - (w - 1), lit(1))
+    // struct(fp, pos) per window: pos = argmin within the slice
+    // (first occurrence on hash ties — deterministic) offset by the
+    // window start
+    val sel = when(size(h) >= 1,
+      transform(sequence(lit(1), m), i => {
+        val win = slice(h, i, lit(w))
+        struct(array_min(win).as("fp"),
+          (array_position(win, array_min(win)) + i - 1).as("pos"))
+      })).otherwise(array().cast("array<struct<fp:string,pos:long>>"))
+    docs.select(col(idCol).as("id"),
+        lower(regexp_replace(col(textCol), "\\s+", "")).as("_s"))
+      .select(col("id"), explode(array(gramHashes(col("_s"), k))).as("_h"))
+      .select(col("id"), explode(array(sel)).as("_sel"))
+      .select(col("id"), explode(col("_sel")).as("_x"))
+      .groupBy(col("id"), col("_x.fp").as("fp"))
+      .agg(min(col("_x.pos")).as("pos"))
+  }
+
+  /** Pair report WITH passage localization: shared-fingerprint count
+    * plus the min/max matching k-gram positions in each document —
+    * the "lines X–Y of A match lines U–V of B" copy report.
+    *
+    * @return (id_a, id_b, n_shared, a_lo, a_hi, b_lo, b_hi)
+    */
+  def dupPairSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    val fp = fingerprintsPos(docs, idCol, textCol, k, w)
+    val ok = fp.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select("fp")
+    val guarded = fp.join(ok, Seq("fp"))
+    guarded.as("a").join(guarded.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("a.pos")).as("a_lo"), max(col("a.pos")).as("a_hi"),
+        min(col("b.pos")).as("b_lo"), max(col("b.pos")).as("b_hi"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB replay of [[dupPairSpans]]. */
+  def dupPairSpansOracleSql(table: String, idCol: String, textExpr: String,
+      k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2): String =
+    s"""WITH t AS (SELECT $idCol AS id,
+       |  lower(regexp_replace($textExpr, '\\s+', '', 'g')) AS s FROM $table),
+       |g AS (SELECT id, CASE WHEN length(s) >= $k
+       |  THEN list_transform(generate_series(1, length(s) - ${k - 1}),
+       |    i -> substr(md5(substr(s, i, $k)), 1, 16))
+       |  ELSE [] END AS h FROM t),
+       |wins AS (SELECT id, unnest(CASE WHEN len(h) = 0 THEN []
+       |   ELSE list_transform(generate_series(1, greatest(len(h) - ${w - 1}, 1)),
+       |     i -> {fp: list_min(h[i:i+${w - 1}]),
+       |           pos: list_position(h[i:i+${w - 1}], list_min(h[i:i+${w - 1}])) + i - 1})
+       |   END, recursive := true) FROM g),
+       |e AS (SELECT id, fp, CAST(min(pos) AS BIGINT) AS pos
+       |  FROM wins GROUP BY id, fp),
+       |ok AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= $maxDf),
+       |ge AS (SELECT e.id, e.fp, e.pos FROM e JOIN ok USING (fp))
+       |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared,
+       |  min(a.pos) AS a_lo, max(a.pos) AS a_hi,
+       |  min(b.pos) AS b_lo, max(b.pos) AS b_hi
+       |FROM ge a JOIN ge b ON a.fp = b.fp AND a.id < b.id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+
+  /** Candidate→verify dedup composition: winnowing proposes pairs
+    * (cheap, fingerprint-bucket join), exact word-`n`-gram Jaccard
+    * CONFIRMS them (exact, but only on the candidates). This is the
+    * canonical two-stage 100 TB near-dup shape — the expensive exact
+    * measure runs on |candidates| rows, never on |corpus|² — and
+    * because each stage is deterministic the whole composition has a
+    * SQL oracle (unlike the xxhash MinHash path whose verify stage is
+    * spec-only).
+    *
+    * The per-doc gram sets ship only to candidate pairs (two
+    * id-keyed joins); at candidate counts ≫ corpus counts you have a
+    * dedup-parameter problem, not an operator problem.
+    *
+    * @return (id_a, id_b, n_shared, jac) — jac rounded 5dp, only
+    *         pairs with jac ≥ minJaccard
+    */
+  def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2,
+      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val cand = dupPairs(docs, idCol, textCol, k, w, maxDf, minShared)
+    val grams = DedupOps.wordShingles(docs, idCol, textCol, n)
+      .groupBy("id").agg(collect_set(col("shingle")).as("gs"))
+    val j = cand
+      .join(grams.select(col("id").as("id_a"), col("gs").as("ga")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("gs").as("gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        // greatest(…,1): a pair of <n-word docs has an empty gram
+        // union — define jac=0 instead of NaN (engines disagree on
+        // NaN ordering, and a no-evidence pair must not pass)
+        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          greatest(size(array_union(col("ga"), col("gb"))), lit(1)).cast("double"),
+          5).as("jac"))
+    j.where(col("jac") >= minJaccard)
+      .select("id_a", "id_b", "n_shared", "jac")
+  }
+
+  /** DuckDB replay of [[verifiedPairs]]. */
+  def verifiedPairsOracleSql(table: String, idCol: String, textExpr: String,
+      k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2,
+      n: Int = 3, minJaccard: Double = 0.5): String =
+    s"""WITH cand AS (${dupPairsOracleSql(table, idCol, textExpr, k, w, maxDf, minShared)}),
+       |wt AS (SELECT $idCol AS id, list_filter(string_split_regex(
+       |    lower($textExpr), '[ \\t\\n\\f\\r]+'), x -> x <> '') AS wds
+       |  FROM $table),
+       |gs AS (SELECT id, CASE WHEN len(wds) >= $n
+       |  THEN list_distinct(list_transform(generate_series(1, len(wds) - ${n - 1}),
+       |    i -> ${(0 until n).map(o => s"wds[i+$o]").mkString(" || ' ' || ")}))
+       |  ELSE [] END AS g FROM wt),
+       |j AS (SELECT c.id_a, c.id_b, c.n_shared,
+       |  round(len(list_intersect(a.g, b.g)) * 1.0::DOUBLE /
+       |    greatest(len(list_distinct(list_concat(a.g, b.g))), 1), 5) AS jac
+       | FROM cand c JOIN gs a ON c.id_a = a.id JOIN gs b ON c.id_b = b.id)
+       |SELECT id_a, id_b, n_shared, jac FROM j WHERE jac >= $minJaccard""".stripMargin
+
   /** DuckDB replay of [[dupPairs]] over `textExpr` of `table`. */
   def dupPairsOracleSql(table: String, idCol: String, textExpr: String,
       k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2): String =

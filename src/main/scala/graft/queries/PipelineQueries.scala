@@ -367,6 +367,25 @@ object PipelineQueries {
       SimilarityOps.centroidOutliers(Tables(s, d, "embeddings"),
         "vec_id", "embedding", "label", topK = 5)),
 
+    // Winnowing with passage LOCALIZATION: matching fingerprint
+    // positions give "chars X–Y of A match U–V of B" spans (the
+    // %29-injected boilerplate sits at text end → spans at the tail).
+    "q155_winnow_spans" -> ((s, d) => {
+      val boiler = " Subscribe to our newsletter for weekly updates and exclusive offers today."
+      val t = when(col("doc_id") % 29 === 0, concat(col("text"), lit(boiler)))
+        .otherwise(col("text"))
+      WinnowOps.dupPairSpans(
+        Tables(s, d, "documents").withColumn("text", t),
+        "doc_id", "text")
+    }),
+
+    // Candidate→verify dedup composition: winnowing proposes, exact
+    // word-3-gram Jaccard confirms — the exact measure runs on
+    // |candidates|, never |corpus|².
+    "q156_verified_pairs" -> ((s, d) =>
+      WinnowOps.verifiedPairs(Tables(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.3)),
+
     // Nearest-centroid classification confusion matrix: embedding-
     // space label-noise audit (off-diagonal = suspect annotations).
     "q151_centroid_confusion" -> ((s, d) =>
@@ -1473,6 +1492,12 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q155_winnow_spans" -> WinnowOps.dupPairSpansOracleSql("documents", "doc_id",
+      "CASE WHEN doc_id % 29 = 0 THEN text || " +
+        "' Subscribe to our newsletter for weekly updates and exclusive offers today.'" +
+        " ELSE text END"),
+    "q156_verified_pairs" -> WinnowOps.verifiedPairsOracleSql("documents",
+      "doc_id", "text", minJaccard = 0.3),
     "q151_centroid_confusion" -> SimilarityOps.centroidConfusionOracleSql(
       "embeddings", "vec_id", "embedding", "label"),
     "q152_random_projection" -> SimilarityOps.randomProjectionOracleSql(

@@ -101,6 +101,48 @@ object StreamOps {
       broadcast(blocklist.select(col(blockKeyCol).as(keyCol)).distinct()),
       Seq(keyCol), "left_anti")
 
+  /** Streaming DSIR scoring — the twin of
+    * [[graft.ops.DsirOps.importanceWeights]] for a document firehose:
+    * the batch fit freezes the bucket→micronat ratio model
+    * ([[graft.ops.DsirOps.fitRatioModel]]), and each arriving doc is
+    * scored by a pure per-row token fold over the literal map — no
+    * explode, no shuffle, no state, so it composes with any
+    * downstream watermarked stage. Scores are bit-identical to the
+    * batch path (same micronat long sums; StreamingSpec pins it).
+    */
+  def dsirScoreStream(stream: DataFrame, idCol: String, textCol: String,
+      model: Map[String, Long]): DataFrame =
+    graft.ops.DsirOps.scoreWithModel(stream, idCol, textCol, model)
+
+  /** Streaming PSI drift monitor — the twin of
+    * [[graft.ops.EventOps.psiDrift]]: score each event-time window's
+    * value distribution against a FROZEN reference histogram
+    * ([[graft.ops.EventOps.fitPsiRef]], the first-half model the
+    * batch op derives internally). ONE windowed aggregation computes
+    * all `nBins` bin counts as conditional sums (a second stacked
+    * aggregation would be unsupported in append mode), then the PSI
+    * is a pure projection with the same smoothing and centinano
+    * fixed-point exactness as the batch op.
+    *
+    * @return (window_start, n_cur, psi) per closed window
+    */
+  def psiDriftStream(stream: DataFrame, tsCol: String, valueCol: String,
+      ref: graft.ops.EventOps.PsiRef, windowSeconds: Int,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val bin = graft.ops.EventOps.binCol(col(valueCol), ref.vlo, ref.width,
+      ref.nBins)
+    val counts = (0 until ref.nBins).map(b =>
+      sum(when(col("_bin") === b, 1L).otherwise(0L)).as(s"_c$b"))
+    val agged = stream
+      .withColumn("_bin", bin)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), s"$windowSeconds seconds"))
+      .agg(count(lit(1)).as("n_cur"), counts: _*)
+    agged.select(col("window.start").as("window_start"), col("n_cur"),
+      graft.ops.EventOps.psiExpr(ref,
+        (0 until ref.nBins).map(b => col(s"_c$b")), col("n_cur")).as("psi"))
+  }
+
   /** Streaming snapshot diff — incremental corpus change detection,
     * the streaming twin of [[graft.ops.SnapshotOps.snapshotDiff]]
     * (q92 defines the batch semantics): documents ARRIVE as a stream

@@ -96,6 +96,49 @@ class SelectionSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("dupPairSpans: localization offsets track the shared-suffix shift") {
+    // normalized prefixes of length 8 and 12, then an identical run:
+    // every matched fingerprint sits at posB = posA + 4, so the span
+    // endpoints shift by exactly the prefix-length difference
+    val shared = "the shared passage sits here and is long enough to fingerprint well"
+    val docs = Seq(
+      (1L, "abcdefgh " + shared),
+      (2L, "uvwxyzuvwxyz " + shared)).toDF("doc_id", "text")
+    val r = WinnowOps.dupPairSpans(docs, "doc_id", "text", minShared = 1)
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert((row.getLong(0), row.getLong(1)) == ((1L, 2L)))
+    assert(row.getLong(2) >= 1)                       // n_shared
+    assert(row.getLong(4) - row.getLong(3)            // a_hi - a_lo
+      == row.getLong(6) - row.getLong(5))             //  == b_hi - b_lo
+    assert(row.getLong(5) - row.getLong(3) == 4L)     // b_lo - a_lo = 12 - 8
+    // identical docs: spans coincide and every fingerprint matches
+    val same = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val s = WinnowOps.dupPairSpans(same, "doc_id", "text", minShared = 1)
+      .collect()(0)
+    assert(s.getLong(3) == s.getLong(5) && s.getLong(4) == s.getLong(6))
+    val nFp = WinnowOps.fingerprints(same, "doc_id", "text")
+      .where(col("id") === 1L).count()
+    assert(s.getLong(2) == nFp)
+  }
+
+  test("verifiedPairs: exact Jaccard confirms true dups, rejects phrase-only overlap") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val phrase = "gamma delta epsilon zeta" // >= k+w-1 normalized chars
+    val c = phrase + " totally different remainder content that shares nothing else at all here"
+    val docs = Seq((1L, a), (2L, a), (3L, c)).toDF("doc_id", "text")
+    val out = WinnowOps.verifiedPairs(docs, "doc_id", "text",
+        minShared = 1, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == 1.0)
+    // the phrase overlap IS a winnow candidate, just not a verified dup
+    val cand = WinnowOps.dupPairs(docs, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 3L)))
+  }
+
   // ---- Curriculum -------------------------------------------------
 
   private val tokWeights =

@@ -389,4 +389,60 @@ class StreamingSpec extends SparkSpec {
     assert(acc(10L) === ((2L, 0L)))   // all bigrams seen in ref
     assert(acc(11L) === ((2L, 2L)))   // all unseen
   }
+
+  test("streaming DSIR scores are bit-identical to the batch importance weights") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha alpha alpha"), (2L, "alpha beta"),
+      (3L, "beta beta beta beta"), (4L, "gamma alpha beta"))
+    val docs = corpus.toDF("doc_id", "text")
+    val model = graft.ops.DsirOps.fitRatioModel(docs, "text", col("doc_id") === 1)
+    val batch = graft.ops.DsirOps
+      .importanceWeights(docs, "doc_id", "text", col("doc_id") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.dsirScoreStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("dsir_scores")
+      .outputMode("append").start()
+    input.addData(corpus: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_scores")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch)
+  }
+
+  test("streaming PSI per closed window equals the batch psiDrift on the same halves") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference half: ts 0..90; current half: ts 700..790 (one 300 s
+    // window [600,900)); combined midpoint 395 splits them exactly
+    val refRows = (0 until 10).map(i => (i.toLong, ts(i * 10), i.toDouble))
+    val curRows = (0 until 10).map(i =>
+      (100L + i, ts(700 + i * 10), 100.0 + i))
+    val toDf = (rows: Seq[(Long, Timestamp, Double)]) =>
+      rows.toDF("event_id", "ts", "value")
+    val ref = graft.ops.EventOps.fitPsiRef(toDf(refRows), "value")
+    val batch = graft.ops.EventOps
+      .psiDrift(toDf(refRows ++ curRows), "ts", "value")
+      .collect()(0)
+
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamOps.psiDriftStream(
+        input.toDF().toDF("event_id", "ts", "value"), "ts", "value",
+        ref, windowSeconds = 300)
+      .writeStream.format("memory").queryName("psi_windows")
+      .outputMode("append").start()
+    // watermark-advancing row closes the [600,900) window
+    input.addData(curRows :+ (999L, ts(5000), 0.0): _*)
+    q.processAllAvailable()
+    q.stop()
+    val win = spark.table("psi_windows")
+      .where(col("window_start").cast("long") === 600L).collect()
+    assert(win.length == 1)
+    assert(win(0).getLong(1) == 10L)                  // n_cur
+    assert(win(0).getDouble(2) == batch.getDouble(2)) // psi, bit-equal
+    assert(win(0).getDouble(2) > 0.5)                 // and it IS a drift
+  }
 }
