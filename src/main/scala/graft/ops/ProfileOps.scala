@@ -452,4 +452,58 @@ object ProfileOps {
        | round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
        |   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 5) AS r2
        |FROM s""".stripMargin
+  /** Cohen's kappa between two boolean "raters" over the same ids —
+    * the scorer-agreement audit (rule-based vs trained quality, two
+    * model generations, human-vs-model spot labels). kappa corrects
+    * raw agreement for chance: 0 = no better than chance, 1 = perfect.
+    *
+    * One inner join + one 4-cell aggregate; every derived quantity is
+    * a fixed arithmetic tree over the exact cell counts, so the
+    * result is engine-portable to the last rounded digit. kappa is
+    * NULL when chance agreement is 1 (degenerate single-cell table).
+    *
+    * @param a (id, flag) rater A   @param b (id, flag) rater B
+    * @return one row (n, n11, n10, n01, n00, po, pe, kappa)
+    */
+  def cohenKappa(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("id"), col("flag").as("fa"))
+      .join(b.select(col("id"), col("flag").as("fb")), Seq("id"))
+    val cells = j.agg(
+      count(lit(1)).as("n"),
+      sum((col("fa") && col("fb")).cast("long")).as("n11"),
+      sum((col("fa") && !col("fb")).cast("long")).as("n10"),
+      sum((!col("fa") && col("fb")).cast("long")).as("n01"),
+      sum((!col("fa") && !col("fb")).cast("long")).as("n00"))
+    val n = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / n
+    val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01"))).cast("double") / (n * n) +
+      ((col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double") / (n * n)
+    cells.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      when(lit(1.0) - pe =!= 0.0, round((po - pe) / (lit(1.0) - pe), 6))
+        .as("kappa"))
+  }
+
+  /** DuckDB replay of [[cohenKappa]]: `aSub`/`bSub` are subqueries
+    * yielding (id, flag). */
+  def cohenKappaOracleSql(aSub: String, bSub: String): String =
+    s"""WITH cells AS (SELECT count(*) AS n,
+       |  CAST(sum(CASE WHEN a.flag AND b.flag THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |  CAST(sum(CASE WHEN a.flag AND NOT b.flag THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |  CAST(sum(CASE WHEN NOT a.flag AND b.flag THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |  CAST(sum(CASE WHEN NOT a.flag AND NOT b.flag THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       | FROM ($aSub) a JOIN ($bSub) b ON a.id = b.id)
+       |SELECT n, n11, n10, n01, n00,
+       |  round((n11 + n00) * 1.0::DOUBLE / n, 6) AS po,
+       |  round(((n11 + n10) * (n11 + n01)) * 1.0::DOUBLE / (n * 1.0::DOUBLE * n)
+       |    + ((n01 + n00) * (n10 + n00)) * 1.0::DOUBLE / (n * 1.0::DOUBLE * n), 6) AS pe,
+       |  CASE WHEN 1.0::DOUBLE - (((n11 + n10) * (n11 + n01)) * 1.0::DOUBLE / (n * 1.0::DOUBLE * n)
+       |      + ((n01 + n00) * (n10 + n00)) * 1.0::DOUBLE / (n * 1.0::DOUBLE * n)) <> 0.0
+       |    THEN round(((n11 + n00) * 1.0::DOUBLE / n
+       |        - (((n11 + n10) * (n11 + n01)) * 1.0::DOUBLE / (n * 1.0::DOUBLE * n)
+       |          + ((n01 + n00) * (n10 + n00)) * 1.0::DOUBLE / (n * 1.0::DOUBLE * n)))
+       |      / (1.0::DOUBLE - (((n11 + n10) * (n11 + n01)) * 1.0::DOUBLE / (n * 1.0::DOUBLE * n)
+       |          + ((n01 + n00) * (n10 + n00)) * 1.0::DOUBLE / (n * 1.0::DOUBLE * n))), 6)
+       |    END AS kappa
+       |FROM cells""".stripMargin
 }

@@ -209,6 +209,57 @@ object WinnowOps {
        | FROM cand c JOIN gs a ON c.id_a = a.id JOIN gs b ON c.id_b = b.id)
        |SELECT id_a, id_b, n_shared, jac FROM j WHERE jac >= $minJaccard""".stripMargin
 
+  /** Asymmetric CONTAINMENT verification (Broder's containment, the
+    * quote-inclusion detector): for each winnow candidate pair,
+    * c(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| — near 1 when A is
+    * embedded in B even though symmetric Jaccard is low (the case
+    * resemblance-based dedup systematically misses: quotes, syndicated
+    * excerpts, doc-inside-digest). Kept when either direction ≥
+    * `minContainment`.
+    *
+    * Same scale contract as [[verifiedPairs]]: the exact gram math
+    * runs on |candidates|, never |corpus|².
+    *
+    * @return (id_a, id_b, n_shared, cont_a, cont_b) — cont_a =
+    *         fraction of A's grams found in B
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2,
+      n: Int = 3, minContainment: Double = 0.7): DataFrame = {
+    val cand = dupPairs(docs, idCol, textCol, k, w, maxDf, minShared)
+    val grams = DedupOps.wordShingles(docs, idCol, textCol, n)
+      .groupBy("id").agg(collect_set(col("shingle")).as("gs"))
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    cand
+      .join(grams.select(col("id").as("id_a"), col("gs").as("ga")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("gs").as("gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(inter / greatest(size(col("ga")), lit(1)).cast("double"), 5).as("cont_a"),
+        round(inter / greatest(size(col("gb")), lit(1)).cast("double"), 5).as("cont_b"))
+      .where(col("cont_a") >= minContainment || col("cont_b") >= minContainment)
+  }
+
+  /** DuckDB replay of [[containmentPairs]]. */
+  def containmentPairsOracleSql(table: String, idCol: String, textExpr: String,
+      k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2,
+      n: Int = 3, minContainment: Double = 0.7): String =
+    s"""WITH cand AS (${dupPairsOracleSql(table, idCol, textExpr, k, w, maxDf, minShared)}),
+       |wt AS (SELECT $idCol AS id, list_filter(string_split_regex(
+       |    lower($textExpr), '[ \\t\\n\\f\\r]+'), x -> x <> '') AS wds
+       |  FROM $table),
+       |gs AS (SELECT id, CASE WHEN len(wds) >= $n
+       |  THEN list_distinct(list_transform(generate_series(1, len(wds) - ${n - 1}),
+       |    i -> ${(0 until n).map(o => s"wds[i+$o]").mkString(" || ' ' || ")}))
+       |  ELSE [] END AS g FROM wt),
+       |j AS (SELECT c.id_a, c.id_b, c.n_shared,
+       |  round(len(list_intersect(a.g, b.g)) * 1.0::DOUBLE /
+       |    greatest(len(a.g), 1), 5) AS cont_a,
+       |  round(len(list_intersect(a.g, b.g)) * 1.0::DOUBLE /
+       |    greatest(len(b.g), 1), 5) AS cont_b
+       | FROM cand c JOIN gs a ON c.id_a = a.id JOIN gs b ON c.id_b = b.id)
+       |SELECT id_a, id_b, n_shared, cont_a, cont_b FROM j
+       |WHERE cont_a >= $minContainment OR cont_b >= $minContainment""".stripMargin
+
   /** DuckDB replay of [[dupPairs]] over `textExpr` of `table`. */
   def dupPairsOracleSql(table: String, idCol: String, textExpr: String,
       k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2): String =

@@ -127,6 +127,55 @@ object PipelineQueries {
     * decimal literals are DECIMAL in DuckDB and would change the
     * arithmetic vs Spark.
     */
+  /** C4/Gopher rules replay (sig → r → pr-with-`passes` CTE chain)
+    * over a prior CTE `docsCte` providing (doc_id, t). Shared by the
+    * q112 oracle (injected text) and the q157 kappa oracle (plain
+    * text). Plain (non-interpolated) string: the regex `\t`/`\.`
+    * escapes must reach DuckDB verbatim. */
+  private def rulesOracleBody(docsCte: String): String =
+    """sig AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[^ \t\n\f\r]+')) AS BIGINT) AS n_words,
+      |  round(length(regexp_replace(t, '[ \t\n\f\r]', '', 'g')) * 1.0
+      |    / greatest(len(regexp_extract_all(t, '[^ \t\n\f\r]+')), 1), 4)
+      |    AS mean_word_len,
+      |  round((len(regexp_extract_all(t, '#'))
+      |    + len(regexp_extract_all(t, '\.\.\.'))
+      |    + len(regexp_extract_all(t, '…'))) * 1.0
+      |    / greatest(len(regexp_extract_all(t, '[^ \t\n\f\r]+')), 1), 5)
+      |    AS symbol_ratio,
+      |  round(len(list_filter(string_split(t, chr(10)),
+      |      x -> regexp_matches(x, '^[-*•] '))) * 1.0
+      |    / greatest(len(string_split(t, chr(10))), 1), 5)
+      |    AS bullet_line_frac,
+      |  round(len(list_filter(string_split(t, chr(10)),
+      |      x -> regexp_matches(x, '(\.\.\.|…)$'))) * 1.0
+      |    / greatest(len(string_split(t, chr(10))), 1), 5)
+      |    AS ellipsis_line_frac,
+      |  round(len(list_filter(regexp_extract_all(lower(t), '[^ \t\n\f\r]+'),
+      |      x -> regexp_matches(x, '[a-z]'))) * 1.0
+      |    / greatest(len(regexp_extract_all(t, '[^ \t\n\f\r]+')), 1), 5)
+      |    AS alpha_word_frac,
+      |  CAST(len(regexp_extract_all(lower(t), '\b(the|a|of|to|and)\b'))
+      |    AS BIGINT) AS n_stop_hits,
+      |  contains(lower(t), 'lorem ipsum') AS has_lorem,
+      |  contains(t, '{') AS has_brace
+      | FROM __DOCS__),
+      |r AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+      |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+      |  CAST(n_words >= 10 AND n_words <= 100000 AS INT) AS r_len,
+      |  CAST(mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS INT)
+      |    AS r_word_len,
+      |  CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
+      |  CAST(bullet_line_frac <= 0.9 AS INT) AS r_bullet,
+      |  CAST(ellipsis_line_frac <= 0.3 AS INT) AS r_ellipsis,
+      |  CAST(alpha_word_frac >= 0.8 AS INT) AS r_alpha,
+      |  CAST(n_stop_hits >= 2 AS INT) AS r_stop,
+      |  CAST(NOT has_lorem AND NOT has_brace AS INT) AS r_clean
+      | FROM sig),
+      |pr AS (SELECT *, CAST(r_len + r_word_len + r_symbol + r_bullet + r_ellipsis
+      |  + r_alpha + r_stop + r_clean = 8 AS INT) AS passes FROM r)
+      |""".stripMargin.replace("__DOCS__", docsCte)
+
   private def qualityOracleSql(qw: graft.ops.TextOps.QualityWeights): String = {
     // valueOf uses Double.toString's shortest form — round-trips to
     // the identical double when DuckDB parses it back
@@ -366,6 +415,42 @@ object PipelineQueries {
     "q150_centroid_outliers" -> ((s, d) =>
       SimilarityOps.centroidOutliers(Tables(s, d, "embeddings"),
         "vec_id", "embedding", "label", topK = 5)),
+
+    // Cohen's kappa between the C4/Gopher rule filter and the
+    // IRLS-trained quality scorer — the scorer-agreement audit.
+    "q157_scorer_kappa" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val rules = TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("passes").as("flag"))
+      val qual = TextOps.qualityScore(docs, "doc_id", "text",
+          TextOps.TrainedQualityWeights)
+        .select(col("id"), (col("quality") > 0.5).as("flag"))
+      ProfileOps.cohenKappa(rules, qual)
+    }),
+
+    // Connected dup clusters over VERIFIED winnow pairs: the
+    // candidate→verify funnel feeding component labeling (group-level
+    // dedup decisions, not just pairs).
+    "q158_winnow_clusters" -> ((s, d) =>
+      GraphOps.connectedComponents(
+        WinnowOps.verifiedPairs(Tables(s, d, "documents"), "doc_id", "text",
+          minJaccard = 0.3)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+        .select(col("id"), col("comp").as("component"))),
+
+    // Asymmetric containment pairs (quote/excerpt inclusion): the %211
+    // docs are verbatim-contained in the %223 docs — resemblance-based
+    // dedup misses them, containment flags them.
+    "q159_containment_pairs" -> ((s, d) => {
+      val p = "the quarterly compliance digest reproduces member submissions verbatim in the appendix section for archival reference purposes"
+      val t = when(col("doc_id") % 211 === 0, lit(p))
+        .when(col("doc_id") % 223 === 0, concat(lit(p), lit(" "), col("text")))
+        .otherwise(col("text"))
+      WinnowOps.containmentPairs(
+        Tables(s, d, "documents").withColumn("text", t),
+        "doc_id", "text")
+    }),
 
     // Winnowing with passage LOCALIZATION: matching fingerprint
     // positions give "chars X–Y of A match U–V of B" spans (the
@@ -1492,6 +1577,30 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q157_scorer_kappa" -> ProfileOps.cohenKappaOracleSql(
+      "WITH plain AS (SELECT doc_id, text AS t FROM documents),\n" +
+        rulesOracleBody("plain") +
+        "SELECT doc_id AS id, passes = 1 AS flag FROM pr",
+      s"SELECT doc_id AS id, quality > 0.5 AS flag FROM (\n" +
+        s"${qualityOracleSql(TextOps.TrainedQualityWeights)}) q"),
+    "q158_winnow_clusters" ->
+      ("WITH RECURSIVE e AS (SELECT id_a, id_b FROM (\n" +
+        WinnowOps.verifiedPairsOracleSql("documents", "doc_id", "text",
+          minJaccard = 0.3) + ") vp),\n" +
+        """bi AS (SELECT id_a AS u, id_b AS v FROM e
+          |       UNION SELECT id_b, id_a FROM e),
+          |reach(u, v) AS (
+          | SELECT u, u FROM (SELECT DISTINCT u FROM bi) nodes
+          | UNION
+          | SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u)
+          |SELECT u AS id, min(v) AS component FROM reach GROUP BY u""".stripMargin),
+    "q159_containment_pairs" -> WinnowOps.containmentPairsOracleSql(
+      "documents", "doc_id",
+      "CASE WHEN doc_id % 211 = 0 THEN " +
+        "'the quarterly compliance digest reproduces member submissions verbatim in the appendix section for archival reference purposes'" +
+        " WHEN doc_id % 223 = 0 THEN " +
+        "'the quarterly compliance digest reproduces member submissions verbatim in the appendix section for archival reference purposes '" +
+        " || text ELSE text END"),
     "q155_winnow_spans" -> WinnowOps.dupPairSpansOracleSql("documents", "doc_id",
       "CASE WHEN doc_id % 29 = 0 THEN text || " +
         "' Subscribe to our newsletter for weekly updates and exclusive offers today.'" +
@@ -1884,7 +1993,7 @@ object PipelineQueries {
         | md5(rep) AS repaired_md5
         |FROM c""".stripMargin,
     "q112_quality_rules" ->
-      """WITH inj AS (SELECT doc_id,
+      ("""WITH inj AS (SELECT doc_id,
         | CASE WHEN doc_id % 29 = 0 THEN 'tiny doc'
         |  ELSE text
         |   || CASE WHEN doc_id % 13 = 0
@@ -1900,47 +2009,7 @@ object PipelineQueries {
         |        THEN repeat(' pneumonoultramicroscopicsilicovolcanoconiosis', 25)
         |        ELSE '' END
         |  END AS t FROM documents),
-        |sig AS (SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t, '[^ \t\n\f\r]+')) AS BIGINT) AS n_words,
-        |  round(length(regexp_replace(t, '[ \t\n\f\r]', '', 'g')) * 1.0
-        |    / greatest(len(regexp_extract_all(t, '[^ \t\n\f\r]+')), 1), 4)
-        |    AS mean_word_len,
-        |  round((len(regexp_extract_all(t, '#'))
-        |    + len(regexp_extract_all(t, '\.\.\.'))
-        |    + len(regexp_extract_all(t, '…'))) * 1.0
-        |    / greatest(len(regexp_extract_all(t, '[^ \t\n\f\r]+')), 1), 5)
-        |    AS symbol_ratio,
-        |  round(len(list_filter(string_split(t, chr(10)),
-        |      x -> regexp_matches(x, '^[-*•] '))) * 1.0
-        |    / greatest(len(string_split(t, chr(10))), 1), 5)
-        |    AS bullet_line_frac,
-        |  round(len(list_filter(string_split(t, chr(10)),
-        |      x -> regexp_matches(x, '(\.\.\.|…)$'))) * 1.0
-        |    / greatest(len(string_split(t, chr(10))), 1), 5)
-        |    AS ellipsis_line_frac,
-        |  round(len(list_filter(regexp_extract_all(lower(t), '[^ \t\n\f\r]+'),
-        |      x -> regexp_matches(x, '[a-z]'))) * 1.0
-        |    / greatest(len(regexp_extract_all(t, '[^ \t\n\f\r]+')), 1), 5)
-        |    AS alpha_word_frac,
-        |  CAST(len(regexp_extract_all(lower(t), '\b(the|a|of|to|and)\b'))
-        |    AS BIGINT) AS n_stop_hits,
-        |  contains(lower(t), 'lorem ipsum') AS has_lorem,
-        |  contains(t, '{') AS has_brace
-        | FROM inj),
-        |r AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio,
-        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
-        |  CAST(n_words >= 10 AND n_words <= 100000 AS INT) AS r_len,
-        |  CAST(mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS INT)
-        |    AS r_word_len,
-        |  CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
-        |  CAST(bullet_line_frac <= 0.9 AS INT) AS r_bullet,
-        |  CAST(ellipsis_line_frac <= 0.3 AS INT) AS r_ellipsis,
-        |  CAST(alpha_word_frac >= 0.8 AS INT) AS r_alpha,
-        |  CAST(n_stop_hits >= 2 AS INT) AS r_stop,
-        |  CAST(NOT has_lorem AND NOT has_brace AS INT) AS r_clean
-        | FROM sig)
-        |SELECT *, CAST(r_len + r_word_len + r_symbol + r_bullet + r_ellipsis
-        |  + r_alpha + r_stop + r_clean = 8 AS INT) AS passes FROM r""".stripMargin,
+        |""".stripMargin + rulesOracleBody("inj") + "\nSELECT * FROM pr"),
     "q68_mixture_sample" -> {
       val coord = "substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 13)"
       val cases = MixtureFractions.map { case (s, f) =>

@@ -81,6 +81,44 @@ class DriftProjSpec extends SparkSpec {
     assert(r1.getDouble(2) > 0.5)
   }
 
+  test("cohenKappa: hand-computed 2x2 table, degenerate-table NULL") {
+    import graft.ops.ProfileOps
+    // cells: n11=3, n10=1, n01=2, n00=4 -> po=.7, pe=(4*5+6*5)/100=.5,
+    // kappa=(.7-.5)/.5=.4
+    val a = Seq(1L -> true, 2L -> true, 3L -> true, 4L -> true,
+      5L -> false, 6L -> false, 7L -> false, 8L -> false, 9L -> false,
+      10L -> false).toDF("id", "flag")
+    val b = Seq(1L -> true, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> true, 7L -> false, 8L -> false, 9L -> false,
+      10L -> false).toDF("id", "flag")
+    val r = ProfileOps.cohenKappa(a, b).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((10L, 3L, 1L, 2L, 4L)))
+    assert(r.getDouble(5) == 0.7 && r.getDouble(6) == 0.5 && r.getDouble(7) == 0.4)
+    // all four cells in one corner -> pe = 1 -> kappa NULL
+    val c = Seq(1L -> true, 2L -> true).toDF("id", "flag")
+    assert(ProfileOps.cohenKappa(c, c).collect()(0).isNullAt(7))
+  }
+
+  test("containmentPairs: flags the embedded quote that Jaccard misses") {
+    import graft.ops.WinnowOps
+    val quote = "the verbatim reproduced passage appears in full inside the larger digest"
+    val host = quote + " plus a much longer surrounding body of completely " +
+      "unrelated commentary analysis and discussion that dilutes the " +
+      "symmetric similarity measure down to a small value indeed " +
+      "with even more filler words appended here to lengthen it further"
+    val docs = Seq((1L, quote), (2L, host)).toDF("doc_id", "text")
+    val cont = WinnowOps.containmentPairs(docs, "doc_id", "text",
+        minShared = 1, minContainment = 0.7)
+      .collect()
+    assert(cont.length == 1)
+    assert(cont(0).getDouble(3) == 1.0)       // cont_a: quote fully inside host
+    assert(cont(0).getDouble(4) < 0.7)        // cont_b: host not inside quote
+    // the same pair fails symmetric-Jaccard verification
+    assert(WinnowOps.verifiedPairs(docs, "doc_id", "text",
+      minShared = 1, minJaccard = 0.5).count() == 0)
+  }
+
   test("vocabCoverage: hand-computed curve") {
     val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
     val r = TextOps.vocabCoverage(docs, "text", ks = Seq(1, 2, 100)).collect()(0)
