@@ -880,6 +880,62 @@ object TextOps {
       sum(col("c")).as("total_tokens") +: covs: _*)
   }
 
+  /** Distinct-n diversity per group (distinct-1 / distinct-2 of
+    * Li et al. 2016): unique n-gram fraction over all token
+    * occurrences in the group — the repetitiveness / mode-collapse
+    * audit for a source (synthetic-data batches crater distinct-2
+    * long before humans notice). Exact distinct counts here for the
+    * oracle; `approx_count_distinct` is the drop-in at 100 TB.
+    *
+    * @return (group, n_uni, distinct_1, n_big, distinct_2)
+    */
+  def distinctN(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val uni = df.select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("grp").agg(count(lit(1)).as("n_uni"),
+        count_distinct(col("tok")).as("d_uni"))
+    val w = col("_w")
+    val g2 = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val big = df.select(col(groupCol).as("grp"), tokens(col(textCol)).as("_w"))
+      .select(col("grp"), explode(array(g2)).as("_g")) // Generate barrier
+      .select(col("grp"), explode(col("_g")).as("g"))
+      .groupBy("grp").agg(count(lit(1)).as("n_big"),
+        count_distinct(col("g")).as("d_big"))
+    uni.join(big, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n_uni"),
+        round(col("d_uni").cast("double") / col("n_uni"), 6).as("distinct_1"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        when(col("n_big") > 0,
+          round(col("d_big").cast("double") / col("n_big"), 6)).as("distinct_2"))
+  }
+
+  /** DuckDB replay of [[distinctN]]. */
+  def distinctNOracleSql(table: String, groupCol: String,
+      textCol: String): String =
+    s"""WITH u AS (SELECT $groupCol AS grp, unnest(list_filter(
+       |    string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+'),
+       |    x -> x <> '')) AS tok FROM $table),
+       |ua AS (SELECT grp, count(*) AS n_uni, count(DISTINCT tok) AS d_uni
+       |  FROM u GROUP BY grp),
+       |w AS (SELECT $groupCol AS grp, list_filter(string_split_regex(
+       |    lower($textCol), '[ \\t\\n\\f\\r]+'), x -> x <> '') AS wds
+       |  FROM $table),
+       |b AS (SELECT grp, unnest(CASE WHEN len(wds) >= 2
+       |    THEN list_transform(generate_series(1, len(wds) - 1),
+       |      i -> wds[i] || ' ' || wds[i+1])
+       |    ELSE [] END) AS g FROM w),
+       |ba AS (SELECT grp, count(*) AS n_big, count(DISTINCT g) AS d_big
+       |  FROM b GROUP BY grp)
+       |SELECT ua.grp AS $groupCol, ua.n_uni,
+       |  round(ua.d_uni * 1.0::DOUBLE / ua.n_uni, 6) AS distinct_1,
+       |  coalesce(ba.n_big, 0) AS n_big,
+       |  CASE WHEN ba.n_big > 0
+       |    THEN round(ba.d_big * 1.0::DOUBLE / ba.n_big, 6) END AS distinct_2
+       |FROM ua LEFT JOIN ba USING (grp)""".stripMargin
+
   /** DuckDB replay of [[vocabCoverage]]. */
   def vocabCoverageOracleSql(table: String, textCol: String,
       ks: Seq[Int] = Seq(100, 1000, 10000)): String = {

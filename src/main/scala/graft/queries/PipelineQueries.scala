@@ -416,6 +416,29 @@ object PipelineQueries {
       SimilarityOps.centroidOutliers(Tables(s, d, "embeddings"),
         "vec_id", "embedding", "label", topK = 5)),
 
+    // LEAKAGE-SAFE train/val/test split: the q69 splitter keyed by
+    // verified-dup COMPONENT instead of doc id — a near-dup cluster
+    // can never straddle a split boundary (the eval-contamination
+    // channel the plain per-doc split leaves open).
+    "q160_leakage_safe_split" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val comps = GraphOps.connectedComponents(
+        WinnowOps.verifiedPairs(docs, "doc_id", "text", minJaccard = 0.3)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("component"))
+        .withColumn("split",
+          SampleOps.assignSplit(col("component"), SplitSpec, salt = "split1"))
+    }),
+
+    // Distinct-1/distinct-2 diversity per source (mode-collapse /
+    // synthetic-batch audit).
+    "q161_distinct_n" -> ((s, d) =>
+      TextOps.distinctN(Tables(s, d, "documents"), "source", "text")),
+
     // Cohen's kappa between the C4/Gopher rule filter and the
     // IRLS-trained quality scorer — the scorer-agreement audit.
     "q157_scorer_kappa" -> ((s, d) => {
@@ -1577,6 +1600,31 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q160_leakage_safe_split" -> {
+      val coord = "substr(md5('split1' || CAST(component AS VARCHAR)), 1, 13)"
+      val cuts = SplitSpec.init.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
+      val whens = SplitSpec.init.zip(cuts).map { case ((label, _), cut) =>
+        s"WHEN $coord < '${SampleOps.thresholdHex(cut)}' THEN '$label'"
+      }.mkString(" ")
+      "WITH RECURSIVE e AS (SELECT id_a, id_b FROM (\n" +
+        WinnowOps.verifiedPairsOracleSql("documents", "doc_id", "text",
+          minJaccard = 0.3) + ") vp),\n" +
+        """bi AS (SELECT id_a AS u, id_b AS v FROM e
+          |       UNION SELECT id_b, id_a FROM e),
+          |reach(u, v) AS (
+          | SELECT u, u FROM (SELECT DISTINCT u FROM bi) nodes
+          | UNION
+          | SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+          |comps AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+          |withc AS (SELECT d.doc_id,
+          |  coalesce(c.component, d.doc_id) AS component
+          | FROM documents d LEFT JOIN comps c ON d.doc_id = c.id)
+          |""".stripMargin +
+        s"""SELECT doc_id, component,
+           |CASE $whens ELSE '${SplitSpec.last._1}' END AS split
+           |FROM withc""".stripMargin
+    },
+    "q161_distinct_n" -> TextOps.distinctNOracleSql("documents", "source", "text"),
     "q157_scorer_kappa" -> ProfileOps.cohenKappaOracleSql(
       "WITH plain AS (SELECT doc_id, text AS t FROM documents),\n" +
         rulesOracleBody("plain") +

@@ -298,4 +298,39 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
     assert(!s.contains("SortMergeJoin"), s)
   }
+
+  test("q146 dsir: the ratio model joins broadcast; the corpus never sort-merges to it") {
+    val s = formatted("q146_dsir_weights")
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the token->ratio join specifically must not be a sort-merge
+    // (the id-keyed left join back to docs may plan either way)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q152 random projection: pure narrow map — zero exchanges, pruned scan") {
+    val s = formatted("q152_random_projection")
+    assert(!s.contains("Exchange"), "projection must not shuffle:\n" + s)
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("label"), readSchema) // only (vec_id, embedding)
+  }
+
+  test("q151 centroid confusion: centroid table broadcasts, no cartesian fallback") {
+    val s = formatted("q151_centroid_confusion")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("dsir frozen-model scoring is shuffle-free (the streaming-twin contract)") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val model = Map("abc" -> 10L, "fff" -> -5L)
+    val p = graft.ops.DsirOps.scoreWithModel(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan
+    assert(!p.toString.contains("Exchange"), p.toString)
+  }
+
+  test("q147 winnow pairs: equi-join on fingerprints, never a cartesian") {
+    val s = formatted("q147_winnow_pairs")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
 }

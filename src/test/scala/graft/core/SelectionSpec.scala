@@ -186,6 +186,54 @@ class SelectionSpec extends SparkSpec {
     assert(out("b") == ((1L, 0L, 0L, None)))
   }
 
+  test("leakage-safe split: dup clusters never straddle a split boundary") {
+    // two exact-dup clusters + singletons — assemble the same
+    // composition as q160 on a toy corpus
+    val dup1 = "a shared document body long enough to winnow and verify reliably"
+    val dup2 = "another distinct duplicated body that also exceeds the gram threshold"
+    val docs = Seq(
+      (1L, dup1), (2L, dup1), (3L, dup1),
+      (10L, dup2), (11L, dup2),
+      (20L, "a unique singleton document with its own content entirely"),
+      (21L, "a different singleton that matches nothing else at all")
+    ).toDF("doc_id", "text")
+    val comps = graft.ops.GraphOps.connectedComponents(
+      WinnowOps.verifiedPairs(docs, "doc_id", "text",
+        minShared = 1, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b")),
+      "id_a", "id_b")
+    val out = docs.select(col("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+      .withColumn("split", graft.ops.SampleOps.assignSplit(
+        col("component"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        salt = "split1"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // one component, one split side per cluster
+    assert(Set(1L, 2L, 3L).map(out(_)).size == 1)
+    assert(Set(10L, 11L).map(out(_)).size == 1)
+    assert(out(1L)._1 != out(10L)._1)
+    // singletons keep their id as component — identical to the plain
+    // q69 per-doc split for non-dup docs
+    assert(out(20L)._1 == 20L && out(21L)._1 == 21L)
+  }
+
+  test("distinctN: hand-computed diversity, single-token group") {
+    val docs = Seq(
+      (1L, "a", "x y x y"), (2L, "a", "x z"),
+      (3L, "b", "solo")).toDF("doc_id", "src", "text")
+    val out = TextOps.distinctN(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // group a: unigrams x y x y x z -> 6 total, 3 distinct
+    // bigrams: "x y","y x","x y" + "x z" -> 4 total, 3 distinct
+    assert(out("a")._1 == 6L && out("a")._2 == 0.5)
+    assert(out("a")._3 == 4L && out("a")._4.contains(0.75))
+    // group b: one token, no bigrams -> distinct_2 null
+    assert(out("b") == ((1L, 1.0, 0L, None)))
+  }
+
   // ---- Centroid outliers ------------------------------------------
 
   test("centroidOutliers: planted outlier ranks first, exact distance, per-label topK") {
