@@ -169,4 +169,85 @@ object PackOps {
             .cast("long") * col("seq_len")), 4).as("util_packed"))
       .orderBy("seq_len")
   }
+
+  /** SFT example assembly with LOSS MASKS: the first `promptTokens`
+    * tokens of each document are the prompt (mask 0 — no gradient),
+    * the remainder the completion (mask 1), truncated to `maxLen`
+    * total. Emitted as one row per (doc, position) — the exploded
+    * twin of the padded-tensor layout, chosen so the DuckDB oracle
+    * can replay it value-for-value (array columns defeat the
+    * harness's column-sorted hash compare).
+    *
+    * Pure narrow map + generate: no shuffle; downstream packing
+    * composes via [[packSequences]] on the per-doc lengths.
+    *
+    * @return (id, pos, token, loss_mask) — pos 0-based; docs shorter
+    *         than one token emit nothing
+    */
+  def sftTokenRows(docs: DataFrame, idCol: String, textCol: String,
+      promptTokens: Int = 8, maxLen: Int = 64): DataFrame =
+    docs.select(col(idCol).as("id"),
+        TextOps.tokens(col(textCol)).as("_w"))
+      .select(col("id"), explode(array(slice(col("_w"), 1, maxLen))).as("_t"))
+      .select(col("id"), posexplode(col("_t")).as(Seq("pos", "token")))
+      .select(col("id"), col("pos"), col("token"),
+        (col("pos") >= promptTokens).cast("int").as("loss_mask"))
+
+  /** DuckDB replay of [[sftTokenRows]]. */
+  def sftTokenRowsOracleSql(table: String, idCol: String, textCol: String,
+      promptTokens: Int = 8, maxLen: Int = 64): String =
+    s"""WITH w AS (SELECT $idCol AS id, list_filter(string_split_regex(
+       |    lower($textCol), '[ \\t\\n\\f\\r]+'), x -> x <> '')[1:$maxLen] AS t
+       |  FROM $table),
+       |e AS (SELECT id, unnest(generate_series(0, len(t) - 1)) AS pos,
+       |  unnest(t) AS token FROM w WHERE len(t) > 0)
+       |SELECT id, CAST(pos AS INT) AS pos, token,
+       |  CAST(pos >= $promptTokens AS INT) AS loss_mask FROM e""".stripMargin
+
+  /** Global token offsets via a TWO-LEVEL prefix sum — the memmap
+    * index builder ("document i's tokens start at byte/token offset
+    * X") without any global sort: an exclusive cumsum per source
+    * (shuffle keyed by source, the partitioning the semantics need)
+    * plus a broadcast table of per-source base offsets (sources
+    * ordered by name). Long-exact everywhere.
+    *
+    * @return (id, group, n_tokens, global_offset)
+    */
+  def tokenOffsets(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val base = docs.select(col(groupCol).as("grp"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("toks"))
+      .groupBy("grp").agg(sum("toks").as("total"))
+      .withColumn("base",
+        coalesce(sum(col("total")).over(
+          Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("grp", "base")
+    val local = Window.partitionBy("grp").orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("local_off", coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .join(broadcast(base), Seq("grp"))
+      .select(col("id"), col("grp").as(groupCol), col("n_tokens"),
+        (col("base") + col("local_off")).as("global_offset"))
+  }
+
+  /** DuckDB replay of [[tokenOffsets]]. */
+  def tokenOffsetsOracleSql(table: String, idCol: String, textCol: String,
+      groupCol: String): String =
+    s"""WITH d AS (SELECT $idCol AS id, $groupCol AS grp,
+       |  CAST(len(regexp_extract_all($textCol, '\\S+')) AS BIGINT) AS n_tokens
+       | FROM $table),
+       |b AS (SELECT grp, sum(n_tokens) AS total FROM d GROUP BY grp),
+       |bo AS (SELECT grp, CAST(coalesce(sum(total) OVER (ORDER BY grp
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS base FROM b),
+       |l AS (SELECT id, grp, n_tokens, CAST(coalesce(sum(n_tokens) OVER (
+       |    PARTITION BY grp ORDER BY id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS local_off FROM d)
+       |SELECT l.id, l.grp AS $groupCol, l.n_tokens,
+       |  bo.base + l.local_off AS global_offset
+       |FROM l JOIN bo USING (grp)""".stripMargin
 }

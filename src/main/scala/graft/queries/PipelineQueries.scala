@@ -416,6 +416,20 @@ object PipelineQueries {
       SimilarityOps.centroidOutliers(Tables(s, d, "embeddings"),
         "vec_id", "embedding", "label", topK = 5)),
 
+    // SFT example assembly with loss masks: prompt tokens mask 0,
+    // completion mask 1, truncated — the instruction-tuning twin of
+    // the pretraining pack (exploded layout for the oracle).
+    "q162_sft_masks" -> ((s, d) =>
+      graft.ops.PackOps.sftTokenRows(Tables(s, d, "documents"),
+        "doc_id", "text").withColumnRenamed("id", "doc_id")),
+
+    // Global token offsets (memmap index) via a two-level prefix sum:
+    // per-source exclusive cumsum + broadcast source bases — no
+    // global sort anywhere.
+    "q163_token_offsets" -> ((s, d) =>
+      graft.ops.PackOps.tokenOffsets(Tables(s, d, "documents"),
+        "doc_id", "text", "source").withColumnRenamed("id", "doc_id")),
+
     // LEAKAGE-SAFE train/val/test split: the q69 splitter keyed by
     // verified-dup COMPONENT instead of doc id — a near-dup cluster
     // can never straddle a split boundary (the eval-contamination
@@ -1600,6 +1614,13 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q162_sft_masks" -> graft.ops.PackOps.sftTokenRowsOracleSql(
+      "documents", "doc_id", "text")
+      .replaceFirst("SELECT id, CAST\\(pos AS INT\\)",
+        "SELECT id AS doc_id, CAST(pos AS INT)"),
+    "q163_token_offsets" -> graft.ops.PackOps.tokenOffsetsOracleSql(
+      "documents", "doc_id", "text", "source")
+      .replaceFirst("SELECT l.id,", "SELECT l.id AS doc_id,"),
     "q160_leakage_safe_split" -> {
       val coord = "substr(md5('split1' || CAST(component AS VARCHAR)), 1, 13)"
       val cuts = SplitSpec.init.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail

@@ -234,6 +234,41 @@ class SelectionSpec extends SparkSpec {
     assert(out("b") == ((1L, 1.0, 0L, None)))
   }
 
+  test("sftTokenRows: prompt/completion masks, truncation, empty doc") {
+    import graft.ops.PackOps
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "")).toDF("doc_id", "text")
+    val out = PackOps.sftTokenRows(docs, "doc_id", "text",
+        promptTokens = 3, maxLen = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.forall(_._1 == 1L)) // empty doc emits nothing
+    assert(out.sortBy(_._2).toSeq == Seq(
+      (1L, 0, "t0", 0), (1L, 1, "t1", 0), (1L, 2, "t2", 0),
+      (1L, 3, "t3", 1), (1L, 4, "t4", 1)))
+  }
+
+  test("tokenOffsets: two-level prefix sum is contiguous and gap-free") {
+    import graft.ops.PackOps
+    val docs = Seq(
+      (1L, "a", "w w w"), (2L, "a", "w w w w"),
+      (3L, "b", "w w w w w"), (4L, "b", "w")).toDF("doc_id", "src", "text")
+    val out = PackOps.tokenOffsets(docs, "doc_id", "text", "src")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (("a", 3L, 0L)))
+    assert(out(2L) == (("a", 4L, 3L)))
+    assert(out(3L) == (("b", 5L, 7L)))   // base of b = total of a
+    assert(out(4L) == (("b", 1L, 12L)))
+    // global invariant: sorted by offset, each doc starts where the
+    // previous one ends
+    val sorted = out.values.toSeq.sortBy(_._3)
+    sorted.sliding(2).foreach {
+      case Seq((_, n, off), (_, _, off2)) => assert(off + n == off2)
+      case _ =>
+    }
+  }
+
   // ---- Centroid outliers ------------------------------------------
 
   test("centroidOutliers: planted outlier ranks first, exact distance, per-label topK") {
