@@ -216,7 +216,7 @@ object PackOps {
   def tokenOffsets(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String): DataFrame = {
     val base = docs.select(col(groupCol).as("grp"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("toks"))
+        coalesce(TextOps.tokenCount(col(textCol)).cast("long"), lit(0L)).as("toks"))
       .groupBy("grp").agg(sum("toks").as("total"))
       .withColumn("base",
         coalesce(sum(col("total")).over(
@@ -226,7 +226,7 @@ object PackOps {
     val local = Window.partitionBy("grp").orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        coalesce(TextOps.tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tokens"))
       .withColumn("local_off", coalesce(sum(col("n_tokens")).over(local), lit(0L)))
       .join(broadcast(base), Seq("grp"))
       .select(col("id"), col("grp").as(groupCol), col("n_tokens"),
@@ -237,7 +237,8 @@ object PackOps {
   def tokenOffsetsOracleSql(table: String, idCol: String, textCol: String,
       groupCol: String): String =
     s"""WITH d AS (SELECT $idCol AS id, $groupCol AS grp,
-       |  CAST(len(regexp_extract_all($textCol, '\\S+')) AS BIGINT) AS n_tokens
+       |  CAST(coalesce(len(regexp_extract_all($textCol, '\\S+')), 0) AS BIGINT)
+       |    AS n_tokens
        | FROM $table),
        |b AS (SELECT grp, sum(n_tokens) AS total FROM d GROUP BY grp),
        |bo AS (SELECT grp, CAST(coalesce(sum(total) OVER (ORDER BY grp

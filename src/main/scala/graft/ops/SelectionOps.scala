@@ -76,7 +76,7 @@ object SelectionOps {
       w: TextOps.QualityWeights = TextOps.TrainedQualityWeights): DataFrame = {
     val qual = TextOps.qualityScore(docs, idCol, textCol, w)
     val base = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("toks"))
+        coalesce(TextOps.tokenCount(col(textCol)).cast("long"), lit(0L)).as("toks"))
       .join(qual, Seq("id"))
     val win = Window.partitionBy("grp")
       .orderBy(col("quality").desc, col("id").asc)
@@ -95,7 +95,8 @@ object SelectionOps {
       groupCol: String, budget: Long, qualitySubquery: String): String =
     s"""WITH q AS ($qualitySubquery),
        |b AS (SELECT d.$idCol AS id, d.$groupCol AS grp,
-       |  CAST(len(regexp_extract_all(d.$textCol, '\\S+')) AS BIGINT) AS toks,
+       |  CAST(coalesce(len(regexp_extract_all(d.$textCol, '\\S+')), 0) AS BIGINT)
+       |    AS toks,
        |  q.quality
        | FROM $table d JOIN q ON d.$idCol = q.doc_id),
        |c AS (SELECT *, sum(toks) OVER (PARTITION BY grp

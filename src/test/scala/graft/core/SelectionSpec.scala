@@ -269,6 +269,28 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("null text is handled without crashing across the new operators") {
+    val docs = Seq((1L, "some real text content here"), (2L, null))
+      .toDF("doc_id", "text")
+    // winnow: null normalizes to no fingerprints
+    assert(WinnowOps.fingerprints(docs, "doc_id", "text")
+      .where(col("id") === 2L).count() == 0)
+    // dsir: null doc scores as token-less (0, null)
+    val w = DsirOps.importanceWeights(docs, "doc_id", "text",
+      col("doc_id") === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(2L) == 0L)
+    // sft assembly and offsets: null emits nothing / counts zero
+    assert(graft.ops.PackOps.sftTokenRows(docs, "doc_id", "text")
+      .where(col("id") === 2L).count() == 0)
+    val off = graft.ops.PackOps.tokenOffsets(docs, "doc_id", "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(off(2L) == 0L)
+    // distinct-n: the null doc contributes no tokens
+    val dn = TextOps.distinctN(docs.withColumn("g", lit("x")), "g", "text")
+      .collect()(0)
+    assert(dn.getLong(1) == 5L)
+  }
+
   // ---- Centroid outliers ------------------------------------------
 
   test("centroidOutliers: planted outlier ranks first, exact distance, per-label topK") {
