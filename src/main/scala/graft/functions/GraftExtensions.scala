@@ -151,6 +151,13 @@ object GraftFunctions {
           s"graft_cdc_chunks requires exactly 3 arguments, got ${children.size}")
         CdcChunks(children(0), children(1), children(2))
       }),
+    ("graft_winnow",
+      new ExpressionInfo(classOf[WinnowFp].getName, "graft_winnow"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_winnow requires exactly 3 arguments, got ${children.size}")
+        WinnowFp(children(0), children(1), children(2))
+      }),
     ("graft_nfc",
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => {

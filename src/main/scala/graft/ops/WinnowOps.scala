@@ -28,20 +28,43 @@ import org.apache.spark.sql.functions._
   */
 object WinnowOps {
 
-  /** Per-document winnowing fingerprint sets.
+  /** The normalized text the fingerprints hash over. */
+  private def normText(textCol: String) =
+    lower(regexp_replace(col(textCol), "\\s+", ""))
+
+  /** Per-document winnowing fingerprint sets, via the native
+    * single-pass `graft_winnow` kernel (functions/WinnowFp.scala —
+    * reused digest, monotone-deque window minima; measured ~6× over
+    * the composed HOF form at sf0.1, bit-identical by
+    * WinnowNativeSpec).
     *
     * @return (id, n_fp, fp) — one row per distinct fingerprint; docs
     *         shorter than `k` normalized chars yield no rows
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, w: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+        call_function("graft_winnow", normText(textCol), lit(k), lit(w)).as("_x"))
+      .select(col("id"),
+        array_distinct(transform(col("_x"), _.getField("fp"))).as("_f"))
+      .select(col("id"), size(col("_f")).cast("long").as("n_fp"),
+        explode(col("_f")).as("fp"))
+  }
+
+  /** The composed higher-order-function form of [[fingerprints]] —
+    * kept as the differential reference the native kernel is pinned
+    * against (WinnowNativeSpec), and as documentation of the
+    * pure-builtin expression of the algorithm.
+    */
+  private[graft] def fingerprintsComposed(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 12, w: Int = 6): DataFrame = {
     // Normalize ONCE per row; the explode(array(..)) Generate barrier
     // keeps the regexp_replace out of the per-gram lambda (the same
     // O(len²) projection-collapse trap documented in
     // DedupOps.wordShingles).
     val s = col("_s")
-    docs.select(col(idCol).as("id"),
-        lower(regexp_replace(col(textCol), "\\s+", "")).as("_s"))
+    docs.select(col(idCol).as("id"), normText(textCol).as("_s"))
       .select(col("id"), explode(array(gramHashes(s, k))).as("_h"))
       .select(col("id"), explode(array(windowMins(col("_h"), w))).as("_f"))
       .select(col("id"), size(col("_f")).cast("long").as("n_fp"),
@@ -90,6 +113,18 @@ object WinnowOps {
     */
   def fingerprintsPos(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, w: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+        explode(call_function("graft_winnow", normText(textCol),
+          lit(k), lit(w))).as("_x"))
+      .groupBy(col("id"), col("_x.fp").as("fp"))
+      .agg(min(col("_x.pos")).as("pos"))
+  }
+
+  /** Composed twin of [[fingerprintsPos]] (differential reference —
+    * see [[fingerprintsComposed]]). */
+  private[graft] def fingerprintsPosComposed(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 12, w: Int = 6): DataFrame = {
     val h = col("_h")
     val m = greatest(size(h) - (w - 1), lit(1))
     // struct(fp, pos) per window: pos = argmin within the slice
@@ -101,8 +136,7 @@ object WinnowOps {
         struct(array_min(win).as("fp"),
           (array_position(win, array_min(win)) + i - 1).as("pos"))
       })).otherwise(array().cast("array<struct<fp:string,pos:long>>"))
-    docs.select(col(idCol).as("id"),
-        lower(regexp_replace(col(textCol), "\\s+", "")).as("_s"))
+    docs.select(col(idCol).as("id"), normText(textCol).as("_s"))
       .select(col("id"), explode(array(gramHashes(col("_s"), k))).as("_h"))
       .select(col("id"), explode(array(sel)).as("_sel"))
       .select(col("id"), explode(col("_sel")).as("_x"))
