@@ -243,6 +243,100 @@ object WinnowOps {
        | FROM cand c JOIN gs a ON c.id_a = a.id JOIN gs b ON c.id_b = b.id)
        |SELECT id_a, id_b, n_shared, jac FROM j WHERE jac >= $minJaccard""".stripMargin
 
+  /** Passage-level novelty vs a REFERENCE corpus: what fraction of a
+    * candidate document's winnow fingerprints already exist anywhere
+    * in the reference — the crawl-refresh "have we already got this
+    * content" gate at PASSAGE granularity (the [[graft.ops.TextOps
+    * .gramNoveltyVsRef]] companion: n-gram novelty sees vocabulary,
+    * winnow overlap sees verbatim shared passages).
+    *
+    * Scale shape: the reference reduces ONCE to a distinct
+    * fingerprint set (an index you would persist and reuse across
+    * refreshes); candidates probe it with a digest-keyed left join —
+    * text never shuffles, and the index is ~2/(w+1) of the reference
+    * gram count.
+    *
+    * @return (id, n_fp, n_known, round(overlap,5)) per candidate —
+    *         overlap null for un-fingerprint-able docs
+    */
+  def refOverlap(candidates: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, k: Int = 12, w: Int = 6): DataFrame = {
+    val refIdx = fingerprints(reference, idCol, textCol, k, w)
+      .select(col("fp")).distinct().withColumn("known", lit(1))
+    val cand = fingerprints(candidates, idCol, textCol, k, w)
+    val per = cand.join(refIdx, Seq("fp"), "left")
+      .groupBy("id")
+      .agg(first(col("n_fp")).as("_n"),
+        sum(col("known").isNotNull.cast("long")).as("_k"))
+    candidates.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_n"), lit(0L)).as("n_fp"),
+        coalesce(col("_k"), lit(0L)).as("n_known"),
+        when(col("_n") > 0,
+          round(col("_k").cast("double") / col("_n"), 5)).as("overlap"))
+  }
+
+  /** DuckDB replay of [[refOverlap]]: candidates = rows passing
+    * `candPredSql`, reference = the rest. */
+  def refOverlapOracleSql(table: String, idCol: String, textExpr: String,
+      candPredSql: String, k: Int = 12, w: Int = 6): String =
+    s"""WITH t AS (SELECT $idCol AS id, ($candPredSql) AS is_cand,
+       |  lower(regexp_replace($textExpr, '\\s+', '', 'g')) AS s FROM $table),
+       |g AS (SELECT id, is_cand, CASE WHEN length(s) >= $k
+       |  THEN list_transform(generate_series(1, length(s) - ${k - 1}),
+       |    i -> substr(md5(substr(s, i, $k)), 1, 16))
+       |  ELSE [] END AS h FROM t),
+       |f AS (SELECT id, is_cand, list_distinct(CASE
+       |   WHEN len(h) = 0 THEN []
+       |   WHEN len(h) <= $w THEN [list_min(h)]
+       |   ELSE list_transform(generate_series(1, len(h) - ${w - 1}),
+       |     i -> list_min(h[i:i+${w - 1}])) END) AS fps FROM g),
+       |refidx AS (SELECT DISTINCT unnest(fps) AS fp FROM f WHERE NOT is_cand),
+       |e AS (SELECT id, len(fps) AS n_fp, unnest(fps) AS fp
+       |  FROM f WHERE is_cand),
+       |per AS (SELECT e.id, any_value(e.n_fp) AS n,
+       |  sum(CASE WHEN r.fp IS NULL THEN 0 ELSE 1 END) AS kn
+       | FROM e LEFT JOIN refidx r ON e.fp = r.fp GROUP BY e.id)
+       |SELECT t.id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_fp,
+       |  CAST(coalesce(per.kn, 0) AS BIGINT) AS n_known,
+       |  CASE WHEN per.n > 0
+       |    THEN round(per.kn * 1.0::DOUBLE / per.n, 5) END AS overlap
+       |FROM (SELECT id FROM t WHERE is_cand) t
+       |LEFT JOIN per ON t.id = per.id""".stripMargin
+
+  /** Dedup-threshold sweep: verified-pair counts at a ladder of
+    * Jaccard thresholds, from ONE candidate+verify pass (conditional
+    * sums — the sweep costs one aggregate, not |thresholds| runs).
+    * The input for choosing the production dedup threshold: where
+    * the pair count curve elbows is where near-dups end and topical
+    * similarity begins.
+    *
+    * @return one row: n_candidates, n_verified_at_<t>...
+    */
+  def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2,
+      n: Int = 3, thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9)): DataFrame = {
+    val pairs = verifiedPairs(docs, idCol, textCol, k, w, maxDf, minShared,
+      n, minJaccard = 0.0)
+    val counts = thresholds.map(t =>
+      sum((col("jac") >= t).cast("long"))
+        .as(s"n_at_${(t * 100).round.toInt}"))
+    pairs.agg(count(lit(1)).as("n_candidates"), counts: _*)
+  }
+
+  /** DuckDB replay of [[thresholdSweep]]. */
+  def thresholdSweepOracleSql(table: String, idCol: String, textExpr: String,
+      k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2,
+      n: Int = 3, thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9)): String = {
+    val counts = thresholds.map(t =>
+      s"CAST(sum(CASE WHEN jac >= $t THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS n_at_${(t * 100).round.toInt}").mkString(",\n  ")
+    s"""SELECT count(*) AS n_candidates,
+       |  $counts
+       |FROM (${verifiedPairsOracleSql(table, idCol, textExpr, k, w, maxDf,
+          minShared, n, minJaccard = 0.0)}) vp""".stripMargin
+  }
+
   /** Asymmetric CONTAINMENT verification (Broder's containment, the
     * quote-inclusion detector): for each winnow candidate pair,
     * c(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| — near 1 when A is

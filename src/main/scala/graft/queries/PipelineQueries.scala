@@ -416,6 +416,24 @@ object PipelineQueries {
       SimilarityOps.centroidOutliers(Tables(s, d, "embeddings"),
         "vec_id", "embedding", "label", topK = 5)),
 
+    // Passage-level novelty vs the already-crawled reference (even
+    // ids): the persisted-winnow-index probe, q145's verbatim-passage
+    // companion.
+    "q164_ref_overlap" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      WinnowOps.refOverlap(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Dedup-threshold sweep: verified-pair counts at a Jaccard
+    // ladder from ONE candidate+verify pass — the production
+    // threshold-tuning curve.
+    "q165_threshold_sweep" -> ((s, d) =>
+      WinnowOps.thresholdSweep(Tables(s, d, "documents"), "doc_id", "text")),
+
     // SFT example assembly with loss masks: prompt tokens mask 0,
     // completion mask 1, truncated — the instruction-tuning twin of
     // the pretraining pack (exploded layout for the oracle).
@@ -1614,6 +1632,11 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q164_ref_overlap" -> WinnowOps.refOverlapOracleSql("documents",
+      "doc_id", "text", "doc_id % 2 = 1")
+      .replaceFirst("SELECT t.id,", "SELECT t.id AS doc_id,"),
+    "q165_threshold_sweep" -> WinnowOps.thresholdSweepOracleSql("documents",
+      "doc_id", "text"),
     "q162_sft_masks" -> graft.ops.PackOps.sftTokenRowsOracleSql(
       "documents", "doc_id", "text")
       .replaceFirst("SELECT id, CAST\\(pos AS INT\\)",

@@ -291,6 +291,37 @@ class SelectionSpec extends SparkSpec {
     assert(dn.getLong(1) == 5L)
   }
 
+  test("refOverlap: copied candidate fully known, fresh candidate fully novel") {
+    val refDoc = "the reference corpus already contains this exact passage verbatim today"
+    val ref = Seq((100L, refDoc), (101L, "other reference content that is long enough"))
+      .toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, refDoc),                                       // verbatim re-crawl
+      (2L, "completely fresh new content never seen before anywhere at all"),
+      (3L, "x")).toDF("doc_id", "text")                   // too short
+    val out = WinnowOps.refOverlap(cand, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L)._1 > 0 && out(1L)._3.contains(1.0))    // every fp known
+    assert(out(2L)._2 == 0L && out(2L)._3.contains(0.0))  // nothing known
+    assert(out(3L) == ((0L, 0L, None)))
+  }
+
+  test("thresholdSweep: counts are monotone non-increasing in the threshold") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq((1L, a), (2L, a),
+      (3L, a + " with a divergent tail appended to lower the jaccard score")
+    ).toDF("doc_id", "text")
+    val r = WinnowOps.thresholdSweep(docs, "doc_id", "text",
+      minShared = 1).collect()(0)
+    val counts = (1 to 4).map(r.getLong)
+    assert(r.getLong(0) == 3L)               // all 3 pairs are candidates
+    assert(counts == counts.sorted.reverse)  // monotone
+    assert(counts.head == 3L)                // all pairs >= 0.3 here
+    assert(counts.last == 1L)                // only the exact dup >= 0.9
+  }
+
   // ---- Centroid outliers ------------------------------------------
 
   test("centroidOutliers: planted outlier ranks first, exact distance, per-label topK") {
