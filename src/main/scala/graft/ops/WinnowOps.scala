@@ -89,7 +89,18 @@ object WinnowOps {
       .otherwise(array().cast("array<string>"))
 
   /** Document pairs sharing ≥ `minShared` fingerprints, after the
-    * `maxDf` boilerplate guard. Returns (id_a, id_b, n_shared). */
+    * `maxDf` boilerplate guard. Returns (id_a, id_b, n_shared).
+    *
+    * Guard semantics caveat (measured, WinnowScaleSpec): the df guard
+    * counts SELECTED fingerprints, and window-min selection near a
+    * boilerplate run's boundaries is context-dependent — so while the
+    * run's consistently-selected interior fps hit df≈corpus and drop,
+    * a middling-hash boilerplate gram can be selected only in the
+    * small doc subset whose surrounding hashes are all larger,
+    * survive the guard, and legitimately pair those docs. If known
+    * site boilerplate must never link documents, strip it BEFORE
+    * fingerprinting (TextOps.htmlExtract / line dedup) — the guard
+    * bounds fan-out; it is not a boilerplate remover. */
   def dupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2): DataFrame = {
     val fp = fingerprints(docs, idCol, textCol, k, w).select("id", "fp")
