@@ -416,6 +416,45 @@ object PipelineQueries {
       SimilarityOps.centroidOutliers(Tables(s, d, "embeddings"),
         "vec_id", "embedding", "label", topK = 5)),
 
+    // Dedup savings estimate: cluster the verified dups, keep one doc
+    // per cluster (the component label = min id), report how many
+    // tokens dedup would remove — the "is near-dup dedup worth
+    // running here" headline number.
+    "q166_dedup_savings" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val comps = GraphOps.connectedComponents(
+        WinnowOps.verifiedPairs(docs, "doc_id", "text", minJaccard = 0.3)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      val toks = docs.select(col("doc_id"),
+        coalesce(TextOps.tokenCount(col("text")).cast("long"), lit(0L)).as("toks"))
+      val clustered = toks
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+        .agg(count_distinct(col("comp")).as("n_clusters"),
+          count(lit(1)).as("n_clustered_docs"),
+          sum(col("toks")).as("tokens_clustered"),
+          coalesce(sum(when(col("doc_id") =!= col("comp"), col("toks"))),
+            lit(0L)).as("tokens_removable"))
+      val totals = toks.agg(count(lit(1)).as("n_docs_total"),
+        sum(col("toks")).as("tokens_total"))
+      totals.crossJoin(clustered)
+        .withColumn("savings_frac",
+          round(col("tokens_removable").cast("double") / col("tokens_total"), 6))
+    }),
+
+    // Cross-source NEAR-dup leakage matrix (q140's exact-text audit
+    // at passage level): verified-pair counts per source pair.
+    "q167_source_neardup" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val vp = WinnowOps.verifiedPairs(docs, "doc_id", "text", minJaccard = 0.3)
+      val src = docs.select(col("doc_id"), col("source"))
+      vp.join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Passage-level novelty vs the already-crawled reference (even
     // ids): the persisted-winnow-index probe, q145's verbatim-passage
     // companion.
@@ -1632,6 +1671,44 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q166_dedup_savings" ->
+      ("WITH RECURSIVE e AS (SELECT id_a, id_b FROM (\n" +
+        WinnowOps.verifiedPairsOracleSql("documents", "doc_id", "text",
+          minJaccard = 0.3) + ") vp),\n" +
+        """bi AS (SELECT id_a AS u, id_b AS v FROM e
+          |       UNION SELECT id_b, id_a FROM e),
+          |reach(u, v) AS (
+          | SELECT u, u FROM (SELECT DISTINCT u FROM bi) nodes
+          | UNION
+          | SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+          |comps AS (SELECT u AS id, min(v) AS comp FROM reach GROUP BY u),
+          |tk AS (SELECT doc_id, CAST(coalesce(
+          |   len(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS toks
+          |  FROM documents),
+          |cl AS (SELECT CAST(count(DISTINCT c.comp) AS BIGINT) AS n_clusters,
+          |   count(*) AS n_clustered_docs,
+          |   CAST(sum(tk.toks) AS BIGINT) AS tokens_clustered,
+          |   CAST(coalesce(sum(CASE WHEN tk.doc_id <> c.comp
+          |     THEN tk.toks END), 0) AS BIGINT) AS tokens_removable
+          |  FROM tk JOIN comps c ON tk.doc_id = c.id),
+          |tot AS (SELECT count(*) AS n_docs_total,
+          |   CAST(sum(toks) AS BIGINT) AS tokens_total FROM tk)
+          |SELECT tot.n_docs_total, tot.tokens_total, cl.n_clusters,
+          | cl.n_clustered_docs, cl.tokens_clustered, cl.tokens_removable,
+          | round(cl.tokens_removable * 1.0::DOUBLE / tot.tokens_total, 6)
+          |   AS savings_frac
+          |FROM tot, cl""".stripMargin),
+    "q167_source_neardup" ->
+      ("WITH vp AS (\n" +
+        WinnowOps.verifiedPairsOracleSql("documents", "doc_id", "text",
+          minJaccard = 0.3) + "),\n" +
+        """s AS (SELECT doc_id, source FROM documents)
+          |SELECT least(a.source, b.source) AS source_a,
+          | greatest(a.source, b.source) AS source_b,
+          | count(*) AS n_pairs
+          |FROM vp JOIN s a ON vp.id_a = a.doc_id
+          |JOIN s b ON vp.id_b = b.doc_id
+          |GROUP BY 1, 2""".stripMargin),
     "q164_ref_overlap" -> WinnowOps.refOverlapOracleSql("documents",
       "doc_id", "text", "doc_id % 2 = 1")
       .replaceFirst("SELECT t.id,", "SELECT t.id AS doc_id,"),
