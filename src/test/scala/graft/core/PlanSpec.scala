@@ -308,6 +308,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q152 random projection: pure narrow map — zero exchanges, pruned scan") {
+    // SimilaritySpec caches the embeddings parquet; Spark's cache
+    // manager would substitute the full-column InMemoryRelation here
+    // and hide the pruned scan this test asserts (suites run
+    // sequentially in the forked JVM, so clearing is deterministic)
+    spark.catalog.clearCache()
     val s = formatted("q152_random_projection")
     assert(!s.contains("Exchange"), "projection must not shuffle:\n" + s)
     val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
