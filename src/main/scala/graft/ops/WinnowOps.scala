@@ -348,6 +348,56 @@ object WinnowOps {
           minShared, n, minJaccard = 0.0)}) vp""".stripMargin
   }
 
+  /** Boilerplate passage MINER: the most document-frequent winnow
+    * fingerprints per group (source/site) with an example document —
+    * the input to building the strip-before-fingerprint blocklist
+    * that the [[dupPairs]] guard caveat calls for (mine what repeats,
+    * strip it upstream, THEN dedup). df is counted on selected
+    * fingerprints, which under-counts boundary-context passages — the
+    * right bias for a miner (a passage selected corpus-wide is
+    * boilerplate beyond doubt).
+    *
+    * @return (group, fp, df, example_doc, rn) — top `topK` per group
+    *         by (df desc, fp), df ≥ minDf
+    */
+  def boilerplateMiner(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, topK: Int = 3, minDf: Long = 5,
+      k: Int = 12, w: Int = 6): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, k, w).select("id", "fp")
+    val withGrp = fp.join(
+      docs.select(col(idCol).as("id"), col(groupCol).as("grp")), Seq("id"))
+    val df = withGrp.groupBy("grp", "fp")
+      .agg(count(lit(1)).as("df"), min(col("id")).as("example_doc"))
+      .where(col("df") >= minDf)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("df").desc, col("fp"))
+    df.withColumn("rn", row_number().over(win)).where(col("rn") <= topK)
+      .select(col("grp").as(groupCol), col("fp"), col("df"),
+        col("example_doc"), col("rn"))
+  }
+
+  /** DuckDB replay of [[boilerplateMiner]]. */
+  def boilerplateMinerOracleSql(table: String, idCol: String, textExpr: String,
+      groupCol: String, topK: Int = 3, minDf: Long = 5,
+      k: Int = 12, w: Int = 6): String =
+    s"""WITH t AS (SELECT $idCol AS id, $groupCol AS grp,
+       |  lower(regexp_replace($textExpr, '\\s+', '', 'g')) AS s FROM $table),
+       |g AS (SELECT id, grp, CASE WHEN length(s) >= $k
+       |  THEN list_transform(generate_series(1, length(s) - ${k - 1}),
+       |    i -> substr(md5(substr(s, i, $k)), 1, 16))
+       |  ELSE [] END AS h FROM t),
+       |f AS (SELECT id, grp, unnest(list_distinct(CASE
+       |   WHEN len(h) = 0 THEN []
+       |   WHEN len(h) <= $w THEN [list_min(h)]
+       |   ELSE list_transform(generate_series(1, len(h) - ${w - 1}),
+       |     i -> list_min(h[i:i+${w - 1}])) END)) AS fp FROM g),
+       |d AS (SELECT grp, fp, count(*) AS df, min(id) AS example_doc
+       |  FROM f GROUP BY grp, fp HAVING count(*) >= $minDf),
+       |r AS (SELECT grp, fp, df, example_doc, row_number() OVER (
+       |   PARTITION BY grp ORDER BY df DESC, fp) AS rn FROM d)
+       |SELECT grp AS $groupCol, fp, df, example_doc, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= $topK""".stripMargin
+
   /** Asymmetric CONTAINMENT verification (Broder's containment, the
     * quote-inclusion detector): for each winnow candidate pair,
     * c(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| — near 1 when A is

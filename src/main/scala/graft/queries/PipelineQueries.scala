@@ -416,6 +416,18 @@ object PipelineQueries {
       SimilarityOps.centroidOutliers(Tables(s, d, "embeddings"),
         "vec_id", "embedding", "label", topK = 5)),
 
+    // Boilerplate passage miner: top repeated fingerprints per source
+    // with an example doc — feeds the strip-before-fingerprint
+    // blocklist (%29 injection plants a known boilerplate line).
+    "q168_boilerplate_miner" -> ((s, d) => {
+      val boiler = " Subscribe to our newsletter for weekly updates and exclusive offers today."
+      val t = when(col("doc_id") % 29 === 0, concat(col("text"), lit(boiler)))
+        .otherwise(col("text"))
+      WinnowOps.boilerplateMiner(
+        Tables(s, d, "documents").withColumn("text", t),
+        "doc_id", "text", "source", topK = 3, minDf = 3)
+    }),
+
     // Dedup savings estimate: cluster the verified dups, keep one doc
     // per cluster (the component label = min id), report how many
     // tokens dedup would remove — the "is near-dup dedup worth
@@ -1671,6 +1683,12 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q168_boilerplate_miner" -> WinnowOps.boilerplateMinerOracleSql(
+      "documents", "doc_id",
+      "CASE WHEN doc_id % 29 = 0 THEN text || " +
+        "' Subscribe to our newsletter for weekly updates and exclusive offers today.'" +
+        " ELSE text END",
+      "source", topK = 3, minDf = 3),
     "q166_dedup_savings" ->
       ("WITH RECURSIVE e AS (SELECT id_a, id_b FROM (\n" +
         WinnowOps.verifiedPairsOracleSql("documents", "doc_id", "text",

@@ -291,6 +291,31 @@ class SelectionSpec extends SparkSpec {
     assert(dn.getLong(1) == 5L)
   }
 
+  test("boilerplateMiner: planted footer dominates its group's top fingerprints") {
+    val footer = " subscribe to the shared footer that repeats on every page here"
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // md5 bodies: fully distinct AND fixed-length, so the footer sits
+    // at the same offset in every doc (aligned windows -> interior
+    // footer fingerprints selected identically, df exactly 6)
+    val docs = (1L to 8L).map { i =>
+      val body = hex(s"body$i")
+      (i, "siteA", if (i <= 6) body + footer else body)
+    }.toDF("doc_id", "src", "text")
+    val out = WinnowOps.boilerplateMiner(docs, "doc_id", "text", "src",
+        topK = 3, minDf = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(4)))
+    assert(out.nonEmpty && out.forall(_._1 == "siteA"))
+    // the rank-1 fingerprint is the footer's: shared by exactly the
+    // 6 footer docs, absent from the rest
+    val top = out.find(_._4 == 1).get
+    assert(top._3 == 6L)
+    val fps = WinnowOps.fingerprints(docs, "doc_id", "text")
+      .where(col("fp") === top._2).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(fps == (1L to 6L).toSet)
+  }
+
   test("refOverlap: copied candidate fully known, fresh candidate fully novel") {
     val refDoc = "the reference corpus already contains this exact passage verbatim today"
     val ref = Seq((100L, refDoc), (101L, "other reference content that is long enough"))
