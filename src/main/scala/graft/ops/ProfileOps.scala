@@ -506,4 +506,45 @@ object ProfileOps {
        |          + ((n01 + n00) * (n10 + n00)) * 1.0::DOUBLE / (n * 1.0::DOUBLE * n))), 6)
        |    END AS kappa
        |FROM cells""".stripMargin
+
+  /** k-anonymity audit over quasi-identifier expressions — the
+    * privacy-risk probe a dataset release runs alongside the PII scrub
+    * (q64 removes direct identifiers; this measures whether the
+    * INDIRECT ones — source, language, length bucket, domain — still
+    * isolate individual rows). A row is at risk when its equivalence
+    * class under the quasi-identifiers holds fewer than `k` rows.
+    *
+    * `qi` maps output column name → quasi-identifier expression
+    * (derived QIs like length buckets are expressions, not columns —
+    * generalization IS the knob a release tunes).
+    *
+    * Output: one row per equivalence class — the QI values, class
+    * size `n`, and `at_risk`. Scale shape: one map-side-combined
+    * groupBy to class-cardinality rows; no joins, no collect. The
+    * risky TAIL is the interesting part and it is small by definition
+    * (classes with n < k); consumers filtering `at_risk` prune
+    * everything else at the aggregate's output.
+    */
+  def kAnonymity(df: DataFrame, qi: Seq[(String, org.apache.spark.sql.Column)],
+      k: Int): DataFrame = {
+    require(qi.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 2, s"kAnonymity needs k >= 2, got $k")
+    df.groupBy(qi.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+  }
+
+  /** One-row release headline for [[kAnonymity]]: class counts, row
+    * counts, and the risky-row fraction (6dp). Same single-aggregation
+    * scale shape — the class table re-aggregates to one row.
+    */
+  def kAnonymitySummary(df: DataFrame,
+      qi: Seq[(String, org.apache.spark.sql.Column)], k: Int): DataFrame =
+    kAnonymity(df, qi, k).agg(
+      count(lit(1)).as("n_classes"),
+      count(when(col("at_risk"), 1)).as("n_risky_classes"),
+      sum("n").as("n_rows"),
+      coalesce(sum(when(col("at_risk"), col("n"))), lit(0L)).as("n_risky_rows"),
+      round(coalesce(sum(when(col("at_risk"), col("n"))), lit(0L))
+        .cast("double") / sum("n"), 6).as("risky_frac"))
 }

@@ -1,0 +1,451 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (Kudo 2018 — the SentencePiece
+  * algorithm family): the OTHER production tokenizer, next to BPE
+  * (ops/BpeOps.scala). Three operators:
+  *
+  *  - [[fitUnigram]]: distributed EM over the corpus word table —
+  *    seed vocabulary from substring frequencies, then fixed-round
+  *    expectation-maximization where the E-step (per-word
+  *    forward–backward) runs as a native expression over the
+  *    word-count table and expected counts aggregate EXACTLY
+  *    (micro-unit longs → decimal sums — associative, so the fit is
+  *    bit-identical under any partitioning; same discipline as
+  *    QualityFit's decimal Gram sums).
+  *  - [[unigramEncode]]: Viterbi (max-likelihood) segmentation of
+  *    each document under a fitted model — per-row native
+  *    expression, zero shuffle.
+  *  - [[greedyEncode]]: greedy longest-match segmentation (the
+  *    WordPiece-style inference rule) under the frozen
+  *    [[DefaultVocab]] — deterministic and SQL-replayable, so it
+  *    carries the family's DuckDB oracle ([[greedyOracleSql]])
+  *    exactly as BPE's frozen-merges encode carries q80's.
+  *
+  * Model-vs-data split (the repo's BPE/QualityFit discipline): the
+  * corpus collapses once into a word-frequency table (map-side
+  * combined, word-vocab-bounded); everything iterative happens
+  * against that table with the piece model riding as a foldable
+  * literal; only piece-vocab-bounded aggregates are ever collected.
+  *
+  * Scale shape of fit at 100 TB: one corpus scan (word counts);
+  * per-EM-round one scan of the WORD table (vocab-scale, not
+  * corpus-scale) + one piece-keyed aggregation of bounded width.
+  * Encode is a zero-shuffle per-row scan with an LRU word cache
+  * (Zipfian head stays resident).
+  */
+object UnigramOps {
+
+  /** Maximum piece length considered anywhere (seeding, EM, Viterbi,
+    * greedy) — part of the model contract.
+    */
+  val MaxPieceLen = 6
+
+  /** Log-prob floor for a single character absent from the model:
+    * forces coverage (any word segments) without letting unknown
+    * chars outscore real pieces.
+    */
+  val UnkLogProb: Double = -1e9
+
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  private def sparkLower(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase.toString
+
+  private[graft] def words(text: String): Iterator[String] =
+    sparkLower(text).split("[ \t\n\f\r]+").iterator.filter(_.nonEmpty)
+
+  // ------------------------------------------------------------ model
+
+  /** Piece → probability (linear space, normalized over the vocab).
+    * `logProb` adds the single-char UNK floor for coverage.
+    */
+  final class UnigramModel(val probs: Map[String, Double], val maxLen: Int)
+      extends Serializable {
+    val logs: Map[String, Double] = probs.map { case (k, v) => k -> math.log(v) }
+    def prob(s: String): Double = probs.getOrElse(s, 0.0)
+    def logProb(s: String): Double = logs.get(s) match {
+      case Some(l) => l
+      case None => if (s.length == 1) UnkLogProb else Double.NegativeInfinity
+    }
+  }
+
+  /** Literal codec: one "piece prob" string per piece (pieces come
+    * from whitespace-split words, so the space separator is
+    * unambiguous; Double.toString round-trips exactly).
+    */
+  def modelToEntries(m: UnigramModel): Seq[String] =
+    m.probs.toSeq.sortBy(_._1).map { case (p, pr) => s"$p $pr" }
+
+  def modelFromEntries(entries: Seq[String], maxLen: Int = MaxPieceLen)
+      : UnigramModel = {
+    val probs = entries.map { s =>
+      val cut = s.lastIndexOf(' ')
+      require(cut > 0, s"unigram model entry '$s' is not 'piece prob'")
+      s.substring(0, cut) -> java.lang.Double.parseDouble(s.substring(cut + 1))
+    }.toMap
+    new UnigramModel(probs, maxLen)
+  }
+
+  // ----------------------------------------- scalar reference kernels
+
+  /** E-step for one word: expected count of every piece under the
+    * current model, via forward–backward over all segmentations.
+    * Deterministic: fixed (position, length) accumulation order.
+    * Linear-space doubles are safe — words are whitespace tokens
+    * (≤ ~50 chars), far above the double underflow threshold.
+    */
+  private[graft] def expectedCounts(word: String, model: UnigramModel)
+      : Seq[(String, Double)] = {
+    val n = word.length
+    val L = model.maxLen
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      while (l <= math.min(L, j)) {
+        val p = pieceProb(word.substring(j - l, j), model)
+        if (p > 0.0) alpha(j) += alpha(j - l) * p
+        l += 1
+      }
+      j += 1
+    }
+    val z = alpha(n)
+    if (z <= 0.0) return Seq.empty
+    val beta = new Array[Double](n + 1)
+    beta(n) = 1.0
+    var i = n - 1
+    while (i >= 0) {
+      var l = 1
+      while (l <= math.min(L, n - i)) {
+        val p = pieceProb(word.substring(i, i + l), model)
+        if (p > 0.0) beta(i) += p * beta(i + l)
+        l += 1
+      }
+      i -= 1
+    }
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    i = 0
+    while (i < n) {
+      var l = 1
+      while (l <= math.min(L, n - i)) {
+        val piece = word.substring(i, i + l)
+        val p = pieceProb(piece, model)
+        if (p > 0.0) {
+          val e = alpha(i) * p * beta(i + l) / z
+          acc.update(piece, acc.getOrElse(piece, 0.0) + e)
+        }
+        l += 1
+      }
+      i += 1
+    }
+    acc.toSeq
+  }
+
+  /** Model prob with the UNK-char floor in LINEAR space (e^-1e9
+    * underflows to 0, which would break coverage in forward–backward,
+    * so unknown single chars get a tiny-but-positive stand-in).
+    */
+  private def pieceProb(s: String, model: UnigramModel): Double = {
+    val p = model.prob(s)
+    if (p > 0.0) p
+    else if (s.length == 1) 1e-100
+    else 0.0
+  }
+
+  /** Viterbi (max log-prob) segmentation of one word. Ties break to
+    * the LONGER piece ending at each position (fixed ascending-length
+    * sweep with >=), so the result is deterministic.
+    */
+  private[graft] def viterbiWord(word: String, model: UnigramModel)
+      : List[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val L = model.maxLen
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val bl = new Array[Int](n + 1)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      while (l <= math.min(L, j)) {
+        val lp = model.logProb(word.substring(j - l, j))
+        if (!lp.isNegInfinity && best(j - l) + lp >= best(j)) {
+          best(j) = best(j - l) + lp
+          bl(j) = l
+        }
+        l += 1
+      }
+      j += 1
+    }
+    var out = List.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val l = bl(pos)
+      out = word.substring(pos - l, pos) :: out
+      pos -= l
+    }
+    out
+  }
+
+  private[graft] def viterbiEncode(text: String, model: UnigramModel,
+      cache: java.util.Map[String, List[String]]): Seq[String] =
+    words(text).flatMap { w =>
+      if (cache == null) viterbiWord(w, model)
+      else {
+        var r = cache.get(w)
+        if (r == null) { r = viterbiWord(w, model); cache.put(w, r) }
+        r
+      }
+    }.toSeq
+
+  /** Greedy longest-match segmentation (WordPiece inference): at each
+    * position take the longest vocab piece (≤ maxLen); no match →
+    * emit the single character. Deterministic by construction and
+    * SQL-replayable ([[greedyOracleSql]]).
+    */
+  private[graft] def greedyWord(word: String, vocab: Set[String],
+      maxLen: Int): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    val n = word.length
+    while (i < n) {
+      var l = math.min(maxLen, n - i)
+      var hit = 1
+      var found = false
+      while (l >= 1 && !found) {
+        if (vocab.contains(word.substring(i, i + l))) { hit = l; found = true }
+        l -= 1
+      }
+      out += word.substring(i, i + hit)
+      i += hit
+    }
+    out.toList
+  }
+
+  private[graft] def greedyEncode(text: String, vocab: Set[String],
+      maxLen: Int, cache: java.util.Map[String, List[String]]): Seq[String] =
+    words(text).flatMap { w =>
+      if (cache == null) greedyWord(w, vocab, maxLen)
+      else {
+        var r = cache.get(w)
+        if (r == null) { r = greedyWord(w, vocab, maxLen); cache.put(w, r) }
+        r
+      }
+    }.toSeq
+
+  // -------------------------------------------------------------- fit
+
+  /** In-memory reference fit over a word-frequency dictionary — the
+    * differential-spec twin of [[fitUnigram]] (same seeding, same EM
+    * micro-unit rounding, same prune; no Spark).
+    */
+  private[graft] def fitOnDict(wordFreq: Seq[(String, Long)], vocabSize: Int,
+      seedCap: Int, maxLen: Int, iters: Int, minCount: Long)
+      : Seq[(String, Double)] = {
+    // Seed: substring frequencies (all occurrences, weighted).
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, c) <- wordFreq; i <- 0 until w.length;
+         l <- 1 to math.min(maxLen, w.length - i)) {
+      val p = w.substring(i, i + l)
+      freq.update(p, freq.getOrElse(p, 0L) + c)
+    }
+    val singles = freq.keys.filter(_.length == 1).toSeq.sorted
+    val multis = freq.toSeq
+      .filter { case (p, c) => p.length > 1 && c >= minCount }
+      .sortBy { case (p, c) => (-c, p) }.take(seedCap).map(_._1)
+    var probs: Map[String, Double] = {
+      val seed = (singles ++ multis).map(p => p -> freq(p))
+      val tot = seed.map(_._2).sum.toDouble
+      seed.map { case (p, c) => p -> c / tot }.toMap
+    }
+    for (_ <- 1 to iters) {
+      val micro = scala.collection.mutable.HashMap.empty[String, BigInt]
+      val model = new UnigramModel(probs, maxLen)
+      for ((w, c) <- wordFreq; (piece, e) <- expectedCounts(w, model)) {
+        val m = BigInt(math.round(e * 1e6)) * c
+        micro.update(piece, micro.getOrElse(piece, BigInt(0)) + m)
+      }
+      val total = micro.values.sum
+      probs = micro.toMap.collect {
+        case (p, m) if m > 0 =>
+          p -> (BigDecimal(m) / BigDecimal(total)).toDouble
+      }
+      // Singles must survive EM with SOME mass for coverage.
+      for (s <- singles if !probs.contains(s)) probs += s -> 1e-12
+    }
+    // Prune: all singles + best multis; renormalize in piece order.
+    val keptSingles = probs.keys.filter(_.length == 1).toSeq.sorted
+    val keptMultis = probs.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, pr) => (-pr, p) }
+      .take(math.max(0, vocabSize - keptSingles.size)).map(_._1)
+    val kept = (keptSingles ++ keptMultis).sorted
+    val tot = kept.map(probs).sum
+    kept.map(p => p -> r6(math.log(probs(p) / tot)))
+  }
+
+  /** Distributed unigram-LM fit. Output: one row per kept piece —
+    * (piece, piece_len, logprob 6dp, rank by logprob desc / piece
+    * asc). Deterministic under any partitioning: expected counts
+    * round to micro-unit longs per (word, piece) BEFORE the
+    * piece-keyed decimal aggregation (exact, associative), and every
+    * driver-side reduction runs in sorted piece order.
+    *
+    * `df`'s text column is tokenized with the repo-wide whitespace
+    * rule (TextOps.tokens). The word table persists across the seed
+    * pass + `iters` E-steps, then unpersists.
+    */
+  def fitUnigram(df: DataFrame, textCol: String, vocabSize: Int = 400,
+      seedCap: Int = 2000, maxLen: Int = MaxPieceLen, iters: Int = 4,
+      minCount: Long = 2L, maxSeedCollect: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val wordTable = df
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ---- seed: weighted substring frequencies, top-capped
+      val wCol = col("w")
+      val subs = flatten(transform(sequence(lit(0), length(wCol) - 1), i =>
+        transform(sequence(lit(1), least(lit(maxLen), length(wCol) - i)),
+          l => wCol.substr(i + 1, l))))
+      val pieceFreq = wordTable
+        .select(explode(subs).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum("cnt").as("freq"))
+      val singles = pieceFreq.filter(length(col("piece")) === 1)
+        .orderBy("piece").limit(maxSeedCollect)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val multis = pieceFreq
+        .filter(length(col("piece")) > 1 && col("freq") >= minCount)
+        .orderBy(col("freq").desc, col("piece")).limit(seedCap)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(singles.length < maxSeedCollect,
+        s"fitUnigram: single-char alphabet exceeded $maxSeedCollect")
+      var probs: Map[String, Double] = {
+        val seed = singles ++ multis
+        val tot = seed.map(_._2).sum.toDouble
+        seed.map { case (p, c) => p -> c / tot }.toMap
+      }
+      val singleSet = singles.map(_._1)
+      // ---- EM rounds: native per-word E-step, exact aggregation
+      for (_ <- 1 to iters) {
+        val entries = modelToEntries(new UnigramModel(probs, maxLen))
+        val expect = call_function("graft_unigram_expect", col("w"),
+          array(entries.map(lit): _*))
+        val sums = wordTable
+          .select(explode(expect).as(Seq("piece", "micro")), col("cnt"))
+          .groupBy("piece")
+          .agg(sum(col("micro").cast("decimal(28,0)") * col("cnt"))
+            .as("m"))
+          .collect().map(r => (r.getString(0), BigInt(r.getDecimal(1).toBigInteger)))
+          .sortBy(_._1)
+        val total = sums.map(_._2).sum
+        probs = sums.collect {
+          case (p, m) if m > 0 => p -> (BigDecimal(m) / BigDecimal(total)).toDouble
+        }.toMap
+        for (s <- singleSet if !probs.contains(s)) probs += s -> 1e-12
+      }
+      // ---- prune + renormalize + rank
+      val keptSingles = probs.keys.filter(_.length == 1).toSeq.sorted
+      val keptMultis = probs.toSeq.filter(_._1.length > 1)
+        .sortBy { case (p, pr) => (-pr, p) }
+        .take(math.max(0, vocabSize - keptSingles.size)).map(_._1)
+      val kept = (keptSingles ++ keptMultis).sorted
+      val tot = kept.map(probs).sum
+      val rows = kept.map(p => (p, p.length, r6(math.log(probs(p) / tot))))
+        .sortBy { case (p, _, lp) => (-lp, p) }
+        .zipWithIndex
+        .map { case ((p, len, lp), i) => (p, len, lp, i + 1) }
+      rows.toDF("piece", "piece_len", "logprob", "rank")
+    } finally {
+      wordTable.unpersist()
+    }
+  }
+
+  /** Fitted-model Column encode: Viterbi pieces for a text column via
+    * the native `graft_unigram_encode` expression (model rides as a
+    * foldable "piece logprob" literal array). Zero shuffle.
+    */
+  def unigramEncode(text: Column, entries: Seq[String]): Column =
+    call_function("graft_unigram_encode", text, array(entries.map(lit): _*))
+
+  /** Entries ("piece prob") for [[unigramEncode]] from a fitted frame
+    * ([[fitUnigram]] output): logprob column converts back to linear
+    * probability. Driver-side; the frame is vocab-bounded.
+    */
+  def entriesFromFit(fit: DataFrame): Seq[String] =
+    fit.select("piece", "logprob").collect()
+      .map(r => (r.getString(0), math.exp(r.getDouble(1))))
+      .sortBy(_._1)
+      .map { case (p, pr) => s"$p $pr" }.toSeq
+
+  /** Greedy longest-match Column encode under a piece vocabulary
+    * (NUL-joined literal — a piece cannot contain NUL).
+    */
+  def greedyEncodeCol(text: Column, vocab: Seq[String]): Column =
+    call_function("graft_greedy_pieces", text,
+      lit(vocab.mkString(" ")))
+
+  // ------------------------------------------- frozen vocab + oracle
+
+  /** Frozen greedy-encode vocabulary (the BPE DefaultMerges
+    * discipline: a compile-time model makes the encode
+    * cross-engine-replayable). Derived once from a unigram fit on the
+    * sf0.001 documents table; hand-pinned here so the oracle and the
+    * expression share one constant. Single ASCII chars are implicit
+    * fallbacks (greedy emits the char when nothing matches).
+    */
+  val DefaultVocab: Seq[String] = Seq(
+    "stream", "window", "vector", "column", "table", "batch", "query",
+    "merge", "spark", "group", "order", "value", "join", "data", "hash",
+    "scan", "sort", "fast", "slow", "filt", "part", "agg", "row", "key",
+    "the", "er", "in", "on", "at", "or", "an", "al", "ed", "es", "ing")
+
+  /** DuckDB oracle replaying [[greedyEncodeCol]] under `vocab` via a
+    * recursive CTE (one step per emitted piece; MATERIALIZED to stop
+    * CTE-inlining blowup). Output: (id, n_pieces, pieces_md5) per
+    * document — md5 of the space-joined piece sequence.
+    */
+  def greedyOracleSql(table: String, idCol: String, textCol: String,
+      vocab: Seq[String], maxLen: Int = MaxPieceLen): String = {
+    val vlist = vocab.map(v => "'" + v.replace("'", "''") + "'").mkString(", ")
+    // piece choice at the current position: longest match first
+    val cand = (maxLen to 2 by -1).map { l =>
+      s"CASE WHEN len(rest) >= $l AND list_contains(v.vs, rest[1:$l]) THEN rest[1:$l] END"
+    }.mkString(",\n       |   ") + ",\n       |   rest[1:1]"
+    s"""WITH RECURSIVE
+       |v AS (SELECT [$vlist] AS vs),
+       |w0 AS MATERIALIZED (
+       | SELECT $idCol AS id, wi, ws[wi] AS rest FROM (
+       |  SELECT $idCol,
+       |   string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+') AS ws
+       |  FROM $table) t,
+       |  LATERAL (SELECT unnest(generate_series(1, len(ws))) AS wi)
+       | WHERE ws[wi] <> ''),
+       |enc (id, wi, rest, toks) AS (
+       | SELECT id, wi, rest, CAST([] AS VARCHAR[]) FROM w0
+       | UNION ALL
+       | SELECT id, wi, rest[len(piece)+1:], toks || [piece] FROM (
+       |  SELECT id, wi, rest, toks,
+       |   coalesce(
+       |   $cand) AS piece
+       |  FROM enc, v WHERE rest <> '') s),
+       |fin AS MATERIALIZED (
+       | SELECT id, wi, toks FROM enc WHERE rest = ''),
+       |agg AS (
+       | SELECT id, CAST(sum(len(toks)) AS BIGINT) AS n_pieces,
+       |  md5(string_agg(array_to_string(toks, ' '), ' ' ORDER BY wi)) AS pieces_md5
+       | FROM fin GROUP BY id)
+       |SELECT t.$idCol AS id,
+       | coalesce(a.n_pieces, 0) AS n_pieces,
+       | coalesce(a.pieces_md5, md5('')) AS pieces_md5
+       |FROM $table t LEFT JOIN agg a ON t.$idCol = a.id""".stripMargin
+  }
+}

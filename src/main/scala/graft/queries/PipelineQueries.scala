@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{BlocklistOps, DedupOps, DsirOps, GraphOps, LmOps, MultimodalOps, PcaOps, ProfileOps, SampleOps, SelectionOps, SimilarityOps, TextOps, WinnowOps}
+import graft.ops.{BlocklistOps, DedupOps, DsirOps, GraphOps, LmOps, MultimodalOps, PcaOps, PreferenceOps, ProfileOps, RetrievalOps, SampleOps, SelectionOps, SimilarityOps, TextOps, WinnowOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -419,6 +419,65 @@ object PipelineQueries {
     // Boilerplate passage miner: top repeated fingerprints per source
     // with an example doc — feeds the strip-before-fingerprint
     // blocklist (%29 injection plants a known boilerplate line).
+    // Hybrid retrieval: dense cosine top-20 + lexical 3-gram-jaccard
+    // top-20 per query, fused with reciprocal-rank fusion (K=60) —
+    // the production search stack's rank-merge step.
+    "q169_rrf_fusion" -> ((s, d) => {
+      val dense = SimilarityOps.knnBrute(Tables(s, d, "embeddings"),
+          "vec_id", "embedding", col("vec_id") < 5, 20)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("sim").desc, col("cand_id"))))
+        .select("query_id", "cand_id", "rank")
+      val lex = RetrievalOps.jaccardRun(Tables(s, d, "documents"),
+          "doc_id", "text", col("id") < 5, 20)
+        .select("query_id", "cand_id", "rank")
+      RetrievalOps.rrfFuse(Seq(dense, lex), k = 10)
+    }),
+
+    // Retrieval-quality eval: nDCG@10 of the dense cosine run against
+    // same-source relevance labels (source = topical ground truth in
+    // the synthetic corpus).
+    "q170_ndcg" -> ((s, d) => {
+      val run = SimilarityOps.knnBrute(Tables(s, d, "embeddings"),
+          "vec_id", "embedding", col("vec_id") < 20, 10)
+        .select(col("query_id"), col("cand_id"), col("sim").as("score"))
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+      val labels = docs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"), col("source").as("qs"))
+        .join(docs.select(col("doc_id").as("cand_id"), col("source").as("cs")),
+          col("qs") === col("cs") && col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), lit(1.0).as("rel"))
+      RetrievalOps.ndcgAtK(run, labels, 10)
+    }),
+
+    // Bradley–Terry preference strengths per source from synthetic
+    // pairwise comparisons (adjacent doc pairs, longer doc preferred,
+    // even doc wins ties) — the RLHF judge-call aggregation.
+    "q171_bradley_terry" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val a = docs.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") / 2).cast("long").as("pid"),
+          col("source").as("sa"), col("n_chars").as("ca"))
+      val b = docs.where(col("doc_id") % 2 === 1)
+        .select((col("doc_id") / 2).cast("long").as("pid"),
+          col("source").as("sb"), col("n_chars").as("cb"))
+      val comps = a.join(b, "pid").where(col("sa") =!= col("sb"))
+        .select(when(col("ca") >= col("cb"), col("sa")).otherwise(col("sb")).as("w"),
+          when(col("ca") >= col("cb"), col("sb")).otherwise(col("sa")).as("l"))
+      PreferenceOps.bradleyTerry(comps, "w", "l")
+    }),
+
+    // k-anonymity audit on (source, lang, length-bucket) quasi-
+    // identifiers — the release-time privacy probe after the q64 PII
+    // scrub.
+    "q172_k_anonymity" -> ((s, d) =>
+      ProfileOps.kAnonymity(Tables(s, d, "documents"), Seq(
+        "source" -> col("source"),
+        "lang" -> col("lang"),
+        "len_bucket" -> (col("n_chars") / 500).cast("long")), k = 5)),
+
     "q168_boilerplate_miner" -> ((s, d) => {
       val boiler = " Subscribe to our newsletter for weekly updates and exclusive offers today."
       val t = when(col("doc_id") % 29 === 0, concat(col("text"), lit(boiler)))
@@ -1683,6 +1742,19 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q169_rrf_fusion" ->
+      RetrievalOps.rrfFusionOracleSql(nQueries = 5, runK = 20, k = 10),
+    "q170_ndcg" -> RetrievalOps.ndcgOracleSql(nQueries = 20, k = 10),
+    "q171_bradley_terry" -> PreferenceOps.bradleyTerryOracleSql(
+      """SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source ELSE b.source END AS w,
+        |       CASE WHEN a.n_chars >= b.n_chars THEN b.source ELSE a.source END AS l
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 2 = 0 AND b.doc_id = a.doc_id + 1
+        | AND a.source <> b.source""".stripMargin),
+    "q172_k_anonymity" ->
+      """SELECT source, lang, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
+        | CAST(count(*) AS BIGINT) AS n, count(*) < 5 AS at_risk
+        |FROM documents GROUP BY 1, 2, 3""".stripMargin,
     "q168_boilerplate_miner" -> WinnowOps.boilerplateMinerOracleSql(
       "documents", "doc_id",
       "CASE WHEN doc_id % 29 = 0 THEN text || " +

@@ -1,0 +1,173 @@
+package graft.core
+
+import graft.ops.{PreferenceOps, ProfileOps, RetrievalOps}
+import org.apache.spark.sql.functions._
+
+/** Hybrid-retrieval (RRF fusion, nDCG) and preference-fit
+  * (Bradley–Terry) invariants, plus the k-anonymity audit.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- RRF
+
+  private def run(rows: (Int, Int, Int)*) =
+    rows.toSeq.toDF("query_id", "cand_id", "rank")
+
+  test("rrfFuse: scores are exact reciprocal-rank sums, ranked desc") {
+    val a = run((1, 10, 1), (1, 11, 2))
+    val b = run((1, 11, 1), (1, 12, 2))
+    val got = RetrievalOps.rrfFuse(Seq(a, b), k = 10)
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // cand 11 appears in both runs (ranks 2 and 1) and must win.
+    assert(got.toSeq === Seq(
+      (11, r6(1.0 / 62 + 1.0 / 61), 2L, 1),
+      (10, r6(1.0 / 61), 1L, 2),
+      (12, r6(1.0 / 62), 1L, 3)))
+  }
+
+  test("rrfFuse: score ties break on cand_id ascending") {
+    val a = run((1, 20, 1), (1, 7, 2))
+    val b = run((1, 7, 1), (1, 20, 2))
+    val got = RetrievalOps.rrfFuse(Seq(a, b), k = 10)
+      .orderBy("fused_rank").select("cand_id").as[Int].collect()
+    assert(got.toSeq === Seq(7, 20))
+  }
+
+  test("rrfFuse: per-query top-k cut, queries independent") {
+    val a = run((1 to 30).map(i => (1, i, i)) ++ Seq((2, 99, 1)): _*)
+    val got = RetrievalOps.rrfFuse(Seq(a), k = 5)
+    assert(got.filter($"query_id" === 1).count() === 5)
+    assert(got.filter($"query_id" === 2).count() === 1)
+  }
+
+  // --------------------------------------------------------------- nDCG
+
+  private def scored(rows: (Int, Int, Double)*) =
+    rows.toSeq.toDF("query_id", "cand_id", "score")
+  private def labels(rows: (Int, Int, Double)*) =
+    rows.toSeq.toDF("query_id", "cand_id", "rel")
+
+  test("ndcgAtK: ideal ranking scores exactly 1") {
+    val r = scored((1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7))
+    val l = labels((1, 10, 1.0), (1, 11, 1.0))
+    val row = RetrievalOps.ndcgAtK(r, l, 10).collect().head
+    assert(row.getLong(1) === 2L)       // n_rel
+    assert(row.getDouble(4) === 1.0)    // ndcg
+  }
+
+  test("ndcgAtK: relevant item buried at rank 3 scores below 1, exact value") {
+    val r = scored((1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7))
+    val l = labels((1, 12, 1.0))
+    val row = RetrievalOps.ndcgAtK(r, l, 10).collect().head
+    val expect = (1.0 / (math.log(4) / math.log(2))) / 1.0
+    assert(math.abs(row.getDouble(4) - math.round(expect * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("ndcgAtK: no positive labels -> ndcg 0, not null") {
+    val r = scored((1, 10, 0.9))
+    val l = labels((2, 10, 1.0)) // other query only
+    val row = RetrievalOps.ndcgAtK(r, l, 10).collect().head
+    assert(row.getLong(1) === 0L && row.getDouble(4) === 0.0)
+  }
+
+  test("ndcgAtK: graded gains — higher-rel item first beats it second") {
+    val good = scored((1, 10, 0.9), (1, 11, 0.8))
+    val bad = scored((1, 10, 0.8), (1, 11, 0.9))
+    val l = labels((1, 10, 3.0), (1, 11, 1.0))
+    def ndcg(r: org.apache.spark.sql.DataFrame) =
+      RetrievalOps.ndcgAtK(r, l, 10).collect().head.getDouble(4)
+    assert(ndcg(good) === 1.0)
+    assert(ndcg(bad) < 1.0)
+  }
+
+  test("jaccardRun agrees with a brute-force shingle jaccard") {
+    val docs = Seq(
+      (0, "a b c d e f"), (1, "a b c d e g"), (2, "x y z w v u"),
+      (3, "a b c x y z"), (4, "q r s t u v")).toDF("doc_id", "text")
+    val got = RetrievalOps.jaccardRun(docs, "doc_id", "text",
+        col("id") < 2, k = 10)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = Seq("a b c d e f", "a b c d e g", "x y z w v u",
+      "a b c x y z", "q r s t u v")
+    for (q <- 0 to 1; c <- texts.indices if c != q) {
+      val (a, b) = (sh(texts(q)), sh(texts(c)))
+      val j = a.intersect(b).size.toDouble / a.union(b).size
+      if (j > 0)
+        assert(math.abs(got((q, c)) - math.round(j * 1e6) / 1e6) < 1e-9,
+          s"pair ($q,$c)")
+      else assert(!got.contains((q, c)), s"pair ($q,$c) should be absent")
+    }
+  }
+
+  // ------------------------------------------------------ Bradley–Terry
+
+  test("bradleyTerry: dominance ordering and win/loss bookkeeping") {
+    // A beats B 9:1, B beats C 9:1, A beats C 9:1 — strengths must
+    // order A > B > C with ranks 1,2,3.
+    val comps = (Seq.fill(9)(("A", "B")) ++ Seq.fill(1)(("B", "A")) ++
+      Seq.fill(9)(("B", "C")) ++ Seq.fill(1)(("C", "B")) ++
+      Seq.fill(9)(("A", "C")) ++ Seq.fill(1)(("C", "A")))
+      .toDF("w", "l")
+    val rows = PreferenceOps.bradleyTerry(comps, "w", "l")
+      .orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(rows.map(_._1).toSeq === Seq("A", "B", "C"))
+    assert(rows.map(_._4).toSeq.sliding(2).forall { case Seq(x, y) => x > y })
+    val a = rows.find(_._1 == "A").get
+    assert(a._2 === 18L && a._3 === 2L) // 9+9 wins, 1+1 losses
+  }
+
+  test("bradleyTerry: symmetric record -> equal strengths at mean 1") {
+    val comps = (Seq.fill(5)(("A", "B")) ++ Seq.fill(5)(("B", "A"))).toDF("w", "l")
+    val rows = PreferenceOps.bradleyTerry(comps, "w", "l")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows("A") === 1.0 && rows("B") === 1.0)
+  }
+
+  test("bradleyTerry: partition-invariant (same bits under repartition)") {
+    val comps = Seq.tabulate(200)(i =>
+      (s"s${i % 7}", s"s${(i * 3 + 1) % 7}")).filter(p => p._1 != p._2)
+      .toDF("w", "l")
+    val one = PreferenceOps.bradleyTerry(comps.repartition(1), "w", "l")
+      .orderBy("item").collect().toSeq
+    val many = PreferenceOps.bradleyTerry(comps.repartition(13), "w", "l")
+      .orderBy("item").collect().toSeq
+    assert(one === many)
+  }
+
+  test("bradleyTerry: guards — one item, and data-scale item column") {
+    val ok = Seq(("A", "A")).toDF("w", "l") // self-comparisons only
+    intercept[IllegalArgumentException] {
+      PreferenceOps.bradleyTerry(ok, "w", "l")
+    }
+    val big = Seq.tabulate(30)(i => (s"i$i", s"i${(i + 1) % 30}")).toDF("w", "l")
+    intercept[IllegalArgumentException] {
+      PreferenceOps.bradleyTerry(big, "w", "l", maxItems = 10)
+    }
+  }
+
+  // -------------------------------------------------------- k-anonymity
+
+  test("kAnonymity: class sizes and at-risk flags; summary adds up") {
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 1),   // class (a,1) n=3
+      ("b", 1), ("b", 1),             // class (b,1) n=2
+      ("c", 2)                        // class (c,2) n=1
+    ).toDF("g", "v")
+    val qi = Seq("g" -> col("g"), "v" -> col("v"))
+    val det = ProfileOps.kAnonymity(df, qi, k = 3)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(det(("a", 1)) === ((3L, false)))
+    assert(det(("b", 1)) === ((2L, true)))
+    assert(det(("c", 2)) === ((1L, true)))
+    val s = ProfileOps.kAnonymitySummary(df, qi, k = 3).collect().head
+    assert(s.getLong(0) === 3L && s.getLong(1) === 2L)
+    assert(s.getLong(2) === 6L && s.getLong(3) === 3L)
+    assert(s.getDouble(4) === 0.5)
+  }
+}
