@@ -201,6 +201,27 @@ object GraftFunctions {
         }
         LangModelScores(children(1), graft.ops.LangProfiles.modelFor(key))
       }),
+    ("graft_unigram_expect",
+      new ExpressionInfo(classOf[UnigramExpect].getName, "graft_unigram_expect"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_unigram_expect requires exactly 2 arguments, got ${children.size}")
+        UnigramExpect(children.head, children(1))
+      }),
+    ("graft_unigram_encode",
+      new ExpressionInfo(classOf[UnigramEncode].getName, "graft_unigram_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_unigram_encode requires exactly 2 arguments, got ${children.size}")
+        UnigramEncode(children.head, children(1))
+      }),
+    ("graft_greedy_pieces",
+      new ExpressionInfo(classOf[GreedyPieces].getName, "graft_greedy_pieces"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_greedy_pieces requires exactly 2 arguments, got ${children.size}")
+        GreedyPieces(children.head, children(1))
+      }),
     ("graft_blocklist_counts",
       new ExpressionInfo(classOf[BlocklistCounts].getName,
         "graft_blocklist_counts"),

@@ -80,7 +80,7 @@ case class UnigramExpect(left: Expression, right: Expression)
       vals(i) = math.round(e * 1e6)
       i += 1
     }
-    ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
   override protected def withNewChildrenInternal(

@@ -387,11 +387,11 @@ object UnigramOps {
       .map { case (p, pr) => s"$p $pr" }.toSeq
 
   /** Greedy longest-match Column encode under a piece vocabulary
-    * (NUL-joined literal — a piece cannot contain NUL).
+    * (space-joined literal — pieces come from whitespace-split words, so space is unambiguous).
     */
   def greedyEncodeCol(text: Column, vocab: Seq[String]): Column =
     call_function("graft_greedy_pieces", text,
-      lit(vocab.mkString(" ")))
+      lit(vocab.mkString(" ")))
 
   // ------------------------------------------- frozen vocab + oracle
 
@@ -407,6 +407,38 @@ object UnigramOps {
     "merge", "spark", "group", "order", "value", "join", "data", "hash",
     "scan", "sort", "fast", "slow", "filt", "part", "agg", "row", "key",
     "the", "er", "in", "on", "at", "or", "an", "al", "ed", "es", "ing")
+
+  /** Frozen unigram model ("piece prob" entries) for the Viterbi
+    * encode query — generated once by [[fitUnigram]] (vocabSize 80,
+    * seedCap 400, iters 3, minCount 2) on the sf0.001 documents
+    * table and pinned here, the BPE DefaultMerges discipline: encode
+    * benchmarks measure INFERENCE, not a refit, and stay
+    * deterministic across scale factors.
+    */
+  val DefaultUnigramEntries: Seq[String] = Seq(
+    "a 0.03229732078586252", "agg 0.03305679950356889", "b 1.0000001159285544E-12",
+    "batch 0.03156643204696954", "big 0.030872668532582234", "c 1.0000001159285544E-12",
+    "column 0.03392523996123501", "cu 3.836246693224587E-5", "cus 3.6573851967467356E-5",
+    "cust 3.839328436473564E-5", "custo 6.722064818362224E-4", "custom 0.030052452721019387",
+    "d 1.0000001159285544E-12", "dat 1.1810708866319398E-6", "data 0.031079619380572653",
+    "dup 0.0010059639931928113", "e 3.083797351625214E-8", "er 0.030052813352615823",
+    "f 1.0000001159285544E-12", "fast 0.03167051997599699", "filt 1.5904637668365945E-7",
+    "filter 0.03180909575701511", "g 1.0000001159285544E-12", "gg 1.256205360124041E-6",
+    "group 0.03239895855709492", "h 1.0000001159285544E-12", "hash 0.03201739276281571",
+    "i 1.0000001159285544E-12", "j 1.0000001159285544E-12", "join 0.03246833410014054",
+    "k 1.0000001159285544E-12", "key 0.032780547616320474", "l 1.0000001159285544E-12",
+    "line 0.03281521497362158", "m 6.167599757226645E-8", "mer 6.721755610492413E-4",
+    "merge 0.032433643996151625", "n 1.0000001159285544E-12", "o 1.0000001159285544E-12",
+    "omer 3.839328436473564E-5", "ord 1.6910601686122394E-7", "order 0.03382101243415958",
+    "p 1.0000001159285544E-12", "part 0.03340492282133403", "q 1.0000001159285544E-12",
+    "query 0.03239895855709492", "r 3.083797351625214E-8", "row 0.030040163781116014",
+    "s 1.0000001159285544E-12", "scan 0.034133396652255905", "slow 0.0319480222973794",
+    "small 0.031150187951838246", "sort 0.03378649880267137", "spark 0.03156643204696954",
+    "stomer 3.836246693224587E-5", "stream 0.031878642739809546", "t 1.0000001159285544E-12",
+    "table 0.031323614782743786", "the 0.03156643204696954", "tomer 3.6573851967467356E-5",
+    "u 1.0000001159285544E-12", "v 1.0000001159285544E-12", "value 0.03295398778549992",
+    "vector 0.03229489857763751", "w 1.0000001159285544E-12", "window 0.03385586602348392",
+    "y 1.0000001159285544E-12")
 
   /** DuckDB oracle replaying [[greedyEncodeCol]] under `vocab` via a
     * recursive CTE (one step per emitted piece; MATERIALIZED to stop

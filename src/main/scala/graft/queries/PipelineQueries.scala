@@ -419,6 +419,42 @@ object PipelineQueries {
     // Boilerplate passage miner: top repeated fingerprints per source
     // with an example doc — feeds the strip-before-fingerprint
     // blocklist (%29 injection plants a known boilerplate line).
+    // Unigram-LM tokenizer FIT (Kudo 2018 / SentencePiece family):
+    // distributed EM over the word table, exact micro-unit count
+    // aggregation — the trained-model twin of q80's frozen BPE. No
+    // SQL oracle (forward-backward is not SQL-expressible); the fit
+    // is differential-spec'd bit-for-bit vs an in-memory reference
+    // (UnigramSpec) and partition-invariant by construction.
+    "q173_unigram_fit" -> ((s, d) =>
+      graft.ops.UnigramOps.fitUnigram(Tables(s, d, "documents"), "text",
+        vocabSize = 120, seedCap = 600, iters = 3, minCount = 2)),
+
+    // Viterbi (max-likelihood) segmentation under the FROZEN unigram
+    // model — zero-shuffle inference scan, LRU word cache. Rows-only
+    // (runtime DP; expression differential in UnigramSpec).
+    "q174_unigram_encode" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val pieces = graft.ops.UnigramOps.unigramEncode(col("text"),
+        graft.ops.UnigramOps.DefaultUnigramEntries)
+      Tables(s, d, "documents").select(col("doc_id"),
+        coalesce(size(pieces), lit(0)).as("n_pieces"),
+        md5(to_binary(coalesce(array_join(pieces, " "), lit("")), lit("utf-8")))
+          .as("pieces_md5"))
+    }),
+
+    // Greedy longest-match (WordPiece inference) under the frozen
+    // DefaultVocab — deterministic AND SQL-replayable: the oracle
+    // recursive-CTE replays the exact candidate ladder.
+    "q175_wordpiece_tokens" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val pieces = graft.ops.UnigramOps.greedyEncodeCol(col("text"),
+        graft.ops.UnigramOps.DefaultVocab)
+      Tables(s, d, "documents").select(col("doc_id").as("id"),
+        coalesce(size(pieces), lit(0)).cast("long").as("n_pieces"),
+        md5(to_binary(coalesce(array_join(pieces, " "), lit("")), lit("utf-8")))
+          .as("pieces_md5"))
+    }),
+
     // Hybrid retrieval: dense cosine top-20 + lexical 3-gram-jaccard
     // top-20 per query, fused with reciprocal-rank fusion (K=60) —
     // the production search stack's rank-merge step.
@@ -1742,6 +1778,8 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q175_wordpiece_tokens" -> graft.ops.UnigramOps.greedyOracleSql(
+      "documents", "doc_id", "text", graft.ops.UnigramOps.DefaultVocab),
     "q169_rrf_fusion" ->
       RetrievalOps.rrfFusionOracleSql(nQueries = 5, runK = 20, k = 10),
     "q170_ndcg" -> RetrievalOps.ndcgOracleSql(nQueries = 20, k = 10),
