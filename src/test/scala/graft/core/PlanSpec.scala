@@ -338,4 +338,39 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
+
+  test("q169 rrf: lexical run joins shingles via broadcast hash, no cartesian") {
+    val s = formatted("q169_rrf_fusion")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q171 bradley-terry: comparison agg is two-phase (map-side partial)") {
+    // The corpus-scale comparison stream must collapse map-side before
+    // the items^2 shuffle — a plain final-only agg would ship every
+    // comparison row.
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"))
+    val comps = docs.selectExpr("source as w",
+      "concat('x', source) as l")
+    // probe the aggregation shape the op builds (collect happens after)
+    val agg = comps.filter("w <> l").groupBy("w", "l")
+      .count().queryExecution.executedPlan.toString
+    assert(agg.contains("HashAggregate"), agg)
+    assert(agg.split("HashAggregate").length >= 3, s"no partial agg:\n$agg")
+  }
+
+  test("q174/q175 tokenizer encodes are zero-shuffle scans") {
+    for (q <- Seq("q174_unigram_encode", "q175_wordpiece_tokens")) {
+      val p = plan(q).toString
+      assert(!p.contains("Exchange"), s"$q shuffled:\n$p")
+    }
+  }
+
+  test("q172 k-anonymity: one two-phase aggregation, no joins") {
+    val s = plan("q172_k_anonymity").toString
+    assert(!s.contains("Join"), s)
+    assert(s.split("Exchange").length == 2, s) // exactly one exchange node
+  }
 }
