@@ -534,6 +534,25 @@ object ProfileOps {
       .withColumn("at_risk", col("n") < k)
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s companion: a class can be
+    * k-anonymous yet leak a SENSITIVE attribute when every row in it
+    * shares one value (homogeneity attack). Reports, per
+    * quasi-identifier class, the class size, the number of DISTINCT
+    * sensitive values (`l`), and `homogeneous` (l = 1 with n > 1 —
+    * the attack case). Same one-aggregation scale shape; the exact
+    * distinct is computed per class inside the single groupBy.
+    */
+  def lDiversity(df: DataFrame, qi: Seq[(String, org.apache.spark.sql.Column)],
+      sensitive: org.apache.spark.sql.Column, l: Int): DataFrame = {
+    require(qi.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    require(l >= 2, s"lDiversity needs l >= 2, got $l")
+    df.groupBy(qi.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("l"))
+      .withColumn("below_l", col("l") < l)
+      .withColumn("homogeneous", col("l") === 1 && col("n") > 1)
+  }
+
   /** One-row release headline for [[kAnonymity]]: class counts, row
     * counts, and the risky-row fraction (6dp). Same single-aggregation
     * scale shape — the class table re-aggregates to one row.

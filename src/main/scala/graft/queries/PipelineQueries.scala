@@ -419,6 +419,15 @@ object PipelineQueries {
     // Boilerplate passage miner: top repeated fingerprints per source
     // with an example doc — feeds the strip-before-fingerprint
     // blocklist (%29 injection plants a known boilerplate line).
+    // l-diversity audit: the k-anonymity companion — (source,
+    // len-bucket) classes that are k-safe but share ONE language leak
+    // it (homogeneity attack); lang plays the sensitive attribute.
+    "q176_l_diversity" -> ((s, d) =>
+      ProfileOps.lDiversity(Tables(s, d, "documents"), Seq(
+        "source" -> col("source"),
+        "len_bucket" -> (col("n_chars") / 500).cast("long")),
+        col("lang"), l = 3)),
+
     // Unigram-LM tokenizer FIT (Kudo 2018 / SentencePiece family):
     // distributed EM over the word table, exact micro-unit count
     // aggregation — the trained-model twin of q80's frozen BPE. No
@@ -1778,6 +1787,13 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q176_l_diversity" ->
+      """SELECT source, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS l,
+        | count(DISTINCT lang) < 3 AS below_l,
+        | count(DISTINCT lang) = 1 AND count(*) > 1 AS homogeneous
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "q175_wordpiece_tokens" -> graft.ops.UnigramOps.greedyOracleSql(
       "documents", "doc_id", "text", graft.ops.UnigramOps.DefaultVocab),
     "q169_rrf_fusion" ->

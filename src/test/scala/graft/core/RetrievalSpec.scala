@@ -170,4 +170,19 @@ class RetrievalSpec extends SparkSpec {
     assert(s.getLong(2) === 6L && s.getLong(3) === 3L)
     assert(s.getDouble(4) === 0.5)
   }
+
+  test("lDiversity: homogeneous class flagged, diverse class clean") {
+    val df = Seq(
+      ("a", "en"), ("a", "en"), ("a", "en"),  // k-safe but homogeneous
+      ("b", "en"), ("b", "fr"), ("b", "de"),  // diverse
+      ("c", "en")                              // singleton: l=1 but n=1
+    ).toDF("g", "lang")
+    val got = ProfileOps.lDiversity(df, Seq("g" -> col("g")),
+        col("lang"), l = 3)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(got("a") === ((3L, 1L, true, true)))
+    assert(got("b") === ((3L, 3L, false, false)))
+    assert(got("c") === ((1L, 1L, true, false)))
+  }
 }
