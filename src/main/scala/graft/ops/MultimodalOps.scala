@@ -324,6 +324,78 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Real PNG payloads keyed by an EFFECTIVE image id: the payload is
+    * the formula image of `key`, not of the doc id — distinct docs can
+    * carry identical images, which is what an image-dedup operator
+    * needs to find. (At real scale the payload column comes from the
+    * data; the keyed generator exists so the dedup path has
+    * verifiable, deliberately-duplicated input.)
+    */
+  def withImagePayloadKeyed(spark: SparkSession, docs: DataFrame,
+      idCol: String, key: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), key.cast("long")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, k) => (id, encodePng(syntheticImage(k))) })
+      .toDF("doc_id", "payload")
+  }
+
+  case class DHashRow(doc_id: Long, width: Int, height: Int, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) over the REAL decode path:
+    * box-average to a `grid`×`grid` luminance thumbnail in exact
+    * integer millis (the [[resizeGrid]] contract — summation-order-
+    * proof), then one bit per horizontal gradient:
+    * bit(j,i) = cell(j,i+1) > cell(j,i), packed row-major into a
+    * grid·(grid−1)-bit long (56 bits at grid 8).
+    *
+    * Identical images → identical hash regardless of byte-level
+    * re-encoding; the hash column is the 100 TB image-dedup path:
+    * exact groups by equality here, Hamming-band multiprobe rides the
+    * same column for near-dups. Zero shuffle (narrow decode scan);
+    * non-decodable or grid-indivisible payloads drop, the
+    * [[resizeGrid]] honesty contract.
+    */
+  def imageDHash(spark: SparkSession, binDocs: DataFrame,
+      grid: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(grid >= 2 && grid * (grid - 1) <= 62,
+      s"grid must be in [2, 8], got $grid")
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).filter(i =>
+          i.getWidth % grid == 0 && i.getHeight % grid == 0).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (bx, by) = (w / grid, h / grid)
+          val cells = Array.ofDim[Long](grid, grid)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              cells(y / by)(x / bx) +=
+                ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          var j = 0
+          while (j < grid) {
+            var i = 0
+            while (i < grid - 1) {
+              val cur = cells(j)(i) * 1000L / (3L * bx * by)
+              val nxt = cells(j)(i + 1) * 1000L / (3L * bx * by)
+              if (nxt > cur) hash |= 1L << (j * (grid - 1) + i)
+              i += 1
+            }
+            j += 1
+          }
+          DHashRow(id, w, h, hash)
+        }
+      })
+      .toDF()
+  }
+
   private[graft] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     // NonFatal, not just IOException: codec internals throw unchecked

@@ -419,6 +419,19 @@ object PipelineQueries {
     // Boilerplate passage miner: top repeated fingerprints per source
     // with an example doc — feeds the strip-before-fingerprint
     // blocklist (%29 injection plants a known boilerplate line).
+    // Perceptual image dedup: dHash (horizontal-gradient bits on the
+    // exact 8x8 milli-luminance grid) over REAL PNG decode; payloads
+    // keyed doc_id % 97 so distinct docs share identical images —
+    // exact dup groups by hash equality, the 100 TB bucket-join path.
+    "q177_image_dhash" -> ((s, d) => {
+      val pay = MultimodalOps.withImagePayloadKeyed(s,
+        Tables(s, d, "documents"), "doc_id", col("doc_id") % 97)
+      MultimodalOps.imageDHash(s, pay)
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n_images"),
+          min("doc_id").as("min_doc_id"))
+    }),
+
     // l-diversity audit: the k-anonymity companion — (source,
     // len-bucket) classes that are k-safe but share ONE language leak
     // it (homogeneity attack); lang plays the sensitive attribute.
@@ -1787,6 +1800,32 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q177_image_dhash" ->
+      """WITH d AS (SELECT doc_id, doc_id % 97 AS k,
+        |  ((doc_id % 97) % 3 + 1) * 8 AS w,
+        |  (((doc_id % 97) // 3) % 3 + 1) * 8 AS h
+        | FROM documents),
+        |xs AS (SELECT doc_id, k, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, k, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |  (x * 7 + y * 13 + k * 31) % 256 AS r,
+        |  (x * 3 + y * 5 + k * 17) % 256 AS g,
+        |  (x * 11 + y * 2 + k * 23) % 256 AS b
+        | FROM ys),
+        |cells AS (SELECT doc_id, x // (w // 8) AS ci, y // (h // 8) AS cj,
+        |    CAST(sum(r + g + b) AS BIGINT) * 1000
+        |      // (3 * (w // 8) * (h // 8)) AS cell
+        |  FROM px GROUP BY doc_id, x // (w // 8), y // (h // 8), w, h),
+        |bits AS (SELECT doc_id, cj, ci, cell,
+        |    lead(cell) OVER (PARTITION BY doc_id, cj ORDER BY ci) AS nxt
+        |  FROM cells),
+        |hsh AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN nxt > cell
+        |      THEN CAST(1 AS BIGINT) << (cj * 7 + ci) ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM bits WHERE ci < 7 GROUP BY doc_id)
+        |SELECT dhash, CAST(count(*) AS BIGINT) AS n_images,
+        | CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        |FROM hsh GROUP BY dhash""".stripMargin,
     "q176_l_diversity" ->
       """SELECT source, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
         | CAST(count(*) AS BIGINT) AS n,

@@ -161,6 +161,50 @@ class ImageSpec extends SparkSpec {
     assert(MultimodalOps.jpegDecodeCheck(spark, garbage).count() == 0)
   }
 
+  test("dHash: identical images hash equal; different images differ; byte-level re-encode is invariant") {
+    val docs = Seq(0L, 1L, 2L, 100L, 101L).toDF("doc_id")
+    // key (doc_id % 2) * 2: docs 0/2/100 share image 0 (8x8), docs
+    // 1/101 share image 2 (24x8 — verified distinct gradient pattern;
+    // image 1 would COLLIDE with image 0, all gradients ascending,
+    // which is correct perceptual-bucket behavior, not a test case)
+    val pay = MultimodalOps.withImagePayloadKeyed(spark, docs, "doc_id",
+      (col("doc_id") % 2) * 2)
+    val got = MultimodalOps.imageDHash(spark, pay)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.size === 5)
+    assert(got(0L) === got(2L) && got(0L) === got(100L))
+    assert(got(1L) === got(101L))
+    assert(got(0L) !== got(1L))
+    assert(got(0L) === 0xffffffffffffffL) // 8x8: every gradient ascends
+    assert(got(1L) === 0x9f3cf9f3e7cf9fL) // pinned reference pattern
+    // re-encoding the same pixels (fresh PNG bytes) leaves the hash
+    // fixed — the hash is perceptual, not byte-level
+    val pay2 = MultimodalOps.withImagePayloadKeyed(spark,
+      Seq(7L).toDF("doc_id"), "doc_id", lit(0L))
+    val h2 = MultimodalOps.imageDHash(spark, pay2).collect().head.getLong(3)
+    assert(h2 === got(0L))
+  }
+
+  test("dHash: matches a pure-formula reference bit pattern at grid 8") {
+    val id = 4L // 16x24 image
+    val pay = MultimodalOps.withImagePayloadKeyed(spark,
+      Seq(id).toDF("doc_id"), "doc_id", col("doc_id"))
+    val got = MultimodalOps.imageDHash(spark, pay).collect().head.getLong(3)
+    val (w, h) = MultimodalOps.imgDims(id)
+    val (bx, by) = (w / 8, h / 8)
+    val cells = Array.ofDim[Long](8, 8)
+    for (y <- 0 until h; x <- 0 until w)
+      cells(y / by)(x / bx) += MultimodalOps.pxR(id, x, y) +
+        MultimodalOps.pxG(id, x, y) + MultimodalOps.pxB(id, x, y)
+    var expect = 0L
+    for (j <- 0 until 8; i <- 0 until 7) {
+      val cur = cells(j)(i) * 1000L / (3L * bx * by)
+      val nxt = cells(j)(i + 1) * 1000L / (3L * bx * by)
+      if (nxt > cur) expect |= 1L << (j * 7 + i)
+    }
+    assert(got === expect)
+  }
+
   test("audioFeatures: integer-exact resample + duration buckets match a pure reference") {
     import spark.implicits._
     val docs = (0L until 20L).toDF("doc_id")
