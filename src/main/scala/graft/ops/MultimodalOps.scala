@@ -396,6 +396,45 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Near-duplicate image PAIRS by banded dHash: the 56-bit hash
+    * splits into 4 bands of 14 bits; images sharing ANY band become
+    * candidates (one equi-join per band via one explode — never a
+    * cartesian), then candidates verify on full Hamming distance
+    * (`bit_count(a xor b)`). Pigeonhole-EXACT for `maxHamming` ≤ 3:
+    * fewer than 4 differing bits cannot touch all 4 bands, so every
+    * true pair shares an intact band — recall 1.0 by construction,
+    * the q41 SimHash discipline applied to pixels.
+    *
+    * Scale shape: decode scan (narrow) → 4 banded rows per image →
+    * one equi-join keyed (band, bits) → distinct pair dedup → codegen
+    * verify filter. Join fan-out is bounded by bucket occupancy
+    * (near-dup density), not corpus²; the verify is exact integer
+    * math. Output: (id_a < id_b, hamming).
+    */
+  def imageNearDupPairs(spark: SparkSession, binDocs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (pigeonhole-exact with 4 bands), got $maxHamming")
+    val h = imageDHash(spark, binDocs).select(col("doc_id"), col("dhash"))
+    val bands = explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("dhash"), b * 14) bitwiseAND lit((1L << 14) - 1))
+          .as("bits"))
+    }: _*)).as("bk")
+    val banded = h.select(col("doc_id"), col("dhash"), bands)
+      .select(col("doc_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val a = banded.select(col("band"), col("bits"),
+      col("doc_id").as("id_a"), col("dhash").as("ha"))
+    val b = banded.select(col("band"), col("bits"),
+      col("doc_id").as("id_b"), col("dhash").as("hb"))
+    a.join(b, Seq("band", "bits")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   private[graft] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     // NonFatal, not just IOException: codec internals throw unchecked

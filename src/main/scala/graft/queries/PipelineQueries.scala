@@ -432,6 +432,21 @@ object PipelineQueries {
           min("doc_id").as("min_doc_id"))
     }),
 
+    // Image NEAR-dup pairs: banded dHash candidates + exact Hamming
+    // verify (pigeonhole-exact <= 3). Histogram output (hamming ->
+    // pair count + min pair) stays bounded at any corpus size.
+    "q178_image_neardup" -> ((s, d) => {
+      val pay = MultimodalOps.withImagePayloadKeyed(s,
+        Tables(s, d, "documents"), "doc_id", col("doc_id") % 97)
+      MultimodalOps.imageNearDupPairs(s, pay)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(struct(col("id_a"), col("id_b"))).as("first_pair"))
+        .select(col("hamming"), col("n_pairs"),
+          col("first_pair.id_a").as("first_a"),
+          col("first_pair.id_b").as("first_b"))
+    }),
+
     // l-diversity audit: the k-anonymity companion — (source,
     // len-bucket) classes that are k-safe but share ONE language leak
     // it (homogeneity attack); lang plays the sensitive attribute.
@@ -1800,6 +1815,41 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q178_image_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 97 AS k,
+        |  ((doc_id % 97) % 3 + 1) * 8 AS w,
+        |  (((doc_id % 97) // 3) % 3 + 1) * 8 AS h
+        | FROM documents),
+        |xs AS (SELECT doc_id, k, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, k, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |  (x * 7 + y * 13 + k * 31) % 256 AS r,
+        |  (x * 3 + y * 5 + k * 17) % 256 AS g,
+        |  (x * 11 + y * 2 + k * 23) % 256 AS b
+        | FROM ys),
+        |cells AS (SELECT doc_id, x // (w // 8) AS ci, y // (h // 8) AS cj,
+        |    CAST(sum(r + g + b) AS BIGINT) * 1000
+        |      // (3 * (w // 8) * (h // 8)) AS cell
+        |  FROM px GROUP BY doc_id, x // (w // 8), y // (h // 8), w, h),
+        |bits AS (SELECT doc_id, cj, ci, cell,
+        |    lead(cell) OVER (PARTITION BY doc_id, cj ORDER BY ci) AS nxt
+        |  FROM cells),
+        |hsh AS MATERIALIZED (SELECT doc_id,
+        |    CAST(sum(CASE WHEN nxt > cell
+        |      THEN CAST(1 AS BIGINT) << (cj * 7 + ci) ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM bits WHERE ci < 7 GROUP BY doc_id),
+        |banded AS MATERIALIZED (
+        | SELECT doc_id, dhash, band, (dhash >> (band * 14)) & 16383 AS bits
+        | FROM hsh, unnest([0, 1, 2, 3]) AS u(band)),
+        |pairs AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.dhash, b.dhash)) AS hamming
+        | FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+        |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST((min({'id_a': id_a, 'id_b': id_b})).id_a AS BIGINT) AS first_a,
+        | CAST((min({'id_a': id_a, 'id_b': id_b})).id_b AS BIGINT) AS first_b
+        |FROM pairs WHERE hamming <= 3 GROUP BY hamming""".stripMargin,
     "q177_image_dhash" ->
       """WITH d AS (SELECT doc_id, doc_id % 97 AS k,
         |  ((doc_id % 97) % 3 + 1) * 8 AS w,

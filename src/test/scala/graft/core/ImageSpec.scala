@@ -205,6 +205,24 @@ class ImageSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("imageNearDupPairs: banded candidates find EXACTLY the brute-force Hamming<=3 set") {
+    val docs = (0L until 60L).toDF("doc_id")
+    val pay = MultimodalOps.withImagePayloadKeyed(spark, docs, "doc_id",
+      col("doc_id") % 13)
+    val hashes = MultimodalOps.imageDHash(spark, pay)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      hd = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if hd <= 3
+    } yield (a, b, hd)).toSet
+    val got = MultimodalOps.imageNearDupPairs(spark, pay)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute) // pigeonhole: recall 1.0, no false positives
+    assert(brute.nonEmpty) // the mod-13 dup injection must produce work
+    assert(brute.forall { case (a, b, hd) =>
+      (a % 13 != b % 13) || hd == 0 }) // same key => identical hash
+  }
+
   test("audioFeatures: integer-exact resample + duration buckets match a pure reference") {
     import spark.implicits._
     val docs = (0L until 20L).toDF("doc_id")
