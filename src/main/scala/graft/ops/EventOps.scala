@@ -229,4 +229,179 @@ object EventOps {
        |SELECT nr AS n_ref, nc AS n_cur,
        |  round(CAST(sum(t_micro) AS DOUBLE) / 1e8, 6) AS psi
        |FROM terms GROUP BY nr, nc""".stripMargin
+
+  /** Weekly retention-cohort matrix — the product-analytics staple a
+    * 100 TB event store answers daily: users cohorted by FIRST-SEEN
+    * week, then each (cohort, week-offset) cell counts the cohort
+    * members active in that week.
+    *
+    * Scale shape: one (user, week)-distinct aggregation (map-side
+    * combined — the event stream collapses to user x active-week
+    * rows), one per-user min-week window... no: the first-seen week
+    * re-derives from the SAME distinct frame with a second
+    * aggregation and an equi-join on user (co-partitioned with the
+    * first shuffle under AQE), then one cell aggregation. The event
+    * stream is scanned ONCE; everything after is user-cardinality.
+    * retention_frac rounds to 6dp against the cohort's week-0 size.
+    */
+  def retentionCohorts(events: DataFrame, tsCol: String, userCol: String)
+      : DataFrame = {
+    val uw = events.select(col(userCol).as("u"),
+        date_trunc("week", col(tsCol)).cast("date").as("wk"))
+      .distinct()
+    val first = uw.groupBy("u").agg(min("wk").as("cohort_week"))
+    val cells = uw.join(first, "u")
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(countDistinct(col("u")).as("n_users"))
+    val base = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(base, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size"), 6)
+          .as("retention_frac"))
+  }
+
+  /** DuckDB replay of [[retentionCohorts]] over `table`. */
+  def retentionOracleSql(table: String, tsCol: String, userCol: String): String =
+    s"""WITH uw AS (SELECT DISTINCT $userCol AS u,
+       |  CAST(date_trunc('week', $tsCol) AS DATE) AS wk FROM $table),
+       |fst AS (SELECT u, min(wk) AS cohort_week FROM uw GROUP BY u),
+       |cells AS (SELECT cohort_week,
+       |    CAST((wk - cohort_week) // 7 AS INTEGER) AS week_offset,
+       |    count(DISTINCT u) AS n_users
+       |  FROM uw JOIN fst USING (u) GROUP BY 1, 2),
+       |base AS (SELECT cohort_week, n_users AS cohort_size FROM cells
+       |         WHERE week_offset = 0)
+       |SELECT c.cohort_week, c.week_offset,
+       | CAST(c.n_users AS BIGINT) AS n_users,
+       | CAST(b.cohort_size AS BIGINT) AS cohort_size,
+       | round(c.n_users * 1.0::DOUBLE / b.cohort_size, 6) AS retention_frac
+       |FROM cells c JOIN base b USING (cohort_week)""".stripMargin
+
+  /** Ordered conversion funnel: for each user, how deep into
+    * `steps` they got, where step k+1 must occur STRICTLY AFTER the
+    * matched (earliest-valid) step-k event and within `windowDays`
+    * of the step-1 event — the earliest-match semantics every
+    * product-analytics engine implements.
+    *
+    * Scale shape: ONE scan — per (user, step) earliest timestamp via
+    * a conditional min aggregation (map-side combined, user-
+    * cardinality output), then the strictly-increasing chain check is
+    * a per-row fold over the step array: no joins, no windows, no
+    * re-scans. Semantics are FIRST-TOUCH anchored (the product-
+    * analytics default): the window fixes to the user's earliest
+    * step-1 event; with the deadline fixed, earliest-valid matching
+    * for each later step is optimal (it leaves maximal room for the
+    * next step), so the per-step greedy walk is exact under this
+    * anchoring. A later step-1 event is never re-tried — that is the
+    * first-touch contract, not an approximation.
+    *
+    * Caveat (documented contract): conditional-min compresses each
+    * (user, step) to ONE timestamp, so a step event between two
+    * OCCURRENCES of the previous step is invisible — that is exactly
+    * the earliest-match semantics, not an approximation of
+    * all-orderings matching.
+    *
+    * Output: one row per step — (step 1-based, event_type, n_users
+    * reaching it, frac_of_step1 6dp).
+    */
+  def eventFunnel(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, steps: Seq[String], windowDays: Int): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // earliest ts per (user, step) -- but the chain needs min AFTER
+    // the previous step's match; a single conditional min per step is
+    // NOT enough (an early step-2 event before step-1 must not
+    // count). Keep per (user, step) the full SORTED ts list? That is
+    // unbounded. Instead: per (user, step) keep the earliest ts
+    // AFTER each candidate boundary is unknowable in one pass --
+    // so collect per (user, step) min ts among events LATER than the
+    // running boundary via an iterative chain of conditional mins:
+    // step 1 boundary is -inf, step k boundary is step k-1's match.
+    // Each chain element is one more conditional aggregation over the
+    // SAME (user, step, ts) aggregate frame -- events scan stays 1.
+    val base = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("u"), col(typeCol).as("s"),
+        epochS(col(tsCol)).as("t"))
+      .groupBy("u", "s").agg(sort_array(collect_list("t")).as("ts"))
+      .groupBy("u").pivot("s", steps).agg(first("ts"))
+    // per-user driver-free fold: boundary walks the per-step sorted
+    // lists (each list bounded by that user's per-type event count)
+    val stepCols = steps.map(s => col(s))
+    val chain = base.select(col("u") +: stepCols: _*)
+    val windowS = windowDays * 86400.0
+    // depth via a SQL-expression fold: filter(list, > boundary)[0]
+    var boundary: Column = lit(Double.NegativeInfinity)
+    var start: Column = lit(null).cast("double")
+    val matched = scala.collection.mutable.ArrayBuffer.empty[Column]
+    for ((s, i) <- steps.zipWithIndex) {
+      val cand0 = filter(coalesce(col(s), array().cast("array<double>")),
+        t => t > boundary)
+      val cand = if (i == 0) cand0
+        else filter(cand0, t => t <= start + lit(windowS))
+      val m = get(cand, lit(0)) // null-safe out of bounds, unlike element_at under ANSI
+      if (i == 0) start = m
+      matched += m
+      boundary = m
+    }
+    // fold order: deepest prefix check must be the OUTERMOST when
+    val depth = matched.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (m, i)) =>
+        when(matched.take(i + 1).map(_.isNotNull).reduce(_ && _), i + 1)
+          .otherwise(acc)
+    }
+    val depths = chain.select(col("u"), depth.as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n")) // one row per user already
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val reach = steps.indices.map(i =>
+      (i + 1 to steps.size).map(dd => depths.getOrElse(dd, 0L)).sum)
+    val s1 = reach.head
+    steps.zipWithIndex.map { case (s, i) =>
+      val n = reach(i)
+      val frac = if (s1 == 0) 0.0 else
+        BigDecimal(n.toDouble / s1)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i + 1, s, n, frac)
+    }.toDF("step", "event_type", "n_users", "frac_of_step1")
+  }
+
+  /** DuckDB replay of [[eventFunnel]] (first-touch anchored chain of
+    * conditional mins).
+    */
+  def funnelOracleSql(table: String, tsCol: String, userCol: String,
+      typeCol: String, steps: Seq[String], windowDays: Int): String = {
+    val w = windowDays * 86400.0
+    val stepList = steps.map(st => "'" + st + "'").mkString(", ")
+    val chains = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"m1 AS (SELECT u, min(t) AS t1 FROM e WHERE s = '$st' GROUP BY u)"
+      else {
+        val k = i + 1
+        val prevJoin = if (i == 1) "JOIN m1 USING (u)"
+          else s"JOIN m1 USING (u) JOIN m$i USING (u)"
+        s"""m$k AS (SELECT e.u, min(t) AS t$k FROM e
+           | $prevJoin
+           | WHERE s = '$st' AND t > t$i AND t <= t1 + $w GROUP BY e.u)""".stripMargin
+      }
+    }.mkString(",\n")
+    val reach = steps.indices.map { i =>
+      s"SELECT ${i + 1} AS step, '${steps(i)}' AS event_type, " +
+        s"(SELECT count(*) FROM m${i + 1}) AS n_users"
+    }.mkString("\n UNION ALL ")
+    s"""WITH e AS (SELECT $userCol AS u, $typeCol AS s, epoch($tsCol) AS t
+       | FROM $table WHERE $typeCol IN ($stepList)),
+       |$chains,
+       |r AS ($reach)
+       |SELECT step, event_type, CAST(n_users AS BIGINT) AS n_users,
+       | round(CASE WHEN (SELECT n_users FROM r WHERE step = 1) = 0 THEN 0.0
+       |   ELSE n_users * 1.0::DOUBLE / (SELECT n_users FROM r WHERE step = 1)
+       |   END, 6) AS frac_of_step1
+       |FROM r""".stripMargin
+  }
 }

@@ -432,6 +432,18 @@ object PipelineQueries {
           min("doc_id").as("min_doc_id"))
     }),
 
+    // Weekly retention-cohort matrix over the events stream — users
+    // cohorted by first-seen week, per-offset active counts.
+    "q179_retention_cohorts" -> ((s, d) =>
+      graft.ops.EventOps.retentionCohorts(Tables(s, d, "events"), "ts", "user_id")),
+
+    // First-touch-anchored conversion funnel signup -> view -> click
+    // -> purchase within 7 days; one event scan, chain of conditional
+    // mins over per-(user, step) sorted timestamp lists.
+    "q180_event_funnel" -> ((s, d) =>
+      graft.ops.EventOps.eventFunnel(Tables(s, d, "events"), "ts", "user_id",
+        "event_type", Seq("signup", "view", "click", "purchase"), windowDays = 7)),
+
     // Image NEAR-dup pairs: banded dHash candidates + exact Hamming
     // verify (pigeonhole-exact <= 3). Histogram output (hamming ->
     // pair count + min pair) stays bounded at any corpus size.
@@ -1815,6 +1827,11 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q179_retention_cohorts" ->
+      graft.ops.EventOps.retentionOracleSql("events", "ts", "user_id"),
+    "q180_event_funnel" -> graft.ops.EventOps.funnelOracleSql(
+      "events", "ts", "user_id", "event_type",
+      Seq("signup", "view", "click", "purchase"), windowDays = 7),
     "q178_image_neardup" ->
       """WITH d AS (SELECT doc_id, doc_id % 97 AS k,
         |  ((doc_id % 97) % 3 + 1) * 8 AS w,

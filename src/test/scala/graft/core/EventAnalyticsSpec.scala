@@ -1,0 +1,86 @@
+package graft.core
+
+import graft.ops.EventOps
+import org.apache.spark.sql.functions._
+
+/** Retention-cohort and funnel invariants on hand-crafted event
+  * streams (the oracle covers the synthetic table; these pin the
+  * SEMANTICS: first-touch anchoring, window expiry, ordering).
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"))
+
+  test("retentionCohorts: cohort sizes, offsets, and fractions") {
+    // u1, u2 first seen week of 2024-01-01 (Mon); u1 returns 2 weeks
+    // later; u3 first seen the next week.
+    val e = ev(
+      (1L, "view", "2024-01-02 10:00:00"),
+      (2L, "view", "2024-01-03 10:00:00"),
+      (1L, "view", "2024-01-16 10:00:00"),
+      (3L, "view", "2024-01-10 10:00:00"))
+    val got = EventOps.retentionCohorts(e, "ts", "user_id")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(("2024-01-01", 0)) === ((2L, 2L, 1.0)))
+    assert(got(("2024-01-01", 2)) === ((1L, 2L, 0.5)))
+    assert(got(("2024-01-08", 0)) === ((1L, 1L, 1.0)))
+    assert(got.size === 3)
+  }
+
+  test("eventFunnel: full conversion, ordering enforced, window expiry") {
+    val steps = Seq("signup", "view", "purchase")
+    val e = ev(
+      // u1: full ordered funnel inside the window -> depth 3
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-02 00:00:00"),
+      (1L, "purchase", "2024-01-03 00:00:00"),
+      // u2: view BEFORE signup, none after -> depth 1
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "signup", "2024-01-02 00:00:00"),
+      // u3: purchase outside the 7-day window -> depth 2
+      (3L, "signup", "2024-01-01 00:00:00"),
+      (3L, "view", "2024-01-02 00:00:00"),
+      (3L, "purchase", "2024-01-20 00:00:00"),
+      // u4: never signs up -> depth 0 (not counted anywhere)
+      (4L, "view", "2024-01-01 00:00:00"))
+    val got = EventOps.eventFunnel(e, "ts", "user_id", "event_type",
+        steps, windowDays = 7)
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1) === (("signup", 3L, 1.0)))
+    assert(got(2) === (("view", 2L, 0.666667)))
+    assert(got(3) === (("purchase", 1L, 0.333333)))
+  }
+
+  test("eventFunnel: first-touch anchoring — a later signup never re-opens the window") {
+    val steps = Seq("signup", "purchase")
+    val e = ev(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "signup", "2024-01-10 00:00:00"),
+      (1L, "purchase", "2024-01-12 00:00:00")) // in window of 2nd signup only
+    val got = EventOps.eventFunnel(e, "ts", "user_id", "event_type",
+        steps, windowDays = 7)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got(1) === 1L)
+    assert(got(2) === 0L) // first-touch contract: anchored at Jan 1
+  }
+
+  test("eventFunnel: step event between two previous-step events still matches (earliest-valid walk)") {
+    val steps = Seq("signup", "view", "purchase")
+    val e = ev(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 06:00:00"),
+      (1L, "view", "2024-01-03 00:00:00"),
+      (1L, "purchase", "2024-01-02 00:00:00")) // after FIRST view only
+    val got = EventOps.eventFunnel(e, "ts", "user_id", "event_type",
+        steps, windowDays = 7)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // earliest-valid view (Jan 1 06:00) leaves the purchase matchable
+    assert(got(3) === 1L)
+  }
+}
