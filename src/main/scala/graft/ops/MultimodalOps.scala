@@ -415,7 +415,10 @@ object MultimodalOps {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] (pigeonhole-exact with 4 bands), got $maxHamming")
+    // the (id, dhash) frame feeds BOTH join sides: localCheckpoint it
+    // (eager) or every side re-runs the full decode scan
     val h = imageDHash(spark, binDocs).select(col("doc_id"), col("dhash"))
+      .localCheckpoint()
     val bands = explode(array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         (shiftright(col("dhash"), b * 14) bitwiseAND lit((1L << 14) - 1))
@@ -433,6 +436,68 @@ object MultimodalOps {
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-dup HISTOGRAM without materializing pairs: the corpus
+    * collapses to HASH GROUPS first (n, two smallest ids per dhash),
+    * then the banded join runs over DISTINCT hashes only —
+    * hash-cardinality quadratics instead of corpus-cardinality — and
+    * pair counts come back by multiplication:
+    *
+    *   hamming 0: Σ_groups n·(n−1)/2, first pair = the group's two
+    *     smallest ids;
+    *   hamming 1..3: per hash pair n_a·n_b, first pair =
+    *     (least, greatest) of the two group minima — provably the
+    *     lexicographic min over that cell's expanded pairs.
+    *
+    * Same output contract as aggregating [[imageNearDupPairs]]
+    * (spec-pinned differential), but the quadratic step never touches
+    * corpus cardinality — at 100 TB with dup-heavy corpora the pair
+    * materialization IS the job, and this skips it. Output:
+    * (hamming, n_pairs, first_a, first_b).
+    */
+  def imageNearDupStats(spark: SparkSession, binDocs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (pigeonhole-exact with 4 bands), got $maxHamming")
+    // (id, dhash) feeds two aggregations and a join — checkpoint so
+    // the decode scan runs ONCE (16 bytes/row, corpus-cardinality)
+    val h = imageDHash(spark, binDocs).select(col("doc_id"), col("dhash"))
+      .localCheckpoint()
+    val g1 = h.groupBy("dhash")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("m1"))
+    // second-smallest id via one more user-keyed pass (no unbounded
+    // per-group collects — dup groups can be huge)
+    val g2 = h.join(g1, "dhash").filter(col("doc_id") > col("m1"))
+      .groupBy("dhash").agg(min("doc_id").as("m2"))
+    val groups = g1.join(g2, Seq("dhash"), "left")
+    val within = groups.filter(col("n") >= 2)
+      .select(lit(0).as("hamming"),
+        (col("n") * (col("n") - 1) / 2).cast("long").as("n_pairs"),
+        struct(col("m1").as("id_a"), col("m2").as("id_b")).as("fp"))
+    val banded = groups.select(col("dhash"), col("n"), col("m1"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("dhash"), b * 14) bitwiseAND lit((1L << 14) - 1)): _*))
+          .as(Seq("band", "bits")))
+    val a = banded.select(col("band"), col("bits"), col("dhash").as("ha"),
+      col("n").as("na"), col("m1").as("ma"))
+    val b = banded.select(col("band"), col("bits"), col("dhash").as("hb"),
+      col("n").as("nb"), col("m1").as("mb"))
+    val cross = a.join(b, Seq("band", "bits")).filter(col("ha") < col("hb"))
+      .select(col("ha"), col("hb"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"),
+        col("na"), col("nb"), col("ma"), col("mb"))
+      .dropDuplicates("ha", "hb")
+      .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
+      .select(col("hamming"), (col("na") * col("nb")).cast("long").as("n_pairs"),
+        struct(least(col("ma"), col("mb")).as("id_a"),
+          greatest(col("ma"), col("mb")).as("id_b")).as("fp"))
+    within.unionByName(cross)
+      .groupBy("hamming")
+      .agg(sum("n_pairs").as("n_pairs"), min("fp").as("first_pair"))
+      .select(col("hamming"), col("n_pairs"),
+        col("first_pair.id_a").as("first_a"),
+        col("first_pair.id_b").as("first_b"))
   }
 
   private[graft] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =

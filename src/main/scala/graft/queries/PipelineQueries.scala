@@ -450,13 +450,10 @@ object PipelineQueries {
     "q178_image_neardup" -> ((s, d) => {
       val pay = MultimodalOps.withImagePayloadKeyed(s,
         Tables(s, d, "documents"), "doc_id", col("doc_id") % 97)
-      MultimodalOps.imageNearDupPairs(s, pay)
-        .groupBy("hamming")
-        .agg(count(lit(1)).as("n_pairs"),
-          min(struct(col("id_a"), col("id_b"))).as("first_pair"))
-        .select(col("hamming"), col("n_pairs"),
-          col("first_pair.id_a").as("first_a"),
-          col("first_pair.id_b").as("first_b"))
+      // group-collapsed stats: the quadratic step runs over DISTINCT
+      // hashes, never corpus pairs (spec-pinned equal to aggregating
+      // imageNearDupPairs)
+      MultimodalOps.imageNearDupStats(s, pay)
     }),
 
     // l-diversity audit: the k-anonymity companion — (source,

@@ -223,6 +223,25 @@ class ImageSpec extends SparkSpec {
       (a % 13 != b % 13) || hd == 0 }) // same key => identical hash
   }
 
+  test("imageNearDupStats == aggregated imageNearDupPairs (group-collapsed equivalence)") {
+    val docs = (0L until 80L).toDF("doc_id")
+    val pay = MultimodalOps.withImagePayloadKeyed(spark, docs, "doc_id",
+      col("doc_id") % 11)
+    val fromPairs = MultimodalOps.imageNearDupPairs(spark, pay)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(struct(col("id_a"), col("id_b"))).as("fp"))
+      .select(col("hamming"), col("n_pairs"),
+        col("fp.id_a").as("first_a"), col("fp.id_b").as("first_b"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val fromStats = MultimodalOps.imageNearDupStats(spark, pay)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fromStats === fromPairs)
+    assert(fromPairs.nonEmpty)
+  }
+
   test("audioFeatures: integer-exact resample + duration buckets match a pure reference") {
     import spark.implicits._
     val docs = (0L until 20L).toDF("doc_id")
