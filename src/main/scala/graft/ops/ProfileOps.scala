@@ -553,6 +553,49 @@ object ProfileOps {
       .withColumn("homogeneous", col("l") === 1 && col("n") > 1)
   }
 
+  /** Calibration (reliability) buckets for a [0,1] score vs a 0/1
+    * label: decile buckets (score·buckets floored, top-clamped), per
+    * bucket n, positives, mean score, observed positive rate (6dp).
+    * One aggregation; bucket count bounded by construction.
+    */
+  def calibrationBuckets(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    df.withColumn("_b",
+        least(floor(col(scoreCol) * buckets).cast("int"), lit(buckets - 1)))
+      .groupBy(col("_b").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("int")).cast("long").as("n_pos"),
+        round(avg(col(scoreCol)), 6).as("avg_score"),
+        round(sum(col(labelCol).cast("int")).cast("double") / count(lit(1)), 6)
+          .as("frac_pos"))
+  }
+
+  /** Exact tie-aware Mann–Whitney AUC of a score against a 0/1 label
+    * via midranks. The global window runs over the DISTINCT-score
+    * frame — for a d-decimal-rounded score that cardinality is
+    * bounded (≤ 10^d + 1) regardless of corpus size, so the
+    * single-partition window is model-scale, never data-scale.
+    * Output: one row (n_pos, n_neg, auc 6dp; auc null when either
+    * class is empty).
+    */
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("_s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(labelCol).cast("int")).cast("long").as("npos"))
+    val wdw = org.apache.spark.sql.expressions.Window.orderBy("_s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val m = g.withColumn("below", coalesce(sum("cnt").over(wdw), lit(0L)))
+      .withColumn("midrank", col("below") + (col("cnt") + 1) / lit(2.0))
+    m.agg(sum("npos").as("p"), (sum("cnt") - sum("npos")).as("nn"),
+        sum(col("npos") * col("midrank")).as("spr"))
+      .select(col("p").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        when(col("p") === 0 || col("nn") === 0, lit(null).cast("double"))
+          .otherwise(round((col("spr") - col("p") * (col("p") + 1) / lit(2.0)) /
+            (col("p") * lit(1.0) * col("nn")), 6)).as("auc"))
+  }
+
   /** One-row release headline for [[kAnonymity]]: class counts, row
     * counts, and the risky-row fraction (6dp). Same single-aggregation
     * scale shape — the class table re-aggregates to one row.

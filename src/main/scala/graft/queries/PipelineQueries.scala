@@ -432,6 +432,55 @@ object PipelineQueries {
           min("doc_id").as("min_doc_id"))
     }),
 
+    // Scorer calibration curve: trained quality score bucketed into
+    // deciles vs the rule-filter label — the reliability diagram a
+    // scorer owner reads before trusting thresholds.
+    "q181_calibration" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sc = TextOps.qualityScore(docs, "doc_id", "text",
+        TextOps.TrainedQualityWeights)
+      val lab = TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
+      ProfileOps.calibrationBuckets(sc.join(lab, "id"), "quality", "pos")
+    }),
+
+    // Rank-sum (Mann–Whitney) AUC of the trained scorer against the
+    // rule labels — exact, tie-aware (midranks), computed over the
+    // BOUNDED distinct-score frame (<= 100001 5dp values at any
+    // corpus size), so the global window is model-scale.
+    "q182_scorer_auc" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sc = TextOps.qualityScore(docs, "doc_id", "text",
+        TextOps.TrainedQualityWeights)
+      val lab = TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
+      ProfileOps.rankAuc(sc.join(lab, "id"), "quality", "pos")
+    }),
+
+    // Language-ID confusion matrix: frozen-profile prediction (q96's
+    // kernel) tabulated against the table's lang column.
+    "q183_langid_confusion" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val langs = graft.ops.LangNgram.langs
+      val docs = Tables(s, d, "documents")
+      val scored = docs.select(col("doc_id"), col("lang").as("actual"),
+        call_function("graft_lang_scores",
+          coalesce(col("text"), lit(""))).as("_sc"))
+        .select(col("doc_id") +: col("actual") +:
+          langs.zipWithIndex.map { case (l, i) =>
+            element_at(col("_sc"), i + 1).as(s"s_$l")
+          }: _*)
+      val pred = langs.zipWithIndex.foldRight(lit(langs.last)) {
+        case ((l, i), rest) =>
+          val laters = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o"))
+          if (laters.isEmpty) rest
+          else when(laters.reduce(_ && _), lit(l)).otherwise(rest)
+      }
+      scored.withColumn("predicted", pred)
+        .groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Weekly retention-cohort matrix over the events stream — users
     // cohorted by first-seen week, per-offset active counts.
     "q179_retention_cohorts" -> ((s, d) =>
@@ -1824,6 +1873,45 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q181_calibration" ->
+      (s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
+        |docs0 AS (SELECT doc_id, text AS t FROM documents),
+        |""".stripMargin + rulesOracleBody("docs0") +
+        """,
+        |j AS (SELECT q.doc_id,
+        |   least(CAST(floor(quality * 10) AS INTEGER), 9) AS bucket,
+        |   quality, pr.passes AS pos
+        | FROM q JOIN pr USING (doc_id))
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(pos) AS BIGINT) AS n_pos,
+        | round(avg(quality), 6) AS avg_score,
+        | round(sum(pos) * 1.0::DOUBLE / count(*), 6) AS frac_pos
+        |FROM j GROUP BY bucket""".stripMargin),
+    "q182_scorer_auc" ->
+      (s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
+        |docs0 AS (SELECT doc_id, text AS t FROM documents),
+        |""".stripMargin + rulesOracleBody("docs0") +
+        """,
+        |j AS (SELECT quality, pr.passes AS pos
+        | FROM q JOIN pr USING (doc_id)),
+        |g AS (SELECT quality, count(*) AS cnt, sum(pos) AS npos
+        | FROM j GROUP BY quality),
+        |m AS (SELECT *,
+        |   coalesce(sum(cnt) OVER (ORDER BY quality
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        | FROM g),
+        |mm AS (SELECT *, below + (cnt + 1) / 2.0 AS midrank FROM m),
+        |a AS (SELECT sum(npos) AS p, sum(cnt) - sum(npos) AS nn,
+        |   sum(npos * midrank) AS spr FROM mm)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        | round((spr - p * (p + 1) / 2.0) / (p * 1.0::DOUBLE * nn), 6) AS auc
+        |FROM a""".stripMargin),
+    "q183_langid_confusion" ->
+      s"""WITH base AS ($langNgramOracleSql)
+        |SELECT d.lang AS actual, b.lang_pred AS predicted,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM documents d JOIN base b USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q179_retention_cohorts" ->
       graft.ops.EventOps.retentionOracleSql("events", "ts", "user_id"),
     "q180_event_funnel" -> graft.ops.EventOps.funnelOracleSql(

@@ -171,6 +171,34 @@ class RetrievalSpec extends SparkSpec {
     assert(s.getDouble(4) === 0.5)
   }
 
+  test("rankAuc: perfect separation 1.0, constant score 0.5, ties by hand") {
+    def auc(rows: (Double, Int)*): Option[Double] = {
+      val r = ProfileOps.rankAuc(rows.toSeq.toDF("s", "y"), "s", "y")
+        .collect().head
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    assert(auc((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)) === Some(1.0))
+    assert(auc((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)) === Some(0.0))
+    assert(auc((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)) === Some(0.5))
+    // hand case with a tie straddling the classes:
+    // scores: 0.1(neg) 0.5(pos) 0.5(neg) 0.9(pos)
+    // midranks: 0.1->1, 0.5->2.5, 0.9->4; sum pos ranks = 2.5+4 = 6.5
+    // AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    assert(auc((0.1, 0), (0.5, 1), (0.5, 0), (0.9, 1)) === Some(0.875))
+    assert(auc((0.3, 1), (0.7, 1)) === None) // no negatives
+  }
+
+  test("calibrationBuckets: bucket edges, clamp, and rates") {
+    val df = Seq((0.05, 0), (0.08, 1), (0.55, 1), (0.52, 1), (1.0, 1))
+      .toDF("s", "y")
+    val got = ProfileOps.calibrationBuckets(df, "s", "y")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(got(0) === ((2L, 1L, 0.5)))
+    assert(got(5) === ((2L, 2L, 1.0)))
+    assert(got(9) === ((1L, 1L, 1.0))) // 1.0 clamps into the top bucket
+  }
+
   test("lDiversity: homogeneous class flagged, diverse class clean") {
     val df = Seq(
       ("a", "en"), ("a", "en"), ("a", "en"),  // k-safe but homogeneous
