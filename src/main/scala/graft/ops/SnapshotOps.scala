@@ -36,4 +36,63 @@ object SnapshotOps {
           .otherwise(lit("changed")).as("status"))
       .filter(statusFilter)
   }
+
+  /** Slowly-changing-dimension TYPE-2 merge: fold a new dimension
+    * snapshot into a versioned history table. History rows carry
+    * (`keyCol`, attrs..., `valid_from`, `valid_to`) with
+    * `valid_to IS NULL` marking the open (current) version. At merge
+    * time `ts`:
+    *
+    *  - attrs unchanged → open row passes through untouched;
+    *  - attrs changed   → open row closes (valid_to = ts) AND a new
+    *    open row inserts (valid_from = ts);
+    *  - key absent from the snapshot (deleted) → open row closes;
+    *  - key new in the snapshot → new open row inserts;
+    *  - already-closed history rows pass through verbatim.
+    *
+    * Physical shape: closed history is a pass-through scan; the open
+    * slice joins the snapshot with ONE full-outer equi-join on the
+    * key (AQE-sized shuffle, broadcastable when the snapshot is a
+    * small dim), and every output class is a projection of that one
+    * join — the history is never joined to itself and never
+    * windowed. Attr comparison is null-safe (`<=>`) per column.
+    */
+  def scd2Merge(history: DataFrame, snapshot: DataFrame, keyCol: String,
+      attrCols: Seq[String], ts: Long): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Merge needs at least one attribute column")
+    val outCols = (keyCol +: attrCols).map(col) :+
+      col("valid_from") :+ col("valid_to")
+    val closed = history.filter(col("valid_to").isNotNull)
+      .select(outCols: _*)
+    val open = history.filter(col("valid_to").isNull)
+      .select((keyCol +: attrCols).map(c => col(c).as(s"h_$c")) :+
+        col("valid_from").as("h_valid_from"): _*)
+    val snap = snapshot
+      .select((keyCol +: attrCols).map(c => col(c).as(s"s_$c")): _*)
+    val j = open.join(snap,
+      col(s"h_$keyCol") <=> col(s"s_$keyCol"), "full_outer")
+    val same = attrCols.map(c => col(s"h_$c") <=> col(s"s_$c")).reduce(_ && _)
+    val hPresent = col(s"h_$keyCol").isNotNull
+    val sPresent = col(s"s_$keyCol").isNotNull
+    // ONE pass over the join: each key emits 1–2 classified rows via
+    // an exploded struct array (three filtered consumers of the same
+    // join would re-execute it three times)
+    def row(keyC: Column, attrs: Seq[Column], from: Column, to: Column) =
+      struct((keyC.as(keyCol) +: attrCols.zip(attrs).map {
+        case (c, v) => v.as(c)
+      }) :+ from.as("valid_from") :+ to.as("valid_to"): _*)
+    val hRow = (from: Column, to: Column) => row(col(s"h_$keyCol"),
+      attrCols.map(c => col(s"h_$c")), from, to)
+    val sRow = row(col(s"s_$keyCol"), attrCols.map(c => col(s"s_$c")),
+      lit(ts), lit(null).cast("long"))
+    val keep = hRow(col("h_valid_from"), lit(null).cast("long"))
+    val close = hRow(col("h_valid_from"), lit(ts))
+    val emitted = j.select(explode(
+      when(hPresent && sPresent && same, array(keep))
+        .when(hPresent && sPresent, array(close, sRow))
+        .when(hPresent, array(close))
+        .otherwise(array(sRow))).as("r"))
+      .select(col("r.*"))
+    closed.unionByName(emitted)
+  }
 }

@@ -432,6 +432,40 @@ object PipelineQueries {
           min("doc_id").as("min_doc_id"))
     }),
 
+    // SCD TYPE-2 merge: fold a mutated supplier snapshot (acctbal
+    // bumped on %7 keys, %13 keys deleted, 5 new keys) into a
+    // versioned history — the warehouse dimension-maintenance staple.
+    "q185_scd2_merge" -> ((s, d) => {
+      val sup = Tables(s, d, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"),
+          col("s_name").as("name"),
+          col("s_acctbal").cast("double").as("acctbal"))
+      val history = sup.select(col("k"), col("name"), col("acctbal"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val snapshot = sup.filter(col("k") % 13 =!= 0)
+        .select(col("k"), col("name"),
+          when(col("k") % 7 === 0, round(col("acctbal") + 100.0, 2))
+            .otherwise(col("acctbal")).as("acctbal"))
+        .unionByName(s.range(1, 6).select(
+          (col("id") + 900000).as("k"),
+          concat(lit("Supplier#new"), col("id")).as("name"),
+          lit(0.0).as("acctbal")))
+      graft.ops.SnapshotOps.scd2Merge(history, snapshot, "k",
+        Seq("name", "acctbal"), ts = 1000L)
+    }),
+
+    // RANGE-frame sliding window: per event, that user's event count
+    // and value sum over the PRECEDING HOUR (time-based frame, not
+    // row-based — q08's running_sum twin on the other frame type).
+    "q184_sliding_window" -> ((s, d) =>
+      Tables(s, d, "events").select(col("event_id"), col("user_id"),
+          graft.ops.EventOps.epochS(col("ts")).as("t"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(Window.partitionBy("user_id").orderBy("t")
+            .rangeBetween(-3600, 0)).as("n_1h"),
+          round(sum("value").over(Window.partitionBy("user_id").orderBy("t")
+            .rangeBetween(-3600, 0)), 4).as("sum_1h"))),
+
     // Scorer calibration curve: trained quality score bucketed into
     // deciles vs the rule-filter label — the reliability diagram a
     // scorer owner reads before trusting thresholds.
@@ -1873,6 +1907,44 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q185_scd2_merge" ->
+      """WITH hist AS (SELECT CAST(s_suppkey AS BIGINT) AS k, s_name AS name,
+        |  CAST(s_acctbal AS DOUBLE) AS acctbal,
+        |  CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        | FROM supplier),
+        |snap AS (
+        | SELECT k, name,
+        |  CASE WHEN k % 7 = 0 THEN round(acctbal + 100.0, 2)
+        |       ELSE acctbal END AS acctbal
+        | FROM hist WHERE k % 13 <> 0
+        | UNION ALL
+        | SELECT CAST(i + 900000 AS BIGINT), 'Supplier#new' || CAST(i AS VARCHAR),
+        |  0.0 FROM unnest(generate_series(1, 5)) AS t(i)),
+        |j AS (SELECT h.k AS hk, h.name AS hname, h.acctbal AS hbal,
+        |  h.valid_from AS hfrom, s.k AS sk, s.name AS sname, s.acctbal AS sbal
+        | FROM hist h FULL OUTER JOIN snap s ON h.k = s.k)
+        |SELECT hk AS k, hname AS name, hbal AS acctbal,
+        |  hfrom AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        | FROM j WHERE hk IS NOT NULL AND sk IS NOT NULL
+        |  AND hname IS NOT DISTINCT FROM sname
+        |  AND hbal IS NOT DISTINCT FROM sbal
+        |UNION ALL
+        |SELECT hk, hname, hbal, hfrom, CAST(1000 AS BIGINT)
+        | FROM j WHERE hk IS NOT NULL
+        |  AND (sk IS NULL OR hname IS DISTINCT FROM sname
+        |       OR hbal IS DISTINCT FROM sbal)
+        |UNION ALL
+        |SELECT sk, sname, sbal, CAST(1000 AS BIGINT), CAST(NULL AS BIGINT)
+        | FROM j WHERE sk IS NOT NULL
+        |  AND (hk IS NULL OR hname IS DISTINCT FROM sname
+        |       OR hbal IS DISTINCT FROM sbal)""".stripMargin,
+    "q184_sliding_window" ->
+      """SELECT event_id, user_id,
+        | CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        | round(sum(value) OVER w, 4) AS sum_1h
+        |FROM (SELECT event_id, user_id, epoch(ts) AS t, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q181_calibration" ->
       (s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
         |docs0 AS (SELECT doc_id, text AS t FROM documents),

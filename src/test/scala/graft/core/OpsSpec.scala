@@ -931,6 +931,33 @@ class OpsSpec extends SparkSpec {
     assert(delta == Set(2L, 3L, 4L, 6L))
   }
 
+  test("scd2Merge: change/delete/insert/unchanged classes; idempotent on re-merge") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, "a", 0L, Some(5L)),   // already-closed version: verbatim
+      (1L, "b", 5L, None),       // open, will CHANGE at ts=10
+      (2L, "x", 0L, None),       // open, unchanged
+      (3L, "y", 0L, None)        // open, DELETED at ts=10
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val snap = Seq((1L, "c"), (2L, "x"), (4L, "z")).toDF("k", "v")
+    val out = graft.ops.SnapshotOps.scd2Merge(hist, snap, "k", Seq("v"), 10L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(rows === Set(
+      (1L, "a", 0L, Some(5L)),   // closed history untouched
+      (1L, "b", 5L, Some(10L)),  // change closes the old version
+      (1L, "c", 10L, None),      // ...and opens the new one
+      (2L, "x", 0L, None),       // unchanged survives as-is
+      (3L, "y", 0L, Some(10L)),  // delete closes
+      (4L, "z", 10L, None)))     // brand-new key opens
+    // idempotence: re-merging the SAME snapshot at a later ts only
+    // touches nothing (all open rows match the snapshot)
+    val again = graft.ops.SnapshotOps.scd2Merge(out, snap, "k", Seq("v"), 20L)
+    assert(again.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      === rows)
+  }
+
   test("perplexity differential: random corpora match a pure-Scala bigram LM") {
     import graft.ops.TextOps
     val rnd = new scala.util.Random(67)
