@@ -327,9 +327,96 @@ object RelationalQueries {
         .filter(col("o_orderstatus") === "F")
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_orders"), round(avg("o_totalprice"), 4).as("avg_price"))
-    }))
+    }),
+
+    // Ranking-window trio: ntile quartiles, percent_rank, cume_dist
+    // over per-customer revenue (the window functions q07/q08/q09
+    // don't touch). Ties broken by key so the ranks are deterministic.
+    "q186_window_ranks" -> ((s, d) => {
+      val rev = Tables(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
+      rev.select(col("o_custkey"), col("revenue"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    }),
+
+    // PIVOT: yearly revenue per nation fanned into year columns —
+    // the reshape operator (Spark .pivot with pinned values so the
+    // output schema is static).
+    "q187_pivot" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val n = Tables(s, d, "nation")
+      val o = Tables(s, d, "orders")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+          col("o_totalprice"))
+        .groupBy("n_name")
+        .pivot("yr", Seq(1995, 1996, 1997, 1998))
+        .agg(coalesce(round(sum("o_totalprice"), 2), lit(0.0)))
+        .select(col("n_name"), col("1995").as("rev_1995"),
+          col("1996").as("rev_1996"), col("1997").as("rev_1997"),
+          col("1998").as("rev_1998"))
+    }),
+
+    // UNPIVOT (melt): part size metrics long-formed — the inverse
+    // reshape, via Spark's native unpivot operator.
+    "q188_unpivot" -> ((s, d) =>
+      Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast("long").as("size"),
+          // round-then-cast: a plain double->long cast TRUNCATES in
+          // Spark but ROUNDS in DuckDB — the grid must be integral
+          // before the cast on both sides
+          round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retail_cents")), "metric", "value")),
+
+    // JSON extraction over the events props column: parse, extract,
+    // aggregate — the semi-structured path (§2.8 JSON ops).
+    "q189_json_extract" -> ((s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          count_distinct(col("k")).as("n_distinct_k"))))
 
   val oracles: Map[String, String] = Map(
+    "q186_window_ranks" ->
+      """WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        | FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, revenue,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM rev
+        |WINDOW w AS (ORDER BY revenue DESC, o_custkey)""".stripMargin,
+    "q187_pivot" ->
+      """SELECT n_name,
+        | coalesce(round(sum(CASE WHEN yr = 1995 THEN o_totalprice END), 2), 0.0) AS rev_1995,
+        | coalesce(round(sum(CASE WHEN yr = 1996 THEN o_totalprice END), 2), 0.0) AS rev_1996,
+        | coalesce(round(sum(CASE WHEN yr = 1997 THEN o_totalprice END), 2), 0.0) AS rev_1997,
+        | coalesce(round(sum(CASE WHEN yr = 1998 THEN o_totalprice END), 2), 0.0) AS rev_1998
+        |FROM (SELECT n_name, year(o_orderdate) AS yr, o_totalprice
+        |      FROM orders
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY n_name""".stripMargin,
+    "q188_unpivot" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS BIGINT) AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retail_cents', CAST(round(p_retailprice * 100) AS BIGINT)
+        |FROM part""".stripMargin,
+    "q189_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
