@@ -211,6 +211,52 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  case class StepEvent(user_id: Long, ts: Timestamp, event_type: String)
+  case class FunnelState(anchorMs: Long, lastMs: Long, depth: Int)
+  case class FunnelOut(user_id: Long, depth: Int)
+
+  /** Stateful streaming funnel — the incremental form of
+    * EventOps.eventFunnel (q180): per-user keyed state walks the step
+    * machine as events arrive, emitting the user's current depth on
+    * every update. Same FIRST-TOUCH anchoring: the first step-1 event
+    * pins the window; each later step matches its first occurrence
+    * strictly after the previous match and within `windowDays` of the
+    * anchor.
+    *
+    * Equivalence contract with the batch operator: identical depths
+    * when events arrive in event-time order across micro-batches
+    * (within a batch, rows sort by ts before the state transition).
+    * Out-of-order arrival can under-count — a stream cannot match a
+    * step it has not seen against a boundary it will only learn later
+    * — which is the standard streaming-funnel trade; replay the batch
+    * form for the authoritative number.
+    *
+    * State per user is THREE numbers (anchor, last-match, depth) — no
+    * event buffering, bounded by user cardinality.
+    */
+  def funnelStream(spark: SparkSession, events: Dataset[StepEvent],
+      steps: Seq[String], windowDays: Int): Dataset[FunnelOut] = {
+    import spark.implicits._
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
+    val windowMs = windowDays * 86400000L
+    val stepIdx = steps.zipWithIndex.toMap
+    def update(userId: Long, rows: Iterator[StepEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      var st = state.getOption.getOrElse(FunnelState(Long.MinValue, Long.MinValue, 0))
+      for (e <- rows.toSeq.sortBy(_.ts.getTime)
+           if st.depth < steps.size && stepIdx.get(e.event_type).contains(st.depth)) {
+        val t = e.ts.getTime
+        if (st.depth == 0) st = FunnelState(t, t, 1)
+        else if (t > st.lastMs && t <= st.anchorMs + windowMs)
+          st = st.copy(lastMs = t, depth = st.depth + 1)
+      }
+      state.update(st)
+      Iterator.single(FunnelOut(userId, st.depth))
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   case class UrlDoc(doc_id: Long, url: String)
   case class QuotaState(admitted: Long)
   case class QuotaOut(doc_id: Long, domain: String)

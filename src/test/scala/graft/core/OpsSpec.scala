@@ -958,6 +958,53 @@ class OpsSpec extends SparkSpec {
       === rows)
   }
 
+  test("scd2Merge property: random snapshot sequences keep history invariants") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val keys = (1L to 8L)
+      // random initial history: open rows for a key subset
+      var hist = keys.filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"v${rnd.nextInt(3)}", 0L, None: Option[Long]))
+        .toDF("k", "v", "valid_from", "valid_to")
+      var lastSnap: Map[Long, String] = Map.empty
+      for (step <- 1 to 4) {
+        val snap = keys.filter(_ => rnd.nextDouble() < 0.7)
+          .map(k => (k, s"v${rnd.nextInt(3)}"))
+        lastSnap = snap.toMap
+        hist = graft.ops.SnapshotOps.scd2Merge(hist,
+          snap.toDF("k", "v"), "k", Seq("v"), step * 10L)
+      }
+      val rows = hist.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      val byKey = rows.groupBy(_._1)
+      for ((k, vs) <- byKey) {
+        val open = vs.filter(_._4.isEmpty)
+        // exactly one open version iff the key is in the last snapshot
+        if (lastSnap.contains(k)) {
+          assert(open.length == 1, s"trial $trial key $k open=$open")
+          assert(open.head._2 == lastSnap(k), s"trial $trial key $k value")
+        } else assert(open.isEmpty, s"trial $trial key $k should be closed")
+        // versions are non-overlapping and chronologically ordered
+        val sorted = vs.sortBy(_._3)
+        sorted.sliding(2).foreach {
+          case Array((_, _, _, Some(toA)), (_, _, fromB, _)) =>
+            assert(toA <= fromB, s"trial $trial key $k overlap")
+          case Array((_, _, _, None), _) =>
+            fail(s"trial $trial key $k: open version not last")
+          case _ => ()
+        }
+        // consecutive versions always differ in the attribute (a
+        // same-value re-merge must never split a version)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._2 != b._2 || a._4.get < b._3,
+            s"trial $trial key $k spurious split: $a -> $b")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("perplexity differential: random corpora match a pure-Scala bigram LM") {
     import graft.ops.TextOps
     val rnd = new scala.util.Random(67)

@@ -273,6 +273,37 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == 1L, s"user 2: $last")
   }
 
+  test("stateful streaming funnel agrees with the batch funnel on in-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{StepEvent, FunnelOut}
+    val input = MemoryStream[StepEvent]
+    val q = StreamOps.funnelStream(spark, input.toDS(),
+        Seq("signup", "view", "purchase"), windowDays = 7)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    def t(days: Double) = ts((days * 86400).toLong)
+    // batch-spec hand cases (EventAnalyticsSpec), split across
+    // micro-batches so state round-trips:
+    input.addData(
+      StepEvent(1L, t(0), "signup"), StepEvent(1L, t(1), "view"),
+      StepEvent(2L, t(0), "view"),   // pre-signup view: ignored
+      StepEvent(3L, t(0), "signup"), StepEvent(3L, t(1), "view"))
+    q.processAllAvailable()
+    input.addData(
+      StepEvent(1L, t(2), "purchase"),          // u1 -> depth 3
+      StepEvent(2L, t(1), "signup"),            // u2 -> depth 1
+      StepEvent(3L, t(19), "purchase"),         // outside window -> stays 2
+      StepEvent(4L, t(0), "view"))              // never signs up -> 0
+    q.processAllAvailable()
+    q.stop()
+    val depth = spark.table("funnel").as[FunnelOut].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.map(_.depth).max }
+    assert(depth(1L) == 3, s"u1: $depth")
+    assert(depth(2L) == 1, s"u2: $depth")
+    assert(depth(3L) == 2, s"u3: $depth")
+    assert(depth(4L) == 0, s"u4: $depth")
+  }
+
   test("streaming heavy hitters accumulate across micro-batches") {
     // complete-mode streaming aggregation with the native Misra-Gries
     // aggregate: the second batch forces the state store to round-trip
