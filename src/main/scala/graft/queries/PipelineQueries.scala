@@ -432,6 +432,32 @@ object PipelineQueries {
           min("doc_id").as("min_doc_id"))
     }),
 
+    // TEMPORAL (point-in-time) join: each event resolves the
+    // dimension VERSION valid at its timestamp — the consumer side of
+    // the q185 SCD2 history. Deterministic two-version history per
+    // key (cutover Jan 16 for even keys, Jan 8 for odd), interval
+    // predicate valid_from <= t < valid_to.
+    "q190_temporal_join" -> ((s, d) => {
+      val cutEven = lit("2024-01-16 00:00:00").cast("timestamp").cast("double")
+      val cutOdd = lit("2024-01-08 00:00:00").cast("timestamp").cast("double")
+      val base = Tables(s, d, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"))
+      val cut = when(col("k") % 2 === 0, cutEven).otherwise(cutOdd)
+      val history = base.select(col("k"), lit("v1").as("ver"),
+          lit(0.0).as("valid_from"), cut.as("valid_to"))
+        .unionByName(base.select(col("k"), lit("v2").as("ver"),
+          cut.as("valid_from"), lit(Double.MaxValue).as("valid_to")))
+      val facts = Tables(s, d, "events")
+        .select(col("event_id"), (col("user_id") % 100 + 1).cast("long").as("k"),
+          graft.ops.EventOps.epochS(col("ts")).as("t"))
+      facts.join(history,
+          facts("k") === history("k") &&
+            col("t") >= col("valid_from") && col("t") < col("valid_to"))
+        .groupBy("ver")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(facts("k")).as("n_keys"))
+    }),
+
     // SCD TYPE-2 merge: fold a mutated supplier snapshot (acctbal
     // bumped on %7 keys, %13 keys deleted, 5 new keys) into a
     // versioned history — the warehouse dimension-maintenance staple.
@@ -1907,6 +1933,23 @@ object PipelineQueries {
       qualityOracleSql(TextOps.TrainedQualityWeights)),
     "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
       "embeddings", "vec_id", "embedding", "label", topK = 5),
+    "q190_temporal_join" ->
+      """WITH base AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+        |cuts AS (SELECT k,
+        |  CASE WHEN k % 2 = 0 THEN epoch(TIMESTAMP '2024-01-16 00:00:00')
+        |       ELSE epoch(TIMESTAMP '2024-01-08 00:00:00') END AS cut
+        | FROM base),
+        |hist AS (
+        | SELECT k, 'v1' AS ver, 0.0 AS valid_from, cut AS valid_to FROM cuts
+        | UNION ALL
+        | SELECT k, 'v2', cut, 1.7976931348623157e308 FROM cuts),
+        |facts AS (SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS k,
+        |  epoch(ts) AS t FROM events)
+        |SELECT ver, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT f.k) AS BIGINT) AS n_keys
+        |FROM facts f JOIN hist h
+        |  ON f.k = h.k AND f.t >= h.valid_from AND f.t < h.valid_to
+        |GROUP BY ver""".stripMargin,
     "q185_scd2_merge" ->
       """WITH hist AS (SELECT CAST(s_suppkey AS BIGINT) AS k, s_name AS name,
         |  CAST(s_acctbal AS DOUBLE) AS acctbal,

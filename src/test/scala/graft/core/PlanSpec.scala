@@ -368,6 +368,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q190 temporal join: equi-key broadcast join with interval post-filter, no range-join cartesian") {
+    val s = formatted("q190_temporal_join")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q172 k-anonymity: one two-phase aggregation, no joins") {
     val s = plan("q172_k_anonymity").toString
     assert(!s.contains("Join"), s)
