@@ -609,4 +609,52 @@ object ProfileOps {
       coalesce(sum(when(col("at_risk"), col("n"))), lit(0L)).as("n_risky_rows"),
       round(coalesce(sum(when(col("at_risk"), col("n"))), lit(0L))
         .cast("double") / sum("n"), 6).as("risky_frac"))
+
+  /** Robust per-group outlier summary: median + MAD (median absolute
+    * deviation) of `valueCol` per `groupCol`, and how many rows sit
+    * beyond `k`·MAD — the skew/corruption probe that, unlike mean±σ,
+    * a handful of giant documents cannot drag.
+    *
+    * Three bounded aggregations (group medians are group-count-sized
+    * frames, broadcast back); `median` here is Spark's EXACT
+    * percentile — swap for approx_percentile at full corpus scale
+    * when ±0.5% quantile error is acceptable. MAD = 0 (over half the
+    * group identical) degrades to flagging any deviation, which is
+    * the conventional and deterministic choice.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(groupCol).agg(median(v).as("med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("dev", abs(v - col("med")))
+    val mad = dev.groupBy(groupCol)
+      .agg(min("med").as("med"), median(col("dev")).as("mad"))
+    dev.drop("med").join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        min("med").as("med"), min("mad").as("mad"),
+        sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_frac",
+        round(col("n_outliers").cast("double") / col("n"), 6))
+  }
+
+  /** DuckDB twin of [[madOutliers]]. */
+  def madOutliersOracleSql(table: String, groupCol: String,
+      valueCol: String, k: Double = 3.0): String =
+    s"""WITH base AS (SELECT $groupCol AS g,
+       |    CAST($valueCol AS DOUBLE) AS v FROM $table),
+       |med AS (SELECT g, median(v) AS med FROM base GROUP BY g),
+       |dev AS (SELECT b.g, b.v, abs(b.v - m.med) AS dev, m.med
+       |  FROM base b JOIN med m USING (g)),
+       |mad AS (SELECT g, min(med) AS med, median(dev) AS mad
+       |  FROM dev GROUP BY g)
+       |SELECT d.g AS $groupCol, CAST(count(*) AS BIGINT) AS n,
+       |  min(a.med) AS med, min(a.mad) AS mad,
+       |  CAST(sum(CASE WHEN d.dev > $k * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers,
+       |  round(sum(CASE WHEN d.dev > $k * a.mad THEN 1 ELSE 0 END)
+       |    * 1.0::DOUBLE / count(*), 6) AS outlier_frac
+       |FROM dev d JOIN mad a USING (g) GROUP BY d.g""".stripMargin
 }

@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series repair and bar aggregation over an event
+  * stream — the sensor/metrics-shaped workloads (gap-fill, carry-
+  * forward, interpolation, OHLC candles) a feature-store or monitoring
+  * pipeline runs before modeling.
+  *
+  * Reference has no counterpart (its depth axis is the only ordered
+  * dimension); this extends the events-stream family (EventOps) the
+  * same way q184's RANGE frame extends q08's running sum.
+  *
+  * Scale notes:
+  *  - The dense grid is built per key with `sequence(minH, maxH)` —
+  *    its size is (time span / step) per key, independent of event
+  *    count, and the explode is narrow (no shuffle beyond the hourly
+  *    pre-aggregation's own exchange).
+  *  - LOCF / interpolation are per-key window functions: one shuffle
+  *    on the key, arbitrarily many keys in parallel, no global sort.
+  *    A single pathological key with a decade-long span at 1-second
+  *    steps is a data problem (3e8 grid rows), not an operator one —
+  *    the grid is linear in span, never quadratic.
+  *  - OHLC is a single hash aggregation; open/close use min/max over
+  *    a (t, id, value) struct, so the whole thing is map-side
+  *    combinable — no window, no per-group sort, no second pass.
+  */
+object TimeSeriesOps {
+
+  /** Exact integer floor-division for non-negative longs. Column `/`
+    * is DOUBLE division — for quotients near an integer boundary the
+    * rounding can cross it, so spell a div b as (a - a mod b) / b:
+    * the numerator is an exact multiple of b and both fit in 2^53,
+    * and IEEE division of exactly-representable operands with an
+    * exactly-representable quotient is exact.
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Hourly observed aggregate: (k, h, v) with h = epoch hour start
+    * (BIGINT seconds) and v = 6dp-rounded mean value in that hour.
+    */
+  def hourlyMeans(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame =
+    events.groupBy(col(keyCol).as("k"),
+        (floor(col(tsCol).cast("double") / 3600).cast("long") * 3600).as("h"))
+      .agg(round(avg(valueCol), 6).as("v"))
+
+  /** Dense hourly grid per key (min..max observed hour) with last-
+    * observation-carried-forward fill. Output: (k, h, v_fill, is_gap).
+    * The first grid hour per key is observed by construction, so
+    * v_fill is never null.
+    */
+  def locfGapfill(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val obs = hourlyMeans(events, keyCol, tsCol, valueCol)
+    val grid = obs.groupBy("k").agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("k"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+    val j = grid.join(obs, Seq("k", "h"), "left")
+    val w = Window.partitionBy("k").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j.select(col("k"), col("h"),
+      last("v", ignoreNulls = true).over(w).as("v_fill"),
+      col("v").isNull.cast("int").as("is_gap"))
+  }
+
+  /** Same dense grid with LINEAR interpolation across gaps: for a gap
+    * hour between hourly means (p_h, p_v) and (n_h, n_v) the value is
+    * p_v + (n_v - p_v) * (h - p_h) / (n_h - p_h).
+    *
+    * Every step is EXACT integer arithmetic so the result is
+    * bit-identical across engines and partitionings (a floating
+    * spelling lands exactly on decimal half-way points whenever the
+    * gap midpoint splits two rounded means — engines then disagree at
+    * the last digit): values become integer cents per row (inputs are
+    * 2dp-valued doubles; round(x*100) is exact), hourly means become
+    * half-up-rounded integer MICRO-units ((2*100*sum_cents*10000 ... )
+    * spelled as (2*s*10000 + n) div (2*n) — n.b. non-negative inputs),
+    * and the interpolation rounds once via (2*num + den) div (2*den).
+    * The final /1e6 to double is a single deterministic IEEE op.
+    * Requires non-negative values (div-based half-up).
+    */
+  def interpolateGaps(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val obs = events.groupBy(col(keyCol).as("k"),
+        (floor(col(tsCol).cast("double") / 3600).cast("long") * 3600).as("h"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      // exact 6dp mean in micro-units: half-up((s/100) * 1e6 / n)
+      .select(col("k"), col("h"),
+        idiv(col("s") * 20000 + col("n"), col("n") * 2).as("v6"))
+    val grid = obs.groupBy("k").agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("k"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+    val j = grid.join(obs, Seq("k", "h"), "left")
+    val wp = Window.partitionBy("k").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("k").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last("v6", ignoreNulls = true).over(wp)
+    val ph = last(when(col("v6").isNotNull, col("h")), ignoreNulls = true).over(wp)
+    val nv = first("v6", ignoreNulls = true).over(wn)
+    val nh = first(when(col("v6").isNotNull, col("h")), ignoreNulls = true).over(wn)
+    val num = pv * (nh - col("h")) + nv * (col("h") - ph)
+    val den = nh - ph
+    val vi6 = when(col("v6").isNotNull, col("v6"))
+      .otherwise(idiv(num * 2 + den, den * 2))
+    j.select(col("k"), col("h"),
+      (vi6 / lit(1000000.0)).as("v_interp"),
+      col("v6").isNull.cast("int").as("is_gap"))
+  }
+
+  /** OHLC bars per (series, hour): open/close are the first/last
+    * values in (t, id) order — expressed as min/max over a
+    * (t, id, value) struct so the aggregation stays one map-side-
+    * combinable pass with a total deterministic order (id breaks
+    * timestamp ties). volume = 4dp sum, n = row count.
+    */
+  def ohlcBars(events: DataFrame, seriesCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val base = events.select(col(seriesCol).as("series"),
+      (floor(col(tsCol).cast("double") / 3600).cast("long") * 3600).as("h"),
+      col(tsCol).cast("double").as("t"),
+      col(idCol).as("id"), col(valueCol).as("value"))
+    base.groupBy("series", "h").agg(
+      min(struct(col("t"), col("id"), col("value")))
+        .getField("value").as("open"),
+      max("value").as("high"),
+      min("value").as("low"),
+      max(struct(col("t"), col("id"), col("value")))
+        .getField("value").as("close"),
+      round(sum("value"), 4).as("volume"),
+      count(lit(1)).as("n"))
+  }
+
+  /** DuckDB twin of [[locfGapfill]] — LOCF spelled with the
+    * observation-count grouping trick (no IGNORE NULLS dependence).
+    */
+  def locfOracleSql(table: String, keyCol: String, tsCol: String,
+      valueCol: String): String =
+    s"""WITH obs AS (
+       |  SELECT $keyCol AS k,
+       |    CAST(floor(epoch($tsCol) / 3600) AS BIGINT) * 3600 AS h,
+       |    round(avg($valueCol), 6) AS v
+       |  FROM $table GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT k, unnest(generate_series(min(h), max(h), 3600)) AS h
+       |  FROM obs GROUP BY k),
+       |j AS (
+       |  SELECT g.k, g.h, o.v,
+       |    count(o.v) OVER (PARTITION BY g.k ORDER BY g.h) AS grp
+       |  FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.h = o.h)
+       |SELECT k, h,
+       |  max(v) OVER (PARTITION BY k, grp) AS v_fill,
+       |  CAST(v IS NULL AS INT) AS is_gap
+       |FROM j""".stripMargin
+
+  /** DuckDB twin of [[interpolateGaps]] — the identical exact integer
+    * micro-unit arithmetic (// is floor division; all quantities
+    * non-negative), neighbors via the count-grouping trick in both
+    * directions.
+    */
+  def interpolateOracleSql(table: String, keyCol: String, tsCol: String,
+      valueCol: String): String =
+    s"""WITH obs AS (
+       |  SELECT $keyCol AS k,
+       |    CAST(floor(epoch($tsCol) / 3600) AS BIGINT) * 3600 AS h,
+       |    (sum(CAST(round($valueCol * 100) AS BIGINT)) * 20000 + count(*))
+       |      // (count(*) * 2) AS v6
+       |  FROM $table GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT k, unnest(generate_series(min(h), max(h), 3600)) AS h
+       |  FROM obs GROUP BY k),
+       |j AS (
+       |  SELECT g.k, g.h, o.v6,
+       |    count(o.v6) OVER (PARTITION BY g.k ORDER BY g.h) AS gp,
+       |    count(o.v6) OVER (PARTITION BY g.k ORDER BY g.h DESC) AS gn
+       |  FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.h = o.h),
+       |nb AS (
+       |  SELECT k, h, v6,
+       |    max(v6) OVER (PARTITION BY k, gp) AS pv,
+       |    max(CASE WHEN v6 IS NOT NULL THEN h END) OVER (PARTITION BY k, gp) AS ph,
+       |    max(v6) OVER (PARTITION BY k, gn) AS nv,
+       |    min(CASE WHEN v6 IS NOT NULL THEN h END) OVER (PARTITION BY k, gn) AS nh
+       |  FROM j)
+       |SELECT k, h,
+       |  CASE WHEN v6 IS NOT NULL THEN v6
+       |       ELSE ((pv * (nh - h) + nv * (h - ph)) * 2 + (nh - ph))
+       |            // ((nh - ph) * 2) END / 1000000.0 AS v_interp,
+       |  CAST(v6 IS NULL AS INT) AS is_gap
+       |FROM nb""".stripMargin
+
+  /** DuckDB twin of [[ohlcBars]] — open/close via row_number in the
+    * same total (t, id) order.
+    */
+  def ohlcOracleSql(table: String, seriesCol: String, tsCol: String,
+      idCol: String, valueCol: String): String =
+    s"""WITH base AS (
+       |  SELECT $seriesCol AS series,
+       |    CAST(floor(epoch($tsCol) / 3600) AS BIGINT) * 3600 AS h,
+       |    epoch($tsCol) AS t, $idCol AS id, $valueCol AS value
+       |  FROM $table),
+       |rn AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY series, h ORDER BY t, id) AS ra,
+       |    row_number() OVER (PARTITION BY series, h ORDER BY t DESC, id DESC) AS rd
+       |  FROM base)
+       |SELECT series, h,
+       |  max(CASE WHEN ra = 1 THEN value END) AS open,
+       |  max(value) AS high,
+       |  min(value) AS low,
+       |  max(CASE WHEN rd = 1 THEN value END) AS close,
+       |  round(sum(value), 4) AS volume,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM rn GROUP BY series, h""".stripMargin
+}

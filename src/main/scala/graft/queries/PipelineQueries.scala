@@ -378,6 +378,62 @@ object PipelineQueries {
     }.mkString(" ") + " END"
 
   val queries: Map[String, Q] = Map(
+    // Dense hourly grid + last-observation-carried-forward fill per
+    // user (every 5th user keeps the dumped frame bounded; the
+    // operator itself is per-key and unbounded).
+    "q191_locf_gapfill" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.locfGapfill(
+        Tables(s, d, "events").filter(col("user_id") % 5 === 0),
+        "user_id", "ts", "value")),
+
+    // Same grid with linear interpolation across the gaps — the
+    // modeling-grade repair (LOCF's staircase biases trend features).
+    "q193_interpolate" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.interpolateGaps(
+        Tables(s, d, "events").filter(col("user_id") % 5 === 0),
+        "user_id", "ts", "value")),
+
+    // OHLC bars per (event_type, hour): open/close by deterministic
+    // (t, event_id) order inside ONE map-side-combinable aggregation.
+    "q192_ohlc_bars" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
+        "event_type", "ts", "event_id", "value")),
+
+    // Collocation mining: PMI over the top-150 df words — bounded
+    // pair space (vocab², never corpus²), one corpus scan.
+    "q195_pmi_cooccur" -> ((s, d) =>
+      graft.ops.CooccurOps.pmiPairs(Tables(s, d, "documents"),
+        "doc_id", "text")),
+
+    // Robust per-source length outliers: median + MAD, count beyond
+    // 3·MAD — the corruption probe a mean±σ rule can't survive.
+    "q196_mad_outliers" -> ((s, d) =>
+      graft.ops.ProfileOps.madOutliers(Tables(s, d, "documents"),
+        "source", "n_chars")),
+
+    // Exact ed<=1 fuzzy join (SymSpell deletion-neighborhood
+    // equi-join + levenshtein verify): every third part name gets a
+    // deterministic one-character deletion, then resolves against the
+    // clean part table. Oracle is the brute-force quadratic — the
+    // match proves the neighborhood construction is exact.
+    // (part names repeat heavily, so raw pairs explode quadratically
+    // inside duplicate-name groups — the dumped result is the bounded
+    // per-distance summary; the pair frame itself stays distributed.)
+    "q194_fuzzy_join" -> ((s, d) => {
+      val part = Tables(s, d, "part")
+      val dirty = part.filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("d_key"),
+          graft.ops.FuzzyOps.corruptName(col("p_partkey"), col("p_name"))
+            .as("d_name"))
+      graft.ops.FuzzyOps.editJoin1(dirty, "d_key", "d_name",
+          part, "p_partkey", "p_name")
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("l_key").as("n_dirty"),
+          countDistinct("r_key").as("n_clean"),
+          min(col("l_key") + col("r_key") * lit(1000000L)).as("min_pair"))
+    }),
+
     // DSIR importance-resampling weights (Xie et al. 2023): hashed
     // unigram target-vs-raw log-likelihood ratio per doc; the
     // doc_id%7 residue stands in for the curated target domain.
@@ -1918,6 +1974,31 @@ object PipelineQueries {
 
   /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
   val oracles: Map[String, String] = Map(
+    "q191_locf_gapfill" -> graft.ops.TimeSeriesOps.locfOracleSql(
+      "(SELECT * FROM events WHERE user_id % 5 = 0)",
+      "user_id", "ts", "value"),
+    "q193_interpolate" -> graft.ops.TimeSeriesOps.interpolateOracleSql(
+      "(SELECT * FROM events WHERE user_id % 5 = 0)",
+      "user_id", "ts", "value"),
+    "q192_ohlc_bars" -> graft.ops.TimeSeriesOps.ohlcOracleSql(
+      "events", "event_type", "ts", "event_id", "value"),
+    "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
+      "documents", "doc_id", "text"),
+    "q196_mad_outliers" -> graft.ops.ProfileOps.madOutliersOracleSql(
+      "documents", "source", "n_chars"),
+    "q194_fuzzy_join" ->
+      // placeholder substitution AFTER stripMargin: the inner SQL
+      // contains lines starting with the || concat operator, which a
+      // second stripMargin pass would eat
+      """WITH pairs AS (__PAIRS__)
+        |SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT l_key) AS BIGINT) AS n_dirty,
+        |  CAST(count(DISTINCT r_key) AS BIGINT) AS n_clean,
+        |  min(l_key + r_key * 1000000) AS min_pair
+        |FROM pairs GROUP BY dist""".stripMargin
+        .replace("__PAIRS__", graft.ops.FuzzyOps.editJoin1OracleSql(
+          "part", "p_partkey", "p_name", "p_partkey % 3 = 0")),
+
     "q146_dsir_weights" -> (DsirOps.oracleSql("documents", "doc_id", "text",
       "doc_id % 7 = 0")
       .replaceFirst("SELECT d.doc_id AS id", "SELECT d.doc_id AS doc_id")),
