@@ -410,4 +410,67 @@ object EventOps {
        |   END, 6) AS frac_of_step1
        |FROM r""".stripMargin
   }
+
+  /** Conversation/session assembly: sessionize per user (gap >
+    * `gapSeconds` starts a session), assemble each session's ordered
+    * event-type path (first `maxTurns` steps, '>'-joined,
+    * deterministic (t, id) order), then aggregate per path —
+    * sessions, total turns, and the exact half-up mean duration in
+    * milliseconds. The multi-turn SFT example builder reduced to its
+    * bounded report (paths, not transcripts, leave the executors).
+    *
+    * Scale: one user-keyed window pass (sessionize), one
+    * (user, session)-keyed aggregation whose collect_list is bounded
+    * by session length, one path-keyed aggregation bounded by the
+    * path alphabet. Durations sum as exact integer milliseconds so
+    * the mean is engine-independent.
+    */
+  def conversationPaths(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, idCol: String, gapSeconds: Double,
+      maxTurns: Int = 5): DataFrame = {
+    val base = events.select(col(userCol).as("u"),
+      col(tsCol).cast("double").as("t"), col(idCol).as("id"),
+      col(typeCol).as("typ"))
+    val wo = Window.partitionBy("u").orderBy("t", "id")
+    val flag = when(lag("t", 1).over(wo).isNull ||
+      col("t") - lag("t", 1).over(wo) > gapSeconds, 1L).otherwise(0L)
+    val sid = sum(flag).over(wo.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow))
+    val sessions = base.withColumn("sid", sid)
+      .groupBy("u", "sid")
+      .agg(count(lit(1)).as("n_turns"),
+        round((max("t") - min("t")) * 1000).cast("long").as("dur_ms"),
+        array_join(slice(transform(
+          array_sort(collect_list(struct(col("t"), col("id"), col("typ")))),
+          x => x.getField("typ")), 1, maxTurns), ">").as("path"))
+    sessions.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_turns").as("sum_turns"),
+        ((sum("dur_ms") * 2 + count(lit(1))) -
+          pmod(sum("dur_ms") * 2 + count(lit(1)), count(lit(1)) * 2))
+          .cast("double").divide(count(lit(1)) * 2).cast("long")
+          .as("avg_dur_ms"))
+  }
+
+  /** DuckDB replay of [[conversationPaths]]. */
+  def conversationOracleSql(table: String, tsCol: String, userCol: String,
+      typeCol: String, idCol: String, gapSeconds: Double,
+      maxTurns: Int = 5): String =
+    s"""WITH e AS (SELECT $userCol AS u, epoch($tsCol) AS t,
+       |    $idCol AS id, $typeCol AS typ FROM $table),
+       |fl AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+       |    OR t - lag(t) OVER w > $gapSeconds THEN 1 ELSE 0 END AS flag
+       |  FROM e WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+       |sd AS (SELECT *, sum(flag) OVER (PARTITION BY u ORDER BY t, id
+       |    ROWS UNBOUNDED PRECEDING) AS sid FROM fl),
+       |sess AS (SELECT u, sid, count(*) AS n_turns,
+       |    CAST(round((max(t) - min(t)) * 1000) AS BIGINT) AS dur_ms,
+       |    array_to_string(list_slice(list(typ ORDER BY t, id), 1, $maxTurns),
+       |      '>') AS path
+       |  FROM sd GROUP BY u, sid)
+       |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+       |  CAST(sum(n_turns) AS BIGINT) AS sum_turns,
+       |  CAST((sum(dur_ms) * 2 + count(*)) // (count(*) * 2) AS BIGINT)
+       |    AS avg_dur_ms
+       |FROM sess GROUP BY path""".stripMargin
 }

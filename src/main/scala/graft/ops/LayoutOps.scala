@@ -79,6 +79,91 @@ object LayoutOps {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Morton interleave of two INTEGER cell columns already on the
+    * [0, 2^bits) grid — the exact-arithmetic core of [[zValue]],
+    * shared with the DuckDB oracle spelling (no float normalization
+    * anywhere, so engines agree bit-for-bit).
+    */
+  def zInterleave(cx: Column, cy: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    import org.apache.spark.sql.functions.{shiftleft, shiftright}
+    (0 until bits).map { i =>
+      shiftleft(shiftright(cx, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(cy, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Data-skipping effectiveness report: lay the rows out twice —
+    * z-ordered files (top z-bits = file id) vs round-robin — and for
+    * each layout compute the per-file min/max envelope on x and the
+    * EXPECTED number of files a uniform point query `x = v` must
+    * read: Σ_files (x_max − x_min + 1) / 2^bits. Round-robin files
+    * cover ~the whole domain (expected ≈ all files); z-ordered files
+    * cover a 2^(bits/...) slice (expected « files). This is the
+    * planning-time number an OPTIMIZE ZORDER decision is made on.
+    *
+    * Everything is exact integer arithmetic except the final
+    * division by 2^bits, which is binary-exact — bit-identical
+    * across engines, no rounding gate needed.
+    *
+    * Scale: two hash aggregations over (layout, file) — at most
+    * 2·nFiles groups, map-side combined; no sort, no window. (A
+    * production write would range-partition by z; the file-id-from-
+    * top-bits spelling here is the shuffle-free equivalent for
+    * already-gridded cells.)
+    */
+  def zSkippingReport(df: DataFrame, cx: Column, cy: Column, id: Column,
+      bits: Int = 10, nFiles: Int = 64): DataFrame = {
+    require(nFiles >= 2 && (nFiles & (nFiles - 1)) == 0 &&
+      nFiles <= (1 << (2 * bits)), s"nFiles must be a power of two, got $nFiles")
+    import org.apache.spark.sql.functions._
+    val shift = 2 * bits - java.lang.Integer.numberOfTrailingZeros(nFiles)
+    val base = df.select(cx.cast("long").as("x"), cy.cast("long").as("y"),
+        id.cast("long").as("id"))
+      .withColumn("z", zInterleave(col("x"), col("y"), bits))
+    def report(name: String, fileCol: Column) =
+      base.withColumn("f", fileCol)
+        .groupBy("f")
+        .agg(count(lit(1)).as("rows_f"),
+          min("x").as("x_min"), max("x").as("x_max"))
+        .agg(lit(name).as("layout"),
+          count(lit(1)).as("n_files"),
+          sum("rows_f").as("n_rows"),
+          (sum(col("x_max") - col("x_min") + 1) /
+            lit((1L << bits).toDouble)).as("expected_files_scanned"))
+    report("zorder", shiftright(col("z"), shift))
+      .unionByName(report("roundrobin", pmod(col("id"), lit(nFiles.toLong))))
+  }
+
+  /** DuckDB twin of [[zSkippingReport]] over integer cell expressions
+    * `xExpr`/`yExpr` and row-id `idExpr` (all SQL snippets).
+    */
+  def zSkippingOracleSql(table: String, xExpr: String, yExpr: String,
+      idExpr: String, bits: Int = 10, nFiles: Int = 64): String = {
+    val shift = 2 * bits - java.lang.Integer.numberOfTrailingZeros(nFiles)
+    val zTerms = (0 until bits).map { i =>
+      s"((x // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT CAST($xExpr AS BIGINT) AS x, CAST($yExpr AS BIGINT) AS y,
+       |    CAST($idExpr AS BIGINT) AS id
+       |  FROM $table),
+       |z AS (SELECT *, ($zTerms) AS z FROM base),
+       |lay AS (
+       |  SELECT 'zorder' AS layout, z // ${1L << shift} AS f, x FROM z
+       |  UNION ALL
+       |  SELECT 'roundrobin', id % $nFiles, x FROM z),
+       |files AS (
+       |  SELECT layout, f, count(*) AS rows_f,
+       |    min(x) AS x_min, max(x) AS x_max
+       |  FROM lay GROUP BY layout, f)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(rows_f) AS BIGINT) AS n_rows,
+       |  sum(x_max - x_min + 1) / ${(1L << bits).toDouble} AS expected_files_scanned
+       |FROM files GROUP BY layout""".stripMargin
+  }
+
   /** Z-ordered parquet layout over two pruning columns. */
   def writeZOrdered(df: DataFrame, path: String,
       x: String, xMin: Double, xMax: Double,

@@ -149,4 +149,55 @@ object PreferenceOps {
        | CAST(row_number() OVER (ORDER BY f.w DESC, f.i) AS INTEGER) AS rank
        |FROM w$Iterations f""".stripMargin
   }
+
+  /** DPO/RLHF preference-PAIR construction from a scored corpus: per
+    * prompt group, the top- and bottom-scored responses (deterministic
+    * id tie-breaks) become the (chosen, rejected) pair, kept only when
+    * the score margin clears `minMargin` — low-margin pairs are label
+    * noise in DPO training.
+    *
+    * Scale shape: two row_number windows partitioned by the group key
+    * (one shuffle; groups process independently) and a group-keyed
+    * self-join of two 1-row-per-group frames. Nothing global, nothing
+    * quadratic.
+    */
+  def dpoPairs(scored: DataFrame, idCol: String, scoreCol: String,
+      groupCol: org.apache.spark.sql.Column, minMargin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = scored.select(col(idCol).as("id"), col(scoreCol).as("q"),
+      groupCol.as("bucket"))
+    val best = base.withColumn("rn", row_number().over(
+        Window.partitionBy("bucket").orderBy(col("q").desc, col("id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("id").as("chosen_id"), col("q").as("cq"))
+    val worst = base.withColumn("rn", row_number().over(
+        Window.partitionBy("bucket").orderBy(col("q").asc, col("id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("id").as("rejected_id"), col("q").as("rq"))
+    best.join(worst, "bucket")
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("cq") - col("rq") >= minMargin)
+      .select(col("bucket"), col("chosen_id"), col("rejected_id"),
+        round(col("cq") - col("rq"), 6).as("margin"))
+  }
+
+  /** DuckDB twin of [[dpoPairs]]: `scoredSql` must yield
+    * (doc_id, quality) rows; the group key is doc_id % `bucketMod`.
+    */
+  def dpoOracleSql(scoredSql: String, bucketMod: Int,
+      minMargin: String): String =
+    s"""WITH q AS (__SCORED__),
+       |b AS (SELECT doc_id AS id, quality AS q, doc_id % $bucketMod AS bucket
+       |  FROM q),
+       |ch AS (SELECT bucket, id AS chosen_id, q AS cq,
+       |  row_number() OVER (PARTITION BY bucket ORDER BY q DESC, id) AS rn
+       |  FROM b),
+       |rj AS (SELECT bucket, id AS rejected_id, q AS rq,
+       |  row_number() OVER (PARTITION BY bucket ORDER BY q ASC, id) AS rn
+       |  FROM b)
+       |SELECT ch.bucket, chosen_id, rejected_id, round(cq - rq, 6) AS margin
+       |FROM ch JOIN rj ON ch.bucket = rj.bucket
+       |WHERE ch.rn = 1 AND rj.rn = 1
+       |  AND chosen_id <> rejected_id AND cq - rq >= $minMargin"""
+      .stripMargin.replace("__SCORED__", scoredSql)
 }

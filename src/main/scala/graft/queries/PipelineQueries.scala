@@ -399,6 +399,37 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // DPO preference pairs: per prompt bucket (doc_id % 199) the
+    // trained-quality best/worst responses with margin >= 0.05.
+    "q197_dpo_pairs" -> ((s, d) =>
+      PreferenceOps.dpoPairs(
+        TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text",
+          TextOps.TrainedQualityWeights),
+        "id", "quality", col("id") % 199, minMargin = 0.05)),
+
+    // Z-order vs round-robin data-skipping report: expected files
+    // scanned for a point query on the user-bucket axis.
+    "q198_zorder_skipping" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      graft.ops.LayoutOps.zSkippingReport(ev,
+        pmod(col("user_id"), lit(1024L)),
+        pmod(floor(col("ts").cast("double") / 60).cast("long"), lit(1024L)),
+        col("event_id"))
+    }),
+
+    // Conversation/session path assembly: 30-min-gap sessions, first
+    // 5 event types in deterministic order, exact-ms mean duration.
+    "q199_conversation_paths" -> ((s, d) =>
+      graft.ops.EventOps.conversationPaths(Tables(s, d, "events"),
+        "ts", "user_id", "event_type", "event_id", gapSeconds = 1800.0)),
+
+    // Right-to-be-forgotten cascade audit: customer cohort (%101) ->
+    // orders -> lineitem, exact-ppm manifest.
+    "q200_rtbf_audit" -> ((s, d) =>
+      graft.ops.ComplianceOps.cascadeDeleteAudit(
+        Tables(s, d, "customer"), Tables(s, d, "orders"),
+        Tables(s, d, "lineitem"), col("c_custkey") % 101 === 0)),
+
     // Collocation mining: PMI over the top-150 df words — bounded
     // pair space (vocab², never corpus²), one corpus scan.
     "q195_pmi_cooccur" -> ((s, d) =>
@@ -1984,6 +2015,15 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q197_dpo_pairs" -> PreferenceOps.dpoOracleSql(
+      qualityOracleSql(TextOps.TrainedQualityWeights), 199, "0.05"),
+    "q198_zorder_skipping" -> graft.ops.LayoutOps.zSkippingOracleSql(
+      "events", "user_id % 1024",
+      "CAST(floor(epoch(ts) / 60) AS BIGINT) % 1024", "event_id"),
+    "q199_conversation_paths" -> graft.ops.EventOps.conversationOracleSql(
+      "events", "ts", "user_id", "event_type", "event_id", 1800.0),
+    "q200_rtbf_audit" -> graft.ops.ComplianceOps.cascadeOracleSql(
+      "c_custkey % 101 = 0"),
     "q196_mad_outliers" -> graft.ops.ProfileOps.madOutliersOracleSql(
       "documents", "source", "n_chars"),
     "q194_fuzzy_join" ->
