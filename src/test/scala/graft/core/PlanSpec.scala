@@ -379,4 +379,41 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Join"), s)
     assert(s.split("Exchange").length == 2, s) // exactly one exchange node
   }
+
+  test("q194 fuzzy join: SymSpell candidates are an equi-join, never a cartesian") {
+    val s = formatted("q194_fuzzy_join")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("Join"), s) // and it IS a join (on the variant sig)
+  }
+
+  test("q195 pmi: vocab/df/N sides broadcast; per-doc pair join is equi, no cartesian") {
+    val s = formatted("q195_pmi_cooccur")
+    assert(!s.contains("CartesianProduct"), s)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 3, s)
+    // the one BNLJ node allowed is the 1-row N crossJoin (formatted
+    // output names each node twice: tree + detail section)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).size <= 2, s)
+  }
+
+  test("q192 ohlc: single two-phase aggregation, no window, no sort") {
+    val s = plan("q192_ohlc_bars").toString
+    assert(!s.contains("Window") && !s.contains("Join"), s)
+    assert(s.split("Exchange").length == 2, s) // one exchange (partial agg)
+  }
+
+  test("q198 zorder report: pure aggregations, no window/sort/join machinery") {
+    val s = plan("q198_zorder_skipping").toString
+    assert(!s.contains("Window") && !s.contains("Join"), s)
+    assert(s.contains("HashAggregate"), s)
+  }
+
+  test("q200 rtbf: membership joins stay hash joins; scans prune to key columns") {
+    val s = formatted("q200_rtbf_audit")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    val readSchemas = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchemas.contains("o_comment") && !readSchemas.contains("l_comment"),
+      readSchemas)
+  }
 }
