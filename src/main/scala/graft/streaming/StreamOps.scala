@@ -143,6 +143,36 @@ object StreamOps {
         (0 until ref.nBins).map(b => col(s"_c$b")), col("n_cur")).as("psi"))
   }
 
+  /** Streaming OHLC bars — the twin of
+    * [[graft.ops.TimeSeriesOps.ohlcBars]]: per (series, event-time
+    * hour window) open/high/low/close/volume in ONE watermarked
+    * aggregation. Open/close keep the batch op's total deterministic
+    * (t, id) order by aggregating min/max over a (t, id, value)
+    * struct — order-insensitive, so arrival order across
+    * micro-batches cannot change a closed window's bar (struct
+    * min/max is associative and commutative, unlike first/last).
+    * Late rows beyond the watermark drop; state is one struct pair
+    * per open window per series.
+    */
+  def ohlcBarsStream(events: DataFrame, seriesCol: String, tsCol: String,
+      idCol: String, valueCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "3600 seconds"), col(seriesCol).as("series"))
+      .agg(
+        min(struct(col(tsCol).cast("double").as("t"), col(idCol).as("id"),
+          col(valueCol).as("value"))).getField("value").as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(struct(col(tsCol).cast("double").as("t"), col(idCol).as("id"),
+          col(valueCol).as("value"))).getField("value").as("close"),
+        round(sum(col(valueCol)), 4).as("volume"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").cast("double").cast("long").as("h"),
+        col("series"), col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n"))
+
   /** Streaming snapshot diff — incremental corpus change detection,
     * the streaming twin of [[graft.ops.SnapshotOps.snapshotDiff]]
     * (q92 defines the batch semantics): documents ARRIVE as a stream

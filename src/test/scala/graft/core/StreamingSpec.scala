@@ -476,4 +476,40 @@ class StreamingSpec extends SparkSpec {
     assert(win(0).getDouble(2) == batch.getDouble(2)) // psi, bit-equal
     assert(win(0).getDouble(2) > 0.5)                 // and it IS a drift
   }
+
+  test("streaming OHLC bars match the batch op per closed window, across out-of-order micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, Double)]
+    val events = input.toDF().toDF("series", "ts", "event_id", "value")
+
+    val q = StreamOps.ohlcBarsStream(events, "series", "ts", "event_id", "value")
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    // hour 0 rows arrive OUT of (t, id) order, split across batches;
+    // the same-ts tie (ids 2, 3 at t=5) pins the struct tie-break
+    val h0 = Seq(
+      ("a", ts(3000), 9L, 5.0), ("a", ts(5), 3L, 30.0),
+      ("a", ts(5), 2L, 20.0))
+    val h0b = Seq(("a", ts(3599), 7L, 11.0))
+    input.addData(h0: _*)
+    q.processAllAvailable()
+    input.addData(h0b: _*)
+    q.processAllAvailable()
+    // watermark-advancing row closes hour 0
+    input.addData(("a", ts(10000), 99L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ohlc_out").where(col("h") === 0L)
+      .select("h", "series", "open", "high", "low", "close", "volume", "n")
+    val batch = graft.ops.TimeSeriesOps.ohlcBars(
+        (h0 ++ h0b).toDF("series", "ts", "event_id", "value"),
+        "series", "ts", "event_id", "value")
+      .select(col("h"), col("series"), col("open"), col("high"), col("low"),
+        col("close"), col("volume"), col("n"))
+    assert(streamed.count() == 1)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    val r = streamed.collect()(0)
+    assert(r.getDouble(2) == 20.0 && r.getDouble(5) == 11.0) // open id-tie, close
+  }
 }
