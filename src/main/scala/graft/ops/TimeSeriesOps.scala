@@ -98,12 +98,16 @@ object TimeSeriesOps {
     val j = grid.join(obs, Seq("k", "h"), "left")
     val wp = Window.partitionBy("k").orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wn = Window.partitionBy("k").orderBy("h")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next observation" = last-non-null over the REVERSED order with a
+    // running (unbounded-preceding) frame: an UnboundedFollowing frame
+    // re-aggregates current→end for every row (O(rows²) per key in
+    // WindowExec); the reversed running frame is one state pass.
+    val wnRev = Window.partitionBy("k").orderBy(col("h").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pv = last("v6", ignoreNulls = true).over(wp)
     val ph = last(when(col("v6").isNotNull, col("h")), ignoreNulls = true).over(wp)
-    val nv = first("v6", ignoreNulls = true).over(wn)
-    val nh = first(when(col("v6").isNotNull, col("h")), ignoreNulls = true).over(wn)
+    val nv = last("v6", ignoreNulls = true).over(wnRev)
+    val nh = last(when(col("v6").isNotNull, col("h")), ignoreNulls = true).over(wnRev)
     val num = pv * (nh - col("h")) + nv * (col("h") - ph)
     val den = nh - ph
     val vi6 = when(col("v6").isNotNull, col("v6"))

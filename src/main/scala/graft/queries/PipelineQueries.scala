@@ -447,22 +447,39 @@ object PipelineQueries {
     // deterministic one-character deletion, then resolves against the
     // clean part table. Oracle is the brute-force quadratic — the
     // match proves the neighborhood construction is exact.
-    // (part names repeat heavily, so raw pairs explode quadratically
-    // inside duplicate-name groups — the dumped result is the bounded
-    // per-distance summary; the pair frame itself stays distributed.)
+    // Part names repeat heavily (64 distinct across 20k rows at
+    // sf0.1), so raw pairs explode quadratically inside duplicate-
+    // name groups. GROUP-COLLAPSE first (the q178 discipline): run
+    // the SymSpell join over DISTINCT names carrying multiplicities,
+    // then reconstitute pair counts by multiplication — the 2.1M-pair
+    // frame never materializes, and the same shape is what survives
+    // 100 TB. min_pair decomposes because keys within a name group
+    // are chosen independently: min(l + r*1e6) = min_r*1e6 + min_l.
     "q194_fuzzy_join" -> ((s, d) => {
       val part = Tables(s, d, "part")
-      val dirty = part.filter(col("p_partkey") % 3 === 0)
-        .select(col("p_partkey").as("d_key"),
+      val dirtyG = part.filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("k"),
           graft.ops.FuzzyOps.corruptName(col("p_partkey"), col("p_name"))
-            .as("d_name"))
-      graft.ops.FuzzyOps.editJoin1(dirty, "d_key", "d_name",
-          part, "p_partkey", "p_name")
-        .groupBy("dist")
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct("l_key").as("n_dirty"),
-          countDistinct("r_key").as("n_clean"),
-          min(col("l_key") + col("r_key") * lit(1000000L)).as("min_pair"))
+            .as("nm"))
+        .groupBy("nm").agg(count(lit(1)).as("nl"), min("k").as("min_l"))
+      val cleanG = part.groupBy(col("p_name").as("nm"))
+        .agg(count(lit(1)).as("nr"), min("p_partkey").as("min_r"))
+      val pairsG = graft.ops.FuzzyOps.editJoin1(dirtyG, "nm", "nm",
+          cleanG, "nm", "nm")
+        .join(dirtyG.select(col("nm").as("l_key"), col("nl"), col("min_l")),
+          "l_key")
+        .join(cleanG.select(col("nm").as("r_key"), col("nr"), col("min_r")),
+          "r_key")
+      val perDist = pairsG.groupBy("dist")
+        .agg(sum(col("nl") * col("nr")).as("n_pairs"),
+          min(col("min_l") + col("min_r") * lit(1000000L)).as("min_pair"))
+      val nDirty = pairsG.select(col("dist"), col("l_key"), col("nl"))
+        .distinct().groupBy("dist").agg(sum("nl").as("n_dirty"))
+      val nClean = pairsG.select(col("dist"), col("r_key"), col("nr"))
+        .distinct().groupBy("dist").agg(sum("nr").as("n_clean"))
+      perDist.join(nDirty, "dist").join(nClean, "dist")
+        .select(col("dist"), col("n_pairs"), col("n_dirty"), col("n_clean"),
+          col("min_pair"))
     }),
 
     // DSIR importance-resampling weights (Xie et al. 2023): hashed
