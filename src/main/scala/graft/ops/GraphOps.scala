@@ -305,4 +305,183 @@ object GraphOps {
     val losers = members.select("id").join(keep, Seq("id"), "left_anti")
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
+
+  /** Exact half-up integer division of non-negative longs (column
+    * form): num/den with .5 rounding up, spelled so every step is
+    * exact — (a − a mod b)/b is an exact multiple divided out, and
+    * the IEEE division of exactly-representable operands with an
+    * exactly-representable quotient is exact (all values < 2^53).
+    */
+  private def halfDiv(num: org.apache.spark.sql.Column,
+      den: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val a = num * 2 + den
+    val b = den * 2
+    ((a - pmod(a, b)) / b).cast("long")
+  }
+
+  /** Weighted PageRank in EXACT integer micro-units — bit-identical
+    * on any engine and partitioning, so a DuckDB oracle can replay
+    * the full trajectory (the Bradley–Terry/IRLS determinism
+    * discipline applied to an iterative graph algorithm).
+    *
+    * Per iteration, with ranks r in micro-units (node value 1.0 =
+    * 1,000,000) and d = dampingPct/100:
+    *
+    *   contrib(u→v) = halfup(r_u · w_uv / W_u)   (W_u = Σ_v w_uv)
+    *   r'_v = (100−d)·10^4 + halfup(d · (inflow_v + dangling/N) / 100)
+    *
+    * Every quantity is a long; each rounding is the deterministic
+    * half-up spelling above, so sub-ulp float drift cannot exist at
+    * all (unlike a float PageRank, where per-partition sum order
+    * changes low bits every run).
+    *
+    * Scale shape: the edge table is aggregated once ((src,dst) sums,
+    * map-side combined), out-weights join once, and both persist;
+    * each iteration is ONE equi-join (ranks onto edge sources) + ONE
+    * map-side-combinable sum by dst + a scalar dangling aggregate —
+    * all shuffles keyed on node ids, nothing global, nothing
+    * quadratic. Rounds end in localCheckpoint (lineage truncation,
+    * constant per-round cost — the CC loop discipline).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 10,
+      dampingPct: Int = 85, driverMaxEdges: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampingPct >= 1 && dampingPct <= 99,
+      s"dampingPct must be in [1, 99], got $dampingPct")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eCount = e.count()
+    require(eCount > 0, "pageRank: empty graph")
+    val base = (100L - dampingPct) * 10000L
+
+    // Driver fast path (the connectedComponents bounded-collect
+    // contract): below `driverMaxEdges` aggregated edges the graph is
+    // model-sized and the distributed loop's cost is pure per-round
+    // scheduler overhead — run the IDENTICAL integer trajectory on
+    // driver arrays (per-dst long sums are associative, so any
+    // accumulation order yields the same bits). The distributed loop
+    // below stays the 100 TB path and the semantics reference
+    // (spec-pinned equal).
+    if (driverMaxEdges > 0 && eCount <= driverMaxEdges) {
+      val rows = e.collect()
+      e.unpersist()
+      def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+      val ow = scala.collection.mutable.HashMap.empty[Any, Long]
+      val nodeSet = scala.collection.mutable.LinkedHashSet.empty[Any]
+      rows.foreach { r =>
+        val (s0, d0, w) = (r.get(0), r.get(1), r.getLong(2))
+        ow.update(s0, ow.getOrElse(s0, 0L) + w)
+        nodeSet += s0; nodeSet += d0
+      }
+      val n = nodeSet.size.toLong
+      var r = nodeSet.iterator.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iterations) {
+        val inflow = scala.collection.mutable.HashMap.empty[Any, Long]
+        rows.foreach { row =>
+          val (s0, d0, w) = (row.get(0), row.get(1), row.getLong(2))
+          inflow.update(d0,
+            inflow.getOrElse(d0, 0L) + halfUp(r(s0) * w, ow(s0)))
+        }
+        val dm = nodeSet.iterator.filterNot(ow.contains).map(r).sum
+        val dshare = (2 * dm + n) / (2 * n)
+        r = nodeSet.iterator.map(nd => nd ->
+          (base + halfUp(dampingPct * (inflow.getOrElse(nd, 0L) + dshare),
+            100L))).toMap
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          e.schema("src").dataType),
+        org.apache.spark.sql.types.StructField("rank_micro",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val out = nodeSet.iterator.map(nd =>
+        org.apache.spark.sql.Row(nd, r(nd), r(nd) / 1000000.0)).toSeq
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out,
+          math.max(1, spark.sparkContext.defaultParallelism)), schema)
+    }
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val ow = e.groupBy("src").agg(sum("w").as("ow"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e2 = e.join(ow, "src")
+      .select(col("src"), col("dst"), col("w"), col("ow"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // dangling node set is FIXED across iterations — compute once
+    val dangling = nodes.join(ow.select(col("src").as("node")),
+        Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = e2.join(ranks, e2("src") === ranks("node"))
+        .select(col("dst"), halfDiv(col("r") * col("w"), col("ow")).as("c"))
+      val inflow = contrib.groupBy("dst").agg(sum("c").as("inflow"))
+      // dangling mass rides the SAME job as the rank update (1-row
+      // broadcast cross join) — no separate per-iteration action
+      val dmf = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+        .select(halfDiv(col("dm"), lit(n)).as("dshare"))
+      val prev = ranks
+      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .crossJoin(broadcast(dmf))
+        .select(col("node"),
+          (lit(base) + halfDiv(lit(dampingPct.toLong) *
+            (coalesce(col("inflow"), lit(0L)) + col("dshare")),
+            lit(100L))).as("r"))
+        .localCheckpoint()
+      releaseCheckpoint(prev)
+    }
+    e.unpersist(); e2.unpersist(); nodes.unpersist(); ow.unpersist()
+    dangling.unpersist()
+    ranks.select(col("node"), col("r").as("rank_micro"),
+      (col("r") / lit(1000000.0)).as("rank"))
+  }
+
+  /** DuckDB twin of [[pageRank]]: the identical integer trajectory,
+    * unrolled one CTE pair per iteration. `edgesSql` must yield
+    * (src, dst, w) rows.
+    */
+  def pageRankOracleSql(edgesSql: String, iterations: Int = 10,
+      dampingPct: Int = 85): String = {
+    val base = (100L - dampingPct) * 10000L
+    val iters = (1 to iterations).map { k =>
+      val p = k - 1
+      s"""c$k AS MATERIALIZED (
+         | SELECT e.dst, sum((r$p.r * e.w * 2 + e.ow) // (e.ow * 2)) AS inflow
+         | FROM e2 e JOIN r$p ON e.src = r$p.node GROUP BY e.dst),
+         |d$k AS MATERIALIZED (
+         | SELECT (2 * coalesce((SELECT sum(r) FROM r$p
+         |   WHERE node NOT IN (SELECT src FROM ow)), 0)
+         |   + (SELECT n FROM nn)) // (2 * (SELECT n FROM nn)) AS dshare),
+         |r$k AS MATERIALIZED (
+         | SELECT nodes.node,
+         |   $base + ($dampingPct * (coalesce(c$k.inflow, 0)
+         |     + (SELECT dshare FROM d$k)) * 2 + 100) // 200 AS r
+         | FROM nodes LEFT JOIN c$k ON nodes.node = c$k.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eraw AS (__EDGES__),
+       |e AS MATERIALIZED (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM eraw
+       |  WHERE w > 0 GROUP BY src, dst),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+       |e2 AS MATERIALIZED (SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow ON e.src = ow.src),
+       |r0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$iters
+       |SELECT node, CAST(r AS BIGINT) AS rank_micro,
+       |  CAST(r AS BIGINT) / 1000000.0 AS rank
+       |FROM r$iterations""".stripMargin.replace("__EDGES__", edgesSql)
+  }
 }

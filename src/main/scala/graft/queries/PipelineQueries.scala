@@ -399,6 +399,24 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // Exact-integer PageRank over the supplier<->customer order graph
+    // (one edge per order, both directions, weight = order count;
+    // customer ids offset by 1e6 into the shared node space). The
+    // 10-iteration micro-unit trajectory is bit-identical to the
+    // DuckDB unrolled-CTE replay.
+    "q201_pagerank" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val p = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("sn"),
+          (col("o_custkey").cast("long") + 1000000L).as("cn"))
+      val edges = p.select(col("sn").as("src"), col("cn").as("dst"))
+        .unionByName(p.select(col("cn").as("src"), col("sn").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      GraphOps.pageRank(edges, "src", "dst", "w")
+    }),
+
     // DPO preference pairs: per prompt bucket (doc_id % 199) the
     // trained-quality best/worst responses with margin >= 0.05.
     "q197_dpo_pairs" -> ((s, d) =>
@@ -2032,6 +2050,18 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q201_pagerank" -> GraphOps.pageRankOracleSql(
+      """SELECT src, dst, count(*) AS w FROM (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS src,
+        |    CAST(o_custkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_linenumber = 1
+        |  UNION ALL
+        |  SELECT CAST(o_custkey + 1000000 AS BIGINT),
+        |    CAST(l_suppkey AS BIGINT)
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_linenumber = 1)
+        |GROUP BY src, dst""".stripMargin),
     "q197_dpo_pairs" -> PreferenceOps.dpoOracleSql(
       qualityOracleSql(TextOps.TrainedQualityWeights), 199, "0.05"),
     "q198_zorder_skipping" -> graft.ops.LayoutOps.zSkippingOracleSql(

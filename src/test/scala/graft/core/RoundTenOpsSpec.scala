@@ -141,6 +141,31 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(got("lineitem") === ((4L, 3L, 750000L)))
   }
 
+  test("pageRank: driver fast path == distributed loop, bit-for-bit") {
+    val edges = Seq(
+      (1L, 2L, 3L), (2L, 1L, 1L), (1L, 3L, 1L), (3L, 1L, 2L),
+      (4L, 1L, 5L), // 5 is dangling (inflow only)
+      (2L, 5L, 2L)).toDF("src", "dst", "w")
+    val fast = graft.ops.GraphOps.pageRank(edges, "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = graft.ops.GraphOps.pageRank(edges, "src", "dst", "w",
+        driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === dist)
+    // hub 1 outranks the leaf 4 (teleport-only inflow)
+    assert(fast(1L) > fast(4L))
+    // base floor: every rank >= (100-85)*10^4
+    assert(fast.values.forall(_ >= 150000L))
+  }
+
+  test("pageRank: symmetric ring is uniform (exact fixed point)") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r = graft.ops.GraphOps.pageRank(edges, "src", "dst", "w")
+      .collect().map(_.getLong(1)).toSet
+    assert(r === Set(1000000L)) // 0.15 + 0.85 * 1.0 stays exactly 1.0
+  }
+
   test("pmiPairs: bounded vocab, deterministic tie-break, ln formula") {
     val docs = Seq(
       (1L, "red blue"), (2L, "red blue"), (3L, "red blue"),
