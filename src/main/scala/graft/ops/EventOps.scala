@@ -411,6 +411,93 @@ object EventOps {
        |FROM r""".stripMargin
   }
 
+  /** Hour-of-day seasonality profile per event type: counts, exact
+    * half-up ppm share of the type's total, and a peak-hour flag
+    * (count desc, hour asc tie-break). Two bounded aggregations —
+    * 24·|types| groups — entirely map-side combinable; the window
+    * runs over the 24-row-per-type profile, never the stream.
+    */
+  def seasonalityProfile(events: DataFrame, tsCol: String,
+      typeCol: String): DataFrame = {
+    val g = events.groupBy(col(typeCol).as("event_type"),
+        (pmod(floor(col(tsCol).cast("double") / 3600).cast("long"), lit(24L)))
+          .as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val tot = g.groupBy("event_type").agg(sum("n").as("tot"))
+    val a = col("n") * 2000000L + col("tot")
+    val b = col("tot") * 2
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("hod").asc)
+    g.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("hod"), col("n"),
+        ((a - pmod(a, b)) / b).cast("long").as("frac_ppm"),
+        (row_number().over(w) === 1).cast("int").as("is_peak"))
+  }
+
+  /** DuckDB twin of [[seasonalityProfile]]. */
+  def seasonalityOracleSql(table: String, tsCol: String,
+      typeCol: String): String =
+    s"""WITH g AS (SELECT $typeCol AS event_type,
+       |    CAST(floor(epoch($tsCol) / 3600) AS BIGINT) % 24 AS hod,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM $table GROUP BY 1, 2),
+       |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM g
+       |  GROUP BY event_type)
+       |SELECT g.event_type, hod, n,
+       |  CAST((n * 2000000 + tot) // (tot * 2) AS BIGINT) AS frac_ppm,
+       |  CAST(row_number() OVER (PARTITION BY g.event_type
+       |    ORDER BY n DESC, hod ASC) = 1 AS INT) AS is_peak
+       |FROM g JOIN t ON g.event_type = t.event_type""".stripMargin
+
+  /** Hourly count anomalies per event type against that type's
+    * hour-of-day baseline: hour h is anomalous when
+    * (cnt − μ_hod)² > z²·σ²_hod, spelled entirely from exact integer
+    * sufficient statistics ((cnt·nd − sm)² > z²·(nd·sq − sm²), with
+    * nd/sm/sq = per-(type, hod) sample count / Σcnt / Σcnt² across
+    * days) so the flag is engine- and partition-independent. Two
+    * bounded aggregations (hour-grid-sized, then 24·|types| groups);
+    * μ is reported as exact half-up ppm. The squared comparison runs
+    * in doubles ONLY after the integer subtractions — identical ops
+    * both engines.
+    */
+  def hourlyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
+      z: Int = 3): DataFrame = {
+    val h = events.groupBy(col(typeCol).as("event_type"),
+        floor(col(tsCol).cast("double") / 3600).cast("long").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hod", pmod(col("h"), lit(24L)))
+    val s = h.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("nd"), sum("cnt").as("sm"),
+        sum(col("cnt") * col("cnt")).as("sq"))
+    val dev = (col("cnt") * col("nd") - col("sm")).cast("double")
+    val varn = (col("nd") * col("sq") - col("sm") * col("sm")).cast("double")
+    val a = col("sm") * 2000000L + col("nd")
+    val b = col("nd") * 2
+    h.join(broadcast(s), Seq("event_type", "hod"))
+      .filter(dev * dev > lit((z * z).toDouble) * varn)
+      .select(col("event_type"), col("h"), col("cnt"),
+        ((a - pmod(a, b)) / b).cast("long").as("mu_ppm"),
+        col("nd"))
+  }
+
+  /** DuckDB twin of [[hourlyAnomalies]]. */
+  def hourlyAnomaliesOracleSql(table: String, tsCol: String,
+      typeCol: String, z: Int = 3): String =
+    s"""WITH h AS (SELECT $typeCol AS event_type,
+       |    CAST(floor(epoch($tsCol) / 3600) AS BIGINT) AS h,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM $table GROUP BY 1, 2),
+       |h2 AS (SELECT *, h % 24 AS hod FROM h),
+       |s AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(cnt) AS BIGINT) AS sm,
+       |    CAST(sum(cnt * cnt) AS BIGINT) AS sq
+       |  FROM h2 GROUP BY 1, 2)
+       |SELECT h2.event_type, h2.h, h2.cnt,
+       |  CAST((sm * 2000000 + nd) // (nd * 2) AS BIGINT) AS mu_ppm, nd
+       |FROM h2 JOIN s ON h2.event_type = s.event_type AND h2.hod = s.hod
+       |WHERE CAST(cnt * nd - sm AS DOUBLE) * CAST(cnt * nd - sm AS DOUBLE)
+       |  > ${z * z}.0 * CAST(nd * sq - sm * sm AS DOUBLE)""".stripMargin
+
   /** Conversation/session assembly: sessionize per user (gap >
     * `gapSeconds` starts a session), assemble each session's ordered
     * event-type path (first `maxTurns` steps, '>'-joined,

@@ -640,6 +640,79 @@ object ProfileOps {
         round(col("n_outliers").cast("double") / col("n"), 6))
   }
 
+  /** Weight-of-evidence / information-value report of a categorical
+    * bin column against a binary label — the feature-screening
+    * summary a quality-model owner reads before adding a signal
+    * (IV < 0.02 ⇒ useless, > 0.5 ⇒ suspicious). One aggregation to
+    * bin-cardinality rows + broadcast totals; +0.5 smoothing keeps
+    * empty cells finite. Natural log (ln) both engines.
+    */
+  def woeIv(df: DataFrame, binCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val g = df.select(binCol.as("bin"), labelCol.cast("int").as("y"))
+      .groupBy("bin")
+      .agg(sum("y").cast("long").as("n_pos"),
+        (count(lit(1)) - sum("y")).cast("long").as("n_neg"))
+    val tot = g.agg(sum("n_pos").cast("double").as("pt"),
+      sum("n_neg").cast("double").as("nt"))
+    val p = (col("n_pos") + 0.5) / col("pt")
+    val q = (col("n_neg") + 0.5) / col("nt")
+    g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        round(log(p / q), 6).as("woe"),
+        round((p - q) * log(p / q), 6).as("iv_term"))
+  }
+
+  /** DuckDB twin of [[woeIv]]: `binExpr`/`labelExpr` are SQL snippets
+    * over `table`.
+    */
+  def woeIvOracleSql(table: String, binExpr: String,
+      labelExpr: String): String =
+    s"""WITH b AS (SELECT $binExpr AS bin,
+       |    CAST($labelExpr AS INT) AS y FROM $table),
+       |g AS (SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg FROM b GROUP BY bin),
+       |t AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS pt,
+       |    CAST(sum(n_neg) AS DOUBLE) AS nt FROM g)
+       |SELECT bin, n_pos, n_neg,
+       |  round(ln(((n_pos + 0.5) / pt) / ((n_neg + 0.5) / nt)), 6) AS woe,
+       |  round(((n_pos + 0.5) / pt - (n_neg + 0.5) / nt)
+       |    * ln(((n_pos + 0.5) / pt) / ((n_neg + 0.5) / nt)), 6) AS iv_term
+       |FROM g CROSS JOIN t""".stripMargin
+
+  /** Equi-width histogram of a numeric column: `nBins` bins over the
+    * observed [min, max] (top edge closed). Two scans (bounds, then
+    * one aggregation); bin edges are the identical double arithmetic
+    * in the oracle, so no rounding gate is needed — the lo column is
+    * bit-deterministic.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"histogram needs nBins >= 1, got $nBins")
+    val v = col(valueCol).cast("double")
+    val bounds = df.agg(min(v).as("mn"), max(v).as("mx"))
+    df.select(v.as("v")).crossJoin(broadcast(bounds))
+      .select(least(floor((col("v") - col("mn"))
+          / ((col("mx") - col("mn")) / nBins)).cast("int"),
+        lit(nBins - 1)).as("bin"), col("mn"), col("mx"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        (min("mn") + col("bin") * ((min("mx") - min("mn")) / nBins))
+          .as("lo"))
+  }
+
+  /** DuckDB twin of [[histogram]]. */
+  def histogramOracleSql(table: String, valueExpr: String,
+      nBins: Int): String =
+    s"""WITH t AS (SELECT CAST($valueExpr AS DOUBLE) AS v FROM $table),
+       |b AS (SELECT min(v) AS mn, max(v) AS mx FROM t)
+       |SELECT least(CAST(floor((v - mn) / ((mx - mn) / $nBins)) AS INT),
+       |    ${nBins - 1}) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  min(mn) + least(CAST(floor((v - mn) / ((mx - mn) / $nBins)) AS INT),
+       |    ${nBins - 1}) * ((min(mx) - min(mn)) / $nBins) AS lo
+       |FROM t CROSS JOIN b
+       |GROUP BY 1""".stripMargin
+
   /** DuckDB twin of [[madOutliers]]. */
   def madOutliersOracleSql(table: String, groupCol: String,
       valueCol: String, k: Double = 3.0): String =

@@ -399,6 +399,34 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // WOE / information value of the length-bucket feature against
+    // the quality-rules label — the feature-screening report.
+    "q202_woe_iv" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val lab = TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("passes"))
+      val j = docs.select(col("doc_id"),
+          least(floor(col("n_chars") / 200.0).cast("int"), lit(9)).as("bin"))
+        .join(lab, "doc_id")
+      ProfileOps.woeIv(j, col("bin"), col("passes"))
+    }),
+
+    // Hour-of-day seasonality profile per event type (ppm shares +
+    // peak flag).
+    "q203_seasonality" -> ((s, d) =>
+      graft.ops.EventOps.seasonalityProfile(Tables(s, d, "events"),
+        "ts", "event_type")),
+
+    // Hourly anomaly hours per type vs the hour-of-day baseline
+    // (z>3, exact integer sufficient statistics).
+    "q204_hourly_anomalies" -> ((s, d) =>
+      graft.ops.EventOps.hourlyAnomalies(Tables(s, d, "events"),
+        "ts", "event_type")),
+
+    // Equi-width 20-bin histogram of the event value distribution.
+    "q205_histogram" -> ((s, d) =>
+      ProfileOps.histogram(Tables(s, d, "events"), "value", 20)),
+
     // Exact-integer PageRank over the supplier<->customer order graph
     // (one edge per order, both directions, weight = order count;
     // customer ids offset by 1e6 into the shared node space). The
@@ -2050,6 +2078,18 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q202_woe_iv" -> ("WITH docs0 AS (SELECT doc_id, text AS t FROM documents),\n"
+      + rulesOracleBody("docs0")
+      + """,
+        |bj AS (SELECT least(CAST(floor(d.n_chars / 200.0) AS INT), 9) AS bin,
+        |  pr.passes AS y FROM documents d JOIN pr USING (doc_id)),
+        |""".stripMargin
+      + ProfileOps.woeIvOracleSql("bj", "bin", "y").stripPrefix("WITH ")),
+    "q203_seasonality" -> graft.ops.EventOps.seasonalityOracleSql(
+      "events", "ts", "event_type"),
+    "q204_hourly_anomalies" -> graft.ops.EventOps.hourlyAnomaliesOracleSql(
+      "events", "ts", "event_type"),
+    "q205_histogram" -> ProfileOps.histogramOracleSql("events", "value", 20),
     "q201_pagerank" -> GraphOps.pageRankOracleSql(
       """SELECT src, dst, count(*) AS w FROM (
         |  SELECT CAST(l_suppkey AS BIGINT) AS src,
