@@ -498,6 +498,130 @@ object EventOps {
        |WHERE CAST(cnt * nd - sm AS DOUBLE) * CAST(cnt * nd - sm AS DOUBLE)
        |  > ${z * z}.0 * CAST(nd * sq - sm * sm AS DOUBLE)""".stripMargin
 
+  /** First-order Markov transition matrix over session event
+    * sequences: within each (user, gap-session), count (type → next
+    * type) steps in deterministic (t, id) order, then report per-from
+    * counts and exact half-up ppm transition shares. Output is
+    * |types|²-bounded regardless of stream size; the only stream-
+    * sized work is one user-keyed window pass.
+    */
+  def markovTransitions(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, idCol: String, gapSeconds: Double): DataFrame = {
+    val base = events.select(col(userCol).as("u"),
+      col(tsCol).cast("double").as("t"), col(idCol).as("id"),
+      col(typeCol).as("typ"))
+    val wo = Window.partitionBy("u").orderBy("t", "id")
+    val flag = when(lag("t", 1).over(wo).isNull ||
+      col("t") - lag("t", 1).over(wo) > gapSeconds, 1L).otherwise(0L)
+    val withSid = base.withColumn("sid",
+      sum(flag).over(wo.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val ws = Window.partitionBy("u", "sid").orderBy("t", "id")
+    val steps = withSid
+      .withColumn("nxt", lead("typ", 1).over(ws))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("typ").as("from_type"), col("nxt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = steps.groupBy("from_type").agg(sum("n").as("tot"))
+    val a = col("n") * 2000000L + col("tot")
+    val b = col("tot") * 2
+    steps.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        ((a - pmod(a, b)) / b).cast("long").as("p_ppm"))
+  }
+
+  /** DuckDB twin of [[markovTransitions]]. */
+  def markovOracleSql(table: String, tsCol: String, userCol: String,
+      typeCol: String, idCol: String, gapSeconds: Double): String =
+    s"""WITH e AS (SELECT $userCol AS u, epoch($tsCol) AS t,
+       |    $idCol AS id, $typeCol AS typ FROM $table),
+       |fl AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+       |    OR t - lag(t) OVER w > $gapSeconds THEN 1 ELSE 0 END AS flag
+       |  FROM e WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+       |sd AS (SELECT *, sum(flag) OVER (PARTITION BY u ORDER BY t, id
+       |    ROWS UNBOUNDED PRECEDING) AS sid FROM fl),
+       |st AS (SELECT typ AS from_type,
+       |    lead(typ) OVER (PARTITION BY u, sid ORDER BY t, id) AS to_type
+       |  FROM sd),
+       |g AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM st WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM g
+       |  GROUP BY from_type)
+       |SELECT g.from_type, g.to_type, g.n,
+       |  CAST((n * 2000000 + tot) // (tot * 2) AS BIGINT) AS p_ppm
+       |FROM g JOIN t ON g.from_type = t.from_type""".stripMargin
+
+  /** Inter-arrival gap percentiles per user cohort (`userCol` mod
+    * `cohorts`): consecutive-event gaps in seconds (deterministic
+    * (t, id) order), then exact interpolated p50/p90 per cohort —
+    * the arrival-process health probe behind rate limits and
+    * session-gap tuning. One user-keyed window pass; the percentile
+    * runs per cohort over gap counts, never globally.
+    */
+  def interArrivalGaps(events: DataFrame, tsCol: String, userCol: String,
+      idCol: String, cohorts: Int = 10): DataFrame = {
+    val base = events.select(col(userCol).as("u"),
+      col(tsCol).cast("double").as("t"), col(idCol).as("id"))
+    val wo = Window.partitionBy("u").orderBy("t", "id")
+    base.withColumn("gap", col("t") - lag("t", 1).over(wo))
+      .filter(col("gap").isNotNull)
+      .groupBy(pmod(col("u"), lit(cohorts.toLong)).as("cohort"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("round(percentile(gap, 0.5D), 3)").as("p50_s"),
+        expr("round(percentile(gap, 0.9D), 3)").as("p90_s"))
+  }
+
+  /** DuckDB twin of [[interArrivalGaps]]. */
+  def interArrivalOracleSql(table: String, tsCol: String, userCol: String,
+      idCol: String, cohorts: Int = 10): String =
+    s"""WITH e AS (SELECT $userCol AS u, epoch($tsCol) AS t, $idCol AS id
+       |  FROM $table),
+       |g AS (SELECT u, t - lag(t) OVER (PARTITION BY u ORDER BY t, id)
+       |    AS gap FROM e)
+       |SELECT u % $cohorts AS cohort, CAST(count(*) AS BIGINT) AS n_gaps,
+       |  round(quantile_cont(gap, 0.5), 3) AS p50_s,
+       |  round(quantile_cont(gap, 0.9), 3) AS p90_s
+       |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin
+
+  /** Conversion latency distribution: per user, first `fromType` to
+    * the first later `toType` within `windowDays`; report count and
+    * exact interpolated latency percentiles in seconds. The q180
+    * funnel's timing companion — how LONG conversion takes, not just
+    * whether it happens. Two per-user min-aggregations, one join.
+    */
+  def conversionLatency(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, fromType: String, toType: String,
+      windowDays: Int): DataFrame = {
+    val w = windowDays * 86400.0
+    val e = events.select(col(userCol).as("u"),
+      col(tsCol).cast("double").as("t"), col(typeCol).as("s"))
+    val m1 = e.filter(col("s") === fromType).groupBy("u")
+      .agg(min("t").as("t1"))
+    val m2 = e.join(m1, "u")
+      .filter(col("s") === toType && col("t") > col("t1") &&
+        col("t") <= col("t1") + w)
+      .groupBy("u").agg(min(col("t") - col("t1")).as("lat"))
+    m2.agg(count(lit(1)).as("n_converted"),
+      expr("round(percentile(lat, 0.5D), 3)").as("p50_s"),
+      expr("round(percentile(lat, 0.9D), 3)").as("p90_s"))
+  }
+
+  /** DuckDB twin of [[conversionLatency]]. */
+  def conversionLatencyOracleSql(table: String, tsCol: String,
+      userCol: String, typeCol: String, fromType: String, toType: String,
+      windowDays: Int): String = {
+    val w = windowDays * 86400.0
+    s"""WITH e AS (SELECT $userCol AS u, epoch($tsCol) AS t, $typeCol AS s
+       |  FROM $table),
+       |m1 AS (SELECT u, min(t) AS t1 FROM e WHERE s = '$fromType' GROUP BY u),
+       |m2 AS (SELECT e.u, min(t - t1) AS lat FROM e JOIN m1 USING (u)
+       |  WHERE s = '$toType' AND t > t1 AND t <= t1 + $w GROUP BY e.u)
+       |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       |  round(quantile_cont(lat, 0.5), 3) AS p50_s,
+       |  round(quantile_cont(lat, 0.9), 3) AS p90_s
+       |FROM m2""".stripMargin
+  }
+
   /** Conversation/session assembly: sessionize per user (gap >
     * `gapSeconds` starts a session), assemble each session's ordered
     * event-type path (first `maxTurns` steps, '>'-joined,

@@ -640,6 +640,35 @@ object ProfileOps {
         round(col("n_outliers").cast("double") / col("n"), 6))
   }
 
+  /** Declarative data-contract check (expectation-suite shape): each
+    * check is (name, violation predicate); the report is one row per
+    * check with its violation count and pass flag, plus an optional
+    * key-uniqueness check (count vs exact distinct). ONE scan
+    * computes every predicate as a conditional sum (+ the distinct
+    * aggregate when requested); the wide one-row result unpivots
+    * driver-free. The pre-publish gate a dataset release runs — at
+    * 100 TB you assert a contract, you don't sample-and-eyeball.
+    */
+  def expectationReport(df: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      uniqueKey: Option[String] = None): DataFrame = {
+    require(checks.nonEmpty || uniqueKey.nonEmpty,
+      "expectationReport needs at least one check")
+    val sums = checks.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"_v$i")
+    } ++ uniqueKey.map(k =>
+      (count(lit(1)) - countDistinct(col(k))).as("_vu")).toSeq
+    val wide = df.agg(sums.head, sums.tail: _*)
+    val entries = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check"), col(s"_v$i").as("n_violations"))
+    } ++ uniqueKey.map(k =>
+      struct(lit(s"${k}_unique").as("check"), col("_vu").as("n_violations")))
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.check").as("check"),
+        col("e.n_violations").as("n_violations"),
+        (col("e.n_violations") === 0).cast("int").as("passed"))
+  }
+
   /** Weight-of-evidence / information-value report of a categorical
     * bin column against a binary label — the feature-screening
     * summary a quality-model owner reads before adding a signal

@@ -1009,6 +1009,71 @@ object SimilarityOps {
        |FROM (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM $table) t""".stripMargin
   }
 
+  /** Per-label embedding-distribution DRIFT between two deterministic
+    * halves of the corpus (even/odd `idCol`): centroid cosine and L2
+    * shift per label. The "did my embedding space move between
+    * snapshots" probe — near-1 cosine and ~0 shift for a stable
+    * distribution; a drifted label pops out immediately.
+    *
+    * Same exact fixed-point centroid mechanics as
+    * [[labelCentroids]] (decimal sums of round(x·10⁷), 7dp means), so
+    * the centroids are bit-stable under partitioning; the comparison
+    * folds run left-to-right over the rounded centroid arrays —
+    * identical in the oracle.
+    */
+  def centroidDrift(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val half = pmod(col(idCol), lit(2L))
+    val a = labelCentroids(emb.filter(half === 0), vecCol, labelCol)
+      .select(col("label"), col("cv").as("cva"))
+    val b = labelCentroids(emb.filter(half === 1), vecCol, labelCol)
+      .select(col("label"), col("cv").as("cvb"))
+    val counts = emb.groupBy(col(labelCol).as("label"))
+      .agg(sum(when(half === 0, 1L).otherwise(0L)).as("n_even"),
+        sum(when(half === 1, 1L).otherwise(0L)).as("n_odd"))
+    val dot = aggregate(zip_with(col("cva"), col("cvb"), _ * _),
+      lit(0.0), _ + _)
+    val na = aggregate(transform(col("cva"), x => x * x), lit(0.0), _ + _)
+    val nb = aggregate(transform(col("cvb"), x => x * x), lit(0.0), _ + _)
+    val l2 = sqrt(aggregate(zip_with(col("cva"), col("cvb"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    a.join(b, "label").join(counts, "label")
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(dot / (sqrt(na) * sqrt(nb)), 6).as("cos_sim"),
+        round(l2, 6).as("l2_shift"))
+  }
+
+  /** DuckDB replay of [[centroidDrift]]. */
+  def centroidDriftOracleSql(table: String, idCol: String, vecCol: String,
+      labelCol: String): String =
+    s"""WITH e AS (SELECT $idCol AS vec_id, $labelCol AS label,
+       |  CAST($vecCol AS DOUBLE[]) AS v, $idCol % 2 AS half FROM $table),
+       |x AS (SELECT label, half, unnest(generate_series(1, len(v))) AS pos,
+       |  unnest(list_transform(v,
+       |    a -> CAST(round(a * 1e7, 0) AS DECIMAL(38,0)))) AS xi FROM e),
+       |cp AS (SELECT label, half, pos,
+       |  round(CAST(sum(xi) AS DOUBLE) / 1e7 / count(*), 7) AS c
+       | FROM x GROUP BY label, half, pos),
+       |cv AS (SELECT label, half, list(c ORDER BY pos) AS cv
+       | FROM cp GROUP BY label, half),
+       |n AS (SELECT label,
+       |  CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+       |  CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+       | FROM e GROUP BY label),
+       |j AS (SELECT a.label, a.cv AS cva, b.cv AS cvb
+       | FROM cv a JOIN cv b ON a.label = b.label
+       | WHERE a.half = 0 AND b.half = 1)
+       |SELECT j.label, n.n_even, n.n_odd,
+       |  round(list_sum(list_transform(generate_series(1, len(cva)),
+       |      i -> cva[i] * cvb[i]))
+       |    / (sqrt(list_sum(list_transform(generate_series(1, len(cva)),
+       |      i -> cva[i] * cva[i])))
+       |     * sqrt(list_sum(list_transform(generate_series(1, len(cvb)),
+       |      i -> cvb[i] * cvb[i])))), 6) AS cos_sim,
+       |  round(sqrt(list_sum(list_transform(generate_series(1, len(cva)),
+       |      i -> (cva[i] - cvb[i]) * (cva[i] - cvb[i])))), 6) AS l2_shift
+       |FROM j JOIN n ON j.label = n.label""".stripMargin
+
   /** DuckDB replay of [[centroidOutliers]] (parallel-unnest zip for
     * the position explode; list fold for the distance). */
   def centroidOutliersOracleSql(table: String, idCol: String, vecCol: String,

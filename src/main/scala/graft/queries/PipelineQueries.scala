@@ -399,6 +399,43 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // Per-label embedding drift between even/odd corpus halves:
+    // centroid cosine + L2 shift (stability audit before reusing an
+    // index or classifier across snapshots).
+    "q209_centroid_drift" -> ((s, d) =>
+      SimilarityOps.centroidDrift(Tables(s, d, "embeddings"),
+        "vec_id", "embedding", "label")),
+
+    // Data-contract expectation suite over documents: null/range/
+    // domain checks + key uniqueness in ONE scan; n_chars<=400 is
+    // deliberately violated so the report shows a failing row.
+    "q210_expectations" -> ((s, d) =>
+      ProfileOps.expectationReport(Tables(s, d, "documents"),
+        Seq(
+          "doc_id_not_null" -> col("doc_id").isNull,
+          "text_not_null" -> col("text").isNull,
+          "n_chars_positive" -> (col("n_chars").isNull || col("n_chars") <= 0),
+          "n_chars_le_400" -> (col("n_chars") > 400),
+          "lang_known" -> !col("lang").isin("en", "de", "fr", "es", "zh"),
+          "source_prefix" -> !col("source").startsWith("src")),
+        uniqueKey = Some("doc_id"))),
+
+    // First-order Markov transition matrix over 30-min sessions.
+    "q206_markov" -> ((s, d) =>
+      graft.ops.EventOps.markovTransitions(Tables(s, d, "events"),
+        "ts", "user_id", "event_type", "event_id", gapSeconds = 1800.0)),
+
+    // Inter-arrival gap percentiles per user cohort (mod 10).
+    "q207_interarrival" -> ((s, d) =>
+      graft.ops.EventOps.interArrivalGaps(Tables(s, d, "events"),
+        "ts", "user_id", "event_id")),
+
+    // Signup -> purchase conversion latency distribution (7 days).
+    "q208_conversion_latency" -> ((s, d) =>
+      graft.ops.EventOps.conversionLatency(Tables(s, d, "events"),
+        "ts", "user_id", "event_type", "signup", "purchase",
+        windowDays = 7)),
+
     // WOE / information value of the length-bucket feature against
     // the quality-rules label — the feature-screening report.
     "q202_woe_iv" -> ((s, d) => {
@@ -2078,6 +2115,35 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q209_centroid_drift" -> SimilarityOps.centroidDriftOracleSql(
+      "embeddings", "vec_id", "embedding", "label"),
+    "q210_expectations" ->
+      """WITH w AS (SELECT
+        |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v0,
+        |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v1,
+        |  sum(CASE WHEN n_chars IS NULL OR n_chars <= 0 THEN 1 ELSE 0 END) AS v2,
+        |  sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS v3,
+        |  sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+        |      THEN 1 ELSE 0 END) AS v4,
+        |  sum(CASE WHEN NOT starts_with(source, 'src') THEN 1 ELSE 0 END) AS v5,
+        |  count(*) - count(DISTINCT doc_id) AS vu
+        | FROM documents)
+        |SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
+        |  CAST(n_violations = 0 AS INT) AS passed
+        |FROM (
+        |  SELECT 'doc_id_not_null' AS "check", v0 AS n_violations FROM w
+        |  UNION ALL SELECT 'text_not_null', v1 FROM w
+        |  UNION ALL SELECT 'n_chars_positive', v2 FROM w
+        |  UNION ALL SELECT 'n_chars_le_400', v3 FROM w
+        |  UNION ALL SELECT 'lang_known', v4 FROM w
+        |  UNION ALL SELECT 'source_prefix', v5 FROM w
+        |  UNION ALL SELECT 'doc_id_unique', vu FROM w)""".stripMargin,
+    "q206_markov" -> graft.ops.EventOps.markovOracleSql(
+      "events", "ts", "user_id", "event_type", "event_id", 1800.0),
+    "q207_interarrival" -> graft.ops.EventOps.interArrivalOracleSql(
+      "events", "ts", "user_id", "event_id"),
+    "q208_conversion_latency" -> graft.ops.EventOps.conversionLatencyOracleSql(
+      "events", "ts", "user_id", "event_type", "signup", "purchase", 7),
     "q202_woe_iv" -> ("WITH docs0 AS (SELECT doc_id, text AS t FROM documents),\n"
       + rulesOracleBody("docs0")
       + """,
