@@ -952,4 +952,112 @@ object TextOps {
        |  $covs
        |FROM r""".stripMargin
   }
+
+  /** Sentence array via an engine-portable split: terminator+space
+    * becomes terminator+ (RE2 has no lookbehind, so the
+    * lookbehind spelling would have no DuckDB twin), then split on
+    * the marker; empties dropped.
+    */
+  private def sentences(textCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    filter(split(regexp_replace(textCol, "([.!?])\\s+", "$1\u0001"),
+      "\u0001"), s => length(s) > 0)
+
+  /** Sentence-aware chunking for RAG/context assembly: windows of
+    * `size` sentences advancing by `size - overlap`, per-chunk
+    * sentence count and character length (joined by single spaces —
+    * the reassembly contract). The token-window chunker's (q74)
+    * boundary-respecting twin: chunks never cut mid-sentence. Pure
+    * per-row transform + one explode — zero shuffles, corpus-linear.
+    */
+  def sentenceChunks(docs: DataFrame, idCol: String, textCol: String,
+      size: Int = 3, overlap: Int = 1): DataFrame = {
+    require(size >= 1 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val sent = sentences(col(textCol))
+    val chunks = transform(
+      sequence(lit(1), greatest(size_(sent), lit(1)), lit(step)),
+      i => struct(i.as("start"),
+        slice(sent, i, lit(size)).as("ss")))
+    docs.select(col(idCol).as("doc_id"), explode(chunks).as("c"))
+      .filter(size_(col("c.ss")) > 0)
+      .select(col("doc_id"), col("c.start").cast("int").as("start_sent"),
+        size_(col("c.ss")).as("n_sent"),
+        length(array_join(col("c.ss"), " ")).as("n_chars"))
+  }
+
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+
+  /** DuckDB replay of [[sentenceChunks]]. */
+  def sentenceChunksOracleSql(table: String, idCol: String,
+      textExpr: String, size: Int = 3, overlap: Int = 1): String = {
+    val step = size - overlap
+    s"""WITH s AS (SELECT $idCol AS doc_id,
+       |  list_filter(string_split(regexp_replace($textExpr,
+       |    '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+       |    x -> length(x) > 0) AS sent
+       |  FROM $table),
+       |c AS (SELECT doc_id,
+       |  unnest(list_transform(generate_series(1, greatest(len(sent), 1),
+       |    $step), i -> {start: i, ss: sent[i:i+${size - 1}]}),
+       |    recursive := true)
+       |  FROM s)
+       |SELECT doc_id, CAST(start AS INT) AS start_sent,
+       |  CAST(len(ss) AS INT) AS n_sent,
+       |  CAST(length(array_to_string(ss, ' ')) AS INT) AS n_chars
+       |FROM c WHERE len(ss) > 0""".stripMargin
+  }
+
+  /** Corpus readability per language: exact integer totals (docs,
+    * sentences, words, word chars) and a Flesch–Kincaid-shaped grade
+    * computed on the AGGREGATE ratios — per-doc float means would be
+    * partition-order-dependent; integer sums are not. chars/word
+    * stands in for syllables/word (no dictionary): grade =
+    * 0.39·(words/sentence) + 11.8·(chars/word/3) − 15.59, 4dp.
+    */
+  def readabilityByGroup(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val sent = sentences(col(textCol))
+    val words = filter(split(col(textCol), "\\s+"), s => length(s) > 0)
+    val g = docs.select(col(groupCol).as("grp"),
+        size_(sent).cast("long").as("ns"),
+        size_(words).cast("long").as("nw"),
+        aggregate(transform(words, w => length(w).cast("long")),
+          lit(0L), _ + _).as("wc"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum("ns").as("n_sent"),
+        sum("nw").as("n_words"), sum("wc").as("n_word_chars"))
+    g.select(col("grp"), col("n_docs"), col("n_sent"), col("n_words"),
+      round(lit(0.39) * (col("n_words").cast("double")
+          / greatest(col("n_sent"), lit(1L)).cast("double"))
+        + lit(11.8) * (col("n_word_chars").cast("double")
+          / greatest(col("n_words"), lit(1L)).cast("double") / 3.0)
+        - 15.59, 4).as("grade"))
+  }
+
+  /** DuckDB replay of [[readabilityByGroup]]. */
+  def readabilityOracleSql(table: String, textExpr: String,
+      groupCol: String): String =
+    s"""WITH d AS (SELECT $groupCol AS grp,
+       |  len(list_filter(string_split(regexp_replace($textExpr,
+       |    '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+       |    x -> length(x) > 0)) AS ns,
+       |  list_filter(string_split_regex($textExpr, '\\s+'),
+       |    x -> length(x) > 0) AS w
+       |  FROM $table),
+       |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ns) AS BIGINT) AS n_sent,
+       |  CAST(sum(len(w)) AS BIGINT) AS n_words,
+       |  CAST(sum(list_sum(list_transform(w, x -> length(x)))) AS BIGINT)
+       |    AS n_word_chars
+       | FROM d GROUP BY grp)
+       |SELECT grp, n_docs, n_sent, n_words,
+       |  round(0.39 * (CAST(n_words AS DOUBLE)
+       |      / CAST(greatest(n_sent, 1) AS DOUBLE))
+       |    + 11.8 * (CAST(n_word_chars AS DOUBLE)
+       |      / CAST(greatest(n_words, 1) AS DOUBLE) / 3.0)
+       |    - 15.59, 4) AS grade
+       |FROM g""".stripMargin
 }

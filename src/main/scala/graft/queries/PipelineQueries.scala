@@ -399,6 +399,16 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // Sentence-aware chunking (RAG assembly): 3-sentence windows,
+    // 1-sentence overlap, boundary-respecting.
+    "q211_sentence_chunks" -> ((s, d) =>
+      TextOps.sentenceChunks(Tables(s, d, "documents"), "doc_id", "text")),
+
+    // Corpus readability per language from exact integer totals.
+    "q212_readability" -> ((s, d) =>
+      TextOps.readabilityByGroup(Tables(s, d, "documents"), "text", "lang")
+        .withColumnRenamed("grp", "lang")),
+
     // Per-label embedding drift between even/odd corpus halves:
     // centroid cosine + L2 shift (stability audit before reusing an
     // index or classifier across snapshots).
@@ -2115,6 +2125,11 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q211_sentence_chunks" -> TextOps.sentenceChunksOracleSql(
+      "documents", "doc_id", "text"),
+    "q212_readability" -> TextOps.readabilityOracleSql(
+        "documents", "text", "lang")
+      .replace("SELECT grp, n_docs", "SELECT grp AS lang, n_docs"),
     "q209_centroid_drift" -> SimilarityOps.centroidDriftOracleSql(
       "embeddings", "vec_id", "embedding", "label"),
     "q210_expectations" ->
