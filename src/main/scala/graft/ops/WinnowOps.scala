@@ -103,10 +103,21 @@ object WinnowOps {
     * bounds fan-out; it is not a boilerplate remover. */
   def dupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    // localCheckpoint: the (id, fp) frame feeds the df-guard aggregate
+    // AND both sides of the pair self-join — without it the winnow
+    // scan (normalize + per-char MD5) re-runs per consumer. The
+    // materialized frame is narrow (two short strings per fp), the
+    // scan is the expensive part.
     val fp = fingerprints(docs, idCol, textCol, k, w).select("id", "fp")
-    val ok = fp.groupBy("fp").agg(count(lit(1)).as("_df"))
-      .where(col("_df") <= maxDf).select("fp")
-    val guarded = fp.join(ok, Seq("fp"))
+      .localCheckpoint()
+    // df guard as a broadcast ANTI-join against the (tiny) over-df
+    // blacklist: almost every fingerprint passes the guard, so the
+    // whitelist equi-join would shuffle the whole fp frame to drop a
+    // handful of boilerplate groups; the blacklist is bounded by
+    // |corpus|/maxDf and broadcasts.
+    val bad = fp.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .where(col("_df") > maxDf).select("fp")
+    val guarded = fp.join(broadcast(bad), Seq("fp"), "left_anti")
     guarded.as("a").join(guarded.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -163,10 +174,10 @@ object WinnowOps {
     */
   def dupPairSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2): DataFrame = {
-    val fp = fingerprintsPos(docs, idCol, textCol, k, w)
-    val ok = fp.groupBy("fp").agg(count(lit(1)).as("_df"))
-      .where(col("_df") <= maxDf).select("fp")
-    val guarded = fp.join(ok, Seq("fp"))
+    val fp = fingerprintsPos(docs, idCol, textCol, k, w).localCheckpoint()
+    val bad = fp.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .where(col("_df") > maxDf).select("fp")
+    val guarded = fp.join(broadcast(bad), Seq("fp"), "left_anti")
     guarded.as("a").join(guarded.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
