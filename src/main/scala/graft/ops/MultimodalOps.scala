@@ -283,6 +283,59 @@ object MultimodalOps {
       .toDF()
   }
 
+  case class ImageHistogram(doc_id: Long, n_bins_used: Int, top_bin: Int,
+      top_n: Long, entropy: Double)
+
+  /** Luminance histogram + Shannon entropy per image over the REAL
+    * decode path: integer luma (r+g+b)/3 (floor), 8 bins of width 32,
+    * per-bin counts as exact longs; entropy −Σ p·ln p summed in
+    * fixed bin order and rounded 6dp. The exposure/contrast triage
+    * a vision-data pipeline runs before training (flat histogram ≈
+    * noise, single-bin ≈ blank/overexposed). Same verified-decoder
+    * contract as [[imageStats]]: lossless PNG means the oracle
+    * replays the formula pixels and must match exactly.
+    */
+  def imageHistogram(spark: SparkSession, binDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeImage(bytes).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val bins = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)) / 3
+              bins(lum / 32) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val total = (w.toLong * h).toDouble
+          var ent = 0.0
+          var used = 0
+          var (topBin, topN) = (0, 0L)
+          var b = 0
+          while (b < 8) {
+            val c = bins(b)
+            if (c > 0) {
+              used += 1
+              ent -= (c / total) * math.log(c / total)
+              if (c > topN) { topBin = b; topN = c }
+            }
+            b += 1
+          }
+          ImageHistogram(id, used, topBin, topN,
+            BigDecimal(ent).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).doubleValue)
+        }
+      })
+      .toDF()
+  }
+
   case class ResizeCells(doc_id: Long, n_cells: Int, cell_00: Long,
       sum_cells: Long, min_cell: Long, max_cell: Long)
 

@@ -399,6 +399,13 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // Luminance histogram + entropy over REAL PNG decode (verified
+    // decoder: the oracle replays the formula pixels exactly).
+    "q213_image_histogram" -> ((s, d) =>
+      MultimodalOps.imageHistogram(s,
+        MultimodalOps.withImagePayload(s, Tables(s, d, "documents"),
+          "doc_id"))),
+
     // Sentence-aware chunking (RAG assembly): 3-sentence windows,
     // 1-sentence overlap, boundary-respecting.
     "q211_sentence_chunks" -> ((s, d) =>
@@ -2125,6 +2132,20 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q213_image_histogram" ->
+      s"""$imagePxCte,
+         |hist AS (SELECT doc_id, ((r + g + b) // 3) // 32 AS bin,
+         |    CAST(count(*) AS BIGINT) AS c, min(w * h) AS tot
+         |  FROM px GROUP BY doc_id, ((r + g + b) // 3) // 32),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY c DESC, bin ASC) AS rn FROM hist),
+         |e AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bins_used,
+         |    round(-list_sum(list((c / CAST(tot AS DOUBLE))
+         |      * ln(c / CAST(tot AS DOUBLE)) ORDER BY bin)), 6) AS entropy
+         |  FROM hist GROUP BY doc_id)
+         |SELECT e.doc_id, e.n_bins_used, CAST(rk.bin AS INTEGER) AS top_bin,
+         |  rk.c AS top_n, e.entropy
+         |FROM e JOIN rk ON e.doc_id = rk.doc_id AND rk.rn = 1""".stripMargin,
     "q211_sentence_chunks" -> TextOps.sentenceChunksOracleSql(
       "documents", "doc_id", "text"),
     "q212_readability" -> TextOps.readabilityOracleSql(

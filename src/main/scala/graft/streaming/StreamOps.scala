@@ -143,6 +143,29 @@ object StreamOps {
         (0 until ref.nBins).map(b => col(s"_c$b")), col("n_cur")).as("psi"))
   }
 
+  /** Inactivity-gap sessionization via Spark's NATIVE
+    * `session_window` (dynamic-gap merging inside the engine's
+    * session-state store) — the declarative twin of the explicit
+    * [[sessionize]] mapGroupsWithState operator, for the common case
+    * where per-session aggregates suffice and no custom state
+    * machine is needed. State is bounded by open sessions; a session
+    * closes (and emits, in append mode) once the watermark passes
+    * its gap horizon.
+    */
+  def sessionWindowCounts(events: DataFrame, userCol: String,
+      tsCol: String, gapSeconds: Int,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), s"$gapSeconds seconds"),
+        col(userCol).as("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("session_window.start").cast("double").cast("long")
+          .as("session_start"),
+        col("session_window.end").cast("double").cast("long")
+          .as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Streaming OHLC bars — the twin of
     * [[graft.ops.TimeSeriesOps.ohlcBars]]: per (series, event-time
     * hour window) open/high/low/close/volume in ONE watermarked

@@ -477,6 +477,41 @@ class StreamingSpec extends SparkSpec {
     assert(win(0).getDouble(2) > 0.5)                 // and it IS a drift
   }
 
+  test("native session_window sessions match the batch gap-sessionize on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+
+    val q = StreamOps.sessionWindowCounts(events, "user_id", "ts",
+        gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      // u1: two sessions (gap 3600 > 1800 between them)
+      (1L, ts(100), 1.0), (1L, ts(700), 2.0), (1L, ts(5000), 3.0),
+      // u2: one session
+      (2L, ts(50), 4.0))
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    input.addData((9L, ts(100000), 0.0)) // advance watermark, close all
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_out")
+      .where(col("user_id") < 9)
+      .collect().map(r => (r.getLong(2), r.getLong(0)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(got((1L, 100L)) === ((2L, 3.0)))
+    assert(got((1L, 5000L)) === ((1L, 3.0)))
+    assert(got((2L, 50L)) === ((1L, 4.0)))
+    // batch twin: q25's sessionCounts sees the same session count
+    val batch = graft.ops.EventOps.sessionCounts(
+        rows.zipWithIndex.map { case ((u, t, v), i) => (u, t, v, i.toLong) }
+          .toDF("user_id", "ts", "value", "event_id"), 1800.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch(1L) === 2L && batch(2L) === 1L)
+  }
+
   test("streaming OHLC bars match the batch op per closed window, across out-of-order micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long, Double)]
