@@ -231,6 +231,9 @@ object WinnowOps {
       k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2,
       n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val cand = dupPairs(docs, idCol, textCol, k, w, maxDf, minShared)
+    // NOT checkpointed: materializing the gram-set arrays costs more
+    // than re-running the (cheap, codegen) shingle explode on the
+    // second join side — measured at sf0.1, r10 session.
     val grams = DedupOps.wordShingles(docs, idCol, textCol, n)
       .groupBy("id").agg(collect_set(col("shingle")).as("gs"))
     val j = cand
@@ -427,6 +430,9 @@ object WinnowOps {
       k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2,
       n: Int = 3, minContainment: Double = 0.7): DataFrame = {
     val cand = dupPairs(docs, idCol, textCol, k, w, maxDf, minShared)
+    // NOT checkpointed: materializing the gram-set arrays costs more
+    // than re-running the (cheap, codegen) shingle explode on the
+    // second join side — measured at sf0.1, r10 session.
     val grams = DedupOps.wordShingles(docs, idCol, textCol, n)
       .groupBy("id").agg(collect_set(col("shingle")).as("gs"))
     val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
