@@ -615,6 +615,57 @@ object MultimodalOps {
       .toDF("doc_id", "payload")
   }
 
+  /** Keyed WAV payloads (doc_id mod a group key) — the audio twin of
+    * [[withImagePayloadKeyed]]: distinct docs share identical audio,
+    * so fingerprint dedup has real duplicate groups to find.
+    */
+  def withAudioPayloadKeyed(spark: SparkSession, docs: DataFrame,
+      idCol: String, key: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), key.cast("long")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, k) => (id, encodeWav(k)) })
+      .toDF("doc_id", "payload")
+  }
+
+  case class AudioFingerprint(doc_id: Long, n_samples: Int, afp: Long)
+
+  /** Perceptual audio fingerprint over the REAL decode path: split
+    * the decoded samples into `frames` equal index ranges (frame of
+    * sample i = i·frames/n, exact integer arithmetic), sum |s| per
+    * frame, and hash the ENERGY-DERIVATIVE SIGN — bit f set iff
+    * frame f+1 is louder than frame f. The dHash discipline on
+    * audio: robust to level-preserving re-encodes, exact-integer so
+    * the lossless-PCM oracle replays it bit-for-bit. Equal hashes →
+    * dedup bucket keys, exactly like the image dHash path. Narrow
+    * per-partition pass, zero shuffle; undecodable payloads drop.
+    */
+  def audioFingerprint(spark: SparkSession, binDocs: DataFrame,
+      frames: Int = 32): DataFrame = {
+    import spark.implicits._
+    require(frames >= 2 && frames <= 63, s"frames must be in [2,63], got $frames")
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWavS16Mono(bytes).filter(_._2.length >= frames).map {
+          case (_, samples) =>
+            val n = samples.length
+            val e = new Array[Long](frames)
+            var i = 0
+            while (i < n) {
+              e((i.toLong * frames / n).toInt) += math.abs(samples(i))
+              i += 1
+            }
+            var fp = 0L
+            var f = 0
+            while (f < frames - 1) {
+              if (e(f + 1) > e(f)) fp |= 1L << f
+              f += 1
+            }
+            AudioFingerprint(id, n, fp)
+        }
+      })
+      .toDF()
+  }
+
   case class AudioStats(doc_id: Long, n_samples: Int, sample_rate: Int,
       min_s: Int, max_s: Int, sum_abs: Long, mean_abs: Double)
 

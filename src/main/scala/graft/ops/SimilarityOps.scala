@@ -1009,6 +1009,51 @@ object SimilarityOps {
        |FROM (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM $table) t""".stripMargin
   }
 
+  /** Embedding-space benchmark DECONTAMINATION: flag corpus vectors
+    * whose best cosine against a held-out benchmark set clears
+    * `minSim` — the semantic companion to the n-gram contamination
+    * detector (q60/q110), catching paraphrased eval leakage that
+    * token overlap misses. Benchmark sets are eval-sized ⇒
+    * broadcast; the corpus streams through ONE scan against it (the
+    * q36 brute-force shape — swap in the LSH/IVF candidate path when
+    * the benchmark itself outgrows a broadcast). Similarities round
+    * to 6dp BEFORE the threshold and argmax (id tie-break), so
+    * sub-ulp fold differences can't flip membership vs the oracle.
+    *
+    * @return (vec_id, bench_id, sim) — flagged corpus vectors only
+    */
+  def benchmarkContamination(emb: DataFrame, idCol: String, vecCol: String,
+      benchPred: Column, minSim: Double): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      benchPred.as("is_bench"))
+    val bench = base.filter(col("is_bench"))
+      .select(col("id").as("bench_id"), col("v").as("bv"))
+    val corpus = base.filter(!col("is_bench"))
+    val sims = corpus.crossJoin(broadcast(bench))
+      .select(col("id").as("vec_id"), col("bench_id"),
+        round(nativeCosine(emb)(col("v"), col("bv")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("bench_id").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("bench_id"), col("sim"))
+  }
+
+  /** DuckDB replay of [[benchmarkContamination]]. */
+  def benchmarkContaminationOracleSql(table: String, idCol: String,
+      vecCol: String, benchPred: String, minSim: Double): String =
+    s"""WITH b AS (SELECT $idCol AS bench_id,
+       |    CAST($vecCol AS DOUBLE[]) AS bv FROM $table WHERE $benchPred),
+       |c AS (SELECT $idCol AS vec_id, CAST($vecCol AS DOUBLE[]) AS v
+       |  FROM $table WHERE NOT ($benchPred)),
+       |s AS (SELECT vec_id, bench_id,
+       |    round(list_cosine_similarity(v, bv), 6) AS sim
+       |  FROM c, b),
+       |f AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, bench_id ASC) AS rn
+       |  FROM s WHERE sim >= $minSim)
+       |SELECT vec_id, bench_id, sim FROM f WHERE rn = 1""".stripMargin
+
   /** Per-label embedding-distribution DRIFT between two deterministic
     * halves of the corpus (even/odd `idCol`): centroid cosine and L2
     * shift per label. The "did my embedding space move between

@@ -399,6 +399,24 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // Perceptual audio fingerprint dedup over REAL WAV decode:
+    // energy-derivative sign hash (dHash on audio), payloads keyed
+    // doc_id % 61 so exact dup groups exist.
+    "q214_audio_fingerprint" -> ((s, d) => {
+      val pay = MultimodalOps.withAudioPayloadKeyed(s,
+        Tables(s, d, "documents"), "doc_id", col("doc_id") % 61)
+      MultimodalOps.audioFingerprint(s, pay)
+        .groupBy("afp")
+        .agg(count(lit(1)).as("n_audio"), min("doc_id").as("min_doc_id"))
+    }),
+
+    // Embedding-space benchmark decontamination: best cosine vs the
+    // held-out benchmark slice (vec_id % 20 == 0) above 0.35.
+    "q215_embedding_decontam" -> ((s, d) =>
+      SimilarityOps.benchmarkContamination(Tables(s, d, "embeddings"),
+        "vec_id", "embedding", pmod(col("vec_id"), lit(20L)) === 0,
+        minSim = 0.35)),
+
     // Luminance histogram + entropy over REAL PNG decode (verified
     // decoder: the oracle replays the formula pixels exactly).
     "q213_image_histogram" -> ((s, d) =>
@@ -2132,6 +2150,26 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q214_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, doc_id % 61 AS k FROM documents),
+        |keys AS (SELECT DISTINCT k, (k % 5 + 1) * 400 AS n FROM d),
+        |i0 AS (SELECT k, n, unnest(range(0, n)) AS i FROM keys),
+        |sa AS (SELECT k, (i * 32) // n AS f,
+        |    abs((i * 37 + k * 101) % 65536 - 32768) AS a FROM i0),
+        |fe AS (SELECT k, f, CAST(sum(a) AS BIGINT) AS e FROM sa
+        |  GROUP BY k, f),
+        |le AS (SELECT k, f, e, lead(e) OVER (PARTITION BY k ORDER BY f)
+        |    AS ne FROM fe),
+        |fp AS (SELECT k, CAST(coalesce(sum(CASE WHEN ne > e
+        |    THEN (CAST(1 AS BIGINT) << CAST(f AS INT)) ELSE 0 END), 0)
+        |    AS BIGINT) AS afp
+        |  FROM le WHERE f < 31 GROUP BY k)
+        |SELECT afp, CAST(count(*) AS BIGINT) AS n_audio,
+        |  min(doc_id) AS min_doc_id
+        |FROM d JOIN fp USING (k) GROUP BY afp""".stripMargin,
+    "q215_embedding_decontam" ->
+      SimilarityOps.benchmarkContaminationOracleSql("embeddings",
+        "vec_id", "embedding", "vec_id % 20 = 0", 0.35),
     "q213_image_histogram" ->
       s"""$imagePxCte,
          |hist AS (SELECT doc_id, ((r + g + b) // 3) // 32 AS bin,
