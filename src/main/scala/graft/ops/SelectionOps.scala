@@ -71,6 +71,57 @@ object SelectionOps {
     *
     * @return (group, n_total, n_kept, tokens_kept, cutoff_quality)
     */
+  /** Largest-remainder (Hamilton) apportionment of an integer budget
+    * across groups proportional to integer weights: alloc_i =
+    * floor(B·w_i / W) plus one extra unit to the `B − Σfloor` groups
+    * with the largest remainder (B·w_i mod W, group asc on ties).
+    * EXACT integer arithmetic end to end — allocations sum to B on
+    * every engine — which float proration cannot guarantee. The
+    * mixture-design step that turns "sample sources ∝ weights" into
+    * concrete per-source token budgets. Group-cardinality frames
+    * only; one aggregation + one window over |groups| rows.
+    */
+  def largestRemainderAlloc(weights: DataFrame, groupCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val g = weights.select(col(groupCol).as("grp"),
+      col(weightCol).cast("long").as("w"))
+    val tot = g.agg(sum("w").as("tw"))
+    val base = g.crossJoin(broadcast(tot))
+      .select(col("grp"), col("w"),
+        // exact floor(B*w/W) via the pmod spelling (all < 2^53 for
+        // realistic budgets × weights)
+        (((col("w") * budget) - pmod(col("w") * budget, col("tw")))
+          / col("tw")).cast("long").as("fl"),
+        pmod(col("w") * budget, col("tw")).as("rem"))
+    val short = base.agg((lit(budget) - sum("fl")).as("short"))
+    val w = Window.orderBy(col("rem").desc, col("grp").asc)
+    base.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(w))
+      .select(col("grp"), col("w").as("weight"),
+        (col("fl") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  /** DuckDB twin of [[largestRemainderAlloc]]; `weightsSql` yields
+    * (grp, w) rows.
+    */
+  def largestRemainderOracleSql(weightsSql: String, budget: Long): String =
+    s"""WITH g AS (__W__),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM g),
+       |b AS (SELECT grp, CAST(w AS BIGINT) AS w,
+       |    (CAST(w AS BIGINT) * $budget) // tw AS fl,
+       |    (CAST(w AS BIGINT) * $budget) % tw AS rem
+       |  FROM g CROSS JOIN t),
+       |s AS (SELECT $budget - CAST(sum(fl) AS BIGINT) AS short FROM b),
+       |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, grp ASC)
+       |    AS rk FROM b)
+       |SELECT grp, w AS weight,
+       |  CAST(fl + CASE WHEN rk <= (SELECT short FROM s)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM r""".stripMargin.replace("__W__", weightsSql)
+
   def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, budget: Long,
       w: TextOps.QualityWeights = TextOps.TrainedQualityWeights): DataFrame = {

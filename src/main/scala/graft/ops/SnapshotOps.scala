@@ -57,6 +57,35 @@ object SnapshotOps {
     * join — the history is never joined to itself and never
     * windowed. Attr comparison is null-safe (`<=>`) per column.
     */
+  /** CDC op-log compaction (last-write-wins apply): given a change
+    * log of (key, op ∈ {I,U,D}, value, t, tiebreak id), produce the
+    * final table state — the latest op per key wins (deterministic
+    * (t, id) order), a terminal D deletes the key. The "apply the
+    * Debezium/binlog stream to a snapshot" op; one key-partitioned
+    * row_number window, no self-joins, scales per key.
+    */
+  def cdcApply(log: DataFrame, keyCol: String, opCol: String,
+      valueCol: String, tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= "D")
+      .select(col(keyCol).as("k"), col(valueCol).as("value"),
+        col(tsCol).as("last_t"), col(opCol).as("last_op"))
+  }
+
+  /** DuckDB twin of [[cdcApply]]. */
+  def cdcApplyOracleSql(logSql: String, keyCol: String, opCol: String,
+      valueCol: String, tsCol: String, idCol: String): String =
+    s"""WITH log AS (__LOG__),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY $keyCol
+       |    ORDER BY $tsCol DESC, $idCol DESC) AS rn FROM log)
+       |SELECT $keyCol AS k, $valueCol AS value, $tsCol AS last_t,
+       |  $opCol AS last_op
+       |FROM r WHERE rn = 1 AND $opCol <> 'D'"""
+      .stripMargin.replace("__LOG__", logSql)
+
   def scd2Merge(history: DataFrame, snapshot: DataFrame, keyCol: String,
       attrCols: Seq[String], ts: Long): DataFrame = {
     require(attrCols.nonEmpty, "scd2Merge needs at least one attribute column")

@@ -399,6 +399,30 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // CDC op-log compaction: last-write-wins apply over a change log
+    // derived from events (signup=I, purchase=D, else U).
+    "q216_cdc_apply" -> ((s, d) => {
+      val log = Tables(s, d, "events").select(
+        pmod(col("user_id"), lit(100L)).as("k"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "purchase", "D")
+          .otherwise("U").as("op"),
+        col("value"), col("ts").cast("double").as("t"), col("event_id"))
+      graft.ops.SnapshotOps.cdcApply(log, "k", "op", "value", "t",
+        "event_id")
+    }),
+
+    // Largest-remainder apportionment of a 1M-token budget across
+    // sources proportional to observed token counts — exact integer,
+    // allocations provably sum to the budget.
+    "q217_budget_alloc" -> ((s, d) => {
+      val w = Tables(s, d, "documents")
+        .groupBy(col("source").as("grp"))
+        .agg(sum(TextOps.tokenCount(col("text"))).as("w"))
+      SelectionOps.largestRemainderAlloc(w, "grp", "w", budget = 1000000L)
+        .withColumnRenamed("grp", "source")
+    }),
+
     // Perceptual audio fingerprint dedup over REAL WAV decode:
     // energy-derivative sign hash (dHash on audio), payloads keyed
     // doc_id % 61 so exact dup groups exist.
@@ -2150,6 +2174,20 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q216_cdc_apply" -> graft.ops.SnapshotOps.cdcApplyOracleSql(
+      """SELECT user_id % 100 AS k,
+        | CASE WHEN event_type = 'signup' THEN 'I'
+        |      WHEN event_type = 'purchase' THEN 'D'
+        |      ELSE 'U' END AS op,
+        | value, epoch(ts) AS t, event_id
+        |FROM events""".stripMargin,
+      "k", "op", "value", "t", "event_id"),
+    "q217_budget_alloc" -> (SelectionOps.largestRemainderOracleSql(
+      """SELECT source AS grp,
+        | CAST(sum(len(regexp_extract_all(text, '[^ \t\n\f\r]+')))
+        |   AS BIGINT) AS w
+        |FROM documents GROUP BY source""".stripMargin, 1000000L)
+      .replace("SELECT grp, w AS weight", "SELECT grp AS source, w AS weight")),
     "q214_audio_fingerprint" ->
       """WITH d AS (SELECT doc_id, doc_id % 61 AS k FROM documents),
         |keys AS (SELECT DISTINCT k, (k % 5 + 1) * 400 AS n FROM d),
