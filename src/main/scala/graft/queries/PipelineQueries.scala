@@ -399,6 +399,100 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // Release-readiness MANIFEST (capstone): one row composing the
+    // verified signal families — corpus size, token volume, language
+    // spread, exact-dup mass, mean trained quality (exact decimal
+    // sum), raw-PII surface, and the expectation-suite failure count.
+    // Six bounded aggregates cross-joined (all 1-row broadcasts);
+    // every input rides an already-oracle-verified kernel.
+    "q220_release_manifest" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val base = docs.agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(TextOps.emailCount(col("text"))).cast("long").as("n_raw_emails"))
+      val dups = docs.select(TextOps.fingerprint(col("text")).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+          .as("n_exact_dup_docs"))
+      val qual = TextOps.qualityScore(docs, "doc_id", "text",
+          TextOps.TrainedQualityWeights)
+        .agg((sum(col("quality").cast("decimal(18,5)")).cast("double")
+          / count(lit(1))).as("_qm"))
+        .select(round(col("_qm"), 6).as("mean_quality"))
+      val checks = ProfileOps.expectationReport(docs,
+        Seq(
+          "doc_id_not_null" -> col("doc_id").isNull,
+          "text_not_null" -> col("text").isNull,
+          "n_chars_positive" -> (col("n_chars").isNull || col("n_chars") <= 0),
+          "n_chars_le_400" -> (col("n_chars") > 400),
+          "lang_known" -> !col("lang").isin("en", "de", "fr", "es", "zh"),
+          "source_prefix" -> !col("source").startsWith("src")),
+        uniqueKey = Some("doc_id"))
+        .agg(count(when(col("passed") === 0, 1)).as("n_checks_failed"))
+      base.crossJoin(broadcast(dups)).crossJoin(broadcast(qual))
+        .crossJoin(broadcast(checks))
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("n_exact_dup_docs"), col("mean_quality"),
+          col("n_raw_emails"), col("n_checks_failed"),
+          (col("n_checks_failed") === 0).cast("int").as("release_ready"))
+    }),
+
+    // Cross-MODALITY dedup report: exact-dup bucket keys from all
+    // three verified paths (normalized-text md5, image dHash, audio
+    // energy fingerprint) in one summary — groups with >1 member and
+    // docs involved, per modality. Each path is its own bucket-keyed
+    // aggregation; nothing joins across modalities.
+    "q218_multimodal_dedup" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      def report(name: String, keyed: DataFrame) =
+        keyed.groupBy("k").agg(count(lit(1)).as("n"))
+          .agg(lit(name).as("modality"),
+            count(when(col("n") > 1, 1)).as("n_dup_groups"),
+            coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+              .as("n_docs_in_dups"))
+      val text = docs.select(TextOps.fingerprint(col("text")).as("k"))
+      val img = MultimodalOps.imageDHash(s,
+        MultimodalOps.withImagePayloadKeyed(s, docs, "doc_id",
+          col("doc_id") % 97))
+        .select(col("dhash").cast("string").as("k"))
+      val aud = MultimodalOps.audioFingerprint(s,
+        MultimodalOps.withAudioPayloadKeyed(s, docs, "doc_id",
+          col("doc_id") % 61))
+        .select(col("afp").cast("string").as("k"))
+      report("text", text)
+        .unionByName(report("image", img))
+        .unionByName(report("audio", aud))
+    }),
+
+    // RFM (recency / frequency / monetary) user segmentation over the
+    // events stream: quintile scores with deterministic tie-breaks,
+    // concatenated segment label.
+    "q219_rfm_segments" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val maxT = e.agg(max(col("ts").cast("double")).as("t_max"))
+      val per = e.groupBy(col("user_id"))
+        .agg(max(col("ts").cast("double")).as("t_last"),
+          count(lit(1)).as("freq"),
+          round(sum("value"), 4).as("monetary"))
+        .crossJoin(broadcast(maxT))
+        .select(col("user_id"),
+          floor((col("t_max") - col("t_last")) / 86400).cast("long")
+            .as("recency_days"),
+          col("freq"), col("monetary"))
+      def quint(c: org.apache.spark.sql.Column, asc: Boolean) =
+        ntile(5).over(if (asc)
+          Window.orderBy(c.asc, col("user_id").asc)
+        else Window.orderBy(c.desc, col("user_id").asc))
+      per.select(col("user_id"), col("recency_days"), col("freq"),
+          col("monetary"),
+          quint(col("recency_days"), asc = true).as("r_score"),
+          quint(col("freq"), asc = false).as("f_score"),
+          quint(col("monetary"), asc = false).as("m_score"))
+        .withColumn("segment", concat(col("r_score"), col("f_score"),
+          col("m_score")))
+    }),
+
     // CDC op-log compaction: last-write-wins apply over a change log
     // derived from events (signup=I, purchase=D, else U).
     "q216_cdc_apply" -> ((s, d) => {
@@ -2174,6 +2268,111 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q220_release_manifest" ->
+      (s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')))
+         |    AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(len(regexp_extract_all(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))
+         |    AS BIGINT) AS n_raw_emails
+         | FROM documents),
+         |tg AS (SELECT md5(regexp_replace(lower(text),
+         |    '[ \\t\\n\\f\\r]+', '', 'g')) AS k, count(*) AS n
+         |  FROM documents GROUP BY 1),
+         |dups AS (SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0)
+         |    AS BIGINT) AS n_exact_dup_docs FROM tg),
+         |qm AS (SELECT round(CAST(sum(CAST(quality AS DECIMAL(18,5)))
+         |    AS DOUBLE) / count(*), 6) AS mean_quality FROM q),
+         |ck AS (SELECT
+         |  CAST((sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) > 0)
+         |    AS INT)
+         |  + CAST((sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) > 0) AS INT)
+         |  + CAST((sum(CASE WHEN n_chars IS NULL OR n_chars <= 0
+         |      THEN 1 ELSE 0 END) > 0) AS INT)
+         |  + CAST((sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) > 0) AS INT)
+         |  + CAST((sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+         |      THEN 1 ELSE 0 END) > 0) AS INT)
+         |  + CAST((sum(CASE WHEN NOT starts_with(source, 'src')
+         |      THEN 1 ELSE 0 END) > 0) AS INT)
+         |  + CAST((count(*) - count(DISTINCT doc_id) > 0) AS INT)
+         |    AS nf FROM documents)
+         |SELECT n_docs, n_tokens, n_langs, n_exact_dup_docs, mean_quality,
+         |  n_raw_emails, CAST(nf AS BIGINT) AS n_checks_failed,
+         |  CAST(nf = 0 AS INT) AS release_ready
+         |FROM base CROSS JOIN dups CROSS JOIN qm CROSS JOIN ck"""
+        .stripMargin),
+    "q218_multimodal_dedup" ->
+      """WITH tf AS (SELECT md5(regexp_replace(lower(text), '\s+', '', 'g'))
+        |    AS k FROM documents),
+        |tg AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM tf GROUP BY k),
+        |d AS (SELECT doc_id, doc_id % 97 AS k FROM documents),
+        |ik AS (SELECT DISTINCT k, (k % 3 + 1) * 8 AS w,
+        |    ((k // 3) % 3 + 1) * 8 AS h FROM d),
+        |ixs AS (SELECT k, w, h, unnest(range(0, w)) AS x FROM ik),
+        |iys AS (SELECT k, w, h, x, unnest(range(0, h)) AS y FROM ixs),
+        |ipx AS (SELECT k, w, h, x, y,
+        |    (x * 7 + y * 13 + k * 31) % 256 AS r,
+        |    (x * 3 + y * 5 + k * 17) % 256 AS g,
+        |    (x * 11 + y * 2 + k * 23) % 256 AS b FROM iys),
+        |icl AS (SELECT k, x // (w // 8) AS ci, y // (h // 8) AS cj,
+        |    CAST(sum(r + g + b) AS BIGINT) * 1000
+        |      // (3 * (w // 8) * (h // 8)) AS cell
+        |  FROM ipx GROUP BY k, x // (w // 8), y // (h // 8), w, h),
+        |ib AS (SELECT k, cj, ci, cell,
+        |    lead(cell) OVER (PARTITION BY k, cj ORDER BY ci) AS nxt
+        |  FROM icl),
+        |ih AS (SELECT k, CAST(sum(CASE WHEN nxt > cell
+        |    THEN CAST(1 AS BIGINT) << (cj * 7 + ci) ELSE 0 END) AS BIGINT)
+        |    AS dhash FROM ib WHERE ci < 7 GROUP BY k),
+        |ig AS (SELECT dhash, CAST(count(*) AS BIGINT) AS n
+        |  FROM d JOIN ih USING (k) GROUP BY dhash),
+        |ad AS (SELECT doc_id, doc_id % 61 AS k FROM documents),
+        |ak AS (SELECT DISTINCT k, (k % 5 + 1) * 400 AS n FROM ad),
+        |ai AS (SELECT k, n, unnest(range(0, n)) AS i FROM ak),
+        |asg AS (SELECT k, (i * 32) // n AS f,
+        |    abs((i * 37 + k * 101) % 65536 - 32768) AS a FROM ai),
+        |afe AS (SELECT k, f, CAST(sum(a) AS BIGINT) AS e FROM asg
+        |  GROUP BY k, f),
+        |ale AS (SELECT k, f, e, lead(e) OVER (PARTITION BY k ORDER BY f)
+        |    AS ne FROM afe),
+        |afq AS (SELECT k, CAST(coalesce(sum(CASE WHEN ne > e
+        |    THEN (CAST(1 AS BIGINT) << CAST(f AS INT)) ELSE 0 END), 0)
+        |    AS BIGINT) AS fp FROM ale WHERE f < 31 GROUP BY k),
+        |ag AS (SELECT fp, CAST(count(*) AS BIGINT) AS n
+        |  FROM ad JOIN afq USING (k) GROUP BY fp)
+        |SELECT 'text' AS modality,
+        |  CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_dup_groups,
+        |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+        |    AS n_docs_in_dups FROM tg
+        |UNION ALL SELECT 'image',
+        |  CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) FROM ig
+        |UNION ALL SELECT 'audio',
+        |  CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) FROM ag"""
+        .stripMargin,
+    "q219_rfm_segments" ->
+      """WITH m AS (SELECT max(epoch(ts)) AS t_max FROM events),
+        |p AS (SELECT user_id, max(epoch(ts)) AS t_last,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    round(sum(value), 4) AS monetary
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT user_id,
+        |    CAST(floor((t_max - t_last) / 86400) AS BIGINT) AS recency_days,
+        |    freq, monetary FROM p CROSS JOIN m),
+        |s AS (SELECT *,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS INT)
+        |    AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS INT)
+        |    AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS INT)
+        |    AS m_score FROM b)
+        |SELECT user_id, recency_days, freq, monetary, r_score, f_score,
+        |  m_score, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS segment
+        |FROM s""".stripMargin,
     "q216_cdc_apply" -> graft.ops.SnapshotOps.cdcApplyOracleSql(
       """SELECT user_id % 100 AS k,
         | CASE WHEN event_type = 'signup' THEN 'I'
