@@ -498,6 +498,49 @@ object EventOps {
        |WHERE CAST(cnt * nd - sm AS DOUBLE) * CAST(cnt * nd - sm AS DOUBLE)
        |  > ${z * z}.0 * CAST(nd * sq - sm * sm AS DOUBLE)""".stripMargin
 
+  /** Late-data / out-of-orderness audit — the measurement a
+    * watermark delay should be SET from, instead of guessed: treat
+    * `arrivalCol` (a monotone ingest id) as arrival order, track the
+    * running max event time per type, and report each row's lateness
+    * (running max − its own event time). Output per type: rows, late
+    * rows, max lateness, exact interpolated p50/p95/p99 lateness
+    * seconds. One type-keyed window pass; percentile over the
+    * type-cohort lateness values.
+    */
+  def lateDataAudit(events: DataFrame, tsCol: String, typeCol: String,
+      arrivalCol: String): DataFrame = {
+    val base = events.select(col(typeCol).as("typ"),
+      col(tsCol).cast("double").as("t"), col(arrivalCol).as("a"))
+    val w = Window.partitionBy("typ").orderBy("a")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("late_s", max("t").over(w) - col("t"))
+      .groupBy("typ")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+        round(max("late_s"), 3).as("max_late_s"),
+        expr("round(percentile(late_s, 0.5D), 3)").as("p50_s"),
+        expr("round(percentile(late_s, 0.95D), 3)").as("p95_s"),
+        expr("round(percentile(late_s, 0.99D), 3)").as("p99_s"))
+  }
+
+  /** DuckDB twin of [[lateDataAudit]]. */
+  def lateDataOracleSql(table: String, tsCol: String, typeCol: String,
+      arrivalCol: String): String =
+    s"""WITH e AS (SELECT $typeCol AS typ, epoch($tsCol) AS t,
+       |    $arrivalCol AS a FROM $table),
+       |l AS (SELECT typ,
+       |    max(t) OVER (PARTITION BY typ ORDER BY a
+       |      ROWS UNBOUNDED PRECEDING) - t AS late_s
+       |  FROM e)
+       |SELECT typ, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_late,
+       |  round(max(late_s), 3) AS max_late_s,
+       |  round(quantile_cont(late_s, 0.5), 3) AS p50_s,
+       |  round(quantile_cont(late_s, 0.95), 3) AS p95_s,
+       |  round(quantile_cont(late_s, 0.99), 3) AS p99_s
+       |FROM l GROUP BY typ""".stripMargin
+
   /** First-order Markov transition matrix over session event
     * sequences: within each (user, gap-session), count (type → next
     * type) steps in deterministic (t, id) order, then report per-from

@@ -164,6 +164,60 @@ object LayoutOps {
        |FROM files GROUP BY layout""".stripMargin
   }
 
+  /** Small-file compaction plan: sequential-fill binning of a file
+    * listing into `targetBytes` output files (cumulative size before
+    * each file, integer-divided by the target — deterministic in the
+    * given id order; an oversized input naturally claims its own
+    * bin). Output: one summary row — input/output file counts, total
+    * bytes, exact ppm fill factor, largest output. The planner side
+    * of the small-files problem; the window runs over the METADATA
+    * listing (file-count-sized), never data.
+    */
+  def compactionPlan(files: DataFrame, idCol: String, sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = files.select(col(idCol).as("id"),
+        col(sizeCol).cast("long").as("bytes"))
+      .withColumn("cum0", coalesce(sum("bytes").over(w), lit(0L)))
+      .withColumn("bin", ((col("cum0") - pmod(col("cum0"), lit(targetBytes)))
+        / targetBytes).cast("long"))
+    val bins = binned.groupBy("bin").agg(sum("bytes").as("bin_bytes"))
+    val num = col("total_bytes") * 2000000L + col("n_output") * targetBytes
+    val den = col("n_output") * targetBytes * 2
+    binned.agg(count(lit(1)).as("n_input"),
+        sum("bytes").as("total_bytes"))
+      .crossJoin(broadcast(bins.agg(count(lit(1)).as("n_output"),
+        max("bin_bytes").as("max_output_bytes"))))
+      .select(col("n_input"), col("total_bytes"), col("n_output"),
+        ((num - pmod(num, den)) / den).cast("long").as("fill_ppm"),
+        col("max_output_bytes"))
+  }
+
+  /** DuckDB twin of [[compactionPlan]]; `filesSql` yields (id, bytes)
+    * rows.
+    */
+  def compactionOracleSql(filesSql: String, targetBytes: Long): String =
+    s"""WITH f AS (__F__),
+       |c AS (SELECT id, CAST(bytes AS BIGINT) AS bytes,
+       |    coalesce(sum(CAST(bytes AS BIGINT)) OVER (ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+       |  FROM f),
+       |b AS (SELECT cum0 // $targetBytes AS bin,
+       |    CAST(sum(bytes) AS BIGINT) AS bin_bytes FROM c GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_input,
+       |    CAST(sum(bytes) AS BIGINT) AS total_bytes FROM c),
+       |o AS (SELECT CAST(count(*) AS BIGINT) AS n_output,
+       |    CAST(max(bin_bytes) AS BIGINT) AS max_output_bytes FROM b)
+       |SELECT n_input, total_bytes, n_output,
+       |  CAST((total_bytes * 2000000 + n_output * $targetBytes)
+       |    // (n_output * $targetBytes * 2) AS BIGINT) AS fill_ppm,
+       |  max_output_bytes
+       |FROM t CROSS JOIN o""".stripMargin.replace("__F__", filesSql)
+
   /** Z-ordered parquet layout over two pruning columns. */
   def writeZOrdered(df: DataFrame, path: String,
       x: String, xMin: Double, xMax: Double,

@@ -669,6 +669,30 @@ object ProfileOps {
         (col("e.n_violations") === 0).cast("int").as("passed"))
   }
 
+  /** Referential-integrity audit across a FK chain: for each
+    * (child, parent, key) triple, count child rows, orphans (no
+    * parent), and exact ppm orphan rate. One anti-join + one count
+    * per edge — at 100 TB each edge is a key-only shuffle (or a
+    * broadcast when the parent key set fits); child payloads never
+    * move. The join-contract check a warehouse runs before trusting
+    * any downstream join.
+    */
+  def fkIntegrity(edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(edges.nonEmpty, "fkIntegrity needs at least one edge")
+    edges.map { case (name, child, childKey, parent, parentKey) =>
+      val orphan = child.select(col(childKey).as("k"))
+        .join(parent.select(col(parentKey).as("k")), Seq("k"), "left_anti")
+      val a = child.agg(count(lit(1)).as("n_child"))
+      val b = orphan.agg(count(lit(1)).as("n_orphans"))
+      val num = col("n_orphans") * 2000000L + col("n_child")
+      val den = col("n_child") * 2
+      a.crossJoin(broadcast(b))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
+          ((num - pmod(num, den)) / den).cast("long").as("orphan_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Weight-of-evidence / information-value report of a categorical
     * bin column against a binary label — the feature-screening
     * summary a quality-model owner reads before adding a signal

@@ -399,6 +399,35 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // Referential-integrity audit across the TPC-H FK chain.
+    "q221_fk_integrity" -> ((s, d) =>
+      ProfileOps.fkIntegrity(Seq(
+        ("lineitem->orders", Tables(s, d, "lineitem"), "l_orderkey",
+          Tables(s, d, "orders"), "o_orderkey"),
+        ("orders->customer", Tables(s, d, "orders"), "o_custkey",
+          Tables(s, d, "customer"), "c_custkey"),
+        ("customer->nation", Tables(s, d, "customer"), "c_nationkey",
+          Tables(s, d, "nation"), "n_nationkey"),
+        ("supplier->nation", Tables(s, d, "supplier"), "s_nationkey",
+          Tables(s, d, "nation"), "n_nationkey")))),
+
+    // Late-data audit (watermark planning): lateness vs the running
+    // event-time max in event_id arrival order, per type.
+    "q222_late_data" -> ((s, d) =>
+      graft.ops.EventOps.lateDataAudit(Tables(s, d, "events"),
+        "ts", "event_type", "event_id")),
+
+    // Small-file compaction plan: doc_id//10 groups as simulated
+    // files (bytes = Σ n_chars), sequential fill into 20 kB targets.
+    "q223_compaction_plan" -> ((s, d) => {
+      val files = Tables(s, d, "documents")
+        .groupBy((col("doc_id") - pmod(col("doc_id"), lit(10L)))
+          .as("id"))
+        .agg(sum("n_chars").as("bytes"))
+      graft.ops.LayoutOps.compactionPlan(files, "id", "bytes",
+        targetBytes = 20000L)
+    }),
+
     // Release-readiness MANIFEST (capstone): one row composing the
     // verified signal families — corpus size, token volume, language
     // spread, exact-dup mass, mean trained quality (exact decimal
@@ -2268,6 +2297,36 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q221_fk_integrity" ->
+      """WITH e1 AS (SELECT 'lineitem->orders' AS edge,
+        |  CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_orphans
+        | FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey),
+        |e2 AS (SELECT 'orders->customer',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+        |e3 AS (SELECT 'customer->nation',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey),
+        |e4 AS (SELECT 'supplier->nation',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+        |SELECT edge, n_child, n_orphans,
+        |  CAST((n_orphans * 2000000 + n_child) // (n_child * 2) AS BIGINT)
+        |    AS orphan_ppm
+        |FROM u""".stripMargin,
+    "q222_late_data" -> graft.ops.EventOps.lateDataOracleSql(
+      "events", "ts", "event_type", "event_id"),
+    "q223_compaction_plan" -> graft.ops.LayoutOps.compactionOracleSql(
+      """SELECT doc_id - doc_id % 10 AS id,
+        | CAST(sum(n_chars) AS BIGINT) AS bytes
+        |FROM documents GROUP BY 1""".stripMargin, 20000L),
     "q220_release_manifest" ->
       (s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
          |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
