@@ -236,6 +236,38 @@ object StreamOps {
           .otherwise(lit("changed")).as("status"))
   }
 
+  case class CdcRow(k: Long, op: String, value: Double, t: Double, id: Long)
+  case class CdcState(op: String, value: Double, t: Double, id: Long)
+  case class CdcOut(k: Long, value: Double, last_t: Double, last_op: String,
+      deleted: Boolean)
+
+  /** Streaming CDC apply — the incremental twin of
+    * [[graft.ops.SnapshotOps.cdcApply]] (q216 defines the batch
+    * semantics): per key, keep only the latest (t, id)-ordered op in
+    * state and emit the key's current materialized row on every
+    * update (`deleted = true` tombstones a terminal D). State is ONE
+    * small record per live key — the change stream itself is never
+    * buffered; out-of-order rows WITHIN the retained state window
+    * resolve exactly like the batch op because the state transition
+    * compares (t, id) rather than trusting arrival order.
+    */
+  def cdcApplyStream(spark: SparkSession, log: Dataset[CdcRow])
+      : Dataset[CdcOut] = {
+    import spark.implicits._
+    def update(k: Long, rows: Iterator[CdcRow],
+        state: GroupState[CdcState]): Iterator[CdcOut] = {
+      var st = state.getOption.orNull
+      for (r <- rows)
+        if (st == null || r.t > st.t || (r.t == st.t && r.id > st.id))
+          st = CdcState(r.op, r.value, r.t, r.id)
+      state.update(st)
+      Iterator.single(CdcOut(k, st.value, st.t, st.op, st.op == "D"))
+    }
+    log.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(count: Long, lastTsMs: Long)
   case class SessionOut(user_id: Long, n_sessions: Long)

@@ -477,6 +477,47 @@ class StreamingSpec extends SparkSpec {
     assert(win(0).getDouble(2) > 0.5)                 // and it IS a drift
   }
 
+  test("streaming CDC apply converges to the batch compaction, out-of-order and cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.CdcRow
+    val input = MemoryStream[CdcRow]
+    val q = StreamOps.cdcApplyStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    // batch 1: k=1 I then U; k=2 I; an OUT-OF-ORDER stale row for k=2
+    input.addData(
+      CdcRow(1L, "I", 10.0, 100.0, 1L), CdcRow(1L, "U", 11.0, 200.0, 2L),
+      CdcRow(2L, "I", 20.0, 150.0, 3L))
+    q.processAllAvailable()
+    // batch 2: stale U for k=2 (t older than state) must NOT win;
+    // k=1 deleted; same-t tie for k=3 resolved by id
+    input.addData(
+      CdcRow(2L, "U", 99.0, 120.0, 4L), CdcRow(1L, "D", 0.0, 300.0, 5L),
+      CdcRow(3L, "I", 1.0, 50.0, 6L), CdcRow(3L, "U", 2.0, 50.0, 7L))
+    q.processAllAvailable()
+    q.stop()
+    // latest emission per key = final state
+    val out = spark.table("cdc_out")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("last_t").desc, col("last_op"))
+    val last = out.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getString(3), r.getBoolean(4))).toMap
+    assert(last(1L) === ((0.0, "D", true)))
+    assert(last(2L) === ((20.0, "I", false))) // stale update rejected
+    assert(last(3L) === ((2.0, "U", false))) // id tie-break
+    // batch twin agrees (minus tombstones, which batch drops)
+    val rows = Seq((1L, "I", 10.0, 100.0, 1L), (1L, "U", 11.0, 200.0, 2L),
+      (2L, "I", 20.0, 150.0, 3L), (2L, "U", 99.0, 120.0, 4L),
+      (1L, "D", 0.0, 300.0, 5L), (3L, "I", 1.0, 50.0, 6L),
+      (3L, "U", 2.0, 50.0, 7L)).toDF("k", "op", "value", "t", "id")
+    val batch = graft.ops.SnapshotOps.cdcApply(rows, "k", "op", "value",
+        "t", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(batch === Map(2L -> 20.0, 3L -> 2.0))
+  }
+
   test("native session_window sessions match the batch gap-sessionize on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
