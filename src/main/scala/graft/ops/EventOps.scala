@@ -498,6 +498,41 @@ object EventOps {
        |WHERE CAST(cnt * nd - sm AS DOUBLE) * CAST(cnt * nd - sm AS DOUBLE)
        |  > ${z * z}.0 * CAST(nd * sq - sm * sm AS DOUBLE)""".stripMargin
 
+  /** Arrival burstiness (Fano factor) per event type: index of
+    * dispersion of per-minute counts over the OBSERVED minutes —
+    * 1 ≈ Poisson arrivals, »1 bursty, «1 regular. Exact integer
+    * sufficient statistics (minutes, Σc, Σc²), one double division:
+    * fano = (M·Σc² − (Σc)²) / (M·Σc). Two bounded aggregations
+    * (minute grid, then |types| rows).
+    */
+  def burstiness(events: DataFrame, tsCol: String, typeCol: String)
+      : DataFrame = {
+    val m = events.groupBy(col(typeCol).as("event_type"),
+        floor(col(tsCol).cast("double") / 60).cast("long").as("minute"))
+      .agg(count(lit(1)).as("c"))
+    m.groupBy("event_type")
+      .agg(count(lit(1)).as("n_minutes"), sum("c").as("n_events"),
+        sum(col("c") * col("c")).as("q"))
+      .select(col("event_type"), col("n_minutes"), col("n_events"),
+        round((col("n_minutes") * col("q")
+            - col("n_events") * col("n_events")).cast("double")
+          / (col("n_minutes") * col("n_events")).cast("double"), 6)
+          .as("fano"))
+  }
+
+  /** DuckDB twin of [[burstiness]]. */
+  def burstinessOracleSql(table: String, tsCol: String,
+      typeCol: String): String =
+    s"""WITH m AS (SELECT $typeCol AS event_type,
+       |    CAST(floor(epoch($tsCol) / 60) AS BIGINT) AS minute,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM $table GROUP BY 1, 2)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_minutes,
+       |  CAST(sum(c) AS BIGINT) AS n_events,
+       |  round(CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE)
+       |    / CAST(count(*) * sum(c) AS DOUBLE), 6) AS fano
+       |FROM m GROUP BY event_type""".stripMargin
+
   /** Late-data / out-of-orderness audit — the measurement a
     * watermark delay should be SET from, instead of guessed: treat
     * `arrivalCol` (a monotone ingest id) as arrival order, track the

@@ -669,6 +669,62 @@ object ProfileOps {
         (col("e.n_violations") === 0).cast("int").as("passed"))
   }
 
+  /** One-way ANOVA of a numeric column across groups: between- and
+    * within-group sums of squares from EXACT integer-cents sufficient
+    * statistics (per-group n, Σc, Σc² of round(x·100) longs — the
+    * QualityFit moment discipline), then the F statistic in one
+    * fixed-order double expression. "Does source explain quality?"
+    * with a number instead of a hunch. One map-side-combined
+    * aggregation to |groups| rows; the F math runs on the group
+    * table. Requires non-negative 2dp-valued inputs (cents cast).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val c = round(col(valueCol).cast("double") * 100).cast("long")
+    val g = df.select(col(groupCol).as("grp"), c.as("c"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("q"))
+    // Σ s²/n folds in GROUP-ASC order on both engines (a plain double
+    // sum would be partition-order-dependent); integer totals stay
+    // plain exact sums.
+    g.agg(count(lit(1)).as("k"), sum("n").as("n_total"),
+        sum("s").as("ts"), sum("q").as("tq"),
+        array_sort(collect_list(struct(col("grp"), col("n"), col("s"))))
+          .as("a"))
+      .select(col("k").cast("long").as("n_groups"), col("n_total"),
+        col("ts"), col("tq"), col("k"),
+        aggregate(col("a"), lit(0.0), (acc, x) =>
+          acc + x.getField("s").cast("double") * x.getField("s")
+            / x.getField("n")).as("sb"))
+      .select(col("n_groups"), col("n_total"),
+        round((
+          ((col("sb") - col("ts").cast("double") * col("ts") / col("n_total"))
+            / (col("k") - 1)) /
+          ((col("tq").cast("double") - col("sb")) / (col("n_total") - col("k")))
+        ) , 6).as("f_stat"))
+  }
+
+  /** DuckDB twin of [[anovaF]]. The per-group Σs²/n terms sum in
+    * deterministic group order via an ordered list fold.
+    */
+  def anovaOracleSql(table: String, groupCol: String,
+      valueCol: String): String =
+    s"""WITH b AS (SELECT $groupCol AS grp,
+       |    CAST(round(CAST($valueCol AS DOUBLE) * 100) AS BIGINT) AS c
+       |  FROM $table),
+       |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+       |  FROM b GROUP BY grp),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(n) AS BIGINT) AS n_total,
+       |    CAST(sum(s) AS BIGINT) AS ts, CAST(sum(q) AS BIGINT) AS tq,
+       |    list_sum(list(CAST(s AS DOUBLE) * s / n ORDER BY grp)) AS sb
+       |  FROM g)
+       |SELECT k AS n_groups, n_total,
+       |  round((((sb - CAST(ts AS DOUBLE) * ts / n_total) / (k - 1))
+       |    / ((CAST(tq AS DOUBLE) - sb) / (n_total - k))), 6) AS f_stat
+       |FROM t""".stripMargin
+
   /** Referential-integrity audit across a FK chain: for each
     * (child, parent, key) triple, count child rows, orphans (no
     * parent), and exact ppm orphan rate. One anti-join + one count

@@ -953,6 +953,46 @@ object TextOps {
        |FROM r""".stripMargin
   }
 
+  /** Gini coefficient of the token-frequency distribution — the
+    * vocabulary-inequality number behind "is this corpus a few
+    * boilerplate phrases or a real language sample" (0 = uniform,
+    * →1 = a handful of tokens dominate). Exact integer sufficient
+    * statistics end to end: with counts c_i sorted (count asc, token
+    * asc) and 1-based rank i, Gini = (2·Σi·c_i − (n+1)·T) / (n·T) —
+    * every sum is a long, the single division is the only float op.
+    * The rank window runs over the VOCABULARY (model-scale frame,
+    * same contract as q182's distinct-score window), never the
+    * corpus.
+    */
+  def tokenGini(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").asc, col("tok").asc)
+    tc.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("vocab_size"), sum("c").as("total_tokens"),
+        sum(col("i") * col("c")).as("s"))
+      .select(col("vocab_size"), col("total_tokens"),
+        round((lit(2L) * col("s")
+            - (col("vocab_size") + 1) * col("total_tokens")).cast("double")
+          / (col("vocab_size") * col("total_tokens")).cast("double"), 6)
+          .as("gini"))
+  }
+
+  /** DuckDB twin of [[tokenGini]]. */
+  def tokenGiniOracleSql(table: String, textCol: String): String =
+    s"""WITH tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+       |   SELECT unnest(list_filter(string_split_regex(lower($textCol),
+       |     '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS tok FROM $table) t
+       |  GROUP BY tok),
+       |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c ASC, tok ASC)
+       |    AS BIGINT) AS i FROM tc)
+       |SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       |  CAST(sum(c) AS BIGINT) AS total_tokens,
+       |  round(CAST(2 * sum(i * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+       |    / CAST(count(*) * sum(c) AS DOUBLE), 6) AS gini
+       |FROM r""".stripMargin
+
   /** Sentence array via an engine-portable split: terminator+space
     * becomes terminator+ (RE2 has no lookbehind, so the
     * lookbehind spelling would have no DuckDB twin), then split on

@@ -399,6 +399,28 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // One-way ANOVA: does source explain the trained quality score?
+    // (F statistic from exact integer-cents moments; quality 5dp
+    // values scale exactly to cents at 2dp? no — scaled 100x of a
+    // 5dp value rounds; both engines round identically from the
+    // identical doubles.)
+    "q224_anova_quality" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sc = TextOps.qualityScore(docs, "doc_id", "text",
+        TextOps.TrainedQualityWeights)
+      val j = docs.select(col("doc_id").as("id"), col("source")).join(sc, "id")
+      ProfileOps.anovaF(j, "source", "quality")
+    }),
+
+    // Token-frequency Gini coefficient (vocabulary inequality).
+    "q225_token_gini" -> ((s, d) =>
+      TextOps.tokenGini(Tables(s, d, "documents"), "text")),
+
+    // Arrival burstiness (Fano factor of per-minute counts) per type.
+    "q226_burstiness" -> ((s, d) =>
+      graft.ops.EventOps.burstiness(Tables(s, d, "events"),
+        "ts", "event_type")),
+
     // Referential-integrity audit across the TPC-H FK chain.
     "q221_fk_integrity" -> ((s, d) =>
       ProfileOps.fkIntegrity(Seq(
@@ -496,7 +518,11 @@ object PipelineQueries {
 
     // RFM (recency / frequency / monetary) user segmentation over the
     // events stream: quintile scores with deterministic tie-breaks,
-    // concatenated segment label.
+    // concatenated segment label. The ntile windows run over the USER
+    // PROFILE frame (one row per user) — at 1e9 users switch to
+    // percentile-threshold bucket assignment (the q148 curriculum
+    // idiom: 4 exact cutoffs broadcast back) and accept that
+    // boundary ties land by value instead of by position.
     "q219_rfm_segments" -> ((s, d) => {
       val e = Tables(s, d, "events")
       val maxT = e.agg(max(col("ts").cast("double")).as("t_max"))
@@ -2297,6 +2323,17 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q224_anova_quality" ->
+      // CTE-list merge: prefix the quality + join CTEs, then splice
+      // the ANOVA builder's own CTE chain (minus its WITH keyword)
+      ("WITH jq AS (" + qualityOracleSql(TextOps.TrainedQualityWeights)
+        + "),\nsrc AS (SELECT d.source AS g_src, jq.quality FROM documents d "
+        + "JOIN jq ON d.doc_id = jq.doc_id),\n"
+        + graft.ops.ProfileOps.anovaOracleSql("src", "g_src", "quality")
+          .replaceFirst("^WITH ", "")),
+    "q225_token_gini" -> TextOps.tokenGiniOracleSql("documents", "text"),
+    "q226_burstiness" -> graft.ops.EventOps.burstinessOracleSql(
+      "events", "ts", "event_type"),
     "q221_fk_integrity" ->
       """WITH e1 AS (SELECT 'lineitem->orders' AS edge,
         |  CAST(count(*) AS BIGINT) AS n_child,
