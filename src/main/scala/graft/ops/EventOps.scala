@@ -498,6 +498,61 @@ object EventOps {
        |WHERE CAST(cnt * nd - sm AS DOUBLE) * CAST(cnt * nd - sm AS DOUBLE)
        |  > ${z * z}.0 * CAST(nd * sq - sm * sm AS DOUBLE)""".stripMargin
 
+  /** Two-proportion A/B report: users split by `user_id % 2`
+    * (deterministic assignment), converted = total `convType` value
+    * above `minTotalCents` (summed in EXACT integer cents, so the
+    * threshold compare cannot flip on float sum order). Exact integer
+    * counts; the lift and pooled two-proportion z statistic are one
+    * fixed-order double expression each (6dp) — the "is the
+    * treatment real" number, from the same exact-moments discipline
+    * as the ANOVA F. Degenerate pooled rates (0 or 1) would zero the
+    * denominator — pick a conversion definition with variance.
+    */
+  def abLift(events: DataFrame, userCol: String, typeCol: String,
+      valueCol: String, convType: String, minTotalCents: Long): DataFrame = {
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(sum(when(col(typeCol) === convType, cents).otherwise(0L))
+        .as("cents"))
+      .select(pmod(col("u"), lit(2L)).as("arm"),
+        (col("cents") > minTotalCents).cast("long").as("conv"))
+    val g = per.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+    val a = g.filter(col("arm") === 0)
+      .select(col("n").as("n0"), col("k").as("k0"))
+    val b = g.filter(col("arm") === 1)
+      .select(col("n").as("n1"), col("k").as("k1"))
+    val p0 = col("k0").cast("double") / col("n0")
+    val p1 = col("k1").cast("double") / col("n1")
+    val pp = (col("k0") + col("k1")).cast("double") / (col("n0") + col("n1"))
+    a.crossJoin(broadcast(b))
+      .select(col("n0"), col("k0"), col("n1"), col("k1"),
+        round(p1 - p0, 6).as("lift_abs"),
+        round((p1 - p0) / sqrt(pp * (lit(1.0) - pp)
+          * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("z_stat"))
+  }
+
+  /** DuckDB twin of [[abLift]]. */
+  def abLiftOracleSql(table: String, userCol: String, typeCol: String,
+      valueCol: String, convType: String, minTotalCents: Long): String =
+    s"""WITH per AS (SELECT $userCol % 2 AS arm,
+       |    CAST(sum(CASE WHEN $typeCol = '$convType'
+       |      THEN CAST(round(CAST($valueCol AS DOUBLE) * 100) AS BIGINT)
+       |      ELSE 0 END) > $minTotalCents AS INT) AS conv
+       |  FROM $table GROUP BY $userCol),
+       |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(conv) AS BIGINT) AS k FROM per GROUP BY arm),
+       |a AS (SELECT n AS n0, k AS k0 FROM g WHERE arm = 0),
+       |b AS (SELECT n AS n1, k AS k1 FROM g WHERE arm = 1)
+       |SELECT n0, k0, n1, k1,
+       |  round(CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0, 6)
+       |    AS lift_abs,
+       |  round((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0)
+       |    / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+       |      * (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+       |      * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+       |FROM a CROSS JOIN b""".stripMargin
+
   /** Arrival burstiness (Fano factor) per event type: index of
     * dispersion of per-minute counts over the OBSERVED minutes —
     * 1 ≈ Poisson arrivals, »1 bursty, «1 regular. Exact integer

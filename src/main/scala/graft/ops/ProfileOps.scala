@@ -669,6 +669,76 @@ object ProfileOps {
         (col("e.n_violations") === 0).cast("int").as("passed"))
   }
 
+  /** Mutual information between two categorical columns (nats): the
+    * contingency table from one exact aggregation, each cell's
+    * n/N·ln(n·N/(r·c)) term from exact integer inputs, and the cell
+    * terms folded in (a, b)-sorted order — deterministic where a
+    * plain double sum is partition-order-dependent. The categorical
+    * dependency audit (ANOVA's sibling for label×label).
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val ra = cells.groupBy("a").agg(sum("n").as("r"))
+    val cb = cells.groupBy("b").agg(sum("n").as("c"))
+    val tot = cells.agg(sum("n").as("nn"))
+    val term = (col("n").cast("double") / col("nn")) *
+      log((col("n") * col("nn")).cast("double")
+        / (col("r") * col("c")).cast("double"))
+    cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(tot))
+      .select(struct(col("a"), col("b"), term.as("t")).as("s"))
+      .agg(count(lit(1)).as("n_cells"),
+        array_sort(collect_list(col("s"))).as("l"))
+      .select(col("n_cells"),
+        round(aggregate(col("l"), lit(0.0),
+          (acc, x) => acc + x.getField("t")), 6).as("mi_nats"))
+  }
+
+  /** DuckDB twin of [[mutualInformation]]. */
+  def mutualInformationOracleSql(table: String, aCol: String,
+      bCol: String): String =
+    s"""WITH cells AS (SELECT $aCol AS a, $bCol AS b,
+       |    CAST(count(*) AS BIGINT) AS n FROM $table GROUP BY 1, 2),
+       |ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY a),
+       |cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY b),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+       |terms AS (SELECT cells.a, cells.b,
+       |    (CAST(n AS DOUBLE) / nn) * ln(CAST(n * nn AS DOUBLE)
+       |      / CAST(r * c AS DOUBLE)) AS tt
+       |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN t)
+       |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       |  round(list_sum(list(tt ORDER BY a, b)), 6) AS mi_nats
+       |FROM terms""".stripMargin
+
+  /** Simpson diversity per group: effective number of categories
+    * N²/Σn_c² (the "how many languages is this source really"
+    * number). Exact integer sums, one double division.
+    */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("grp"), col(catCol).as("cat"))
+      .groupBy("grp", "cat").agg(count(lit(1)).as("n"))
+    g.groupBy("grp")
+      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_cats"),
+        sum(col("n") * col("n")).as("q"))
+      .select(col("grp"), col("n_rows"), col("n_cats"),
+        round((col("n_rows") * col("n_rows")).cast("double")
+          / col("q").cast("double"), 6).as("effective_cats"))
+  }
+
+  /** DuckDB twin of [[simpsonDiversity]]. */
+  def simpsonOracleSql(table: String, groupCol: String,
+      catCol: String): String =
+    s"""WITH g AS (SELECT $groupCol AS grp, $catCol AS cat,
+       |    CAST(count(*) AS BIGINT) AS n FROM $table GROUP BY 1, 2)
+       |SELECT grp, CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS BIGINT) AS n_cats,
+       |  round(CAST(sum(n) * sum(n) AS DOUBLE)
+       |    / CAST(sum(n * n) AS DOUBLE), 6) AS effective_cats
+       |FROM g GROUP BY grp""".stripMargin
+
   /** One-way ANOVA of a numeric column across groups: between- and
     * within-group sums of squares from EXACT integer-cents sufficient
     * statistics (per-group n, Σc, Σc² of round(x·100) longs — the

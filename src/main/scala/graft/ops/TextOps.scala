@@ -953,6 +953,59 @@ object TextOps {
        |FROM r""".stripMargin
   }
 
+  /** Next-token top-1 accuracy of the corpus bigram model on its own
+    * training data: the majority-follower per token (count desc,
+    * token asc tie-break — a vocab-scale window) scored against every
+    * bigram occurrence, count-weighted. Exact integers end to end
+    * (accuracy as half-up ppm) — the sanity-eval a tiny LM gets
+    * before perplexity tuning means anything. Corpus work: one
+    * bigram aggregation; everything after is model-scale.
+    */
+  def nextTokenAccuracy(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = col("_w")
+    val bi = docs.select(tokens(col(textCol)).as("_w"))
+      .select(when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
+        i => struct(element_at(w, i).as("w1"),
+          element_at(w, i + 1).as("w2")))).as("bg"))
+      .select(explode(col("bg")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val best = bi.withColumn("rn", row_number().over(
+        Window.partitionBy("w1").orderBy(col("n").desc, col("w2").asc)))
+      .filter(col("rn") === 1)
+      .select(col("w1"), col("w2").as("best"))
+    val sc = bi.join(best, "w1")
+      .agg(sum("n").as("n_bigrams"),
+        sum(when(col("w2") === col("best"), col("n")).otherwise(0L))
+          .as("n_correct"))
+    val num = col("n_correct") * 2000000L + col("n_bigrams")
+    val den = col("n_bigrams") * 2
+    sc.select(col("n_bigrams"), col("n_correct"),
+      ((num - pmod(num, den)) / den).cast("long").as("acc_ppm"))
+  }
+
+  /** DuckDB twin of [[nextTokenAccuracy]]. */
+  def nextTokenAccuracyOracleSql(table: String, textCol: String): String =
+    s"""WITH t AS (SELECT list_filter(string_split_regex(lower($textCol),
+       |    '[ \\t\\n\\f\\r]+'), x -> x <> '') AS w FROM $table),
+       |bg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+       |  FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+       |  WHERE len(w) >= 2),
+       |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg
+       |  GROUP BY 1, 2),
+       |best AS (SELECT w1, w2 AS best FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY w1
+       |    ORDER BY n DESC, w2 ASC) AS rn FROM bi) WHERE rn = 1),
+       |sc AS (SELECT CAST(sum(n) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CASE WHEN w2 = best THEN n ELSE 0 END) AS BIGINT)
+       |      AS n_correct
+       |  FROM bi JOIN best USING (w1))
+       |SELECT n_bigrams, n_correct,
+       |  CAST((n_correct * 2000000 + n_bigrams) // (n_bigrams * 2)
+       |    AS BIGINT) AS acc_ppm
+       |FROM sc""".stripMargin
+
   /** Gini coefficient of the token-frequency distribution — the
     * vocabulary-inequality number behind "is this corpus a few
     * boilerplate phrases or a real language sample" (0 = uniform,

@@ -399,6 +399,28 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // Two-proportion A/B lift + z over purchase conversion
+    // (user_id parity as the deterministic arm assignment).
+    "q227_ab_lift" -> ((s, d) =>
+      graft.ops.EventOps.abLift(Tables(s, d, "events"),
+        "user_id", "event_type", "value", "purchase",
+        minTotalCents = 70000L)),
+
+    // Mutual information lang x source (nats) — categorical
+    // dependency audit; ordered cell fold.
+    "q228_mutual_info" -> ((s, d) =>
+      ProfileOps.mutualInformation(Tables(s, d, "documents"),
+        "lang", "source")),
+
+    // Bigram next-token top-1 accuracy on the corpus itself.
+    "q229_next_token_acc" -> ((s, d) =>
+      TextOps.nextTokenAccuracy(Tables(s, d, "documents"), "text")),
+
+    // Simpson effective-language diversity per source.
+    "q230_simpson_diversity" -> ((s, d) =>
+      ProfileOps.simpsonDiversity(Tables(s, d, "documents"),
+        "source", "lang").withColumnRenamed("grp", "source")),
+
     // One-way ANOVA: does source explain the trained quality score?
     // (F statistic from exact integer-cents moments; quality 5dp
     // values scale exactly to cents at 2dp? no — scaled 100x of a
@@ -2323,6 +2345,15 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q227_ab_lift" -> graft.ops.EventOps.abLiftOracleSql(
+      "events", "user_id", "event_type", "value", "purchase", 70000L),
+    "q228_mutual_info" -> ProfileOps.mutualInformationOracleSql(
+      "documents", "lang", "source"),
+    "q229_next_token_acc" -> TextOps.nextTokenAccuracyOracleSql(
+      "documents", "text"),
+    "q230_simpson_diversity" -> (ProfileOps.simpsonOracleSql(
+        "documents", "source", "lang")
+      .replace("SELECT grp,", "SELECT grp AS source,")),
     "q224_anova_quality" ->
       // CTE-list merge: prefix the quality + join CTEs, then splice
       // the ANOVA builder's own CTE chain (minus its WITH keyword)
