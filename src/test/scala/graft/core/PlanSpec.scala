@@ -408,6 +408,26 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("HashAggregate"), s)
   }
 
+  test("q215 decontam: benchmark side broadcasts; no sort-merge on the corpus") {
+    val s = formatted("q215_embedding_decontam")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q216 cdc apply: one key-partitioned window, no joins") {
+    val s = plan("q216_cdc_apply").toString
+    assert(s.contains("Window"), s)
+    assert(!s.contains("Join"), s)
+  }
+
+  test("q225/q229: corpus stage is aggregation-only; rank windows run on the vocab frame") {
+    for (q <- Seq("q225_token_gini", "q229_next_token_acc")) {
+      val s = plan(q).toString
+      assert(!s.contains("CartesianProduct"), s)
+      assert(s.contains("HashAggregate"), s)
+    }
+  }
+
   test("q200 rtbf: membership joins stay hash joins; scans prune to key columns") {
     val s = formatted("q200_rtbf_audit")
     assert(!s.contains("CartesianProduct") &&
