@@ -669,6 +669,63 @@ object ProfileOps {
         (col("e.n_violations") === 0).cast("int").as("passed"))
   }
 
+  /** Per-group z-standardization of a 2dp-valued score (batch-effect
+    * correction: each source's score distribution re-centered to its
+    * own mean/sd before cross-source thresholds are applied). From
+    * exact integer-cents moments: z = (c·n − s) / √(n·q − s²) — the
+    * only float ops are one sqrt and one division, identical on
+    * every engine; groups with zero variance yield NULL. One
+    * moments aggregation (|groups| rows, broadcast back), one
+    * corpus projection.
+    */
+  def zStandardize(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val c = round(col(valueCol).cast("double") * 100).cast("long")
+    val m = df.select(col(groupCol).as("grp"), c.as("c"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("q"))
+    df.select(col(idCol).as("id"), col(groupCol).as("grp"), c.as("c"))
+      .join(broadcast(m), "grp")
+      .select(col("id"), col("grp"),
+        when(col("n") * col("q") - col("s") * col("s") > 0,
+          round((col("c") * col("n") - col("s")).cast("double")
+            / sqrt((col("n") * col("q") - col("s") * col("s"))
+              .cast("double")), 4)).as("z"))
+  }
+
+  /** DuckDB twin of [[zStandardize]]; outputs (id, grp, z). */
+  def zStandardizeOracleSql(table: String, idCol: String, groupCol: String,
+      valueExpr: String): String =
+    s"""WITH b AS (SELECT $idCol AS id, $groupCol AS grp,
+       |    CAST(round(CAST($valueExpr AS DOUBLE) * 100) AS BIGINT) AS c
+       |  FROM $table),
+       |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+       |  FROM b GROUP BY grp)
+       |SELECT id, b.grp,
+       |  CASE WHEN n * q - s * s > 0
+       |    THEN round(CAST(c * n - s AS DOUBLE)
+       |      / sqrt(CAST(n * q - s * s AS DOUBLE)), 4) END AS z
+       |FROM b JOIN m ON b.grp = m.grp""".stripMargin
+
+  /** Expected calibration error from the reliability buckets
+    * ([[calibrationBuckets]] output): Σ (n_b/N)·|frac_pos − avg_score|
+    * folded in bucket order — the one-number calibration verdict.
+    */
+  def calibrationEce(buckets: DataFrame): DataFrame =
+    buckets
+      .select(struct(col("bucket"), col("n"), col("frac_pos"),
+        col("avg_score")).as("s"))
+      .agg(count(lit(1)).as("n_buckets"),
+        array_sort(collect_list(col("s"))).as("l"))
+      .select(col("n_buckets"),
+        round(aggregate(col("l"), lit(0.0), (acc, x) =>
+            acc + x.getField("n").cast("double") *
+              abs(x.getField("frac_pos") - x.getField("avg_score")))
+          / aggregate(col("l"), lit(0L), (acc, x) =>
+            acc + x.getField("n")).cast("double"), 6).as("ece"))
+
   /** Mutual information between two categorical columns (nats): the
     * contingency table from one exact aggregation, each cell's
     * n/N·ln(n·N/(r·c)) term from exact integer inputs, and the cell

@@ -953,6 +953,76 @@ object TextOps {
        |FROM r""".stripMargin
   }
 
+  /** Per-document keyword extraction: top-`k` tf-idf terms
+    * (weights rounded to 6dp BEFORE the rank so sub-ulp ln
+    * differences can't flip the cut; tok-asc tie-break). The
+    * retrieval-facing consumer of [[tfidfWeights]]; the rank window
+    * partitions by document — corpus-parallel, nothing global.
+    */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = tfidfWeights(df, idCol, textCol)
+      .select(col("id"), col("tok"), round(col("w"), 6).as("w"))
+    w.withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("w").desc, col("tok").asc)))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("tok"), col("w"))
+  }
+
+  /** DuckDB twin of [[topKeywords]]. */
+  def topKeywordsOracleSql(table: String, idCol: String, textCol: String,
+      k: Int = 3): String =
+    s"""WITH base AS (SELECT $idCol AS id,
+       |    unnest(list_filter(string_split_regex(lower($textCol),
+       |      '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS tok FROM $table),
+       |tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf FROM base
+       |  GROUP BY 1, 2),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM $table),
+       |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  GROUP BY tok),
+       |wt AS (SELECT id, tf.tok,
+       |    round(tf * (ln((n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS w
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY id
+       |    ORDER BY w DESC, tok ASC) AS rank FROM wt)
+       |SELECT id, CAST(rank AS INT) AS rank, tok, w
+       |FROM r WHERE rank <= $k""".stripMargin
+
+  /** Declared-language vs dominant-script mismatch audit: the
+    * dominant script by exact integer character counts (count desc,
+    * fixed script-order tie-break), cross-tabulated per language with
+    * the expected script — the mislabel detector for a multilingual
+    * crawl. Zero-shuffle scan + one bounded aggregation.
+    */
+  def scriptMismatch(df: DataFrame, langCol: String, textCol: String,
+      expected: Map[String, String]): DataFrame = {
+    val t = col(textCol)
+    val scripts = Seq(
+      "latin" -> "[A-Za-z]", "cyrillic" -> "[Ѐ-ӿ]",
+      "greek" -> "[Ͱ-Ͽ]", "arabic" -> "[؀-ۿ]",
+      "devanagari" -> "[ऀ-ॿ]", "cjk" -> "[一-鿿]",
+      "kana" -> "[぀-ヿ]", "hangul" -> "[가-힯]")
+    val counts = scripts.map { case (nm, re) =>
+      nm -> regexp_count(t, lit(re))
+    }
+    val dominant = counts.zipWithIndex.foldRight(lit(counts.last._1)) {
+      case (((nm, c), i), rest) =>
+        val laters = counts.drop(i + 1).map(_._2)
+        if (laters.isEmpty) rest
+        else when(laters.map(c >= _).reduce(_ && _), lit(nm)).otherwise(rest)
+    }
+    val exp = expected.foldRight(lit("unknown"): Column) {
+      case ((l, s), rest) => when(col(langCol) === l, lit(s)).otherwise(rest)
+    }
+    df.select(col(langCol).as("lang"), dominant.as("dominant_script"),
+        exp.as("expected_script"))
+      .groupBy("lang", "dominant_script", "expected_script")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_mismatch",
+        (col("dominant_script") =!= col("expected_script")).cast("int"))
+  }
+
   /** Next-token top-1 accuracy of the corpus bigram model on its own
     * training data: the majority-follower per token (count desc,
     * token asc tie-break — a vocab-scale window) scored against every

@@ -399,6 +399,39 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // Per-source z-standardization of the trained quality score
+    // (batch-effect correction from exact integer-cents moments).
+    "q231_score_standardize" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sc = TextOps.qualityScore(docs, "doc_id", "text",
+        TextOps.TrainedQualityWeights)
+      val j = docs.select(col("doc_id").as("id"), col("source")).join(sc, "id")
+      ProfileOps.zStandardize(j, "id", "source", "quality")
+        .withColumnRenamed("grp", "source")
+    }),
+
+    // Expected calibration error — the one-number verdict on q181's
+    // reliability diagram.
+    "q232_calibration_ece" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sc = TextOps.qualityScore(docs, "doc_id", "text",
+        TextOps.TrainedQualityWeights)
+      val lab = TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
+      ProfileOps.calibrationEce(
+        ProfileOps.calibrationBuckets(sc.join(lab, "id"), "quality", "pos"))
+    }),
+
+    // Per-document keyword extraction: top-3 tf-idf terms.
+    "q233_keywords" -> ((s, d) =>
+      TextOps.topKeywords(Tables(s, d, "documents"), "doc_id", "text")),
+
+    // Declared-language vs dominant-script mismatch audit.
+    "q234_script_mismatch" -> ((s, d) =>
+      TextOps.scriptMismatch(Tables(s, d, "documents"), "lang", "text",
+        Map("en" -> "latin", "de" -> "latin", "fr" -> "latin",
+          "es" -> "latin", "zh" -> "cjk"))),
+
     // Two-proportion A/B lift + z over purchase conversion
     // (user_id parity as the deterministic arm assignment).
     "q227_ab_lift" -> ((s, d) =>
@@ -2345,6 +2378,64 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q231_score_standardize" -> (ProfileOps.zStandardizeOracleSql(
+        s"(WITH qq AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}) " +
+          "SELECT d.doc_id, d.source, qq.quality FROM documents d " +
+          "JOIN qq ON d.doc_id = qq.doc_id)",
+        "doc_id", "source", "quality")
+      .replace("SELECT id, b.grp,", "SELECT id, b.grp AS source,")),
+    "q232_calibration_ece" ->
+      (s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
+        |docs0 AS (SELECT doc_id, text AS t FROM documents),
+        |""".stripMargin + rulesOracleBody("docs0") +
+        """,
+        |j AS (SELECT q.doc_id,
+        |   least(CAST(floor(quality * 10) AS INTEGER), 9) AS bucket,
+        |   quality, pr.passes AS pos
+        | FROM q JOIN pr USING (doc_id)),
+        |bk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |   round(avg(quality), 6) AS avg_score,
+        |   round(sum(pos) * 1.0::DOUBLE / count(*), 6) AS frac_pos
+        | FROM j GROUP BY bucket)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        | round(list_sum(list(n * abs(frac_pos - avg_score) ORDER BY bucket))
+        |   / CAST(sum(n) AS DOUBLE), 6) AS ece
+        |FROM bk""".stripMargin),
+    "q233_keywords" -> TextOps.topKeywordsOracleSql(
+      "documents", "doc_id", "text"),
+    "q234_script_mismatch" ->
+      """WITH c AS (SELECT lang,
+        | len(regexp_extract_all(text, '[A-Za-z]')) AS c0,
+        | len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS c1,
+        | len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS c2,
+        | len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS c3,
+        | len(regexp_extract_all(text, '[\x{0900}-\x{097F}]')) AS c4,
+        | len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS c5,
+        | len(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')) AS c6,
+        | len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]')) AS c7
+        | FROM documents),
+        |d AS (SELECT lang,
+        | CASE
+        |  WHEN c0 >= c1 AND c0 >= c2 AND c0 >= c3 AND c0 >= c4
+        |   AND c0 >= c5 AND c0 >= c6 AND c0 >= c7 THEN 'latin'
+        |  WHEN c1 >= c2 AND c1 >= c3 AND c1 >= c4 AND c1 >= c5
+        |   AND c1 >= c6 AND c1 >= c7 THEN 'cyrillic'
+        |  WHEN c2 >= c3 AND c2 >= c4 AND c2 >= c5 AND c2 >= c6
+        |   AND c2 >= c7 THEN 'greek'
+        |  WHEN c3 >= c4 AND c3 >= c5 AND c3 >= c6 AND c3 >= c7
+        |   THEN 'arabic'
+        |  WHEN c4 >= c5 AND c4 >= c6 AND c4 >= c7 THEN 'devanagari'
+        |  WHEN c5 >= c6 AND c5 >= c7 THEN 'cjk'
+        |  WHEN c6 >= c7 THEN 'kana'
+        |  ELSE 'hangul' END AS dominant_script,
+        | CASE WHEN lang IN ('en','de','fr','es') THEN 'latin'
+        |      WHEN lang = 'zh' THEN 'cjk' ELSE 'unknown' END
+        |   AS expected_script
+        | FROM c)
+        |SELECT lang, dominant_script, expected_script,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(dominant_script <> expected_script AS INT) AS is_mismatch
+        |FROM d GROUP BY 1, 2, 3""".stripMargin,
     "q227_ab_lift" -> graft.ops.EventOps.abLiftOracleSql(
       "events", "user_id", "event_type", "value", "purchase", 70000L),
     "q228_mutual_info" -> ProfileOps.mutualInformationOracleSql(
