@@ -669,6 +669,31 @@ object ProfileOps {
         (col("e.n_violations") === 0).cast("int").as("passed"))
   }
 
+  /** Expectation-violation TREND: [[expectationReport]]'s checks
+    * bucketed by event-time day — the "when did the contract start
+    * failing" view that turns a red release gate into a root-cause
+    * window. One scan, conditional sums per (day, check), unpivoted
+    * like the one-shot report.
+    */
+  def expectationTrend(df: DataFrame, tsCol: String,
+      checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(checks.nonEmpty, "expectationTrend needs at least one check")
+    val day = (floor(col(tsCol).cast("double") / 86400).cast("long") * 86400)
+      .as("day_s")
+    val sums = checks.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"_v$i")
+    }
+    val wide = df.groupBy(day)
+      .agg(count(lit(1)).as("_n"), sums: _*)
+    val entries = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check"), col(s"_v$i").as("n_violations"))
+    }
+    wide.select(col("day_s"), col("_n").as("n_rows"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("day_s"), col("n_rows"), col("e.check").as("check"),
+        col("e.n_violations").as("n_violations"))
+  }
+
   /** Per-group z-standardization of a 2dp-valued score (batch-effect
     * correction: each source's score distribution re-centered to its
     * own mean/sd before cross-source thresholds are applied). From

@@ -399,6 +399,15 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // Expectation-violation trend: contract checks per event-time day
+    // (when did the contract start failing).
+    "q235_dq_trend" -> ((s, d) =>
+      ProfileOps.expectationTrend(Tables(s, d, "events"), "ts", Seq(
+        "value_over_500" -> (col("value") > 500.0),
+        "unknown_type" -> !col("event_type").isin(
+          "signup", "view", "click", "purchase", "error"),
+        "null_user" -> col("user_id").isNull))),
+
     // Per-source z-standardization of the trained quality score
     // (batch-effect correction from exact integer-cents moments).
     "q231_score_standardize" -> ((s, d) => {
@@ -2378,6 +2387,23 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q235_dq_trend" ->
+      """WITH w AS (SELECT
+        |  CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_s,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN value > 500.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS v0,
+        |  CAST(sum(CASE WHEN event_type NOT IN
+        |    ('signup','view','click','purchase','error')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS v2
+        | FROM events GROUP BY 1)
+        |SELECT day_s, n_rows, 'value_over_500' AS "check",
+        |  v0 AS n_violations FROM w
+        |UNION ALL SELECT day_s, n_rows, 'unknown_type', v1 FROM w
+        |UNION ALL SELECT day_s, n_rows, 'null_user', v2 FROM w"""
+        .stripMargin,
     "q231_score_standardize" -> (ProfileOps.zStandardizeOracleSql(
         s"(WITH qq AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}) " +
           "SELECT d.doc_id, d.source, qq.quality FROM documents d " +

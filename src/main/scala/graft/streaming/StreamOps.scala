@@ -143,6 +143,28 @@ object StreamOps {
         (0 until ref.nBins).map(b => col(s"_c$b")), col("n_cur")).as("psi"))
   }
 
+  /** Streaming data-quality monitor — the incremental twin of
+    * [[graft.ops.ProfileOps.expectationTrend]]: per event-time
+    * window, each contract check's violation count as a conditional
+    * sum inside ONE watermarked aggregation (stacked aggregations are
+    * unsupported in append mode — the psiDriftStream discipline).
+    * The alert feed a DQ pager hangs off.
+    */
+  def expectationMonitorStream(stream: DataFrame, tsCol: String,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      windowSeconds: Int, watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(checks.nonEmpty, "expectationMonitorStream needs >= 1 check")
+    val sums = checks.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"v_$name")
+    }
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), s"$windowSeconds seconds"))
+      .agg(count(lit(1)).as("n_rows"), sums: _*)
+      .select(col("window.start").cast("double").cast("long").as("win_s") +:
+        col("n_rows") +: checks.map { case (name, _) => col(s"v_$name") }: _*)
+  }
+
   /** Inactivity-gap sessionization via Spark's NATIVE
     * `session_window` (dynamic-gap merging inside the engine's
     * session-state store) — the declarative twin of the explicit

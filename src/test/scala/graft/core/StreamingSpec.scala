@@ -477,6 +477,29 @@ class StreamingSpec extends SparkSpec {
     assert(win(0).getDouble(2) > 0.5)                 // and it IS a drift
   }
 
+  test("streaming DQ monitor: per-window violation counts match the batch trend") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double, String)]
+    val events = input.toDF().toDF("user_id", "ts", "value", "event_type")
+    val checks = Seq(
+      "value_over_100" -> (col("value") > 100.0),
+      "unknown_type" -> !col("event_type").isin("view", "click"))
+    val q = StreamOps.expectationMonitorStream(events, "ts", checks,
+        windowSeconds = 300)
+      .writeStream.format("memory").queryName("dq_out")
+      .outputMode("append").start()
+    input.addData(
+      (1L, ts(10), 150.0, "view"), (2L, ts(20), 50.0, "bogus"),
+      (3L, ts(30), 200.0, "click"), (4L, ts(400), 10.0, "view"),
+      (9L, ts(100000), 0.0, "view")) // close windows
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dq_out").where(col("win_s") === 0L).collect()(0)
+    assert(got.getLong(1) === 3L) // n_rows in [0, 300)
+    assert(got.getLong(2) === 2L) // two value violations
+    assert(got.getLong(3) === 1L) // one unknown type
+  }
+
   test("streaming CDC apply converges to the batch compaction, out-of-order and cross-batch") {
     implicit val sqlCtx = spark.sqlContext
     import StreamOps.CdcRow
