@@ -399,6 +399,52 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // Audience overlap: exact Jaccard of user sets per event-type
+    // pair (|types|²-bounded output; distinct (type, user) frame
+    // self-joined on user — never a cartesian).
+    "q236_audience_overlap" -> ((s, d) => {
+      val tu = Tables(s, d, "events")
+        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      val sizes = tu.groupBy("t").agg(count(lit(1)).as("n"))
+      val inter = tu.as("a").join(tu.as("b"),
+          col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes.select(col("t").as("t1"), col("n").as("n1"))), "t1")
+        .join(broadcast(sizes.select(col("t").as("t2"), col("n").as("n2"))), "t2")
+        .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_both"),
+          round(col("n_both").cast("double")
+            / (col("n1") + col("n2") - col("n_both")).cast("double"), 6)
+            .as("jaccard"))
+    }),
+
+    // Market-basket affinity: brand-pair support + lift within orders
+    // (distinct (order, brand) collapse before the pair join — the
+    // q194/q178 group-collapse discipline; brand space is bounded so
+    // the pair table is model-sized).
+    "q237_brand_affinity" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val part = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      val ob = li.join(part, li("l_partkey") === part("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+      val nOrders = Tables(s, d, "orders").agg(
+        countDistinct("o_orderkey").as("n_orders"))
+      val single = ob.groupBy("b").agg(count(lit(1)).as("n"))
+      val pairs = ob.as("x").join(ob.as("y"),
+          col("x.o") === col("y.o") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 20)
+      pairs
+        .join(broadcast(single.select(col("b").as("b1"), col("n").as("n1"))), "b1")
+        .join(broadcast(single.select(col("b").as("b2"), col("n").as("n2"))), "b2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("b1"), col("b2"), col("n_both"),
+          round((col("n_both") * col("n_orders")).cast("double")
+            / (col("n1") * col("n2")).cast("double"), 6).as("lift"))
+    }),
+
     // Expectation-violation trend: contract checks per event-time day
     // (when did the contract start failing).
     "q235_dq_trend" -> ((s, d) =>
@@ -2387,6 +2433,33 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q236_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |  FROM events),
+        |sz AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY t),
+        |iv AS (SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT)
+        |    AS n_both
+        |  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+        |SELECT t1, t2, s1.n AS n1, s2.n AS n2, n_both,
+        |  round(CAST(n_both AS DOUBLE)
+        |    / CAST(s1.n + s2.n - n_both AS DOUBLE), 6) AS jaccard
+        |FROM iv JOIN sz s1 ON iv.t1 = s1.t JOIN sz s2 ON iv.t2 = s2.t"""
+        .stripMargin,
+    "q237_brand_affinity" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |no AS (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |    AS n_orders FROM orders),
+        |sg AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY b),
+        |pr AS (SELECT x.b AS b1, y.b AS b2, CAST(count(*) AS BIGINT)
+        |    AS n_both
+        |  FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+        |  GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT b1, b2, n_both,
+        |  round(CAST(n_both * n_orders AS DOUBLE)
+        |    / CAST(s1.n * s2.n AS DOUBLE), 6) AS lift
+        |FROM pr JOIN sg s1 ON pr.b1 = s1.b JOIN sg s2 ON pr.b2 = s2.b
+        |CROSS JOIN no""".stripMargin,
     "q235_dq_trend" ->
       """WITH w AS (SELECT
         |  CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_s,
