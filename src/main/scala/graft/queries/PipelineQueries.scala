@@ -399,6 +399,19 @@ object PipelineQueries {
       graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
         "event_type", "ts", "event_id", "value")),
 
+    // Per-stage funnel latency: the q208 kernel applied to each
+    // consecutive step pair — where the funnel actually stalls.
+    "q238_stage_latency" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      Seq("signup" -> "view", "view" -> "click", "click" -> "purchase")
+        .map { case (a, b) =>
+          graft.ops.EventOps.conversionLatency(e, "ts", "user_id",
+              "event_type", a, b, windowDays = 7)
+            .select(lit(s"$a->$b").as("stage"), col("n_converted"),
+              col("p50_s"), col("p90_s"))
+        }.reduce(_ unionByName _)
+    }),
+
     // Audience overlap: exact Jaccard of user sets per event-type
     // pair (|types|²-bounded output; distinct (type, user) frame
     // self-joined on user — never a cartesian).
@@ -2433,6 +2446,13 @@ object PipelineQueries {
       "events", "event_type", "ts", "event_id", "value"),
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
+    "q238_stage_latency" ->
+      Seq("signup" -> "view", "view" -> "click", "click" -> "purchase")
+        .map { case (a, b) =>
+          s"SELECT '$a->$b' AS stage, * FROM (" +
+            graft.ops.EventOps.conversionLatencyOracleSql(
+              "events", "ts", "user_id", "event_type", a, b, 7) + ")"
+        }.mkString("\nUNION ALL\n"),
     "q236_audience_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
         |  FROM events),
