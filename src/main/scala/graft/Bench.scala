@@ -8,7 +8,12 @@ import org.apache.spark.sql.SparkSession
   * recorded as errors, never as fake timings.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
+
+  /** Build the standard bench session (local[cpus], 32-partition
+    * shuffle, UTC, UI off). Shared with [[IsoBench]] so isolated
+    * samples run under the identical configuration.
+    */
+  private[graft] def session(): (SparkSession, String) = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -18,9 +23,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: JIT + codegen cache on the flagship parquet query, and
-    // one tiny CSV read so CSV-datasource init isn't charged to the
-    // first CSV-reading query (same policy as the q01 JIT warmup).
+    (spark, sfDir)
+  }
+
+  /** Warmup: JIT + codegen cache on the flagship parquet query, one
+    * tiny CSV read so CSV-datasource init isn't charged to the first
+    * CSV-reading query, and the convert machinery (interpreted
+    * projections, window exec, encoders, broadcast path) on a
+    * 2-interval SYNTHETIC input — different files than any query, so
+    * query memoization stays cold and only generic JVM/Spark
+    * machinery carries over.
+    */
+  private[graft] def warmup(spark: SparkSession, sfDir: String): Unit = {
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
@@ -28,10 +42,6 @@ object Bench {
       .readRaw(spark, "/root/reference/testdata/GLAD9_SectionSummary.csv")
       .limit(1).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // Warm the convert machinery (interpreted projections, window
-    // exec, encoders, broadcast path) on a 2-interval SYNTHETIC input:
-    // different files than any query, so query memoization stays cold
-    // and only generic JVM/Spark machinery carries over.
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft_warm")
       val sec = dir.resolve("sec.csv")
@@ -55,6 +65,11 @@ object Bench {
           |""".stripMargin)
       graft.core.splice.Convert.convertInMemory(spark, sec.toString, sp.toString)
     } catch { case _: Throwable => () }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (spark, sfDir) = session()
+    warmup(spark, sfDir)
     // Each query runs three times: `queries` (cold) carries
     // first-plan analysis/codegen cost; `queries_warm` is the MIN of
     // two steady-state runs — the bench box shows ±10-15% run-to-run

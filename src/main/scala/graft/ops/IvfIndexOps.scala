@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental IVF index maintenance — the missing update/merge story
+  * for the embedding index as the corpus grows.
+  *
+  * [[DedupOps.dedupAgainstStore]] gives text digests an incremental
+  * path; this gives the coarse quantizer one. The index's mutable
+  * state is held as SUFFICIENT STATISTICS, not centers: per (cell,
+  * pos) a fixed-point DECIMAL(38,0) coordinate sum (of round(x·10⁷),
+  * the [[SimilarityOps.labelCentroids]] / PcaOps moment discipline —
+  * exact, order-independent, overflow-safe to ~10³⁰ rows) plus a
+  * member count. Sums and counts are ADDITIVE, so indexing batch 1
+  * then batch 2 incrementally ([[cellStats]] per batch +
+  * [[mergeStats]]) produces bit-identical statistics — and therefore
+  * bit-identical refreshed centers and probe assignments — to a
+  * from-scratch pass over the union. That exactness is what makes the
+  * refresh protocol auditable: q239's DuckDB oracle replays BOTH the
+  * batched and the from-scratch path and the driver hash-compares.
+  *
+  * Refresh protocol (one mini-batch Lloyd half-step, the standard
+  * production cadence for a billion-row index where full refits are a
+  * scheduled event, not a per-ingest one):
+  *   1. new vectors are assigned under the CURRENT frozen centers
+  *      (narrow scan — distances rounded 5dp, cell-asc tie-break, the
+  *      [[SimilarityOps.centroidConfusion]] determinism contract);
+  *   2. their (cell, pos) stats merge into the store (k·d-row frame —
+  *      model-scale, broadcastable, cheap to persist per batch);
+  *   3. [[refresh]] re-derives centers as merged mean (7dp), empty
+  *      cells keeping their previous center (the lloydFit contract).
+  *
+  * Scale shape: the corpus never shuffles wide — assignment is one
+  * broadcast-join scan, the stats aggregate map-side combines to at
+  * most k·d rows per partition, and only k·d numbers move at merge/
+  * refresh time. A full refit ([[SimilarityOps.kmeansAssign]]) remains
+  * the periodic re-seed; this is the between-refits path.
+  */
+object IvfIndexOps {
+
+  /** Deterministic content-keyed seed centers: the `k` vectors with
+    * lexicographically-smallest md5("ivf:" ++ id) (id-asc tie-break) —
+    * partition-invariant, RNG-free, and replayable in SQL (ORDER BY
+    * md5 LIMIT k), unlike a seeded sample.
+    */
+  def initCenters(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, k: Int): Seq[Seq[Double]] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import spark.implicits._
+    val rows = emb.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("_c", md5(concat(lit("ivf:"), col("id").cast("string"))))
+      .orderBy(col("_c"), col("id")).limit(k)
+      .select("v").as[Seq[Double]].collect()
+    require(rows.length == k, s"corpus has ${rows.length} rows, need k=$k seeds")
+    rows.toIndexedSeq.map(_.toIndexedSeq)
+  }
+
+  private def centerTable(spark: SparkSession,
+      centers: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "cv")
+  }
+
+  /** Nearest-cell assignment under FROZEN centers: (id, v, cell).
+    * Distances round to 5dp before the argmin (cell-asc ties), so the
+    * assignment is deterministic and engine-portable. k-row centers
+    * broadcast; one corpus scan with |k| distance folds per row, all
+    * codegen. (For nCells in the tens of thousands, switch the scan to
+    * the native `graft_nearest_cells` ranking — same protocol, one
+    * plan node; the composed form here is the oracle-replayable one.)
+    */
+  def assign(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, centers: Seq[Seq[Double]]): DataFrame = {
+    val cent = centerTable(spark, centers)
+    val d = emb.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(cent))
+      .select(col("id"), col("v"), col("cell"),
+        round(sqrt(aggregate(
+          zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _)), 5).as("dist"))
+    val w = Window.partitionBy("id").orderBy(col("dist").asc, col("cell").asc)
+    d.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("id", "v", "cell")
+  }
+
+  /** One batch's sufficient statistics under frozen `centers`:
+    * (cell, pos, s: decimal(38,0) fixed-point coordinate sum, n).
+    * k·d rows — the persistable per-batch index delta.
+    */
+  def cellStats(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, centers: Seq[Seq[Double]]): DataFrame =
+    assign(spark, emb, idCol, vecCol, centers)
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("cell"), col("pos"),
+        round(col("x") * 1e7, 0).cast("decimal(38,0)").as("xi"))
+      .groupBy("cell", "pos")
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+
+  /** Additive merge of two stats frames — the incremental index
+    * update. Decimal sums are associative, so any merge order yields
+    * the identical store.
+    */
+  def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("cell", "pos")
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+
+  /** Refreshed centers from a stats store: mean per (cell, pos)
+    * rounded to 7dp; a cell absent from the store (no members yet)
+    * keeps its previous center. Collects k·d rows — model-scale.
+    */
+  def refresh(prev: Seq[Seq[Double]], stats: DataFrame): Seq[Seq[Double]] = {
+    val next = prev.map(_.toArray).toArray
+    stats.select(col("cell"), col("pos"),
+        round(col("s").cast("double") / 1e7 / col("n"), 7).as("c"))
+      .collect().foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+    next.toIndexedSeq.map(_.toIndexedSeq)
+  }
+
+  /** DuckDB replay of the full q239 protocol: seed → assign → per-
+    * batch stats (batch = id % 2) → incremental merge AND from-scratch
+    * stats → both refreshed center sets → probe assignments under
+    * each → agreement. Every stage uses the same fixed-point/rounding
+    * contract as the engine, so the driver hash-compare is exact.
+    */
+  def incrementalRefreshOracleSql(table: String, idCol: String,
+      vecCol: String, k: Int, probeMod: Int): String =
+    s"""WITH e AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v
+       |  FROM $table),
+       |init AS (SELECT row_number() OVER (
+       |    ORDER BY md5('ivf:' || CAST(id AS VARCHAR)), id) - 1 AS cell, v AS cv
+       |  FROM e ORDER BY md5('ivf:' || CAST(id AS VARCHAR)), id LIMIT $k),
+       |d0 AS (SELECT e.id, e.v, i.cell,
+       |    round(sqrt(list_sum(list_transform(generate_series(1, len(e.v)),
+       |      j -> (e.v[j] - i.cv[j]) * (e.v[j] - i.cv[j])))), 5) AS dist
+       |  FROM e CROSS JOIN init i),
+       |asg0 AS (SELECT id, v, cell FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY id ORDER BY dist ASC, cell ASC) AS rn FROM d0)
+       |  WHERE rn = 1),
+       |x AS (SELECT id % 2 AS batch, cell,
+       |    unnest(generate_series(1, len(v))) - 1 AS pos,
+       |    unnest(list_transform(v,
+       |      a -> CAST(round(a * 1e7, 0) AS DECIMAL(38,0)))) AS xi
+       |  FROM asg0),
+       |stb AS (SELECT batch, cell, pos, sum(xi) AS s, count(*) AS n
+       |  FROM x GROUP BY batch, cell, pos),
+       |sti AS (SELECT cell, pos, sum(s) AS s, sum(n) AS n
+       |  FROM stb GROUP BY cell, pos),
+       |sts AS (SELECT cell, pos, sum(xi) AS s, count(*) AS n
+       |  FROM x GROUP BY cell, pos),
+       |ci AS (SELECT i.cell, list(coalesce(
+       |      round(CAST(t.s AS DOUBLE) / 1e7 / t.n, 7), i.cv[pp.pos + 1])
+       |    ORDER BY pp.pos) AS cv
+       |  FROM init i CROSS JOIN (SELECT unnest(generate_series(1,
+       |      (SELECT len(cv) FROM init LIMIT 1))) - 1 AS pos) pp
+       |  LEFT JOIN sti t ON t.cell = i.cell AND t.pos = pp.pos
+       |  GROUP BY i.cell),
+       |cs AS (SELECT i.cell, list(coalesce(
+       |      round(CAST(t.s AS DOUBLE) / 1e7 / t.n, 7), i.cv[pp.pos + 1])
+       |    ORDER BY pp.pos) AS cv
+       |  FROM init i CROSS JOIN (SELECT unnest(generate_series(1,
+       |      (SELECT len(cv) FROM init LIMIT 1))) - 1 AS pos) pp
+       |  LEFT JOIN sts t ON t.cell = i.cell AND t.pos = pp.pos
+       |  GROUP BY i.cell),
+       |probes AS (SELECT id, v FROM e WHERE id % $probeMod = 0),
+       |di AS (SELECT p.id, c.cell,
+       |    round(sqrt(list_sum(list_transform(generate_series(1, len(p.v)),
+       |      j -> (p.v[j] - c.cv[j]) * (p.v[j] - c.cv[j])))), 5) AS dist
+       |  FROM probes p CROSS JOIN ci c),
+       |ai AS (SELECT id, cell FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY id ORDER BY dist ASC, cell ASC) AS rn FROM di)
+       |  WHERE rn = 1),
+       |ds AS (SELECT p.id, c.cell,
+       |    round(sqrt(list_sum(list_transform(generate_series(1, len(p.v)),
+       |      j -> (p.v[j] - c.cv[j]) * (p.v[j] - c.cv[j])))), 5) AS dist
+       |  FROM probes p CROSS JOIN cs c),
+       |asx AS (SELECT id, cell FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY id ORDER BY dist ASC, cell ASC) AS rn FROM ds)
+       |  WHERE rn = 1)
+       |SELECT ai.id AS vec_id, CAST(ai.cell AS INTEGER) AS cell_incr,
+       |  CAST(asx.cell AS INTEGER) AS cell_scratch,
+       |  CAST(ai.cell = asx.cell AS INTEGER) AS agree
+       |FROM ai JOIN asx ON ai.id = asx.id""".stripMargin
+}

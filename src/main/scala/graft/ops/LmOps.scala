@@ -305,7 +305,7 @@ object LmOps {
   /** Shared DuckDB CTE prefix for the trigram estimator (q135/q136). */
   def kn3OracleWith(refWhere: String): String =
     s"""WITH tk AS (SELECT doc_id AS id,
-       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> x <> '') AS t
        | FROM documents),
        |rpos AS (SELECT id, unnest(generate_series(1, len(t) - 2)) AS i, t
        |         FROM tk JOIN documents d ON d.doc_id = tk.id
@@ -326,7 +326,7 @@ object LmOps {
     */
   def knOracleWith(refWhere: String): String =
     s"""WITH tk AS (SELECT doc_id AS id,
-       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> x <> '') AS t
        | FROM documents),
        |rpos AS (SELECT id, unnest(generate_series(1, len(t) - 1)) AS i, t
        |         FROM tk JOIN documents d ON d.doc_id = tk.id

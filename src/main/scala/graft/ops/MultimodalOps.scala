@@ -387,9 +387,21 @@ object MultimodalOps {
   def withImagePayloadKeyed(spark: SparkSession, docs: DataFrame,
       idCol: String, key: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), key.cast("long")).as[(Long, Long)]
-      .mapPartitions(_.map { case (id, k) => (id, encodePng(syntheticImage(k))) })
-      .toDF("doc_id", "payload")
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+      key.cast("long").as("_k"))
+    // Encode each DISTINCT payload ONCE: the keyed generator exists to
+    // create deliberate duplicate groups, so |payloads| = |distinct
+    // keys| (97 in the fixture queries) while docs is corpus-sized.
+    // PNG encode is allocation-heavy — doing it per ROW (600k encodes
+    // at sf0.1 for 97 distinct images) made q177 the only >2× mover
+    // between the round-10 quiet seals. The key-cardinality payload
+    // dim broadcasts; the expensive measured work stays the DECODE
+    // scan in the consumer (imageDHash / resizeGrid), which is the
+    // per-row path a real binary column exercises.
+    val dim = keyed.select(col("_k")).distinct().as[Long]
+      .mapPartitions(_.map(k => (k, encodePng(syntheticImage(k)))))
+      .toDF("_k", "payload")
+    keyed.join(broadcast(dim), Seq("_k")).select("doc_id", "payload")
   }
 
   case class DHashRow(doc_id: Long, width: Int, height: Int, dhash: Long)
@@ -622,9 +634,14 @@ object MultimodalOps {
   def withAudioPayloadKeyed(spark: SparkSession, docs: DataFrame,
       idCol: String, key: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), key.cast("long")).as[(Long, Long)]
-      .mapPartitions(_.map { case (id, k) => (id, encodeWav(k)) })
-      .toDF("doc_id", "payload")
+    // same memoized-dim shape as [[withImagePayloadKeyed]]: encode
+    // each distinct key's WAV once, broadcast-join onto the corpus.
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+      key.cast("long").as("_k"))
+    val dim = keyed.select(col("_k")).distinct().as[Long]
+      .mapPartitions(_.map(k => (k, encodeWav(k))))
+      .toDF("_k", "payload")
+    keyed.join(broadcast(dim), Seq("_k")).select("doc_id", "payload")
   }
 
   case class AudioFingerprint(doc_id: Long, n_samples: Int, afp: Long)

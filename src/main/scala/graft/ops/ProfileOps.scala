@@ -277,7 +277,7 @@ object ProfileOps {
   def tokenDistJsdOracleSql(table: String, textCol: String,
       groupCol: String): String =
     s"""WITH c AS (SELECT $groupCol AS g, unnest(list_filter(
-       |    string_split_regex(lower($textCol), '\\s+'), x -> x <> '')) AS tok
+       |    string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS tok
        |  FROM $table),
        |cc AS (SELECT g, tok, count(*) AS c FROM c GROUP BY 1, 2),
        |nn AS (SELECT g, sum(c) AS n FROM cc GROUP BY g),
@@ -335,7 +335,7 @@ object ProfileOps {
   def heapsOracleSql(table: String, textCol: String,
       groupCol: String): String =
     s"""WITH t AS (SELECT $groupCol AS g, unnest(list_filter(
-       |    string_split_regex(lower($textCol), '\\s+'), x -> x <> '')) AS tok
+       |    string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS tok
        |  FROM $table),
        |gv AS (SELECT g, ln(CAST(count(*) AS DOUBLE)) AS x,
        |  ln(CAST(count(DISTINCT tok) AS DOUBLE)) AS y FROM t GROUP BY g),
@@ -379,9 +379,9 @@ object ProfileOps {
   /** DuckDB oracle replaying [[lengthLogNormal]]. */
   def lengthLogNormalOracleSql(table: String, textCol: String): String =
     s"""WITH b AS (SELECT ln(CAST(len(list_filter(string_split_regex(
-       |    lower($textCol), '\\s+'), x -> x <> '')) AS DOUBLE)) AS x
+       |    lower($textCol), '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS DOUBLE)) AS x
        |  FROM $table
-       |  WHERE len(list_filter(string_split_regex(lower($textCol), '\\s+'),
+       |  WHERE len(list_filter(string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+'),
        |    x -> x <> '')) > 0),
        |s AS (SELECT count(*) AS n, avg(x) AS mu, avg(x * x) AS ex2 FROM b)
        |SELECT CAST(n AS BIGINT) AS n, round(mu, 6) AS mu,
@@ -434,7 +434,7 @@ object ProfileOps {
   /** DuckDB oracle replaying [[zipfFit]]'s rank order and OLS math. */
   def zipfOracleSql(table: String, textCol: String): String =
     s"""WITH tok AS (SELECT unnest(list_filter(
-       |    string_split_regex(lower($textCol), '\\s+'), x -> x <> '')) AS tok
+       |    string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS tok
        |  FROM $table),
        |tc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
        |r AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE)
@@ -945,16 +945,21 @@ object ProfileOps {
     * observed [min, max] (top edge closed). Two scans (bounds, then
     * one aggregation); bin edges are the identical double arithmetic
     * in the oracle, so no rounding gate is needed — the lo column is
-    * bit-deterministic.
+    * bit-deterministic. A constant-valued column (mx == mn) is a
+    * degenerate domain: the bin-width division would be 0/0 = NaN,
+    * which Spark's int cast folds to 0 while DuckDB ERRORS on
+    * CAST(NaN AS INT) — so both engines branch explicitly and put
+    * every row in bin 0.
     */
   def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     require(nBins >= 1, s"histogram needs nBins >= 1, got $nBins")
     val v = col(valueCol).cast("double")
     val bounds = df.agg(min(v).as("mn"), max(v).as("mx"))
     df.select(v.as("v")).crossJoin(broadcast(bounds))
-      .select(least(floor((col("v") - col("mn"))
-          / ((col("mx") - col("mn")) / nBins)).cast("int"),
-        lit(nBins - 1)).as("bin"), col("mn"), col("mx"))
+      .select(when(col("mx") === col("mn"), lit(0))
+        .otherwise(least(floor((col("v") - col("mn"))
+            / ((col("mx") - col("mn")) / nBins)).cast("int"),
+          lit(nBins - 1))).as("bin"), col("mn"), col("mx"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         (min("mn") + col("bin") * ((min("mx") - min("mn")) / nBins))
@@ -966,11 +971,13 @@ object ProfileOps {
       nBins: Int): String =
     s"""WITH t AS (SELECT CAST($valueExpr AS DOUBLE) AS v FROM $table),
        |b AS (SELECT min(v) AS mn, max(v) AS mx FROM t)
-       |SELECT least(CAST(floor((v - mn) / ((mx - mn) / $nBins)) AS INT),
-       |    ${nBins - 1}) AS bin,
+       |SELECT CASE WHEN mx = mn THEN 0
+       |    ELSE least(CAST(floor((v - mn) / ((mx - mn) / $nBins)) AS INT),
+       |      ${nBins - 1}) END AS bin,
        |  CAST(count(*) AS BIGINT) AS n,
-       |  min(mn) + least(CAST(floor((v - mn) / ((mx - mn) / $nBins)) AS INT),
-       |    ${nBins - 1}) * ((min(mx) - min(mn)) / $nBins) AS lo
+       |  min(mn) + (CASE WHEN mx = mn THEN 0
+       |    ELSE least(CAST(floor((v - mn) / ((mx - mn) / $nBins)) AS INT),
+       |      ${nBins - 1}) END) * ((min(mx) - min(mn)) / $nBins) AS lo
        |FROM t CROSS JOIN b
        |GROUP BY 1""".stripMargin
 

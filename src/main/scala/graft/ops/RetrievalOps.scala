@@ -172,7 +172,7 @@ object RetrievalOps {
        |     list_transform(generate_series(1, len(w) - ${n - 1}), i -> $gram)
        |    ELSE [] END) AS g
        |  FROM (SELECT doc_id,
-       |        string_split_regex(lower(text), '\\s+') AS w
+       |        string_split_regex(lower(text), '[ \\t\\n\\f\\r]+') AS w
        |        FROM documents) t0) t1),
        |lexjac AS (
        | SELECT q.id AS query_id, c.id AS cand_id,

@@ -85,6 +85,26 @@ object SelectionOps {
       weightCol: String, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    // Weights must be non-negative INTEGERS with a positive total:
+    // cast("long") silently truncates fractional weights, and W == 0
+    // (empty input or all-zero weights) would otherwise floor-divide
+    // into nulls and leave the budget silently unallocated. The frame
+    // is group-cardinality by contract, so one eager driver-side
+    // aggregate is cheap insurance.
+    val chk = weights.agg(
+      sum(col(weightCol).cast("long")).as("tw"),
+      sum(when(col(weightCol).cast("double") =!=
+        col(weightCol).cast("long").cast("double"), 1L).otherwise(0L))
+        .as("nFrac"),
+      min(col(weightCol).cast("double")).as("mnW")).head()
+    require(!chk.isNullAt(0) && chk.getLong(0) > 0L,
+      s"largestRemainderAlloc: sum($weightCol) must be > 0 " +
+        "(empty input or all-zero weights)")
+    require(chk.getLong(1) == 0L,
+      s"largestRemainderAlloc: '$weightCol' has fractional values; " +
+        "weights must be integral (cast would silently truncate)")
+    require(chk.getDouble(2) >= 0.0,
+      s"largestRemainderAlloc: '$weightCol' has negative weights")
     val g = weights.select(col(groupCol).as("grp"),
       col(weightCol).cast("long").as("w"))
     val tot = g.agg(sum("w").as("tw"))

@@ -102,7 +102,7 @@ object TextOps {
       .foldLeft(noTags) { case (c, (from, to)) =>
         call_function("replace", c, lit(from), lit(to))
       }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
   }
 
   /** Heuristic marker-word scores per language. */
@@ -840,7 +840,7 @@ object TextOps {
   def tfidfCosinePairsOracleSql(table: String, idCol: String,
       textCol: String, minCosine: Double, minDf: Int, maxDf: Int): String =
     s"""WITH tk AS (SELECT $idCol AS id,
-       |  list_filter(string_split_regex(lower($textCol), '\\s+'), x -> x <> '') AS t
+       |  list_filter(string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+'), x -> x <> '') AS t
        | FROM $table),
        |tok AS (SELECT id, unnest(t) AS tok FROM tk),
        |tf AS (SELECT id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -1129,7 +1129,7 @@ object TextOps {
     */
   private def sentences(textCol: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    filter(split(regexp_replace(textCol, "([.!?])\\s+", "$1\u0001"),
+    filter(split(regexp_replace(textCol, "([.!?])[ \\t\\n\\f\\r]+", "$1\u0001"),
       "\u0001"), s => length(s) > 0)
 
   /** Sentence-aware chunking for RAG/context assembly: windows of
@@ -1165,7 +1165,7 @@ object TextOps {
     val step = size - overlap
     s"""WITH s AS (SELECT $idCol AS doc_id,
        |  list_filter(string_split(regexp_replace($textExpr,
-       |    '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+       |    '([.!?])[ \\t\\n\\f\\r]+', '\\1' || chr(1), 'g'), chr(1)),
        |    x -> length(x) > 0) AS sent
        |  FROM $table),
        |c AS (SELECT doc_id,
@@ -1189,7 +1189,7 @@ object TextOps {
   def readabilityByGroup(docs: DataFrame, textCol: String,
       groupCol: String): DataFrame = {
     val sent = sentences(col(textCol))
-    val words = filter(split(col(textCol), "\\s+"), s => length(s) > 0)
+    val words = filter(split(col(textCol), "[ \\t\\n\\f\\r]+"), s => length(s) > 0)
     val g = docs.select(col(groupCol).as("grp"),
         size_(sent).cast("long").as("ns"),
         size_(words).cast("long").as("nw"),
@@ -1211,9 +1211,9 @@ object TextOps {
       groupCol: String): String =
     s"""WITH d AS (SELECT $groupCol AS grp,
        |  len(list_filter(string_split(regexp_replace($textExpr,
-       |    '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+       |    '([.!?])[ \\t\\n\\f\\r]+', '\\1' || chr(1), 'g'), chr(1)),
        |    x -> length(x) > 0)) AS ns,
-       |  list_filter(string_split_regex($textExpr, '\\s+'),
+       |  list_filter(string_split_regex($textExpr, '[ \\t\\n\\f\\r]+'),
        |    x -> length(x) > 0) AS w
        |  FROM $table),
        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,

@@ -82,6 +82,14 @@ object TimeSeriesOps {
     * and the interpolation rounds once via (2*num + den) div (2*den).
     * The final /1e6 to double is a single deterministic IEEE op.
     * Requires non-negative values (div-based half-up).
+    *
+    * EXACTNESS BOUND: idiv is only exact while its operands stay
+    * under 2^53, and the interpolation numerator is ~value-in-micro-
+    * units × gap-span-in-seconds — a 1000.0 reading (1e9 µunits)
+    * across a multi-month gap (~1e7 s) overflows the bound and the
+    * bit-exactness claim silently breaks. Guarded at runtime: any
+    * gap row whose numerator magnitude reaches 2^53 raises instead
+    * of returning a last-digit-wrong value.
     */
   def interpolateGaps(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
@@ -110,8 +118,17 @@ object TimeSeriesOps {
     val nh = last(when(col("v6").isNotNull, col("h")), ignoreNulls = true).over(wnRev)
     val num = pv * (nh - col("h")) + nv * (col("h") - ph)
     val den = nh - ph
+    // runtime guard on the exact-division bound (see scaladoc): the
+    // rounded numerator 2*num + den must stay under 2^53 for idiv to
+    // be exact. Fail loudly rather than drift at the last digit.
+    val maxExact = lit(1L << 53)
+    val numOk = when(abs(num * 2 + den) < maxExact, num)
+      .otherwise(raise_error(concat(
+        lit("interpolateGaps: interpolation numerator exceeds the 2^53 "),
+        lit("exact-division bound (value × gap span too large) for key "),
+        col("k").cast("string"))))
     val vi6 = when(col("v6").isNotNull, col("v6"))
-      .otherwise(idiv(num * 2 + den, den * 2))
+      .otherwise(idiv(numOk * 2 + den, den * 2))
     j.select(col("k"), col("h"),
       (vi6 / lit(1000000.0)).as("v_interp"),
       col("v6").isNull.cast("int").as("is_gap"))

@@ -28,9 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object WinnowOps {
 
-  /** The normalized text the fingerprints hash over. */
+  /** The normalized text the fingerprints hash over. Explicit
+    * whitespace class (TextOps.Ws discipline): Java's \s includes
+    * \x0B, RE2's does not — the explicit class keeps engine and
+    * oracle byte-identical on documents containing vertical tabs.
+    */
   private def normText(textCol: String) =
-    lower(regexp_replace(col(textCol), "\\s+", ""))
+    lower(regexp_replace(col(textCol), "[ \\t\\n\\f\\r]+", ""))
 
   /** Per-document winnowing fingerprint sets, via the native
     * single-pass `graft_winnow` kernel (functions/WinnowFp.scala —
@@ -110,14 +114,17 @@ object WinnowOps {
     // scan is the expensive part.
     val fp = fingerprints(docs, idCol, textCol, k, w).select("id", "fp")
       .localCheckpoint()
-    // df guard as a broadcast ANTI-join against the (tiny) over-df
-    // blacklist: almost every fingerprint passes the guard, so the
-    // whitelist equi-join would shuffle the whole fp frame to drop a
-    // handful of boilerplate groups; the blacklist is bounded by
-    // |corpus|/maxDf and broadcasts.
+    // df guard as an ANTI-join against the over-df blacklist: almost
+    // every fingerprint passes the guard, so the whitelist equi-join
+    // would shuffle the whole fp frame to drop a handful of
+    // boilerplate groups. No explicit broadcast hint: the blacklist
+    // is only bounded by |fp rows|/maxDf, which at 100 TB can be tens
+    // of millions of strings — a forced broadcast would OOM the
+    // driver, while AQE broadcasts by MEASURED size when small and
+    // degrades to a shuffled anti-join gracefully when not.
     val bad = fp.groupBy("fp").agg(count(lit(1)).as("_df"))
       .where(col("_df") > maxDf).select("fp")
-    val guarded = fp.join(broadcast(bad), Seq("fp"), "left_anti")
+    val guarded = fp.join(bad, Seq("fp"), "left_anti")
     guarded.as("a").join(guarded.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -177,7 +184,8 @@ object WinnowOps {
     val fp = fingerprintsPos(docs, idCol, textCol, k, w).localCheckpoint()
     val bad = fp.groupBy("fp").agg(count(lit(1)).as("_df"))
       .where(col("_df") > maxDf).select("fp")
-    val guarded = fp.join(broadcast(bad), Seq("fp"), "left_anti")
+    // no broadcast hint — see dupPairs: AQE sizes the blacklist.
+    val guarded = fp.join(bad, Seq("fp"), "left_anti")
     guarded.as("a").join(guarded.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -191,7 +199,7 @@ object WinnowOps {
   def dupPairSpansOracleSql(table: String, idCol: String, textExpr: String,
       k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2): String =
     s"""WITH t AS (SELECT $idCol AS id,
-       |  lower(regexp_replace($textExpr, '\\s+', '', 'g')) AS s FROM $table),
+       |  lower(regexp_replace($textExpr, '[ \\t\\n\\f\\r]+', '', 'g')) AS s FROM $table),
        |g AS (SELECT id, CASE WHEN length(s) >= $k
        |  THEN list_transform(generate_series(1, length(s) - ${k - 1}),
        |    i -> substr(md5(substr(s, i, $k)), 1, 16))
@@ -306,7 +314,7 @@ object WinnowOps {
   def refOverlapOracleSql(table: String, idCol: String, textExpr: String,
       candPredSql: String, k: Int = 12, w: Int = 6): String =
     s"""WITH t AS (SELECT $idCol AS id, ($candPredSql) AS is_cand,
-       |  lower(regexp_replace($textExpr, '\\s+', '', 'g')) AS s FROM $table),
+       |  lower(regexp_replace($textExpr, '[ \\t\\n\\f\\r]+', '', 'g')) AS s FROM $table),
        |g AS (SELECT id, is_cand, CASE WHEN length(s) >= $k
        |  THEN list_transform(generate_series(1, length(s) - ${k - 1}),
        |    i -> substr(md5(substr(s, i, $k)), 1, 16))
@@ -340,9 +348,16 @@ object WinnowOps {
     */
   def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2,
-      n: Int = 3, thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9)): DataFrame = {
-    val pairs = verifiedPairs(docs, idCol, textCol, k, w, maxDf, minShared,
-      n, minJaccard = 0.0)
+      n: Int = 3, thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9)): DataFrame =
+    thresholdSweepFrom(verifiedPairs(docs, idCol, textCol, k, w, maxDf,
+      minShared, n, minJaccard = 0.0), thresholds)
+
+  /** The sweep aggregate over an ALREADY-MATERIALIZED minJaccard=0
+    * pair frame ([[WinnowStage.pairs]]) — the form the shared-stage
+    * pipeline uses so the funnel isn't recomputed per analysis.
+    */
+  def thresholdSweepFrom(pairs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9)): DataFrame = {
     val counts = thresholds.map(t =>
       sum((col("jac") >= t).cast("long"))
         .as(s"n_at_${(t * 100).round.toInt}"))
@@ -395,7 +410,7 @@ object WinnowOps {
       groupCol: String, topK: Int = 3, minDf: Long = 5,
       k: Int = 12, w: Int = 6): String =
     s"""WITH t AS (SELECT $idCol AS id, $groupCol AS grp,
-       |  lower(regexp_replace($textExpr, '\\s+', '', 'g')) AS s FROM $table),
+       |  lower(regexp_replace($textExpr, '[ \\t\\n\\f\\r]+', '', 'g')) AS s FROM $table),
        |g AS (SELECT id, grp, CASE WHEN length(s) >= $k
        |  THEN list_transform(generate_series(1, length(s) - ${k - 1}),
        |    i -> substr(md5(substr(s, i, $k)), 1, 16))
@@ -470,7 +485,7 @@ object WinnowOps {
   def dupPairsOracleSql(table: String, idCol: String, textExpr: String,
       k: Int = 12, w: Int = 6, maxDf: Int = 64, minShared: Int = 2): String =
     s"""WITH t AS (SELECT $idCol AS id,
-       |  lower(regexp_replace($textExpr, '\\s+', '', 'g')) AS s FROM $table),
+       |  lower(regexp_replace($textExpr, '[ \\t\\n\\f\\r]+', '', 'g')) AS s FROM $table),
        |g AS (SELECT id, CASE WHEN length(s) >= $k
        |  THEN list_transform(generate_series(1, length(s) - ${k - 1}),
        |    i -> substr(md5(substr(s, i, $k)), 1, 16))

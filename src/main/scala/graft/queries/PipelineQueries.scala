@@ -90,7 +90,7 @@ object PipelineQueries {
     s"""WITH RECURSIVE
        |mm AS (SELECT MAP([$keys], [$rks]) AS m),
        |w AS (SELECT doc_id,
-       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ws
        | FROM documents),
        |wn AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws FROM w),
        |wd AS (SELECT doc_id, CAST(wi AS INTEGER) AS wi,
@@ -181,7 +181,7 @@ object PipelineQueries {
     // the identical double when DuckDB parses it back
     def d(v: Double) = java.math.BigDecimal.valueOf(v).toPlainString + "::DOUBLE"
     s"""WITH f AS (SELECT doc_id, text,
-       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w,
+       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> x <> '') AS w,
        |  len(regexp_extract_all(text, '\\S+')) AS toks FROM documents),
        |s AS (SELECT doc_id,
        |  ${d(qw.bias)} + toks * ${d(qw.perToken)}
@@ -189,7 +189,7 @@ object PipelineQueries {
        |     / greatest(length(text), 1)) * ${d(qw.punctRatio)}
        |  + (len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and)\\b')) * 1.0::DOUBLE
        |     / greatest(toks, 1)) * ${d(qw.stopRatio)}
-       |  + (length(regexp_replace(text, '\\s', '', 'g')) * 1.0::DOUBLE
+       |  + (length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')) * 1.0::DOUBLE
        |     / greatest(toks, 1)) * ${d(qw.avgTokenLen)}
        |  + (CASE WHEN len(w) >= 2
        |      THEN 1.0::DOUBLE - len(list_distinct(list_transform(
@@ -410,6 +410,36 @@ object PipelineQueries {
             .select(lit(s"$a->$b").as("stage"), col("n_converted"),
               col("p50_s"), col("p90_s"))
         }.reduce(_ unionByName _)
+    }),
+
+    // Incremental IVF index maintenance (IvfIndexOps): batches
+    // indexed via additive sufficient-statistics merge must yield
+    // the SAME refreshed centers — and therefore the same probe
+    // assignments — as a from-scratch refresh over the union. Both
+    // paths run in the engine AND are independently replayed by the
+    // DuckDB oracle; the hash compare is exact by the fixed-point
+    // discipline (decimal(38,0) sums of round(x·1e7), 7dp means,
+    // 5dp distances, cell-asc ties).
+    "q239_ivf_incremental" -> ((s, d) => {
+      import graft.ops.IvfIndexOps
+      val emb = Tables(s, d, "embeddings")
+      val c0 = IvfIndexOps.initCenters(s, emb, "vec_id", "embedding", 8)
+      val statsA = IvfIndexOps.cellStats(s,
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", c0)
+      val statsB = IvfIndexOps.cellStats(s,
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", c0)
+      val cInc = IvfIndexOps.refresh(c0,
+        IvfIndexOps.mergeStats(statsA, statsB))
+      val cScr = IvfIndexOps.refresh(c0,
+        IvfIndexOps.cellStats(s, emb, "vec_id", "embedding", c0))
+      val probes = emb.where(col("vec_id") % 7 === 0)
+      val ai = IvfIndexOps.assign(s, probes, "vec_id", "embedding", cInc)
+        .select(col("id").as("vec_id"), col("cell").cast("int").as("cell_incr"))
+      val asx = IvfIndexOps.assign(s, probes, "vec_id", "embedding", cScr)
+        .select(col("id").as("vec_id"), col("cell").cast("int").as("cell_scratch"))
+      ai.join(asx, Seq("vec_id"))
+        .select(col("vec_id"), col("cell_incr"), col("cell_scratch"),
+          (col("cell_incr") === col("cell_scratch")).cast("int").as("agree"))
     }),
 
     // Audience overlap: exact Jaccard of user sets per event-type
@@ -1202,8 +1232,11 @@ object PipelineQueries {
     // running here" headline number.
     "q166_dedup_savings" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
+      // WinnowStage: the funnel is materialized ONCE per (app, dir)
+      // and shared across q156/q158/q160/q165/q166/q167 — the
+      // production shape (run the scan once, fan analyses out).
       val comps = GraphOps.connectedComponents(
-        WinnowOps.verifiedPairs(docs, "doc_id", "text", minJaccard = 0.3)
+        graft.ops.WinnowStage.pairsAt(s, d, 0.3)
           .select(col("id_a"), col("id_b")),
         "id_a", "id_b")
       val toks = docs.select(col("doc_id"),
@@ -1226,7 +1259,7 @@ object PipelineQueries {
     // at passage level): verified-pair counts per source pair.
     "q167_source_neardup" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      val vp = WinnowOps.verifiedPairs(docs, "doc_id", "text", minJaccard = 0.3)
+      val vp = graft.ops.WinnowStage.pairsAt(s, d, 0.3)
       val src = docs.select(col("doc_id"), col("source"))
       vp.join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
         .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
@@ -1251,7 +1284,7 @@ object PipelineQueries {
     // ladder from ONE candidate+verify pass — the production
     // threshold-tuning curve.
     "q165_threshold_sweep" -> ((s, d) =>
-      WinnowOps.thresholdSweep(Tables(s, d, "documents"), "doc_id", "text")),
+      WinnowOps.thresholdSweepFrom(graft.ops.WinnowStage.pairs(s, d))),
 
     // SFT example assembly with loss masks: prompt tokens mask 0,
     // completion mask 1, truncated — the instruction-tuning twin of
@@ -1274,7 +1307,7 @@ object PipelineQueries {
     "q160_leakage_safe_split" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val comps = GraphOps.connectedComponents(
-        WinnowOps.verifiedPairs(docs, "doc_id", "text", minJaccard = 0.3)
+        graft.ops.WinnowStage.pairsAt(s, d, 0.3)
           .select(col("id_a"), col("id_b")),
         "id_a", "id_b")
       docs.select(col("doc_id"))
@@ -1307,8 +1340,7 @@ object PipelineQueries {
     // dedup decisions, not just pairs).
     "q158_winnow_clusters" -> ((s, d) =>
       GraphOps.connectedComponents(
-        WinnowOps.verifiedPairs(Tables(s, d, "documents"), "doc_id", "text",
-          minJaccard = 0.3)
+        graft.ops.WinnowStage.pairsAt(s, d, 0.3)
           .select(col("id_a"), col("id_b")),
         "id_a", "id_b")
         .select(col("id"), col("comp").as("component"))),
@@ -1342,8 +1374,8 @@ object PipelineQueries {
     // word-3-gram Jaccard confirms — the exact measure runs on
     // |candidates|, never |corpus|².
     "q156_verified_pairs" -> ((s, d) =>
-      WinnowOps.verifiedPairs(Tables(s, d, "documents"), "doc_id", "text",
-        minJaccard = 0.3)),
+      graft.ops.WinnowStage.pairsAt(s, d, 0.3)
+        .select("id_a", "id_b", "n_shared", "jac")),
 
     // Nearest-centroid classification confusion matrix: embedding-
     // space label-noise audit (off-diagonal = suspect annotations).
@@ -2413,7 +2445,7 @@ object PipelineQueries {
       |  SELECT doc_id,
       |   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
       |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
       |        FROM documents) t0) t1),
       |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
       |inter AS (
@@ -2453,6 +2485,9 @@ object PipelineQueries {
             graft.ops.EventOps.conversionLatencyOracleSql(
               "events", "ts", "user_id", "event_type", a, b, 7) + ")"
         }.mkString("\nUNION ALL\n"),
+    "q239_ivf_incremental" -> graft.ops.IvfIndexOps
+      .incrementalRefreshOracleSql("embeddings", "vec_id", "embedding",
+        k = 8, probeMod = 7),
     "q236_audience_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
         |  FROM events),
@@ -2641,7 +2676,8 @@ object PipelineQueries {
          |FROM base CROSS JOIN dups CROSS JOIN qm CROSS JOIN ck"""
         .stripMargin),
     "q218_multimodal_dedup" ->
-      """WITH tf AS (SELECT md5(regexp_replace(lower(text), '\s+', '', 'g'))
+      """WITH tf AS (SELECT
+        |    md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g'))
         |    AS k FROM documents),
         |tg AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM tf GROUP BY k),
         |d AS (SELECT doc_id, doc_id % 97 AS k FROM documents),
@@ -3170,7 +3206,7 @@ object PipelineQueries {
         | FROM documents),
         |s1 AS (SELECT doc_id, sents,
         |  list_transform(sents, s -> CAST(len(list_filter(
-        |    string_split_regex(lower(s), '\s+'), x -> x <> '')) AS BIGINT)) AS tc
+        |    string_split_regex(lower(s), '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT)) AS tc
         | FROM s0 WHERE len(sents) > 0),
         |s2 AS (SELECT doc_id, sents,
         |  list_transform(generate_series(1, len(sents)), i ->
@@ -3185,7 +3221,7 @@ object PipelineQueries {
         |SELECT doc_id, passage_id,
         | CAST(len(sel) AS INTEGER) AS n_sentences,
         | CAST(len(list_filter(string_split_regex(
-        |   lower(array_to_string(sel, '. ')), '\s+'), x -> x <> ''))
+        |   lower(array_to_string(sel, '. ')), '[ \t\n\f\r]+'), x -> x <> ''))
         |   AS INTEGER) AS n_tokens,
         | md5(array_to_string(sel, '. ')) AS passage_md5
         |FROM sel WHERE len(sel) > 0""".stripMargin,
@@ -3197,7 +3233,7 @@ object PipelineQueries {
          |cnt AS (SELECT doc_id, CAST(sum(len(s)) AS BIGINT) AS nb
          |        FROM fin GROUP BY doc_id),
          |base AS (SELECT doc_id, lang, length(text) AS nc,
-         |  len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |  len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
          |      x -> x <> '')) AS nw
          | FROM documents),
          |j AS (SELECT lang, nc, nw, coalesce(nb, 0) AS nb
@@ -3260,7 +3296,7 @@ object PipelineQueries {
     "q142_source_jsd" ->
       ProfileOps.tokenDistJsdOracleSql("documents", "text", "source"),
     "q145_novelty_vs_ref" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
         | FROM documents),
         |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
         |  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -3338,7 +3374,7 @@ object PipelineQueries {
          |  ELSE text END AS t
          | FROM documents),
          |sig AS (SELECT doc_id, t,
-         |  CAST(len(list_filter(string_split_regex(lower(t), '\\s+'),
+         |  CAST(len(list_filter(string_split_regex(lower(t), '[ \\t\\n\\f\\r]+'),
          |    x -> x <> '')) AS BIGINT) AS n_words,
          |  len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.'))
          |    + len(regexp_extract_all(t, '…')) AS nsym,
@@ -3376,7 +3412,7 @@ object PipelineQueries {
       """,
         |ttk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(
         |  CASE WHEN doc_id % 31 = 0 THEN text || ' zzq zzq zzq' ELSE text END),
-        |  '\s+'), x -> x <> '') AS t FROM documents),
+        |  '[ \t\n\f\r]+'), x -> x <> '') AS t FROM documents),
         |tpos AS (SELECT id, unnest(generate_series(1, len(t) - 2)) AS i, t
         |         FROM ttk WHERE len(t) >= 3),
         |tg AS (SELECT id, t[i] AS a, t[i+1] AS b, t[i+2] AS c FROM tpos),
@@ -3456,7 +3492,7 @@ object PipelineQueries {
         | md5(rep) AS repaired_md5
         |FROM c""".stripMargin,
     "q116_gram_novelty" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
         | FROM documents),
         |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
         |  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -3673,7 +3709,7 @@ object PipelineQueries {
         |WHERE n_chars >= lo AND n_chars <= hi""".stripMargin,
     "q77_heavy_hitters" ->
       """WITH tk AS (SELECT
-        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '')) AS tok
         | FROM documents)
         |SELECT tok, count(*) AS est FROM tk GROUP BY tok""".stripMargin,
     "q71_line_dedup" ->
@@ -3726,7 +3762,7 @@ object PipelineQueries {
          |FROM bysrc, tot""".stripMargin,
     "q90_perplexity" ->
       """WITH tk AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS t
         | FROM documents),
         |pos AS (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
         |        FROM tk WHERE len(t) >= 2),
@@ -3743,7 +3779,7 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id""".stripMargin,
     "q93_tfidf" ->
       """WITH tk AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS t
         | FROM documents),
         |tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -3796,14 +3832,14 @@ object PipelineQueries {
         |FROM la LEFT JOIN reb ON la.doc_id = reb.doc_id""".stripMargin,
     "q72_bm25" ->
       """WITH tk AS (SELECT doc_id AS id,
-        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS dl,
-        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '')) AS dl,
+        |  unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '')) AS tok
         | FROM documents),
         |tf AS (SELECT id, tok, max(dl) AS dl, count(*) AS tf FROM tk
         |       WHERE tok IN ('spark', 'join', 'merge') GROUP BY id, tok),
         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
         |st AS (SELECT count(*) AS n_docs,
-        |       avg(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS avgdl
+        |       avg(len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> ''))) AS avgdl
         |       FROM documents)
         |SELECT id AS doc_id, round(sum(
         |  ln(1 + (n_docs - df + 0.5) / (df + 0.5))
@@ -3812,7 +3848,7 @@ object PipelineQueries {
         |GROUP BY id""".stripMargin,
     "q74_chunk_tokens" ->
       """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS w
         | FROM documents),
         |p AS (SELECT doc_id, w, len(w) AS n,
         |      greatest((len(w) - 16 + 47) // 48, 1) AS nc FROM w),
@@ -3911,7 +3947,7 @@ object PipelineQueries {
          |  (${qualityOracleSql(TextOps.TrainedQualityWeights)}) qt),
          |sub AS (SELECT doc_id, sum_span_tokens FROM ($substrSpansOracleSql) st),
          |fps AS (SELECT doc_id,
-         |  md5(regexp_replace(lower(text), '\\s+', '', 'g')) AS fp
+         |  md5(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', '', 'g')) AS fp
          | FROM documents),
          |sig AS (SELECT d.doc_id,
          |  (lang.lang_pred = 'en') AS p_lang,
@@ -3939,7 +3975,7 @@ object PipelineQueries {
         |       / greatest(length(text), 1), 5) AS punct_ratio,
         | round(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and)\b')) * 1.0
         |       / greatest(len(regexp_extract_all(text, '\S+')), 1), 5) AS stop_ratio,
-        | round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+        | round(length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) * 1.0
         |       / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS avg_token_len
         |FROM documents""".stripMargin,
     "q32_lang_predict" ->
@@ -4008,7 +4044,7 @@ object PipelineQueries {
         |        '<[^>]+>', ' ', 'g'),
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |      '&#39;', ''''), '&amp;', '&'),
-        |    '\s+', ' ', 'g')) AS text_clean
+        |    '[ \t\n\f\r]+', ' ', 'g')) AS text_clean
         | FROM h)
         |SELECT doc_id, text_clean,
         |  CAST(length(text_clean) AS INTEGER) AS n_chars_clean
@@ -4088,11 +4124,12 @@ object PipelineQueries {
          |  AND c.ci = 0 AND c.cj = 0""".stripMargin,
     "q33_fingerprint" ->
       """SELECT doc_id,
-        | md5(regexp_replace(lower(text), '\s+', '', 'g')) AS fp
+        | md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g')) AS fp
         |FROM documents""".stripMargin,
     "q34_bpe_tokens" ->
       """SELECT doc_id,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]')) AS INTEGER) AS n_bpe
         |FROM documents""".stripMargin,
     "q35_multimodal_meta" ->
       """SELECT doc_id,
@@ -4123,7 +4160,7 @@ object PipelineQueries {
         |  SELECT doc_id,
         |   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
         |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
         |        FROM documents) t0) t1),
         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
         |inter AS (
@@ -4138,7 +4175,7 @@ object PipelineQueries {
         |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 5) >= 0.2""".stripMargin,
     "q58_token_stats" ->
       """WITH tk AS (SELECT doc_id AS id,
-        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '')) AS tok
         | FROM documents),
         |pc AS (SELECT id, tok, count(*) AS c FROM tk GROUP BY 1, 2)
         |SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
@@ -4147,7 +4184,7 @@ object PipelineQueries {
         | round(1.0 - count(*) * 1.0 / sum(c), 5) AS dup_frac
         |FROM pc GROUP BY id""".stripMargin,
     "q59_repetition" ->
-      """WITH w AS (SELECT doc_id AS id, string_split_regex(lower(text), '\s+') AS w
+      """WITH w AS (SELECT doc_id AS id, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
         | FROM documents),
         |g AS (SELECT id,
         | CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
@@ -4172,7 +4209,7 @@ object PipelineQueries {
         |   ELSE 0.0 END AS dup_3gram_char_frac
         |FROM g""".stripMargin,
     "q60_contamination" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
         | FROM documents),
         |g AS (SELECT doc_id,
         | CASE WHEN len(w) >= 3
@@ -4189,11 +4226,14 @@ object PipelineQueries {
         |GROUP BY id, n_grams""".stripMargin,
     "q61_keep_best" ->
       """SELECT dedup_key, keep_id, keep_score, n_candidates FROM (
-        | SELECT md5(regexp_replace(lower(text), '\s+', '', 'g')) AS dedup_key,
+        | SELECT md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g'))
+        |    AS dedup_key,
         |  doc_id AS keep_id, n_chars AS keep_score,
-        |  count(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', '', 'g')))
+        |  count(*) OVER (PARTITION BY
+        |    md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g')))
         |    AS n_candidates,
-        |  row_number() OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', '', 'g'))
+        |  row_number() OVER (PARTITION BY
+        |    md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g'))
         |    ORDER BY n_chars DESC, doc_id) AS rn
         | FROM documents) t
         |WHERE rn = 1""".stripMargin,
@@ -4212,7 +4252,7 @@ object PipelineQueries {
         |FROM f""".stripMargin,
     "q65_vocabulary" ->
       """WITH tk AS (SELECT doc_id,
-        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '')) AS tok
         | FROM documents)
         |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM tk GROUP BY tok
@@ -4234,7 +4274,7 @@ object PipelineQueries {
         |   '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PII>', 'g')) AS redacted_md5
         |FROM t""".stripMargin,
     "q63_curation_funnel" ->
-      """WITH w0 AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w
+      """WITH w0 AS (SELECT doc_id, text, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
         | FROM documents),
         |g AS (SELECT doc_id, text,
         | CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
@@ -4252,7 +4292,7 @@ object PipelineQueries {
         | len(regexp_extract_all(lower(text), '\b(the|and|of)\b')) AS s_en,
         | CASE WHEN len(g2) > 0
         |   THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) ELSE 0.0 END AS dup2,
-        | md5(regexp_replace(lower(text), '\s+', '', 'g')) AS fp,
+        | md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g')) AS fp,
         | coalesce(cont.frac, 0.0) AS frac
         | FROM g LEFT JOIN cont ON g.doc_id = cont.doc_id
         | WHERE g.doc_id % 97 <> 0),
