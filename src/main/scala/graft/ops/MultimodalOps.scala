@@ -683,6 +683,131 @@ object MultimodalOps {
       .toDF()
   }
 
+  // ---------------------------------------------------------------
+  // Spectral features: fixed-bin DFT over the verified WAV decode —
+  // the standard next step past the energy-derivative fingerprint
+  // (q214) for audio dedup (tone/timbre structure survives level
+  // changes that re-shape frame energies).
+  //
+  // Exactness discipline (the LangNgram frozen-integer-model move):
+  // cos/sin are IRRATIONAL, so a double DFT can drift across engines
+  // — instead the basis is a FROZEN integer table round(cos·128) /
+  // round(sin·128), derived once at class-init from fixed constants
+  // and embedded verbatim in the DuckDB oracle's VALUES. Every
+  // feature is then pure integer multiply-add: re,im ≤ 256·2¹⁵·2⁷ =
+  // 2³⁰, power = re²+im² ≤ 2⁶¹ — long-exact, order-free,
+  // engine-identical.
+  // ---------------------------------------------------------------
+
+  /** Analysis frame: first `SpectralFrame` samples (shorter audio is
+    * dropped — the verified-decode honesty contract).
+    */
+  val SpectralFrame = 256
+
+  /** DFT bins analyzed (cycles per frame). */
+  val SpectralBins: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** Integer basis scale (2⁷ — headroom chosen so power fits a long). */
+  val SpectralScale = 128
+
+  private[graft] lazy val spectralCos: Array[Array[Long]] =
+    SpectralBins.map(k => Array.tabulate(SpectralFrame)(i =>
+      math.round(math.cos(2.0 * math.Pi * k * i / SpectralFrame)
+        * SpectralScale))).toArray
+
+  private[graft] lazy val spectralSin: Array[Array[Long]] =
+    SpectralBins.map(k => Array.tabulate(SpectralFrame)(i =>
+      math.round(math.sin(2.0 * math.Pi * k * i / SpectralFrame)
+        * SpectralScale))).toArray
+
+  /** Pure-Scala reference for one frame (the differential-spec twin
+    * and the in-task kernel): per analyzed bin, power = re² + im²
+    * under the frozen integer basis.
+    */
+  private[graft] def spectralPowers(samples: Array[Int]): Array[Long] = {
+    val out = new Array[Long](SpectralBins.size)
+    var b = 0
+    while (b < SpectralBins.size) {
+      val ct = spectralCos(b); val st = spectralSin(b)
+      var re = 0L; var im = 0L
+      var i = 0
+      while (i < SpectralFrame) {
+        re += samples(i) * ct(i)
+        im += samples(i) * st(i)
+        i += 1
+      }
+      out(b) = re * re + im * im
+      b += 1
+    }
+    out
+  }
+
+  case class SpectralRow(doc_id: Long, n_samples: Int, p_1: Long,
+      p_2: Long, p_4: Long, p_8: Long, p_16: Long, dom_bin: Int)
+
+  /** Fixed-bin spectral power features over the REAL decode path:
+    * first-frame integer DFT at [[SpectralBins]], plus the dominant
+    * bin (argmax power, smaller bin on ties). Narrow per-partition
+    * scan, zero shuffle; undecodable or sub-frame payloads drop.
+    */
+  def audioSpectral(spark: SparkSession, binDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWavS16Mono(bytes).filter(_._2.length >= SpectralFrame).map {
+          case (_, samples) =>
+            val p = spectralPowers(samples)
+            var dom = 0
+            var b = 1
+            while (b < p.length) {
+              if (p(b) > p(dom)) dom = b
+              b += 1
+            }
+            SpectralRow(id, samples.length, p(0), p(1), p(2), p(3), p(4),
+              SpectralBins(dom))
+        }
+      })
+      .toDF()
+  }
+
+  /** DuckDB replay of [[audioSpectral]] over the keyed synthetic
+    * payloads (key = doc_id % `mod`): formula samples for the first
+    * frame, the frozen integer basis embedded verbatim as VALUES,
+    * identical integer multiply-add.
+    */
+  def audioSpectralOracleSql(mod: Int): String = {
+    val rows = (0 until SpectralFrame).map { i =>
+      val cs = SpectralBins.indices
+        .flatMap(b => Seq(spectralCos(b)(i), spectralSin(b)(i)))
+      s"($i, ${cs.mkString(", ")})"
+    }.mkString(",\n ")
+    val cols = SpectralBins.map(k => s"c_$k, s_$k").mkString(", ")
+    val sums = SpectralBins.map(k =>
+      s"sum(s * c_$k) AS re_$k, sum(s * s_$k) AS im_$k").mkString(",\n    ")
+    val pows = SpectralBins.map(k =>
+      s"re_$k * re_$k + im_$k * im_$k AS p_$k").mkString(",\n  ")
+    val dom = SpectralBins.init.zipWithIndex.map { case (k, idx) =>
+      val laters = SpectralBins.drop(idx + 1).map(o => s"p_$k >= p_$o")
+        .mkString(" AND ")
+      s"WHEN $laters THEN $k"
+    }.mkString("CASE ", " ", s" ELSE ${SpectralBins.last} END")
+    s"""WITH d AS (SELECT doc_id, doc_id % $mod AS k FROM documents),
+       |keys AS (SELECT DISTINCT k, (k % 5 + 1) * 400 AS n FROM d),
+       |i0 AS (SELECT k, n, unnest(range(0, $SpectralFrame)) AS i FROM keys),
+       |sa AS (SELECT k, n, i,
+       |    (i * 37 + k * 101) % 65536 - 32768 AS s FROM i0),
+       |tab (i, $cols) AS (VALUES
+       | $rows),
+       |g AS (SELECT k, any_value(n) AS n,
+       |    $sums
+       |  FROM sa JOIN tab USING (i) GROUP BY k),
+       |p AS (SELECT k, n, $pows FROM g)
+       |SELECT d.doc_id, CAST(p.n AS INTEGER) AS n_samples,
+       |  ${SpectralBins.map(k => s"CAST(p_$k AS BIGINT) AS p_$k").mkString(", ")},
+       |  CAST($dom AS INTEGER) AS dom_bin
+       |FROM d JOIN p USING (k)""".stripMargin
+  }
+
   case class AudioStats(doc_id: Long, n_samples: Int, sample_rate: Int,
       min_s: Int, max_s: Int, sum_abs: Long, mean_abs: Double)
 

@@ -221,7 +221,11 @@ object PipelineQueries {
       merged: java.util.HashMap[String, Array[Long]],
       floors: Array[Long],
       mergedUni: java.util.HashMap[Character, Array[Long]],
-      uniFloor: Long): String = {
+      uniFloor: Long,
+      // (doc_id, text) source relation — q96 scores whole documents,
+      // q240 feeds sentence SPANS keyed doc_id*100000+idx through the
+      // same profile replay
+      srcSql: String = "SELECT doc_id, text FROM documents"): String = {
     val langs = langsIn
     import scala.jdk.CollectionConverters._
     def esc(s: String) = s.replace("'", "''")
@@ -246,9 +250,10 @@ object PipelineQueries {
       if (laters.isEmpty) s"ELSE '$l' END"
       else s"WHEN ${laters.map(o => s"s_$l >= s_$o").mkString(" AND ")} THEN '$l'"
     }.mkString("CASE ", " ", "")
-    s"""WITH docs AS (SELECT doc_id,
+    s"""WITH src AS ($srcSql),
+       |docs AS (SELECT doc_id,
        |  trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS t
-       | FROM documents),
+       | FROM src),
        |pos AS (SELECT doc_id, t,
        |  unnest(range(1, greatest(length(t) - 1, 1))) AS i FROM docs),
        |tri AS (SELECT doc_id, substring(t, CAST(i AS INTEGER), 3) AS tri FROM pos),
@@ -273,6 +278,43 @@ object PipelineQueries {
        |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
        |  $pred AS lang_pred
        |FROM f""".stripMargin
+  }
+
+  /** q240 oracle: sentence-span extraction (composite span key
+    * doc_id·100000 + idx — safe: a span per ~4 chars would need a
+    * 400k-char doc to collide), the q96 profile replay over spans,
+    * then the per-doc majority/mixture aggregation with the engine's
+    * (count desc, profile order asc) tie-break.
+    */
+  private def spanLangOracleSql: String = {
+    val L = graft.ops.LangNgram
+    val spanSrc =
+      """SELECT doc_id * 100000 + i - 1 AS doc_id, span AS text FROM (
+        | SELECT doc_id, unnest(sf) AS span,
+        |   unnest(generate_series(1, len(sf))) AS i FROM (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(
+        |    coalesce(text, ''), '([.!?])[ \t\n\f\r]+', '\1' || chr(1), 'g'),
+        |    chr(1)), x -> length(x) > 0) AS sf
+        |  FROM documents))""".stripMargin
+    val spanPred = langProfileOracleSql(L.langs, L.merged, L.floors,
+      L.mergedUni, L.sharedUniFloor, srcSql = spanSrc)
+    val ord = L.langs.zipWithIndex.map { case (l, i) =>
+      s"WHEN '$l' THEN $i"
+    }.mkString("CASE lang_pred ", " ", s" ELSE ${L.langs.size} END")
+    s"""WITH sp AS ($spanPred),
+       |m AS (SELECT doc_id // 100000 AS doc_id, lang_pred FROM sp),
+       |g AS (SELECT doc_id, lang_pred, count(*) AS n FROM m GROUP BY 1, 2),
+       |r AS (SELECT doc_id, lang_pred, n,
+       |   row_number() OVER (PARTITION BY doc_id
+       |     ORDER BY n DESC, $ord ASC) AS rn,
+       |   sum(n) OVER (PARTITION BY doc_id) AS ns,
+       |   count(*) OVER (PARTITION BY doc_id) AS nl
+       | FROM g)
+       |SELECT doc_id, CAST(ns AS BIGINT) AS n_spans,
+       |  CAST(nl AS BIGINT) AS n_langs, lang_pred AS lang_major,
+       |  round(n * 1.0::DOUBLE / ns, 6) AS major_frac,
+       |  CAST(nl > 1 AS INT) AS mixed
+       |FROM r WHERE rn = 1""".stripMargin
   }
 
   private def langWideOracleSql: String = {
@@ -441,6 +483,13 @@ object PipelineQueries {
         .select(col("vec_id"), col("cell_incr"), col("cell_scratch"),
           (col("cell_incr") === col("cell_scratch")).cast("int").as("agree"))
     }),
+
+    // Span-level (code-switching) language-ID: q96's frozen trigram
+    // profiles over sentence spans + per-doc mixture summary — the
+    // crawl reality one doc-level label misses (LangSpanOps).
+    "q240_span_lang" -> ((s, d) =>
+      graft.ops.LangSpanOps.docMixture(Tables(s, d, "documents"),
+        "doc_id", "text")),
 
     // Audience overlap: exact Jaccard of user sets per event-type
     // pair (|types|²-bounded output; distinct (type, user) frame
@@ -734,6 +783,16 @@ object PipelineQueries {
       MultimodalOps.audioFingerprint(s, pay)
         .groupBy("afp")
         .agg(count(lit(1)).as("n_audio"), min("doc_id").as("min_doc_id"))
+    }),
+
+    // Fixed-bin spectral power over the REAL WAV decode: frozen
+    // integer cos/sin basis (round(·128)) so the DFT is long-exact
+    // and the oracle replays it bit-for-bit — audio dedup's timbre
+    // signal beyond q214's energy-derivative hash.
+    "q241_audio_spectral" -> ((s, d) => {
+      val pay = MultimodalOps.withAudioPayloadKeyed(s,
+        Tables(s, d, "documents"), "doc_id", col("doc_id") % 61)
+      MultimodalOps.audioSpectral(s, pay)
     }),
 
     // Embedding-space benchmark decontamination: best cosine vs the
@@ -2488,6 +2547,7 @@ object PipelineQueries {
     "q239_ivf_incremental" -> graft.ops.IvfIndexOps
       .incrementalRefreshOracleSql("embeddings", "vec_id", "embedding",
         k = 8, probeMod = 7),
+    "q240_span_lang" -> spanLangOracleSql,
     "q236_audience_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
         |  FROM events),
@@ -2777,6 +2837,7 @@ object PipelineQueries {
         |SELECT afp, CAST(count(*) AS BIGINT) AS n_audio,
         |  min(doc_id) AS min_doc_id
         |FROM d JOIN fp USING (k) GROUP BY afp""".stripMargin,
+    "q241_audio_spectral" -> MultimodalOps.audioSpectralOracleSql(61),
     "q215_embedding_decontam" ->
       SimilarityOps.benchmarkContaminationOracleSql("embeddings",
         "vec_id", "embedding", "vec_id % 20 = 0", 0.35),
