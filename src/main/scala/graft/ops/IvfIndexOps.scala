@@ -122,6 +122,118 @@ object IvfIndexOps {
     next.toIndexedSeq.map(_.toIndexedSeq)
   }
 
+  // ---------------------------------------------------------------
+  // PQ-codebook incremental maintenance — the second half of the
+  // index update story ([[cellStats]]/[[refresh]] handle the coarse
+  // quantizer; these handle the per-subspace codebooks that
+  // knnIvfPq's ADC scan reads). Same sufficient-statistics design,
+  // one level deeper: state is per (subspace, code, pos) decimal
+  // residual sums + counts; batch merge is additive and therefore
+  // bit-identical to a from-scratch refresh (q242's oracle replays
+  // both paths).
+  // ---------------------------------------------------------------
+
+  /** Per-vector residuals vs frozen coarse `centers`: (id, r) with
+    * r[p] = v[p] − center[p] (IEEE subtraction of identical doubles —
+    * deterministic and SQL-replayable, unlike the seeded pqFit
+    * sample).
+    */
+  def residuals(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, centers: Seq[Seq[Double]]): DataFrame = {
+    val cent = centerTable(spark, centers)
+    assign(spark, emb, idCol, vecCol, centers)
+      .join(broadcast(cent), Seq("cell"))
+      .select(col("id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+  }
+
+  /** Deterministic content-keyed codebook seeds: the residual
+    * subvectors of the `nCodes` vectors with smallest
+    * md5("pq:" ++ id) — one doc set seeds all `m` subspaces.
+    * Returns [m][nCodes][dim/m].
+    */
+  def initCodebooks(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, centers: Seq[Seq[Double]], m: Int,
+      nCodes: Int): Seq[Seq[Seq[Double]]] = {
+    import spark.implicits._
+    val rows = residuals(spark, emb, idCol, vecCol, centers)
+      .withColumn("_c", md5(concat(lit("pq:"), col("id").cast("string"))))
+      .orderBy(col("_c"), col("id")).limit(nCodes)
+      .select("r").as[Seq[Double]].collect()
+    require(rows.length == nCodes,
+      s"corpus has ${rows.length} rows, need nCodes=$nCodes seeds")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val ds = dim / m
+    (0 until m).map(j => rows.toIndexedSeq.map(r =>
+      r.slice(j * ds, (j + 1) * ds).toIndexedSeq))
+  }
+
+  private def codebookTable(spark: SparkSession,
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (b, j) =>
+      b.zipWithIndex.map { case (cw, c) => (j, c, cw) }
+    }.toDF("j", "code", "bv")
+  }
+
+  /** Per-(vector, subspace) code assignment under frozen `books`:
+    * (id, j, code, rv). Same determinism contract as [[assign]]
+    * (5dp distances, code-asc ties). The codebook table (m·nCodes
+    * rows) broadcasts; the residual frame meets it in one equi-join
+    * on the subspace index.
+    */
+  def codeAssign(spark: SparkSession, resids: DataFrame,
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = books.size
+    val ds = books.head.head.size
+    val sub = resids.select(col("id"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("r"))
+      .select(col("id"), col("j"),
+        slice(col("r"), col("j") * ds + 1, lit(ds)).as("rv"))
+    val d = sub.join(broadcast(codebookTable(spark, books)), Seq("j"))
+      .select(col("id"), col("j"), col("code"), col("rv"),
+        round(sqrt(aggregate(
+          zip_with(col("rv"), col("bv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _)), 5).as("dist"))
+    val w = Window.partitionBy("id", "j")
+      .orderBy(col("dist").asc, col("code").asc)
+    d.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("id", "j", "code", "rv")
+  }
+
+  /** One batch's codebook sufficient statistics: (j, code, p,
+    * s: decimal(38,0) fixed-point residual sum, n). m·nCodes·(dim/m)
+    * rows — the persistable per-batch codebook delta.
+    */
+  def codeStats(spark: SparkSession, resids: DataFrame,
+      books: Seq[Seq[Seq[Double]]]): DataFrame =
+    codeAssign(spark, resids, books)
+      .select(col("j"), col("code"), posexplode(col("rv")).as(Seq("p", "x")))
+      .select(col("j"), col("code"), col("p"),
+        round(col("x") * 1e7, 0).cast("decimal(38,0)").as("xi"))
+      .groupBy("j", "code", "p")
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+
+  /** Additive merge of codebook stats — the incremental update. */
+  def mergeCodeStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("j", "code", "p")
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+
+  /** Refreshed codebooks from a stats store: 7dp means; a code with
+    * no members keeps its previous codeword.
+    */
+  def refreshCodebooks(prev: Seq[Seq[Seq[Double]]],
+      stats: DataFrame): Seq[Seq[Seq[Double]]] = {
+    val next = prev.map(_.map(_.toArray).toArray).toArray
+    stats.select(col("j"), col("code"), col("p"),
+        round(col("s").cast("double") / 1e7 / col("n"), 7).as("c"))
+      .collect().foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+    next.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq))
+  }
+
   /** DuckDB replay of the full q239 protocol: seed → assign → per-
     * batch stats (batch = id % 2) → incremental merge AND from-scratch
     * stats → both refreshed center sets → probe assignments under
@@ -186,4 +298,93 @@ object IvfIndexOps {
        |  CAST(asx.cell AS INTEGER) AS cell_scratch,
        |  CAST(ai.cell = asx.cell AS INTEGER) AS agree
        |FROM ai JOIN asx ON ai.id = asx.id""".stripMargin
+
+  /** DuckDB replay of the full q242 PQ protocol: coarse seed/assign
+    * (the q239 prefix) → residuals → md5-keyed codebook seeds →
+    * per-batch codebook stats → incremental merge AND from-scratch →
+    * both refreshed codebooks → probe encodes under each →
+    * per-subspace agreement.
+    */
+  def incrementalPqOracleSql(table: String, idCol: String,
+      vecCol: String, k: Int, m: Int, nCodes: Int, dim: Int,
+      probeMod: Int): String = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val ds = dim / m
+    s"""WITH e AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v
+       |  FROM $table),
+       |init AS (SELECT row_number() OVER (
+       |    ORDER BY md5('ivf:' || CAST(id AS VARCHAR)), id) - 1 AS cell, v AS cv
+       |  FROM e ORDER BY md5('ivf:' || CAST(id AS VARCHAR)), id LIMIT $k),
+       |d0 AS (SELECT e.id, e.v, i.cell,
+       |    round(sqrt(list_sum(list_transform(generate_series(1, len(e.v)),
+       |      j -> (e.v[j] - i.cv[j]) * (e.v[j] - i.cv[j])))), 5) AS dist
+       |  FROM e CROSS JOIN init i),
+       |asg0 AS (SELECT id, v, cell FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY id ORDER BY dist ASC, cell ASC) AS rn FROM d0)
+       |  WHERE rn = 1),
+       |r AS (SELECT a.id, list_transform(generate_series(1, len(a.v)),
+       |    p -> a.v[p] - i.cv[p]) AS r
+       |  FROM asg0 a JOIN init i USING (cell)),
+       |binit AS (SELECT row_number() OVER (
+       |    ORDER BY md5('pq:' || CAST(id AS VARCHAR)), id) - 1 AS code, r
+       |  FROM r ORDER BY md5('pq:' || CAST(id AS VARCHAR)), id LIMIT $nCodes),
+       |jj AS (SELECT unnest(range(0, $m)) AS j),
+       |b0 AS (SELECT jj.j, binit.code, list_transform(
+       |    generate_series(1, $ds), p -> r[jj.j * $ds + p]) AS bv
+       |  FROM binit CROSS JOIN jj),
+       |rsub AS (SELECT id, jj.j, list_transform(
+       |    generate_series(1, $ds), p -> r[jj.j * $ds + p]) AS rv
+       |  FROM r CROSS JOIN jj),
+       |cd0 AS (SELECT s.id, s.j, b.code, s.rv,
+       |    round(sqrt(list_sum(list_transform(generate_series(1, $ds),
+       |      p -> (s.rv[p] - b.bv[p]) * (s.rv[p] - b.bv[p])))), 5) AS dist
+       |  FROM rsub s JOIN b0 b USING (j)),
+       |ca0 AS (SELECT id, j, code, rv FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY id, j ORDER BY dist ASC, code ASC) AS rn FROM cd0)
+       |  WHERE rn = 1),
+       |x AS (SELECT id % 2 AS batch, j, code,
+       |    unnest(generate_series(1, $ds)) - 1 AS p,
+       |    unnest(list_transform(rv,
+       |      a -> CAST(round(a * 1e7, 0) AS DECIMAL(38,0)))) AS xi
+       |  FROM ca0),
+       |stb AS (SELECT batch, j, code, p, sum(xi) AS s, count(*) AS n
+       |  FROM x GROUP BY batch, j, code, p),
+       |sti AS (SELECT j, code, p, sum(s) AS s, sum(n) AS n
+       |  FROM stb GROUP BY j, code, p),
+       |sts AS (SELECT j, code, p, sum(xi) AS s, count(*) AS n
+       |  FROM x GROUP BY j, code, p),
+       |pp AS (SELECT unnest(generate_series(1, $ds)) - 1 AS p),
+       |b1i AS (SELECT b.j, b.code, list(coalesce(
+       |      round(CAST(t.s AS DOUBLE) / 1e7 / t.n, 7), b.bv[pp.p + 1])
+       |    ORDER BY pp.p) AS bv
+       |  FROM b0 b CROSS JOIN pp
+       |  LEFT JOIN sti t ON t.j = b.j AND t.code = b.code AND t.p = pp.p
+       |  GROUP BY b.j, b.code),
+       |b1s AS (SELECT b.j, b.code, list(coalesce(
+       |      round(CAST(t.s AS DOUBLE) / 1e7 / t.n, 7), b.bv[pp.p + 1])
+       |    ORDER BY pp.p) AS bv
+       |  FROM b0 b CROSS JOIN pp
+       |  LEFT JOIN sts t ON t.j = b.j AND t.code = b.code AND t.p = pp.p
+       |  GROUP BY b.j, b.code),
+       |probes AS (SELECT id, j, rv FROM rsub WHERE id % $probeMod = 0),
+       |di AS (SELECT s.id, s.j, b.code,
+       |    round(sqrt(list_sum(list_transform(generate_series(1, $ds),
+       |      p -> (s.rv[p] - b.bv[p]) * (s.rv[p] - b.bv[p])))), 5) AS dist
+       |  FROM probes s JOIN b1i b USING (j)),
+       |ai AS (SELECT id, j, code FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY id, j ORDER BY dist ASC, code ASC) AS rn FROM di)
+       |  WHERE rn = 1),
+       |dx AS (SELECT s.id, s.j, b.code,
+       |    round(sqrt(list_sum(list_transform(generate_series(1, $ds),
+       |      p -> (s.rv[p] - b.bv[p]) * (s.rv[p] - b.bv[p])))), 5) AS dist
+       |  FROM probes s JOIN b1s b USING (j)),
+       |a2 AS (SELECT id, j, code FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY id, j ORDER BY dist ASC, code ASC) AS rn FROM dx)
+       |  WHERE rn = 1)
+       |SELECT ai.id AS vec_id, CAST(ai.j AS INTEGER) AS subspace,
+       |  CAST(ai.code AS INTEGER) AS code_incr,
+       |  CAST(a2.code AS INTEGER) AS code_scratch,
+       |  CAST(ai.code = a2.code AS INTEGER) AS agree
+       |FROM ai JOIN a2 ON ai.id = a2.id AND ai.j = a2.j""".stripMargin
+  }
 }

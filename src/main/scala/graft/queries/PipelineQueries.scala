@@ -484,6 +484,35 @@ object PipelineQueries {
           (col("cell_incr") === col("cell_scratch")).cast("int").as("agree"))
     }),
 
+    // PQ-codebook incremental maintenance (q239's second half): per-
+    // subspace codebook sufficient statistics merged across batches
+    // must refresh to the SAME codebooks — probe encodes compared
+    // per subspace, both paths independently replayed by the oracle.
+    "q242_pq_incremental" -> ((s, d) => {
+      import graft.ops.IvfIndexOps
+      val emb = Tables(s, d, "embeddings")
+      val c0 = IvfIndexOps.initCenters(s, emb, "vec_id", "embedding", 8)
+      val b0 = IvfIndexOps.initCodebooks(s, emb, "vec_id", "embedding",
+        c0, m = 4, nCodes = 4)
+      val rAll = IvfIndexOps.residuals(s, emb, "vec_id", "embedding", c0)
+      val bInc = IvfIndexOps.refreshCodebooks(b0, IvfIndexOps.mergeCodeStats(
+        IvfIndexOps.codeStats(s, rAll.where(col("id") % 2 === 0), b0),
+        IvfIndexOps.codeStats(s, rAll.where(col("id") % 2 === 1), b0)))
+      val bScr = IvfIndexOps.refreshCodebooks(b0,
+        IvfIndexOps.codeStats(s, rAll, b0))
+      val probes = rAll.where(col("id") % 7 === 0)
+      val ai = IvfIndexOps.codeAssign(s, probes, bInc)
+        .select(col("id").as("vec_id"), col("j").cast("int").as("subspace"),
+          col("code").cast("int").as("code_incr"))
+      val a2 = IvfIndexOps.codeAssign(s, probes, bScr)
+        .select(col("id").as("vec_id"), col("j").cast("int").as("subspace"),
+          col("code").cast("int").as("code_scratch"))
+      ai.join(a2, Seq("vec_id", "subspace"))
+        .select(col("vec_id"), col("subspace"), col("code_incr"),
+          col("code_scratch"),
+          (col("code_incr") === col("code_scratch")).cast("int").as("agree"))
+    }),
+
     // Span-level (code-switching) language-ID: q96's frozen trigram
     // profiles over sentence spans + per-doc mixture summary — the
     // crawl reality one doc-level label misses (LangSpanOps).
@@ -2548,6 +2577,9 @@ object PipelineQueries {
       .incrementalRefreshOracleSql("embeddings", "vec_id", "embedding",
         k = 8, probeMod = 7),
     "q240_span_lang" -> spanLangOracleSql,
+    "q242_pq_incremental" -> graft.ops.IvfIndexOps
+      .incrementalPqOracleSql("embeddings", "vec_id", "embedding",
+        k = 8, m = 4, nCodes = 4, dim = 64, probeMod = 7),
     "q236_audience_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
         |  FROM events),
