@@ -484,6 +484,69 @@ object PipelineQueries {
           (col("cell_incr") === col("cell_scratch")).cast("int").as("agree"))
     }),
 
+    // Temperature-scaled source mixture (the multilingual-rebalance
+    // standard: w_i ∝ n_i^(1/T), T<1 upsamples the tail) allocated to
+    // an exact integer token budget by the Hamilton apportionment —
+    // raw counts → exp(ln(n)/T) weights (spelled identically in the
+    // oracle) → largestRemainderAlloc, so the final allocation sums
+    // to the budget EXACTLY on every engine.
+    "q244_temperature_mixture" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val toks = docs.groupBy("source")
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      val w = toks.select(col("source"), col("n_tokens"),
+        round(exp(log(col("n_tokens").cast("double")) / 0.7), 0)
+          .cast("long").as("w"))
+      val alloc = SelectionOps.largestRemainderAlloc(w, "source", "w",
+          1000000L)
+        .select(col("grp").as("source"), col("alloc"))
+      w.join(alloc, Seq("source"))
+        .select(col("source"), col("n_tokens"), col("w").as("weight"),
+          col("alloc"),
+          round(col("alloc").cast("double") / 1000000L, 6).as("alloc_frac"))
+    }),
+
+    // CCNet-style span-perplexity filter (Wenzek et al. 2020): score
+    // each sentence span under the q126 KN bigram model (trained on
+    // the 'en' slice), keep low-perplexity spans, report the per-doc
+    // retention + kept-span quality. Doc-level perplexity keeps or
+    // drops whole documents; the span filter salvages the clean
+    // paragraphs of mixed-quality pages — the production crawl move.
+    "q243_span_ppl_filter" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      // %13 docs get a gibberish tail sentence (all-unseen bigrams →
+      // backoff-floor perplexity ≈ ln(B+V+1) ≫ thr): the span filter
+      // must salvage the clean leading span and drop the junk one —
+      // the CCNet scenario in miniature. The model trains on the
+      // UNINJECTED 'en' slice.
+      val junk = ". zxq vlorp qeth wubble snarv gribbet zund flep vorx."
+      val injected = docs.withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(junk)))
+          .otherwise(col("text")))
+      val spans = graft.ops.LangSpanOps.sentenceSpans(injected, "doc_id", "text")
+        .select((col("doc_id") * 100000 + col("span_idx")).as("id"),
+          col("span"))
+      val scored = LmOps.score(spans,
+        docs.where(col("lang") === "en")
+          .select(col("doc_id").as("id"), col("text").as("span")),
+        "id", "span")
+      val thr = 6.0
+      scored.select(expr("id div 100000").as("doc_id"),
+          col("kn_logppl"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("kn_logppl").isNotNull.cast("long")).as("n_scored"),
+          sum(when(col("kn_logppl") <= thr, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kn_logppl") <= thr,
+            col("kn_logppl").cast("decimal(18,5)"))).as("_s"))
+        .select(col("doc_id"), col("n_spans"), col("n_scored"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_spans"), 6)
+            .as("keep_frac"),
+          when(col("n_kept") > 0,
+            round(col("_s").cast("double") / col("n_kept"), 6))
+            .as("mean_ppl_kept"))
+    }),
+
     // PQ-codebook incremental maintenance (q239's second half): per-
     // subspace codebook sufficient statistics merged across batches
     // must refresh to the SAME codebooks — probe encodes compared
@@ -2580,6 +2643,65 @@ object PipelineQueries {
     "q242_pq_incremental" -> graft.ops.IvfIndexOps
       .incrementalPqOracleSql("embeddings", "vec_id", "embedding",
         k = 8, m = 4, nCodes = 4, dim = 64, probeMod = 7),
+    "q244_temperature_mixture" -> {
+      val baseSql =
+        """SELECT source,
+          |  CAST(sum(len(regexp_extract_all(text, '[^ \t\n\f\r]+')))
+          |    AS BIGINT) AS n_tokens
+          |FROM documents GROUP BY source""".stripMargin
+      val weightsSql =
+        s"""SELECT source AS grp,
+           |  CAST(round(exp(ln(CAST(n_tokens AS DOUBLE)) / 0.7), 0)
+           |    AS BIGINT) AS w
+           |FROM ($baseSql)""".stripMargin
+      s"""WITH base AS ($baseSql),
+         |al AS (${SelectionOps.largestRemainderOracleSql(weightsSql, 1000000L)})
+         |SELECT b.source, b.n_tokens, al.weight, al.alloc,
+         |  round(CAST(al.alloc AS DOUBLE) / 1000000, 6) AS alloc_frac
+         |FROM base b JOIN al ON b.source = al.grp""".stripMargin
+    },
+    "q243_span_ppl_filter" -> (LmOps.knOracleWith("d.lang = 'en'") +
+      """,
+        |inj AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |   THEN text || '. zxq vlorp qeth wubble snarv gribbet zund flep vorx.'
+        |   ELSE text END AS text FROM documents),
+        |sp AS (SELECT doc_id, doc_id * 100000 + i - 1 AS id, span FROM (
+        |  SELECT doc_id, unnest(sf) AS span,
+        |    unnest(generate_series(1, len(sf))) AS i FROM (
+        |   SELECT doc_id, list_filter(string_split(regexp_replace(
+        |     coalesce(text, ''), '([.!?])[ \t\n\f\r]+', '\1' || chr(1), 'g'),
+        |     chr(1)), x -> length(x) > 0) AS sf
+        |   FROM inj))),
+        |stk AS (SELECT id, list_filter(string_split_regex(lower(span),
+        |    '[ \t\n\f\r]+'), x -> x <> '') AS t FROM sp),
+        |spos AS (SELECT id, unnest(generate_series(1, len(t) - 1)) AS i, t
+        |         FROM stk WHERE len(t) >= 2),
+        |sbg AS (SELECT id, t[i] AS a, t[i+1] AS b FROM spos),
+        |sc AS (SELECT id,
+        |  round(avg(-ln(CASE WHEN heads.c_a IS NULL
+        |    THEN CAST(coalesce(conts.n1p_back, 0) + 1 AS DOUBLE) / (bt + vc + 1)
+        |    ELSE greatest(CAST(coalesce(cab.c_ab, 0) AS DOUBLE) - 0.75, 0.0) / c_a
+        |      + 0.75 * n1p_fwd / c_a
+        |        * (CAST(coalesce(conts.n1p_back, 0) + 1 AS DOUBLE) / (bt + vc + 1))
+        |    END)), 5) AS kn_logppl
+        | FROM sbg LEFT JOIN cab USING (a, b) LEFT JOIN heads USING (a)
+        |      LEFT JOIN conts USING (b), scalars
+        | GROUP BY id),
+        |j AS (SELECT sp.doc_id, sc.kn_logppl
+        |  FROM sp LEFT JOIN sc ON sp.id = sc.id),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN kn_logppl IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_scored,
+        |  CAST(sum(CASE WHEN kn_logppl <= 6.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  sum(CASE WHEN kn_logppl <= 6.0
+        |    THEN CAST(kn_logppl AS DECIMAL(18,5)) END) AS s
+        | FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_spans, n_scored, n_kept,
+        |  round(CAST(n_kept AS DOUBLE) / n_spans, 6) AS keep_frac,
+        |  CASE WHEN n_kept > 0
+        |    THEN round(CAST(s AS DOUBLE) / n_kept, 6) END AS mean_ppl_kept
+        |FROM g""".stripMargin),
     "q236_audience_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
         |  FROM events),

@@ -436,4 +436,41 @@ class PlanSpec extends SparkSpec {
     assert(!readSchemas.contains("o_comment") && !readSchemas.contains("l_comment"),
       readSchemas)
   }
+
+  test("q239/q242 incremental index: model tables broadcast; only the final equality-compare joins sort-merge") {
+    for (q <- Seq("q239_ivf_incremental", "q242_pq_incremental")) {
+      val s = formatted(q)
+      // the k-row (or m·nCodes-row) model table must meet the corpus
+      // via broadcast (nested-loop is fine too: it IS the per-row
+      // k-center distance scan)
+      assert(s.contains("BroadcastNestedLoopJoin") ||
+        s.contains("BroadcastHashJoin"), s"$q: $s")
+      assert(!s.contains("CartesianProduct"), s"$q has a cartesian")
+      // SMJ may appear ONLY for the incr-vs-scratch comparison join of
+      // the two probe-assignment frames (equal-sized by construction —
+      // the right plan); the corpus-side model joins must not SMJ, so
+      // at most the comparison join's worth of SortMergeJoins exist
+      // (counted on the plain plan tree — formatted mode prints each
+      // operator twice)
+      val smj = "SortMergeJoin".r.findAllIn(plan(q).toString).size
+      assert(smj <= 1, s"$q: $smj sort-merge joins — a model join degraded")
+    }
+  }
+
+  test("q241 audio spectral: narrow decode scan — payload dim broadcasts, no wide shuffle of payloads") {
+    val s = formatted("q241_audio_spectral")
+    // the 61-key payload dim joins by broadcast; the decode itself is
+    // a mapPartitions over the joined frame (no Exchange after it)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q240 span lang: scoring is scan-side; only (doc, lang) counts shuffle") {
+    val s = formatted("q240_span_lang")
+    // no join machinery at all — profiles are JVM-static
+    assert(!s.contains("Join"), s)
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      readSchema)
+  }
 }
