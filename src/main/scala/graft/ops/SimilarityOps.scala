@@ -1140,4 +1140,163 @@ object SimilarityOps {
        |   PARTITION BY label ORDER BY dist DESC, vec_id ASC) AS rn FROM d)
        |SELECT label, vec_id, dist, CAST(rn AS INT) AS rn
        |FROM r WHERE rn <= $topK""".stripMargin
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998):
+    * diversified top-3 from each query's `nCand` nearest candidates —
+    * the retrieval-stack move that keeps near-duplicate hits from
+    * crowding a result page / RAG context window:
+    *
+    *   pick_t = argmax_c  λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+    *
+    * Greedy selection is inherently sequential, so the three steps
+    * are UNROLLED into a static dataflow (candidates → argmax →
+    * penalty join → argmax → …): every stage is a bounded join/window
+    * over the nCand-per-query candidate frame, the whole plan has a
+    * line-for-line DuckDB twin, and deeper k generalizes by chaining
+    * more steps. Determinism: all similarities round to 6dp before
+    * any comparison (the [[knnBrute]] rule), scores round to 6dp,
+    * ties break by candidate id.
+    *
+    * Scale shape: candidates come from ANY top-N source (brute here;
+    * swap in the LSH/IVF path at corpus scale — MMR only ever touches
+    * N²-per-query pair sims, never the corpus).
+    *
+    * @return (query_id, rank 1..3, cand_id, mmr_score)
+    */
+  def mmrTop3(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, lambda: Double = 0.7, nCand: Int = 10): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda in (0,1], got $lambda")
+    require(nCand >= 3, s"need nCand >= 3, got $nCand")
+    val cand = knnBrute(emb, idCol, vecCol, queryPred, nCand)
+    val vv = emb.select(col(idCol).as("_vid"),
+      transform(col(vecCol), _.cast("double")).as("_v"))
+    val cv = cand.join(vv, col("cand_id") === col("_vid"))
+      .select(col("query_id"), col("cand_id"), col("sim"), col("_v"))
+    // pairwise candidate sims within a query: nCand² rows per query
+    val psim = cv.as("a").join(cv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+        col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.cand_id").as("ca"), col("b.cand_id").as("cb"),
+        round(nativeCosine(emb)(col("a._v"), col("b._v")), 6).as("ps"))
+    def argmax(df: DataFrame, scoreCol: String): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col(scoreCol).desc, col("cand_id").asc)
+      df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("query_id"), col("cand_id").as("sel"),
+          col(scoreCol).as("sel_score"))
+    }
+    val rel = cand.select(col("query_id"), col("cand_id"),
+      col("sim"))
+    // renamed pair-sim views so penalty joins are unambiguous
+    val p1 = psim.select(col("query_id").as("q"), col("ca").as("c1"),
+      col("cb").as("s1c"), col("ps").as("ps1"))
+    val p2 = psim.select(col("query_id").as("q2"), col("ca").as("c2"),
+      col("cb").as("s2c"), col("ps").as("ps2"))
+    // Scores are computed in EXACT decimal, not rounded doubles: sim
+    // and ps are exact 6dp values, λ is a 2dp literal, so λ·sim −
+    // (1−λ)·ps is exact at 8dp in decimal — rounding a double product
+    // instead hits half-way cases where Spark (shortest-decimal
+    // HALF_UP) and DuckDB (binary-value round) disagree by 1 ulp of
+    // the grid (seen at sf0.01: 0.2600395 → .260040 vs .260039).
+    val lD = lit(lambda).cast("decimal(3,2)")
+    val omD = lit(1 - lambda).cast("decimal(3,2)")
+    def simD(c: Column) = c.cast("decimal(18,6)")
+    val s1 = argmax(rel.withColumn("m1",
+      (simD(col("sim")) * lD).cast("double")), "m1")
+    val r2 = rel
+      .join(s1.select(col("query_id"), col("sel").as("x1")), Seq("query_id"))
+      .where(col("cand_id") =!= col("x1"))
+      .join(p1, col("query_id") === col("q") && col("cand_id") === col("c1")
+        && col("x1") === col("s1c"))
+      .select(col("query_id"), col("cand_id"), col("sim"),
+        (simD(col("sim")) * lD - omD * simD(col("ps1")))
+          .cast("double").as("m2"))
+    val s2 = argmax(r2, "m2")
+    // step 3: penalty = max pair-sim vs BOTH selected
+    val r3 = rel
+      .join(s1.select(col("query_id"), col("sel").as("x1")), Seq("query_id"))
+      .join(s2.select(col("query_id"), col("sel").as("x2")), Seq("query_id"))
+      .where(col("cand_id") =!= col("x1") && col("cand_id") =!= col("x2"))
+      .join(p1, col("query_id") === col("q") && col("cand_id") === col("c1")
+        && col("x1") === col("s1c"))
+      .join(p2, col("query_id") === col("q2") && col("cand_id") === col("c2")
+        && col("x2") === col("s2c"))
+      .select(col("query_id"), col("cand_id"), col("sim"),
+        (simD(col("sim")) * lD
+          - omD * greatest(simD(col("ps1")), simD(col("ps2"))))
+          .cast("double").as("m3"))
+    val s3 = argmax(r3, "m3")
+    s1.select(col("query_id"), lit(1).as("rank"), col("sel").as("cand_id"),
+        col("sel_score").as("mmr_score"))
+      .unionByName(s2.select(col("query_id"), lit(2).as("rank"),
+        col("sel").as("cand_id"), col("sel_score").as("mmr_score")))
+      .unionByName(s3.select(col("query_id"), lit(3).as("rank"),
+        col("sel").as("cand_id"), col("sel_score").as("mmr_score")))
+  }
+
+  /** DuckDB replay of [[mmrTop3]] — the identical unrolled dataflow. */
+  def mmrOracleSql(table: String, idCol: String, vecCol: String,
+      queryWhere: String, lambda: Double = 0.7, nCand: Int = 10): String = {
+    val l = lambda
+    val om = 1 - lambda
+    s"""WITH cand AS (SELECT query_id, cand_id, sim FROM (
+       | SELECT q.$idCol AS query_id, c.$idCol AS cand_id,
+       |  round(list_cosine_similarity(CAST(q.$vecCol AS DOUBLE[]),
+       |                               CAST(c.$vecCol AS DOUBLE[])), 6) AS sim,
+       |  row_number() OVER (PARTITION BY q.$idCol ORDER BY
+       |    round(list_cosine_similarity(CAST(q.$vecCol AS DOUBLE[]),
+       |                                 CAST(c.$vecCol AS DOUBLE[])), 6) DESC,
+       |    c.$idCol) AS rn
+       | FROM $table q JOIN $table c ON q.$idCol <> c.$idCol
+       | WHERE $queryWhere) t WHERE rn <= $nCand),
+       |ps AS (SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+       |   round(list_cosine_similarity(CAST(va.$vecCol AS DOUBLE[]),
+       |                                CAST(vb.$vecCol AS DOUBLE[])), 6) AS ps
+       | FROM cand a JOIN cand b
+       |   ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+       | JOIN $table va ON va.$idCol = a.cand_id
+       | JOIN $table vb ON vb.$idCol = b.cand_id),
+       |s1 AS (SELECT query_id, cand_id AS sel, m AS sel_score FROM (
+       |  SELECT query_id, cand_id,
+       |    CAST(CAST(sim AS DECIMAL(18,6)) * CAST($l AS DECIMAL(3,2))
+       |      AS DOUBLE) AS m,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY CAST(CAST(sim AS DECIMAL(18,6))
+       |        * CAST($l AS DECIMAL(3,2)) AS DOUBLE) DESC, cand_id) AS rn
+       |    FROM cand) t
+       |  WHERE rn = 1),
+       |r2 AS (SELECT c.query_id, c.cand_id,
+       |   CAST(CAST(c.sim AS DECIMAL(18,6)) * CAST($l AS DECIMAL(3,2))
+       |     - CAST($om AS DECIMAL(3,2)) * CAST(p.ps AS DECIMAL(18,6))
+       |     AS DOUBLE) AS m
+       | FROM cand c JOIN s1 ON c.query_id = s1.query_id
+       |   AND c.cand_id <> s1.sel
+       | JOIN ps p ON p.query_id = c.query_id AND p.ca = c.cand_id
+       |   AND p.cb = s1.sel),
+       |s2 AS (SELECT query_id, cand_id AS sel, m AS sel_score FROM (
+       |  SELECT query_id, cand_id, m, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY m DESC, cand_id) AS rn FROM r2) t
+       |  WHERE rn = 1),
+       |r3 AS (SELECT c.query_id, c.cand_id,
+       |   CAST(CAST(c.sim AS DECIMAL(18,6)) * CAST($l AS DECIMAL(3,2))
+       |     - CAST($om AS DECIMAL(3,2))
+       |       * greatest(CAST(pa.ps AS DECIMAL(18,6)),
+       |                  CAST(pb.ps AS DECIMAL(18,6))) AS DOUBLE) AS m
+       | FROM cand c JOIN s1 ON c.query_id = s1.query_id
+       |   AND c.cand_id <> s1.sel
+       | JOIN s2 ON c.query_id = s2.query_id AND c.cand_id <> s2.sel
+       | JOIN ps pa ON pa.query_id = c.query_id AND pa.ca = c.cand_id
+       |   AND pa.cb = s1.sel
+       | JOIN ps pb ON pb.query_id = c.query_id AND pb.ca = c.cand_id
+       |   AND pb.cb = s2.sel),
+       |s3 AS (SELECT query_id, cand_id AS sel, m AS sel_score FROM (
+       |  SELECT query_id, cand_id, m, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY m DESC, cand_id) AS rn FROM r3) t
+       |  WHERE rn = 1)
+       |SELECT query_id, 1 AS rank, sel AS cand_id, sel_score AS mmr_score
+       |  FROM s1
+       |UNION ALL SELECT query_id, 2, sel, sel_score FROM s2
+       |UNION ALL SELECT query_id, 3, sel, sel_score FROM s3""".stripMargin
+  }
 }

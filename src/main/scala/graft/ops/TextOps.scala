@@ -323,6 +323,37 @@ object TextOps {
   def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Re))
   def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
 
+  /** Candidate payment-card numbers: contiguous 13–16 digit runs at
+    * word boundaries. Regex alone over-flags (timestamps, order ids);
+    * pair with [[luhnValidCount]].
+    */
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(text, lit("\\b[0-9]{13,16}\\b"), lit(0))
+
+  /** Luhn checksum over a digit string (right-to-left, double every
+    * second digit, subtract 9 above 9, total divisible by 10) — pure
+    * HOF integer math, SQL-replayable.
+    */
+  private[graft] def luhnOk(s: Column): Column = {
+    val rev = reverse(s)
+    val total = aggregate(sequence(lit(1), length(s)), lit(0),
+      (acc, i) => {
+        val d = ascii(rev.substr(i, lit(1))) - 48
+        val dd = when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      })
+    pmod(total, lit(10)) === 0
+  }
+
+  /** Count of Luhn-VALID card candidates — the high-precision PII
+    * signal (the checksum cuts the digit-run false-positive rate an
+    * order of magnitude; a flagged doc goes to redaction/quarantine).
+    * Zero shuffle, whole-stage codegen.
+    */
+  def luhnValidCount(text: Column): Column =
+    size(filter(cardCandidates(text), (c: Column) => luhnOk(c)))
+
   /** Redact all PII matches with a fixed token (order: email, ip,
     * phone — emails are scrubbed before the ip pattern can nibble at
     * dotted hostnames).

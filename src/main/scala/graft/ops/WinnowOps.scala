@@ -292,6 +292,50 @@ object WinnowOps {
     * @return (id, n_fp, n_known, round(overlap,5)) per candidate —
     *         overlap null for un-fingerprint-able docs
     */
+  /** The passage-fingerprint INDEX: distinct winnow fingerprints of a
+    * corpus — the persisted store the crawl loop probes and grows
+    * (the [[DedupOps.dedupAgainstStore]] discipline at passage
+    * granularity). fp-only frame: tiny relative to text, dedupable,
+    * bucketable.
+    */
+  def fingerprintIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 6): DataFrame =
+    fingerprints(docs, idCol, textCol, k, w).select("fp").distinct()
+
+  /** Incremental index update: distinct union — IDEMPOTENT (replaying
+    * a batch is a no-op) and associative, so any batch order builds
+    * the same store.
+    */
+  def indexUpdate(store: DataFrame, batchFps: DataFrame): DataFrame =
+    store.unionByName(batchFps).distinct()
+
+  /** Score a new batch against the CURRENT store: per doc its
+    * fingerprint count, how many are already indexed, the overlap
+    * share, and the keep decision (`overlap ≤ maxOverlap`, docs too
+    * short to fingerprint keep). The crawl-loop near-verbatim filter:
+    * score batch N against store, keep survivors, fold batch N's fps
+    * in via [[indexUpdate]], move to batch N+1 — one fingerprint scan
+    * per batch, the store never rescans old text.
+    */
+  def overlapAgainstIndex(batch: DataFrame, store: DataFrame,
+      idCol: String, textCol: String, maxOverlap: Double = 0.5,
+      k: Int = 12, w: Int = 6): DataFrame = {
+    val refIdx = store.select(col("fp")).distinct().withColumn("known", lit(1))
+    val cand = fingerprints(batch, idCol, textCol, k, w)
+    val per = cand.join(refIdx, Seq("fp"), "left")
+      .groupBy("id")
+      .agg(first(col("n_fp")).as("_n"),
+        sum(col("known").isNotNull.cast("long")).as("_k"))
+    batch.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_n"), lit(0L)).as("n_fp"),
+        coalesce(col("_k"), lit(0L)).as("n_known"),
+        when(col("_n") > 0,
+          round(col("_k").cast("double") / col("_n"), 5)).as("overlap"))
+      .withColumn("keep",
+        (col("overlap").isNull || col("overlap") <= maxOverlap).cast("int"))
+  }
+
   def refOverlap(candidates: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, k: Int = 12, w: Int = 6): DataFrame = {
     val refIdx = fingerprints(reference, idCol, textCol, k, w)

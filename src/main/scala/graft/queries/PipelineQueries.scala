@@ -484,6 +484,60 @@ object PipelineQueries {
           (col("cell_incr") === col("cell_scratch")).cast("int").as("agree"))
     }),
 
+    // Incremental passage-fingerprint index (the crawl loop): build
+    // the store from batch 1, score batch 2 against it, fold batch 2
+    // in, score batch 3 against the grown store. %73 docs are FULL
+    // duplicates of an indexed page (overlap 1.0 → dropped); %29 docs
+    // share one boilerplate passage (partial overlap → kept).
+    "q247_winnow_incremental" -> ((s, d) => {
+      val fullDup = "this exact landing page is mirrored verbatim across " +
+        "every regional site of the network with no local changes at all"
+      val boiler = " Subscribe to our newsletter for weekly updates and " +
+        "exclusive member offers."
+      val docs = Tables(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 73 === 0, lit(fullDup))
+          .when(col("doc_id") % 29 === 0, concat(col("text"), lit(boiler)))
+          .otherwise(col("text")))
+      val b1 = docs.where(col("doc_id") % 3 === 0)
+      val b2 = docs.where(col("doc_id") % 3 === 1)
+      val b3 = docs.where(col("doc_id") % 3 === 2)
+      val store1 = WinnowOps.fingerprintIndex(b1, "doc_id", "text")
+      val r2 = WinnowOps.overlapAgainstIndex(b2, store1, "doc_id", "text")
+        .select(col("id").as("doc_id"), lit(2).as("batch"), col("n_fp"),
+          col("n_known"), col("overlap"), col("keep"))
+      val store2 = WinnowOps.indexUpdate(store1,
+        WinnowOps.fingerprintIndex(b2, "doc_id", "text"))
+      val r3 = WinnowOps.overlapAgainstIndex(b3, store2, "doc_id", "text")
+        .select(col("id").as("doc_id"), lit(3).as("batch"), col("n_fp"),
+          col("n_known"), col("overlap"), col("keep"))
+      r2.unionByName(r3)
+    }),
+
+    // Luhn-validated card-number PII: 13-16 digit runs checked by
+    // the payment-card checksum — the precision upgrade over bare
+    // digit regexes. Fixture: %17 docs carry a VALID test card
+    // number, %19 docs an invalid one digit off; the checksum must
+    // separate them.
+    "q246_luhn_pii" -> ((s, d) => {
+      val t = when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" card 4539148803436467 ok")))
+        .when(col("doc_id") % 19 === 0,
+          concat(col("text"), lit(" num 4539148803436468 bad")))
+        .otherwise(col("text"))
+      Tables(s, d, "documents").select(col("doc_id"),
+        size(TextOps.cardCandidates(t)).as("n_card_cands"),
+        TextOps.luhnValidCount(t).as("n_cards"),
+        (TextOps.luhnValidCount(t) > 0).cast("int").as("has_card"))
+    }),
+
+    // MMR-diversified retrieval (Carbonell & Goldstein): top-3 from
+    // each query's 10 candidates balancing relevance vs redundancy —
+    // the result-page/RAG-context dedup move; unrolled greedy with a
+    // line-for-line SQL twin.
+    "q245_mmr_diversified" -> ((s, d) =>
+      SimilarityOps.mmrTop3(Tables(s, d, "embeddings"), "vec_id",
+        "embedding", col("vec_id") < 5)),
+
     // Temperature-scaled source mixture (the multilingual-rebalance
     // standard: w_i ∝ n_i^(1/T), T<1 upsamples the tail) allocated to
     // an exact integer token budget by the Hamilton apportionment —
@@ -2643,6 +2697,75 @@ object PipelineQueries {
     "q242_pq_incremental" -> graft.ops.IvfIndexOps
       .incrementalPqOracleSql("embeddings", "vec_id", "embedding",
         k = 8, m = 4, nCodes = 4, dim = 64, probeMod = 7),
+    "q245_mmr_diversified" -> SimilarityOps.mmrOracleSql("embeddings",
+      "vec_id", "embedding", "q.vec_id < 5"),
+    "q247_winnow_incremental" ->
+      """WITH t AS (SELECT doc_id AS id, doc_id % 3 AS b,
+        |  lower(regexp_replace(CASE
+        |    WHEN doc_id % 73 = 0 THEN 'this exact landing page is mirrored verbatim across every regional site of the network with no local changes at all'
+        |    WHEN doc_id % 29 = 0 THEN text || ' Subscribe to our newsletter for weekly updates and exclusive member offers.'
+        |    ELSE text END, '[ \t\n\f\r]+', '', 'g')) AS s FROM documents),
+        |g AS (SELECT id, b, CASE WHEN length(s) >= 12
+        |  THEN list_transform(generate_series(1, length(s) - 11),
+        |    i -> substr(md5(substr(s, i, 12)), 1, 16))
+        |  ELSE [] END AS h FROM t),
+        |f AS (SELECT id, b, list_distinct(CASE
+        |   WHEN len(h) = 0 THEN []
+        |   WHEN len(h) <= 6 THEN [list_min(h)]
+        |   ELSE list_transform(generate_series(1, len(h) - 5),
+        |     i -> list_min(h[i:i+5])) END) AS fps FROM g),
+        |s1 AS (SELECT DISTINCT unnest(fps) AS fp FROM f WHERE b = 0),
+        |e2 AS (SELECT id, len(fps) AS n_fp, unnest(fps) AS fp
+        |  FROM f WHERE b = 1),
+        |p2 AS (SELECT e2.id, any_value(e2.n_fp) AS n,
+        |   sum(CASE WHEN r.fp IS NULL THEN 0 ELSE 1 END) AS kn
+        |  FROM e2 LEFT JOIN s1 r USING (fp) GROUP BY e2.id),
+        |r2 AS (SELECT t.id AS doc_id, 2 AS batch,
+        |   CAST(coalesce(p2.n, 0) AS BIGINT) AS n_fp,
+        |   CAST(coalesce(p2.kn, 0) AS BIGINT) AS n_known,
+        |   CASE WHEN p2.n > 0 THEN round(p2.kn * 1.0::DOUBLE / p2.n, 5) END
+        |     AS overlap
+        |  FROM t LEFT JOIN p2 ON t.id = p2.id WHERE t.b = 1),
+        |s2 AS (SELECT DISTINCT fp FROM (
+        |  SELECT fp FROM s1
+        |  UNION ALL SELECT unnest(fps) AS fp FROM f WHERE b = 1)),
+        |e3 AS (SELECT id, len(fps) AS n_fp, unnest(fps) AS fp
+        |  FROM f WHERE b = 2),
+        |p3 AS (SELECT e3.id, any_value(e3.n_fp) AS n,
+        |   sum(CASE WHEN r.fp IS NULL THEN 0 ELSE 1 END) AS kn
+        |  FROM e3 LEFT JOIN s2 r USING (fp) GROUP BY e3.id),
+        |r3 AS (SELECT t.id AS doc_id, 3 AS batch,
+        |   CAST(coalesce(p3.n, 0) AS BIGINT) AS n_fp,
+        |   CAST(coalesce(p3.kn, 0) AS BIGINT) AS n_known,
+        |   CASE WHEN p3.n > 0 THEN round(p3.kn * 1.0::DOUBLE / p3.n, 5) END
+        |     AS overlap
+        |  FROM t LEFT JOIN p3 ON t.id = p3.id WHERE t.b = 2),
+        |u AS (SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+        |SELECT doc_id, batch, n_fp, n_known, overlap,
+        |  CAST(overlap IS NULL OR overlap <= 0.5 AS INTEGER) AS keep
+        |FROM u""".stripMargin,
+    "q246_luhn_pii" ->
+      """WITH c AS (SELECT doc_id, CASE
+        |   WHEN doc_id % 17 = 0 THEN text || ' card 4539148803436467 ok'
+        |   WHEN doc_id % 19 = 0 THEN text || ' num 4539148803436468 bad'
+        |   ELSE text END AS t FROM documents),
+        |e AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(t, '\b[0-9]{13,16}\b')) AS cand FROM c),
+        |v AS (SELECT doc_id,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, length(cand)),
+        |    i -> CASE WHEN i % 2 = 0 THEN
+        |      CASE WHEN (ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48) * 2 > 9
+        |        THEN (ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48) * 2 - 9
+        |        ELSE (ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48) * 2 END
+        |      ELSE ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48 END))
+        |    % 10 = 0 THEN 1 ELSE 0 END AS ok FROM e),
+        |g AS (SELECT doc_id, count(*) AS nc, sum(ok) AS nv
+        |  FROM v GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(coalesce(g.nc, 0) AS INTEGER) AS n_card_cands,
+        |  CAST(coalesce(g.nv, 0) AS INTEGER) AS n_cards,
+        |  CAST(coalesce(g.nv, 0) > 0 AS INTEGER) AS has_card
+        |FROM c LEFT JOIN g USING (doc_id)""".stripMargin,
     "q244_temperature_mixture" -> {
       val baseSql =
         """SELECT source,
