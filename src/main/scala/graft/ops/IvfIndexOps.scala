@@ -93,7 +93,15 @@ object IvfIndexOps {
     */
   def cellStats(spark: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, centers: Seq[Seq[Double]]): DataFrame =
-    assign(spark, emb, idCol, vecCol, centers)
+    cellStatsFromAssigned(assign(spark, emb, idCol, vecCol, centers))
+
+  /** Stats from an ALREADY-ASSIGNED (id, v, cell) frame — callers
+    * that split one assignment scan into several batch deltas
+    * (q239's shape) checkpoint the assignment once and derive every
+    * delta from it, instead of re-running the corpus scan per batch.
+    */
+  def cellStatsFromAssigned(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .select(col("cell"), col("pos"),
         round(col("x") * 1e7, 0).cast("decimal(38,0)").as("xi"))

@@ -466,14 +466,19 @@ object PipelineQueries {
       import graft.ops.IvfIndexOps
       val emb = Tables(s, d, "embeddings")
       val c0 = IvfIndexOps.initCenters(s, emb, "vec_id", "embedding", 8)
-      val statsA = IvfIndexOps.cellStats(s,
-        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", c0)
-      val statsB = IvfIndexOps.cellStats(s,
-        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", c0)
+      // ONE assignment scan, checkpointed; batch deltas and the
+      // from-scratch aggregate all derive from it (the stats-merge
+      // equality is what's under test, not the scan)
+      val asg = IvfIndexOps.assign(s, emb, "vec_id", "embedding", c0)
+        .localCheckpoint()
+      val statsA = IvfIndexOps.cellStatsFromAssigned(
+        asg.where(col("id") % 2 === 0))
+      val statsB = IvfIndexOps.cellStatsFromAssigned(
+        asg.where(col("id") % 2 === 1))
       val cInc = IvfIndexOps.refresh(c0,
         IvfIndexOps.mergeStats(statsA, statsB))
       val cScr = IvfIndexOps.refresh(c0,
-        IvfIndexOps.cellStats(s, emb, "vec_id", "embedding", c0))
+        IvfIndexOps.cellStatsFromAssigned(asg))
       val probes = emb.where(col("vec_id") % 7 === 0)
       val ai = IvfIndexOps.assign(s, probes, "vec_id", "embedding", cInc)
         .select(col("id").as("vec_id"), col("cell").cast("int").as("cell_incr"))
@@ -482,6 +487,66 @@ object PipelineQueries {
       ai.join(asx, Seq("vec_id"))
         .select(col("vec_id"), col("cell_incr"), col("cell_scratch"),
           (col("cell_incr") === col("cell_scratch")).cast("int").as("agree"))
+    }),
+
+    // Leave-one-source-out data valuation: corpus mean quality with
+    // vs without each source — the "which feed drags the mixture
+    // down" curation analytic. Exact decimal(18,5) sums (quality is
+    // a 5dp grid) so group/total statistics are order-free.
+    "q248_loo_source_impact" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val q = TextOps.qualityScore(docs, "doc_id", "text",
+          TextOps.TrainedQualityWeights)
+        .select(col("id").as("doc_id"), col("quality"))
+      val per = q.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("quality").cast("decimal(18,5)")).as("_s"))
+      val tot = per.agg(sum("n_docs").as("_nn"), sum("_s").as("_ss"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("_s").cast("double") / col("n_docs"), 6).as("mean_source"),
+          round(col("_ss").cast("double") / col("_nn"), 6).as("mean_all"),
+          round((col("_ss") - col("_s")).cast("double")
+            / (col("_nn") - col("n_docs")), 6).as("mean_without"),
+          round((col("_ss") - col("_s")).cast("double")
+              / (col("_nn") - col("n_docs"))
+            - col("_ss").cast("double") / col("_nn"), 6).as("delta"))
+    }),
+
+    // Data-driven MinHash-LSH parameter tuning: for each (rows r,
+    // bands b) config, the EXPECTED candidate workload on THIS
+    // corpus's measured pair-similarity distribution (the WinnowStage
+    // jac histogram) via the S-curve P = 1−(1−j^r)^b — split into
+    // expected true candidates (jac ≥ 0.3) and expected false ones.
+    // Powers are squaring chains (r, b powers of two) so both engines
+    // compute identical doubles; per-pair P rounds to micro-units and
+    // sums as exact longs.
+    "q249_lsh_tuning" -> ((s, d) => {
+      import s.implicits._
+      val cfg = Seq((2, 4), (2, 8), (2, 16), (4, 8), (4, 16), (8, 16))
+        .toDF("r", "b")
+      val j = col("jac")
+      val j2 = j * j; val j4 = j2 * j2; val j8 = j4 * j4
+      val jr = when(col("r") === 2, j2).when(col("r") === 4, j4)
+        .otherwise(j8)
+      val q1 = lit(1.0) - jr
+      val q2 = q1 * q1; val q4 = q2 * q2; val q8 = q4 * q4
+      val q16 = q8 * q8
+      val qb = when(col("b") === 4, q4).when(col("b") === 8, q8)
+        .otherwise(q16)
+      val pm = round((lit(1.0) - qb) * 1e6, 0).cast("long")
+      graft.ops.WinnowStage.pairs(s, d).select("jac")
+        .crossJoin(broadcast(cfg))
+        .select(col("r"), col("b"), col("jac"), pm.as("pm"))
+        .groupBy("r", "b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("jac") >= 0.3, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("jac") >= 0.3, col("pm")).otherwise(0L)).as("_tp"),
+          sum(when(col("jac") < 0.3, col("pm")).otherwise(0L)).as("_fp"))
+        .select(col("r"), col("b"), col("n_pairs"), col("n_true"),
+          round(col("_tp") / 1e6, 6).as("exp_tp"),
+          round(col("_fp") / 1e6, 6).as("exp_fp"))
     }),
 
     // Incremental passage-fingerprint index (the crawl loop): build
@@ -611,7 +676,10 @@ object PipelineQueries {
       val c0 = IvfIndexOps.initCenters(s, emb, "vec_id", "embedding", 8)
       val b0 = IvfIndexOps.initCodebooks(s, emb, "vec_id", "embedding",
         c0, m = 4, nCodes = 4)
+      // residuals scanned once (consumed by two batch deltas, the
+      // from-scratch aggregate, and the probe encodes)
       val rAll = IvfIndexOps.residuals(s, emb, "vec_id", "embedding", c0)
+        .localCheckpoint()
       val bInc = IvfIndexOps.refreshCodebooks(b0, IvfIndexOps.mergeCodeStats(
         IvfIndexOps.codeStats(s, rAll.where(col("id") % 2 === 0), b0),
         IvfIndexOps.codeStats(s, rAll.where(col("id") % 2 === 1), b0)))
@@ -2699,6 +2767,48 @@ object PipelineQueries {
         k = 8, m = 4, nCodes = 4, dim = 64, probeMod = 7),
     "q245_mmr_diversified" -> SimilarityOps.mmrOracleSql("embeddings",
       "vec_id", "embedding", "q.vec_id < 5"),
+    "q248_loo_source_impact" ->
+      s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
+         |j AS (SELECT d.source, qq.quality
+         |  FROM q qq JOIN documents d USING (doc_id)),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  sum(CAST(quality AS DECIMAL(18,5))) AS s FROM j GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn, sum(s) AS ss
+         |  FROM per)
+         |SELECT source, n_docs,
+         |  round(CAST(s AS DOUBLE) / n_docs, 6) AS mean_source,
+         |  round(CAST(ss AS DOUBLE) / nn, 6) AS mean_all,
+         |  round(CAST(ss - s AS DOUBLE) / (nn - n_docs), 6) AS mean_without,
+         |  round(CAST(ss - s AS DOUBLE) / (nn - n_docs)
+         |    - CAST(ss AS DOUBLE) / nn, 6) AS delta
+         |FROM per CROSS JOIN tot""".stripMargin,
+    "q249_lsh_tuning" -> {
+      val vp = WinnowOps.verifiedPairsOracleSql("documents", "doc_id",
+        "text", minJaccard = 0.0)
+      s"""WITH vp AS ($vp),
+         |c (r, b) AS (VALUES (2, 4), (2, 8), (2, 16), (4, 8), (4, 16),
+         |  (8, 16)),
+         |x1 AS (SELECT r, b, jac, jac * jac AS j2 FROM vp CROSS JOIN c),
+         |x2 AS (SELECT *, j2 * j2 AS j4 FROM x1),
+         |x3 AS (SELECT *, j4 * j4 AS j8 FROM x2),
+         |x4 AS (SELECT r, b, jac, 1.0::DOUBLE - (CASE r WHEN 2 THEN j2
+         |   WHEN 4 THEN j4 ELSE j8 END) AS q1 FROM x3),
+         |x5 AS (SELECT *, q1 * q1 AS q2 FROM x4),
+         |x6 AS (SELECT *, q2 * q2 AS q4 FROM x5),
+         |x7 AS (SELECT *, q4 * q4 AS q8 FROM x6),
+         |x8 AS (SELECT *, q8 * q8 AS q16 FROM x7),
+         |x9 AS (SELECT r, b, jac, CAST(round((1.0::DOUBLE - (CASE b
+         |   WHEN 4 THEN q4 WHEN 8 THEN q8 ELSE q16 END)) * 1e6, 0)
+         |   AS BIGINT) AS pm FROM x8)
+         |SELECT r, b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true,
+         |  round(sum(CASE WHEN jac >= 0.3 THEN pm ELSE 0 END) / 1e6, 6)
+         |    AS exp_tp,
+         |  round(sum(CASE WHEN jac < 0.3 THEN pm ELSE 0 END) / 1e6, 6)
+         |    AS exp_fp
+         |FROM x9 GROUP BY r, b""".stripMargin
+    },
     "q247_winnow_incremental" ->
       """WITH t AS (SELECT doc_id AS id, doc_id % 3 AS b,
         |  lower(regexp_replace(CASE
