@@ -64,27 +64,44 @@ object IvfIndexOps {
     centers.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "cv")
   }
 
-  /** Nearest-cell assignment under FROZEN centers: (id, v, cell).
-    * Distances round to 5dp before the argmin (cell-asc ties), so the
-    * assignment is deterministic and engine-portable. k-row centers
-    * broadcast; one corpus scan with |k| distance folds per row, all
-    * codegen. (For nCells in the tens of thousands, switch the scan to
-    * the native `graft_nearest_cells` ranking — same protocol, one
-    * plan node; the composed form here is the oracle-replayable one.)
+  /** Argmin cell as a PURE EXPRESSION over the center literal:
+    * array_min over (dist, cell) structs — struct ordering is
+    * lexicographic, so ties break cell-asc exactly like a
+    * (dist asc, cell asc) window, with ZERO shuffle (the window form
+    * repartitioned the corpus by id just to rank k candidate rows).
+    * Distances round to 5dp before the argmin, so the assignment is
+    * deterministic and engine-portable. Stateless and narrow — which
+    * also makes it legal under Structured Streaming
+    * ([[graft.streaming.StreamOps]]'s ivfStatsStream twin; windows
+    * are not). For nCells in the tens of thousands, switch to the
+    * native `graft_nearest_cells` ranking — same protocol, one plan
+    * node; the composed form here is the oracle-replayable one.
+    */
+  private[graft] def nearestCellCol(vecCol: Column,
+      centers: Seq[Seq[Double]]): Column = {
+    require(centers.size <= 1024, "nearestCellCol packs cell into 10 bits")
+    val cArr = typedlit(centers.map(_.toSeq))
+    // (dist, cell) packed into one comparable long — struct field
+    // names don't survive HOF lambdas, and the packed key gives the
+    // identical (dist asc, cell asc) order: dist is the 5dp grid as
+    // exact integer 1e-5 units (round(d·1e5, 0) ≡ round(d, 5)·1e5),
+    // scaled by 1024 with the cell index in the low bits.
+    val key = array_min(transform(sequence(lit(0), lit(centers.size - 1)),
+      i => round(sqrt(aggregate(zip_with(vecCol, element_at(cArr, i + 1),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)) * 1e5, 0)
+        .cast("long") * 1024L + i))
+    pmod(key, lit(1024L)).cast("int")
+  }
+
+  /** Nearest-cell assignment under FROZEN centers: (id, v, cell) via
+    * [[nearestCellCol]] — one narrow corpus scan, no joins, no
+    * windows, no shuffle.
     */
   def assign(spark: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, centers: Seq[Seq[Double]]): DataFrame = {
-    val cent = centerTable(spark, centers)
-    val d = emb.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .crossJoin(broadcast(cent))
-      .select(col("id"), col("v"), col("cell"),
-        round(sqrt(aggregate(
-          zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), _ + _)), 5).as("dist"))
-    val w = Window.partitionBy("id").orderBy(col("dist").asc, col("cell").asc)
-    d.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select("id", "v", "cell")
+    val v = col(vecCol).cast("array<double>")
+    emb.select(col(idCol).as("id"), v.as("v"),
+      nearestCellCol(v, centers).as("cell"))
   }
 
   /** One batch's sufficient statistics under frozen `centers`:

@@ -459,4 +459,30 @@ object StreamOps {
           call_function("graft_bloom_contains", bloomLit, bk)))
       .drop("_g", "_bk")
   }
+
+  /** Streaming IVF sufficient statistics — the streaming twin of
+    * [[graft.ops.IvfIndexOps.cellStats]] (q239's index-update path as
+    * continuous ingestion): embedding vectors arrive on a stream, are
+    * assigned under FROZEN centers by the stateless expression argmin
+    * (`nearestCellCol` — the 5dp/cell-asc contract; a window argmin
+    * would be illegal on a stream), and the per-(cell, pos) decimal
+    * coordinate sums + counts accumulate as a streaming aggregation.
+    * State is EXACTLY the persistable index delta: k·d rows, bounded
+    * regardless of stream volume. Because the statistics are
+    * additive, complete-mode output at any point equals the batch
+    * `cellStats` of everything ingested so far (StreamingSpec asserts
+    * this cross-batch); a periodic centroid refresh just reads the
+    * latest output and calls `IvfIndexOps.refresh`.
+    */
+  def ivfStatsStream(vecs: DataFrame, idCol: String, vecCol: String,
+      centers: Seq[Seq[Double]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    vecs
+      .select(graft.ops.IvfIndexOps.nearestCellCol(v, centers).as("cell"),
+        posexplode(v).as(Seq("pos", "x")))
+      .select(col("cell"), col("pos"),
+        round(col("x") * 1e7, 0).cast("decimal(38,0)").as("xi"))
+      .groupBy("cell", "pos")
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+  }
 }

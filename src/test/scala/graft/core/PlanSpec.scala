@@ -437,24 +437,25 @@ class PlanSpec extends SparkSpec {
       readSchemas)
   }
 
-  test("q239/q242 incremental index: model tables broadcast; only the final equality-compare joins sort-merge") {
+  test("q239/q242 incremental index: zero-shuffle assignment, no cartesian, only the equality-compare join sort-merges") {
     for (q <- Seq("q239_ivf_incremental", "q242_pq_incremental")) {
-      val s = formatted(q)
-      // the k-row (or m·nCodes-row) model table must meet the corpus
-      // via broadcast (nested-loop is fine too: it IS the per-row
-      // k-center distance scan)
-      assert(s.contains("BroadcastNestedLoopJoin") ||
-        s.contains("BroadcastHashJoin"), s"$q: $s")
+      val s = plan(q).toString
       assert(!s.contains("CartesianProduct"), s"$q has a cartesian")
       // SMJ may appear ONLY for the incr-vs-scratch comparison join of
       // the two probe-assignment frames (equal-sized by construction —
-      // the right plan); the corpus-side model joins must not SMJ, so
-      // at most the comparison join's worth of SortMergeJoins exist
-      // (counted on the plain plan tree — formatted mode prints each
-      // operator twice)
-      val smj = "SortMergeJoin".r.findAllIn(plan(q).toString).size
+      // the right plan); everything model-sized must broadcast
+      val smj = "SortMergeJoin".r.findAllIn(s).size
       assert(smj <= 1, s"$q: $smj sort-merge joins — a model join degraded")
     }
+    // the coarse assignment is a pure expression argmin — q239 must
+    // carry NO window operator at all (the old form repartitioned the
+    // corpus by id just to rank k candidate rows)
+    assert(!plan("q239_ivf_incremental").toString.contains("Window"),
+      "q239 assignment reintroduced a window shuffle")
+    // q242's per-subspace code argmin still windows, but its codebook
+    // table must broadcast
+    assert(plan("q242_pq_incremental").toString.contains("BroadcastHashJoin"),
+      "q242 codebook join must broadcast")
   }
 
   test("q241 audio spectral: narrow decode scan — payload dim broadcasts, no wide shuffle of payloads") {

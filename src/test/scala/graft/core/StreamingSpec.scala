@@ -611,4 +611,33 @@ class StreamingSpec extends SparkSpec {
     val r = streamed.collect()(0)
     assert(r.getDouble(2) == 20.0 && r.getDouble(5) == 11.0) // open id-tie, close
   }
+
+  test("streaming IVF stats accumulate to the batch cellStats across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val centers = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val vecs = input.toDF().toDF("vec_id", "embedding")
+    val q = StreamOps.ivfStatsStream(vecs, "vec_id", "embedding", centers)
+      .writeStream.format("memory").queryName("ivf_stats")
+      .outputMode("complete").start()
+    val batch1 = Seq((1L, Seq(0.0, 0.2)), (2L, Seq(10.0, 10.4)))
+    val batch2 = Seq((3L, Seq(0.4, 0.0)), (4L, Seq(9.8, 10.0)),
+      (5L, Seq(0.2, 0.2)))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ivf_stats")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getDecimal(2).toPlainString, r.getLong(3)))).toMap
+    val batch = graft.ops.IvfIndexOps.cellStats(spark,
+        (batch1 ++ batch2).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", centers)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getDecimal(2).toPlainString, r.getLong(3)))).toMap
+    assert(streamed == batch,
+      s"stream state must equal batch sufficient statistics:\n$streamed\nvs\n$batch")
+    assert(streamed.keySet.map(_._1) == Set(0, 1), "both cells populated")
+  }
 }
