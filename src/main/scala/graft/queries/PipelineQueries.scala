@@ -503,15 +503,21 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("quality").cast("decimal(18,5)")).as("_s"))
       val tot = per.agg(sum("n_docs").as("_nn"), sum("_s").as("_ss"))
+      // 6dp means via exact half-up INTEGER division over micro-units
+      // (quality is a 5dp grid, so rounded double division hits
+      // structured half-way points — the q245 lesson); delta is a
+      // difference of exact integers, never of rounded doubles
+      val meanSrc = "(20 * CAST(_s * 100000 AS BIGINT) + n_docs)" +
+        " div (2 * n_docs)"
+      val meanAll = "(20 * CAST(_ss * 100000 AS BIGINT) + _nn) div (2 * _nn)"
+      val meanWo = "(20 * CAST((_ss - _s) * 100000 AS BIGINT)" +
+        " + (_nn - n_docs)) div (2 * (_nn - n_docs))"
       per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"),
-          round(col("_s").cast("double") / col("n_docs"), 6).as("mean_source"),
-          round(col("_ss").cast("double") / col("_nn"), 6).as("mean_all"),
-          round((col("_ss") - col("_s")).cast("double")
-            / (col("_nn") - col("n_docs")), 6).as("mean_without"),
-          round((col("_ss") - col("_s")).cast("double")
-              / (col("_nn") - col("n_docs"))
-            - col("_ss").cast("double") / col("_nn"), 6).as("delta"))
+          (expr(meanSrc).cast("double") / 1e6).as("mean_source"),
+          (expr(meanAll).cast("double") / 1e6).as("mean_all"),
+          (expr(meanWo).cast("double") / 1e6).as("mean_without"),
+          ((expr(meanWo) - expr(meanAll)).cast("double") / 1e6).as("delta"))
     }),
 
     // Data-driven MinHash-LSH parameter tuning: for each (rows r,
@@ -659,10 +665,16 @@ object PipelineQueries {
           sum(when(col("kn_logppl") <= thr,
             col("kn_logppl").cast("decimal(18,5)"))).as("_s"))
         .select(col("doc_id"), col("n_spans"), col("n_scored"), col("n_kept"),
-          round(col("n_kept").cast("double") / col("n_spans"), 6)
-            .as("keep_frac"),
+          // keep_frac: n/N at 6dp via exact half-up integer division
+          // ((2e6·n + N) div 2N) — round(double) hits structured
+          // half-way points (the q245 lesson) whenever N divides 1e6
+          (expr("(2000000 * n_kept + n_spans) div (2 * n_spans)")
+            .cast("double") / 1e6).as("keep_frac"),
+          // mean over the 5dp grid: micro-unit sum s5·10, half-up /n —
+          // integer `div`, never double `/` (idiv exactness caveat)
           when(col("n_kept") > 0,
-            round(col("_s").cast("double") / col("n_kept"), 6))
+            expr("(20 * CAST(_s * 100000 AS BIGINT) + n_kept)" +
+              " div (2 * n_kept)").cast("double") / 1e6)
             .as("mean_ppl_kept"))
     }),
 
@@ -884,9 +896,12 @@ object PipelineQueries {
           .as("n_exact_dup_docs"))
       val qual = TextOps.qualityScore(docs, "doc_id", "text",
           TextOps.TrainedQualityWeights)
-        .agg((sum(col("quality").cast("decimal(18,5)")).cast("double")
-          / count(lit(1))).as("_qm"))
-        .select(round(col("_qm"), 6).as("mean_quality"))
+        .agg(sum(col("quality").cast("decimal(18,5)")).as("_s"),
+          count(lit(1)).as("_n"))
+        // exact half-up 6dp mean over the 5dp grid (integer div — the
+        // rounded-double spelling hits structured half-way points)
+        .select((expr("(20 * CAST(_s * 100000 AS BIGINT) + _n)" +
+          " div (2 * _n)").cast("double") / 1e6).as("mean_quality"))
       val checks = ProfileOps.expectationReport(docs,
         Seq(
           "doc_id_not_null" -> col("doc_id").isNull,
@@ -2776,11 +2791,16 @@ object PipelineQueries {
          |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn, sum(s) AS ss
          |  FROM per)
          |SELECT source, n_docs,
-         |  round(CAST(s AS DOUBLE) / n_docs, 6) AS mean_source,
-         |  round(CAST(ss AS DOUBLE) / nn, 6) AS mean_all,
-         |  round(CAST(ss - s AS DOUBLE) / (nn - n_docs), 6) AS mean_without,
-         |  round(CAST(ss - s AS DOUBLE) / (nn - n_docs)
-         |    - CAST(ss AS DOUBLE) / nn, 6) AS delta
+         |  ((20 * CAST(s * 100000 AS BIGINT) + n_docs)
+         |    // (2 * n_docs)) / 1e6 AS mean_source,
+         |  ((20 * CAST(ss * 100000 AS BIGINT) + nn) // (2 * nn)) / 1e6
+         |    AS mean_all,
+         |  ((20 * CAST((ss - s) * 100000 AS BIGINT) + (nn - n_docs))
+         |    // (2 * (nn - n_docs))) / 1e6 AS mean_without,
+         |  (((20 * CAST((ss - s) * 100000 AS BIGINT) + (nn - n_docs))
+         |    // (2 * (nn - n_docs)))
+         |   - ((20 * CAST(ss * 100000 AS BIGINT) + nn) // (2 * nn))) / 1e6
+         |    AS delta
          |FROM per CROSS JOIN tot""".stripMargin,
     "q249_lsh_tuning" -> {
       val vp = WinnowOps.verifiedPairsOracleSql("documents", "doc_id",
@@ -2931,9 +2951,11 @@ object PipelineQueries {
         |    THEN CAST(kn_logppl AS DECIMAL(18,5)) END) AS s
         | FROM j GROUP BY doc_id)
         |SELECT doc_id, n_spans, n_scored, n_kept,
-        |  round(CAST(n_kept AS DOUBLE) / n_spans, 6) AS keep_frac,
+        |  ((2000000 * n_kept + n_spans) // (2 * n_spans)) / 1e6
+        |    AS keep_frac,
         |  CASE WHEN n_kept > 0
-        |    THEN round(CAST(s AS DOUBLE) / n_kept, 6) END AS mean_ppl_kept
+        |    THEN ((20 * CAST(s * 100000 AS BIGINT) + n_kept)
+        |      // (2 * n_kept)) / 1e6 END AS mean_ppl_kept
         |FROM g""".stripMargin),
     "q236_audience_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
@@ -3102,8 +3124,9 @@ object PipelineQueries {
          |  FROM documents GROUP BY 1),
          |dups AS (SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0)
          |    AS BIGINT) AS n_exact_dup_docs FROM tg),
-         |qm AS (SELECT round(CAST(sum(CAST(quality AS DECIMAL(18,5)))
-         |    AS DOUBLE) / count(*), 6) AS mean_quality FROM q),
+         |qm AS (SELECT ((20 * CAST(sum(CAST(quality AS DECIMAL(18,5)))
+         |    * 100000 AS BIGINT) + count(*)) // (2 * count(*))) / 1e6
+         |    AS mean_quality FROM q),
          |ck AS (SELECT
          |  CAST((sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) > 0)
          |    AS INT)
