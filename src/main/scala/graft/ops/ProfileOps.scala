@@ -998,4 +998,89 @@ object ProfileOps {
        |  round(sum(CASE WHEN d.dev > $k * a.mad THEN 1 ELSE 0 END)
        |    * 1.0::DOUBLE / count(*), 6) AS outlier_frac
        |FROM dev d JOIN mad a USING (g) GROUP BY d.g""".stripMargin
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic of each group's
+    * value distribution against THE REST of the corpus — the
+    * classical nonparametric "did this source drift" test
+    * complementing the binned PSI/JSD ops (no binning choice, no
+    * approximation). For group g with n_g values and rest with n_r:
+    *
+    *   D_g = max over values v of |F_g(v) − F_r(v)|
+    *       = max |cum_g(v)·n_r − cum_r(v)·n_g| / (n_g·n_r)
+    *
+    * computed as EXACT integer arithmetic on a common denominator —
+    * no floating ECDF, so the statistic (and its 6dp half-up
+    * rounding via integer division) is bit-identical on any engine
+    * or partitioning.
+    *
+    * Scale shape: one (group, value) count aggregation + one
+    * value-count aggregation, a groups × distinct-values grid
+    * (bounded: values sit on a finite measurement grid — here the
+    * 5dp quality grid), and one window per group ordered by value
+    * for the running sums. Corpus rows never shuffle wide — counts
+    * do.
+    *
+    * @return (group, n_group, n_rest, d_num, d_den, ks round 6dp)
+    */
+  def ksAgainstRest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"))
+    val gv = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val vall = base.groupBy("v").agg(count(lit(1)).as("ct"))
+    val sizes = base.groupBy("g").agg(count(lit(1)).as("ng"))
+    val tot = base.agg(count(lit(1)).as("nt"))
+    // every group needs a step at EVERY corpus-distinct value (the
+    // rest's ECDF jumps there even if the group's doesn't)
+    val grid = sizes.select("g").crossJoin(vall)
+      .join(gv, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), col("ct"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = grid.select(col("g"), col("v"),
+      sum("c").over(w).as("cg"), sum("ct").over(w).as("call"))
+    cums.join(broadcast(sizes), Seq("g")).crossJoin(broadcast(tot))
+      .select(col("g"), col("ng"), (col("nt") - col("ng")).as("nr"),
+        abs(col("cg") * (col("nt") - col("ng"))
+          - (col("call") - col("cg")) * col("ng")).as("dn"))
+      .groupBy("g", "ng", "nr")
+      .agg(max("dn").as("d_num"))
+      .select(col("g").as(groupCol), col("ng").as("n_group"),
+        col("nr").as("n_rest"), col("d_num"),
+        (col("ng") * col("nr")).as("d_den"),
+        // 6dp half-up via exact integer division
+        (expr("(2000000 * d_num + ng * nr) div (2 * ng * nr)")
+          .cast("double") / 1e6).as("ks"))
+  }
+
+  /** DuckDB replay of [[ksAgainstRest]]. */
+  def ksAgainstRestOracleSql(table: String, groupCol: String,
+      valueExpr: String): String =
+    s"""WITH base AS (SELECT $groupCol AS g, CAST($valueExpr AS DOUBLE) AS v
+       |  FROM $table),
+       |gv AS (SELECT g, v, count(*) AS c FROM base GROUP BY g, v),
+       |vall AS (SELECT v, count(*) AS ct FROM base GROUP BY v),
+       |sizes AS (SELECT g, count(*) AS ng FROM base GROUP BY g),
+       |tot AS (SELECT count(*) AS nt FROM base),
+       |grid AS (SELECT s.g, a.v, a.ct, coalesce(gv.c, 0) AS c
+       |  FROM sizes s CROSS JOIN vall a
+       |  LEFT JOIN gv ON gv.g = s.g AND gv.v = a.v),
+       |cums AS (SELECT g, v,
+       |  sum(c) OVER (PARTITION BY g ORDER BY v
+       |    ROWS UNBOUNDED PRECEDING) AS cg,
+       |  sum(ct) OVER (PARTITION BY g ORDER BY v
+       |    ROWS UNBOUNDED PRECEDING) AS call
+       | FROM grid),
+       |dn AS (SELECT c.g, s.ng, t.nt - s.ng AS nr,
+       |  abs(c.cg * (t.nt - s.ng) - (c.call - c.cg) * s.ng) AS d
+       | FROM cums c JOIN sizes s USING (g) CROSS JOIN tot t),
+       |mx AS (SELECT g, ng, nr, CAST(max(d) AS BIGINT) AS d_num
+       | FROM dn GROUP BY g, ng, nr)
+       |SELECT g AS $groupCol, CAST(ng AS BIGINT) AS n_group,
+       |  CAST(nr AS BIGINT) AS n_rest, d_num,
+       |  CAST(ng * nr AS BIGINT) AS d_den,
+       |  ((2000000 * d_num + ng * nr) // (2 * ng * nr)) / 1e6 AS ks
+       |FROM mx""".stripMargin
 }

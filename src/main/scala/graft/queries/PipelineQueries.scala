@@ -207,6 +207,48 @@ object PipelineQueries {
     * scores make the grouped sum order-independent; every engine
     * computes the identical BIGINT.
     */
+  /** The q243 span-perplexity CTE chain: sentence-span split over the
+    * (doc_id, text) relation `spanSrc`, per-span KN scoring against
+    * the shared model prefix (`LmOps.knOracleWith` must precede), and
+    * the per-doc retention aggregate `g` (n_spans/n_scored/n_kept at
+    * the 6.0 threshold + kept-sum `s`). Reused by q243 and the q251
+    * composition.
+    */
+  private def spanPplCtes(spanSrc: String): String =
+    s""",
+       |sp AS (SELECT doc_id, doc_id * 100000 + i - 1 AS id, span FROM (
+       |  SELECT doc_id, unnest(sf) AS span,
+       |    unnest(generate_series(1, len(sf))) AS i FROM (
+       |   SELECT doc_id, list_filter(string_split(regexp_replace(
+       |     coalesce(text, ''), '([.!?])[ \\t\\n\\f\\r]+', '\\1' || chr(1), 'g'),
+       |     chr(1)), x -> length(x) > 0) AS sf
+       |   FROM $spanSrc))),
+       |stk AS (SELECT id, list_filter(string_split_regex(lower(span),
+       |    '[ \\t\\n\\f\\r]+'), x -> x <> '') AS t FROM sp),
+       |spos AS (SELECT id, unnest(generate_series(1, len(t) - 1)) AS i, t
+       |         FROM stk WHERE len(t) >= 2),
+       |sbg AS (SELECT id, t[i] AS a, t[i+1] AS b FROM spos),
+       |sc AS (SELECT id,
+       |  round(avg(-ln(CASE WHEN heads.c_a IS NULL
+       |    THEN CAST(coalesce(conts.n1p_back, 0) + 1 AS DOUBLE) / (bt + vc + 1)
+       |    ELSE greatest(CAST(coalesce(cab.c_ab, 0) AS DOUBLE) - 0.75, 0.0) / c_a
+       |      + 0.75 * n1p_fwd / c_a
+       |        * (CAST(coalesce(conts.n1p_back, 0) + 1 AS DOUBLE) / (bt + vc + 1))
+       |    END)), 5) AS kn_logppl
+       | FROM sbg LEFT JOIN cab USING (a, b) LEFT JOIN heads USING (a)
+       |      LEFT JOIN conts USING (b), scalars
+       | GROUP BY id),
+       |jppl AS (SELECT sp.doc_id, sc.kn_logppl
+       |  FROM sp LEFT JOIN sc ON sp.id = sc.id),
+       |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN kn_logppl IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_scored,
+       |  CAST(sum(CASE WHEN kn_logppl <= 6.0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  sum(CASE WHEN kn_logppl <= 6.0
+       |    THEN CAST(kn_logppl AS DECIMAL(18,5)) END) AS s
+       | FROM jppl GROUP BY doc_id)""".stripMargin
+
   private def langNgramOracleSql: String = {
     val L = graft.ops.LangNgram
     langProfileOracleSql(L.langs, L.merged, L.floors, L.mergedUni,
@@ -487,6 +529,79 @@ object PipelineQueries {
       ai.join(asx, Seq("vec_id"))
         .select(col("vec_id"), col("cell_incr"), col("cell_scratch"),
           (col("cell_incr") === col("cell_scratch")).cast("int").as("agree"))
+    }),
+
+    // Curation pipeline v3 — this round's stages composed into one
+    // decision manifest over the candidate half (odd ids) of the
+    // corpus: doc-level lang-ID (q96), span-perplexity retention
+    // (q243, integer micro-fraction threshold — no float compare),
+    // Luhn card-PII gate (q246), and passage-index freshness vs the
+    // already-ingested half (q247, exact 2·known ≤ total test).
+    "q251_curation_v3" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables(s, d, "documents")
+      val langs = graft.ops.LangNgram.langs
+      val scored = docs.select(col("doc_id"),
+          call_function("graft_lang_scores",
+            coalesce(col("text"), lit(""))).as("_sc"))
+        .select(col("doc_id") +: langs.zipWithIndex.map { case (l, i) =>
+          element_at(col("_sc"), i + 1).as(s"s_$l")
+        }: _*)
+      val pred = langs.zipWithIndex.foldRight(lit(langs.last)) {
+        case ((l, i), rest) =>
+          val laters = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o"))
+          if (laters.isEmpty) rest
+          else when(laters.reduce(_ && _), lit(l)).otherwise(rest)
+      }
+      val lang = scored.select(col("doc_id"), pred.as("lang_pred"))
+      val spans = graft.ops.LangSpanOps.sentenceSpans(docs, "doc_id", "text")
+        .select((col("doc_id") * 100000 + col("span_idx")).as("id"),
+          col("span"))
+      val ppl = LmOps.score(spans,
+          docs.where(col("lang") === "en")
+            .select(col("doc_id").as("id"), col("text").as("span")),
+          "id", "span")
+        .select(expr("id div 100000").as("doc_id"), col("kn_logppl"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("kn_logppl") <= 6.0, 1L).otherwise(0L)).as("n_kept"))
+        .select(col("doc_id"),
+          expr("(2000000 * n_kept + n_spans) div (2 * n_spans)").as("kf6"))
+      val pii = docs.select(col("doc_id"),
+        TextOps.luhnValidCount(col("text")).as("n_cards"))
+      val store = WinnowOps.fingerprintIndex(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      val fresh = WinnowOps.overlapAgainstIndex(
+          docs.where(col("doc_id") % 2 === 1), store, "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          (col("n_fp") === 0 || col("n_known") * 2 <= col("n_fp"))
+            .cast("int").as("p_fresh"))
+      docs.where(col("doc_id") % 2 === 1).select(col("doc_id"))
+        .join(lang, Seq("doc_id"))
+        .join(ppl, Seq("doc_id"), "left")
+        .join(pii, Seq("doc_id"))
+        .join(fresh, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("lang_pred") === "en").cast("int").as("p_lang"),
+          (coalesce(col("kf6"), lit(0L)) >= 500000L).cast("int").as("p_ppl"),
+          (col("n_cards") === 0).cast("int").as("p_pii"),
+          col("p_fresh"))
+        .withColumn("keep",
+          (col("p_lang") === 1 && col("p_ppl") === 1 &&
+            col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
+    }),
+
+    // Exact two-sample KS drift per source vs the rest of the corpus
+    // (no binning, integer-exact ECDF comparison) — the classical
+    // complement to the binned PSI/JSD drift ops.
+    "q250_ks_drift" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val q = TextOps.qualityScore(docs, "doc_id", "text",
+          TextOps.TrainedQualityWeights)
+        .select(col("id").as("doc_id"), col("quality"))
+      ProfileOps.ksAgainstRest(
+        q.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "source", "quality")
     }),
 
     // Leave-one-source-out data valuation: corpus mean quality with
@@ -2782,6 +2897,61 @@ object PipelineQueries {
         k = 8, m = 4, nCodes = 4, dim = 64, probeMod = 7),
     "q245_mmr_diversified" -> SimilarityOps.mmrOracleSql("embeddings",
       "vec_id", "embedding", "q.vec_id < 5"),
+    "q251_curation_v3" -> (LmOps.knOracleWith("d.lang = 'en'") +
+      spanPplCtes("documents") +
+      s""",
+         |lpred AS (SELECT doc_id, lang_pred FROM ($langNgramOracleSql) lt),
+         |cards AS (SELECT doc_id,
+         |  len(list_filter(regexp_extract_all(text, '\\b[0-9]{13,16}\\b'),
+         |   cand -> list_sum(list_transform(generate_series(1, length(cand)),
+         |    i -> CASE WHEN i % 2 = 0 THEN
+         |      CASE WHEN (ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48) * 2 > 9
+         |        THEN (ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48) * 2 - 9
+         |        ELSE (ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48) * 2 END
+         |      ELSE ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48 END))
+         |    % 10 = 0)) AS n_cards FROM documents),
+         |wt AS (SELECT doc_id AS wid, doc_id % 2 AS wb,
+         |  lower(regexp_replace(text, '[ \\t\\n\\f\\r]+', '', 'g')) AS ws
+         |  FROM documents),
+         |wg AS (SELECT wid, wb, CASE WHEN length(ws) >= 12
+         |  THEN list_transform(generate_series(1, length(ws) - 11),
+         |    i -> substr(md5(substr(ws, i, 12)), 1, 16))
+         |  ELSE [] END AS h FROM wt),
+         |wf AS (SELECT wid, wb, list_distinct(CASE
+         |   WHEN len(h) = 0 THEN []
+         |   WHEN len(h) <= 6 THEN [list_min(h)]
+         |   ELSE list_transform(generate_series(1, len(h) - 5),
+         |     i -> list_min(h[i:i+5])) END) AS fps FROM wg),
+         |wstore AS (SELECT DISTINCT unnest(fps) AS fp FROM wf WHERE wb = 0),
+         |we AS (SELECT wid, len(fps) AS n_fp, unnest(fps) AS fp
+         |  FROM wf WHERE wb = 1),
+         |wp AS (SELECT we.wid, any_value(we.n_fp) AS n,
+         |   sum(CASE WHEN r.fp IS NULL THEN 0 ELSE 1 END) AS kn
+         |  FROM we LEFT JOIN wstore r USING (fp) GROUP BY we.wid),
+         |wk AS (SELECT wt.wid AS doc_id, CASE WHEN wp.n IS NULL OR wp.n = 0
+         |    OR 2 * wp.kn <= wp.n THEN 1 ELSE 0 END AS p_fresh
+         |  FROM wt LEFT JOIN wp ON wt.wid = wp.wid WHERE wt.wb = 1),
+         |manifest AS (SELECT d.doc_id,
+         |  CAST(lpred.lang_pred = 'en' AS INTEGER) AS p_lang,
+         |  CAST(coalesce((2000000 * g.n_kept + g.n_spans)
+         |    // (2 * g.n_spans), 0) >= 500000 AS INTEGER) AS p_ppl,
+         |  CAST(cards.n_cards = 0 AS INTEGER) AS p_pii,
+         |  CAST(wk.p_fresh AS INTEGER) AS p_fresh
+         | FROM documents d
+         | JOIN lpred USING (doc_id)
+         | LEFT JOIN g USING (doc_id)
+         | JOIN cards USING (doc_id)
+         | JOIN wk USING (doc_id)
+         | WHERE d.doc_id % 2 = 1)
+         |SELECT doc_id, p_lang, p_ppl, p_pii, p_fresh,
+         |  CAST(p_lang = 1 AND p_ppl = 1 AND p_pii = 1 AND p_fresh = 1
+         |    AS INTEGER) AS keep
+         |FROM manifest""".stripMargin),
+    "q250_ks_drift" -> ProfileOps.ksAgainstRestOracleSql(
+      s"(SELECT d.source, qq.quality FROM " +
+        s"(${qualityOracleSql(TextOps.TrainedQualityWeights)}) qq " +
+        "JOIN documents d USING (doc_id))",
+      "source", "quality"),
     "q248_loo_source_impact" ->
       s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
          |j AS (SELECT d.source, qq.quality
@@ -2917,39 +3087,9 @@ object PipelineQueries {
       """,
         |inj AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
         |   THEN text || '. zxq vlorp qeth wubble snarv gribbet zund flep vorx.'
-        |   ELSE text END AS text FROM documents),
-        |sp AS (SELECT doc_id, doc_id * 100000 + i - 1 AS id, span FROM (
-        |  SELECT doc_id, unnest(sf) AS span,
-        |    unnest(generate_series(1, len(sf))) AS i FROM (
-        |   SELECT doc_id, list_filter(string_split(regexp_replace(
-        |     coalesce(text, ''), '([.!?])[ \t\n\f\r]+', '\1' || chr(1), 'g'),
-        |     chr(1)), x -> length(x) > 0) AS sf
-        |   FROM inj))),
-        |stk AS (SELECT id, list_filter(string_split_regex(lower(span),
-        |    '[ \t\n\f\r]+'), x -> x <> '') AS t FROM sp),
-        |spos AS (SELECT id, unnest(generate_series(1, len(t) - 1)) AS i, t
-        |         FROM stk WHERE len(t) >= 2),
-        |sbg AS (SELECT id, t[i] AS a, t[i+1] AS b FROM spos),
-        |sc AS (SELECT id,
-        |  round(avg(-ln(CASE WHEN heads.c_a IS NULL
-        |    THEN CAST(coalesce(conts.n1p_back, 0) + 1 AS DOUBLE) / (bt + vc + 1)
-        |    ELSE greatest(CAST(coalesce(cab.c_ab, 0) AS DOUBLE) - 0.75, 0.0) / c_a
-        |      + 0.75 * n1p_fwd / c_a
-        |        * (CAST(coalesce(conts.n1p_back, 0) + 1 AS DOUBLE) / (bt + vc + 1))
-        |    END)), 5) AS kn_logppl
-        | FROM sbg LEFT JOIN cab USING (a, b) LEFT JOIN heads USING (a)
-        |      LEFT JOIN conts USING (b), scalars
-        | GROUP BY id),
-        |j AS (SELECT sp.doc_id, sc.kn_logppl
-        |  FROM sp LEFT JOIN sc ON sp.id = sc.id),
-        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-        |  CAST(sum(CASE WHEN kn_logppl IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_scored,
-        |  CAST(sum(CASE WHEN kn_logppl <= 6.0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_kept,
-        |  sum(CASE WHEN kn_logppl <= 6.0
-        |    THEN CAST(kn_logppl AS DECIMAL(18,5)) END) AS s
-        | FROM j GROUP BY doc_id)
+        |   ELSE text END AS text FROM documents)""".stripMargin +
+      spanPplCtes("inj") +
+      """
         |SELECT doc_id, n_spans, n_scored, n_kept,
         |  ((2000000 * n_kept + n_spans) // (2 * n_spans)) / 1e6
         |    AS keep_frac,

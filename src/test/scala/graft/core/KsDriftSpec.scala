@@ -1,0 +1,46 @@
+package graft.core
+
+import graft.ops.ProfileOps
+import org.apache.spark.sql.functions._
+
+/** Closed-form hand cases for the exact two-sample KS statistic
+  * (q250): textbook ECDF gaps, identical-distribution zero, and the
+  * exact-rational output contract.
+  */
+class KsDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand ECDFs: D = max |F_g - F_rest| exactly") {
+    // A = {1, 2}, B = {1, 3} (A's rest is B and vice versa):
+    // at v=2: F_A = 1, F_B = 1/2 -> D = 1/2 for both groups
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 3.0))
+      .toDF("g", "v")
+    val got = ProfileOps.ksAgainstRest(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(got("A") == ((2L, 2L, 2L, 4L, 0.5)))
+    assert(got("B") == ((2L, 2L, 2L, 4L, 0.5)))
+  }
+
+  test("identical distributions give D = 0; disjoint supports give D = 1") {
+    val same = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0))
+      .toDF("g", "v")
+    assert(ProfileOps.ksAgainstRest(same, "g", "v")
+      .collect().forall(_.getDouble(5) == 0.0))
+    val disj = Seq(("A", 1.0), ("A", 2.0), ("B", 5.0), ("B", 6.0))
+      .toDF("g", "v")
+    assert(ProfileOps.ksAgainstRest(disj, "g", "v")
+      .collect().forall(_.getDouble(5) == 1.0))
+  }
+
+  test("exact rational: uneven sizes, common-denominator numerator") {
+    // A = {1}, rest = {1, 2, 3}: at v=1 F_A=1, F_r=1/3 -> D=2/3
+    val df = Seq(("A", 1.0), ("B", 1.0), ("B", 2.0), ("B", 3.0))
+      .toDF("g", "v")
+    val a = ProfileOps.ksAgainstRest(df, "g", "v")
+      .where(col("g") === "A").collect()(0)
+    assert(a.getLong(3) == 2L && a.getLong(4) == 3L) // 2/3 exactly
+    assert(a.getDouble(5) == 0.666667)               // 6dp half-up
+  }
+}
