@@ -1055,6 +1055,75 @@ object ProfileOps {
           .cast("double") / 1e6).as("ks"))
   }
 
+  /** Exact Mann–Whitney U of each group vs the rest — the rank-sum
+    * location-shift test beside [[ksAgainstRest]]'s shape test. With
+    * ties handled by midranks, 2·R_g is always an integer, so the
+    * statistic is computed in EXACT integers:
+    *
+    *   2·U_g = 2·R_g − n_g(n_g+1),  R_g = Σ ranks of g's values
+    *   2·R_g = Σ_v c_g(v) · (2·cum_before(v) + ct(v) + 1)
+    *
+    * (cum_before = count of strictly smaller corpus values; all values
+    * tied at v share midrank cum_before + (ct+1)/2.) Emitted with the
+    * AUC-style effect size U/(n_g·n_r) at exact-half-up 6dp — the
+    * probability a random g value exceeds a random rest value (+½ per
+    * tie).
+    *
+    * Same scale shape as the KS op: two count aggregations and a
+    * groups × distinct-values grid; corpus rows never shuffle wide.
+    *
+    * @return (group, n_group, n_rest, u2 = 2·U_g, auc)
+    */
+  def mannWhitneyAgainstRest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"))
+    val gv = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val vall = base.groupBy("v").agg(count(lit(1)).as("ct"))
+    val sizes = base.groupBy("g").agg(count(lit(1)).as("ng"))
+    val tot = base.agg(count(lit(1)).as("nt"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cum_before via one GLOBAL cum over the distinct-value frame
+    // (|V| rows — the measurement grid, not the corpus)
+    val cums = vall.select(col("v"), col("ct"),
+      (sum("ct").over(w) - col("ct")).as("cb"))
+    val r2 = gv.join(cums, Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("c") * (lit(2) * col("cb") + col("ct") + 1)).as("r2"))
+    r2.join(sizes, Seq("g")).crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol), col("ng").as("n_group"),
+        (col("nt") - col("ng")).as("n_rest"),
+        (col("r2") - col("ng") * (col("ng") + 1)).as("u2"))
+      .select(col(groupCol), col("n_group"), col("n_rest"), col("u2"),
+        // auc = u2 / (2·ng·nr) at exact half-up 6dp
+        (expr("(2000000 * u2 + 2 * n_group * n_rest)" +
+          " div (4 * n_group * n_rest)").cast("double") / 1e6).as("auc"))
+  }
+
+  /** DuckDB replay of [[mannWhitneyAgainstRest]]. */
+  def mannWhitneyOracleSql(table: String, groupCol: String,
+      valueExpr: String): String =
+    s"""WITH base AS (SELECT $groupCol AS g, CAST($valueExpr AS DOUBLE) AS v
+       |  FROM $table),
+       |gv AS (SELECT g, v, count(*) AS c FROM base GROUP BY g, v),
+       |vall AS (SELECT v, count(*) AS ct FROM base GROUP BY v),
+       |sizes AS (SELECT g, count(*) AS ng FROM base GROUP BY g),
+       |tot AS (SELECT count(*) AS nt FROM base),
+       |cums AS (SELECT v, ct,
+       |  sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - ct AS cb
+       | FROM vall),
+       |r2 AS (SELECT g, sum(c * (2 * cb + ct + 1)) AS r2
+       | FROM gv JOIN cums USING (v) GROUP BY g)
+       |SELECT r2.g AS $groupCol, CAST(s.ng AS BIGINT) AS n_group,
+       |  CAST(t.nt - s.ng AS BIGINT) AS n_rest,
+       |  CAST(r2.r2 - s.ng * (s.ng + 1) AS BIGINT) AS u2,
+       |  ((2000000 * (r2.r2 - s.ng * (s.ng + 1))
+       |    + 2 * s.ng * (t.nt - s.ng))
+       |   // (4 * s.ng * (t.nt - s.ng))) / 1e6 AS auc
+       |FROM r2 JOIN sizes s USING (g) CROSS JOIN tot t""".stripMargin
+
   /** DuckDB replay of [[ksAgainstRest]]. */
   def ksAgainstRestOracleSql(table: String, groupCol: String,
       valueExpr: String): String =

@@ -591,6 +591,20 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Exact Mann-Whitney U / AUC per source vs rest: the rank-sum
+    // location test beside q250's KS shape test — "is this source's
+    // quality systematically shifted", with the probability-of-
+    // superiority effect size, all in exact integer rank arithmetic.
+    "q252_mannwhitney_drift" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val q = TextOps.qualityScore(docs, "doc_id", "text",
+          TextOps.TrainedQualityWeights)
+        .select(col("id").as("doc_id"), col("quality"))
+      ProfileOps.mannWhitneyAgainstRest(
+        q.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "source", "quality")
+    }),
+
     // Exact two-sample KS drift per source vs the rest of the corpus
     // (no binning, integer-exact ECDF comparison) — the classical
     // complement to the binned PSI/JSD drift ops.
@@ -2947,6 +2961,11 @@ object PipelineQueries {
          |  CAST(p_lang = 1 AND p_ppl = 1 AND p_pii = 1 AND p_fresh = 1
          |    AS INTEGER) AS keep
          |FROM manifest""".stripMargin),
+    "q252_mannwhitney_drift" -> ProfileOps.mannWhitneyOracleSql(
+      s"(SELECT d.source, qq.quality FROM " +
+        s"(${qualityOracleSql(TextOps.TrainedQualityWeights)}) qq " +
+        "JOIN documents d USING (doc_id))",
+      "source", "quality"),
     "q250_ks_drift" -> ProfileOps.ksAgainstRestOracleSql(
       s"(SELECT d.source, qq.quality FROM " +
         s"(${qualityOracleSql(TextOps.TrainedQualityWeights)}) qq " +

@@ -460,6 +460,41 @@ object StreamOps {
       .drop("_g", "_bk")
   }
 
+  /** Streaming passage-overlap filter vs a static fingerprint index —
+    * the streaming twin of [[graft.ops.WinnowOps.overlapAgainstIndex]]
+    * (q247's crawl loop in flight): each arriving document's winnow
+    * fingerprints (per-row native expression — stateless,
+    * streaming-safe) are probed against a Bloom filter built ONCE
+    * from the index frame, and documents whose known-fingerprint
+    * share exceeds `maxOverlap` drop in-stream. Bloom false
+    * positives can only OVER-count overlap — the conservative
+    * direction for a dedup filter; the batch operator stays the
+    * exact accountant, and the batch `indexUpdate` folds surviving
+    * batches in between filter restarts.
+    */
+  def passageOverlapFilterStream(stream: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, maxOverlap: Double = 0.5,
+      k: Int = 12, w: Int = 6, fpp: Double = 0.001): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val bf = graft.ops.BloomOps.buildBloom(
+      index.select("fp").distinct(), "fp", fpp = fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bloomLit = lit(bos.toByteArray)
+    val norm = lower(regexp_replace(col(textCol), "[ \\t\\n\\f\\r]+", ""))
+    val fps = array_distinct(transform(
+      call_function("graft_winnow", norm, lit(k), lit(w)),
+      _.getField("fp")))
+    stream
+      .withColumn("_fps", fps)
+      .withColumn("_known", size(filter(col("_fps"),
+        f => call_function("graft_bloom_contains", bloomLit, f))))
+      .filter(size(col("_fps")) === 0 ||
+        col("_known").cast("double") <=
+          lit(maxOverlap) * size(col("_fps")).cast("double"))
+      .drop("_fps", "_known")
+  }
+
   /** Streaming IVF sufficient statistics — the streaming twin of
     * [[graft.ops.IvfIndexOps.cellStats]] (q239's index-update path as
     * continuous ingestion): embedding vectors arrive on a stream, are

@@ -34,6 +34,25 @@ class KsDriftSpec extends SparkSpec {
       .collect().forall(_.getDouble(5) == 1.0))
   }
 
+  test("mann-whitney: midrank ties, textbook U and AUC") {
+    // A = {1, 2}, B = {1, 3}: combined midranks 1.5, 1.5, 3, 4
+    // R_A = 4.5 -> 2U_A = 2(4.5) - 2·3 = 3; AUC = 1.5/4 = 0.375
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 3.0))
+      .toDF("g", "v")
+    val got = ProfileOps.mannWhitneyAgainstRest(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("A") == ((2L, 2L, 3L, 0.375)))
+    // U_A + U_B = n_A·n_B (the complement identity, ties split)
+    assert(got("A")._3 + got("B")._3 == 2 * 2 * 2)
+    assert(got("B")._4 == 0.625)
+    // identical distributions -> AUC exactly 1/2
+    val same = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0))
+      .toDF("g", "v")
+    assert(ProfileOps.mannWhitneyAgainstRest(same, "g", "v")
+      .collect().forall(_.getDouble(4) == 0.5))
+  }
+
   test("exact rational: uneven sizes, common-denominator numerator") {
     // A = {1}, rest = {1, 2, 3}: at v=1 F_A=1, F_r=1/3 -> D=2/3
     val df = Seq(("A", 1.0), ("B", 1.0), ("B", 2.0), ("B", 3.0))

@@ -612,6 +612,34 @@ class StreamingSpec extends SparkSpec {
     assert(r.getDouble(2) == 20.0 && r.getDouble(5) == 11.0) // open id-tie, close
   }
 
+  test("streaming passage-overlap filter drops near-verbatim docs, matches batch keeps") {
+    implicit val sqlCtx = spark.sqlContext
+    val page = "the quick brown fox jumps over the lazy dog near the riverbank every single morning without fail"
+    val store = graft.ops.WinnowOps.fingerprintIndex(
+      Seq((1L, page)).toDF("id", "text"), "id", "text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val q = StreamOps.passageOverlapFilterStream(docs, "id", "text", store)
+      .writeStream.format("memory").queryName("passage_filter")
+      .outputMode("append").start()
+    val rows = Seq(
+      (10L, page),  // verbatim dup of the indexed page -> dropped
+      (11L, "entirely novel weather content about alpine snowfall patterns and winter storm accumulation records"),
+      (12L, "tiny"), // sub-k, no fingerprints -> passes
+      (13L, page + " with one extra clause")) // still mostly known -> dropped
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("passage_filter")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L), s"got $kept")
+    // batch accountant agrees (bloom adds no FPs on this fixture)
+    val batchKeep = graft.ops.WinnowOps.overlapAgainstIndex(
+        rows.toDF("id", "text"), store, "id", "text")
+      .where(col("keep") === 1).collect().map(_.getLong(0)).toSet
+    assert(batchKeep == kept)
+  }
+
   test("streaming IVF stats accumulate to the batch cellStats across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val centers = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
