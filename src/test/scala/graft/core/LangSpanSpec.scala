@@ -42,6 +42,16 @@ class LangSpanSpec extends SparkSpec {
     assert(got == Seq("en", "de", "fr"))
   }
 
+  test("non-ASCII spans ride the unigram family: zh span labeled zh") {
+    val Zh = "人人生而自由在尊严和权利上一律平等."
+    val docs = Seq((1L, s"$En $Zh")).toDF("doc_id", "text")
+    val got = LangSpanOps.spanPredict(docs, "doc_id", "text")
+      .orderBy("span_idx").collect().map(_.getString(2)).toSeq
+    assert(got == Seq("en", "zh"), s"got $got")
+    val mix = LangSpanOps.docMixture(docs, "doc_id", "text").collect()(0)
+    assert(mix.getLong(2) == 2L && mix.getInt(5) == 1)
+  }
+
   test("docMixture: majority by count, tie by profile order, exact fractions") {
     val docs = Seq(
       (1L, s"$En $En $De"),      // en majority 2/3

@@ -40,6 +40,19 @@ class WinnowStageSpec extends SparkSpec {
     assert(!plan.contains("parquet"), "consumer re-read the corpus table")
   }
 
+  test("concurrent first calls race to ONE materialization (computeIfAbsent atomicity)") {
+    WinnowStage.invalidate(spark.sparkContext.applicationId)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val frames = Await.result(
+      Future.sequence((1 to 4).map(_ =>
+        Future(WinnowStage.pairs(spark, sfDir)))), 120.seconds)
+    assert(frames.forall(_ eq frames.head),
+      "racing callers must share one cached frame")
+    assert(WinnowStage.cachedEntries(spark.sparkContext.applicationId) == 1)
+  }
+
   test("stage is computed once: repeated calls return the cached frame") {
     val a = WinnowStage.pairs(spark, sfDir)
     val b = WinnowStage.pairs(spark, sfDir)
