@@ -184,6 +184,95 @@ object TimeSeriesOps {
     * non-negative), neighbors via the count-grouping trick in both
     * directions.
     */
+  /** Exact lag-autocorrelation per series over the hourly mean grid —
+    * the seasonality/persistence diagnostic next to [[ohlcBars]] and
+    * the hour-of-day profile: ACF(lag) = Pearson corr of
+    * (v_t, v_{t+lag·3600}) over all hours where both exist.
+    *
+    * Exactness: hourly means are the [[interpolateGaps]] exact
+    * half-up MICRO-UNIT integers, so every moment (Σx, Σy, Σxy, Σx²,
+    * Σy²) is an exact integer summed as decimal(38,0) —
+    * order-independent — and the closed-form corr is one fixed
+    * sequence of double ops mirrored by the oracle (the corrMatrix
+    * spelling, 6dp). Products stay under 2⁶³ per row for values to
+    * ~9·10⁹ micro-units.
+    *
+    * Scale shape: one corpus aggregation to the (series, hour) grid,
+    * one broadcast lag expansion, one equi-join back on (series,
+    * hour+lag) — grid-sized, not corpus-sized — and one final
+    * (series, lag) aggregate. Constant-valued series emit NULL acf.
+    *
+    * @return (key, lag, n_pairs, acf)
+    */
+  def autocorr(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, lagsHours: Seq[Int]): DataFrame = {
+    require(lagsHours.nonEmpty && lagsHours.forall(_ >= 1),
+      s"lags must be >= 1 hours, got $lagsHours")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val obs = events.groupBy(col(keyCol).as("k"),
+        (floor(col(tsCol).cast("double") / 3600).cast("long") * 3600).as("h"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("k"), col("h"),
+        idiv(col("s") * 20000 + col("n"), col("n") * 2).as("v6"))
+    val a = obs.crossJoin(broadcast(lagsHours.toDF("lag")))
+      .select(col("k"), col("lag"),
+        (col("h") + col("lag") * 3600L).as("h2"), col("v6").as("x"))
+    val pairs = a.join(
+      obs.select(col("k"), col("h").as("h2"), col("v6").as("y")),
+      Seq("k", "h2"))
+    val D = "decimal(38,0)"
+    val m = pairs.groupBy("k", "lag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(D)).as("s_x"), sum(col("y").cast(D)).as("s_y"),
+      sum((col("x") * col("y")).cast(D)).as("p_xy"),
+      sum((col("x") * col("x")).cast(D)).as("p_xx"),
+      sum((col("y") * col("y")).cast(D)).as("p_yy"))
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val num = dbl(col("n")) * dbl(col("p_xy")) -
+      dbl(col("s_x")) * dbl(col("s_y"))
+    val vx = dbl(col("n")) * dbl(col("p_xx")) -
+      dbl(col("s_x")) * dbl(col("s_x"))
+    val vy = dbl(col("n")) * dbl(col("p_yy")) -
+      dbl(col("s_y")) * dbl(col("s_y"))
+    m.select(col("k").as(keyCol), col("lag"), col("n").as("n_pairs"),
+      when(sqrt(vx) * sqrt(vy) === 0, lit(null).cast("double"))
+        .otherwise(round(num / (sqrt(vx) * sqrt(vy)), 6)).as("acf"))
+  }
+
+  /** DuckDB replay of [[autocorr]]. */
+  def autocorrOracleSql(table: String, keyCol: String, tsCol: String,
+      valueCol: String, lagsHours: Seq[Int]): String = {
+    val lagVals = lagsHours.map(l => s"($l)").mkString(", ")
+    def dbl(x: String) = s"CAST($x AS DOUBLE)"
+    val num = s"${dbl("n")} * ${dbl("p_xy")} - ${dbl("s_x")} * ${dbl("s_y")}"
+    val vx = s"${dbl("n")} * ${dbl("p_xx")} - ${dbl("s_x")} * ${dbl("s_x")}"
+    val vy = s"${dbl("n")} * ${dbl("p_yy")} - ${dbl("s_y")} * ${dbl("s_y")}"
+    s"""WITH obs AS (
+       |  SELECT $keyCol AS k,
+       |    CAST(floor(epoch($tsCol) / 3600) AS BIGINT) * 3600 AS h,
+       |    (sum(CAST(round($valueCol * 100) AS BIGINT)) * 20000 + count(*))
+       |      // (count(*) * 2) AS v6
+       |  FROM $table GROUP BY 1, 2),
+       |lags (lag) AS (VALUES $lagVals),
+       |p AS (SELECT o.k, l.lag, o.v6 AS x, o2.v6 AS y
+       |  FROM obs o CROSS JOIN lags l
+       |  JOIN obs o2 ON o2.k = o.k AND o2.h = o.h + l.lag * 3600),
+       |m AS (SELECT k, lag, count(*) AS n,
+       |  sum(CAST(x AS DECIMAL(38,0))) AS s_x,
+       |  sum(CAST(y AS DECIMAL(38,0))) AS s_y,
+       |  sum(CAST(x * y AS DECIMAL(38,0))) AS p_xy,
+       |  sum(CAST(x * x AS DECIMAL(38,0))) AS p_xx,
+       |  sum(CAST(y * y AS DECIMAL(38,0))) AS p_yy
+       | FROM p GROUP BY k, lag)
+       |SELECT k AS $keyCol, CAST(lag AS INTEGER) AS lag,
+       |  CAST(n AS BIGINT) AS n_pairs,
+       |  CASE WHEN sqrt($vx) * sqrt($vy) = 0 THEN NULL
+       |    ELSE round(($num) / (sqrt($vx) * sqrt($vy)), 6) END AS acf
+       |FROM m""".stripMargin
+  }
+
   def interpolateOracleSql(table: String, keyCol: String, tsCol: String,
       valueCol: String): String =
     s"""WITH obs AS (

@@ -591,6 +591,13 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Exact lag autocorrelation per event type over the hourly
+    // micro-unit mean grid (1h persistence, 24h seasonality) —
+    // integer moments, corrMatrix closed form.
+    "q253_autocorr" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.autocorr(Tables(s, d, "events"),
+        "event_type", "ts", "value", Seq(1, 24))),
+
     // Exact Mann-Whitney U / AUC per source vs rest: the rank-sum
     // location test beside q250's KS shape test — "is this source's
     // quality systematically shifted", with the probability-of-
@@ -2961,6 +2968,8 @@ object PipelineQueries {
          |  CAST(p_lang = 1 AND p_ppl = 1 AND p_pii = 1 AND p_fresh = 1
          |    AS INTEGER) AS keep
          |FROM manifest""".stripMargin),
+    "q253_autocorr" -> graft.ops.TimeSeriesOps.autocorrOracleSql(
+      "events", "event_type", "ts", "value", Seq(1, 24)),
     "q252_mannwhitney_drift" -> ProfileOps.mannWhitneyOracleSql(
       s"(SELECT d.source, qq.quality FROM " +
         s"(${qualityOracleSql(TextOps.TrainedQualityWeights)}) qq " +
