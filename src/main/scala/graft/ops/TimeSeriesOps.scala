@@ -241,6 +241,86 @@ object TimeSeriesOps {
         .otherwise(round(num / (sqrt(vx) * sqrt(vy)), 6)).as("acf"))
   }
 
+  /** Cross-correlation between two event types at signed hour lags —
+    * the lead–lag diagnostic ("does A's hourly level lead B's by k
+    * hours"): XCF(lag) = Pearson corr of (A_t, B_{t+lag·3600}).
+    * Positive lag = A leads. Same exactness contract as [[autocorr]]
+    * (micro-unit hourly means, decimal(38,0) integer moments, the
+    * corrMatrix closed form at 6dp).
+    *
+    * @return (lag, n_pairs, xcf)
+    */
+  def crossCorr(events: DataFrame, tsCol: String, typeCol: String,
+      valueCol: String, typeA: String, typeB: String,
+      lagsHours: Seq[Int]): DataFrame = {
+    require(lagsHours.nonEmpty, "need at least one lag")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def obs(t: String) = events.where(col(typeCol) === t)
+      .groupBy((floor(col(tsCol).cast("double") / 3600).cast("long") * 3600)
+        .as("h"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("h"), idiv(col("s") * 20000 + col("n"), col("n") * 2)
+        .as("v6"))
+    val a = obs(typeA).crossJoin(broadcast(lagsHours.toDF("lag")))
+      .select(col("lag"), (col("h") + col("lag") * 3600L).as("h2"),
+        col("v6").as("x"))
+    val pairs = a.join(obs(typeB).select(col("h").as("h2"),
+      col("v6").as("y")), Seq("h2"))
+    val D = "decimal(38,0)"
+    val m = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(D)).as("s_x"), sum(col("y").cast(D)).as("s_y"),
+      sum((col("x") * col("y")).cast(D)).as("p_xy"),
+      sum((col("x") * col("x")).cast(D)).as("p_xx"),
+      sum((col("y") * col("y")).cast(D)).as("p_yy"))
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val num = dbl(col("n")) * dbl(col("p_xy")) -
+      dbl(col("s_x")) * dbl(col("s_y"))
+    val vx = dbl(col("n")) * dbl(col("p_xx")) -
+      dbl(col("s_x")) * dbl(col("s_x"))
+    val vy = dbl(col("n")) * dbl(col("p_yy")) -
+      dbl(col("s_y")) * dbl(col("s_y"))
+    m.select(col("lag"), col("n").as("n_pairs"),
+      when(sqrt(vx) * sqrt(vy) === 0, lit(null).cast("double"))
+        .otherwise(round(num / (sqrt(vx) * sqrt(vy)), 6)).as("xcf"))
+  }
+
+  /** DuckDB replay of [[crossCorr]]. */
+  def crossCorrOracleSql(table: String, tsCol: String, typeCol: String,
+      valueCol: String, typeA: String, typeB: String,
+      lagsHours: Seq[Int]): String = {
+    val lagVals = lagsHours.map(l => s"($l)").mkString(", ")
+    def dbl(x: String) = s"CAST($x AS DOUBLE)"
+    val num = s"${dbl("n")} * ${dbl("p_xy")} - ${dbl("s_x")} * ${dbl("s_y")}"
+    val vx = s"${dbl("n")} * ${dbl("p_xx")} - ${dbl("s_x")} * ${dbl("s_x")}"
+    val vy = s"${dbl("n")} * ${dbl("p_yy")} - ${dbl("s_y")} * ${dbl("s_y")}"
+    def obsCte(name: String, t: String) =
+      s"""$name AS (
+         |  SELECT CAST(floor(epoch($tsCol) / 3600) AS BIGINT) * 3600 AS h,
+         |    (sum(CAST(round($valueCol * 100) AS BIGINT)) * 20000 + count(*))
+         |      // (count(*) * 2) AS v6
+         |  FROM $table WHERE $typeCol = '$t' GROUP BY 1)"""
+    s"""WITH ${obsCte("oa", typeA).stripMargin},
+       |${obsCte("ob", typeB).stripMargin},
+       |lags (lag) AS (VALUES $lagVals),
+       |p AS (SELECT l.lag, a.v6 AS x, b.v6 AS y
+       |  FROM oa a CROSS JOIN lags l
+       |  JOIN ob b ON b.h = a.h + l.lag * 3600),
+       |m AS (SELECT lag, count(*) AS n,
+       |  sum(CAST(x AS DECIMAL(38,0))) AS s_x,
+       |  sum(CAST(y AS DECIMAL(38,0))) AS s_y,
+       |  sum(CAST(x * y AS DECIMAL(38,0))) AS p_xy,
+       |  sum(CAST(x * x AS DECIMAL(38,0))) AS p_xx,
+       |  sum(CAST(y * y AS DECIMAL(38,0))) AS p_yy
+       | FROM p GROUP BY lag)
+       |SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       |  CASE WHEN sqrt($vx) * sqrt($vy) = 0 THEN NULL
+       |    ELSE round(($num) / (sqrt($vx) * sqrt($vy)), 6) END AS xcf
+       |FROM m""".stripMargin
+  }
+
   /** DuckDB replay of [[autocorr]]. */
   def autocorrOracleSql(table: String, keyCol: String, tsCol: String,
       valueCol: String, lagsHours: Seq[Int]): String = {

@@ -591,6 +591,14 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Lead-lag cross-correlation: does hourly click level LEAD
+    // purchase level (negative lags = purchase leads) — the
+    // conversion-latency question at the aggregate level.
+    "q254_crosscorr" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.crossCorr(Tables(s, d, "events"),
+        "ts", "event_type", "value", "click", "purchase",
+        Seq(-24, -1, 0, 1, 24))),
+
     // Exact lag autocorrelation per event type over the hourly
     // micro-unit mean grid (1h persistence, 24h seasonality) —
     // integer moments, corrMatrix closed form.
@@ -2970,6 +2978,9 @@ object PipelineQueries {
          |FROM manifest""".stripMargin),
     "q253_autocorr" -> graft.ops.TimeSeriesOps.autocorrOracleSql(
       "events", "event_type", "ts", "value", Seq(1, 24)),
+    "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
+      "events", "ts", "event_type", "value", "click", "purchase",
+      Seq(-24, -1, 0, 1, 24)),
     "q252_mannwhitney_drift" -> ProfileOps.mannWhitneyOracleSql(
       s"(SELECT d.source, qq.quality FROM " +
         s"(${qualityOracleSql(TextOps.TrainedQualityWeights)}) qq " +

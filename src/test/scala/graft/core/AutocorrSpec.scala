@@ -25,6 +25,19 @@ class AutocorrSpec extends SparkSpec {
     assert(got(2) == ((18L, 1.0)), s"lag2: ${got(2)}")
   }
 
+  test("crossCorr: B = A shifted one hour -> XCF(+1) = 1, XCF(0) = -1 on alternation") {
+    val a = (0 until 20).map(h =>
+      ("A", ts(h), if (h % 2 == 0) 1.0 else 2.0))
+    val b = (1 until 21).map(h =>   // B_t = A_{t-1}
+      ("B", ts(h), if ((h - 1) % 2 == 0) 1.0 else 2.0))
+    val events = (a ++ b).toDF("k", "t", "v")
+    val got = TimeSeriesOps.crossCorr(events, "t", "k", "v", "A", "B",
+        Seq(0, 1))
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got(1) == 1.0, s"A leads B by 1h exactly: $got")
+    assert(got(0) == -1.0, s"contemporaneous alternation anti-corr: $got")
+  }
+
   test("constant series: zero variance -> NULL acf") {
     val events = (0 until 10).map(h => ("c", ts(h), 5.0)).toDF("k", "t", "v")
     val rows = TimeSeriesOps.autocorr(events, "k", "t", "v", Seq(1))
