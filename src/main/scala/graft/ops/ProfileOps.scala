@@ -1102,6 +1102,85 @@ object ProfileOps {
           " div (4 * n_group * n_rest)").cast("double") / 1e6).as("auc"))
   }
 
+  /** Exact Spearman rank correlation between two numeric columns —
+    * the monotone-association probe beside [[corrMatrix]]'s linear
+    * Pearson (a saturating quality-vs-length relation scores ~1 here
+    * while Pearson under-reads it). Midrank ties make ranks
+    * half-integers, so DOUBLED ranks (2r = 2·cum_before + ct + 1) are
+    * exact integers; Spearman = Pearson of ranks is affine-invariant,
+    * so the rho of the 2r values is identical — every moment is an
+    * exact integer summed as decimal(38,0), and the closed form is
+    * the corrMatrix double spelling at 6dp.
+    *
+    * Scale shape: two distinct-value aggregations (measurement-grid
+    * sized), two value-keyed joins of the corpus against the
+    * |V|-bounded rank tables, one final scalar aggregate. The rank
+    * windows run over the value grid, never the corpus.
+    *
+    * @return one row: (x_col, y_col, n, rho)
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def rankTable(c: String) =
+      base.groupBy(col(c).as("v")).agg(count(lit(1)).as("ct"))
+        .select(col("v"),
+          ((sum("ct").over(w) - col("ct")) * 2 + col("ct") + 1)
+            .as(s"r2$c"))
+    val ranked = base
+      .join(rankTable("x"), col("x") === col("v")).drop("v")
+      .join(rankTable("y"), col("y") === col("v")).drop("v")
+    val D = "decimal(38,0)"
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("r2x").cast(D)).as("s_x"), sum(col("r2y").cast(D)).as("s_y"),
+      sum((col("r2x") * col("r2y")).cast(D)).as("p_xy"),
+      sum((col("r2x") * col("r2x")).cast(D)).as("p_xx"),
+      sum((col("r2y") * col("r2y")).cast(D)).as("p_yy"))
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val num = dbl(col("n")) * dbl(col("p_xy")) -
+      dbl(col("s_x")) * dbl(col("s_y"))
+    val vx = dbl(col("n")) * dbl(col("p_xx")) -
+      dbl(col("s_x")) * dbl(col("s_x"))
+    val vy = dbl(col("n")) * dbl(col("p_yy")) -
+      dbl(col("s_y")) * dbl(col("s_y"))
+    m.select(lit(xCol).as("x_col"), lit(yCol).as("y_col"), col("n"),
+      when(sqrt(vx) * sqrt(vy) === 0, lit(null).cast("double"))
+        .otherwise(round(num / (sqrt(vx) * sqrt(vy)), 6)).as("rho"))
+  }
+
+  /** DuckDB replay of [[spearman]]; `srcSql` yields (x, y) rows. */
+  def spearmanOracleSql(srcSql: String, xName: String,
+      yName: String): String = {
+    def dbl(x: String) = s"CAST($x AS DOUBLE)"
+    val num = s"${dbl("n")} * ${dbl("p_xy")} - ${dbl("s_x")} * ${dbl("s_y")}"
+    val vx = s"${dbl("n")} * ${dbl("p_xx")} - ${dbl("s_x")} * ${dbl("s_x")}"
+    val vy = s"${dbl("n")} * ${dbl("p_yy")} - ${dbl("s_y")} * ${dbl("s_y")}"
+    s"""WITH base AS ($srcSql),
+       |rx AS (SELECT v, (sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |    - ct) * 2 + ct + 1 AS r2x
+       |  FROM (SELECT x AS v, count(*) AS ct FROM base GROUP BY x) t),
+       |ry AS (SELECT v, (sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |    - ct) * 2 + ct + 1 AS r2y
+       |  FROM (SELECT y AS v, count(*) AS ct FROM base GROUP BY y) t),
+       |rk AS (SELECT rx.r2x, ry.r2y FROM base
+       |  JOIN rx ON base.x = rx.v JOIN ry ON base.y = ry.v),
+       |m AS (SELECT count(*) AS n,
+       |  sum(CAST(r2x AS DECIMAL(38,0))) AS s_x,
+       |  sum(CAST(r2y AS DECIMAL(38,0))) AS s_y,
+       |  sum(CAST(r2x * r2y AS DECIMAL(38,0))) AS p_xy,
+       |  sum(CAST(r2x * r2x AS DECIMAL(38,0))) AS p_xx,
+       |  sum(CAST(r2y * r2y AS DECIMAL(38,0))) AS p_yy
+       | FROM rk)
+       |SELECT '$xName' AS x_col, '$yName' AS y_col,
+       |  CAST(n AS BIGINT) AS n,
+       |  CASE WHEN sqrt($vx) * sqrt($vy) = 0 THEN NULL
+       |    ELSE round(($num) / (sqrt($vx) * sqrt($vy)), 6) END AS rho
+       |FROM m""".stripMargin
+  }
+
   /** DuckDB replay of [[mannWhitneyAgainstRest]]. */
   def mannWhitneyOracleSql(table: String, groupCol: String,
       valueExpr: String): String =

@@ -591,6 +591,19 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Exact Spearman rank correlation between two quality signals
+    // (length vs trained quality): the monotone-association check a
+    // linear Pearson (q120) under-reads on saturating relations.
+    "q255_spearman" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val q = TextOps.qualityScore(docs, "doc_id", "text",
+          TextOps.TrainedQualityWeights)
+        .select(col("id").as("doc_id"), col("quality"))
+      ProfileOps.spearman(
+        docs.select(col("doc_id"), col("n_chars")).join(q, Seq("doc_id")),
+        "n_chars", "quality")
+    }),
+
     // Lead-lag cross-correlation: does hourly click level LEAD
     // purchase level (negative lags = purchase leads) — the
     // conversion-latency question at the aggregate level.
@@ -2981,6 +2994,11 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q255_spearman" -> ProfileOps.spearmanOracleSql(
+      s"SELECT CAST(d.n_chars AS DOUBLE) AS x, qq.quality AS y FROM " +
+        s"(${qualityOracleSql(TextOps.TrainedQualityWeights)}) qq " +
+        "JOIN documents d USING (doc_id)",
+      "n_chars", "quality"),
     "q252_mannwhitney_drift" -> ProfileOps.mannWhitneyOracleSql(
       s"(SELECT d.source, qq.quality FROM " +
         s"(${qualityOracleSql(TextOps.TrainedQualityWeights)}) qq " +

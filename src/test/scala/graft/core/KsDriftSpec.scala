@@ -53,6 +53,24 @@ class KsDriftSpec extends SparkSpec {
       .collect().forall(_.getDouble(4) == 0.5))
   }
 
+  test("spearman: monotone nonlinear is exactly 1, reversal exactly -1, ties by midrank") {
+    val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 100.0))
+      .toDF("x", "y")
+    assert(ProfileOps.spearman(mono, "x", "y")
+      .collect()(0).getDouble(3) == 1.0)
+    val anti = Seq((1.0, 100.0), (2.0, 9.0), (3.0, 4.0), (4.0, 1.0))
+      .toDF("x", "y")
+    assert(ProfileOps.spearman(anti, "x", "y")
+      .collect()(0).getDouble(3) == -1.0)
+    // tied pairs share midranks on both sides -> still exactly 1
+    val ties = Seq((1.0, 5.0), (1.0, 5.0), (2.0, 9.0)).toDF("x", "y")
+    assert(ProfileOps.spearman(ties, "x", "y")
+      .collect()(0).getDouble(3) == 1.0)
+    // constant column -> NULL rho
+    val const = Seq((1.0, 7.0), (2.0, 7.0)).toDF("x", "y")
+    assert(ProfileOps.spearman(const, "x", "y").collect()(0).isNullAt(3))
+  }
+
   test("exact rational: uneven sizes, common-denominator numerator") {
     // A = {1}, rest = {1, 2, 3}: at v=1 F_A=1, F_r=1/3 -> D=2/3
     val df = Seq(("A", 1.0), ("B", 1.0), ("B", 2.0), ("B", 3.0))
