@@ -937,6 +937,38 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Scene-change segmentation over sampled frames — the video-side
+    * dedup/summarization primitive (shot detection): consecutive
+    * frames are compared and a "cut" recorded where the frame content
+    * changes; a video with k cuts has k+1 scenes. The comparison here
+    * is exact byte equality on the [[sampleFrames]] windows (a real
+    * deployment swaps in a perceptual distance over decoded frames —
+    * same plan, different frame feature); n_distinct_frames bounds the
+    * dedup win from per-scene keyframe retention.
+    *
+    * Scale shape: one narrow frame-explode scan, then a single
+    * doc_id-partitioned window (nFrames rows per key) and one
+    * aggregation on the same key — one shuffle total, frame bytes
+    * never shuffle twice (lag runs inside the partition).
+    *
+    * @return per doc: (doc_id, n_frames, n_cuts, n_scenes,
+    *         n_distinct_frames)
+    */
+  def sceneSegments(spark: SparkSession, binDocs: DataFrame,
+      nFrames: Int, frameBytes: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    sampleFrames(spark, binDocs, nFrames, frameBytes)
+      .withColumn("prev", lag("frame", 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("prev").isNotNull &&
+          !(col("frame") <=> col("prev")), 1L).otherwise(0L)).as("n_cuts"),
+        countDistinct(col("frame")).as("n_distinct_frames"))
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        (col("n_cuts") + 1).as("n_scenes"), col("n_distinct_frames"))
+  }
+
   /** "Resize": deterministic fixed-size feature from a payload — the
     * shape of an image-resize/thumbnail stage (binary in, fixed-width
     * vector out). STUB: real resizing needs a codec; here each output

@@ -1203,6 +1203,167 @@ object ProfileOps {
        |   // (4 * s.ng * (t.nt - s.ng))) / 1e6 AS auc
        |FROM r2 JOIN sizes s USING (g) CROSS JOIN tot t""".stripMargin
 
+  /** Chi-squared categorical drift per group vs rest — the
+    * categorical sibling of [[ksAgainstRest]] (numeric KS) and
+    * [[mannWhitneyAgainstRest]] (numeric rank shift): for each group
+    * g the 2×K contingency table (g vs everything else, over the
+    * categories of `catCol`) is tested for independence. With row
+    * totals ng and nt−ng the 2×K statistic collapses to
+    * χ²_g = Σ_k d_k² / (ng·(nt−ng)·ct_k) where d_k = o_k·nt − ng·ct_k
+    * (o_k = group count in category k, ct_k = global category count):
+    * every d_k is an EXACT integer from one pass of counts, so both
+    * engines evaluate identical double divisions. Cell terms fold in
+    * category-sorted order (the [[mutualInformation]] discipline) —
+    * a plain double sum is partition-order-dependent. Cramér's V =
+    * sqrt(χ²/nt) (2×K ⇒ min(r−1,c−1)=1) normalizes for table size.
+    *
+    * Scale shape: three count aggregations (cells |G|·K, categories
+    * K, sizes |G|) off one scan; the grid join broadcasts the
+    * K-bounded category table. Nothing row-scale ever shuffles twice.
+    * Zero-count cells enter through the grid (their term is
+    * ng·ct/(nt−ng)/nt-shaped, not zero), dof = K−1.
+    *
+    * @return per group: (groupCol, n_group, dof, chi2, cramers_v);
+    *         chi2 is null when the group IS the whole table.
+    */
+  def chiSquaredAgainstRest(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val base = df.select(col(groupCol).as("g"), col(catCol).as("k"))
+    val cells = base.groupBy("g", "k").agg(count(lit(1)).as("o"))
+    val cats = base.groupBy("k").agg(count(lit(1)).as("ct"))
+    val sizes = base.groupBy("g").agg(count(lit(1)).as("ng"))
+    val tot = base.agg(count(lit(1)).as("nt"))
+    val d = col("o") * col("nt") - col("ng") * col("ct")
+    // ANSI division guard: when the group IS the table (nt = ng) the
+    // denominator is 0 — emit 0 here; the final projection nulls the
+    // whole statistic for that group.
+    val term = when(col("nt") === col("ng"), lit(0.0)).otherwise(
+      (d.cast(D) * d.cast(D)).cast("double") /
+        (col("ng").cast(D) * (col("nt") - col("ng")) * col("ct"))
+          .cast("double"))
+    val chi2 = aggregate(col("l"), lit(0.0),
+      (acc, x) => acc + x.getField("t"))
+    sizes.crossJoin(broadcast(tot)).crossJoin(broadcast(cats))
+      .join(cells, Seq("g", "k"), "left").na.fill(0L, Seq("o"))
+      .select(col("g"), col("ng"), col("nt"),
+        struct(col("k"), term.as("t")).as("s"))
+      .groupBy("g", "ng", "nt")
+      .agg(count(lit(1)).as("n_cats"),
+        array_sort(collect_list(col("s"))).as("l"))
+      .select(col("g").as(groupCol), col("ng").as("n_group"),
+        (col("n_cats") - 1).as("dof"),
+        when(col("ng") === col("nt"), lit(null).cast("double"))
+          .otherwise(round(chi2, 6)).as("chi2"),
+        when(col("ng") === col("nt"), lit(null).cast("double"))
+          .otherwise(round(sqrt(chi2 / col("nt")), 6)).as("cramers_v"))
+  }
+
+  /** DuckDB replay of [[chiSquaredAgainstRest]]. */
+  def chiSquaredOracleSql(table: String, groupCol: String,
+      catCol: String): String =
+    s"""WITH base AS (SELECT $groupCol AS g, $catCol AS k FROM $table),
+       |cells AS (SELECT g, k, CAST(count(*) AS BIGINT) AS o
+       |  FROM base GROUP BY 1, 2),
+       |cats AS (SELECT k, CAST(count(*) AS BIGINT) AS ct
+       |  FROM base GROUP BY k),
+       |sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS ng
+       |  FROM base GROUP BY g),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM base),
+       |grid AS (SELECT s.g, s.ng, t.nt, c.k, c.ct,
+       |    coalesce(cells.o, 0) AS o
+       |  FROM sizes s CROSS JOIN tot t CROSS JOIN cats c
+       |  LEFT JOIN cells ON cells.g = s.g AND cells.k = c.k),
+       |terms AS (SELECT g, ng, nt, k,
+       |    CAST(CAST(o * nt - ng * ct AS HUGEINT)
+       |         * (o * nt - ng * ct) AS DOUBLE)
+       |    / CAST(CAST(ng AS HUGEINT) * (nt - ng) * ct AS DOUBLE) AS t
+       |  FROM grid),
+       |agg AS (SELECT g, ng, nt, count(*) AS n_cats,
+       |    list_sum(list(t ORDER BY k)) AS chi2
+       |  FROM terms GROUP BY g, ng, nt)
+       |SELECT g AS $groupCol, ng AS n_group,
+       |  CAST(n_cats - 1 AS BIGINT) AS dof,
+       |  CASE WHEN ng = nt THEN NULL ELSE round(chi2, 6) END AS chi2,
+       |  CASE WHEN ng = nt THEN NULL
+       |    ELSE round(sqrt(chi2 / nt), 6) END AS cramers_v
+       |FROM agg""".stripMargin
+
+  /** Exact Kendall tau-b between two INTEGER-VALUED columns, computed
+    * on the joint histogram: concordant-minus-discordant
+    * S = Σ_{cells a<b in x} sign(y_b − y_a)·c_a·c_b needs only one
+    * cell-pair pass, and with u = n(n−1) − Σ_x t_x(t_x−1),
+    * v = n(n−1) − Σ_y t_y(t_y−1) (tie corrections from the marginals)
+    * tau_b = 2S / (√u·√v). S, u, v are exact integers — the only
+    * doubles are the two square roots, evaluated identically by both
+    * engines (the [[spearman]] closed-form discipline).
+    *
+    * Scale shape: this is a CONTINGENCY method — the cell-pair join is
+    * O(m²) over m = |distinct (x,y) cells|, broadcast on one side, so
+    * callers must bucket continuous signals first (m ≪ n, e.g.
+    * hour×value-decade below ≤ 24·50 cells); the corpus itself is
+    * touched once for the histogram. Exact tau on UNBUCKETED
+    * continuous data needs an order-statistics merge that has no
+    * shuffle-free Spark form — bucket instead, as any 100 TB
+    * contingency analysis would.
+    *
+    * @return one row: (x_col, y_col, n, n_cells, s, tau_b)
+    */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val cells = base.groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+      col("c").as("ca"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+      col("c").as("cb"))
+    val sRow = a.join(broadcast(b),
+        col("xa") < col("xb") && col("ya") =!= col("yb"))
+      .agg(coalesce(sum(when(col("yb") > col("ya"), col("ca") * col("cb"))
+        .otherwise(-col("ca") * col("cb"))), lit(0L)).as("s"))
+    val nCells = cells.agg(count(lit(1)).as("n_cells"))
+    val tx = base.groupBy("x").agg(count(lit(1)).as("cx"))
+      .agg(coalesce(sum(col("cx") * (col("cx") - 1)), lit(0L)).as("t2x"))
+    val ty = base.groupBy("y").agg(count(lit(1)).as("cy"))
+      .agg(coalesce(sum(col("cy") * (col("cy") - 1)), lit(0L)).as("t2y"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val u = col("n") * (col("n") - 1) - col("t2x")
+    val v = col("n") * (col("n") - 1) - col("t2y")
+    n.crossJoin(nCells).crossJoin(sRow).crossJoin(tx).crossJoin(ty)
+      .select(lit(xCol).as("x_col"), lit(yCol).as("y_col"), col("n"),
+        col("n_cells"), col("s"),
+        when(u <= 0 || v <= 0, lit(null).cast("double"))
+          .otherwise(round(lit(2).cast("double") * col("s")
+            / (sqrt(u.cast("double")) * sqrt(v.cast("double"))), 6))
+          .as("tau_b"))
+  }
+
+  /** DuckDB replay of [[kendallTau]]; `srcSql` yields (x, y) rows. */
+  def kendallTauOracleSql(srcSql: String, xName: String,
+      yName: String): String =
+    s"""WITH base AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+       |  FROM ($srcSql) src),
+       |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+       |  FROM base GROUP BY 1, 2),
+       |sp AS (SELECT coalesce(sum(CASE WHEN b.y > a.y THEN a.c * b.c
+       |    ELSE -a.c * b.c END), 0) AS s
+       |  FROM cells a JOIN cells b ON a.x < b.x AND a.y <> b.y),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       |tx AS (SELECT coalesce(sum(cx * (cx - 1)), 0) AS t2x
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS cx
+       |        FROM base GROUP BY x) t),
+       |ty AS (SELECT coalesce(sum(cy * (cy - 1)), 0) AS t2y
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS cy
+       |        FROM base GROUP BY y) t)
+       |SELECT '$xName' AS x_col, '$yName' AS y_col, n, n_cells,
+       |  CAST(s AS BIGINT) AS s,
+       |  CASE WHEN n * (n - 1) - t2x <= 0 OR n * (n - 1) - t2y <= 0
+       |    THEN NULL
+       |    ELSE round(2.0 * s / (sqrt(CAST(n * (n - 1) - t2x AS DOUBLE))
+       |      * sqrt(CAST(n * (n - 1) - t2y AS DOUBLE))), 6) END AS tau_b
+       |FROM m CROSS JOIN nc CROSS JOIN sp CROSS JOIN tx CROSS JOIN ty""".stripMargin
+
   /** DuckDB replay of [[ksAgainstRest]]. */
   def ksAgainstRestOracleSql(table: String, groupCol: String,
       valueExpr: String): String =

@@ -591,6 +591,33 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Chi-squared categorical drift per source vs rest: does any
+    // source's language mix differ from the corpus — the categorical
+    // completion of the drift family (PSI q153 / KS q250 / MW q252
+    // cover numeric signals). Cramér's V normalizes across sources.
+    "q256_chi2_drift" -> ((s, d) =>
+      ProfileOps.chiSquaredAgainstRest(
+        Tables(s, d, "documents"), "source", "lang")),
+
+    // Exact Kendall tau-b (tie-corrected) between hour-of-day and
+    // event value decade, on the joint histogram — the
+    // concordance-based association probe beside Spearman (q255);
+    // bucketing bounds the contingency at 24×50 cells.
+    "q257_kendall_tau" -> ((s, d) =>
+      ProfileOps.kendallTau(
+        Tables(s, d, "events").select(
+          hour(col("ts")).cast("long").as("hr"),
+          floor(col("value") / lit(10.0)).cast("long").as("vdec")),
+        "hr", "vdec")),
+
+    // Scene-change segmentation over sampled frames: per-payload cut
+    // count + distinct-frame bound — the video shot-detection shape
+    // on top of the q49 frame plumbing.
+    "q258_scene_segments" -> ((s, d) =>
+      MultimodalOps.sceneSegments(s,
+        MultimodalOps.withBinaryPayload(
+          Tables(s, d, "documents"), "doc_id", "text"), 8)),
+
     // Exact Spearman rank correlation between two quality signals
     // (length vs trained quality): the monotone-association check a
     // linear Pearson (q120) under-reads on saturating relations.
@@ -2994,6 +3021,33 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q256_chi2_drift" -> ProfileOps.chiSquaredOracleSql(
+      "documents", "source", "lang"),
+
+    "q257_kendall_tau" -> ProfileOps.kendallTauOracleSql(
+      "SELECT hour(ts) AS x, floor(value / 10.0) AS y FROM events",
+      "hr", "vdec"),
+
+    "q258_scene_segments" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, i, substring(h,
+        |    CAST(((i * greatest(n - 32, 0)) // 7) * 2 + 1 AS BIGINT),
+        |    64) AS frame
+        |  FROM b, (SELECT unnest(generate_series(0, 7)) AS i)),
+        |l AS (SELECT doc_id, frame,
+        |    lag(frame) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM f),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL
+        |      AND frame IS DISTINCT FROM prev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_cuts,
+        |    count(DISTINCT frame) AS n_distinct_frames
+        |  FROM l GROUP BY doc_id)
+        |SELECT doc_id, n_frames, n_cuts,
+        |  CAST(n_cuts + 1 AS BIGINT) AS n_scenes, n_distinct_frames
+        |FROM a""".stripMargin,
+
     "q255_spearman" -> ProfileOps.spearmanOracleSql(
       s"SELECT CAST(d.n_chars AS DOUBLE) AS x, qq.quality AS y FROM " +
         s"(${qualityOracleSql(TextOps.TrainedQualityWeights)}) qq " +
