@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the guardrail a pipeline runs before
@@ -1363,6 +1363,275 @@ object ProfileOps {
        |    ELSE round(2.0 * s / (sqrt(CAST(n * (n - 1) - t2x AS DOUBLE))
        |      * sqrt(CAST(n * (n - 1) - t2y AS DOUBLE))), 6) END AS tau_b
        |FROM m CROSS JOIN nc CROSS JOIN sp CROSS JOIN tx CROSS JOIN ty""".stripMargin
+
+  /** Isotonic (PAV) calibration over score buckets — the monotone
+    * repair of a raw calibration curve (q181's buckets can zig-zag on
+    * thin bins; downstream threshold picking wants a non-decreasing
+    * score→rate map). Computed by the minimax characterization of
+    * pool-adjacent-violators: fitted_i = max_{j≤i} min_{k≥i}
+    * weightedRate(j..k) — closed-form over segments, no iterative
+    * pooling, so it is expressible identically in both engines.
+    * Segment rates are exact-integer sums divided once.
+    *
+    * Scale shape: everything after the first aggregation is
+    * bucket-grid-sized (B buckets → B² segments → B³ join rows,
+    * B ≤ ~100), all broadcast; the corpus is touched once.
+    *
+    * @param df one row per example with an integer bucket column and
+    *           a 0/1 outcome column
+    * @return per bucket: (bucket, n, n_pos, raw_rate, iso_rate) with
+    *         iso_rate non-decreasing in bucket
+    */
+  def isotonicCalibration(df: DataFrame, bucketCol: String,
+      posCol: String): DataFrame = {
+    val bins = df.select(col(bucketCol).cast("long").as("b"),
+        col(posCol).cast("long").as("pos"))
+      .groupBy("b").agg(count(lit(1)).as("w"), sum("pos").as("p"))
+    val segs = bins.select(col("b").as("j"))
+      .join(broadcast(bins.select(col("b").as("k"))), col("j") <= col("k"))
+      .join(broadcast(bins.select(col("b").as("t"), col("w").as("tw"),
+        col("p").as("tp"))), col("t") >= col("j") && col("t") <= col("k"))
+      .groupBy("j", "k")
+      .agg((sum("tp").cast("double") / sum("tw")).as("seg_rate"))
+    bins.join(broadcast(segs), col("j") <= col("b") && col("k") >= col("b"))
+      .groupBy("b", "w", "p", "j").agg(min("seg_rate").as("mn"))
+      .groupBy("b", "w", "p").agg(max("mn").as("fit"))
+      .select(col("b").as("bucket"), col("w").as("n"), col("p").as("n_pos"),
+        round(col("p").cast("double") / col("w"), 6).as("raw_rate"),
+        round(col("fit"), 6).as("iso_rate"))
+  }
+
+  /** DuckDB replay of [[isotonicCalibration]]; `srcSql` yields
+    * (bucket, pos) rows.
+    */
+  def isotonicOracleSql(srcSql: String): String =
+    s"""WITH src AS ($srcSql),
+       |bins AS (SELECT CAST(bucket AS BIGINT) AS b,
+       |    CAST(count(*) AS BIGINT) AS w,
+       |    CAST(sum(pos) AS BIGINT) AS p FROM src GROUP BY 1),
+       |segs AS (SELECT j.b AS j, k.b AS k,
+       |    CAST(sum(t.p) AS DOUBLE) / sum(t.w) AS seg_rate
+       |  FROM bins j JOIN bins k ON j.b <= k.b
+       |  JOIN bins t ON t.b BETWEEN j.b AND k.b GROUP BY 1, 2),
+       |mn AS (SELECT i.b, i.w, i.p, s.j, min(s.seg_rate) AS mn
+       |  FROM bins i JOIN segs s ON s.j <= i.b AND s.k >= i.b
+       |  GROUP BY 1, 2, 3, 4),
+       |f AS (SELECT b, w, p, max(mn) AS fit FROM mn GROUP BY 1, 2, 3)
+       |SELECT b AS bucket, w AS n, p AS n_pos,
+       |  round(CAST(p AS DOUBLE) / w, 6) AS raw_rate,
+       |  round(fit, 6) AS iso_rate FROM f""".stripMargin
+
+  /** Theil's uncertainty coefficient U — the NORMALIZED, asymmetric
+    * companion of [[mutualInformation]]: U(a|b) = MI/H(a) is the
+    * fraction of a's entropy explained by knowing b (1 = b determines
+    * a; 0 = independent), which unlike raw MI is comparable across
+    * tables of different entropy. Both directions are emitted —
+    * asymmetry is the point (source may determine lang far more than
+    * lang determines source).
+    *
+    * Same exact-count + sorted-fold discipline as mutualInformation:
+    * every probability is an exact integer ratio, entropy/MI terms
+    * fold in category-sorted order so double addition is
+    * deterministic, one corpus scan feeds all three aggregates.
+    *
+    * @return one row: (n_cells, mi_nats, h_a, h_b, u_a_given_b,
+    *         u_b_given_a), rounded at 6dp; U is null when the
+    *         corresponding entropy is 0 (constant column).
+    */
+  def theilsU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val ra = cells.groupBy("a").agg(sum("n").as("r"))
+    val cb = cells.groupBy("b").agg(sum("n").as("c"))
+    val tot = cells.agg(sum("n").as("nn"))
+    def foldSum(l: Column) =
+      aggregate(l, lit(0.0), (acc, x) => acc + x.getField("t"))
+    val miTerm = (col("n").cast("double") / col("nn")) *
+      log((col("n") * col("nn")).cast("double")
+        / (col("r") * col("c")).cast("double"))
+    val mi = cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(tot))
+      .select(struct(col("a"), col("b"), miTerm.as("t")).as("s"))
+      .agg(count(lit(1)).as("n_cells"),
+        array_sort(collect_list(col("s"))).as("l"))
+      .select(col("n_cells"), foldSum(col("l")).as("mi"))
+    def entropy(marg: DataFrame, key: String, cnt: String) =
+      marg.crossJoin(broadcast(tot))
+        .select(struct(col(key),
+          (col(cnt).cast("double") / col("nn") *
+            log(col("nn").cast("double") / col(cnt))).as("t")).as("s"))
+        .agg(array_sort(collect_list(col("s"))).as("l"))
+        .select(foldSum(col("l")).as(s"h_$key"))
+    def u(h: Column) =
+      when(h <= 0, lit(null).cast("double"))
+        .otherwise(round(col("mi") / h, 6))
+    mi.crossJoin(entropy(ra, "a", "r")).crossJoin(entropy(cb, "b", "c"))
+      .select(col("n_cells"), round(col("mi"), 6).as("mi_nats"),
+        round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"),
+        u(col("h_a")).as("u_a_given_b"), u(col("h_b")).as("u_b_given_a"))
+  }
+
+  /** DuckDB replay of [[theilsU]]. */
+  def theilsUOracleSql(table: String, aCol: String, bCol: String): String =
+    s"""WITH cells AS (SELECT $aCol AS a, $bCol AS b,
+       |    CAST(count(*) AS BIGINT) AS n FROM $table GROUP BY 1, 2),
+       |ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY a),
+       |cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY b),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+       |mi AS (SELECT count(*) AS n_cells,
+       |    list_sum(list((CAST(n AS DOUBLE) / nn)
+       |      * ln(CAST(n * nn AS DOUBLE) / CAST(r * c AS DOUBLE))
+       |      ORDER BY cells.a, cells.b)) AS mi
+       |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN t),
+       |ha AS (SELECT list_sum(list(CAST(r AS DOUBLE) / nn
+       |    * ln(CAST(nn AS DOUBLE) / r) ORDER BY a)) AS h_a
+       |  FROM ra CROSS JOIN t),
+       |hb AS (SELECT list_sum(list(CAST(c AS DOUBLE) / nn
+       |    * ln(CAST(nn AS DOUBLE) / c) ORDER BY b)) AS h_b
+       |  FROM cb CROSS JOIN t)
+       |SELECT CAST(n_cells AS BIGINT) AS n_cells,
+       |  round(mi, 6) AS mi_nats, round(h_a, 6) AS h_a,
+       |  round(h_b, 6) AS h_b,
+       |  CASE WHEN h_a <= 0 THEN NULL ELSE round(mi / h_a, 6) END
+       |    AS u_a_given_b,
+       |  CASE WHEN h_b <= 0 THEN NULL ELSE round(mi / h_b, 6) END
+       |    AS u_b_given_a
+       |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
+
+  /** Quantile normalization of an integral signal across groups: each
+    * value is mapped through its within-group ECDF onto the GLOBAL
+    * quantile function, so every group ends up with the same marginal
+    * distribution (the batch-effect repair for per-source score
+    * drift — a "long for src3" document becomes "long for the
+    * corpus"). Entirely integer arithmetic: within-group rank r (# of
+    * values ≤ v), grid position k = ⌈r·G/ng⌉, global position
+    * p = ⌈k·N/G⌉, normalized value = p-th smallest global value — no
+    * doubles anywhere, so both engines agree bit-for-bit.
+    *
+    * Scale shape: the two rank windows run over VALUE GRIDS ((group ×
+    * |V_g|) and |V| rows — the [[spearman]] trick), never the corpus;
+    * the G-row position table broadcasts; the corpus is touched by
+    * one aggregation and one grid-keyed join each side. Ties share a
+    * rank, hence a normalized value — deterministic under reordering.
+    *
+    * @return one row per input row: (idCol, groupCol, valueCol,
+    *         grid_pos, norm_v)
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, grid: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(grid >= 2, s"grid must be >= 2, got $grid")
+    val base = df.select(col(idCol).as("id"), col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val wg = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gv = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .select(col("g"), col("v"), sum("c").over(wg).as("r"))
+    val sizes = base.groupBy("g").agg(count(lit(1)).as("ng"))
+    val kk = gv.join(broadcast(sizes), "g")
+      .select(col("g"), col("v"),
+        expr(s"(r * $grid + ng - 1) div ng").as("k"))
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allv = base.groupBy("v").agg(count(lit(1)).as("ct"))
+      .select(col("v").as("norm_v"),
+        (sum("ct").over(wAll) - col("ct")).as("cb"), col("ct"))
+    val nt = base.agg(count(lit(1)).as("nt"))
+    val pos = df.sparkSession.range(1, grid + 1).toDF("k")
+      .crossJoin(nt)
+      .select(col("k"), expr(s"(k * nt + $grid - 1) div $grid").as("pos"))
+    val gridVal = allv.join(broadcast(pos),
+        col("cb") < col("pos") && col("pos") <= col("cb") + col("ct"))
+      .select(col("k"), col("norm_v"))
+    base.join(kk, Seq("g", "v")).join(broadcast(gridVal), "k")
+      .select(col("id").as(idCol), col("g").as(groupCol),
+        col("v").as(valueCol), col("k").as("grid_pos"), col("norm_v"))
+  }
+
+  /** DuckDB replay of [[quantileNormalize]]; `srcSql` yields
+    * (id, g, v) rows.
+    */
+  def quantileNormalizeOracleSql(srcSql: String, idName: String,
+      groupName: String, valueName: String, grid: Int = 1000): String =
+    s"""WITH base AS (SELECT id, g, CAST(v AS BIGINT) AS v
+       |  FROM ($srcSql) src),
+       |gv AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+       |    ROWS UNBOUNDED PRECEDING) AS r
+       |  FROM (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+       |        FROM base GROUP BY 1, 2) t),
+       |sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS ng
+       |  FROM base GROUP BY g),
+       |kk AS (SELECT g, v, (r * $grid + ng - 1) // ng AS k
+       |  FROM gv JOIN sizes USING (g)),
+       |allv AS (SELECT v AS norm_v,
+       |    sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - ct AS cb,
+       |    ct
+       |  FROM (SELECT v, CAST(count(*) AS BIGINT) AS ct
+       |        FROM base GROUP BY v) t),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM base),
+       |pos AS (SELECT k, (k * nt + $grid - 1) // $grid AS pos
+       |  FROM (SELECT unnest(generate_series(1, $grid)) AS k) ks, tot),
+       |gval AS (SELECT k, norm_v FROM pos JOIN allv
+       |  ON cb < pos AND pos <= cb + ct)
+       |SELECT base.id AS $idName, base.g AS $groupName,
+       |  base.v AS $valueName, CAST(kk.k AS BIGINT) AS grid_pos,
+       |  gval.norm_v
+       |FROM base JOIN kk USING (g, v) JOIN gval USING (k)""".stripMargin
+
+  private val benfordDigitP: Seq[(Int, String)] =
+    (1 to 9).map(d => d -> BigDecimal(math.log10(1 + 1.0 / d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString)
+
+  /** Benford first-significant-digit audit — the data-forensics check
+    * on a positive integral column (price cents, token counts):
+    * fabricated or truncated numeric columns drift from the
+    * log10(1+1/d) law. The first digit comes from the value's DECIMAL
+    * STRING, not log10 — libm log implementations differ in the last
+    * ulp across engines, string conversion of an integer never does.
+    * Expected probabilities are compile-time 6dp literals injected
+    * into BOTH engines; observed fractions use the exact half-up
+    * integer-division grid. One scan, digit-grid aggregates only.
+    *
+    * @return per digit 1-9 present: (digit, n, frac, benford_p,
+    *         delta)
+    */
+  def benfordFirstDigit(df: DataFrame, valueCol: String): DataFrame = {
+    val base = df.select(col(valueCol).cast("long").as("v"))
+      .where(col("v") > 0)
+    val pExpr = benfordDigitP.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p.toDouble))
+        .otherwise(acc)
+    }
+    base.select(substring(col("v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(base.agg(count(lit(1)).as("nt")))
+      .select(col("digit"), col("n"),
+        (expr("(2000000 * n + nt) div (2 * nt)").cast("double") / 1e6)
+          .as("frac"),
+        pExpr.as("benford_p"))
+      .withColumn("delta", col("frac") - col("benford_p"))
+  }
+
+  /** DuckDB replay of [[benfordFirstDigit]]; `valueExpr` must be a
+    * positive integral expression (same cents-grid as the Spark call).
+    */
+  def benfordOracleSql(table: String, valueExpr: String): String = {
+    val cases = benfordDigitP
+      .map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ")
+    s"""WITH base AS (SELECT CAST($valueExpr AS BIGINT) AS v FROM $table
+       |  WHERE CAST($valueExpr AS BIGINT) > 0),
+       |c AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+       |    AS digit, CAST(count(*) AS BIGINT) AS n
+       |  FROM base GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM base)
+       |SELECT digit, n,
+       |  CAST((2000000 * n + nt) // (2 * nt) AS DOUBLE) / 1e6 AS frac,
+       |  CASE digit $cases END AS benford_p,
+       |  CAST((2000000 * n + nt) // (2 * nt) AS DOUBLE) / 1e6
+       |    - CASE digit $cases END AS delta
+       |FROM c CROSS JOIN t""".stripMargin
+  }
 
   /** DuckDB replay of [[ksAgainstRest]]. */
   def ksAgainstRestOracleSql(table: String, groupCol: String,

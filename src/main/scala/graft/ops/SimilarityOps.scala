@@ -63,6 +63,100 @@ object SimilarityOps {
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 
+  /** Simplified (centroid-based) silhouette — the cluster-quality
+    * scoreboard (Rousseeuw's silhouette with the O(n²) pairwise
+    * distances replaced by centroid distances, the standard
+    * large-scale variant): per point, a = distance to its own
+    * centroid, b = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b) ∈ [−1, 1]; per cluster the mean s says how
+    * separated that cluster is. Centroids come from a deterministic
+    * predicate (e.g. pinned seed vectors), so the whole scoreboard is
+    * DuckDB-replayable — unlike the seeded k-means fits it audits.
+    *
+    * Determinism discipline: cosine distances land on the integer
+    * MICRO grid (round(cos·1e6), the knnBrute 6dp rule), per-point s
+    * is shifted to s+1 ∈ [0,2] and half-up micro-quantized with
+    * integer division (negative `div` floors differently across
+    * engines — the shift keeps every division non-negative), and the
+    * cluster means are exact integer divisions of micro sums — no
+    * partition-order double summation anywhere.
+    *
+    * Scale shape: one broadcast of the K seed vectors, one narrow
+    * distance scan, one id-partitioned window over K rows per point,
+    * one aggregation. The corpus never self-joins.
+    *
+    * @return per cluster: (cluster, n, mean_sil, mean_a, mean_b)
+    */
+  def simplifiedSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+      seedPred: Column): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val seeds = base.filter(seedPred)
+      .select(col("id").as("seed_id"), col("v").as("sv"))
+    val dm = base.crossJoin(broadcast(seeds))
+      .select(col("id"), col("seed_id"),
+        (lit(1000000L) -
+          round(nativeCosine(emb)(col("v"), col("sv")) * 1e6, 0)
+            .cast("long")).as("dmicro"))
+    val w = Window.partitionBy("id").orderBy(col("dmicro"), col("seed_id"))
+    val r = dm.withColumn("rn", row_number().over(w))
+    val a = r.filter(col("rn") === 1).select(col("id"),
+      col("seed_id").as("cluster"), col("dmicro").as("da"))
+    val b = r.filter(col("rn") === 2).select(col("id"),
+      col("dmicro").as("db"))
+    val mx = greatest(col("da"), col("db"))
+    a.join(b, "id")
+      .select(col("cluster"), col("da"), col("db"),
+        when(mx === 0, lit(1000000L)).otherwise(
+          expr("(2000000 * (db - da + greatest(da, db))" +
+            " + greatest(da, db)) div (2 * greatest(da, db))"))
+          .as("smicro"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("smicro").as("ss"),
+        sum("da").as("sa"), sum("db").as("sb"))
+      .select(col("cluster"), col("n"),
+        (expr("(2 * ss + n) div (2 * n)").cast("double") / 1e6 - 1.0)
+          .as("mean_sil"),
+        (expr("(2 * sa + n) div (2 * n)").cast("double") / 1e6)
+          .as("mean_a"),
+        (expr("(2 * sb + n) div (2 * n)").cast("double") / 1e6)
+          .as("mean_b"))
+  }
+
+  /** DuckDB replay of [[simplifiedSilhouette]]; `seedWhere` filters
+    * the seed rows of `table`.
+    */
+  def silhouetteOracleSql(table: String, idCol: String, vecCol: String,
+      seedWhere: String): String =
+    s"""WITH base AS (SELECT $idCol AS id,
+       |    CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |seeds AS (SELECT $idCol AS seed_id,
+       |    CAST($vecCol AS DOUBLE[]) AS sv FROM $table
+       |  WHERE $seedWhere),
+       |dm AS (SELECT id, seed_id, 1000000 -
+       |    CAST(round(list_cosine_similarity(v, sv) * 1e6) AS BIGINT)
+       |    AS dmicro
+       |  FROM base CROSS JOIN seeds),
+       |r AS (SELECT id, seed_id, dmicro, row_number()
+       |    OVER (PARTITION BY id ORDER BY dmicro, seed_id) AS rn
+       |  FROM dm),
+       |j AS (SELECT a.cluster, a.da, b.db,
+       |    CASE WHEN greatest(a.da, b.db) = 0 THEN 1000000
+       |      ELSE (2000000 * (b.db - a.da + greatest(a.da, b.db))
+       |        + greatest(a.da, b.db)) // (2 * greatest(a.da, b.db))
+       |    END AS smicro
+       |  FROM (SELECT id, seed_id AS cluster, dmicro AS da FROM r
+       |        WHERE rn = 1) a
+       |  JOIN (SELECT id, dmicro AS db FROM r WHERE rn = 2) b
+       |  USING (id)),
+       |agg AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |    sum(smicro) AS ss, sum(da) AS sa, sum(db) AS sb
+       |  FROM j GROUP BY cluster)
+       |SELECT cluster, n,
+       |  CAST((2 * ss + n) // (2 * n) AS DOUBLE) / 1e6 - 1.0 AS mean_sil,
+       |  CAST((2 * sa + n) // (2 * n) AS DOUBLE) / 1e6 AS mean_a,
+       |  CAST((2 * sb + n) // (2 * n) AS DOUBLE) / 1e6 AS mean_b
+       |FROM agg""".stripMargin
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     * LASER/CCMatrix parallel-corpus miner): absolute cosine is a bad
     * mining signal (hub vectors score high against everything), so

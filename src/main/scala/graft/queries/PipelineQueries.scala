@@ -591,6 +591,52 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Isotonic (PAV) repair of the q181 calibration curve via the
+    // minimax closed form — the monotone score→rate map a threshold
+    // picker actually consumes.
+    "q259_isotonic" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sc = TextOps.qualityScore(docs, "doc_id", "text",
+        TextOps.TrainedQualityWeights)
+      val lab = TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
+      ProfileOps.isotonicCalibration(
+        sc.join(lab, "id").select(
+          least(floor(col("quality") * 10).cast("int"), lit(9))
+            .as("bucket"), col("pos")),
+        "bucket", "pos")
+    }),
+
+    // Quantile normalization of document length across sources — the
+    // batch-effect repair that puts every source on the corpus-global
+    // length distribution. Pure integer rank/grid arithmetic.
+    "q260_quantile_norm" -> ((s, d) =>
+      ProfileOps.quantileNormalize(
+        Tables(s, d, "documents"), "doc_id", "source", "n_chars")),
+
+    // Benford first-digit audit of line-item prices (cents grid) —
+    // numeric-column forensics; first digit from the decimal string,
+    // never libm log10.
+    "q261_benford" -> ((s, d) =>
+      ProfileOps.benfordFirstDigit(
+        Tables(s, d, "lineitem").select(
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
+        "cents")),
+
+    // Simplified silhouette over pinned seed centroids — the
+    // deterministic cluster-separation scoreboard beside the seeded
+    // k-means fits (q113/q115).
+    "q262_silhouette" -> ((s, d) =>
+      SimilarityOps.simplifiedSilhouette(
+        Tables(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 8)),
+
+    // Theil's U (uncertainty coefficient) source↔lang, both
+    // directions — the normalized, asymmetric companion of mutual
+    // information (q228).
+    "q263_theils_u" -> ((s, d) =>
+      ProfileOps.theilsU(Tables(s, d, "documents"), "source", "lang")),
+
     // Chi-squared categorical drift per source vs rest: does any
     // source's language mix differ from the corpus — the categorical
     // completion of the drift family (PSI q153 / KS q250 / MW q252
@@ -3021,6 +3067,28 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q259_isotonic" -> ProfileOps.isotonicOracleSql(
+      s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
+         |docs0 AS (SELECT doc_id, text AS t FROM documents),
+         |""".stripMargin + rulesOracleBody("docs0") +
+      """
+        |SELECT least(CAST(floor(quality * 10) AS INTEGER), 9) AS bucket,
+        | pr.passes AS pos
+        |FROM q JOIN pr USING (doc_id)""".stripMargin),
+
+    "q260_quantile_norm" -> ProfileOps.quantileNormalizeOracleSql(
+      "SELECT doc_id AS id, source AS g, n_chars AS v FROM documents",
+      "doc_id", "source", "n_chars"),
+
+    "q261_benford" -> ProfileOps.benfordOracleSql(
+      "lineitem", "round(l_extendedprice * 100)"),
+
+    "q262_silhouette" -> SimilarityOps.silhouetteOracleSql(
+      "embeddings", "vec_id", "embedding", "vec_id < 8"),
+
+    "q263_theils_u" -> ProfileOps.theilsUOracleSql(
+      "documents", "source", "lang"),
+
     "q256_chi2_drift" -> ProfileOps.chiSquaredOracleSql(
       "documents", "source", "lang"),
 
