@@ -1633,6 +1633,131 @@ object ProfileOps {
        |FROM c CROSS JOIN t""".stripMargin
   }
 
+  /** Mergeable per-group sufficient statistics (n, Σx, Σx²) for an
+    * integral signal — the incremental-maintenance primitive: batch
+    * sketches are plain additive rows, so a stats store is updated by
+    * union + re-sum (never re-scanning history), mirroring the
+    * digest-store discipline of cross-batch dedup. Sums ride
+    * decimal(38,0), exact at any corpus size.
+    */
+  def statsSketch(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("v").cast(D)).as("s1"),
+        sum((col("v").cast(D) * col("v")).cast(D)).as("s2"))
+  }
+
+  /** Merge any number of [[statsSketch]] frames — pure additive
+    * re-aggregation (the Chan/parallel-variance merge is trivial in
+    * sufficient-statistic space; no center shifts, no doubles).
+    */
+  def mergeStatsSketches(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("g").agg(sum("n").as("n"), sum("s1").as("s1"),
+        sum("s2").as("s2"))
+  }
+
+  /** Derive (mean, sample variance, std) from a [[statsSketch]] —
+    * numerators stay exact decimal integers (n·Σx² − (Σx)²), with ONE
+    * double division at the end, so a merged store derives the exact
+    * same report as a full recompute (that identity is what the
+    * DuckDB oracle checks).
+    *
+    * @return per group: (groupCol, n, mean, var_samp, std)
+    */
+  def deriveStats(sketch: DataFrame, groupCol: String): DataFrame = {
+    // mean/var are quotients of exact integers, which CAN terminate
+    // exactly on the 6dp half-grid — so they round by exact half-up
+    // INTEGER division (the BENCHNOTES idiv discipline), never by
+    // round() on a double quotient. std is irrational, plain round.
+    val num = expr("n * s2 - s1 * s1")
+    sketch.select(col("g").as(groupCol), col("n"),
+      (expr("(2000000 * s1 + n) div (2 * n)").cast("double") / 1e6)
+        .as("mean"),
+      when(col("n") < 2, lit(null).cast("double"))
+        .otherwise(expr("((2000000 * (n * s2 - s1 * s1)" +
+          " + n * (n - 1)) div (2 * n * (n - 1)))").cast("double") / 1e6)
+        .as("var_samp"),
+      when(col("n") < 2, lit(null).cast("double"))
+        .otherwise(round(sqrt(num.cast("double")
+          / (col("n") * (col("n") - 1)).cast("double")), 6)).as("std"))
+  }
+
+  /** DuckDB replay of derive∘merge∘sketch: the same formulas computed
+    * directly over the FULL table — equality proves sketch
+    * additivity end-to-end.
+    */
+  def mergedStatsOracleSql(table: String, groupCol: String,
+      valueExpr: String): String =
+    s"""WITH s AS (SELECT $groupCol AS g,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST($valueExpr AS HUGEINT)) AS s1,
+       |    sum(CAST($valueExpr AS HUGEINT) * ($valueExpr)) AS s2
+       |  FROM $table GROUP BY 1)
+       |SELECT g AS $groupCol, n,
+       |  CAST((2000000 * s1 + n) // (2 * n) AS DOUBLE) / 1e6 AS mean,
+       |  CASE WHEN n < 2 THEN NULL
+       |    ELSE CAST((2000000 * (n * s2 - s1 * s1) + n * (n - 1))
+       |      // (2 * n * (n - 1)) AS DOUBLE) / 1e6 END AS var_samp,
+       |  CASE WHEN n < 2 THEN NULL
+       |    ELSE round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+       |      / CAST(n * (n - 1) AS DOUBLE)), 6) END AS std
+       |FROM s""".stripMargin
+
+  /** Exact weighted percentiles per group (lower weighted quantile:
+    * the smallest value whose cumulative weight reaches q·W), with
+    * integral weights so every comparison is integer (2·cum ≥ W for
+    * the median, 10·cum ≥ 9·W for p90 — no double quantile
+    * interpolation to disagree on).
+    *
+    * Scale shape: one weight aggregation onto the (group × value)
+    * grid, one grid window, one scan of the grid with both thresholds
+    * answered from the same cumulative — the corpus is read once. The
+    * grid is value-cardinality-bounded; at full corpus scale swap in
+    * approx_percentile and keep the threshold algebra.
+    *
+    * @return per group: (groupCol, total_w, w_median, w_p90)
+    */
+  def weightedPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).as("v"), col(weightCol).cast("long").as("w"))
+    val win = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.groupBy("g", "v").agg(sum("w").as("cw"))
+      .select(col("g"), col("v"), sum("cw").over(win).as("cum"))
+    val tot = base.groupBy("g").agg(sum("w").as("total_w"))
+    cum.join(broadcast(tot), "g")
+      .groupBy("g", "total_w")
+      .agg(min(when(col("cum") * 2 >= col("total_w"), col("v")))
+          .as("w_median"),
+        min(when(col("cum") * 10 >= col("total_w") * 9, col("v")))
+          .as("w_p90"))
+      .select(col("g").as(groupCol), col("total_w"),
+        col("w_median"), col("w_p90"))
+  }
+
+  /** DuckDB replay of [[weightedPercentiles]]. */
+  def weightedPercentilesOracleSql(table: String, groupCol: String,
+      valueCol: String, weightExpr: String): String =
+    s"""WITH base AS (SELECT $groupCol AS g, $valueCol AS v,
+       |    CAST($weightExpr AS BIGINT) AS w FROM $table),
+       |cum AS (SELECT g, v, sum(cw) OVER (PARTITION BY g ORDER BY v
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (SELECT g, v, CAST(sum(w) AS BIGINT) AS cw
+       |        FROM base GROUP BY 1, 2) t),
+       |tot AS (SELECT g, CAST(sum(w) AS BIGINT) AS total_w
+       |  FROM base GROUP BY g)
+       |SELECT cum.g AS $groupCol, total_w,
+       |  min(CASE WHEN cum * 2 >= total_w THEN v END) AS w_median,
+       |  min(CASE WHEN cum * 10 >= total_w * 9 THEN v END) AS w_p90
+       |FROM cum JOIN tot ON cum.g = tot.g
+       |GROUP BY 1, 2""".stripMargin
+
   /** DuckDB replay of [[ksAgainstRest]]. */
   def ksAgainstRestOracleSql(table: String, groupCol: String,
       valueExpr: String): String =

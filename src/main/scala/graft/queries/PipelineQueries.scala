@@ -591,6 +591,48 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Incremental stats maintenance: per-source moments from two
+    // disjoint batches, merged in sufficient-statistic space, then
+    // derived — the oracle recomputes DIRECTLY from the full table,
+    // so a hash match proves sketch additivity end-to-end.
+    "q264_merged_stats" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val even = ProfileOps.statsSketch(
+        docs.where(col("doc_id") % 2 === 0), "source", "n_chars")
+      val odd = ProfileOps.statsSketch(
+        docs.where(col("doc_id") % 2 === 1), "source", "n_chars")
+      ProfileOps.deriveStats(
+        ProfileOps.mergeStatsSketches(Seq(even, odd)), "source")
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue by brand): the
+    // correlated "quantity < 0.2 x per-part average" filter
+    // decorrelated into a partkey aggregate + join, with the
+    // threshold rewritten integer-exact (5·q·cnt < Σq — no double
+    // average to disagree on).
+    "q265_small_qty_revenue" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select(col("l_partkey"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      val pavg = li.groupBy("l_partkey")
+        .agg(sum("q").as("sq"), count(lit(1)).as("cq"))
+      li.join(broadcast(pavg), "l_partkey")
+        .where(col("q") * col("cq") * 5 < col("sq"))
+        .join(broadcast(Tables(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"),
+          (sum("cents").cast("double") / lit(700.0)).as("avg_yearly"))
+    }),
+
+    // Exact weighted percentiles (quantity-weighted price median/p90
+    // per return flag) — integer threshold algebra over the value
+    // grid, no quantile interpolation.
+    "q266_weighted_pctl" -> ((s, d) =>
+      ProfileOps.weightedPercentiles(Tables(s, d, "lineitem"),
+        "l_returnflag", "l_extendedprice", "l_quantity")),
+
     // Isotonic (PAV) repair of the q181 calibration curve via the
     // minimax closed form — the monotone score→rate map a threshold
     // picker actually consumes.
@@ -3067,6 +3109,25 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q264_merged_stats" -> ProfileOps.mergedStatsOracleSql(
+      "documents", "source", "n_chars"),
+
+    "q265_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |pa AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq,
+        |    CAST(count(*) AS BIGINT) AS cq FROM li GROUP BY 1),
+        |sel AS (SELECT li.l_partkey, cents
+        |  FROM li JOIN pa USING (l_partkey) WHERE q * cq * 5 < sq)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(cents) AS DOUBLE) / 700.0 AS avg_yearly
+        |FROM sel JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    "q266_weighted_pctl" -> ProfileOps.weightedPercentilesOracleSql(
+      "lineitem", "l_returnflag", "l_extendedprice", "l_quantity"),
+
     "q259_isotonic" -> ProfileOps.isotonicOracleSql(
       s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
          |docs0 AS (SELECT doc_id, text AS t FROM documents),

@@ -79,6 +79,34 @@ class StatsCalibSpec extends SparkSpec {
     assert(got2 == Map(1 -> 1L, 9 -> 1L))
   }
 
+  test("mergeable stats: merged batches equal the full recompute") {
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 4L),
+      ("g2", 10L), ("g2", 10L)).toDF("src", "x")
+    val full = ProfileOps.deriveStats(
+      ProfileOps.statsSketch(df, "src", "x"), "src")
+    val merged = ProfileOps.deriveStats(ProfileOps.mergeStatsSketches(Seq(
+      ProfileOps.statsSketch(df.where($"x" <= 2), "src", "x"),
+      ProfileOps.statsSketch(df.where($"x" > 2), "src", "x"))), "src")
+    assert(full.collect().toSet == merged.collect().toSet)
+    val got = full.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    // g1: mean 2.5, var = (4*30 - 100)/12 = 1.666667 (half-up idiv)
+    assert(got("g1") == ((4L, 2.5, 1.666667)))
+    assert(got("g2") == ((2L, 10.0, 0.0)))
+  }
+
+  test("weighted percentiles: lower weighted median on hand weights") {
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 8L),
+      ("b", 1.0, 5L), ("b", 2.0, 5L)).toDF("g", "v", "w")
+    val got = ProfileOps.weightedPercentiles(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((10L, 3.0, 3.0)))
+    // W/2 reached exactly at the first value -> lower median = 1
+    assert(got("b") == ((10L, 1.0, 2.0)))
+  }
+
   test("silhouette: points on their seeds score exactly 1") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
