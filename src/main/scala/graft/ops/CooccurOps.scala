@@ -75,4 +75,62 @@ object CooccurOps {
        |JOIN vocab v2 ON pairs.w2 = v2.w
        |CROSS JOIN n
        |WHERE co_df >= $minCo""".stripMargin
+
+  /** Frequent item PAIRS with lift (market-basket association mining,
+    * the 2-itemset core of Apriori/FP-growth): distinct (basket,
+    * item) rows self-join WITHIN a basket (`a.item < b.item` counts
+    * each pair once), pair supports filter at `minSupport`, and
+    * lift = n_ab·N / (n_a·n_b) says whether the pair co-occurs more
+    * than independence predicts. Lift is a rational of exact counts,
+    * so it rounds by half-up integer division, never round()-on-double.
+    *
+    * Scale shape: the self-join is basket-keyed (one hash exchange;
+    * fan-out bounded by max basket size², the retail-data invariant),
+    * item-marginal and basket-count frames are item-grid-sized and
+    * broadcast. Nothing corpus-quadratic.
+    *
+    * @return (item_a, item_b, n_ab, n_a, n_b, n_baskets, lift)
+    */
+  def basketPairs(rows: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val bi = rows.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val nBaskets = bi.agg(countDistinct("bk").as("n_baskets"))
+    val supp = bi.groupBy("it").agg(count(lit(1)).as("n_item"))
+    bi.as("a").join(bi.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+      .join(broadcast(supp.select(col("it").as("item_a"),
+        col("n_item").as("n_a"))), "item_a")
+      .join(broadcast(supp.select(col("it").as("item_b"),
+        col("n_item").as("n_b"))), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        (expr("(2000000 * n_ab * n_baskets + n_a * n_b)" +
+          " div (2 * n_a * n_b)").cast("double") / 1e6).as("lift"))
+  }
+
+  /** DuckDB twin of [[basketPairs]]; `srcSql` yields (bk, it) rows. */
+  def basketPairsOracleSql(srcSql: String, minSupport: Long): String =
+    s"""WITH bi AS (SELECT DISTINCT bk, it FROM ($srcSql) src),
+       |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets
+       |  FROM bi),
+       |supp AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item
+       |  FROM bi GROUP BY it),
+       |pairs AS (SELECT a.it AS item_a, b.it AS item_b,
+       |    CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+       |  GROUP BY 1, 2)
+       |SELECT item_a, item_b, n_ab, sa.n_item AS n_a, sb.n_item AS n_b,
+       |  n_baskets,
+       |  CAST((2000000 * n_ab * n_baskets + sa.n_item * sb.n_item)
+       |    // (2 * sa.n_item * sb.n_item) AS DOUBLE) / 1e6 AS lift
+       |FROM pairs
+       |JOIN supp sa ON pairs.item_a = sa.it
+       |JOIN supp sb ON pairs.item_b = sb.it
+       |CROSS JOIN nb
+       |WHERE n_ab >= $minSupport""".stripMargin
 }

@@ -817,4 +817,79 @@ object EventOps {
        |  CAST((sum(dur_ms) * 2 + count(*)) // (count(*) * 2) AS BIGINT)
        |    AS avg_dur_ms
        |FROM sess GROUP BY path""".stripMargin
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * most recent `touchType` event by the same user within
+    * `windowSec` — the marketing-attribution primitive (and the
+    * event-sequence sibling of the as-of join, computed here with one
+    * user-keyed window instead of a range join). Per conversion hour:
+    * how many conversions, how many attributed, the attribution rate
+    * (exact half-up 6dp), and the mean touch→conversion latency in
+    * seconds over the attributed set (exact micro mean).
+    *
+    * Determinism: rows order by (ts, event_id) — ties on raw ts can't
+    * reorder across engines; latency rides unix MICROsecond integers.
+    * Scale shape: one user-hash exchange for the window, then an
+    * hour-grid aggregation; no self-join over events.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, idCol: String, convType: String,
+      touchType: String, windowSec: Long): DataFrame = {
+    val base = events.select(col(userCol).as("u"),
+      col(tsCol).as("ts"), unix_micros(col(tsCol)).as("tus"),
+      col(typeCol).as("typ"), col(idCol).as("eid"))
+    val w = Window.partitionBy("u").orderBy(col("tus"), col("eid"))
+    val withTouch = base.withColumn("touch_us",
+      last(when(col("typ") === touchType, col("tus")),
+        ignoreNulls = true).over(w))
+    withTouch.where(col("typ") === convType)
+      .select(hour(col("ts")).cast("long").as("conv_hour"),
+        (col("touch_us").isNotNull &&
+          col("tus") - col("touch_us") <= windowSec * 1000000L)
+          .cast("long").as("attr"),
+        when(col("touch_us").isNotNull &&
+          col("tus") - col("touch_us") <= windowSec * 1000000L,
+          col("tus") - col("touch_us")).as("lat_us"))
+      .groupBy("conv_hour")
+      .agg(count(lit(1)).as("n_conv"), sum("attr").as("n_attr"),
+        sum("lat_us").as("sum_lat_us"))
+      .select(col("conv_hour"), col("n_conv"), col("n_attr"),
+        (expr("(2000000 * n_attr + n_conv) div (2 * n_conv)")
+          .cast("double") / 1e6).as("attr_rate"),
+        when(col("n_attr") === 0, lit(null).cast("double"))
+          .otherwise(expr("(2 * sum_lat_us + n_attr) div (2 * n_attr)")
+            .cast("double") / 1e6).as("mean_lat_s"))
+  }
+
+  /** DuckDB replay of [[lastTouchAttribution]]. */
+  def lastTouchOracleSql(table: String, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, convType: String,
+      touchType: String, windowSec: Long): String =
+    s"""WITH e AS (SELECT $userCol AS u, $tsCol AS ts,
+       |    epoch_us($tsCol) AS tus, $typeCol AS typ, $idCol AS eid
+       |  FROM $table),
+       |wt AS (SELECT *, last_value(CASE WHEN typ = '$touchType'
+       |      THEN tus END IGNORE NULLS)
+       |    OVER (PARTITION BY u ORDER BY tus, eid
+       |      ROWS UNBOUNDED PRECEDING) AS touch_us
+       |  FROM e),
+       |conv AS (SELECT hour(ts) AS conv_hour,
+       |    CASE WHEN touch_us IS NOT NULL
+       |      AND tus - touch_us <= ${windowSec * 1000000L} THEN 1 ELSE 0
+       |    END AS attr,
+       |    CASE WHEN touch_us IS NOT NULL
+       |      AND tus - touch_us <= ${windowSec * 1000000L}
+       |      THEN tus - touch_us END AS lat_us
+       |  FROM wt WHERE typ = '$convType'),
+       |agg AS (SELECT conv_hour, CAST(count(*) AS BIGINT) AS n_conv,
+       |    CAST(sum(attr) AS BIGINT) AS n_attr,
+       |    sum(lat_us) AS sum_lat_us
+       |  FROM conv GROUP BY conv_hour)
+       |SELECT conv_hour, n_conv, n_attr,
+       |  CAST((2000000 * n_attr + n_conv) // (2 * n_conv) AS DOUBLE)
+       |    / 1e6 AS attr_rate,
+       |  CASE WHEN n_attr = 0 THEN NULL
+       |    ELSE CAST((2 * sum_lat_us + n_attr) // (2 * n_attr) AS DOUBLE)
+       |      / 1e6 END AS mean_lat_s
+       |FROM agg""".stripMargin
 }

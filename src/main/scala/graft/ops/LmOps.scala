@@ -336,4 +336,103 @@ object LmOps {
        |heads AS (SELECT a, sum(c_ab) AS c_a, count(*) AS n1p_fwd FROM cab GROUP BY a),
        |conts AS (SELECT b, count(*) AS n1p_back FROM cab GROUP BY b),
        |scalars AS (SELECT count(*) AS bt, count(DISTINCT b) AS vc FROM cab)""".stripMargin
+
+  /** Simple Good–Turing (Gale & Sampson 1995) over unigram count-of-
+    * counts: on a REAL count grid N_{r+1} is mostly zero, so raw
+    * Turing estimates collapse — SGT first spreads each N_r over its
+    * neighbor gap (Z_r = 2N_r/(t−q), q/t the neighboring observed
+    * counts, q=0 at the head and t=2r−q at the tail), fits
+    * ln Z = a + b·ln r by least squares, and smooths
+    * r* = (r+1)·S(r+1)/S(r) = (r+1)·((r+1)/r)^b — the intercept
+    * cancels, only the slope b survives. The unseen-mass headline
+    * (how much probability rare/unseen words deserve) behind any
+    * vocabulary-coverage gate. Whitespace tokens, q58's class.
+    *
+    * Exactness: r, N_r, and the Z_r rational are exact integers
+    * (Z rounds by half-up integer division); the OLS moments fold in
+    * r-sorted order (the mutualInformation discipline) so the only
+    * doubles are ln/exp on identical inputs. Scale shape: corpus →
+    * word counts (one exchange) → count-of-counts — every later stage
+    * lives on the tiny count grid (window + fold over ≤|distinct r|
+    * rows).
+    *
+    * @return per observed r: (r, n_r, z_r, slope, r_star)
+    */
+  def simpleGoodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(explode(split(lower(col(textCol)),
+        "[ \t\n\f\r]+")).as("w"))
+      .where(col("w") =!= "")
+    val coc = words.groupBy("w").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+    val w = Window.orderBy("r")
+    val z = coc
+      .withColumn("q", coalesce(lag("r", 1).over(w), lit(0L)))
+      .withColumn("t", coalesce(lead("r", 1).over(w),
+        lit(2) * col("r") - coalesce(lag("r", 1).over(w), lit(0L))))
+      .withColumn("zr",
+        expr("(2000000 * 2 * n_r + (t - q)) div (2 * (t - q))")
+          .cast("double") / 1e6)
+      .withColumn("x", log(col("r").cast("double")))
+      .withColumn("y", log((lit(2) * col("n_r")).cast("double"))
+        - log((col("t") - col("q")).cast("double")))
+    val fit = z
+      .select(struct(col("r"), col("x"), col("y")).as("s"))
+      .agg(count(lit(1)).as("np"),
+        array_sort(collect_list(col("s"))).as("l"))
+      .select(col("np"),
+        aggregate(col("l"), lit(0.0),
+          (a, s) => a + s.getField("x")).as("sx"),
+        aggregate(col("l"), lit(0.0),
+          (a, s) => a + s.getField("y")).as("sy"),
+        aggregate(col("l"), lit(0.0),
+          (a, s) => a + s.getField("x") * s.getField("x")).as("sxx"),
+        aggregate(col("l"), lit(0.0),
+          (a, s) => a + s.getField("x") * s.getField("y")).as("sxy"))
+      .select(when(
+          col("np") * col("sxx") - col("sx") * col("sx") === 0,
+          lit(null).cast("double"))
+        .otherwise((col("np") * col("sxy") - col("sx") * col("sy"))
+          / (col("np") * col("sxx") - col("sx") * col("sx")))
+        .as("b"))
+    z.crossJoin(broadcast(fit))
+      .select(col("r"), col("n_r"), col("zr").as("z_r"),
+        round(col("b"), 6).as("slope"),
+        round((col("r") + 1).cast("double") *
+          exp(col("b") * (log((col("r") + 1).cast("double"))
+            - log(col("r").cast("double")))), 6).as("r_star"))
+  }
+
+  /** DuckDB replay of [[simpleGoodTuring]]. */
+  def simpleGoodTuringOracleSql(table: String, textCol: String): String =
+    s"""WITH w AS (SELECT unnest(list_filter(string_split_regex(
+       |    lower($textCol), '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS w
+       |  FROM $table),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM w GROUP BY w),
+       |coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+       |  FROM wc GROUP BY r),
+       |z AS (SELECT r, n_r,
+       |    coalesce(lag(r) OVER (ORDER BY r), 0) AS q,
+       |    coalesce(lead(r) OVER (ORDER BY r),
+       |      2 * r - coalesce(lag(r) OVER (ORDER BY r), 0)) AS t
+       |  FROM coc),
+       |zz AS (SELECT r, n_r,
+       |    CAST((2000000 * 2 * n_r + (t - q)) // (2 * (t - q))
+       |      AS DOUBLE) / 1e6 AS z_r,
+       |    ln(CAST(r AS DOUBLE)) AS x,
+       |    ln(CAST(2 * n_r AS DOUBLE)) - ln(CAST(t - q AS DOUBLE)) AS y
+       |  FROM z),
+       |fit AS (SELECT count(*) AS np,
+       |    list_sum(list(x ORDER BY r)) AS sx,
+       |    list_sum(list(y ORDER BY r)) AS sy,
+       |    list_sum(list(x * x ORDER BY r)) AS sxx,
+       |    list_sum(list(x * y ORDER BY r)) AS sxy
+       |  FROM zz),
+       |b AS (SELECT CASE WHEN np * sxx - sx * sx = 0 THEN NULL
+       |    ELSE (np * sxy - sx * sy) / (np * sxx - sx * sx) END AS b
+       |  FROM fit)
+       |SELECT r, n_r, z_r, round(b, 6) AS slope,
+       |  round((r + 1) * exp(b * (ln(CAST(r + 1 AS DOUBLE))
+       |    - ln(CAST(r AS DOUBLE)))), 6) AS r_star
+       |FROM zz CROSS JOIN b""".stripMargin
 }

@@ -591,6 +591,55 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Market-basket 2-itemsets: brand pairs co-ordered with lift —
+    // association mining over order baskets (fan-out bounded by
+    // basket size², one basket-keyed exchange).
+    "q267_brand_itemsets" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val part = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      graft.ops.CooccurOps.basketPairs(
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
+        "basket", "item", minSupport = 20L)
+    }),
+
+    // Last-touch attribution: purchases credited to the most recent
+    // click by the same user within 24h — one user-keyed window, no
+    // event self-join; exact micro-integer latencies.
+    "q268_attribution" -> ((s, d) =>
+      graft.ops.EventOps.lastTouchAttribution(Tables(s, d, "events"),
+        "user_id", "ts", "event_type", "event_id",
+        convType = "purchase", touchType = "click", windowSec = 86400L)),
+
+    // Simple Good–Turing (Gale–Sampson): neighbor-gap Z_r + log-log
+    // OLS smoothing of count-of-counts — the unseen-mass estimator
+    // beside the KN family.
+    "q269_good_turing" -> ((s, d) =>
+      graft.ops.LmOps.simpleGoodTuring(Tables(s, d, "documents"), "text")),
+
+    // HLL sketch-merge distinct counting: per-source batch sketches
+    // unioned, estimate gated within 5% of the exact count — the
+    // incremental approx-distinct path with a HARD oracle gate (the
+    // oracle emits the exact count and TRUE; an estimate outside the
+    // bound reds the row).
+    "q270_hll_merge" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("source"),
+          md5(col("text").cast("binary")).as("fp"),
+          (col("doc_id") % 2).as("parity"))
+      val merged = docs.groupBy("source", "parity")
+        .agg(expr("hll_sketch_agg(fp)").as("sk"))
+        .groupBy("source")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      docs.groupBy("source").agg(countDistinct("fp").as("n_exact"))
+        .join(merged, "source")
+        .select(col("source"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
+            .as("within_5pct"))
+    }),
+
     // Incremental stats maintenance: per-source moments from two
     // disjoint batches, merged in sufficient-statistic space, then
     // derived — the oracle recomputes DIRECTLY from the full table,
@@ -3109,6 +3158,22 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q267_brand_itemsets" -> graft.ops.CooccurOps.basketPairsOracleSql(
+      "SELECT l_orderkey AS bk, p_brand AS it FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey", minSupport = 20L),
+
+    "q268_attribution" -> graft.ops.EventOps.lastTouchOracleSql(
+      "events", "user_id", "ts", "event_type", "event_id",
+      convType = "purchase", touchType = "click", windowSec = 86400L),
+
+    "q269_good_turing" -> graft.ops.LmOps.simpleGoodTuringOracleSql(
+      "documents", "text"),
+
+    "q270_hll_merge" ->
+      """SELECT source, count(DISTINCT md5(text)) AS n_exact,
+        | TRUE AS within_5pct
+        |FROM documents GROUP BY source""".stripMargin,
+
     "q264_merged_stats" -> ProfileOps.mergedStatsOracleSql(
       "documents", "source", "n_chars"),
 

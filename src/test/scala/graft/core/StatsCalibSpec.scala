@@ -107,6 +107,57 @@ class StatsCalibSpec extends SparkSpec {
     assert(got("b") == ((10L, 1.0, 2.0)))
   }
 
+  test("basket pairs: counts once per basket, exact lift") {
+    // b1={x,y,z}, b2={x,y,x}(dup collapses), b3={x}: (x,y) support 2,
+    // lift = 2*3/(3*2) = 1.0
+    val rows = Seq(("b1", "x"), ("b1", "y"), ("b1", "z"),
+      ("b2", "x"), ("b2", "y"), ("b2", "x"), ("b3", "x"))
+      .toDF("bk", "it")
+    val got = graft.ops.CooccurOps.basketPairs(rows, "bk", "it", 2L)
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getDouble(6)) ==
+      (("x", "y", 2L, 3L, 2L, 3L, 1.0)))
+  }
+
+  test("attribution: within-window credited, stale/missing touch not") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1L),
+      (1L, ts("2024-01-01 10:00:10"), "purchase", 2L), // lat 10s
+      (2L, ts("2024-01-01 11:30:00"), "purchase", 3L), // no touch
+      (3L, ts("2024-01-01 08:00:00"), "click", 4L),
+      (3L, ts("2024-01-02 12:00:00"), "purchase", 5L)) // > 24h stale
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.ops.EventOps.lastTouchAttribution(ev, "user_id",
+        "ts", "event_type", "event_id", "purchase", "click", 86400L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    assert(got(10L) == ((1L, 1L, 1.0, 10.0)))
+    assert(got(11L) == ((1L, 0L, 0.0, -1.0))) // never touched
+    assert(got(12L) == ((1L, 0L, 0.0, -1.0))) // stale touch
+  }
+
+  test("simple good-turing: collinear Z gives slope exactly -1") {
+    // counts: 8 words once, 6 words twice, 4 words four times ->
+    // Z(1)=16/2=8, Z(2)=12/3=4, Z(4)=8/4=2: ln Z = ln 8 - ln r,
+    // slope -1, r* = (r+1)*((r+1)/r)^-1 = r
+    val words = (1 to 8).map(i => s"u$i") ++
+      (1 to 6).flatMap(i => Seq(s"d$i", s"d$i")) ++
+      (1 to 4).flatMap(i => Seq.fill(4)(s"q$i"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = graft.ops.LmOps.simpleGoodTuring(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((8L, 8.0, -1.0, 1.0)))
+    assert(got(2L) == ((6L, 4.0, -1.0, 2.0)))
+    assert(got(4L) == ((4L, 2.0, -1.0, 4.0)))
+  }
+
   test("silhouette: points on their seeds score exactly 1") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
