@@ -861,6 +861,78 @@ object EventOps {
             .cast("double") / 1e6).as("mean_lat_s"))
   }
 
+  /** Kaplan–Meier survival estimator over a per-subject
+    * (duration, event) frame — time-to-event with RIGHT CENSORING
+    * (event=0 subjects are known alive only up to their duration;
+    * dropping them is the classic conversion-time bias this estimator
+    * exists to fix). At each event time t:
+    * S(t) = Π_{s≤t} (1 − d_s/n_s) with n_s = subjects at risk
+    * (duration ≥ s) and d_s = observed events at s, accumulated as a
+    * cumulative ln-sum window over the TIME GRID (windows are
+    * order-deterministic in both engines, unlike a bare double
+    * product). If some step exhausts the risk set the curve drops to
+    * exactly 0 (Spark's log(0) is null, not −inf — the flag keeps
+    * both engines at 0.0).
+    *
+    * Scale shape: everything after the duration histogram lives on
+    * the time grid (one histogram exchange + two grid windows); the
+    * subjects frame is scanned once.
+    *
+    * @param subjects one row per subject: integer `durationCol`,
+    *                 0/1 `eventCol`
+    * @return per event time: (t, n_risk, n_event, survival)
+    */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val us = subjects.select(col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("long").as("ev"))
+    val hist = us.groupBy("t")
+      .agg(count(lit(1)).as("n_t"), sum("ev").as("n_event"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = us.agg(count(lit(1)).as("n_subj"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_subj") - (sum("n_t").over(w) - col("n_t")))
+      .withColumn("dead_end",
+        max((col("n_event") === col("n_risk")).cast("int")).over(w))
+      .withColumn("lns",
+        sum(when(col("n_event") > 0 && col("n_event") < col("n_risk"),
+          log((col("n_risk") - col("n_event")).cast("double"))
+            - log(col("n_risk").cast("double"))).otherwise(lit(0.0)))
+          .over(w))
+      .where(col("n_event") > 0)
+      .select(col("t"), col("n_risk"), col("n_event"),
+        when(col("dead_end") === 1, lit(0.0))
+          .otherwise(round(exp(col("lns")), 6)).as("survival"))
+  }
+
+  /** DuckDB replay of [[kaplanMeier]]; `srcSql` yields (t, ev). */
+  def kaplanMeierOracleSql(srcSql: String): String =
+    s"""WITH us AS (SELECT CAST(t AS BIGINT) AS t,
+       |    CAST(ev AS BIGINT) AS ev FROM ($srcSql) src),
+       |hist AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+       |    CAST(sum(ev) AS BIGINT) AS n_event
+       |  FROM us GROUP BY t),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_subj FROM us),
+       |g1 AS (SELECT t, n_event,
+       |    n_subj - (sum(n_t) OVER (ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) - n_t) AS n_risk
+       |  FROM hist CROSS JOIN tot),
+       |g2 AS (SELECT t, n_risk, n_event,
+       |    max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+       |      OVER w AS dead_end,
+       |    sum(CASE WHEN n_event > 0 AND n_event < n_risk
+       |      THEN ln(CAST(n_risk - n_event AS DOUBLE))
+       |        - ln(CAST(n_risk AS DOUBLE))
+       |      ELSE 0.0 END) OVER w AS lns
+       |  FROM g1
+       |  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING))
+       |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_event,
+       |  CASE WHEN dead_end = 1 THEN 0.0
+       |    ELSE round(exp(lns), 6) END AS survival
+       |FROM g2 WHERE n_event > 0""".stripMargin
+
   /** DuckDB replay of [[lastTouchAttribution]]. */
   def lastTouchOracleSql(table: String, userCol: String, tsCol: String,
       typeCol: String, idCol: String, convType: String,

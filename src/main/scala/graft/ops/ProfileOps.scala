@@ -1758,6 +1758,105 @@ object ProfileOps {
        |FROM cum JOIN tot ON cum.g = tot.g
        |GROUP BY 1, 2""".stripMargin
 
+  /** Best-F1 operating point: sweep every distinct score as the
+    * "predict positive if score ≥ t" threshold, pick the threshold
+    * maximizing F1 — the number a quality-gate deployment actually
+    * sets. One cumulative window over the DISTINCT-SCORE grid (the
+    * q182 rank-AUC discipline — the corpus never sorts) gives TP and
+    * predicted-positive counts at every threshold; F1 = 2TP/(PP+P) is
+    * quantized on the exact half-up micro grid, so the argmax
+    * compares integers (ties break to the LOWEST threshold — the most
+    * permissive gate among equals).
+    *
+    * @return one row: (threshold, tp, fp, fn, precision, recall, f1)
+    */
+  def bestF1Threshold(df: DataFrame, scoreCol: String,
+      posCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(scoreCol).as("s"),
+      col(posCol).cast("long").as("pos"))
+    val grid = base.groupBy("s")
+      .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+    val wDesc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.agg(sum("pos").as("p_all"))
+    val cum = grid
+      .withColumn("tp", sum("np").over(wDesc))
+      .withColumn("pp", sum("n").over(wDesc))
+      .crossJoin(broadcast(tot))
+      .withColumn("f1m",
+        expr("(2000000 * 2 * tp + (pp + p_all)) div (2 * (pp + p_all))"))
+    val pick = Window.orderBy(col("f1m").desc, col("s").asc)
+    cum.withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
+      .select(col("s").as("threshold"), col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        (col("p_all") - col("tp")).as("fn"),
+        (expr("(2000000 * tp + pp) div (2 * pp)")
+          .cast("double") / 1e6).as("precision"),
+        (expr("(2000000 * tp + p_all) div (2 * p_all)")
+          .cast("double") / 1e6).as("recall"),
+        (col("f1m").cast("double") / 1e6).as("f1"))
+  }
+
+  /** DuckDB replay of [[bestF1Threshold]]; `srcSql` yields (s, pos). */
+  def bestF1OracleSql(srcSql: String): String =
+    s"""WITH base AS (SELECT s, CAST(pos AS BIGINT) AS pos
+       |  FROM ($srcSql) src),
+       |grid AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS np FROM base GROUP BY s),
+       |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p_all FROM base),
+       |cum AS (SELECT s,
+       |    sum(np) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+       |      AS tp,
+       |    sum(n) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+       |      AS pp
+       |  FROM grid),
+       |f AS (SELECT s, tp, pp, p_all,
+       |    (2000000 * 2 * tp + (pp + p_all)) // (2 * (pp + p_all))
+       |      AS f1m
+       |  FROM cum CROSS JOIN tot),
+       |pick AS (SELECT *, row_number()
+       |    OVER (ORDER BY f1m DESC, s ASC) AS rn FROM f)
+       |SELECT s AS threshold, CAST(tp AS BIGINT) AS tp,
+       |  CAST(pp - tp AS BIGINT) AS fp,
+       |  CAST(p_all - tp AS BIGINT) AS fn,
+       |  CAST((2000000 * tp + pp) // (2 * pp) AS DOUBLE) / 1e6
+       |    AS precision,
+       |  CAST((2000000 * tp + p_all) // (2 * p_all) AS DOUBLE) / 1e6
+       |    AS recall,
+       |  CAST(f1m AS DOUBLE) / 1e6 AS f1
+       |FROM pick WHERE rn = 1""".stripMargin
+
+  /** Approximate-percentile accuracy gate: Spark's approx_percentile
+    * (Greenwald–Khanna) guarantees rank error ≤ n/accuracy; this op
+    * measures the EXACT rank of each returned value with a second
+    * scan and emits booleans the DuckDB oracle pins to TRUE — a
+    * sketch-quality collapse turns the driver row red instead of
+    * passing silently (the q51/q83 floor discipline, but fully
+    * oracle-gated). Bound checks are pure integer comparisons at 2×
+    * the guarantee (duplicate-value slack).
+    *
+    * @return one row: (n, p50_ok, p90_ok)
+    */
+  def approxPercentileGate(df: DataFrame, valueCol: String,
+      accuracy: Int = 1000): DataFrame = {
+    val base = df.select(col(valueCol).as("v"))
+    val ap = base.agg(
+        expr(s"approx_percentile(v, array(0.5D, 0.9D), $accuracy)")
+          .as("ap"))
+      .select(col("ap")(0).as("a50"), col("ap")(1).as("a90"))
+    val slack = 2000000L / accuracy // 2·ε·n in "per-million of n" units
+    base.crossJoin(broadcast(ap))
+      .agg(count(lit(1)).as("n"),
+        sum((col("v") <= col("a50")).cast("long")).as("le50"),
+        sum((col("v") <= col("a90")).cast("long")).as("le90"))
+      .select(col("n"),
+        (abs(col("le50") * 2000000L - col("n") * 1000000L) <=
+          col("n") * 2 * slack).as("p50_ok"),
+        (abs(col("le90") * 2000000L - col("n") * 1800000L) <=
+          col("n") * 2 * slack).as("p90_ok"))
+  }
+
   /** DuckDB replay of [[ksAgainstRest]]. */
   def ksAgainstRestOracleSql(table: String, groupCol: String,
       valueExpr: String): String =

@@ -591,6 +591,43 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Approximate-percentile accuracy gate: GK sketch ranks hard-
+    // checked against exact ranks (oracle pins TRUE — a sketch
+    // collapse reds the row).
+    "q271_approx_pctl_gate" -> ((s, d) =>
+      ProfileOps.approxPercentileGate(
+        Tables(s, d, "lineitem"), "l_extendedprice")),
+
+    // Kaplan–Meier time-to-first-purchase (hours) with right
+    // censoring (never-purchasers are censored at their last event,
+    // not dropped) — hour-grid windows, ln-sum product.
+    "q272_kaplan_meier" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val subj = ev.groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t_last"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("t_buy"))
+        .select(
+          (coalesce(col("t_buy"), col("t_last")) - col("t0"))
+            .as("span_us"),
+          col("t_buy").isNotNull.cast("int").as("ev"))
+        .select(expr("span_us div 3600000000").as("t_hours"), col("ev"))
+      graft.ops.EventOps.kaplanMeier(subj, "t_hours", "ev")
+    }),
+
+    // Best-F1 operating point of the trained quality scorer against
+    // the rule labels — the deployment threshold, argmax on the exact
+    // micro F1 grid.
+    "q273_best_f1" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sc = TextOps.qualityScore(docs, "doc_id", "text",
+        TextOps.TrainedQualityWeights)
+      val lab = TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
+      ProfileOps.bestF1Threshold(sc.join(lab, "id"), "quality", "pos")
+    }),
+
     // Market-basket 2-itemsets: brand pairs co-ordered with lift —
     // association mining over order baskets (fan-out bounded by
     // basket size², one basket-keyed exchange).
@@ -3158,6 +3195,26 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q271_approx_pctl_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS p50_ok,
+        | TRUE AS p90_ok FROM lineitem""".stripMargin,
+
+    "q272_kaplan_meier" -> graft.ops.EventOps.kaplanMeierOracleSql(
+      """SELECT (coalesce(t_buy, t_last) - t0) // 3600000000 AS t,
+        |  CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |FROM (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t_last,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS t_buy
+        |  FROM events GROUP BY user_id) u""".stripMargin),
+
+    "q273_best_f1" -> ProfileOps.bestF1OracleSql(
+      s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
+         |docs0 AS (SELECT doc_id, text AS t FROM documents),
+         |""".stripMargin + rulesOracleBody("docs0") +
+      """
+        |SELECT quality AS s, pr.passes AS pos
+        |FROM q JOIN pr USING (doc_id)""".stripMargin),
+
     "q267_brand_itemsets" -> graft.ops.CooccurOps.basketPairsOracleSql(
       "SELECT l_orderkey AS bk, p_brand AS it FROM lineitem " +
         "JOIN part ON l_partkey = p_partkey", minSupport = 20L),

@@ -158,6 +158,35 @@ class StatsCalibSpec extends SparkSpec {
     assert(got(4L) == ((4L, 2.0, -1.0, 4.0)))
   }
 
+  test("kaplan-meier: censoring shrinks risk without an event step") {
+    // (1,ev) (2,cens) (3,ev) (4,cens): S(1)=3/4, S(3)=3/4 * 1/2
+    val subj = Seq((1L, 1), (2L, 0), (3L, 1), (4L, 0)).toDF("t", "ev")
+    val got = graft.ops.EventOps.kaplanMeier(subj, "t", "ev")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(1L -> ((4L, 1L, 0.75)), 3L -> ((2L, 1L, 0.375))))
+    // risk exhaustion drops the curve to exactly 0
+    val all = Seq((1L, 1), (1L, 1)).toDF("t", "ev")
+    assert(graft.ops.EventOps.kaplanMeier(all, "t", "ev")
+      .collect()(0).getDouble(3) == 0.0)
+  }
+
+  test("best-F1: argmax over the threshold sweep, exact micro grid") {
+    // (0.9,+) (0.8,-) (0.7,+): t=0.7 wins with F1 = 4/5
+    val df = Seq((0.9, 1), (0.8, 0), (0.7, 1)).toDF("s", "pos")
+    val r = ProfileOps.bestF1Threshold(df, "s", "pos").collect()(0)
+    assert(r.getDouble(0) == 0.7)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 0L)))
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6)) ==
+      ((0.666667, 1.0, 0.8)))
+  }
+
+  test("approx percentile gate holds on exact-regime input") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val r = ProfileOps.approxPercentileGate(df, "v").collect()(0)
+    assert(r.getLong(0) == 1000L && r.getBoolean(1) && r.getBoolean(2))
+  }
+
   test("silhouette: points on their seeds score exactly 1") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
