@@ -143,6 +143,38 @@ object StreamOps {
         (0 until ref.nBins).map(b => col(s"_c$b")), col("n_cur")).as("psi"))
   }
 
+  /** Streaming chi-squared goodness-of-fit drift — the categorical
+    * twin of [[psiDriftStream]]: per event-time window, the observed
+    * category counts (one conditional sum per FROZEN baseline
+    * category, single watermarked aggregation) are tested against the
+    * baseline distribution: χ² = Σ_k d_k²/(n·ref_k·ref_N) with
+    * d_k = o_k·ref_N − n·ref_k exact integers — the same algebra as
+    * the batch [[graft.ops.ProfileOps.chiSquaredAgainstRest]], folded
+    * in the fixed baseline order so it is deterministic. Categories
+    * outside the baseline inflate only n (a conservative drift
+    * signal); pass a baseline covering the expected domain.
+    */
+  def chi2DriftStream(stream: DataFrame, tsCol: String, catCol: String,
+      ref: Seq[(String, Long)], windowSeconds: Int,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(ref.nonEmpty && ref.forall(_._2 > 0),
+      "baseline needs positive counts")
+    val refN = ref.map(_._2).sum
+    val counts = ref.zipWithIndex.map { case ((k, _), i) =>
+      sum(when(col(catCol) === k, 1L).otherwise(0L)).as(s"_c$i")
+    }
+    val agged = stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), s"$windowSeconds seconds"))
+      .agg(count(lit(1)).as("n_cur"), counts: _*)
+    val chi2 = ref.zipWithIndex.map { case ((_, rk), i) =>
+      val d = col(s"_c$i") * refN - col("n_cur") * rk
+      (d.cast("double") * d.cast("double")) /
+        (col("n_cur") * rk * refN).cast("double")
+    }.reduce(_ + _)
+    agged.select(col("window.start").as("window_start"), col("n_cur"),
+      round(chi2, 6).as("chi2"))
+  }
+
   /** Streaming data-quality monitor — the incremental twin of
     * [[graft.ops.ProfileOps.expectationTrend]]: per event-time
     * window, each contract check's violation count as a conditional

@@ -477,6 +477,29 @@ class StreamingSpec extends SparkSpec {
     assert(win(0).getDouble(2) > 0.5)                 // and it IS a drift
   }
 
+  test("streaming chi2 drift: closed-window GOF matches the hand value") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    // baseline 50/50; window [0,300) sees a 8/2 split:
+    // chi2 = (8-5)^2/5 + (2-5)^2/5 = 3.6
+    val q = StreamOps.chi2DriftStream(
+        input.toDF().toDF("event_id", "ts", "cat"), "ts", "cat",
+        ref = Seq("a" -> 50L, "b" -> 50L), windowSeconds = 300)
+      .writeStream.format("memory").queryName("chi2_windows")
+      .outputMode("append").start()
+    val rows = (0 until 8).map(i => (i.toLong, ts(i * 10), "a")) ++
+      Seq((8L, ts(80), "b"), (9L, ts(90), "b"),
+        (99L, ts(100000), "a")) // watermark-advancing closer
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val win = spark.table("chi2_windows")
+      .where(col("window_start").cast("long") === 0L).collect()
+    assert(win.length == 1)
+    assert(win(0).getLong(1) == 10L)
+    assert(win(0).getDouble(2) == 3.6)
+  }
+
   test("streaming DQ monitor: per-window violation counts match the batch trend") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double, String)]
