@@ -484,4 +484,66 @@ object GraphOps {
        |  CAST(r AS BIGINT) / 1000000.0 AS rank
        |FROM r$iterations""".stripMargin.replace("__EDGES__", edgesSql)
   }
+
+  /** Exact triangle count + global clustering coefficient over an
+    * undirected edge list — the graph-cohesion scoreboard beside
+    * [[pageRank]] (centrality) and [[connectedComponents]]
+    * (reachability): C = 3·triangles / wedges, wedges = Σ d(d−1)/2.
+    * Triangles count by the oriented two-path join: edges normalize
+    * to a<b, paths (a<b, b<c) close against the (a, c) edge — each
+    * triangle counted exactly once, the standard distributed
+    * formulation (at full scale, orient by DEGREE instead of id so
+    * high-degree hubs don't fan the path join; id-orientation keeps
+    * the oracle replayable here).
+    *
+    * @return one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    *         global_cc); cc null on a wedge-free graph
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e1.a") === col("e3.a") &&
+        col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodes.crossJoin(ne).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(null).cast("double"))
+          .otherwise(
+            expr("(2000000 * 3 * n_triangles + n_wedges)" +
+              " div (2 * n_wedges)").cast("double") / 1e6)
+          .as("global_cc"))
+  }
+
+  /** DuckDB replay of [[clusteringCoefficient]]; `edgesSql` yields
+    * (src, dst) rows.
+    */
+  def clusteringCoefficientOracleSql(edgesSql: String): String =
+    s"""WITH e AS (SELECT DISTINCT least(src, dst) AS a,
+       |    greatest(src, dst) AS b
+       |  FROM ($edgesSql) src0 WHERE src <> dst),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t
+       |  GROUP BY v),
+       |nodes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+       |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges = 0 THEN NULL
+       |    ELSE CAST((2000000 * 3 * n_triangles + n_wedges)
+       |      // (2 * n_wedges) AS DOUBLE) / 1e6 END AS global_cc
+       |FROM nodes CROSS JOIN ne CROSS JOIN tri""".stripMargin
 }

@@ -1857,6 +1857,72 @@ object ProfileOps {
           col("n") * 2 * slack).as("p90_ok"))
   }
 
+  /** Exact trimmed mean per group over an INTEGRAL value grid (cents,
+    * token counts): drop the lowest and highest ⌊pct·n⌋ observations
+    * BY RANK and average the middle — the robust location estimate
+    * that, unlike the median, still uses 90% of the data. Every
+    * retained observation is found by intersecting each distinct
+    * value's rank span [cumBefore+1, cumBefore+ct] with (lo, hi] —
+    * pure integer interval algebra, no sort of the corpus (the value
+    * grid sorts; the corpus aggregates onto it once). The mean rounds
+    * by exact half-up integer division.
+    *
+    * @param trimPermille per-side trim in 1/1000 units (50 = 5%)
+    * @return per group: (groupCol, n, n_used, trimmed_mean)
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      trimPermille: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimPermille >= 0 && trimPermille < 500,
+      s"per-side trim must be in [0, 500) permille, got $trimPermille")
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gv = base.groupBy("g", "v").agg(count(lit(1)).as("ct"))
+      .select(col("g"), col("v"), col("ct"),
+        (sum("ct").over(w) - col("ct")).as("cb"))
+    val tot = base.groupBy("g").agg(count(lit(1)).as("n"))
+    val D = "decimal(38,0)"
+    gv.join(broadcast(tot), "g")
+      .withColumn("lo", expr(s"(n * $trimPermille) div 1000"))
+      .withColumn("hi", col("n") - col("lo"))
+      .withColumn("take",
+        greatest(lit(0L), least(col("cb") + col("ct"), col("hi")) -
+          greatest(col("cb"), col("lo"))))
+      .where(col("take") > 0)
+      .groupBy("g", "n")
+      .agg(sum("take").as("n_used"),
+        sum((col("take").cast(D) * col("v"))).as("s"))
+      .select(col("g").as(groupCol), col("n"), col("n_used"),
+        (expr("(2000000 * s + n_used) div (2 * n_used)")
+          .cast("double") / 1e6).as("trimmed_mean"))
+  }
+
+  /** DuckDB replay of [[trimmedMean]]; `valueExpr` must be integral. */
+  def trimmedMeanOracleSql(table: String, groupCol: String,
+      valueExpr: String, trimPermille: Int = 50): String =
+    s"""WITH base AS (SELECT $groupCol AS g,
+       |    CAST($valueExpr AS BIGINT) AS v FROM $table),
+       |gv AS (SELECT g, v, ct,
+       |    sum(ct) OVER (PARTITION BY g ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) - ct AS cb
+       |  FROM (SELECT g, v, CAST(count(*) AS BIGINT) AS ct
+       |        FROM base GROUP BY 1, 2) t),
+       |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+       |  FROM base GROUP BY g),
+       |tk AS (SELECT g, n, v,
+       |    greatest(0, least(cb + ct, n - (n * $trimPermille) // 1000)
+       |      - greatest(cb, (n * $trimPermille) // 1000)) AS take
+       |  FROM gv JOIN tot USING (g)),
+       |agg AS (SELECT g, n, CAST(sum(take) AS BIGINT) AS n_used,
+       |    sum(CAST(take AS HUGEINT) * v) AS s
+       |  FROM tk WHERE take > 0 GROUP BY g, n)
+       |SELECT g AS $groupCol, n, n_used,
+       |  CAST((2000000 * s + n_used) // (2 * n_used) AS DOUBLE) / 1e6
+       |    AS trimmed_mean
+       |FROM agg""".stripMargin
+
   /** DuckDB replay of [[ksAgainstRest]]. */
   def ksAgainstRestOracleSql(table: String, groupCol: String,
       valueExpr: String): String =

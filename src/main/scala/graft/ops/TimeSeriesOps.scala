@@ -406,4 +406,118 @@ object TimeSeriesOps {
        |  round(sum(value), 4) AS volume,
        |  CAST(count(*) AS BIGINT) AS n
        |FROM rn GROUP BY series, h""".stripMargin
+
+  /** CUSUM changepoint detection over hourly event counts per series:
+    * the hour k maximizing |Σ_{h≤k}(c_h − μ)| is the level-shift
+    * point. Scaled by the grid size H the statistic is the EXACT
+    * integer S_k = H·prefix_k − k'·N (k' = 1-based grid position), so
+    * the argmax compares integers — no rational mean ever
+    * materializes. Ties break to the earliest hour.
+    *
+    * Scale shape: one count aggregation onto the (series × hour)
+    * grid, grid windows only; the normalized statistic
+    * s_max/(H·sqrt(N)) (round 6) makes series comparable.
+    *
+    * @return per series: (series, n_hours, n_events, cp_hour,
+    *         s_max_abs, cusum_norm)
+    */
+  def cusumChangepoint(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val hh = events.select(col(keyCol).as("series"),
+        date_trunc("hour", col(tsCol)).as("h"))
+      .groupBy("series", "h").agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("series").orderBy("h")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val tot = hh.groupBy("series")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_hours"))
+    val s = hh.join(tot, "series")
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("s_k",
+        abs(col("n_hours") * sum("c").over(wCum) -
+          col("k") * col("n_events")))
+    val pick = Window.partitionBy("series")
+      .orderBy(col("s_k").desc, col("h").asc)
+    s.withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
+      .select(col("series"), col("n_hours"), col("n_events"),
+        col("h").as("cp_hour"), col("s_k").as("s_max_abs"),
+        round(col("s_k").cast("double") /
+          (col("n_hours").cast("double") *
+            sqrt(col("n_events").cast("double"))), 6).as("cusum_norm"))
+  }
+
+  /** DuckDB replay of [[cusumChangepoint]]. */
+  def cusumOracleSql(table: String, keyCol: String,
+      tsCol: String): String =
+    s"""WITH hh AS (SELECT $keyCol AS series,
+       |    date_trunc('hour', $tsCol) AS h,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM $table GROUP BY 1, 2),
+       |tot AS (SELECT series, CAST(sum(c) AS BIGINT) AS n_events,
+       |    CAST(count(*) AS BIGINT) AS n_hours
+       |  FROM hh GROUP BY series),
+       |s AS (SELECT hh.series, h, n_hours, n_events,
+       |    abs(n_hours * sum(c) OVER (PARTITION BY hh.series ORDER BY h
+       |        ROWS UNBOUNDED PRECEDING)
+       |      - (row_number() OVER (PARTITION BY hh.series ORDER BY h))
+       |        * n_events) AS s_k
+       |  FROM hh JOIN tot USING (series)),
+       |pick AS (SELECT *, row_number() OVER (PARTITION BY series
+       |    ORDER BY s_k DESC, h ASC) AS rn FROM s)
+       |SELECT series, n_hours, n_events, h AS cp_hour,
+       |  CAST(s_k AS BIGINT) AS s_max_abs,
+       |  round(CAST(s_k AS DOUBLE)
+       |    / (CAST(n_hours AS DOUBLE) * sqrt(CAST(n_events AS DOUBLE))),
+       |    6) AS cusum_norm
+       |FROM pick WHERE rn = 1""".stripMargin
+
+  /** Seasonal-naive forecast backtest: predict each (series, day,
+    * hour) count with the SAME HOUR of the PREVIOUS day (the
+    * always-compute-this baseline any real forecaster must beat), and
+    * score MAE over the scorable grid — the "did the data's shape
+    * break" monitor. Absolute errors are exact integers; MAE rounds
+    * by half-up integer division.
+    *
+    * Scale shape: counts land on the (series × day × hour) grid; the
+    * prediction is one lag over the hour-of-day partition — grid
+    * windows only, the corpus is scanned once.
+    *
+    * @return per series: (series, n_points, total_abs_err, mae)
+    */
+  def seasonalNaiveBacktest(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val g = events.select(col(keyCol).as("series"),
+        to_date(col(tsCol)).as("d"), hour(col(tsCol)).as("hr"))
+      .groupBy("series", "d", "hr").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("series", "hr").orderBy("d")
+    val err = g.withColumn("pred", lag("c", 1).over(w))
+      .where(col("pred").isNotNull)
+      .select(col("series"), abs(col("c") - col("pred")).as("ae"))
+    err.groupBy("series")
+      .agg(count(lit(1)).as("n_points"), sum("ae").as("total_abs_err"))
+      .select(col("series"), col("n_points"), col("total_abs_err"),
+        (expr("(2000000 * total_abs_err + n_points) div (2 * n_points)")
+          .cast("double") / 1e6).as("mae"))
+  }
+
+  /** DuckDB replay of [[seasonalNaiveBacktest]]. Note: the lag runs
+    * over observed days only (a fully-silent (series, hour, day) has
+    * no row); both engines share that convention.
+    */
+  def seasonalNaiveOracleSql(table: String, keyCol: String,
+      tsCol: String): String =
+    s"""WITH g AS (SELECT $keyCol AS series, CAST($tsCol AS DATE) AS d,
+       |    hour($tsCol) AS hr, CAST(count(*) AS BIGINT) AS c
+       |  FROM $table GROUP BY 1, 2, 3),
+       |e AS (SELECT series,
+       |    abs(c - lag(c) OVER (PARTITION BY series, hr ORDER BY d))
+       |      AS ae
+       |  FROM g),
+       |agg AS (SELECT series, CAST(count(*) AS BIGINT) AS n_points,
+       |    CAST(sum(ae) AS BIGINT) AS total_abs_err
+       |  FROM e WHERE ae IS NOT NULL GROUP BY series)
+       |SELECT series, n_points, total_abs_err,
+       |  CAST((2000000 * total_abs_err + n_points)
+       |    // (2 * n_points) AS DOUBLE) / 1e6 AS mae
+       |FROM agg""".stripMargin
 }

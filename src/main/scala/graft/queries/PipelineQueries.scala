@@ -591,6 +591,45 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // CUSUM changepoint per event type over hourly counts — the
+    // level-shift detector; the scaled statistic is an exact integer
+    // so the argmax compares integers.
+    "q274_cusum_changepoint" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.cusumChangepoint(
+        Tables(s, d, "events"), "event_type", "ts")),
+
+    // Seasonal-naive backtest (same hour, previous day) per event
+    // type — the baseline any forecaster must beat, as a drift
+    // monitor. Exact integer errors, idiv MAE.
+    "q275_seasonal_backtest" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.seasonalNaiveBacktest(
+        Tables(s, d, "events"), "event_type", "ts")),
+
+    // Global clustering coefficient of the brand co-purchase graph
+    // (edges = q267's support>=20 pairs): oriented two-path triangle
+    // join, wedge count from degrees.
+    "q276_clustering_coeff" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val part = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val edges = graft.ops.CooccurOps.basketPairs(
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
+        "basket", "item", minSupport = 20L)
+        .select(col("item_a"), col("item_b"))
+      graft.ops.GraphOps.clusteringCoefficient(edges, "item_a", "item_b")
+    }),
+
+    // Exact 5%-trimmed mean of line-item price (cents grid) per
+    // return flag — robust location via integer rank-interval
+    // algebra, no corpus sort.
+    "q277_trimmed_mean" -> ((s, d) =>
+      ProfileOps.trimmedMean(
+        Tables(s, d, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
+        "l_returnflag", "cents")),
+
     // Approximate-percentile accuracy gate: GK sketch ranks hard-
     // checked against exact ranks (oracle pins TRUE — a sketch
     // collapse reds the row).
@@ -3195,6 +3234,24 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q274_cusum_changepoint" -> graft.ops.TimeSeriesOps.cusumOracleSql(
+      "events", "event_type", "ts"),
+
+    "q275_seasonal_backtest" ->
+      graft.ops.TimeSeriesOps.seasonalNaiveOracleSql(
+        "events", "event_type", "ts"),
+
+    "q276_clustering_coeff" ->
+      graft.ops.GraphOps.clusteringCoefficientOracleSql(
+        s"""SELECT item_a AS src, item_b AS dst FROM (
+           |${graft.ops.CooccurOps.basketPairsOracleSql(
+              "SELECT l_orderkey AS bk, p_brand AS it FROM lineitem " +
+                "JOIN part ON l_partkey = p_partkey",
+              minSupport = 20L)}) pairs""".stripMargin),
+
+    "q277_trimmed_mean" -> ProfileOps.trimmedMeanOracleSql(
+      "lineitem", "l_returnflag", "round(l_extendedprice * 100)"),
+
     "q271_approx_pctl_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS p50_ok,
         | TRUE AS p90_ok FROM lineitem""".stripMargin,

@@ -187,6 +187,59 @@ class StatsCalibSpec extends SparkSpec {
     assert(r.getLong(0) == 1000L && r.getBoolean(1) && r.getBoolean(2))
   }
 
+  test("cusum changepoint lands on the level shift, exact statistic") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hourly counts 1,1,10,10 -> |S_k| = 18,36,18,0: shift after h2
+    val rows =
+      Seq.fill(1)(ts("2024-01-01 00:10:00")) ++
+      Seq.fill(1)(ts("2024-01-01 01:10:00")) ++
+      Seq.fill(10)(ts("2024-01-01 02:10:00")) ++
+      Seq.fill(10)(ts("2024-01-01 03:10:00"))
+    val df = rows.map(("a", _)).toDF("k", "ts")
+    val r = graft.ops.TimeSeriesOps.cusumChangepoint(df, "k", "ts")
+      .collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 22L)
+    assert(r.getTimestamp(3) == ts("2024-01-01 01:00:00"))
+    assert(r.getLong(4) == 36L)
+  }
+
+  test("seasonal-naive backtest: previous-day same-hour errors") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hour 9 counts: day1=2, day2=3, day3=3 -> errors 1, 0 -> mae 0.5
+    val rows =
+      Seq.fill(2)(ts("2024-01-01 09:05:00")) ++
+      Seq.fill(3)(ts("2024-01-02 09:05:00")) ++
+      Seq.fill(3)(ts("2024-01-03 09:05:00"))
+    val df = rows.map(("a", _)).toDF("k", "ts")
+    val r = graft.ops.TimeSeriesOps.seasonalNaiveBacktest(df, "k", "ts")
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((2L, 1L, 0.5)))
+  }
+
+  test("clustering coefficient: triangle plus pendant = 3/5") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst") // (4,3) duplicate reversed, must collapse
+    val r = graft.ops.GraphOps.clusteringCoefficient(edges, "src", "dst")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((4L, 4L, 5L, 1L, 0.6)))
+  }
+
+  test("trimmed mean: 10% per side drops exactly the rank tails") {
+    val df = (1L to 10L).map(("g", _)).toDF("g", "v")
+    val r = ProfileOps.trimmedMean(df, "g", "v", trimPermille = 100)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((10L, 8L, 5.5)))
+    // tie spanning the cut: values 1,1,1,9 with 25% trim (lo=1,hi=3)
+    // keeps ranks 2..3 -> both are 1s -> mean 1.0
+    val tie = Seq(("g", 1L), ("g", 1L), ("g", 1L), ("g", 9L))
+      .toDF("g", "v")
+    assert(ProfileOps.trimmedMean(tie, "g", "v", trimPermille = 250)
+      .collect()(0).getDouble(3) == 1.0)
+  }
+
   test("silhouette: points on their seeds score exactly 1") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
