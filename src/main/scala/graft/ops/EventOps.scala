@@ -933,6 +933,115 @@ object EventOps {
        |    ELSE round(exp(lns), 6) END AS survival
        |FROM g2 WHERE n_event > 0""".stripMargin
 
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013, "Improving
+    * the Sensitivity of Online Controlled Experiments"): each user's
+    * post-period metric y is adjusted by their PRE-period covariate x
+    * — y' = y − θ(x − x̄), θ = cov(x,y)/var(x) pooled — which removes
+    * the between-user variance x predicts and shrinks the experiment
+    * CI by exactly (1 − ρ²). The variance-reduction column IS ρ², so
+    * the readout reports how much sensitivity the covariate bought.
+    *
+    * Exactness: per-user x/y ride the cents grid; all moments are
+    * decimal(38,0)-exact sums, θ/ρ² are single double divisions of
+    * exact integers, arm means are exact half-up idiv; the adjusted
+    * mean composes those (identical expression both engines, round 6).
+    * Arms are deterministic (`userCol` parity). Scale shape: one
+    * user aggregation, then arm-grid frames only.
+    *
+    * @return per arm: (arm, n_users, mean_post, mean_post_adj, theta,
+    *         var_reduction)
+    */
+  def cupedLift(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, splitDate: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val cents = round(col(valueCol) * 100, 0).cast("long")
+    val users = events.groupBy(col(userCol).as("u"))
+      .agg(sum(when(col(tsCol) < lit(splitDate).cast("timestamp"),
+          cents).otherwise(0L)).as("x"),
+        sum(when(col(tsCol) >= lit(splitDate).cast("timestamp"),
+          cents).otherwise(0L)).as("y"))
+      .select(col("u") % 2, col("x"), col("y"))
+      .toDF("arm", "x", "y")
+    val m = users.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+      sum((col("x").cast(D) * col("x")).cast(D)).as("sxx"),
+      sum((col("y").cast(D) * col("y")).cast(D)).as("syy"),
+      sum((col("x").cast(D) * col("y")).cast(D)).as("sxy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    val scal = m.select(col("n").as("n_all"), col("sx").as("sx_all"),
+      when(varXN <= 0, lit(null).cast("double"))
+        .otherwise(covN.cast("double") / varXN.cast("double"))
+        .as("theta"),
+      when(varXN <= 0 || varYN <= 0, lit(null).cast("double"))
+        .otherwise {
+          // square by multiplication, not pow() — libm pow paths may
+          // differ across engines in the last ulp
+          val rho = covN.cast("double") /
+            (sqrt(varXN.cast("double")) * sqrt(varYN.cast("double")))
+          rho * rho
+        }.as("var_reduction"))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast(D)).as("ax"), sum(col("y").cast(D)).as("ay"))
+    arms.crossJoin(broadcast(scal))
+      .select(col("arm"), col("n_users"),
+        (expr("(2000000 * ay + n_users) div (2 * n_users)")
+          .cast("double") / 1e6).as("mean_post"),
+        round(col("ay").cast("double") / col("n_users") -
+          col("theta") * (col("ax").cast("double") / col("n_users") -
+            col("sx_all").cast("double") / col("n_all")), 6)
+          .as("mean_post_adj"),
+        round(col("theta"), 6).as("theta"),
+        round(col("var_reduction"), 6).as("var_reduction"))
+  }
+
+  /** DuckDB replay of [[cupedLift]]. */
+  def cupedOracleSql(table: String, userCol: String, tsCol: String,
+      valueCol: String, splitDate: String): String =
+    s"""WITH users AS (SELECT $userCol % 2 AS arm,
+       |    sum(CASE WHEN $tsCol < TIMESTAMP '$splitDate'
+       |      THEN CAST(round($valueCol * 100) AS BIGINT) ELSE 0 END)
+       |      AS x,
+       |    sum(CASE WHEN $tsCol >= TIMESTAMP '$splitDate'
+       |      THEN CAST(round($valueCol * 100) AS BIGINT) ELSE 0 END)
+       |      AS y
+       |  FROM $table GROUP BY $userCol),
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM users),
+       |scal AS (SELECT n AS n_all, sx AS sx_all,
+       |    CASE WHEN n * sxx - sx * sx <= 0 THEN NULL
+       |      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+       |        / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+       |    CASE WHEN n * sxx - sx * sx <= 0
+       |        OR n * syy - sy * sy <= 0 THEN NULL
+       |      ELSE (CAST(n * sxy - sx * sy AS DOUBLE)
+       |        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+       |        * (CAST(n * sxy - sx * sy AS DOUBLE)
+       |        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+       |      END AS var_reduction
+       |  FROM m),
+       |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+       |    sum(CAST(x AS HUGEINT)) AS ax, sum(CAST(y AS HUGEINT)) AS ay
+       |  FROM users GROUP BY arm)
+       |SELECT arm, n_users,
+       |  CAST((2000000 * ay + n_users) // (2 * n_users) AS DOUBLE)
+       |    / 1e6 AS mean_post,
+       |  round(CAST(ay AS DOUBLE) / n_users
+       |    - theta * (CAST(ax AS DOUBLE) / n_users
+       |      - CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6)
+       |    AS mean_post_adj,
+       |  round(theta, 6) AS theta,
+       |  round(var_reduction, 6) AS var_reduction
+       |FROM arms CROSS JOIN scal""".stripMargin
+
   /** DuckDB replay of [[lastTouchAttribution]]. */
   def lastTouchOracleSql(table: String, userCol: String, tsCol: String,
       typeCol: String, idCol: String, convType: String,

@@ -179,4 +179,72 @@ object SelectionOps {
        |    AS tokens_kept,
        |  min(CASE WHEN cum <= $budget THEN quality END) AS cutoff_quality
        |FROM c GROUP BY grp""".stripMargin
+
+  /** Exact stratified split allocation: WITHIN each stratum the
+    * requested permille quotas (e.g. train 800 / val 100 / test 100)
+    * are integerized by Hamilton largest-remainder — every stratum's
+    * rows are fully allocated (Σ = n exactly) and no split is ever
+    * more than one row from its ideal share, unlike hash-based
+    * assignment (q69) whose per-stratum proportions only hold in
+    * expectation. Deterministic tie-break: larger remainder first,
+    * then split declaration order. All integer arithmetic.
+    *
+    * Scale shape: one stratum aggregation; everything after lives on
+    * the (strata × splits) grid. Row-level assignment follows by
+    * ranking within the stratum against the cumulative allocation —
+    * left to the caller so the counts table stays the contract.
+    *
+    * @param splits (name, permille), must sum to 1000
+    * @return per (stratum, split): strata cols + (split, n, n_alloc)
+    */
+  def stratifiedSplitCounts(df: DataFrame, strataCols: Seq[String],
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      "split permilles must sum to 1000")
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val sp = splits.zipWithIndex
+      .map { case ((nm, q), i) => (nm, q.toLong, i.toLong) }
+      .toDF("split", "q", "ord")
+    val strat = strataCols.map(col)
+    val w = Window.partitionBy(strat: _*)
+      .orderBy(col("rem").desc, col("ord").asc)
+    n.crossJoin(broadcast(sp))
+      .withColumn("base", expr("(n * q) div 1000"))
+      .withColumn("rem", expr("(n * q) % 1000"))
+      .withColumn("leftover",
+        col("n") - sum("base").over(Window.partitionBy(strat: _*)))
+      .withColumn("rk", row_number().over(w))
+      .select(strat ++ Seq(col("split"), col("n"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("n_alloc")): _*)
+  }
+
+  /** DuckDB replay of [[stratifiedSplitCounts]] for two stratum
+    * columns named in `strataSql` (comma-separated select exprs).
+    */
+  def stratifiedSplitOracleSql(table: String, strataCols: Seq[String],
+      splits: Seq[(String, Int)]): String = {
+    val sc = strataCols.mkString(", ")
+    val values = splits.zipWithIndex
+      .map { case ((nm, q), i) => s"('$nm', $q, $i)" }.mkString(", ")
+    s"""WITH n AS (SELECT $sc, CAST(count(*) AS BIGINT) AS n
+       |  FROM $table GROUP BY $sc),
+       |sp(split, q, ord) AS (VALUES $values),
+       |g AS (SELECT $sc, split, n, ord,
+       |    (n * q) // 1000 AS base, (n * q) % 1000 AS rem
+       |  FROM n CROSS JOIN sp),
+       |g2 AS (SELECT *,
+       |    n - sum(base) OVER (PARTITION BY $sc) AS leftover,
+       |    row_number() OVER (PARTITION BY $sc
+       |      ORDER BY rem DESC, ord ASC) AS rk
+       |  FROM g)
+       |SELECT $sc, split, n,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+       |    AS BIGINT) AS n_alloc
+       |FROM g2""".stripMargin
+  }
 }

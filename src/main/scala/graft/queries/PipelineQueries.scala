@@ -591,6 +591,21 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // CUPED variance-reduced A/B readout: post-period revenue per arm
+    // adjusted by the pre-period covariate; reports theta and the
+    // rho^2 sensitivity gain. Decimal-exact moments, parity arms.
+    "q278_cuped" -> ((s, d) =>
+      graft.ops.EventOps.cupedLift(Tables(s, d, "events"),
+        "user_id", "ts", "value", splitDate = "2024-01-16 00:00:00")),
+
+    // Exact stratified split allocation: Hamilton largest-remainder
+    // 800/100/100 within every (source, lang) stratum — sums to n
+    // exactly, unlike hash assignment's in-expectation proportions.
+    "q279_stratified_split" -> ((s, d) =>
+      graft.ops.SelectionOps.stratifiedSplitCounts(
+        Tables(s, d, "documents"), Seq("source", "lang"),
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))),
+
     // CUSUM changepoint per event type over hourly counts — the
     // level-shift detector; the scaled statistic is an exact integer
     // so the argmax compares integers.
@@ -3234,6 +3249,14 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q278_cuped" -> graft.ops.EventOps.cupedOracleSql(
+      "events", "user_id", "ts", "value", "2024-01-16 00:00:00"),
+
+    "q279_stratified_split" ->
+      graft.ops.SelectionOps.stratifiedSplitOracleSql(
+        "documents", Seq("source", "lang"),
+        Seq("train" -> 800, "val" -> 100, "test" -> 100)),
+
     "q274_cusum_changepoint" -> graft.ops.TimeSeriesOps.cusumOracleSql(
       "events", "event_type", "ts"),
 

@@ -240,6 +240,39 @@ class StatsCalibSpec extends SparkSpec {
       .collect()(0).getDouble(3) == 1.0)
   }
 
+  test("cuped: perfectly predictive covariate equalizes arm means") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user u: pre value (u+1), post value 2(u+1) -> theta = 2,
+    // rho^2 = 1, adjusted means identical across arms (= 2 * x̄)
+    val ev = (0L to 3L).flatMap { u =>
+      Seq((u, ts("2024-01-10 00:00:00"), (u + 1).toDouble),
+        (u, ts("2024-01-20 00:00:00"), 2.0 * (u + 1)))
+    }.toDF("user_id", "ts", "value")
+    val got = graft.ops.EventOps.cupedLift(ev, "user_id", "ts",
+        "value", "2024-01-16 00:00:00")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got(0L) == ((2L, 400.0, 500.0, 2.0, 1.0)))
+    assert(got(1L) == ((2L, 600.0, 500.0, 2.0, 1.0)))
+  }
+
+  test("stratified split: Hamilton remainder, sums to n exactly") {
+    val df = ((1 to 7).map(i => ("s1", "en", i)) ++
+      (1 to 10).map(i => ("s2", "de", i))).toDF("source", "lang", "i")
+    val got = graft.ops.SelectionOps.stratifiedSplitCounts(df,
+        Seq("source", "lang"),
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .collect().map(r => (r.getString(0), r.getString(2)) ->
+        r.getLong(4)).toMap
+    // n=7: base 5/0/0, remainders 600/700/700 -> val & test get the 2
+    assert(got(("s1", "train")) == 5L)
+    assert(got(("s1", "val")) == 1L && got(("s1", "test")) == 1L)
+    // n=10: exact 8/1/1, no leftover
+    assert(got(("s2", "train")) == 8L)
+    assert(got(("s2", "val")) == 1L && got(("s2", "test")) == 1L)
+  }
+
   test("silhouette: points on their seeds score exactly 1") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
