@@ -97,16 +97,19 @@ object SimilarityOps {
         (lit(1000000L) -
           round(nativeCosine(emb)(col("v"), col("sv")) * 1e6, 0)
             .cast("long")).as("dmicro"))
-    val w = Window.partitionBy("id").orderBy(col("dmicro"), col("seed_id"))
-    val r = dm.withColumn("rn", row_number().over(w))
-    val a = r.filter(col("rn") === 1).select(col("id"),
-      col("seed_id").as("cluster"), col("dmicro").as("da"))
-    val b = r.filter(col("rn") === 2).select(col("id"),
-      col("dmicro").as("db"))
-    val mx = greatest(col("da"), col("db"))
-    a.join(b, "id")
+    // both nearest seeds from ONE bounded aggregation (K structs per
+    // point) — a rank-window + self-join on rn would re-shuffle the
+    // corpus and plan as a sort-merge join for nothing
+    val top2 = dm.groupBy("id")
+      .agg(slice(array_sort(collect_list(
+        struct(col("dmicro"), col("seed_id")))), 1, 2).as("t2"))
+      .select(col("t2")(0)("seed_id").as("cluster"),
+        col("t2")(0)("dmicro").as("da"),
+        col("t2")(1)("dmicro").as("db"))
+    top2
       .select(col("cluster"), col("da"), col("db"),
-        when(mx === 0, lit(1000000L)).otherwise(
+        when(greatest(col("da"), col("db")) === 0, lit(1000000L))
+          .otherwise(
           expr("(2000000 * (db - da + greatest(da, db))" +
             " + greatest(da, db)) div (2 * greatest(da, db))"))
           .as("smicro"))

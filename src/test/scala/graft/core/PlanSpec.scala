@@ -474,4 +474,43 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
       readSchema)
   }
+
+  test("q265 q17-shape: per-part aggregate and brand dim both broadcast") {
+    val s = formatted("q265_small_qty_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2, s)
+    assert(!s.contains("SortMergeJoin"), "decorrelated join degraded")
+  }
+
+  test("q262 silhouette: seeds broadcast; the corpus never self-joins") {
+    val s = formatted("q262_silhouette")
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"), s)
+  }
+
+  test("q256 chi2 drift: grid joins broadcast, no corpus sort-merge") {
+    val s = formatted("q256_chi2_drift")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+  }
+
+  test("q260 quantile norm: grid-position table broadcasts back to the corpus") {
+    val s = formatted("q260_quantile_norm")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q267 itemsets: basket self-join is an equi-join, not a cartesian") {
+    val s = formatted("q267_brand_itemsets")
+    assert(!s.contains("CartesianProduct"), s)
+    // marginals/basket-count sides broadcast
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2, s)
+  }
+
+  test("q277 trimmed mean / q266 weighted pctl: value-grid windows, corpus aggregates once") {
+    for (q <- Seq("q277_trimmed_mean", "q266_weighted_pctl")) {
+      val s = formatted(q)
+      assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+        s"$q degraded: $s")
+    }
+  }
 }
