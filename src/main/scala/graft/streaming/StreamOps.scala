@@ -396,6 +396,53 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  case class TouchEvent(user_id: Long, ts: Timestamp,
+    event_type: String, event_id: Long)
+  case class TouchState(lastTouchMs: Long)
+  case class AttributionOut(event_id: Long, user_id: Long,
+    attributed: Boolean, lat_ms: Long)
+
+  /** Streaming last-touch attribution — the in-flight twin of
+    * [[graft.ops.EventOps.lastTouchAttribution]]: per user the state
+    * is ONE long (latest touch time); every conversion emits its
+    * credit decision the micro-batch it arrives, surviving restarts
+    * and batch boundaries (a click in batch 1 credits a purchase in
+    * batch 9 — the cross-batch case the batch window gets for free
+    * and a naive per-batch join silently loses). Rows sort by
+    * (ts, event_id) inside a micro-batch, so intra-batch ordering
+    * matches the batch op; cross-batch out-of-order touches are the
+    * streaming trade (bounded by the delivery delay), same caveat as
+    * [[funnelStream]]. lat_ms = −1 on unattributed conversions.
+    */
+  def attributionStream(spark: SparkSession, events: Dataset[TouchEvent],
+      convType: String, touchType: String, windowSec: Long)
+      : Dataset[AttributionOut] = {
+    import spark.implicits._
+    def update(userId: Long, rows: Iterator[TouchEvent],
+        state: GroupState[TouchState]): Iterator[AttributionOut] = {
+      var st = state.getOption.getOrElse(TouchState(Long.MinValue))
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        .flatMap { e =>
+          if (e.event_type == touchType) {
+            if (e.ts.getTime > st.lastTouchMs)
+              st = TouchState(e.ts.getTime)
+            None
+          } else if (e.event_type == convType) {
+            val lat = e.ts.getTime - st.lastTouchMs
+            val ok = st.lastTouchMs != Long.MinValue &&
+              lat <= windowSec * 1000L && lat >= 0
+            Some(AttributionOut(e.event_id, userId, ok,
+              if (ok) lat else -1L))
+          } else None
+        }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   case class UrlDoc(doc_id: Long, url: String)
   case class QuotaState(admitted: Long)
   case class QuotaOut(doc_id: Long, domain: String)

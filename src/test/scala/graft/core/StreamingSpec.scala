@@ -500,6 +500,34 @@ class StreamingSpec extends SparkSpec {
     assert(win(0).getDouble(2) == 3.6)
   }
 
+  test("streaming attribution: a touch in batch 1 credits a purchase in batch 2") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.TouchEvent
+    val input = MemoryStream[TouchEvent]
+    val q = StreamOps.attributionStream(spark, input.toDS(),
+        convType = "purchase", touchType = "click", windowSec = 86400L)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("update").start()
+    // batch 1: user 1 clicks; user 2 purchases with no touch
+    input.addData(
+      TouchEvent(1L, ts(100), "click", 1L),
+      TouchEvent(2L, ts(150), "purchase", 2L))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (cross-batch credit, lat 50s);
+    // user 1 purchases again far outside the window
+    input.addData(
+      TouchEvent(1L, ts(150), "purchase", 3L),
+      TouchEvent(1L, ts(100 + 90000), "purchase", 4L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_out")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got(2L) == ((false, -1L)))
+    assert(got(3L) == ((true, 50000L)))
+    assert(got(4L) == ((false, -1L)))
+  }
+
   test("streaming DQ monitor: per-window violation counts match the batch trend") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double, String)]
