@@ -76,6 +76,59 @@ object CooccurOps {
        |CROSS JOIN n
        |WHERE co_df >= $minCo""".stripMargin
 
+  /** Skip-gram (center, context) pair counts within a ±`window` token
+    * neighborhood — the word2vec/GloVe training-pair extraction.
+    * Forward pairs only (context strictly after center); symmetric
+    * counts are exactly the forward table plus its transpose, so
+    * nothing is lost and every unordered pair is counted once.
+    *
+    * Scale shape: tokens join tokens on (doc, position-range) — a
+    * doc-keyed EQUI-join whose fan-out is `window` per token (linear
+    * in the corpus, never quadratic); the pair aggregation is
+    * vocab²-bounded and minCount prunes the tail. Positions come from
+    * posexplode AFTER empty-token filtering, so both engines number
+    * the same token stream.
+    *
+    * @return (center, context, n_pairs) with n_pairs >= minCount
+    */
+  def skipgramCounts(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minCount: Long): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(filter(split(lower(col(textCol)), "[ \t\n\f\r]+"),
+          x => x =!= lit(""))))
+      .toDF("doc_id", "pos", "w")
+    val a = toks.select(col("doc_id"), col("pos").as("pa"),
+      col("w").as("center"))
+    val b = toks.select(col("doc_id"), col("pos").as("pb"),
+      col("w").as("context"))
+    a.join(b, Seq("doc_id"))
+      .where(col("pb") - col("pa") >= 1 &&
+        col("pb") - col("pa") <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+      .where(col("n_pairs") >= minCount)
+  }
+
+  /** DuckDB twin of [[skipgramCounts]]. */
+  def skipgramOracleSql(table: String, idCol: String, textCol: String,
+      window: Int, minCount: Long): String =
+    s"""WITH t AS (SELECT $idCol AS doc_id,
+       |    list_filter(string_split_regex(lower($textCol),
+       |      '[ \\t\\n\\f\\r]+'), x -> x <> '') AS l
+       |  FROM $table),
+       |u AS (SELECT doc_id,
+       |    unnest(list_zip(l, generate_series(1, len(l)))) AS z
+       |  FROM t),
+       |tok AS (SELECT doc_id, z[1] AS w, CAST(z[2] AS BIGINT) AS pos
+       |  FROM u),
+       |p AS (SELECT a.w AS center, b.w AS context,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+       |    AND b.pos - a.pos BETWEEN 1 AND $window
+       |  GROUP BY 1, 2)
+       |SELECT center, context, n_pairs FROM p
+       |WHERE n_pairs >= $minCount""".stripMargin
+
   /** Frequent item PAIRS with lift (market-basket association mining,
     * the 2-itemset core of Apriori/FP-growth): distinct (basket,
     * item) rows self-join WITHIN a basket (`a.item < b.item` counts

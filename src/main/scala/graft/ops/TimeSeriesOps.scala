@@ -471,6 +471,75 @@ object TimeSeriesOps {
        |    6) AS cusum_norm
        |FROM pick WHERE rn = 1""".stripMargin
 
+  /** Mann–Kendall monotone-trend test over DAILY counts per series —
+    * the nonparametric "is this metric drifting up or down"
+    * complement of [[cusumChangepoint]]'s level-shift detector:
+    * S = Σ_{i<j} sign(c_j − c_i) over day pairs, with the
+    * tie-corrected variance 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    * kept as an EXACT integer; z applies the standard ±1 continuity
+    * correction. S and the variance are integers — the only double is
+    * the final z division.
+    *
+    * Scale shape: counts land on the day grid; the pair stage is the
+    * grid self-join (≤ ~365² pairs per series per year — bounded by
+    * calendar, not corpus), tie groups from the count-value grid.
+    *
+    * @return per series: (series, n_days, s, var18, z)
+    */
+  def mannKendallTrend(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val g = events.select(col(keyCol).as("series"),
+        to_date(col(tsCol)).as("d"))
+      .groupBy("series", "d").agg(count(lit(1)).as("c"))
+    val a = g.select(col("series"), col("d").as("da"), col("c").as("ca"))
+    val b = g.select(col("series"), col("d").as("db"), col("c").as("cb"))
+    val s = a.join(b, Seq("series")).where(col("da") < col("db"))
+      .groupBy("series")
+      .agg(coalesce(sum(signum(col("cb") - col("ca")).cast("long")),
+        lit(0L)).as("s"))
+    val nd = g.groupBy("series").agg(count(lit(1)).as("n_days"))
+    val ties = g.groupBy("series", "c").agg(count(lit(1)).as("t"))
+      .groupBy("series")
+      .agg(coalesce(sum(col("t") * (col("t") - 1) *
+        (lit(2) * col("t") + 5)), lit(0L)).as("tie18"))
+    val var18 = col("n_days") * (col("n_days") - 1) *
+      (lit(2) * col("n_days") + 5) - col("tie18")
+    nd.join(ties, "series").join(s, "series")
+      .select(col("series"), col("n_days"), col("s"),
+        var18.as("var18"),
+        when(var18 <= 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("s") - signum(col("s")).cast("long")).cast("double") /
+              sqrt(var18.cast("double") / 18.0), 6)).as("z"))
+  }
+
+  /** DuckDB replay of [[mannKendallTrend]]. */
+  def mannKendallOracleSql(table: String, keyCol: String,
+      tsCol: String): String =
+    s"""WITH g AS (SELECT $keyCol AS series, CAST($tsCol AS DATE) AS d,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM $table GROUP BY 1, 2),
+       |s AS (SELECT a.series,
+       |    coalesce(sum(CAST(sign(b.c - a.c) AS BIGINT)), 0) AS s
+       |  FROM g a JOIN g b ON a.series = b.series AND a.d < b.d
+       |  GROUP BY a.series),
+       |nd AS (SELECT series, CAST(count(*) AS BIGINT) AS n_days
+       |  FROM g GROUP BY series),
+       |ties AS (SELECT series,
+       |    coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie18
+       |  FROM (SELECT series, c, CAST(count(*) AS BIGINT) AS t
+       |        FROM g GROUP BY 1, 2) tt
+       |  GROUP BY series)
+       |SELECT nd.series, n_days, CAST(s AS BIGINT) AS s,
+       |  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18
+       |    AS BIGINT) AS var18,
+       |  CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie18 <= 0
+       |    THEN NULL
+       |    ELSE round(CAST(s - sign(s) AS DOUBLE)
+       |      / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+       |        - tie18 AS DOUBLE) / 18.0), 6) END AS z
+       |FROM nd JOIN ties USING (series) JOIN s USING (series)""".stripMargin
+
   /** Seasonal-naive forecast backtest: predict each (series, day,
     * hour) count with the SAME HOUR of the PREVIOUS day (the
     * always-compute-this baseline any real forecaster must beat), and

@@ -591,6 +591,21 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Skip-gram (center, context) pair counts within a ±2 token
+    // window — the word2vec/GloVe training-pair extraction; doc-keyed
+    // equi-join with linear fan-out, never quadratic.
+    "q280_skipgram" -> ((s, d) =>
+      graft.ops.CooccurOps.skipgramCounts(
+        Tables(s, d, "documents"), "doc_id", "text",
+        window = 2, minCount = 30L)),
+
+    // Mann-Kendall monotone trend on daily counts per event type —
+    // the drift-direction complement of the CUSUM level-shift
+    // detector; S and the tie-corrected variance are exact integers.
+    "q281_mann_kendall" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.mannKendallTrend(
+        Tables(s, d, "events"), "event_type", "ts")),
+
     // CUPED variance-reduced A/B readout: post-period revenue per arm
     // adjusted by the pre-period covariate; reports theta and the
     // rho^2 sensitivity gain. Decimal-exact moments, parity arms.
@@ -3249,6 +3264,12 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q280_skipgram" -> graft.ops.CooccurOps.skipgramOracleSql(
+      "documents", "doc_id", "text", window = 2, minCount = 30L),
+
+    "q281_mann_kendall" -> graft.ops.TimeSeriesOps.mannKendallOracleSql(
+      "events", "event_type", "ts"),
+
     "q278_cuped" -> graft.ops.EventOps.cupedOracleSql(
       "events", "user_id", "ts", "value", "2024-01-16 00:00:00"),
 

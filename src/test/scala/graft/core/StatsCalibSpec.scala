@@ -273,6 +273,38 @@ class StatsCalibSpec extends SparkSpec {
     assert(got(("s2", "val")) == 1L && got(("s2", "test")) == 1L)
   }
 
+  test("skip-gram: forward pairs within the window, filtered positions") {
+    // "a  b a" (double space collapses): tokens a(0) b(1) a(2);
+    // window 2 -> (a,b), (a,a), (b,a) once each
+    val docs = Seq((1L, "a  b a")).toDF("doc_id", "text")
+    val got = graft.ops.CooccurOps.skipgramCounts(docs, "doc_id",
+        "text", window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 1L, ("a", "a") -> 1L,
+      ("b", "a") -> 1L))
+  }
+
+  test("mann-kendall: monotone counts give S = n(n-1)/2; ties null out") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // daily counts 1,2,3,4 -> S=6, var18 = 4*3*13 = 156
+    val rows = (1 to 4).flatMap(d =>
+      Seq.fill(d)(ts(f"2024-01-0$d 12:00:00")))
+    val df = rows.map(("a", _)).toDF("k", "ts")
+    val r = graft.ops.TimeSeriesOps.mannKendallTrend(df, "k", "ts")
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 6L, 156L)))
+    val expZ = BigDecimal(5.0 / math.sqrt(156.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == expZ)
+    // two tied days: var18 = 0 -> z null
+    val tied = Seq(("b", ts("2024-01-01 10:00:00")),
+      ("b", ts("2024-01-02 10:00:00"))).toDF("k", "ts")
+    assert(graft.ops.TimeSeriesOps.mannKendallTrend(tied, "k", "ts")
+      .collect()(0).isNullAt(4))
+  }
+
   test("silhouette: points on their seeds score exactly 1") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
