@@ -969,6 +969,31 @@ object MultimodalOps {
         (col("n_cuts") + 1).as("n_scenes"), col("n_distinct_frames"))
   }
 
+  /** Keyframe selection — the retention artifact of
+    * [[sceneSegments]]: the FIRST frame of every scene (frame 0 plus
+    * each cut frame) is what a video pipeline actually stores for
+    * preview/dedup/embedding; the rest of the scene is redundant by
+    * the cut criterion. Emits the frame coordinates (index, offset,
+    * length), not the bytes — the downstream fetch is a byte-range
+    * read against the original payload, so nothing re-shuffles frame
+    * content.
+    *
+    * Same shape as sceneSegments: one narrow frame scan + one
+    * doc-keyed window; zero joins.
+    *
+    * @return keyframe rows: (doc_id, frame_idx, offset, frame_len)
+    */
+  def keyframes(spark: SparkSession, binDocs: DataFrame,
+      nFrames: Int, frameBytes: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    sampleFrames(spark, binDocs, nFrames, frameBytes)
+      .withColumn("prev", lag("frame", 1).over(w))
+      .where(col("prev").isNull || !(col("frame") <=> col("prev")))
+      .select(col("doc_id"), col("frame_idx"), col("offset"),
+        length(col("frame")).cast("int").as("frame_len"))
+  }
+
   /** "Resize": deterministic fixed-size feature from a payload — the
     * shape of an image-resize/thumbnail stage (binary in, fixed-width
     * vector out). STUB: real resizing needs a codec; here each output

@@ -591,6 +591,14 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Keyframe selection: first frame of every scene (q258's cut
+    // criterion) as (idx, offset, len) coordinates — the video
+    // retention artifact; byte ranges, never re-shuffled frame bytes.
+    "q282_keyframes" -> ((s, d) =>
+      MultimodalOps.keyframes(s,
+        MultimodalOps.withBinaryPayload(
+          Tables(s, d, "documents"), "doc_id", "text"), 8)),
+
     // Skip-gram (center, context) pair counts within a ±2 token
     // window — the word2vec/GloVe training-pair extraction; doc-keyed
     // equi-join with linear fan-out, never quadratic.
@@ -3264,6 +3272,22 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q282_keyframes" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, i,
+        |    CAST((i * greatest(n - 32, 0)) // 7 AS INTEGER) AS off,
+        |    substring(h,
+        |      CAST(((i * greatest(n - 32, 0)) // 7) * 2 + 1 AS BIGINT),
+        |      64) AS frame
+        |  FROM b, (SELECT unnest(generate_series(0, 7)) AS i)),
+        |l AS (SELECT doc_id, i, off, frame,
+        |    lag(frame) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM f)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, off AS "offset",
+        |  CAST(length(frame) // 2 AS INTEGER) AS frame_len
+        |FROM l WHERE prev IS NULL OR frame IS DISTINCT FROM prev""".stripMargin,
+
     "q280_skipgram" -> graft.ops.CooccurOps.skipgramOracleSql(
       "documents", "doc_id", "text", window = 2, minCount = 30L),
 

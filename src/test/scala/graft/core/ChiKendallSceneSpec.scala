@@ -67,5 +67,15 @@ class ChiKendallSceneSpec extends SparkSpec {
     assert(got(1L) == ((8L, 0L, 1L, 1L)))
     assert(got(2L) == ((8L, 7L, 8L, 8L)))
     assert(got(3L) == ((8L, 1L, 2L, 2L)))
+
+    // keyframes = first frame of each scene: doc 1 -> only frame 0;
+    // doc 3 -> frames 0 and 1 (the single cut)
+    val kf = MultimodalOps.keyframes(spark,
+        MultimodalOps.withBinaryPayload(docs, "doc_id", "text"), 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getInt(1)).sorted.toSeq }
+    assert(kf(1L) == Seq(0))
+    assert(kf(2L) == (0 to 7))
+    assert(kf(3L) == Seq(0, 1))
   }
 }
