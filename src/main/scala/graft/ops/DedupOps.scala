@@ -164,6 +164,95 @@ object DedupOps {
       .select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Exact Jaccard similarity join by PREFIX FILTERING (SSJoin/PPJoin,
+    * Chaudhuri 2006 / Xiao 2008) — LOSSLESS at threshold τ, unlike
+    * [[ngramJaccardPairs]]'s df-cap which forfeits intersections:
+    * under one GLOBAL token order (df asc, rarest first, token asc
+    * tie-break) a set of size L keeps only its first
+    * L − ⌈τ·L⌉ + 1 tokens as its prefix; J(A,B) ≥ τ forces the two
+    * prefixes to share a token, so the candidate join touches only
+    * prefix rows — the rare-token fraction — instead of every posting
+    * list. Candidates then verify with an exact intersection count
+    * and the integer test I·(1000+τ‰) ≥ τ‰·(|A|+|B|).
+    *
+    * The DuckDB oracle computes the FULL exact pair set with no
+    * prefix step — a hash match on every run is a standing proof of
+    * losslessness on real data.
+    *
+    * Scale shape: df table (token-grid), one doc-keyed rank window
+    * over per-doc tokens, prefix self-join keyed by token (posting
+    * lists of RARE tokens — inherently short), candidate-bounded
+    * verify joins. No all-pairs stage anywhere.
+    *
+    * @param shingles wordShingles-shaped (id, n_sh, shingle)
+    * @param tauPermille threshold in 1/1000 units (500 = 0.5)
+    * @return (a_id, b_id, n_common, n_a, n_b, jaccard)
+    */
+  def prefixJaccardPairs(shingles: DataFrame,
+      tauPermille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauPermille > 0 && tauPermille <= 1000,
+      s"tau must be in (0, 1000] permille, got $tauPermille")
+    val sh = shingles.select("id", "n_sh", "shingle")
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df").asc,
+      col("shingle").asc)
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+    val prefix = ranked.where(col("rk") <=
+      col("n_sh") - expr(s"($tauPermille * n_sh + 999) div 1000") + 1)
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .distinct()
+    val sa = sh.select(col("id").as("a_id"), col("shingle"))
+    val sb = sh.select(col("id").as("b_id"), col("shingle"))
+    cands.join(sa, "a_id").join(sb, Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") * (1000 + tauPermille) >=
+        lit(tauPermille) * (col("n_a") + col("n_b")))
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_a"),
+        col("n_b"),
+        (expr("(2000000 * n_common + (n_a + n_b - n_common))" +
+          " div (2 * (n_a + n_b - n_common))").cast("double") / 1e6)
+          .as("jaccard"))
+  }
+
+  /** DuckDB replay of [[prefixJaccardPairs]] — deliberately the FULL
+    * exact join (no prefix step): equality proves the filter lossless.
+    */
+  def prefixJaccardOracleSql(table: String, idCol: String,
+      textCol: String, n: Int, tauPermille: Int): String = {
+    val gram = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""WITH sh AS (
+       | SELECT DISTINCT $idCol AS id, shingle FROM (
+       |  SELECT $idCol,
+       |   unnest(list_transform(generate_series(1,
+       |       greatest(len(w) - ${n - 1}, 0)),
+       |     i -> $gram)) AS shingle
+       |  FROM (SELECT $idCol, string_split_regex(lower($textCol),
+       |          '[ \\t\\n\\f\\r]+') AS w
+       |        FROM $table) t0) t1),
+       |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh
+       |  FROM sh GROUP BY id),
+       |inter AS (SELECT a.id AS a_id, b.id AS b_id,
+       |    CAST(count(*) AS BIGINT) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |  CAST((2000000 * n_common + (sa.n_sh + sb.n_sh - n_common))
+       |    // (2 * (sa.n_sh + sb.n_sh - n_common)) AS DOUBLE) / 1e6
+       |    AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON inter.a_id = sa.id
+       |JOIN sizes sb ON inter.b_id = sb.id
+       |WHERE n_common * (1000 + $tauPermille)
+       |  >= $tauPermille * (sa.n_sh + sb.n_sh)""".stripMargin
+  }
+
   /** MinHash signature matrix: (id, mh_0..mh_{k-1}). Deterministic
     * family: h_i(s) = xxhash64(i || s) — i salts the 64-bit hash,
     * giving k independent permutations without any RNG state.

@@ -591,6 +591,14 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Prefix-filtered exact Jaccard join (PPJoin): lossless at
+    // tau=0.5 — the oracle computes the FULL exact pair set, so the
+    // hash match proves the prefix filter drops nothing.
+    "q283_prefix_jaccard" -> ((s, d) =>
+      DedupOps.prefixJaccardPairs(
+        DedupOps.wordShingles(Tables(s, d, "documents"), "doc_id",
+          "text", 3), tauPermille = 500)),
+
     // Keyframe selection: first frame of every scene (q258's cut
     // criterion) as (idx, offset, len) coordinates — the video
     // retention artifact; byte ranges, never re-shuffled frame bytes.
@@ -3272,6 +3280,9 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q283_prefix_jaccard" -> DedupOps.prefixJaccardOracleSql(
+      "documents", "doc_id", "text", 3, tauPermille = 500),
+
     "q282_keyframes" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
         |    octet_length(encode(text)) AS n FROM documents),

@@ -305,6 +305,25 @@ class StatsCalibSpec extends SparkSpec {
       .collect()(0).isNullAt(4))
   }
 
+  test("prefix jaccard: lossless at tau, boundary pair included") {
+    // A="x y z w" (grams {xyz, yzw}), C="x y z w v" (+{zwv}):
+    // J(A,C) = 2/3; B="x y z q": J(A,B) = 1/3 < tau, J(B,C) = 1/4
+    val docs = Seq((1L, "x y z w"), (2L, "x y z q"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.prefixJaccardPairs(
+        graft.ops.DedupOps.wordShingles(docs, "doc_id", "text", 3),
+        tauPermille = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    assert(got == Map((1L, 3L) -> ((2L, 0.666667))))
+    // identical docs: J = 1.0 survives any tau
+    val dup = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    assert(graft.ops.DedupOps.prefixJaccardPairs(
+        graft.ops.DedupOps.wordShingles(dup, "doc_id", "text", 3),
+        tauPermille = 900)
+      .collect()(0).getDouble(5) == 1.0)
+  }
+
   test("silhouette: points on their seeds score exactly 1") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
