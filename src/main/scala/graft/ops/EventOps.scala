@@ -1042,6 +1042,71 @@ object EventOps {
        |  round(var_reduction, 6) AS var_reduction
        |FROM arms CROSS JOIN scal""".stripMargin
 
+  /** Pareto concentration point: the MINIMUM number of keys (users,
+    * domains, …) whose activity covers `sharePermille` of all rows —
+    * the exact "what fraction of users generate 80% of events"
+    * number behind quota and abuse policy. Computed on the COUNT
+    * GRID: keys group by their activity count c, blocks scan in
+    * c-descending order, and the crossing block solves
+    * m = ⌈(τ·N − 1000·evBefore)/(1000·c)⌉ in pure integers — the
+    * corpus never sorts, only the (distinct activity count) grid
+    * does.
+    *
+    * @return one row: (n_keys, n_rows, k_min, k_frac = k/n_keys at
+    *         exact half-up 6dp)
+    */
+  def paretoPoint(df: DataFrame, keyCol: String,
+      sharePermille: Int = 800): DataFrame = {
+    require(sharePermille > 0 && sharePermille <= 1000,
+      s"share must be in (0, 1000] permille, got $sharePermille")
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+    val blocks = counts.groupBy("c").agg(count(lit(1)).as("nk"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(count(lit(1)).as("n_keys"),
+      sum("c").as("n_rows"))
+    val scan = blocks
+      .withColumn("ub", sum("nk").over(w) - col("nk"))
+      .withColumn("evb", sum(col("nk") * col("c")).over(w) -
+        col("nk") * col("c"))
+      .crossJoin(broadcast(tot))
+      .where(lit(1000) * col("evb") < lit(sharePermille) * col("n_rows") &&
+        lit(1000) * (col("evb") + col("nk") * col("c")) >=
+          lit(sharePermille) * col("n_rows"))
+      .select(col("n_keys"), col("n_rows"),
+        (col("ub") + expr(s"($sharePermille * n_rows - 1000 * evb" +
+          s" + 1000 * c - 1) div (1000 * c)")).as("k_min"))
+    scan.select(col("n_keys"), col("n_rows"), col("k_min"),
+      (expr("(2000000 * k_min + n_keys) div (2 * n_keys)")
+        .cast("double") / 1e6).as("k_frac"))
+  }
+
+  /** DuckDB replay of [[paretoPoint]]. */
+  def paretoOracleSql(table: String, keyCol: String,
+      sharePermille: Int = 800): String =
+    s"""WITH counts AS (SELECT $keyCol AS k,
+       |    CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 1),
+       |blocks AS (SELECT c, CAST(count(*) AS BIGINT) AS nk
+       |  FROM counts GROUP BY c),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |    CAST(sum(c) AS BIGINT) AS n_rows FROM counts),
+       |scan AS (SELECT c, nk,
+       |    sum(nk) OVER w - nk AS ub,
+       |    sum(nk * c) OVER w - nk * c AS evb
+       |  FROM blocks WINDOW w AS (ORDER BY c DESC
+       |    ROWS UNBOUNDED PRECEDING)),
+       |hit AS (SELECT n_keys, n_rows,
+       |    ub + ($sharePermille * n_rows - 1000 * evb + 1000 * c - 1)
+       |      // (1000 * c) AS k_min
+       |  FROM scan CROSS JOIN tot
+       |  WHERE 1000 * evb < $sharePermille * n_rows
+       |    AND 1000 * (evb + nk * c) >= $sharePermille * n_rows)
+       |SELECT n_keys, n_rows, CAST(k_min AS BIGINT) AS k_min,
+       |  CAST((2000000 * k_min + n_keys) // (2 * n_keys) AS DOUBLE)
+       |    / 1e6 AS k_frac
+       |FROM hit""".stripMargin
+
   /** DuckDB replay of [[lastTouchAttribution]]. */
   def lastTouchOracleSql(table: String, userCol: String, tsCol: String,
       typeCol: String, idCol: String, convType: String,

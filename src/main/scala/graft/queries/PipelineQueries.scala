@@ -591,6 +591,13 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Pareto concentration: minimum number of users generating 80%
+    // of events — exact crossing solved on the count grid, corpus
+    // never sorts.
+    "q284_pareto_point" -> ((s, d) =>
+      graft.ops.EventOps.paretoPoint(
+        Tables(s, d, "events"), "user_id", sharePermille = 800)),
+
     // Prefix-filtered exact Jaccard join (PPJoin): lossless at
     // tau=0.5 — the oracle computes the FULL exact pair set, so the
     // hash match proves the prefix filter drops nothing.
@@ -3280,6 +3287,9 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q284_pareto_point" -> graft.ops.EventOps.paretoOracleSql(
+      "events", "user_id", sharePermille = 800),
+
     "q283_prefix_jaccard" -> DedupOps.prefixJaccardOracleSql(
       "documents", "doc_id", "text", 3, tauPermille = 500),
 

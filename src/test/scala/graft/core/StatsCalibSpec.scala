@@ -324,6 +324,23 @@ class StatsCalibSpec extends SparkSpec {
       .collect()(0).getDouble(5) == 1.0)
   }
 
+  test("pareto point: exact crossing inside a tied count block") {
+    // counts: one user with 8, four users with 3 (N=20): 80% = 16;
+    // top user gives 8, need ceil(8/3)=3 more -> k=4 of 5 users
+    val rows = Seq.fill(8)(1L) ++
+      (2L to 5L).flatMap(u => Seq.fill(3)(u))
+    val df = rows.map(u => (u, 1)).toDF("user_id", "x")
+    val r = graft.ops.EventOps.paretoPoint(df, "user_id", 800)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((5L, 20L, 4L, 0.8)))
+    // uniform activity: 80% needs exactly 80% of keys
+    val uni = (1L to 10L).flatMap(u => Seq.fill(2)(u))
+      .map(u => (u, 1)).toDF("user_id", "x")
+    assert(graft.ops.EventOps.paretoPoint(uni, "user_id", 800)
+      .collect()(0).getLong(2) == 8L)
+  }
+
   test("silhouette: points on their seeds score exactly 1") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
