@@ -201,9 +201,19 @@ object DedupOps {
       .withColumn("rk", row_number().over(w))
     val prefix = ranked.where(col("rk") <=
       col("n_sh") - expr(s"($tauPermille * n_sh + 999) div 1000") + 1)
+    // PPJoin position filter: a shared prefix token at ranks (i, j)
+    // caps the achievable overlap at 1 + min(La−i, Lb−j); J ≥ τ needs
+    // I ≥ ⌈τ(La+Lb)/(1000+τ)⌉, so pairs that cannot reach it are cut
+    // BEFORE the distinct/verify stages — still lossless (the
+    // full-join oracle keeps proving it), but candidate volume drops
+    // sharply on dense corpora where bare prefix matching floods.
+    val minOverlap = expr(s"($tauPermille * (a.n_sh + b.n_sh)" +
+      s" + ${1000 + tauPermille} - 1) div ${1000 + tauPermille}")
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          lit(1) + least(col("a.n_sh") - col("a.rk"),
+            col("b.n_sh") - col("b.rk")) >= minOverlap)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .distinct()
