@@ -1923,6 +1923,151 @@ object ProfileOps {
        |    AS trimmed_mean
        |FROM agg""".stripMargin
 
+  /** Per-group simple OLS (y = a + b·x) over INTEGRAL columns — the
+    * grouped-regression primitive (per-source quality-vs-length
+    * slope, per-cohort spend-vs-tenure, …): closed-form from
+    * decimal(38,0)-exact moments gathered in ONE pass, b and r² as
+    * single double divisions of exact integers (r² squared by
+    * multiplication, not pow — libm pow paths differ across engines).
+    * Callers with gridded doubles pass them as micro-unit integers.
+    *
+    * @return per group: (groupCol, n, slope, intercept, r2); null
+    *         slope/r2 on a degenerate (constant-x or n<2) group
+    */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val m = df.select(col(groupCol).as("g"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+        sum((col("x").cast(D) * col("x")).cast(D)).as("sxx"),
+        sum((col("y").cast(D) * col("y")).cast(D)).as("syy"),
+        sum((col("x").cast(D) * col("y")).cast(D)).as("sxy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    val b = covN.cast("double") / varXN.cast("double")
+    val rho = covN.cast("double") /
+      (sqrt(varXN.cast("double")) * sqrt(varYN.cast("double")))
+    m.select(col("g").as(groupCol), col("n"),
+      when(col("n") < 2 || varXN <= 0, lit(null).cast("double"))
+        .otherwise(round(b, 6)).as("slope"),
+      when(col("n") < 2 || varXN <= 0, lit(null).cast("double"))
+        .otherwise(round((col("sy").cast("double") -
+          b * col("sx").cast("double")) / col("n").cast("double"), 6))
+        .as("intercept"),
+      when(col("n") < 2 || varXN <= 0 || varYN <= 0,
+        lit(null).cast("double"))
+        .otherwise(round(rho * rho, 6)).as("r2"))
+  }
+
+  /** DuckDB replay of [[groupedOls]]; x/y exprs must be integral. */
+  def groupedOlsOracleSql(table: String, groupCol: String,
+      xExpr: String, yExpr: String): String = {
+    val b = "CAST(n * sxy - sx * sy AS DOUBLE)" +
+      " / CAST(n * sxx - sx * sx AS DOUBLE)"
+    val rho = "CAST(n * sxy - sx * sy AS DOUBLE)" +
+      " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))" +
+      " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+    s"""WITH m AS (SELECT $groupCol AS g,
+       |    CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST($xExpr AS HUGEINT)) AS sx,
+       |    sum(CAST($yExpr AS HUGEINT)) AS sy,
+       |    sum(CAST($xExpr AS HUGEINT) * ($xExpr)) AS sxx,
+       |    sum(CAST($yExpr AS HUGEINT) * ($yExpr)) AS syy,
+       |    sum(CAST($xExpr AS HUGEINT) * ($yExpr)) AS sxy
+       |  FROM $table GROUP BY 1)
+       |SELECT g AS $groupCol, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 THEN NULL
+       |    ELSE round($b, 6) END AS slope,
+       |  CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 THEN NULL
+       |    ELSE round((CAST(sy AS DOUBLE) - ($b) * CAST(sx AS DOUBLE))
+       |      / CAST(n AS DOUBLE), 6) END AS intercept,
+       |  CASE WHEN n < 2 OR n * sxx - sx * sx <= 0
+       |      OR n * syy - sy * sy <= 0 THEN NULL
+       |    ELSE round(($rho) * ($rho), 6) END AS r2
+       |FROM m""".stripMargin
+  }
+
+  /** Welch's unequal-variance t-test between every group and the rest
+    * — the parametric mean-shift companion of the rank-based
+    * [[mannWhitneyAgainstRest]]: t = (x̄_g − x̄_r)/√(s²_g/n_g +
+    * s²_r/n_r) with Welch–Satterthwaite df, all from the SAME
+    * decimal-exact sufficient statistics in one pass (rest moments =
+    * total − group, the against-rest identity). Only the final t/df
+    * are doubles, from identical exact-integer inputs.
+    *
+    * @return per group: (groupCol, n_group, n_rest, t, df); null on
+    *         degenerate sides (n<2 or zero variance both sides)
+    */
+  def welchTAgainstRest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val g = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy("g").agg(count(lit(1)).as("ng"),
+        sum(col("v").cast(D)).as("s1"),
+        sum((col("v").cast(D) * col("v")).cast(D)).as("s2"))
+    val tot = g.agg(sum("ng").as("nt"), sum("s1").as("t1"),
+      sum("s2").as("t2"))
+    val j = g.crossJoin(broadcast(tot))
+      .withColumn("nr", col("nt") - col("ng"))
+      .withColumn("r1", col("t1") - col("s1"))
+      .withColumn("r2", col("t2") - col("s2"))
+    // per-side mean and sample-variance-over-n as doubles of exact ints
+    def m(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def vOverN(s2c: Column, s1c: Column, n: Column) =
+      (n.cast(D) * s2c - s1c * s1c).cast("double") /
+        ((n * (n - 1)).cast("double") * n.cast("double"))
+    val vg = vOverN(col("s2"), col("s1"), col("ng"))
+    val vr = vOverN(col("r2"), col("r1"), col("nr"))
+    val se2 = vg + vr
+    val t = (m(col("s1"), col("ng")) - m(col("r1"), col("nr"))) /
+      sqrt(se2)
+    val dfw = se2 * se2 /
+      (vg * vg / (col("ng") - 1).cast("double") +
+        vr * vr / (col("nr") - 1).cast("double"))
+    val bad = col("ng") < 2 || col("nr") < 2
+    j.select(col("g").as(groupCol), col("ng").as("n_group"),
+      col("nr").as("n_rest"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(t, 6)).as("t"),
+      when(bad, lit(null).cast("double"))
+        .otherwise(round(dfw, 6)).as("df"))
+  }
+
+  /** DuckDB replay of [[welchTAgainstRest]]; `valueExpr` integral. */
+  def welchTOracleSql(table: String, groupCol: String,
+      valueExpr: String): String = {
+    def vOverN(s2: String, s1: String, n: String) =
+      s"CAST($n * $s2 - $s1 * $s1 AS DOUBLE)" +
+        s" / (CAST($n * ($n - 1) AS DOUBLE) * CAST($n AS DOUBLE))"
+    val vg = vOverN("s2", "s1", "ng")
+    val vr = vOverN("r2", "r1", "nr")
+    s"""WITH g AS (SELECT $groupCol AS g,
+       |    CAST(count(*) AS HUGEINT) AS ng,
+       |    sum(CAST($valueExpr AS HUGEINT)) AS s1,
+       |    sum(CAST($valueExpr AS HUGEINT) * ($valueExpr)) AS s2
+       |  FROM $table GROUP BY 1),
+       |tot AS (SELECT sum(ng) AS nt, sum(s1) AS t1, sum(s2) AS t2
+       |  FROM g),
+       |j AS (SELECT g.g, ng, s1, s2, nt - ng AS nr, t1 - s1 AS r1,
+       |    t2 - s2 AS r2
+       |  FROM g CROSS JOIN tot)
+       |SELECT g AS $groupCol, CAST(ng AS BIGINT) AS n_group,
+       |  CAST(nr AS BIGINT) AS n_rest,
+       |  CASE WHEN ng < 2 OR nr < 2 THEN NULL
+       |    ELSE round((CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)
+       |        - CAST(r1 AS DOUBLE) / CAST(nr AS DOUBLE))
+       |      / sqrt(($vg) + ($vr)), 6) END AS t,
+       |  CASE WHEN ng < 2 OR nr < 2 THEN NULL
+       |    ELSE round((($vg) + ($vr)) * (($vg) + ($vr))
+       |      / (($vg) * ($vg) / CAST(ng - 1 AS DOUBLE)
+       |        + ($vr) * ($vr) / CAST(nr - 1 AS DOUBLE)), 6) END AS df
+       |FROM j""".stripMargin
+  }
+
   /** DuckDB replay of [[ksAgainstRest]]. */
   def ksAgainstRestOracleSql(table: String, groupCol: String,
       valueExpr: String): String =

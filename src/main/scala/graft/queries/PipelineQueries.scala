@@ -591,6 +591,28 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Per-source OLS of trained quality (5dp micro grid) on document
+    // length — the grouped-regression signal audit; decimal-exact
+    // moments, closed-form slope/intercept/r².
+    "q285_grouped_ols" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sc = TextOps.qualityScore(docs, "doc_id", "text",
+          TextOps.TrainedQualityWeights)
+        .select(col("id").as("doc_id"),
+          round(col("quality") * 1e5, 0).cast("long").as("ymicro"))
+      ProfileOps.groupedOls(
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .join(sc, "doc_id"),
+        "source", "n_chars", "ymicro")
+    }),
+
+    // Welch's unequal-variance t per source vs rest over document
+    // length — the parametric mean-shift companion of Mann-Whitney
+    // (q252); one pass, against-rest moments by subtraction.
+    "q286_welch_t" -> ((s, d) =>
+      ProfileOps.welchTAgainstRest(
+        Tables(s, d, "documents"), "source", "n_chars")),
+
     // Pareto concentration: minimum number of users generating 80%
     // of events — exact crossing solved on the count grid, corpus
     // never sorts.
@@ -3287,6 +3309,18 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q285_grouped_ols" -> {
+      val q = qualityOracleSql(TextOps.TrainedQualityWeights)
+      ProfileOps.groupedOlsOracleSql(
+        s"(SELECT d.source, d.n_chars, CAST(round(qq.quality * 1e5)" +
+          s" AS BIGINT) AS ymicro FROM ($q) qq" +
+          " JOIN documents d USING (doc_id)) src",
+        "source", "n_chars", "ymicro")
+    },
+
+    "q286_welch_t" -> ProfileOps.welchTOracleSql(
+      "documents", "source", "n_chars"),
+
     "q284_pareto_point" -> graft.ops.EventOps.paretoOracleSql(
       "events", "user_id", sharePermille = 800),
 

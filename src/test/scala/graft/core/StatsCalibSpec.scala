@@ -341,6 +341,28 @@ class StatsCalibSpec extends SparkSpec {
       .collect()(0).getLong(2) == 8L)
   }
 
+  test("grouped OLS: exact line recovered; constant-x nulls") {
+    val df = Seq(("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 6L),
+      ("c", 5L, 1L), ("c", 5L, 9L)).toDF("src", "x", "y")
+    val got = ProfileOps.groupedOls(df, "src", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    assert((g.getDouble(2), g.getDouble(3), g.getDouble(4)) ==
+      ((2.0, 0.0, 1.0)))
+    assert(got("c").isNullAt(2) && got("c").isNullAt(4))
+  }
+
+  test("welch t: textbook two-sample case") {
+    // A = {0,2} vs rest {10,14}: t = -11/sqrt(5), df = 25/17
+    val df = Seq(("A", 0L), ("A", 2L), ("B", 10L), ("B", 14L))
+      .toDF("g", "v")
+    val got = ProfileOps.welchTAgainstRest(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("A") == ((-4.91935, 1.470588)))
+    assert(got("B") == ((4.91935, 1.470588))) // antisymmetric
+  }
+
   test("silhouette: points on their seeds score exactly 1") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
