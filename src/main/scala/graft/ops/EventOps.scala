@@ -1082,6 +1082,75 @@ object EventOps {
         .cast("double") / 1e6).as("k_frac"))
   }
 
+  /** Cohort LTV accumulation: users cohorted by FIRST-EVENT week,
+    * revenue rolled up per (cohort, weeks-since-signup) and
+    * accumulated — the lifetime-value matrix behind retention
+    * economics (q179's cohort retention counts users; this follows
+    * the money). Cents-exact revenue, integer week indices from
+    * microsecond arithmetic, cumulative window over the (cohort ×
+    * week) grid only; weeks with no revenue emit no row (both engines
+    * share the convention — the cumulative carries across gaps).
+    *
+    * @return per (cohort_week, week_idx): (cohort_week, week_idx,
+    *         n_users, cum_rev_cents, cum_rev_per_user)
+    */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, revType: String): DataFrame = {
+    val wkUs = 7L * 86400000000L
+    val firsts = events.groupBy(col(userCol).as("u"))
+      .agg(unix_micros(date_trunc("week", min(col(tsCol))))
+        .as("cohort_us"))
+    val sizes = firsts.groupBy("cohort_us")
+      .agg(count(lit(1)).as("n_users"))
+    val rev = events
+      .select(col(userCol).as("u"),
+        unix_micros(date_trunc("week", col(tsCol))).as("wk_us"),
+        when(col(typeCol) === revType,
+          round(col(valueCol) * 100, 0).cast("long")).otherwise(0L)
+          .as("cents"))
+      .join(firsts, "u")
+      .groupBy(col("cohort_us"),
+        expr(s"(wk_us - cohort_us) div $wkUs").as("week_idx"))
+      .agg(sum("cents").as("rev_cents"))
+      .where(col("rev_cents") > 0)
+    val w = Window.partitionBy("cohort_us").orderBy("week_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_rev_cents", sum("rev_cents").over(w))
+      .join(broadcast(sizes), "cohort_us")
+      .select(timestamp_micros(col("cohort_us")).as("cohort_week"),
+        col("week_idx"), col("n_users"), col("cum_rev_cents"),
+        (expr("(2 * cum_rev_cents + n_users) div (2 * n_users)")
+          .cast("double") / 100.0).as("cum_rev_per_user"))
+  }
+
+  /** DuckDB replay of [[cohortLtv]]. */
+  def cohortLtvOracleSql(table: String, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, revType: String): String =
+    s"""WITH firsts AS (SELECT $userCol AS u,
+       |    epoch_us(date_trunc('week', min($tsCol))) AS cohort_us
+       |  FROM $table GROUP BY 1),
+       |sizes AS (SELECT cohort_us, CAST(count(*) AS BIGINT) AS n_users
+       |  FROM firsts GROUP BY 1),
+       |rev AS (SELECT cohort_us,
+       |    (epoch_us(date_trunc('week', $tsCol)) - cohort_us)
+       |      // ${7L * 86400000000L} AS week_idx,
+       |    CAST(sum(CASE WHEN $typeCol = '$revType'
+       |      THEN CAST(round($valueCol * 100) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS rev_cents
+       |  FROM $table e JOIN firsts ON e.$userCol = firsts.u
+       |  GROUP BY 1, 2),
+       |pos AS (SELECT * FROM rev WHERE rev_cents > 0),
+       |cum AS (SELECT cohort_us, week_idx,
+       |    sum(rev_cents) OVER (PARTITION BY cohort_us ORDER BY week_idx
+       |      ROWS UNBOUNDED PRECEDING) AS cum_rev_cents
+       |  FROM pos)
+       |SELECT make_timestamp(cohort_us) AS cohort_week,
+       |  CAST(week_idx AS BIGINT) AS week_idx, n_users,
+       |  CAST(cum_rev_cents AS BIGINT) AS cum_rev_cents,
+       |  CAST((2 * cum_rev_cents + n_users) // (2 * n_users)
+       |    AS DOUBLE) / 100.0 AS cum_rev_per_user
+       |FROM cum JOIN sizes USING (cohort_us)""".stripMargin
+
   /** DuckDB replay of [[paretoPoint]]. */
   def paretoOracleSql(table: String, keyCol: String,
       sharePermille: Int = 800): String =

@@ -591,6 +591,33 @@ object PipelineQueries {
             col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
     }),
 
+    // Cohort LTV matrix: first-event-week cohorts x weeks-since,
+    // cumulative purchase revenue per user — retention economics on
+    // cents-exact integers; only the (cohort x week) grid windows.
+    "q287_cohort_ltv" -> ((s, d) =>
+      graft.ops.EventOps.cohortLtv(Tables(s, d, "events"),
+        "user_id", "ts", "event_type", "value", revType = "purchase")),
+
+    // Per-source duplication inflation: token mass before vs after
+    // exact dedup (md5 fingerprint groups) — the dedup-ROI number
+    // that decides which sources are worth near-dup passes.
+    "q288_dup_inflation" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("source"), md5(col("text").cast("binary")).as("fp"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+      docs.groupBy("source", "fp")
+        .agg(count(lit(1)).as("cnt"), max("tk").as("tk"))
+        .groupBy("source")
+        .agg(sum("cnt").as("n_docs"), count(lit(1)).as("n_unique"),
+          sum(col("cnt") * col("tk")).as("tok_total"),
+          sum("tk").as("tok_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          col("tok_total"), col("tok_unique"),
+          (expr("(2000000 * tok_total + tok_unique)" +
+            " div (2 * tok_unique)").cast("double") / 1e6)
+            .as("inflation"))
+    }),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3309,6 +3336,26 @@ object PipelineQueries {
     "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
       "events", "ts", "event_type", "value", "click", "purchase",
       Seq(-24, -1, 0, 1, 24)),
+    "q287_cohort_ltv" -> graft.ops.EventOps.cohortLtvOracleSql(
+      "events", "user_id", "ts", "event_type", "value", "purchase"),
+
+    "q288_dup_inflation" ->
+      """WITH d AS (SELECT source, md5(text) AS fp,
+        |    CAST(len(list_filter(string_split_regex(lower(text),
+        |      '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT) AS tk
+        |  FROM documents),
+        |g AS (SELECT source, fp, CAST(count(*) AS BIGINT) AS cnt,
+        |    max(tk) AS tk FROM d GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_unique,
+        |    CAST(sum(cnt * tk) AS BIGINT) AS tok_total,
+        |    CAST(sum(tk) AS BIGINT) AS tok_unique
+        |  FROM g GROUP BY source)
+        |SELECT source, n_docs, n_unique, tok_total, tok_unique,
+        |  CAST((2000000 * tok_total + tok_unique) // (2 * tok_unique)
+        |    AS DOUBLE) / 1e6 AS inflation
+        |FROM a""".stripMargin,
+
     "q285_grouped_ols" -> {
       val q = qualityOracleSql(TextOps.TrainedQualityWeights)
       ProfileOps.groupedOlsOracleSql(

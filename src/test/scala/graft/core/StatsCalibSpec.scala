@@ -363,6 +363,23 @@ class StatsCalibSpec extends SparkSpec {
     assert(got("B") == ((4.91935, 1.470588))) // antisymmetric
   }
 
+  test("cohort ltv: per-user cumulative revenue over cohort weeks") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // both users cohort at week of Mon 2024-01-01; u1 buys $100 in
+    // week 0 and $50 in week 1, u2 never buys
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00"), "purchase", 100.0),
+      (1L, ts("2024-01-09 10:00:00"), "purchase", 50.0),
+      (2L, ts("2024-01-03 10:00:00"), "view", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = graft.ops.EventOps.cohortLtv(ev, "user_id", "ts",
+        "event_type", "value", "purchase")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(0L -> ((2L, 10000L, 50.0)),
+      1L -> ((2L, 15000L, 75.0))))
+  }
+
   test("silhouette: points on their seeds score exactly 1") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
