@@ -1207,4 +1207,113 @@ object EventOps {
        |    ELSE CAST((2 * sum_lat_us + n_attr) // (2 * n_attr) AS DOUBLE)
        |      / 1e6 END AS mean_lat_s
        |FROM agg""".stripMargin
+
+  /** Delete-one jackknife standard error for a RATIO metric
+    * (numerator-event cents per denominator event, e.g. revenue per
+    * click) per experiment arm — the correct uncertainty for ratio
+    * readouts, where the naive per-user variance is biased because
+    * both numerator and denominator vary.
+    *
+    * Fully DISTRIBUTED and integer-exact until the final
+    * sqrt/divide: per-user leave-one-out ratios are gridded to
+    * half-up integer MICRO-cents-per-event (r6 = (Sx−x_u)·1e6 /
+    * (Sy−y_u), rounded once by integer div), so Σr6 (BIGINT) and
+    * Σr6² (DECIMAL(38,0) — r6² alone can pass 2^63) are
+    * order-independent exact sums: no sorted fold, no driver
+    * collect, shape survives a billion users. Σ(R−R̄)² =
+    * (n·Σr² − (Σr)²)/n and var_jack = (n−1)/n of that over n — the
+    * only doubles are one decimal→double cast, one divide, one sqrt.
+    * EXACTNESS BOUND: (Sx−x_u)·1e6 must stay under 2^63 — holds to
+    * ~9e12 total cents ($90B revenue) per arm.
+    *
+    * Users whose removal empties the denominator (y_u = Sy) are
+    * excluded from the loo set and counted in n_excluded.
+    *
+    * @return per arm: (arm, n_users, n_excluded, num_cents,
+    *         den_events, ratio, jack_se, ci_lo, ci_hi) — ratio and
+    *         se in cents per denominator event, CI at ±1.96·se
+    */
+  def jackknifeRatio(events: DataFrame, userCol: String,
+      typeCol: String, valueCol: String, numType: String,
+      denType: String): DataFrame = {
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val per = events.groupBy(pmod(col(userCol), lit(2L)).as("arm"),
+        col(userCol).as("u"))
+      .agg(sum(when(col(typeCol) === numType, cents).otherwise(0L))
+        .as("x"),
+        sum((col(typeCol) === denType).cast("long")).as("y"))
+    val tot = per.groupBy("arm")
+      .agg(sum("x").as("sx"), sum("y").as("sy"),
+        count(lit(1)).as("n_all"))
+    val loo = per.join(tot, "arm")
+      .select(col("arm"), col("sx"), col("sy"), col("n_all"),
+        (col("sy") - col("y")).as("d"),
+        (col("sx") - col("x")).as("nu"))
+    val agg = loo.groupBy("arm")
+      .agg(first("sx").as("num_cents"), first("sy").as("den_events"),
+        first("n_all").as("n_users"),
+        sum((col("d") === 0).cast("long")).as("n_excluded"),
+        sum(when(col("d") > 0,
+          expr("(2 * nu * 1000000 + d) div (2 * d)"))).as("s1"),
+        sum(when(col("d") > 0,
+          expr("cast((2 * nu * 1000000 + d) div (2 * d) " +
+            "as decimal(38,0)) * ((2 * nu * 1000000 + d) div (2 * d))"))
+        ).as("s2"))
+    val n = (col("n_users") - col("n_excluded")).cast("long")
+    val ssNum = n.cast("decimal(38,0)") * col("s2") -
+      col("s1").cast("decimal(38,0)") * col("s1")
+    val se = sqrt((n - 1).cast("double") * ssNum.cast("double") /
+      (n.cast("double") * n.cast("double"))) / 1e6
+    val ratio = expr(
+      "(2 * num_cents * 1000000 + den_events) div (2 * den_events)")
+      .cast("double") / 1e6
+    agg.select(col("arm"), col("n_users"), col("n_excluded"),
+      col("num_cents"), col("den_events"),
+      round(ratio, 6).as("ratio"), round(se, 6).as("jack_se"),
+      round(ratio - lit(1.96) * se, 6).as("ci_lo"),
+      round(ratio + lit(1.96) * se, 6).as("ci_hi"))
+  }
+
+  /** DuckDB replay of [[jackknifeRatio]] (HUGEINT for the r6² sum). */
+  def jackknifeRatioOracleSql(table: String, userCol: String,
+      typeCol: String, valueCol: String, numType: String,
+      denType: String): String =
+    s"""WITH per AS (SELECT $userCol % 2 AS arm, $userCol AS u,
+       |    CAST(sum(CASE WHEN $typeCol = '$numType'
+       |      THEN CAST(round(CAST($valueCol AS DOUBLE) * 100)
+       |        AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN $typeCol = '$denType' THEN 1 ELSE 0
+       |      END) AS BIGINT) AS y
+       |  FROM $table GROUP BY 1, 2),
+       |tot AS (SELECT arm, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(count(*) AS BIGINT) AS n_all
+       |  FROM per GROUP BY arm),
+       |loo AS (SELECT per.arm, sx, sy, n_all, sy - y AS d,
+       |    sx - x AS nu FROM per JOIN tot USING (arm)),
+       |agg AS (SELECT arm, any_value(sx) AS num_cents,
+       |    any_value(sy) AS den_events, any_value(n_all) AS n_users,
+       |    CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_excluded,
+       |    CAST(sum(CASE WHEN d > 0
+       |      THEN (2 * nu * 1000000 + d) // (2 * d) END) AS BIGINT)
+       |      AS s1,
+       |    sum(CASE WHEN d > 0
+       |      THEN CAST((2 * nu * 1000000 + d) // (2 * d) AS HUGEINT)
+       |        * ((2 * nu * 1000000 + d) // (2 * d)) END) AS s2
+       |  FROM loo GROUP BY arm),
+       |fin AS (SELECT *, n_users - n_excluded AS n,
+       |    CAST((2 * num_cents * 1000000 + den_events)
+       |      // (2 * den_events) AS DOUBLE) / 1e6 AS ratio,
+       |    sqrt(CAST(n_users - n_excluded - 1 AS DOUBLE)
+       |      * CAST(CAST(n_users - n_excluded AS HUGEINT) * s2
+       |          - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+       |      / (CAST(n_users - n_excluded AS DOUBLE)
+       |         * CAST(n_users - n_excluded AS DOUBLE))) / 1e6 AS se
+       |  FROM agg)
+       |SELECT arm, n_users, n_excluded, num_cents, den_events,
+       |  round(ratio, 6) AS ratio, round(se, 6) AS jack_se,
+       |  round(ratio - 1.96 * se, 6) AS ci_lo,
+       |  round(ratio + 1.96 * se, 6) AS ci_hi
+       |FROM fin""".stripMargin
 }

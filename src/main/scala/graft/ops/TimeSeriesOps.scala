@@ -589,4 +589,92 @@ object TimeSeriesOps {
        |  CAST((2000000 * total_abs_err + n_points)
        |    // (2 * n_points) AS DOUBLE) / 1e6 AS mae
        |FROM agg""".stripMargin
+
+  /** EWMA level + anomaly band over DAILY mean values per series —
+    * the classic monitoring smoother (alpha = aNum/aDen) run as an
+    * EXACT integer recurrence so both engines replay it bit-for-bit:
+    * daily means become half-up integer MICRO-units, each smoothing
+    * step rounds once via (2·(aNum·v + (aDen−aNum)·s) + aDen) div
+    * (2·aDen), and a day is flagged when |v − s_prev| exceeds the
+    * band (micro-units, i.e. value·1e6). Requires non-negative
+    * values (div-based half-up on the cents grid).
+    *
+    * Scale shape: one hash aggregation to the (series × day) grid,
+    * then a per-series sorted fold over the CALENDAR-bounded grid
+    * (≤365 elements per series-year — bounded by time span, not
+    * corpus size). The fold is the honest shape for a sequential
+    * recurrence — s_t depends on s_{t−1}, so no window spelling
+    * exists; the collected array never exceeds the grid. DuckDB
+    * replays the recurrence as a recursive CTE over the same grid.
+    *
+    * @return per (series, day): (k, day, v, ewma, is_anom)
+    */
+  def ewmaBand(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, aNum: Int, aDen: Int,
+      bandMicro: Long): DataFrame = {
+    require(aNum > 0 && aDen > aNum,
+      s"need 0 < alpha = aNum/aDen < 1, got $aNum/$aDen")
+    val obs = events.groupBy(col(keyCol).as("k"),
+        unix_micros(date_trunc("day", col(tsCol))).as("du"))
+      .agg(sum(round(col(valueCol).cast("double") * 100).cast("long"))
+          .as("s"),
+        count(lit(1)).as("n"))
+      .select(col("k"), col("du"),
+        expr("(2 * s * 10000 + n) div (2 * n)").as("v6"))
+    val b = aDen - aNum
+    val step =
+      s"(2 * ($aNum * x.v6 + $b * acc.prev) + $aDen) div (2 * $aDen)"
+    val folded = obs.groupBy("k")
+      .agg(array_sort(collect_list(struct(col("du"), col("v6"))))
+        .as("xs"))
+      .select(col("k"), explode(expr(
+        s"""aggregate(xs,
+           |  named_struct('prev', cast(-1 as bigint), 'out',
+           |    cast(array() as
+           |      array<struct<du:bigint,v6:bigint,ew:bigint,fl:int>>)),
+           |  (acc, x) -> named_struct(
+           |    'prev',
+           |    CASE WHEN acc.prev < 0 THEN x.v6 ELSE $step END,
+           |    'out', acc.out || array(named_struct(
+           |      'du', x.du, 'v6', x.v6,
+           |      'ew',
+           |      CASE WHEN acc.prev < 0 THEN x.v6 ELSE $step END,
+           |      'fl', CASE WHEN acc.prev >= 0
+           |        AND abs(x.v6 - acc.prev) > ${bandMicro}L
+           |        THEN 1 ELSE 0 END))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+    folded.select(col("k"), timestamp_micros(col("r.du")).as("day"),
+      (col("r.v6").cast("double") / 1e6).as("v"),
+      (col("r.ew").cast("double") / 1e6).as("ewma"),
+      col("r.fl").as("is_anom"))
+  }
+
+  /** DuckDB replay of [[ewmaBand]] — the integer recurrence as a
+    * recursive CTE keyed on the per-series day index.
+    */
+  def ewmaOracleSql(table: String, keyCol: String, tsCol: String,
+      valueCol: String, aNum: Int, aDen: Int,
+      bandMicro: Long): String = {
+    val b = aDen - aNum
+    s"""WITH RECURSIVE obs0 AS (SELECT $keyCol AS k,
+       |    epoch_us(date_trunc('day', $tsCol)) AS du,
+       |    CAST(sum(CAST(round(CAST($valueCol AS DOUBLE) * 100)
+       |      AS BIGINT)) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM $table GROUP BY 1, 2),
+       |obs AS (SELECT k, du, (2 * s * 10000 + n) // (2 * n) AS v6,
+       |    row_number() OVER (PARTITION BY k ORDER BY du) AS i
+       |  FROM obs0),
+       |r AS (
+       |  SELECT k, i, du, v6, v6 AS ew, 0 AS fl FROM obs WHERE i = 1
+       |  UNION ALL
+       |  SELECT o.k, o.i, o.du, o.v6,
+       |    (2 * ($aNum * o.v6 + $b * r.ew) + $aDen) // (2 * $aDen),
+       |    CASE WHEN abs(o.v6 - r.ew) > $bandMicro THEN 1 ELSE 0 END
+       |  FROM obs o JOIN r ON o.k = r.k AND o.i = r.i + 1)
+       |SELECT k, make_timestamp(du) AS day,
+       |  CAST(v6 AS DOUBLE) / 1e6 AS v,
+       |  CAST(ew AS DOUBLE) / 1e6 AS ewma, fl AS is_anom
+       |FROM r""".stripMargin
+  }
 }

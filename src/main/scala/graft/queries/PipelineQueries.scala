@@ -618,6 +618,21 @@ object PipelineQueries {
             .as("inflation"))
     }),
 
+    // EWMA anomaly band over daily mean event value per type —
+    // alpha=1/5 integer recurrence, flag when |obs - level| > 30.0;
+    // calendar-bounded per-series fold, DuckDB recursive-CTE twin.
+    "q289_ewma_band" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.ewmaBand(Tables(s, d, "events"),
+        "event_type", "ts", "value", aNum = 1, aDen = 5,
+        bandMicro = 30000000L)),
+
+    // Delete-one jackknife SE for revenue-per-click by arm — ratio
+    // readout with distributed integer-exact loo sums (no collect,
+    // no sorted fold; survives a billion users).
+    "q290_jackknife_ratio" -> ((s, d) =>
+      graft.ops.EventOps.jackknifeRatio(Tables(s, d, "events"),
+        "user_id", "event_type", "value", "purchase", "click")),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3338,6 +3353,14 @@ object PipelineQueries {
       Seq(-24, -1, 0, 1, 24)),
     "q287_cohort_ltv" -> graft.ops.EventOps.cohortLtvOracleSql(
       "events", "user_id", "ts", "event_type", "value", "purchase"),
+
+    "q289_ewma_band" -> graft.ops.TimeSeriesOps.ewmaOracleSql(
+      "events", "event_type", "ts", "value", 1, 5, 30000000L),
+
+    "q290_jackknife_ratio" ->
+      graft.ops.EventOps.jackknifeRatioOracleSql(
+        "events", "user_id", "event_type", "value", "purchase",
+        "click"),
 
     "q288_dup_inflation" ->
       """WITH d AS (SELECT source, md5(text) AS fp,

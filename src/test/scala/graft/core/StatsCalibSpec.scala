@@ -380,6 +380,42 @@ class StatsCalibSpec extends SparkSpec {
       1L -> ((2L, 15000L, 75.0))))
   }
 
+  test("ewma band: integer recurrence with anomaly flag") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // one series, three days, alpha=1/5, band=5.0: day2 jumps 10.0
+    // over the level (flag), ewma moves to 12.0; day3 sits on it
+    val ev = Seq(
+      ("m", ts("2024-01-01 08:00:00"), 10.0),
+      ("m", ts("2024-01-02 08:00:00"), 20.0),
+      ("m", ts("2024-01-03 08:00:00"), 12.0))
+      .toDF("event_type", "ts", "value")
+    val got = graft.ops.TimeSeriesOps.ewmaBand(ev, "event_type", "ts",
+        "value", 1, 5, bandMicro = 5000000L)
+      .orderBy("day").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getInt(4))).toSeq
+    assert(got == Seq((10.0, 10.0, 0), (20.0, 12.0, 1),
+      (12.0, 12.0, 0)))
+  }
+
+  test("jackknife ratio: loo variance from exact integer sums") {
+    // arm0 (u2,u4): purchases 300+100 cents, 2 clicks each ->
+    // loo ratios 50.0/150.0 c/click, se = 50; arm1 (u1,u3):
+    // 200+0 cents, 1 click each -> loo 0/200, se = 100
+    val ev = Seq(
+      (1L, "purchase", 2.0), (1L, "click", 0.0), (3L, "click", 0.0),
+      (2L, "purchase", 3.0), (2L, "click", 0.0), (2L, "click", 0.0),
+      (4L, "purchase", 1.0), (4L, "click", 0.0), (4L, "click", 0.0))
+      .toDF("user_id", "event_type", "value")
+    val got = graft.ops.EventOps.jackknifeRatio(ev, "user_id",
+        "event_type", "value", "purchase", "click")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7),
+          r.getDouble(8)))).toMap
+    assert(got(0L) == ((2L, 0L, 400L, 4L, 100.0, 50.0, 2.0, 198.0)))
+    assert(got(1L) == ((2L, 0L, 200L, 2L, 100.0, 100.0, -96.0, 296.0)))
+  }
+
   test("silhouette: points on their seeds score exactly 1") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
