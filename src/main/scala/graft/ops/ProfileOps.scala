@@ -2096,4 +2096,67 @@ object ProfileOps {
        |  CAST(ng * nr AS BIGINT) AS d_den,
        |  ((2000000 * d_num + ng * nr) // (2 * ng * nr)) / 1e6 AS ks
        |FROM mx""".stripMargin
+
+  /** Functional-dependency audit (the Tane/Metanome g3 measure) over
+    * a candidate list: for each A→B candidate, how many A-groups see
+    * more than one B, and what minimal row fraction would have to be
+    * removed for the FD to hold exactly (g3 = 1 − Σ_A max_b
+    * cnt(A,b) / N). The schema-inference signal a profiler feeds a
+    * data contract from.
+    *
+    * Scale shape: ALL candidates share ONE scan — each row explodes
+    * into |pairs| (lhs, rhs, a, b) tuples (an Expand, no shuffle),
+    * then two hash aggregations (cand × A × B, then cand × A). No
+    * per-candidate rescan, no distinct-heavy subquery per pair.
+    * Values are compared via their string cast (injective for the
+    * int/string/date columns this is meant for; avoid raw doubles).
+    *
+    * @return per candidate: (lhs, rhs, n_groups, viol_groups,
+    *         rows_total, rows_keep, g3_err)
+    */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one A->B candidate")
+    val cands = array(pairs.map { case (a, b) =>
+      struct(lit(a).as("lhs"), lit(b).as("rhs"),
+        col(a).cast("string").as("av"), col(b).cast("string").as("bv"))
+    }: _*)
+    val ab = df.select(explode(cands).as("c"))
+      .groupBy(col("c.lhs").as("lhs"), col("c.rhs").as("rhs"),
+        col("c.av").as("av"), col("c.bv").as("bv"))
+      .agg(count(lit(1)).as("cnt"))
+    val pa = ab.groupBy("lhs", "rhs", "av")
+      .agg(count(lit(1)).as("nb"), max("cnt").as("mx"),
+        sum("cnt").as("nr"))
+    pa.groupBy("lhs", "rhs")
+      .agg(count(lit(1)).as("n_groups"),
+        sum((col("nb") > 1).cast("long")).as("viol_groups"),
+        sum("nr").as("rows_total"), sum("mx").as("rows_keep"))
+      .select(col("lhs"), col("rhs"), col("n_groups"),
+        col("viol_groups"), col("rows_total"), col("rows_keep"),
+        (expr("(2000000 * (rows_total - rows_keep) + rows_total)" +
+          " div (2 * rows_total)").cast("double") / 1e6).as("g3_err"))
+  }
+
+  /** DuckDB replay of [[fdAudit]] — one UNION ALL branch per
+    * candidate (the oracle need not share scans).
+    */
+  def fdAuditOracleSql(table: String,
+      pairs: Seq[(String, String)]): String =
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS lhs, '$b' AS rhs,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS viol_groups,
+         |  CAST(sum(nr) AS BIGINT) AS rows_total,
+         |  CAST(sum(mx) AS BIGINT) AS rows_keep,
+         |  CAST((2000000 * (sum(nr) - sum(mx)) + sum(nr))
+         |    // (2 * sum(nr)) AS DOUBLE) / 1e6 AS g3_err
+         |FROM (SELECT av, CAST(count(*) AS BIGINT) AS nb,
+         |    max(cnt) AS mx, CAST(sum(cnt) AS BIGINT) AS nr
+         |  FROM (SELECT CAST($a AS VARCHAR) AS av,
+         |      CAST($b AS VARCHAR) AS bv,
+         |      CAST(count(*) AS BIGINT) AS cnt
+         |    FROM $table GROUP BY 1, 2) g
+         |  GROUP BY av) p""".stripMargin
+    }.mkString("\nUNION ALL\n")
 }

@@ -224,6 +224,28 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
     }),
 
+    // TPC-H Q21 shape: the SOLE late supplier on multi-supplier
+    // orders — exists + not-exists decorrelated into ONE per-order
+    // aggregation over distinct (order, supplier) pairs (no double
+    // self-join of the fact table); supplier dim broadcasts.
+    "q291_sole_late_supplier" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val o = Tables(s, d, "orders")
+      val g = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(max((col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("int"))
+          .as("late"))
+      val ord = g.groupBy("ok")
+        .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+      val sole = g.where(col("late") === 1).join(ord, "ok")
+        .where(col("n_supp") >= 2 && col("n_late") === 1)
+      sole.groupBy("sk").agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables(s, d, "supplier")),
+          col("sk") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+    }),
+
     // As-of join: most recent prior click before each purchase.
     "q24_asof_join" -> ((s, d) =>
       EventOps.asOfPriorEventId(Tables(s, d, "events"), "click", "purchase")
@@ -258,6 +280,16 @@ object RelationalQueries {
       graft.ops.ProfileOps.profile(Tables(s, d, "lineitem"),
         Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
         .withColumnRenamed("column", "col_name")),
+
+    // Functional-dependency discovery (g3 measure) for four A->B
+    // candidates over lineitem — all candidates share ONE scan via
+    // an Expand; the data-contract inference signal.
+    "q292_fd_discovery" -> ((s, d) =>
+      graft.ops.ProfileOps.fdAudit(Tables(s, d, "lineitem"), Seq(
+        "l_orderkey" -> "l_suppkey",
+        "l_orderkey" -> "l_returnflag",
+        "l_partkey" -> "l_suppkey",
+        "l_suppkey" -> "l_linestatus"))),
 
     // Runtime bloom pre-filter: lineitem probes a bloom of the urgent
     // orders' keys BEFORE the semi-join shuffle (native codegen
@@ -540,6 +572,19 @@ object RelationalQueries {
         |             ('band4_top', 300000.0, 1e12)) AS v(band, lo, hi)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band""".stripMargin,
+    "q291_sole_late_supplier" ->
+      """WITH g AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |      THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |od AS (SELECT ok, CAST(count(*) AS BIGINT) AS n_supp,
+        |    CAST(sum(late) AS BIGINT) AS n_late FROM g GROUP BY ok),
+        |sole AS (SELECT sk FROM g JOIN od USING (ok)
+        |  WHERE late = 1 AND n_supp >= 2 AND n_late = 1)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM sole JOIN supplier ON sk = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
     "q24_asof_join" ->
       """SELECT event_id, user_id, prev_click_id FROM (
         | SELECT event_id, user_id, event_type,
@@ -591,6 +636,12 @@ object RelationalQueries {
         s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
            | count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n"),
+    "q292_fd_discovery" -> graft.ops.ProfileOps.fdAuditOracleSql(
+      "lineitem", Seq(
+        "l_orderkey" -> "l_suppkey",
+        "l_orderkey" -> "l_returnflag",
+        "l_partkey" -> "l_suppkey",
+        "l_suppkey" -> "l_linestatus")),
     "q76_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_quantity), 2) AS sum_qty

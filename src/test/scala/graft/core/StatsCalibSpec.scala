@@ -380,6 +380,19 @@ class StatsCalibSpec extends SparkSpec {
       1L -> ((2L, 15000L, 75.0))))
   }
 
+  test("fd audit: g3 counts the minimal violating rows") {
+    // a->b: group 1 sees {x:2, y:1} (violating, keep 2 of 3),
+    // group 2 sees {z} -> g3 = 1/4; b->a holds exactly -> g3 = 0
+    val df = Seq((1, "x"), (1, "x"), (1, "y"), (2, "z"))
+      .toDF("a", "b")
+    val got = ProfileOps.fdAudit(df, Seq("a" -> "b", "b" -> "a"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(got(("a", "b")) == ((2L, 1L, 4L, 3L, 0.25)))
+    assert(got(("b", "a")) == ((3L, 0L, 4L, 4L, 0.0)))
+  }
+
   test("ewma band: integer recurrence with anomaly flag") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // one series, three days, alpha=1/5, band=5.0: day2 jumps 10.0
