@@ -2137,6 +2137,62 @@ object ProfileOps {
           " div (2 * rows_total)").cast("double") / 1e6).as("g3_err"))
   }
 
+  /** t-closeness audit (Li et al., ICDE'07), completing the
+    * k-anonymity / l-diversity release-gate family: per
+    * quasi-identifier group, the Earth Mover's Distance between the
+    * group's distribution over an ORDERED sensitive bucket and the
+    * global distribution — EMD over ordered buckets is the mean
+    * |cumulative difference|, and with integer counts every
+    * cumulative term is the exact integer c_b·N − C_b·n over the
+    * implicit denominator n·N, so the whole statistic is integer
+    * until one final half-up division:
+    * t = Σ_b |cum_b| / ((m−1)·n·N).
+    *
+    * Scale shape: two hash aggs (QI × bucket, bucket), the dense
+    * m-bucket grid per group via explode(sequence) (m rows/group),
+    * a per-group cumulative window over m rows, global totals
+    * broadcast. EXACTNESS BOUND: c·N needs n·N·m < 2^53·~ — holds to
+    * ~90M rows per corpus at m=10; beyond that, lift the cum sums to
+    * decimal(38,0).
+    *
+    * @return per QI group: (qi..., n, t_emd)
+    */
+  def tCloseness(df: DataFrame, qi: Seq[(String, Column)],
+      sensBucket: Column, nBuckets: Int): DataFrame = {
+    require(qi.nonEmpty, "tCloseness needs at least one QI column")
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val names = qi.map(_._1)
+    val base = df.select(
+      qi.map { case (n, c) => c.as(n) } :+
+        sensBucket.cast("long").as("b"): _*)
+    val cell = base.groupBy(names.map(col) :+ col("b"): _*)
+      .agg(count(lit(1)).as("c"))
+    val glob = cell.groupBy("b").agg(sum("c").as("cb"))
+    val tot = cell.agg(sum("c").as("n_all"))
+    val grp = cell.groupBy(names.map(col): _*).agg(sum("c").as("n"))
+    val dense = grp.select(names.map(col) :+ col("n") :+
+      explode(sequence(lit(0L), lit(nBuckets - 1L))).as("b"): _*)
+    val j = dense.join(cell, names :+ "b", "left")
+      .join(broadcast(glob), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(names.map(col) ++ Seq(col("n"), col("b"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("cb"), lit(0L)).as("cb"), col("n_all")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(names.map(col): _*).orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    j.withColumn("s",
+        sum(col("c") * col("n_all") - col("cb") * col("n")).over(w))
+      .groupBy(names.map(col): _*)
+      .agg(first("n").as("n"), sum(abs(col("s"))).as("sa"),
+        first("n_all").as("na"))
+      .select(names.map(col) ++ Seq(col("n"),
+        (expr(s"(2000000 * sa + ${nBuckets - 1} * n * na)" +
+          s" div (2 * ${nBuckets - 1} * n * na)").cast("double") / 1e6)
+          .as("t_emd")): _*)
+  }
+
   /** DuckDB replay of [[fdAudit]] — one UNION ALL branch per
     * candidate (the oracle need not share scans).
     */

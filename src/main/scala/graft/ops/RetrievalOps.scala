@@ -254,4 +254,65 @@ object RetrievalOps {
        |       ELSE d.dcg / i.idcg END, 6) AS ndcg
        |FROM dcg d LEFT JOIN ideal i ON d.query_id = i.query_id
        |LEFT JOIN nrel n ON d.query_id = n.query_id""".stripMargin
+
+  /** Inverted-index sizing report: per term with df ≥ minDf, the
+    * posting-list stats an index builder plans shards from — document
+    * frequency, collection frequency, the largest doc-id delta, and
+    * the EXACT byte cost of the delta-gap varint encoding (the
+    * standard postings layout) vs raw 64-bit ids. Gap bytes are the
+    * 7-bit-group count, an exact integer CASE both engines share.
+    *
+    * Scale shape: tokenize → (term, doc) tf aggregation (one shuffle
+    * on the term-doc grid) → per-term lag window for gaps (shuffle on
+    * term) → hash agg. No collect, no per-term list materialization —
+    * the "posting list" is never built, only measured.
+    */
+  def postingsStats(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long): DataFrame = {
+    val tf = docs.select(col(idCol).cast("long").as("did"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term", "did").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("term").orderBy("did")
+    val vb = "CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2" +
+      " WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4" +
+      " WHEN gap < 34359738368 THEN 5 WHEN gap < 4398046511104 THEN 6" +
+      " WHEN gap < 562949953421312 THEN 7" +
+      " WHEN gap < 72057594037927936 THEN 8 ELSE 9 END"
+    tf.withColumn("gap",
+        col("did") - coalesce(lag("did", 1).over(w), lit(0L)))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        max("gap").as("max_gap"), sum(expr(vb)).as("bytes_delta"))
+      .where(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"), col("max_gap"),
+        col("bytes_delta"), (col("df") * 8).as("bytes_raw"),
+        (expr("(2000000 * bytes_delta + 8 * df) div (16 * df)")
+          .cast("double") / 1e6).as("ratio"))
+  }
+
+  /** DuckDB replay of [[postingsStats]]. */
+  def postingsOracleSql(table: String, idCol: String, textCol: String,
+      minDf: Long): String =
+    s"""WITH t AS (SELECT CAST($idCol AS BIGINT) AS did,
+       |    unnest(list_filter(string_split_regex(lower($textCol),
+       |      '[ \t\n\f\r]+'), x -> x <> '')) AS term
+       |  FROM $table),
+       |tf AS (SELECT term, did, CAST(count(*) AS BIGINT) AS tf
+       |  FROM t GROUP BY 1, 2),
+       |g AS (SELECT term, tf, did - coalesce(lag(did)
+       |    OVER (PARTITION BY term ORDER BY did), 0) AS gap FROM tf),
+       |a AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(tf) AS BIGINT) AS cf, max(gap) AS max_gap,
+       |    CAST(sum(CASE WHEN gap < 128 THEN 1
+       |      WHEN gap < 16384 THEN 2 WHEN gap < 2097152 THEN 3
+       |      WHEN gap < 268435456 THEN 4 WHEN gap < 34359738368 THEN 5
+       |      WHEN gap < 4398046511104 THEN 6
+       |      WHEN gap < 562949953421312 THEN 7
+       |      WHEN gap < 72057594037927936 THEN 8 ELSE 9 END)
+       |      AS BIGINT) AS bytes_delta
+       |  FROM g GROUP BY term)
+       |SELECT term, df, cf, max_gap, bytes_delta, df * 8 AS bytes_raw,
+       |  CAST((2000000 * bytes_delta + 8 * df) // (16 * df) AS DOUBLE)
+       |    / 1e6 AS ratio
+       |FROM a WHERE df >= $minDf""".stripMargin
 }

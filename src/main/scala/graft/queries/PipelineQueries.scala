@@ -633,6 +633,23 @@ object PipelineQueries {
       graft.ops.EventOps.jackknifeRatio(Tables(s, d, "events"),
         "user_id", "event_type", "value", "purchase", "click")),
 
+    // Inverted-index sizing: delta-gap varint byte cost per frequent
+    // term vs raw 64-bit postings — the shard planner's input; the
+    // posting list is measured, never materialized.
+    "q293_postings" -> ((s, d) =>
+      graft.ops.RetrievalOps.postingsStats(Tables(s, d, "documents"),
+        "doc_id", "text", minDf = 50L)),
+
+    // t-closeness over (source, lang) QI groups with n_chars//64
+    // (capped at 9) as the ordered sensitive bucket — EMD as exact
+    // integer cumulative sums; completes k-anon (q172) + l-div
+    // (q176).
+    "q294_t_closeness" -> ((s, d) =>
+      ProfileOps.tCloseness(Tables(s, d, "documents"), Seq(
+        "source" -> col("source"), "lang" -> col("lang")),
+        expr("least(n_chars div 64, 9)").cast("long"),
+        nBuckets = 10)),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3356,6 +3373,38 @@ object PipelineQueries {
 
     "q289_ewma_band" -> graft.ops.TimeSeriesOps.ewmaOracleSql(
       "events", "event_type", "ts", "value", 1, 5, 30000000L),
+
+    "q293_postings" -> graft.ops.RetrievalOps.postingsOracleSql(
+      "documents", "doc_id", "text", 50L),
+
+    "q294_t_closeness" ->
+      """WITH cell AS (SELECT source, lang,
+        |    LEAST(n_chars // 64, 9) AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2, 3),
+        |gl AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb
+        |  FROM cell GROUP BY b),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cell),
+        |grp AS (SELECT source, lang, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cell GROUP BY 1, 2),
+        |dense AS (SELECT source, lang, n, gs.b FROM grp,
+        |  (SELECT unnest(generate_series(0, 9)) AS b) gs),
+        |j AS (SELECT d.source, d.lang, d.n, d.b,
+        |    coalesce(c.c, 0) AS c, coalesce(g.cb, 0) AS cb, n_all
+        |  FROM dense d
+        |  LEFT JOIN cell c ON d.source = c.source AND d.lang = c.lang
+        |    AND d.b = c.b
+        |  LEFT JOIN gl g ON d.b = g.b CROSS JOIN tot),
+        |cum AS (SELECT source, lang, n, n_all,
+        |    sum(c * n_all - cb * n) OVER (PARTITION BY source, lang
+        |      ORDER BY b ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM j),
+        |a AS (SELECT source, lang, any_value(n) AS n,
+        |    CAST(sum(abs(s)) AS BIGINT) AS sa, any_value(n_all) AS na
+        |  FROM cum GROUP BY 1, 2)
+        |SELECT source, lang, n,
+        |  CAST((2000000 * sa + 9 * n * na) // (2 * 9 * n * na)
+        |    AS DOUBLE) / 1e6 AS t_emd
+        |FROM a""".stripMargin,
 
     "q290_jackknife_ratio" ->
       graft.ops.EventOps.jackknifeRatioOracleSql(

@@ -393,6 +393,33 @@ class StatsCalibSpec extends SparkSpec {
     assert(got(("b", "a")) == ((3L, 0L, 4L, 4L, 0.0)))
   }
 
+  test("postings stats: delta-gap varint bytes are exact") {
+    // a -> docs [0,1,200]: gaps 0,1,199 -> 1+1+2 bytes;
+    // b -> docs [0,200]: gaps 0,200 -> 1+2 bytes
+    val docs = Seq((0L, "a b a"), (1L, "a"), (200L, "a b"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.RetrievalOps.postingsStats(docs, "doc_id",
+        "text", minDf = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    assert(got("a") == ((3L, 4L, 199L, 4L, 24L, 0.166667)))
+    assert(got("b") == ((2L, 2L, 200L, 3L, 16L, 0.1875)))
+  }
+
+  test("t-closeness: ordered EMD from integer cumulative sums") {
+    // A=(3,1), B=(1,3) over 2 buckets; global (4,4) ->
+    // both groups sit at EMD 0.25 from the global mix
+    val df = Seq(("A", 0), ("A", 0), ("A", 0), ("A", 1),
+      ("B", 0), ("B", 1), ("B", 1), ("B", 1)).toDF("g", "b")
+    val got = ProfileOps.tCloseness(df, Seq("g" -> col("g")),
+        col("b"), nBuckets = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("A") == ((4L, 0.25)))
+    assert(got("B") == ((4L, 0.25)))
+  }
+
   test("ewma band: integer recurrence with anomaly flag") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // one series, three days, alpha=1/5, band=5.0: day2 jumps 10.0
