@@ -1396,4 +1396,125 @@ object SimilarityOps {
        |UNION ALL SELECT query_id, 2, sel, sel_score FROM s2
        |UNION ALL SELECT query_id, 3, sel, sel_score FROM s3""".stripMargin
   }
+
+  /** Linear CKA (centered kernel alignment, Kornblith et al. 2019)
+    * between the embedding space and its per-vector int8-quantized
+    * codes — the "did quantization keep the geometry" audit run
+    * before shipping a compressed index. CKA = ‖C_xy‖²_F /
+    * (‖C_xx‖_F · ‖C_yy‖_F) over d×d centered cross-covariances.
+    *
+    * EXACT to the last grid digit: vectors are gridded to integer
+    * 1e4-units (round(x·10000) — exact for |x| < ~9e14/1e4), codes
+    * are already integers, so every gram entry Σxᵢyⱼ and marginal Σx
+    * is an exact integer sum (order-independent, fully distributed),
+    * the centered entry A_jk = n·Σx_j y_k − Σx_j·Σy_k stays in
+    * BIGINT, and its square lifts to decimal(38,0)/HUGEINT. The only
+    * doubles are the final two casts, one sqrt, one divide.
+    *
+    * Scale shape: the d² per-row products explode to n·d² narrow
+    * integer rows feeding ONE hash aggregation — no join, no window,
+    * no collect; marginals are a d-row side agg joined broadcast.
+    * O(n·d²) work is the honest cost of an exact d×d gram; at
+    * billion-row corpora run it on a uniform sample (the statistic
+    * concentrates) or swap the explode for a mapPartitions d×d
+    * accumulator with this composed spelling as its differential
+    * twin.
+    *
+    * @return one row: (n, d, cka)
+    */
+  def linearCka(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val v = emb.select(asDouble(col(vecCol)).as("v"))
+      .withColumn("x", transform(col("v"),
+        e => round(e * 10000).cast("long")))
+      .withColumn("ma", array_max(transform(col("v"), e => abs(e))))
+      .withColumn("scale", when(col("ma") > 0, lit(127.0d) / col("ma"))
+        .otherwise(lit(1.0d)))
+      .withColumn("y", transform(col("v"),
+        e => round(e * col("scale")).cast("long")))
+      .select(col("x"), col("y"))
+    val d = size(col("x"))
+    val prods = v.select(explode(expr(
+      """flatten(transform(sequence(1, size(x)), j ->
+        |  transform(sequence(1, size(x)), k -> named_struct(
+        |    'j', j, 'k', k,
+        |    'pxy', element_at(x, j) * element_at(y, k),
+        |    'pxx', element_at(x, j) * element_at(x, k),
+        |    'pyy', element_at(y, j) * element_at(y, k)))))"""
+        .stripMargin)).as("p"))
+      .groupBy(col("p.j").as("j"), col("p.k").as("k"))
+      .agg(sum("p.pxy").as("sxy"), sum("p.pxx").as("sxx"),
+        sum("p.pyy").as("syy"))
+    val marg = v.select(explode(expr(
+      """transform(sequence(1, size(x)), j -> named_struct('j', j,
+        |  'xv', element_at(x, j), 'yv', element_at(y, j)))"""
+        .stripMargin)).as("m"))
+      .groupBy(col("m.j").as("j"))
+      .agg(sum("m.xv").as("sx"), sum("m.yv").as("sy"))
+    val nn = v.agg(count(lit(1)).as("n"), first(d).as("d"))
+    val mj = marg.select(col("j").as("j1"), col("sx").as("sxj"),
+      col("sy").as("syj"))
+    val mk = marg.select(col("j").as("k1"), col("sx").as("sxk"),
+      col("sy").as("syk"))
+    val a = prods.join(broadcast(mj), col("j") === col("j1"))
+      .join(broadcast(mk), col("k") === col("k1"))
+      .crossJoin(broadcast(nn))
+      .select(col("n"), col("d"),
+        (col("n") * col("sxy") - col("sxj") * col("syk")).as("axy"),
+        (col("n") * col("sxx") - col("sxj") * col("sxk")).as("axx"),
+        (col("n") * col("syy") - col("syj") * col("syk")).as("ayy"))
+    a.groupBy("n", "d")
+      .agg(sum(col("axy").cast("decimal(38,0)") * col("axy"))
+          .as("f_xy"),
+        sum(col("axx").cast("decimal(38,0)") * col("axx")).as("f_xx"),
+        sum(col("ayy").cast("decimal(38,0)") * col("ayy")).as("f_yy"))
+      .select(col("n"), col("d"),
+        round(col("f_xy").cast("double") /
+          sqrt(col("f_xx").cast("double") * col("f_yy").cast("double")),
+          6).as("cka"))
+  }
+
+  /** DuckDB replay of [[linearCka]] (dims passed explicitly). */
+  def linearCkaOracleSql(table: String, vecCol: String,
+      dims: Int): String =
+    s"""WITH v AS (SELECT
+       |    list_transform($vecCol, e ->
+       |      CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS x,
+       |    list_transform($vecCol, e -> CAST(round(CAST(e AS DOUBLE)
+       |      * (CASE WHEN list_max(list_transform($vecCol,
+       |          q -> abs(CAST(q AS DOUBLE)))) > 0
+       |        THEN 127.0 / list_max(list_transform($vecCol,
+       |          q -> abs(CAST(q AS DOUBLE)))) ELSE 1.0 END))
+       |      AS BIGINT)) AS y
+       |  FROM $table),
+       |pr AS (SELECT unnest(flatten(list_transform(
+       |    generate_series(1, $dims), j -> list_transform(
+       |      generate_series(1, $dims), k -> {'j': j, 'k': k,
+       |        'pxy': x[j] * y[k], 'pxx': x[j] * x[k],
+       |        'pyy': y[j] * y[k]})))) AS p
+       |  FROM v),
+       |g AS (SELECT p.j AS j, p.k AS k,
+       |    CAST(sum(p.pxy) AS BIGINT) AS sxy,
+       |    CAST(sum(p.pxx) AS BIGINT) AS sxx,
+       |    CAST(sum(p.pyy) AS BIGINT) AS syy
+       |  FROM pr GROUP BY 1, 2),
+       |mx AS (SELECT u.j AS j, CAST(sum(v.x[u.j]) AS BIGINT) AS sx,
+       |    CAST(sum(v.y[u.j]) AS BIGINT) AS sy
+       |  FROM v CROSS JOIN
+       |    (SELECT unnest(generate_series(1, $dims)) AS j) u
+       |  GROUP BY u.j),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+       |a AS (SELECT n, axy, axx, ayy FROM (SELECT
+       |    CAST(n * sxy - mj.sx * mk.sy AS HUGEINT) AS axy,
+       |    CAST(n * sxx - mj.sx * mk.sx AS HUGEINT) AS axx,
+       |    CAST(n * syy - mj.sy * mk.sy AS HUGEINT) AS ayy, n
+       |  FROM g JOIN mx mj ON g.j = mj.j JOIN mx mk ON g.k = mk.j
+       |  CROSS JOIN nn) t),
+       |s AS (SELECT any_value(n) AS n, sum(axy * axy) AS f_xy,
+       |    sum(axx * axx) AS f_xx, sum(ayy * ayy) AS f_yy FROM a)
+       |SELECT n, $dims AS d,
+       |  round(CAST(f_xy AS DOUBLE)
+       |    / sqrt(CAST(f_xx AS DOUBLE) * CAST(f_yy AS DOUBLE)), 6)
+       |    AS cka
+       |FROM s""".stripMargin
 }

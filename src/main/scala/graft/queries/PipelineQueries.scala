@@ -650,6 +650,13 @@ object PipelineQueries {
         expr("least(n_chars div 64, 9)").cast("long"),
         nBuckets = 10)),
 
+    // Linear CKA between raw embeddings and their int8 codes — the
+    // "did quantization keep the geometry" audit; exact integer
+    // grams, one n·d² explode into a single hash agg.
+    "q295_cka_quant" -> ((s, d) =>
+      SimilarityOps.linearCka(Tables(s, d, "embeddings"),
+        "vec_id", "embedding")),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3376,6 +3383,9 @@ object PipelineQueries {
 
     "q293_postings" -> graft.ops.RetrievalOps.postingsOracleSql(
       "documents", "doc_id", "text", 50L),
+
+    "q295_cka_quant" -> SimilarityOps.linearCkaOracleSql(
+      "embeddings", "embedding", dims = 64),
 
     "q294_t_closeness" ->
       """WITH cell AS (SELECT source, lang,

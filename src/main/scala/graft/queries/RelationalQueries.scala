@@ -246,6 +246,29 @@ object RelationalQueries {
         .select(col("s_suppkey"), col("s_name"), col("numwait"))
     }),
 
+    // Entity-resolution best-match: for each part, the closest OTHER
+    // part name by Levenshtein distance within its first-token block
+    // — blocking bounds the quadratic to block-local candidates (the
+    // standard record-linkage shape); deterministic tie-break on
+    // (distance, partkey); codegen'd levenshtein, no UDF.
+    "q296_name_match" -> ((s, d) => {
+      val p = Tables(s, d, "part")
+        .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
+          substring_index(col("p_name"), " ", 1).as("blk"))
+      val cand = p.join(
+        p.select(col("pk").as("pk2"), col("nm").as("nm2"),
+          col("blk")), Seq("blk"))
+        .where(col("pk") =!= col("pk2"))
+        .select(col("pk"), col("nm"), col("pk2"),
+          levenshtein(col("nm"), col("nm2")).as("dist"))
+      val w = Window.partitionBy("pk")
+        .orderBy(col("dist").asc, col("pk2").asc)
+      cand.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("pk").as("p_partkey"), col("pk2").as("best_key"),
+          col("dist"))
+    }),
+
     // As-of join: most recent prior click before each purchase.
     "q24_asof_join" -> ((s, d) =>
       EventOps.asOfPriorEventId(Tables(s, d, "events"), "click", "purchase")
@@ -585,6 +608,18 @@ object RelationalQueries {
         |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM sole JOIN supplier ON sk = s_suppkey
         |GROUP BY 1, 2""".stripMargin,
+    "q296_name_match" ->
+      """WITH p AS (SELECT p_partkey AS pk, p_name AS nm,
+        |    split_part(p_name, ' ', 1) AS blk FROM part),
+        |cand AS (SELECT a.pk, a.nm, b.pk AS pk2,
+        |    levenshtein(a.nm, b.nm) AS dist
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.pk <> b.pk),
+        |rk AS (SELECT pk, pk2, dist, row_number() OVER (
+        |    PARTITION BY pk ORDER BY dist ASC, pk2 ASC) AS rn
+        |  FROM cand)
+        |SELECT pk AS p_partkey, pk2 AS best_key,
+        |  CAST(dist AS INTEGER) AS dist
+        |FROM rk WHERE rn = 1""".stripMargin,
     "q24_asof_join" ->
       """SELECT event_id, user_id, prev_click_id FROM (
         | SELECT event_id, user_id, event_type,

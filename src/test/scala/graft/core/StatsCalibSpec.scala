@@ -393,6 +393,25 @@ class StatsCalibSpec extends SparkSpec {
     assert(got(("b", "a")) == ((3L, 0L, 4L, 4L, 0.0)))
   }
 
+  test("linear cka: proportional codes score exactly 1") {
+    // all vectors share max|x| -> one global scale -> Y = cX -> 1.0
+    val emb = Seq((0L, Array(0.5f, 0.0f)), (1L, Array(0.0f, 0.5f)),
+      (2L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.linearCka(emb, "vec_id", "embedding")
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1),
+      r.getDouble(2))).toSeq == Seq((3L, 2, 1.0)))
+  }
+
+  test("linear cka: per-vector scales break proportionality") {
+    // third vector max|x|=0.25 gets scale 508 -> hand value 0.948683
+    val emb = Seq((0L, Array(0.5f, 0.0f)), (1L, Array(0.0f, 0.5f)),
+      (2L, Array(0.25f, 0.25f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.linearCka(emb, "vec_id", "embedding")
+      .collect()
+    assert(got.head.getDouble(2) == 0.948683)
+  }
+
   test("postings stats: delta-gap varint bytes are exact") {
     // a -> docs [0,1,200]: gaps 0,1,199 -> 1+1+2 bytes;
     // b -> docs [0,200]: gaps 0,200 -> 1+2 bytes
