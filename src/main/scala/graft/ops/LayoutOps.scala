@@ -229,4 +229,56 @@ object LayoutOps {
       .drop("_z")
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
+
+  /** Hash-shard skew preflight: simulate partitioning the corpus
+    * into `nShards` by a CONTENT hash of the key (md5 prefix — the
+    * same engine-portable coordinate the samplers use, so DuckDB
+    * replays the assignment bit-for-bit) and report each shard's row
+    * and weight load plus its skew vs the perfectly-even share
+    * (load·P/total, micro-units). The "will my writes hotspot"
+    * check a layout planner runs BEFORE a 100 TB shuffle — a key
+    * whose distribution puts 3× the even share on one shard needs
+    * salting (SkewOps) before, not after, the job runs.
+    *
+    * One hash aggregation to ≤ nShards rows; totals broadcast back.
+    *
+    * @return per shard: (shard, n_rows, load, load_frac, skew)
+    */
+  def shardSkewPlan(df: DataFrame, keyCol: String, weightCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 2, s"need >= 2 shards, got $nShards")
+    import org.apache.spark.sql.functions._
+    val shard = pmod(
+      conv(substring(md5(col(keyCol).cast("string").cast("binary")),
+        1, 8), 16, 10).cast("long"), lit(nShards.toLong))
+    val per = df.select(shard.as("shard"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum("w").as("load"))
+    val tot = per.agg(sum("n_rows").as("tr"), sum("load").as("tw"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_rows"), col("load"),
+        (expr("(2000000 * load + tw) div (2 * tw)").cast("double")
+          / 1e6).as("load_frac"),
+        (expr(s"(2000000 * load * $nShards + tw) div (2 * tw)")
+          .cast("double") / 1e6).as("skew"))
+  }
+
+  /** DuckDB replay of [[shardSkewPlan]] ('0x' hex cast = conv 16). */
+  def shardSkewOracleSql(table: String, keyCol: String,
+      weightExpr: String, nShards: Int): String =
+    s"""WITH per AS (SELECT
+       |    CAST('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 8)
+       |      AS BIGINT) % $nShards AS shard,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CAST($weightExpr AS BIGINT)) AS BIGINT) AS load
+       |  FROM $table GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tr,
+       |    CAST(sum(load) AS BIGINT) AS tw FROM per)
+       |SELECT shard, n_rows, load,
+       |  CAST((2000000 * load + tw) // (2 * tw) AS DOUBLE) / 1e6
+       |    AS load_frac,
+       |  CAST((2000000 * load * $nShards + tw) // (2 * tw) AS DOUBLE)
+       |    / 1e6 AS skew
+       |FROM per CROSS JOIN tot""".stripMargin
 }

@@ -1923,6 +1923,86 @@ object ProfileOps {
        |    AS trimmed_mean
        |FROM agg""".stripMargin
 
+  /** Exact winsorized mean per group over an INTEGRAL value grid —
+    * [[trimmedMean]]'s sibling that CLAMPS the tails to the boundary
+    * order statistics instead of dropping them (the estimator that
+    * keeps n constant, standard for metric capping): the lowest
+    * ⌊pct·n⌋ observations are replaced by the (⌊pct·n⌋+1)-th order
+    * statistic and the highest by the (n−⌊pct·n⌋)-th. Same
+    * interval-algebra shape as trimmedMean: the corpus aggregates
+    * onto the value grid once, the boundary statistics come from the
+    * same cumulative frame (no second scan), the mean is one half-up
+    * integer division.
+    *
+    * @param trimPermille per-side winsorization in 1/1000 units
+    * @return per group: (groupCol, n, v_low, v_high, win_mean)
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+      trimPermille: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimPermille >= 0 && trimPermille < 500,
+      s"per-side trim must be in [0, 500) permille, got $trimPermille")
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gv = base.groupBy("g", "v").agg(count(lit(1)).as("ct"))
+      .select(col("g"), col("v"), col("ct"),
+        (sum("ct").over(w) - col("ct")).as("cb"))
+    val tot = base.groupBy("g").agg(count(lit(1)).as("n"))
+    val D = "decimal(38,0)"
+    gv.join(broadcast(tot), "g")
+      .withColumn("lo", expr(s"(n * $trimPermille) div 1000"))
+      .withColumn("hi", col("n") - col("lo"))
+      .withColumn("take",
+        greatest(lit(0L), least(col("cb") + col("ct"), col("hi")) -
+          greatest(col("cb"), col("lo"))))
+      .groupBy("g", "n", "lo")
+      .agg(
+        sum(when(col("take") > 0, col("take").cast(D) * col("v"))
+          .otherwise(lit(0L).cast(D))).as("s"),
+        max(when(col("cb") < col("lo") + 1 &&
+          col("lo") + 1 <= col("cb") + col("ct"), col("v")))
+          .as("v_low"),
+        max(when(col("cb") < col("hi") &&
+          col("hi") <= col("cb") + col("ct"), col("v"))).as("v_high"))
+      .select(col("g").as(groupCol), col("n"), col("v_low"),
+        col("v_high"),
+        (expr("(2000000 * (s + lo * (v_low + v_high)) + n)" +
+          " div (2 * n)").cast("double") / 1e6).as("win_mean"))
+  }
+
+  /** DuckDB replay of [[winsorizedMean]]; `valueExpr` integral. */
+  def winsorizedMeanOracleSql(table: String, groupCol: String,
+      valueExpr: String, trimPermille: Int = 50): String =
+    s"""WITH base AS (SELECT $groupCol AS g,
+       |    CAST($valueExpr AS BIGINT) AS v FROM $table),
+       |gv AS (SELECT g, v, ct,
+       |    sum(ct) OVER (PARTITION BY g ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) - ct AS cb
+       |  FROM (SELECT g, v, CAST(count(*) AS BIGINT) AS ct
+       |        FROM base GROUP BY 1, 2) t),
+       |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+       |  FROM base GROUP BY g),
+       |tk AS (SELECT g, n, v, ct, cb,
+       |    (n * $trimPermille) // 1000 AS lo,
+       |    n - (n * $trimPermille) // 1000 AS hi,
+       |    greatest(0, least(cb + ct, n - (n * $trimPermille) // 1000)
+       |      - greatest(cb, (n * $trimPermille) // 1000)) AS take
+       |  FROM gv JOIN tot USING (g)),
+       |agg AS (SELECT g, n, any_value(lo) AS lo,
+       |    sum(CASE WHEN take > 0 THEN CAST(take AS HUGEINT) * v
+       |      ELSE 0 END) AS s,
+       |    max(CASE WHEN cb < lo + 1 AND lo + 1 <= cb + ct THEN v
+       |      END) AS v_low,
+       |    max(CASE WHEN cb < hi AND hi <= cb + ct THEN v END)
+       |      AS v_high
+       |  FROM tk GROUP BY g, n)
+       |SELECT g AS $groupCol, n, v_low, v_high,
+       |  CAST((2000000 * (s + lo * (v_low + v_high)) + n) // (2 * n)
+       |    AS DOUBLE) / 1e6 AS win_mean
+       |FROM agg""".stripMargin
+
   /** Per-group simple OLS (y = a + b·x) over INTEGRAL columns — the
     * grouped-regression primitive (per-source quality-vs-length
     * slope, per-cohort spend-vs-tenure, …): closed-form from

@@ -261,4 +261,60 @@ object SampleOps {
          |       CAST(round($maxEpochs * n_tokens) AS BIGINT))
          |   AS shortfall_tokens
          |FROM tw""".stripMargin
+
+  /** Systematic probability-proportional-to-size sampling (Madow
+    * 1949) per group with the DETERMINISTIC midpoint start — the
+    * reproducible twin of randomized PPS: lay k equally-spaced grid
+    * points T/2k, 3T/2k, … over the cumulative weight axis (T =
+    * group total) and give each row as many copies as grid points
+    * land in its cumulative span. Inclusion count is within 1 of
+    * k·w/T (the PPS guarantee); Σ copies = k exactly. EXACT integer
+    * arithmetic: points at-or-below cum W count f(W) = (2kW + T) div
+    * (2T), copies = f(W_i) − f(W_{i−1}) — both engines replay the
+    * floor identically, so the sample is bit-stable across engines,
+    * partitionings and reruns.
+    *
+    * Scale shape: one per-group cumulative window ordered by id (the
+    * group — source, shard, day — is the parallelism unit; no global
+    * sort), one broadcast of group totals. Zero-weight rows can
+    * never be selected; all-zero groups are skipped (T = 0 would
+    * divide by zero).
+    *
+    * @return selected rows: (g, id, w, copies) with copies ≥ 1
+    */
+  def systematicPps(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, idCol: String, weightCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      col(weightCol).cast("long").as("w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = base.withColumn("cw", sum("w").over(w))
+    val tot = base.groupBy("g").agg(sum("w").as("t"))
+      .where(col("t") > 0)
+    cum.join(broadcast(tot), "g")
+      .select(col("g"), col("id"), col("w"),
+        (expr(s"(2 * $k * cw + t) div (2 * t)") -
+          expr(s"(2 * $k * (cw - w) + t) div (2 * t)")).as("copies"))
+      .where(col("copies") > 0)
+  }
+
+  /** DuckDB replay of [[systematicPps]]. */
+  def systematicPpsOracleSql(table: String, groupCol: String,
+      idCol: String, weightExpr: String, k: Int): String =
+    s"""WITH base AS (SELECT $groupCol AS g, $idCol AS id,
+       |    CAST($weightExpr AS BIGINT) AS w FROM $table),
+       |cum AS (SELECT g, id, w, sum(w) OVER (PARTITION BY g
+       |    ORDER BY id ROWS UNBOUNDED PRECEDING) AS cw FROM base),
+       |tot AS (SELECT g, CAST(sum(w) AS BIGINT) AS t FROM base
+       |  GROUP BY g HAVING sum(w) > 0)
+       |SELECT g, id, w,
+       |  CAST((2 * $k * cw + t) // (2 * t)
+       |    - (2 * $k * (cw - w) + t) // (2 * t) AS BIGINT) AS copies
+       |FROM cum JOIN tot USING (g)
+       |WHERE (2 * $k * cw + t) // (2 * t)
+       |    - (2 * $k * (cw - w) + t) // (2 * t) > 0""".stripMargin
 }

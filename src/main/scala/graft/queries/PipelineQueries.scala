@@ -657,6 +657,32 @@ object PipelineQueries {
       SimilarityOps.linearCka(Tables(s, d, "embeddings"),
         "vec_id", "embedding")),
 
+    // Winsorized mean (5% per side) of line revenue cents per
+    // returnflag — the tail-CLAMPING sibling of q277's trimmed mean;
+    // boundary order statistics from the same cumulative frame.
+    "q297_winsorized" -> ((s, d) =>
+      ProfileOps.winsorizedMean(
+        Tables(s, d, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast("long")
+            .as("cents")),
+        "l_returnflag", "cents")),
+
+    // Deterministic systematic PPS sample (k=20 per source) by token
+    // weight — Madow sampling with midpoint start; exact integer
+    // grid arithmetic, bit-stable across engines and partitionings.
+    "q298_systematic_pps" -> ((s, d) =>
+      graft.ops.SampleOps.systematicPps(
+        Tables(s, d, "documents").select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk")),
+        "source", "doc_id", "tk", k = 20)),
+
+    // Hash-shard skew preflight: md5-bucket documents into 16 shards
+    // weighted by n_chars, report per-shard load vs the even share —
+    // the salt-before-you-shuffle planner check.
+    "q299_shard_skew" -> ((s, d) =>
+      graft.ops.LayoutOps.shardSkewPlan(Tables(s, d, "documents"),
+        "doc_id", "n_chars", nShards = 16)),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3386,6 +3412,18 @@ object PipelineQueries {
 
     "q295_cka_quant" -> SimilarityOps.linearCkaOracleSql(
       "embeddings", "embedding", dims = 64),
+
+    "q297_winsorized" -> ProfileOps.winsorizedMeanOracleSql(
+      "lineitem", "l_returnflag",
+      "round(l_extendedprice * 100)"),
+
+    "q298_systematic_pps" -> graft.ops.SampleOps.systematicPpsOracleSql(
+      "documents", "source", "doc_id",
+      "len(list_filter(string_split_regex(lower(text)," +
+        " '[ \t\n\f\r]+'), x -> x <> ''))", 20),
+
+    "q299_shard_skew" -> graft.ops.LayoutOps.shardSkewOracleSql(
+      "documents", "doc_id", "n_chars", 16),
 
     "q294_t_closeness" ->
       """WITH cell AS (SELECT source, lang,

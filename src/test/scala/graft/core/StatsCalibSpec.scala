@@ -393,6 +393,42 @@ class StatsCalibSpec extends SparkSpec {
     assert(got(("b", "a")) == ((3L, 0L, 4L, 4L, 0.0)))
   }
 
+  test("winsorized mean: tails clamp to boundary order stats") {
+    // 1..9,100 at 10% per side: rank1 -> 2, rank10 -> 9; mean 5.5
+    val df = ((1 to 9) :+ 100).map(v => ("g", v.toLong)).toDF("g", "v")
+    val got = ProfileOps.winsorizedMean(df, "g", "v",
+      trimPermille = 100).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getDouble(4)) == ((10L, 2L, 9L, 5.5)))
+  }
+
+  test("systematic pps: grid points land by cumulative weight") {
+    val df = Seq(("A", 1L, 1L), ("A", 2L, 1L), ("A", 3L, 1L),
+      ("A", 4L, 1L), ("B", 1L, 6L), ("B", 2L, 1L), ("B", 3L, 1L))
+      .toDF("g", "id", "w")
+    val got = graft.ops.SampleOps.systematicPps(df, "g", "id", "w", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    // A: uniform -> ids 1 and 3; B: heavy id1 takes BOTH grid points
+    assert(got == Set(("A", 1L, 1L), ("A", 3L, 1L), ("B", 1L, 2L)))
+  }
+
+  test("shard skew plan: loads are consistent and deterministic") {
+    val df = (1L to 100L).map(i => (i, i)).toDF("k", "w")
+    val got = graft.ops.LayoutOps.shardSkewPlan(df, "k", "w", 4)
+      .collect()
+    assert(got.map(_.getLong(1)).sum == 100L)
+    assert(got.map(_.getLong(2)).sum == 5050L)
+    got.foreach { r =>
+      val expSkew = math.floor(
+        (2000000.0 * r.getLong(2) * 4 + 5050) / (2 * 5050)) / 1e6
+      assert(r.getDouble(4) == expSkew)
+    }
+    val again = graft.ops.LayoutOps.shardSkewPlan(df, "k", "w", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("linear cka: proportional codes score exactly 1") {
     // all vectors share max|x| -> one global scale -> Y = cX -> 1.0
     val emb = Seq((0L, Array(0.5f, 0.0f)), (1L, Array(0.0f, 0.5f)),
