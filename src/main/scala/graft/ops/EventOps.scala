@@ -1208,6 +1208,81 @@ object EventOps {
        |      / 1e6 END AS mean_lat_s
        |FROM agg""".stripMargin
 
+  /** Minimum detectable effect (MDE) for the two-arm experiment at
+    * 80% power / 5% two-sided alpha — the "how long must this test
+    * run" readout that closes the experimentation suite (q227 lift,
+    * q278 CUPED, q290 jackknife): MDE = (z_{α/2} + z_β) ·
+    * √(σ²_pooled · (1/n0 + 1/n1)) over per-user revenue cents.
+    *
+    * Exact until the last ops: per-arm Σx and Σx² are
+    * BIGINT/decimal(38,0) sums (order-independent, distributed); the
+    * pooled variance is formed as ONE exact rational — numerator
+    * n1·(n0·Σx0²−Sx0²) + n0·(n1·Σx1²−Sx1²), denominator
+    * n0·n1·(n0+n1−2), both decimal-exact — then a single
+    * double divide, multiply, sqrt.
+    *
+    * @return one row: (n0, n1, pooled_var, mde_cents)
+    */
+  def mdePower(events: DataFrame, userCol: String, typeCol: String,
+      valueCol: String, convType: String): DataFrame = {
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val per = events.groupBy(pmod(col(userCol), lit(2L)).as("arm"),
+        col(userCol).as("u"))
+      .agg(sum(when(col(typeCol) === convType, cents).otherwise(0L))
+        .as("x"))
+    val D = "decimal(38,0)"
+    val g = per.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x").cast(D) * col("x")).as("sxx"))
+    val a = g.filter(col("arm") === 0).select(col("n").as("n0"),
+      col("sx").as("sx0"), col("sxx").as("sxx0"))
+    val b = g.filter(col("arm") === 1).select(col("n").as("n1"),
+      col("sx").as("sx1"), col("sxx").as("sxx1"))
+    val num = col("n1").cast(D) *
+      (col("n0").cast(D) * col("sxx0") -
+        col("sx0").cast(D) * col("sx0")) +
+      col("n0").cast(D) *
+        (col("n1").cast(D) * col("sxx1") -
+          col("sx1").cast(D) * col("sx1"))
+    val den = col("n0").cast(D) * col("n1") *
+      (col("n0") + col("n1") - 2)
+    val pv = num.cast("double") / den.cast("double")
+    a.crossJoin(broadcast(b))
+      .select(col("n0"), col("n1"),
+        round(pv, 6).as("pooled_var"),
+        round(lit(2.801585d) * sqrt(pv *
+          (lit(1.0d) / col("n0") + lit(1.0d) / col("n1"))), 6)
+          .as("mde_cents"))
+  }
+
+  /** DuckDB replay of [[mdePower]]. */
+  def mdePowerOracleSql(table: String, userCol: String,
+      typeCol: String, valueCol: String, convType: String): String =
+    s"""WITH per AS (SELECT $userCol % 2 AS arm,
+       |    CAST(sum(CASE WHEN $typeCol = '$convType'
+       |      THEN CAST(round(CAST($valueCol AS DOUBLE) * 100)
+       |        AS BIGINT) ELSE 0 END) AS BIGINT) AS x
+       |  FROM $table GROUP BY $userCol),
+       |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM per GROUP BY arm),
+       |a AS (SELECT n AS n0, sx AS sx0, sxx AS sxx0 FROM g
+       |  WHERE arm = 0),
+       |b AS (SELECT n AS n1, sx AS sx1, sxx AS sxx1 FROM g
+       |  WHERE arm = 1),
+       |f AS (SELECT n0, n1,
+       |    CAST(CAST(n1 AS HUGEINT) * (CAST(n0 AS HUGEINT) * sxx0
+       |        - CAST(sx0 AS HUGEINT) * sx0)
+       |      + CAST(n0 AS HUGEINT) * (CAST(n1 AS HUGEINT) * sxx1
+       |        - CAST(sx1 AS HUGEINT) * sx1) AS DOUBLE)
+       |    / CAST(CAST(n0 AS HUGEINT) * n1 * (n0 + n1 - 2)
+       |      AS DOUBLE) AS pv
+       |  FROM a CROSS JOIN b)
+       |SELECT n0, n1, round(pv, 6) AS pooled_var,
+       |  round(2.801585 * sqrt(pv * (1.0 / n0 + 1.0 / n1)), 6)
+       |    AS mde_cents
+       |FROM f""".stripMargin
+
   /** Delete-one jackknife standard error for a RATIO metric
     * (numerator-event cents per denominator event, e.g. revenue per
     * click) per experiment arm — the correct uncertainty for ratio

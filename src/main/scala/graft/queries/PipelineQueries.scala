@@ -683,6 +683,13 @@ object PipelineQueries {
       graft.ops.LayoutOps.shardSkewPlan(Tables(s, d, "documents"),
         "doc_id", "n_chars", nShards = 16)),
 
+    // Minimum detectable effect at 80% power / 5% alpha over
+    // per-user revenue — the experiment-design readout; pooled
+    // variance as ONE exact rational from distributed integer sums.
+    "q300_mde_power" -> ((s, d) =>
+      graft.ops.EventOps.mdePower(Tables(s, d, "events"),
+        "user_id", "event_type", "value", "purchase")),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3424,6 +3431,9 @@ object PipelineQueries {
 
     "q299_shard_skew" -> graft.ops.LayoutOps.shardSkewOracleSql(
       "documents", "doc_id", "n_chars", 16),
+
+    "q300_mde_power" -> graft.ops.EventOps.mdePowerOracleSql(
+      "events", "user_id", "event_type", "value", "purchase"),
 
     "q294_t_closeness" ->
       """WITH cell AS (SELECT source, lang,

@@ -429,6 +429,18 @@ class StatsCalibSpec extends SparkSpec {
     assert(again == got.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("mde power: pooled variance from one exact rational") {
+    // arm0 cents {100,300} -> s²=20000/2=10000 pooled with arm1
+    // {200,200} (s²=0): pv = 10000, mde = 2.801585*sqrt(10000)
+    val ev = Seq((2L, "purchase", 1.0), (4L, "purchase", 3.0),
+      (1L, "purchase", 2.0), (3L, "purchase", 2.0))
+      .toDF("user_id", "event_type", "value")
+    val got = graft.ops.EventOps.mdePower(ev, "user_id", "event_type",
+      "value", "purchase").collect().head
+    assert((got.getLong(0), got.getLong(1), got.getDouble(2),
+      got.getDouble(3)) == ((2L, 2L, 10000.0, 280.1585)))
+  }
+
   test("linear cka: proportional codes score exactly 1") {
     // all vectors share max|x| -> one global scale -> Y = cX -> 1.0
     val emb = Seq((0L, Array(0.5f, 0.0f)), (1L, Array(0.0f, 0.5f)),
