@@ -1102,6 +1102,172 @@ object ProfileOps {
           " div (4 * n_group * n_rest)").cast("double") / 1e6).as("auc"))
   }
 
+  /** Multiple-testing correction over the per-group KS drift tests:
+    * Benjamini–Hochberg (FDR, step-up) and Holm (FWER, step-down)
+    * adjusted p-values for every group's [[ksAgainstRest]] statistic,
+    * with the standard asymptotic two-sample p-value
+    *
+    *   p_g = min(1, 2·exp(−2·D_g²·n_g·n_r/(n_g+n_r)))
+    *
+    * This is the "I ran one drift test PER SOURCE, which rejections
+    * survive?" readout a monitoring pipeline needs — per-test alpha
+    * at 200 sources guarantees false alarms; BH/Holm are the standard
+    * repairs. D enters as the exact integer ratio d_num/d_den (one
+    * IEEE division), so p is bit-identical across engines.
+    *
+    * Scale shape: the KS machinery dominates; the correction itself
+    * is three window passes over the GROUPS frame (one row per
+    * source, never corpus rows).
+    *
+    * @return (group, n_group, ks, p_raw, p_bh, p_holm, rej_bh,
+    *         rej_holm), p's rounded 6dp, rejections at `alpha`
+    */
+  def ksFdr(df: DataFrame, groupCol: String, valueCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ks = ksAgainstRest(df, groupCol, valueCol)
+    val d = col("d_num").cast("double") / col("d_den").cast("double")
+    val ne = (col("n_group") * col("n_rest")).cast("double") /
+      (col("n_group") + col("n_rest")).cast("double")
+    val withP = ks.select(col(groupCol), col("n_group"), col("ks"),
+      least(lit(1.0), lit(2.0) * exp(lit(-2.0) * d * d * ne)).as("p"))
+    val wUp = Window.orderBy(col("p").asc, col(groupCol).asc)
+    val ranked = withP.select(col(groupCol), col("n_group"), col("ks"),
+      col("p"), row_number().over(wUp).as("i"),
+      count(lit(1)).over(Window.partitionBy()).as("m"))
+    // BH: p·m/i, then running min from the LARGEST rank down
+    val wDown = Window.orderBy(col("i").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Holm: p·(m−i+1), running max from the smallest rank up
+    val wRun = Window.orderBy(col("i").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.select(col(groupCol), col("n_group"), col("ks"), col("i"),
+        round(col("p"), 6).as("p_raw"),
+        round(least(lit(1.0), min(col("p") * col("m") / col("i"))
+          .over(wDown)), 6).as("p_bh"),
+        round(least(lit(1.0), max(col("p") * (col("m") - col("i") + 1))
+          .over(wRun)), 6).as("p_holm"))
+      .select(col(groupCol), col("n_group"), col("ks"), col("p_raw"),
+        col("p_bh"), col("p_holm"),
+        (col("p_bh") <= alpha).cast("int").as("rej_bh"),
+        (col("p_holm") <= alpha).cast("int").as("rej_holm"))
+  }
+
+  /** DuckDB replay of [[ksFdr]] on top of [[ksAgainstRestOracleSql]]. */
+  def ksFdrOracleSql(table: String, groupCol: String, valueExpr: String,
+      alpha: Double = 0.05): String =
+    s"""WITH ks AS (${ksAgainstRestOracleSql(table, groupCol, valueExpr)}),
+       |p AS (SELECT $groupCol, n_group, ks,
+       |    least(1.0, 2.0 * exp(-2.0
+       |      * (CAST(d_num AS DOUBLE) / CAST(d_den AS DOUBLE))
+       |      * (CAST(d_num AS DOUBLE) / CAST(d_den AS DOUBLE))
+       |      * (CAST(n_group * n_rest AS DOUBLE)
+       |         / CAST(n_group + n_rest AS DOUBLE)))) AS p
+       |  FROM ks),
+       |r AS (SELECT *,
+       |    row_number() OVER (ORDER BY p ASC, $groupCol ASC) AS i,
+       |    count(*) OVER () AS m
+       |  FROM p),
+       |adj AS (SELECT $groupCol, n_group, ks, p,
+       |    least(1.0, min(p * m / i) OVER (ORDER BY i DESC
+       |      ROWS UNBOUNDED PRECEDING)) AS bh,
+       |    least(1.0, max(p * (m - i + 1)) OVER (ORDER BY i ASC
+       |      ROWS UNBOUNDED PRECEDING)) AS holm
+       |  FROM r)
+       |SELECT $groupCol, n_group, ks, round(p, 6) AS p_raw,
+       |  round(bh, 6) AS p_bh, round(holm, 6) AS p_holm,
+       |  CAST(round(bh, 6) <= $alpha AS INT) AS rej_bh,
+       |  CAST(round(holm, 6) <= $alpha AS INT) AS rej_holm
+       |FROM adj""".stripMargin
+
+  /** Exact 1-Wasserstein (earth-mover) distance of each group's value
+    * distribution against the rest — the drift metric that weighs
+    * HOW FAR mass moved, where KS only sees the single worst ECDF
+    * gap (a small shift of all mass and a large shift of a sliver
+    * can tie on KS; W1 separates them). Over the sorted distinct
+    * value grid v_1<…<v_k:
+    *
+    *   W1_g = Σ_i |F_g(v_i) − F_r(v_i)| · (v_{i+1} − v_i)
+    *        = Σ_i |cum_g·n_r − cum_r·n_g| · gap_i / (n_g·n_r)
+    *
+    * The numerator is summed as EXACT integers (DECIMAL(38,0): each
+    * term is bounded by n²·range and the sum can pass 2^63); the one
+    * division at the end is IEEE-identical across engines.
+    *
+    * Scale shape: identical to [[ksAgainstRest]] — count
+    * aggregations, a groups × distinct-values grid, one window per
+    * group. Values must sit on a finite grid (ints, fixed-dp).
+    *
+    * @return (group, n_group, n_rest, w1 round 6dp)
+    */
+  def wassersteinAgainstRest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"))
+    val gv = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val vall = base.groupBy("v").agg(count(lit(1)).as("ct"))
+    val sizes = base.groupBy("g").agg(count(lit(1)).as("ng"))
+    val tot = base.agg(count(lit(1)).as("nt"))
+    val grid = sizes.select("g").crossJoin(vall)
+      .join(gv, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), col("ct"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy("g").orderBy("v")
+    val cums = grid.select(col("g"), col("v"),
+      sum("c").over(w).as("cg"), sum("ct").over(w).as("call"),
+      lead("v", 1).over(wLead).as("vn"))
+    cums.join(broadcast(sizes), Seq("g")).crossJoin(broadcast(tot))
+      .where(col("vn").isNotNull)
+      .select(col("g"), col("ng"), (col("nt") - col("ng")).as("nr"),
+        // widths chosen so the product stays <= 38 digits on BOTH
+        // engines (DuckDB errors past 38): |cum diff| <= n²/4 fits
+        // 24 digits up to ~10^12 rows; grid gaps fit 10
+        (abs(col("cg") * (col("nt") - col("ng"))
+            - (col("call") - col("cg")) * col("ng"))
+          .cast("decimal(24,0)")
+          * (col("vn") - col("v")).cast("decimal(10,0)")).as("term"))
+      .groupBy("g", "ng", "nr")
+      .agg(sum("term").as("num"))
+      .select(col("g").as(groupCol), col("ng").as("n_group"),
+        col("nr").as("n_rest"),
+        round(col("num").cast("double")
+          / (col("ng").cast("double") * col("nr").cast("double")), 6)
+          .as("w1"))
+  }
+
+  /** DuckDB replay of [[wassersteinAgainstRest]]. */
+  def wassersteinOracleSql(table: String, groupCol: String,
+      valueExpr: String): String =
+    s"""WITH base AS (SELECT $groupCol AS g, CAST($valueExpr AS DOUBLE) AS v
+       |  FROM $table),
+       |gv AS (SELECT g, v, count(*) AS c FROM base GROUP BY g, v),
+       |vall AS (SELECT v, count(*) AS ct FROM base GROUP BY v),
+       |sizes AS (SELECT g, count(*) AS ng FROM base GROUP BY g),
+       |tot AS (SELECT count(*) AS nt FROM base),
+       |grid AS (SELECT s.g, a.v, a.ct, coalesce(gv.c, 0) AS c
+       |  FROM sizes s CROSS JOIN vall a
+       |  LEFT JOIN gv ON gv.g = s.g AND gv.v = a.v),
+       |cums AS (SELECT g, v,
+       |  sum(c) OVER (PARTITION BY g ORDER BY v
+       |    ROWS UNBOUNDED PRECEDING) AS cg,
+       |  sum(ct) OVER (PARTITION BY g ORDER BY v
+       |    ROWS UNBOUNDED PRECEDING) AS call,
+       |  lead(v) OVER (PARTITION BY g ORDER BY v) AS vn
+       | FROM grid),
+       |terms AS (SELECT c.g, s.ng, t.nt - s.ng AS nr,
+       |  CAST(abs(c.cg * (t.nt - s.ng) - (c.call - c.cg) * s.ng)
+       |    AS DECIMAL(24,0)) * CAST(c.vn - c.v AS DECIMAL(10,0)) AS term
+       | FROM cums c JOIN sizes s USING (g) CROSS JOIN tot t
+       | WHERE c.vn IS NOT NULL)
+       |SELECT g AS $groupCol, CAST(ng AS BIGINT) AS n_group,
+       |  CAST(nr AS BIGINT) AS n_rest,
+       |  round(CAST(sum(term) AS DOUBLE)
+       |    / (CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE)), 6) AS w1
+       |FROM terms GROUP BY g, ng, nr""".stripMargin
+
   /** Exact Spearman rank correlation between two numeric columns —
     * the monotone-association probe beside [[corrMatrix]]'s linear
     * Pearson (a saturating quality-vs-length relation scores ~1 here

@@ -690,6 +690,34 @@ object PipelineQueries {
       graft.ops.EventOps.mdePower(Tables(s, d, "events"),
         "user_id", "event_type", "value", "purchase")),
 
+    // Micro-averaged ROUGE-1/2 per reference source over the
+    // deterministic (even=ref, odd=cand) doc pairs — the generation
+    // eval overlap metric; every ratio one long/long IEEE division.
+    "q301_rouge" -> ((s, d) =>
+      graft.ops.EvalOps.rouge(Tables(s, d, "documents"),
+        "doc_id", "text", "source")),
+
+    // Corpus BLEU-2 with brevity penalty per reference source —
+    // same clipped-overlap sufficient statistics as q301, composed
+    // as Papineni's geometric mean instead of F1.
+    "q302_bleu" -> ((s, d) =>
+      graft.ops.EvalOps.bleu2(Tables(s, d, "documents"),
+        "doc_id", "text", "source")),
+
+    // Benjamini–Hochberg + Holm corrections over the per-source KS
+    // drift family (q250's statistic, asymptotic p) — which drift
+    // alarms survive multiple testing; three windows over the
+    // sources frame, never corpus rows.
+    "q303_ks_fdr" -> ((s, d) =>
+      ProfileOps.ksFdr(Tables(s, d, "documents"), "source", "n_chars")),
+
+    // Exact 1-Wasserstein (earth-mover) drift per source vs rest —
+    // mass-weighted companion of KS; decimal-exact numerator over
+    // the value grid.
+    "q304_wasserstein" -> ((s, d) =>
+      ProfileOps.wassersteinAgainstRest(
+        Tables(s, d, "documents"), "source", "n_chars")),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3434,6 +3462,18 @@ object PipelineQueries {
 
     "q300_mde_power" -> graft.ops.EventOps.mdePowerOracleSql(
       "events", "user_id", "event_type", "value", "purchase"),
+
+    "q301_rouge" -> graft.ops.EvalOps.rougeOracleSql(
+      "documents", "doc_id", "text", "source"),
+
+    "q302_bleu" -> graft.ops.EvalOps.bleu2OracleSql(
+      "documents", "doc_id", "text", "source"),
+
+    "q303_ks_fdr" -> ProfileOps.ksFdrOracleSql(
+      "documents", "source", "n_chars"),
+
+    "q304_wasserstein" -> ProfileOps.wassersteinOracleSql(
+      "documents", "source", "n_chars"),
 
     "q294_t_closeness" ->
       """WITH cell AS (SELECT source, lang,
