@@ -1391,4 +1391,368 @@ object EventOps {
        |  round(ratio - 1.96 * se, 6) AS ci_lo,
        |  round(ratio + 1.96 * se, 6) AS ci_hi
        |FROM fin""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Causal / resampling readouts (DiD, off-policy IPS, Poisson
+  // bootstrap, randomization test). All deterministic: treatment and
+  // resampling coordinates are md5-hex (SampleOps convention), sums
+  // are exact cents longs, means are half-up integer micro-division.
+
+  /** Exact integer floor-division for non-negative longs (Column `/`
+    * is DOUBLE division): a - a mod b is an exact multiple of b, and
+    * IEEE division with an exactly-representable quotient is exact.
+    */
+  private def exactDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Difference-in-differences over the user panel: treated = odd
+    * user ids, post = `tsCol >= postStart`, outcome = per-user
+    * `convType` revenue in each period (users absent from a period
+    * count ZERO — the conditional-sum groupBy builds the balanced
+    * panel for free, no grid join). The classic 2×2 parallel-trends
+    * readout:  did = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre).
+    *
+    * Integer-exact: cell sums are cents longs; each cell mean is one
+    * half-up integer division to the 6dp-dollar micro grid, and did
+    * is micro-long arithmetic. One scan, one shuffle on user.
+    *
+    * @return (n_c, n_t, m_c_pre, m_c_post, m_t_pre, m_t_post, did)
+    */
+  def didEstimate(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, convType: String,
+      postStart: String): DataFrame = {
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val conv = when(col(typeCol) === convType, cents).otherwise(0L)
+    val isPost = col(tsCol) >= to_timestamp(lit(postStart))
+    val per = events.groupBy(pmod(col(userCol), lit(2L)).as("arm"),
+        col(userCol).as("u"))
+      .agg(sum(when(!isPost, conv).otherwise(0L)).as("xpre"),
+        sum(when(isPost, conv).otherwise(0L)).as("xpost"))
+    val g = per.groupBy("arm").agg(count(lit(1)).as("n"),
+      sum("xpre").as("spre"), sum("xpost").as("spost"))
+    // cents -> micro-dollars, half-up: (2·s·1e4 + n) div (2n)
+    def m6(s: Column, n: Column): Column =
+      exactDiv(s * 20000 + n, n * 2)
+    val cells = g.select(col("arm"), col("n"),
+      m6(col("spre"), col("n")).as("mpre"),
+      m6(col("spost"), col("n")).as("mpost"))
+    val c = cells.filter(col("arm") === 0).select(col("n").as("n_c"),
+      col("mpre").as("mcpre"), col("mpost").as("mcpost"))
+    val t = cells.filter(col("arm") === 1).select(col("n").as("n_t"),
+      col("mpre").as("mtpre"), col("mpost").as("mtpost"))
+    c.crossJoin(broadcast(t)).select(col("n_c"), col("n_t"),
+      (col("mcpre").cast("double") / 1e6).as("m_c_pre"),
+      (col("mcpost").cast("double") / 1e6).as("m_c_post"),
+      (col("mtpre").cast("double") / 1e6).as("m_t_pre"),
+      (col("mtpost").cast("double") / 1e6).as("m_t_post"),
+      (((col("mtpost") - col("mtpre")) - (col("mcpost") - col("mcpre")))
+        .cast("double") / 1e6).as("did"))
+  }
+
+  /** DuckDB replay of [[didEstimate]]. */
+  def didOracleSql(table: String, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, convType: String,
+      postStart: String): String =
+    s"""WITH per AS (SELECT $userCol % 2 AS arm,
+       |    CAST(sum(CASE WHEN $tsCol < TIMESTAMP '$postStart'
+       |        AND $typeCol = '$convType'
+       |      THEN CAST(round(CAST($valueCol AS DOUBLE) * 100) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS xpre,
+       |    CAST(sum(CASE WHEN $tsCol >= TIMESTAMP '$postStart'
+       |        AND $typeCol = '$convType'
+       |      THEN CAST(round(CAST($valueCol AS DOUBLE) * 100) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS xpost
+       |  FROM $table GROUP BY $userCol),
+       |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(xpre) AS BIGINT) AS spre,
+       |    CAST(sum(xpost) AS BIGINT) AS spost FROM per GROUP BY arm),
+       |cells AS (SELECT arm, n,
+       |    (spre * 20000 + n) // (n * 2) AS mpre,
+       |    (spost * 20000 + n) // (n * 2) AS mpost FROM g),
+       |c AS (SELECT n AS n_c, mpre AS mcpre, mpost AS mcpost
+       |  FROM cells WHERE arm = 0),
+       |t AS (SELECT n AS n_t, mpre AS mtpre, mpost AS mtpost
+       |  FROM cells WHERE arm = 1)
+       |SELECT n_c, n_t,
+       |  CAST(mcpre AS DOUBLE) / 1e6 AS m_c_pre,
+       |  CAST(mcpost AS DOUBLE) / 1e6 AS m_c_post,
+       |  CAST(mtpre AS DOUBLE) / 1e6 AS m_t_pre,
+       |  CAST(mtpost AS DOUBLE) / 1e6 AS m_t_post,
+       |  CAST((mtpost - mtpre) - (mcpost - mcpre) AS DOUBLE) / 1e6 AS did
+       |FROM c CROSS JOIN t""".stripMargin
+
+  /** Offline (counterfactual) policy evaluation from logged bandit
+    * feedback: IPS and SNIPS estimates of a TARGET policy's per-event
+    * value, from logs whose behavior propensities are known. Logged
+    * action = the event type; the target policy deterministically
+    * picks `actions(user mod |actions|)`; the logged propensity is
+    * synthesized (engine-shared) as p = 2^−((user + action_idx) mod 3
+    * + 1) ∈ {½,¼,⅛} — so every importance weight 1/p is an EXACT
+    * integer {2,4,8} and both estimators are ratios of exact longs:
+    *
+    *   IPS   = Σ_match w·r / n      (unbiased, high variance)
+    *   SNIPS = Σ_match w·r / Σ_match w   (self-normalized)
+    *
+    * One scan, one global aggregate; nothing wider than a row ever
+    * shuffles. This is the RLHF/recsys log-replay primitive.
+    *
+    * @return (n, n_matched, ips, snips, match_rate)
+    */
+  def ipsPolicyValue(events: DataFrame, userCol: String,
+      typeCol: String, valueCol: String,
+      actions: Seq[String]): DataFrame = {
+    require(actions.nonEmpty && actions == actions.sorted,
+      "pass the action vocabulary sorted (engine-shared order)")
+    val k = actions.length
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val idx = actions.zipWithIndex.tail.foldLeft(
+      when(col(typeCol) === actions.head, 0L)) { case (acc, (a, i)) =>
+        acc.when(col(typeCol) === a, i.toLong) }.otherwise(lit(null))
+    val target = pmod(col(userCol), lit(k.toLong))
+    val matched = idx.isNotNull && idx === target
+    val e = pmod(col(userCol) + idx, lit(3L))
+    val w = when(e === 0, 2L).when(e === 1, 4L).otherwise(8L)
+    events.agg(count(lit(1)).as("n"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(matched, w * cents).otherwise(0L)).as("swr"),
+        sum(when(matched, w).otherwise(0L)).as("sw"))
+      .select(col("n"), col("n_matched"),
+        round(col("swr").cast("double") / (col("n").cast("double") * 100), 6)
+          .as("ips"),
+        round(when(col("sw") === 0, lit(null).cast("double"))
+          .otherwise(col("swr").cast("double")
+            / (col("sw").cast("double") * 100)), 6).as("snips"),
+        round(col("n_matched").cast("double") / col("n").cast("double"), 6)
+          .as("match_rate"))
+  }
+
+  /** DuckDB replay of [[ipsPolicyValue]]. */
+  def ipsOracleSql(table: String, userCol: String, typeCol: String,
+      valueCol: String, actions: Seq[String]): String = {
+    val k = actions.length
+    val idxCase = actions.zipWithIndex.map { case (a, i) =>
+      s"WHEN '$a' THEN $i" }.mkString(" ")
+    s"""WITH b AS (SELECT $userCol AS u,
+       |    CASE $typeCol $idxCase END AS idx,
+       |    CAST(round(CAST($valueCol AS DOUBLE) * 100) AS BIGINT) AS r
+       |  FROM $table),
+       |m AS (SELECT u, idx, r,
+       |    idx IS NOT NULL AND idx = u % $k AS matched,
+       |    CASE (u + idx) % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END AS w
+       |  FROM b),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_matched,
+       |    CAST(sum(CASE WHEN matched THEN w * r ELSE 0 END) AS BIGINT)
+       |      AS swr,
+       |    CAST(sum(CASE WHEN matched THEN w ELSE 0 END) AS BIGINT) AS sw
+       |  FROM m)
+       |SELECT n, n_matched,
+       |  round(CAST(swr AS DOUBLE) / (CAST(n AS DOUBLE) * 100), 6) AS ips,
+       |  CASE WHEN sw = 0 THEN NULL ELSE
+       |    round(CAST(swr AS DOUBLE) / (CAST(sw AS DOUBLE) * 100), 6)
+       |    END AS snips,
+       |  round(CAST(n_matched AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       |    AS match_rate
+       |FROM agg""".stripMargin
+  }
+
+  /** Poisson(1) cumulative thresholds as 13-hex md5 coordinates
+    * (SampleOps space): a replicate weight is the COUNT of thresholds
+    * at or below the unit's coordinate — the standard at-scale
+    * bootstrap (per-row independent Poisson weights ≈ multinomial
+    * resample), made deterministic and engine-portable by hex-string
+    * comparison, no float parsing anywhere. Weights cap at 8
+    * (P(X>8) ≈ 1e-6: immaterial for CI endpoints at any real B·n).
+    */
+  private[ops] val PoissonCumHex: Seq[String] = Seq(
+    "5e2d58d8b3bcd", "bc5ab1b16779c", "eb715e1dc1582", "fb23979734a25",
+    "ff1025f59174d", "ffd90f3ba4055", "fffa8b71fc72c", "ffff540c0914a")
+
+  /** Deterministic Poisson bootstrap of the mean per-user `convType`
+    * revenue: B replicates, each reweighting every user by an
+    * independent Poisson(1) draw keyed on md5(salt, user, replicate).
+    * Replicate means are exact half-up micro-dollar longs; the CI is
+    * read off the SORTED replicate means at ranks ⌈0.05·B⌉ and
+    * ⌈0.95·B⌉ (order statistics on the micro grid — no
+    * interpolation, no float quantile).
+    *
+    * Scale shape: user frame × B explode (units × B rows of three
+    * longs — not events × B), one aggregation to B rows, one window
+    * over B rows. Corpus events are scanned once.
+    *
+    * @return (n_units, b_reps, obs_mean, boot_avg, ci_lo, ci_hi)
+    */
+  def poissonBootstrapMean(events: DataFrame, userCol: String,
+      typeCol: String, valueCol: String, convType: String,
+      b: Int = 100, salt: String = "boot"): DataFrame = {
+    require(b >= 20, s"need at least 20 replicates, got $b")
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(sum(when(col(typeCol) === convType, cents).otherwise(0L))
+        .as("x"))
+    val obs = per.agg(count(lit(1)).as("n_units"),
+      exactDiv(sum("x") * 20000 + count(lit(1)), count(lit(1)) * 2)
+        .as("obs6"))
+    val coord = SampleOps.hashCoord(
+      concat(col("u").cast("string"), lit("_"), col("bi").cast("string")),
+      salt)
+    val w = PoissonCumHex.map(t => when(coord >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val reps = per.select(col("u"), col("x"),
+        explode(sequence(lit(0), lit(b - 1))).as("bi"))
+      .select(col("bi"), col("x"), w.as("w"))
+      .groupBy("bi")
+      .agg(sum(col("w") * col("x")).as("s"), sum("w").as("sw"))
+      .select(col("bi"), when(col("sw") === 0, lit(null))
+        .otherwise(exactDiv(col("s") * 20000 + col("sw"), col("sw") * 2))
+        .as("m6"))
+    val wRank = Window.orderBy(col("m6").asc, col("bi").asc)
+    val loRank = math.ceil(0.05 * b).toInt
+    val hiRank = math.ceil(0.95 * b).toInt
+    val ranked = reps.select(col("m6"), row_number().over(wRank).as("rk"))
+    val ci = ranked.agg(
+      max(when(col("rk") === loRank, col("m6"))).as("lo6"),
+      max(when(col("rk") === hiRank, col("m6"))).as("hi6"),
+      exactDiv(sum("m6") * 2 + count(lit(1)), count(lit(1)) * 2)
+        .as("avg6"))
+    obs.crossJoin(broadcast(ci)).select(col("n_units"),
+      lit(b).as("b_reps"),
+      (col("obs6").cast("double") / 1e6).as("obs_mean"),
+      (col("avg6").cast("double") / 1e6).as("boot_avg"),
+      (col("lo6").cast("double") / 1e6).as("ci_lo"),
+      (col("hi6").cast("double") / 1e6).as("ci_hi"))
+  }
+
+  /** DuckDB replay of [[poissonBootstrapMean]]. */
+  def poissonBootstrapOracleSql(table: String, userCol: String,
+      typeCol: String, valueCol: String, convType: String,
+      b: Int = 100, salt: String = "boot"): String = {
+    val wExpr = PoissonCumHex.map(t =>
+      s"CASE WHEN substring(md5('$salt' || CAST(u AS VARCHAR) || '_' ||" +
+        s" CAST(bi AS VARCHAR)), 1, 13) >= '$t' THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val loRank = math.ceil(0.05 * b).toInt
+    val hiRank = math.ceil(0.95 * b).toInt
+    s"""WITH per AS (SELECT $userCol AS u,
+       |    CAST(sum(CASE WHEN $typeCol = '$convType'
+       |      THEN CAST(round(CAST($valueCol AS DOUBLE) * 100) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS x
+       |  FROM $table GROUP BY $userCol),
+       |obs AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+       |    (sum(x) * 20000 + count(*)) // (count(*) * 2) AS obs6
+       |  FROM per),
+       |reps AS (SELECT bi, CAST(sum($wExpr * x) AS BIGINT) AS s,
+       |    CAST(sum($wExpr) AS BIGINT) AS sw
+       |  FROM per CROSS JOIN (SELECT unnest(range(0, $b)) AS bi)
+       |  GROUP BY bi),
+       |m AS (SELECT bi, CASE WHEN sw = 0 THEN NULL
+       |    ELSE (s * 20000 + sw) // (sw * 2) END AS m6 FROM reps),
+       |rk AS (SELECT m6, row_number() OVER (ORDER BY m6 ASC, bi ASC)
+       |    AS rk FROM m),
+       |ci AS (SELECT max(CASE WHEN rk = $loRank THEN m6 END) AS lo6,
+       |    max(CASE WHEN rk = $hiRank THEN m6 END) AS hi6,
+       |    (sum(m6) * 2 + count(*)) // (count(*) * 2) AS avg6 FROM rk)
+       |SELECT n_units, $b AS b_reps,
+       |  CAST(obs6 AS DOUBLE) / 1e6 AS obs_mean,
+       |  CAST(avg6 AS DOUBLE) / 1e6 AS boot_avg,
+       |  CAST(lo6 AS DOUBLE) / 1e6 AS ci_lo,
+       |  CAST(hi6 AS DOUBLE) / 1e6 AS ci_hi
+       |FROM obs CROSS JOIN ci""".stripMargin
+  }
+
+  /** Deterministic randomization (permutation-style) test for the
+    * difference in mean per-user `convType` revenue between the odd
+    * (treated) and even (control) user arms: B random md5-coin label
+    * reassignments, two-sided p = (1 + #{|Δ_b| ≥ |Δ_obs|}) / (B+1)
+    * — the exact-inference companion of the parametric Welch/MDE
+    * readouts, assumption-free under the sharp null.
+    *
+    * Every Δ is a difference of two half-up micro-dollar integer
+    * means, so the ≥ comparison is exact long arithmetic (no float
+    * tie ambiguity at the decision boundary). A replicate that
+    * drew an empty arm (probability ~2^−n) yields NULL and drops
+    * from the count. Same shape as the bootstrap: units × B.
+    *
+    * @return (n_users, d_obs, b_reps, n_ge, p_value)
+    */
+  def randomizationTest(events: DataFrame, userCol: String,
+      typeCol: String, valueCol: String, convType: String,
+      b: Int = 200, salt: String = "randtest"): DataFrame = {
+    require(b >= 20, s"need at least 20 replicates, got $b")
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(sum(when(col(typeCol) === convType, cents).otherwise(0L))
+        .as("x"))
+    def d6(s1: Column, n1: Column, s0: Column, n0: Column): Column =
+      when(n1 === 0 || n0 === 0, lit(null))
+        .otherwise(exactDiv(s1 * 20000 + n1, n1 * 2)
+          - exactDiv(s0 * 20000 + n0, n0 * 2))
+    val obs = per.agg(count(lit(1)).as("n_users"),
+      d6(sum(when(pmod(col("u"), lit(2L)) === 1, col("x")).otherwise(0L)),
+        sum(when(pmod(col("u"), lit(2L)) === 1, 1L).otherwise(0L)),
+        sum(when(pmod(col("u"), lit(2L)) === 0, col("x")).otherwise(0L)),
+        sum(when(pmod(col("u"), lit(2L)) === 0, 1L).otherwise(0L)))
+        .as("dobs6"))
+    val coord = SampleOps.hashCoord(
+      concat(col("u").cast("string"), lit("_"), col("bi").cast("string")),
+      salt)
+    val lab = (coord >= lit("8000000000000")).cast("long")
+    val reps = per.select(col("u"), col("x"),
+        explode(sequence(lit(0), lit(b - 1))).as("bi"))
+      .select(col("bi"), col("x"), lab.as("l"))
+      .groupBy("bi")
+      .agg(d6(sum(col("l") * col("x")), sum("l"),
+        sum((lit(1L) - col("l")) * col("x")), sum(lit(1L) - col("l")))
+        .as("d6"))
+    val cmp = reps.crossJoin(broadcast(obs))
+      .agg(sum(when(abs(col("d6")) >= abs(col("dobs6")), 1L)
+        .otherwise(0L)).as("n_ge"))
+    obs.crossJoin(broadcast(cmp)).select(col("n_users"),
+      (col("dobs6").cast("double") / 1e6).as("d_obs"),
+      lit(b).as("b_reps"), col("n_ge"),
+      round((col("n_ge") + 1).cast("double") / lit((b + 1).toDouble), 6)
+        .as("p_value"))
+  }
+
+  /** DuckDB replay of [[randomizationTest]]. */
+  def randomizationTestOracleSql(table: String, userCol: String,
+      typeCol: String, valueCol: String, convType: String,
+      b: Int = 200, salt: String = "randtest"): String =
+    s"""WITH per AS (SELECT $userCol AS u,
+       |    CAST(sum(CASE WHEN $typeCol = '$convType'
+       |      THEN CAST(round(CAST($valueCol AS DOUBLE) * 100) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS x
+       |  FROM $table GROUP BY $userCol),
+       |obs AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |    CASE WHEN sum(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) = 0
+       |        OR sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) = 0
+       |      THEN NULL ELSE
+       |        (sum(CASE WHEN u % 2 = 1 THEN x ELSE 0 END) * 20000
+       |          + sum(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END))
+       |        // (sum(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) * 2)
+       |        - (sum(CASE WHEN u % 2 = 0 THEN x ELSE 0 END) * 20000
+       |          + sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END))
+       |        // (sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) * 2)
+       |      END AS dobs6
+       |  FROM per),
+       |lab AS (SELECT bi, x,
+       |    CASE WHEN substring(md5('$salt' || CAST(u AS VARCHAR) || '_'
+       |      || CAST(bi AS VARCHAR)), 1, 13) >= '8000000000000'
+       |      THEN 1 ELSE 0 END AS l
+       |  FROM per CROSS JOIN (SELECT unnest(range(0, $b)) AS bi)),
+       |reps AS (SELECT bi,
+       |    CASE WHEN sum(l) = 0 OR sum(1 - l) = 0 THEN NULL ELSE
+       |      (sum(l * x) * 20000 + sum(l)) // (sum(l) * 2)
+       |      - (sum((1 - l) * x) * 20000 + sum(1 - l)) // (sum(1 - l) * 2)
+       |      END AS d6
+       |  FROM lab GROUP BY bi),
+       |cmp AS (SELECT CAST(sum(CASE WHEN abs(d6) >= abs(o.dobs6)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+       |  FROM reps CROSS JOIN obs o)
+       |SELECT n_users, CAST(dobs6 AS DOUBLE) / 1e6 AS d_obs,
+       |  $b AS b_reps, n_ge,
+       |  round(CAST(n_ge + 1 AS DOUBLE) / ${(b + 1).toDouble}, 6)
+       |    AS p_value
+       |FROM obs CROSS JOIN cmp""".stripMargin
 }

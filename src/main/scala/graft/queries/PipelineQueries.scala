@@ -718,6 +718,34 @@ object PipelineQueries {
       ProfileOps.wassersteinAgainstRest(
         Tables(s, d, "documents"), "source", "n_chars")),
 
+    // 2×2 difference-in-differences on per-user purchase revenue
+    // (treated = odd users, post = mid-month) — integer-exact cell
+    // means on the micro-dollar grid.
+    "q305_did" -> ((s, d) =>
+      graft.ops.EventOps.didEstimate(Tables(s, d, "events"),
+        "user_id", "ts", "event_type", "value", "purchase",
+        "2024-01-16 00:00:00")),
+
+    // Offline policy evaluation (IPS + SNIPS) from logged bandit
+    // feedback with exact power-of-two importance weights.
+    "q306_ips_policy" -> ((s, d) =>
+      graft.ops.EventOps.ipsPolicyValue(Tables(s, d, "events"),
+        "user_id", "event_type", "value",
+        Seq("click", "error", "purchase", "signup", "view"))),
+
+    // Deterministic Poisson bootstrap CI for mean per-user purchase
+    // revenue — md5-hex Poisson(1) weights, order-statistic CI on
+    // the exact micro grid.
+    "q307_poisson_boot" -> ((s, d) =>
+      graft.ops.EventOps.poissonBootstrapMean(Tables(s, d, "events"),
+        "user_id", "event_type", "value", "purchase")),
+
+    // Randomization test for the treated-vs-control revenue delta:
+    // 200 md5-coin reassignments, exact micro-long comparisons.
+    "q308_rand_test" -> ((s, d) =>
+      graft.ops.EventOps.randomizationTest(Tables(s, d, "events"),
+        "user_id", "event_type", "value", "purchase")),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3474,6 +3502,20 @@ object PipelineQueries {
 
     "q304_wasserstein" -> ProfileOps.wassersteinOracleSql(
       "documents", "source", "n_chars"),
+
+    "q305_did" -> graft.ops.EventOps.didOracleSql(
+      "events", "user_id", "ts", "event_type", "value", "purchase",
+      "2024-01-16 00:00:00"),
+
+    "q306_ips_policy" -> graft.ops.EventOps.ipsOracleSql(
+      "events", "user_id", "event_type", "value",
+      Seq("click", "error", "purchase", "signup", "view")),
+
+    "q307_poisson_boot" -> graft.ops.EventOps.poissonBootstrapOracleSql(
+      "events", "user_id", "event_type", "value", "purchase"),
+
+    "q308_rand_test" -> graft.ops.EventOps.randomizationTestOracleSql(
+      "events", "user_id", "event_type", "value", "purchase"),
 
     "q294_t_closeness" ->
       """WITH cell AS (SELECT source, lang,
