@@ -746,6 +746,29 @@ object PipelineQueries {
       graft.ops.EventOps.randomizationTest(Tables(s, d, "events"),
         "user_id", "event_type", "value", "purchase")),
 
+    // Integer-exact 4-iteration PageRank over the q276 brand
+    // co-purchase graph — rank mass on a 1e9 grid so the iteration
+    // is bit-stable; one shuffle per step.
+    "q309_pagerank" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val part = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val edges = graft.ops.CooccurOps.basketPairs(
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
+        "basket", "item", minSupport = 20L)
+        .select(col("item_a"), col("item_b"))
+      graft.ops.GraphOps.pagerank(edges, "item_a", "item_b")
+    }),
+
+    // Count-min sketch heavy-hitter audit on event users: replayable
+    // polynomial hashes, estimate = min of d counters, overestimate
+    // vs exact truth for the top 20.
+    "q310_cms_heavy" -> ((s, d) =>
+      graft.ops.SketchOps.cmsHeavyHitters(Tables(s, d, "events"),
+        "user_id", w = 64, k = 20)),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3516,6 +3539,16 @@ object PipelineQueries {
 
     "q308_rand_test" -> graft.ops.EventOps.randomizationTestOracleSql(
       "events", "user_id", "event_type", "value", "purchase"),
+
+    "q309_pagerank" -> graft.ops.GraphOps.pagerankOracleSql(
+      s"""SELECT item_a AS src, item_b AS dst FROM (
+         |${graft.ops.CooccurOps.basketPairsOracleSql(
+            "SELECT l_orderkey AS bk, p_brand AS it FROM lineitem " +
+              "JOIN part ON l_partkey = p_partkey",
+            minSupport = 20L)}) pairs""".stripMargin),
+
+    "q310_cms_heavy" -> graft.ops.SketchOps.cmsHeavyHittersOracleSql(
+      "events", "user_id", w = 64, k = 20),
 
     "q294_t_closeness" ->
       """WITH cell AS (SELECT source, lang,
