@@ -30,6 +30,13 @@ object GraftFunctions {
           s"graft_cosine requires exactly 2 arguments, got ${children.size}")
         CosineSimilarity(children.head, children(1))
       }),
+    ("graft_jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_jaro_winkler requires exactly 2 arguments, got ${children.size}")
+        JaroWinkler(children.head, children(1))
+      }),
     ("graft_offset_depth",
       new ExpressionInfo(classOf[OffsetDepth].getName, "graft_offset_depth"),
       (children: Seq[Expression]) => {

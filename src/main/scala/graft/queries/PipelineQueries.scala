@@ -769,6 +769,21 @@ object PipelineQueries {
       graft.ops.SketchOps.cmsHeavyHitters(Tables(s, d, "events"),
         "user_id", w = 64, k = 20)),
 
+    // Jaro-Winkler best-match linkage of corrupted part names
+    // against the clean vocabulary — native byte-exact expression
+    // pinned to DuckDB's builtin; length-band blocking, 6dp-grid
+    // argmax.
+    "q311_jw_linkage" -> ((s, d) =>
+      graft.ops.FuzzyOps.jwBestMatch(Tables(s, d, "part"),
+        "p_partkey", "p_name", pmod(col("p_partkey"), lit(4L)) === 0)),
+
+    // Fellegi-Sunter m/u probabilities and log2 match weights per
+    // (brand, type, name) agreement pattern over size-blocked pairs
+    // with a deterministic dirty twin.
+    "q312_fellegi_sunter" -> ((s, d) =>
+      graft.ops.FuzzyOps.fellegiSunter(Tables(s, d, "part"),
+        "p_partkey", "p_size", "p_brand", "p_type", "p_name")),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3549,6 +3564,12 @@ object PipelineQueries {
 
     "q310_cms_heavy" -> graft.ops.SketchOps.cmsHeavyHittersOracleSql(
       "events", "user_id", w = 64, k = 20),
+
+    "q311_jw_linkage" -> graft.ops.FuzzyOps.jwBestMatchOracleSql(
+      "part", "p_partkey", "p_name", "p_partkey % 4 = 0"),
+
+    "q312_fellegi_sunter" -> graft.ops.FuzzyOps.fellegiSunterOracleSql(
+      "part", "p_partkey", "p_size", "p_brand", "p_type", "p_name"),
 
     "q294_t_closeness" ->
       """WITH cell AS (SELECT source, lang,
