@@ -579,6 +579,78 @@ object GraphOps {
         (col("pr").cast("double") / 1e9).as("pr"))
   }
 
+  /** Fixed-iteration HITS (Kleinberg 1999) over a BIPARTITE edge set
+    * (left = hubs, right = authorities), on an exact integer grid:
+    * scores live on a 0..10^6 scale, each half-step is
+    * `new = Σ partner-scores`, and normalization divides by the MAX
+    * (truncating integer division — max-normalization is the
+    * convergent HITS variant whose division stays in exact longs:
+    * sum-normalization would need 128-bit intermediates). Two
+    * full (hub, authority) rounds; every sum is order-free exact.
+    *
+    * Scale shape: like [[pagerank]] — one shuffle per half-step
+    * (join scores to edges, re-aggregate on the other side).
+    *
+    * @return (side 'hub'|'auth', node, score_units, score)
+    */
+  def hits(edges: DataFrame, hubCol: String, authCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters in [1,8], got $iters")
+    val e = edges.select(col(hubCol).cast("string").as("h"),
+      col(authCol).cast("string").as("a")).distinct()
+    def idiv(x: Column, b: Column): Column =
+      ((x - pmod(x, b)) / b).cast("long")
+    val M = 1000000L
+    var hub = e.select(col("h").as("v")).distinct()
+      .select(col("v"), lit(M).as("s"))
+    var auth = e.select(col("a").as("v")).distinct()
+      .select(col("v"), lit(M).as("s"))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.withColumnRenamed("v", "h"), Seq("h"))
+        .groupBy(col("a").as("v")).agg(sum("s").as("raw"))
+      val aMax = aRaw.agg(max("raw").as("mx"))
+      auth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("v"), idiv(col("raw") * M, col("mx")).as("s"))
+      val hRaw = e.join(auth.withColumnRenamed("v", "a"), Seq("a"))
+        .groupBy(col("h").as("v")).agg(sum("s").as("raw"))
+      val hMax = hRaw.agg(max("raw").as("mx"))
+      hub = hRaw.crossJoin(broadcast(hMax))
+        .select(col("v"), idiv(col("raw") * M, col("mx")).as("s"))
+    }
+    hub.select(lit("hub").as("side"), col("v").as("node"),
+        col("s").as("score_units"),
+        (col("s").cast("double") / 1e6).as("score"))
+      .unionByName(auth.select(lit("auth").as("side"),
+        col("v").as("node"), col("s").as("score_units"),
+        (col("s").cast("double") / 1e6).as("score")))
+  }
+
+  /** DuckDB replay of [[hits]]; `edgesSql` yields (h, a) rows. */
+  def hitsOracleSql(edgesSql: String, iters: Int = 2): String = {
+    val steps = (1 to iters).map { k =>
+      val ph = if (k == 1) "h0" else s"h${k - 1}"
+      s"""a${k}r AS (SELECT e.a AS v, sum(p.s) AS raw
+         |  FROM e JOIN $ph p ON p.v = e.h GROUP BY e.a),
+         |a$k AS (SELECT v, (raw * 1000000) // (SELECT max(raw)
+         |    FROM a${k}r) AS s FROM a${k}r),
+         |h${k}r AS (SELECT e.h AS v, sum(p.s) AS raw
+         |  FROM e JOIN a$k p ON p.v = e.a GROUP BY e.h),
+         |h$k AS (SELECT v, (raw * 1000000) // (SELECT max(raw)
+         |    FROM h${k}r) AS s FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT CAST(h AS VARCHAR) AS h,
+       |    CAST(a AS VARCHAR) AS a FROM ($edgesSql) src0),
+       |h0 AS (SELECT DISTINCT h AS v, 1000000 AS s FROM e),
+       |$steps
+       |SELECT 'hub' AS side, v AS node, CAST(s AS BIGINT)
+       |    AS score_units, CAST(s AS DOUBLE) / 1e6 AS score
+       |  FROM h$iters
+       |UNION ALL
+       |SELECT 'auth' AS side, v AS node, CAST(s AS BIGINT)
+       |    AS score_units, CAST(s AS DOUBLE) / 1e6 AS score
+       |  FROM a$iters""".stripMargin
+  }
+
   /** DuckDB replay of [[pagerank]] — the iteration loop unrolls into
     * one CTE per step; `edgesSql` yields (src, dst) rows.
     */

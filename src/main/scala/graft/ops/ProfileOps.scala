@@ -1268,6 +1268,59 @@ object ProfileOps {
        |    / (CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE)), 6) AS w1
        |FROM terms GROUP BY g, ng, nr""".stripMargin
 
+  /** Exact Gini concentration index of a non-negative integer value
+    * per group — the inequality readout behind "how skewed is this
+    * source's length/revenue distribution" (complement of q284's
+    * Pareto crossing point). On values sorted ascending with ranks
+    * 1..n (ties ranked deterministically by value order — the
+    * mean-difference Gini over a fixed permutation):
+    *
+    *   G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+    *
+    * Numerator/denominator are exact DECIMAL(38,0) products of
+    * longs; the one division is IEEE on the decimal→double casts.
+    *
+    * Scale shape: one window sort WITHIN each group (the shuffle is
+    * the group partitioning itself) + one aggregation. NULL gini for
+    * a group with Σx = 0.
+    *
+    * @return (group, n, total, gini round 6dp)
+    */
+  def giniIndex(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    val w = Window.partitionBy("g").orderBy(col("x").asc)
+    df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("x"))
+      .select(col("g"), col("x"), row_number().over(w).as("i"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("total"),
+        sum(col("i").cast(D) * col("x")).as("ixs"))
+      .select(col("g").as(groupCol), col("n"), col("total"),
+        when(col("total") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (lit(2).cast(D) * col("ixs") - (col("n") + 1).cast(D)
+              * col("total")).cast("double")
+              / (col("n").cast(D) * col("total")).cast("double"), 6))
+          .as("gini"))
+  }
+
+  /** DuckDB replay of [[giniIndex]]. */
+  def giniOracleSql(table: String, groupCol: String,
+      valueExpr: String): String =
+    s"""WITH b AS (SELECT $groupCol AS g, CAST($valueExpr AS BIGINT) AS x
+       |  FROM $table),
+       |r AS (SELECT g, x, row_number() OVER (PARTITION BY g
+       |    ORDER BY x ASC) AS i FROM b),
+       |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS total,
+       |    sum(CAST(i AS HUGEINT) * x) AS ixs FROM r GROUP BY g)
+       |SELECT g AS $groupCol, n, total,
+       |  CASE WHEN total = 0 THEN NULL ELSE
+       |    round(CAST(2 * ixs - CAST(n + 1 AS HUGEINT) * total AS DOUBLE)
+       |      / CAST(CAST(n AS HUGEINT) * total AS DOUBLE), 6) END AS gini
+       |FROM agg""".stripMargin
+
   /** Exact Spearman rank correlation between two numeric columns —
     * the monotone-association probe beside [[corrMatrix]]'s linear
     * Pearson (a saturating quality-vs-length relation scores ~1 here

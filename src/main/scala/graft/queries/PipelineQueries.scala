@@ -784,6 +784,34 @@ object PipelineQueries {
       graft.ops.FuzzyOps.fellegiSunter(Tables(s, d, "part"),
         "p_partkey", "p_size", "p_brand", "p_type", "p_name")),
 
+    // Soundex blocking-recall audit: does a single-char deletion
+    // keep a name in its phonetic block? Pure RE2-safe expression
+    // chain, identical in both engines.
+    "q313_soundex_block" -> ((s, d) =>
+      graft.ops.PhoneticOps.soundexBlockRecall(Tables(s, d, "part"),
+        "p_partkey", "p_name")),
+
+    // Integer-grid HITS hubs/authorities over the customer-brand
+    // bipartite purchase graph — max-normalized exact iterations.
+    "q314_hits" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"))
+      val li = Tables(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val p = Tables(s, d, "part").select(col("p_partkey"),
+        col("p_brand"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("h"), col("p_brand").as("a"))
+      graft.ops.GraphOps.hits(edges, "h", "a")
+    }),
+
+    // Exact Gini concentration of document length per source — the
+    // inequality profile beside the Pareto point (q284).
+    "q315_gini" -> ((s, d) =>
+      ProfileOps.giniIndex(Tables(s, d, "documents"), "source",
+        "n_chars")),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3570,6 +3598,19 @@ object PipelineQueries {
 
     "q312_fellegi_sunter" -> graft.ops.FuzzyOps.fellegiSunterOracleSql(
       "part", "p_partkey", "p_size", "p_brand", "p_type", "p_name"),
+
+    "q313_soundex_block" ->
+      graft.ops.PhoneticOps.soundexBlockRecallOracleSql(
+        "part", "p_partkey", "p_name"),
+
+    "q314_hits" -> graft.ops.GraphOps.hitsOracleSql(
+      """SELECT o_custkey AS h, p_brand AS a
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey""".stripMargin),
+
+    "q315_gini" -> ProfileOps.giniOracleSql(
+      "documents", "source", "n_chars"),
 
     "q294_t_closeness" ->
       """WITH cell AS (SELECT source, lang,
