@@ -933,6 +933,154 @@ object EventOps {
        |    ELSE round(exp(lns), 6) END AS survival
        |FROM g2 WHERE n_event > 0""".stripMargin
 
+  /** Nelson–Aalen cumulative-hazard estimator over the same
+    * right-censored (duration, event) frame as [[kaplanMeier]] —
+    * the additive companion of KM's multiplicative survival curve
+    * (hazard increments ADD across strata and resolutions, which is
+    * why monitoring pipelines prefer H(t) for alerting):
+    *
+    *   H(t) = Σ_{s≤t} d_s / n_s,   S̃(t) = exp(−H(t))
+    *
+    * Each increment is ONE IEEE division of exact longs and the
+    * running sum is an ordered window accumulation — deterministic
+    * in both engines (a bare float aggregate would not be).
+    *
+    * Scale shape: identical to KM — one duration histogram exchange,
+    * windows on the time grid only.
+    *
+    * @return per event time: (t, n_risk, n_event, cum_hazard,
+    *         na_survival) rounded 6dp
+    */
+  def nelsonAalen(subjects: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val us = subjects.select(col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("long").as("ev"))
+    val hist = us.groupBy("t")
+      .agg(count(lit(1)).as("n_t"), sum("ev").as("n_event"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = us.agg(count(lit(1)).as("n_subj"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_subj") - (sum("n_t").over(w) - col("n_t")))
+      .withColumn("ch",
+        sum(col("n_event").cast("double") / col("n_risk").cast("double"))
+          .over(w))
+      .where(col("n_event") > 0)
+      .select(col("t"), col("n_risk"), col("n_event"),
+        round(col("ch"), 6).as("cum_hazard"),
+        round(exp(-col("ch")), 6).as("na_survival"))
+  }
+
+  /** DuckDB replay of [[nelsonAalen]]; `srcSql` yields (t, ev). */
+  def nelsonAalenOracleSql(srcSql: String): String =
+    s"""WITH us AS (SELECT CAST(t AS BIGINT) AS t,
+       |    CAST(ev AS BIGINT) AS ev FROM ($srcSql) src),
+       |hist AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+       |    CAST(sum(ev) AS BIGINT) AS n_event
+       |  FROM us GROUP BY t),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_subj FROM us),
+       |g1 AS (SELECT t, n_event,
+       |    n_subj - (sum(n_t) OVER w - n_t) AS n_risk
+       |  FROM hist CROSS JOIN tot
+       |  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+       |g2 AS (SELECT t, n_risk, n_event,
+       |    sum(CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE))
+       |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ch
+       |  FROM g1)
+       |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_event,
+       |  round(ch, 6) AS cum_hazard,
+       |  round(exp(-ch), 6) AS na_survival
+       |FROM g2 WHERE n_event > 0""".stripMargin
+
+  /** Wald SPRT sequential monitor for a conversion rate, per
+    * experiment arm: events are Bernoulli trials in time order
+    * (success = `convType`), and the log-likelihood ratio for
+    * H1: p=p1 vs H0: p=p0 walks until it crosses ln((1−β)/α) (accept
+    * H1) or ln(β/(1−α)) (accept H0) — the always-valid alternative
+    * to fixed-horizon peeking (q300's MDE world).
+    *
+    * ENTIRELY on an integer micro-grid: the per-trial increments
+    * ln(p1/p0) and ln((1−p1)/(1−p0)) and both boundaries are
+    * PRE-ROUNDED micro literals shared with the oracle, so the walk
+    * is exact long arithmetic — the crossing INDEX can never flip on
+    * a libm ulp (summing per-row ln's in floats could).
+    *
+    * Scale shape: one per-arm ordered window (running success count)
+    * + one aggregate for the first crossing.
+    *
+    * @return per arm: (arm, n_trials, n_conv, llr_final, cross_idx,
+    *         decision) — cross_idx NULL while the walk continues
+    */
+  def sprtMonitor(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String,
+      wPosMicro: Long = 200671L, wNegMicro: Long = -50010L,
+      boundMicro: Long = 2944439L): DataFrame = {
+    val arm = pmod(col(userCol), lit(2L)).as("arm")
+    val w = Window.partitionBy("arm").orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = events.select(arm, col(tsCol), col(idCol),
+        (col(typeCol) === convType).cast("long").as("y"))
+      .select(col("arm"), col("y"),
+        row_number().over(Window.partitionBy("arm")
+          .orderBy(col(tsCol), col(idCol))).as("i"),
+        sum("y").over(w).as("k"))
+      .select(col("arm"), col("y"), col("i"),
+        (col("k") * wPosMicro + (col("i") - col("k")) * wNegMicro)
+          .as("llr"))
+    walk.groupBy("arm").agg(
+        count(lit(1)).as("n_trials"), sum("y").as("n_conv"),
+        min(when(col("llr") >= boundMicro, col("i"))).as("up_idx"),
+        min(when(col("llr") <= -boundMicro, col("i"))).as("dn_idx"))
+      .select(col("arm"), col("n_trials"), col("n_conv"),
+        // the walk's final value is a pure function of the totals
+        ((col("n_conv") * wPosMicro + (col("n_trials") - col("n_conv"))
+          * wNegMicro).cast("double") / 1e6).as("llr_final"),
+        when(col("up_idx").isNull, col("dn_idx"))
+          .when(col("dn_idx").isNull, col("up_idx"))
+          .otherwise(least(col("up_idx"), col("dn_idx")))
+          .as("cross_idx"),
+        when(col("up_idx").isNotNull &&
+            (col("dn_idx").isNull || col("up_idx") <= col("dn_idx")),
+            lit("accept_h1"))
+          .when(col("dn_idx").isNotNull, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
+  /** DuckDB replay of [[sprtMonitor]]. */
+  def sprtOracleSql(table: String, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String,
+      wPosMicro: Long = 200671L, wNegMicro: Long = -50010L,
+      boundMicro: Long = 2944439L): String =
+    s"""WITH walk AS (SELECT $userCol % 2 AS arm,
+       |    CASE WHEN $typeCol = '$convType' THEN 1 ELSE 0 END AS y,
+       |    row_number() OVER w AS i,
+       |    sum(CASE WHEN $typeCol = '$convType' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY $userCol % 2 ORDER BY $tsCol, $idCol
+       |        ROWS UNBOUNDED PRECEDING) AS k
+       |  FROM $table
+       |  WINDOW w AS (PARTITION BY $userCol % 2
+       |    ORDER BY $tsCol, $idCol)),
+       |l AS (SELECT arm, y, i,
+       |    k * $wPosMicro + (i - k) * ($wNegMicro) AS llr FROM walk),
+       |agg AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_trials,
+       |    CAST(sum(y) AS BIGINT) AS n_conv,
+       |    min(CASE WHEN llr >= $boundMicro THEN i END) AS up_idx,
+       |    min(CASE WHEN llr <= -($boundMicro) THEN i END) AS dn_idx
+       |  FROM l GROUP BY arm)
+       |SELECT arm, n_trials, n_conv,
+       |  CAST(n_conv * $wPosMicro
+       |    + (n_trials - n_conv) * ($wNegMicro) AS DOUBLE) / 1e6
+       |    AS llr_final,
+       |  CAST(CASE WHEN up_idx IS NULL THEN dn_idx
+       |    WHEN dn_idx IS NULL THEN up_idx
+       |    ELSE least(up_idx, dn_idx) END AS BIGINT) AS cross_idx,
+       |  CASE WHEN up_idx IS NOT NULL
+       |      AND (dn_idx IS NULL OR up_idx <= dn_idx) THEN 'accept_h1'
+       |    WHEN dn_idx IS NOT NULL THEN 'accept_h0'
+       |    ELSE 'continue' END AS decision
+       |FROM agg""".stripMargin
+
   /** CUPED variance-reduced A/B readout (Deng et al. 2013, "Improving
     * the Sensitivity of Online Controlled Experiments"): each user's
     * post-period metric y is adjusted by their PRE-period covariate x

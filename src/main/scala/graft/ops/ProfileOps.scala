@@ -484,6 +484,82 @@ object ProfileOps {
         .as("kappa"))
   }
 
+  /** Classifier-vs-truth confusion report: Matthews correlation
+    * coefficient, accuracy and macro-F1 from the same 4-cell exact
+    * table as [[cohenKappa]] (pred = `a`, truth = `b`) — MCC is the
+    * balance-robust single number (chance-level = 0 even at 99:1
+    * class skew, where accuracy reads 0.99), macro-F1 the
+    * per-class-averaged operating readout.
+    *
+    *   MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    *
+    * Cells are exact longs; each reported metric is a fixed IEEE
+    * tree over them. MCC NULL when any marginal is empty.
+    *
+    * @param a (id, flag) predictions   @param b (id, flag) truth
+    * @return (n, tp, fp, fn, tn, accuracy, macro_f1, mcc)
+    */
+  def mccReport(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("id"), col("flag").as("fa"))
+      .join(b.select(col("id"), col("flag").as("fb")), Seq("id"))
+    val cells = j.agg(count(lit(1)).as("n"),
+      sum((col("fa") && col("fb")).cast("long")).as("tp"),
+      sum((col("fa") && !col("fb")).cast("long")).as("fp"),
+      sum((!col("fa") && col("fb")).cast("long")).as("fn"),
+      sum((!col("fa") && !col("fb")).cast("long")).as("tn"))
+    val f1p = (col("tp") * 2).cast("double") /
+      (col("tp") * 2 + col("fp") + col("fn")).cast("double")
+    val f1n = (col("tn") * 2).cast("double") /
+      (col("tn") * 2 + col("fn") + col("fp")).cast("double")
+    val mccDen = (col("tp") + col("fp")).cast("double") *
+      (col("tp") + col("fn")).cast("double") *
+      (col("tn") + col("fp")).cast("double") *
+      (col("tn") + col("fn")).cast("double")
+    cells.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      round((col("tp") + col("tn")).cast("double") / col("n").cast("double"),
+        6).as("accuracy"),
+      when(col("tp") * 2 + col("fp") + col("fn") === 0 ||
+          col("tn") * 2 + col("fn") + col("fp") === 0,
+          lit(null).cast("double"))
+        .otherwise(round((f1p + f1n) / 2, 6)).as("macro_f1"),
+      when(col("tp") + col("fp") === 0 || col("tp") + col("fn") === 0 ||
+          col("tn") + col("fp") === 0 || col("tn") + col("fn") === 0,
+          lit(null).cast("double"))
+        .otherwise(round(
+          ((col("tp").cast("double") * col("tn").cast("double"))
+            - (col("fp").cast("double") * col("fn").cast("double")))
+            / sqrt(mccDen), 6)).as("mcc"))
+  }
+
+  /** DuckDB replay of [[mccReport]]. */
+  def mccOracleSql(aSub: String, bSub: String): String =
+    s"""WITH cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN a.flag AND b.flag THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN a.flag AND NOT b.flag THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN NOT a.flag AND b.flag THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS fn,
+       |  CAST(sum(CASE WHEN NOT a.flag AND NOT b.flag THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS tn
+       | FROM ($aSub) a JOIN ($bSub) b ON a.id = b.id)
+       |SELECT n, tp, fp, fn, tn,
+       |  round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       |    AS accuracy,
+       |  CASE WHEN tp * 2 + fp + fn = 0 OR tn * 2 + fn + fp = 0
+       |    THEN NULL ELSE
+       |    round((CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE)
+       |      + CAST(tn * 2 AS DOUBLE) / CAST(tn * 2 + fn + fp AS DOUBLE))
+       |      / 2, 6) END AS macro_f1,
+       |  CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0
+       |      OR tn + fn = 0 THEN NULL
+       |    ELSE round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+       |        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+       |      / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+       |        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6)
+       |    END AS mcc
+       |FROM cells""".stripMargin
+
   /** DuckDB replay of [[cohenKappa]]: `aSub`/`bSub` are subqueries
     * yielding (id, flag). */
   def cohenKappaOracleSql(aSub: String, bSub: String): String =
@@ -1320,6 +1396,190 @@ object ProfileOps {
        |    round(CAST(2 * ixs - CAST(n + 1 AS HUGEINT) * total AS DOUBLE)
        |      / CAST(CAST(n AS HUGEINT) * total AS DOUBLE), 6) END AS gini
        |FROM agg""".stripMargin
+
+  /** Herfindahl–Hirschman concentration index per market: HHI =
+    * 10000·Σ share_i² over the members' integer weights — the
+    * antitrust-style "is this market one supplier in a trenchcoat"
+    * readout beside [[giniIndex]] (HHI weighs the TOP of the
+    * distribution, Gini the whole shape). Exact: Σw_i² and (Σw)² in
+    * DECIMAL(38,0), one IEEE division.
+    *
+    * @return (market, n_members, total, hhi round 2dp — the
+    *         conventional 0..10000 points scale)
+    */
+  def hhiIndex(df: DataFrame, marketCol: String, memberCol: String,
+      weightCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    df.groupBy(col(marketCol).as("mkt"), col(memberCol).as("mem"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .groupBy("mkt")
+      .agg(count(lit(1)).as("n_members"), sum("w").as("total"),
+        sum(col("w").cast(D) * col("w")).as("sq"))
+      .select(col("mkt").as(marketCol), col("n_members"), col("total"),
+        when(col("total") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(10000.0) * col("sq").cast("double")
+            / (col("total").cast(D) * col("total")).cast("double"), 2))
+          .as("hhi"))
+  }
+
+  /** DuckDB replay of [[hhiIndex]]. */
+  def hhiOracleSql(table: String, marketCol: String, memberCol: String,
+      weightExpr: String): String =
+    s"""WITH w AS (SELECT $marketCol AS mkt, $memberCol AS mem,
+       |    CAST(sum($weightExpr) AS BIGINT) AS w
+       |  FROM $table GROUP BY 1, 2),
+       |agg AS (SELECT mkt, CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(sum(w) AS BIGINT) AS total,
+       |    sum(CAST(w AS HUGEINT) * w) AS sq FROM w GROUP BY mkt)
+       |SELECT mkt AS $marketCol, n_members, total,
+       |  CASE WHEN total = 0 THEN NULL ELSE
+       |    round(10000.0 * CAST(sq AS DOUBLE)
+       |      / CAST(CAST(total AS HUGEINT) * total AS DOUBLE), 2)
+       |    END AS hhi
+       |FROM agg""".stripMargin
+
+  /** Mutual information (and entropies, all in nats) between two
+    * categorical columns — the feature-relevance probe ("does source
+    * predict the quality flag") beside the chi-squared test's pure
+    * significance. DETERMINISTIC despite the float logs: every
+    * cell/marginal term is one fixed IEEE expression tree over exact
+    * counts, PRE-ROUNDED to a 1e-12 grid and summed as longs — a
+    * bare float SUM over cells would be partition-order dependent.
+    *
+    *   MI = Σ_xy (c/N)·ln(c·N/(r_x·k_y)),  NMI = MI/√(H_x·H_y)
+    *
+    * One cell aggregation (|X|·|Y| cells), marginals by re-agg.
+    *
+    * @return one row (n, n_cells, h_x, h_y, mi, nmi) — 6dp
+    */
+  def normalizedMutualInfo(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    def pico(term: Column): Column = // 1e-12 grid as exact longs
+      round(term * 1e12, 0).cast("long")
+    val cells = df.groupBy(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val rx = cells.groupBy("x").agg(sum("c").as("r"))
+    val ky = cells.groupBy("y").agg(sum("c").as("k"))
+    val tot = cells.agg(sum("c").as("nn"))
+    val joined = cells.join(broadcast(rx), Seq("x"))
+      .join(broadcast(ky), Seq("y")).crossJoin(broadcast(tot))
+    val n = col("nn").cast("double")
+    val mi = joined.agg(sum(pico((col("c") / n) *
+        log((col("c") * col("nn")).cast("double")
+          / (col("r").cast("double") * col("k").cast("double")))))
+        .as("mi12"),
+      count(lit(1)).as("n_cells"), max("nn").as("n"))
+    def ent(m: DataFrame, cnt: String): Column =
+      sum(pico(-(col(cnt) / col("nn").cast("double")) *
+        log(col(cnt).cast("double") / col("nn").cast("double"))))
+    val hx = rx.crossJoin(broadcast(tot)).agg(ent(rx, "r").as("hx12"))
+    val hy = ky.crossJoin(broadcast(tot)).agg(ent(ky, "k").as("hy12"))
+    mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), col("n_cells"),
+        round(col("hx12").cast("double") / 1e12, 6).as("h_x"),
+        round(col("hy12").cast("double") / 1e12, 6).as("h_y"),
+        round(col("mi12").cast("double") / 1e12, 6).as("mi"),
+        when(col("hx12") <= 0 || col("hy12") <= 0,
+            lit(null).cast("double"))
+          .otherwise(round(col("mi12").cast("double")
+            / sqrt(col("hx12").cast("double") * col("hy12").cast("double")),
+            6)).as("nmi"))
+  }
+
+  /** DuckDB replay of [[normalizedMutualInfo]]. */
+  def normalizedMutualInfoOracleSql(table: String, xExpr: String,
+      yExpr: String): String =
+    s"""WITH cells AS (SELECT CAST($xExpr AS VARCHAR) AS x,
+       |    CAST($yExpr AS VARCHAR) AS y, count(*) AS c
+       |  FROM $table GROUP BY 1, 2),
+       |rx AS (SELECT x, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY x),
+       |ky AS (SELECT y, CAST(sum(c) AS BIGINT) AS k FROM cells GROUP BY y),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells),
+       |mi AS (SELECT CAST(sum(CAST(round((c / CAST(nn AS DOUBLE))
+       |      * ln(CAST(c * nn AS DOUBLE)
+       |        / (CAST(r AS DOUBLE) * CAST(k AS DOUBLE))) * 1e12, 0)
+       |      AS BIGINT)) AS BIGINT) AS mi12,
+       |    CAST(count(*) AS BIGINT) AS n_cells, max(nn) AS n
+       |  FROM cells JOIN rx USING (x) JOIN ky USING (y) CROSS JOIN tot),
+       |hx AS (SELECT CAST(sum(CAST(round(-(r / CAST(nn AS DOUBLE))
+       |      * ln(CAST(r AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e12, 0)
+       |      AS BIGINT)) AS BIGINT) AS hx12 FROM rx CROSS JOIN tot),
+       |hy AS (SELECT CAST(sum(CAST(round(-(k / CAST(nn AS DOUBLE))
+       |      * ln(CAST(k AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e12, 0)
+       |      AS BIGINT)) AS BIGINT) AS hy12 FROM ky CROSS JOIN tot)
+       |SELECT CAST(n AS BIGINT) AS n, n_cells,
+       |  round(CAST(hx12 AS DOUBLE) / 1e12, 6) AS h_x,
+       |  round(CAST(hy12 AS DOUBLE) / 1e12, 6) AS h_y,
+       |  round(CAST(mi12 AS DOUBLE) / 1e12, 6) AS mi,
+       |  CASE WHEN hx12 <= 0 OR hy12 <= 0 THEN NULL ELSE
+       |    round(CAST(mi12 AS DOUBLE)
+       |      / sqrt(CAST(hx12 AS DOUBLE) * CAST(hy12 AS DOUBLE)), 6)
+       |    END AS nmi
+       |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
+
+  /** Hellinger distance of each group's binned value distribution
+    * against the rest — the bounded [0,1] drift metric whose square
+    * is additive over bins (PSI explodes on empty bins, KS ignores
+    * mass, Hellinger does neither):
+    *
+    *   H = √(1 − Σ_b √(p_b·q_b))
+    *
+    * The affinity terms √(p·q) are pre-rounded to the 1e-12 grid and
+    * summed as exact longs (same determinism discipline as
+    * [[mutualInformation]] — a float sum over bins would be
+    * partition-order dependent).
+    *
+    * @return (group, n_group, n_rest, hellinger round 6dp)
+    */
+  def hellingerAgainstRest(df: DataFrame, groupCol: String,
+      binExpr: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), binExpr.as("b"))
+    val gb = base.groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val ab = base.groupBy("b").agg(count(lit(1)).as("ct"))
+    val sizes = base.groupBy("g").agg(count(lit(1)).as("ng"))
+    val tot = base.agg(count(lit(1)).as("nt"))
+    val grid = sizes.select("g").crossJoin(ab)
+      .join(gb, Seq("g", "b"), "left")
+      .select(col("g"), col("b"), col("ct"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    grid.join(broadcast(sizes), Seq("g")).crossJoin(broadcast(tot))
+      .select(col("g"), col("ng"), (col("nt") - col("ng")).as("nr"),
+        round(sqrt((col("c").cast("double") / col("ng").cast("double"))
+            * ((col("ct") - col("c")).cast("double")
+              / (col("nt") - col("ng")).cast("double"))) * 1e12, 0)
+          .cast("long").as("aff12"))
+      .groupBy("g", "ng", "nr")
+      .agg(sum("aff12").as("s12"))
+      .select(col("g").as(groupCol), col("ng").as("n_group"),
+        col("nr").as("n_rest"),
+        round(sqrt(greatest(lit(0.0),
+          lit(1.0) - col("s12").cast("double") / 1e12)), 6)
+          .as("hellinger"))
+  }
+
+  /** DuckDB replay of [[hellingerAgainstRest]]; `binSql` is the bin
+    * expression over the table's columns. */
+  def hellingerOracleSql(table: String, groupCol: String,
+      binSql: String): String =
+    s"""WITH base AS (SELECT $groupCol AS g, $binSql AS b FROM $table),
+       |gb AS (SELECT g, b, count(*) AS c FROM base GROUP BY g, b),
+       |ab AS (SELECT b, count(*) AS ct FROM base GROUP BY b),
+       |sizes AS (SELECT g, count(*) AS ng FROM base GROUP BY g),
+       |tot AS (SELECT count(*) AS nt FROM base),
+       |grid AS (SELECT s.g, a.b, a.ct, coalesce(gb.c, 0) AS c
+       |  FROM sizes s CROSS JOIN ab a
+       |  LEFT JOIN gb ON gb.g = s.g AND gb.b = a.b),
+       |terms AS (SELECT gr.g, s.ng, t.nt - s.ng AS nr,
+       |    CAST(round(sqrt((gr.c / CAST(s.ng AS DOUBLE))
+       |      * ((gr.ct - gr.c) / CAST(t.nt - s.ng AS DOUBLE))) * 1e12, 0)
+       |      AS BIGINT) AS aff12
+       |  FROM grid gr JOIN sizes s USING (g) CROSS JOIN tot t)
+       |SELECT g AS $groupCol, CAST(ng AS BIGINT) AS n_group,
+       |  CAST(nr AS BIGINT) AS n_rest,
+       |  round(sqrt(greatest(0.0,
+       |    1.0 - CAST(sum(aff12) AS DOUBLE) / 1e12)), 6) AS hellinger
+       |FROM terms GROUP BY g, ng, nr""".stripMargin
 
   /** Exact Spearman rank correlation between two numeric columns —
     * the monotone-association probe beside [[corrMatrix]]'s linear

@@ -141,6 +141,106 @@ object RetrievalOps {
           .otherwise(col("_dcg") / col("_idcg")), 6).as("ndcg"))
   }
 
+  /** MRR and MAP@k of a scored run against binary labels — the two
+    * rank metrics nDCG (see [[ndcgAtK]]) doesn't cover: MRR reads
+    * "where is the FIRST hit", AP averages precision over every hit.
+    * Unlike the float-summed DCG, AP@k here is EXACT: precision@i
+    * terms share the common denominator L = lcm(1..k), so each term
+    * hits_i·(L/i) is an integer, the per-query sum is a long, and
+    *
+    *   AP@k = Σ_units / (L · min(n_rel, k)),  RR = 1 / first_rank
+    *
+    * are single IEEE divisions — no order-dependent float
+    * accumulation anywhere. Queries with no top-k hit score 0.
+    *
+    * Scale shape: like nDCG — the run is query-bounded; one window
+    * per query for ranks and running hit counts.
+    *
+    * @return (query_id, n_rel, first_rank, rr, ap) ; first_rank NULL
+    *         on a hitless query
+    */
+  def mapMrrAtK(run: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k in [1,20], got $k")
+    val L = (1 to k).foldLeft(1L)((a, i) =>
+      a / BigInt(a).gcd(BigInt(i)).toLong * i) // lcm(1..k)
+    val wRun = Window.partitionBy("query_id")
+      .orderBy(round(col("score"), 6).desc, col("cand_id"))
+    val ranked = run.withColumn("rank", row_number().over(wRun))
+      .filter(col("rank") <= k)
+    val lab = labels.filter(col("rel") > 0)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    val nRel = lab.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val wCum = Window.partitionBy("query_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val units = (1 to k).foldLeft(when(lit(false), lit(0L))) {
+      (acc, i) => acc.when(col("rank") === i, lit(L / i)) }
+    val scored = ranked.join(lab, Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .select(col("query_id"), col("rank"), col("hit"),
+        sum("hit").over(wCum).as("cum_hits"))
+      .groupBy("query_id")
+      .agg(min(when(col("hit") === 1, col("rank"))).as("first_rank"),
+        sum(when(col("hit") === 1, col("cum_hits") * units)
+          .otherwise(0L)).as("ap_units"))
+    scored.join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("first_rank"),
+        round(when(col("first_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rank")), 6).as("rr"),
+        round(when(coalesce(col("n_rel"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("ap_units").cast("double")
+            / (lit(L) * least(col("n_rel"), lit(k.toLong))).cast("double")),
+          6).as("ap"))
+  }
+
+  /** DuckDB replay of [[mapMrrAtK]] over the q170-shaped dense run
+    * (brute cosine, `nQueries` query vectors) and same-source labels.
+    */
+  def mapMrrOracleSql(nQueries: Int, k: Int): String = {
+    val L = (1 to k).foldLeft(1L)((a, i) =>
+      a / BigInt(a).gcd(BigInt(i)).toLong * i)
+    val units = (1 to k).map(i => s"WHEN $i THEN ${L / i}")
+      .mkString(" ")
+    s"""WITH run AS (
+       | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
+       |    c.vec_id) AS rank
+       | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       | WHERE q.vec_id < $nQueries),
+       |labels AS (
+       | SELECT q.doc_id AS query_id, c.doc_id AS cand_id, 1 AS hit
+       | FROM documents q JOIN documents c
+       |   ON q.source = c.source AND q.doc_id <> c.doc_id
+       | WHERE q.doc_id < $nQueries),
+       |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM labels GROUP BY query_id),
+       |sc AS (SELECT r.query_id, r.rank,
+       |    coalesce(l.hit, 0) AS hit,
+       |    sum(coalesce(l.hit, 0)) OVER (PARTITION BY r.query_id
+       |      ORDER BY r.rank ROWS UNBOUNDED PRECEDING) AS cum_hits
+       |  FROM run r LEFT JOIN labels l
+       |    ON r.query_id = l.query_id AND r.cand_id = l.cand_id
+       |  WHERE r.rank <= $k),
+       |agg AS (SELECT query_id,
+       |    min(CASE WHEN hit = 1 THEN rank END) AS first_rank,
+       |    CAST(sum(CASE WHEN hit = 1
+       |      THEN cum_hits * (CASE rank $units END)
+       |      ELSE 0 END) AS BIGINT) AS ap_units
+       |  FROM sc GROUP BY query_id)
+       |SELECT a.query_id, coalesce(n.n_rel, 0) AS n_rel,
+       |  CAST(a.first_rank AS INT) AS first_rank,
+       |  round(CASE WHEN a.first_rank IS NULL THEN 0.0
+       |    ELSE 1.0 / a.first_rank END, 6) AS rr,
+       |  round(CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0.0
+       |    ELSE CAST(a.ap_units AS DOUBLE)
+       |      / CAST($L * least(n.n_rel, $k) AS DOUBLE) END, 6) AS ap
+       |FROM agg a LEFT JOIN nrel n ON a.query_id = n.query_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle builders (replay the identical operation order).
   // ------------------------------------------------------------------

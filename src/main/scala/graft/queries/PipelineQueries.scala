@@ -812,6 +812,87 @@ object PipelineQueries {
       ProfileOps.giniIndex(Tables(s, d, "documents"), "source",
         "n_chars")),
 
+    // Nelson-Aalen cumulative hazard over the q272 censored
+    // time-to-purchase frame — the additive survival companion.
+    "q316_nelson_aalen" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val subj = ev.groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t_last"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("t_buy"))
+        .select(
+          (coalesce(col("t_buy"), col("t_last")) - col("t0"))
+            .as("span_us"),
+          col("t_buy").isNotNull.cast("int").as("ev"))
+        .select(expr("span_us div 3600000000").as("t_hours"), col("ev"))
+      graft.ops.EventOps.nelsonAalen(subj, "t_hours", "ev")
+    }),
+
+    // Wald SPRT sequential conversion monitor per arm — integer
+    // micro-grid LLR walk with pre-rounded boundaries, crossing
+    // index exact.
+    "q317_sprt" -> ((s, d) =>
+      graft.ops.EventOps.sprtMonitor(Tables(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type", "purchase")),
+
+    // MCC + macro-F1 of the trained scorer against the rule labels —
+    // the skew-robust confusion readout beside kappa (q157) and
+    // best-F1 (q273).
+    "q318_mcc" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val qual = TextOps.qualityScore(docs, "doc_id", "text",
+          TextOps.TrainedQualityWeights)
+        .select(col("id"), (col("quality") > 0.5).as("flag"))
+      val rules = TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("passes").as("flag"))
+      ProfileOps.mccReport(qual, rules)
+    }),
+
+    // MRR + exact MAP@10 of the dense run vs same-source labels —
+    // lcm-denominator integer AP, no float accumulation.
+    "q319_map_mrr" -> ((s, d) => {
+      val run = SimilarityOps.knnBrute(Tables(s, d, "embeddings"),
+          "vec_id", "embedding", col("vec_id") < 20, 10)
+        .select(col("query_id"), col("cand_id"), col("sim").as("score"))
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+      val labels = docs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"), col("source").as("qs"))
+        .join(docs.select(col("doc_id").as("cand_id"), col("source").as("cs")),
+          col("qs") === col("cs") && col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), lit(1.0).as("rel"))
+      RetrievalOps.mapMrrAtK(run, labels, 10)
+    }),
+
+    // Herfindahl-Hirschman supplier concentration per nation over
+    // lineitem revenue — decimal-exact share-of-squares.
+    "q320_hhi" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select(col("l_suppkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      val sup = Tables(s, d, "supplier").select(col("s_suppkey"),
+        col("s_nationkey"))
+      ProfileOps.hhiIndex(
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey")),
+        "s_nationkey", "s_suppkey", "cents")
+    }),
+
+    // Mutual information between source and the rule-pass flag —
+    // feature relevance in nats, 1e-12-grid exact term sums.
+    "q321_mutual_info" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val rules = TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("passes"))
+      ProfileOps.normalizedMutualInfo(
+        docs.select(col("doc_id"), col("source")).join(rules, "doc_id"),
+        "source", "passes")
+    }),
+
+    // Hellinger drift of each source's length distribution vs rest —
+    // the bounded bin-additive companion of PSI/KS/W1.
+    "q322_hellinger" -> ((s, d) =>
+      ProfileOps.hellingerAgainstRest(Tables(s, d, "documents"),
+        "source", expr("n_chars div 256").cast("long"))),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3611,6 +3692,43 @@ object PipelineQueries {
 
     "q315_gini" -> ProfileOps.giniOracleSql(
       "documents", "source", "n_chars"),
+
+    "q316_nelson_aalen" -> graft.ops.EventOps.nelsonAalenOracleSql(
+      """SELECT (coalesce(t_buy, t_last) - t0) // 3600000000 AS t,
+        |  CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |FROM (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t_last,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS t_buy
+        |  FROM events GROUP BY user_id) u""".stripMargin),
+
+    "q317_sprt" -> graft.ops.EventOps.sprtOracleSql(
+      "events", "user_id", "ts", "event_id", "event_type", "purchase"),
+
+    "q318_mcc" -> ProfileOps.mccOracleSql(
+      s"SELECT doc_id AS id, quality > 0.5 AS flag FROM (\n" +
+        s"${qualityOracleSql(TextOps.TrainedQualityWeights)}) q",
+      "WITH plain AS (SELECT doc_id, text AS t FROM documents),\n" +
+        rulesOracleBody("plain") +
+        "SELECT doc_id AS id, passes = 1 AS flag FROM pr"),
+
+    "q319_map_mrr" -> RetrievalOps.mapMrrOracleSql(nQueries = 20, k = 10),
+
+    "q320_hhi" -> ProfileOps.hhiOracleSql(
+      """(SELECT s_nationkey, s_suppkey,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey) j"""
+        .stripMargin,
+      "s_nationkey", "s_suppkey", "cents"),
+
+    "q321_mutual_info" -> ProfileOps.normalizedMutualInfoOracleSql(
+      s"""(WITH plain AS (SELECT doc_id, text AS t FROM documents),
+         |${rulesOracleBody("plain")}
+         |SELECT d.source, pr.passes FROM pr
+         |JOIN documents d USING (doc_id)) j""".stripMargin,
+      "source", "passes"),
+
+    "q322_hellinger" -> ProfileOps.hellingerOracleSql(
+      "documents", "source", "n_chars // 256"),
 
     "q294_t_closeness" ->
       """WITH cell AS (SELECT source, lang,
