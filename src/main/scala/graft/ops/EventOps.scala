@@ -1081,6 +1081,184 @@ object EventOps {
        |    ELSE 'continue' END AS decision
        |FROM agg""".stripMargin
 
+  /** Post-stratified ATE: the treated-vs-control mean difference
+    * computed WITHIN each stratum and recombined with population
+    * stratum weights — the standard repair when assignment is
+    * imbalanced across a covariate (a lucky skew of heavy users into
+    * one arm moves the naive diff; the stratified estimate nets it
+    * out). Emits one row per stratum plus the weighted 'ALL' row
+    * (stratum = −1):
+    *
+    *   ATE = Σ_s (n_s/N) · (ȳ_T,s − ȳ_C,s)
+    *
+    * Exact: cell means are half-up micro longs; the weighted
+    * recombination Σ n_s·diff_s is long arithmetic with ONE final
+    * half-up division by N. Strata with an empty arm contribute a
+    * NULL diff and are EXCLUDED from the ALL row (their N drops from
+    * the denominator) — spelled identically in the oracle.
+    *
+    * @return (stratum, n_t, n_c, m_t, m_c, diff)
+    */
+  def postStratifiedAte(events: DataFrame, userCol: String,
+      typeCol: String, valueCol: String, convType: String,
+      nStrata: Int = 5): DataFrame = {
+    require(nStrata >= 2, s"need >= 2 strata, got $nStrata")
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(sum(when(col(typeCol) === convType, cents).otherwise(0L))
+        .as("x"))
+      .select(pmod(col("u"), lit(nStrata.toLong)).as("stratum"),
+        pmod(col("u"), lit(2L)).as("arm"), col("x"))
+    val cells = per.groupBy("stratum").agg(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("s_t"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("s_c"))
+    val strat = cells.select(col("stratum"), col("n_t"), col("n_c"),
+      when(col("n_t") === 0, lit(null))
+        .otherwise(exactDiv(col("s_t") * 20000 + col("n_t"),
+          col("n_t") * 2)).as("mt6"),
+      when(col("n_c") === 0, lit(null))
+        .otherwise(exactDiv(col("s_c") * 20000 + col("n_c"),
+          col("n_c") * 2)).as("mc6"))
+      .select(col("stratum"), col("n_t"), col("n_c"), col("mt6"),
+        col("mc6"), (col("mt6") - col("mc6")).as("d6"))
+    val all = strat.where(col("d6").isNotNull)
+      .agg(sum(col("n_t")).as("n_t"), sum(col("n_c")).as("n_c"),
+        sum((col("n_t") + col("n_c")) * col("d6")).as("wd"),
+        sum(col("n_t") + col("n_c")).as("nn"))
+      .select(lit(-1L).as("stratum"), col("n_t"), col("n_c"),
+        lit(null).cast("long").as("mt6"),
+        lit(null).cast("long").as("mc6"),
+        // signed half-up wd/nn: floor((2wd + nn) / (2nn))
+        (((col("wd") * 2 + col("nn"))
+          - pmod(col("wd") * 2 + col("nn"), col("nn") * 2))
+          / (col("nn") * 2)).cast("long").as("d6"))
+    strat.unionByName(all)
+      .select(col("stratum"), col("n_t"), col("n_c"),
+        (col("mt6").cast("double") / 1e6).as("m_t"),
+        (col("mc6").cast("double") / 1e6).as("m_c"),
+        (col("d6").cast("double") / 1e6).as("diff"))
+  }
+
+  /** DuckDB replay of [[postStratifiedAte]]. */
+  def postStratifiedAteOracleSql(table: String, userCol: String,
+      typeCol: String, valueCol: String, convType: String,
+      nStrata: Int = 5): String =
+    s"""WITH per AS (SELECT $userCol % $nStrata AS stratum,
+       |    $userCol % 2 AS arm,
+       |    CAST(sum(CASE WHEN $typeCol = '$convType'
+       |      THEN CAST(round(CAST($valueCol AS DOUBLE) * 100) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS x
+       |  FROM $table GROUP BY $userCol),
+       |cells AS (SELECT stratum,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS s_t,
+       |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS s_c
+       |  FROM per GROUP BY stratum),
+       |strat AS (SELECT stratum, n_t, n_c,
+       |    CASE WHEN n_t = 0 THEN NULL
+       |      ELSE (s_t * 20000 + n_t) // (n_t * 2) END AS mt6,
+       |    CASE WHEN n_c = 0 THEN NULL
+       |      ELSE (s_c * 20000 + n_c) // (n_c * 2) END AS mc6
+       |  FROM cells),
+       |strat2 AS (SELECT *, mt6 - mc6 AS d6 FROM strat),
+       |allr AS (SELECT CAST(-1 AS BIGINT) AS stratum,
+       |    CAST(sum(n_t) AS BIGINT) AS n_t,
+       |    CAST(sum(n_c) AS BIGINT) AS n_c,
+       |    CAST(NULL AS BIGINT) AS mt6, CAST(NULL AS BIGINT) AS mc6,
+       |    ((sum((n_t + n_c) * d6) * 2 + sum(n_t + n_c))
+       |      - (((sum((n_t + n_c) * d6) * 2 + sum(n_t + n_c))
+       |          % (sum(n_t + n_c) * 2) + sum(n_t + n_c) * 2)
+       |        % (sum(n_t + n_c) * 2)))
+       |      // (sum(n_t + n_c) * 2) AS d6
+       |  FROM strat2 WHERE d6 IS NOT NULL)
+       |SELECT stratum, n_t, n_c,
+       |  CAST(mt6 AS DOUBLE) / 1e6 AS m_t,
+       |  CAST(mc6 AS DOUBLE) / 1e6 AS m_c,
+       |  CAST(d6 AS DOUBLE) / 1e6 AS diff
+       |FROM (SELECT * FROM strat2 UNION ALL SELECT * FROM allr) u""".stripMargin
+
+  /** Cochran–Mantel–Haenszel pooled odds ratio across stratified 2×2
+    * tables (exposure = treated arm, outcome = user converted,
+    * strata = covariate buckets) — THE classic confounding-robust
+    * association pool (Simpson's-paradox insurance: per-stratum odds
+    * pool correctly even when the marginal table flips):
+    *
+    *   OR_CMH = Σ_s (a_s·d_s/n_s) / Σ_s (b_s·c_s/n_s)
+    *
+    * Each stratum term is one IEEE expression over exact longs,
+    * pre-rounded to the 1e-6 grid and summed as longs (the
+    * [[graft.ops.ProfileOps.normalizedMutualInfo]] determinism
+    * discipline).
+    *
+    * @return one row (n_strata, sum_ad, sum_bc, or_cmh, ln_or) 6dp
+    */
+  def cmhOddsRatio(events: DataFrame, userCol: String,
+      typeCol: String, convType: String,
+      nStrata: Int = 5): DataFrame = {
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L))
+        .as("y"))
+      .select(pmod(col("u"), lit(nStrata.toLong)).as("stratum"),
+        pmod(col("u"), lit(2L)).as("e"), col("y"))
+    val cells = per.groupBy("stratum").agg(
+      sum(when(col("e") === 1 && col("y") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("e") === 1 && col("y") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("e") === 0 && col("y") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("e") === 0 && col("y") === 0, 1L).otherwise(0L)).as("d"))
+    def t6(num: Column): Column =
+      round(num.cast("double") * 1e6
+        / (col("a") + col("b") + col("c") + col("d")).cast("double"), 0)
+        .cast("long")
+    cells.agg(count(lit(1)).as("n_strata"),
+        sum(t6(col("a") * col("d"))).as("ad6"),
+        sum(t6(col("b") * col("c"))).as("bc6"))
+      .select(col("n_strata"),
+        (col("ad6").cast("double") / 1e6).as("sum_ad"),
+        (col("bc6").cast("double") / 1e6).as("sum_bc"),
+        when(col("bc6") === 0, lit(null).cast("double"))
+          .otherwise(round(col("ad6").cast("double")
+            / col("bc6").cast("double"), 6)).as("or_cmh"),
+        when(col("bc6") === 0 || col("ad6") === 0,
+            lit(null).cast("double"))
+          .otherwise(round(log(col("ad6").cast("double")
+            / col("bc6").cast("double")), 6)).as("ln_or"))
+  }
+
+  /** DuckDB replay of [[cmhOddsRatio]]. */
+  def cmhOracleSql(table: String, userCol: String, typeCol: String,
+      convType: String, nStrata: Int = 5): String =
+    s"""WITH per AS (SELECT $userCol % $nStrata AS stratum,
+       |    $userCol % 2 AS e,
+       |    max(CASE WHEN $typeCol = '$convType' THEN 1 ELSE 0 END) AS y
+       |  FROM $table GROUP BY $userCol),
+       |cells AS (SELECT stratum,
+       |    CAST(sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM per GROUP BY stratum),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+       |    CAST(sum(CAST(round(CAST(a * d AS DOUBLE) * 1e6
+       |      / CAST(a + b + c + d AS DOUBLE), 0) AS BIGINT)) AS BIGINT)
+       |      AS ad6,
+       |    CAST(sum(CAST(round(CAST(b * c AS DOUBLE) * 1e6
+       |      / CAST(a + b + c + d AS DOUBLE), 0) AS BIGINT)) AS BIGINT)
+       |      AS bc6
+       |  FROM cells)
+       |SELECT n_strata,
+       |  CAST(ad6 AS DOUBLE) / 1e6 AS sum_ad,
+       |  CAST(bc6 AS DOUBLE) / 1e6 AS sum_bc,
+       |  CASE WHEN bc6 = 0 THEN NULL ELSE
+       |    round(CAST(ad6 AS DOUBLE) / CAST(bc6 AS DOUBLE), 6)
+       |    END AS or_cmh,
+       |  CASE WHEN bc6 = 0 OR ad6 = 0 THEN NULL ELSE
+       |    round(ln(CAST(ad6 AS DOUBLE) / CAST(bc6 AS DOUBLE)), 6)
+       |    END AS ln_or
+       |FROM agg""".stripMargin
+
   /** CUPED variance-reduced A/B readout (Deng et al. 2013, "Improving
     * the Sensitivity of Online Controlled Experiments"): each user's
     * post-period metric y is adjusted by their PRE-period covariate x

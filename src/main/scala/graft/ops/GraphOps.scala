@@ -546,14 +546,69 @@ object GraphOps {
     * @return (node, degree, pr_units, pr) ; Σ pr_units ≤ 10^9
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 4): DataFrame = {
+      iters: Int = 4, driverMaxEdges: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
+    // localCheckpoint: the edge frame feeds every iteration's join
+    // AND the degree/teleport aggregates — without it each of the
+    // ~2·iters plan references re-derives the caller's whole edge
+    // construction (e.g. q309's basket-pair mining re-ran per step)
     val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    // bounded DRIVER fast path (the connectedComponents discipline):
+    // an iterative algorithm over a model-scale graph pays one Spark
+    // job per half-step in the distributed loop — when the canonical
+    // edge list fits the driver comfortably, the identical integer
+    // recurrence runs in-process (long arithmetic is order-free, so
+    // the result is bit-identical to the loop by construction; the
+    // RankSketchSpec parity test pins it). The distributed loop below
+    // is the declared scale path.
+    if (driverMaxEdges > 0 && e.count() <= driverMaxEdges) {
+      val spark = edges.sparkSession
+      val rows = e.collect()
+      val adj = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+      rows.foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer
+          .empty[Any]) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer
+          .empty[Any]) += a
+      }
+      val n = adj.size.toLong
+      val unit = 1000000000L / n
+      var pr = adj.keys.map(_ -> unit).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.HashMap.empty[Any, Long]
+          .withDefaultValue(0L)
+        adj.foreach { case (v, ns) =>
+          val c = pr(v) / ns.length
+          ns.foreach(w => in(w) += c)
+        }
+        pr = adj.keys.map(v =>
+          v -> (15L * unit + 85L * in(v) + 50L) / 100L).toMap
+      }
+      val out = adj.keys.toSeq.map { v =>
+        org.apache.spark.sql.Row(v, adj(v).length.toLong, pr(v),
+          pr(v).toDouble / 1e9)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          e.schema("a").dataType),
+        org.apache.spark.sql.types.StructField("degree",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pr_units",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pr",
+          org.apache.spark.sql.types.DoubleType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1), schema)
+    }
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val u = deg.agg(count(lit(1)).as("n"))
       .select(col("n"), ((lit(1000000000L) - pmod(lit(1000000000L),
         col("n"))) / col("n")).cast("long").as("unit"))
@@ -572,6 +627,9 @@ object GraphOps {
         .select(col("v"),
           idiv(lit(15L) * col("unit") + lit(85L) * coalesce(col("s"),
             lit(0L)) + 50, lit(100L)).as("pr"))
+        // plan cut per iteration (node-scale frame): keeps the final
+        // join from re-deriving the whole iteration chain
+        .localCheckpoint()
     }
     pr.join(deg.withColumnRenamed("src", "v"), Seq("v"))
       .select(col("v").as("node"), col("outdeg").as("degree"),
@@ -594,10 +652,41 @@ object GraphOps {
     * @return (side 'hub'|'auth', node, score_units, score)
     */
   def hits(edges: DataFrame, hubCol: String, authCol: String,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, driverMaxEdges: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters in [1,8], got $iters")
+    // localCheckpoint: same rationale as [[pagerank]] — the edge
+    // frame is referenced by every half-step's join
     val e = edges.select(col(hubCol).cast("string").as("h"),
       col(authCol).cast("string").as("a")).distinct()
+      .localCheckpoint()
+    // bounded driver fast path — see [[pagerank]]; long arithmetic
+    // (sums, one truncating division by the max) is order-free, so
+    // the in-process recurrence is bit-identical to the loop
+    if (driverMaxEdges > 0 && e.count() <= driverMaxEdges) {
+      val spark = edges.sparkSession
+      val rows = e.collect().map(r => (r.getString(0), r.getString(1)))
+      val hubs = rows.map(_._1).distinct
+      val auths = rows.map(_._2).distinct
+      val M = 1000000L
+      var hub = hubs.map(_ -> M).toMap
+      var auth = auths.map(_ -> M).toMap
+      for (_ <- 1 to iters) {
+        val aRaw = scala.collection.mutable.HashMap.empty[String, Long]
+          .withDefaultValue(0L)
+        rows.foreach { case (h, a) => aRaw(a) += hub(h) }
+        val aMx = aRaw.values.max
+        auth = auths.map(a => a -> (aRaw(a) * M) / aMx).toMap
+        val hRaw = scala.collection.mutable.HashMap.empty[String, Long]
+          .withDefaultValue(0L)
+        rows.foreach { case (h, a) => hRaw(h) += auth(a) }
+        val hMx = hRaw.values.max
+        hub = hubs.map(h => h -> (hRaw(h) * M) / hMx).toMap
+      }
+      import spark.implicits._
+      return (hubs.map(h => ("hub", h, hub(h), hub(h).toDouble / 1e6))
+        ++ auths.map(a => ("auth", a, auth(a), auth(a).toDouble / 1e6)))
+        .toSeq.toDF("side", "node", "score_units", "score")
+    }
     def idiv(x: Column, b: Column): Column =
       ((x - pmod(x, b)) / b).cast("long")
     val M = 1000000L
@@ -605,17 +694,23 @@ object GraphOps {
       .select(col("v"), lit(M).as("s"))
     var auth = e.select(col("a").as("v")).distinct()
       .select(col("v"), lit(M).as("s"))
+    // each half-step's state is checkpointed: the hub/auth frames
+    // reference EACH OTHER, so without a plan cut the final union
+    // re-evaluates the alternating chain ~2^iters times (node-scale
+    // frames — the cut is cheap, the re-evaluation is not)
     for (_ <- 1 to iters) {
       val aRaw = e.join(hub.withColumnRenamed("v", "h"), Seq("h"))
         .groupBy(col("a").as("v")).agg(sum("s").as("raw"))
       val aMax = aRaw.agg(max("raw").as("mx"))
       auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("v"), idiv(col("raw") * M, col("mx")).as("s"))
+        .localCheckpoint()
       val hRaw = e.join(auth.withColumnRenamed("v", "a"), Seq("a"))
         .groupBy(col("h").as("v")).agg(sum("s").as("raw"))
       val hMax = hRaw.agg(max("raw").as("mx"))
       hub = hRaw.crossJoin(broadcast(hMax))
         .select(col("v"), idiv(col("raw") * M, col("mx")).as("s"))
+        .localCheckpoint()
     }
     hub.select(lit("hub").as("side"), col("v").as("node"),
         col("s").as("score_units"),

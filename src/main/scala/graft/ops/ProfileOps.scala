@@ -1581,6 +1581,82 @@ object ProfileOps {
        |    1.0 - CAST(sum(aff12) AS DOUBLE) / 1e12)), 6) AS hellinger
        |FROM terms GROUP BY g, ng, nr""".stripMargin
 
+  /** Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    * per-group binary rates toward the corpus mean — the estimator
+    * behind every "rank items by conversion rate without letting a
+    * 1-of-1 item beat a 980-of-1000 one" readout. Prior strength M
+    * is fitted from the data, not guessed:
+    *
+    *   p̄ = Σx/Σn,  v = Σn(r_g − p̄)²/Σn,  M = p̄(1−p̄)/v − 1
+    *   shrunk_g = (x_g + M·p̄) / (n_g + M)
+    *
+    * All sufficient statistics are exact longs/decimals; v uses the
+    * exact expansion Σn·r² = Σx²/n pre-rounded to the 1e-12 grid and
+    * summed as longs (the usual determinism discipline), and M and
+    * every shrunk rate are fixed IEEE trees over them. M (and the
+    * shrunk column) is NULL when the between-group variance doesn't
+    * exceed binomial noise (v ≤ 0 or M ≤ 0 — nothing to shrink
+    * toward, report raw).
+    *
+    * @return per group: (group, n, x, raw_rate, shrunk_rate, m_prior)
+    */
+  def ebShrunkRates(df: DataFrame, groupCol: String,
+      flagCol: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(flagCol.cast("long")).as("x"))
+    val tot = g.agg(sum("n").as("nn"), sum("x").as("xx"),
+      sum(round((col("x") * col("x")).cast("double")
+          / col("n").cast("double") * 1e12, 0).cast("decimal(38,0)"))
+        .as("sq12"))
+    val pbar = col("xx").cast("double") / col("nn").cast("double")
+    // v = (Σ x²/n)/N − p̄²  (weighted between-group variance of rates)
+    val v = col("sq12").cast("double") / 1e12 / col("nn").cast("double") -
+      pbar * pbar
+    val m = pbar * (lit(1.0) - pbar) / v - 1.0
+    g.crossJoin(broadcast(tot))
+      .select(col("grp").as(groupCol), col("n"), col("x"),
+        round(col("x").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate"),
+        // nested guards: m divides by v, so v <= 0 must short-circuit
+        // BEFORE m is evaluated (Spark ANSI errors on x/0)
+        when(v <= 0.0, lit(null).cast("double"))
+          .otherwise(when(m <= 0.0, lit(null).cast("double"))
+            .otherwise(round((col("x").cast("double") + m * pbar)
+              / (col("n").cast("double") + m), 6))).as("shrunk_rate"),
+        when(v <= 0.0, lit(null).cast("double"))
+          .otherwise(when(m <= 0.0, lit(null).cast("double"))
+            .otherwise(round(m, 6))).as("m_prior"))
+  }
+
+  /** DuckDB replay of [[ebShrunkRates]]; `flagExpr` is 0/1. */
+  def ebShrunkRatesOracleSql(table: String, groupCol: String,
+      flagExpr: String): String =
+    s"""WITH g AS (SELECT $groupCol AS grp,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum($flagExpr) AS BIGINT) AS x
+       |  FROM $table GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(x) AS BIGINT) AS xx,
+       |    sum(CAST(round(CAST(x * x AS DOUBLE) / CAST(n AS DOUBLE)
+       |      * 1e12, 0) AS HUGEINT)) AS sq12
+       |  FROM g),
+       |f AS (SELECT nn, xx, sq12,
+       |    CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) AS pbar,
+       |    CAST(sq12 AS DOUBLE) / 1e12 / CAST(nn AS DOUBLE)
+       |      - (CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))
+       |        * (CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)) AS v
+       |  FROM tot),
+       |f2 AS (SELECT *, pbar * (1.0 - pbar) / v - 1.0 AS m FROM f)
+       |SELECT grp AS $groupCol, n, x,
+       |  round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+       |  CASE WHEN v <= 0.0 OR m <= 0.0 THEN NULL ELSE
+       |    round((CAST(x AS DOUBLE) + m * pbar)
+       |      / (CAST(n AS DOUBLE) + m), 6) END AS shrunk_rate,
+       |  CASE WHEN v <= 0.0 OR m <= 0.0 THEN NULL ELSE round(m, 6)
+       |    END AS m_prior
+       |FROM g CROSS JOIN f2""".stripMargin
+
   /** Exact Spearman rank correlation between two numeric columns —
     * the monotone-association probe beside [[corrMatrix]]'s linear
     * Pearson (a saturating quality-vs-length relation scores ~1 here

@@ -677,4 +677,110 @@ object TimeSeriesOps {
        |  CAST(ew AS DOUBLE) / 1e6 AS ewma, fl AS is_anom
        |FROM r""".stripMargin
   }
+
+  /** Holt double-exponential (level + trend) smoothing of the daily
+    * mean series per key, with the one-step-ahead forecast error —
+    * the trend-aware sibling of [[ewmaBand]] (EWMA lags a trending
+    * series by design; Holt's trend state removes that lag, and the
+    * forecast column IS the backtest):
+    *
+    *   l_t = ½(v_t + (l+b)),  b_t = ½((l_t − l) + b),  ŷ_t = l + b
+    *
+    * (α = β = ½.) All states are half-up micro-grid longs via
+    * explicit FLOOR division `(2x+d − posmod(2x+d, 2d)) / (2d)` —
+    * the trend can be NEGATIVE, where Spark's `div` and DuckDB's
+    * `//` both truncate toward zero and would disagree with the
+    * half-up contract; positive-mod floor division is sign-safe and
+    * identical in both engines. Same recurrence machinery as EWMA:
+    * per-key sorted fold (series length = day count, bounded), one
+    * shuffle on key.
+    *
+    * @return (k, day, v, level, trend, fcst, err) — micro-exact 6dp
+    */
+  def holtTrend(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val obs = events.groupBy(col(keyCol).as("k"),
+        unix_micros(date_trunc("day", col(tsCol))).as("du"))
+      .agg(sum(round(col(valueCol).cast("double") * 100).cast("long"))
+          .as("s"),
+        count(lit(1)).as("n"))
+      .select(col("k"), col("du"),
+        expr("(2 * s * 10000 + n) div (2 * n)").as("v6"))
+    // signed half-up x/d on the micro grid: floor((2x + d) / (2d))
+    def hup(x: String, d: Int): String = {
+      val a = s"(2 * ($x) + $d)"
+      val m = 2 * d
+      s"(($a - (pmod($a, $m))) div $m)"
+    }
+    val lStep = hup("x.v6 + acc.l + acc.b", 2)
+    val folded = obs.groupBy("k")
+      .agg(array_sort(collect_list(struct(col("du"), col("v6"))))
+        .as("xs"))
+      .select(col("k"), explode(expr(
+        s"""aggregate(xs,
+           |  named_struct('first', cast(1 as int),
+           |    'l', cast(0 as bigint), 'b', cast(0 as bigint), 'out',
+           |    cast(array() as array<struct<du:bigint,v6:bigint,
+           |      l:bigint,b:bigint,fcst:bigint,err:bigint>>)),
+           |  (acc, x) -> named_struct(
+           |    'first', 0,
+           |    'l', CASE WHEN acc.first = 1 THEN x.v6 ELSE $lStep END,
+           |    'b', CASE WHEN acc.first = 1 THEN cast(0 as bigint)
+           |      ELSE ${hup(s"($lStep - acc.l) + acc.b", 2)} END,
+           |    'out', acc.out || array(named_struct(
+           |      'du', x.du, 'v6', x.v6,
+           |      'l', CASE WHEN acc.first = 1 THEN x.v6 ELSE $lStep END,
+           |      'b', CASE WHEN acc.first = 1 THEN cast(0 as bigint)
+           |        ELSE ${hup(s"($lStep - acc.l) + acc.b", 2)} END,
+           |      'fcst', CASE WHEN acc.first = 1
+           |        THEN cast(null as bigint) ELSE acc.l + acc.b END,
+           |      'err', CASE WHEN acc.first = 1
+           |        THEN cast(null as bigint)
+           |        ELSE x.v6 - (acc.l + acc.b) END))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+    folded.select(col("k"), timestamp_micros(col("r.du")).as("day"),
+      (col("r.v6").cast("double") / 1e6).as("v"),
+      (col("r.l").cast("double") / 1e6).as("level"),
+      (col("r.b").cast("double") / 1e6).as("trend"),
+      (col("r.fcst").cast("double") / 1e6).as("fcst"),
+      (col("r.err").cast("double") / 1e6).as("err"))
+  }
+
+  /** DuckDB replay of [[holtTrend]] (recursive CTE; floor division
+    * spelled with a positive mod, matching the Spark fold). */
+  def holtOracleSql(table: String, keyCol: String, tsCol: String,
+      valueCol: String): String = {
+    def hup(x: String, d: Int): String = {
+      val a = s"(2 * ($x) + $d)"
+      val m = 2 * d
+      s"(($a - ((($a) % $m + $m) % $m)) // $m)"
+    }
+    val lStep = hup("o.v6 + r.l + r.b", 2)
+    s"""WITH RECURSIVE obs0 AS (SELECT $keyCol AS k,
+       |    epoch_us(date_trunc('day', $tsCol)) AS du,
+       |    CAST(sum(CAST(round(CAST($valueCol AS DOUBLE) * 100)
+       |      AS BIGINT)) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM $table GROUP BY 1, 2),
+       |obs AS (SELECT k, du, (2 * s * 10000 + n) // (2 * n) AS v6,
+       |    row_number() OVER (PARTITION BY k ORDER BY du) AS i
+       |  FROM obs0),
+       |r AS (
+       |  SELECT k, i, du, v6, v6 AS l, CAST(0 AS BIGINT) AS b,
+       |    CAST(NULL AS BIGINT) AS fcst, CAST(NULL AS BIGINT) AS err
+       |  FROM obs WHERE i = 1
+       |  UNION ALL
+       |  SELECT o.k, o.i, o.du, o.v6,
+       |    $lStep,
+       |    ${hup(s"($lStep - r.l) + r.b", 2)},
+       |    r.l + r.b, o.v6 - (r.l + r.b)
+       |  FROM obs o JOIN r ON o.k = r.k AND o.i = r.i + 1)
+       |SELECT k, make_timestamp(du) AS day,
+       |  CAST(v6 AS DOUBLE) / 1e6 AS v,
+       |  CAST(l AS DOUBLE) / 1e6 AS level,
+       |  CAST(b AS DOUBLE) / 1e6 AS trend,
+       |  CAST(fcst AS DOUBLE) / 1e6 AS fcst,
+       |  CAST(err AS DOUBLE) / 1e6 AS err
+       |FROM r""".stripMargin
+  }
 }

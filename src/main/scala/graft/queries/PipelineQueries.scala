@@ -800,8 +800,13 @@ object PipelineQueries {
         col("l_partkey"))
       val p = Tables(s, d, "part").select(col("p_partkey"),
         col("p_brand"))
-      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // orders is a 2-column dim here -> broadcast both sides of the
+      // derivation; dedup the (order, brand) grid BEFORE attaching
+      // custkey so the distinct runs on the smallest frame
+      val edges = li
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("h"), col("p_brand").as("a"))
       graft.ops.GraphOps.hits(edges, "h", "a")
     }),
@@ -892,6 +897,37 @@ object PipelineQueries {
     "q322_hellinger" -> ((s, d) =>
       ProfileOps.hellingerAgainstRest(Tables(s, d, "documents"),
         "source", expr("n_chars div 256").cast("long"))),
+
+    // Holt level+trend smoothing of daily mean value per event type
+    // with the one-step-ahead forecast error — sign-safe micro-grid
+    // recurrence, recursive-CTE oracle.
+    "q323_holt_trend" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.holtTrend(Tables(s, d, "events"),
+        "event_type", "ts", "value")),
+
+    // Post-stratified ATE over user-hash strata plus the weighted
+    // ALL row — covariate-imbalance-robust experiment readout.
+    "q324_poststrat_ate" -> ((s, d) =>
+      graft.ops.EventOps.postStratifiedAte(Tables(s, d, "events"),
+        "user_id", "event_type", "value", "purchase")),
+
+    // Cochran-Mantel-Haenszel pooled odds ratio across the same
+    // strata — Simpson's-paradox-proof association pooling.
+    "q325_cmh_or" -> ((s, d) =>
+      graft.ops.EventOps.cmhOddsRatio(Tables(s, d, "events"),
+        "user_id", "event_type", "purchase")),
+
+    // Empirical-Bayes beta-binomial shrinkage of per-brand return
+    // rates — method-of-moments prior strength, rank-safe rates.
+    "q326_eb_shrink" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select(col("l_partkey"),
+        (col("l_returnflag") === "R").as("ret"))
+      val part = Tables(s, d, "part").select(col("p_partkey"),
+        col("p_brand"))
+      ProfileOps.ebShrunkRates(
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey")),
+        "p_brand", col("ret"))
+    }),
 
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
@@ -3729,6 +3765,21 @@ object PipelineQueries {
 
     "q322_hellinger" -> ProfileOps.hellingerOracleSql(
       "documents", "source", "n_chars // 256"),
+
+    "q323_holt_trend" -> graft.ops.TimeSeriesOps.holtOracleSql(
+      "events", "event_type", "ts", "value"),
+
+    "q324_poststrat_ate" -> graft.ops.EventOps.postStratifiedAteOracleSql(
+      "events", "user_id", "event_type", "value", "purchase"),
+
+    "q325_cmh_or" -> graft.ops.EventOps.cmhOracleSql(
+      "events", "user_id", "event_type", "purchase"),
+
+    "q326_eb_shrink" -> ProfileOps.ebShrunkRatesOracleSql(
+      """(SELECT p_brand, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        |  AS ret FROM lineitem JOIN part ON l_partkey = p_partkey) j"""
+        .stripMargin,
+      "p_brand", "ret"),
 
     "q294_t_closeness" ->
       """WITH cell AS (SELECT source, lang,

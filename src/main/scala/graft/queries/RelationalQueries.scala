@@ -247,26 +247,47 @@ object RelationalQueries {
     }),
 
     // Entity-resolution best-match: for each part, the closest OTHER
-    // part name by Levenshtein distance within its first-token block
-    // — blocking bounds the quadratic to block-local candidates (the
-    // standard record-linkage shape); deterministic tie-break on
-    // (distance, partkey); codegen'd levenshtein, no UDF.
+    // part name by Levenshtein distance within its first-token block,
+    // deterministic tie-break on (distance, partkey). The quadratic
+    // runs on the DISTINCT-NAME level (names repeat heavily — the
+    // dedup-first discipline): levenshtein over name×name block pairs
+    // (|names|² bounded), then each part picks its best candidate
+    // name's minimum available partkey — for the part's OWN name
+    // that's the name's min key (second-min when the part IS the
+    // min), for other names the min key. Equivalent to the row-level
+    // quadratic by construction (the best representative of a
+    // candidate name is always its smallest available key); the
+    // oracle stays the FULL row-level brute force, so the hash match
+    // proves the rewrite lossless on every run.
     "q296_name_match" -> ((s, d) => {
       val p = Tables(s, d, "part")
         .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
           substring_index(col("p_name"), " ", 1).as("blk"))
-      val cand = p.join(
-        p.select(col("pk").as("pk2"), col("nm").as("nm2"),
-          col("blk")), Seq("blk"))
-        .where(col("pk") =!= col("pk2"))
-        .select(col("pk"), col("nm"), col("pk2"),
-          levenshtein(col("nm"), col("nm2")).as("dist"))
+      val m1 = p.groupBy("blk", "nm")
+        .agg(count(lit(1)).as("cnt"), min("pk").as("m1"))
+      val m2 = p.join(m1.select(col("nm").as("nm_"), col("m1")),
+          col("nm") === col("nm_") && col("pk") > col("m1"))
+        .groupBy("nm").agg(min("pk").as("m2"))
+      val names = m1.join(m2, Seq("nm"), "left")
+      val nmPairs = names.select(col("blk"), col("nm"))
+        .join(names.select(col("blk"), col("nm").as("nm2"),
+          col("cnt").as("cnt2"), col("m1").as("m1_2"),
+          col("m2").as("m2_2")), Seq("blk"))
+        .select(col("nm"), col("nm2"), col("cnt2"), col("m1_2"),
+          col("m2_2"), levenshtein(col("nm"), col("nm2")).as("dist"))
+      val cand = p.join(broadcast(nmPairs), Seq("nm"))
+        .select(col("pk"), col("dist"),
+          when(col("nm2") === col("nm"),
+            when(col("m1_2") === col("pk"), col("m2_2"))
+              .otherwise(col("m1_2")))
+            .otherwise(col("m1_2")).as("pk2"))
+        .where(col("pk2").isNotNull)
       val w = Window.partitionBy("pk")
         .orderBy(col("dist").asc, col("pk2").asc)
       cand.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("pk").as("p_partkey"), col("pk2").as("best_key"),
-          col("dist"))
+          col("dist").cast("int").as("dist"))
     }),
 
     // As-of join: most recent prior click before each purchase.

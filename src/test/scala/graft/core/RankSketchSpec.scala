@@ -31,6 +31,25 @@ class RankSketchSpec extends SparkSpec {
     assert(prs.head * 4 <= 1000000000L && prs.head * 4 > 999999000L)
   }
 
+  test("pagerank/hits: driver fast path is bit-identical to the loop") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("a", "c"), ("b", "e")).toDF("s", "t")
+    val fast = GraphOps.pagerank(edges, "s", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val loop = GraphOps.pagerank(edges, "s", "t", driverMaxEdges = 0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(fast.toSeq == loop.toSeq)
+    val hFast = GraphOps.hits(edges, "s", "t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    val hLoop = GraphOps.hits(edges, "s", "t", driverMaxEdges = 0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(hFast.toSeq == hLoop.toSeq)
+  }
+
   test("cms: estimates never under-count; wide sketch is exact") {
     val df = (0L until 500L).map(i => i % 37).toDF("k")
     val audit = SketchOps.cmsHeavyHitters(df, "k", w = 64, k = 10)
