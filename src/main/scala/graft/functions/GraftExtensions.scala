@@ -30,6 +30,13 @@ object GraftFunctions {
           s"graft_cosine requires exactly 2 arguments, got ${children.size}")
         CosineSimilarity(children.head, children(1))
       }),
+    ("graft_gram_agg",
+      new ExpressionInfo(classOf[GramAgg].getName, "graft_gram_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_gram_agg requires exactly 2 arguments, got ${children.size}")
+        GramAgg(children.head, children(1))
+      }),
     ("graft_jaro_winkler",
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (children: Seq[Expression]) => {

@@ -1434,17 +1434,26 @@ object SimilarityOps {
         e => round(e * col("scale")).cast("long")))
       .select(col("x"), col("y"))
     val d = size(col("x"))
-    val prods = v.select(explode(expr(
-      """flatten(transform(sequence(1, size(x)), j ->
-        |  transform(sequence(1, size(x)), k -> named_struct(
-        |    'j', j, 'k', k,
-        |    'pxy', element_at(x, j) * element_at(y, k),
-        |    'pxx', element_at(x, j) * element_at(x, k),
-        |    'pyy', element_at(y, j) * element_at(y, k)))))"""
-        .stripMargin)).as("p"))
-      .groupBy(col("p.j").as("j"), col("p.k").as("k"))
-      .agg(sum("p.pxy").as("sxy"), sum("p.pxx").as("sxx"),
-        sum("p.pyy").as("syy"))
+    // the three d×d gram matrices in ONE corpus pass via the native
+    // graft_gram_agg buffer (long[3d²] per partition, additive merge)
+    // — the composed explode twin ([[ckaGramsComposed]]) shuffles
+    // n·d² product rows (245M at sf0.1) for the identical integer
+    // sums; pinned bit-identical in SimilaritySpec
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val gram = v.agg(
+      call_function("graft_gram_agg", col("x"), col("y")).as("g"),
+      count(lit(1)).as("n"), max(d).as("dd"))
+    val prods = gram.select(col("g"), col("dd"),
+        explode(sequence(lit(0), col("dd") * col("dd") - 1)).as("i"))
+      .select(
+        ((col("i") - pmod(col("i"), col("dd"))) / col("dd"))
+          .cast("int").+(1).as("j"),
+        (pmod(col("i"), col("dd")) + 1).cast("int").as("k"),
+        element_at(col("g"), col("i") + 1).as("sxy"),
+        element_at(col("g"), col("dd") * col("dd") + col("i") + 1)
+          .as("sxx"),
+        element_at(col("g"), col("dd") * col("dd") * 2 + col("i") + 1)
+          .as("syy"))
     val marg = v.select(explode(expr(
       """transform(sequence(1, size(x)), j -> named_struct('j', j,
         |  'xv', element_at(x, j), 'yv', element_at(y, j)))"""
@@ -1473,6 +1482,37 @@ object SimilarityOps {
           sqrt(col("f_xx").cast("double") * col("f_yy").cast("double")),
           6).as("cka"))
   }
+
+  /** Composed differential twin of the native gram stage: explode
+    * n·d² product structs → hash agg. Same (j, k, sxy, sxx, syy)
+    * frame; used by SimilaritySpec to pin `graft_gram_agg`
+    * bit-identical, never on the hot path.
+    */
+  private[graft] def ckaGramsComposed(v: DataFrame): DataFrame =
+    v.select(explode(expr(
+      """flatten(transform(sequence(1, size(x)), j ->
+        |  transform(sequence(1, size(x)), k -> named_struct(
+        |    'j', j, 'k', k,
+        |    'pxy', element_at(x, j) * element_at(y, k),
+        |    'pxx', element_at(x, j) * element_at(x, k),
+        |    'pyy', element_at(y, j) * element_at(y, k)))))"""
+        .stripMargin)).as("p"))
+      .groupBy(col("p.j").as("j"), col("p.k").as("k"))
+      .agg(sum("p.pxy").as("sxy"), sum("p.pxx").as("sxx"),
+        sum("p.pyy").as("syy"))
+
+  /** The (x, y) integer code frame [[linearCka]] runs on — exposed
+    * for the gram differential spec. */
+  private[graft] def ckaCodes(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(asDouble(col(vecCol)).as("v"))
+      .withColumn("x", transform(col("v"),
+        e => round(e * 10000).cast("long")))
+      .withColumn("ma", array_max(transform(col("v"), e => abs(e))))
+      .withColumn("scale", when(col("ma") > 0, lit(127.0d) / col("ma"))
+        .otherwise(lit(1.0d)))
+      .withColumn("y", transform(col("v"),
+        e => round(e * col("scale")).cast("long")))
+      .select(col("x"), col("y"))
 
   /** DuckDB replay of [[linearCka]] (dims passed explicitly). */
   def linearCkaOracleSql(table: String, vecCol: String,

@@ -306,6 +306,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native graft_gram_agg: bit-identical to the composed explode twin") {
+    graft.functions.GraftFunctions.register(spark)
+    val v = SimilarityOps.ckaCodes(emb.limit(200), "embedding")
+      .repartition(5) // partition-independence of the additive merge
+    val d = v.select(org.apache.spark.sql.functions.size(col("x")))
+      .head().getInt(0)
+    val g = v.agg(expr("graft_gram_agg(x, y)").as("g")).head()
+      .getSeq[Long](0)
+    assert(g.length == 3 * d * d)
+    val composed = SimilarityOps.ckaGramsComposed(v).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (j <- 1 to d; k <- 1 to d) {
+      val i = (j - 1) * d + (k - 1)
+      assert(composed((j, k)) == ((g(i), g(d * d + i), g(2 * d * d + i))),
+        s"gram cell ($j, $k)")
+    }
+  }
+
   test("every native function resolves and computes through the SQL surface") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
