@@ -1883,6 +1883,96 @@ object EventOps {
        |FROM agg""".stripMargin
   }
 
+  /** Doubly-robust (AIPW) off-policy value: combines the
+    * direct-method outcome model (per-action mean reward, exact
+    * half-up micro longs) with the IPS correction of
+    * [[ipsPolicyValue]] — unbiased if EITHER the model or the
+    * propensities are right, with the variance of neither:
+    *
+    *   DR = (1/n) Σ [ m̂(π(u)) + 1{a=π(u)}·w·(r − m̂(π(u))) ]
+    *
+    * Everything is exact long arithmetic: rewards ride the micro
+    * grid, m̂ is a half-up micro division, importance weights are the
+    * synthesized powers of two — so the estimate is bit-stable.
+    * Two scans (model, then estimate) with only the k-action model
+    * broadcast between them.
+    *
+    * @return (n, n_matched, dm, dr) — dollars, 6dp
+    */
+  def doublyRobustValue(events: DataFrame, userCol: String,
+      typeCol: String, valueCol: String,
+      actions: Seq[String]): DataFrame = {
+    require(actions.nonEmpty && actions == actions.sorted,
+      "pass the action vocabulary sorted (engine-shared order)")
+    val k = actions.length
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val idx = actions.zipWithIndex.tail.foldLeft(
+      when(col(typeCol) === actions.head, 0L)) { case (acc, (a, i)) =>
+        acc.when(col(typeCol) === a, i.toLong) }.otherwise(lit(null))
+    // outcome model: mean micro-reward per action (k rows, broadcast)
+    val model = events.groupBy(idx.as("aidx"))
+      .agg(exactDiv(sum(cents) * 20000 + count(lit(1)),
+        count(lit(1)) * 2).as("m6"))
+      .where(col("aidx").isNotNull)
+    val target = pmod(col(userCol), lit(k.toLong))
+    val matched = idx.isNotNull && idx === target
+    val e = pmod(col(userCol) + idx, lit(3L))
+    val w = when(e === 0, 2L).when(e === 1, 4L).otherwise(8L)
+    val scored = events.join(broadcast(model),
+        target === col("aidx"))
+      .select(col("m6"),
+        (col("m6") + when(matched, w * (cents * 10000L - col("m6")))
+          .otherwise(0L)).as("t6"),
+        when(matched, 1L).otherwise(0L).as("mt"))
+    scored.agg(count(lit(1)).as("n"), sum("mt").as("n_matched"),
+        exactDiv(sum("m6") * 2 + count(lit(1)), count(lit(1)) * 2)
+          .as("dm6"),
+        // t6 can be negative (w·(r − m̂) below the model): shift by
+        // the non-negative m6 total? No — half-up of a possibly
+        // negative mean via the sign-safe floor spelling
+        ((sum("t6") * 2 + count(lit(1))
+          - pmod(sum("t6") * 2 + count(lit(1)), count(lit(1)) * 2))
+          / (count(lit(1)) * 2)).cast("long").as("dr6"))
+      .select(col("n"), col("n_matched"),
+        (col("dm6").cast("double") / 1e6).as("dm"),
+        (col("dr6").cast("double") / 1e6).as("dr"))
+  }
+
+  /** DuckDB replay of [[doublyRobustValue]]. */
+  def doublyRobustOracleSql(table: String, userCol: String,
+      typeCol: String, valueCol: String, actions: Seq[String]): String = {
+    val k = actions.length
+    val idxCase = actions.zipWithIndex.map { case (a, i) =>
+      s"WHEN '$a' THEN $i" }.mkString(" ")
+    s"""WITH b AS (SELECT $userCol AS u,
+       |    CASE $typeCol $idxCase END AS idx,
+       |    CAST(round(CAST($valueCol AS DOUBLE) * 100) AS BIGINT) AS r
+       |  FROM $table),
+       |model AS (SELECT idx AS aidx,
+       |    (sum(r) * 20000 + count(*)) // (count(*) * 2) AS m6
+       |  FROM b WHERE idx IS NOT NULL GROUP BY idx),
+       |sc AS (SELECT
+       |    CASE WHEN idx IS NOT NULL AND idx = u % $k THEN 1 ELSE 0
+       |      END AS mt,
+       |    m.m6 + CASE WHEN idx IS NOT NULL AND idx = u % $k
+       |      THEN (CASE (u + idx) % 3 WHEN 0 THEN 2 WHEN 1 THEN 4
+       |        ELSE 8 END) * (r * 10000 - m.m6) ELSE 0 END AS t6,
+       |    m.m6
+       |  FROM b JOIN model m ON m.aidx = u % $k),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(mt) AS BIGINT) AS n_matched,
+       |    (sum(m6) * 2 + count(*)) // (count(*) * 2) AS dm6,
+       |    ((sum(t6) * 2 + count(*))
+       |      - (((sum(t6) * 2 + count(*)) % (count(*) * 2)
+       |          + count(*) * 2) % (count(*) * 2)))
+       |      // (count(*) * 2) AS dr6
+       |  FROM sc)
+       |SELECT n, n_matched,
+       |  CAST(dm6 AS DOUBLE) / 1e6 AS dm,
+       |  CAST(dr6 AS DOUBLE) / 1e6 AS dr
+       |FROM agg""".stripMargin
+  }
+
   /** Poisson(1) cumulative thresholds as 13-hex md5 coordinates
     * (SampleOps space): a replicate weight is the COUNT of thresholds
     * at or below the unit's coordinate — the standard at-scale

@@ -1657,6 +1657,175 @@ object ProfileOps {
        |    END AS m_prior
        |FROM g CROSS JOIN f2""".stripMargin
 
+  /** Spiegelhalter's calibration Z — the significance companion of
+    * the reliability diagram (q181) and ECE (q232): a single test
+    * statistic for "are these probabilities calibrated", computed
+    * without any binning choice:
+    *
+    *   Z = Σ(y−p)(1−2p) / √(Σ(1−2p)²·p(1−p))
+    *
+    * Scores ride the 1e-5 probability grid so the numerator is an
+    * exact long sum and the denominator an exact DECIMAL(38,0) sum —
+    * the unit factors cancel in the ratio. |Z| > 1.96 rejects
+    * calibration at 5%. One scan, one aggregate. NULL when every
+    * p ∈ {0,1} (denominator 0 — the statistic is undefined).
+    *
+    * @param df (score in [0,1], label 0/1) columns by name
+    * @return one row (n, z, reject_5pct)
+    */
+  def spiegelhalterZ(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val U = 100000L
+    val p = round(col(scoreCol).cast("double") * U).cast("long")
+    val y = col(labelCol).cast("long") * U
+    val D = "decimal(38,0)"
+    df.select(p.as("p"), y.as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("y") - col("p")) * (lit(U) - col("p") * 2)).as("num"),
+        sum(((lit(U) - col("p") * 2) * (lit(U) - col("p") * 2)).cast(D)
+          * (col("p") * (lit(U) - col("p"))).cast(D)).as("den"))
+      .select(col("n"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double")
+            / sqrt(col("den").cast("double")), 6)).as("z"),
+        when(col("den") === 0, lit(null).cast("int"))
+          .otherwise((abs(col("num").cast("double")
+            / sqrt(col("den").cast("double"))) > 1.96).cast("int"))
+          .as("reject_5pct"))
+  }
+
+  /** DuckDB replay of [[spiegelhalterZ]]; `scoreExpr` in [0,1],
+    * `labelExpr` 0/1. */
+  def spiegelhalterOracleSql(table: String, scoreExpr: String,
+      labelExpr: String): String =
+    s"""WITH b AS (SELECT
+       |    CAST(round(CAST($scoreExpr AS DOUBLE) * 100000) AS BIGINT)
+       |      AS p,
+       |    CAST($labelExpr AS BIGINT) * 100000 AS y FROM $table),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum((y - p) * (100000 - 2 * p)) AS BIGINT) AS num,
+       |    sum(CAST((100000 - 2 * p) * (100000 - 2 * p) AS HUGEINT)
+       |      * CAST(p * (100000 - p) AS HUGEINT)) AS den
+       |  FROM b)
+       |SELECT n,
+       |  CASE WHEN den = 0 THEN NULL ELSE
+       |    round(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)), 6)
+       |    END AS z,
+       |  CASE WHEN den = 0 THEN NULL ELSE
+       |    CAST(abs(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)))
+       |      > 1.96 AS INT) END AS reject_5pct
+       |FROM agg""".stripMargin
+
+  /** Split-conformal prediction interval for a 1-feature OLS
+    * regression, with its coverage audit: fit on the calibration
+    * half, take the ⌈0.9·(n+1)⌉-th smallest absolute residual as the
+    * interval half-width q̂ (a finite-sample order statistic — the
+    * conformal guarantee needs NO distributional assumption), then
+    * MEASURE coverage on the held-out half. The distribution-free
+    * uncertainty wrapper for any scorer a pipeline ships.
+    *
+    * Determinism: OLS moments are exact longs/decimals; slope,
+    * intercept and each residual are fixed IEEE trees, residuals are
+    * rounded onto the micro grid BEFORE ranking so the order
+    * statistic and the coverage comparisons are exact long
+    * comparisons in both engines.
+    *
+    * @param df (xCol long-valued, yMicroCol micro-grid long)
+    * @return (n_cal, n_test, slope, intercept, qhat, coverage,
+    *         target)
+    */
+  def splitConformal(df: DataFrame, xCol: String, yMicroCol: String,
+      calPred: Column, targetPct: Int = 90): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetPct >= 50 && targetPct < 100,
+      s"targetPct in [50,100), got $targetPct")
+    val D = "decimal(38,0)"
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yMicroCol).cast("long").as("y"), calPred.as("cal"))
+      .localCheckpoint() // feeds fit, rank and audit
+    val cal = base.where(col("cal"))
+    val mom = cal.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x").cast(D) * col("y")).as("sxy"),
+      sum(col("x").cast(D) * col("x")).as("sxx"))
+    val fit = mom.select(col("n"), col("sx"), col("sy"),
+        ((col("n").cast(D) * col("sxy") - col("sx").cast(D) * col("sy"))
+          .cast("double")
+          / (col("n").cast(D) * col("sxx") - col("sx").cast(D) * col("sx"))
+            .cast("double")).as("slope"))
+      .select(col("n").as("n_cal"), col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double")).as("icept"))
+    val res = cal.crossJoin(broadcast(fit))
+      .select(abs(round(col("y").cast("double")
+        - (col("slope") * col("x").cast("double") + col("icept")), 0))
+        .cast("long").as("r6"))
+    val k = res.crossJoin(broadcast(fit))
+      .select(col("r6"), col("n_cal"),
+        row_number().over(Window.orderBy(col("r6").asc)).as("rk"))
+      .where(col("rk") ===
+        least(ceil((col("n_cal") + 1) * targetPct / 100.0).cast("long"),
+          col("n_cal")))
+      .select(col("r6").as("qhat6"))
+    val audit = base.where(!col("cal"))
+      .crossJoin(broadcast(fit)).crossJoin(broadcast(k))
+      .agg(count(lit(1)).as("n_test"),
+        sum((abs(round(col("y").cast("double")
+          - (col("slope") * col("x").cast("double") + col("icept")), 0))
+          .cast("long") <= col("qhat6")).cast("long")).as("n_in"))
+    fit.crossJoin(broadcast(k)).crossJoin(broadcast(audit))
+      .select(col("n_cal"), col("n_test"),
+        round(col("slope"), 6).as("slope"),
+        round(col("icept") / 1e6, 6).as("intercept"),
+        (col("qhat6").cast("double") / 1e6).as("qhat"),
+        round(col("n_in").cast("double") / col("n_test").cast("double"),
+          6).as("coverage"),
+        lit(targetPct / 100.0).as("target"))
+  }
+
+  /** DuckDB replay of [[splitConformal]]; `xExpr` integral,
+    * `yMicroExpr` micro-grid, `calPredSql` the calibration filter. */
+  def splitConformalOracleSql(table: String, xExpr: String,
+      yMicroExpr: String, calPredSql: String,
+      targetPct: Int = 90): String =
+    s"""WITH base AS (SELECT CAST($xExpr AS BIGINT) AS x,
+       |    CAST($yMicroExpr AS BIGINT) AS y, $calPredSql AS cal
+       |  FROM $table),
+       |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM base WHERE cal),
+       |fit AS (SELECT n AS n_cal,
+       |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+       |      AS DOUBLE)
+       |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+       |      AS DOUBLE) AS slope,
+       |    0.0 AS _pad, sx, sy FROM mom),
+       |fit2 AS (SELECT n_cal, slope,
+       |    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+       |      / CAST(n_cal AS DOUBLE) AS icept FROM fit),
+       |res AS (SELECT CAST(abs(round(CAST(y AS DOUBLE)
+       |      - (slope * CAST(x AS DOUBLE) + icept), 0)) AS BIGINT)
+       |      AS r6
+       |  FROM base CROSS JOIN fit2 WHERE cal),
+       |k AS (SELECT r6 AS qhat6 FROM (SELECT r6, row_number()
+       |      OVER (ORDER BY r6 ASC) AS rk FROM res) t
+       |  CROSS JOIN fit2
+       |  WHERE rk = least(CAST(ceil((n_cal + 1) * $targetPct / 100.0)
+       |    AS BIGINT), n_cal)),
+       |audit AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN CAST(abs(round(CAST(y AS DOUBLE)
+       |        - (slope * CAST(x AS DOUBLE) + icept), 0)) AS BIGINT)
+       |        <= qhat6 THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+       |  FROM base CROSS JOIN fit2 CROSS JOIN k WHERE NOT cal)
+       |SELECT n_cal, n_test, round(slope, 6) AS slope,
+       |  round(icept / 1e6, 6) AS intercept,
+       |  CAST(qhat6 AS DOUBLE) / 1e6 AS qhat,
+       |  round(CAST(n_in AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+       |    AS coverage,
+       |  ${targetPct / 100.0} AS target
+       |FROM fit2 CROSS JOIN k CROSS JOIN audit""".stripMargin
+
   /** Exact Spearman rank correlation between two numeric columns —
     * the monotone-association probe beside [[corrMatrix]]'s linear
     * Pearson (a saturating quality-vs-length relation scores ~1 here

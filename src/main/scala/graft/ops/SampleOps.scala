@@ -317,4 +317,60 @@ object SampleOps {
        |FROM cum JOIN tot USING (g)
        |WHERE (2 * $k * cw + t) // (2 * t)
        |    - (2 * $k * (cw - w) + t) // (2 * t) > 0""".stripMargin
+
+  /** Chapman capture–recapture population estimate from two
+    * independent deterministic "crawls" (md5 keep-samples with
+    * different salts): how many unique keys EXIST given how much two
+    * overlapping samples intersect — the coverage estimator a crawl
+    * pipeline runs before claiming corpus completeness:
+    *
+    *   N̂ = (n₁+1)(n₂+1)/(m+1) − 1   (bias-corrected Petersen)
+    *
+    * Here the truth is also measurable, so the query doubles as a
+    * standing calibration check of the estimator (error vs N).
+    * One scan, two md5-predicate columns, one aggregate.
+    *
+    * @return (n1, n2, n_overlap, n_true, chapman, err_pct) — 2dp
+    */
+  def chapmanEstimate(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, fraction: Double, saltA: String,
+      saltB: String): org.apache.spark.sql.DataFrame = {
+    val inA = keepPredicate(col(keyCol), fraction, saltA)
+    val inB = keepPredicate(col(keyCol), fraction, saltB)
+    df.agg(count(lit(1)).as("n_true"),
+        sum(inA.cast("long")).as("n1"),
+        sum(inB.cast("long")).as("n2"),
+        sum((inA && inB).cast("long")).as("m"))
+      .select(col("n1"), col("n2"), col("m").as("n_overlap"),
+        col("n_true"),
+        round((col("n1") + 1).cast("double") * (col("n2") + 1)
+          / (col("m") + 1).cast("double") - 1.0, 2).as("chapman"),
+        round((((col("n1") + 1).cast("double") * (col("n2") + 1)
+            / (col("m") + 1).cast("double") - 1.0)
+          / col("n_true").cast("double") - 1.0) * 100, 2).as("err_pct"))
+  }
+
+  /** DuckDB replay of [[chapmanEstimate]]. */
+  def chapmanOracleSql(table: String, keyExpr: String,
+      fraction: Double, saltA: String, saltB: String): String = {
+    val th = thresholdHex(fraction)
+    def keep(salt: String): String =
+      s"substring(md5('$salt' || CAST($keyExpr AS VARCHAR)), 1, 13)" +
+        s" < '$th'"
+    s"""WITH agg AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+       |    CAST(sum(CASE WHEN ${keep(saltA)} THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN ${keep(saltB)} THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN ${keep(saltA)} AND ${keep(saltB)}
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS m
+       |  FROM $table)
+       |SELECT n1, n2, m AS n_overlap, n_true,
+       |  round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)
+       |    / CAST(m + 1 AS DOUBLE) - 1.0, 2) AS chapman,
+       |  round(((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)
+       |      / CAST(m + 1 AS DOUBLE) - 1.0)
+       |    / CAST(n_true AS DOUBLE) - 1.0) * 100, 2) AS err_pct
+       |FROM agg""".stripMargin
+  }
 }

@@ -1260,4 +1260,47 @@ object TextOps {
        |      / CAST(greatest(n_words, 1) AS DOUBLE) / 3.0)
        |    - 15.59, 4) AS grade
        |FROM g""".stripMargin
+
+  /** Chao1 vocabulary-richness estimate: how many distinct terms the
+    * corpus REALLY has, including the ones sampling hasn't surfaced —
+    * from the singleton/doubleton counts of the term-frequency
+    * histogram (the abundance-based sibling of q269's Good–Turing
+    * unseen MASS; Chao1 estimates unseen TYPES):
+    *
+    *   Ŝ = S_obs + f₁(f₁−1) / (2(f₂+1))   (bias-corrected)
+    *
+    * The "is our vocab table complete" check before freezing a
+    * tokenizer. One term-count aggregation + one 3-number fold;
+    * exact longs into one IEEE division.
+    *
+    * @return (s_obs, f1, f2, chao1 round 2dp)
+    */
+  def chao1Vocab(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("s_obs"),
+        sum((col("c") === 1).cast("long")).as("f1"),
+        sum((col("c") === 2).cast("long")).as("f2"))
+      .select(col("s_obs"), col("f1"), col("f2"),
+        round(col("s_obs").cast("double")
+          + (col("f1") * (col("f1") - 1)).cast("double")
+            / (lit(2.0) * (col("f2") + 1).cast("double")), 2)
+          .as("chao1"))
+
+  /** DuckDB replay of [[chao1Vocab]]. */
+  def chao1OracleSql(table: String, textCol: String): String =
+    s"""WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(list_filter(string_split_regex(
+       |      lower($textCol), '[ \t\n\f\r]+'), x -> x <> '')) AS term
+       |    FROM $table) t
+       |  GROUP BY term),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS s_obs,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+       |  FROM tf)
+       |SELECT s_obs, f1, f2,
+       |  round(CAST(s_obs AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)
+       |    / (2.0 * CAST(f2 + 1 AS DOUBLE)), 2) AS chao1
+       |FROM agg""".stripMargin
 }

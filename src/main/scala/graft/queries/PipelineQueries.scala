@@ -929,6 +929,49 @@ object PipelineQueries {
         "p_brand", col("ret"))
     }),
 
+    // Doubly-robust (AIPW) off-policy value beside q306's IPS —
+    // exact outcome model + power-of-two-weight correction.
+    "q327_doubly_robust" -> ((s, d) =>
+      graft.ops.EventOps.doublyRobustValue(Tables(s, d, "events"),
+        "user_id", "event_type", "value",
+        Seq("click", "error", "purchase", "signup", "view"))),
+
+    // Chapman capture-recapture corpus-size estimate from two md5
+    // crawls, with the measured calibration error.
+    "q328_capture_recapture" -> ((s, d) =>
+      graft.ops.SampleOps.chapmanEstimate(Tables(s, d, "documents"),
+        "doc_id", 0.5, "crawlA", "crawlB")),
+
+    // Chao1 unseen-vocabulary estimate from singleton/doubleton
+    // term counts — the tokenizer-freeze completeness check.
+    "q329_chao1_vocab" -> ((s, d) =>
+      TextOps.chao1Vocab(Tables(s, d, "documents"), "text")),
+
+    // Spiegelhalter's calibration Z of the trained scorer against
+    // rule labels — the binning-free significance companion of
+    // the reliability/ECE readouts.
+    "q330_spiegelhalter" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sc = TextOps.qualityScore(docs, "doc_id", "text",
+        TextOps.TrainedQualityWeights)
+      val lab = TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
+      ProfileOps.spiegelhalterZ(sc.join(lab, "id"), "quality", "pos")
+    }),
+
+    // Split-conformal 90% interval for quality ~ length with its
+    // held-out coverage audit — distribution-free uncertainty.
+    "q331_conformal" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sc = TextOps.qualityScore(docs, "doc_id", "text",
+          TextOps.TrainedQualityWeights)
+        .select(col("id").as("doc_id"),
+          round(col("quality") * 1e6, 0).cast("long").as("ymicro"))
+      ProfileOps.splitConformal(
+        docs.select(col("doc_id"), col("n_chars")).join(sc, "doc_id"),
+        "n_chars", "ymicro", pmod(col("doc_id"), lit(2L)) === 0)
+    }),
+
     // Per-source OLS of trained quality (5dp micro grid) on document
     // length — the grouped-regression signal audit; decimal-exact
     // moments, closed-form slope/intercept/r².
@@ -3780,6 +3823,31 @@ object PipelineQueries {
         |  AS ret FROM lineitem JOIN part ON l_partkey = p_partkey) j"""
         .stripMargin,
       "p_brand", "ret"),
+
+    "q327_doubly_robust" -> graft.ops.EventOps.doublyRobustOracleSql(
+      "events", "user_id", "event_type", "value",
+      Seq("click", "error", "purchase", "signup", "view")),
+
+    "q328_capture_recapture" -> graft.ops.SampleOps.chapmanOracleSql(
+      "documents", "doc_id", 0.5, "crawlA", "crawlB"),
+
+    "q329_chao1_vocab" -> TextOps.chao1OracleSql("documents", "text"),
+
+    "q330_spiegelhalter" -> ProfileOps.spiegelhalterOracleSql(
+      s"""(WITH plain AS (SELECT doc_id, text AS t FROM documents),
+         |${rulesOracleBody("plain")}
+         |SELECT q.quality, pr.passes FROM pr
+         |JOIN (${qualityOracleSql(TextOps.TrainedQualityWeights)}) q
+         |  USING (doc_id)) j""".stripMargin,
+      "quality", "passes"),
+
+    "q331_conformal" -> ProfileOps.splitConformalOracleSql(
+      s"""(SELECT d.doc_id, d.n_chars,
+         |  CAST(round(q.quality * 1e6) AS BIGINT) AS ymicro
+         | FROM documents d
+         | JOIN (${qualityOracleSql(TextOps.TrainedQualityWeights)}) q
+         |  USING (doc_id)) j""".stripMargin,
+      "n_chars", "ymicro", "doc_id % 2 = 0"),
 
     "q294_t_closeness" ->
       """WITH cell AS (SELECT source, lang,
