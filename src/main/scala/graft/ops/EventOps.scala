@@ -1259,6 +1259,220 @@ object EventOps {
        |    END AS ln_or
        |FROM agg""".stripMargin
 
+  /** Quantile treatment effects: the treated-vs-control difference
+    * of per-user revenue at the 25/50/75 quantiles — where the mean
+    * diff (q305/q324) hides WHICH part of the distribution moved (a
+    * heavy-tail gift to whales and a broad lift both move the mean;
+    * QTE separates them). Quantiles are exact type-1 order
+    * statistics (k = ⌈q·n⌉) on the cents grid — no interpolation,
+    * engine-exact.
+    *
+    * One per-arm window rank over the user frame + one pivot.
+    *
+    * @return per quantile: (q_pct, n_c, n_t, v_c, v_t, qte) dollars
+    */
+  def quantileTreatmentEffects(events: DataFrame, userCol: String,
+      typeCol: String, valueCol: String, convType: String,
+      qPcts: Seq[Int] = Seq(25, 50, 75)): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(q => q > 0 && q < 100),
+      "quantile percents must be in (0,100)")
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(sum(when(col(typeCol) === convType, cents).otherwise(0L))
+        .as("x"))
+      .select(pmod(col("u"), lit(2L)).as("arm"), col("x"))
+    val w = Window.partitionBy("arm").orderBy(col("x").asc)
+    val ranked = per.select(col("arm"), col("x"),
+      row_number().over(w).as("rk"),
+      count(lit(1)).over(Window.partitionBy("arm")).as("n"))
+    val qs = qPcts.map { q =>
+      ranked.where(col("rk") ===
+          ceil(col("n") * q / 100.0).cast("long"))
+        .groupBy(lit(q).as("q_pct"))
+        .agg(max(when(col("arm") === 0, col("n"))).as("n_c"),
+          max(when(col("arm") === 1, col("n"))).as("n_t"),
+          max(when(col("arm") === 0, col("x"))).as("vc"),
+          max(when(col("arm") === 1, col("x"))).as("vt"))
+    }.reduce(_ unionByName _)
+    qs.select(col("q_pct"), col("n_c"), col("n_t"),
+      (col("vc").cast("double") / 100).as("v_c"),
+      (col("vt").cast("double") / 100).as("v_t"),
+      ((col("vt") - col("vc")).cast("double") / 100).as("qte"))
+  }
+
+  /** DuckDB replay of [[quantileTreatmentEffects]]. */
+  def qteOracleSql(table: String, userCol: String, typeCol: String,
+      valueCol: String, convType: String,
+      qPcts: Seq[Int] = Seq(25, 50, 75)): String = {
+    val qsel = qPcts.map(q =>
+      s"""SELECT $q AS q_pct,
+         |  max(CASE WHEN arm = 0 THEN n END) AS n_c,
+         |  max(CASE WHEN arm = 1 THEN n END) AS n_t,
+         |  max(CASE WHEN arm = 0 THEN x END) AS vc,
+         |  max(CASE WHEN arm = 1 THEN x END) AS vt
+         |FROM ranked WHERE rk = CAST(ceil(n * $q / 100.0) AS BIGINT)"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH per AS (SELECT $userCol % 2 AS arm,
+       |    CAST(sum(CASE WHEN $typeCol = '$convType'
+       |      THEN CAST(round(CAST($valueCol AS DOUBLE) * 100) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS x
+       |  FROM $table GROUP BY $userCol),
+       |ranked AS (SELECT arm, x,
+       |    row_number() OVER (PARTITION BY arm ORDER BY x ASC) AS rk,
+       |    count(*) OVER (PARTITION BY arm) AS n FROM per),
+       |q AS ($qsel)
+       |SELECT q_pct, CAST(n_c AS BIGINT) AS n_c,
+       |  CAST(n_t AS BIGINT) AS n_t,
+       |  CAST(vc AS DOUBLE) / 100 AS v_c,
+       |  CAST(vt AS DOUBLE) / 100 AS v_t,
+       |  CAST(vt - vc AS DOUBLE) / 100 AS qte
+       |FROM q""".stripMargin
+  }
+
+  /** Simpson's-paradox detector over the [[cmhOddsRatio]] strata: the
+    * per-stratum association direction vs the POOLED marginal table's
+    * — a marginal-vs-stratified sign flip is the textbook trap this
+    * flags before anyone reads the pooled number. Directions compare
+    * a·d vs b·c in exact longs (no ratios, no ties at the boundary
+    * beyond exact equality).
+    *
+    * @return one row: (n_strata, n_pos, n_neg, n_flat, pooled_dir,
+    *         paradox) — dir ∈ {-1,0,1}, paradox = 1 when every
+    *         non-flat stratum disagrees with a non-flat pooled dir
+    */
+  def simpsonDetector(events: DataFrame, userCol: String,
+      typeCol: String, convType: String,
+      nStrata: Int = 5): DataFrame = {
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L))
+        .as("y"))
+      .select(pmod(col("u"), lit(nStrata.toLong)).as("stratum"),
+        pmod(col("u"), lit(2L)).as("e"), col("y"))
+    val cells = per.groupBy("stratum").agg(
+      sum(when(col("e") === 1 && col("y") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("e") === 1 && col("y") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("e") === 0 && col("y") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("e") === 0 && col("y") === 0, 1L).otherwise(0L)).as("d"))
+    val dir = when(col("a") * col("d") > col("b") * col("c"), 1)
+      .when(col("a") * col("d") < col("b") * col("c"), -1).otherwise(0)
+    val strat = cells.agg(count(lit(1)).as("n_strata"),
+      sum(when(dir === 1, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(dir === -1, 1L).otherwise(0L)).as("n_neg"),
+      sum(when(dir === 0, 1L).otherwise(0L)).as("n_flat"),
+      sum("a").as("a"), sum("b").as("b"), sum("c").as("c"),
+      sum("d").as("d"))
+    strat.select(col("n_strata"), col("n_pos"), col("n_neg"),
+        col("n_flat"), dir.as("pooled_dir"))
+      .select(col("n_strata"), col("n_pos"), col("n_neg"),
+        col("n_flat"), col("pooled_dir"),
+        ((col("pooled_dir") === 1 && col("n_pos") === 0
+            && col("n_neg") > 0) ||
+          (col("pooled_dir") === -1 && col("n_neg") === 0
+            && col("n_pos") > 0)).cast("int").as("paradox"))
+  }
+
+  /** DuckDB replay of [[simpsonDetector]]. */
+  def simpsonDetectorOracleSql(table: String, userCol: String,
+      typeCol: String, convType: String, nStrata: Int = 5): String =
+    s"""WITH per AS (SELECT $userCol % $nStrata AS stratum,
+       |    $userCol % 2 AS e,
+       |    max(CASE WHEN $typeCol = '$convType' THEN 1 ELSE 0 END) AS y
+       |  FROM $table GROUP BY $userCol),
+       |cells AS (SELECT stratum,
+       |    CAST(sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM per GROUP BY stratum),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+       |    CAST(sum(CASE WHEN a * d > b * c THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos,
+       |    CAST(sum(CASE WHEN a * d < b * c THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_neg,
+       |    CAST(sum(CASE WHEN a * d = b * c THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_flat,
+       |    CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b,
+       |    CAST(sum(c) AS BIGINT) AS c, CAST(sum(d) AS BIGINT) AS d
+       |  FROM cells)
+       |SELECT n_strata, n_pos, n_neg, n_flat,
+       |  CASE WHEN a * d > b * c THEN 1 WHEN a * d < b * c THEN -1
+       |    ELSE 0 END AS pooled_dir,
+       |  CAST((CASE WHEN a * d > b * c THEN 1
+       |      WHEN a * d < b * c THEN -1 ELSE 0 END) = 1
+       |      AND n_pos = 0 AND n_neg > 0
+       |    OR (CASE WHEN a * d > b * c THEN 1
+       |      WHEN a * d < b * c THEN -1 ELSE 0 END) = -1
+       |      AND n_neg = 0 AND n_pos > 0 AS INT) AS paradox
+       |FROM agg""".stripMargin
+
+  /** Leakage-safe temporal label builder — the supervised-dataset
+    * construction step every churn/conversion model needs done
+    * RIGHT: features come strictly from (cutoff−lookback, cutoff],
+    * the label from (cutoff, cutoff+horizon] — one pass, one user
+    * aggregation, and by construction no feature can see the label
+    * window (the leakage audit is the WHERE clauses themselves).
+    * Users with no feature-window activity are dropped (a real
+    * training set has no all-null feature rows).
+    *
+    * @return (user, n_events, n_purchases, revenue, n_active_days,
+    *         label)
+    */
+  def temporalLabels(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, convType: String,
+      cutoff: String, lookbackDays: Int, horizonDays: Int): DataFrame = {
+    require(lookbackDays > 0 && horizonDays > 0, "windows must be > 0")
+    val cut = to_timestamp(lit(cutoff))
+    val featFrom = cut - expr(s"INTERVAL $lookbackDays DAYS")
+    val labTo = cut + expr(s"INTERVAL $horizonDays DAYS")
+    val cents = round(col(valueCol).cast("double") * 100).cast("long")
+    val inFeat = col(tsCol) > featFrom && col(tsCol) <= cut
+    val inLab = col(tsCol) > cut && col(tsCol) <= labTo
+    events.groupBy(col(userCol).as("user"))
+      .agg(sum(inFeat.cast("long")).as("n_events"),
+        sum((inFeat && col(typeCol) === convType).cast("long"))
+          .as("n_purchases"),
+        sum(when(inFeat && col(typeCol) === convType, cents)
+          .otherwise(0L)).as("rev_cents"),
+        size(collect_set(when(inFeat,
+          date_trunc("day", col(tsCol))))).as("n_active_days"),
+        max((inLab && col(typeCol) === convType).cast("int"))
+          .as("label"))
+      .where(col("n_events") > 0)
+      .select(col("user"), col("n_events"), col("n_purchases"),
+        (col("rev_cents").cast("double") / 100).as("revenue"),
+        col("n_active_days"), col("label"))
+  }
+
+  /** DuckDB replay of [[temporalLabels]]. */
+  def temporalLabelsOracleSql(table: String, userCol: String,
+      tsCol: String, typeCol: String, valueCol: String,
+      convType: String, cutoff: String, lookbackDays: Int,
+      horizonDays: Int): String =
+    s"""WITH b AS (SELECT $userCol AS u, $tsCol AS ts,
+       |    $typeCol AS et,
+       |    CAST(round(CAST($valueCol AS DOUBLE) * 100) AS BIGINT) AS r,
+       |    $tsCol > TIMESTAMP '$cutoff' - INTERVAL $lookbackDays DAY
+       |      AND $tsCol <= TIMESTAMP '$cutoff' AS inf,
+       |    $tsCol > TIMESTAMP '$cutoff' AND $tsCol <= TIMESTAMP
+       |      '$cutoff' + INTERVAL $horizonDays DAY AS inl
+       |  FROM $table),
+       |g AS (SELECT u AS "user",
+       |    CAST(sum(CASE WHEN inf THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_events,
+       |    CAST(sum(CASE WHEN inf AND et = '$convType' THEN 1 ELSE 0
+       |      END) AS BIGINT) AS n_purchases,
+       |    CAST(sum(CASE WHEN inf AND et = '$convType' THEN r ELSE 0
+       |      END) AS BIGINT) AS rev_cents,
+       |    CAST(count(DISTINCT CASE WHEN inf
+       |      THEN date_trunc('day', ts) END) AS INT) AS n_active_days,
+       |    max(CASE WHEN inl AND et = '$convType' THEN 1 ELSE 0 END)
+       |      AS label
+       |  FROM b GROUP BY u)
+       |SELECT "user", n_events, n_purchases,
+       |  CAST(rev_cents AS DOUBLE) / 100 AS revenue, n_active_days,
+       |  CAST(label AS INT) AS label
+       |FROM g WHERE n_events > 0""".stripMargin
+
   /** CUPED variance-reduced A/B readout (Deng et al. 2013, "Improving
     * the Sensitivity of Online Controlled Experiments"): each user's
     * post-period metric y is adjusted by their PRE-period covariate x

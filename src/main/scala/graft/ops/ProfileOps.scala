@@ -1826,6 +1826,63 @@ object ProfileOps {
        |  ${targetPct / 100.0} AS target
        |FROM fit2 CROSS JOIN k CROSS JOIN audit""".stripMargin
 
+  /** Differentially-private count release (Laplace mechanism) with
+    * DETERMINISTIC noise: the per-group uniform comes from the md5
+    * coordinate of (salt, group) — so the release is reproducible,
+    * engine-portable and auditable in tests, while the mechanism's
+    * shape (scale 1/ε, inverse-CDF transform, non-negative clamp)
+    * is exactly what a production ε-DP count release runs with real
+    * randomness. Completes the privacy family (k-anon q172, l-div
+    * q176, t-closeness q294) with the release step itself.
+    *
+    *   noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|),  u ~ md5-uniform
+    *
+    * @return (group, n, noise, released) — released ≥ 0 integer
+    */
+  def dpLaplaceCounts(df: DataFrame, groupCol: String, eps: Double,
+      salt: String): DataFrame = {
+    require(eps > 0, s"epsilon must be > 0, got $eps")
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"))
+    val u = (conv(SampleOps.hashCoord(col("grp"), salt), 16, 10)
+      .cast("double") + 1) / 4.503599627370497e15 // 16^13 + 1
+    val noise = (lit(-1.0) / eps) *
+      when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    g.select(col("grp").as(groupCol), col("n"),
+      round(noise, 6).as("noise"),
+      greatest(lit(0L),
+        round(col("n") + noise, 0).cast("long")).as("released"))
+  }
+
+  /** DuckDB replay of [[dpLaplaceCounts]]. */
+  def dpLaplaceOracleSql(table: String, groupCol: String, eps: Double,
+      salt: String): String = {
+    // DuckDB lacks conv(hex, 16, 10); spell the 13-hex coordinate as
+    // exact digitwise bigint arithmetic.
+    val hexToInt = (1 to 13).map(i =>
+      s"(CASE substring(h, $i, 1) WHEN 'a' THEN 10 WHEN 'b' THEN 11" +
+        s" WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14" +
+        s" WHEN 'f' THEN 15 ELSE CAST(substring(h, $i, 1) AS BIGINT)" +
+        s" END) * ${BigInt(16).pow(13 - i)}").mkString(" + ")
+    s"""WITH g AS (SELECT $groupCol AS grp,
+       |    CAST(count(*) AS BIGINT) AS n FROM $table GROUP BY 1),
+       |h AS (SELECT grp, n, substring(md5('$salt'
+       |    || CAST(grp AS VARCHAR)), 1, 13) AS h FROM g),
+       |v AS (SELECT grp, n,
+       |    (CAST(($hexToInt) AS DOUBLE) + 1) / 4.503599627370497e15
+       |      AS u
+       |  FROM h),
+       |nz AS (SELECT grp, n,
+       |    (-1.0 / $eps) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+       |      * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+       |  FROM v)
+       |SELECT grp AS $groupCol, n, round(noise, 6) AS noise,
+       |  greatest(CAST(0 AS BIGINT),
+       |    CAST(round(n + noise, 0) AS BIGINT)) AS released
+       |FROM nz""".stripMargin
+  }
+
   /** Exact Spearman rank correlation between two numeric columns —
     * the monotone-association probe beside [[corrMatrix]]'s linear
     * Pearson (a saturating quality-vs-length relation scores ~1 here

@@ -959,6 +959,33 @@ object PipelineQueries {
       ProfileOps.spiegelhalterZ(sc.join(lab, "id"), "quality", "pos")
     }),
 
+    // Deterministic epsilon-DP Laplace count release per source —
+    // the privacy family's release step, md5-uniform inverse CDF.
+    "q332_dp_release" -> ((s, d) =>
+      ProfileOps.dpLaplaceCounts(Tables(s, d, "documents"),
+        "source", eps = 1.0, salt = "dp")),
+
+    // Quantile treatment effects at 25/50/75 — which part of the
+    // revenue distribution the treatment moved; exact order stats.
+    "q333_qte" -> ((s, d) =>
+      graft.ops.EventOps.quantileTreatmentEffects(
+        Tables(s, d, "events"), "user_id", "event_type", "value",
+        "purchase")),
+
+    // Simpson's-paradox detector: per-stratum vs pooled association
+    // direction over exact integer cross-products.
+    "q334_simpson" -> ((s, d) =>
+      graft.ops.EventOps.simpsonDetector(Tables(s, d, "events"),
+        "user_id", "event_type", "purchase")),
+
+    // Leakage-safe temporal label builder: 14d feature window, 7d
+    // label horizon around a fixed cutoff — the supervised-dataset
+    // construction primitive.
+    "q335_temporal_labels" -> ((s, d) =>
+      graft.ops.EventOps.temporalLabels(Tables(s, d, "events"),
+        "user_id", "ts", "event_type", "value", "purchase",
+        "2024-01-20 00:00:00", lookbackDays = 14, horizonDays = 7)),
+
     // Split-conformal 90% interval for quality ~ length with its
     // held-out coverage audit — distribution-free uncertainty.
     "q331_conformal" -> ((s, d) => {
@@ -3840,6 +3867,19 @@ object PipelineQueries {
          |JOIN (${qualityOracleSql(TextOps.TrainedQualityWeights)}) q
          |  USING (doc_id)) j""".stripMargin,
       "quality", "passes"),
+
+    "q332_dp_release" -> ProfileOps.dpLaplaceOracleSql(
+      "documents", "source", eps = 1.0, salt = "dp"),
+
+    "q333_qte" -> graft.ops.EventOps.qteOracleSql(
+      "events", "user_id", "event_type", "value", "purchase"),
+
+    "q334_simpson" -> graft.ops.EventOps.simpsonDetectorOracleSql(
+      "events", "user_id", "event_type", "purchase"),
+
+    "q335_temporal_labels" -> graft.ops.EventOps.temporalLabelsOracleSql(
+      "events", "user_id", "ts", "event_type", "value", "purchase",
+      "2024-01-20 00:00:00", 14, 7),
 
     "q331_conformal" -> ProfileOps.splitConformalOracleSql(
       s"""(SELECT d.doc_id, d.n_chars,
