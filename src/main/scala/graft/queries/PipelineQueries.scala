@@ -965,6 +965,76 @@ object PipelineQueries {
       ProfileOps.dpLaplaceCounts(Tables(s, d, "documents"),
         "source", eps = 1.0, salt = "dp")),
 
+    // word2vec negative-sampling table: unigram^0.75 weights
+    // apportioned over a 1M-slot table by exact largest-remainder —
+    // slots sum to the budget on every engine.
+    "q336_negative_sampling" -> ((s, d) => {
+      val tf = Tables(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      SelectionOps.largestRemainderAlloc(
+        tf.select(col("term").as("grp"),
+          round(pow(col("c"), 0.75) * 1000, 0).cast("long").as("w")),
+        "grp", "w", budget = 1000000L)
+    }),
+
+    // Template detection: the share of each source's docs opening
+    // with the source's most common 32-char prefix — the "is this
+    // source one boilerplate page" probe.
+    "q337_template_share" -> ((s, d) => {
+      val pre = Tables(s, d, "documents")
+        .select(col("source"), substring(col("text"), 1, 32).as("p"))
+        .groupBy("source", "p").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("c").desc, col("p").asc)
+      pre.select(col("source"), col("p"), col("c"),
+          sum("c").over(Window.partitionBy("source")).as("n_docs"),
+          row_number().over(w).as("rk"))
+        .where(col("rk") === 1)
+        .select(col("source"), col("n_docs"),
+          col("c").as("template_count"),
+          round(col("c").cast("double") / col("n_docs").cast("double"),
+            6).as("template_share"), col("p").as("template_prefix"))
+    }),
+
+    // Cross-lingual fingerprint leakage: identical whitespace-
+    // normalized content appearing under >= 2 languages (injected
+    // deterministically, q159-style) — the translation-dup trap
+    // resemblance dedup per-language misses.
+    "q338_crosslingual_leak" -> ((s, d) => {
+      val t = when(col("doc_id") % 97 === 0,
+        lit("la plume de ma tante est sur la table"))
+        .otherwise(col("text"))
+      Tables(s, d, "documents").withColumn("text", t)
+        .select(TextOps.fingerprint(col("text")).as("fp"),
+          col("lang"), col("doc_id"))
+        .groupBy("fp")
+        .agg(countDistinct("lang").as("n_langs"),
+          count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .where(col("n_langs") >= 2)
+    }),
+
+    // Prefix-cache savings estimate: docs sharing their first-8-token
+    // prefix with another doc — the KV-cache prefix-dedup readout a
+    // serving stack sizes its cache from.
+    "q339_prefix_cache" -> ((s, d) => {
+      val toks = Tables(s, d, "documents")
+        .select(TextOps.tokens(col("text")).as("ts"))
+        .where(size(col("ts")) >= 8)
+        .select(array_join(slice(col("ts"), 1, 8), " ").as("pre"))
+      toks.groupBy("pre").agg(count(lit(1)).as("n"))
+        .agg(sum("n").as("n_docs"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_groups_shared"),
+          sum(when(col("n") >= 2, col("n")).otherwise(0L))
+            .as("n_docs_shared"),
+          sum(when(col("n") >= 2, (col("n") - 1) * 8).otherwise(0L))
+            .as("saved_tokens"))
+        .select(col("n_docs"), col("n_groups_shared"),
+          col("n_docs_shared"), col("saved_tokens"),
+          round(col("n_docs_shared").cast("double")
+            / col("n_docs").cast("double"), 6).as("share_cached"))
+    }),
+
     // Quantile treatment effects at 25/50/75 — which part of the
     // revenue distribution the treatment moved; exact order stats.
     "q333_qte" -> ((s, d) =>
@@ -3870,6 +3940,67 @@ object PipelineQueries {
 
     "q332_dp_release" -> ProfileOps.dpLaplaceOracleSql(
       "documents", "source", eps = 1.0, salt = "dp"),
+
+    "q336_negative_sampling" -> SelectionOps.largestRemainderOracleSql(
+      """SELECT term AS grp,
+        |  CAST(round(pow(c, 0.75) * 1000) AS BIGINT) AS w
+        |FROM (SELECT term, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(list_filter(string_split_regex(
+        |      lower(text), '[ \t\n\f\r]+'), x -> x <> '')) AS term
+        |    FROM documents) t
+        |  GROUP BY term) tf""".stripMargin, budget = 1000000L),
+
+    "q337_template_share" ->
+      """WITH pre AS (SELECT source, substring(text, 1, 32) AS p,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, p, c,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, p ASC) AS rk
+        |  FROM pre)
+        |SELECT source, n_docs, c AS template_count,
+        |  round(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS template_share,
+        |  p AS template_prefix
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    "q338_crosslingual_leak" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 97 = 0
+        |      THEN 'la plume de ma tante est sur la table'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |    md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g'))
+        |      AS fp
+        |  FROM d)
+        |SELECT fp, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM f GROUP BY fp HAVING count(DISTINCT lang) >= 2"""
+        .stripMargin,
+
+    "q339_prefix_cache" ->
+      """WITH toks AS (SELECT list_filter(string_split_regex(
+        |    lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |pre AS (SELECT array_to_string(ts[1:8], ' ') AS pre
+        |  FROM toks WHERE len(ts) >= 8),
+        |g AS (SELECT pre, CAST(count(*) AS BIGINT) AS n
+        |  FROM pre GROUP BY pre),
+        |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_groups_shared,
+        |    CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_docs_shared,
+        |    CAST(sum(CASE WHEN n >= 2 THEN (n - 1) * 8 ELSE 0 END)
+        |      AS BIGINT) AS saved_tokens
+        |  FROM g)
+        |SELECT n_docs, n_groups_shared, n_docs_shared, saved_tokens,
+        |  round(CAST(n_docs_shared AS DOUBLE) / CAST(n_docs AS DOUBLE),
+        |    6) AS share_cached
+        |FROM agg""".stripMargin,
 
     "q333_qte" -> graft.ops.EventOps.qteOracleSql(
       "events", "user_id", "event_type", "value", "purchase"),
