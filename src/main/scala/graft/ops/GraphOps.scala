@@ -637,6 +637,56 @@ object GraphOps {
         (col("pr").cast("double") / 1e9).as("pr"))
   }
 
+  /** Hierarchy resolution by POINTER DOUBLING: every node's root and
+    * depth in O(log depth) self-joins instead of O(depth) sequential
+    * steps — the scale technique for org charts / category trees /
+    * thread ancestry, where a naive iterative join walks the longest
+    * chain one hop per shuffle. Each round composes the "jump
+    * table" with itself (anc ↦ anc∘anc, depths add); roots are
+    * self-loops with depth 0, so composition is stable at the root.
+    *
+    * `iters` rounds resolve depth up to 2^iters. Each round is one
+    * self-equi-join on the node frame + a localCheckpoint plan cut.
+    *
+    * @param nodes (node, parent) — roots point at THEMSELVES
+    * @return (node, root, depth)
+    */
+  def resolveAncestors(nodes: DataFrame, nodeCol: String,
+      parentCol: String, iters: Int = 6): DataFrame = {
+    require(iters >= 1 && iters <= 12, s"iters in [1,12], got $iters")
+    var f = nodes.select(col(nodeCol).as("u"),
+        col(parentCol).as("anc"),
+        when(col(nodeCol) === col(parentCol), 0L).otherwise(1L).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      f = f.as("a")
+        .join(f.as("b").withColumnRenamed("u", "bu"),
+          col("a.anc") === col("bu"))
+        .select(col("a.u").as("u"), col("b.anc").as("anc"),
+          (col("a.d") + col("b.d")).as("d"))
+        .localCheckpoint()
+    }
+    f.select(col("u").as("node"), col("anc").as("root"),
+      col("d").as("depth"))
+  }
+
+  /** DuckDB replay of [[resolveAncestors]] (recursive parent walk —
+    * the sequential ground truth the doubling must equal). */
+  def resolveAncestorsOracleSql(nodesSql: String): String =
+    s"""WITH RECURSIVE n AS ($nodesSql),
+       |walk AS (
+       |  SELECT node AS u, node AS cur, parent, CAST(0 AS BIGINT) AS d
+       |  FROM n
+       |  UNION ALL
+       |  SELECT w.u, n2.node, n2.parent, w.d + 1
+       |  FROM walk w JOIN n n2 ON n2.node = w.parent
+       |  WHERE w.cur <> w.parent),
+       |fin AS (SELECT u, cur AS root, d,
+       |    row_number() OVER (PARTITION BY u ORDER BY d DESC) AS rk
+       |  FROM walk)
+       |SELECT u AS node, root, d AS depth FROM fin WHERE rk = 1"""
+      .stripMargin
+
   /** Fixed-iteration HITS (Kleinberg 1999) over a BIPARTITE edge set
     * (left = hubs, right = authorities), on an exact integer grid:
     * scores live on a 0..10^6 scale, each half-step is

@@ -1014,6 +1014,40 @@ object PipelineQueries {
         .where(col("n_langs") >= 2)
     }),
 
+    // Pointer-doubling hierarchy resolution: every user's root and
+    // depth in the synthetic parent(u) = u div 2 tree in O(log depth)
+    // self-joins — the scale technique a naive per-hop walk can't
+    // match; oracle is the sequential recursive walk.
+    "q340_tree_resolve" -> ((s, d) => {
+      val nodes = Tables(s, d, "events")
+        .select(col("user_id").as("node")).distinct()
+        .select(col("node"),
+          when(col("node") === 0, 0L)
+            .otherwise(expr("node div 2")).as("parent"))
+      graft.ops.GraphOps.resolveAncestors(nodes, "node", "parent")
+    }),
+
+    // Concurrent-open-orders backlog: +1/-1 interval sweep over
+    // (orderdate, last shipdate] with one running sum — never a
+    // per-day explode; emits the backlog at every change day.
+    "q341_order_backlog" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val close = Tables(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(max("l_shipdate").as("close"))
+      val iv = o.join(close, col("o_orderkey") === col("l_orderkey"))
+      val deltas = iv.select(to_date(col("o_orderdate")).as("day"),
+          lit(1L).as("delta"))
+        .unionByName(iv.select(
+          date_add(to_date(col("close")), 1).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy("day").agg(sum("delta").as("d"))
+      deltas.select(col("day"),
+          sum("d").over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("n_open"))
+    }),
+
     // Prefix-cache savings estimate: docs sharing their first-8-token
     // prefix with another doc — the KV-cache prefix-dedup readout a
     // serving stack sizes its cache from.
@@ -3940,6 +3974,26 @@ object PipelineQueries {
 
     "q332_dp_release" -> ProfileOps.dpLaplaceOracleSql(
       "documents", "source", eps = 1.0, salt = "dp"),
+
+    "q340_tree_resolve" -> graft.ops.GraphOps.resolveAncestorsOracleSql(
+      """SELECT node, CASE WHEN node = 0 THEN 0 ELSE node // 2 END
+        |  AS parent
+        |FROM (SELECT DISTINCT user_id AS node FROM events) u"""
+        .stripMargin),
+
+    "q341_order_backlog" ->
+      """WITH iv AS (SELECT o_orderkey, o_orderdate, close FROM orders
+        |  JOIN (SELECT l_orderkey, max(l_shipdate) AS close
+        |    FROM lineitem GROUP BY l_orderkey) c
+        |  ON o_orderkey = l_orderkey),
+        |deltas AS (SELECT day, CAST(sum(delta) AS BIGINT) AS d FROM (
+        |    SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM iv
+        |    UNION ALL
+        |    SELECT CAST(close AS DATE) + 1 AS day, -1 AS delta FROM iv)
+        |  t GROUP BY day)
+        |SELECT day, CAST(sum(d) OVER (ORDER BY day
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+        |FROM deltas""".stripMargin,
 
     "q336_negative_sampling" -> SelectionOps.largestRemainderOracleSql(
       """SELECT term AS grp,
