@@ -599,4 +599,57 @@ object StreamOps {
       .groupBy("cell", "pos")
       .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
   }
+
+  /** Streaming count-min sketch — the streaming twin of
+    * [[graft.ops.SketchOps.cmsSketch]] (q310): the counter table is
+    * additive by construction, so the stream IS just the sketch's
+    * grouped aggregation in complete mode. State is bounded at d·w
+    * counters regardless of stream volume — the whole point of
+    * keeping a sketch instead of an exact count table; complete-mode
+    * output at any instant equals the batch sketch of everything
+    * ingested (StreamingSpec asserts this cross-batch).
+    */
+  def cmsSketchStream(stream: DataFrame, keyCol: String,
+      w: Int): DataFrame =
+    graft.ops.SketchOps.cmsSketch(stream, keyCol, w)
+
+  /** Streaming Wald SPRT monitor — the streaming twin of
+    * [[graft.ops.EventOps.sprtMonitor]] (q317), which is sequential
+    * BY NATURE: the decision walk consumes trials in arrival order
+    * via per-arm keyed state (n, k, decided flag + crossing index),
+    * emitting the walk position after every micro-batch. Once a
+    * boundary is crossed the decision LATCHES (the SPRT contract —
+    * later reversals don't count). Matches the batch monitor
+    * exactly when trials arrive in event order (StreamingSpec).
+    * State per arm: four longs.
+    */
+  def sprtStream(spark: SparkSession, trials: Dataset[(Long, Long)],
+      wPosMicro: Long = 200671L, wNegMicro: Long = -50010L,
+      boundMicro: Long = 2944439L): DataFrame = {
+    import spark.implicits._
+    // state: (n, k, crossIdx, decision 0=continue 1=h1 -1=h0)
+    def update(arm: Long, rows: Iterator[(Long, Long)],
+        st: GroupState[(Long, Long, Long, Int)])
+        : Iterator[(Long, Long, Long, Double, Long, String)] = {
+      var (n, k, cross, dec) = st.getOption.getOrElse((0L, 0L, 0L, 0))
+      rows.foreach { case (_, y) =>
+        n += 1; k += y
+        if (dec == 0) {
+          val llr = k * wPosMicro + (n - k) * wNegMicro
+          if (llr >= boundMicro) { dec = 1; cross = n }
+          else if (llr <= -boundMicro) { dec = -1; cross = n }
+        }
+      }
+      st.update((n, k, cross, dec))
+      val llr = (k * wPosMicro + (n - k) * wNegMicro).toDouble / 1e6
+      Iterator((arm, n, k, llr, cross,
+        if (dec == 1) "accept_h1"
+        else if (dec == -1) "accept_h0" else "continue"))
+    }
+    trials.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+      .toDF("arm", "n_trials", "n_conv", "llr_final", "cross_idx",
+        "decision")
+  }
 }

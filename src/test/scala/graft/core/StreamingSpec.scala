@@ -719,4 +719,52 @@ class StreamingSpec extends SparkSpec {
       s"stream state must equal batch sufficient statistics:\n$streamed\nvs\n$batch")
     assert(streamed.keySet.map(_._1) == Set(0, 1), "both cells populated")
   }
+
+  test("streaming CMS counters equal the batch sketch across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Long]
+    val q = StreamOps.cmsSketchStream(input.toDF().toDF("k"), "k", 64)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    val b1 = (0L until 100L).map(_ % 13)
+    val b2 = (0L until 60L).map(_ % 7)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val batch = graft.ops.SketchOps.cmsSketch(
+        (b1 ++ b2).toDF("k"), "k", 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch)
+  }
+
+  test("streaming SPRT walk matches the batch monitor and latches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.sprtStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("sprt_stream")
+      .outputMode("append").start()
+    // arm 0: 20 straight successes -> crosses up at 15 (batch-pinned)
+    input.addData((1 to 10).map(_ => (0L, 1L)): _*)
+    q.processAllAvailable()
+    input.addData((1 to 10).map(_ => (0L, 1L)): _*)
+    q.processAllAvailable()
+    // then failures: the h1 decision must LATCH, not revert
+    input.addData((1 to 200).map(_ => (0L, 0L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sprt_stream")
+      .orderBy("n_trials").collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getString(5)))
+    assert(rows(0) == ((10L, 0L, "continue")))
+    assert(rows(1) == ((20L, 15L, "accept_h1")))
+    assert(rows(2) == ((220L, 15L, "accept_h1"))) // latched
+  }
 }
