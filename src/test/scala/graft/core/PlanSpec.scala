@@ -513,4 +513,44 @@ class PlanSpec extends SparkSpec {
         s"$q degraded: $s")
     }
   }
+
+  test("q295 cka: ONE corpus aggregation via the native gram buffer, no n*d^2 Generate") {
+    val s = formatted("q295_cka_quant")
+    // the d^2 reshape explodes ONE aggregated row; the corpus side
+    // must reach graft_gram_agg without any Generate before the agg
+    assert(s.contains("graft_gram_agg"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"), s)
+  }
+
+  test("q296 rewrite: levenshtein runs on the name-pair frame, which broadcasts to parts") {
+    val s = formatted("q296_name_match")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q311 jw linkage: length-band join never degrades to a cartesian of parts") {
+    val s = formatted("q311_jw_linkage")
+    assert(s.contains("graft_jaro_winkler"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q320 hhi / q326 eb: dimension joins broadcast, no corpus sort-merge") {
+    for (q <- Seq("q320_hhi", "q326_eb_shrink")) {
+      val s = formatted(q)
+      assert(s.contains("BroadcastHashJoin"), s"$q: $s")
+      assert(!s.contains("SortMergeJoin"), s"$q degraded: $s")
+    }
+  }
+
+  test("q310 cms: sketch and probes are hash aggregations, no wide join of events") {
+    val s = formatted("q310_cms_heavy")
+    assert(!s.contains("CartesianProduct"), s)
+    // the probe join runs on the (r, c) counter table, not raw events
+    assert(s.contains("HashAggregate"), s)
+  }
+
+  test("q335 temporal labels: one pass — single user aggregation, no self-join") {
+    val s = formatted("q335_temporal_labels")
+    assert(!s.contains("Join"), s"label builder must not join: $s")
+  }
 }
