@@ -525,118 +525,6 @@ object GraphOps {
           .as("global_cc"))
   }
 
-  /** Fixed-iteration PageRank (damping 0.85) over the UNDIRECTED
-    * graph, computed on an exact integer grid so ranks are
-    * bit-identical on every engine and partitioning: total mass is
-    * 10^9 units, the per-node teleport share is one truncating
-    * division `unit = 10^9 div n`, a node's out-contribution is
-    * `pr div degree` (truncating — remainders simply evaporate, the
-    * standard integer-PageRank trick), and each update is the
-    * half-up `(15·unit + 85·inSum + 50) div 100`. Float PageRank can
-    * NEVER be engine-exact because the incoming-sum order differs;
-    * integer sums are order-free.
-    *
-    * Scale shape: one shuffle per iteration (join ranks to edges on
-    * src, re-aggregate on dst) — the canonical distributed PageRank
-    * plan; iterations are a FIXED small constant (rank queries want
-    * a stable ordering signal, not convergence to 1e-12). At real
-    * scale each iteration's rank frame would be checkpointed; at
-    * harness scale Catalyst handles the 4-deep plan directly.
-    *
-    * @return (node, degree, pr_units, pr) ; Σ pr_units ≤ 10^9
-    */
-  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 4, driverMaxEdges: Long = 1000000L): DataFrame = {
-    require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
-    // localCheckpoint: the edge frame feeds every iteration's join
-    // AND the degree/teleport aggregates — without it each of the
-    // ~2·iters plan references re-derives the caller's whole edge
-    // construction (e.g. q309's basket-pair mining re-ran per step)
-    val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
-    // bounded DRIVER fast path (the connectedComponents discipline):
-    // an iterative algorithm over a model-scale graph pays one Spark
-    // job per half-step in the distributed loop — when the canonical
-    // edge list fits the driver comfortably, the identical integer
-    // recurrence runs in-process (long arithmetic is order-free, so
-    // the result is bit-identical to the loop by construction; the
-    // RankSketchSpec parity test pins it). The distributed loop below
-    // is the declared scale path.
-    if (driverMaxEdges > 0 && e.count() <= driverMaxEdges) {
-      val spark = edges.sparkSession
-      val rows = e.collect()
-      val adj = scala.collection.mutable.HashMap
-        .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
-      rows.foreach { r =>
-        val (a, b) = (r.get(0), r.get(1))
-        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer
-          .empty[Any]) += b
-        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer
-          .empty[Any]) += a
-      }
-      val n = adj.size.toLong
-      val unit = 1000000000L / n
-      var pr = adj.keys.map(_ -> unit).toMap
-      for (_ <- 1 to iters) {
-        val in = scala.collection.mutable.HashMap.empty[Any, Long]
-          .withDefaultValue(0L)
-        adj.foreach { case (v, ns) =>
-          val c = pr(v) / ns.length
-          ns.foreach(w => in(w) += c)
-        }
-        pr = adj.keys.map(v =>
-          v -> (15L * unit + 85L * in(v) + 50L) / 100L).toMap
-      }
-      val out = adj.keys.toSeq.map { v =>
-        org.apache.spark.sql.Row(v, adj(v).length.toLong, pr(v),
-          pr(v).toDouble / 1e9)
-      }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("node",
-          e.schema("a").dataType),
-        org.apache.spark.sql.types.StructField("degree",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("pr_units",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("pr",
-          org.apache.spark.sql.types.DoubleType)))
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(out, 1), schema)
-    }
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
-    val u = deg.agg(count(lit(1)).as("n"))
-      .select(col("n"), ((lit(1000000000L) - pmod(lit(1000000000L),
-        col("n"))) / col("n")).cast("long").as("unit"))
-    def idiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
-    var pr = deg.crossJoin(broadcast(u))
-      .select(col("src").as("v"), col("unit").as("pr"))
-    for (_ <- 1 to iters) {
-      val inSum = sym.join(pr.withColumnRenamed("v", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst"), idiv(col("pr"), col("outdeg")).as("c"))
-        .groupBy("dst").agg(sum("c").as("s"))
-      pr = deg.select(col("src").as("v"))
-        .join(inSum.withColumnRenamed("dst", "v"), Seq("v"), "left")
-        .crossJoin(broadcast(u))
-        .select(col("v"),
-          idiv(lit(15L) * col("unit") + lit(85L) * coalesce(col("s"),
-            lit(0L)) + 50, lit(100L)).as("pr"))
-        // plan cut per iteration (node-scale frame): keeps the final
-        // join from re-deriving the whole iteration chain
-        .localCheckpoint()
-    }
-    pr.join(deg.withColumnRenamed("src", "v"), Seq("v"))
-      .select(col("v").as("node"), col("outdeg").as("degree"),
-        col("pr").as("pr_units"),
-        (col("pr").cast("double") / 1e9).as("pr"))
-  }
-
   /** Hierarchy resolution by POINTER DOUBLING: every node's root and
     * depth in O(log depth) self-joins instead of O(depth) sequential
     * steps — the scale technique for org charts / category trees /
@@ -794,37 +682,6 @@ object GraphOps {
        |SELECT 'auth' AS side, v AS node, CAST(s AS BIGINT)
        |    AS score_units, CAST(s AS DOUBLE) / 1e6 AS score
        |  FROM a$iters""".stripMargin
-  }
-
-  /** DuckDB replay of [[pagerank]] — the iteration loop unrolls into
-    * one CTE per step; `edgesSql` yields (src, dst) rows.
-    */
-  def pagerankOracleSql(edgesSql: String, iters: Int = 4): String = {
-    val steps = (1 to iters).map { k =>
-      val prev = if (k == 1) "p0" else s"p${k - 1}"
-      s"""p$k AS (SELECT d.src AS v,
-         |    (15 * u.unit + 85 * coalesce(s.s, 0) + 50) // 100 AS pr
-         |  FROM deg d CROSS JOIN u
-         |  LEFT JOIN (SELECT sym.dst, sum(p.pr // dd.outdeg) AS s
-         |      FROM sym JOIN $prev p ON sym.src = p.v
-         |      JOIN deg dd ON dd.src = sym.src
-         |      GROUP BY sym.dst) s ON s.dst = d.src)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT least(src, dst) AS a,
-       |    greatest(src, dst) AS b
-       |  FROM ($edgesSql) src0 WHERE src <> dst),
-       |sym AS (SELECT a AS src, b AS dst FROM e
-       |  UNION ALL SELECT b AS src, a AS dst FROM e),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
-       |  FROM sym GROUP BY src),
-       |u AS (SELECT count(*) AS n, 1000000000 // count(*) AS unit
-       |  FROM deg),
-       |p0 AS (SELECT src AS v, u.unit AS pr FROM deg CROSS JOIN u),
-       |$steps
-       |SELECT d.src AS node, d.outdeg AS degree,
-       |  CAST(p.pr AS BIGINT) AS pr_units,
-       |  CAST(p.pr AS DOUBLE) / 1e9 AS pr
-       |FROM p$iters p JOIN deg d ON d.src = p.v""".stripMargin
   }
 
   /** DuckDB replay of [[clusteringCoefficient]]; `edgesSql` yields

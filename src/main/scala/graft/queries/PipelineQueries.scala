@@ -746,20 +746,26 @@ object PipelineQueries {
       graft.ops.EventOps.randomizationTest(Tables(s, d, "events"),
         "user_id", "event_type", "value", "purchase")),
 
-    // Integer-exact 4-iteration PageRank over the q276 brand
-    // co-purchase graph — rank mass on a 1e9 grid so the iteration
-    // is bit-stable; one shuffle per step.
-    "q309_pagerank" -> ((s, d) => {
+    // Co-purchase-WEIGHTED brand PageRank: the q276 brand graph with
+    // edge weight = co-basket count, through the exact-integer
+    // weighted pageRank kernel (q201 ranks the supplier<->customer
+    // order graph; this ranks brands by weighted co-purchase
+    // centrality — same kernel, different graph and weighting).
+    "q309_brand_pagerank" -> ((s, d) => {
       val li = Tables(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
       val part = Tables(s, d, "part")
         .select(col("p_partkey"), col("p_brand"))
-      val edges = graft.ops.CooccurOps.basketPairs(
+      val pairs = graft.ops.CooccurOps.basketPairs(
         li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
         "basket", "item", minSupport = 20L)
-        .select(col("item_a"), col("item_b"))
-      graft.ops.GraphOps.pagerank(edges, "item_a", "item_b")
+        .select(col("item_a"), col("item_b"), col("n_ab"))
+      val edges = pairs.select(col("item_a").as("src"),
+          col("item_b").as("dst"), col("n_ab").as("w"))
+        .unionByName(pairs.select(col("item_b").as("src"),
+          col("item_a").as("dst"), col("n_ab").as("w")))
+      graft.ops.GraphOps.pageRank(edges, "src", "dst", "w")
     }),
 
     // Count-min sketch heavy-hitter audit on event users: replayable
@@ -3874,12 +3880,16 @@ object PipelineQueries {
     "q308_rand_test" -> graft.ops.EventOps.randomizationTestOracleSql(
       "events", "user_id", "event_type", "value", "purchase"),
 
-    "q309_pagerank" -> graft.ops.GraphOps.pagerankOracleSql(
-      s"""SELECT item_a AS src, item_b AS dst FROM (
+    "q309_brand_pagerank" -> graft.ops.GraphOps.pageRankOracleSql(
+      s"""SELECT src, dst, w FROM (
+         |  WITH pairs AS (
          |${graft.ops.CooccurOps.basketPairsOracleSql(
             "SELECT l_orderkey AS bk, p_brand AS it FROM lineitem " +
               "JOIN part ON l_partkey = p_partkey",
-            minSupport = 20L)}) pairs""".stripMargin),
+            minSupport = 20L)})
+         |  SELECT item_a AS src, item_b AS dst, n_ab AS w FROM pairs
+         |  UNION ALL
+         |  SELECT item_b, item_a, n_ab FROM pairs) sym""".stripMargin),
 
     "q310_cms_heavy" -> graft.ops.SketchOps.cmsHeavyHittersOracleSql(
       "events", "user_id", w = 64, k = 20),
