@@ -318,6 +318,71 @@ object RelationalQueries {
     // shape); the exact form here is the oracle-checkable twin —
     // Spark's percentile agg gathers per-group value counts, it does
     // NOT globally sort the table.
+    // TPC-H Q3 shape (shipping priority): top-10 unshipped revenue —
+    // segment-filtered customers broadcast onto orders, open
+    // lineitems aggregate on orderkey, exact 4dp-cents revenue grid,
+    // deterministic (revenue desc, orderkey) top-k.
+    "q342_ship_priority" -> ((s, d) => {
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = Tables(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables(s, d, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100, 0).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            .as("rev4"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum("rev4").as("rev4"))
+        .select(col("l_orderkey"), col("o_orderdate").cast("date")
+          .as("o_orderdate"),
+          (col("rev4").cast("double") / 1e4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q13 shape (customer distribution): orders-per-customer
+    // histogram INCLUDING zero-order customers — the left join +
+    // double aggregation idiom.
+    "q343_cust_distribution" -> ((s, d) => {
+      val c = Tables(s, d, "customer").select(col("c_custkey"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    // returned revenue — exact 4dp grid, deterministic tie-break.
+    "q344_returned_revenue" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100, 0).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            .as("rev4"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("rev4").as("rev4"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("rev4").cast("double") / 1e4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // Column profiling: null + exact distinct counts for four columns
     // in ONE scan (multi-count-distinct Expand, map-side combine).
     "q70_profile" -> ((s, d) =>
@@ -692,6 +757,39 @@ object RelationalQueries {
         s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
            | count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n"),
+    "q342_ship_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS DOUBLE) / 1e4 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q343_cust_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT)
+        |    AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q344_returned_revenue" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(rev4 AS DOUBLE) / 1e4 AS revenue
+        |FROM (SELECT o_custkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS rev4
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R' GROUP BY o_custkey) r
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "q292_fd_discovery" -> graft.ops.ProfileOps.fdAuditOracleSql(
       "lineitem", Seq(
         "l_orderkey" -> "l_suppkey",
