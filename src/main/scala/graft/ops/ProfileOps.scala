@@ -1883,6 +1883,162 @@ object ProfileOps {
        |FROM nz""".stripMargin
   }
 
+  /** Cumulative gains / lift table by score decile — the
+    * model-triage readout ("the top 20% of scores captures X% of the
+    * positives") that reliability diagrams don't give. Deciles are
+    * deterministic ntile-by-(score desc, id asc); counts are exact
+    * longs; cumulative shares and lift are single IEEE divisions.
+    *
+    * One window rank over the scored frame + one 10-row aggregation.
+    *
+    * @return per decile: (decile, n, n_pos, cum_pos, cum_share,
+    *         cum_gain, lift)
+    */
+  def decileGains(df: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.select(col(idCol).as("id"),
+        col(scoreCol).as("s"), col(labelCol).cast("long").as("y"))
+      .select(col("y"),
+        ntile(10).over(Window.orderBy(col("s").desc, col("id").asc))
+          .as("decile"))
+    val g = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = g.agg(sum("n").as("nt"), sum("n_pos").as("pt"))
+    g.select(col("decile"), col("n"), col("n_pos"),
+        sum("n_pos").over(w).as("cum_pos"),
+        sum("n").over(w).as("cum_n"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        round(col("cum_n").cast("double") / col("nt").cast("double"), 6)
+          .as("cum_share"),
+        when(col("pt") === 0, lit(null).cast("double"))
+          .otherwise(round(col("cum_pos").cast("double")
+            / col("pt").cast("double"), 6)).as("cum_gain"),
+        when(col("pt") === 0 || col("cum_n") === 0,
+            lit(null).cast("double"))
+          .otherwise(round((col("cum_pos").cast("double")
+              * col("nt").cast("double"))
+            / (col("cum_n").cast("double") * col("pt").cast("double")),
+            6)).as("lift"))
+  }
+
+  /** DuckDB replay of [[decileGains]]. */
+  def decileGainsOracleSql(table: String, idExpr: String,
+      scoreExpr: String, labelExpr: String): String =
+    s"""WITH r AS (SELECT CAST($labelExpr AS BIGINT) AS y,
+       |    ntile(10) OVER (ORDER BY $scoreExpr DESC, $idExpr ASC)
+       |      AS decile
+       |  FROM $table),
+       |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS n_pos FROM r GROUP BY decile),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+       |    CAST(sum(n_pos) AS BIGINT) AS pt FROM g),
+       |c AS (SELECT decile, n, n_pos,
+       |    CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+       |    CAST(sum(n) OVER w AS BIGINT) AS cum_n
+       |  FROM g WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+       |SELECT decile, n, n_pos, cum_pos,
+       |  round(CAST(cum_n AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+       |    AS cum_share,
+       |  CASE WHEN pt = 0 THEN NULL ELSE
+       |    round(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE), 6)
+       |    END AS cum_gain,
+       |  CASE WHEN pt = 0 OR cum_n = 0 THEN NULL ELSE
+       |    round((CAST(cum_pos AS DOUBLE) * CAST(nt AS DOUBLE))
+       |      / (CAST(cum_n AS DOUBLE) * CAST(pt AS DOUBLE)), 6)
+       |    END AS lift
+       |FROM c CROSS JOIN t""".stripMargin
+
+  /** Murphy decomposition of the Brier score over score-grid cells:
+    *
+    *   Brier = reliability − resolution + uncertainty
+    *   REL = Σ n_k(p̄_k − ȳ_k)²/N,  RES = Σ n_k(ȳ_k − ȳ)²/N,
+    *   UNC = ȳ(1 − ȳ)
+    *
+    * — splits "how wrong are the probabilities" into the fixable part
+    * (reliability: calibration error per score cell) and the
+    * earned part (resolution: how much the score separates outcomes),
+    * the diagnosis ECE alone can't make. Cells are the exact 1e-5
+    * score grid (p̄_k is exact BY construction — every row in a cell
+    * shares the score), ȳ_k is an exact ratio; each cell term is
+    * pre-rounded to the 1e-12 grid and summed as longs.
+    *
+    * @return one row (n, brier, reliability, resolution, uncertainty)
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val U = 100000L
+    val base = df.select(
+      round(col(scoreCol).cast("double") * U).cast("long").as("p"),
+      col(labelCol).cast("long").as("y"))
+    val cells = base.groupBy("p")
+      .agg(count(lit(1)).as("nk"), sum("y").as("yk"))
+    val tot = cells.agg(sum("nk").as("n"), sum("yk").as("yt"))
+    def pico(c: Column): Column = round(c * 1e12, 0).cast("long")
+    val pd = col("p").cast("double") / U
+    val ybark = col("yk").cast("double") / col("nk").cast("double")
+    val ybar = col("yt").cast("double") / col("n").cast("double")
+    val agg = cells.crossJoin(broadcast(tot))
+      .agg(max("n").as("n"), max("yt").as("yt"),
+        sum(pico(col("nk") * (pd - ybark) * (pd - ybark))).as("rel12"),
+        sum(pico(col("nk") * (ybark - ybar) * (ybark - ybar)))
+          .as("res12"))
+    val brier = base.crossJoin(broadcast(tot))
+      .agg(sum(pico((pd - col("y")) * (pd - col("y")))).as("b12"),
+        max("n").as("nb"))
+    agg.crossJoin(broadcast(brier))
+      .select(col("n"),
+        round(col("b12").cast("double") / 1e12
+          / col("nb").cast("double"), 6).as("brier"),
+        round(col("rel12").cast("double") / 1e12
+          / col("n").cast("double"), 6).as("reliability"),
+        round(col("res12").cast("double") / 1e12
+          / col("n").cast("double"), 6).as("resolution"),
+        round((col("yt").cast("double") / col("n").cast("double"))
+          * (lit(1.0) - col("yt").cast("double") / col("n").cast("double")),
+          6).as("uncertainty"))
+  }
+
+  /** DuckDB replay of [[brierDecomposition]]. */
+  def brierDecompositionOracleSql(table: String, scoreExpr: String,
+      labelExpr: String): String =
+    s"""WITH base AS (SELECT
+       |    CAST(round(CAST($scoreExpr AS DOUBLE) * 100000) AS BIGINT)
+       |      AS p,
+       |    CAST($labelExpr AS BIGINT) AS y FROM $table),
+       |cells AS (SELECT p, CAST(count(*) AS BIGINT) AS nk,
+       |    CAST(sum(y) AS BIGINT) AS yk FROM base GROUP BY p),
+       |t AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+       |    CAST(sum(yk) AS BIGINT) AS yt FROM cells),
+       |a AS (SELECT
+       |    CAST(sum(CAST(round(nk * (p / 100000.0 - yk * 1.0 / nk)
+       |      * (p / 100000.0 - yk * 1.0 / nk) * 1e12, 0) AS BIGINT))
+       |      AS BIGINT) AS rel12,
+       |    CAST(sum(CAST(round(nk * (yk * 1.0 / nk - yt * 1.0 / n)
+       |      * (yk * 1.0 / nk - yt * 1.0 / n) * 1e12, 0) AS BIGINT))
+       |      AS BIGINT) AS res12,
+       |    max(n) AS n, max(yt) AS yt
+       |  FROM cells CROSS JOIN t),
+       |b AS (SELECT CAST(sum(CAST(round((p / 100000.0 - y)
+       |      * (p / 100000.0 - y) * 1e12, 0) AS BIGINT)) AS BIGINT)
+       |      AS b12,
+       |    max(n) AS nb
+       |  FROM base CROSS JOIN t)
+       |SELECT a.n,
+       |  round(CAST(b12 AS DOUBLE) / 1e12 / CAST(nb AS DOUBLE), 6)
+       |    AS brier,
+       |  round(CAST(rel12 AS DOUBLE) / 1e12 / CAST(a.n AS DOUBLE), 6)
+       |    AS reliability,
+       |  round(CAST(res12 AS DOUBLE) / 1e12 / CAST(a.n AS DOUBLE), 6)
+       |    AS resolution,
+       |  round((CAST(yt AS DOUBLE) / CAST(a.n AS DOUBLE))
+       |    * (1.0 - CAST(yt AS DOUBLE) / CAST(a.n AS DOUBLE)), 6)
+       |    AS uncertainty
+       |FROM a CROSS JOIN b""".stripMargin
+
   /** Exact Spearman rank correlation between two numeric columns —
     * the monotone-association probe beside [[corrMatrix]]'s linear
     * Pearson (a saturating quality-vs-length relation scores ~1 here

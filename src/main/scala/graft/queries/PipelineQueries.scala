@@ -1096,6 +1096,29 @@ object PipelineQueries {
         "user_id", "ts", "event_type", "value", "purchase",
         "2024-01-20 00:00:00", lookbackDays = 14, horizonDays = 7)),
 
+    // Cumulative gains / lift by score decile of the trained scorer
+    // vs rule labels — the triage readout beside best-F1 and ECE.
+    "q345_decile_gains" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sc = TextOps.qualityScore(docs, "doc_id", "text",
+        TextOps.TrainedQualityWeights)
+      val lab = TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
+      ProfileOps.decileGains(sc.join(lab, "id"), "id", "quality", "pos")
+    }),
+
+    // Murphy decomposition of the Brier score (reliability −
+    // resolution + uncertainty) on the exact score grid — splits the
+    // probability error into the fixable and the earned part.
+    "q346_brier_decomp" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sc = TextOps.qualityScore(docs, "doc_id", "text",
+        TextOps.TrainedQualityWeights)
+      val lab = TextOps.qualityRules(docs, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
+      ProfileOps.brierDecomposition(sc.join(lab, "id"), "quality", "pos")
+    }),
+
     // Split-conformal 90% interval for quality ~ length with its
     // held-out coverage audit — distribution-free uncertainty.
     "q331_conformal" -> ((s, d) => {
@@ -4075,6 +4098,22 @@ object PipelineQueries {
     "q335_temporal_labels" -> graft.ops.EventOps.temporalLabelsOracleSql(
       "events", "user_id", "ts", "event_type", "value", "purchase",
       "2024-01-20 00:00:00", 14, 7),
+
+    "q345_decile_gains" -> ProfileOps.decileGainsOracleSql(
+      s"""(WITH plain AS (SELECT doc_id, text AS t FROM documents),
+         |${rulesOracleBody("plain")}
+         |SELECT q.doc_id AS id, q.quality, pr.passes FROM pr
+         |JOIN (${qualityOracleSql(TextOps.TrainedQualityWeights)}) q
+         |  USING (doc_id)) j""".stripMargin,
+      "id", "quality", "passes"),
+
+    "q346_brier_decomp" -> ProfileOps.brierDecompositionOracleSql(
+      s"""(WITH plain AS (SELECT doc_id, text AS t FROM documents),
+         |${rulesOracleBody("plain")}
+         |SELECT q.quality, pr.passes FROM pr
+         |JOIN (${qualityOracleSql(TextOps.TrainedQualityWeights)}) q
+         |  USING (doc_id)) j""".stripMargin,
+      "quality", "passes"),
 
     "q331_conformal" -> ProfileOps.splitConformalOracleSql(
       s"""(SELECT d.doc_id, d.n_chars,

@@ -60,6 +60,37 @@ class EstimatorSpec extends SparkSpec {
     assert(ProfileOps.spiegelhalterZ(dg, "s", "y").collect().head.isNullAt(1))
   }
 
+  test("decile gains: perfect ranker front-loads, last decile gain is 1") {
+    val df = (0L until 100L).map(i =>
+      (i, 1.0 - i / 100.0, if (i < 30) 1 else 0)).toDF("id", "s", "y")
+    val g = ProfileOps.decileGains(df, "id", "s", "y")
+      .orderBy("decile").collect()
+    // positives are exactly the top 3 deciles
+    assert(g(2).getAs[Double]("cum_gain") == 1.0)
+    assert(g(0).getAs[Double]("lift") == math.rint(10.0 / 3 * 1e6) / 1e6)
+    assert(g(9).getAs[Double]("cum_gain") == 1.0)
+    assert(g(9).getAs[Double]("lift") == 1.0)
+  }
+
+  test("brier decomposition: identity holds; perfect scores have zero reliability") {
+    val mixed = (0L until 200L).map(i =>
+      (if (i % 4 == 0) 0.9 else 0.2, if (i % 3 == 0) 1 else 0))
+      .toDF("s", "y")
+    val r = ProfileOps.brierDecomposition(mixed, "s", "y").collect().head
+    val (b, rel, res, unc) = (r.getAs[Double]("brier"),
+      r.getAs[Double]("reliability"), r.getAs[Double]("resolution"),
+      r.getAs[Double]("uncertainty"))
+    assert(math.abs(b - (rel - res + unc)) < 1e-5, s"$b vs ${rel - res + unc}")
+    // oracle-sharp scores: p equals the cell outcome rate exactly
+    val sharp = (0L until 100L).map(i =>
+      (if (i % 2 == 0) 1.0 else 0.0, if (i % 2 == 0) 1 else 0))
+      .toDF("s", "y")
+    val rs = ProfileOps.brierDecomposition(sharp, "s", "y").collect().head
+    assert(rs.getAs[Double]("reliability") == 0.0)
+    assert(rs.getAs[Double]("brier") == 0.0)
+    assert(rs.getAs[Double]("resolution") == rs.getAs[Double]("uncertainty"))
+  }
+
   test("conformal: exact linear data gives qhat 0 and full coverage") {
     val df = (1L to 100L).map(x => (x, x, 2000000L * x))
       .toDF("id", "x", "ym")
