@@ -383,6 +383,31 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // Fulfillment-latency SLA percentiles: exact p50/p90/p99 of
+    // ship-minus-order days per order priority — type-1 order
+    // statistics via per-priority rank windows, integer day grid.
+    "q347_fill_latency" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val lat = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))).cast("long").as("days"))
+      val w = Window.partitionBy("prio").orderBy(col("days").asc)
+      val ranked = lat.select(col("prio"), col("days"),
+        row_number().over(w).as("rk"),
+        count(lit(1)).over(Window.partitionBy("prio")).as("n"))
+      def pick(p: Int) =
+        max(when(col("rk") ===
+          ceil(col("n") * p / 100.0).cast("long"), col("days")))
+      ranked.groupBy("prio")
+        .agg(max("n").as("n"), pick(50).as("p50_days"),
+          pick(90).as("p90_days"), pick(99).as("p99_days"))
+    }),
+
     // Column profiling: null + exact distinct counts for four columns
     // in ONE scan (multi-count-distinct Expand, map-side combine).
     "q70_profile" -> ((s, d) =>
@@ -757,6 +782,23 @@ object RelationalQueries {
         s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
            | count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n"),
+    "q347_fill_latency" ->
+      """WITH lat AS (SELECT o_orderpriority AS prio,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (SELECT prio, days,
+        |    row_number() OVER (PARTITION BY prio ORDER BY days ASC)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY prio) AS n FROM lat)
+        |SELECT prio, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rk = CAST(ceil(n * 50 / 100.0) AS BIGINT)
+        |    THEN days END) AS p50_days,
+        |  max(CASE WHEN rk = CAST(ceil(n * 90 / 100.0) AS BIGINT)
+        |    THEN days END) AS p90_days,
+        |  max(CASE WHEN rk = CAST(ceil(n * 99 / 100.0) AS BIGINT)
+        |    THEN days END) AS p99_days
+        |FROM r GROUP BY prio""".stripMargin,
     "q342_ship_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
