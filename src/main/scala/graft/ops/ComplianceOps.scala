@@ -24,16 +24,17 @@ import org.apache.spark.sql.functions._
 object ComplianceOps {
 
   /** Exact half-up integer division num/den in parts-per-million,
-    * spelled with pmod so the double division is exact (numerator a
-    * multiple of den). Exactness holds while num·2e6 < 2^53, i.e.
-    * up to ~4.5e9 flagged rows per table; beyond that the ppm can be
-    * off by 1 — acceptable for a manifest metric, noted here for the
-    * 100 TB reader.
+    * spelled with pmod so the numerator is an exact multiple of den,
+    * then divided in decimal(38,*) — exact for the FULL long range
+    * (the previous double division lost exactness past num·2e6 ≥
+    * 2^53, i.e. ~4.5e9 flagged rows; at 100 TB that is reachable).
+    * A numerator past 2^63 errors loudly under ANSI.
     */
   private def ppm(num: Column, den: Column): Column = {
     val a = num * 2000000L + den
     val b = den * 2
-    ((a - pmod(a, b)) / b).cast("long")
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)"))
+      .cast("long")
   }
 
   /** One manifest row: (table, rows_total, rows_delete, delete_ppm)

@@ -152,7 +152,7 @@ object EvalOps {
     s"""WITH tok AS (SELECT $idCol // 2 AS pid, $idCol % 2 = 1 AS is_cand,
        |    $srcCol AS source,
        |    list_filter(string_split_regex(lower($textCol),
-       |      '[ \t\n\f\r]+'), x -> x <> '') AS ts
+       |      '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
        |  FROM $table),
        |big AS (SELECT pid, is_cand,
        |    list_transform(range(1, len(ts)),

@@ -430,7 +430,7 @@ object EventOps {
       .orderBy(col("n").desc, col("hod").asc)
     g.join(broadcast(tot), "event_type")
       .select(col("event_type"), col("hod"), col("n"),
-        ((a - pmod(a, b)) / b).cast("long").as("frac_ppm"),
+        ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)")).cast("long").as("frac_ppm"),
         (row_number().over(w) === 1).cast("int").as("is_peak"))
   }
 
@@ -476,7 +476,7 @@ object EventOps {
     h.join(broadcast(s), Seq("event_type", "hod"))
       .filter(dev * dev > lit((z * z).toDouble) * varn)
       .select(col("event_type"), col("h"), col("cnt"),
-        ((a - pmod(a, b)) / b).cast("long").as("mu_ppm"),
+        ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)")).cast("long").as("mu_ppm"),
         col("nd"))
   }
 
@@ -660,7 +660,7 @@ object EventOps {
     val b = col("tot") * 2
     steps.join(broadcast(tot), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
-        ((a - pmod(a, b)) / b).cast("long").as("p_ppm"))
+        ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)")).cast("long").as("p_ppm"))
   }
 
   /** DuckDB twin of [[markovTransitions]]. */
@@ -1310,8 +1310,8 @@ object EventOps {
          |  max(CASE WHEN arm = 1 THEN n END) AS n_t,
          |  max(CASE WHEN arm = 0 THEN x END) AS vc,
          |  max(CASE WHEN arm = 1 THEN x END) AS vt
-         |FROM ranked WHERE rk = CAST(ceil(n * $q / 100.0) AS BIGINT)"""
-        .stripMargin).mkString("\nUNION ALL\n")
+         |FROM ranked WHERE rk = CAST(ceil(n * $q / 100.0) AS BIGINT)
+         |GROUP BY 1""".stripMargin).mkString("\nUNION ALL\n")
     s"""WITH per AS (SELECT $userCol % 2 AS arm,
        |    CAST(sum(CASE WHEN $typeCol = '$convType'
        |      THEN CAST(round(CAST($valueCol AS DOUBLE) * 100) AS BIGINT)
@@ -1938,12 +1938,18 @@ object EventOps {
   // resampling coordinates are md5-hex (SampleOps convention), sums
   // are exact cents longs, means are half-up integer micro-division.
 
-  /** Exact integer floor-division for non-negative longs (Column `/`
-    * is DOUBLE division): a - a mod b is an exact multiple of b, and
-    * IEEE division with an exactly-representable quotient is exact.
+  /** Exact integer floor-division for non-negative longs. a - a mod b
+    * is an exact multiple of b, so the decimal division below has an
+    * integral quotient; decimal(38,*) arithmetic keeps it exact for
+    * the FULL long range. (The previous double-division spelling was
+    * only exact while the dividend stayed under 2^53 — corpus-scale
+    * sums like s·20000 at 100 TB can exceed that, and doubles would
+    * then lose low bits silently. Cost is immaterial: every call site
+    * divides aggregate-level rows, not the corpus.)
     */
   private def exactDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)"))
+      .cast("long")
 
   /** Difference-in-differences over the user panel: treated = odd
     * user ids, post = `tsCol >= postStart`, outcome = per-user
@@ -2237,7 +2243,11 @@ object EventOps {
       .select(col("bi"), when(col("sw") === 0, lit(null))
         .otherwise(exactDiv(col("s") * 20000 + col("sw"), col("sw") * 2))
         .as("m6"))
-    val wRank = Window.orderBy(col("m6").asc, col("bi").asc)
+    // asc_nulls_last matches DuckDB's default NULLS LAST (mirrored
+    // explicitly in the oracle): a replicate with zero total Poisson
+    // weight (sw=0 → NULL mean) must occupy the same rank position in
+    // both engines or the CI order statistics shift.
+    val wRank = Window.orderBy(col("m6").asc_nulls_last, col("bi").asc)
     val loRank = math.ceil(0.05 * b).toInt
     val hiRank = math.ceil(0.95 * b).toInt
     val ranked = reps.select(col("m6"), row_number().over(wRank).as("rk"))
@@ -2278,7 +2288,7 @@ object EventOps {
        |  GROUP BY bi),
        |m AS (SELECT bi, CASE WHEN sw = 0 THEN NULL
        |    ELSE (s * 20000 + sw) // (sw * 2) END AS m6 FROM reps),
-       |rk AS (SELECT m6, row_number() OVER (ORDER BY m6 ASC, bi ASC)
+       |rk AS (SELECT m6, row_number() OVER (ORDER BY m6 ASC NULLS LAST, bi ASC)
        |    AS rk FROM m),
        |ci AS (SELECT max(CASE WHEN rk = $loRank THEN m6 END) AS lo6,
        |    max(CASE WHEN rk = $hiRank THEN m6 END) AS hi6,

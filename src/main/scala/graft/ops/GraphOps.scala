@@ -310,13 +310,18 @@ object GraphOps {
     * form): num/den with .5 rounding up, spelled so every step is
     * exact — (a − a mod b)/b is an exact multiple divided out, and
     * the IEEE division of exactly-representable operands with an
-    * exactly-representable quotient is exact (all values < 2^53).
+    * exactly-representable quotient is exact. The division runs in
+    * decimal(38,*) so exactness holds for the FULL long range, not
+    * just 2^53 (rank·weight products at corpus scale live in that
+    * gap); a numerator past 2^63 errors loudly under ANSI instead of
+    * drifting.
     */
   private def halfDiv(num: org.apache.spark.sql.Column,
       den: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val a = num * 2 + den
     val b = den * 2
-    ((a - pmod(a, b)) / b).cast("long")
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)"))
+      .cast("long")
   }
 
   /** Weighted PageRank in EXACT integer micro-units — bit-identical
@@ -626,7 +631,8 @@ object GraphOps {
         .toSeq.toDF("side", "node", "score_units", "score")
     }
     def idiv(x: Column, b: Column): Column =
-      ((x - pmod(x, b)) / b).cast("long")
+      ((x - pmod(x, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)"))
+        .cast("long")
     val M = 1000000L
     var hub = e.select(col("h").as("v")).distinct()
       .select(col("v"), lit(M).as("s"))

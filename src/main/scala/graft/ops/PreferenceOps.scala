@@ -59,17 +59,26 @@ object PreferenceOps {
       loserCol: String, maxItems: Int = 10000): DataFrame = {
     val spark = comparisons.sparkSession
     import spark.implicits._
-    val counts = comparisons
+    val pairs = comparisons
       .filter(col(winnerCol) =!= col(loserCol))
-      .groupBy(col(winnerCol).cast("string").as("w"),
+      .select(col(winnerCol).cast("string").as("w"),
         col(loserCol).cast("string").as("l"))
+    // Enforce the model-scale bound BEFORE any driver materialization:
+    // a scalar distinct-count aggregate is the only thing collected
+    // here, so a pathological data-scale item column (user ids instead
+    // of model labels) fails fast instead of OOMing the driver on the
+    // items² counts collect below.
+    val nItems = pairs.select(explode(array($"w", $"l")).as("item"))
+      .agg(countDistinct($"item")).head.getLong(0)
+    require(nItems >= 2, s"bradleyTerry needs >= 2 items, got $nItems")
+    require(nItems <= maxItems,
+      s"bradleyTerry found $nItems distinct items (> $maxItems): the item " +
+        "column must be model-scale (labels), not data-scale (ids)")
+    val counts = pairs
+      .groupBy($"w", $"l")
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val items = counts.flatMap(c => Seq(c._1, c._2)).distinct.sorted
-    require(items.length >= 2, s"bradleyTerry needs >= 2 items, got ${items.length}")
-    require(items.length <= maxItems,
-      s"bradleyTerry collected ${items.length} items (> $maxItems): the item " +
-        "column must be model-scale (labels), not data-scale (ids)")
     val idx = items.zipWithIndex.toMap
     val m = items.length
     val raw = Array.ofDim[Double](m, m)

@@ -3168,9 +3168,12 @@ object ProfileOps {
     * Scale shape: two hash aggs (QI × bucket, bucket), the dense
     * m-bucket grid per group via explode(sequence) (m rows/group),
     * a per-group cumulative window over m rows, global totals
-    * broadcast. EXACTNESS BOUND: c·N needs n·N·m < 2^53·~ — holds to
-    * ~90M rows per corpus at m=10; beyond that, lift the cum sums to
-    * decimal(38,0).
+    * broadcast. EXACTNESS: the c·N − C_b·n products, their
+    * cumulative sums and the final half-up division all run in
+    * decimal(38,0) — exact to ~10^38, i.e. far past any corpus (a
+    * long spelling would overflow at n·N ~ 2^63, reachable at
+    * 100 TB); overflow past decimal(38) errors loudly under ANSI
+    * instead of drifting.
     *
     * @return per QI group: (qi..., n, t_emd)
     */
@@ -3199,15 +3202,22 @@ object ProfileOps {
       .partitionBy(names.map(col): _*).orderBy("b")
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
-    j.withColumn("s",
-        sum(col("c") * col("n_all") - col("cb") * col("n")).over(w))
+    val cum = col("c").cast("decimal(20,0)") *
+      col("n_all").cast("decimal(18,0)") -
+      col("cb").cast("decimal(20,0)") * col("n").cast("decimal(18,0)")
+    // half-up((1e6·sa) / D) with D = (m−1)·n·N, all decimal(38,0):
+    // (2·1e6·sa + D) floor-div (2·D), floor spelled with pmod so the
+    // decimal division has an exact integral quotient.
+    val dD = lit(nBuckets - 1L).cast("decimal(10,0)") *
+      col("n").cast("decimal(20,0)") * col("na").cast("decimal(18,0)")
+    val num2 = lit(2000000L).cast("decimal(10,0)") * col("sa") + dD
+    j.withColumn("s", sum(cum).over(w))
       .groupBy(names.map(col): _*)
       .agg(first("n").as("n"), sum(abs(col("s"))).as("sa"),
         first("n_all").as("na"))
       .select(names.map(col) ++ Seq(col("n"),
-        (expr(s"(2000000 * sa + ${nBuckets - 1} * n * na)" +
-          s" div (2 * ${nBuckets - 1} * n * na)").cast("double") / 1e6)
-          .as("t_emd")): _*)
+        (((num2 - pmod(num2, dD * 2)) / (dD * 2)).cast("long")
+          .cast("double") / 1e6).as("t_emd")): _*)
   }
 
   /** DuckDB replay of [[fdAudit]] — one UNION ALL branch per

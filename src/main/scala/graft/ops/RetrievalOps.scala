@@ -395,7 +395,7 @@ object RetrievalOps {
       minDf: Long): String =
     s"""WITH t AS (SELECT CAST($idCol AS BIGINT) AS did,
        |    unnest(list_filter(string_split_regex(lower($textCol),
-       |      '[ \t\n\f\r]+'), x -> x <> '')) AS term
+       |      '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS term
        |  FROM $table),
        |tf AS (SELECT term, did, CAST(count(*) AS BIGINT) AS tf
        |  FROM t GROUP BY 1, 2),

@@ -1292,7 +1292,7 @@ object TextOps {
   def chao1OracleSql(table: String, textCol: String): String =
     s"""WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c
        |  FROM (SELECT unnest(list_filter(string_split_regex(
-       |      lower($textCol), '[ \t\n\f\r]+'), x -> x <> '')) AS term
+       |      lower($textCol), '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS term
        |    FROM $table) t
        |  GROUP BY term),
        |agg AS (SELECT CAST(count(*) AS BIGINT) AS s_obs,

@@ -31,13 +31,15 @@ object TimeSeriesOps {
 
   /** Exact integer floor-division for non-negative longs. Column `/`
     * is DOUBLE division — for quotients near an integer boundary the
-    * rounding can cross it, so spell a div b as (a - a mod b) / b:
-    * the numerator is an exact multiple of b and both fit in 2^53,
-    * and IEEE division of exactly-representable operands with an
-    * exactly-representable quotient is exact.
+    * rounding can cross it, so spell a div b as (a - a mod b) / b
+    * (numerator an exact multiple of b) and run the division in
+    * decimal(38,*): exact for the FULL long range, not just 2^53
+    * (micro-unit × gap-span numerators at scale live in that gap).
+    * A numerator past 2^63 errors loudly under ANSI.
     */
   private def idiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)"))
+      .cast("long")
 
   /** Hourly observed aggregate: (k, h, v) with h = epoch hour start
     * (BIGINT seconds) and v = 6dp-rounded mean value in that hour.
@@ -83,13 +85,13 @@ object TimeSeriesOps {
     * The final /1e6 to double is a single deterministic IEEE op.
     * Requires non-negative values (div-based half-up).
     *
-    * EXACTNESS BOUND: idiv is only exact while its operands stay
-    * under 2^53, and the interpolation numerator is ~value-in-micro-
-    * units × gap-span-in-seconds — a 1000.0 reading (1e9 µunits)
-    * across a multi-month gap (~1e7 s) overflows the bound and the
-    * bit-exactness claim silently breaks. Guarded at runtime: any
-    * gap row whose numerator magnitude reaches 2^53 raises instead
-    * of returning a last-digit-wrong value.
+    * EXACTNESS BOUND: idiv divides in decimal(38,*), so it is exact
+    * for the full long range. The interpolation numerator is
+    * ~value-in-micro-units × gap-span-in-seconds; it fits a long up
+    * to ~9.2e18 (e.g. a 1e9-µunit reading across a ~1e9 s gap —
+    * three decades), and PAST that the long multiply itself errors
+    * loudly under ANSI mode rather than drifting — the bound is
+    * machine-enforced, not documentation.
     */
   def interpolateGaps(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
@@ -118,17 +120,11 @@ object TimeSeriesOps {
     val nh = last(when(col("v6").isNotNull, col("h")), ignoreNulls = true).over(wnRev)
     val num = pv * (nh - col("h")) + nv * (col("h") - ph)
     val den = nh - ph
-    // runtime guard on the exact-division bound (see scaladoc): the
-    // rounded numerator 2*num + den must stay under 2^53 for idiv to
-    // be exact. Fail loudly rather than drift at the last digit.
-    val maxExact = lit(1L << 53)
-    val numOk = when(abs(num * 2 + den) < maxExact, num)
-      .otherwise(raise_error(concat(
-        lit("interpolateGaps: interpolation numerator exceeds the 2^53 "),
-        lit("exact-division bound (value × gap span too large) for key "),
-        col("k").cast("string"))))
+    // no 2^53 guard needed any more: idiv divides in decimal and is
+    // exact for the whole long range; a numerator past 2^63 fails
+    // loudly in the ANSI long multiply above (see scaladoc bound).
     val vi6 = when(col("v6").isNotNull, col("v6"))
-      .otherwise(idiv(numOk * 2 + den, den * 2))
+      .otherwise(idiv(num * 2 + den, den * 2))
     j.select(col("k"), col("h"),
       (vi6 / lit(1000000.0)).as("v_interp"),
       col("v6").isNull.cast("int").as("is_gap"))
@@ -704,8 +700,13 @@ object TimeSeriesOps {
       .agg(sum(round(col(valueCol).cast("double") * 100).cast("long"))
           .as("s"),
         count(lit(1)).as("n"))
+      // sign-safe half-up daily mean: the trend machinery below is
+      // explicitly signed, so the seed mean must be too — pmod-floor
+      // (like hup) instead of truncating `div`, which would disagree
+      // with DuckDB's floor `//` spelling on negative daily sums.
       .select(col("k"), col("du"),
-        expr("(2 * s * 10000 + n) div (2 * n)").as("v6"))
+        expr("((2 * s * 10000 + n) - pmod(2 * s * 10000 + n, 2 * n))" +
+          " div (2 * n)").as("v6"))
     // signed half-up x/d on the micro grid: floor((2x + d) / (2d))
     def hup(x: String, d: Int): String = {
       val a = s"(2 * ($x) + $d)"
@@ -762,7 +763,9 @@ object TimeSeriesOps {
        |      AS BIGINT)) AS BIGINT) AS s,
        |    CAST(count(*) AS BIGINT) AS n
        |  FROM $table GROUP BY 1, 2),
-       |obs AS (SELECT k, du, (2 * s * 10000 + n) // (2 * n) AS v6,
+       |obs AS (SELECT k, du,
+       |    ((2 * s * 10000 + n) - (((2 * s * 10000 + n) % (2 * n)
+       |      + (2 * n)) % (2 * n))) // (2 * n) AS v6,
        |    row_number() OVER (PARTITION BY k ORDER BY du) AS i
        |  FROM obs0),
        |r AS (

@@ -145,10 +145,15 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PreferenceOps.bradleyTerry(ok, "w", "l")
     }
+    // high-cardinality (data-scale) item column must fail FAST: the
+    // bound is enforced by a scalar distinct-count aggregate BEFORE
+    // the items² counts frame is ever collected to the driver.
     val big = Seq.tabulate(30)(i => (s"i$i", s"i${(i + 1) % 30}")).toDF("w", "l")
-    intercept[IllegalArgumentException] {
+    val ex = intercept[IllegalArgumentException] {
       PreferenceOps.bradleyTerry(big, "w", "l", maxItems = 10)
     }
+    assert(ex.getMessage.contains("30 distinct items"))
+    assert(ex.getMessage.contains("model-scale"))
   }
 
   // -------------------------------------------------------- k-anonymity
