@@ -1,0 +1,115 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.function.{Function => JFunction}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable index lifecycle — the production composition on top of the
+  * in-session index algebra:
+  *
+  *   - [[IvfIndexOps]] proves the IVF/PQ sufficient statistics are
+  *     ADDITIVE (batch merge == from-scratch, bit-exact);
+  *   - [[WinnowStage]] materializes the winnow pair frame per session;
+  *   - [[DedupOps.dedupAgainstStore]] persists text digests across
+  *     sessions.
+  *
+  * This object extends the dedupAgainstStore discipline to the other
+  * two index families: stats/pair frames PERSIST to plain parquet
+  * directories (no service, engine-agnostic), new batches APPEND as
+  * deltas, and serving reads the STORE — never the raw corpus.
+  *
+  * Store layout and scale shape:
+  *   - an IVF/PQ stats store is an append-only parquet dir of
+  *     (key..., s: decimal(38,0), n: long) delta rows; the merged
+  *     view is one model-scale groupBy over k·d (or m·codes·d/m)
+  *     rows per delta — KBs move, never vectors. Because decimal
+  *     sums are associative and commutative, the merge-on-read
+  *     aggregate is bit-identical to ANY eager merge order and to a
+  *     from-scratch pass over the union of batches — that is the
+  *     cross-session refresh contract q351 pins against its oracle.
+  *   - a winnow pair store is the verified-pairs frame (ids + two
+  *     small numerics, pair-cardinality — corpus text never lands in
+  *     the store) written ONCE; every consumer threshold is a filter
+  *     on the already-5dp-rounded `jac` column, so serving from the
+  *     store is bit-identical to re-running the funnel
+  *     ([[WinnowStage]]'s exactness argument, now durable).
+  *
+  * Concurrency/recovery: appends are single atomic parquet appends;
+  * as with dedupAgainstStore, concurrent writers need an external
+  * commit protocol, and callers should persist derived results
+  * BEFORE appending the delta that admits them.
+  */
+object IndexStore {
+
+  /** Append one batch's delta frame to an append-only parquet store. */
+  def append(delta: DataFrame, path: String): Unit =
+    delta.write.mode("append").parquet(path)
+
+  /** Merge-on-read view of an append-only stats store: one row per
+    * key tuple with each sum column re-aggregated across deltas.
+    * Decimal/long sums are associative, so this equals any eager
+    * merge order — including "one batch" (from-scratch).
+    */
+  def readMerged(spark: SparkSession, path: String, keys: Seq[String],
+      sums: Seq[String]): DataFrame = {
+    val agg = sums.map(c => sum(col(c)).as(c))
+    spark.read.parquet(path)
+      .groupBy(keys.map(col): _*)
+      .agg(agg.head, agg.tail: _*)
+  }
+
+  /** Merged IVF coarse-quantizer stats (cell, pos, s, n) — feed to
+    * [[IvfIndexOps.refresh]].
+    */
+  def readIvfStats(spark: SparkSession, path: String): DataFrame =
+    readMerged(spark, path, Seq("cell", "pos"), Seq("s", "n"))
+
+  /** Merged PQ codebook stats (j, code, p, s, n) — feed to
+    * [[IvfIndexOps.refreshCodebooks]].
+    */
+  def readPqStats(spark: SparkSession, path: String): DataFrame =
+    readMerged(spark, path, Seq("j", "code", "p"), Seq("s", "n"))
+
+  // ----------------------------------------------------------------
+  // Winnow pair store
+  // ----------------------------------------------------------------
+
+  private case class WKey(appId: String, dir: String)
+  private val winnowStores = new ConcurrentHashMap[WKey, String]()
+
+  /** Path of the persisted winnow pair store for `dir`, writing it on
+    * first use (once per application+corpus, [[WinnowStage]]'s
+    * memoization made durable): the stage's minJaccard = 0.0 pair
+    * frame goes to parquet, and all serving happens from that file.
+    */
+  def winnowStorePath(spark: SparkSession, dir: String): String = {
+    val key = WKey(spark.sparkContext.applicationId, dir)
+    winnowStores.computeIfAbsent(key, new JFunction[WKey, String] {
+      override def apply(k: WKey): String = {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_winnow_store").toString + "/pairs"
+        WinnowStage.pairs(spark, dir).write.mode("overwrite").parquet(path)
+        path
+      }
+    })
+  }
+
+  /** Serve verified pairs at threshold `t` FROM the store — a parquet
+    * scan of the pair frame plus one filter; the raw document corpus
+    * is never touched (PlanSpec asserts exactly that). Bit-identical
+    * to running the funnel at minJaccard = t: `jac` was rounded to
+    * 5dp before persisting, so the filter is exact.
+    */
+  def serveWinnowPairs(spark: SparkSession, dir: String,
+      t: Double): DataFrame =
+    spark.read.parquet(winnowStorePath(spark, dir))
+      .where(col("jac") >= t)
+
+  /** Test hook: drop an application's winnow stores (spec isolation). */
+  private[graft] def invalidateWinnow(appId: String): Unit = {
+    val it = winnowStores.keySet.iterator()
+    while (it.hasNext) if (it.next().appId == appId) it.remove()
+  }
+}

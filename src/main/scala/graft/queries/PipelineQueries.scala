@@ -531,6 +531,53 @@ object PipelineQueries {
           (col("cell_incr") === col("cell_scratch")).cast("int").as("agree"))
     }),
 
+    // Durable IVF index lifecycle (q239 made operational): the three
+    // batch deltas PERSIST to an append-only parquet stats store
+    // (IndexStore.append — a fresh store per run, as a real ingest
+    // would use a fresh delta path per batch), the refresh reads the
+    // store via merge-on-read, and probe serving runs under the
+    // store-derived centers. Output pins store-served == from-scratch
+    // cell-for-cell; the oracle replays both paths arithmetically —
+    // additivity makes the 3-way persisted split, the oracle's 2-way
+    // in-memory split, and the single from-scratch pass bit-identical.
+    "q351_ivf_store" -> ((s, d) => {
+      import graft.ops.{IndexStore, IvfIndexOps}
+      val emb = Tables(s, d, "embeddings")
+      val c0 = IvfIndexOps.initCenters(s, emb, "vec_id", "embedding", 6)
+      val asg = IvfIndexOps.assign(s, emb, "vec_id", "embedding", c0)
+        .localCheckpoint()
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_q351").toString + "/cells"
+      (0 until 3).foreach { b =>
+        IndexStore.append(IvfIndexOps.cellStatsFromAssigned(
+          asg.where(pmod(col("id"), lit(3)) === b)), store)
+      }
+      val cStore = IvfIndexOps.refresh(c0, IndexStore.readIvfStats(s, store))
+      val cScr = IvfIndexOps.refresh(c0,
+        IvfIndexOps.cellStatsFromAssigned(asg))
+      val probes = emb.where(col("vec_id") % 5 === 0)
+      val ai = IvfIndexOps.assign(s, probes, "vec_id", "embedding", cStore)
+        .select(col("id").as("vec_id"),
+          col("cell").cast("int").as("cell_incr"))
+      val asx = IvfIndexOps.assign(s, probes, "vec_id", "embedding", cScr)
+        .select(col("id").as("vec_id"),
+          col("cell").cast("int").as("cell_scratch"))
+      ai.join(asx, Seq("vec_id"))
+        .select(col("vec_id"), col("cell_incr"), col("cell_scratch"),
+          (col("cell_incr") === col("cell_scratch")).cast("int")
+            .as("agree"))
+    }),
+
+    // Winnow pair store serve: the q156 funnel's pair frame persisted
+    // ONCE to parquet (IndexStore.winnowStorePath) and this report
+    // served FROM the store — a pair-frame parquet scan + filter,
+    // zero document scans (PlanSpec asserts the plan never touches
+    // raw text). The oracle replays the FULL funnel at the serve
+    // threshold, so the hash match proves stored-serve == recompute.
+    "q352_winnow_store" -> ((s, d) =>
+      graft.ops.IndexStore.serveWinnowPairs(s, d, 0.4)
+        .select("id_a", "id_b", "n_shared", "jac")),
+
     // Curation pipeline v3 — this round's stages composed into one
     // decision manifest over the candidate half (odd ids) of the
     // corpus: doc-level lang-ID (q96), span-perplexity retention
@@ -3789,6 +3836,14 @@ object PipelineQueries {
     "q239_ivf_incremental" -> graft.ops.IvfIndexOps
       .incrementalRefreshOracleSql("embeddings", "vec_id", "embedding",
         k = 8, probeMod = 7),
+    // q351's store path is proven by the same arithmetic replay as
+    // q239 (stats additivity makes persisted 3-way == in-memory
+    // 2-way == from-scratch), at this query's own k/probe params.
+    "q351_ivf_store" -> graft.ops.IvfIndexOps
+      .incrementalRefreshOracleSql("embeddings", "vec_id", "embedding",
+        k = 6, probeMod = 5),
+    "q352_winnow_store" -> WinnowOps.verifiedPairsOracleSql("documents",
+      "doc_id", "text", minJaccard = 0.4),
     "q240_span_lang" -> spanLangOracleSql,
     "q242_pq_incremental" -> graft.ops.IvfIndexOps
       .incrementalPqOracleSql("embeddings", "vec_id", "embedding",

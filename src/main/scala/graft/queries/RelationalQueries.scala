@@ -383,6 +383,94 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q2 shape (min-per-group lookup join): for each part, the
+    // EUROPE supplier(s) whose best offer equals the part's regional
+    // minimum — the classic correlated scalar subquery
+    // `WHERE cost = (SELECT min(cost) ... WHERE pk = outer.pk)`
+    // decorrelated. Spelled as a window-min over the (part, supplier)
+    // offer frame rather than a min-frame self-join: the offer frame
+    // is built ONCE (one scan of lineitem, dims broadcast), and the
+    // window reuses the aggregation's own shuffle — a broadcast
+    // min-frame join would evaluate the offer pipeline twice. Offers
+    // are exact cents longs so the min-equality is grid-exact.
+    "q348_min_cost_supplier" -> ((s, d) => {
+      val eu = Tables(s, d, "supplier")
+        .join(Tables(s, d, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables(s, d, "region"),
+          col("n_regionkey") === col("r_regionkey") &&
+            col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val offers = Tables(s, d, "lineitem")
+        .join(broadcast(eu.select(col("s_suppkey").as("sk"))),
+          col("l_suppkey") === col("sk"))
+        .groupBy(col("l_partkey").as("pk"), col("sk"))
+        .agg(min(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cost_c"))
+      val w = Window.partitionBy("pk")
+      offers.withColumn("min_c", min("cost_c").over(w))
+        .where(col("cost_c") === col("min_c"))
+        .join(broadcast(eu), col("sk") === col("s_suppkey"))
+        .join(broadcast(Tables(s, d, "part")
+            .select(col("p_partkey"), col("p_type"))),
+          col("pk") === col("p_partkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("n_name"), col("p_type"),
+          round(col("s_acctbal"), 2).as("acctbal"),
+          (col("cost_c").cast("double") / 100).as("best_cost"))
+        .orderBy(col("acctbal").desc, col("s_suppkey").asc,
+          col("p_partkey").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q4 shape (EXISTS): orders in a quarter with at least one
+    // line shipped > 60 days after the order date, counted per
+    // priority — the correlated EXISTS (predicate references BOTH
+    // sides) decorrelated into one LEFT SEMI join on orderkey with
+    // the correlation as a join residual: one pass over each input,
+    // no per-order rescan, semi-join short-circuits on first match.
+    "q349_waiting_orders" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q20 shape (nested IN with correlated aggregate):
+    // suppliers who shipped a STRICT MAJORITY of some large part's
+    // 1997 volume — `s_suppkey IN (SELECT ... GROUP BY part, supp
+    // HAVING 2·sum(qty) > (SELECT sum(qty) ... WHERE partkey =
+    // outer.partkey))` decorrelated: ONE aggregation to the
+    // (part, supplier) grain, the correlated per-part total as a
+    // window sum over that already-aggregated (small) frame, then a
+    // LEFT SEMI join into supplier. Quantities are integral —
+    // compared on the long grid (2·sq > tq), no 0.5·double.
+    "q350_majority_suppliers" -> ((s, d) => {
+      val pt = Tables(s, d, "part").filter(col("p_size") >= 45)
+        .select(col("p_partkey"))
+      val li = Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      val ps = li.groupBy(col("l_partkey").as("pk"),
+          col("l_suppkey").as("sk"))
+        .agg(sum(round(col("l_quantity"), 0).cast("long")).as("sq"))
+      val dom = ps
+        .withColumn("tq", sum("sq").over(Window.partitionBy("pk")))
+        .where(col("sq") * 2 > col("tq"))
+        .select(col("sk")).distinct()
+      Tables(s, d, "supplier")
+        .join(dom, col("s_suppkey") === col("sk"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
     // Fulfillment-latency SLA percentiles: exact p50/p90/p99 of
     // ship-minus-order days per order priority — type-1 order
     // statistics via per-priority rank windows, integer day grid.
@@ -832,6 +920,53 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY revenue DESC, c_custkey ASC
         |LIMIT 20""".stripMargin,
+    // q348/q349/q350 oracles are deliberately spelled in the
+    // CORRELATED form (scalar subquery / EXISTS / nested IN with a
+    // correlated aggregate): the hash match proves the engine's
+    // decorrelated plans compute exactly the correlated semantics.
+    "q348_min_cost_supplier" ->
+      """WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |off AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT p_partkey, s_suppkey, s_name, n_name, p_type,
+        |  round(s_acctbal, 2) AS acctbal,
+        |  CAST(cost_c AS DOUBLE) / 100 AS best_cost
+        |FROM off o JOIN eu ON o.sk = s_suppkey
+        |JOIN part ON o.pk = p_partkey
+        |WHERE o.cost_c = (SELECT min(i.cost_c) FROM off i
+        |  WHERE i.pk = o.pk)
+        |ORDER BY acctbal DESC, s_suppkey ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
+    "q349_waiting_orders" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q350_majority_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT f.l_suppkey
+        |  FROM lineitem f JOIN part ON f.l_partkey = p_partkey
+        |  WHERE p_size >= 45
+        |    AND f.l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND f.l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY f.l_partkey, f.l_suppkey
+        |  HAVING 2 * sum(CAST(round(f.l_quantity) AS BIGINT)) >
+        |    (SELECT sum(CAST(round(l2.l_quantity) AS BIGINT))
+        |     FROM lineitem l2
+        |     WHERE l2.l_partkey = f.l_partkey
+        |       AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+        |       AND l2.l_shipdate < TIMESTAMP '1998-01-01'))"""
+        .stripMargin,
     "q292_fd_discovery" -> graft.ops.ProfileOps.fdAuditOracleSql(
       "lineitem", Seq(
         "l_orderkey" -> "l_suppkey",

@@ -87,4 +87,50 @@ class IvfIndexSpec extends SparkSpec {
     assert(encI == encS)
     assert(encI.size == 12, "6 vectors x 2 subspaces")
   }
+
+  test("IndexStore: persisted IVF + PQ stats deltas merge-on-read to the " +
+      "from-scratch stats, across a fresh session") {
+    import graft.ops.IndexStore
+    val e4 = Seq(
+      (1L, Seq(0.0, 0.0, 1.0, 1.0)), (2L, Seq(0.1, 0.0, 1.1, 1.0)),
+      (3L, Seq(5.0, 5.0, 9.0, 9.0)), (4L, Seq(5.1, 5.0, 9.1, 9.0)),
+      (5L, Seq(0.0, 0.2, 9.0, 9.2)), (6L, Seq(5.0, 5.2, 1.0, 1.2))
+    ).toDF("vec_id", "embedding")
+    val c0 = IvfIndexOps.initCenters(spark, e4, "vec_id", "embedding", 2)
+    val b0 = IvfIndexOps.initCodebooks(spark, e4, "vec_id", "embedding",
+      c0, m = 2, nCodes = 2)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_store_spec").toString
+    // three appended batch deltas per store (an ingest cadence)
+    for (b <- 0 until 3) {
+      val part = e4.where(pmod(col("vec_id"), lit(3)) === b)
+      IndexStore.append(IvfIndexOps.cellStats(spark, part, "vec_id",
+        "embedding", c0), s"$base/cells")
+      IndexStore.append(IvfIndexOps.codeStats(spark,
+        IvfIndexOps.residuals(spark, part, "vec_id", "embedding", c0),
+        b0), s"$base/codes")
+    }
+    // a FRESH session (no lineage, no cache) serves from the store
+    val s2 = spark.newSession()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getInt(1)) ->
+        ((r.getDecimal(2).toPlainString, r.getLong(3)))
+    val cellScratch = IvfIndexOps.cellStats(spark, e4, "vec_id",
+      "embedding", c0).collect().map(key).toMap
+    assert(IndexStore.readIvfStats(s2, s"$base/cells")
+      .collect().map(key).toMap == cellScratch)
+    val key3 = (x: org.apache.spark.sql.Row) =>
+      (x.getInt(0), x.getInt(1), x.getInt(2)) ->
+        ((x.getDecimal(3).toPlainString, x.getLong(4)))
+    val codeScratch = IvfIndexOps.codeStats(spark,
+      IvfIndexOps.residuals(spark, e4, "vec_id", "embedding", c0), b0)
+      .collect().map(key3).toMap
+    assert(IndexStore.readPqStats(s2, s"$base/codes")
+      .collect().map(key3).toMap == codeScratch)
+    // refreshed centers from the stored stats == from-scratch refresh
+    assert(IvfIndexOps.refresh(c0,
+      IndexStore.readIvfStats(s2, s"$base/cells")) ==
+      IvfIndexOps.refresh(c0, IvfIndexOps.cellStats(spark, e4,
+        "vec_id", "embedding", c0)))
+  }
 }

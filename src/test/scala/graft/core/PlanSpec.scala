@@ -553,4 +553,38 @@ class PlanSpec extends SparkSpec {
     val s = formatted("q335_temporal_labels")
     assert(!s.contains("Join"), s"label builder must not join: $s")
   }
+
+  test("q348 Q2-shape: ONE lineitem scan (window-min decorrelation, no " +
+      "per-outer rescan); dims broadcast") {
+    val s = formatted("q348_min_cost_supplier")
+    assert("lineitem\\.parquet".r.findAllIn(s).size <= 1,
+      s"correlated-min decorrelation must not rescan the fact table:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q349 Q4-shape: EXISTS decorrelates to one LEFT SEMI join, one scan " +
+      "of each input") {
+    val s = formatted("q349_waiting_orders")
+    assert(s.contains("LeftSemi"), s"EXISTS must become a semi join:\n$s")
+    assert("lineitem\\.parquet".r.findAllIn(s).size <= 1, s)
+    assert("orders\\.parquet".r.findAllIn(s).size <= 1, s)
+  }
+
+  test("q350 Q20-shape: nested-IN-with-agg is one fact aggregation + semi " +
+      "join, ONE lineitem scan") {
+    val s = formatted("q350_majority_suppliers")
+    assert(s.contains("LeftSemi"), s"IN must become a semi join:\n$s")
+    assert("lineitem\\.parquet".r.findAllIn(s).size <= 1,
+      s"correlated per-part total must reuse the aggregated frame:\n$s")
+  }
+
+  test("q352 winnow store serve: plan reads the persisted pair store, NEVER " +
+      "the raw document corpus") {
+    val s = formatted("q352_winnow_store")
+    assert(s.contains("graft_winnow_store"),
+      s"serve path must scan the persisted store:\n$s")
+    assert(!s.contains("documents.parquet"),
+      s"serve path must not rescan raw text:\n$s")
+  }
 }
