@@ -1904,6 +1904,14 @@ object ProfileOps {
           .as("decile"))
     val g = ranked.groupBy("decile")
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    gainsFromDecileCounts(g)
+  }
+
+  /** Gains/lift tail from per-decile (decile, n, n_pos) counts —
+    * shared by [[decileGains]] and [[decileGainsFromHist]].
+    */
+  private def gainsFromDecileCounts(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = g.agg(sum("n").as("nt"), sum("n_pos").as("pt"))
@@ -1923,6 +1931,111 @@ object ProfileOps {
               * col("nt").cast("double"))
             / (col("cum_n").cast("double") * col("pt").cast("double")),
             6)).as("lift"))
+  }
+
+  /** [[decileGains]] from a (p, y, c) score-grid HISTOGRAM instead of
+    * row-level data — the streaming twin's finisher
+    * ([[graft.streaming.StreamOps.decileHistStream]] maintains the
+    * bounded histogram as complete-mode state; this derives the decile
+    * table from it with NO global sort of the corpus, which is also
+    * the right 100 TB batch shape when the score grid is coarse).
+    *
+    * Cells are laid out in (p desc, y desc) rank order — positives
+    * before negatives within a tied score cell; on inputs with no
+    * (score, label)-duplicate rank straddles (e.g. distinct scores)
+    * this is EXACTLY [[decileGains]]'s (score desc, id asc) ntile.
+    * Decile boundaries replicate ntile's size rule (first N mod 10
+    * buckets one larger); each cell's rank interval is intersected
+    * with each decile's interval analytically — 10 rows per cell,
+    * histogram-scale work.
+    */
+  def decileGainsFromHist(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = hist.sparkSession
+    val wc = Window.orderBy(col("p").desc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("p"), col("y").cast("long").as("y"),
+        col("c").cast("long").as("c"))
+      .withColumn("hi", sum("c").over(wc))
+      .withColumn("lo", col("hi") - col("c") + 1)
+    val tot = hist.agg(sum(col("c").cast("long")).as("nt"))
+    val bounds = spark.range(1, 11).toDF("decile")
+      .crossJoin(broadcast(tot))
+      .select(col("decile").cast("int").as("decile"),
+        ((col("decile") - 1) * expr("nt div 10") +
+          least(col("decile") - 1, pmod(col("nt"), lit(10L))) + 1)
+          .as("dlo"),
+        ((col("decile") - 1) * expr("nt div 10") +
+          least(col("decile") - 1, pmod(col("nt"), lit(10L))) +
+          expr("nt div 10") +
+          when(col("decile") <= pmod(col("nt"), lit(10L)), 1L)
+            .otherwise(0L)).as("dhi"))
+    val ov = cum.crossJoin(broadcast(bounds))
+      .select(col("decile"), col("y"),
+        greatest(lit(0L), least(col("hi"), col("dhi")) -
+          greatest(col("lo"), col("dlo")) + 1).as("k"))
+    val g = ov.groupBy("decile")
+      .agg(sum("k").as("n"), sum(col("k") * col("y")).as("n_pos"))
+    gainsFromDecileCounts(g)
+  }
+
+  /** [[brierDecomposition]] from the (p, nk, yk) score-grid cells —
+    * the streaming twin's finisher. The per-row Brier sum is
+    * recovered from the cells EXACTLY: every row in a cell shares
+    * (p, y), so the batch's per-row pre-rounded pico terms sum to
+    * count × the cell's term — yk·pico((p̄−1)²) + (nk−yk)·pico(p̄²).
+    */
+  def brierFromCells(cells: DataFrame): DataFrame = {
+    val U = 100000L
+    val tot = cells.agg(sum("nk").as("n"), sum("yk").as("yt"))
+    def pico(c: Column): Column = round(c * 1e12, 0).cast("long")
+    val pd = col("p").cast("double") / U
+    val ybark = col("yk").cast("double") / col("nk").cast("double")
+    val ybar = col("yt").cast("double") / col("n").cast("double")
+    cells.crossJoin(broadcast(tot))
+      .agg(max("n").as("n"), max("yt").as("yt"),
+        sum(pico(col("nk") * (pd - ybark) * (pd - ybark))).as("rel12"),
+        sum(pico(col("nk") * (ybark - ybar) * (ybark - ybar)))
+          .as("res12"),
+        sum(col("yk") * pico((pd - 1.0d) * (pd - 1.0d)) +
+          (col("nk") - col("yk")) * pico(pd * pd)).as("b12"))
+      .select(col("n"),
+        round(col("b12").cast("double") / 1e12
+          / col("n").cast("double"), 6).as("brier"),
+        round(col("rel12").cast("double") / 1e12
+          / col("n").cast("double"), 6).as("reliability"),
+        round(col("res12").cast("double") / 1e12
+          / col("n").cast("double"), 6).as("resolution"),
+        round((col("yt").cast("double") / col("n").cast("double"))
+          * (lit(1.0) - col("yt").cast("double") / col("n").cast("double")),
+          6).as("uncertainty"))
+  }
+
+  /** Exact type-1 percentiles per key from a (key, v, c) value
+    * HISTOGRAM: the p-th percentile is the smallest v whose
+    * cumulative count reaches ceil(n·p/100) — identical to the
+    * row-level rank-window spelling (q347), with work proportional
+    * to the histogram, not the corpus. The streaming SLA twin's
+    * finisher ([[graft.streaming.StreamOps.valueHistStream]]).
+    * Output: (key, n, p\$p ...) one column per requested percent.
+    */
+  def percentilesFromHist(hist: DataFrame, keyCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+      "percents must be in (0,100]")
+    val wc = Window.partitionBy(keyCol).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .select(col(keyCol), col("v"), col("c").cast("long").as("c"))
+      .withColumn("cumc", sum("c").over(wc))
+      .withColumn("n", sum("c").over(Window.partitionBy(keyCol)))
+    val picks = pcts.map { p =>
+      min(when(col("cumc") >=
+        ceil(col("n") * p / 100.0).cast("long"), col("v"))).as(s"p$p")
+    }
+    val aggs = max("n").as("n") +: picks
+    cum.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** DuckDB replay of [[decileGains]]. */

@@ -600,6 +600,53 @@ object StreamOps {
       .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
   }
 
+  /** Streaming Brier cells — the streaming twin of
+    * [[graft.ops.ProfileOps.brierDecomposition]] (q346): state is the
+    * (p, nk, yk) score-grid cell table (complete mode, bounded at
+    * ≤ 100001 cells regardless of stream volume). The Murphy readout
+    * at any instant is [[graft.ops.ProfileOps.brierFromCells]] over
+    * this table, and equals the batch decomposition of everything
+    * ingested (StreamingSpec asserts cross-batch).
+    */
+  def brierCellsStream(stream: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame =
+    stream.select(
+        round(col(scoreCol).cast("double") * 100000L).cast("long")
+          .as("p"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("nk"), sum("y").as("yk"))
+
+  /** Streaming decile-gains histogram — the streaming twin of
+    * [[graft.ops.ProfileOps.decileGains]] (q345): state is the
+    * (p, y, c) score×label histogram (complete mode, ≤ 2·100001
+    * cells); the gains table at any instant is
+    * [[graft.ops.ProfileOps.decileGainsFromHist]] over it (exactly
+    * the batch ntile when no (score,label)-duplicate straddles a
+    * decile boundary — see the finisher's ordering note).
+    */
+  def decileHistStream(stream: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame =
+    stream.select(
+        round(col(scoreCol).cast("double") * 100000L).cast("long")
+          .as("p"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("p", "y")
+      .agg(count(lit(1)).as("c"))
+
+  /** Streaming value histogram per key — the streaming twin of the
+    * q347 SLA readout: state is the (key, v, c) histogram (complete
+    * mode, bounded by key×value-grid cardinality — day-grain latency
+    * grids, not corpus size); exact type-1 percentiles at any
+    * instant via [[graft.ops.ProfileOps.percentilesFromHist]], which
+    * equals the batch rank-window order statistic bit-for-bit.
+    */
+  def valueHistStream(stream: DataFrame, keyCol: String,
+      valueCol: String): DataFrame =
+    stream.select(col(keyCol), col(valueCol).cast("long").as("v"))
+      .groupBy(keyCol, "v")
+      .agg(count(lit(1)).as("c"))
+
   /** Streaming count-min sketch — the streaming twin of
     * [[graft.ops.SketchOps.cmsSketch]] (q310): the counter table is
     * additive by construction, so the stream IS just the sketch's

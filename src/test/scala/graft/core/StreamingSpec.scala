@@ -744,6 +744,90 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming Brier cells finish to the exact batch Murphy decomposition") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Double, Int)]
+    val q = StreamOps.brierCellsStream(
+        input.toDF().toDF("score", "pos"), "score", "pos")
+      .writeStream.format("memory").queryName("brier_cells")
+      .outputMode("complete").start()
+    val b1 = Seq((0.9, 1), (0.9, 0), (0.8, 1), (0.2, 0), (0.2, 0))
+    val b2 = Seq((0.9, 1), (0.55, 1), (0.55, 0), (0.1, 0), (0.8, 1))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = graft.ops.ProfileOps
+      .brierFromCells(spark.table("brier_cells")).collect().toSeq
+    val batch = graft.ops.ProfileOps.brierDecomposition(
+      (b1 ++ b2).toDF("score", "pos"), "score", "pos").collect().toSeq
+    assert(streamed == batch,
+      s"histogram finisher must equal batch:\n$streamed\nvs\n$batch")
+  }
+
+  test("streaming decile histogram finishes to the exact batch gains table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Double, Int)]
+    val q = StreamOps.decileHistStream(
+        input.toDF().toDF("id", "score", "pos"), "score", "pos")
+      .writeStream.format("memory").queryName("decile_hist")
+      .outputMode("complete").start()
+    // 23 rows, DISTINCT scores (no rank straddle): histogram deciles
+    // == the batch (score desc, id asc) ntile exactly, including the
+    // uneven first-(N mod 10) bucket sizes
+    val rows = (1 to 23).map(i =>
+      (i.toLong, i * 0.04 + (if (i % 3 == 0) 0.001 else 0.0),
+        if (i % 4 == 0 || i > 18) 1 else 0))
+    val (b1, b2) = rows.splitAt(11)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = graft.ops.ProfileOps
+      .decileGainsFromHist(spark.table("decile_hist"))
+      .orderBy("decile").collect().toSeq
+    val batch = graft.ops.ProfileOps.decileGains(
+        rows.toDF("id", "score", "pos"), "id", "score", "pos")
+      .orderBy("decile").collect().toSeq
+    assert(streamed == batch,
+      s"histogram gains must equal batch ntile gains:\n$streamed\nvs\n$batch")
+  }
+
+  test("streaming SLA histogram finishes to the exact batch rank percentiles") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)]
+    val q = StreamOps.valueHistStream(
+        input.toDF().toDF("prio", "days"), "prio", "days")
+      .writeStream.format("memory").queryName("sla_hist")
+      .outputMode("complete").start()
+    val b1 = Seq(("HIGH", 3L), ("HIGH", 1L), ("HIGH", 7L), ("LOW", 2L),
+      ("LOW", 2L), ("HIGH", 3L))
+    val b2 = Seq(("HIGH", 9L), ("LOW", 11L), ("LOW", 5L), ("HIGH", 1L),
+      ("LOW", 8L))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = graft.ops.ProfileOps.percentilesFromHist(
+        spark.table("sla_hist"), "prio", Seq(50, 90, 99))
+      .orderBy("prio").collect().toSeq
+    // batch twin: q347's row-level rank-window type-1 order statistic
+    val lat = (b1 ++ b2).toDF("prio", "days")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("prio").orderBy(col("days").asc)
+    val ranked = lat.select(col("prio"), col("days"),
+      row_number().over(w).as("rk"),
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("prio")).as("n"))
+    def pick(p: Int) = max(when(col("rk") ===
+      ceil(col("n") * p / 100.0).cast("long"), col("days"))).as(s"p$p")
+    val batch = ranked.groupBy("prio")
+      .agg(max("n").as("n"), pick(50), pick(90), pick(99))
+      .orderBy("prio").collect().toSeq
+    assert(streamed == batch,
+      s"histogram percentiles must equal rank-window batch:\n$streamed\nvs\n$batch")
+  }
+
   test("streaming SPRT walk matches the batch monitor and latches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
