@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Deterministic scale-factor amplifier for the scale-path bench
+(VERDICT r11 ask #1): builds sfN from sf0.1 by unioning N key-shifted
+replicas of each needed table, STRUCTURE-PRESERVINGLY:
+
+  - documents: per-replica alphabet permutation (translate) — token
+    lengths, whitespace, zipf shape and the WITHIN-replica dup/near-dup
+    structure are preserved exactly, while cross-replica text is
+    disjoint, so dup pairs scale LINEARLY (xN) like a real corpus, not
+    quadratically like naive copies would.
+  - embeddings: per-replica coordinate rotation — norms and
+    within-replica distances exact, cross-replica vectors decorrelated
+    (no artificial 10-way exact-dup clusters in the ANN buckets).
+  - lineitem/orders: key shifts only (orderkey/custkey); suppliers and
+    parts stay shared, as dimensions would.
+
+Usage: gensf.py <outDir> [factor=10]   (seed fixed; rerun = same bytes)
+"""
+import random
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+def main():
+    out = sys.argv[1]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    rng = random.Random(42)
+    perms = [ALPHA] + ["".join(rng.sample(ALPHA, 26)) for _ in range(n - 1)]
+    con = duckdb.connect()
+    con.sql("PRAGMA threads=16")
+
+    docs = "\nUNION ALL\n".join(
+        f"SELECT doc_id + {i * 5000} AS doc_id, "
+        f"translate(text, '{ALPHA}', '{perms[i]}') AS text, lang, source, "
+        f"n_chars FROM read_parquet('{SRC}/documents.parquet')"
+        for i in range(n))
+    con.sql(f"COPY ({docs}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+
+    embs = "\nUNION ALL\n".join(
+        f"SELECT vec_id + {i * 2000} AS vec_id, "
+        f"CAST(list_transform(range(1, 65), k -> "
+        f"embedding[1 + ((k - 1 + {i} * 7) % 64)]) AS FLOAT[]) AS embedding, "
+        f"label FROM read_parquet('{SRC}/embeddings.parquet')"
+        for i in range(n))
+    con.sql(f"COPY ({embs}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+
+    li = "\nUNION ALL\n".join(
+        f"SELECT l_orderkey + {i * 150000} AS l_orderkey, l_partkey, "
+        f"l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, "
+        f"l_tax, l_returnflag, l_linestatus, l_shipdate "
+        f"FROM read_parquet('{SRC}/lineitem.parquet')"
+        for i in range(n))
+    con.sql(f"COPY ({li}) TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
+
+    orders = "\nUNION ALL\n".join(
+        f"SELECT o_orderkey + {i * 150000} AS o_orderkey, "
+        f"o_custkey + {i * 15000} AS o_custkey, o_orderstatus, o_totalprice, "
+        f"o_orderdate, o_orderpriority "
+        f"FROM read_parquet('{SRC}/orders.parquet')"
+        for i in range(n))
+    con.sql(f"COPY ({orders}) TO '{out}/orders.parquet' (FORMAT PARQUET)")
+
+    for t in ["documents", "embeddings", "lineitem", "orders"]:
+        c = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {c} rows")
+
+if __name__ == "__main__":
+    main()
