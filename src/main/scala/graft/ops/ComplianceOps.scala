@@ -30,12 +30,8 @@ object ComplianceOps {
     * 2^53, i.e. ~4.5e9 flagged rows; at 100 TB that is reachable).
     * A numerator past 2^63 errors loudly under ANSI.
     */
-  private def ppm(num: Column, den: Column): Column = {
-    val a = num * 2000000L + den
-    val b = den * 2
-    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)"))
-      .cast("long")
-  }
+  private def ppm(num: Column, den: Column): Column =
+    ExactArith.halfUpDiv(num * 1000000L, den)
 
   /** One manifest row: (table, rows_total, rows_delete, delete_ppm)
     * from a frame with a boolean `del` flag.

@@ -430,7 +430,7 @@ object EventOps {
       .orderBy(col("n").desc, col("hod").asc)
     g.join(broadcast(tot), "event_type")
       .select(col("event_type"), col("hod"), col("n"),
-        ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)")).cast("long").as("frac_ppm"),
+        ExactArith.floorDiv(a, b).as("frac_ppm"),
         (row_number().over(w) === 1).cast("int").as("is_peak"))
   }
 
@@ -476,7 +476,7 @@ object EventOps {
     h.join(broadcast(s), Seq("event_type", "hod"))
       .filter(dev * dev > lit((z * z).toDouble) * varn)
       .select(col("event_type"), col("h"), col("cnt"),
-        ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)")).cast("long").as("mu_ppm"),
+        ExactArith.floorDiv(a, b).as("mu_ppm"),
         col("nd"))
   }
 
@@ -660,7 +660,7 @@ object EventOps {
     val b = col("tot") * 2
     steps.join(broadcast(tot), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
-        ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)")).cast("long").as("p_ppm"))
+        ExactArith.floorDiv(a, b).as("p_ppm"))
   }
 
   /** DuckDB twin of [[markovTransitions]]. */
@@ -1938,18 +1938,14 @@ object EventOps {
   // resampling coordinates are md5-hex (SampleOps convention), sums
   // are exact cents longs, means are half-up integer micro-division.
 
-  /** Exact integer floor-division for non-negative longs. a - a mod b
-    * is an exact multiple of b, so the decimal division below has an
-    * integral quotient; decimal(38,*) arithmetic keeps it exact for
-    * the FULL long range. (The previous double-division spelling was
-    * only exact while the dividend stayed under 2^53 — corpus-scale
-    * sums like s·20000 at 100 TB can exceed that, and doubles would
-    * then lose low bits silently. Cost is immaterial: every call site
-    * divides aggregate-level rows, not the corpus.)
+  /** Exact integer floor-division for non-negative longs — see
+    * [[ExactArith.floorDiv]] (decimal(38,*) division: exact over the
+    * full long range, not just 2^53; ExactArithSpec crosses the
+    * bound). Cost is immaterial: every call site divides
+    * aggregate-level rows, not the corpus.
     */
   private def exactDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)"))
-      .cast("long")
+    ExactArith.floorDiv(a, b)
 
   /** Difference-in-differences over the user panel: treated = odd
     * user ids, post = `tsCol >= postStart`, outcome = per-user

@@ -317,12 +317,8 @@ object GraphOps {
     * drifting.
     */
   private def halfDiv(num: org.apache.spark.sql.Column,
-      den: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val a = num * 2 + den
-    val b = den * 2
-    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)"))
-      .cast("long")
-  }
+      den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ExactArith.halfUpDiv(num, den)
 
   /** Weighted PageRank in EXACT integer micro-units — bit-identical
     * on any engine and partitioning, so a DuckDB oracle can replay
@@ -630,9 +626,7 @@ object GraphOps {
         ++ auths.map(a => ("auth", a, auth(a), auth(a).toDouble / 1e6)))
         .toSeq.toDF("side", "node", "score_units", "score")
     }
-    def idiv(x: Column, b: Column): Column =
-      ((x - pmod(x, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)"))
-        .cast("long")
+    def idiv(x: Column, b: Column): Column = ExactArith.floorDiv(x, b)
     val M = 1000000L
     var hub = e.select(col("h").as("v")).distinct()
       .select(col("v"), lit(M).as("s"))

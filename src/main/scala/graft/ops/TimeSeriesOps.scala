@@ -38,8 +38,7 @@ object TimeSeriesOps {
     * A numerator past 2^63 errors loudly under ANSI.
     */
   private def idiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(19,0)"))
-      .cast("long")
+    ExactArith.floorDiv(a, b)
 
   /** Hourly observed aggregate: (k, h, v) with h = epoch hour start
     * (BIGINT seconds) and v = 6dp-rounded mean value in that hour.

@@ -471,6 +471,86 @@ object RelationalQueries {
         .select(col("s_suppkey"), col("s_name"))
     }),
 
+    // TPC-H Q15 shape (agg view + scalar max): supplier(s) whose
+    // quarterly revenue equals the maximum over the revenue view —
+    // `WHERE total_rev = (SELECT max(total_rev) FROM revenue)`
+    // decorrelated as ONE aggregation + a broadcast 1-row max frame;
+    // revenue is on the exact 4dp-cents grid so the max-equality is
+    // integer-exact (a double grid could tie-break differently across
+    // engines). The supplier-scale revenue view is localCheckpointed:
+    // it feeds BOTH the max frame and the equality filter, and
+    // without the plan cut each branch re-scans the fact table
+    // (PlanSpec pins lineitem scans == 1).
+    "q353_top_supplier" -> ((s, d) => {
+      val rev = Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("sk"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+          .as("rev4"))
+        .localCheckpoint()
+      val mx = rev.agg(max("rev4").as("mx4"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("rev4") === col("mx4"))
+        .join(broadcast(Tables(s, d, "supplier")),
+          col("sk") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev4").cast("double") / 1e4).as("total_revenue"))
+    }),
+
+    // TPC-H Q11 shape (group HAVING vs global scalar): part values
+    // held by suppliers of one nation, keeping parts whose value
+    // exceeds 0.01% of the nation's total —
+    // `HAVING sum(v) > 0.0001 * (SELECT sum(v) ...)` decorrelated as
+    // one aggregation reused for both sides — the part-scale value
+    // frame is localCheckpointed so the global-total branch re-reads
+    // the materialized frame, NOT the fact table (PlanSpec pins
+    // lineitem scans == 1); the fraction test is exact integer cents
+    // (v·10000 > total).
+    "q354_important_parts" -> ((s, d) => {
+      val sup = Tables(s, d, "supplier")
+        .join(Tables(s, d, "nation"),
+          col("s_nationkey") === col("n_nationkey") &&
+            col("n_name") === "NATION_7")
+        .select(col("s_suppkey").as("sk"))
+      val pv = Tables(s, d, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("sk"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")
+          * round(col("l_quantity"), 0).cast("long")).as("v2"))
+        .localCheckpoint()
+      val tot = pv.agg(sum("v2").as("t2"))
+      pv.crossJoin(broadcast(tot))
+        .where(col("v2") * 10000L > col("t2"))
+        .select(col("l_partkey"),
+          (col("v2").cast("double") / 100).as("part_value"))
+    }),
+
+    // TPC-H Q22 shape (scalar avg subquery + NOT EXISTS): per nation,
+    // the count/balance of above-average-balance customers with no
+    // URGENT order — avg compare decorrelated to a broadcast
+    // (sum, count) frame with the strict test as exact integer cents
+    // (cents·n > sum_cents — no engine-ordered double avg), NOT
+    // EXISTS (with its own predicate) as a LEFT ANTI join on custkey
+    // over the pre-filtered order side.
+    "q355_lost_customers" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal_c"))
+      val tot = c.where(col("bal_c") > 0)
+        .agg(sum("bal_c").as("s_c"), count(lit(1)).as("n_c"))
+      c.crossJoin(broadcast(tot))
+        .where(col("bal_c") * col("n_c") > col("s_c"))
+        .join(Tables(s, d, "orders")
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum("bal_c").cast("double") / 100).as("total_bal"))
+    }),
+
     // Fulfillment-latency SLA percentiles: exact p50/p90/p99 of
     // ship-minus-order days per order priority — type-1 order
     // statistics via per-priority rank windows, integer day grid.
@@ -967,6 +1047,44 @@ object RelationalQueries {
         |       AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
         |       AND l2.l_shipdate < TIMESTAMP '1998-01-01'))"""
         .stripMargin,
+    "q353_top_supplier" ->
+      """WITH revenue AS (SELECT l_suppkey AS sk,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS rev4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(rev4 AS DOUBLE) / 1e4 AS total_revenue
+        |FROM revenue JOIN supplier ON sk = s_suppkey
+        |WHERE rev4 = (SELECT max(rev4) FROM revenue)""".stripMargin,
+    "q354_important_parts" ->
+      """WITH pv AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS v2
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(v2 AS DOUBLE) / 100 AS part_value
+        |FROM pv
+        |WHERE v2 * 10000 > (SELECT sum(v2) FROM pv)""".stripMargin,
+    "q355_lost_customers" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |t AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s_c,
+        |    CAST(count(*) AS BIGINT) AS n_c FROM c WHERE bal_c > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(bal_c) AS DOUBLE) / 100 AS total_bal
+        |FROM c CROSS JOIN t
+        |WHERE bal_c * n_c > s_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey""".stripMargin,
     "q292_fd_discovery" -> graft.ops.ProfileOps.fdAuditOracleSql(
       "lineitem", Seq(
         "l_orderkey" -> "l_suppkey",

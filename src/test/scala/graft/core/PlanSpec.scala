@@ -579,6 +579,26 @@ class PlanSpec extends SparkSpec {
       s"correlated per-part total must reuse the aggregated frame:\n$s")
   }
 
+  test("q353 Q15-shape / q354 Q11-shape: agg view materialized once — final " +
+      "plan has ZERO fact rescans for the scalar max/total branch") {
+    for (q <- Seq("q353_top_supplier", "q354_important_parts")) {
+      val s = formatted(q)
+      assert(!s.contains("lineitem.parquet"),
+        s"$q: both scalar-subquery branches must read the checkpointed " +
+          s"agg view, not re-scan the fact table:\n$s")
+    }
+  }
+
+  test("q355 Q22-shape: NOT EXISTS is a LEFT ANTI join; the priority " +
+      "predicate pushes into the orders scan") {
+    val s = formatted("q355_lost_customers")
+    assert(s.contains("LeftAnti"), s"NOT EXISTS must become anti join:\n$s")
+    assert(s.contains("EqualTo(o_orderpriority,1-URGENT)") ||
+      s.contains("o_orderpriority), (o_orderpriority = 1-URGENT") ||
+      s.contains("1-URGENT"), s"priority filter must reach the scan:\n$s")
+    assert("orders\\.parquet".r.findAllIn(s).size <= 1, s)
+  }
+
   test("q352 winnow store serve: plan reads the persisted pair store, NEVER " +
       "the raw document corpus") {
     val s = formatted("q352_winnow_store")
