@@ -14,7 +14,9 @@ replicas of each needed table, STRUCTURE-PRESERVINGLY:
   - lineitem/orders: key shifts only (orderkey/custkey); suppliers and
     parts stay shared, as dimensions would.
 
-Usage: gensf.py <outDir> [factor=10]   (seed fixed; rerun = same bytes)
+Usage: gensf.py <outDir> [factor=10] [tables]
+(seed fixed; rerun = same bytes; tables = comma list, default all —
+ e.g. `documents,embeddings` for a text-family-only 100x pass)
 """
 import random
 import sys
@@ -27,6 +29,8 @@ ALPHA = "abcdefghijklmnopqrstuvwxyz"
 def main():
     out = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    which = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else {
+        "documents", "embeddings", "lineitem", "orders"}
     rng = random.Random(42)
     perms = [ALPHA] + ["".join(rng.sample(ALPHA, 26)) for _ in range(n - 1)]
     con = duckdb.connect()
@@ -37,7 +41,8 @@ def main():
         f"translate(text, '{ALPHA}', '{perms[i]}') AS text, lang, source, "
         f"n_chars FROM read_parquet('{SRC}/documents.parquet')"
         for i in range(n))
-    con.sql(f"COPY ({docs}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    if "documents" in which:
+        con.sql(f"COPY ({docs}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
 
     embs = "\nUNION ALL\n".join(
         f"SELECT vec_id + {i * 2000} AS vec_id, "
@@ -45,7 +50,8 @@ def main():
         f"embedding[1 + ((k - 1 + {i} * 7) % 64)]) AS FLOAT[]) AS embedding, "
         f"label FROM read_parquet('{SRC}/embeddings.parquet')"
         for i in range(n))
-    con.sql(f"COPY ({embs}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    if "embeddings" in which:
+        con.sql(f"COPY ({embs}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
     li = "\nUNION ALL\n".join(
         f"SELECT l_orderkey + {i * 150000} AS l_orderkey, l_partkey, "
@@ -53,7 +59,8 @@ def main():
         f"l_tax, l_returnflag, l_linestatus, l_shipdate "
         f"FROM read_parquet('{SRC}/lineitem.parquet')"
         for i in range(n))
-    con.sql(f"COPY ({li}) TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
+    if "lineitem" in which:
+        con.sql(f"COPY ({li}) TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
 
     orders = "\nUNION ALL\n".join(
         f"SELECT o_orderkey + {i * 150000} AS o_orderkey, "
@@ -61,9 +68,10 @@ def main():
         f"o_orderdate, o_orderpriority "
         f"FROM read_parquet('{SRC}/orders.parquet')"
         for i in range(n))
-    con.sql(f"COPY ({orders}) TO '{out}/orders.parquet' (FORMAT PARQUET)")
+    if "orders" in which:
+        con.sql(f"COPY ({orders}) TO '{out}/orders.parquet' (FORMAT PARQUET)")
 
-    for t in ["documents", "embeddings", "lineitem", "orders"]:
+    for t in sorted(which):
         c = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {c} rows")
 
