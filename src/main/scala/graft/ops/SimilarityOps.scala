@@ -63,6 +63,77 @@ object SimilarityOps {
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 
+  /** Triplet mining for metric learning: per anchor, the HARD
+    * POSITIVE (same label, LOWEST similarity — the pair the encoder
+    * is failing to pull together) and the HARD NEGATIVE (different
+    * label, HIGHEST similarity — [[hardNegatives]]' top-1), plus the
+    * triplet margin pos_sim − neg_sim and a violation flag at
+    * `alpha`. The complement of q131's negative-only mining: a
+    * triplet loss needs both ends. Determinism: 6dp-rounded cosines,
+    * id-asc ties (min-sim positives tie id-asc too); anchors
+    * broadcast; at scale swap the brute scans for the LSH/IVF
+    * candidate path and keep the argmin/argmax math.
+    */
+  def tripletMining(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryPred: Column, alpha: Double): DataFrame = {
+    val base = emb.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"), col(labelCol).as("lbl"))
+    val q = base.filter(queryPred).select(col("id").as("anchor_id"),
+      col("v").as("qv"), col("lbl").as("a_label"))
+    val sims = base.join(broadcast(q), col("id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"),
+        col("id").as("cand_id"), (col("lbl") === col("a_label")).as("same"),
+        round(nativeCosine(emb)(col("qv"), col("v")), 6).as("sim"))
+    // one bounded aggregation per anchor: argmin over positives via
+    // min(struct(sim, id)), argmax over negatives via min of the
+    // NEGATED 6dp grid (exact integer micro units, so negation is
+    // lossless and ties still break id-asc)
+    val neg6 = (-round(col("sim") * 1e6, 0).cast("long")).as("ns")
+    sims.groupBy("anchor_id", "a_label")
+      .agg(
+        min(when(col("same"), struct(col("sim"), col("cand_id"))))
+          .as("pos"),
+        min(when(!col("same"), struct(neg6, col("cand_id")))).as("neg"))
+      .where(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("anchor_id"), col("a_label"),
+        col("pos.cand_id").as("pos_id"), col("pos.sim").as("pos_sim"),
+        col("neg.cand_id").as("neg_id"),
+        (-col("neg.ns").cast("double") / 1e6).as("neg_sim"),
+        round(col("pos.sim") + col("neg.ns").cast("double") / 1e6, 6)
+          .as("margin"),
+        (round(col("pos.sim") + col("neg.ns").cast("double") / 1e6, 6)
+          < alpha).cast("int").as("violates"))
+  }
+
+  /** DuckDB replay of [[tripletMining]]. */
+  def tripletMiningOracleSql(table: String, idCol: String,
+      vecCol: String, labelCol: String, queryPredSql: String,
+      alpha: Double): String =
+    s"""WITH s AS (
+       | SELECT q.$idCol AS anchor_id, q.$labelCol AS a_label,
+       |  c.$idCol AS cand_id, c.$labelCol = q.$labelCol AS same,
+       |  round(list_cosine_similarity(CAST(q.$vecCol AS DOUBLE[]),
+       |                               CAST(c.$vecCol AS DOUBLE[])), 6)
+       |    AS sim
+       | FROM $table q JOIN $table c ON q.$idCol <> c.$idCol
+       | WHERE $queryPredSql),
+       |p AS (SELECT anchor_id, a_label, cand_id AS pos_id,
+       |    sim AS pos_sim, row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY sim ASC, cand_id ASC) AS rn
+       |  FROM s WHERE same),
+       |n AS (SELECT anchor_id, cand_id AS neg_id,
+       |    -CAST(round(sim * 1e6) AS BIGINT) AS neg6,
+       |    row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY round(sim * 1e6) DESC, cand_id ASC) AS rn
+       |  FROM s WHERE NOT same)
+       |SELECT p.anchor_id, a_label, pos_id, pos_sim, neg_id,
+       |  -CAST(neg6 AS DOUBLE) / 1e6 AS neg_sim,
+       |  round(pos_sim + CAST(neg6 AS DOUBLE) / 1e6, 6) AS margin,
+       |  CAST(round(pos_sim + CAST(neg6 AS DOUBLE) / 1e6, 6) < $alpha
+       |    AS INT) AS violates
+       |FROM p JOIN n ON p.anchor_id = n.anchor_id
+       |WHERE p.rn = 1 AND n.rn = 1""".stripMargin
+
   /** Simplified (centroid-based) silhouette — the cluster-quality
     * scoreboard (Rousseeuw's silhouette with the O(n²) pairwise
     * distances replaced by centroid distances, the standard

@@ -1166,6 +1166,90 @@ object PipelineQueries {
       ProfileOps.brierDecomposition(sc.join(lab, "id"), "quality", "pos")
     }),
 
+    // Triplet mining for metric learning: per anchor the hard
+    // POSITIVE (same label, lowest sim) and hard NEGATIVE (other
+    // label, highest sim — q131's top-1) with the margin and a
+    // violation flag — the both-ends complement to q131.
+    "q356_triplet_mining" -> ((s, d) =>
+      SimilarityOps.tripletMining(Tables(s, d, "embeddings"),
+        "vec_id", "embedding", "label", col("vec_id") % 19 === 0,
+        alpha = 0.2)),
+
+    // One label-propagation step over the verified near-dup graph:
+    // unlabeled docs (doc_id % 3 != 0) adopt the majority seed label
+    // among their winnow-verified neighbors (count desc, label asc
+    // ties) — semi-supervised tag spreading served FROM the shared
+    // WinnowStage pair frame, no new corpus scan.
+    "q357_label_spread" -> ((s, d) => {
+      val vp = graft.ops.WinnowStage.pairsAt(s, d, 0.3)
+      val e = vp.select(col("id_a").as("id"), col("id_b").as("nb"))
+        .unionByName(vp.select(col("id_b").as("id"),
+          col("id_a").as("nb")))
+      val seeds = Tables(s, d, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("nb"), col("lang"))
+      val votes = e.where(col("id") % 3 =!= 0)
+        .join(broadcast(seeds), "nb")
+        .groupBy(col("id"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("id")
+        .orderBy(col("c").desc, col("lang").asc)
+      votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id").as("doc_id"), col("lang").as("lang_pred"),
+          col("c").as("votes"))
+    }),
+
+    // RAG chunking manifest: fixed 32-token windows with 8-token
+    // overlap (stride 24) — per chunk the exact token span and a
+    // content fingerprint; one narrow scan, chunk count derived
+    // arithmetically (never a per-token explode).
+    "q358_rag_chunks" -> ((s, d) => {
+      val ts = TextOps.tokens(col("text"))
+      val base = Tables(s, d, "documents")
+        .select(col("doc_id"), ts.as("ts"), size(ts).as("nt"))
+        .where(col("nt") >= 1)
+      val nChunks = lit(1) +
+        expr("(greatest(nt - 32, 0) + 23) div 24").cast("int")
+      base.select(col("doc_id"), col("ts"), col("nt"),
+          explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * 24 + 1).as("start_tok"),
+          least(col("chunk_idx") * 24 + 32, col("nt")).as("end_tok"),
+          md5(concat_ws(" ", slice(col("ts"),
+            col("chunk_idx") * 24 + 1,
+            least(col("chunk_idx") * 24 + 32, col("nt")) -
+              col("chunk_idx") * 24))).as("chunk_fp"))
+        .withColumn("n_tokens", col("end_tok") - col("start_tok") + 1)
+    }),
+
+    // Per-source dataset-card manifest: docs, tokens, chars, language
+    // spread, and the exact-dup rate in ppm — the one-row-per-source
+    // audit a mixture owner reads before weighting.
+    "q359_source_manifest" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val fp = md5(regexp_replace(lower(col("text")),
+        "[ \\t\\n\\f\\r]+", ""))
+      val base = docs.select(col("source"), col("lang"),
+        col("n_chars"), TextOps.tokenCount(col("text")).as("tk"),
+        fp.as("fp"))
+      val dup = base.groupBy("source", "fp")
+        .agg(count(lit(1)).as("cf"))
+        .groupBy("source")
+        .agg(sum(when(col("cf") >= 2, col("cf")).otherwise(0L))
+          .as("dup_docs"))
+      base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tk").as("n_tokens"),
+          sum("n_chars").as("n_chars"),
+          countDistinct("lang").as("n_langs"))
+        .join(dup, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_langs"), col("dup_docs"),
+          expr("(2000000 * dup_docs + n_docs) div (2 * n_docs)")
+            .as("dup_ppm"))
+    }),
+
     // Split-conformal 90% interval for quality ~ length with its
     // held-out coverage audit — distribution-free uncertainty.
     "q331_conformal" -> ((s, d) => {
@@ -4162,6 +4246,64 @@ object PipelineQueries {
          |  USING (doc_id)) j""".stripMargin,
       "id", "quality", "passes"),
 
+    "q356_triplet_mining" -> SimilarityOps.tripletMiningOracleSql(
+      "embeddings", "vec_id", "embedding", "label",
+      "q.vec_id % 19 = 0", alpha = 0.2),
+    "q357_label_spread" -> {
+      val vp0 = WinnowOps.verifiedPairsOracleSql("documents", "doc_id",
+        "text", minJaccard = 0.3)
+      s"""WITH vp AS ($vp0),
+         |e AS (SELECT id_a AS id, id_b AS nb FROM vp
+         |  UNION ALL SELECT id_b AS id, id_a AS nb FROM vp),
+         |seeds AS (SELECT doc_id AS nb, lang FROM documents
+         |  WHERE doc_id % 3 = 0),
+         |v AS (SELECT e.id, s.lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM e JOIN seeds s ON e.nb = s.nb
+         |  WHERE e.id % 3 <> 0 GROUP BY 1, 2),
+         |r AS (SELECT id, lang, c, row_number() OVER (
+         |    PARTITION BY id ORDER BY c DESC, lang ASC) AS rn FROM v)
+         |SELECT id AS doc_id, lang AS lang_pred, c AS votes
+         |FROM r WHERE rn = 1""".stripMargin
+    },
+    "q358_rag_chunks" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(
+        |    lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |b AS (SELECT doc_id, ts, len(ts) AS nt FROM tok
+        |  WHERE len(ts) >= 1),
+        |c AS (SELECT doc_id, ts, nt, unnest(range(0,
+        |    1 + (greatest(nt - 32, 0) + 23) // 24)) AS chunk_idx
+        |  FROM b)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(chunk_idx * 24 + 1 AS INT) AS start_tok,
+        |  CAST(least(chunk_idx * 24 + 32, nt) AS INT) AS end_tok,
+        |  md5(array_to_string(
+        |    ts[chunk_idx * 24 + 1 : least(chunk_idx * 24 + 32, nt)],
+        |    ' ')) AS chunk_fp,
+        |  CAST(least(chunk_idx * 24 + 32, nt) - chunk_idx * 24 AS INT)
+        |    AS n_tokens
+        |FROM c""".stripMargin,
+    "q359_source_manifest" ->
+      """WITH base AS (SELECT source, lang, n_chars,
+        |    CAST(len(list_filter(string_split_regex(text,
+        |      '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT) AS tk,
+        |    md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g'))
+        |      AS fp
+        |  FROM documents),
+        |dup AS (SELECT source,
+        |    CAST(sum(CASE WHEN cf >= 2 THEN cf ELSE 0 END) AS BIGINT)
+        |      AS dup_docs
+        |  FROM (SELECT source, fp, count(*) AS cf FROM base
+        |    GROUP BY 1, 2) g
+        |  GROUP BY source),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(tk) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM base GROUP BY source)
+        |SELECT a.source, n_docs, n_tokens, n_chars, n_langs, dup_docs,
+        |  (2000000 * dup_docs + n_docs) // (2 * n_docs) AS dup_ppm
+        |FROM agg a JOIN dup d ON a.source = d.source""".stripMargin,
     "q346_brier_decomp" -> ProfileOps.brierDecompositionOracleSql(
       s"""(WITH plain AS (SELECT doc_id, text AS t FROM documents),
          |${rulesOracleBody("plain")}
