@@ -96,16 +96,34 @@ object IndexStore {
     })
   }
 
-  /** Serve verified pairs at threshold `t` FROM the store — a parquet
-    * scan of the pair frame plus one filter; the raw document corpus
-    * is never touched (PlanSpec asserts exactly that). Bit-identical
-    * to running the funnel at minJaccard = t: `jac` was rounded to
-    * 5dp before persisting, so the filter is exact.
+  /** Persist the winnow pair frame for `dir` to an EXPLICIT caller
+    * path (overwrite) — the production write half: a later session
+    * (or another engine) serves from that path with
+    * [[serveWinnowPairsFrom]], no memoization involved.
+    */
+  def persistWinnowPairs(spark: SparkSession, dir: String,
+      storePath: String): Unit =
+    WinnowStage.pairs(spark, dir).write.mode("overwrite")
+      .parquet(storePath)
+
+  /** Serve verified pairs at threshold `t` from an explicit store
+    * path — a parquet scan of the pair frame plus one filter; the
+    * raw document corpus is never touched. Bit-identical to running
+    * the funnel at minJaccard = t: `jac` was rounded to 5dp before
+    * persisting, so the filter is exact.
+    */
+  def serveWinnowPairsFrom(spark: SparkSession, storePath: String,
+      t: Double): DataFrame =
+    spark.read.parquet(storePath).where(col("jac") >= t)
+
+  /** [[serveWinnowPairsFrom]] with the per-application memoized store
+    * for `dir` (written on first use) — the registered-query (q352)
+    * convenience; PlanSpec asserts the serve plan reads only the
+    * store.
     */
   def serveWinnowPairs(spark: SparkSession, dir: String,
       t: Double): DataFrame =
-    spark.read.parquet(winnowStorePath(spark, dir))
-      .where(col("jac") >= t)
+    serveWinnowPairsFrom(spark, winnowStorePath(spark, dir), t)
 
   /** Test hook: drop an application's winnow stores (spec isolation). */
   private[graft] def invalidateWinnow(appId: String): Unit = {

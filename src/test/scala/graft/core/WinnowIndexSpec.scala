@@ -40,4 +40,24 @@ class WinnowIndexSpec extends SparkSpec {
     assert(got(11L)._2 == 0L && got(11L)._4 == 1, s"fresh doc: ${got(11L)}")
     assert(got(12L) == ((0L, 0L, None, 1)))
   }
+
+  test("IndexStore winnow pair store: explicit-path persist, then a FRESH " +
+      "session serves pairs identical to the live funnel") {
+    import graft.ops.{IndexStore, WinnowStage}
+    val dir = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_winnow_spec").toString + "/pairs"
+    IndexStore.persistWinnowPairs(spark, dir, path)
+    val s2 = spark.newSession() // no lineage, no memoized frames
+    val served = IndexStore.serveWinnowPairsFrom(s2, path, 0.3)
+      .select("id_a", "id_b", "n_shared", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val live = WinnowStage.pairsAt(spark, dir, 0.3)
+      .select("id_a", "id_b", "n_shared", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(served == live, "stored serve must equal the live funnel")
+    assert(served.nonEmpty, "fixture must produce verified pairs")
+  }
 }
