@@ -1022,4 +1022,170 @@ object MultimodalOps {
       }
       .toDF("doc_id", "feature")
   }
+
+  // ---------------------------------------------------------------
+  // Video path: deterministic container ("GVI1" — 16-byte header:
+  // magic, w/h u16 LE, fps u8, n_frames u16 LE, 5 reserved; then
+  // n_frames × w·h bytes of 8-bit luma), REAL byte-walk decode.
+  // Video codec libraries aren't in this container, so the CODEC is
+  // a deterministic stub by design (per the builder brief) — but the
+  // Spark-side plumbing is real and tested: binary column, header
+  // parse + length validation, frame-stride math, every-k frame
+  // sampling, scene-cut detection, and a temporal near-dup signature
+  // (the dHash/audio-fingerprint discipline applied to the time
+  // axis). The luma formula (p·31 + f·57 + id·13) mod 251 is
+  // SQL-expressible, so — like the WAV path — every operator here is
+  // DuckDB-oracle-checkable end to end.
+  // ---------------------------------------------------------------
+
+  /** (width, height, fps, n_frames) per id — sizes vary so frame
+    * and stride handling is actually exercised.
+    */
+  private[graft] def videoDims(id: Long): (Int, Int, Int, Int) =
+    (8 + (id % 3).toInt * 4, 8, 10, 24 + (id % 4).toInt * 8)
+
+  /** Formula pixel (the oracle's ground truth). In [0, 250]. */
+  private[graft] def videoPixel(id: Long, f: Int, p: Int): Int =
+    ((p * 31L + f * 57L + id * 13L) % 251L).toInt
+
+  private[graft] def encodeVideo(id: Long): Array[Byte] = {
+    val (w, h, fps, nf) = videoDims(id)
+    val out = new Array[Byte](16 + w * h * nf)
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = '1'
+    out(4) = (w & 0xff).toByte; out(5) = ((w >> 8) & 0xff).toByte
+    out(6) = (h & 0xff).toByte; out(7) = ((h >> 8) & 0xff).toByte
+    out(8) = fps.toByte
+    out(9) = (nf & 0xff).toByte; out(10) = ((nf >> 8) & 0xff).toByte
+    var f = 0; var o = 16
+    while (f < nf) {
+      var p = 0
+      while (p < w * h) { out(o) = videoPixel(id, f, p).toByte; p += 1; o += 1 }
+      f += 1
+    }
+    out
+  }
+
+  /** Header walk + per-frame luma sums. None on any malformation
+    * (magic, short header, length != 16 + w·h·nf, zero dims).
+    */
+  private[graft] def decodeVideo(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int, Array[Long])] = {
+    if (bytes == null || bytes.length < 16) return None
+    if (bytes(0) != 'G' || bytes(1) != 'V' || bytes(2) != 'I' ||
+      bytes(3) != '1') return None
+    val w = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
+    val h = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
+    val fps = bytes(8) & 0xff
+    val nf = (bytes(9) & 0xff) | ((bytes(10) & 0xff) << 8)
+    if (w <= 0 || h <= 0 || fps <= 0 || nf <= 0) return None
+    if (bytes.length != 16 + w * h * nf) return None
+    val e = new Array[Long](nf)
+    var f = 0; var o = 16
+    while (f < nf) {
+      var s = 0L; var p = 0
+      while (p < w * h) { s += (bytes(o) & 0xff); p += 1; o += 1 }
+      e(f) = s; f += 1
+    }
+    Some((w, h, fps, nf, e))
+  }
+
+  /** Synthetic video payloads, one per doc — the video twin of
+    * [[withImagePayload]]/[[withAudioPayload]].
+    */
+  def withVideoPayload(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, encodeVideo(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Keyed video payloads (distinct docs share identical video, so
+    * temporal-hash dedup has real duplicate groups) — encode each
+    * distinct key ONCE, broadcast-join onto the corpus.
+    */
+  def withVideoPayloadKeyed(spark: SparkSession, docs: DataFrame,
+      idCol: String, key: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+      key.cast("long").as("_k"))
+    val dim = keyed.select(col("_k")).distinct().as[Long]
+      .mapPartitions(_.map(k => (k, encodeVideo(k))))
+      .toDF("_k", "payload")
+    keyed.join(broadcast(dim), Seq("_k")).select("doc_id", "payload")
+  }
+
+  case class VideoMeta(doc_id: Long, width: Int, height: Int, fps: Int,
+    n_frames: Int, n_bytes: Long, duration_ms: Long)
+
+  /** Container metadata via the REAL header walk — undecodable
+    * payloads drop (the PNG/WAV contract). duration_ms is exact
+    * integer (nf·1000 div fps). Narrow per-partition pass, zero
+    * shuffle.
+    */
+  def videoMeta(spark: SparkSession, binDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeVideo(bytes).map { case (w, h, fps, nf, _) =>
+          VideoMeta(id, w, h, fps, nf, bytes.length.toLong,
+            nf.toLong * 1000L / fps)
+        }
+      }).toDF()
+  }
+
+  case class VideoFrame(doc_id: Long, frame_idx: Int, t_ms: Long,
+    luma_milli: Long, is_cut: Int)
+
+  /** Every-k frame sampling with mean-luma features and scene-cut
+    * flags — THE brief's video frame-sample operator. Per sampled
+    * frame: t_ms (exact f·1000 div fps), mean luma in FLOOR
+    * milli-units (1000·Σluma div (w·h) — integer, engine-portable),
+    * and is_cut = |luma − previous SAMPLED luma| > cutMilli (first
+    * sample 0). One narrow pass; the per-doc walk is bounded by the
+    * container's frame count, never corpus size.
+    */
+  def videoFrameSample(spark: SparkSession, binDocs: DataFrame,
+      every: Int = 4, cutMilli: Long = 2000L): DataFrame = {
+    import spark.implicits._
+    require(every >= 1, s"every must be >= 1, got $every")
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeVideo(bytes).toSeq.flatMap { case (w, h, fps, nf, e) =>
+          val wh = w.toLong * h
+          var prev = -1L
+          (0 until nf by every).map { f =>
+            val lm = e(f) * 1000L / wh
+            val cut = if (prev >= 0 && math.abs(lm - prev) > cutMilli) 1 else 0
+            prev = lm
+            VideoFrame(id, f, f.toLong * 1000L / fps, lm, cut)
+          }
+        }
+      }).toDF()
+  }
+
+  case class VideoHash(doc_id: Long, n_frames: Int, vfp: Long)
+
+  /** Temporal near-dup signature: bit f set iff frame f+1 is
+    * brighter than frame f (luma-sum derivative sign) — the
+    * [[audioFingerprint]] discipline on the time axis. Equal hashes
+    * are dedup bucket keys; robust to brightness-preserving
+    * re-encodes. Requires n_frames <= 64.
+    */
+  def videoTemporalHash(spark: SparkSession, binDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeVideo(bytes).filter(_._4 <= 64).map {
+          case (_, _, _, nf, e) =>
+            var fp = 0L
+            var f = 0
+            while (f < nf - 1) {
+              if (e(f + 1) > e(f)) fp |= 1L << f
+              f += 1
+            }
+            VideoHash(id, nf, fp)
+        }
+      }).toDF()
+  }
 }

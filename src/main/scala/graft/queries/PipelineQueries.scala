@@ -2945,6 +2945,32 @@ object PipelineQueries {
       MultimodalOps.audioFeatures(s,
         MultimodalOps.withAudioPayload(s, Tables(s, d, "documents"), "doc_id"))),
 
+    // Video container metadata via the real GVI1 header walk (codec
+    // stubbed by design — the container libs aren't present; the
+    // byte-walk, validation and stride math are real and the luma
+    // formula is SQL-replayable, the WAV discipline applied to
+    // video).
+    "q360_video_meta" -> ((s, d) =>
+      MultimodalOps.videoMeta(s,
+        MultimodalOps.withVideoPayload(s, Tables(s, d, "documents"),
+          "doc_id"))),
+
+    // Every-4th-frame sampling with mean-luma features and scene-cut
+    // flags — the brief's video frame-sample operator.
+    "q361_video_frames" -> ((s, d) =>
+      MultimodalOps.videoFrameSample(s,
+        MultimodalOps.withVideoPayload(s, Tables(s, d, "documents"),
+          "doc_id"), every = 4, cutMilli = 2000L)),
+
+    // Temporal near-dup signature (luma-derivative sign bits) over
+    // KEYED payloads — real duplicate groups, bucket-key dedup.
+    "q362_video_neardup" -> ((s, d) =>
+      MultimodalOps.videoTemporalHash(s,
+        MultimodalOps.withVideoPayloadKeyed(s, Tables(s, d, "documents"),
+          "doc_id", col("doc_id") % 17))
+        .groupBy("vfp", "n_frames")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))),
+
     // Compression-ratio quality signal — no oracle (zlib is JVM-side
     // only; rows-only check), ordering/determinism pinned in OpsSpec.
     "q109_compression_ratio" -> ((s, d) =>
@@ -4246,6 +4272,55 @@ object PipelineQueries {
          |  USING (doc_id)) j""".stripMargin,
       "id", "quality", "passes"),
 
+    "q360_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(8 + (doc_id % 3) * 4 AS INT) AS width,
+        |  CAST(8 AS INT) AS height, CAST(10 AS INT) AS fps,
+        |  CAST(24 + (doc_id % 4) * 8 AS INT) AS n_frames,
+        |  CAST(16 + (8 + (doc_id % 3) * 4) * 8
+        |    * (24 + (doc_id % 4) * 8) AS BIGINT) AS n_bytes,
+        |  CAST((24 + (doc_id % 4) * 8) * 100 AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+    "q361_video_frames" ->
+      """WITH d AS (SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 8 AS h,
+        |    10 AS fps, 24 + (doc_id % 4) * 8 AS nf FROM documents),
+        |fr AS (SELECT doc_id, w, h, fps, nf,
+        |    unnest(range(0, nf, 4)) AS f FROM d),
+        |lum AS (SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |    CAST(f * 1000 // fps AS BIGINT) AS t_ms,
+        |    CAST(list_sum(list_transform(range(0, w * h),
+        |      p -> (p * 31 + f * 57 + doc_id * 13) % 251)) * 1000
+        |      // (w * h) AS BIGINT) AS luma_milli
+        |  FROM fr),
+        |c AS (SELECT doc_id, frame_idx, t_ms, luma_milli,
+        |    lag(luma_milli) OVER (PARTITION BY doc_id
+        |      ORDER BY frame_idx) AS pl
+        |  FROM lum)
+        |SELECT doc_id, frame_idx, t_ms, luma_milli,
+        |  CASE WHEN pl IS NOT NULL AND abs(luma_milli - pl) > 2000
+        |    THEN 1 ELSE 0 END AS is_cut
+        |FROM c""".stripMargin,
+    "q362_video_neardup" ->
+      """WITH ks AS (SELECT doc_id, doc_id % 17 AS k FROM documents),
+        |dm AS (SELECT DISTINCT k FROM ks),
+        |ef AS (SELECT k, 8 + (k % 3) * 4 AS w,
+        |    24 + (k % 4) * 8 AS nf, unnest(range(0,
+        |    24 + (k % 4) * 8)) AS f FROM dm),
+        |lum AS (SELECT k, nf, f,
+        |    CAST(list_sum(list_transform(range(0, w * 8),
+        |      p -> (p * 31 + f * 57 + k * 13) % 251)) AS BIGINT) AS e
+        |  FROM ef),
+        |nx AS (SELECT k, nf, f, e, lead(e) OVER (PARTITION BY k
+        |    ORDER BY f) AS nxt FROM lum),
+        |fp AS (SELECT k, CAST(max(nf) AS INT) AS n_frames,
+        |    CAST(coalesce(sum(CASE WHEN nxt > e
+        |      THEN (CAST(1 AS BIGINT) << CAST(f AS INT))
+        |      ELSE 0 END), 0) AS BIGINT) AS vfp
+        |  FROM nx WHERE nxt IS NOT NULL GROUP BY k)
+        |SELECT vfp, n_frames, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM ks JOIN fp USING (k)
+        |GROUP BY vfp, n_frames""".stripMargin,
     "q356_triplet_mining" -> SimilarityOps.tripletMiningOracleSql(
       "embeddings", "vec_id", "embedding", "label",
       "q.vec_id % 19 = 0", alpha = 0.2),
