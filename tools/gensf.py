@@ -30,7 +30,8 @@ def main():
     out = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     which = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else {
-        "documents", "embeddings", "lineitem", "orders"}
+        "documents", "embeddings", "lineitem", "orders", "customer",
+        "supplier", "part", "nation", "region", "events"}
     rng = random.Random(42)
     perms = [ALPHA] + ["".join(rng.sample(ALPHA, 26)) for _ in range(n - 1)]
     con = duckdb.connect()
@@ -70,6 +71,34 @@ def main():
         for i in range(n))
     if "orders" in which:
         con.sql(f"COPY ({orders}) TO '{out}/orders.parquet' (FORMAT PARQUET)")
+
+    # customer scales with orders (custkey shift must match); events
+    # scale with shifted user/event ids in the SAME time window (a
+    # higher event rate, as real growth looks); the remaining
+    # dimensions stay verbatim (dims grow slower than facts).
+    cust = "\nUNION ALL\n".join(
+        f"SELECT c_custkey + {i * 15000} AS c_custkey, c_name, "
+        f"c_nationkey, c_acctbal, c_mktsegment "
+        f"FROM read_parquet('{SRC}/customer.parquet')"
+        for i in range(n))
+    if "customer" in which:
+        con.sql(f"COPY ({cust}) TO '{out}/customer.parquet' (FORMAT PARQUET)")
+
+    ev = "\nUNION ALL\n".join(
+        f"SELECT event_id + {i} * (SELECT max(event_id) + 1 FROM "
+        f"read_parquet('{SRC}/events.parquet')) AS event_id, "
+        f"user_id + {i} * (SELECT max(user_id) + 1 FROM "
+        f"read_parquet('{SRC}/events.parquet')) AS user_id, "
+        f"ts, event_type, value, props "
+        f"FROM read_parquet('{SRC}/events.parquet')"
+        for i in range(n))
+    if "events" in which:
+        con.sql(f"COPY ({ev}) TO '{out}/events.parquet' (FORMAT PARQUET)")
+
+    for t in ["supplier", "part", "nation", "region"]:
+        if t in which:
+            con.sql(f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+                    f" TO '{out}/{t}.parquet' (FORMAT PARQUET)")
 
     for t in sorted(which):
         c = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
