@@ -720,6 +720,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keySet.map(_._1) == Set(0, 1), "both cells populated")
   }
 
+  test("streaming ingest -> durable IVF store: foreachBatch-appended deltas " +
+      "merge-on-read to the from-scratch stats") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val centers = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_store").toString + "/cells"
+    val input = MemoryStream[(Long, Seq[Double])]
+    // the production ingest loop: each micro-batch's sufficient
+    // statistics append to the parquet store as one delta
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.IndexStore.append(
+          graft.ops.IvfIndexOps.cellStats(spark, df, "vec_id",
+            "embedding", centers), store)
+      }
+      .start()
+    val b1 = Seq((1L, Seq(0.0, 0.2)), (2L, Seq(10.0, 10.4)))
+    val b2 = Seq((3L, Seq(0.4, 0.0)), (4L, Seq(9.8, 10.0)),
+      (5L, Seq(0.2, 0.2)))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getInt(1)) ->
+        ((r.getDecimal(2).toPlainString, r.getLong(3)))
+    val stored = graft.ops.IndexStore.readIvfStats(spark.newSession(), store)
+      .collect().map(key).toMap
+    val scratch = graft.ops.IvfIndexOps.cellStats(spark,
+        (b1 ++ b2).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        centers)
+      .collect().map(key).toMap
+    assert(stored == scratch,
+      s"streamed store must equal from-scratch stats:\n$stored\nvs\n$scratch")
+  }
+
   test("streaming CMS counters equal the batch sketch across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
