@@ -599,6 +599,17 @@ class PlanSpec extends SparkSpec {
     assert("orders\\.parquet".r.findAllIn(s).size <= 1, s)
   }
 
+  test("q356 triplet mining: anchors broadcast onto one corpus scan; " +
+      "argmin/argmax is one aggregation, no rank-window shuffle") {
+    val s = formatted("q356_triplet_mining")
+    assert(s.contains("BroadcastHashJoin") ||
+      s.contains("BroadcastNestedLoopJoin"),
+      s"anchor side must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    assert("embeddings\\.parquet".r.findAllIn(s).size <= 2,
+      s"corpus + anchors only:\n$s")
+  }
+
   test("q352 winnow store serve: plan reads the persisted pair store, NEVER " +
       "the raw document corpus") {
     val s = formatted("q352_winnow_store")
