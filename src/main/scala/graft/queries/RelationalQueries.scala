@@ -17,6 +17,23 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  // q364: lineitem converted to ORC once per (application, dir) —
+  // the q56/WinnowStage memoization discipline, so bench warm runs
+  // re-read the same files instead of re-writing them.
+  private val orcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def orcLineitem(s: SparkSession, d: String): String =
+    orcCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + d,
+      new java.util.function.Function[String, String] {
+        override def apply(k: String): String = {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft_orc").toString + "/lineitem"
+          Tables(s, d, "lineitem").write.mode("overwrite").orc(p)
+          p
+        }
+      })
+
   val queries: Map[String, Q] = Map(
     // Full-scan aggregation (TPC-H Q1 shape): map-side partial agg, one
     // narrow shuffle on the 2 group keys.
@@ -469,6 +486,23 @@ object RelationalQueries {
       Tables(s, d, "supplier")
         .join(dom, col("s_suppkey") === col("sk"), "left_semi")
         .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // ORC source round-trip: lineitem written to ORC once (memoized
+    // per application), read back through Spark's ORC datasource and
+    // aggregated — the oracle computes the identical aggregate from
+    // the parquet original, so a hash match proves the columnar
+    // round-trip is value-exact (incl. timestamps under the UTC
+    // session). Completes the built-in source matrix beside
+    // CSV/parquet/JSONL (no spark-avro datasource ships in this
+    // environment).
+    "q364_orc_roundtrip" -> ((s, d) => {
+      s.read.orc(orcLineitem(s, d))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          max(col("l_shipdate").cast("date")).as("max_ship"))
     }),
 
     // TPC-H Q15 shape (agg view + scalar max): supplier(s) whose
@@ -1047,6 +1081,14 @@ object RelationalQueries {
         |       AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
         |       AND l2.l_shipdate < TIMESTAMP '1998-01-01'))"""
         .stripMargin,
+    "q364_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  CAST(max(l_shipdate) AS DATE) AS max_ship
+        |FROM lineitem
+        |GROUP BY 1, 2""".stripMargin,
     "q353_top_supplier" ->
       """WITH revenue AS (SELECT l_suppkey AS sk,
         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
