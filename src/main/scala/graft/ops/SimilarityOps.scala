@@ -629,25 +629,50 @@ object SimilarityOps {
     centers
   }
 
+  /** Driver-bounded k-means fit sample: a seeded Bernoulli sample
+    * capped at an ABSOLUTE `maxFitRows` before anything is collected.
+    * The fraction alone is NOT a cap — at 100× corpus a 10% sample
+    * collects 100× more vectors; at 100 TB of embeddings that is
+    * terabytes on the driver. The `.limit` is a no-op below the cap
+    * (small corpora keep bit-identical fits) and bounds the collect
+    * to `maxFitRows` rows above it — quantizer quality needs only
+    * O(nCells·50…10⁵) vectors regardless of corpus size, and the
+    * recall floors in Verify gate the result either way. Same
+    * discipline as [[IvfIndexOps.initCenters]]'s md5-ordered
+    * `limit(k)` seed collection.
+    */
+  private[graft] def fitSample(base: DataFrame, vecCol: String,
+      fitFraction: Double, maxFitRows: Int, seed: Long,
+      minRows: Int): Array[Array[Double]] = {
+    import base.sparkSession.implicits._
+    var sample = base.sample(withReplacement = false, fitFraction, seed)
+      .select(vecCol).limit(maxFitRows).as[Seq[Double]]
+      .collect().map(_.toArray)
+    if (sample.isEmpty) // tiny-corpus guard
+      sample = base.select(vecCol).limit(minRows).as[Seq[Double]]
+        .collect().map(_.toArray)
+    sample
+  }
+
   def knnIvf(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
       idCol: String, vecCol: String, queryPred: Column, k: Int,
       nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      fitFraction: Double = 0.1): DataFrame = {
+      fitFraction: Double = 0.1, maxFitRows: Int = 100000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nCells >= 2, s"nCells must be >= 2, got $nCells")
     require(nprobe >= 1 && nprobe <= nCells,
       s"nprobe must be in [1, nCells], got $nprobe for nCells=$nCells")
     require(fitFraction > 0.0 && fitFraction <= 1.0,
       s"fitFraction must be in (0, 1], got $fitFraction")
+    require(maxFitRows >= nCells,
+      s"maxFitRows must be >= nCells, got $maxFitRows for nCells=$nCells")
     if (nCells > 64 && nprobe.toDouble / nCells < 0.01)
       System.err.println(s"[graft] knnIvf: nprobe=$nprobe of nCells=$nCells " +
         "searches <1% of the corpus — recall will be poor; raise nprobe")
     import spark.implicits._
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    var sample = base.sample(withReplacement = false, fitFraction, seed)
-      .select("v").as[Seq[Double]].collect().map(_.toArray)
-    if (sample.isEmpty) // tiny-corpus guard
-      sample = base.select("v").limit(nCells * 8).as[Seq[Double]].collect().map(_.toArray)
+    val sample = fitSample(base, "v", fitFraction, maxFitRows, seed,
+      minRows = nCells * 8)
     val centers2d: Seq[Seq[Double]] =
       lloydFit(sample, nCells, maxIter = 10, seed).map(_.toSeq).toSeq
 
@@ -744,7 +769,7 @@ object SimilarityOps {
       idCol: String, vecCol: String, queryPred: Column, k: Int,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 8, nCodes: Int = 16,
       refine: Int = 4, seed: Long = 42L,
-      fitFraction: Double = 0.1): DataFrame = {
+      fitFraction: Double = 0.1, maxFitRows: Int = 100000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nCells >= 2, s"nCells must be >= 2, got $nCells")
     require(nprobe >= 1 && nprobe <= nCells,
@@ -754,6 +779,8 @@ object SimilarityOps {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     require(fitFraction > 0.0 && fitFraction <= 1.0,
       s"fitFraction must be in (0, 1], got $fitFraction")
+    require(maxFitRows >= math.max(nCells, nCodes),
+      s"maxFitRows must be >= max(nCells, nCodes), got $maxFitRows")
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val raw = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("rv"))
@@ -766,10 +793,8 @@ object SimilarityOps {
         transform(col("rv"), x => x / col("nrm"))).otherwise(col("rv")))
       .drop("nrm")
 
-    var sample = base.sample(withReplacement = false, fitFraction, seed)
-      .select("v").as[Seq[Double]].collect().map(_.toArray)
-    if (sample.isEmpty) // tiny-corpus guard
-      sample = base.select("v").limit(nCells * 8).as[Seq[Double]].collect().map(_.toArray)
+    val sample = fitSample(base, "v", fitFraction, maxFitRows, seed,
+      minRows = nCells * 8)
     val coarse = lloydFit(sample, nCells, maxIter = 10, seed)
     val books = pqFit(sample, coarse, m, nCodes, seed)
     val centersLit = typedlit(coarse.map(_.toSeq).toSeq)

@@ -400,4 +400,34 @@ class SimilaritySpec extends SparkSpec {
     assert(margin7 > others.max,
       s"planted margin $margin7 vs noise max ${others.max}")
   }
+
+  test("fitSample caps the driver collect at maxFitRows regardless of corpus size") {
+    // fraction 1.0 would collect the whole corpus absent the cap —
+    // the exact linear-in-corpus driver materialization the absolute
+    // bound exists to prevent at 100 TB
+    val base = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val n = base.count()
+    assert(n > 16, s"corpus too small for a meaningful cap test: $n")
+    val capped = SimilarityOps.fitSample(base, "v", fitFraction = 1.0,
+      maxFitRows = 16, seed = 42L, minRows = 8)
+    assert(capped.length == 16, s"cap ignored: collected ${capped.length}")
+    // below the cap the seeded sample is untouched (bit-identical fits
+    // for existing small-corpus callers: the limit is a no-op)
+    val loose = SimilarityOps.fitSample(base, "v", fitFraction = 0.1,
+      maxFitRows = Int.MaxValue, seed = 42L, minRows = 8)
+    val sameSeed = SimilarityOps.fitSample(base, "v", fitFraction = 0.1,
+      maxFitRows = 100000, seed = 42L, minRows = 8)
+    assert(loose.length == sameSeed.length && loose.length < 16000)
+    assert(loose.zip(sameSeed).forall { case (a, b) => a.sameElements(b) })
+    // the public entry points reject caps too small to seed a quantizer
+    intercept[IllegalArgumentException] {
+      SimilarityOps.knnIvf(spark, emb, "vec_id", "embedding",
+        col("vec_id") < 2, 3, nCells = 16, maxFitRows = 4)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.knnIvfPq(spark, emb, "vec_id", "embedding",
+        col("vec_id") < 2, 3, nCells = 16, maxFitRows = 4)
+    }
+  }
 }
