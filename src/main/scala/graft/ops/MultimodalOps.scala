@@ -1176,8 +1176,15 @@ object MultimodalOps {
     import spark.implicits._
     binDocs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        decodeVideo(bytes).filter(_._4 <= 64).map {
+        decodeVideo(bytes).map {
           case (_, _, _, nf, e) =>
+            // fail LOUDLY past the 64-bit signature capacity: a
+            // silent filter here would surface as an unexplained
+            // oracle hash mismatch (q362 hashes every key) the day
+            // videoDims ever caps above 64 frames
+            require(nf <= 64,
+              s"videoTemporalHash: doc $id has $nf frames (> 64-bit " +
+                "signature capacity); sample frames down first")
             var fp = 0L
             var f = 0
             while (f < nf - 1) {

@@ -63,21 +63,28 @@ object PreferenceOps {
       .filter(col(winnerCol) =!= col(loserCol))
       .select(col(winnerCol).cast("string").as("w"),
         col(loserCol).cast("string").as("l"))
-    // Enforce the model-scale bound BEFORE any driver materialization:
-    // a scalar distinct-count aggregate is the only thing collected
-    // here, so a pathological data-scale item column (user ids instead
-    // of model labels) fails fast instead of OOMing the driver on the
-    // items² counts collect below.
-    val nItems = pairs.select(explode(array($"w", $"l")).as("item"))
+    // One input scan: the grouped (w, l) counts materialize on the
+    // EXECUTORS (localCheckpoint — distributed even when pathological),
+    // the model-scale guard is a scalar distinct-count aggregate over
+    // that frame, and only after it passes do the items² rows reach
+    // the driver. A data-scale item column (user ids instead of model
+    // labels) still fails fast before any driver materialization,
+    // without the second full comparison-stream scan the guard used
+    // to cost.
+    val grouped = pairs
+      .groupBy($"w", $"l")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nItems = grouped.select(explode(array($"w", $"l")).as("item"))
       .agg(countDistinct($"item")).head.getLong(0)
+    if (nItems < 2 || nItems > maxItems) Checkpoints.release(grouped)
     require(nItems >= 2, s"bradleyTerry needs >= 2 items, got $nItems")
     require(nItems <= maxItems,
       s"bradleyTerry found $nItems distinct items (> $maxItems): the item " +
         "column must be model-scale (labels), not data-scale (ids)")
-    val counts = pairs
-      .groupBy($"w", $"l")
-      .agg(count(lit(1)).as("n"))
+    val counts = grouped
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    Checkpoints.release(grouped)
     val items = counts.flatMap(c => Seq(c._1, c._2)).distinct.sorted
     val idx = items.zipWithIndex.toMap
     val m = items.length

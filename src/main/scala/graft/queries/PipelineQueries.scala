@@ -544,14 +544,11 @@ object PipelineQueries {
       import graft.ops.{IndexStore, IvfIndexOps}
       val emb = Tables(s, d, "embeddings")
       val c0 = IvfIndexOps.initCenters(s, emb, "vec_id", "embedding", 6)
+      // store built ONCE per application+corpus (memoized like
+      // winnowStorePath/orcLineitem): warm runs serve from it instead
+      // of re-writing three deltas into a fresh temp dir each time
+      val store = IndexStore.ivfDemoStorePath(s, d, k = 6)
       val asg = IvfIndexOps.assign(s, emb, "vec_id", "embedding", c0)
-        .localCheckpoint()
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_q351").toString + "/cells"
-      (0 until 3).foreach { b =>
-        IndexStore.append(IvfIndexOps.cellStatsFromAssigned(
-          asg.where(pmod(col("id"), lit(3)) === b)), store)
-      }
       val cStore = IvfIndexOps.refresh(c0, IndexStore.readIvfStats(s, store))
       val cScr = IvfIndexOps.refresh(c0,
         IvfIndexOps.cellStatsFromAssigned(asg))

@@ -37,8 +37,24 @@ def main():
     con = duckdb.connect()
     con.sql("PRAGMA threads=16")
 
+    # Replica key shifts DERIVED from max(id)+1 of the source (never
+    # hardcoded): if sf0.1 is ever regenerated larger, hardcoded
+    # shifts would silently alias replica keys and corrupt the
+    # amplified data with no error (the events branch always did this;
+    # now every shifted table does).
+    def shift(table, idcol):
+        return con.sql(f"SELECT max({idcol}) + 1 FROM "
+                       f"read_parquet('{SRC}/{table}.parquet')").fetchone()[0]
+    doc_shift = shift("documents", "doc_id")
+    emb_shift = shift("embeddings", "vec_id")
+    # lineitem shares the orderkey space with orders — shift past both
+    ord_shift = max(shift("orders", "o_orderkey"),
+                    shift("lineitem", "l_orderkey"))
+    cust_shift = max(shift("customer", "c_custkey"),
+                     shift("orders", "o_custkey"))
+
     docs = "\nUNION ALL\n".join(
-        f"SELECT doc_id + {i * 5000} AS doc_id, "
+        f"SELECT doc_id + {i * doc_shift} AS doc_id, "
         f"translate(text, '{ALPHA}', '{perms[i]}') AS text, lang, source, "
         f"n_chars FROM read_parquet('{SRC}/documents.parquet')"
         for i in range(n))
@@ -46,7 +62,7 @@ def main():
         con.sql(f"COPY ({docs}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
 
     embs = "\nUNION ALL\n".join(
-        f"SELECT vec_id + {i * 2000} AS vec_id, "
+        f"SELECT vec_id + {i * emb_shift} AS vec_id, "
         f"CAST(list_transform(range(1, 65), k -> "
         f"embedding[1 + ((k - 1 + {i} * 7) % 64)]) AS FLOAT[]) AS embedding, "
         f"label FROM read_parquet('{SRC}/embeddings.parquet')"
@@ -55,7 +71,7 @@ def main():
         con.sql(f"COPY ({embs}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
     li = "\nUNION ALL\n".join(
-        f"SELECT l_orderkey + {i * 150000} AS l_orderkey, l_partkey, "
+        f"SELECT l_orderkey + {i * ord_shift} AS l_orderkey, l_partkey, "
         f"l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, "
         f"l_tax, l_returnflag, l_linestatus, l_shipdate "
         f"FROM read_parquet('{SRC}/lineitem.parquet')"
@@ -64,8 +80,8 @@ def main():
         con.sql(f"COPY ({li}) TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
 
     orders = "\nUNION ALL\n".join(
-        f"SELECT o_orderkey + {i * 150000} AS o_orderkey, "
-        f"o_custkey + {i * 15000} AS o_custkey, o_orderstatus, o_totalprice, "
+        f"SELECT o_orderkey + {i * ord_shift} AS o_orderkey, "
+        f"o_custkey + {i * cust_shift} AS o_custkey, o_orderstatus, o_totalprice, "
         f"o_orderdate, o_orderpriority "
         f"FROM read_parquet('{SRC}/orders.parquet')"
         for i in range(n))
@@ -77,7 +93,7 @@ def main():
     # higher event rate, as real growth looks); the remaining
     # dimensions stay verbatim (dims grow slower than facts).
     cust = "\nUNION ALL\n".join(
-        f"SELECT c_custkey + {i * 15000} AS c_custkey, c_name, "
+        f"SELECT c_custkey + {i * cust_shift} AS c_custkey, c_name, "
         f"c_nationkey, c_acctbal, c_mktsegment "
         f"FROM read_parquet('{SRC}/customer.parquet')"
         for i in range(n))
