@@ -67,9 +67,24 @@ object Bench {
     } catch { case _: Throwable => () }
   }
 
+  /** 1-minute system load average (-1.0 where the JVM can't read it). */
+  private[graft] def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Cumulative JVM GC time in seconds across all collectors. */
+  private[graft] def gcSec(): Double = {
+    val it = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    var ms = 0L
+    while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) ms += t }
+    ms / 1e3
+  }
+
   def main(args: Array[String]): Unit = {
     val (spark, sfDir) = session()
     warmup(spark, sfDir)
+    val loadStart = loadAvg()
     // Each query runs three times: `queries` (cold) carries
     // first-plan analysis/codegen cost; `queries_warm` is the MIN of
     // two steady-state runs — the bench box shows ±10-15% run-to-run
@@ -85,7 +100,16 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, false)
       }
     }
+    // Per-query box-state telemetry (the seal self-adjudication the
+    // r11/r12 contamination triage lacked): 1-min load average sampled
+    // after the query's runs and the JVM GC seconds they spent. A
+    // 3-10x "mover" whose load column is high (or whose GC column
+    // explains the gap) is contamination, not a regression — benchdiff
+    // auto-isobenches the rest.
+    case class QRes(name: String, cold: Double, warm: Double,
+      warmRuns: Seq[Double], ok: Boolean, load: Double, gc: Double)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcSec()
       val (cold, okCold) = run(fn)
       val (warmRuns, okWarm) =
         if (!okCold) (Seq.empty[Double], false)
@@ -98,22 +122,24 @@ object Bench {
           }
         }
       val warm = if (warmRuns.nonEmpty) warmRuns.min else 0.0
-      (name, cold, warm, warmRuns, okCold && okWarm)
+      QRes(name, cold, warm, warmRuns, okCold && okWarm,
+        loadAvg(), gcSec() - gc0)
     }
-    val okResults = results.filter(_._5)
-    def jmap(f: ((String, Double, Double, Seq[Double], Boolean)) => Double) =
-      okResults.map(r => "\"" + r._1 + "\":" + f"${f(r)}%.3f").mkString("{", ",", "}")
+    val okResults = results.filter(_.ok)
+    def jmap(f: QRes => Double) =
+      okResults.map(r => "\"" + r.name + "\":" + f"${f(r)}%.3f").mkString("{", ",", "}")
     // Both steady-state samples per query, not just the min: the r7
     // triage showed cross-round comparisons are impossible without the
     // raw runs (was warm=5.58s a real plan cost or one scheduling
     // spike? the second sample answers that for free).
     val warmRunsJson = okResults.map(r =>
-      "\"" + r._1 + "\":[" + r._4.map(t => f"$t%.3f").mkString(",") + "]")
+      "\"" + r.name + "\":[" + r.warmRuns.map(t => f"$t%.3f").mkString(",") + "]")
       .mkString("{", ",", "}")
-    val errs = results.filterNot(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = okResults.map(_._2).sum
-    val totalWarm = okResults.map(_._3).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},"queries_warm_runs":$warmRunsJson,"warm_samples":2,"warm_stat":"min","total_warm":$totalWarm,"errors":$errs,"sf":"$sfDir"}"""
+    val errs = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val total = okResults.map(_.cold).sum
+    val totalWarm = okResults.map(_.warm).sum
+    val loadEnd = loadAvg()
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.cold)},"queries_warm":${jmap(_.warm)},"queries_warm_runs":$warmRunsJson,"warm_samples":2,"warm_stat":"min","total_warm":$totalWarm,"queries_load":${jmap(_.load)},"queries_gc_sec":${jmap(_.gc)},"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // The driver scrapes stdout and has twice truncated the tail of
     // this line (r5/r6: "parsed": null, cold block unreadable) — also
@@ -130,9 +156,9 @@ object Bench {
     // it fits the tail window whole, so a line-wise JSON scrape finds
     // at least one complete, parseable record; per-query detail lives
     // in the full line and the committed bench_out.json.
-    val slowest = okResults.sortBy(-_._3).take(5)
-      .map(r => "\"" + r._1 + "\":" + f"${r._3}%.3f").mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${okResults.size},"total_warm":$totalWarm,"warm_stat":"min","slowest_warm":$slowest,"errors":$errs,"sf":"$sfDir","detail":"$outPath"}""")
+    val slowest = okResults.sortBy(-_.warm).take(5)
+      .map(r => "\"" + r.name + "\":" + f"${r.warm}%.3f").mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${okResults.size},"total_warm":$totalWarm,"warm_stat":"min","slowest_warm":$slowest,"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},"errors":$errs,"sf":"$sfDir","detail":"$outPath"}""")
     spark.stop()
   }
 }

@@ -328,6 +328,122 @@ object DedupOps {
       explode(minHashBandKeys(col("sig"), numHashes, bands)).as("band_key"))
   }
 
+  /** Oracle-replayable MinHash band rows — the DURABLE-store twin of
+    * [[minHashLshPairs]]'s banding: the hash family is md5 hex
+    * strings (h_i(s) = md5("i:" ++ s), minima in lexicographic hex
+    * order), so every stage — signature, band key, pair agreement —
+    * replays verbatim in ANSI SQL, which is what lets a persisted
+    * band store be PROVEN equal to a from-scratch pass by oracle hash
+    * (q365), where the xxhash64 production family can only be
+    * floor-gated.
+    *
+    * Row shape (id, band, band_key, sig): the band key is md5 over
+    * the band INDEX plus its signature rows (band-index salting —
+    * equal row patterns in different bands cannot alias, the
+    * [[minHashBandKeys]] discipline), and the full signature rides in
+    * the row so a store serve computes pair agreement from the STORE
+    * alone — corpus text is never read again (numHashes × 32 B per
+    * doc per band row, the price of text-free serving).
+    */
+  def minHashMd5Bands(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands must divide numHashes, got $numHashes/$bands")
+    val rows = numHashes / bands
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"m_$i"))
+    val sig = wordShingles(docs, idCol, textCol, shingleN)
+      .groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m_$i")): _*).as("sig"))
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        md5(concat_ws("|",
+          (lit(bnd.toString) +: (bnd * rows until (bnd + 1) * rows)
+            .map(i => element_at(col("sig"), i + 1))): _*).cast("binary"))
+          .as("band_key"))
+    }
+    sig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"),
+        col("b.band_key").as("band_key"), col("sig"))
+  }
+
+  /** Near-dup candidate pairs from a band-row frame (live
+    * [[minHashMd5Bands]] output or a persisted store read back):
+    * bucket-grouped on (band, band_key), lazy in-row pair expansion,
+    * agreement from the carried signatures, final distinct — the
+    * [[minHashLshPairs]] physical shape, with the same
+    * `maxBucketSize` degenerate-bucket bound (enforced inside the
+    * aggregation, observable through DropGuard).
+    */
+  def lshBandPairs(bandRows: DataFrame, numHashes: Int,
+      minEstJaccard: Double, maxBucketSize: Int = 4096): DataFrame = {
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
+    graft.functions.GraftFunctions.register(bandRows.sparkSession)
+    val grouped = DropGuard.observed(
+      bandRows.groupBy(col("band"), col("band_key"))
+        .agg(call_function("graft_bounded_collect",
+          struct(col("id"), col("sig")), lit(maxBucketSize)).as("c")),
+      "lshBandPairs")
+      .filter(col("c.ms").isNotNull && size(col("c.ms")) > 1)
+      .select(col("c.ms").as("ms"))
+    grouped.select(call_function("graft_ordered_pairs", col("ms")).as(Seq("x", "y")))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        round(size(filter(zip_with(col("x.sig"), col("y.sig"),
+          (p, q) => p === q), e => e)).cast("double") / numHashes, 4)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
+  }
+
+  /** DuckDB replay of the md5-MinHash band pipeline from scratch —
+    * shingles → per-seed md5 minima → salted band keys → bucket pairs
+    * → signature agreement. Run against [[IndexStore.serveLshPairs]]
+    * over a batch-appended store, the hash match proves
+    * merged-store serve == from-scratch (band rows carry no
+    * cross-doc state, so any batch split unions to the same frame).
+    */
+  def minHashMd5OracleSql(table: String, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5): String = {
+    val rows = numHashes / bands
+    val gram = (0 until shingleN).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    val bandSql = (0 until bands).map { b =>
+      val elems = (b * rows until (b + 1) * rows).map(i => s"m$i")
+        .mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5('$b|' || $elems) AS bk FROM sig"
+    }.mkString("\n UNION ALL\n ")
+    val matches = (0 until numHashes).map(i =>
+      s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val minMatches = math.ceil(minEstJaccard * numHashes).toInt
+    s"""WITH w AS (
+       | SELECT $idCol AS id,
+       |   string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+') AS w
+       | FROM $table),
+       |sh AS (
+       | SELECT DISTINCT id, shingle FROM (
+       |  SELECT id, unnest(list_transform(
+       |      generate_series(1, greatest(len(w) - ${shingleN - 1}, 0)),
+       |    i -> $gram)) AS shingle
+       |  FROM w) t),
+       |sig AS (
+       | SELECT id,
+       |  ${(0 until numHashes).map(i => s"min(md5('$i:' || shingle)) AS m$i").mkString(",\n  ")}
+       | FROM sh GROUP BY id),
+       |bands AS (
+       | $bandSql),
+       |cand AS (
+       | SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       | FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.bk = b.bk AND a.id < b.id)
+       |SELECT c.a_id, c.b_id,
+       | round(CAST(($matches) AS DOUBLE) / $numHashes, 4) AS est_jaccard
+       |FROM cand c
+       |JOIN sig sa ON c.a_id = sa.id
+       |JOIN sig sb ON c.b_id = sb.id
+       |WHERE ($matches) >= $minMatches""".stripMargin
+  }
+
   /** Candidate pairs from LSH buckets + estimated jaccard = fraction of
     * agreeing minhashes.
     *

@@ -173,4 +173,67 @@ object IndexStore {
     val it = ivfStores.keySet.iterator()
     while (it.hasNext) if (it.next().appId == appId) it.remove()
   }
+
+  // ----------------------------------------------------------------
+  // Banded-LSH (MinHash) store
+  // ----------------------------------------------------------------
+
+  /** Append one batch of [[DedupOps.minHashMd5Bands]] rows to an
+    * append-only parquet band store — the crawl-loop write half:
+    * each ingested batch persists its (id, band, band_key, sig) rows
+    * and is never recomputed. One immutable corpus per store path
+    * (ids must not change content between appends).
+    */
+  def appendLshBands(bands: DataFrame, path: String): Unit =
+    append(bands, path)
+
+  /** Merge-on-read view of a band store: the union of all appended
+    * deltas with full-row duplicates collapsed — replaying a batch
+    * append is therefore a no-op (the [[WinnowOps.indexUpdate]]
+    * idempotence contract), and because band rows carry no cross-doc
+    * state, ANY batch split of the corpus merges to exactly the
+    * from-scratch frame — that is the q365 oracle argument.
+    */
+  def readLshBands(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).distinct()
+
+  /** Serve near-dup candidate pairs from a persisted band store:
+    * bucket-join + carried-signature agreement over the STORE frame
+    * only — the raw corpus text is never touched at serve time.
+    */
+  def serveLshPairs(spark: SparkSession, path: String,
+      numHashes: Int = 16, minEstJaccard: Double = 0.5): DataFrame =
+    DedupOps.lshBandPairs(readLshBands(spark, path), numHashes,
+      minEstJaccard)
+
+  private val lshStores = new ConcurrentHashMap[WKey, String]()
+
+  /** Path of the q365 demo band store for `dir`, built ONCE per
+    * application+corpus: the documents table's md5-MinHash band rows
+    * split into three pmod(id, 3) batch appends. Warm bench runs
+    * serve from the store ([[ivfDemoStorePath]] discipline).
+    */
+  def lshDemoStorePath(spark: SparkSession, dir: String): String = {
+    val key = WKey(spark.sparkContext.applicationId, dir)
+    lshStores.computeIfAbsent(key, new JFunction[WKey, String] {
+      override def apply(ignored: WKey): String = {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_q365").toString + "/bands"
+        val rows = DedupOps.minHashMd5Bands(
+          graft.Tables(spark, dir, "documents"), "doc_id", "text")
+          .localCheckpoint()
+        (0 until 3).foreach { b =>
+          appendLshBands(rows.where(pmod(col("id"), lit(3)) === b), path)
+        }
+        Checkpoints.release(rows)
+        path
+      }
+    })
+  }
+
+  /** Test hook: drop an application's LSH demo stores. */
+  private[graft] def invalidateLshDemo(appId: String): Unit = {
+    val it = lshStores.keySet.iterator()
+    while (it.hasNext) if (it.next().appId == appId) it.remove()
+  }
 }

@@ -575,6 +575,18 @@ object PipelineQueries {
       graft.ops.IndexStore.serveWinnowPairs(s, d, 0.4)
         .select("id_a", "id_b", "n_shared", "jac")),
 
+    // Durable banded-LSH near-dup store — the q351/q352 discipline
+    // for the MinHash family: md5-hash-family band rows persisted in
+    // three batch appends (store memoized per app+corpus), near-dup
+    // candidates SERVED from the store with corpus text untouched at
+    // serve time. The oracle replays the whole pipeline from scratch,
+    // so the hash match proves merged-store serve == from-scratch
+    // (band rows carry no cross-doc state; any batch split unions to
+    // the same frame).
+    "q365_lsh_store" -> ((s, d) =>
+      graft.ops.IndexStore.serveLshPairs(s,
+        graft.ops.IndexStore.lshDemoStorePath(s, d))),
+
     // Curation pipeline v3 — this round's stages composed into one
     // decision manifest over the candidate half (odd ids) of the
     // corpus: doc-level lang-ID (q96), span-perplexity retention
@@ -3951,6 +3963,8 @@ object PipelineQueries {
         k = 6, probeMod = 5),
     "q352_winnow_store" -> WinnowOps.verifiedPairsOracleSql("documents",
       "doc_id", "text", minJaccard = 0.4),
+    "q365_lsh_store" -> DedupOps.minHashMd5OracleSql("documents",
+      "doc_id", "text"),
     "q240_span_lang" -> spanLangOracleSql,
     "q242_pq_incremental" -> graft.ops.IvfIndexOps
       .incrementalPqOracleSql("embeddings", "vec_id", "embedding",

@@ -6,13 +6,35 @@ the prior seal (e.g. `git show <ref>:bench_out.json`) and the fresh
 run; anything flagged goes to tools/isobench.py BEFORE the snapshot is
 committed (BENCHNOTES "Seal checklist").
 
+With --isobench (the default), every slower-side mover is
+auto-adjudicated: tools/isobench.py runs it in N fresh JVMs and the
+verdict table (the one BENCHNOTES used to assemble by hand) prints
+ready to paste — `contamination` when the isolated median returns to
+within --iso-threshold x of the prior seal, `REGRESSION` otherwise.
+Exit code 1 only for unadjudicated or confirmed-regression movers.
+
 Usage:
   benchdiff.py PREV.json CUR.json [-t 2.0] [--min-sec 0.5]
+      [--no-isobench] [--iso-samples 3] [--iso-threshold 1.5]
   git show <ref>:bench_out.json > /tmp/prev.json && \
       tools/benchdiff.py /tmp/prev.json bench_out.json
-Exit code 1 if any mover is flagged (wire into a pre-seal script).
 """
-import argparse, json, sys
+import argparse, json, os, statistics, subprocess, sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+def isobench(query, samples):
+    """Run tools/isobench.py and return its summary dict (or None)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "isobench.py"),
+         query, "-n", str(samples)],
+        capture_output=True, text=True)
+    for line in reversed(out.stdout.splitlines()):
+        if line.startswith('{"query"'):
+            return json.loads(line)
+    print(f"  isobench {query} FAILED:\n{out.stderr[-1500:]}",
+          file=sys.stderr)
+    return None
 
 def main():
     ap = argparse.ArgumentParser()
@@ -21,10 +43,17 @@ def main():
     ap.add_argument("-t", "--threshold", type=float, default=2.0)
     ap.add_argument("--min-sec", type=float, default=0.5,
                     help="ignore movers whose slower side is under this")
+    ap.add_argument("--no-isobench", dest="iso", action="store_false",
+                    help="report movers only; skip auto-adjudication")
+    ap.add_argument("--iso-samples", type=int, default=3)
+    ap.add_argument("--iso-threshold", type=float, default=1.5,
+                    help="isolated median within this x of prev = jitter")
     args = ap.parse_args()
     prev = json.load(open(args.prev))
     cur = json.load(open(args.cur))
     wp, wc = prev["queries_warm"], cur["queries_warm"]
+    loads = cur.get("queries_load", {})
+    gcs = cur.get("queries_gc_sec", {})
 
     print(f"prev: {len(wp)} queries, warm {prev['total_warm']:.1f}s")
     print(f"cur:  {len(wc)} queries, warm {cur['total_warm']:.1f}s, "
@@ -44,16 +73,60 @@ def main():
         ratio = b / a
         if ratio >= args.threshold or ratio <= 1 / args.threshold:
             movers.append((q, a, b, ratio))
-    if movers:
-        print(f"\nMOVERS (>= {args.threshold}x either way, "
-              f"slower side >= {args.min_sec}s):")
-        for q, a, b, r in sorted(movers, key=lambda m: -max(m[3], 1 / m[3])):
-            print(f"  {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)"
-                  + ("  <-- isobench before sealing" if r > 1 else "  (improved)"))
-        if any(r > 1 for *_ , r in movers):
-            sys.exit(1)
-    else:
+    if not movers:
         print("\nno movers — snapshot is seal-clean")
+        return
+
+    print(f"\nMOVERS (>= {args.threshold}x either way, "
+          f"slower side >= {args.min_sec}s):")
+    slower = []
+    for q, a, b, r in sorted(movers, key=lambda m: -max(m[3], 1 / m[3])):
+        extra = ""
+        if q in loads or q in gcs:
+            extra = (f"  [load={loads.get(q, -1):.1f}"
+                     f" gc={gcs.get(q, 0):.1f}s]")
+        if r > 1:
+            slower.append((q, a, b, r))
+            print(f"  {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x){extra}")
+        else:
+            print(f"  {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x){extra}  (improved)")
+    if not slower:
+        return
+
+    if not args.iso:
+        print("\n--no-isobench: adjudicate the movers above by hand "
+              "(tools/isobench.py <q> -n 3) before sealing")
+        sys.exit(1)
+
+    # Auto-adjudication: fresh-JVM isolated medians decide jitter vs
+    # regression mechanically (the table BENCHNOTES used to hand-roll).
+    print(f"\nauto-isobench ({args.iso_samples} fresh JVMs per mover):")
+    print("\n| query | prev seal | this run | ratio | isolated median "
+          "(spread) | verdict |")
+    print("|---|---|---|---|---|---|")
+    bad = []
+    for q, a, b, r in slower:
+        s = isobench(q, args.iso_samples)
+        if s is None:
+            bad.append(q)
+            print(f"| {q} | {a:.2f}s | {b:.2f}s | {r:.2f}x | "
+                  f"isobench FAILED | unadjudicated |")
+            continue
+        med, spread = s["warm_min_median"], s["spread"]
+        real = med > a * args.iso_threshold
+        verdict = ("REGRESSION" if real else
+                   "contamination" if med <= a * 1.2 else
+                   f"mild real growth ({med / a:.2f}x)")
+        if real:
+            bad.append(q)
+        print(f"| {q} | {a:.2f}s | {b:.2f}s | {r:.2f}x | "
+              f"{med:.2f}s ({spread:.2f}) | {verdict} |")
+    if bad:
+        print(f"\nNOT seal-clean: {', '.join(bad)} — fix or justify "
+              "in BENCHNOTES before committing")
+        sys.exit(1)
+    print("\nall slower movers adjudicated clean — paste the table "
+          "into BENCHNOTES and seal")
 
 if __name__ == "__main__":
     main()
