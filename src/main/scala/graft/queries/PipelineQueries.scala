@@ -3921,7 +3921,8 @@ object PipelineQueries {
           sizesProvided = true),
         "a_id", "b_id")
         .select(col("doc_id"), col("n_chars"))
-    }))
+    }),
+  )
 
   /** Shared oracle prefix for q66/q67: the q39 Jaccard pair graph,
     * symmetrized, closed under reachability with a recursive CTE
@@ -6640,5 +6641,6 @@ object PipelineQueries {
         | CAST(least((i * greatest(n - 32, 0)) // 3 + 32, n)
         |      - (i * greatest(n - 32, 0)) // 3 AS INTEGER) AS frame_len
         |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),
-        |     (SELECT unnest(generate_series(0, 3)) AS i)""".stripMargin)
+        |     (SELECT unnest(generate_series(0, 3)) AS i)""".stripMargin,
+  )
 }
