@@ -1,10 +1,6 @@
 package graft.queries
 
-import graft.Tables
-import graft.ops.{BlocklistOps, DedupOps, DsirOps, GraphOps, LmOps, MultimodalOps, PcaOps, PreferenceOps, ProfileOps, RetrievalOps, SampleOps, SelectionOps, SimilarityOps, TextOps, WinnowOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator surface (dedup / text analysis /
   * similarity search / multimodal) over the `documents` and
@@ -13,6634 +9,28 @@ import org.apache.spark.sql.functions._
   * (xxhash64-based MinHash/SimHash/LSH) are registered without an
   * oracle — the driver records a rows-only check — and additionally
   * covered by ScalaTest invariants in `src/test`.
+  *
+  * Entries live in the Pipeline*Queries family objects (split by
+  * operator family, each with its queries and oracle SQL side by
+  * side); this object is only the aggregation the driver contract
+  * consumes.
   */
 object PipelineQueries {
-  type Q = (SparkSession, String) => DataFrame
-
-  /** q159's injected-corpus containment pair frame, computed ONCE per
-    * application+corpus and localCheckpointed (pair-cardinality, never
-    * corpus text): the %211/%223 injection is deterministic per dir,
-    * so warm runs serve a threshold filter instead of rebuilding the
-    * winnow funnel + gram-set verify (~3s at sf0.1 per invocation).
-    * Computed at minContainment = 0.0 so any consumer threshold is a
-    * filter on the already-5dp-rounded cont columns.
-    */
-  private val containmentCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  private def containmentStage(s: SparkSession, d: String): DataFrame =
-    containmentCache.computeIfAbsent((s.sparkContext.applicationId, d),
-      new java.util.function.Function[(String, String), DataFrame] {
-        override def apply(ignored: (String, String)): DataFrame = {
-          val p = "the quarterly compliance digest reproduces member submissions verbatim in the appendix section for archival reference purposes"
-          val t = when(col("doc_id") % 211 === 0, lit(p))
-            .when(col("doc_id") % 223 === 0, concat(lit(p), lit(" "), col("text")))
-            .otherwise(col("text"))
-          WinnowOps.containmentPairs(
-            Tables(s, d, "documents").withColumn("text", t),
-            "doc_id", "text", minContainment = 0.0).localCheckpoint()
-        }
-      })
-
-  /** q68/q69 parameters, shared between the Spark queries and their
-    * DuckDB oracles (thresholds are embedded as hex strings so both
-    * engines compare the identical md5 coordinate).
-    */
-  private val MixtureFractions =
-    Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.1)
-  private val SplitSpec =
-    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-
-  /** q81/q82 input: the documents table has no URL column, so both
-    * engines synthesize the SAME deterministic messy URLs from doc_id
-    * (templates shared between the Spark expression and the oracle
-    * CASE — one spec, no drift) and the normalization/quota rules are
-    * what gets value-checked.
-    */
-  private val UrlTemplates = Seq(
-    "HTTPS://WWW.Example{K}.CO.UK:443/Path/To/{ID}/?utm_source=feed&id={ID}&fbclid=abc#frag",
-    "http://example{K}.com:80/a//b/",
-    "https://Sub.Domain.Example{K}.COM/path?ref=tw&q=x&utm_campaign=c",
-    "ftp://Files.example{K}.org:21/pub/",
-    "https://example{K}.com",
-    "not a url {ID}")
-
-  private def fillTemplate(t: String, id: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    concat(t.split("(?=\\{)|(?<=\\})").map {
-      case "{K}" => (id % 20).cast("string")
-      case "{ID}" => id.cast("string")
-      case s => lit(s)
-    }.toIndexedSeq: _*)
-
-  private def messyUrl(id: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    val m = (id % 6).cast("int")
-    UrlTemplates.zipWithIndex.dropRight(1)
-      .foldRight(fillTemplate(UrlTemplates.last, id)) { case ((t, i), acc) =>
-        when(m === i, fillTemplate(t, id)).otherwise(acc)
-      }
-  }
-
-  /** Shared q80/q85 oracle prelude: BPE-encode every document through
-    * a recursive CTE replaying the frozen merge table (interpolated
-    * from the SAME constants the Spark expression ships — the engines
-    * cannot drift). Ends with `agg(doc_id, n_bpe_tokens, toks)`.
-    */
-  private def bpeCteSql: String = {
-    // pair → rank map literal, first-occurrence-wins on duplicate
-    // pairs (mirrors BpeModel.ranks); symbols never contain spaces,
-    // so 'a b' keys are unambiguous. Quotes escaped for SQL.
-    val dd = {
-      val seen = scala.collection.mutable.HashSet.empty[String]
-      graft.ops.BpeOps.DefaultMerges.zipWithIndex.flatMap {
-        case ((a, b), r) =>
-          val k = s"$a $b"
-          if (seen.add(k)) Some((r, k)) else None
-      }
-    }
-    val keys = dd.map { case (_, k) => "'" + k.replace("'", "''") + "'" }
-      .mkString(", ")
-    val rks = dd.map(_._1).mkString(", ")
-    // The recursion steps by MERGE, not by rank: each step finds the
-    // lowest applicable rank >= the last applied rank (the sweep
-    // never revisits a passed rank) and merges its leftmost
-    // occurrence; a word with no applicable rank left is emitted once
-    // under a sentinel rank and stops recursing. Depth is therefore
-    // O(merges actually applied per word) + 1, independent of the
-    // model size — the previous rank-by-rank form paid one iteration
-    // per RANK per word (measured 22s vs 0.26s on sf0.01 at 89
-    // ranks; at a production-sized table it would never finish).
-    val SENT = Int.MaxValue
-    s"""WITH RECURSIVE
-       |mm AS (SELECT MAP([$keys], [$rks]) AS m),
-       |w AS (SELECT doc_id,
-       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ws
-       | FROM documents),
-       |wn AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws FROM w),
-       |wd AS (SELECT doc_id, CAST(wi AS INTEGER) AS wi,
-       |  list_transform(generate_series(1, len(ws[wi])), i -> ws[wi][i]) AS s
-       | FROM wn),
-       |enc (doc_id, wi, s, r) AS (
-       |  SELECT doc_id, wi, s, 0 AS r FROM wd
-       |  UNION ALL
-       |  SELECT doc_id, wi,
-       |    CASE WHEN rmin IS NULL THEN s
-       |         ELSE s[1:p-1] || [s[p] || s[p+1]] || s[p+2:] END AS s,
-       |    CASE WHEN rmin IS NULL THEN $SENT ELSE rmin END AS r
-       |  FROM (
-       |    SELECT t.doc_id, t.wi, t.s, t.rmin,
-       |      list_filter(generate_series(1, len(t.s) - 1),
-       |        i -> t.m2[t.s[i] || ' ' || t.s[i+1]][1] = t.rmin)[1] AS p
-       |    FROM (
-       |      SELECT e.doc_id, e.wi, e.s, mm.m AS m2,
-       |        list_aggregate(list_transform(generate_series(1, len(e.s) - 1),
-       |          i -> CASE WHEN mm.m[e.s[i] || ' ' || e.s[i+1]][1] >= e.r
-       |               THEN mm.m[e.s[i] || ' ' || e.s[i+1]][1] END), 'min') AS rmin
-       |      FROM enc e, mm
-       |      WHERE e.r <> $SENT) t) u),
-       |fin AS (SELECT doc_id, wi, s FROM enc WHERE r = $SENT),
-       |agg AS (SELECT doc_id, CAST(sum(len(s)) AS INTEGER) AS n_bpe_tokens,
-       |  string_agg(array_to_string(s, ' '), ' ' ORDER BY wi) AS toks
-       | FROM fin GROUP BY doc_id)""".stripMargin
-  }
-
-  /** The quality-scorer oracle parameterized by its weight vector —
-    * one SQL template for the hand-tuned (q79) and IRLS-trained (q95)
-    * scorers; a drift between the two oracles would hide a drift
-    * between the two scorers. Weight literals are ::DOUBLE-cast: bare
-    * decimal literals are DECIMAL in DuckDB and would change the
-    * arithmetic vs Spark.
-    */
-  /** C4/Gopher rules replay (sig → r → pr-with-`passes` CTE chain)
-    * over a prior CTE `docsCte` providing (doc_id, t). Shared by the
-    * q112 oracle (injected text) and the q157 kappa oracle (plain
-    * text). Plain (non-interpolated) string: the regex `\t`/`\.`
-    * escapes must reach DuckDB verbatim. */
-  private def rulesOracleBody(docsCte: String): String =
-    """sig AS (SELECT doc_id,
-      |  CAST(len(regexp_extract_all(t, '[^ \t\n\f\r]+')) AS BIGINT) AS n_words,
-      |  round(length(regexp_replace(t, '[ \t\n\f\r]', '', 'g')) * 1.0
-      |    / greatest(len(regexp_extract_all(t, '[^ \t\n\f\r]+')), 1), 4)
-      |    AS mean_word_len,
-      |  round((len(regexp_extract_all(t, '#'))
-      |    + len(regexp_extract_all(t, '\.\.\.'))
-      |    + len(regexp_extract_all(t, '…'))) * 1.0
-      |    / greatest(len(regexp_extract_all(t, '[^ \t\n\f\r]+')), 1), 5)
-      |    AS symbol_ratio,
-      |  round(len(list_filter(string_split(t, chr(10)),
-      |      x -> regexp_matches(x, '^[-*•] '))) * 1.0
-      |    / greatest(len(string_split(t, chr(10))), 1), 5)
-      |    AS bullet_line_frac,
-      |  round(len(list_filter(string_split(t, chr(10)),
-      |      x -> regexp_matches(x, '(\.\.\.|…)$'))) * 1.0
-      |    / greatest(len(string_split(t, chr(10))), 1), 5)
-      |    AS ellipsis_line_frac,
-      |  round(len(list_filter(regexp_extract_all(lower(t), '[^ \t\n\f\r]+'),
-      |      x -> regexp_matches(x, '[a-z]'))) * 1.0
-      |    / greatest(len(regexp_extract_all(t, '[^ \t\n\f\r]+')), 1), 5)
-      |    AS alpha_word_frac,
-      |  CAST(len(regexp_extract_all(lower(t), '\b(the|a|of|to|and)\b'))
-      |    AS BIGINT) AS n_stop_hits,
-      |  contains(lower(t), 'lorem ipsum') AS has_lorem,
-      |  contains(t, '{') AS has_brace
-      | FROM __DOCS__),
-      |r AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio,
-      |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
-      |  CAST(n_words >= 10 AND n_words <= 100000 AS INT) AS r_len,
-      |  CAST(mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS INT)
-      |    AS r_word_len,
-      |  CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
-      |  CAST(bullet_line_frac <= 0.9 AS INT) AS r_bullet,
-      |  CAST(ellipsis_line_frac <= 0.3 AS INT) AS r_ellipsis,
-      |  CAST(alpha_word_frac >= 0.8 AS INT) AS r_alpha,
-      |  CAST(n_stop_hits >= 2 AS INT) AS r_stop,
-      |  CAST(NOT has_lorem AND NOT has_brace AS INT) AS r_clean
-      | FROM sig),
-      |pr AS (SELECT *, CAST(r_len + r_word_len + r_symbol + r_bullet + r_ellipsis
-      |  + r_alpha + r_stop + r_clean = 8 AS INT) AS passes FROM r)
-      |""".stripMargin.replace("__DOCS__", docsCte)
-
-  private def qualityOracleSql(qw: graft.ops.TextOps.QualityWeights): String = {
-    // valueOf uses Double.toString's shortest form — round-trips to
-    // the identical double when DuckDB parses it back
-    def d(v: Double) = java.math.BigDecimal.valueOf(v).toPlainString + "::DOUBLE"
-    s"""WITH f AS (SELECT doc_id, text,
-       |  list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), x -> x <> '') AS w,
-       |  len(regexp_extract_all(text, '\\S+')) AS toks FROM documents),
-       |s AS (SELECT doc_id,
-       |  ${d(qw.bias)} + toks * ${d(qw.perToken)}
-       |  + (len(regexp_extract_all(text, '[.,;:!?]')) * 1.0::DOUBLE
-       |     / greatest(length(text), 1)) * ${d(qw.punctRatio)}
-       |  + (len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and)\\b')) * 1.0::DOUBLE
-       |     / greatest(toks, 1)) * ${d(qw.stopRatio)}
-       |  + (length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')) * 1.0::DOUBLE
-       |     / greatest(toks, 1)) * ${d(qw.avgTokenLen)}
-       |  + (CASE WHEN len(w) >= 2
-       |      THEN 1.0::DOUBLE - len(list_distinct(list_transform(
-       |        generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))
-       |        * 1.0::DOUBLE / (len(w) - 1)
-       |      ELSE 0.0::DOUBLE END) * ${d(qw.dup2gramFrac)} AS z
-       | FROM f)
-       |SELECT doc_id, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 5) AS quality
-       |FROM s""".stripMargin
-  }
-
-  /** q96's oracle, generated FROM the frozen profile constants
-    * (LangNgram.merged/floors) — the weights appear as a VALUES
-    * literal, so profile and oracle cannot drift apart. Integer
-    * scores make the grouped sum order-independent; every engine
-    * computes the identical BIGINT.
-    */
-  /** The q243 span-perplexity CTE chain: sentence-span split over the
-    * (doc_id, text) relation `spanSrc`, per-span KN scoring against
-    * the shared model prefix (`LmOps.knOracleWith` must precede), and
-    * the per-doc retention aggregate `g` (n_spans/n_scored/n_kept at
-    * the 6.0 threshold + kept-sum `s`). Reused by q243 and the q251
-    * composition.
-    */
-  private def spanPplCtes(spanSrc: String): String =
-    s""",
-       |sp AS (SELECT doc_id, doc_id * 100000 + i - 1 AS id, span FROM (
-       |  SELECT doc_id, unnest(sf) AS span,
-       |    unnest(generate_series(1, len(sf))) AS i FROM (
-       |   SELECT doc_id, list_filter(string_split(regexp_replace(
-       |     coalesce(text, ''), '([.!?])[ \\t\\n\\f\\r]+', '\\1' || chr(1), 'g'),
-       |     chr(1)), x -> length(x) > 0) AS sf
-       |   FROM $spanSrc))),
-       |stk AS (SELECT id, list_filter(string_split_regex(lower(span),
-       |    '[ \\t\\n\\f\\r]+'), x -> x <> '') AS t FROM sp),
-       |spos AS (SELECT id, unnest(generate_series(1, len(t) - 1)) AS i, t
-       |         FROM stk WHERE len(t) >= 2),
-       |sbg AS (SELECT id, t[i] AS a, t[i+1] AS b FROM spos),
-       |sc AS (SELECT id,
-       |  round(avg(-ln(CASE WHEN heads.c_a IS NULL
-       |    THEN CAST(coalesce(conts.n1p_back, 0) + 1 AS DOUBLE) / (bt + vc + 1)
-       |    ELSE greatest(CAST(coalesce(cab.c_ab, 0) AS DOUBLE) - 0.75, 0.0) / c_a
-       |      + 0.75 * n1p_fwd / c_a
-       |        * (CAST(coalesce(conts.n1p_back, 0) + 1 AS DOUBLE) / (bt + vc + 1))
-       |    END)), 5) AS kn_logppl
-       | FROM sbg LEFT JOIN cab USING (a, b) LEFT JOIN heads USING (a)
-       |      LEFT JOIN conts USING (b), scalars
-       | GROUP BY id),
-       |jppl AS (SELECT sp.doc_id, sc.kn_logppl
-       |  FROM sp LEFT JOIN sc ON sp.id = sc.id),
-       |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-       |  CAST(sum(CASE WHEN kn_logppl IS NOT NULL THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_scored,
-       |  CAST(sum(CASE WHEN kn_logppl <= 6.0 THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_kept,
-       |  sum(CASE WHEN kn_logppl <= 6.0
-       |    THEN CAST(kn_logppl AS DECIMAL(18,5)) END) AS s
-       | FROM jppl GROUP BY doc_id)""".stripMargin
-
-  private def langNgramOracleSql: String = {
-    val L = graft.ops.LangNgram
-    langProfileOracleSql(L.langs, L.merged, L.floors, L.mergedUni,
-      L.sharedUniFloor)
-  }
-
-  /** The q96/q102 oracle shape for ANY (langs, weights, floors) model —
-    * q96 instantiates it with the compile-time LangNgram constants,
-    * q102 with the loaded wide profile table's model.
-    */
-  private def langProfileOracleSql(langsIn: Seq[String],
-      merged: java.util.HashMap[String, Array[Long]],
-      floors: Array[Long],
-      mergedUni: java.util.HashMap[Character, Array[Long]],
-      uniFloor: Long,
-      // (doc_id, text) source relation — q96 scores whole documents,
-      // q240 feeds sentence SPANS keyed doc_id*100000+idx through the
-      // same profile replay
-      srcSql: String = "SELECT doc_id, text FROM documents"): String = {
-    val langs = langsIn
-    import scala.jdk.CollectionConverters._
-    def esc(s: String) = s.replace("'", "''")
-    val cols = langs.map(l => s"w_$l").mkString(", ")
-    val values = merged.asScala.toSeq.sortBy(_._1).map { case (t, ws) =>
-      s"('${esc(t)}', ${ws.mkString(", ")})"
-    }.mkString(",\n ")
-    val uniValues = mergedUni.asScala.toSeq.sortBy(_._1).map { case (c, ws) =>
-      s"('${esc(c.toString)}', ${ws.mkString(", ")})"
-    }.mkString(",\n ")
-    val sums = langs.zip(floors).map { case (l, f) =>
-      s"CAST(sum(coalesce(w_$l, $f)) AS BIGINT) AS s_$l"
-    }.mkString(",\n    ")
-    val uniSums = langs.map { l =>
-      s"CAST(sum(coalesce(w_$l, $uniFloor)) AS BIGINT) AS s_$l"
-    }.mkString(",\n    ")
-    val fills = langs.map(l =>
-      s"coalesce(t3.s_$l, CAST(0 AS BIGINT)) + coalesce(u1.s_$l, CAST(0 AS BIGINT)) AS s_$l")
-      .mkString(",\n  ")
-    val pred = langs.zipWithIndex.map { case (l, i) =>
-      val laters = langs.drop(i + 1)
-      if (laters.isEmpty) s"ELSE '$l' END"
-      else s"WHEN ${laters.map(o => s"s_$l >= s_$o").mkString(" AND ")} THEN '$l'"
-    }.mkString("CASE ", " ", "")
-    s"""WITH src AS ($srcSql),
-       |docs AS (SELECT doc_id,
-       |  trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS t
-       | FROM src),
-       |pos AS (SELECT doc_id, t,
-       |  unnest(range(1, greatest(length(t) - 1, 1))) AS i FROM docs),
-       |tri AS (SELECT doc_id, substring(t, CAST(i AS INTEGER), 3) AS tri FROM pos),
-       |prof (tri, $cols) AS (VALUES
-       | $values),
-       |sc AS (SELECT doc_id,
-       |    $sums
-       |  FROM tri LEFT JOIN prof USING (tri) GROUP BY doc_id),
-       |upos AS (SELECT doc_id,
-       |  substring(t, CAST(unnest(range(1, length(t) + 1)) AS INTEGER), 1) AS ch
-       | FROM docs),
-       |uch AS (SELECT doc_id, ch FROM upos WHERE unicode(ch) > 127),
-       |uprof (ch, $cols) AS (VALUES
-       | $uniValues),
-       |usc AS (SELECT doc_id,
-       |    $uniSums
-       |  FROM uch LEFT JOIN uprof USING (ch) GROUP BY doc_id),
-       |f AS (SELECT d.doc_id,
-       |  $fills
-       |  FROM docs d LEFT JOIN sc t3 ON d.doc_id = t3.doc_id
-       |  LEFT JOIN usc u1 ON d.doc_id = u1.doc_id)
-       |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
-       |  $pred AS lang_pred
-       |FROM f""".stripMargin
-  }
-
-  /** q240 oracle: sentence-span extraction (composite span key
-    * doc_id·100000 + idx — safe: a span per ~4 chars would need a
-    * 400k-char doc to collide), the q96 profile replay over spans,
-    * then the per-doc majority/mixture aggregation with the engine's
-    * (count desc, profile order asc) tie-break.
-    */
-  private def spanLangOracleSql: String = {
-    val L = graft.ops.LangNgram
-    val spanSrc =
-      """SELECT doc_id * 100000 + i - 1 AS doc_id, span AS text FROM (
-        | SELECT doc_id, unnest(sf) AS span,
-        |   unnest(generate_series(1, len(sf))) AS i FROM (
-        |  SELECT doc_id, list_filter(string_split(regexp_replace(
-        |    coalesce(text, ''), '([.!?])[ \t\n\f\r]+', '\1' || chr(1), 'g'),
-        |    chr(1)), x -> length(x) > 0) AS sf
-        |  FROM documents))""".stripMargin
-    val spanPred = langProfileOracleSql(L.langs, L.merged, L.floors,
-      L.mergedUni, L.sharedUniFloor, srcSql = spanSrc)
-    val ord = L.langs.zipWithIndex.map { case (l, i) =>
-      s"WHEN '$l' THEN $i"
-    }.mkString("CASE lang_pred ", " ", s" ELSE ${L.langs.size} END")
-    s"""WITH sp AS ($spanPred),
-       |m AS (SELECT doc_id // 100000 AS doc_id, lang_pred FROM sp),
-       |g AS (SELECT doc_id, lang_pred, count(*) AS n FROM m GROUP BY 1, 2),
-       |r AS (SELECT doc_id, lang_pred, n,
-       |   row_number() OVER (PARTITION BY doc_id
-       |     ORDER BY n DESC, $ord ASC) AS rn,
-       |   sum(n) OVER (PARTITION BY doc_id) AS ns,
-       |   count(*) OVER (PARTITION BY doc_id) AS nl
-       | FROM g)
-       |SELECT doc_id, CAST(ns AS BIGINT) AS n_spans,
-       |  CAST(nl AS BIGINT) AS n_langs, lang_pred AS lang_major,
-       |  round(n * 1.0::DOUBLE / ns, 6) AS major_frac,
-       |  CAST(nl > 1 AS INT) AS mixed
-       |FROM r WHERE rn = 1""".stripMargin
-  }
-
-  private def langWideOracleSql: String = {
-    val m = graft.ops.LangProfiles.wideModel
-    langProfileOracleSql(m.langs, m.tri, m.triFloors, m.uni, m.uniFloor)
-  }
-
-  /** Ground truth for the image round-trip oracles: the same dims and
-    * per-channel affine pixel formulas as MultimodalOps.syntheticImage
-    * / pxR/pxG/pxB — PNG is lossless, so decoded pixels must equal
-    * the formula exactly. Two STAGED unnests build the (x, y) grid
-    * (unnests in one SELECT zip instead of crossing).
-    */
-  private def imagePxCte: String =
-    """WITH d AS (SELECT doc_id,
-      |  (doc_id % 3 + 1) * 8 AS w, ((doc_id // 3) % 3 + 1) * 8 AS h
-      | FROM documents),
-      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
-      |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
-      |px AS (SELECT doc_id, w, h, x, y,
-      |  (x * 7 + y * 13 + doc_id * 31) % 256 AS r,
-      |  (x * 3 + y * 5 + doc_id * 17) % 256 AS g,
-      |  (x * 11 + y * 2 + doc_id * 23) % 256 AS b
-      | FROM ys)""".stripMargin
-
-  /** q94's oracle, also a CTE body of q100's composed funnel. */
-  private def substrSpansOracleSql: String =
-    """WITH t AS (SELECT doc_id,
-      |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
-      |    x -> x <> '') AS ws
-      | FROM documents),
-      |g AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
-      |    md5(array_to_string(ws[i:i+3], ' ')) AS gd
-      |  FROM t, unnest(generate_series(1, len(ws) - 3)) AS u(i)
-      |  WHERE len(ws) >= 4),
-      |rep AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
-      |f AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gd)),
-      |i AS (SELECT doc_id, pos,
-      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-      |  FROM f),
-      |s AS (SELECT doc_id, min(pos) AS span_start,
-      |    max(pos) - min(pos) + 4 AS span_tokens
-      |  FROM i GROUP BY doc_id, isl)
-      |SELECT d.doc_id, CAST(count(s.span_start) AS BIGINT) AS n_spans,
-      |  CAST(coalesce(sum(s.span_tokens), 0) AS BIGINT) AS sum_span_tokens,
-      |  CAST(coalesce(max(s.span_tokens), 0) AS BIGINT) AS max_span_tokens
-      |FROM documents d LEFT JOIN s USING (doc_id)
-      |GROUP BY d.doc_id""".stripMargin
-
-  /** q101's oracle: replay the ExactSubstr cut — same span CTEs as
-    * q94, then delete covered token positions from the ORIGINAL-case
-    * token list (case-folding never moves a whitespace boundary, so
-    * the indices line up) and string_agg the survivors in order.
-    */
-  private def removeSpansOracleSql: String =
-    """WITH t AS (SELECT doc_id,
-      |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
-      |    x -> x <> '') AS ws
-      | FROM documents),
-      |o AS (SELECT doc_id,
-      |  list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
-      |    x -> x <> '') AS ws
-      | FROM documents),
-      |g AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
-      |    md5(array_to_string(ws[i:i+3], ' ')) AS gd
-      |  FROM t, unnest(generate_series(1, len(ws) - 3)) AS u(i)
-      |  WHERE len(ws) >= 4),
-      |rep AS (SELECT gd FROM g GROUP BY gd HAVING count(*) >= 2),
-      |f AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gd)),
-      |i AS (SELECT doc_id, pos,
-      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-      |  FROM f),
-      |s AS (SELECT doc_id, min(pos) AS span_start,
-      |    max(pos) - min(pos) + 4 AS span_tokens
-      |  FROM i GROUP BY doc_id, isl),
-      |cov AS (SELECT DISTINCT s.doc_id,
-      |    s.span_start + CAST(u.i AS BIGINT) AS p
-      |  FROM s, unnest(generate_series(0, span_tokens - 1)) AS u(i)),
-      |tok AS (SELECT doc_id, CAST(u.j AS BIGINT) - 1 AS p,
-      |    ws[CAST(u.j AS INTEGER)] AS tok
-      |  FROM o, unnest(generate_series(1, len(ws))) AS u(j)),
-      |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
-      |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
-      |  WHERE cov.p IS NULL),
-      |agg AS (SELECT doc_id, count(*) AS n_kept,
-      |    string_agg(tok, ' ' ORDER BY p) AS text_clean
-      |  FROM kept GROUP BY doc_id),
-      |nt AS (SELECT doc_id, len(ws) AS n_toks FROM o)
-      |SELECT d.doc_id,
-      |  CAST(nt.n_toks - coalesce(agg.n_kept, 0) AS BIGINT)
-      |    AS n_tokens_removed,
-      |  coalesce(agg.text_clean, '') AS text_clean
-      |FROM documents d JOIN nt USING (doc_id)
-      |LEFT JOIN agg USING (doc_id)""".stripMargin
-
-  private def sqlUrlCase: String =
-    "CASE CAST(doc_id % 6 AS INTEGER) " + UrlTemplates.zipWithIndex.map {
-      case (t, i) =>
-        val l = "'" + t
-          .replace("{K}", "' || CAST(doc_id % 20 AS VARCHAR) || '")
-          .replace("{ID}", "' || CAST(doc_id AS VARCHAR) || '") + "'"
-        if (i < UrlTemplates.size - 1) s"WHEN $i THEN $l" else s"ELSE $l"
-    }.mkString(" ") + " END"
-
-  val queries: Map[String, Q] = Map(
-    // Dense hourly grid + last-observation-carried-forward fill per
-    // user (every 5th user keeps the dumped frame bounded; the
-    // operator itself is per-key and unbounded).
-    "q191_locf_gapfill" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.locfGapfill(
-        Tables(s, d, "events").filter(col("user_id") % 5 === 0),
-        "user_id", "ts", "value")),
-
-    // Same grid with linear interpolation across the gaps — the
-    // modeling-grade repair (LOCF's staircase biases trend features).
-    "q193_interpolate" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.interpolateGaps(
-        Tables(s, d, "events").filter(col("user_id") % 5 === 0),
-        "user_id", "ts", "value")),
-
-    // OHLC bars per (event_type, hour): open/close by deterministic
-    // (t, event_id) order inside ONE map-side-combinable aggregation.
-    "q192_ohlc_bars" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.ohlcBars(Tables(s, d, "events"),
-        "event_type", "ts", "event_id", "value")),
-
-    // Per-stage funnel latency: the q208 kernel applied to each
-    // consecutive step pair — where the funnel actually stalls.
-    "q238_stage_latency" -> ((s, d) => {
-      val e = Tables(s, d, "events")
-      Seq("signup" -> "view", "view" -> "click", "click" -> "purchase")
-        .map { case (a, b) =>
-          graft.ops.EventOps.conversionLatency(e, "ts", "user_id",
-              "event_type", a, b, windowDays = 7)
-            .select(lit(s"$a->$b").as("stage"), col("n_converted"),
-              col("p50_s"), col("p90_s"))
-        }.reduce(_ unionByName _)
-    }),
-
-    // Incremental IVF index maintenance (IvfIndexOps): batches
-    // indexed via additive sufficient-statistics merge must yield
-    // the SAME refreshed centers — and therefore the same probe
-    // assignments — as a from-scratch refresh over the union. Both
-    // paths run in the engine AND are independently replayed by the
-    // DuckDB oracle; the hash compare is exact by the fixed-point
-    // discipline (decimal(38,0) sums of round(x·1e7), 7dp means,
-    // 5dp distances, cell-asc ties).
-    "q239_ivf_incremental" -> ((s, d) => {
-      import graft.ops.IvfIndexOps
-      val emb = Tables(s, d, "embeddings")
-      val c0 = IvfIndexOps.initCenters(s, emb, "vec_id", "embedding", 8)
-      // ONE assignment scan, checkpointed; batch deltas and the
-      // from-scratch aggregate all derive from it (the stats-merge
-      // equality is what's under test, not the scan)
-      val asg = IvfIndexOps.assign(s, emb, "vec_id", "embedding", c0)
-        .localCheckpoint()
-      val statsA = IvfIndexOps.cellStatsFromAssigned(
-        asg.where(col("id") % 2 === 0))
-      val statsB = IvfIndexOps.cellStatsFromAssigned(
-        asg.where(col("id") % 2 === 1))
-      val cInc = IvfIndexOps.refresh(c0,
-        IvfIndexOps.mergeStats(statsA, statsB))
-      val cScr = IvfIndexOps.refresh(c0,
-        IvfIndexOps.cellStatsFromAssigned(asg))
-      val probes = emb.where(col("vec_id") % 7 === 0)
-      val ai = IvfIndexOps.assign(s, probes, "vec_id", "embedding", cInc)
-        .select(col("id").as("vec_id"), col("cell").cast("int").as("cell_incr"))
-      val asx = IvfIndexOps.assign(s, probes, "vec_id", "embedding", cScr)
-        .select(col("id").as("vec_id"), col("cell").cast("int").as("cell_scratch"))
-      ai.join(asx, Seq("vec_id"))
-        .select(col("vec_id"), col("cell_incr"), col("cell_scratch"),
-          (col("cell_incr") === col("cell_scratch")).cast("int").as("agree"))
-    }),
-
-    // Durable IVF index lifecycle (q239 made operational): the three
-    // batch deltas PERSIST to an append-only parquet stats store
-    // (IndexStore.append — a fresh store per run, as a real ingest
-    // would use a fresh delta path per batch), the refresh reads the
-    // store via merge-on-read, and probe serving runs under the
-    // store-derived centers. Output pins store-served == from-scratch
-    // cell-for-cell; the oracle replays both paths arithmetically —
-    // additivity makes the 3-way persisted split, the oracle's 2-way
-    // in-memory split, and the single from-scratch pass bit-identical.
-    "q351_ivf_store" -> ((s, d) => {
-      import graft.ops.{IndexStore, IvfIndexOps}
-      val emb = Tables(s, d, "embeddings")
-      val c0 = IvfIndexOps.initCenters(s, emb, "vec_id", "embedding", 6)
-      // store built ONCE per application+corpus (memoized like
-      // winnowStorePath/orcLineitem): warm runs serve from it instead
-      // of re-writing three deltas into a fresh temp dir each time
-      val store = IndexStore.ivfDemoStorePath(s, d, k = 6)
-      val asg = IvfIndexOps.assign(s, emb, "vec_id", "embedding", c0)
-      val cStore = IvfIndexOps.refresh(c0, IndexStore.readIvfStats(s, store))
-      val cScr = IvfIndexOps.refresh(c0,
-        IvfIndexOps.cellStatsFromAssigned(asg))
-      val probes = emb.where(col("vec_id") % 5 === 0)
-      val ai = IvfIndexOps.assign(s, probes, "vec_id", "embedding", cStore)
-        .select(col("id").as("vec_id"),
-          col("cell").cast("int").as("cell_incr"))
-      val asx = IvfIndexOps.assign(s, probes, "vec_id", "embedding", cScr)
-        .select(col("id").as("vec_id"),
-          col("cell").cast("int").as("cell_scratch"))
-      ai.join(asx, Seq("vec_id"))
-        .select(col("vec_id"), col("cell_incr"), col("cell_scratch"),
-          (col("cell_incr") === col("cell_scratch")).cast("int")
-            .as("agree"))
-    }),
-
-    // Winnow pair store serve: the q156 funnel's pair frame persisted
-    // ONCE to parquet (IndexStore.winnowStorePath) and this report
-    // served FROM the store — a pair-frame parquet scan + filter,
-    // zero document scans (PlanSpec asserts the plan never touches
-    // raw text). The oracle replays the FULL funnel at the serve
-    // threshold, so the hash match proves stored-serve == recompute.
-    "q352_winnow_store" -> ((s, d) =>
-      graft.ops.IndexStore.serveWinnowPairs(s, d, 0.4)
-        .select("id_a", "id_b", "n_shared", "jac")),
-
-    // Durable banded-LSH near-dup store — the q351/q352 discipline
-    // for the MinHash family: md5-hash-family band rows persisted in
-    // three batch appends (store memoized per app+corpus), near-dup
-    // candidates SERVED from the store with corpus text untouched at
-    // serve time. The oracle replays the whole pipeline from scratch,
-    // so the hash match proves merged-store serve == from-scratch
-    // (band rows carry no cross-doc state; any batch split unions to
-    // the same frame).
-    "q365_lsh_store" -> ((s, d) =>
-      graft.ops.IndexStore.serveLshPairs(s,
-        graft.ops.IndexStore.lshDemoStorePath(s, d))),
-
-    // Curation pipeline v3 — this round's stages composed into one
-    // decision manifest over the candidate half (odd ids) of the
-    // corpus: doc-level lang-ID (q96), span-perplexity retention
-    // (q243, integer micro-fraction threshold — no float compare),
-    // Luhn card-PII gate (q246), and passage-index freshness vs the
-    // already-ingested half (q247, exact 2·known ≤ total test).
-    "q251_curation_v3" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val docs = Tables(s, d, "documents")
-      val langs = graft.ops.LangNgram.langs
-      val scored = docs.select(col("doc_id"),
-          call_function("graft_lang_scores",
-            coalesce(col("text"), lit(""))).as("_sc"))
-        .select(col("doc_id") +: langs.zipWithIndex.map { case (l, i) =>
-          element_at(col("_sc"), i + 1).as(s"s_$l")
-        }: _*)
-      val pred = langs.zipWithIndex.foldRight(lit(langs.last)) {
-        case ((l, i), rest) =>
-          val laters = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o"))
-          if (laters.isEmpty) rest
-          else when(laters.reduce(_ && _), lit(l)).otherwise(rest)
-      }
-      val lang = scored.select(col("doc_id"), pred.as("lang_pred"))
-      val spans = graft.ops.LangSpanOps.sentenceSpans(docs, "doc_id", "text")
-        .select((col("doc_id") * 100000 + col("span_idx")).as("id"),
-          col("span"))
-      val ppl = LmOps.score(spans,
-          docs.where(col("lang") === "en")
-            .select(col("doc_id").as("id"), col("text").as("span")),
-          "id", "span")
-        .select(expr("id div 100000").as("doc_id"), col("kn_logppl"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("kn_logppl") <= 6.0, 1L).otherwise(0L)).as("n_kept"))
-        .select(col("doc_id"),
-          expr("(2000000 * n_kept + n_spans) div (2 * n_spans)").as("kf6"))
-      val pii = docs.select(col("doc_id"),
-        TextOps.luhnValidCount(col("text")).as("n_cards"))
-      val store = WinnowOps.fingerprintIndex(
-        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
-      val fresh = WinnowOps.overlapAgainstIndex(
-          docs.where(col("doc_id") % 2 === 1), store, "doc_id", "text")
-        .select(col("id").as("doc_id"),
-          (col("n_fp") === 0 || col("n_known") * 2 <= col("n_fp"))
-            .cast("int").as("p_fresh"))
-      docs.where(col("doc_id") % 2 === 1).select(col("doc_id"))
-        .join(lang, Seq("doc_id"))
-        .join(ppl, Seq("doc_id"), "left")
-        .join(pii, Seq("doc_id"))
-        .join(fresh, Seq("doc_id"))
-        .select(col("doc_id"),
-          (col("lang_pred") === "en").cast("int").as("p_lang"),
-          (coalesce(col("kf6"), lit(0L)) >= 500000L).cast("int").as("p_ppl"),
-          (col("n_cards") === 0).cast("int").as("p_pii"),
-          col("p_fresh"))
-        .withColumn("keep",
-          (col("p_lang") === 1 && col("p_ppl") === 1 &&
-            col("p_pii") === 1 && col("p_fresh") === 1).cast("int"))
-    }),
-
-    // Cohort LTV matrix: first-event-week cohorts x weeks-since,
-    // cumulative purchase revenue per user — retention economics on
-    // cents-exact integers; only the (cohort x week) grid windows.
-    "q287_cohort_ltv" -> ((s, d) =>
-      graft.ops.EventOps.cohortLtv(Tables(s, d, "events"),
-        "user_id", "ts", "event_type", "value", revType = "purchase")),
-
-    // Per-source duplication inflation: token mass before vs after
-    // exact dedup (md5 fingerprint groups) — the dedup-ROI number
-    // that decides which sources are worth near-dup passes.
-    "q288_dup_inflation" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-        .select(col("source"), md5(col("text").cast("binary")).as("fp"),
-          TextOps.tokenCount(col("text")).cast("long").as("tk"))
-      docs.groupBy("source", "fp")
-        .agg(count(lit(1)).as("cnt"), max("tk").as("tk"))
-        .groupBy("source")
-        .agg(sum("cnt").as("n_docs"), count(lit(1)).as("n_unique"),
-          sum(col("cnt") * col("tk")).as("tok_total"),
-          sum("tk").as("tok_unique"))
-        .select(col("source"), col("n_docs"), col("n_unique"),
-          col("tok_total"), col("tok_unique"),
-          (expr("(2000000 * tok_total + tok_unique)" +
-            " div (2 * tok_unique)").cast("double") / 1e6)
-            .as("inflation"))
-    }),
-
-    // EWMA anomaly band over daily mean event value per type —
-    // alpha=1/5 integer recurrence, flag when |obs - level| > 30.0;
-    // calendar-bounded per-series fold, DuckDB recursive-CTE twin.
-    "q289_ewma_band" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.ewmaBand(Tables(s, d, "events"),
-        "event_type", "ts", "value", aNum = 1, aDen = 5,
-        bandMicro = 30000000L)),
-
-    // Delete-one jackknife SE for revenue-per-click by arm — ratio
-    // readout with distributed integer-exact loo sums (no collect,
-    // no sorted fold; survives a billion users).
-    "q290_jackknife_ratio" -> ((s, d) =>
-      graft.ops.EventOps.jackknifeRatio(Tables(s, d, "events"),
-        "user_id", "event_type", "value", "purchase", "click")),
-
-    // Inverted-index sizing: delta-gap varint byte cost per frequent
-    // term vs raw 64-bit postings — the shard planner's input; the
-    // posting list is measured, never materialized.
-    "q293_postings" -> ((s, d) =>
-      graft.ops.RetrievalOps.postingsStats(Tables(s, d, "documents"),
-        "doc_id", "text", minDf = 50L)),
-
-    // t-closeness over (source, lang) QI groups with n_chars//64
-    // (capped at 9) as the ordered sensitive bucket — EMD as exact
-    // integer cumulative sums; completes k-anon (q172) + l-div
-    // (q176).
-    "q294_t_closeness" -> ((s, d) =>
-      ProfileOps.tCloseness(Tables(s, d, "documents"), Seq(
-        "source" -> col("source"), "lang" -> col("lang")),
-        expr("least(n_chars div 64, 9)").cast("long"),
-        nBuckets = 10)),
-
-    // Linear CKA between raw embeddings and their int8 codes — the
-    // "did quantization keep the geometry" audit; exact integer
-    // grams, one n·d² explode into a single hash agg.
-    "q295_cka_quant" -> ((s, d) =>
-      SimilarityOps.linearCka(Tables(s, d, "embeddings"),
-        "vec_id", "embedding")),
-
-    // Winsorized mean (5% per side) of line revenue cents per
-    // returnflag — the tail-CLAMPING sibling of q277's trimmed mean;
-    // boundary order statistics from the same cumulative frame.
-    "q297_winsorized" -> ((s, d) =>
-      ProfileOps.winsorizedMean(
-        Tables(s, d, "lineitem").select(col("l_returnflag"),
-          round(col("l_extendedprice") * 100, 0).cast("long")
-            .as("cents")),
-        "l_returnflag", "cents")),
-
-    // Deterministic systematic PPS sample (k=20 per source) by token
-    // weight — Madow sampling with midpoint start; exact integer
-    // grid arithmetic, bit-stable across engines and partitionings.
-    "q298_systematic_pps" -> ((s, d) =>
-      graft.ops.SampleOps.systematicPps(
-        Tables(s, d, "documents").select(col("source"), col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("tk")),
-        "source", "doc_id", "tk", k = 20)),
-
-    // Hash-shard skew preflight: md5-bucket documents into 16 shards
-    // weighted by n_chars, report per-shard load vs the even share —
-    // the salt-before-you-shuffle planner check.
-    "q299_shard_skew" -> ((s, d) =>
-      graft.ops.LayoutOps.shardSkewPlan(Tables(s, d, "documents"),
-        "doc_id", "n_chars", nShards = 16)),
-
-    // Minimum detectable effect at 80% power / 5% alpha over
-    // per-user revenue — the experiment-design readout; pooled
-    // variance as ONE exact rational from distributed integer sums.
-    "q300_mde_power" -> ((s, d) =>
-      graft.ops.EventOps.mdePower(Tables(s, d, "events"),
-        "user_id", "event_type", "value", "purchase")),
-
-    // Micro-averaged ROUGE-1/2 per reference source over the
-    // deterministic (even=ref, odd=cand) doc pairs — the generation
-    // eval overlap metric; every ratio one long/long IEEE division.
-    "q301_rouge" -> ((s, d) =>
-      graft.ops.EvalOps.rouge(Tables(s, d, "documents"),
-        "doc_id", "text", "source")),
-
-    // Corpus BLEU-2 with brevity penalty per reference source —
-    // same clipped-overlap sufficient statistics as q301, composed
-    // as Papineni's geometric mean instead of F1.
-    "q302_bleu" -> ((s, d) =>
-      graft.ops.EvalOps.bleu2(Tables(s, d, "documents"),
-        "doc_id", "text", "source")),
-
-    // Benjamini–Hochberg + Holm corrections over the per-source KS
-    // drift family (q250's statistic, asymptotic p) — which drift
-    // alarms survive multiple testing; three windows over the
-    // sources frame, never corpus rows.
-    "q303_ks_fdr" -> ((s, d) =>
-      ProfileOps.ksFdr(Tables(s, d, "documents"), "source", "n_chars")),
-
-    // Exact 1-Wasserstein (earth-mover) drift per source vs rest —
-    // mass-weighted companion of KS; decimal-exact numerator over
-    // the value grid.
-    "q304_wasserstein" -> ((s, d) =>
-      ProfileOps.wassersteinAgainstRest(
-        Tables(s, d, "documents"), "source", "n_chars")),
-
-    // 2×2 difference-in-differences on per-user purchase revenue
-    // (treated = odd users, post = mid-month) — integer-exact cell
-    // means on the micro-dollar grid.
-    "q305_did" -> ((s, d) =>
-      graft.ops.EventOps.didEstimate(Tables(s, d, "events"),
-        "user_id", "ts", "event_type", "value", "purchase",
-        "2024-01-16 00:00:00")),
-
-    // Offline policy evaluation (IPS + SNIPS) from logged bandit
-    // feedback with exact power-of-two importance weights.
-    "q306_ips_policy" -> ((s, d) =>
-      graft.ops.EventOps.ipsPolicyValue(Tables(s, d, "events"),
-        "user_id", "event_type", "value",
-        Seq("click", "error", "purchase", "signup", "view"))),
-
-    // Deterministic Poisson bootstrap CI for mean per-user purchase
-    // revenue — md5-hex Poisson(1) weights, order-statistic CI on
-    // the exact micro grid.
-    "q307_poisson_boot" -> ((s, d) =>
-      graft.ops.EventOps.poissonBootstrapMean(Tables(s, d, "events"),
-        "user_id", "event_type", "value", "purchase")),
-
-    // Randomization test for the treated-vs-control revenue delta:
-    // 200 md5-coin reassignments, exact micro-long comparisons.
-    "q308_rand_test" -> ((s, d) =>
-      graft.ops.EventOps.randomizationTest(Tables(s, d, "events"),
-        "user_id", "event_type", "value", "purchase")),
-
-    // Co-purchase-WEIGHTED brand PageRank: the q276 brand graph with
-    // edge weight = co-basket count, through the exact-integer
-    // weighted pageRank kernel (q201 ranks the supplier<->customer
-    // order graph; this ranks brands by weighted co-purchase
-    // centrality — same kernel, different graph and weighting).
-    "q309_brand_pagerank" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val part = Tables(s, d, "part")
-        .select(col("p_partkey"), col("p_brand"))
-      val pairs = graft.ops.CooccurOps.basketPairs(
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
-        "basket", "item", minSupport = 20L)
-        .select(col("item_a"), col("item_b"), col("n_ab"))
-      val edges = pairs.select(col("item_a").as("src"),
-          col("item_b").as("dst"), col("n_ab").as("w"))
-        .unionByName(pairs.select(col("item_b").as("src"),
-          col("item_a").as("dst"), col("n_ab").as("w")))
-      graft.ops.GraphOps.pageRank(edges, "src", "dst", "w")
-    }),
-
-    // Count-min sketch heavy-hitter audit on event users: replayable
-    // polynomial hashes, estimate = min of d counters, overestimate
-    // vs exact truth for the top 20.
-    "q310_cms_heavy" -> ((s, d) =>
-      graft.ops.SketchOps.cmsHeavyHitters(Tables(s, d, "events"),
-        "user_id", w = 64, k = 20)),
-
-    // Jaro-Winkler best-match linkage of corrupted part names
-    // against the clean vocabulary — native byte-exact expression
-    // pinned to DuckDB's builtin; length-band blocking, 6dp-grid
-    // argmax.
-    "q311_jw_linkage" -> ((s, d) =>
-      graft.ops.FuzzyOps.jwBestMatch(Tables(s, d, "part"),
-        "p_partkey", "p_name", pmod(col("p_partkey"), lit(4L)) === 0)),
-
-    // Fellegi-Sunter m/u probabilities and log2 match weights per
-    // (brand, type, name) agreement pattern over size-blocked pairs
-    // with a deterministic dirty twin.
-    "q312_fellegi_sunter" -> ((s, d) =>
-      graft.ops.FuzzyOps.fellegiSunter(Tables(s, d, "part"),
-        "p_partkey", "p_size", "p_brand", "p_type", "p_name")),
-
-    // Soundex blocking-recall audit: does a single-char deletion
-    // keep a name in its phonetic block? Pure RE2-safe expression
-    // chain, identical in both engines.
-    "q313_soundex_block" -> ((s, d) =>
-      graft.ops.PhoneticOps.soundexBlockRecall(Tables(s, d, "part"),
-        "p_partkey", "p_name")),
-
-    // Integer-grid HITS hubs/authorities over the customer-brand
-    // bipartite purchase graph — max-normalized exact iterations.
-    "q314_hits" -> ((s, d) => {
-      val o = Tables(s, d, "orders").select(col("o_orderkey"),
-        col("o_custkey"))
-      val li = Tables(s, d, "lineitem").select(col("l_orderkey"),
-        col("l_partkey"))
-      val p = Tables(s, d, "part").select(col("p_partkey"),
-        col("p_brand"))
-      // orders is a 2-column dim here -> broadcast both sides of the
-      // derivation; dedup the (order, brand) grid BEFORE attaching
-      // custkey so the distinct runs on the smallest frame
-      val edges = li
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey"), col("p_brand")).distinct()
-        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("h"), col("p_brand").as("a"))
-      graft.ops.GraphOps.hits(edges, "h", "a")
-    }),
-
-    // Exact Gini concentration of document length per source — the
-    // inequality profile beside the Pareto point (q284).
-    "q315_gini" -> ((s, d) =>
-      ProfileOps.giniIndex(Tables(s, d, "documents"), "source",
-        "n_chars")),
-
-    // Nelson-Aalen cumulative hazard over the q272 censored
-    // time-to-purchase frame — the additive survival companion.
-    "q316_nelson_aalen" -> ((s, d) => {
-      val ev = Tables(s, d, "events")
-      val subj = ev.groupBy("user_id")
-        .agg(min(unix_micros(col("ts"))).as("t0"),
-          max(unix_micros(col("ts"))).as("t_last"),
-          min(when(col("event_type") === "purchase",
-            unix_micros(col("ts")))).as("t_buy"))
-        .select(
-          (coalesce(col("t_buy"), col("t_last")) - col("t0"))
-            .as("span_us"),
-          col("t_buy").isNotNull.cast("int").as("ev"))
-        .select(expr("span_us div 3600000000").as("t_hours"), col("ev"))
-      graft.ops.EventOps.nelsonAalen(subj, "t_hours", "ev")
-    }),
-
-    // Wald SPRT sequential conversion monitor per arm — integer
-    // micro-grid LLR walk with pre-rounded boundaries, crossing
-    // index exact.
-    "q317_sprt" -> ((s, d) =>
-      graft.ops.EventOps.sprtMonitor(Tables(s, d, "events"),
-        "user_id", "ts", "event_id", "event_type", "purchase")),
-
-    // MCC + macro-F1 of the trained scorer against the rule labels —
-    // the skew-robust confusion readout beside kappa (q157) and
-    // best-F1 (q273).
-    "q318_mcc" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val qual = TextOps.qualityScore(docs, "doc_id", "text",
-          TextOps.TrainedQualityWeights)
-        .select(col("id"), (col("quality") > 0.5).as("flag"))
-      val rules = TextOps.qualityRules(docs, "doc_id", "text")
-        .select(col("doc_id").as("id"), col("passes").as("flag"))
-      ProfileOps.mccReport(qual, rules)
-    }),
-
-    // MRR + exact MAP@10 of the dense run vs same-source labels —
-    // lcm-denominator integer AP, no float accumulation.
-    "q319_map_mrr" -> ((s, d) => {
-      val run = SimilarityOps.knnBrute(Tables(s, d, "embeddings"),
-          "vec_id", "embedding", col("vec_id") < 20, 10)
-        .select(col("query_id"), col("cand_id"), col("sim").as("score"))
-      val docs = Tables(s, d, "documents").select(col("doc_id"), col("source"))
-      val labels = docs.where(col("doc_id") < 20)
-        .select(col("doc_id").as("query_id"), col("source").as("qs"))
-        .join(docs.select(col("doc_id").as("cand_id"), col("source").as("cs")),
-          col("qs") === col("cs") && col("query_id") =!= col("cand_id"))
-        .select(col("query_id"), col("cand_id"), lit(1.0).as("rel"))
-      RetrievalOps.mapMrrAtK(run, labels, 10)
-    }),
-
-    // Herfindahl-Hirschman supplier concentration per nation over
-    // lineitem revenue — decimal-exact share-of-squares.
-    "q320_hhi" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem").select(col("l_suppkey"),
-        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
-      val sup = Tables(s, d, "supplier").select(col("s_suppkey"),
-        col("s_nationkey"))
-      ProfileOps.hhiIndex(
-        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey")),
-        "s_nationkey", "s_suppkey", "cents")
-    }),
-
-    // Mutual information between source and the rule-pass flag —
-    // feature relevance in nats, 1e-12-grid exact term sums.
-    "q321_mutual_info" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val rules = TextOps.qualityRules(docs, "doc_id", "text")
-        .select(col("doc_id"), col("passes"))
-      ProfileOps.normalizedMutualInfo(
-        docs.select(col("doc_id"), col("source")).join(rules, "doc_id"),
-        "source", "passes")
-    }),
-
-    // Hellinger drift of each source's length distribution vs rest —
-    // the bounded bin-additive companion of PSI/KS/W1.
-    "q322_hellinger" -> ((s, d) =>
-      ProfileOps.hellingerAgainstRest(Tables(s, d, "documents"),
-        "source", expr("n_chars div 256").cast("long"))),
-
-    // Holt level+trend smoothing of daily mean value per event type
-    // with the one-step-ahead forecast error — sign-safe micro-grid
-    // recurrence, recursive-CTE oracle.
-    "q323_holt_trend" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.holtTrend(Tables(s, d, "events"),
-        "event_type", "ts", "value")),
-
-    // Post-stratified ATE over user-hash strata plus the weighted
-    // ALL row — covariate-imbalance-robust experiment readout.
-    "q324_poststrat_ate" -> ((s, d) =>
-      graft.ops.EventOps.postStratifiedAte(Tables(s, d, "events"),
-        "user_id", "event_type", "value", "purchase")),
-
-    // Cochran-Mantel-Haenszel pooled odds ratio across the same
-    // strata — Simpson's-paradox-proof association pooling.
-    "q325_cmh_or" -> ((s, d) =>
-      graft.ops.EventOps.cmhOddsRatio(Tables(s, d, "events"),
-        "user_id", "event_type", "purchase")),
-
-    // Empirical-Bayes beta-binomial shrinkage of per-brand return
-    // rates — method-of-moments prior strength, rank-safe rates.
-    "q326_eb_shrink" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem").select(col("l_partkey"),
-        (col("l_returnflag") === "R").as("ret"))
-      val part = Tables(s, d, "part").select(col("p_partkey"),
-        col("p_brand"))
-      ProfileOps.ebShrunkRates(
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey")),
-        "p_brand", col("ret"))
-    }),
-
-    // Doubly-robust (AIPW) off-policy value beside q306's IPS —
-    // exact outcome model + power-of-two-weight correction.
-    "q327_doubly_robust" -> ((s, d) =>
-      graft.ops.EventOps.doublyRobustValue(Tables(s, d, "events"),
-        "user_id", "event_type", "value",
-        Seq("click", "error", "purchase", "signup", "view"))),
-
-    // Chapman capture-recapture corpus-size estimate from two md5
-    // crawls, with the measured calibration error.
-    "q328_capture_recapture" -> ((s, d) =>
-      graft.ops.SampleOps.chapmanEstimate(Tables(s, d, "documents"),
-        "doc_id", 0.5, "crawlA", "crawlB")),
-
-    // Chao1 unseen-vocabulary estimate from singleton/doubleton
-    // term counts — the tokenizer-freeze completeness check.
-    "q329_chao1_vocab" -> ((s, d) =>
-      TextOps.chao1Vocab(Tables(s, d, "documents"), "text")),
-
-    // Spiegelhalter's calibration Z of the trained scorer against
-    // rule labels — the binning-free significance companion of
-    // the reliability/ECE readouts.
-    "q330_spiegelhalter" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sc = TextOps.qualityScore(docs, "doc_id", "text",
-        TextOps.TrainedQualityWeights)
-      val lab = TextOps.qualityRules(docs, "doc_id", "text")
-        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
-      ProfileOps.spiegelhalterZ(sc.join(lab, "id"), "quality", "pos")
-    }),
-
-    // Deterministic epsilon-DP Laplace count release per source —
-    // the privacy family's release step, md5-uniform inverse CDF.
-    "q332_dp_release" -> ((s, d) =>
-      ProfileOps.dpLaplaceCounts(Tables(s, d, "documents"),
-        "source", eps = 1.0, salt = "dp")),
-
-    // word2vec negative-sampling table: unigram^0.75 weights
-    // apportioned over a 1M-slot table by exact largest-remainder —
-    // slots sum to the budget on every engine.
-    "q336_negative_sampling" -> ((s, d) => {
-      val tf = Tables(s, d, "documents")
-        .select(explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("c"))
-      SelectionOps.largestRemainderAlloc(
-        tf.select(col("term").as("grp"),
-          round(pow(col("c"), 0.75) * 1000, 0).cast("long").as("w")),
-        "grp", "w", budget = 1000000L)
-    }),
-
-    // Template detection: the share of each source's docs opening
-    // with the source's most common 32-char prefix — the "is this
-    // source one boilerplate page" probe.
-    "q337_template_share" -> ((s, d) => {
-      val pre = Tables(s, d, "documents")
-        .select(col("source"), substring(col("text"), 1, 32).as("p"))
-        .groupBy("source", "p").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("source")
-        .orderBy(col("c").desc, col("p").asc)
-      pre.select(col("source"), col("p"), col("c"),
-          sum("c").over(Window.partitionBy("source")).as("n_docs"),
-          row_number().over(w).as("rk"))
-        .where(col("rk") === 1)
-        .select(col("source"), col("n_docs"),
-          col("c").as("template_count"),
-          round(col("c").cast("double") / col("n_docs").cast("double"),
-            6).as("template_share"), col("p").as("template_prefix"))
-    }),
-
-    // Cross-lingual fingerprint leakage: identical whitespace-
-    // normalized content appearing under >= 2 languages (injected
-    // deterministically, q159-style) — the translation-dup trap
-    // resemblance dedup per-language misses.
-    "q338_crosslingual_leak" -> ((s, d) => {
-      val t = when(col("doc_id") % 97 === 0,
-        lit("la plume de ma tante est sur la table"))
-        .otherwise(col("text"))
-      Tables(s, d, "documents").withColumn("text", t)
-        .select(TextOps.fingerprint(col("text")).as("fp"),
-          col("lang"), col("doc_id"))
-        .groupBy("fp")
-        .agg(countDistinct("lang").as("n_langs"),
-          count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
-        .where(col("n_langs") >= 2)
-    }),
-
-    // Pointer-doubling hierarchy resolution: every user's root and
-    // depth in the synthetic parent(u) = u div 2 tree in O(log depth)
-    // self-joins — the scale technique a naive per-hop walk can't
-    // match; oracle is the sequential recursive walk.
-    "q340_tree_resolve" -> ((s, d) => {
-      val nodes = Tables(s, d, "events")
-        .select(col("user_id").as("node")).distinct()
-        .select(col("node"),
-          when(col("node") === 0, 0L)
-            .otherwise(expr("node div 2")).as("parent"))
-      graft.ops.GraphOps.resolveAncestors(nodes, "node", "parent")
-    }),
-
-    // Concurrent-open-orders backlog: +1/-1 interval sweep over
-    // (orderdate, last shipdate] with one running sum — never a
-    // per-day explode; emits the backlog at every change day.
-    "q341_order_backlog" -> ((s, d) => {
-      val o = Tables(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderdate"))
-      val close = Tables(s, d, "lineitem")
-        .groupBy("l_orderkey").agg(max("l_shipdate").as("close"))
-      val iv = o.join(close, col("o_orderkey") === col("l_orderkey"))
-      val deltas = iv.select(to_date(col("o_orderdate")).as("day"),
-          lit(1L).as("delta"))
-        .unionByName(iv.select(
-          date_add(to_date(col("close")), 1).as("day"),
-          lit(-1L).as("delta")))
-        .groupBy("day").agg(sum("delta").as("d"))
-      deltas.select(col("day"),
-          sum("d").over(Window.orderBy("day")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .as("n_open"))
-    }),
-
-    // Prefix-cache savings estimate: docs sharing their first-8-token
-    // prefix with another doc — the KV-cache prefix-dedup readout a
-    // serving stack sizes its cache from.
-    "q339_prefix_cache" -> ((s, d) => {
-      val toks = Tables(s, d, "documents")
-        .select(TextOps.tokens(col("text")).as("ts"))
-        .where(size(col("ts")) >= 8)
-        .select(array_join(slice(col("ts"), 1, 8), " ").as("pre"))
-      toks.groupBy("pre").agg(count(lit(1)).as("n"))
-        .agg(sum("n").as("n_docs"),
-          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_groups_shared"),
-          sum(when(col("n") >= 2, col("n")).otherwise(0L))
-            .as("n_docs_shared"),
-          sum(when(col("n") >= 2, (col("n") - 1) * 8).otherwise(0L))
-            .as("saved_tokens"))
-        .select(col("n_docs"), col("n_groups_shared"),
-          col("n_docs_shared"), col("saved_tokens"),
-          round(col("n_docs_shared").cast("double")
-            / col("n_docs").cast("double"), 6).as("share_cached"))
-    }),
-
-    // Quantile treatment effects at 25/50/75 — which part of the
-    // revenue distribution the treatment moved; exact order stats.
-    "q333_qte" -> ((s, d) =>
-      graft.ops.EventOps.quantileTreatmentEffects(
-        Tables(s, d, "events"), "user_id", "event_type", "value",
-        "purchase")),
-
-    // Simpson's-paradox detector: per-stratum vs pooled association
-    // direction over exact integer cross-products.
-    "q334_simpson" -> ((s, d) =>
-      graft.ops.EventOps.simpsonDetector(Tables(s, d, "events"),
-        "user_id", "event_type", "purchase")),
-
-    // Leakage-safe temporal label builder: 14d feature window, 7d
-    // label horizon around a fixed cutoff — the supervised-dataset
-    // construction primitive.
-    "q335_temporal_labels" -> ((s, d) =>
-      graft.ops.EventOps.temporalLabels(Tables(s, d, "events"),
-        "user_id", "ts", "event_type", "value", "purchase",
-        "2024-01-20 00:00:00", lookbackDays = 14, horizonDays = 7)),
-
-    // Cumulative gains / lift by score decile of the trained scorer
-    // vs rule labels — the triage readout beside best-F1 and ECE.
-    "q345_decile_gains" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sc = TextOps.qualityScore(docs, "doc_id", "text",
-        TextOps.TrainedQualityWeights)
-      val lab = TextOps.qualityRules(docs, "doc_id", "text")
-        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
-      ProfileOps.decileGains(sc.join(lab, "id"), "id", "quality", "pos")
-    }),
-
-    // Murphy decomposition of the Brier score (reliability −
-    // resolution + uncertainty) on the exact score grid — splits the
-    // probability error into the fixable and the earned part.
-    "q346_brier_decomp" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sc = TextOps.qualityScore(docs, "doc_id", "text",
-        TextOps.TrainedQualityWeights)
-      val lab = TextOps.qualityRules(docs, "doc_id", "text")
-        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
-      ProfileOps.brierDecomposition(sc.join(lab, "id"), "quality", "pos")
-    }),
-
-    // Triplet mining for metric learning: per anchor the hard
-    // POSITIVE (same label, lowest sim) and hard NEGATIVE (other
-    // label, highest sim — q131's top-1) with the margin and a
-    // violation flag — the both-ends complement to q131.
-    "q356_triplet_mining" -> ((s, d) =>
-      SimilarityOps.tripletMining(Tables(s, d, "embeddings"),
-        "vec_id", "embedding", "label", col("vec_id") % 19 === 0,
-        alpha = 0.2)),
-
-    // One label-propagation step over the verified near-dup graph:
-    // unlabeled docs (doc_id % 3 != 0) adopt the majority seed label
-    // among their winnow-verified neighbors (count desc, label asc
-    // ties) — semi-supervised tag spreading served FROM the shared
-    // WinnowStage pair frame, no new corpus scan.
-    "q357_label_spread" -> ((s, d) => {
-      val vp = graft.ops.WinnowStage.pairsAt(s, d, 0.3)
-      val e = vp.select(col("id_a").as("id"), col("id_b").as("nb"))
-        .unionByName(vp.select(col("id_b").as("id"),
-          col("id_a").as("nb")))
-      val seeds = Tables(s, d, "documents")
-        .where(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("nb"), col("lang"))
-      val votes = e.where(col("id") % 3 =!= 0)
-        .join(broadcast(seeds), "nb")
-        .groupBy(col("id"), col("lang"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("id")
-        .orderBy(col("c").desc, col("lang").asc)
-      votes.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("id").as("doc_id"), col("lang").as("lang_pred"),
-          col("c").as("votes"))
-    }),
-
-    // RAG chunking manifest: fixed 32-token windows with 8-token
-    // overlap (stride 24) — per chunk the exact token span and a
-    // content fingerprint; one narrow scan, chunk count derived
-    // arithmetically (never a per-token explode).
-    "q358_rag_chunks" -> ((s, d) => {
-      val ts = TextOps.tokens(col("text"))
-      val base = Tables(s, d, "documents")
-        .select(col("doc_id"), ts.as("ts"), size(ts).as("nt"))
-        .where(col("nt") >= 1)
-      val nChunks = lit(1) +
-        expr("(greatest(nt - 32, 0) + 23) div 24").cast("int")
-      base.select(col("doc_id"), col("ts"), col("nt"),
-          explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
-        .select(col("doc_id"), col("chunk_idx"),
-          (col("chunk_idx") * 24 + 1).as("start_tok"),
-          least(col("chunk_idx") * 24 + 32, col("nt")).as("end_tok"),
-          md5(concat_ws(" ", slice(col("ts"),
-            col("chunk_idx") * 24 + 1,
-            least(col("chunk_idx") * 24 + 32, col("nt")) -
-              col("chunk_idx") * 24))).as("chunk_fp"))
-        .withColumn("n_tokens", col("end_tok") - col("start_tok") + 1)
-    }),
-
-    // Per-source dataset-card manifest: docs, tokens, chars, language
-    // spread, and the exact-dup rate in ppm — the one-row-per-source
-    // audit a mixture owner reads before weighting.
-    "q359_source_manifest" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val fp = md5(regexp_replace(lower(col("text")),
-        "[ \\t\\n\\f\\r]+", ""))
-      val base = docs.select(col("source"), col("lang"),
-        col("n_chars"), TextOps.tokenCount(col("text")).as("tk"),
-        fp.as("fp"))
-      val dup = base.groupBy("source", "fp")
-        .agg(count(lit(1)).as("cf"))
-        .groupBy("source")
-        .agg(sum(when(col("cf") >= 2, col("cf")).otherwise(0L))
-          .as("dup_docs"))
-      base.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("tk").as("n_tokens"),
-          sum("n_chars").as("n_chars"),
-          countDistinct("lang").as("n_langs"))
-        .join(dup, "source")
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("n_chars"), col("n_langs"), col("dup_docs"),
-          expr("(2000000 * dup_docs + n_docs) div (2 * n_docs)")
-            .as("dup_ppm"))
-    }),
-
-    // Split-conformal 90% interval for quality ~ length with its
-    // held-out coverage audit — distribution-free uncertainty.
-    "q331_conformal" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sc = TextOps.qualityScore(docs, "doc_id", "text",
-          TextOps.TrainedQualityWeights)
-        .select(col("id").as("doc_id"),
-          round(col("quality") * 1e6, 0).cast("long").as("ymicro"))
-      ProfileOps.splitConformal(
-        docs.select(col("doc_id"), col("n_chars")).join(sc, "doc_id"),
-        "n_chars", "ymicro", pmod(col("doc_id"), lit(2L)) === 0)
-    }),
-
-    // Per-source OLS of trained quality (5dp micro grid) on document
-    // length — the grouped-regression signal audit; decimal-exact
-    // moments, closed-form slope/intercept/r².
-    "q285_grouped_ols" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sc = TextOps.qualityScore(docs, "doc_id", "text",
-          TextOps.TrainedQualityWeights)
-        .select(col("id").as("doc_id"),
-          round(col("quality") * 1e5, 0).cast("long").as("ymicro"))
-      ProfileOps.groupedOls(
-        docs.select(col("doc_id"), col("source"), col("n_chars"))
-          .join(sc, "doc_id"),
-        "source", "n_chars", "ymicro")
-    }),
-
-    // Welch's unequal-variance t per source vs rest over document
-    // length — the parametric mean-shift companion of Mann-Whitney
-    // (q252); one pass, against-rest moments by subtraction.
-    "q286_welch_t" -> ((s, d) =>
-      ProfileOps.welchTAgainstRest(
-        Tables(s, d, "documents"), "source", "n_chars")),
-
-    // Pareto concentration: minimum number of users generating 80%
-    // of events — exact crossing solved on the count grid, corpus
-    // never sorts.
-    "q284_pareto_point" -> ((s, d) =>
-      graft.ops.EventOps.paretoPoint(
-        Tables(s, d, "events"), "user_id", sharePermille = 800)),
-
-    // Prefix-filtered exact Jaccard join (PPJoin): lossless at
-    // tau=0.5 — the oracle computes the FULL exact pair set, so the
-    // hash match proves the prefix filter drops nothing.
-    "q283_prefix_jaccard" -> ((s, d) =>
-      DedupOps.prefixJaccardPairs(
-        DedupOps.wordShingles(Tables(s, d, "documents"), "doc_id",
-          "text", 3), tauPermille = 500)),
-
-    // Keyframe selection: first frame of every scene (q258's cut
-    // criterion) as (idx, offset, len) coordinates — the video
-    // retention artifact; byte ranges, never re-shuffled frame bytes.
-    "q282_keyframes" -> ((s, d) =>
-      MultimodalOps.keyframes(s,
-        MultimodalOps.withBinaryPayload(
-          Tables(s, d, "documents"), "doc_id", "text"), 8)),
-
-    // Skip-gram (center, context) pair counts within a ±2 token
-    // window — the word2vec/GloVe training-pair extraction; doc-keyed
-    // equi-join with linear fan-out, never quadratic.
-    "q280_skipgram" -> ((s, d) =>
-      graft.ops.CooccurOps.skipgramCounts(
-        Tables(s, d, "documents"), "doc_id", "text",
-        window = 2, minCount = 30L)),
-
-    // Mann-Kendall monotone trend on daily counts per event type —
-    // the drift-direction complement of the CUSUM level-shift
-    // detector; S and the tie-corrected variance are exact integers.
-    "q281_mann_kendall" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.mannKendallTrend(
-        Tables(s, d, "events"), "event_type", "ts")),
-
-    // CUPED variance-reduced A/B readout: post-period revenue per arm
-    // adjusted by the pre-period covariate; reports theta and the
-    // rho^2 sensitivity gain. Decimal-exact moments, parity arms.
-    "q278_cuped" -> ((s, d) =>
-      graft.ops.EventOps.cupedLift(Tables(s, d, "events"),
-        "user_id", "ts", "value", splitDate = "2024-01-16 00:00:00")),
-
-    // Exact stratified split allocation: Hamilton largest-remainder
-    // 800/100/100 within every (source, lang) stratum — sums to n
-    // exactly, unlike hash assignment's in-expectation proportions.
-    "q279_stratified_split" -> ((s, d) =>
-      graft.ops.SelectionOps.stratifiedSplitCounts(
-        Tables(s, d, "documents"), Seq("source", "lang"),
-        Seq("train" -> 800, "val" -> 100, "test" -> 100))),
-
-    // CUSUM changepoint per event type over hourly counts — the
-    // level-shift detector; the scaled statistic is an exact integer
-    // so the argmax compares integers.
-    "q274_cusum_changepoint" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.cusumChangepoint(
-        Tables(s, d, "events"), "event_type", "ts")),
-
-    // Seasonal-naive backtest (same hour, previous day) per event
-    // type — the baseline any forecaster must beat, as a drift
-    // monitor. Exact integer errors, idiv MAE.
-    "q275_seasonal_backtest" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.seasonalNaiveBacktest(
-        Tables(s, d, "events"), "event_type", "ts")),
-
-    // Global clustering coefficient of the brand co-purchase graph
-    // (edges = q267's support>=20 pairs): oriented two-path triangle
-    // join, wedge count from degrees.
-    "q276_clustering_coeff" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val part = Tables(s, d, "part")
-        .select(col("p_partkey"), col("p_brand"))
-      val edges = graft.ops.CooccurOps.basketPairs(
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
-        "basket", "item", minSupport = 20L)
-        .select(col("item_a"), col("item_b"))
-      graft.ops.GraphOps.clusteringCoefficient(edges, "item_a", "item_b")
-    }),
-
-    // Exact 5%-trimmed mean of line-item price (cents grid) per
-    // return flag — robust location via integer rank-interval
-    // algebra, no corpus sort.
-    "q277_trimmed_mean" -> ((s, d) =>
-      ProfileOps.trimmedMean(
-        Tables(s, d, "lineitem").select(col("l_returnflag"),
-          round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
-        "l_returnflag", "cents")),
-
-    // Approximate-percentile accuracy gate: GK sketch ranks hard-
-    // checked against exact ranks (oracle pins TRUE — a sketch
-    // collapse reds the row).
-    "q271_approx_pctl_gate" -> ((s, d) =>
-      ProfileOps.approxPercentileGate(
-        Tables(s, d, "lineitem"), "l_extendedprice")),
-
-    // Kaplan–Meier time-to-first-purchase (hours) with right
-    // censoring (never-purchasers are censored at their last event,
-    // not dropped) — hour-grid windows, ln-sum product.
-    "q272_kaplan_meier" -> ((s, d) => {
-      val ev = Tables(s, d, "events")
-      val subj = ev.groupBy("user_id")
-        .agg(min(unix_micros(col("ts"))).as("t0"),
-          max(unix_micros(col("ts"))).as("t_last"),
-          min(when(col("event_type") === "purchase",
-            unix_micros(col("ts")))).as("t_buy"))
-        .select(
-          (coalesce(col("t_buy"), col("t_last")) - col("t0"))
-            .as("span_us"),
-          col("t_buy").isNotNull.cast("int").as("ev"))
-        .select(expr("span_us div 3600000000").as("t_hours"), col("ev"))
-      graft.ops.EventOps.kaplanMeier(subj, "t_hours", "ev")
-    }),
-
-    // Best-F1 operating point of the trained quality scorer against
-    // the rule labels — the deployment threshold, argmax on the exact
-    // micro F1 grid.
-    "q273_best_f1" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sc = TextOps.qualityScore(docs, "doc_id", "text",
-        TextOps.TrainedQualityWeights)
-      val lab = TextOps.qualityRules(docs, "doc_id", "text")
-        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
-      ProfileOps.bestF1Threshold(sc.join(lab, "id"), "quality", "pos")
-    }),
-
-    // Market-basket 2-itemsets: brand pairs co-ordered with lift —
-    // association mining over order baskets (fan-out bounded by
-    // basket size², one basket-keyed exchange).
-    "q267_brand_itemsets" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val part = Tables(s, d, "part")
-        .select(col("p_partkey"), col("p_brand"))
-      graft.ops.CooccurOps.basketPairs(
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
-        "basket", "item", minSupport = 20L)
-    }),
-
-    // Last-touch attribution: purchases credited to the most recent
-    // click by the same user within 24h — one user-keyed window, no
-    // event self-join; exact micro-integer latencies.
-    "q268_attribution" -> ((s, d) =>
-      graft.ops.EventOps.lastTouchAttribution(Tables(s, d, "events"),
-        "user_id", "ts", "event_type", "event_id",
-        convType = "purchase", touchType = "click", windowSec = 86400L)),
-
-    // Simple Good–Turing (Gale–Sampson): neighbor-gap Z_r + log-log
-    // OLS smoothing of count-of-counts — the unseen-mass estimator
-    // beside the KN family.
-    "q269_good_turing" -> ((s, d) =>
-      graft.ops.LmOps.simpleGoodTuring(Tables(s, d, "documents"), "text")),
-
-    // HLL sketch-merge distinct counting: per-source batch sketches
-    // unioned, estimate gated within 5% of the exact count — the
-    // incremental approx-distinct path with a HARD oracle gate (the
-    // oracle emits the exact count and TRUE; an estimate outside the
-    // bound reds the row).
-    "q270_hll_merge" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-        .select(col("source"),
-          md5(col("text").cast("binary")).as("fp"),
-          (col("doc_id") % 2).as("parity"))
-      val merged = docs.groupBy("source", "parity")
-        .agg(expr("hll_sketch_agg(fp)").as("sk"))
-        .groupBy("source")
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
-      docs.groupBy("source").agg(countDistinct("fp").as("n_exact"))
-        .join(merged, "source")
-        .select(col("source"), col("n_exact"),
-          (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
-            .as("within_5pct"))
-    }),
-
-    // Incremental stats maintenance: per-source moments from two
-    // disjoint batches, merged in sufficient-statistic space, then
-    // derived — the oracle recomputes DIRECTLY from the full table,
-    // so a hash match proves sketch additivity end-to-end.
-    "q264_merged_stats" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val even = ProfileOps.statsSketch(
-        docs.where(col("doc_id") % 2 === 0), "source", "n_chars")
-      val odd = ProfileOps.statsSketch(
-        docs.where(col("doc_id") % 2 === 1), "source", "n_chars")
-      ProfileOps.deriveStats(
-        ProfileOps.mergeStatsSketches(Seq(even, odd)), "source")
-    }),
-
-    // TPC-H Q17 shape (small-quantity revenue by brand): the
-    // correlated "quantity < 0.2 x per-part average" filter
-    // decorrelated into a partkey aggregate + join, with the
-    // threshold rewritten integer-exact (5·q·cnt < Σq — no double
-    // average to disagree on).
-    "q265_small_qty_revenue" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem").select(col("l_partkey"),
-        col("l_quantity").cast("long").as("q"),
-        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
-      val pavg = li.groupBy("l_partkey")
-        .agg(sum("q").as("sq"), count(lit(1)).as("cq"))
-      li.join(broadcast(pavg), "l_partkey")
-        .where(col("q") * col("cq") * 5 < col("sq"))
-        .join(broadcast(Tables(s, d, "part")
-          .select(col("p_partkey"), col("p_brand"))),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy("p_brand")
-        .agg(count(lit(1)).as("n_small"),
-          (sum("cents").cast("double") / lit(700.0)).as("avg_yearly"))
-    }),
-
-    // Exact weighted percentiles (quantity-weighted price median/p90
-    // per return flag) — integer threshold algebra over the value
-    // grid, no quantile interpolation.
-    "q266_weighted_pctl" -> ((s, d) =>
-      ProfileOps.weightedPercentiles(Tables(s, d, "lineitem"),
-        "l_returnflag", "l_extendedprice", "l_quantity")),
-
-    // Isotonic (PAV) repair of the q181 calibration curve via the
-    // minimax closed form — the monotone score→rate map a threshold
-    // picker actually consumes.
-    "q259_isotonic" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sc = TextOps.qualityScore(docs, "doc_id", "text",
-        TextOps.TrainedQualityWeights)
-      val lab = TextOps.qualityRules(docs, "doc_id", "text")
-        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
-      ProfileOps.isotonicCalibration(
-        sc.join(lab, "id").select(
-          least(floor(col("quality") * 10).cast("int"), lit(9))
-            .as("bucket"), col("pos")),
-        "bucket", "pos")
-    }),
-
-    // Quantile normalization of document length across sources — the
-    // batch-effect repair that puts every source on the corpus-global
-    // length distribution. Pure integer rank/grid arithmetic.
-    "q260_quantile_norm" -> ((s, d) =>
-      ProfileOps.quantileNormalize(
-        Tables(s, d, "documents"), "doc_id", "source", "n_chars")),
-
-    // Benford first-digit audit of line-item prices (cents grid) —
-    // numeric-column forensics; first digit from the decimal string,
-    // never libm log10.
-    "q261_benford" -> ((s, d) =>
-      ProfileOps.benfordFirstDigit(
-        Tables(s, d, "lineitem").select(
-          round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
-        "cents")),
-
-    // Simplified silhouette over pinned seed centroids — the
-    // deterministic cluster-separation scoreboard beside the seeded
-    // k-means fits (q113/q115).
-    "q262_silhouette" -> ((s, d) =>
-      SimilarityOps.simplifiedSilhouette(
-        Tables(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 8)),
-
-    // Theil's U (uncertainty coefficient) source↔lang, both
-    // directions — the normalized, asymmetric companion of mutual
-    // information (q228).
-    "q263_theils_u" -> ((s, d) =>
-      ProfileOps.theilsU(Tables(s, d, "documents"), "source", "lang")),
-
-    // Chi-squared categorical drift per source vs rest: does any
-    // source's language mix differ from the corpus — the categorical
-    // completion of the drift family (PSI q153 / KS q250 / MW q252
-    // cover numeric signals). Cramér's V normalizes across sources.
-    "q256_chi2_drift" -> ((s, d) =>
-      ProfileOps.chiSquaredAgainstRest(
-        Tables(s, d, "documents"), "source", "lang")),
-
-    // Exact Kendall tau-b (tie-corrected) between hour-of-day and
-    // event value decade, on the joint histogram — the
-    // concordance-based association probe beside Spearman (q255);
-    // bucketing bounds the contingency at 24×50 cells.
-    "q257_kendall_tau" -> ((s, d) =>
-      ProfileOps.kendallTau(
-        Tables(s, d, "events").select(
-          hour(col("ts")).cast("long").as("hr"),
-          floor(col("value") / lit(10.0)).cast("long").as("vdec")),
-        "hr", "vdec")),
-
-    // Scene-change segmentation over sampled frames: per-payload cut
-    // count + distinct-frame bound — the video shot-detection shape
-    // on top of the q49 frame plumbing.
-    "q258_scene_segments" -> ((s, d) =>
-      MultimodalOps.sceneSegments(s,
-        MultimodalOps.withBinaryPayload(
-          Tables(s, d, "documents"), "doc_id", "text"), 8)),
-
-    // Exact Spearman rank correlation between two quality signals
-    // (length vs trained quality): the monotone-association check a
-    // linear Pearson (q120) under-reads on saturating relations.
-    "q255_spearman" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val q = TextOps.qualityScore(docs, "doc_id", "text",
-          TextOps.TrainedQualityWeights)
-        .select(col("id").as("doc_id"), col("quality"))
-      ProfileOps.spearman(
-        docs.select(col("doc_id"), col("n_chars")).join(q, Seq("doc_id")),
-        "n_chars", "quality")
-    }),
-
-    // Lead-lag cross-correlation: does hourly click level LEAD
-    // purchase level (negative lags = purchase leads) — the
-    // conversion-latency question at the aggregate level.
-    "q254_crosscorr" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.crossCorr(Tables(s, d, "events"),
-        "ts", "event_type", "value", "click", "purchase",
-        Seq(-24, -1, 0, 1, 24))),
-
-    // Exact lag autocorrelation per event type over the hourly
-    // micro-unit mean grid (1h persistence, 24h seasonality) —
-    // integer moments, corrMatrix closed form.
-    "q253_autocorr" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.autocorr(Tables(s, d, "events"),
-        "event_type", "ts", "value", Seq(1, 24))),
-
-    // Exact Mann-Whitney U / AUC per source vs rest: the rank-sum
-    // location test beside q250's KS shape test — "is this source's
-    // quality systematically shifted", with the probability-of-
-    // superiority effect size, all in exact integer rank arithmetic.
-    "q252_mannwhitney_drift" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val q = TextOps.qualityScore(docs, "doc_id", "text",
-          TextOps.TrainedQualityWeights)
-        .select(col("id").as("doc_id"), col("quality"))
-      ProfileOps.mannWhitneyAgainstRest(
-        q.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
-        "source", "quality")
-    }),
-
-    // Exact two-sample KS drift per source vs the rest of the corpus
-    // (no binning, integer-exact ECDF comparison) — the classical
-    // complement to the binned PSI/JSD drift ops.
-    "q250_ks_drift" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val q = TextOps.qualityScore(docs, "doc_id", "text",
-          TextOps.TrainedQualityWeights)
-        .select(col("id").as("doc_id"), col("quality"))
-      ProfileOps.ksAgainstRest(
-        q.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
-        "source", "quality")
-    }),
-
-    // Leave-one-source-out data valuation: corpus mean quality with
-    // vs without each source — the "which feed drags the mixture
-    // down" curation analytic. Exact decimal(18,5) sums (quality is
-    // a 5dp grid) so group/total statistics are order-free.
-    "q248_loo_source_impact" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val q = TextOps.qualityScore(docs, "doc_id", "text",
-          TextOps.TrainedQualityWeights)
-        .select(col("id").as("doc_id"), col("quality"))
-      val per = q.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("quality").cast("decimal(18,5)")).as("_s"))
-      val tot = per.agg(sum("n_docs").as("_nn"), sum("_s").as("_ss"))
-      // 6dp means via exact half-up INTEGER division over micro-units
-      // (quality is a 5dp grid, so rounded double division hits
-      // structured half-way points — the q245 lesson); delta is a
-      // difference of exact integers, never of rounded doubles
-      val meanSrc = "(20 * CAST(_s * 100000 AS BIGINT) + n_docs)" +
-        " div (2 * n_docs)"
-      val meanAll = "(20 * CAST(_ss * 100000 AS BIGINT) + _nn) div (2 * _nn)"
-      val meanWo = "(20 * CAST((_ss - _s) * 100000 AS BIGINT)" +
-        " + (_nn - n_docs)) div (2 * (_nn - n_docs))"
-      per.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"),
-          (expr(meanSrc).cast("double") / 1e6).as("mean_source"),
-          (expr(meanAll).cast("double") / 1e6).as("mean_all"),
-          (expr(meanWo).cast("double") / 1e6).as("mean_without"),
-          ((expr(meanWo) - expr(meanAll)).cast("double") / 1e6).as("delta"))
-    }),
-
-    // Data-driven MinHash-LSH parameter tuning: for each (rows r,
-    // bands b) config, the EXPECTED candidate workload on THIS
-    // corpus's measured pair-similarity distribution (the WinnowStage
-    // jac histogram) via the S-curve P = 1−(1−j^r)^b — split into
-    // expected true candidates (jac ≥ 0.3) and expected false ones.
-    // Powers are squaring chains (r, b powers of two) so both engines
-    // compute identical doubles; per-pair P rounds to micro-units and
-    // sums as exact longs.
-    "q249_lsh_tuning" -> ((s, d) => {
-      import s.implicits._
-      val cfg = Seq((2, 4), (2, 8), (2, 16), (4, 8), (4, 16), (8, 16))
-        .toDF("r", "b")
-      val j = col("jac")
-      val j2 = j * j; val j4 = j2 * j2; val j8 = j4 * j4
-      val jr = when(col("r") === 2, j2).when(col("r") === 4, j4)
-        .otherwise(j8)
-      val q1 = lit(1.0) - jr
-      val q2 = q1 * q1; val q4 = q2 * q2; val q8 = q4 * q4
-      val q16 = q8 * q8
-      val qb = when(col("b") === 4, q4).when(col("b") === 8, q8)
-        .otherwise(q16)
-      val pm = round((lit(1.0) - qb) * 1e6, 0).cast("long")
-      graft.ops.WinnowStage.pairs(s, d).select("jac")
-        .crossJoin(broadcast(cfg))
-        .select(col("r"), col("b"), col("jac"), pm.as("pm"))
-        .groupBy("r", "b")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("jac") >= 0.3, 1L).otherwise(0L)).as("n_true"),
-          sum(when(col("jac") >= 0.3, col("pm")).otherwise(0L)).as("_tp"),
-          sum(when(col("jac") < 0.3, col("pm")).otherwise(0L)).as("_fp"))
-        .select(col("r"), col("b"), col("n_pairs"), col("n_true"),
-          round(col("_tp") / 1e6, 6).as("exp_tp"),
-          round(col("_fp") / 1e6, 6).as("exp_fp"))
-    }),
-
-    // Incremental passage-fingerprint index (the crawl loop): build
-    // the store from batch 1, score batch 2 against it, fold batch 2
-    // in, score batch 3 against the grown store. %73 docs are FULL
-    // duplicates of an indexed page (overlap 1.0 → dropped); %29 docs
-    // share one boilerplate passage (partial overlap → kept).
-    "q247_winnow_incremental" -> ((s, d) => {
-      val fullDup = "this exact landing page is mirrored verbatim across " +
-        "every regional site of the network with no local changes at all"
-      val boiler = " Subscribe to our newsletter for weekly updates and " +
-        "exclusive member offers."
-      val docs = Tables(s, d, "documents").withColumn("text",
-        when(col("doc_id") % 73 === 0, lit(fullDup))
-          .when(col("doc_id") % 29 === 0, concat(col("text"), lit(boiler)))
-          .otherwise(col("text")))
-      val b1 = docs.where(col("doc_id") % 3 === 0)
-      val b2 = docs.where(col("doc_id") % 3 === 1)
-      val b3 = docs.where(col("doc_id") % 3 === 2)
-      val store1 = WinnowOps.fingerprintIndex(b1, "doc_id", "text")
-      val r2 = WinnowOps.overlapAgainstIndex(b2, store1, "doc_id", "text")
-        .select(col("id").as("doc_id"), lit(2).as("batch"), col("n_fp"),
-          col("n_known"), col("overlap"), col("keep"))
-      val store2 = WinnowOps.indexUpdate(store1,
-        WinnowOps.fingerprintIndex(b2, "doc_id", "text"))
-      val r3 = WinnowOps.overlapAgainstIndex(b3, store2, "doc_id", "text")
-        .select(col("id").as("doc_id"), lit(3).as("batch"), col("n_fp"),
-          col("n_known"), col("overlap"), col("keep"))
-      r2.unionByName(r3)
-    }),
-
-    // Luhn-validated card-number PII: 13-16 digit runs checked by
-    // the payment-card checksum — the precision upgrade over bare
-    // digit regexes. Fixture: %17 docs carry a VALID test card
-    // number, %19 docs an invalid one digit off; the checksum must
-    // separate them.
-    "q246_luhn_pii" -> ((s, d) => {
-      val t = when(col("doc_id") % 17 === 0,
-          concat(col("text"), lit(" card 4539148803436467 ok")))
-        .when(col("doc_id") % 19 === 0,
-          concat(col("text"), lit(" num 4539148803436468 bad")))
-        .otherwise(col("text"))
-      Tables(s, d, "documents").select(col("doc_id"),
-        size(TextOps.cardCandidates(t)).as("n_card_cands"),
-        TextOps.luhnValidCount(t).as("n_cards"),
-        (TextOps.luhnValidCount(t) > 0).cast("int").as("has_card"))
-    }),
-
-    // MMR-diversified retrieval (Carbonell & Goldstein): top-3 from
-    // each query's 10 candidates balancing relevance vs redundancy —
-    // the result-page/RAG-context dedup move; unrolled greedy with a
-    // line-for-line SQL twin.
-    "q245_mmr_diversified" -> ((s, d) =>
-      SimilarityOps.mmrTop3(Tables(s, d, "embeddings"), "vec_id",
-        "embedding", col("vec_id") < 5)),
-
-    // Temperature-scaled source mixture (the multilingual-rebalance
-    // standard: w_i ∝ n_i^(1/T), T<1 upsamples the tail) allocated to
-    // an exact integer token budget by the Hamilton apportionment —
-    // raw counts → exp(ln(n)/T) weights (spelled identically in the
-    // oracle) → largestRemainderAlloc, so the final allocation sums
-    // to the budget EXACTLY on every engine.
-    "q244_temperature_mixture" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val toks = docs.groupBy("source")
-        .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
-      val w = toks.select(col("source"), col("n_tokens"),
-        round(exp(log(col("n_tokens").cast("double")) / 0.7), 0)
-          .cast("long").as("w"))
-      val alloc = SelectionOps.largestRemainderAlloc(w, "source", "w",
-          1000000L)
-        .select(col("grp").as("source"), col("alloc"))
-      w.join(alloc, Seq("source"))
-        .select(col("source"), col("n_tokens"), col("w").as("weight"),
-          col("alloc"),
-          round(col("alloc").cast("double") / 1000000L, 6).as("alloc_frac"))
-    }),
-
-    // CCNet-style span-perplexity filter (Wenzek et al. 2020): score
-    // each sentence span under the q126 KN bigram model (trained on
-    // the 'en' slice), keep low-perplexity spans, report the per-doc
-    // retention + kept-span quality. Doc-level perplexity keeps or
-    // drops whole documents; the span filter salvages the clean
-    // paragraphs of mixed-quality pages — the production crawl move.
-    "q243_span_ppl_filter" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      // %13 docs get a gibberish tail sentence (all-unseen bigrams →
-      // backoff-floor perplexity ≈ ln(B+V+1) ≫ thr): the span filter
-      // must salvage the clean leading span and drop the junk one —
-      // the CCNet scenario in miniature. The model trains on the
-      // UNINJECTED 'en' slice.
-      val junk = ". zxq vlorp qeth wubble snarv gribbet zund flep vorx."
-      val injected = docs.withColumn("text",
-        when(col("doc_id") % 13 === 0, concat(col("text"), lit(junk)))
-          .otherwise(col("text")))
-      val spans = graft.ops.LangSpanOps.sentenceSpans(injected, "doc_id", "text")
-        .select((col("doc_id") * 100000 + col("span_idx")).as("id"),
-          col("span"))
-      val scored = LmOps.score(spans,
-        docs.where(col("lang") === "en")
-          .select(col("doc_id").as("id"), col("text").as("span")),
-        "id", "span")
-      val thr = 6.0
-      scored.select(expr("id div 100000").as("doc_id"),
-          col("kn_logppl"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("kn_logppl").isNotNull.cast("long")).as("n_scored"),
-          sum(when(col("kn_logppl") <= thr, 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("kn_logppl") <= thr,
-            col("kn_logppl").cast("decimal(18,5)"))).as("_s"))
-        .select(col("doc_id"), col("n_spans"), col("n_scored"), col("n_kept"),
-          // keep_frac: n/N at 6dp via exact half-up integer division
-          // ((2e6·n + N) div 2N) — round(double) hits structured
-          // half-way points (the q245 lesson) whenever N divides 1e6
-          (expr("(2000000 * n_kept + n_spans) div (2 * n_spans)")
-            .cast("double") / 1e6).as("keep_frac"),
-          // mean over the 5dp grid: micro-unit sum s5·10, half-up /n —
-          // integer `div`, never double `/` (idiv exactness caveat)
-          when(col("n_kept") > 0,
-            expr("(20 * CAST(_s * 100000 AS BIGINT) + n_kept)" +
-              " div (2 * n_kept)").cast("double") / 1e6)
-            .as("mean_ppl_kept"))
-    }),
-
-    // PQ-codebook incremental maintenance (q239's second half): per-
-    // subspace codebook sufficient statistics merged across batches
-    // must refresh to the SAME codebooks — probe encodes compared
-    // per subspace, both paths independently replayed by the oracle.
-    "q242_pq_incremental" -> ((s, d) => {
-      import graft.ops.IvfIndexOps
-      val emb = Tables(s, d, "embeddings")
-      val c0 = IvfIndexOps.initCenters(s, emb, "vec_id", "embedding", 8)
-      val b0 = IvfIndexOps.initCodebooks(s, emb, "vec_id", "embedding",
-        c0, m = 4, nCodes = 4)
-      // residuals scanned once (consumed by two batch deltas, the
-      // from-scratch aggregate, and the probe encodes)
-      val rAll = IvfIndexOps.residuals(s, emb, "vec_id", "embedding", c0)
-        .localCheckpoint()
-      val bInc = IvfIndexOps.refreshCodebooks(b0, IvfIndexOps.mergeCodeStats(
-        IvfIndexOps.codeStats(s, rAll.where(col("id") % 2 === 0), b0),
-        IvfIndexOps.codeStats(s, rAll.where(col("id") % 2 === 1), b0)))
-      val bScr = IvfIndexOps.refreshCodebooks(b0,
-        IvfIndexOps.codeStats(s, rAll, b0))
-      val probes = rAll.where(col("id") % 7 === 0)
-      val ai = IvfIndexOps.codeAssign(s, probes, bInc)
-        .select(col("id").as("vec_id"), col("j").cast("int").as("subspace"),
-          col("code").cast("int").as("code_incr"))
-      val a2 = IvfIndexOps.codeAssign(s, probes, bScr)
-        .select(col("id").as("vec_id"), col("j").cast("int").as("subspace"),
-          col("code").cast("int").as("code_scratch"))
-      ai.join(a2, Seq("vec_id", "subspace"))
-        .select(col("vec_id"), col("subspace"), col("code_incr"),
-          col("code_scratch"),
-          (col("code_incr") === col("code_scratch")).cast("int").as("agree"))
-    }),
-
-    // Span-level (code-switching) language-ID: q96's frozen trigram
-    // profiles over sentence spans + per-doc mixture summary — the
-    // crawl reality one doc-level label misses (LangSpanOps).
-    "q240_span_lang" -> ((s, d) =>
-      graft.ops.LangSpanOps.docMixture(Tables(s, d, "documents"),
-        "doc_id", "text")),
-
-    // Audience overlap: exact Jaccard of user sets per event-type
-    // pair (|types|²-bounded output; distinct (type, user) frame
-    // self-joined on user — never a cartesian).
-    "q236_audience_overlap" -> ((s, d) => {
-      val tu = Tables(s, d, "events")
-        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
-      val sizes = tu.groupBy("t").agg(count(lit(1)).as("n"))
-      val inter = tu.as("a").join(tu.as("b"),
-          col("a.u") === col("b.u") && col("a.t") < col("b.t"))
-        .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
-        .agg(count(lit(1)).as("n_both"))
-      inter
-        .join(broadcast(sizes.select(col("t").as("t1"), col("n").as("n1"))), "t1")
-        .join(broadcast(sizes.select(col("t").as("t2"), col("n").as("n2"))), "t2")
-        .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_both"),
-          round(col("n_both").cast("double")
-            / (col("n1") + col("n2") - col("n_both")).cast("double"), 6)
-            .as("jaccard"))
-    }),
-
-    // Market-basket affinity: brand-pair support + lift within orders
-    // (distinct (order, brand) collapse before the pair join — the
-    // q194/q178 group-collapse discipline; brand space is bounded so
-    // the pair table is model-sized).
-    "q237_brand_affinity" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val part = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
-      val ob = li.join(part, li("l_partkey") === part("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
-      val nOrders = Tables(s, d, "orders").agg(
-        countDistinct("o_orderkey").as("n_orders"))
-      val single = ob.groupBy("b").agg(count(lit(1)).as("n"))
-      val pairs = ob.as("x").join(ob.as("y"),
-          col("x.o") === col("y.o") && col("x.b") < col("y.b"))
-        .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
-        .agg(count(lit(1)).as("n_both"))
-        .filter(col("n_both") >= 20)
-      pairs
-        .join(broadcast(single.select(col("b").as("b1"), col("n").as("n1"))), "b1")
-        .join(broadcast(single.select(col("b").as("b2"), col("n").as("n2"))), "b2")
-        .crossJoin(broadcast(nOrders))
-        .select(col("b1"), col("b2"), col("n_both"),
-          round((col("n_both") * col("n_orders")).cast("double")
-            / (col("n1") * col("n2")).cast("double"), 6).as("lift"))
-    }),
-
-    // Expectation-violation trend: contract checks per event-time day
-    // (when did the contract start failing).
-    "q235_dq_trend" -> ((s, d) =>
-      ProfileOps.expectationTrend(Tables(s, d, "events"), "ts", Seq(
-        "value_over_500" -> (col("value") > 500.0),
-        "unknown_type" -> !col("event_type").isin(
-          "signup", "view", "click", "purchase", "error"),
-        "null_user" -> col("user_id").isNull))),
-
-    // Per-source z-standardization of the trained quality score
-    // (batch-effect correction from exact integer-cents moments).
-    "q231_score_standardize" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sc = TextOps.qualityScore(docs, "doc_id", "text",
-        TextOps.TrainedQualityWeights)
-      val j = docs.select(col("doc_id").as("id"), col("source")).join(sc, "id")
-      ProfileOps.zStandardize(j, "id", "source", "quality")
-        .withColumnRenamed("grp", "source")
-    }),
-
-    // Expected calibration error — the one-number verdict on q181's
-    // reliability diagram.
-    "q232_calibration_ece" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sc = TextOps.qualityScore(docs, "doc_id", "text",
-        TextOps.TrainedQualityWeights)
-      val lab = TextOps.qualityRules(docs, "doc_id", "text")
-        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
-      ProfileOps.calibrationEce(
-        ProfileOps.calibrationBuckets(sc.join(lab, "id"), "quality", "pos"))
-    }),
-
-    // Per-document keyword extraction: top-3 tf-idf terms.
-    "q233_keywords" -> ((s, d) =>
-      TextOps.topKeywords(Tables(s, d, "documents"), "doc_id", "text")),
-
-    // Declared-language vs dominant-script mismatch audit.
-    "q234_script_mismatch" -> ((s, d) =>
-      TextOps.scriptMismatch(Tables(s, d, "documents"), "lang", "text",
-        Map("en" -> "latin", "de" -> "latin", "fr" -> "latin",
-          "es" -> "latin", "zh" -> "cjk"))),
-
-    // Two-proportion A/B lift + z over purchase conversion
-    // (user_id parity as the deterministic arm assignment).
-    "q227_ab_lift" -> ((s, d) =>
-      graft.ops.EventOps.abLift(Tables(s, d, "events"),
-        "user_id", "event_type", "value", "purchase",
-        minTotalCents = 70000L)),
-
-    // Mutual information lang x source (nats) — categorical
-    // dependency audit; ordered cell fold.
-    "q228_mutual_info" -> ((s, d) =>
-      ProfileOps.mutualInformation(Tables(s, d, "documents"),
-        "lang", "source")),
-
-    // Bigram next-token top-1 accuracy on the corpus itself.
-    "q229_next_token_acc" -> ((s, d) =>
-      TextOps.nextTokenAccuracy(Tables(s, d, "documents"), "text")),
-
-    // Simpson effective-language diversity per source.
-    "q230_simpson_diversity" -> ((s, d) =>
-      ProfileOps.simpsonDiversity(Tables(s, d, "documents"),
-        "source", "lang").withColumnRenamed("grp", "source")),
-
-    // One-way ANOVA: does source explain the trained quality score?
-    // (F statistic from exact integer-cents moments; quality 5dp
-    // values scale exactly to cents at 2dp? no — scaled 100x of a
-    // 5dp value rounds; both engines round identically from the
-    // identical doubles.)
-    "q224_anova_quality" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sc = TextOps.qualityScore(docs, "doc_id", "text",
-        TextOps.TrainedQualityWeights)
-      val j = docs.select(col("doc_id").as("id"), col("source")).join(sc, "id")
-      ProfileOps.anovaF(j, "source", "quality")
-    }),
-
-    // Token-frequency Gini coefficient (vocabulary inequality).
-    "q225_token_gini" -> ((s, d) =>
-      TextOps.tokenGini(Tables(s, d, "documents"), "text")),
-
-    // Arrival burstiness (Fano factor of per-minute counts) per type.
-    "q226_burstiness" -> ((s, d) =>
-      graft.ops.EventOps.burstiness(Tables(s, d, "events"),
-        "ts", "event_type")),
-
-    // Referential-integrity audit across the TPC-H FK chain.
-    "q221_fk_integrity" -> ((s, d) =>
-      ProfileOps.fkIntegrity(Seq(
-        ("lineitem->orders", Tables(s, d, "lineitem"), "l_orderkey",
-          Tables(s, d, "orders"), "o_orderkey"),
-        ("orders->customer", Tables(s, d, "orders"), "o_custkey",
-          Tables(s, d, "customer"), "c_custkey"),
-        ("customer->nation", Tables(s, d, "customer"), "c_nationkey",
-          Tables(s, d, "nation"), "n_nationkey"),
-        ("supplier->nation", Tables(s, d, "supplier"), "s_nationkey",
-          Tables(s, d, "nation"), "n_nationkey")))),
-
-    // Late-data audit (watermark planning): lateness vs the running
-    // event-time max in event_id arrival order, per type.
-    "q222_late_data" -> ((s, d) =>
-      graft.ops.EventOps.lateDataAudit(Tables(s, d, "events"),
-        "ts", "event_type", "event_id")),
-
-    // Small-file compaction plan: doc_id//10 groups as simulated
-    // files (bytes = Σ n_chars), sequential fill into 20 kB targets.
-    "q223_compaction_plan" -> ((s, d) => {
-      val files = Tables(s, d, "documents")
-        .groupBy((col("doc_id") - pmod(col("doc_id"), lit(10L)))
-          .as("id"))
-        .agg(sum("n_chars").as("bytes"))
-      graft.ops.LayoutOps.compactionPlan(files, "id", "bytes",
-        targetBytes = 20000L)
-    }),
-
-    // Release-readiness MANIFEST (capstone): one row composing the
-    // verified signal families — corpus size, token volume, language
-    // spread, exact-dup mass, mean trained quality (exact decimal
-    // sum), raw-PII surface, and the expectation-suite failure count.
-    // Six bounded aggregates cross-joined (all 1-row broadcasts);
-    // every input rides an already-oracle-verified kernel.
-    "q220_release_manifest" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val base = docs.agg(count(lit(1)).as("n_docs"),
-        sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
-        countDistinct(col("lang")).as("n_langs"),
-        sum(TextOps.emailCount(col("text"))).cast("long").as("n_raw_emails"))
-      val dups = docs.select(TextOps.fingerprint(col("text")).as("k"))
-        .groupBy("k").agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
-          .as("n_exact_dup_docs"))
-      val qual = TextOps.qualityScore(docs, "doc_id", "text",
-          TextOps.TrainedQualityWeights)
-        .agg(sum(col("quality").cast("decimal(18,5)")).as("_s"),
-          count(lit(1)).as("_n"))
-        // exact half-up 6dp mean over the 5dp grid (integer div — the
-        // rounded-double spelling hits structured half-way points)
-        .select((expr("(20 * CAST(_s * 100000 AS BIGINT) + _n)" +
-          " div (2 * _n)").cast("double") / 1e6).as("mean_quality"))
-      val checks = ProfileOps.expectationReport(docs,
-        Seq(
-          "doc_id_not_null" -> col("doc_id").isNull,
-          "text_not_null" -> col("text").isNull,
-          "n_chars_positive" -> (col("n_chars").isNull || col("n_chars") <= 0),
-          "n_chars_le_400" -> (col("n_chars") > 400),
-          "lang_known" -> !col("lang").isin("en", "de", "fr", "es", "zh"),
-          "source_prefix" -> !col("source").startsWith("src")),
-        uniqueKey = Some("doc_id"))
-        .agg(count(when(col("passed") === 0, 1)).as("n_checks_failed"))
-      base.crossJoin(broadcast(dups)).crossJoin(broadcast(qual))
-        .crossJoin(broadcast(checks))
-        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
-          col("n_exact_dup_docs"), col("mean_quality"),
-          col("n_raw_emails"), col("n_checks_failed"),
-          (col("n_checks_failed") === 0).cast("int").as("release_ready"))
-    }),
-
-    // Cross-MODALITY dedup report: exact-dup bucket keys from all
-    // three verified paths (normalized-text md5, image dHash, audio
-    // energy fingerprint) in one summary — groups with >1 member and
-    // docs involved, per modality. Each path is its own bucket-keyed
-    // aggregation; nothing joins across modalities.
-    "q218_multimodal_dedup" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      def report(name: String, keyed: DataFrame) =
-        keyed.groupBy("k").agg(count(lit(1)).as("n"))
-          .agg(lit(name).as("modality"),
-            count(when(col("n") > 1, 1)).as("n_dup_groups"),
-            coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
-              .as("n_docs_in_dups"))
-      val text = docs.select(TextOps.fingerprint(col("text")).as("k"))
-      val img = MultimodalOps.imageDHash(s,
-        MultimodalOps.withImagePayloadKeyed(s, docs, "doc_id",
-          col("doc_id") % 97))
-        .select(col("dhash").cast("string").as("k"))
-      val aud = MultimodalOps.audioFingerprint(s,
-        MultimodalOps.withAudioPayloadKeyed(s, docs, "doc_id",
-          col("doc_id") % 61))
-        .select(col("afp").cast("string").as("k"))
-      report("text", text)
-        .unionByName(report("image", img))
-        .unionByName(report("audio", aud))
-    }),
-
-    // RFM (recency / frequency / monetary) user segmentation over the
-    // events stream: quintile scores with deterministic tie-breaks,
-    // concatenated segment label. The ntile windows run over the USER
-    // PROFILE frame (one row per user) — at 1e9 users switch to
-    // percentile-threshold bucket assignment (the q148 curriculum
-    // idiom: 4 exact cutoffs broadcast back) and accept that
-    // boundary ties land by value instead of by position.
-    "q219_rfm_segments" -> ((s, d) => {
-      val e = Tables(s, d, "events")
-      val maxT = e.agg(max(col("ts").cast("double")).as("t_max"))
-      val per = e.groupBy(col("user_id"))
-        .agg(max(col("ts").cast("double")).as("t_last"),
-          count(lit(1)).as("freq"),
-          round(sum("value"), 4).as("monetary"))
-        .crossJoin(broadcast(maxT))
-        .select(col("user_id"),
-          floor((col("t_max") - col("t_last")) / 86400).cast("long")
-            .as("recency_days"),
-          col("freq"), col("monetary"))
-      def quint(c: org.apache.spark.sql.Column, asc: Boolean) =
-        ntile(5).over(if (asc)
-          Window.orderBy(c.asc, col("user_id").asc)
-        else Window.orderBy(c.desc, col("user_id").asc))
-      per.select(col("user_id"), col("recency_days"), col("freq"),
-          col("monetary"),
-          quint(col("recency_days"), asc = true).as("r_score"),
-          quint(col("freq"), asc = false).as("f_score"),
-          quint(col("monetary"), asc = false).as("m_score"))
-        .withColumn("segment", concat(col("r_score"), col("f_score"),
-          col("m_score")))
-    }),
-
-    // CDC op-log compaction: last-write-wins apply over a change log
-    // derived from events (signup=I, purchase=D, else U).
-    "q216_cdc_apply" -> ((s, d) => {
-      val log = Tables(s, d, "events").select(
-        pmod(col("user_id"), lit(100L)).as("k"),
-        when(col("event_type") === "signup", "I")
-          .when(col("event_type") === "purchase", "D")
-          .otherwise("U").as("op"),
-        col("value"), col("ts").cast("double").as("t"), col("event_id"))
-      graft.ops.SnapshotOps.cdcApply(log, "k", "op", "value", "t",
-        "event_id")
-    }),
-
-    // Largest-remainder apportionment of a 1M-token budget across
-    // sources proportional to observed token counts — exact integer,
-    // allocations provably sum to the budget.
-    "q217_budget_alloc" -> ((s, d) => {
-      val w = Tables(s, d, "documents")
-        .groupBy(col("source").as("grp"))
-        .agg(sum(TextOps.tokenCount(col("text"))).as("w"))
-      SelectionOps.largestRemainderAlloc(w, "grp", "w", budget = 1000000L)
-        .withColumnRenamed("grp", "source")
-    }),
-
-    // Perceptual audio fingerprint dedup over REAL WAV decode:
-    // energy-derivative sign hash (dHash on audio), payloads keyed
-    // doc_id % 61 so exact dup groups exist.
-    "q214_audio_fingerprint" -> ((s, d) => {
-      val pay = MultimodalOps.withAudioPayloadKeyed(s,
-        Tables(s, d, "documents"), "doc_id", col("doc_id") % 61)
-      MultimodalOps.audioFingerprint(s, pay)
-        .groupBy("afp")
-        .agg(count(lit(1)).as("n_audio"), min("doc_id").as("min_doc_id"))
-    }),
-
-    // Fixed-bin spectral power over the REAL WAV decode: frozen
-    // integer cos/sin basis (round(·128)) so the DFT is long-exact
-    // and the oracle replays it bit-for-bit — audio dedup's timbre
-    // signal beyond q214's energy-derivative hash.
-    "q241_audio_spectral" -> ((s, d) => {
-      val pay = MultimodalOps.withAudioPayloadKeyed(s,
-        Tables(s, d, "documents"), "doc_id", col("doc_id") % 61)
-      MultimodalOps.audioSpectral(s, pay)
-    }),
-
-    // Embedding-space benchmark decontamination: best cosine vs the
-    // held-out benchmark slice (vec_id % 20 == 0) above 0.35.
-    "q215_embedding_decontam" -> ((s, d) =>
-      SimilarityOps.benchmarkContamination(Tables(s, d, "embeddings"),
-        "vec_id", "embedding", pmod(col("vec_id"), lit(20L)) === 0,
-        minSim = 0.35)),
-
-    // Luminance histogram + entropy over REAL PNG decode (verified
-    // decoder: the oracle replays the formula pixels exactly).
-    "q213_image_histogram" -> ((s, d) =>
-      MultimodalOps.imageHistogram(s,
-        MultimodalOps.withImagePayload(s, Tables(s, d, "documents"),
-          "doc_id"))),
-
-    // Sentence-aware chunking (RAG assembly): 3-sentence windows,
-    // 1-sentence overlap, boundary-respecting.
-    "q211_sentence_chunks" -> ((s, d) =>
-      TextOps.sentenceChunks(Tables(s, d, "documents"), "doc_id", "text")),
-
-    // Corpus readability per language from exact integer totals.
-    "q212_readability" -> ((s, d) =>
-      TextOps.readabilityByGroup(Tables(s, d, "documents"), "text", "lang")
-        .withColumnRenamed("grp", "lang")),
-
-    // Per-label embedding drift between even/odd corpus halves:
-    // centroid cosine + L2 shift (stability audit before reusing an
-    // index or classifier across snapshots).
-    "q209_centroid_drift" -> ((s, d) =>
-      SimilarityOps.centroidDrift(Tables(s, d, "embeddings"),
-        "vec_id", "embedding", "label")),
-
-    // Data-contract expectation suite over documents: null/range/
-    // domain checks + key uniqueness in ONE scan; n_chars<=400 is
-    // deliberately violated so the report shows a failing row.
-    "q210_expectations" -> ((s, d) =>
-      ProfileOps.expectationReport(Tables(s, d, "documents"),
-        Seq(
-          "doc_id_not_null" -> col("doc_id").isNull,
-          "text_not_null" -> col("text").isNull,
-          "n_chars_positive" -> (col("n_chars").isNull || col("n_chars") <= 0),
-          "n_chars_le_400" -> (col("n_chars") > 400),
-          "lang_known" -> !col("lang").isin("en", "de", "fr", "es", "zh"),
-          "source_prefix" -> !col("source").startsWith("src")),
-        uniqueKey = Some("doc_id"))),
-
-    // First-order Markov transition matrix over 30-min sessions.
-    "q206_markov" -> ((s, d) =>
-      graft.ops.EventOps.markovTransitions(Tables(s, d, "events"),
-        "ts", "user_id", "event_type", "event_id", gapSeconds = 1800.0)),
-
-    // Inter-arrival gap percentiles per user cohort (mod 10).
-    "q207_interarrival" -> ((s, d) =>
-      graft.ops.EventOps.interArrivalGaps(Tables(s, d, "events"),
-        "ts", "user_id", "event_id")),
-
-    // Signup -> purchase conversion latency distribution (7 days).
-    "q208_conversion_latency" -> ((s, d) =>
-      graft.ops.EventOps.conversionLatency(Tables(s, d, "events"),
-        "ts", "user_id", "event_type", "signup", "purchase",
-        windowDays = 7)),
-
-    // WOE / information value of the length-bucket feature against
-    // the quality-rules label — the feature-screening report.
-    "q202_woe_iv" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val lab = TextOps.qualityRules(docs, "doc_id", "text")
-        .select(col("doc_id"), col("passes"))
-      val j = docs.select(col("doc_id"),
-          least(floor(col("n_chars") / 200.0).cast("int"), lit(9)).as("bin"))
-        .join(lab, "doc_id")
-      ProfileOps.woeIv(j, col("bin"), col("passes"))
-    }),
-
-    // Hour-of-day seasonality profile per event type (ppm shares +
-    // peak flag).
-    "q203_seasonality" -> ((s, d) =>
-      graft.ops.EventOps.seasonalityProfile(Tables(s, d, "events"),
-        "ts", "event_type")),
-
-    // Hourly anomaly hours per type vs the hour-of-day baseline
-    // (z>3, exact integer sufficient statistics).
-    "q204_hourly_anomalies" -> ((s, d) =>
-      graft.ops.EventOps.hourlyAnomalies(Tables(s, d, "events"),
-        "ts", "event_type")),
-
-    // Equi-width 20-bin histogram of the event value distribution.
-    "q205_histogram" -> ((s, d) =>
-      ProfileOps.histogram(Tables(s, d, "events"), "value", 20)),
-
-    // Exact-integer PageRank over the supplier<->customer order graph
-    // (one edge per order, both directions, weight = order count;
-    // customer ids offset by 1e6 into the shared node space). The
-    // 10-iteration micro-unit trajectory is bit-identical to the
-    // DuckDB unrolled-CTE replay.
-    "q201_pagerank" -> ((s, d) => {
-      val l = Tables(s, d, "lineitem").filter(col("l_linenumber") === 1)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val p = l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .select(col("l_suppkey").cast("long").as("sn"),
-          (col("o_custkey").cast("long") + 1000000L).as("cn"))
-      val edges = p.select(col("sn").as("src"), col("cn").as("dst"))
-        .unionByName(p.select(col("cn").as("src"), col("sn").as("dst")))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      GraphOps.pageRank(edges, "src", "dst", "w")
-    }),
-
-    // DPO preference pairs: per prompt bucket (doc_id % 199) the
-    // trained-quality best/worst responses with margin >= 0.05.
-    "q197_dpo_pairs" -> ((s, d) =>
-      PreferenceOps.dpoPairs(
-        TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text",
-          TextOps.TrainedQualityWeights),
-        "id", "quality", col("id") % 199, minMargin = 0.05)),
-
-    // Z-order vs round-robin data-skipping report: expected files
-    // scanned for a point query on the user-bucket axis.
-    "q198_zorder_skipping" -> ((s, d) => {
-      val ev = Tables(s, d, "events")
-      graft.ops.LayoutOps.zSkippingReport(ev,
-        pmod(col("user_id"), lit(1024L)),
-        pmod(floor(col("ts").cast("double") / 60).cast("long"), lit(1024L)),
-        col("event_id"))
-    }),
-
-    // Conversation/session path assembly: 30-min-gap sessions, first
-    // 5 event types in deterministic order, exact-ms mean duration.
-    "q199_conversation_paths" -> ((s, d) =>
-      graft.ops.EventOps.conversationPaths(Tables(s, d, "events"),
-        "ts", "user_id", "event_type", "event_id", gapSeconds = 1800.0)),
-
-    // Right-to-be-forgotten cascade audit: customer cohort (%101) ->
-    // orders -> lineitem, exact-ppm manifest.
-    "q200_rtbf_audit" -> ((s, d) =>
-      graft.ops.ComplianceOps.cascadeDeleteAudit(
-        Tables(s, d, "customer"), Tables(s, d, "orders"),
-        Tables(s, d, "lineitem"), col("c_custkey") % 101 === 0)),
-
-    // Collocation mining: PMI over the top-150 df words — bounded
-    // pair space (vocab², never corpus²), one corpus scan.
-    "q195_pmi_cooccur" -> ((s, d) =>
-      graft.ops.CooccurOps.pmiPairs(Tables(s, d, "documents"),
-        "doc_id", "text")),
-
-    // Robust per-source length outliers: median + MAD, count beyond
-    // 3·MAD — the corruption probe a mean±σ rule can't survive.
-    "q196_mad_outliers" -> ((s, d) =>
-      graft.ops.ProfileOps.madOutliers(Tables(s, d, "documents"),
-        "source", "n_chars")),
-
-    // Exact ed<=1 fuzzy join (SymSpell deletion-neighborhood
-    // equi-join + levenshtein verify): every third part name gets a
-    // deterministic one-character deletion, then resolves against the
-    // clean part table. Oracle is the brute-force quadratic — the
-    // match proves the neighborhood construction is exact.
-    // Part names repeat heavily (64 distinct across 20k rows at
-    // sf0.1), so raw pairs explode quadratically inside duplicate-
-    // name groups. GROUP-COLLAPSE first (the q178 discipline): run
-    // the SymSpell join over DISTINCT names carrying multiplicities,
-    // then reconstitute pair counts by multiplication — the 2.1M-pair
-    // frame never materializes, and the same shape is what survives
-    // 100 TB. min_pair decomposes because keys within a name group
-    // are chosen independently: min(l + r*1e6) = min_r*1e6 + min_l.
-    "q194_fuzzy_join" -> ((s, d) => {
-      val part = Tables(s, d, "part")
-      val dirtyG = part.filter(col("p_partkey") % 3 === 0)
-        .select(col("p_partkey").as("k"),
-          graft.ops.FuzzyOps.corruptName(col("p_partkey"), col("p_name"))
-            .as("nm"))
-        .groupBy("nm").agg(count(lit(1)).as("nl"), min("k").as("min_l"))
-      val cleanG = part.groupBy(col("p_name").as("nm"))
-        .agg(count(lit(1)).as("nr"), min("p_partkey").as("min_r"))
-      val pairsG = graft.ops.FuzzyOps.editJoin1(dirtyG, "nm", "nm",
-          cleanG, "nm", "nm")
-        .join(dirtyG.select(col("nm").as("l_key"), col("nl"), col("min_l")),
-          "l_key")
-        .join(cleanG.select(col("nm").as("r_key"), col("nr"), col("min_r")),
-          "r_key")
-      val perDist = pairsG.groupBy("dist")
-        .agg(sum(col("nl") * col("nr")).as("n_pairs"),
-          min(col("min_l") + col("min_r") * lit(1000000L)).as("min_pair"))
-      val nDirty = pairsG.select(col("dist"), col("l_key"), col("nl"))
-        .distinct().groupBy("dist").agg(sum("nl").as("n_dirty"))
-      val nClean = pairsG.select(col("dist"), col("r_key"), col("nr"))
-        .distinct().groupBy("dist").agg(sum("nr").as("n_clean"))
-      perDist.join(nDirty, "dist").join(nClean, "dist")
-        .select(col("dist"), col("n_pairs"), col("n_dirty"), col("n_clean"),
-          col("min_pair"))
-    }),
-
-    // DSIR importance-resampling weights (Xie et al. 2023): hashed
-    // unigram target-vs-raw log-likelihood ratio per doc; the
-    // doc_id%7 residue stands in for the curated target domain.
-    "q146_dsir_weights" -> ((s, d) =>
-      DsirOps.importanceWeights(Tables(s, d, "documents"),
-        "doc_id", "text", col("doc_id") % 7 === 0)
-        .withColumnRenamed("id", "doc_id")),
-
-    // Winnowing (MOSS) fingerprint dup pairs: injected boilerplate on
-    // the %29 residue exercises the shared-passage guarantee; the
-    // maxDf guard drops crawl-wide boilerplate before the pair join.
-    "q147_winnow_pairs" -> ((s, d) => {
-      val boiler = " Subscribe to our newsletter for weekly updates and exclusive offers today."
-      val t = when(col("doc_id") % 29 === 0, concat(col("text"), lit(boiler)))
-        .otherwise(col("text"))
-      WinnowOps.dupPairs(
-        Tables(s, d, "documents").withColumn("text", t),
-        "doc_id", "text")
-    }),
-
-    // Curriculum quartile schedule: exact-percentile cutoffs (no
-    // global sort), phase + deterministic shuffle key per doc.
-    "q148_curriculum" -> ((s, d) =>
-      SelectionOps.curriculumPhases(Tables(s, d, "documents"), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")),
-
-    // Token-budget greedy selection per source: best docs first until
-    // 5k tokens — the per-source mixture-shaping summary.
-    "q149_token_budget" -> ((s, d) =>
-      SelectionOps.tokenBudgetSelect(Tables(s, d, "documents"),
-        "doc_id", "text", "source", budget = 5000L)),
-
-    // Embedding centroid outliers: top-5 farthest vectors per label
-    // (mislabel/contamination audit) against exact fixed-point centroids.
-    "q150_centroid_outliers" -> ((s, d) =>
-      SimilarityOps.centroidOutliers(Tables(s, d, "embeddings"),
-        "vec_id", "embedding", "label", topK = 5)),
-
-    // Boilerplate passage miner: top repeated fingerprints per source
-    // with an example doc — feeds the strip-before-fingerprint
-    // blocklist (%29 injection plants a known boilerplate line).
-    // Perceptual image dedup: dHash (horizontal-gradient bits on the
-    // exact 8x8 milli-luminance grid) over REAL PNG decode; payloads
-    // keyed doc_id % 97 so distinct docs share identical images —
-    // exact dup groups by hash equality, the 100 TB bucket-join path.
-    "q177_image_dhash" -> ((s, d) => {
-      val pay = MultimodalOps.withImagePayloadKeyed(s,
-        Tables(s, d, "documents"), "doc_id", col("doc_id") % 97)
-      MultimodalOps.imageDHash(s, pay)
-        .groupBy("dhash")
-        .agg(count(lit(1)).as("n_images"),
-          min("doc_id").as("min_doc_id"))
-    }),
-
-    // TEMPORAL (point-in-time) join: each event resolves the
-    // dimension VERSION valid at its timestamp — the consumer side of
-    // the q185 SCD2 history. Deterministic two-version history per
-    // key (cutover Jan 16 for even keys, Jan 8 for odd), interval
-    // predicate valid_from <= t < valid_to.
-    "q190_temporal_join" -> ((s, d) => {
-      val cutEven = lit("2024-01-16 00:00:00").cast("timestamp").cast("double")
-      val cutOdd = lit("2024-01-08 00:00:00").cast("timestamp").cast("double")
-      val base = Tables(s, d, "supplier")
-        .select(col("s_suppkey").cast("long").as("k"))
-      val cut = when(col("k") % 2 === 0, cutEven).otherwise(cutOdd)
-      val history = base.select(col("k"), lit("v1").as("ver"),
-          lit(0.0).as("valid_from"), cut.as("valid_to"))
-        .unionByName(base.select(col("k"), lit("v2").as("ver"),
-          cut.as("valid_from"), lit(Double.MaxValue).as("valid_to")))
-      val facts = Tables(s, d, "events")
-        .select(col("event_id"), (col("user_id") % 100 + 1).cast("long").as("k"),
-          graft.ops.EventOps.epochS(col("ts")).as("t"))
-      facts.join(history,
-          facts("k") === history("k") &&
-            col("t") >= col("valid_from") && col("t") < col("valid_to"))
-        .groupBy("ver")
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(facts("k")).as("n_keys"))
-    }),
-
-    // SCD TYPE-2 merge: fold a mutated supplier snapshot (acctbal
-    // bumped on %7 keys, %13 keys deleted, 5 new keys) into a
-    // versioned history — the warehouse dimension-maintenance staple.
-    "q185_scd2_merge" -> ((s, d) => {
-      val sup = Tables(s, d, "supplier")
-        .select(col("s_suppkey").cast("long").as("k"),
-          col("s_name").as("name"),
-          col("s_acctbal").cast("double").as("acctbal"))
-      val history = sup.select(col("k"), col("name"), col("acctbal"),
-        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
-      val snapshot = sup.filter(col("k") % 13 =!= 0)
-        .select(col("k"), col("name"),
-          when(col("k") % 7 === 0, round(col("acctbal") + 100.0, 2))
-            .otherwise(col("acctbal")).as("acctbal"))
-        .unionByName(s.range(1, 6).select(
-          (col("id") + 900000).as("k"),
-          concat(lit("Supplier#new"), col("id")).as("name"),
-          lit(0.0).as("acctbal")))
-      graft.ops.SnapshotOps.scd2Merge(history, snapshot, "k",
-        Seq("name", "acctbal"), ts = 1000L)
-    }),
-
-    // RANGE-frame sliding window: per event, that user's event count
-    // and value sum over the PRECEDING HOUR (time-based frame, not
-    // row-based — q08's running_sum twin on the other frame type).
-    "q184_sliding_window" -> ((s, d) =>
-      Tables(s, d, "events").select(col("event_id"), col("user_id"),
-          graft.ops.EventOps.epochS(col("ts")).as("t"), col("value"))
-        .select(col("event_id"), col("user_id"),
-          count(lit(1)).over(Window.partitionBy("user_id").orderBy("t")
-            .rangeBetween(-3600, 0)).as("n_1h"),
-          round(sum("value").over(Window.partitionBy("user_id").orderBy("t")
-            .rangeBetween(-3600, 0)), 4).as("sum_1h"))),
-
-    // Scorer calibration curve: trained quality score bucketed into
-    // deciles vs the rule-filter label — the reliability diagram a
-    // scorer owner reads before trusting thresholds.
-    "q181_calibration" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sc = TextOps.qualityScore(docs, "doc_id", "text",
-        TextOps.TrainedQualityWeights)
-      val lab = TextOps.qualityRules(docs, "doc_id", "text")
-        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
-      ProfileOps.calibrationBuckets(sc.join(lab, "id"), "quality", "pos")
-    }),
-
-    // Rank-sum (Mann–Whitney) AUC of the trained scorer against the
-    // rule labels — exact, tie-aware (midranks), computed over the
-    // BOUNDED distinct-score frame (<= 100001 5dp values at any
-    // corpus size), so the global window is model-scale.
-    "q182_scorer_auc" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sc = TextOps.qualityScore(docs, "doc_id", "text",
-        TextOps.TrainedQualityWeights)
-      val lab = TextOps.qualityRules(docs, "doc_id", "text")
-        .select(col("doc_id").as("id"), col("passes").cast("int").as("pos"))
-      ProfileOps.rankAuc(sc.join(lab, "id"), "quality", "pos")
-    }),
-
-    // Language-ID confusion matrix: frozen-profile prediction (q96's
-    // kernel) tabulated against the table's lang column.
-    "q183_langid_confusion" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val langs = graft.ops.LangNgram.langs
-      val docs = Tables(s, d, "documents")
-      val scored = docs.select(col("doc_id"), col("lang").as("actual"),
-        call_function("graft_lang_scores",
-          coalesce(col("text"), lit(""))).as("_sc"))
-        .select(col("doc_id") +: col("actual") +:
-          langs.zipWithIndex.map { case (l, i) =>
-            element_at(col("_sc"), i + 1).as(s"s_$l")
-          }: _*)
-      val pred = langs.zipWithIndex.foldRight(lit(langs.last)) {
-        case ((l, i), rest) =>
-          val laters = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o"))
-          if (laters.isEmpty) rest
-          else when(laters.reduce(_ && _), lit(l)).otherwise(rest)
-      }
-      scored.withColumn("predicted", pred)
-        .groupBy("actual", "predicted")
-        .agg(count(lit(1)).as("n"))
-    }),
-
-    // Weekly retention-cohort matrix over the events stream — users
-    // cohorted by first-seen week, per-offset active counts.
-    "q179_retention_cohorts" -> ((s, d) =>
-      graft.ops.EventOps.retentionCohorts(Tables(s, d, "events"), "ts", "user_id")),
-
-    // First-touch-anchored conversion funnel signup -> view -> click
-    // -> purchase within 7 days; one event scan, chain of conditional
-    // mins over per-(user, step) sorted timestamp lists.
-    "q180_event_funnel" -> ((s, d) =>
-      graft.ops.EventOps.eventFunnel(Tables(s, d, "events"), "ts", "user_id",
-        "event_type", Seq("signup", "view", "click", "purchase"), windowDays = 7)),
-
-    // Image NEAR-dup pairs: banded dHash candidates + exact Hamming
-    // verify (pigeonhole-exact <= 3). Histogram output (hamming ->
-    // pair count + min pair) stays bounded at any corpus size.
-    "q178_image_neardup" -> ((s, d) => {
-      val pay = MultimodalOps.withImagePayloadKeyed(s,
-        Tables(s, d, "documents"), "doc_id", col("doc_id") % 97)
-      // group-collapsed stats: the quadratic step runs over DISTINCT
-      // hashes, never corpus pairs (spec-pinned equal to aggregating
-      // imageNearDupPairs)
-      MultimodalOps.imageNearDupStats(s, pay)
-    }),
-
-    // l-diversity audit: the k-anonymity companion — (source,
-    // len-bucket) classes that are k-safe but share ONE language leak
-    // it (homogeneity attack); lang plays the sensitive attribute.
-    "q176_l_diversity" -> ((s, d) =>
-      ProfileOps.lDiversity(Tables(s, d, "documents"), Seq(
-        "source" -> col("source"),
-        "len_bucket" -> (col("n_chars") / 500).cast("long")),
-        col("lang"), l = 3)),
-
-    // Unigram-LM tokenizer FIT (Kudo 2018 / SentencePiece family):
-    // distributed EM over the word table, exact micro-unit count
-    // aggregation — the trained-model twin of q80's frozen BPE. No
-    // SQL oracle (forward-backward is not SQL-expressible); the fit
-    // is differential-spec'd bit-for-bit vs an in-memory reference
-    // (UnigramSpec) and partition-invariant by construction.
-    "q173_unigram_fit" -> ((s, d) =>
-      graft.ops.UnigramOps.fitUnigram(Tables(s, d, "documents"), "text",
-        vocabSize = 120, seedCap = 600, iters = 3, minCount = 2)),
-
-    // Viterbi (max-likelihood) segmentation under the FROZEN unigram
-    // model — zero-shuffle inference scan, LRU word cache. Rows-only
-    // (runtime DP; expression differential in UnigramSpec).
-    "q174_unigram_encode" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val pieces = graft.ops.UnigramOps.unigramEncode(col("text"),
-        graft.ops.UnigramOps.DefaultUnigramEntries)
-      Tables(s, d, "documents").select(col("doc_id"),
-        coalesce(size(pieces), lit(0)).as("n_pieces"),
-        md5(to_binary(coalesce(array_join(pieces, " "), lit("")), lit("utf-8")))
-          .as("pieces_md5"))
-    }),
-
-    // Greedy longest-match (WordPiece inference) under the frozen
-    // DefaultVocab — deterministic AND SQL-replayable: the oracle
-    // recursive-CTE replays the exact candidate ladder.
-    "q175_wordpiece_tokens" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val pieces = graft.ops.UnigramOps.greedyEncodeCol(col("text"),
-        graft.ops.UnigramOps.DefaultVocab)
-      Tables(s, d, "documents").select(col("doc_id").as("id"),
-        coalesce(size(pieces), lit(0)).cast("long").as("n_pieces"),
-        md5(to_binary(coalesce(array_join(pieces, " "), lit("")), lit("utf-8")))
-          .as("pieces_md5"))
-    }),
-
-    // Hybrid retrieval: dense cosine top-20 + lexical 3-gram-jaccard
-    // top-20 per query, fused with reciprocal-rank fusion (K=60) —
-    // the production search stack's rank-merge step.
-    "q169_rrf_fusion" -> ((s, d) => {
-      val dense = SimilarityOps.knnBrute(Tables(s, d, "embeddings"),
-          "vec_id", "embedding", col("vec_id") < 5, 20)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("sim").desc, col("cand_id"))))
-        .select("query_id", "cand_id", "rank")
-      val lex = RetrievalOps.jaccardRun(Tables(s, d, "documents"),
-          "doc_id", "text", col("id") < 5, 20)
-        .select("query_id", "cand_id", "rank")
-      RetrievalOps.rrfFuse(Seq(dense, lex), k = 10)
-    }),
-
-    // Retrieval-quality eval: nDCG@10 of the dense cosine run against
-    // same-source relevance labels (source = topical ground truth in
-    // the synthetic corpus).
-    "q170_ndcg" -> ((s, d) => {
-      val run = SimilarityOps.knnBrute(Tables(s, d, "embeddings"),
-          "vec_id", "embedding", col("vec_id") < 20, 10)
-        .select(col("query_id"), col("cand_id"), col("sim").as("score"))
-      val docs = Tables(s, d, "documents").select(col("doc_id"), col("source"))
-      val labels = docs.where(col("doc_id") < 20)
-        .select(col("doc_id").as("query_id"), col("source").as("qs"))
-        .join(docs.select(col("doc_id").as("cand_id"), col("source").as("cs")),
-          col("qs") === col("cs") && col("query_id") =!= col("cand_id"))
-        .select(col("query_id"), col("cand_id"), lit(1.0).as("rel"))
-      RetrievalOps.ndcgAtK(run, labels, 10)
-    }),
-
-    // Bradley–Terry preference strengths per source from synthetic
-    // pairwise comparisons (adjacent doc pairs, longer doc preferred,
-    // even doc wins ties) — the RLHF judge-call aggregation.
-    "q171_bradley_terry" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      val a = docs.where(col("doc_id") % 2 === 0)
-        .select((col("doc_id") / 2).cast("long").as("pid"),
-          col("source").as("sa"), col("n_chars").as("ca"))
-      val b = docs.where(col("doc_id") % 2 === 1)
-        .select((col("doc_id") / 2).cast("long").as("pid"),
-          col("source").as("sb"), col("n_chars").as("cb"))
-      val comps = a.join(b, "pid").where(col("sa") =!= col("sb"))
-        .select(when(col("ca") >= col("cb"), col("sa")).otherwise(col("sb")).as("w"),
-          when(col("ca") >= col("cb"), col("sb")).otherwise(col("sa")).as("l"))
-      PreferenceOps.bradleyTerry(comps, "w", "l")
-    }),
-
-    // k-anonymity audit on (source, lang, length-bucket) quasi-
-    // identifiers — the release-time privacy probe after the q64 PII
-    // scrub.
-    "q172_k_anonymity" -> ((s, d) =>
-      ProfileOps.kAnonymity(Tables(s, d, "documents"), Seq(
-        "source" -> col("source"),
-        "lang" -> col("lang"),
-        "len_bucket" -> (col("n_chars") / 500).cast("long")), k = 5)),
-
-    "q168_boilerplate_miner" -> ((s, d) => {
-      val boiler = " Subscribe to our newsletter for weekly updates and exclusive offers today."
-      val t = when(col("doc_id") % 29 === 0, concat(col("text"), lit(boiler)))
-        .otherwise(col("text"))
-      WinnowOps.boilerplateMiner(
-        Tables(s, d, "documents").withColumn("text", t),
-        "doc_id", "text", "source", topK = 3, minDf = 3)
-    }),
-
-    // Dedup savings estimate: cluster the verified dups, keep one doc
-    // per cluster (the component label = min id), report how many
-    // tokens dedup would remove — the "is near-dup dedup worth
-    // running here" headline number.
-    "q166_dedup_savings" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      // WinnowStage: the funnel is materialized ONCE per (app, dir)
-      // and shared across q156/q158/q160/q165/q166/q167 — the
-      // production shape (run the scan once, fan analyses out).
-      val comps = GraphOps.connectedComponents(
-        graft.ops.WinnowStage.pairsAt(s, d, 0.3)
-          .select(col("id_a"), col("id_b")),
-        "id_a", "id_b")
-      val toks = docs.select(col("doc_id"),
-        coalesce(TextOps.tokenCount(col("text")).cast("long"), lit(0L)).as("toks"))
-      val clustered = toks
-        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
-        .agg(count_distinct(col("comp")).as("n_clusters"),
-          count(lit(1)).as("n_clustered_docs"),
-          sum(col("toks")).as("tokens_clustered"),
-          coalesce(sum(when(col("doc_id") =!= col("comp"), col("toks"))),
-            lit(0L)).as("tokens_removable"))
-      val totals = toks.agg(count(lit(1)).as("n_docs_total"),
-        sum(col("toks")).as("tokens_total"))
-      totals.crossJoin(clustered)
-        .withColumn("savings_frac",
-          round(col("tokens_removable").cast("double") / col("tokens_total"), 6))
-    }),
-
-    // Cross-source NEAR-dup leakage matrix (q140's exact-text audit
-    // at passage level): verified-pair counts per source pair.
-    "q167_source_neardup" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val vp = graft.ops.WinnowStage.pairsAt(s, d, 0.3)
-      val src = docs.select(col("doc_id"), col("source"))
-      vp.join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
-        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
-        .groupBy(least(col("sa"), col("sb")).as("source_a"),
-          greatest(col("sa"), col("sb")).as("source_b"))
-        .agg(count(lit(1)).as("n_pairs"))
-    }),
-
-    // Passage-level novelty vs the already-crawled reference (even
-    // ids): the persisted-winnow-index probe, q145's verbatim-passage
-    // companion.
-    "q164_ref_overlap" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      WinnowOps.refOverlap(
-        docs.where(col("doc_id") % 2 === 1),
-        docs.where(col("doc_id") % 2 === 0),
-        "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-    }),
-
-    // Dedup-threshold sweep: verified-pair counts at a Jaccard
-    // ladder from ONE candidate+verify pass — the production
-    // threshold-tuning curve.
-    "q165_threshold_sweep" -> ((s, d) =>
-      WinnowOps.thresholdSweepFrom(graft.ops.WinnowStage.pairs(s, d))),
-
-    // SFT example assembly with loss masks: prompt tokens mask 0,
-    // completion mask 1, truncated — the instruction-tuning twin of
-    // the pretraining pack (exploded layout for the oracle).
-    "q162_sft_masks" -> ((s, d) =>
-      graft.ops.PackOps.sftTokenRows(Tables(s, d, "documents"),
-        "doc_id", "text").withColumnRenamed("id", "doc_id")),
-
-    // Global token offsets (memmap index) via a two-level prefix sum:
-    // per-source exclusive cumsum + broadcast source bases — no
-    // global sort anywhere.
-    "q163_token_offsets" -> ((s, d) =>
-      graft.ops.PackOps.tokenOffsets(Tables(s, d, "documents"),
-        "doc_id", "text", "source").withColumnRenamed("id", "doc_id")),
-
-    // LEAKAGE-SAFE train/val/test split: the q69 splitter keyed by
-    // verified-dup COMPONENT instead of doc id — a near-dup cluster
-    // can never straddle a split boundary (the eval-contamination
-    // channel the plain per-doc split leaves open).
-    "q160_leakage_safe_split" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val comps = GraphOps.connectedComponents(
-        graft.ops.WinnowStage.pairsAt(s, d, 0.3)
-          .select(col("id_a"), col("id_b")),
-        "id_a", "id_b")
-      docs.select(col("doc_id"))
-        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("component"))
-        .withColumn("split",
-          SampleOps.assignSplit(col("component"), SplitSpec, salt = "split1"))
-    }),
-
-    // Distinct-1/distinct-2 diversity per source (mode-collapse /
-    // synthetic-batch audit).
-    "q161_distinct_n" -> ((s, d) =>
-      TextOps.distinctN(Tables(s, d, "documents"), "source", "text")),
-
-    // Cohen's kappa between the C4/Gopher rule filter and the
-    // IRLS-trained quality scorer — the scorer-agreement audit.
-    "q157_scorer_kappa" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val rules = TextOps.qualityRules(docs, "doc_id", "text")
-        .select(col("doc_id").as("id"), col("passes").as("flag"))
-      val qual = TextOps.qualityScore(docs, "doc_id", "text",
-          TextOps.TrainedQualityWeights)
-        .select(col("id"), (col("quality") > 0.5).as("flag"))
-      ProfileOps.cohenKappa(rules, qual)
-    }),
-
-    // Connected dup clusters over VERIFIED winnow pairs: the
-    // candidate→verify funnel feeding component labeling (group-level
-    // dedup decisions, not just pairs).
-    "q158_winnow_clusters" -> ((s, d) =>
-      GraphOps.connectedComponents(
-        graft.ops.WinnowStage.pairsAt(s, d, 0.3)
-          .select(col("id_a"), col("id_b")),
-        "id_a", "id_b")
-        .select(col("id"), col("comp").as("component"))),
-
-    // Asymmetric containment pairs (quote/excerpt inclusion): the %211
-    // docs are verbatim-contained in the %223 docs — resemblance-based
-    // dedup misses them, containment flags them. The pair frame is
-    // memoized per application+corpus (the injection is deterministic
-    // per dir, so the WinnowStage materialize-once discipline applies)
-    // at minContainment = 0.0; the 0.7 serve threshold is a filter on
-    // the already-5dp-rounded cont columns — bit-identical to running
-    // the funnel at 0.7 directly, which the unchanged oracle replays.
-    "q159_containment_pairs" -> ((s, d) =>
-      containmentStage(s, d)
-        .where(col("cont_a") >= 0.7 || col("cont_b") >= 0.7)),
-
-    // Winnowing with passage LOCALIZATION: matching fingerprint
-    // positions give "chars X–Y of A match U–V of B" spans (the
-    // %29-injected boilerplate sits at text end → spans at the tail).
-    "q155_winnow_spans" -> ((s, d) => {
-      val boiler = " Subscribe to our newsletter for weekly updates and exclusive offers today."
-      val t = when(col("doc_id") % 29 === 0, concat(col("text"), lit(boiler)))
-        .otherwise(col("text"))
-      WinnowOps.dupPairSpans(
-        Tables(s, d, "documents").withColumn("text", t),
-        "doc_id", "text")
-    }),
-
-    // Candidate→verify dedup composition: winnowing proposes, exact
-    // word-3-gram Jaccard confirms — the exact measure runs on
-    // |candidates|, never |corpus|².
-    "q156_verified_pairs" -> ((s, d) =>
-      graft.ops.WinnowStage.pairsAt(s, d, 0.3)
-        .select("id_a", "id_b", "n_shared", "jac")),
-
-    // Nearest-centroid classification confusion matrix: embedding-
-    // space label-noise audit (off-diagonal = suspect annotations).
-    "q151_centroid_confusion" -> ((s, d) =>
-      SimilarityOps.centroidConfusion(Tables(s, d, "embeddings"),
-        "vec_id", "embedding", "label")),
-
-    // Deterministic Achlioptas/JL random projection 64→8: the
-    // storage-shrink step before ANN indexing; sign matrix is a
-    // compile-time literal, the projection a pure codegen map.
-    "q152_random_projection" -> ((s, d) =>
-      SimilarityOps.randomProjection(Tables(s, d, "embeddings"),
-        "vec_id", "embedding", d = 64, m = 8)
-        .withColumnRenamed("id", "vec_id")),
-
-    // PSI numeric drift: first-half vs second-half value distribution
-    // over fixed reference bins — the release-gate companion to the
-    // q139 categorical JSD monitor.
-    "q153_psi_drift" -> ((s, d) =>
-      graft.ops.EventOps.psiDrift(Tables(s, d, "events"), "ts", "value")),
-
-    // Vocabulary coverage curve: corpus fraction covered by the top-k
-    // token types — tokenizer vocab sizing.
-    "q154_vocab_coverage" -> ((s, d) =>
-      TextOps.vocabCoverage(Tables(s, d, "documents"), "text")),
-
-    // Exact dedup: single hash shuffle keyed by the text digest.
-    "q30_exact_dedup" -> ((s, d) =>
-      DedupOps.exactDupGroups(Tables(s, d, "documents"), "doc_id", "text")),
-
-    // Per-document quality scoring — pure codegen projections, no shuffle.
-    "q31_quality_metrics" -> ((s, d) =>
-      TextOps.qualityMetrics(Tables(s, d, "documents"), "doc_id", "text")),
-
-    // Heuristic language-ID: marker-regex counts + argmax.
-    "q32_lang_predict" -> ((s, d) => {
-      val t = col("text")
-      Tables(s, d, "documents").select(
-        col("doc_id"),
-        TextOps.langScore(t, "en").as("s_en"),
-        TextOps.langScore(t, "de").as("s_de"),
-        TextOps.langScore(t, "fr").as("s_fr"),
-        TextOps.langScore(t, "es").as("s_es"),
-        TextOps.langPredict(t).as("lang_pred"))
-    }),
-
-    // Char-trigram profile language-ID (Cavnar–Trenkle/langid shape):
-    // frozen seed-text profiles, integer log-prob weights, one native
-    // scan projection — the real upgrade over q32's marker heuristic.
-    "q96_lang_ngram" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val langs = graft.ops.LangNgram.langs
-      val scored = Tables(s, d, "documents").select(col("doc_id"),
-        call_function("graft_lang_scores",
-          coalesce(col("text"), lit(""))).as("_sc"))
-        .select(col("doc_id") +: langs.zipWithIndex.map { case (l, i) =>
-          element_at(col("_sc"), i + 1).as(s"s_$l")
-        }: _*)
-      // argmax, earlier language wins ties (same fold as langPredict)
-      val pred = langs.zipWithIndex.foldRight(lit(langs.last)) {
-        case ((l, i), rest) =>
-          val laters = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o"))
-          if (laters.isEmpty) rest
-          else when(laters.reduce(_ && _), lit(l)).otherwise(rest)
-      }
-      scored.withColumn("lang_pred", pred)
-    }),
-
-    // Profile-TABLE language-ID: the wide (10-language) model routed
-    // through its DataFrame form (toTable -> fromTable -> score) — the
-    // model-as-data twin of q96's compile-time profiles; same kernel,
-    // same zero-shuffle scan, profiles swappable without a recompile.
-    "q102_lang_profile_table" -> ((s, d) => {
-      val P = graft.ops.LangProfiles
-      val model = P.fromTable(P.toTable(s, P.wideModel))
-      P.score(Tables(s, d, "documents"), "doc_id", "text", model)
-        .withColumnRenamed("id", "doc_id")
-    }),
-
-    // Whitespace-insensitive fingerprint (near-dup key modulo formatting).
-    "q33_fingerprint" -> ((s, d) =>
-      Tables(s, d, "documents").select(
-        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
-
-    // BPE-ish regex tokenizer count (letters run | digit | other symbol).
-    "q34_bpe_tokens" -> ((s, d) =>
-      Tables(s, d, "documents").select(
-        col("doc_id"),
-        // engine-neutral whitespace class (Java \s has \x0B, RE2 not)
-        regexp_count(col("text"),
-          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r]")).as("n_bpe"))),
-
-    // Multimodal plumbing: binary payload + per-partition decode (stub
-    // codec, real schema/batch shape — deterministic so oracle-checkable).
-    "q35_multimodal_meta" -> ((s, d) =>
-      MultimodalOps.decodeMeta(s,
-        MultimodalOps.withBinaryPayload(Tables(s, d, "documents"), "doc_id", "text"))),
-
-    // REAL image decode: per-doc PNG payloads (ImageIO-encoded
-    // formula pixels) read back through the real codec; exact channel
-    // sums + mean luminance. PNG is lossless, so the oracle replays
-    // the pixel formula — a codec/stride/channel bug breaks the hash.
-    "q97_image_decode" -> ((s, d) =>
-      MultimodalOps.imageStats(s,
-        MultimodalOps.withImagePayload(s, Tables(s, d, "documents"), "doc_id"))),
-
-    // REAL image resize: decode + box-average onto an 8x8 luminance
-    // grid, cells as scaled-integer millis (order-free exact math).
-    "q98_image_resize" -> ((s, d) =>
-      MultimodalOps.resizeGrid(s,
-        MultimodalOps.withImagePayload(s, Tables(s, d, "documents"), "doc_id"))),
-
-    // REAL JPEG decode under a tolerance band: smooth-formula pixels
-    // through the real lossy codec; the oracle pins the portable
-    // CONTRACT (decoded dims + every channel within 12 of the
-    // formula) — decode failures, stride bugs, and channel swaps all
-    // flip within_tol, codec-version jitter cannot (measured max
-    // error 5 at quality 0.85; a channel swap errs >= 27 everywhere).
-    "q103_jpeg_decode" -> ((s, d) =>
-      MultimodalOps.jpegDecodeCheck(s,
-        MultimodalOps.withJpegPayload(s, Tables(s, d, "documents"), "doc_id"))),
-
-    // REAL audio decode: per-doc WAV payloads (AudioSystem-encoded
-    // formula samples) parsed back through the real codec; exact
-    // amplitude stats. PCM is lossless — the oracle replays the
-    // sample formula, so the decoder is verified, not trusted.
-    "q99_audio_decode" -> ((s, d) =>
-      MultimodalOps.audioStats(s,
-        MultimodalOps.withAudioPayload(s, Tables(s, d, "documents"), "doc_id"))),
-
-    // Audio FEATURES: integer-exact nearest-neighbor resample to 3 kHz
-    // + 100 ms duration buckets over the real-decoded WAV samples —
-    // the oracle replays the index map over the sample formula.
-    "q104_audio_features" -> ((s, d) =>
-      MultimodalOps.audioFeatures(s,
-        MultimodalOps.withAudioPayload(s, Tables(s, d, "documents"), "doc_id"))),
-
-    // Video container metadata via the real GVI1 header walk (codec
-    // stubbed by design — the container libs aren't present; the
-    // byte-walk, validation and stride math are real and the luma
-    // formula is SQL-replayable, the WAV discipline applied to
-    // video).
-    "q360_video_meta" -> ((s, d) =>
-      MultimodalOps.videoMeta(s,
-        MultimodalOps.withVideoPayload(s, Tables(s, d, "documents"),
-          "doc_id"))),
-
-    // Every-4th-frame sampling with mean-luma features and scene-cut
-    // flags — the brief's video frame-sample operator.
-    "q361_video_frames" -> ((s, d) =>
-      MultimodalOps.videoFrameSample(s,
-        MultimodalOps.withVideoPayload(s, Tables(s, d, "documents"),
-          "doc_id"), every = 4, cutMilli = 2000L)),
-
-    // Temporal near-dup signature (luma-derivative sign bits) over
-    // KEYED payloads — real duplicate groups, bucket-key dedup.
-    "q362_video_neardup" -> ((s, d) =>
-      MultimodalOps.videoTemporalHash(s,
-        MultimodalOps.withVideoPayloadKeyed(s, Tables(s, d, "documents"),
-          "doc_id", col("doc_id") % 17))
-        .groupBy("vfp", "n_frames")
-        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))),
-
-    // Compression-ratio quality signal — no oracle (zlib is JVM-side
-    // only; rows-only check), ordering/determinism pinned in OpsSpec.
-    "q109_compression_ratio" -> ((s, d) =>
-      TextOps.compressionSignal(Tables(s, d, "documents"), "doc_id", "text")),
-
-    // HTML boilerplate strip (crawl extract stage): deterministic
-    // HTML manufactured around each document (messyUrl precedent),
-    // script/style/comment blocks dropped, tags to spaces, minimal
-    // entity set decoded — the oracle replays the same RE2-safe chain.
-    "q107_html_extract" -> ((s, d) => {
-      val html = concat(
-        lit("<html><head><title>D"), col("doc_id").cast("string"),
-        lit("</title><style>p {color: red;}</style>" +
-          "<script>if (1<2) { go(); }</script></head><body><h1>Doc "),
-        col("doc_id").cast("string"),
-        lit("</h1><p>"), col("text"),
-        lit("</p><!-- hidden --><p>&nbsp;Tom &amp; Jerry &lt;3 " +
-          "&quot;quoted&quot; &#39;q&#39;</p></body></html>"))
-      Tables(s, d, "documents")
-        .select(col("doc_id"), TextOps.htmlExtract(html).as("text_clean"))
-        .withColumn("n_chars_clean", length(col("text_clean")))
-    }),
-
-    // Symmetric int8 embedding quantization (the 4x storage cut before
-    // indexing): per-vector scale, exact integer code summary.
-    "q108_embedding_quantize" -> ((s, d) =>
-      SimilarityOps.quantizeInt8(Tables(s, d, "embeddings"),
-        "vec_id", "embedding")),
-
-    // Content-defined chunking dedup: rolling-hash boundaries (exact
-    // polynomial window hash — the oracle replays it per position),
-    // md5 chunk fingerprints, shift-tolerant shared-chunk stats.
-    "q106_cdc_chunks" -> ((s, d) =>
-      DedupOps.cdcChunkStats(Tables(s, d, "documents"), "doc_id", "text")),
-
-    // Exact brute-force cosine top-10 for 5 query vectors (the exact
-    // baseline; the scale path is q38's LSH variant).
-    "q36_knn_brute" -> ((s, d) =>
-      SimilarityOps.knnBrute(Tables(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 5, 10)),
-
-    // Documents rollup by (lang, source).
-    "q37_doc_stats" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n"),
-          round(avg("n_chars"), 4).as("avg_chars"),
-          sum("n_chars").as("sum_chars"))),
-
-    // LSH-bucketed approximate top-k (hyperplane sign bits), with one
-    // Hamming-1 multi-probe — no oracle (xxhash64 planes), rows-only +
-    // recall spec in ScalaTest.
-    "q38_knn_lsh" -> ((s, d) =>
-      SimilarityOps.knnLsh(Tables(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 5, 10, nbits = 4, probes = 2)),
-
-    // Exact n-gram Jaccard pairs over 3-gram shingles.
-    "q39_ngram_jaccard" -> ((s, d) =>
-      DedupOps.ngramJaccardPairs(
-        DedupOps.wordShingles(Tables(s, d, "documents"), "doc_id", "text", 3), 0.2,
-        sizesProvided = true)),
-
-    // MinHash+LSH near-dup candidate pairs — no oracle (xxhash64).
-    "q40_minhash_lsh" -> ((s, d) =>
-      DedupOps.minHashLshPairs(Tables(s, d, "documents"), "doc_id", "text")),
-
-    // 64-bit SimHash — no oracle (xxhash64).
-    "q41_simhash" -> ((s, d) =>
-      DedupOps.simHash(Tables(s, d, "documents"), "doc_id", "text")),
-
-    // SimHash near-dup PAIRS: banded chunk buckets, exact for
-    // hamming<=3 by pigeonhole — no oracle (xxhash64); exactness vs
-    // the brute-force hamming join is spec-verified.
-    "q86_simhash_pairs" -> ((s, d) =>
-      DedupOps.simHashPairs(Tables(s, d, "documents"), "doc_id", "text",
-        maxHamming = 3)),
-
-    // Embedding-cosine near-dup pairs via hyperplane buckets — no
-    // oracle (xxhash64 planes), recall covered in ScalaTest.
-    "q47_embedding_neardup" -> ((s, d) =>
-      SimilarityOps.embeddingNearDupPairs(Tables(s, d, "embeddings"),
-        "vec_id", "embedding", minCosine = 0.35, nbits = 4)),
-
-    // IVF approximate top-k (KMeans coarse quantizer) — no oracle
-    // (iterative clustering has no SQL equivalent); recall vs the
-    // exact baseline is asserted in ScalaTest.
-    "q48_knn_ivf" -> ((s, d) =>
-      SimilarityOps.knnIvf(s, Tables(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 5, 10)),
-
-    // IVF-PQ approximate top-k: coarse cells + product-quantized ADC
-    // scan + exact re-rank of the shortlist — the billion-row ANN
-    // shape (codes are ~32× smaller than the vectors). No oracle
-    // (sampled k-means); recall floor enforced via q83 + ScalaTest.
-    "q105_knn_ivfpq" -> ((s, d) =>
-      SimilarityOps.knnIvfPq(s, Tables(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 5, 10, nprobe = 8, m = 16, refine = 8)),
-
-    // Frame sampling plumbing: evenly-spaced byte windows per payload.
-    "q49_frame_sample" -> ((s, d) =>
-      MultimodalOps.sampleFrames(s,
-          MultimodalOps.withBinaryPayload(Tables(s, d, "documents"), "doc_id", "text"), 4)
-        .select(col("doc_id"), col("frame_idx"), col("offset"),
-          length(col("frame")).cast("int").as("frame_len"))),
-
-    // Resize-feature plumbing (fixed-width byte-bucket vector) — no
-    // oracle (blob byte indexing is not portable SQL); rows-only +
-    // determinism spec in ScalaTest.
-    "q50_resize_feature" -> ((s, d) =>
-      MultimodalOps.resizeFeature(s,
-          MultimodalOps.withBinaryPayload(Tables(s, d, "documents"), "doc_id", "text"), 8)
-        .select(col("doc_id"), round(aggregate(col("feature"), lit(0.0d), _ + _), 4).as("feat_sum"))),
-
-    // Token-frequency repetition stats (Gopher-style): explode + two
-    // map-side-combined aggregations, shuffles keyed by doc id.
-    "q58_token_stats" -> ((s, d) =>
-      TextOps.tokenStats(Tables(s, d, "documents"), "doc_id", "text")),
-
-    // Duplicate n-gram fractions (count + character share) — pure
-    // per-row array expressions, zero shuffles.
-    "q59_repetition" -> ((s, d) =>
-      TextOps.repetitionMetrics(Tables(s, d, "documents"), "doc_id", "text")),
-
-    // Benchmark-contamination sweep: corpus docs vs the distinct
-    // 3-gram set of a (deterministic) benchmark slice; broadcast
-    // semi-join, corpus never shuffled on the gram.
-    "q60_contamination" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      DedupOps.contaminationOverlap(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "doc_id", "text", 3)
-    }),
-
-    // Cluster-dedup retention: keep the longest doc per whitespace-
-    // insensitive fingerprint (ties → lowest id); one key shuffle.
-    "q61_keep_best" -> ((s, d) =>
-      DedupOps.keepBest(Tables(s, d, "documents"), "doc_id",
-        TextOps.fingerprint(col("text")), col("n_chars"))),
-
-    // Corpus vocabulary (tokenizer-training / stopword-mining input):
-    // explode + one token-keyed aggregation + bounded ordered take.
-    "q65_vocabulary" -> ((s, d) =>
-      TextOps.vocabulary(Tables(s, d, "documents"), "doc_id", "text", 100)),
-
-    // PII detect + redact: deterministic PII is injected into the
-    // synthetic corpus (which has none) so the scrub has real work;
-    // everything is codegen regex in one projection — no shuffle.
-    "q64_pii_scrub" -> ((s, d) => {
-      val injected = concat(col("text"),
-        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" from 10.0."), (col("doc_id") % 250).cast("string"), lit(".1")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")))
-      Tables(s, d, "documents")
-        .select(col("doc_id"), injected.as("t"))
-        .select(col("doc_id"),
-          TextOps.emailCount(col("t")).as("n_email"),
-          TextOps.ipv4Count(col("t")).as("n_ip"),
-          TextOps.phoneCount(col("t")).as("n_phone"),
-          md5(TextOps.redactPii(col("t")).cast("binary")).as("redacted_md5"))
-    }),
-
-    // End-to-end curation funnel: length → language → repetition →
-    // contamination → dedup, all signals from ONE corpus scan, stage
-    // counts from one aggregation of cumulative flags.
-    "q63_curation_funnel" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      graft.ops.CurationPipeline.funnel(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "doc_id", "text")
-    }),
-
-    // Near-dup clusters: connected components over the exact-Jaccard
-    // pair graph (q39's edge set) — pairs become actionable dedup
-    // groups. Iterative min-label propagation, lineage truncated per
-    // round (GraphOps scaladoc).
-    "q66_dup_components" -> ((s, d) =>
-      GraphOps.connectedComponents(
-        DedupOps.ngramJaccardPairs(
-          DedupOps.wordShingles(Tables(s, d, "documents"), "doc_id", "text", 3),
-          0.2, sizesProvided = true),
-        "a_id", "b_id")
-        .select(col("id"), col("comp").as("component"))),
-
-    // Deterministic domain-mixing sample: per-source keep fractions
-    // decided by an md5-prefix coordinate — rerun/engine/partitioning
-    //-stable, pure codegen filter (SampleOps scaladoc).
-    "q68_mixture_sample" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .filter(SampleOps.mixturePredicate(col("doc_id"), col("source"),
-          MixtureFractions, default = 0.05, salt = "mix1"))
-        .select(col("doc_id"), col("source"))),
-
-    // Deterministic train/val/test split assignment on the same hash
-    // coordinate scheme (independent salt).
-    "q69_split_assign" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .select(col("doc_id"),
-          SampleOps.assignSplit(col("doc_id"), SplitSpec, salt = "split1")
-            .as("split"))),
-
-    // Line-level dedup (RefinedWeb-style boilerplate removal). The
-    // synthetic corpus has no newlines, so the harness query injects
-    // them deterministically (before every "table" token — same
-    // expression replayed in the oracle); the operator itself is
-    // generic over any line-structured text.
-    "q71_line_dedup" -> ((s, d) =>
-      // the op returns the cleaned corpus text (its downstream use);
-      // the harness compacts it to md5 for the oracle compare
-      TextOps.lineDedup(
-        Tables(s, d, "documents")
-          .select(col("doc_id"),
-            regexp_replace(col("text"), " table", "\ntable").as("text")),
-        "doc_id", "text", minDupCount = 2)
-        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
-          md5(col("cleaned").cast("binary")).as("cleaned_md5"))),
-
-    // BM25 relevance of every document against a fixed term bag —
-    // retrieval-style quality ranking; doc-length norm carried through
-    // the explode so the scoring needs no per-doc join.
-    "q72_bm25" -> ((s, d) =>
-      TextOps.bm25(Tables(s, d, "documents"), "doc_id", "text",
-        terms = Seq("spark", "join", "merge"))
-        .select(col("id").as("doc_id"), col("bm25"))),
-
-    // Exact-n per-stratum deterministic sample (eval-set construction):
-    // 20 docs per source, stable across reruns/engines/partitionings.
-    "q73_stratified_take" -> ((s, d) =>
-      SampleOps.stratifiedTake(
-        Tables(s, d, "documents").select(col("doc_id"), col("source")),
-        "doc_id", "source", n = 20, salt = "strat1")),
-
-    // Context-window sharding: overlapping 64-token chunks (stride 48)
-    // per document — zero shuffles, chunk text hashed for compactness.
-    "q74_chunk_tokens" -> ((s, d) =>
-      graft.ops.PackOps.chunkTokens(Tables(s, d, "documents"),
-          "doc_id", "text", chunkSize = 64, overlap = 16)
-        .select(col("id").as("doc_id"), col("chunk_idx"),
-          col("n_chunk_tokens"), md5(col("chunk").cast("binary")).as("chunk_md5"))),
-
-    // Sequence packing: docs laid end-to-end in 8 hash buckets, cut
-    // every 256 tokens; reports each doc's sequence span. Every piece
-    // of the bucket/count arithmetic is engine-congruent with the
-    // DuckDB oracle: `%` (sign of the dividend in both engines, unlike
-    // pmod), an explicit whitespace class (Java `\s` includes \x0B,
-    // RE2's does not), and a null-text coalesce (DuckDB greatest()
-    // propagates NULL where Spark's skips it).
-    "q75_pack_sequences" -> ((s, d) =>
-      graft.ops.PackOps.packSequences(Tables(s, d, "documents"), "doc_id",
-        coalesce(regexp_count(col("text"), lit("[^ \\t\\n\\f\\r]+")), lit(0)),
-        col("doc_id") % lit(8), contextLen = 256)),
-
-    // One-pass bounded-memory heavy hitters (Misra-Gries native
-    // aggregate). The synthetic corpus has ~31 distinct tokens, below
-    // the capacity, so the summary is provably exact here (the oracle
-    // pins that property); the approximate regime is spec-tested.
-    "q77_heavy_hitters" -> ((s, d) =>
-      TextOps.approxTopTokens(Tables(s, d, "documents"), "text", capacity = 64)),
-
-    // Data-driven curation cut: per-source p10/p90 length trim —
-    // thresholds from a per-stratum percentile agg, broadcast back,
-    // pure filter (corpus never shuffles).
-    "q78_adaptive_trim" -> ((s, d) =>
-      TextOps.adaptiveLengthTrim(Tables(s, d, "documents"), "source", "n_chars",
-          lo = 0.1, hi = 0.9)
-        .select(col("doc_id"), col("source"), col("n_chars"))),
-
-    // Model-based quality scoring (CCNet/fasttext-filter shape): fixed
-    // auditable linear weights over the quality signals, logistic
-    // squash, one codegen projection.
-    "q79_quality_score" -> ((s, d) =>
-      TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text")
-        .select(col("id").as("doc_id"), col("quality"))),
-
-    // Curation funnel V2: the integration flagship of the trained/
-    // model-based stages — lang-ID (n-gram profiles) -> trained
-    // quality -> substring-dup exposure -> fingerprint dedup, one
-    // cumulative funnel row. Every stage's oracle composes into one
-    // SQL, so the whole pipeline is value-checked end to end.
-    "q100_curation_v2" -> ((s, d) =>
-      graft.ops.CurationPipeline.funnelV2(
-        Tables(s, d, "documents"), "doc_id", "text")),
-
-    // Same scorer with TRAINED weights: deterministic distributed
-    // IRLS (QualityFit.fit, label = target language) run offline and
-    // frozen — scoring stays one codegen projection; only the
-    // weight literals differ from q79.
-    "q95_trained_quality" -> ((s, d) =>
-      TextOps.qualityScore(Tables(s, d, "documents"), "doc_id", "text",
-          TextOps.TrainedQualityWeights)
-        .select(col("id").as("doc_id"), col("quality"))),
-
-    // Incremental-pipeline change detection: current snapshot diffed
-    // against a deterministically-derived "previous" one (docs with
-    // doc_id % 7 = 0 didn't exist yet; % 5 = 0 had different text) —
-    // per-id added/removed/changed/unchanged. Digest-only join.
-    "q92_snapshot_diff" -> ((s, d) => {
-      val cur = Tables(s, d, "documents")
-      val prev = cur.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v1")))
-            .otherwise(col("text")).as("text"))
-      graft.ops.SnapshotOps.snapshotDiff(cur, prev, "doc_id", "text")
-    }),
-
-    // Dataset assembly report: per-source docs / whitespace tokens /
-    // BPE tokens and corpus shares — the "what did we build"
-    // scoreboard of a curation run. One corpus scan + one tiny agg.
-    "q91_dataset_report" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val perDoc = Tables(s, d, "documents").select(col("source"),
-        coalesce(regexp_count(col("text"), lit("[^ \\t\\n\\f\\r]+")), lit(0))
-          .as("n_tok"),
-        size(coalesce(graft.ops.BpeOps.bpeEncode(col("text")),
-          array().cast("array<string>"))).cast("long").as("n_bpe"))
-      val bySrc = perDoc.groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tok").as("n_tokens"),
-        sum("n_bpe").as("n_bpe_tokens"))
-      // totals via an unpartitioned window on the AGGREGATED frame
-      // (source-cardinality rows): a crossJoin(agg(bySrc)) would plan
-      // the whole scan+BPE subtree twice
-      val w = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      bySrc
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("n_bpe_tokens"),
-          round(col("n_docs").cast("double") /
-            sum("n_docs").over(w), 5).as("doc_share"),
-          round(col("n_tokens").cast("double") /
-            sum("n_tokens").over(w), 5).as("token_share"))
-    }),
-
-    // Corpus-LM log-perplexity (the CCNet quality filter's shape):
-    // add-one bigram model trained as two aggregations, each doc
-    // scored by mean bigram NLL. Fully relational -> exact oracle.
-    "q90_perplexity" -> ((s, d) =>
-      TextOps.perplexityScore(Tables(s, d, "documents"), "doc_id", "text")
-        .select(col("id").as("doc_id"), col("logppl"))),
-
-    // TF-IDF (smoothed sklearn idf, minDf=2): per-doc summary of the
-    // vector-space weights — docs whose every term is sub-minDf drop
-    // out (inner semantics, mirrored by the oracle's join).
-    "q93_tfidf" -> ((s, d) =>
-      TextOps.tfidfWeights(Tables(s, d, "documents"), "doc_id", "text",
-          minDf = 2)
-        .groupBy(col("id").as("doc_id"))
-        .agg(count(lit(1)).as("n_terms"),
-          round(sum("w"), 5).as("sum_w"),
-          round(max("w"), 5).as("max_w"))),
-
-    // Tokens -> ids (training assembly's final mapping step): dense
-    // lexicographic vocabulary ids, per-doc id sequence digested.
-    "q88_token_ids" -> ((s, d) =>
-      graft.ops.BpeOps.tokenIds(Tables(s, d, "documents"), "doc_id", "text")
-        .select(col("id").as("doc_id"), col("n_bpe_tokens"), col("ids_md5"))),
-
-    // Exact substring-level dedup (Lee et al. ExactSubstr family):
-    // per-doc summary of maximal verbatim >= 4-token spans repeated
-    // anywhere in the corpus.
-    "q94_substr_spans" -> ((s, d) => {
-      val spans = DedupOps.substrDupSpans(Tables(s, d, "documents"),
-        "doc_id", "text", k = 4)
-      Tables(s, d, "documents").select(col("doc_id"))
-        .join(spans.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .groupBy("doc_id")
-        .agg(count(col("span_start")).as("n_spans"),
-          coalesce(sum("span_tokens"), lit(0L)).as("sum_span_tokens"),
-          coalesce(max("span_tokens"), lit(0L)).as("max_span_tokens"))
-    }),
-
-    // ExactSubstr REMOVAL (Lee et al. detect → cut): every flagged
-    // duplicate span cut from its document, survivors token-rejoined.
-    // The oracle replays the cut in SQL (covered-position anti-join).
-    "q101_remove_spans" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val spans = DedupOps.substrDupSpans(docs, "doc_id", "text", k = 4)
-      DedupOps.removeSpans(docs, "doc_id", "text", spans)
-        .select(col("id").as("doc_id"), col("n_tokens_removed"),
-          col("text_clean"))
-    }),
-
-    // Surgical decontamination (detect → cut vs a benchmark): spans
-    // of verbatim 3-gram overlap with the q60 benchmark slice are cut
-    // from the corpus slice; the oracle replays span detection AND
-    // the covered-position cut.
-    "q110_decontaminate" -> ((s, d) => {
-      val all = Tables(s, d, "documents")
-      val corpus = all.filter(col("doc_id") % 97 =!= 0)
-      val bench = all.filter(col("doc_id") % 97 === 0)
-      val spans = DedupOps.benchmarkSpans(corpus, bench, "doc_id", "text", 3)
-      DedupOps.removeSpans(corpus, "doc_id", "text", spans)
-        .select(col("id").as("doc_id"), col("n_tokens_removed"),
-          col("text_clean"))
-    }),
-
-    // Deterministic WEIGHTED sample (Efraimidis-Spirakis by content
-    // hash): top-50 docs by u^(1/n_chars) — quality/length-weighted
-    // corpus selection with the uniform sampler's reproducibility.
-    "q121_weighted_sample" -> ((s, d) =>
-      SampleOps.weightedPriority(Tables(s, d, "documents"),
-        "doc_id", "n_chars", n = 50, salt = "wsample:")),
-
-    // Cluster exemplars: the 3 members nearest each k-means center —
-    // the human-readable cluster label seed. Rows-only (iterative).
-    "q122_cluster_exemplars" -> ((s, d) =>
-      SimilarityOps.kmeansExemplars(s, Tables(s, d, "embeddings"),
-        "vec_id", "embedding", k = 8, maxIter = 4, m = 3)),
-
-    // Sentence-preserving passage windows (the RAG chunker): new
-    // passage at each 40-token crossing, sentences never split;
-    // zero-shuffle array expressions. The synthetic corpus is one
-    // giant sentence per doc, so sentence boundaries are injected
-    // deterministically (q84's replace idiom, mirrored in the
-    // oracle) to exercise the multi-passage path.
-    "q134_passage_windows" -> ((s, d) =>
-      graft.ops.PackOps.passageWindows(
-        Tables(s, d, "documents").select(col("doc_id"),
-          replace(col("text"), lit(" value"), lit(". value")).as("text")),
-        "doc_id", "text", tokensPerPassage = 40)
-        .withColumnRenamed("id", "doc_id")),
-
-    // Epoch/repetition budgeting: the q128 mixture priced against a
-    // 105k-token run with a 4-epoch repetition cap — desired vs
-    // granted tokens and the shortfall per domain.
-    "q133_epoch_budget" -> ((s, d) =>
-      SampleOps.epochBudget(Tables(s, d, "documents"),
-        "source", "text", alpha = 0.3, budgetTokens = 105000L,
-        maxEpochs = 4.0)),
-
-    // Context-length budgeting: truncation loss + padding waste vs
-    // packed utilization at candidate sequence lengths, over the
-    // frozen-BPE token counts — the pick-L-before-training table.
-    "q132_pack_efficiency" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val counts = Tables(s, d, "documents").select(
-        size(coalesce(graft.ops.BpeOps.bpeEncode(col("text")),
-          array().cast("array<string>"))).as("n_bpe"))
-      graft.ops.PackOps.packEfficiency(counts, "n_bpe", Seq(32, 64, 128))
-    }),
-
-    // BPE fertility by language (chars/token, tokens/word): the
-    // multilingual tokenizer-fairness report over the frozen model.
-    "q130_bpe_fertility" -> ((s, d) =>
-      graft.ops.BpeOps.fertilityByLang(Tables(s, d, "documents"),
-        "text", "lang")),
-
-    // Hard-negative mining: top-3 most-similar DIFFERENT-label vectors
-    // per query — contrastive-training pair generation (exact
-    // baseline; LSH/IVF is the scale path, q38/q48).
-    "q131_hard_negatives" -> ((s, d) =>
-      SimilarityOps.hardNegatives(Tables(s, d, "embeddings"),
-        "vec_id", "embedding", "label", col("vec_id") < 8, 3)),
-
-    // Zipf power-law fit of the token-frequency distribution — the
-    // one-row corpus-health probe (slope ~ -1 is natural text).
-    "q129_zipf_fit" -> ((s, d) =>
-      ProfileOps.zipfFit(Tables(s, d, "documents"), "text")),
-
-    // Temperature-based domain mixture reweighting (XLM-R sampler):
-    // token shares flattened at alpha=0.3, per-domain boost table.
-    "q128_domain_mixture" -> ((s, d) =>
-      SampleOps.temperatureWeights(Tables(s, d, "documents"),
-        "source", "text", alpha = 0.3)),
-
-    // Aho-Corasick phrase-blocklist tagging: every phrase counted in
-    // ONE text pass via the native automaton expression (10k phrases
-    // = still one scan; the regex alternative is one scan per
-    // phrase). Spam/boilerplate tells are injected per doc_id residue
-    // (the clean-corpus q112/q114 idiom), mirrored in the oracle.
-    "q127_blocklist" -> ((s, d) => {
-      val t =
-        when(col("doc_id") % 6 === 0,
-          concat(col("text"), lit(" Click here to BUY NOW and buy now again")))
-        .when(col("doc_id") % 10 === 0,
-          concat(lit("Lorem Ipsum dolor. "), col("text"),
-            lit(" All Rights Reserved. Subscribe!")))
-        .when(col("doc_id") % 17 === 0,
-          concat(col("text"),
-            lit(" This site uses cookies. Sign up for free shipping. Limited Time Offer!")))
-        .otherwise(col("text"))
-      BlocklistOps.tag(
-        Tables(s, d, "documents").select(col("doc_id"), t.as("text")),
-        "doc_id", "text")
-    }),
-
-    // Interpolated Kneser-Ney bigram LM trained on the English slice
-    // (the CCNet shape: trusted reference LM, score everything). The
-    // model is a dataset: every reference bigram type with its counts
-    // and final KN probability.
-    "q125_kn_model" -> ((s, d) =>
-      LmOps.model(Tables(s, d, "documents").where(col("lang") === "en"),
-        "doc_id", "text")),
-
-    // KN perplexity of EVERY document under the q125 English model —
-    // non-English docs surface as high-ppl/high-OOV outliers, the
-    // CCNet keep/bucket signal.
-    "q126_kn_ppl" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      LmOps.score(docs, docs.where(col("lang") === "en"), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-    }),
-
-    // N-gram novelty vs a reference corpus (crawl-refresh signal):
-    // even docs are "already crawled", odd docs are the candidate
-    // batch scored against them.
-    "q145_novelty_vs_ref" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      TextOps.gramNoveltyVsRef(
-        docs.where(col("doc_id") % 2 === 1),
-        docs.where(col("doc_id") % 2 === 0),
-        "doc_id", "text", n = 3)
-        .withColumnRenamed("id", "doc_id")
-    }),
-
-    // Per-source quality percentiles (mixture-design source ranking):
-    // exact interpolated p10/p50/p90 of the IRLS-trained quality
-    // score per source.
-    "q143_source_quality" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val qual = TextOps.qualityScore(docs, "doc_id", "text",
-        TextOps.TrainedQualityWeights)
-      docs.select(col("doc_id").as("id"), col("source"))
-        .join(qual, Seq("id"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          expr("percentile(quality, array(0.1D, 0.5D, 0.9D))").as("_p"))
-        .select(col("source"), col("n_docs"),
-          round(element_at(col("_p"), 1), 5).as("p10"),
-          round(element_at(col("_p"), 2), 5).as("p50"),
-          round(element_at(col("_p"), 3), 5).as("p90"))
-    }),
-
-    // Heaps' law vocabulary-growth fit across sources: V = k*N^beta;
-    // the q129 Zipf probe's companion corpus-health number.
-    "q144_heaps_fit" -> ((s, d) =>
-      ProfileOps.heapsFit(Tables(s, d, "documents"), "text", "source")),
-
-    // Pairwise source-similarity matrix: token-distribution JSD for
-    // every source pair (mixture-design / redundant-source input).
-    "q142_source_jsd" -> ((s, d) =>
-      ProfileOps.tokenDistJsd(Tables(s, d, "documents"), "text", "source")),
-
-    // Log-normal length fit + 3-sigma outlier count: the one-row
-    // length-distribution health probe (truncation/concat bugs bend
-    // it before anything else shows).
-    "q141_length_lognormal" -> ((s, d) =>
-      ProfileOps.lengthLogNormal(Tables(s, d, "documents"), "text")),
-
-    // Cross-source duplicate leakage (release audit): same text under
-    // multiple provenance labels = a contamination channel for any
-    // split-by-source. Constant-text dups injected per residue (the
-    // q137 group spans many sources).
-    "q140_source_leakage" -> ((s, d) => {
-      val t = when(col("doc_id") % 41 === 0,
-          lit("the shared boilerplate body of a page that repeats across the crawl"))
-        .otherwise(col("text"))
-      DedupOps.crossSourceDupLeakage(
-        Tables(s, d, "documents").select(col("source"), t.as("text")),
-        "text", "source")
-    }),
-
-    // Margin-based bitext mining (Artetxe-Schwenk / CCMatrix): best
-    // other-side candidate per query scored by cosine relative to
-    // both endpoints' k-NN neighborhood density (hub correction).
-    // Sides = embedding label parity (demo split).
-    "q138_margin_mining" -> ((s, d) => {
-      val emb = Tables(s, d, "embeddings")
-      SimilarityOps.marginMining(
-        emb.where(col("label") % 2 === 0),
-        emb.where(col("label") % 2 === 1),
-        "vec_id", "embedding", col("vec_id") < 16, k = 4)
-    }),
-
-    // Per-doc curation decision manifest (the release provenance
-    // record): first-failing-stage reason per document — rules /
-    // blocklist / duplicate / keep. Failure modes injected per
-    // residue (q112 idiom), incl. a constant-text dup group.
-    "q137_decision_manifest" -> ((s, d) => {
-      val t =
-        when(col("doc_id") % 41 === 0,
-          lit("the shared boilerplate body of a page that repeats across the crawl"))
-        .when(col("doc_id") % 29 === 0, lit("tiny doc"))
-        .when(col("doc_id") % 23 === 0,
-          concat(col("text"), lit(" "), repeat(lit("# "), 25)))
-        .when(col("doc_id") % 19 === 0,
-          concat(col("text"),
-            lit(" Click here to buy now. Click here to buy now. Click here again")))
-        .otherwise(col("text"))
-      graft.ops.CurationPipeline.decisionManifest(
-        Tables(s, d, "documents").select(col("doc_id"), t.as("text")),
-        "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-    }),
-
-    // Full Chen-Goodman TRIGRAM interpolated KN: highest order
-    // discounts raw counts, bigram level discounts continuation
-    // (type) counts, +1-smoothed continuation unigram floor. One
-    // reference scan; model table = seen trigram types.
-    "q135_kn3_model" -> ((s, d) =>
-      LmOps.model3(Tables(s, d, "documents").where(col("lang") === "en"),
-        "doc_id", "text")),
-
-    // Trigram-KN perplexity of every doc (OOV gibberish injected per
-    // residue so all three backoff levels are exercised and
-    // oracle-checked: unseen trigram w/ seen context -> P2, unseen
-    // middle -> P1).
-    "q136_kn3_ppl" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val injected = docs.select(col("doc_id"),
-        when(col("doc_id") % 31 === 0,
-          concat(col("text"), lit(" zzq zzq zzq")))
-          .otherwise(col("text")).as("text"))
-      LmOps.score3(injected, docs.where(col("lang") === "en"),
-        "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-    }),
-
-    // Closed-form 2-feature PCA over (chars, tokens): integer-exact
-    // moments, fixed-IEEE-order eigensystem — the one PCA shape whose
-    // full eigensolve an ANSI oracle can replay bit-for-bit.
-    "q123_pca2_eigen" -> ((s, d) =>
-      PcaOps.eigen2(
-        Tables(s, d, "documents").select(col("doc_id"),
-          col("n_chars"), TextOps.tokenCount(col("text")).as("n_tokens")),
-        "n_chars", "n_tokens")),
-
-    // Full PCA on the embedding corpus: fit d=16 (decimal-exact
-    // moments + driver Jacobi), project every vector onto the top-4
-    // components. Rows-only (the Jacobi rotation history is not
-    // SQL-expressible); PcaSpec pins orthonormality, variance
-    // ordering, and a differential vs a driver-side reference.
-    "q124_pca_project" -> ((s, d) => {
-      val emb = Tables(s, d, "embeddings")
-      val m = PcaOps.fit(emb, "embedding", 16)
-      PcaOps.project(emb, "vec_id", "embedding", m, 4)
-        .withColumnRenamed("id", "vec_id")
-    }),
-
-    // One-pass Pearson correlation matrix over lineitem's numeric
-    // columns (feature-redundancy probe): EXACT sums via the
-    // fixed-point limb path (bit-identical to the decimal path and
-    // to the unchanged decimal oracle, ~10x the throughput — these
-    // are 2-decimal money columns, squarely in the contract).
-    "q120_feature_corr" -> ((s, d) =>
-      ProfileOps.corrMatrixFixedPoint(Tables(s, d, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        scale = 2)),
-
-    // Per-span mojibake repair in script-MIXED documents — the case
-    // whole-string strictness (q114) correctly refuses: CJK context
-    // is kept verbatim, the broken Latin run repairs, and a run
-    // poisoned by an invalid sequence stays untouched even though it
-    // also holds a repairable one (per-run strictness, the documented
-    // coarseness). Oracle replays injection and the expected splice.
-    "q119_span_mojibake" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val t =
-        when(col("doc_id") % 6 === 0,
-          concat(col("text"), lit(" 東京タワー cafÃ© corner")))
-        .when(col("doc_id") % 25 === 0,
-          concat(col("text"), lit(" 移動 SÃO PAULO â€”dash")))
-        .otherwise(col("text"))
-      Tables(s, d, "documents").select(col("doc_id"), t.as("t"))
-        .select(col("doc_id"),
-          TextOps.mojibakeCount(col("t")).cast("long").as("n_moji"),
-          (TextOps.fixMojibakeSpans(col("t")) =!= col("t")).cast("int")
-            .as("changed"),
-          md5(TextOps.fixMojibakeSpans(col("t")).cast("binary"))
-            .as("repaired_md5"))
-    }),
-
-    // Corpus-wide n-gram novelty: how much of each doc's distinct
-    // 3-gram set appears nowhere else (TF-IDF-shaped plan: gram-keyed
-    // DF aggregation + join back, both map-side combined).
-    "q116_gram_novelty" -> ((s, d) =>
-      TextOps.gramNovelty(Tables(s, d, "documents"), "doc_id", "text", 3)
-        .withColumnRenamed("id", "doc_id")),
-
-    // Unicode script profile (the routing signal that runs BEFORE
-    // language-ID at 100 TB): per-script char fractions, zero
-    // shuffle. The ASCII corpus gets deterministic non-Latin snippet
-    // injection so every block is exercised (q64 idiom, mirrored in
-    // the oracle).
-    "q117_script_profile" -> ((s, d) => {
-      val t =
-        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" Привет мир")))
-        .when(col("doc_id") % 7 === 0, concat(col("text"), lit(" こんにちは世界")))
-        .when(col("doc_id") % 11 === 0, concat(col("text"), lit(" مرحبا بالعالم")))
-        .when(col("doc_id") % 13 === 0, concat(col("text"), lit(" 안녕하세요")))
-        .when(col("doc_id") % 17 === 0, concat(col("text"), lit(" Γειά σου κόσμε")))
-        .when(col("doc_id") % 19 === 0, concat(col("text"), lit(" नमस्ते दुनिया")))
-        .otherwise(col("text"))
-      TextOps.scriptProfile(
-        Tables(s, d, "documents").select(col("doc_id"), t.as("text")),
-        "doc_id", "text")
-    }),
-
-    // Zero-width / invisible character scrub (crawl artifacts that
-    // break tokenizers and dedup keys): injected per residue; every
-    // injected corruption scrubs back to the original text, and the
-    // oracle replays injection + scrub independently.
-    "q118_invisible_scrub" -> ((s, d) => {
-      val t =
-        when(col("doc_id") % 5 === 0,
-          replace(col("text"), lit("e"), lit("e\u200B")))
-        .when(col("doc_id") % 7 === 0, concat(lit("\uFEFF"), col("text")))
-        .when(col("doc_id") % 11 === 0,
-          replace(col("text"), lit(" "), lit("\u00A0")))
-        .when(col("doc_id") % 13 === 0,
-          replace(col("text"), lit("a"), lit("a\u00AD")))
-        .otherwise(col("text"))
-      Tables(s, d, "documents").select(col("doc_id"), t.as("t"))
-        .select(col("doc_id"),
-          TextOps.invisibleCount(col("t")).cast("long").as("n_invisible"),
-          (TextOps.scrubInvisible(col("t")) =!= col("t")).cast("int")
-            .as("changed"),
-          md5(TextOps.scrubInvisible(col("t")).cast("binary"))
-            .as("cleaned_md5"))
-    }),
-
-    // Cluster-balanced sample: ~target members from each q113 cluster
-    // (flatten the topic distribution before mixing). Corpus never
-    // shuffles: assignment map + k-row control table + CASE-literal
-    // thresholds. Rows-only (kmeans is iterative); KmeansSpec pins
-    // determinism and per-cluster bounds.
-    "q115_cluster_balance" -> ((s, d) =>
-      SimilarityOps.clusterBalancedSample(s, Tables(s, d, "embeddings"),
-        "vec_id", "embedding", targetPerCluster = 40, k = 8, maxIter = 4)),
-
-    // Mojibake detect + strict repair: UTF-8-read-as-cp1252 damage is
-    // injected into the (pure-ASCII) corpus per doc_id residue —
-    // accent mojibake, punctuation mojibake, and one UNREPAIRABLE
-    // case (a cp1252-undefined byte lost to U+FFFD) that the strict
-    // contract must refuse to touch. The oracle replays the injection
-    // and the expected repair (the byte-level recode inverts to a
-    // plain replace on this controlled corruption), so the native
-    // codec path is value-checked cross-engine; repair is a
-    // zero-shuffle projection.
-    "q114_fix_mojibake" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val corrupted =
-        when(col("doc_id") % 7 === 0,
-          replace(col("text"), lit("e"), lit("Ã©")))
-        .when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" â€œquotedâ€¦")))
-        .when(col("doc_id") % 13 === 0,
-          concat(col("text"), lit(" broken â€\uFFFD end")))
-        .otherwise(col("text"))
-      Tables(s, d, "documents").select(col("doc_id"), corrupted.as("t"))
-        .select(col("doc_id"),
-          TextOps.mojibakeCount(col("t")).cast("long").as("n_moji"),
-          (TextOps.fixMojibake(col("t")) =!= col("t")).cast("int").as("changed"),
-          md5(TextOps.fixMojibake(col("t")).cast("binary")).as("repaired_md5"))
-    }),
-
-    // Distributed full-corpus k-means (cluster-balanced sampling /
-    // SemDeDup / mixture-design primitive): fixed iterations, decimal
-    // sums, hash-order init — bit-deterministic under any
-    // partitioning, but iterative and so rows-only for the oracle;
-    // KmeansSpec pins a differential against the in-memory reference.
-    "q113_kmeans_profile" -> ((s, d) =>
-      SimilarityOps.kmeansClusterProfile(s, Tables(s, d, "embeddings"),
-        "vec_id", "embedding", k = 8, maxIter = 4)),
-
-    // Dedup-detection quality scoreboard: precision/recall of the
-    // MinHash-LSH and SimHash candidate paths against exact n-gram
-    // Jaccard truth, SAME parameters as the production q39/q40/q41
-    // paths. Rows-only (xxhash-seeded paths have no SQL oracle);
-    // floors enforced in Verify + DedupScoreboardSpec, the q83
-    // discipline applied to dedup.
-    "q111_dedup_recall" -> ((s, d) =>
-      DedupOps.dedupRecallReport(s, Tables(s, d, "documents"),
-        "doc_id", "text", shingleN = 3, minJaccard = 0.5,
-        numHashes = 32, bands = 8,
-        simHashTruthJaccard = 0.9, maxHamming = 3)),
-
-    // C4/Gopher-style rule battery over deterministically degraded
-    // docs (the synthetic corpus is uniformly clean, so boilerplate
-    // failure modes — bullet walls, ellipsis teasers, symbol spam,
-    // numeric spam, lorem ipsum, runt docs — are injected per doc_id
-    // residue, mirrored exactly in the oracle; the q64 idiom). The
-    // operator itself is one zero-shuffle projection.
-    "q112_quality_rules" -> ((s, d) => {
-      val injected = when(col("doc_id") % 29 === 0, lit("tiny doc"))
-        .otherwise(concat(col("text"),
-          when(col("doc_id") % 13 === 0,
-            concat(lit("\n"), repeat(lit("- bullet line\n"), 24)))
-            .otherwise(lit("")),
-          when(col("doc_id") % 17 === 0, lit(" lorem ipsum {"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 19 === 0,
-            lit("\nread more...\nsee details…\nmore..."))
-            .otherwise(lit("")),
-          when(col("doc_id") % 23 === 0, repeat(lit(" #"), 40))
-            .otherwise(lit("")),
-          when(col("doc_id") % 31 === 0, repeat(lit(" 4242"), 30))
-            .otherwise(lit("")),
-          when(col("doc_id") % 37 === 0,
-            repeat(lit(" pneumonoultramicroscopicsilicovolcanoconiosis"), 25))
-            .otherwise(lit(""))))
-      val rules = TextOps.qualityRules(
-        Tables(s, d, "documents").select(col("doc_id"), injected.as("text")),
-        "doc_id", "text")
-      rules.select((Seq("doc_id", "n_words", "mean_word_len",
-          "symbol_ratio", "bullet_line_frac", "ellipsis_line_frac",
-          "alpha_word_frac", "n_stop_hits").map(col) ++
-        Seq("r_len", "r_word_len", "r_symbol", "r_bullet", "r_ellipsis",
-          "r_alpha", "r_stop", "r_clean", "passes")
-          .map(c => col(c).cast("int").as(c))): _*)
-    }),
-
-    // SemDeDup-shape semantic dedup end-to-end: embedding near-dup
-    // pairs -> connected components -> keep the highest-QUALITY member
-    // of each semantic cluster (quality from the model-based scorer).
-    // Rows-only (xxhash planes); composition invariants in OpsSpec.
-    "q89_semantic_survivors" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val scored = docs.join(
-        TextOps.qualityScore(docs, "doc_id", "text")
-          .select(col("id").as("doc_id"), col("quality")), Seq("doc_id"))
-      val pairs = SimilarityOps.embeddingNearDupPairs(
-        Tables(s, d, "embeddings"), "vec_id", "embedding",
-        minCosine = 0.35, nbits = 4)
-      GraphOps.nearDupSurvivors(scored, "doc_id", "quality", pairs,
-        "a_id", "b_id")
-        .select(col("doc_id"), col("quality"))
-    }),
-
-    // Canonical text normal form: NFC + lowercase + whitespace
-    // collapse. Value-checked against DuckDB's nfc_normalize (both
-    // implement UAX#15).
-    "q87_text_normalize" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val norm = TextOps.normalizeText(coalesce(col("text"), lit("")))
-      Tables(s, d, "documents").select(col("doc_id"),
-        md5(norm.cast("binary")).as("norm_md5"),
-        length(norm).as("n_norm_chars"))
-    }),
-
-    // Sequence packing in the BPE token unit — the budget that
-    // actually matters for a pretraining run. Same pack machinery as
-    // q75 with the merges-based count (q75's whitespace unit kept as
-    // the cheap twin); cut every 128 BPE tokens.
-    "q85_pack_bpe" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      graft.ops.PackOps.packSequences(Tables(s, d, "documents"), "doc_id",
-        size(coalesce(graft.ops.BpeOps.bpeEncode(col("text")),
-          array().cast("array<string>"))),
-        col("doc_id") % lit(8), contextLen = 128)
-    }),
-
-    // Paragraph-level dedup (RefinedWeb's second structural pass):
-    // same banned-block machinery as q71, block = "\n\n"-separated
-    // paragraph (structure manufactured deterministically, mirrored in
-    // the oracle).
-    "q84_paragraph_dedup" -> ((s, d) =>
-      TextOps.lineDedup(
-        Tables(s, d, "documents")
-          .select(col("doc_id"),
-            regexp_replace(col("text"), " value", "\n\nvalue").as("text")),
-        "doc_id", "text", minDupCount = 2, sep = "\n\n")
-        .select(col("id").as("doc_id"), col("n_lines").as("n_paras"),
-          col("n_kept"), md5(col("cleaned").cast("binary")).as("cleaned_md5"))),
-
-    // ANN recall scoreboard: the approximate paths (q38/q47/q48/q105)
-    // can never have SQL oracles (xxhash64/seeded-sample based), but
-    // their recall against the exact baselines IS computable — 4 rows
-    // of quantified quality instead of rows-only checks. Same
-    // parameters as q36/q38/q47/q48/q105.
-    "q83_ann_recall" -> ((s, d) =>
-      SimilarityOps.annRecallReport(s, Tables(s, d, "embeddings"),
-        "vec_id", "embedding", col("vec_id") < 5, k = 10,
-        nbitsKnn = 4, probes = 2, minCosine = 0.35, nbitsPairs = 4)),
-
-    // URL canonicalization (crawl curation stage 1): scheme/host case,
-    // default ports, fragments, tracking params, trailing slashes —
-    // plus registered-domain extraction. Zero shuffles.
-    "q81_url_normalize" -> ((s, d) => {
-      val u = Tables(s, d, "documents")
-        .select(col("doc_id"), messyUrl(col("doc_id")).as("url"))
-      u.select(col("doc_id"),
-        graft.ops.UrlOps.urlNormalize(col("url")).as("url_norm"),
-        graft.ops.UrlOps.registeredDomain(
-          graft.ops.UrlOps.urlHost(col("url"))).as("domain"))
-    }),
-
-    // Per-domain quota (no site dominates the corpus): deterministic
-    // hash-coordinate take of at most 5 docs per registered domain.
-    "q82_domain_quota" -> ((s, d) =>
-      graft.ops.UrlOps.capPerDomain(
-        Tables(s, d, "documents")
-          .select(col("doc_id"), messyUrl(col("doc_id")).as("url")),
-        "doc_id", "url", n = 5, salt = "dq1")
-        .select(col("doc_id"), col("domain"))),
-
-    // Real BPE tokenization under the frozen 32-merge model (trained
-    // once on this corpus, shipped as constants — the normal BPE
-    // deployment artifact). The oracle replays the identical merge
-    // table through a recursive CTE, so the subword segmentation
-    // itself is value-checked cross-engine, not just counted.
-    "q80_bpe_encode" -> ((s, d) =>
-      graft.ops.BpeOps.bpeTokens(Tables(s, d, "documents"), "doc_id", "text")
-        .select(col("id").as("doc_id"), col("n_bpe_tokens"), col("bpe_md5"))),
-
-    // Cluster-dedup end-to-end: one survivor per near-dup cluster
-    // (longest text, ties to lowest id), untouched documents kept.
-    "q67_dedup_survivors" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      GraphOps.nearDupSurvivors(docs, "doc_id", "n_chars",
-        DedupOps.ngramJaccardPairs(
-          DedupOps.wordShingles(docs, "doc_id", "text", 3), 0.2,
-          sizesProvided = true),
-        "a_id", "b_id")
-        .select(col("doc_id"), col("n_chars"))
-    }),
-  )
-
-  /** Shared oracle prefix for q66/q67: the q39 Jaccard pair graph,
-    * symmetrized, closed under reachability with a recursive CTE
-    * (UNION set semantics terminate the recursion), reduced to
-    * min-reachable-id components — the SQL mirror of
-    * GraphOps.connectedComponents.
-    */
-  private val componentsCte: String =
-    """WITH RECURSIVE sh AS (
-      | SELECT DISTINCT doc_id AS id, shingle FROM (
-      |  SELECT doc_id,
-      |   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-      |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-      |  FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
-      |        FROM documents) t0) t1),
-      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-      |inter AS (
-      | SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
-      | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-      | GROUP BY 1, 2),
-      |edges AS (
-      | SELECT a_id, b_id FROM inter
-      | JOIN sizes sa ON inter.a_id = sa.id
-      | JOIN sizes sb ON inter.b_id = sb.id
-      | WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 5) >= 0.2),
-      |bi AS (SELECT a_id AS u, b_id AS v FROM edges
-      |       UNION SELECT b_id, a_id FROM edges),
-      |reach(u, v) AS (
-      | SELECT u, u FROM (SELECT DISTINCT u FROM bi) nodes
-      | UNION
-      | SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
-      |comps AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u)
-      |""".stripMargin
-
-  /** DuckDB equivalents. Regex-count trick: len(regexp_extract_all(..)). */
-  val oracles: Map[String, String] = Map(
-    "q191_locf_gapfill" -> graft.ops.TimeSeriesOps.locfOracleSql(
-      "(SELECT * FROM events WHERE user_id % 5 = 0)",
-      "user_id", "ts", "value"),
-    "q193_interpolate" -> graft.ops.TimeSeriesOps.interpolateOracleSql(
-      "(SELECT * FROM events WHERE user_id % 5 = 0)",
-      "user_id", "ts", "value"),
-    "q192_ohlc_bars" -> graft.ops.TimeSeriesOps.ohlcOracleSql(
-      "events", "event_type", "ts", "event_id", "value"),
-    "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
-      "documents", "doc_id", "text"),
-    "q238_stage_latency" ->
-      Seq("signup" -> "view", "view" -> "click", "click" -> "purchase")
-        .map { case (a, b) =>
-          s"SELECT '$a->$b' AS stage, * FROM (" +
-            graft.ops.EventOps.conversionLatencyOracleSql(
-              "events", "ts", "user_id", "event_type", a, b, 7) + ")"
-        }.mkString("\nUNION ALL\n"),
-    "q239_ivf_incremental" -> graft.ops.IvfIndexOps
-      .incrementalRefreshOracleSql("embeddings", "vec_id", "embedding",
-        k = 8, probeMod = 7),
-    // q351's store path is proven by the same arithmetic replay as
-    // q239 (stats additivity makes persisted 3-way == in-memory
-    // 2-way == from-scratch), at this query's own k/probe params.
-    "q351_ivf_store" -> graft.ops.IvfIndexOps
-      .incrementalRefreshOracleSql("embeddings", "vec_id", "embedding",
-        k = 6, probeMod = 5),
-    "q352_winnow_store" -> WinnowOps.verifiedPairsOracleSql("documents",
-      "doc_id", "text", minJaccard = 0.4),
-    "q365_lsh_store" -> DedupOps.minHashMd5OracleSql("documents",
-      "doc_id", "text"),
-    "q240_span_lang" -> spanLangOracleSql,
-    "q242_pq_incremental" -> graft.ops.IvfIndexOps
-      .incrementalPqOracleSql("embeddings", "vec_id", "embedding",
-        k = 8, m = 4, nCodes = 4, dim = 64, probeMod = 7),
-    "q245_mmr_diversified" -> SimilarityOps.mmrOracleSql("embeddings",
-      "vec_id", "embedding", "q.vec_id < 5"),
-    "q251_curation_v3" -> (LmOps.knOracleWith("d.lang = 'en'") +
-      spanPplCtes("documents") +
-      s""",
-         |lpred AS (SELECT doc_id, lang_pred FROM ($langNgramOracleSql) lt),
-         |cards AS (SELECT doc_id,
-         |  len(list_filter(regexp_extract_all(text, '\\b[0-9]{13,16}\\b'),
-         |   cand -> list_sum(list_transform(generate_series(1, length(cand)),
-         |    i -> CASE WHEN i % 2 = 0 THEN
-         |      CASE WHEN (ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48) * 2 > 9
-         |        THEN (ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48) * 2 - 9
-         |        ELSE (ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48) * 2 END
-         |      ELSE ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48 END))
-         |    % 10 = 0)) AS n_cards FROM documents),
-         |wt AS (SELECT doc_id AS wid, doc_id % 2 AS wb,
-         |  lower(regexp_replace(text, '[ \\t\\n\\f\\r]+', '', 'g')) AS ws
-         |  FROM documents),
-         |wg AS (SELECT wid, wb, CASE WHEN length(ws) >= 12
-         |  THEN list_transform(generate_series(1, length(ws) - 11),
-         |    i -> substr(md5(substr(ws, i, 12)), 1, 16))
-         |  ELSE [] END AS h FROM wt),
-         |wf AS (SELECT wid, wb, list_distinct(CASE
-         |   WHEN len(h) = 0 THEN []
-         |   WHEN len(h) <= 6 THEN [list_min(h)]
-         |   ELSE list_transform(generate_series(1, len(h) - 5),
-         |     i -> list_min(h[i:i+5])) END) AS fps FROM wg),
-         |wstore AS (SELECT DISTINCT unnest(fps) AS fp FROM wf WHERE wb = 0),
-         |we AS (SELECT wid, len(fps) AS n_fp, unnest(fps) AS fp
-         |  FROM wf WHERE wb = 1),
-         |wp AS (SELECT we.wid, any_value(we.n_fp) AS n,
-         |   sum(CASE WHEN r.fp IS NULL THEN 0 ELSE 1 END) AS kn
-         |  FROM we LEFT JOIN wstore r USING (fp) GROUP BY we.wid),
-         |wk AS (SELECT wt.wid AS doc_id, CASE WHEN wp.n IS NULL OR wp.n = 0
-         |    OR 2 * wp.kn <= wp.n THEN 1 ELSE 0 END AS p_fresh
-         |  FROM wt LEFT JOIN wp ON wt.wid = wp.wid WHERE wt.wb = 1),
-         |manifest AS (SELECT d.doc_id,
-         |  CAST(lpred.lang_pred = 'en' AS INTEGER) AS p_lang,
-         |  CAST(coalesce((2000000 * g.n_kept + g.n_spans)
-         |    // (2 * g.n_spans), 0) >= 500000 AS INTEGER) AS p_ppl,
-         |  CAST(cards.n_cards = 0 AS INTEGER) AS p_pii,
-         |  CAST(wk.p_fresh AS INTEGER) AS p_fresh
-         | FROM documents d
-         | JOIN lpred USING (doc_id)
-         | LEFT JOIN g USING (doc_id)
-         | JOIN cards USING (doc_id)
-         | JOIN wk USING (doc_id)
-         | WHERE d.doc_id % 2 = 1)
-         |SELECT doc_id, p_lang, p_ppl, p_pii, p_fresh,
-         |  CAST(p_lang = 1 AND p_ppl = 1 AND p_pii = 1 AND p_fresh = 1
-         |    AS INTEGER) AS keep
-         |FROM manifest""".stripMargin),
-    "q253_autocorr" -> graft.ops.TimeSeriesOps.autocorrOracleSql(
-      "events", "event_type", "ts", "value", Seq(1, 24)),
-    "q254_crosscorr" -> graft.ops.TimeSeriesOps.crossCorrOracleSql(
-      "events", "ts", "event_type", "value", "click", "purchase",
-      Seq(-24, -1, 0, 1, 24)),
-    "q287_cohort_ltv" -> graft.ops.EventOps.cohortLtvOracleSql(
-      "events", "user_id", "ts", "event_type", "value", "purchase"),
-
-    "q289_ewma_band" -> graft.ops.TimeSeriesOps.ewmaOracleSql(
-      "events", "event_type", "ts", "value", 1, 5, 30000000L),
-
-    "q293_postings" -> graft.ops.RetrievalOps.postingsOracleSql(
-      "documents", "doc_id", "text", 50L),
-
-    "q295_cka_quant" -> SimilarityOps.linearCkaOracleSql(
-      "embeddings", "embedding", dims = 64),
-
-    "q297_winsorized" -> ProfileOps.winsorizedMeanOracleSql(
-      "lineitem", "l_returnflag",
-      "round(l_extendedprice * 100)"),
-
-    "q298_systematic_pps" -> graft.ops.SampleOps.systematicPpsOracleSql(
-      "documents", "source", "doc_id",
-      "len(list_filter(string_split_regex(lower(text)," +
-        " '[ \t\n\f\r]+'), x -> x <> ''))", 20),
-
-    "q299_shard_skew" -> graft.ops.LayoutOps.shardSkewOracleSql(
-      "documents", "doc_id", "n_chars", 16),
-
-    "q300_mde_power" -> graft.ops.EventOps.mdePowerOracleSql(
-      "events", "user_id", "event_type", "value", "purchase"),
-
-    "q301_rouge" -> graft.ops.EvalOps.rougeOracleSql(
-      "documents", "doc_id", "text", "source"),
-
-    "q302_bleu" -> graft.ops.EvalOps.bleu2OracleSql(
-      "documents", "doc_id", "text", "source"),
-
-    "q303_ks_fdr" -> ProfileOps.ksFdrOracleSql(
-      "documents", "source", "n_chars"),
-
-    "q304_wasserstein" -> ProfileOps.wassersteinOracleSql(
-      "documents", "source", "n_chars"),
-
-    "q305_did" -> graft.ops.EventOps.didOracleSql(
-      "events", "user_id", "ts", "event_type", "value", "purchase",
-      "2024-01-16 00:00:00"),
-
-    "q306_ips_policy" -> graft.ops.EventOps.ipsOracleSql(
-      "events", "user_id", "event_type", "value",
-      Seq("click", "error", "purchase", "signup", "view")),
-
-    "q307_poisson_boot" -> graft.ops.EventOps.poissonBootstrapOracleSql(
-      "events", "user_id", "event_type", "value", "purchase"),
-
-    "q308_rand_test" -> graft.ops.EventOps.randomizationTestOracleSql(
-      "events", "user_id", "event_type", "value", "purchase"),
-
-    "q309_brand_pagerank" -> graft.ops.GraphOps.pageRankOracleSql(
-      s"""SELECT src, dst, w FROM (
-         |  WITH pairs AS (
-         |${graft.ops.CooccurOps.basketPairsOracleSql(
-            "SELECT l_orderkey AS bk, p_brand AS it FROM lineitem " +
-              "JOIN part ON l_partkey = p_partkey",
-            minSupport = 20L)})
-         |  SELECT item_a AS src, item_b AS dst, n_ab AS w FROM pairs
-         |  UNION ALL
-         |  SELECT item_b, item_a, n_ab FROM pairs) sym""".stripMargin),
-
-    "q310_cms_heavy" -> graft.ops.SketchOps.cmsHeavyHittersOracleSql(
-      "events", "user_id", w = 64, k = 20),
-
-    "q311_jw_linkage" -> graft.ops.FuzzyOps.jwBestMatchOracleSql(
-      "part", "p_partkey", "p_name", "p_partkey % 4 = 0"),
-
-    "q312_fellegi_sunter" -> graft.ops.FuzzyOps.fellegiSunterOracleSql(
-      "part", "p_partkey", "p_size", "p_brand", "p_type", "p_name"),
-
-    "q313_soundex_block" ->
-      graft.ops.PhoneticOps.soundexBlockRecallOracleSql(
-        "part", "p_partkey", "p_name"),
-
-    "q314_hits" -> graft.ops.GraphOps.hitsOracleSql(
-      """SELECT o_custkey AS h, p_brand AS a
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN part ON l_partkey = p_partkey""".stripMargin),
-
-    "q315_gini" -> ProfileOps.giniOracleSql(
-      "documents", "source", "n_chars"),
-
-    "q316_nelson_aalen" -> graft.ops.EventOps.nelsonAalenOracleSql(
-      """SELECT (coalesce(t_buy, t_last) - t0) // 3600000000 AS t,
-        |  CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END AS ev
-        |FROM (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t_last,
-        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
-        |      AS t_buy
-        |  FROM events GROUP BY user_id) u""".stripMargin),
-
-    "q317_sprt" -> graft.ops.EventOps.sprtOracleSql(
-      "events", "user_id", "ts", "event_id", "event_type", "purchase"),
-
-    "q318_mcc" -> ProfileOps.mccOracleSql(
-      s"SELECT doc_id AS id, quality > 0.5 AS flag FROM (\n" +
-        s"${qualityOracleSql(TextOps.TrainedQualityWeights)}) q",
-      "WITH plain AS (SELECT doc_id, text AS t FROM documents),\n" +
-        rulesOracleBody("plain") +
-        "SELECT doc_id AS id, passes = 1 AS flag FROM pr"),
-
-    "q319_map_mrr" -> RetrievalOps.mapMrrOracleSql(nQueries = 20, k = 10),
-
-    "q320_hhi" -> ProfileOps.hhiOracleSql(
-      """(SELECT s_nationkey, s_suppkey,
-        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey) j"""
-        .stripMargin,
-      "s_nationkey", "s_suppkey", "cents"),
-
-    "q321_mutual_info" -> ProfileOps.normalizedMutualInfoOracleSql(
-      s"""(WITH plain AS (SELECT doc_id, text AS t FROM documents),
-         |${rulesOracleBody("plain")}
-         |SELECT d.source, pr.passes FROM pr
-         |JOIN documents d USING (doc_id)) j""".stripMargin,
-      "source", "passes"),
-
-    "q322_hellinger" -> ProfileOps.hellingerOracleSql(
-      "documents", "source", "n_chars // 256"),
-
-    "q323_holt_trend" -> graft.ops.TimeSeriesOps.holtOracleSql(
-      "events", "event_type", "ts", "value"),
-
-    "q324_poststrat_ate" -> graft.ops.EventOps.postStratifiedAteOracleSql(
-      "events", "user_id", "event_type", "value", "purchase"),
-
-    "q325_cmh_or" -> graft.ops.EventOps.cmhOracleSql(
-      "events", "user_id", "event_type", "purchase"),
-
-    "q326_eb_shrink" -> ProfileOps.ebShrunkRatesOracleSql(
-      """(SELECT p_brand, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
-        |  AS ret FROM lineitem JOIN part ON l_partkey = p_partkey) j"""
-        .stripMargin,
-      "p_brand", "ret"),
-
-    "q327_doubly_robust" -> graft.ops.EventOps.doublyRobustOracleSql(
-      "events", "user_id", "event_type", "value",
-      Seq("click", "error", "purchase", "signup", "view")),
-
-    "q328_capture_recapture" -> graft.ops.SampleOps.chapmanOracleSql(
-      "documents", "doc_id", 0.5, "crawlA", "crawlB"),
-
-    "q329_chao1_vocab" -> TextOps.chao1OracleSql("documents", "text"),
-
-    "q330_spiegelhalter" -> ProfileOps.spiegelhalterOracleSql(
-      s"""(WITH plain AS (SELECT doc_id, text AS t FROM documents),
-         |${rulesOracleBody("plain")}
-         |SELECT q.quality, pr.passes FROM pr
-         |JOIN (${qualityOracleSql(TextOps.TrainedQualityWeights)}) q
-         |  USING (doc_id)) j""".stripMargin,
-      "quality", "passes"),
-
-    "q332_dp_release" -> ProfileOps.dpLaplaceOracleSql(
-      "documents", "source", eps = 1.0, salt = "dp"),
-
-    "q340_tree_resolve" -> graft.ops.GraphOps.resolveAncestorsOracleSql(
-      """SELECT node, CASE WHEN node = 0 THEN 0 ELSE node // 2 END
-        |  AS parent
-        |FROM (SELECT DISTINCT user_id AS node FROM events) u"""
-        .stripMargin),
-
-    "q341_order_backlog" ->
-      """WITH iv AS (SELECT o_orderkey, o_orderdate, close FROM orders
-        |  JOIN (SELECT l_orderkey, max(l_shipdate) AS close
-        |    FROM lineitem GROUP BY l_orderkey) c
-        |  ON o_orderkey = l_orderkey),
-        |deltas AS (SELECT day, CAST(sum(delta) AS BIGINT) AS d FROM (
-        |    SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM iv
-        |    UNION ALL
-        |    SELECT CAST(close AS DATE) + 1 AS day, -1 AS delta FROM iv)
-        |  t GROUP BY day)
-        |SELECT day, CAST(sum(d) OVER (ORDER BY day
-        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
-        |FROM deltas""".stripMargin,
-
-    "q336_negative_sampling" -> SelectionOps.largestRemainderOracleSql(
-      """SELECT term AS grp,
-        |  CAST(round(pow(c, 0.75) * 1000) AS BIGINT) AS w
-        |FROM (SELECT term, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT unnest(list_filter(string_split_regex(
-        |      lower(text), '[ \t\n\f\r]+'), x -> x <> '')) AS term
-        |    FROM documents) t
-        |  GROUP BY term) tf""".stripMargin, budget = 1000000L),
-
-    "q337_template_share" ->
-      """WITH pre AS (SELECT source, substring(text, 1, 32) AS p,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM documents GROUP BY 1, 2),
-        |r AS (SELECT source, p, c,
-        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY c DESC, p ASC) AS rk
-        |  FROM pre)
-        |SELECT source, n_docs, c AS template_count,
-        |  round(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
-        |    AS template_share,
-        |  p AS template_prefix
-        |FROM r WHERE rk = 1""".stripMargin,
-
-    "q338_crosslingual_leak" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |    CASE WHEN doc_id % 97 = 0
-        |      THEN 'la plume de ma tante est sur la table'
-        |      ELSE text END AS text
-        |  FROM documents),
-        |f AS (SELECT doc_id, lang,
-        |    md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g'))
-        |      AS fp
-        |  FROM d)
-        |SELECT fp, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(min(doc_id) AS BIGINT) AS min_doc
-        |FROM f GROUP BY fp HAVING count(DISTINCT lang) >= 2"""
-        .stripMargin,
-
-    "q339_prefix_cache" ->
-      """WITH toks AS (SELECT list_filter(string_split_regex(
-        |    lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS ts
-        |  FROM documents),
-        |pre AS (SELECT array_to_string(ts[1:8], ' ') AS pre
-        |  FROM toks WHERE len(ts) >= 8),
-        |g AS (SELECT pre, CAST(count(*) AS BIGINT) AS n
-        |  FROM pre GROUP BY pre),
-        |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
-        |    CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_groups_shared,
-        |    CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
-        |      AS n_docs_shared,
-        |    CAST(sum(CASE WHEN n >= 2 THEN (n - 1) * 8 ELSE 0 END)
-        |      AS BIGINT) AS saved_tokens
-        |  FROM g)
-        |SELECT n_docs, n_groups_shared, n_docs_shared, saved_tokens,
-        |  round(CAST(n_docs_shared AS DOUBLE) / CAST(n_docs AS DOUBLE),
-        |    6) AS share_cached
-        |FROM agg""".stripMargin,
-
-    "q333_qte" -> graft.ops.EventOps.qteOracleSql(
-      "events", "user_id", "event_type", "value", "purchase"),
-
-    "q334_simpson" -> graft.ops.EventOps.simpsonDetectorOracleSql(
-      "events", "user_id", "event_type", "purchase"),
-
-    "q335_temporal_labels" -> graft.ops.EventOps.temporalLabelsOracleSql(
-      "events", "user_id", "ts", "event_type", "value", "purchase",
-      "2024-01-20 00:00:00", 14, 7),
-
-    "q345_decile_gains" -> ProfileOps.decileGainsOracleSql(
-      s"""(WITH plain AS (SELECT doc_id, text AS t FROM documents),
-         |${rulesOracleBody("plain")}
-         |SELECT q.doc_id AS id, q.quality, pr.passes FROM pr
-         |JOIN (${qualityOracleSql(TextOps.TrainedQualityWeights)}) q
-         |  USING (doc_id)) j""".stripMargin,
-      "id", "quality", "passes"),
-
-    "q360_video_meta" ->
-      """SELECT doc_id,
-        |  CAST(8 + (doc_id % 3) * 4 AS INT) AS width,
-        |  CAST(8 AS INT) AS height, CAST(10 AS INT) AS fps,
-        |  CAST(24 + (doc_id % 4) * 8 AS INT) AS n_frames,
-        |  CAST(16 + (8 + (doc_id % 3) * 4) * 8
-        |    * (24 + (doc_id % 4) * 8) AS BIGINT) AS n_bytes,
-        |  CAST((24 + (doc_id % 4) * 8) * 100 AS BIGINT) AS duration_ms
-        |FROM documents""".stripMargin,
-    "q361_video_frames" ->
-      """WITH d AS (SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 8 AS h,
-        |    10 AS fps, 24 + (doc_id % 4) * 8 AS nf FROM documents),
-        |fr AS (SELECT doc_id, w, h, fps, nf,
-        |    unnest(range(0, nf, 4)) AS f FROM d),
-        |lum AS (SELECT doc_id, CAST(f AS INT) AS frame_idx,
-        |    CAST(f * 1000 // fps AS BIGINT) AS t_ms,
-        |    CAST(list_sum(list_transform(range(0, w * h),
-        |      p -> (p * 31 + f * 57 + doc_id * 13) % 251)) * 1000
-        |      // (w * h) AS BIGINT) AS luma_milli
-        |  FROM fr),
-        |c AS (SELECT doc_id, frame_idx, t_ms, luma_milli,
-        |    lag(luma_milli) OVER (PARTITION BY doc_id
-        |      ORDER BY frame_idx) AS pl
-        |  FROM lum)
-        |SELECT doc_id, frame_idx, t_ms, luma_milli,
-        |  CASE WHEN pl IS NOT NULL AND abs(luma_milli - pl) > 2000
-        |    THEN 1 ELSE 0 END AS is_cut
-        |FROM c""".stripMargin,
-    "q362_video_neardup" ->
-      """WITH ks AS (SELECT doc_id, doc_id % 17 AS k FROM documents),
-        |dm AS (SELECT DISTINCT k FROM ks),
-        |ef AS (SELECT k, 8 + (k % 3) * 4 AS w,
-        |    24 + (k % 4) * 8 AS nf, unnest(range(0,
-        |    24 + (k % 4) * 8)) AS f FROM dm),
-        |lum AS (SELECT k, nf, f,
-        |    CAST(list_sum(list_transform(range(0, w * 8),
-        |      p -> (p * 31 + f * 57 + k * 13) % 251)) AS BIGINT) AS e
-        |  FROM ef),
-        |nx AS (SELECT k, nf, f, e, lead(e) OVER (PARTITION BY k
-        |    ORDER BY f) AS nxt FROM lum),
-        |fp AS (SELECT k, CAST(max(nf) AS INT) AS n_frames,
-        |    CAST(coalesce(sum(CASE WHEN nxt > e
-        |      THEN (CAST(1 AS BIGINT) << CAST(f AS INT))
-        |      ELSE 0 END), 0) AS BIGINT) AS vfp
-        |  FROM nx WHERE nxt IS NOT NULL GROUP BY k)
-        |SELECT vfp, n_frames, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(min(doc_id) AS BIGINT) AS min_doc
-        |FROM ks JOIN fp USING (k)
-        |GROUP BY vfp, n_frames""".stripMargin,
-    "q356_triplet_mining" -> SimilarityOps.tripletMiningOracleSql(
-      "embeddings", "vec_id", "embedding", "label",
-      "q.vec_id % 19 = 0", alpha = 0.2),
-    "q357_label_spread" -> {
-      val vp0 = WinnowOps.verifiedPairsOracleSql("documents", "doc_id",
-        "text", minJaccard = 0.3)
-      s"""WITH vp AS ($vp0),
-         |e AS (SELECT id_a AS id, id_b AS nb FROM vp
-         |  UNION ALL SELECT id_b AS id, id_a AS nb FROM vp),
-         |seeds AS (SELECT doc_id AS nb, lang FROM documents
-         |  WHERE doc_id % 3 = 0),
-         |v AS (SELECT e.id, s.lang, CAST(count(*) AS BIGINT) AS c
-         |  FROM e JOIN seeds s ON e.nb = s.nb
-         |  WHERE e.id % 3 <> 0 GROUP BY 1, 2),
-         |r AS (SELECT id, lang, c, row_number() OVER (
-         |    PARTITION BY id ORDER BY c DESC, lang ASC) AS rn FROM v)
-         |SELECT id AS doc_id, lang AS lang_pred, c AS votes
-         |FROM r WHERE rn = 1""".stripMargin
-    },
-    "q358_rag_chunks" ->
-      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(
-        |    lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS ts
-        |  FROM documents),
-        |b AS (SELECT doc_id, ts, len(ts) AS nt FROM tok
-        |  WHERE len(ts) >= 1),
-        |c AS (SELECT doc_id, ts, nt, unnest(range(0,
-        |    1 + (greatest(nt - 32, 0) + 23) // 24)) AS chunk_idx
-        |  FROM b)
-        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-        |  CAST(chunk_idx * 24 + 1 AS INT) AS start_tok,
-        |  CAST(least(chunk_idx * 24 + 32, nt) AS INT) AS end_tok,
-        |  md5(array_to_string(
-        |    ts[chunk_idx * 24 + 1 : least(chunk_idx * 24 + 32, nt)],
-        |    ' ')) AS chunk_fp,
-        |  CAST(least(chunk_idx * 24 + 32, nt) - chunk_idx * 24 AS INT)
-        |    AS n_tokens
-        |FROM c""".stripMargin,
-    "q359_source_manifest" ->
-      """WITH base AS (SELECT source, lang, n_chars,
-        |    CAST(len(list_filter(string_split_regex(text,
-        |      '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT) AS tk,
-        |    md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g'))
-        |      AS fp
-        |  FROM documents),
-        |dup AS (SELECT source,
-        |    CAST(sum(CASE WHEN cf >= 2 THEN cf ELSE 0 END) AS BIGINT)
-        |      AS dup_docs
-        |  FROM (SELECT source, fp, count(*) AS cf FROM base
-        |    GROUP BY 1, 2) g
-        |  GROUP BY source),
-        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(tk) AS BIGINT) AS n_tokens,
-        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
-        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-        |  FROM base GROUP BY source)
-        |SELECT a.source, n_docs, n_tokens, n_chars, n_langs, dup_docs,
-        |  (2000000 * dup_docs + n_docs) // (2 * n_docs) AS dup_ppm
-        |FROM agg a JOIN dup d ON a.source = d.source""".stripMargin,
-    "q346_brier_decomp" -> ProfileOps.brierDecompositionOracleSql(
-      s"""(WITH plain AS (SELECT doc_id, text AS t FROM documents),
-         |${rulesOracleBody("plain")}
-         |SELECT q.quality, pr.passes FROM pr
-         |JOIN (${qualityOracleSql(TextOps.TrainedQualityWeights)}) q
-         |  USING (doc_id)) j""".stripMargin,
-      "quality", "passes"),
-
-    "q331_conformal" -> ProfileOps.splitConformalOracleSql(
-      s"""(SELECT d.doc_id, d.n_chars,
-         |  CAST(round(q.quality * 1e6) AS BIGINT) AS ymicro
-         | FROM documents d
-         | JOIN (${qualityOracleSql(TextOps.TrainedQualityWeights)}) q
-         |  USING (doc_id)) j""".stripMargin,
-      "n_chars", "ymicro", "doc_id % 2 = 0"),
-
-    "q294_t_closeness" ->
-      """WITH cell AS (SELECT source, lang,
-        |    LEAST(n_chars // 64, 9) AS b, CAST(count(*) AS BIGINT) AS c
-        |  FROM documents GROUP BY 1, 2, 3),
-        |gl AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb
-        |  FROM cell GROUP BY b),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cell),
-        |grp AS (SELECT source, lang, CAST(sum(c) AS BIGINT) AS n
-        |  FROM cell GROUP BY 1, 2),
-        |dense AS (SELECT source, lang, n, gs.b FROM grp,
-        |  (SELECT unnest(generate_series(0, 9)) AS b) gs),
-        |j AS (SELECT d.source, d.lang, d.n, d.b,
-        |    coalesce(c.c, 0) AS c, coalesce(g.cb, 0) AS cb, n_all
-        |  FROM dense d
-        |  LEFT JOIN cell c ON d.source = c.source AND d.lang = c.lang
-        |    AND d.b = c.b
-        |  LEFT JOIN gl g ON d.b = g.b CROSS JOIN tot),
-        |cum AS (SELECT source, lang, n, n_all,
-        |    sum(c * n_all - cb * n) OVER (PARTITION BY source, lang
-        |      ORDER BY b ROWS UNBOUNDED PRECEDING) AS s
-        |  FROM j),
-        |a AS (SELECT source, lang, any_value(n) AS n,
-        |    CAST(sum(abs(s)) AS BIGINT) AS sa, any_value(n_all) AS na
-        |  FROM cum GROUP BY 1, 2)
-        |SELECT source, lang, n,
-        |  CAST((2000000 * sa + 9 * n * na) // (2 * 9 * n * na)
-        |    AS DOUBLE) / 1e6 AS t_emd
-        |FROM a""".stripMargin,
-
-    "q290_jackknife_ratio" ->
-      graft.ops.EventOps.jackknifeRatioOracleSql(
-        "events", "user_id", "event_type", "value", "purchase",
-        "click"),
-
-    "q288_dup_inflation" ->
-      """WITH d AS (SELECT source, md5(text) AS fp,
-        |    CAST(len(list_filter(string_split_regex(lower(text),
-        |      '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT) AS tk
-        |  FROM documents),
-        |g AS (SELECT source, fp, CAST(count(*) AS BIGINT) AS cnt,
-        |    max(tk) AS tk FROM d GROUP BY 1, 2),
-        |a AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
-        |    CAST(count(*) AS BIGINT) AS n_unique,
-        |    CAST(sum(cnt * tk) AS BIGINT) AS tok_total,
-        |    CAST(sum(tk) AS BIGINT) AS tok_unique
-        |  FROM g GROUP BY source)
-        |SELECT source, n_docs, n_unique, tok_total, tok_unique,
-        |  CAST((2000000 * tok_total + tok_unique) // (2 * tok_unique)
-        |    AS DOUBLE) / 1e6 AS inflation
-        |FROM a""".stripMargin,
-
-    "q285_grouped_ols" -> {
-      val q = qualityOracleSql(TextOps.TrainedQualityWeights)
-      ProfileOps.groupedOlsOracleSql(
-        s"(SELECT d.source, d.n_chars, CAST(round(qq.quality * 1e5)" +
-          s" AS BIGINT) AS ymicro FROM ($q) qq" +
-          " JOIN documents d USING (doc_id)) src",
-        "source", "n_chars", "ymicro")
-    },
-
-    "q286_welch_t" -> ProfileOps.welchTOracleSql(
-      "documents", "source", "n_chars"),
-
-    "q284_pareto_point" -> graft.ops.EventOps.paretoOracleSql(
-      "events", "user_id", sharePermille = 800),
-
-    "q283_prefix_jaccard" -> DedupOps.prefixJaccardOracleSql(
-      "documents", "doc_id", "text", 3, tauPermille = 500),
-
-    "q282_keyframes" ->
-      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
-        |    octet_length(encode(text)) AS n FROM documents),
-        |f AS (SELECT doc_id, i,
-        |    CAST((i * greatest(n - 32, 0)) // 7 AS INTEGER) AS off,
-        |    substring(h,
-        |      CAST(((i * greatest(n - 32, 0)) // 7) * 2 + 1 AS BIGINT),
-        |      64) AS frame
-        |  FROM b, (SELECT unnest(generate_series(0, 7)) AS i)),
-        |l AS (SELECT doc_id, i, off, frame,
-        |    lag(frame) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-        |  FROM f)
-        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, off AS "offset",
-        |  CAST(length(frame) // 2 AS INTEGER) AS frame_len
-        |FROM l WHERE prev IS NULL OR frame IS DISTINCT FROM prev""".stripMargin,
-
-    "q280_skipgram" -> graft.ops.CooccurOps.skipgramOracleSql(
-      "documents", "doc_id", "text", window = 2, minCount = 30L),
-
-    "q281_mann_kendall" -> graft.ops.TimeSeriesOps.mannKendallOracleSql(
-      "events", "event_type", "ts"),
-
-    "q278_cuped" -> graft.ops.EventOps.cupedOracleSql(
-      "events", "user_id", "ts", "value", "2024-01-16 00:00:00"),
-
-    "q279_stratified_split" ->
-      graft.ops.SelectionOps.stratifiedSplitOracleSql(
-        "documents", Seq("source", "lang"),
-        Seq("train" -> 800, "val" -> 100, "test" -> 100)),
-
-    "q274_cusum_changepoint" -> graft.ops.TimeSeriesOps.cusumOracleSql(
-      "events", "event_type", "ts"),
-
-    "q275_seasonal_backtest" ->
-      graft.ops.TimeSeriesOps.seasonalNaiveOracleSql(
-        "events", "event_type", "ts"),
-
-    "q276_clustering_coeff" ->
-      graft.ops.GraphOps.clusteringCoefficientOracleSql(
-        s"""SELECT item_a AS src, item_b AS dst FROM (
-           |${graft.ops.CooccurOps.basketPairsOracleSql(
-              "SELECT l_orderkey AS bk, p_brand AS it FROM lineitem " +
-                "JOIN part ON l_partkey = p_partkey",
-              minSupport = 20L)}) pairs""".stripMargin),
-
-    "q277_trimmed_mean" -> ProfileOps.trimmedMeanOracleSql(
-      "lineitem", "l_returnflag", "round(l_extendedprice * 100)"),
-
-    "q271_approx_pctl_gate" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS p50_ok,
-        | TRUE AS p90_ok FROM lineitem""".stripMargin,
-
-    "q272_kaplan_meier" -> graft.ops.EventOps.kaplanMeierOracleSql(
-      """SELECT (coalesce(t_buy, t_last) - t0) // 3600000000 AS t,
-        |  CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END AS ev
-        |FROM (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t_last,
-        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
-        |      AS t_buy
-        |  FROM events GROUP BY user_id) u""".stripMargin),
-
-    "q273_best_f1" -> ProfileOps.bestF1OracleSql(
-      s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
-         |docs0 AS (SELECT doc_id, text AS t FROM documents),
-         |""".stripMargin + rulesOracleBody("docs0") +
-      """
-        |SELECT quality AS s, pr.passes AS pos
-        |FROM q JOIN pr USING (doc_id)""".stripMargin),
-
-    "q267_brand_itemsets" -> graft.ops.CooccurOps.basketPairsOracleSql(
-      "SELECT l_orderkey AS bk, p_brand AS it FROM lineitem " +
-        "JOIN part ON l_partkey = p_partkey", minSupport = 20L),
-
-    "q268_attribution" -> graft.ops.EventOps.lastTouchOracleSql(
-      "events", "user_id", "ts", "event_type", "event_id",
-      convType = "purchase", touchType = "click", windowSec = 86400L),
-
-    "q269_good_turing" -> graft.ops.LmOps.simpleGoodTuringOracleSql(
-      "documents", "text"),
-
-    "q270_hll_merge" ->
-      """SELECT source, count(DISTINCT md5(text)) AS n_exact,
-        | TRUE AS within_5pct
-        |FROM documents GROUP BY source""".stripMargin,
-
-    "q264_merged_stats" -> ProfileOps.mergedStatsOracleSql(
-      "documents", "source", "n_chars"),
-
-    "q265_small_qty_revenue" ->
-      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-        |  FROM lineitem),
-        |pa AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq,
-        |    CAST(count(*) AS BIGINT) AS cq FROM li GROUP BY 1),
-        |sel AS (SELECT li.l_partkey, cents
-        |  FROM li JOIN pa USING (l_partkey) WHERE q * cq * 5 < sq)
-        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
-        |  CAST(sum(cents) AS DOUBLE) / 700.0 AS avg_yearly
-        |FROM sel JOIN part ON l_partkey = p_partkey
-        |GROUP BY 1""".stripMargin,
-
-    "q266_weighted_pctl" -> ProfileOps.weightedPercentilesOracleSql(
-      "lineitem", "l_returnflag", "l_extendedprice", "l_quantity"),
-
-    "q259_isotonic" -> ProfileOps.isotonicOracleSql(
-      s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
-         |docs0 AS (SELECT doc_id, text AS t FROM documents),
-         |""".stripMargin + rulesOracleBody("docs0") +
-      """
-        |SELECT least(CAST(floor(quality * 10) AS INTEGER), 9) AS bucket,
-        | pr.passes AS pos
-        |FROM q JOIN pr USING (doc_id)""".stripMargin),
-
-    "q260_quantile_norm" -> ProfileOps.quantileNormalizeOracleSql(
-      "SELECT doc_id AS id, source AS g, n_chars AS v FROM documents",
-      "doc_id", "source", "n_chars"),
-
-    "q261_benford" -> ProfileOps.benfordOracleSql(
-      "lineitem", "round(l_extendedprice * 100)"),
-
-    "q262_silhouette" -> SimilarityOps.silhouetteOracleSql(
-      "embeddings", "vec_id", "embedding", "vec_id < 8"),
-
-    "q263_theils_u" -> ProfileOps.theilsUOracleSql(
-      "documents", "source", "lang"),
-
-    "q256_chi2_drift" -> ProfileOps.chiSquaredOracleSql(
-      "documents", "source", "lang"),
-
-    "q257_kendall_tau" -> ProfileOps.kendallTauOracleSql(
-      "SELECT hour(ts) AS x, floor(value / 10.0) AS y FROM events",
-      "hr", "vdec"),
-
-    "q258_scene_segments" ->
-      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
-        |    octet_length(encode(text)) AS n FROM documents),
-        |f AS (SELECT doc_id, i, substring(h,
-        |    CAST(((i * greatest(n - 32, 0)) // 7) * 2 + 1 AS BIGINT),
-        |    64) AS frame
-        |  FROM b, (SELECT unnest(generate_series(0, 7)) AS i)),
-        |l AS (SELECT doc_id, frame,
-        |    lag(frame) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-        |  FROM f),
-        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
-        |    CAST(sum(CASE WHEN prev IS NOT NULL
-        |      AND frame IS DISTINCT FROM prev THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_cuts,
-        |    count(DISTINCT frame) AS n_distinct_frames
-        |  FROM l GROUP BY doc_id)
-        |SELECT doc_id, n_frames, n_cuts,
-        |  CAST(n_cuts + 1 AS BIGINT) AS n_scenes, n_distinct_frames
-        |FROM a""".stripMargin,
-
-    "q255_spearman" -> ProfileOps.spearmanOracleSql(
-      s"SELECT CAST(d.n_chars AS DOUBLE) AS x, qq.quality AS y FROM " +
-        s"(${qualityOracleSql(TextOps.TrainedQualityWeights)}) qq " +
-        "JOIN documents d USING (doc_id)",
-      "n_chars", "quality"),
-    "q252_mannwhitney_drift" -> ProfileOps.mannWhitneyOracleSql(
-      s"(SELECT d.source, qq.quality FROM " +
-        s"(${qualityOracleSql(TextOps.TrainedQualityWeights)}) qq " +
-        "JOIN documents d USING (doc_id))",
-      "source", "quality"),
-    "q250_ks_drift" -> ProfileOps.ksAgainstRestOracleSql(
-      s"(SELECT d.source, qq.quality FROM " +
-        s"(${qualityOracleSql(TextOps.TrainedQualityWeights)}) qq " +
-        "JOIN documents d USING (doc_id))",
-      "source", "quality"),
-    "q248_loo_source_impact" ->
-      s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
-         |j AS (SELECT d.source, qq.quality
-         |  FROM q qq JOIN documents d USING (doc_id)),
-         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  sum(CAST(quality AS DECIMAL(18,5))) AS s FROM j GROUP BY source),
-         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn, sum(s) AS ss
-         |  FROM per)
-         |SELECT source, n_docs,
-         |  ((20 * CAST(s * 100000 AS BIGINT) + n_docs)
-         |    // (2 * n_docs)) / 1e6 AS mean_source,
-         |  ((20 * CAST(ss * 100000 AS BIGINT) + nn) // (2 * nn)) / 1e6
-         |    AS mean_all,
-         |  ((20 * CAST((ss - s) * 100000 AS BIGINT) + (nn - n_docs))
-         |    // (2 * (nn - n_docs))) / 1e6 AS mean_without,
-         |  (((20 * CAST((ss - s) * 100000 AS BIGINT) + (nn - n_docs))
-         |    // (2 * (nn - n_docs)))
-         |   - ((20 * CAST(ss * 100000 AS BIGINT) + nn) // (2 * nn))) / 1e6
-         |    AS delta
-         |FROM per CROSS JOIN tot""".stripMargin,
-    "q249_lsh_tuning" -> {
-      val vp = WinnowOps.verifiedPairsOracleSql("documents", "doc_id",
-        "text", minJaccard = 0.0)
-      s"""WITH vp AS ($vp),
-         |c (r, b) AS (VALUES (2, 4), (2, 8), (2, 16), (4, 8), (4, 16),
-         |  (8, 16)),
-         |x1 AS (SELECT r, b, jac, jac * jac AS j2 FROM vp CROSS JOIN c),
-         |x2 AS (SELECT *, j2 * j2 AS j4 FROM x1),
-         |x3 AS (SELECT *, j4 * j4 AS j8 FROM x2),
-         |x4 AS (SELECT r, b, jac, 1.0::DOUBLE - (CASE r WHEN 2 THEN j2
-         |   WHEN 4 THEN j4 ELSE j8 END) AS q1 FROM x3),
-         |x5 AS (SELECT *, q1 * q1 AS q2 FROM x4),
-         |x6 AS (SELECT *, q2 * q2 AS q4 FROM x5),
-         |x7 AS (SELECT *, q4 * q4 AS q8 FROM x6),
-         |x8 AS (SELECT *, q8 * q8 AS q16 FROM x7),
-         |x9 AS (SELECT r, b, jac, CAST(round((1.0::DOUBLE - (CASE b
-         |   WHEN 4 THEN q4 WHEN 8 THEN q8 ELSE q16 END)) * 1e6, 0)
-         |   AS BIGINT) AS pm FROM x8)
-         |SELECT r, b, CAST(count(*) AS BIGINT) AS n_pairs,
-         |  CAST(sum(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_true,
-         |  round(sum(CASE WHEN jac >= 0.3 THEN pm ELSE 0 END) / 1e6, 6)
-         |    AS exp_tp,
-         |  round(sum(CASE WHEN jac < 0.3 THEN pm ELSE 0 END) / 1e6, 6)
-         |    AS exp_fp
-         |FROM x9 GROUP BY r, b""".stripMargin
-    },
-    "q247_winnow_incremental" ->
-      """WITH t AS (SELECT doc_id AS id, doc_id % 3 AS b,
-        |  lower(regexp_replace(CASE
-        |    WHEN doc_id % 73 = 0 THEN 'this exact landing page is mirrored verbatim across every regional site of the network with no local changes at all'
-        |    WHEN doc_id % 29 = 0 THEN text || ' Subscribe to our newsletter for weekly updates and exclusive member offers.'
-        |    ELSE text END, '[ \t\n\f\r]+', '', 'g')) AS s FROM documents),
-        |g AS (SELECT id, b, CASE WHEN length(s) >= 12
-        |  THEN list_transform(generate_series(1, length(s) - 11),
-        |    i -> substr(md5(substr(s, i, 12)), 1, 16))
-        |  ELSE [] END AS h FROM t),
-        |f AS (SELECT id, b, list_distinct(CASE
-        |   WHEN len(h) = 0 THEN []
-        |   WHEN len(h) <= 6 THEN [list_min(h)]
-        |   ELSE list_transform(generate_series(1, len(h) - 5),
-        |     i -> list_min(h[i:i+5])) END) AS fps FROM g),
-        |s1 AS (SELECT DISTINCT unnest(fps) AS fp FROM f WHERE b = 0),
-        |e2 AS (SELECT id, len(fps) AS n_fp, unnest(fps) AS fp
-        |  FROM f WHERE b = 1),
-        |p2 AS (SELECT e2.id, any_value(e2.n_fp) AS n,
-        |   sum(CASE WHEN r.fp IS NULL THEN 0 ELSE 1 END) AS kn
-        |  FROM e2 LEFT JOIN s1 r USING (fp) GROUP BY e2.id),
-        |r2 AS (SELECT t.id AS doc_id, 2 AS batch,
-        |   CAST(coalesce(p2.n, 0) AS BIGINT) AS n_fp,
-        |   CAST(coalesce(p2.kn, 0) AS BIGINT) AS n_known,
-        |   CASE WHEN p2.n > 0 THEN round(p2.kn * 1.0::DOUBLE / p2.n, 5) END
-        |     AS overlap
-        |  FROM t LEFT JOIN p2 ON t.id = p2.id WHERE t.b = 1),
-        |s2 AS (SELECT DISTINCT fp FROM (
-        |  SELECT fp FROM s1
-        |  UNION ALL SELECT unnest(fps) AS fp FROM f WHERE b = 1)),
-        |e3 AS (SELECT id, len(fps) AS n_fp, unnest(fps) AS fp
-        |  FROM f WHERE b = 2),
-        |p3 AS (SELECT e3.id, any_value(e3.n_fp) AS n,
-        |   sum(CASE WHEN r.fp IS NULL THEN 0 ELSE 1 END) AS kn
-        |  FROM e3 LEFT JOIN s2 r USING (fp) GROUP BY e3.id),
-        |r3 AS (SELECT t.id AS doc_id, 3 AS batch,
-        |   CAST(coalesce(p3.n, 0) AS BIGINT) AS n_fp,
-        |   CAST(coalesce(p3.kn, 0) AS BIGINT) AS n_known,
-        |   CASE WHEN p3.n > 0 THEN round(p3.kn * 1.0::DOUBLE / p3.n, 5) END
-        |     AS overlap
-        |  FROM t LEFT JOIN p3 ON t.id = p3.id WHERE t.b = 2),
-        |u AS (SELECT * FROM r2 UNION ALL SELECT * FROM r3)
-        |SELECT doc_id, batch, n_fp, n_known, overlap,
-        |  CAST(overlap IS NULL OR overlap <= 0.5 AS INTEGER) AS keep
-        |FROM u""".stripMargin,
-    "q246_luhn_pii" ->
-      """WITH c AS (SELECT doc_id, CASE
-        |   WHEN doc_id % 17 = 0 THEN text || ' card 4539148803436467 ok'
-        |   WHEN doc_id % 19 = 0 THEN text || ' num 4539148803436468 bad'
-        |   ELSE text END AS t FROM documents),
-        |e AS (SELECT doc_id,
-        |  unnest(regexp_extract_all(t, '\b[0-9]{13,16}\b')) AS cand FROM c),
-        |v AS (SELECT doc_id,
-        |  CASE WHEN list_sum(list_transform(generate_series(1, length(cand)),
-        |    i -> CASE WHEN i % 2 = 0 THEN
-        |      CASE WHEN (ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48) * 2 > 9
-        |        THEN (ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48) * 2 - 9
-        |        ELSE (ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48) * 2 END
-        |      ELSE ascii(substr(reverse(cand), CAST(i AS INT), 1)) - 48 END))
-        |    % 10 = 0 THEN 1 ELSE 0 END AS ok FROM e),
-        |g AS (SELECT doc_id, count(*) AS nc, sum(ok) AS nv
-        |  FROM v GROUP BY doc_id)
-        |SELECT c.doc_id,
-        |  CAST(coalesce(g.nc, 0) AS INTEGER) AS n_card_cands,
-        |  CAST(coalesce(g.nv, 0) AS INTEGER) AS n_cards,
-        |  CAST(coalesce(g.nv, 0) > 0 AS INTEGER) AS has_card
-        |FROM c LEFT JOIN g USING (doc_id)""".stripMargin,
-    "q244_temperature_mixture" -> {
-      val baseSql =
-        """SELECT source,
-          |  CAST(sum(len(regexp_extract_all(text, '[^ \t\n\f\r]+')))
-          |    AS BIGINT) AS n_tokens
-          |FROM documents GROUP BY source""".stripMargin
-      val weightsSql =
-        s"""SELECT source AS grp,
-           |  CAST(round(exp(ln(CAST(n_tokens AS DOUBLE)) / 0.7), 0)
-           |    AS BIGINT) AS w
-           |FROM ($baseSql)""".stripMargin
-      s"""WITH base AS ($baseSql),
-         |al AS (${SelectionOps.largestRemainderOracleSql(weightsSql, 1000000L)})
-         |SELECT b.source, b.n_tokens, al.weight, al.alloc,
-         |  round(CAST(al.alloc AS DOUBLE) / 1000000, 6) AS alloc_frac
-         |FROM base b JOIN al ON b.source = al.grp""".stripMargin
-    },
-    "q243_span_ppl_filter" -> (LmOps.knOracleWith("d.lang = 'en'") +
-      """,
-        |inj AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
-        |   THEN text || '. zxq vlorp qeth wubble snarv gribbet zund flep vorx.'
-        |   ELSE text END AS text FROM documents)""".stripMargin +
-      spanPplCtes("inj") +
-      """
-        |SELECT doc_id, n_spans, n_scored, n_kept,
-        |  ((2000000 * n_kept + n_spans) // (2 * n_spans)) / 1e6
-        |    AS keep_frac,
-        |  CASE WHEN n_kept > 0
-        |    THEN ((20 * CAST(s * 100000 AS BIGINT) + n_kept)
-        |      // (2 * n_kept)) / 1e6 END AS mean_ppl_kept
-        |FROM g""".stripMargin),
-    "q236_audience_overlap" ->
-      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
-        |  FROM events),
-        |sz AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY t),
-        |iv AS (SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT)
-        |    AS n_both
-        |  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
-        |SELECT t1, t2, s1.n AS n1, s2.n AS n2, n_both,
-        |  round(CAST(n_both AS DOUBLE)
-        |    / CAST(s1.n + s2.n - n_both AS DOUBLE), 6) AS jaccard
-        |FROM iv JOIN sz s1 ON iv.t1 = s1.t JOIN sz s2 ON iv.t2 = s2.t"""
-        .stripMargin,
-    "q237_brand_affinity" ->
-      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-        |no AS (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
-        |    AS n_orders FROM orders),
-        |sg AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY b),
-        |pr AS (SELECT x.b AS b1, y.b AS b2, CAST(count(*) AS BIGINT)
-        |    AS n_both
-        |  FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
-        |  GROUP BY 1, 2 HAVING count(*) >= 20)
-        |SELECT b1, b2, n_both,
-        |  round(CAST(n_both * n_orders AS DOUBLE)
-        |    / CAST(s1.n * s2.n AS DOUBLE), 6) AS lift
-        |FROM pr JOIN sg s1 ON pr.b1 = s1.b JOIN sg s2 ON pr.b2 = s2.b
-        |CROSS JOIN no""".stripMargin,
-    "q235_dq_trend" ->
-      """WITH w AS (SELECT
-        |  CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_s,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(CASE WHEN value > 500.0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS v0,
-        |  CAST(sum(CASE WHEN event_type NOT IN
-        |    ('signup','view','click','purchase','error')
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS v1,
-        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS v2
-        | FROM events GROUP BY 1)
-        |SELECT day_s, n_rows, 'value_over_500' AS "check",
-        |  v0 AS n_violations FROM w
-        |UNION ALL SELECT day_s, n_rows, 'unknown_type', v1 FROM w
-        |UNION ALL SELECT day_s, n_rows, 'null_user', v2 FROM w"""
-        .stripMargin,
-    "q231_score_standardize" -> (ProfileOps.zStandardizeOracleSql(
-        s"(WITH qq AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}) " +
-          "SELECT d.doc_id, d.source, qq.quality FROM documents d " +
-          "JOIN qq ON d.doc_id = qq.doc_id)",
-        "doc_id", "source", "quality")
-      .replace("SELECT id, b.grp,", "SELECT id, b.grp AS source,")),
-    "q232_calibration_ece" ->
-      (s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
-        |docs0 AS (SELECT doc_id, text AS t FROM documents),
-        |""".stripMargin + rulesOracleBody("docs0") +
-        """,
-        |j AS (SELECT q.doc_id,
-        |   least(CAST(floor(quality * 10) AS INTEGER), 9) AS bucket,
-        |   quality, pr.passes AS pos
-        | FROM q JOIN pr USING (doc_id)),
-        |bk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
-        |   round(avg(quality), 6) AS avg_score,
-        |   round(sum(pos) * 1.0::DOUBLE / count(*), 6) AS frac_pos
-        | FROM j GROUP BY bucket)
-        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
-        | round(list_sum(list(n * abs(frac_pos - avg_score) ORDER BY bucket))
-        |   / CAST(sum(n) AS DOUBLE), 6) AS ece
-        |FROM bk""".stripMargin),
-    "q233_keywords" -> TextOps.topKeywordsOracleSql(
-      "documents", "doc_id", "text"),
-    "q234_script_mismatch" ->
-      """WITH c AS (SELECT lang,
-        | len(regexp_extract_all(text, '[A-Za-z]')) AS c0,
-        | len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS c1,
-        | len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS c2,
-        | len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS c3,
-        | len(regexp_extract_all(text, '[\x{0900}-\x{097F}]')) AS c4,
-        | len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS c5,
-        | len(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')) AS c6,
-        | len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]')) AS c7
-        | FROM documents),
-        |d AS (SELECT lang,
-        | CASE
-        |  WHEN c0 >= c1 AND c0 >= c2 AND c0 >= c3 AND c0 >= c4
-        |   AND c0 >= c5 AND c0 >= c6 AND c0 >= c7 THEN 'latin'
-        |  WHEN c1 >= c2 AND c1 >= c3 AND c1 >= c4 AND c1 >= c5
-        |   AND c1 >= c6 AND c1 >= c7 THEN 'cyrillic'
-        |  WHEN c2 >= c3 AND c2 >= c4 AND c2 >= c5 AND c2 >= c6
-        |   AND c2 >= c7 THEN 'greek'
-        |  WHEN c3 >= c4 AND c3 >= c5 AND c3 >= c6 AND c3 >= c7
-        |   THEN 'arabic'
-        |  WHEN c4 >= c5 AND c4 >= c6 AND c4 >= c7 THEN 'devanagari'
-        |  WHEN c5 >= c6 AND c5 >= c7 THEN 'cjk'
-        |  WHEN c6 >= c7 THEN 'kana'
-        |  ELSE 'hangul' END AS dominant_script,
-        | CASE WHEN lang IN ('en','de','fr','es') THEN 'latin'
-        |      WHEN lang = 'zh' THEN 'cjk' ELSE 'unknown' END
-        |   AS expected_script
-        | FROM c)
-        |SELECT lang, dominant_script, expected_script,
-        | CAST(count(*) AS BIGINT) AS n,
-        | CAST(dominant_script <> expected_script AS INT) AS is_mismatch
-        |FROM d GROUP BY 1, 2, 3""".stripMargin,
-    "q227_ab_lift" -> graft.ops.EventOps.abLiftOracleSql(
-      "events", "user_id", "event_type", "value", "purchase", 70000L),
-    "q228_mutual_info" -> ProfileOps.mutualInformationOracleSql(
-      "documents", "lang", "source"),
-    "q229_next_token_acc" -> TextOps.nextTokenAccuracyOracleSql(
-      "documents", "text"),
-    "q230_simpson_diversity" -> (ProfileOps.simpsonOracleSql(
-        "documents", "source", "lang")
-      .replace("SELECT grp,", "SELECT grp AS source,")),
-    "q224_anova_quality" ->
-      // CTE-list merge: prefix the quality + join CTEs, then splice
-      // the ANOVA builder's own CTE chain (minus its WITH keyword)
-      ("WITH jq AS (" + qualityOracleSql(TextOps.TrainedQualityWeights)
-        + "),\nsrc AS (SELECT d.source AS g_src, jq.quality FROM documents d "
-        + "JOIN jq ON d.doc_id = jq.doc_id),\n"
-        + graft.ops.ProfileOps.anovaOracleSql("src", "g_src", "quality")
-          .replaceFirst("^WITH ", "")),
-    "q225_token_gini" -> TextOps.tokenGiniOracleSql("documents", "text"),
-    "q226_burstiness" -> graft.ops.EventOps.burstinessOracleSql(
-      "events", "ts", "event_type"),
-    "q221_fk_integrity" ->
-      """WITH e1 AS (SELECT 'lineitem->orders' AS edge,
-        |  CAST(count(*) AS BIGINT) AS n_child,
-        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_orphans
-        | FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey),
-        |e2 AS (SELECT 'orders->customer',
-        |  CAST(count(*) AS BIGINT),
-        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        | FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
-        |e3 AS (SELECT 'customer->nation',
-        |  CAST(count(*) AS BIGINT),
-        |  CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        | FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey),
-        |e4 AS (SELECT 'supplier->nation',
-        |  CAST(count(*) AS BIGINT),
-        |  CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        | FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey),
-        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
-        |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
-        |SELECT edge, n_child, n_orphans,
-        |  CAST((n_orphans * 2000000 + n_child) // (n_child * 2) AS BIGINT)
-        |    AS orphan_ppm
-        |FROM u""".stripMargin,
-    "q222_late_data" -> graft.ops.EventOps.lateDataOracleSql(
-      "events", "ts", "event_type", "event_id"),
-    "q223_compaction_plan" -> graft.ops.LayoutOps.compactionOracleSql(
-      """SELECT doc_id - doc_id % 10 AS id,
-        | CAST(sum(n_chars) AS BIGINT) AS bytes
-        |FROM documents GROUP BY 1""".stripMargin, 20000L),
-    "q220_release_manifest" ->
-      (s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
-         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')))
-         |    AS BIGINT) AS n_tokens,
-         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-         |  CAST(sum(len(regexp_extract_all(text,
-         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))
-         |    AS BIGINT) AS n_raw_emails
-         | FROM documents),
-         |tg AS (SELECT md5(regexp_replace(lower(text),
-         |    '[ \\t\\n\\f\\r]+', '', 'g')) AS k, count(*) AS n
-         |  FROM documents GROUP BY 1),
-         |dups AS (SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0)
-         |    AS BIGINT) AS n_exact_dup_docs FROM tg),
-         |qm AS (SELECT ((20 * CAST(sum(CAST(quality AS DECIMAL(18,5)))
-         |    * 100000 AS BIGINT) + count(*)) // (2 * count(*))) / 1e6
-         |    AS mean_quality FROM q),
-         |ck AS (SELECT
-         |  CAST((sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) > 0)
-         |    AS INT)
-         |  + CAST((sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) > 0) AS INT)
-         |  + CAST((sum(CASE WHEN n_chars IS NULL OR n_chars <= 0
-         |      THEN 1 ELSE 0 END) > 0) AS INT)
-         |  + CAST((sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) > 0) AS INT)
-         |  + CAST((sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
-         |      THEN 1 ELSE 0 END) > 0) AS INT)
-         |  + CAST((sum(CASE WHEN NOT starts_with(source, 'src')
-         |      THEN 1 ELSE 0 END) > 0) AS INT)
-         |  + CAST((count(*) - count(DISTINCT doc_id) > 0) AS INT)
-         |    AS nf FROM documents)
-         |SELECT n_docs, n_tokens, n_langs, n_exact_dup_docs, mean_quality,
-         |  n_raw_emails, CAST(nf AS BIGINT) AS n_checks_failed,
-         |  CAST(nf = 0 AS INT) AS release_ready
-         |FROM base CROSS JOIN dups CROSS JOIN qm CROSS JOIN ck"""
-        .stripMargin),
-    "q218_multimodal_dedup" ->
-      """WITH tf AS (SELECT
-        |    md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g'))
-        |    AS k FROM documents),
-        |tg AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM tf GROUP BY k),
-        |d AS (SELECT doc_id, doc_id % 97 AS k FROM documents),
-        |ik AS (SELECT DISTINCT k, (k % 3 + 1) * 8 AS w,
-        |    ((k // 3) % 3 + 1) * 8 AS h FROM d),
-        |ixs AS (SELECT k, w, h, unnest(range(0, w)) AS x FROM ik),
-        |iys AS (SELECT k, w, h, x, unnest(range(0, h)) AS y FROM ixs),
-        |ipx AS (SELECT k, w, h, x, y,
-        |    (x * 7 + y * 13 + k * 31) % 256 AS r,
-        |    (x * 3 + y * 5 + k * 17) % 256 AS g,
-        |    (x * 11 + y * 2 + k * 23) % 256 AS b FROM iys),
-        |icl AS (SELECT k, x // (w // 8) AS ci, y // (h // 8) AS cj,
-        |    CAST(sum(r + g + b) AS BIGINT) * 1000
-        |      // (3 * (w // 8) * (h // 8)) AS cell
-        |  FROM ipx GROUP BY k, x // (w // 8), y // (h // 8), w, h),
-        |ib AS (SELECT k, cj, ci, cell,
-        |    lead(cell) OVER (PARTITION BY k, cj ORDER BY ci) AS nxt
-        |  FROM icl),
-        |ih AS (SELECT k, CAST(sum(CASE WHEN nxt > cell
-        |    THEN CAST(1 AS BIGINT) << (cj * 7 + ci) ELSE 0 END) AS BIGINT)
-        |    AS dhash FROM ib WHERE ci < 7 GROUP BY k),
-        |ig AS (SELECT dhash, CAST(count(*) AS BIGINT) AS n
-        |  FROM d JOIN ih USING (k) GROUP BY dhash),
-        |ad AS (SELECT doc_id, doc_id % 61 AS k FROM documents),
-        |ak AS (SELECT DISTINCT k, (k % 5 + 1) * 400 AS n FROM ad),
-        |ai AS (SELECT k, n, unnest(range(0, n)) AS i FROM ak),
-        |asg AS (SELECT k, (i * 32) // n AS f,
-        |    abs((i * 37 + k * 101) % 65536 - 32768) AS a FROM ai),
-        |afe AS (SELECT k, f, CAST(sum(a) AS BIGINT) AS e FROM asg
-        |  GROUP BY k, f),
-        |ale AS (SELECT k, f, e, lead(e) OVER (PARTITION BY k ORDER BY f)
-        |    AS ne FROM afe),
-        |afq AS (SELECT k, CAST(coalesce(sum(CASE WHEN ne > e
-        |    THEN (CAST(1 AS BIGINT) << CAST(f AS INT)) ELSE 0 END), 0)
-        |    AS BIGINT) AS fp FROM ale WHERE f < 31 GROUP BY k),
-        |ag AS (SELECT fp, CAST(count(*) AS BIGINT) AS n
-        |  FROM ad JOIN afq USING (k) GROUP BY fp)
-        |SELECT 'text' AS modality,
-        |  CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_dup_groups,
-        |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
-        |    AS n_docs_in_dups FROM tg
-        |UNION ALL SELECT 'image',
-        |  CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT),
-        |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) FROM ig
-        |UNION ALL SELECT 'audio',
-        |  CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT),
-        |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) FROM ag"""
-        .stripMargin,
-    "q219_rfm_segments" ->
-      """WITH m AS (SELECT max(epoch(ts)) AS t_max FROM events),
-        |p AS (SELECT user_id, max(epoch(ts)) AS t_last,
-        |    CAST(count(*) AS BIGINT) AS freq,
-        |    round(sum(value), 4) AS monetary
-        |  FROM events GROUP BY user_id),
-        |b AS (SELECT user_id,
-        |    CAST(floor((t_max - t_last) / 86400) AS BIGINT) AS recency_days,
-        |    freq, monetary FROM p CROSS JOIN m),
-        |s AS (SELECT *,
-        |  CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS INT)
-        |    AS r_score,
-        |  CAST(ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS INT)
-        |    AS f_score,
-        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS INT)
-        |    AS m_score FROM b)
-        |SELECT user_id, recency_days, freq, monetary, r_score, f_score,
-        |  m_score, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
-        |    || CAST(m_score AS VARCHAR) AS segment
-        |FROM s""".stripMargin,
-    "q216_cdc_apply" -> graft.ops.SnapshotOps.cdcApplyOracleSql(
-      """SELECT user_id % 100 AS k,
-        | CASE WHEN event_type = 'signup' THEN 'I'
-        |      WHEN event_type = 'purchase' THEN 'D'
-        |      ELSE 'U' END AS op,
-        | value, epoch(ts) AS t, event_id
-        |FROM events""".stripMargin,
-      "k", "op", "value", "t", "event_id"),
-    "q217_budget_alloc" -> (SelectionOps.largestRemainderOracleSql(
-      """SELECT source AS grp,
-        | CAST(sum(len(regexp_extract_all(text, '[^ \t\n\f\r]+')))
-        |   AS BIGINT) AS w
-        |FROM documents GROUP BY source""".stripMargin, 1000000L)
-      .replace("SELECT grp, w AS weight", "SELECT grp AS source, w AS weight")),
-    "q214_audio_fingerprint" ->
-      """WITH d AS (SELECT doc_id, doc_id % 61 AS k FROM documents),
-        |keys AS (SELECT DISTINCT k, (k % 5 + 1) * 400 AS n FROM d),
-        |i0 AS (SELECT k, n, unnest(range(0, n)) AS i FROM keys),
-        |sa AS (SELECT k, (i * 32) // n AS f,
-        |    abs((i * 37 + k * 101) % 65536 - 32768) AS a FROM i0),
-        |fe AS (SELECT k, f, CAST(sum(a) AS BIGINT) AS e FROM sa
-        |  GROUP BY k, f),
-        |le AS (SELECT k, f, e, lead(e) OVER (PARTITION BY k ORDER BY f)
-        |    AS ne FROM fe),
-        |fp AS (SELECT k, CAST(coalesce(sum(CASE WHEN ne > e
-        |    THEN (CAST(1 AS BIGINT) << CAST(f AS INT)) ELSE 0 END), 0)
-        |    AS BIGINT) AS afp
-        |  FROM le WHERE f < 31 GROUP BY k)
-        |SELECT afp, CAST(count(*) AS BIGINT) AS n_audio,
-        |  min(doc_id) AS min_doc_id
-        |FROM d JOIN fp USING (k) GROUP BY afp""".stripMargin,
-    "q241_audio_spectral" -> MultimodalOps.audioSpectralOracleSql(61),
-    "q215_embedding_decontam" ->
-      SimilarityOps.benchmarkContaminationOracleSql("embeddings",
-        "vec_id", "embedding", "vec_id % 20 = 0", 0.35),
-    "q213_image_histogram" ->
-      s"""$imagePxCte,
-         |hist AS (SELECT doc_id, ((r + g + b) // 3) // 32 AS bin,
-         |    CAST(count(*) AS BIGINT) AS c, min(w * h) AS tot
-         |  FROM px GROUP BY doc_id, ((r + g + b) // 3) // 32),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-         |    ORDER BY c DESC, bin ASC) AS rn FROM hist),
-         |e AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bins_used,
-         |    round(-list_sum(list((c / CAST(tot AS DOUBLE))
-         |      * ln(c / CAST(tot AS DOUBLE)) ORDER BY bin)), 6) AS entropy
-         |  FROM hist GROUP BY doc_id)
-         |SELECT e.doc_id, e.n_bins_used, CAST(rk.bin AS INTEGER) AS top_bin,
-         |  rk.c AS top_n, e.entropy
-         |FROM e JOIN rk ON e.doc_id = rk.doc_id AND rk.rn = 1""".stripMargin,
-    "q211_sentence_chunks" -> TextOps.sentenceChunksOracleSql(
-      "documents", "doc_id", "text"),
-    "q212_readability" -> TextOps.readabilityOracleSql(
-        "documents", "text", "lang")
-      .replace("SELECT grp, n_docs", "SELECT grp AS lang, n_docs"),
-    "q209_centroid_drift" -> SimilarityOps.centroidDriftOracleSql(
-      "embeddings", "vec_id", "embedding", "label"),
-    "q210_expectations" ->
-      """WITH w AS (SELECT
-        |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v0,
-        |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v1,
-        |  sum(CASE WHEN n_chars IS NULL OR n_chars <= 0 THEN 1 ELSE 0 END) AS v2,
-        |  sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS v3,
-        |  sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
-        |      THEN 1 ELSE 0 END) AS v4,
-        |  sum(CASE WHEN NOT starts_with(source, 'src') THEN 1 ELSE 0 END) AS v5,
-        |  count(*) - count(DISTINCT doc_id) AS vu
-        | FROM documents)
-        |SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
-        |  CAST(n_violations = 0 AS INT) AS passed
-        |FROM (
-        |  SELECT 'doc_id_not_null' AS "check", v0 AS n_violations FROM w
-        |  UNION ALL SELECT 'text_not_null', v1 FROM w
-        |  UNION ALL SELECT 'n_chars_positive', v2 FROM w
-        |  UNION ALL SELECT 'n_chars_le_400', v3 FROM w
-        |  UNION ALL SELECT 'lang_known', v4 FROM w
-        |  UNION ALL SELECT 'source_prefix', v5 FROM w
-        |  UNION ALL SELECT 'doc_id_unique', vu FROM w)""".stripMargin,
-    "q206_markov" -> graft.ops.EventOps.markovOracleSql(
-      "events", "ts", "user_id", "event_type", "event_id", 1800.0),
-    "q207_interarrival" -> graft.ops.EventOps.interArrivalOracleSql(
-      "events", "ts", "user_id", "event_id"),
-    "q208_conversion_latency" -> graft.ops.EventOps.conversionLatencyOracleSql(
-      "events", "ts", "user_id", "event_type", "signup", "purchase", 7),
-    "q202_woe_iv" -> ("WITH docs0 AS (SELECT doc_id, text AS t FROM documents),\n"
-      + rulesOracleBody("docs0")
-      + """,
-        |bj AS (SELECT least(CAST(floor(d.n_chars / 200.0) AS INT), 9) AS bin,
-        |  pr.passes AS y FROM documents d JOIN pr USING (doc_id)),
-        |""".stripMargin
-      + ProfileOps.woeIvOracleSql("bj", "bin", "y").stripPrefix("WITH ")),
-    "q203_seasonality" -> graft.ops.EventOps.seasonalityOracleSql(
-      "events", "ts", "event_type"),
-    "q204_hourly_anomalies" -> graft.ops.EventOps.hourlyAnomaliesOracleSql(
-      "events", "ts", "event_type"),
-    "q205_histogram" -> ProfileOps.histogramOracleSql("events", "value", 20),
-    "q201_pagerank" -> GraphOps.pageRankOracleSql(
-      """SELECT src, dst, count(*) AS w FROM (
-        |  SELECT CAST(l_suppkey AS BIGINT) AS src,
-        |    CAST(o_custkey + 1000000 AS BIGINT) AS dst
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  WHERE l_linenumber = 1
-        |  UNION ALL
-        |  SELECT CAST(o_custkey + 1000000 AS BIGINT),
-        |    CAST(l_suppkey AS BIGINT)
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  WHERE l_linenumber = 1)
-        |GROUP BY src, dst""".stripMargin),
-    "q197_dpo_pairs" -> PreferenceOps.dpoOracleSql(
-      qualityOracleSql(TextOps.TrainedQualityWeights), 199, "0.05"),
-    "q198_zorder_skipping" -> graft.ops.LayoutOps.zSkippingOracleSql(
-      "events", "user_id % 1024",
-      "CAST(floor(epoch(ts) / 60) AS BIGINT) % 1024", "event_id"),
-    "q199_conversation_paths" -> graft.ops.EventOps.conversationOracleSql(
-      "events", "ts", "user_id", "event_type", "event_id", 1800.0),
-    "q200_rtbf_audit" -> graft.ops.ComplianceOps.cascadeOracleSql(
-      "c_custkey % 101 = 0"),
-    "q196_mad_outliers" -> graft.ops.ProfileOps.madOutliersOracleSql(
-      "documents", "source", "n_chars"),
-    "q194_fuzzy_join" ->
-      // placeholder substitution AFTER stripMargin: the inner SQL
-      // contains lines starting with the || concat operator, which a
-      // second stripMargin pass would eat
-      """WITH pairs AS (__PAIRS__)
-        |SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST(count(DISTINCT l_key) AS BIGINT) AS n_dirty,
-        |  CAST(count(DISTINCT r_key) AS BIGINT) AS n_clean,
-        |  min(l_key + r_key * 1000000) AS min_pair
-        |FROM pairs GROUP BY dist""".stripMargin
-        .replace("__PAIRS__", graft.ops.FuzzyOps.editJoin1OracleSql(
-          "part", "p_partkey", "p_name", "p_partkey % 3 = 0")),
-
-    "q146_dsir_weights" -> (DsirOps.oracleSql("documents", "doc_id", "text",
-      "doc_id % 7 = 0")
-      .replaceFirst("SELECT d.doc_id AS id", "SELECT d.doc_id AS doc_id")),
-    "q147_winnow_pairs" -> WinnowOps.dupPairsOracleSql("documents", "doc_id",
-      "CASE WHEN doc_id % 29 = 0 THEN text || " +
-        "' Subscribe to our newsletter for weekly updates and exclusive offers today.'" +
-        " ELSE text END"),
-    "q148_curriculum" ->
-      (SelectionOps.curriculumOracleSql(qualityOracleSql(TextOps.TrainedQualityWeights))
-        .replaceFirst("SELECT q.doc_id AS id", "SELECT q.doc_id AS doc_id")),
-    "q149_token_budget" -> SelectionOps.tokenBudgetOracleSql("documents",
-      "doc_id", "text", "source", budget = 5000L,
-      qualityOracleSql(TextOps.TrainedQualityWeights)),
-    "q150_centroid_outliers" -> SimilarityOps.centroidOutliersOracleSql(
-      "embeddings", "vec_id", "embedding", "label", topK = 5),
-    "q190_temporal_join" ->
-      """WITH base AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
-        |cuts AS (SELECT k,
-        |  CASE WHEN k % 2 = 0 THEN epoch(TIMESTAMP '2024-01-16 00:00:00')
-        |       ELSE epoch(TIMESTAMP '2024-01-08 00:00:00') END AS cut
-        | FROM base),
-        |hist AS (
-        | SELECT k, 'v1' AS ver, 0.0 AS valid_from, cut AS valid_to FROM cuts
-        | UNION ALL
-        | SELECT k, 'v2', cut, 1.7976931348623157e308 FROM cuts),
-        |facts AS (SELECT event_id, CAST(user_id % 100 + 1 AS BIGINT) AS k,
-        |  epoch(ts) AS t FROM events)
-        |SELECT ver, CAST(count(*) AS BIGINT) AS n_events,
-        | CAST(count(DISTINCT f.k) AS BIGINT) AS n_keys
-        |FROM facts f JOIN hist h
-        |  ON f.k = h.k AND f.t >= h.valid_from AND f.t < h.valid_to
-        |GROUP BY ver""".stripMargin,
-    "q185_scd2_merge" ->
-      """WITH hist AS (SELECT CAST(s_suppkey AS BIGINT) AS k, s_name AS name,
-        |  CAST(s_acctbal AS DOUBLE) AS acctbal,
-        |  CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
-        | FROM supplier),
-        |snap AS (
-        | SELECT k, name,
-        |  CASE WHEN k % 7 = 0 THEN round(acctbal + 100.0, 2)
-        |       ELSE acctbal END AS acctbal
-        | FROM hist WHERE k % 13 <> 0
-        | UNION ALL
-        | SELECT CAST(i + 900000 AS BIGINT), 'Supplier#new' || CAST(i AS VARCHAR),
-        |  0.0 FROM unnest(generate_series(1, 5)) AS t(i)),
-        |j AS (SELECT h.k AS hk, h.name AS hname, h.acctbal AS hbal,
-        |  h.valid_from AS hfrom, s.k AS sk, s.name AS sname, s.acctbal AS sbal
-        | FROM hist h FULL OUTER JOIN snap s ON h.k = s.k)
-        |SELECT hk AS k, hname AS name, hbal AS acctbal,
-        |  hfrom AS valid_from, CAST(NULL AS BIGINT) AS valid_to
-        | FROM j WHERE hk IS NOT NULL AND sk IS NOT NULL
-        |  AND hname IS NOT DISTINCT FROM sname
-        |  AND hbal IS NOT DISTINCT FROM sbal
-        |UNION ALL
-        |SELECT hk, hname, hbal, hfrom, CAST(1000 AS BIGINT)
-        | FROM j WHERE hk IS NOT NULL
-        |  AND (sk IS NULL OR hname IS DISTINCT FROM sname
-        |       OR hbal IS DISTINCT FROM sbal)
-        |UNION ALL
-        |SELECT sk, sname, sbal, CAST(1000 AS BIGINT), CAST(NULL AS BIGINT)
-        | FROM j WHERE sk IS NOT NULL
-        |  AND (hk IS NULL OR hname IS DISTINCT FROM sname
-        |       OR hbal IS DISTINCT FROM sbal)""".stripMargin,
-    "q184_sliding_window" ->
-      """SELECT event_id, user_id,
-        | CAST(count(*) OVER w AS BIGINT) AS n_1h,
-        | round(sum(value) OVER w, 4) AS sum_1h
-        |FROM (SELECT event_id, user_id, epoch(ts) AS t, value FROM events)
-        |WINDOW w AS (PARTITION BY user_id ORDER BY t
-        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
-    "q181_calibration" ->
-      (s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
-        |docs0 AS (SELECT doc_id, text AS t FROM documents),
-        |""".stripMargin + rulesOracleBody("docs0") +
-        """,
-        |j AS (SELECT q.doc_id,
-        |   least(CAST(floor(quality * 10) AS INTEGER), 9) AS bucket,
-        |   quality, pr.passes AS pos
-        | FROM q JOIN pr USING (doc_id))
-        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(pos) AS BIGINT) AS n_pos,
-        | round(avg(quality), 6) AS avg_score,
-        | round(sum(pos) * 1.0::DOUBLE / count(*), 6) AS frac_pos
-        |FROM j GROUP BY bucket""".stripMargin),
-    "q182_scorer_auc" ->
-      (s"""WITH q AS (${qualityOracleSql(TextOps.TrainedQualityWeights)}),
-        |docs0 AS (SELECT doc_id, text AS t FROM documents),
-        |""".stripMargin + rulesOracleBody("docs0") +
-        """,
-        |j AS (SELECT quality, pr.passes AS pos
-        | FROM q JOIN pr USING (doc_id)),
-        |g AS (SELECT quality, count(*) AS cnt, sum(pos) AS npos
-        | FROM j GROUP BY quality),
-        |m AS (SELECT *,
-        |   coalesce(sum(cnt) OVER (ORDER BY quality
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
-        | FROM g),
-        |mm AS (SELECT *, below + (cnt + 1) / 2.0 AS midrank FROM m),
-        |a AS (SELECT sum(npos) AS p, sum(cnt) - sum(npos) AS nn,
-        |   sum(npos * midrank) AS spr FROM mm)
-        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-        | round((spr - p * (p + 1) / 2.0) / (p * 1.0::DOUBLE * nn), 6) AS auc
-        |FROM a""".stripMargin),
-    "q183_langid_confusion" ->
-      s"""WITH base AS ($langNgramOracleSql)
-        |SELECT d.lang AS actual, b.lang_pred AS predicted,
-        | CAST(count(*) AS BIGINT) AS n
-        |FROM documents d JOIN base b USING (doc_id)
-        |GROUP BY 1, 2""".stripMargin,
-    "q179_retention_cohorts" ->
-      graft.ops.EventOps.retentionOracleSql("events", "ts", "user_id"),
-    "q180_event_funnel" -> graft.ops.EventOps.funnelOracleSql(
-      "events", "ts", "user_id", "event_type",
-      Seq("signup", "view", "click", "purchase"), windowDays = 7),
-    "q178_image_neardup" ->
-      """WITH d AS (SELECT doc_id, doc_id % 97 AS k,
-        |  ((doc_id % 97) % 3 + 1) * 8 AS w,
-        |  (((doc_id % 97) // 3) % 3 + 1) * 8 AS h
-        | FROM documents),
-        |xs AS (SELECT doc_id, k, w, h, unnest(range(0, w)) AS x FROM d),
-        |ys AS (SELECT doc_id, k, w, h, x, unnest(range(0, h)) AS y FROM xs),
-        |px AS (SELECT doc_id, w, h, x, y,
-        |  (x * 7 + y * 13 + k * 31) % 256 AS r,
-        |  (x * 3 + y * 5 + k * 17) % 256 AS g,
-        |  (x * 11 + y * 2 + k * 23) % 256 AS b
-        | FROM ys),
-        |cells AS (SELECT doc_id, x // (w // 8) AS ci, y // (h // 8) AS cj,
-        |    CAST(sum(r + g + b) AS BIGINT) * 1000
-        |      // (3 * (w // 8) * (h // 8)) AS cell
-        |  FROM px GROUP BY doc_id, x // (w // 8), y // (h // 8), w, h),
-        |bits AS (SELECT doc_id, cj, ci, cell,
-        |    lead(cell) OVER (PARTITION BY doc_id, cj ORDER BY ci) AS nxt
-        |  FROM cells),
-        |hsh AS MATERIALIZED (SELECT doc_id,
-        |    CAST(sum(CASE WHEN nxt > cell
-        |      THEN CAST(1 AS BIGINT) << (cj * 7 + ci) ELSE 0 END) AS BIGINT) AS dhash
-        |  FROM bits WHERE ci < 7 GROUP BY doc_id),
-        |banded AS MATERIALIZED (
-        | SELECT doc_id, dhash, band, (dhash >> (band * 14)) & 16383 AS bits
-        | FROM hsh, unnest([0, 1, 2, 3]) AS u(band)),
-        |pairs AS (
-        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  bit_count(xor(a.dhash, b.dhash)) AS hamming
-        | FROM banded a JOIN banded b
-        |   ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
-        |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
-        | CAST((min({'id_a': id_a, 'id_b': id_b})).id_a AS BIGINT) AS first_a,
-        | CAST((min({'id_a': id_a, 'id_b': id_b})).id_b AS BIGINT) AS first_b
-        |FROM pairs WHERE hamming <= 3 GROUP BY hamming""".stripMargin,
-    "q177_image_dhash" ->
-      """WITH d AS (SELECT doc_id, doc_id % 97 AS k,
-        |  ((doc_id % 97) % 3 + 1) * 8 AS w,
-        |  (((doc_id % 97) // 3) % 3 + 1) * 8 AS h
-        | FROM documents),
-        |xs AS (SELECT doc_id, k, w, h, unnest(range(0, w)) AS x FROM d),
-        |ys AS (SELECT doc_id, k, w, h, x, unnest(range(0, h)) AS y FROM xs),
-        |px AS (SELECT doc_id, w, h, x, y,
-        |  (x * 7 + y * 13 + k * 31) % 256 AS r,
-        |  (x * 3 + y * 5 + k * 17) % 256 AS g,
-        |  (x * 11 + y * 2 + k * 23) % 256 AS b
-        | FROM ys),
-        |cells AS (SELECT doc_id, x // (w // 8) AS ci, y // (h // 8) AS cj,
-        |    CAST(sum(r + g + b) AS BIGINT) * 1000
-        |      // (3 * (w // 8) * (h // 8)) AS cell
-        |  FROM px GROUP BY doc_id, x // (w // 8), y // (h // 8), w, h),
-        |bits AS (SELECT doc_id, cj, ci, cell,
-        |    lead(cell) OVER (PARTITION BY doc_id, cj ORDER BY ci) AS nxt
-        |  FROM cells),
-        |hsh AS (SELECT doc_id,
-        |    CAST(sum(CASE WHEN nxt > cell
-        |      THEN CAST(1 AS BIGINT) << (cj * 7 + ci) ELSE 0 END) AS BIGINT) AS dhash
-        |  FROM bits WHERE ci < 7 GROUP BY doc_id)
-        |SELECT dhash, CAST(count(*) AS BIGINT) AS n_images,
-        | CAST(min(doc_id) AS BIGINT) AS min_doc_id
-        |FROM hsh GROUP BY dhash""".stripMargin,
-    "q176_l_diversity" ->
-      """SELECT source, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
-        | CAST(count(*) AS BIGINT) AS n,
-        | CAST(count(DISTINCT lang) AS BIGINT) AS l,
-        | count(DISTINCT lang) < 3 AS below_l,
-        | count(DISTINCT lang) = 1 AND count(*) > 1 AS homogeneous
-        |FROM documents GROUP BY 1, 2""".stripMargin,
-    "q175_wordpiece_tokens" -> graft.ops.UnigramOps.greedyOracleSql(
-      "documents", "doc_id", "text", graft.ops.UnigramOps.DefaultVocab),
-    "q169_rrf_fusion" ->
-      RetrievalOps.rrfFusionOracleSql(nQueries = 5, runK = 20, k = 10),
-    "q170_ndcg" -> RetrievalOps.ndcgOracleSql(nQueries = 20, k = 10),
-    "q171_bradley_terry" -> PreferenceOps.bradleyTerryOracleSql(
-      """SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source ELSE b.source END AS w,
-        |       CASE WHEN a.n_chars >= b.n_chars THEN b.source ELSE a.source END AS l
-        |FROM documents a JOIN documents b
-        |  ON a.doc_id % 2 = 0 AND b.doc_id = a.doc_id + 1
-        | AND a.source <> b.source""".stripMargin),
-    "q172_k_anonymity" ->
-      """SELECT source, lang, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
-        | CAST(count(*) AS BIGINT) AS n, count(*) < 5 AS at_risk
-        |FROM documents GROUP BY 1, 2, 3""".stripMargin,
-    "q168_boilerplate_miner" -> WinnowOps.boilerplateMinerOracleSql(
-      "documents", "doc_id",
-      "CASE WHEN doc_id % 29 = 0 THEN text || " +
-        "' Subscribe to our newsletter for weekly updates and exclusive offers today.'" +
-        " ELSE text END",
-      "source", topK = 3, minDf = 3),
-    "q166_dedup_savings" ->
-      ("WITH RECURSIVE e AS (SELECT id_a, id_b FROM (\n" +
-        WinnowOps.verifiedPairsOracleSql("documents", "doc_id", "text",
-          minJaccard = 0.3) + ") vp),\n" +
-        """bi AS (SELECT id_a AS u, id_b AS v FROM e
-          |       UNION SELECT id_b, id_a FROM e),
-          |reach(u, v) AS (
-          | SELECT u, u FROM (SELECT DISTINCT u FROM bi) nodes
-          | UNION
-          | SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
-          |comps AS (SELECT u AS id, min(v) AS comp FROM reach GROUP BY u),
-          |tk AS (SELECT doc_id, CAST(coalesce(
-          |   len(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS toks
-          |  FROM documents),
-          |cl AS (SELECT CAST(count(DISTINCT c.comp) AS BIGINT) AS n_clusters,
-          |   count(*) AS n_clustered_docs,
-          |   CAST(sum(tk.toks) AS BIGINT) AS tokens_clustered,
-          |   CAST(coalesce(sum(CASE WHEN tk.doc_id <> c.comp
-          |     THEN tk.toks END), 0) AS BIGINT) AS tokens_removable
-          |  FROM tk JOIN comps c ON tk.doc_id = c.id),
-          |tot AS (SELECT count(*) AS n_docs_total,
-          |   CAST(sum(toks) AS BIGINT) AS tokens_total FROM tk)
-          |SELECT tot.n_docs_total, tot.tokens_total, cl.n_clusters,
-          | cl.n_clustered_docs, cl.tokens_clustered, cl.tokens_removable,
-          | round(cl.tokens_removable * 1.0::DOUBLE / tot.tokens_total, 6)
-          |   AS savings_frac
-          |FROM tot, cl""".stripMargin),
-    "q167_source_neardup" ->
-      ("WITH vp AS (\n" +
-        WinnowOps.verifiedPairsOracleSql("documents", "doc_id", "text",
-          minJaccard = 0.3) + "),\n" +
-        """s AS (SELECT doc_id, source FROM documents)
-          |SELECT least(a.source, b.source) AS source_a,
-          | greatest(a.source, b.source) AS source_b,
-          | count(*) AS n_pairs
-          |FROM vp JOIN s a ON vp.id_a = a.doc_id
-          |JOIN s b ON vp.id_b = b.doc_id
-          |GROUP BY 1, 2""".stripMargin),
-    "q164_ref_overlap" -> WinnowOps.refOverlapOracleSql("documents",
-      "doc_id", "text", "doc_id % 2 = 1")
-      .replaceFirst("SELECT t.id,", "SELECT t.id AS doc_id,"),
-    "q165_threshold_sweep" -> WinnowOps.thresholdSweepOracleSql("documents",
-      "doc_id", "text"),
-    "q162_sft_masks" -> graft.ops.PackOps.sftTokenRowsOracleSql(
-      "documents", "doc_id", "text")
-      .replaceFirst("SELECT id, CAST\\(pos AS INT\\)",
-        "SELECT id AS doc_id, CAST(pos AS INT)"),
-    "q163_token_offsets" -> graft.ops.PackOps.tokenOffsetsOracleSql(
-      "documents", "doc_id", "text", "source")
-      .replaceFirst("SELECT l.id,", "SELECT l.id AS doc_id,"),
-    "q160_leakage_safe_split" -> {
-      val coord = "substr(md5('split1' || CAST(component AS VARCHAR)), 1, 13)"
-      val cuts = SplitSpec.init.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
-      val whens = SplitSpec.init.zip(cuts).map { case ((label, _), cut) =>
-        s"WHEN $coord < '${SampleOps.thresholdHex(cut)}' THEN '$label'"
-      }.mkString(" ")
-      "WITH RECURSIVE e AS (SELECT id_a, id_b FROM (\n" +
-        WinnowOps.verifiedPairsOracleSql("documents", "doc_id", "text",
-          minJaccard = 0.3) + ") vp),\n" +
-        """bi AS (SELECT id_a AS u, id_b AS v FROM e
-          |       UNION SELECT id_b, id_a FROM e),
-          |reach(u, v) AS (
-          | SELECT u, u FROM (SELECT DISTINCT u FROM bi) nodes
-          | UNION
-          | SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
-          |comps AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
-          |withc AS (SELECT d.doc_id,
-          |  coalesce(c.component, d.doc_id) AS component
-          | FROM documents d LEFT JOIN comps c ON d.doc_id = c.id)
-          |""".stripMargin +
-        s"""SELECT doc_id, component,
-           |CASE $whens ELSE '${SplitSpec.last._1}' END AS split
-           |FROM withc""".stripMargin
-    },
-    "q161_distinct_n" -> TextOps.distinctNOracleSql("documents", "source", "text"),
-    "q157_scorer_kappa" -> ProfileOps.cohenKappaOracleSql(
-      "WITH plain AS (SELECT doc_id, text AS t FROM documents),\n" +
-        rulesOracleBody("plain") +
-        "SELECT doc_id AS id, passes = 1 AS flag FROM pr",
-      s"SELECT doc_id AS id, quality > 0.5 AS flag FROM (\n" +
-        s"${qualityOracleSql(TextOps.TrainedQualityWeights)}) q"),
-    "q158_winnow_clusters" ->
-      ("WITH RECURSIVE e AS (SELECT id_a, id_b FROM (\n" +
-        WinnowOps.verifiedPairsOracleSql("documents", "doc_id", "text",
-          minJaccard = 0.3) + ") vp),\n" +
-        """bi AS (SELECT id_a AS u, id_b AS v FROM e
-          |       UNION SELECT id_b, id_a FROM e),
-          |reach(u, v) AS (
-          | SELECT u, u FROM (SELECT DISTINCT u FROM bi) nodes
-          | UNION
-          | SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u)
-          |SELECT u AS id, min(v) AS component FROM reach GROUP BY u""".stripMargin),
-    "q159_containment_pairs" -> WinnowOps.containmentPairsOracleSql(
-      "documents", "doc_id",
-      "CASE WHEN doc_id % 211 = 0 THEN " +
-        "'the quarterly compliance digest reproduces member submissions verbatim in the appendix section for archival reference purposes'" +
-        " WHEN doc_id % 223 = 0 THEN " +
-        "'the quarterly compliance digest reproduces member submissions verbatim in the appendix section for archival reference purposes '" +
-        " || text ELSE text END"),
-    "q155_winnow_spans" -> WinnowOps.dupPairSpansOracleSql("documents", "doc_id",
-      "CASE WHEN doc_id % 29 = 0 THEN text || " +
-        "' Subscribe to our newsletter for weekly updates and exclusive offers today.'" +
-        " ELSE text END"),
-    "q156_verified_pairs" -> WinnowOps.verifiedPairsOracleSql("documents",
-      "doc_id", "text", minJaccard = 0.3),
-    "q151_centroid_confusion" -> SimilarityOps.centroidConfusionOracleSql(
-      "embeddings", "vec_id", "embedding", "label"),
-    "q152_random_projection" -> SimilarityOps.randomProjectionOracleSql(
-      "embeddings", "vec_id", "embedding", d = 64, m = 8)
-      .replaceFirst("SELECT vec_id AS id", "SELECT vec_id AS vec_id"),
-    "q153_psi_drift" -> graft.ops.EventOps.psiOracleSql("events", "ts", "value"),
-    "q154_vocab_coverage" -> TextOps.vocabCoverageOracleSql("documents", "text"),
-    "q120_feature_corr" -> ProfileOps.corrOracleSql("lineitem",
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
-    "q123_pca2_eigen" -> PcaOps.eigen2OracleSql("documents",
-      "n_chars", raw"len(regexp_extract_all(text, '\S+'))"),
-    "q128_domain_mixture" -> SampleOps.temperatureWeightsOracleSql(
-      "documents", "source", "text", alpha = 0.3),
-    "q129_zipf_fit" -> ProfileOps.zipfOracleSql("documents", "text"),
-    "q134_passage_windows" ->
-      """WITH s0 AS (SELECT doc_id,
-        |  list_filter(list_transform(string_split_regex(
-        |    replace(text, ' value', '. value'), '\. '),
-        |    x -> trim(x)), x -> x <> '') AS sents
-        | FROM documents),
-        |s1 AS (SELECT doc_id, sents,
-        |  list_transform(sents, s -> CAST(len(list_filter(
-        |    string_split_regex(lower(s), '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT)) AS tc
-        | FROM s0 WHERE len(sents) > 0),
-        |s2 AS (SELECT doc_id, sents,
-        |  list_transform(generate_series(1, len(sents)), i ->
-        |    CAST(floor(coalesce(list_sum(tc[1:i-1]), 0) / 40) AS BIGINT)) AS pid
-        | FROM s1),
-        |px AS (SELECT doc_id, sents, pid,
-        |  unnest(generate_series(0, pid[len(pid)])) AS p FROM s2),
-        |sel AS (SELECT doc_id, p AS passage_id,
-        |  list_transform(list_filter(generate_series(1, len(sents)),
-        |    i -> pid[i] = p), i -> sents[i]) AS sel
-        | FROM px)
-        |SELECT doc_id, passage_id,
-        | CAST(len(sel) AS INTEGER) AS n_sentences,
-        | CAST(len(list_filter(string_split_regex(
-        |   lower(array_to_string(sel, '. ')), '[ \t\n\f\r]+'), x -> x <> ''))
-        |   AS INTEGER) AS n_tokens,
-        | md5(array_to_string(sel, '. ')) AS passage_md5
-        |FROM sel WHERE len(sel) > 0""".stripMargin,
-    "q133_epoch_budget" -> SampleOps.epochBudgetOracleSql(
-      "documents", "source", "text", alpha = 0.3,
-      budgetTokens = 105000L, maxEpochs = 4.0),
-    "q130_bpe_fertility" ->
-      s"""$bpeCteSql,
-         |cnt AS (SELECT doc_id, CAST(sum(len(s)) AS BIGINT) AS nb
-         |        FROM fin GROUP BY doc_id),
-         |base AS (SELECT doc_id, lang, length(text) AS nc,
-         |  len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
-         |      x -> x <> '')) AS nw
-         | FROM documents),
-         |j AS (SELECT lang, nc, nw, coalesce(nb, 0) AS nb
-         |      FROM base LEFT JOIN cnt USING (doc_id))
-         |SELECT lang, count(*) AS n_docs,
-         | CAST(sum(nc) AS BIGINT) AS sum_chars,
-         | CAST(sum(nw) AS BIGINT) AS sum_words,
-         | CAST(sum(nb) AS BIGINT) AS sum_bpe,
-         | round(CAST(sum(nc) AS DOUBLE) / sum(nb), 4) AS chars_per_token,
-         | round(CAST(sum(nb) AS DOUBLE) / sum(nw), 4) AS tokens_per_word
-         |FROM j GROUP BY lang""".stripMargin,
-    "q132_pack_efficiency" ->
-      s"""$bpeCteSql,
-         |cnt0 AS (SELECT doc_id, CAST(sum(len(s)) AS BIGINT) AS nb
-         |         FROM fin GROUP BY doc_id),
-         |cnt AS (SELECT coalesce(nb, 0) AS n
-         |        FROM documents d LEFT JOIN cnt0 USING (doc_id)),
-         |l AS (SELECT unnest([CAST(32 AS BIGINT), CAST(64 AS BIGINT),
-         |                     CAST(128 AS BIGINT)]) AS seq_len),
-         |x AS (SELECT seq_len, n, least(n, seq_len) AS kept FROM cnt, l),
-         |g AS (SELECT seq_len, count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN n > seq_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
-         |  CAST(sum(greatest(n - seq_len, 0)) AS BIGINT) AS trunc_loss_tokens,
-         |  CAST(sum(seq_len - kept) AS BIGINT) AS pad_waste_tokens,
-         |  CAST(sum(kept) AS BIGINT) AS kept_tokens
-         | FROM x GROUP BY seq_len)
-         |SELECT seq_len, n_docs, n_truncated, trunc_loss_tokens,
-         | pad_waste_tokens,
-         | (kept_tokens + seq_len - 1) // seq_len AS n_packed_seqs,
-         | round(CAST(kept_tokens AS DOUBLE) / (n_docs * seq_len), 4)
-         |   AS util_padded,
-         | round(CAST(kept_tokens AS DOUBLE)
-         |   / (((kept_tokens + seq_len - 1) // seq_len) * seq_len), 4)
-         |   AS util_packed
-         |FROM g""".stripMargin,
-    "q131_hard_negatives" ->
-      """SELECT query_id, query_label, cand_id, cand_label, sim FROM (
-        | SELECT q.vec_id AS query_id, q.label AS query_label,
-        |  c.vec_id AS cand_id, c.label AS cand_label,
-        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim,
-        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
-        |    c.vec_id) AS rn
-        | FROM embeddings q JOIN embeddings c
-        |   ON q.vec_id <> c.vec_id AND q.label <> c.label
-        | WHERE q.vec_id < 8) t
-        |WHERE rn <= 3""".stripMargin,
-    "q127_blocklist" -> ("""WITH c AS (SELECT doc_id,
-        | CASE WHEN doc_id % 6 = 0
-        |   THEN text || ' Click here to BUY NOW and buy now again'
-        |  WHEN doc_id % 10 = 0
-        |   THEN 'Lorem Ipsum dolor. ' || text || ' All Rights Reserved. Subscribe!'
-        |  WHEN doc_id % 17 = 0
-        |   THEN text || ' This site uses cookies. Sign up for free shipping. Limited Time Offer!'
-        |  ELSE text END AS t
-        | FROM documents)
-        |""".stripMargin + BlocklistOps.oracleSql("c", "doc_id", "t")),
-    "q142_source_jsd" ->
-      ProfileOps.tokenDistJsdOracleSql("documents", "text", "source"),
-    "q145_novelty_vs_ref" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
-        | FROM documents),
-        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
-        |  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        |  ELSE [] END AS gl FROM w),
-        |refset AS (SELECT DISTINCT unnest(gl) AS gram FROM g
-        |           WHERE doc_id % 2 = 0),
-        |e AS (SELECT doc_id, len(gl) AS n_grams, unnest(gl) AS gram
-        |      FROM g WHERE doc_id % 2 = 1),
-        |p AS (SELECT e.doc_id, any_value(e.n_grams) AS n_grams,
-        |  sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS n_novel
-        | FROM e LEFT JOIN refset r ON e.gram = r.gram GROUP BY e.doc_id)
-        |SELECT d.doc_id,
-        | CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
-        | CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
-        | CASE WHEN p.n_grams > 0 THEN round(p.n_novel * 1.0 / p.n_grams, 5)
-        |   END AS novelty
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-        |LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin,
-    "q143_source_quality" ->
-      s"""SELECT d.source, count(*) AS n_docs,
-         | round(quantile_cont(q.quality, 0.1), 5) AS p10,
-         | round(quantile_cont(q.quality, 0.5), 5) AS p50,
-         | round(quantile_cont(q.quality, 0.9), 5) AS p90
-         |FROM (${qualityOracleSql(TextOps.TrainedQualityWeights)}) q
-         |JOIN documents d USING (doc_id)
-         |GROUP BY d.source""".stripMargin,
-    "q144_heaps_fit" ->
-      ProfileOps.heapsOracleSql("documents", "text", "source"),
-    "q141_length_lognormal" ->
-      ProfileOps.lengthLogNormalOracleSql("documents", "text"),
-    "q140_source_leakage" ->
-      """WITH c AS (SELECT source,
-        | md5(CASE WHEN doc_id % 41 = 0
-        |  THEN 'the shared boilerplate body of a page that repeats across the crawl'
-        |  ELSE text END) AS fp
-        | FROM documents)
-        |SELECT a.source AS source_a, b.source AS source_b,
-        | count(DISTINCT a.fp) AS n_shared_texts,
-        | CAST(count(*) AS BIGINT) AS n_doc_pairs
-        |FROM c a JOIN c b ON a.fp = b.fp AND a.source < b.source
-        |GROUP BY 1, 2""".stripMargin,
-    "q138_margin_mining" ->
-      """WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv
-        |           FROM embeddings WHERE label % 2 = 0),
-        |t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tv
-        |      FROM embeddings WHERE label % 2 = 1),
-        |p AS (SELECT src_id, tgt_id,
-        |       round(list_cosine_similarity(sv, tv), 6) AS sim FROM s, t),
-        |nns AS (SELECT src_id, round(avg(sim), 6) AS nn_s FROM (
-        |   SELECT src_id, sim, row_number() OVER (PARTITION BY src_id
-        |     ORDER BY sim DESC, tgt_id) AS rn FROM p) x
-        |  WHERE rn <= 4 GROUP BY src_id),
-        |nnt AS (SELECT tgt_id, round(avg(sim), 6) AS nn_t FROM (
-        |   SELECT tgt_id, sim, row_number() OVER (PARTITION BY tgt_id
-        |     ORDER BY sim DESC, src_id) AS rn FROM p) x
-        |  WHERE rn <= 4 GROUP BY tgt_id),
-        |sc AS (SELECT p.src_id, p.tgt_id, sim,
-        |        round(sim / ((nn_s + nn_t) / 2.0), 6) AS margin
-        |       FROM p JOIN nns USING (src_id) JOIN nnt USING (tgt_id)
-        |       WHERE p.src_id < 16)
-        |SELECT src_id, tgt_id, sim, margin FROM (
-        | SELECT *, row_number() OVER (PARTITION BY src_id
-        |   ORDER BY margin DESC, tgt_id) AS rn FROM sc) f
-        |WHERE rn = 1""".stripMargin,
-    "q137_decision_manifest" -> {
-      val hits = BlocklistOps.hitsExprSql("t")
-      s"""WITH c AS (SELECT doc_id,
-         | CASE WHEN doc_id % 41 = 0
-         |   THEN 'the shared boilerplate body of a page that repeats across the crawl'
-         |  WHEN doc_id % 29 = 0 THEN 'tiny doc'
-         |  WHEN doc_id % 23 = 0 THEN text || ' ' || repeat('# ', 25)
-         |  WHEN doc_id % 19 = 0 THEN text ||
-         |   ' Click here to buy now. Click here to buy now. Click here again'
-         |  ELSE text END AS t
-         | FROM documents),
-         |sig AS (SELECT doc_id, t,
-         |  CAST(len(list_filter(string_split_regex(lower(t), '[ \\t\\n\\f\\r]+'),
-         |    x -> x <> '')) AS BIGINT) AS n_words,
-         |  len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.'))
-         |    + len(regexp_extract_all(t, '…')) AS nsym,
-         |  CAST(len(regexp_extract_all(lower(t), '\\b(the|a|of|to|and)\\b'))
-         |    AS BIGINT) AS n_stop,
-         |  CAST($hits AS BIGINT) AS n_hits
-         | FROM c),
-         |r AS (SELECT *, (n_words >= 10 AND n_words <= 100000
-         |  AND round(nsym * 1.0 / greatest(n_words, 1), 5) <= 0.1
-         |  AND n_stop >= 2) AS pass_rules FROM sig),
-         |b AS (SELECT *, pass_rules AND n_hits < 3 AS pass_block FROM r),
-         |rk AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(t)
-         |         ORDER BY doc_id) AS dup_rank
-         |       FROM b WHERE pass_block)
-         |SELECT b.doc_id, n_words, n_hits,
-         | CASE WHEN NOT pass_rules THEN 'rules'
-         |      WHEN n_hits >= 3 THEN 'blocklist'
-         |      WHEN rk.dup_rank > 1 THEN 'duplicate'
-         |      ELSE 'keep' END AS reason,
-         | CAST(CASE WHEN pass_block AND coalesce(rk.dup_rank, 1) = 1
-         |      THEN 1 ELSE 0 END AS INTEGER) AS keep
-         |FROM b LEFT JOIN rk ON b.doc_id = rk.doc_id""".stripMargin
-    },
-    "q135_kn3_model" -> (LmOps.kn3OracleWith("d.lang = 'en'") +
-      """
-        |SELECT a, b, c, c_abc,
-        | round(greatest(CAST(c_abc AS DOUBLE) - 0.75, 0.0) / c_ab
-        |  + 0.75 * n1p_ab / c_ab *
-        |   (greatest(CAST(nbc AS DOUBLE) - 0.75, 0.0) / n_b_dot
-        |    + 0.75 * n1p_b / n_b_dot
-        |      * (CAST(n_dot_c + 1 AS DOUBLE) / (b2 + v + 1))), 6) AS p_kn3
-        |FROM ct JOIN ctx USING (a, b) JOIN tbc USING (b, c)
-        |     JOIN mid USING (b) JOIN uni USING (c), scalars""".stripMargin),
-    "q136_kn3_ppl" -> (LmOps.kn3OracleWith("d.lang = 'en'") +
-      """,
-        |ttk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(
-        |  CASE WHEN doc_id % 31 = 0 THEN text || ' zzq zzq zzq' ELSE text END),
-        |  '[ \t\n\f\r]+'), x -> x <> '') AS t FROM documents),
-        |tpos AS (SELECT id, unnest(generate_series(1, len(t) - 2)) AS i, t
-        |         FROM ttk WHERE len(t) >= 3),
-        |tg AS (SELECT id, t[i] AS a, t[i+1] AS b, t[i+2] AS c FROM tpos),
-        |sc AS (SELECT id, count(*) AS n_trigrams,
-        |  CAST(sum(CASE WHEN ct.c_abc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_unseen,
-        |  round(avg(-ln(
-        |    CASE WHEN ctx.c_ab IS NULL THEN
-        |      CASE WHEN mid.n_b_dot IS NULL
-        |        THEN CAST(coalesce(uni.n_dot_c, 0) + 1 AS DOUBLE) / (b2 + v + 1)
-        |        ELSE greatest(CAST(coalesce(tbc.nbc, 0) AS DOUBLE) - 0.75, 0.0) / n_b_dot
-        |          + 0.75 * n1p_b / n_b_dot
-        |            * (CAST(coalesce(uni.n_dot_c, 0) + 1 AS DOUBLE) / (b2 + v + 1))
-        |      END
-        |    ELSE greatest(CAST(coalesce(ct.c_abc, 0) AS DOUBLE) - 0.75, 0.0) / c_ab
-        |      + 0.75 * n1p_ab / c_ab *
-        |      (CASE WHEN mid.n_b_dot IS NULL
-        |        THEN CAST(coalesce(uni.n_dot_c, 0) + 1 AS DOUBLE) / (b2 + v + 1)
-        |        ELSE greatest(CAST(coalesce(tbc.nbc, 0) AS DOUBLE) - 0.75, 0.0) / n_b_dot
-        |          + 0.75 * n1p_b / n_b_dot
-        |            * (CAST(coalesce(uni.n_dot_c, 0) + 1 AS DOUBLE) / (b2 + v + 1))
-        |      END)
-        |    END)), 5) AS kn3_logppl
-        | FROM tg LEFT JOIN ct USING (a, b, c) LEFT JOIN ctx USING (a, b)
-        |      LEFT JOIN tbc USING (b, c) LEFT JOIN mid USING (b)
-        |      LEFT JOIN uni USING (c), scalars
-        | GROUP BY id)
-        |SELECT d.doc_id, coalesce(s.n_trigrams, 0) AS n_trigrams,
-        | coalesce(s.n_unseen, 0) AS n_unseen, s.kn3_logppl
-        |FROM documents d LEFT JOIN sc s ON d.doc_id = s.id""".stripMargin),
-    "q125_kn_model" -> (LmOps.knOracleWith("d.lang = 'en'") +
-      """
-        |SELECT a, b, c_ab,
-        | round(greatest(CAST(c_ab AS DOUBLE) - 0.75, 0.0) / c_a
-        |   + 0.75 * n1p_fwd / c_a
-        |     * (CAST(n1p_back + 1 AS DOUBLE) / (bt + vc + 1)), 6) AS p_kn
-        |FROM cab JOIN heads USING (a) JOIN conts USING (b), scalars""".stripMargin),
-    "q126_kn_ppl" -> (LmOps.knOracleWith("d.lang = 'en'") +
-      """,
-        |tpos AS (SELECT id, unnest(generate_series(1, len(t) - 1)) AS i, t
-        |         FROM tk WHERE len(t) >= 2),
-        |tbg AS (SELECT id, t[i] AS a, t[i+1] AS b FROM tpos),
-        |sc AS (SELECT id, count(*) AS n_bigrams,
-        |  CAST(sum(CASE WHEN cab.c_ab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_unseen,
-        |  round(avg(-ln(CASE WHEN heads.c_a IS NULL
-        |    THEN CAST(coalesce(conts.n1p_back, 0) + 1 AS DOUBLE) / (bt + vc + 1)
-        |    ELSE greatest(CAST(coalesce(cab.c_ab, 0) AS DOUBLE) - 0.75, 0.0) / c_a
-        |      + 0.75 * n1p_fwd / c_a
-        |        * (CAST(coalesce(conts.n1p_back, 0) + 1 AS DOUBLE) / (bt + vc + 1))
-        |    END)), 5) AS kn_logppl
-        | FROM tbg LEFT JOIN cab USING (a, b) LEFT JOIN heads USING (a)
-        |      LEFT JOIN conts USING (b), scalars
-        | GROUP BY id)
-        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
-        | coalesce(s.n_unseen, 0) AS n_unseen, s.kn_logppl
-        |FROM documents d LEFT JOIN sc s ON d.doc_id = s.id""".stripMargin),
-    "q121_weighted_sample" ->
-      """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight
-        |FROM (SELECT doc_id, n_chars,
-        |  ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
-        |     / 4503599627370497.0) / n_chars AS k
-        | FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
-        |ORDER BY k DESC, doc_id LIMIT 50""".stripMargin,
-    "q119_span_mojibake" ->
-      """WITH c AS (SELECT doc_id,
-        | CASE WHEN doc_id % 6 = 0 THEN text || ' 東京タワー cafÃ© corner'
-        |      WHEN doc_id % 25 = 0 THEN text || ' 移動 SÃO PAULO â€”dash'
-        |      ELSE text END AS t,
-        | CASE WHEN doc_id % 6 = 0 THEN text || ' 東京タワー café corner'
-        |      WHEN doc_id % 25 = 0 THEN text || ' 移動 SÃO PAULO â€”dash'
-        |      ELSE text END AS rep
-        | FROM documents)
-        |SELECT doc_id,
-        | CAST(len(regexp_extract_all(t, '(Ã.|â€.)')) AS BIGINT) AS n_moji,
-        | CAST(rep <> t AS INT) AS changed,
-        | md5(rep) AS repaired_md5
-        |FROM c""".stripMargin,
-    "q116_gram_novelty" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
-        | FROM documents),
-        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
-        |  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        |  ELSE [] END AS gl FROM w),
-        |e AS (SELECT doc_id, len(gl) AS n_grams, unnest(gl) AS gram FROM g),
-        |f AS (SELECT gram, count(*) AS df FROM e GROUP BY gram),
-        |p AS (SELECT e.doc_id, any_value(e.n_grams) AS n_grams,
-        |  sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_novel,
-        |  max(f.df) AS max_df
-        | FROM e JOIN f USING (gram) GROUP BY e.doc_id)
-        |SELECT d.doc_id,
-        | CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
-        | CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
-        | CAST(coalesce(p.max_df, 0) AS BIGINT) AS max_df,
-        | CASE WHEN p.n_grams > 0 THEN round(p.n_novel * 1.0 / p.n_grams, 5)
-        |   END AS novelty
-        |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin,
-    "q117_script_profile" ->
-      """WITH c AS (SELECT doc_id,
-        | CASE WHEN doc_id % 5 = 0 THEN text || ' Привет мир'
-        |      WHEN doc_id % 7 = 0 THEN text || ' こんにちは世界'
-        |      WHEN doc_id % 11 = 0 THEN text || ' مرحبا بالعالم'
-        |      WHEN doc_id % 13 = 0 THEN text || ' 안녕하세요'
-        |      WHEN doc_id % 17 = 0 THEN text || ' Γειά σου κόσμε'
-        |      WHEN doc_id % 19 = 0 THEN text || ' नमस्ते दुनिया'
-        |      ELSE text END AS t FROM documents),
-        |n AS (SELECT doc_id, t,
-        |  greatest(length(regexp_replace(t, '[ \t\n\f\r]', '', 'g')), 1) AS nc,
-        |  length(regexp_replace(t, '[ \t\n\f\r]', '', 'g')) AS n_chars
-        | FROM c)
-        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-        | round(len(regexp_extract_all(t, '[A-Za-z]')) * 1.0 / nc, 5) AS latin_frac,
-        | round(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) * 1.0 / nc, 5) AS cyrillic_frac,
-        | round(len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) * 1.0 / nc, 5) AS greek_frac,
-        | round(len(regexp_extract_all(t, '[\x{0600}-\x{06FF}]')) * 1.0 / nc, 5) AS arabic_frac,
-        | round(len(regexp_extract_all(t, '[\x{0900}-\x{097F}]')) * 1.0 / nc, 5) AS devanagari_frac,
-        | round(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]')) * 1.0 / nc, 5) AS cjk_frac,
-        | round(len(regexp_extract_all(t, '[\x{3040}-\x{30FF}]')) * 1.0 / nc, 5) AS kana_frac,
-        | round(len(regexp_extract_all(t, '[\x{AC00}-\x{D7AF}]')) * 1.0 / nc, 5) AS hangul_frac
-        |FROM n""".stripMargin,
-    "q118_invisible_scrub" ->
-      """WITH c AS (SELECT doc_id,
-        | CASE WHEN doc_id % 5 = 0 THEN replace(text, 'e', 'e' || chr(8203))
-        |      WHEN doc_id % 7 = 0 THEN chr(65279) || text
-        |      WHEN doc_id % 11 = 0 THEN replace(text, ' ', chr(160))
-        |      WHEN doc_id % 13 = 0 THEN replace(text, 'a', 'a' || chr(173))
-        |      ELSE text END AS t FROM documents),
-        |s AS (SELECT doc_id, t,
-        |  replace(regexp_replace(t,
-        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}\x{200E}\x{200F}\x{202A}-\x{202E}\x{2060}]',
-        |    '', 'g'), chr(160), ' ') AS clean
-        | FROM c)
-        |SELECT doc_id,
-        | CAST(len(regexp_extract_all(t,
-        |   '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}\x{200E}\x{200F}\x{202A}-\x{202E}\x{2060}]'))
-        |  + len(regexp_extract_all(t, chr(160))) AS BIGINT) AS n_invisible,
-        | CAST(clean <> t AS INT) AS changed,
-        | md5(clean) AS cleaned_md5
-        |FROM s""".stripMargin,
-    "q114_fix_mojibake" ->
-      """WITH c AS (SELECT doc_id,
-        | CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©')
-        |      WHEN doc_id % 11 = 0 THEN text || ' â€œquotedâ€¦'
-        |      WHEN doc_id % 13 = 0 THEN text || ' broken â€' || chr(65533) || ' end'
-        |      ELSE text END AS t,
-        | CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'é')
-        |      WHEN doc_id % 11 = 0 THEN text || ' “quoted…'
-        |      WHEN doc_id % 13 = 0 THEN text || ' broken â€' || chr(65533) || ' end'
-        |      ELSE text END AS rep
-        | FROM documents)
-        |SELECT doc_id,
-        | CAST(len(regexp_extract_all(t, '(Ã.|â€.)')) AS BIGINT) AS n_moji,
-        | CAST(rep <> t AS INT) AS changed,
-        | md5(rep) AS repaired_md5
-        |FROM c""".stripMargin,
-    "q112_quality_rules" ->
-      ("""WITH inj AS (SELECT doc_id,
-        | CASE WHEN doc_id % 29 = 0 THEN 'tiny doc'
-        |  ELSE text
-        |   || CASE WHEN doc_id % 13 = 0
-        |        THEN chr(10) || repeat('- bullet line' || chr(10), 24)
-        |        ELSE '' END
-        |   || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum {' ELSE '' END
-        |   || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'read more...'
-        |        || chr(10) || 'see details…' || chr(10) || 'more...'
-        |        ELSE '' END
-        |   || CASE WHEN doc_id % 23 = 0 THEN repeat(' #', 40) ELSE '' END
-        |   || CASE WHEN doc_id % 31 = 0 THEN repeat(' 4242', 30) ELSE '' END
-        |   || CASE WHEN doc_id % 37 = 0
-        |        THEN repeat(' pneumonoultramicroscopicsilicovolcanoconiosis', 25)
-        |        ELSE '' END
-        |  END AS t FROM documents),
-        |""".stripMargin + rulesOracleBody("inj") + "\nSELECT * FROM pr"),
-    "q68_mixture_sample" -> {
-      val coord = "substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 13)"
-      val cases = MixtureFractions.map { case (s, f) =>
-        s"WHEN '$s' THEN '${SampleOps.thresholdHex(f)}'"
-      }.mkString(" ")
-      s"""SELECT doc_id, source FROM documents
-         |WHERE $coord < CASE source $cases
-         |  ELSE '${SampleOps.thresholdHex(0.05)}' END""".stripMargin
-    },
-    "q69_split_assign" -> {
-      val coord = "substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 13)"
-      val cuts = SplitSpec.init.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
-      val whens = SplitSpec.init.zip(cuts).map { case ((label, _), cut) =>
-        s"WHEN $coord < '${SampleOps.thresholdHex(cut)}' THEN '$label'"
-      }.mkString(" ")
-      s"""SELECT doc_id,
-         |CASE $whens ELSE '${SplitSpec.last._1}' END AS split
-         |FROM documents""".stripMargin
-    },
-    "q66_dup_components" ->
-      (componentsCte + "SELECT id, component FROM comps"),
-    "q67_dedup_survivors" ->
-      (componentsCte +
-        """,keep AS (SELECT id FROM (
-          | SELECT c.id, row_number() OVER (PARTITION BY c.component
-          |   ORDER BY d.n_chars DESC, c.id) AS rn
-          | FROM comps c JOIN documents d ON d.doc_id = c.id) t WHERE rn = 1),
-          |losers AS (SELECT id FROM comps WHERE id NOT IN (SELECT id FROM keep))
-          |SELECT doc_id, n_chars FROM documents
-          |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin),
-    // weight literals are ::DOUBLE-cast: bare decimal literals are
-    // DECIMAL in DuckDB and would change the arithmetic vs Spark
-    "q79_quality_score" -> qualityOracleSql(TextOps.QualityWeights()),
-    // same scorer, IRLS-trained frozen weights (QualityFit)
-    "q95_trained_quality" -> qualityOracleSql(TextOps.TrainedQualityWeights),
-    "q81_url_normalize" -> {
-      val suffixes = graft.ops.UrlOps.MultiPartSuffixes
-        .map(s => s"'$s'").mkString(", ")
-      s"""WITH u AS (SELECT doc_id, $sqlUrlCase AS url FROM documents),
-         |p AS (SELECT doc_id, url,
-         |  regexp_extract(url, '^([^#]*)', 1) AS pre FROM u),
-         |c AS (SELECT doc_id, url,
-         |  lower(regexp_extract(pre, '^([^:/?#]+)://', 1)) AS scheme,
-         |  lower(regexp_extract(pre, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
-         |  regexp_extract(pre, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
-         |  regexp_extract(pre, '\\?(.*)$$', 1) AS query FROM p),
-         |n AS (SELECT doc_id, url, scheme,
-         |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
-         |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
-         |       ELSE hostport END AS host,
-         |  regexp_replace(path, '/+$$', '') AS cleanpath,
-         |  coalesce(array_to_string(list_filter(string_split(query, '&'),
-         |    x -> x <> '' AND NOT regexp_matches(x,
-         |      '^(utm_[^=]*|gclid|fbclid|ref)(=|$$)')), '&'), '') AS cleanquery
-         | FROM c),
-         |o AS (SELECT doc_id, url,
-         |  CASE WHEN scheme = '' THEN url
-         |       ELSE scheme || '://' || host || cleanpath ||
-         |         CASE WHEN cleanquery = '' THEN ''
-         |              ELSE '?' || cleanquery END END AS url_norm,
-         |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
-         |    ':[0-9]+$$', '') AS hostnp
-         | FROM n),
-         |d AS (SELECT doc_id, url_norm, hostnp,
-         |  string_split(hostnp, '.') AS parts FROM o)
-         |SELECT doc_id, url_norm,
-         |  CASE WHEN len(parts) <= 2 THEN hostnp
-         |       WHEN parts[-2] || '.' || parts[-1] IN ($suffixes)
-         |         THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
-         |       ELSE parts[-2] || '.' || parts[-1] END AS domain
-         |FROM d""".stripMargin
-    },
-    "q82_domain_quota" -> {
-      val suffixes = graft.ops.UrlOps.MultiPartSuffixes
-        .map(s => s"'$s'").mkString(", ")
-      s"""WITH u AS (SELECT doc_id, $sqlUrlCase AS url FROM documents),
-         |h AS (SELECT doc_id,
-         |  regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
-         |    ':[0-9]+$$', '') AS hostnp FROM u),
-         |d AS (SELECT doc_id, hostnp, string_split(hostnp, '.') AS parts FROM h),
-         |dom AS (SELECT doc_id,
-         |  CASE WHEN len(parts) <= 2 THEN hostnp
-         |       WHEN parts[-2] || '.' || parts[-1] IN ($suffixes)
-         |         THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
-         |       ELSE parts[-2] || '.' || parts[-1] END AS domain
-         | FROM d)
-         |SELECT doc_id, domain FROM (
-         | SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
-         |   ORDER BY substr(md5('dq1' || CAST(doc_id AS VARCHAR)), 1, 13),
-         |            doc_id) AS rn
-         | FROM dom) t
-         |WHERE rn <= 5""".stripMargin
-    },
-    "q80_bpe_encode" ->
-      s"""$bpeCteSql
-         |SELECT d.doc_id, coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
-         |  md5(coalesce(a.toks, '')) AS bpe_md5
-         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
-    "q85_pack_bpe" ->
-      s"""$bpeCteSql,
-         |b AS (SELECT d.doc_id, d.doc_id % 8 AS bucket,
-         |  CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_tokens
-         | FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
-         |st AS (SELECT bucket, doc_id AS id, n_tokens,
-         |  CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
-         |    - n_tokens AS BIGINT) AS start_tok FROM b)
-         |SELECT bucket, id, n_tokens, start_tok,
-         | CAST(start_tok // 128 AS BIGINT) AS seq_first,
-         | CAST((start_tok + greatest(n_tokens, 1) - 1) // 128 AS BIGINT)
-         |   AS seq_last,
-         | CAST((start_tok + greatest(n_tokens, 1) - 1) // 128
-         |   - start_tok // 128 + 1 AS BIGINT) AS n_seqs
-         |FROM st""".stripMargin,
-    "q78_adaptive_trim" ->
-      """WITH cuts AS (SELECT source,
-        |  quantile_cont(n_chars, 0.1) AS lo, quantile_cont(n_chars, 0.9) AS hi
-        | FROM documents GROUP BY source)
-        |SELECT doc_id, d.source, n_chars
-        |FROM documents d JOIN cuts c ON d.source = c.source
-        |WHERE n_chars >= lo AND n_chars <= hi""".stripMargin,
-    "q77_heavy_hitters" ->
-      """WITH tk AS (SELECT
-        |  unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '')) AS tok
-        | FROM documents)
-        |SELECT tok, count(*) AS est FROM tk GROUP BY tok""".stripMargin,
-    "q71_line_dedup" ->
-      """WITH t AS (SELECT doc_id,
-        |  replace(text, ' table', chr(10) || 'table') AS tx FROM documents),
-        |la AS (SELECT doc_id, string_split(tx, chr(10)) AS arr FROM t),
-        |l AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr
-        |      FROM la),
-        |l2 AS (SELECT doc_id, pos, arr[pos] AS line FROM l),
-        |c AS (SELECT line, count(*) AS n FROM l2 GROUP BY line),
-        |kept AS (SELECT doc_id, pos, line FROM l2 JOIN c USING (line)
-        |         WHERE n < 2),
-        |reb AS (SELECT doc_id, count(*) AS n_kept,
-        |        string_agg(line, chr(10) ORDER BY pos) AS cleaned
-        |        FROM kept GROUP BY doc_id)
-        |SELECT la.doc_id, CAST(len(la.arr) AS INTEGER) AS n_lines,
-        | coalesce(reb.n_kept, 0) AS n_kept,
-        | md5(coalesce(reb.cleaned, '')) AS cleaned_md5
-        |FROM la LEFT JOIN reb ON la.doc_id = reb.doc_id""".stripMargin,
-    "q92_snapshot_diff" ->
-      """WITH prev AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END AS text
-        | FROM documents WHERE doc_id % 7 <> 0),
-        |ck AS (SELECT doc_id, md5(c.text) AS cd, TRUE AS cp
-        |       FROM documents c),
-        |pk AS (SELECT doc_id, md5(text) AS pd, TRUE AS pp FROM prev)
-        |SELECT coalesce(ck.doc_id, pk.doc_id) AS id,
-        |  CASE WHEN pp IS NULL THEN 'added'
-        |       WHEN cp IS NULL THEN 'removed'
-        |       WHEN cd IS NOT DISTINCT FROM pd THEN 'unchanged'
-        |       ELSE 'changed' END AS status
-        |FROM ck FULL OUTER JOIN pk ON ck.doc_id = pk.doc_id""".stripMargin,
-    "q91_dataset_report" ->
-      s"""$bpeCteSql,
-         |pd AS (SELECT d.source,
-         |  coalesce(CAST(len(regexp_extract_all(d.text, '[^ \\t\\n\\f\\r]+'))
-         |    AS BIGINT), 0) AS n_tok,
-         |  CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe
-         | FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
-         |bysrc AS (SELECT source, count(*) AS n_docs,
-         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
-         | FROM pd GROUP BY source),
-         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM bysrc)
-         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
-         |  n_bpe_tokens,
-         |  round(CAST(n_docs AS DOUBLE) / t_docs, 5) AS doc_share,
-         |  round(CAST(n_tokens AS DOUBLE) / t_tokens, 5) AS token_share
-         |FROM bysrc, tot""".stripMargin,
-    "q90_perplexity" ->
-      """WITH tk AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS t
-        | FROM documents),
-        |pos AS (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
-        |        FROM tk WHERE len(t) >= 2),
-        |bg AS (SELECT doc_id, t[i] AS a, t[i+1] AS b FROM pos),
-        |uni AS (SELECT a, count(*) AS c_a FROM bg GROUP BY a),
-        |big AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
-        |vv AS (SELECT count(DISTINCT tok) AS v
-        |       FROM (SELECT unnest(t) AS tok FROM tk)),
-        |sc AS (SELECT doc_id,
-        |  round(avg(-ln(CAST(c_ab + 1 AS DOUBLE) / (c_a + v))), 5) AS logppl
-        | FROM bg JOIN big USING (a, b) JOIN uni USING (a), vv
-        | GROUP BY doc_id)
-        |SELECT d.doc_id, s.logppl
-        |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id""".stripMargin,
-    "q93_tfidf" ->
-      """WITH tk AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS t
-        | FROM documents),
-        |tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |nd AS (SELECT count(*) AS n_docs FROM documents),
-        |dfq AS (SELECT tok, count(*) AS df FROM tf
-        |        GROUP BY tok HAVING count(*) >= 2)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-        |  round(sum(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)), 5) AS sum_w,
-        |  round(max(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)), 5) AS max_w
-        |FROM tf JOIN dfq USING (tok), nd
-        |GROUP BY doc_id""".stripMargin,
-    "q88_token_ids" ->
-      s"""$bpeCteSql,
-         |ft AS (SELECT doc_id, wi, unnest(generate_series(1, len(s))) AS ti, s
-         |       FROM fin),
-         |tok AS (SELECT doc_id, wi, ti, s[ti] AS tok FROM ft),
-         |voc AS (SELECT tok, dense_rank() OVER (ORDER BY tok) AS token_id
-         |        FROM (SELECT DISTINCT tok FROM tok)),
-         |ids AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe_tokens,
-         |  md5(string_agg(CAST(token_id AS VARCHAR), ','
-         |    ORDER BY wi, ti)) AS ids_md5
-         | FROM tok JOIN voc USING (tok) GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(i.n_bpe_tokens, 0) AS n_bpe_tokens,
-         |  coalesce(i.ids_md5, md5('')) AS ids_md5
-         |FROM documents d LEFT JOIN ids i ON d.doc_id = i.doc_id""".stripMargin,
-    "q87_text_normalize" ->
-      """WITH n AS (SELECT doc_id,
-        |  trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))),
-        |    '[ \t\n\f\r]+', ' ', 'g')) AS norm FROM documents)
-        |SELECT doc_id, md5(norm) AS norm_md5,
-        |  CAST(length(norm) AS INTEGER) AS n_norm_chars
-        |FROM n""".stripMargin,
-    "q84_paragraph_dedup" ->
-      """WITH t AS (SELECT doc_id,
-        |  replace(text, ' value', chr(10) || chr(10) || 'value') AS tx
-        | FROM documents),
-        |la AS (SELECT doc_id, string_split(tx, chr(10) || chr(10)) AS arr FROM t),
-        |l AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr
-        |      FROM la),
-        |l2 AS (SELECT doc_id, pos, arr[pos] AS para FROM l),
-        |c AS (SELECT para, count(*) AS n FROM l2 GROUP BY para),
-        |kept AS (SELECT doc_id, pos, para FROM l2 JOIN c USING (para)
-        |         WHERE n < 2),
-        |reb AS (SELECT doc_id, count(*) AS n_kept,
-        |        string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned
-        |        FROM kept GROUP BY doc_id)
-        |SELECT la.doc_id, CAST(len(la.arr) AS INTEGER) AS n_paras,
-        | coalesce(reb.n_kept, 0) AS n_kept,
-        | md5(coalesce(reb.cleaned, '')) AS cleaned_md5
-        |FROM la LEFT JOIN reb ON la.doc_id = reb.doc_id""".stripMargin,
-    "q72_bm25" ->
-      """WITH tk AS (SELECT doc_id AS id,
-        |  len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '')) AS dl,
-        |  unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '')) AS tok
-        | FROM documents),
-        |tf AS (SELECT id, tok, max(dl) AS dl, count(*) AS tf FROM tk
-        |       WHERE tok IN ('spark', 'join', 'merge') GROUP BY id, tok),
-        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |st AS (SELECT count(*) AS n_docs,
-        |       avg(len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> ''))) AS avgdl
-        |       FROM documents)
-        |SELECT id AS doc_id, round(sum(
-        |  ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-        |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 5) AS bm25
-        |FROM tf JOIN dfq ON tf.tok = dfq.tok, st
-        |GROUP BY id""".stripMargin,
-    "q74_chunk_tokens" ->
-      """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS w
-        | FROM documents),
-        |p AS (SELECT doc_id, w, len(w) AS n,
-        |      greatest((len(w) - 16 + 47) // 48, 1) AS nc FROM w),
-        |c AS (SELECT doc_id, unnest(generate_series(0, nc - 1)) AS ci, w, n
-        |      FROM p)
-        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
-        | CAST(len(w[ci*48+1 : least(ci*48+64, n)]) AS INTEGER) AS n_chunk_tokens,
-        | md5(array_to_string(w[ci*48+1 : least(ci*48+64, n)], ' ')) AS chunk_md5
-        |FROM c""".stripMargin,
-    "q75_pack_sequences" ->
-      """WITH b AS (SELECT doc_id, doc_id % 8 AS bucket,
-        |  coalesce(CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))
-        |    AS BIGINT), 0) AS n_tokens
-        | FROM documents),
-        |s AS (SELECT bucket, doc_id AS id, n_tokens,
-        |  CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
-        |    - n_tokens AS BIGINT) AS start_tok FROM b)
-        |SELECT bucket, id, n_tokens, start_tok,
-        | CAST(start_tok // 256 AS BIGINT) AS seq_first,
-        | CAST((start_tok + greatest(n_tokens, 1) - 1) // 256 AS BIGINT)
-        |   AS seq_last,
-        | CAST((start_tok + greatest(n_tokens, 1) - 1) // 256
-        |   - start_tok // 256 + 1 AS BIGINT) AS n_seqs
-        |FROM s""".stripMargin,
-    "q73_stratified_take" ->
-      """SELECT doc_id, source FROM (
-        | SELECT doc_id, source, row_number() OVER (PARTITION BY source
-        |   ORDER BY substr(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 13),
-        |            doc_id) AS rn
-        | FROM documents) t
-        |WHERE rn <= 20""".stripMargin,
-    "q30_exact_dedup" ->
-      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
-        | count(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin,
-    "q94_substr_spans" -> substrSpansOracleSql,
-    "q101_remove_spans" -> removeSpansOracleSql,
-    "q110_decontaminate" ->
-      """WITH t AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
-        |    x -> x <> '') AS ws
-        | FROM documents WHERE doc_id % 97 <> 0),
-        |tb AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
-        |    x -> x <> '') AS ws
-        | FROM documents WHERE doc_id % 97 = 0),
-        |o AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
-        |    x -> x <> '') AS ws
-        | FROM documents WHERE doc_id % 97 <> 0),
-        |g AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
-        |    md5(array_to_string(ws[i:i+2], ' ')) AS gd
-        |  FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(i)
-        |  WHERE len(ws) >= 3),
-        |bg AS (SELECT DISTINCT md5(array_to_string(ws[i:i+2], ' ')) AS gd
-        |  FROM tb, unnest(generate_series(1, len(ws) - 2)) AS u(i)
-        |  WHERE len(ws) >= 3),
-        |f AS (SELECT g.doc_id, g.pos FROM g JOIN bg USING (gd)),
-        |i AS (SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-        |  FROM f),
-        |s AS (SELECT doc_id, min(pos) AS span_start,
-        |    max(pos) - min(pos) + 3 AS span_tokens
-        |  FROM i GROUP BY doc_id, isl),
-        |cov AS (SELECT DISTINCT s.doc_id,
-        |    s.span_start + CAST(u.i AS BIGINT) AS p
-        |  FROM s, unnest(generate_series(0, span_tokens - 1)) AS u(i)),
-        |tok AS (SELECT doc_id, CAST(u.j AS BIGINT) - 1 AS p,
-        |    ws[CAST(u.j AS INTEGER)] AS tok
-        |  FROM o, unnest(generate_series(1, len(ws))) AS u(j)),
-        |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
-        |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
-        |  WHERE cov.p IS NULL),
-        |agg AS (SELECT doc_id, count(*) AS n_kept,
-        |    string_agg(tok, ' ' ORDER BY p) AS text_clean
-        |  FROM kept GROUP BY doc_id),
-        |nt AS (SELECT doc_id, len(ws) AS n_toks FROM o)
-        |SELECT d.doc_id,
-        |  CAST(nt.n_toks - coalesce(agg.n_kept, 0) AS BIGINT)
-        |    AS n_tokens_removed,
-        |  coalesce(agg.text_clean, '') AS text_clean
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
-        |JOIN nt USING (doc_id)
-        |LEFT JOIN agg USING (doc_id)""".stripMargin,
-    "q103_jpeg_decode" ->
-      """SELECT doc_id,
-        | CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS width,
-        | CAST(((doc_id // 3) % 3 + 1) * 8 AS INTEGER) AS height,
-        | CAST(((doc_id % 3 + 1) * 8) * (((doc_id // 3) % 3 + 1) * 8)
-        |   AS BIGINT) AS n_px,
-        | true AS within_tol
-        |FROM documents""".stripMargin,
-    "q100_curation_v2" ->
-      s"""WITH lang AS (SELECT doc_id, lang_pred FROM ($langNgramOracleSql) lt),
-         |qual AS (SELECT doc_id, quality FROM
-         |  (${qualityOracleSql(TextOps.TrainedQualityWeights)}) qt),
-         |sub AS (SELECT doc_id, sum_span_tokens FROM ($substrSpansOracleSql) st),
-         |fps AS (SELECT doc_id,
-         |  md5(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', '', 'g')) AS fp
-         | FROM documents),
-         |sig AS (SELECT d.doc_id,
-         |  (lang.lang_pred = 'en') AS p_lang,
-         |  (lang.lang_pred = 'en' AND qual.quality >= 0.44::DOUBLE) AS p_quality,
-         |  (lang.lang_pred = 'en' AND qual.quality >= 0.44::DOUBLE
-         |    AND sub.sum_span_tokens <= 24) AS p_substr,
-         |  fps.fp
-         | FROM documents d
-         | JOIN lang ON d.doc_id = lang.doc_id
-         | JOIN qual ON d.doc_id = qual.doc_id
-         | JOIN sub ON d.doc_id = sub.doc_id
-         | JOIN fps ON d.doc_id = fps.doc_id)
-         |SELECT CAST(count(*) AS BIGINT) AS n_total,
-         |  CAST(sum(CASE WHEN p_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
-         |  CAST(sum(CASE WHEN p_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-         |  CAST(sum(CASE WHEN p_substr THEN 1 ELSE 0 END) AS BIGINT) AS n_substr,
-         |  CAST(count(DISTINCT CASE WHEN p_substr THEN fp END) AS BIGINT) AS n_dedup
-         |FROM sig""".stripMargin,
-    "q31_quality_metrics" ->
-      """SELECT doc_id,
-        | CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
-        | CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
-        | CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and)\b')) AS INTEGER) AS n_stop,
-        | round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
-        |       / greatest(length(text), 1), 5) AS punct_ratio,
-        | round(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and)\b')) * 1.0
-        |       / greatest(len(regexp_extract_all(text, '\S+')), 1), 5) AS stop_ratio,
-        | round(length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) * 1.0
-        |       / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS avg_token_len
-        |FROM documents""".stripMargin,
-    "q32_lang_predict" ->
-      """SELECT doc_id, s_en, s_de, s_fr, s_es,
-        | CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-        |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-        |      WHEN s_fr >= s_es THEN 'fr'
-        |      ELSE 'es' END AS lang_pred
-        |FROM (SELECT doc_id,
-        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of)\b')) AS INTEGER) AS s_en,
-        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|und)\b')) AS INTEGER) AS s_de,
-        |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|et)\b')) AS INTEGER) AS s_fr,
-        |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|y)\b')) AS INTEGER) AS s_es
-        | FROM documents) t""".stripMargin,
-    "q96_lang_ngram" -> langNgramOracleSql,
-    "q102_lang_profile_table" -> langWideOracleSql,
-    // audio ground truth = the sample formula (WAV/PCM is lossless)
-    "q99_audio_decode" ->
-      """WITH d AS (SELECT doc_id, (doc_id % 5 + 1) * 400 AS n FROM documents),
-        |ss AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
-        |sm AS (SELECT doc_id, n,
-        |  (i * 37 + doc_id * 101) % 65536 - 32768 AS s FROM ss)
-        |SELECT doc_id, CAST(n AS INTEGER) AS n_samples,
-        |  CAST(8000 AS INTEGER) AS sample_rate,
-        |  CAST(min(s) AS INTEGER) AS min_s, CAST(max(s) AS INTEGER) AS max_s,
-        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
-        |  round(CAST(sum(abs(s)) AS DOUBLE) / n, 5) AS mean_abs
-        |FROM sm GROUP BY doc_id, n""".stripMargin,
-    "q104_audio_features" ->
-      """WITH d AS (SELECT doc_id, (doc_id % 5 + 1) * 400 AS n FROM documents),
-        |o AS (SELECT doc_id, n, n * 3000 // 8000 AS n_out FROM d),
-        |ss AS (SELECT doc_id, n, n_out, unnest(range(0, n_out)) AS i FROM o),
-        |sm AS (SELECT doc_id, n, n_out,
-        |  ((i * 8000 // 3000) * 37 + doc_id * 101) % 65536 - 32768 AS s
-        | FROM ss)
-        |SELECT doc_id, CAST(8000 AS INTEGER) AS src_rate,
-        |  CAST(n AS INTEGER) AS n_samples,
-        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-        |  CAST((n * 1000 // 8000) // 100 AS BIGINT) AS duration_bucket,
-        |  CAST(3000 AS INTEGER) AS target_rate,
-        |  CAST(n_out AS INTEGER) AS n_out,
-        |  CAST(min(s) AS INTEGER) AS min_out,
-        |  CAST(max(s) AS INTEGER) AS max_out,
-        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs_out
-        |FROM sm GROUP BY doc_id, n, n_out""".stripMargin,
-
-    "q107_html_extract" ->
-      """WITH h AS (SELECT doc_id,
-        |  '<html><head><title>D' || CAST(doc_id AS VARCHAR) ||
-        |  '</title><style>p {color: red;}</style>' ||
-        |  '<script>if (1<2) { go(); }</script></head><body><h1>Doc ' ||
-        |  CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
-        |  '</p><!-- hidden --><p>&nbsp;Tom &amp; Jerry &lt;3 ' ||
-        |  '&quot;quoted&quot; &#39;q&#39;</p></body></html>' AS html
-        | FROM documents),
-        |e AS (SELECT doc_id,
-        |  trim(regexp_replace(
-        |    replace(replace(replace(replace(replace(replace(
-        |      regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(
-        |            regexp_replace(html,
-        |              '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
-        |            '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
-        |          '(?s)<!--.*?-->', ' ', 'g'),
-        |        '<[^>]+>', ' ', 'g'),
-        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |      '&#39;', ''''), '&amp;', '&'),
-        |    '[ \t\n\f\r]+', ' ', 'g')) AS text_clean
-        | FROM h)
-        |SELECT doc_id, text_clean,
-        |  CAST(length(text_clean) AS INTEGER) AS n_chars_clean
-        |FROM e""".stripMargin,
-    "q108_embedding_quantize" ->
-      """WITH m AS (SELECT vec_id, embedding,
-        |  list_max(list_transform(embedding,
-        |    x -> abs(CAST(x AS DOUBLE)))) AS ma FROM embeddings),
-        |s AS (SELECT vec_id, embedding,
-        |  CASE WHEN ma > 0 THEN 127.0 / ma ELSE 1.0 END AS scale FROM m),
-        |q AS (SELECT vec_id, scale, list_transform(embedding,
-        |  x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qs
-        | FROM s)
-        |SELECT vec_id, CAST(len(qs) AS INTEGER) AS n_dims,
-        |  CAST(list_min(qs) AS INTEGER) AS q_min,
-        |  CAST(list_max(qs) AS INTEGER) AS q_max,
-        |  CAST(list_sum(qs) AS BIGINT) AS sum_q, scale
-        |FROM q""".stripMargin,
-    "q106_cdc_chunks" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        |p AS (SELECT doc_id, text, n, unnest(range(1, n - 6)) AS i FROM d),
-        |hv AS (SELECT doc_id, i + 8 AS b,
-        |  CAST(unicode(substr(text, i + 0, 1)) % 128 AS BIGINT) * 562949953421312
-        |  + CAST(unicode(substr(text, i + 1, 1)) % 128 AS BIGINT) * 4398046511104
-        |  + CAST(unicode(substr(text, i + 2, 1)) % 128 AS BIGINT) * 34359738368
-        |  + CAST(unicode(substr(text, i + 3, 1)) % 128 AS BIGINT) * 268435456
-        |  + CAST(unicode(substr(text, i + 4, 1)) % 128 AS BIGINT) * 2097152
-        |  + CAST(unicode(substr(text, i + 5, 1)) % 128 AS BIGINT) * 16384
-        |  + CAST(unicode(substr(text, i + 6, 1)) % 128 AS BIGINT) * 128
-        |  + CAST(unicode(substr(text, i + 7, 1)) % 128 AS BIGINT) AS h
-        | FROM p),
-        |bounds AS (SELECT doc_id, b FROM hv WHERE h % 61 = 0
-        |  UNION SELECT doc_id, 1 FROM d
-        |  UNION SELECT doc_id, n + 1 FROM d),
-        |spans AS (SELECT doc_id, b AS st,
-        |    lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS nxt
-        |  FROM bounds),
-        |fps AS (SELECT s.doc_id, md5(substr(d.text, s.st, s.nxt - s.st)) AS fp
-        |  FROM spans s JOIN d USING (doc_id) WHERE s.nxt IS NOT NULL),
-        |shared AS (SELECT fp FROM fps GROUP BY fp
-        |  HAVING count(DISTINCT doc_id) > 1)
-        |SELECT doc_id,
-        |  count(*) AS n_chunks,
-        |  count(DISTINCT fp) AS n_distinct,
-        |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM shared) THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_shared,
-        |  round(CAST(sum(CASE WHEN fp IN (SELECT fp FROM shared) THEN 1 ELSE 0
-        |    END) AS DOUBLE) / count(*), 5) AS shared_ratio
-        |FROM fps GROUP BY doc_id""".stripMargin,
-
-    // the pixel-formula CTE both image oracles share: dims + a full
-    // (x, y) pixel grid per doc via two SEQUENTIAL unnests (same-
-    // select unnests zip in DuckDB; staged ones cross)
-    "q97_image_decode" ->
-      s"""$imagePxCte
-         |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-         |  CAST(sum(r) AS BIGINT) AS sum_r,
-         |  CAST(sum(g) AS BIGINT) AS sum_g,
-         |  CAST(sum(b) AS BIGINT) AS sum_b,
-         |  round(CAST(sum(r) + sum(g) + sum(b) AS DOUBLE) / (3 * w * h), 5)
-         |    AS mean_luma
-         |FROM px GROUP BY doc_id, w, h""".stripMargin,
-    "q98_image_resize" ->
-      s"""$imagePxCte,
-         |cells AS (SELECT doc_id, x // (w // 8) AS ci, y // (h // 8) AS cj,
-         |    CAST(sum(r + g + b) AS BIGINT) * 1000
-         |      // (3 * (w // 8) * (h // 8)) AS cell
-         |  FROM px GROUP BY doc_id, x // (w // 8), y // (h // 8), w, h),
-         |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_cells,
-         |    CAST(sum(cell) AS BIGINT) AS sum_cells,
-         |    CAST(min(cell) AS BIGINT) AS min_cell,
-         |    CAST(max(cell) AS BIGINT) AS max_cell
-         |  FROM cells GROUP BY doc_id)
-         |SELECT a.doc_id, a.n_cells,
-         |  CAST(c.cell AS BIGINT) AS cell_00, a.sum_cells, a.min_cell, a.max_cell
-         |FROM agg a JOIN cells c ON a.doc_id = c.doc_id
-         |  AND c.ci = 0 AND c.cj = 0""".stripMargin,
-    "q33_fingerprint" ->
-      """SELECT doc_id,
-        | md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g')) AS fp
-        |FROM documents""".stripMargin,
-    "q34_bpe_tokens" ->
-      """SELECT doc_id,
-        | CAST(len(regexp_extract_all(text,
-        |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]')) AS INTEGER) AS n_bpe
-        |FROM documents""".stripMargin,
-    "q35_multimodal_meta" ->
-      """SELECT doc_id,
-        | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
-        | CAST(octet_length(CAST(text AS BLOB)) % 64 + 1 AS INTEGER) AS width,
-        | CAST((octet_length(CAST(text AS BLOB)) // 64) % 64 + 1 AS INTEGER) AS height
-        |FROM documents""".stripMargin,
-    "q36_knn_brute" ->
-      """SELECT query_id, cand_id, sim FROM (
-        | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                               CAST(c.embedding AS DOUBLE[])), 6) AS sim,
-        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
-        |    c.vec_id) AS rn
-        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        | WHERE q.vec_id < 5) t
-        |WHERE rn <= 10""".stripMargin,
-    "q37_doc_stats" ->
-      """SELECT lang, source, count(*) AS n,
-        | round(avg(n_chars), 4) AS avg_chars,
-        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY lang, source""".stripMargin,
-    "q39_ngram_jaccard" ->
-      """WITH sh AS (
-        | SELECT DISTINCT doc_id AS id, shingle FROM (
-        |  SELECT doc_id,
-        |   unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |  FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
-        |        FROM documents) t0) t1),
-        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-        |inter AS (
-        | SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
-        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-        | GROUP BY 1, 2)
-        |SELECT a_id, b_id, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
-        | round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 5) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON inter.a_id = sa.id
-        |JOIN sizes sb ON inter.b_id = sb.id
-        |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 5) >= 0.2""".stripMargin,
-    "q58_token_stats" ->
-      """WITH tk AS (SELECT doc_id AS id,
-        |  unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '')) AS tok
-        | FROM documents),
-        |pc AS (SELECT id, tok, count(*) AS c FROM tk GROUP BY 1, 2)
-        |SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
-        | CAST(max(c) AS BIGINT) AS top_count,
-        | round(max(c) * 1.0 / sum(c), 5) AS top_frac,
-        | round(1.0 - count(*) * 1.0 / sum(c), 5) AS dup_frac
-        |FROM pc GROUP BY id""".stripMargin,
-    "q59_repetition" ->
-      """WITH w AS (SELECT doc_id AS id, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
-        | FROM documents),
-        |g AS (SELECT id,
-        | CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
-        |   i -> w[i] || ' ' || w[i+1]) ELSE [] END AS g2,
-        | CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
-        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS g3
-        | FROM w)
-        |SELECT id,
-        | CASE WHEN len(g2) > 0
-        |   THEN round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 5)
-        |   ELSE 0.0 END AS dup_2gram_frac,
-        | CASE WHEN coalesce(list_sum(list_transform(g2, x -> length(x))), 0) > 0
-        |   THEN round(1.0 - list_sum(list_transform(list_distinct(g2), x -> length(x))) * 1.0
-        |        / list_sum(list_transform(g2, x -> length(x))), 5)
-        |   ELSE 0.0 END AS dup_2gram_char_frac,
-        | CASE WHEN len(g3) > 0
-        |   THEN round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 5)
-        |   ELSE 0.0 END AS dup_3gram_frac,
-        | CASE WHEN coalesce(list_sum(list_transform(g3, x -> length(x))), 0) > 0
-        |   THEN round(1.0 - list_sum(list_transform(list_distinct(g3), x -> length(x))) * 1.0
-        |        / list_sum(list_transform(g3, x -> length(x))), 5)
-        |   ELSE 0.0 END AS dup_3gram_char_frac
-        |FROM g""".stripMargin,
-    "q60_contamination" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
-        | FROM documents),
-        |g AS (SELECT doc_id,
-        | CASE WHEN len(w) >= 3
-        |   THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
-        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        |   ELSE [] END AS gl
-        | FROM w),
-        |cg AS (SELECT doc_id AS id, len(gl) AS n_grams, unnest(gl) AS shingle
-        |       FROM g WHERE doc_id % 97 <> 0),
-        |bg AS (SELECT DISTINCT unnest(gl) AS shingle FROM g WHERE doc_id % 97 = 0)
-        |SELECT id, CAST(n_grams AS BIGINT) AS n_grams, count(*) AS n_contaminated,
-        | round(count(*) * 1.0 / n_grams, 5) AS contamination
-        |FROM cg WHERE shingle IN (SELECT shingle FROM bg)
-        |GROUP BY id, n_grams""".stripMargin,
-    "q61_keep_best" ->
-      """SELECT dedup_key, keep_id, keep_score, n_candidates FROM (
-        | SELECT md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g'))
-        |    AS dedup_key,
-        |  doc_id AS keep_id, n_chars AS keep_score,
-        |  count(*) OVER (PARTITION BY
-        |    md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g')))
-        |    AS n_candidates,
-        |  row_number() OVER (PARTITION BY
-        |    md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g'))
-        |    ORDER BY n_chars DESC, doc_id) AS rn
-        | FROM documents) t
-        |WHERE rn = 1""".stripMargin,
-    // The oracle reads payload bytes as code points, valid because the
-    // synthetic corpus is pure ASCII (byte == code point, verified);
-    // the engine side works on arbitrary binary.
-    "q50_resize_feature" ->
-      """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
-        | FROM documents),
-        |f AS (SELECT doc_id, text, n, greatest(n // 8, 1) AS bk FROM b)
-        |SELECT doc_id, round(list_sum(list_transform(generate_series(0, 7), i ->
-        |  list_avg(list_transform(
-        |    generate_series(least(i * bk, n - 1) + 1,
-        |                    least(least(i * bk, n - 1) + bk, n)),
-        |    j -> unicode(text[j]))))), 4) AS feat_sum
-        |FROM f""".stripMargin,
-    "q65_vocabulary" ->
-      """WITH tk AS (SELECT doc_id,
-        |  unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '')) AS tok
-        | FROM documents)
-        |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
-        |FROM tk GROUP BY tok
-        |ORDER BY tf DESC, tok LIMIT 100""".stripMargin,
-    "q64_pii_scrub" ->
-      """WITH t AS (SELECT doc_id,
-        |  text || ' contact user' || doc_id || '@example.com'
-        |    || CASE WHEN doc_id % 3 = 0
-        |            THEN ' from 10.0.' || (doc_id % 250) || '.1' ELSE '' END
-        |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END AS t
-        | FROM documents)
-        |SELECT doc_id,
-        | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
-        | CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
-        | CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INTEGER) AS n_phone,
-        | md5(regexp_replace(regexp_replace(regexp_replace(t,
-        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
-        |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<PII>', 'g'),
-        |   '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PII>', 'g')) AS redacted_md5
-        |FROM t""".stripMargin,
-    "q63_curation_funnel" ->
-      """WITH w0 AS (SELECT doc_id, text, string_split_regex(lower(text), '[ \t\n\f\r]+') AS w
-        | FROM documents),
-        |g AS (SELECT doc_id, text,
-        | CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
-        |   i -> w[i] || ' ' || w[i+1]) ELSE [] END AS g2,
-        | CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
-        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS g3
-        | FROM w0),
-        |bg AS (SELECT DISTINCT unnest(g3) AS sh FROM g WHERE doc_id % 97 = 0),
-        |cont AS (SELECT doc_id, round(count(*) * 1.0 / len3, 5) AS frac
-        | FROM (SELECT doc_id, len(g3) AS len3, unnest(g3) AS sh FROM g
-        |        WHERE doc_id % 97 <> 0) cg
-        | WHERE sh IN (SELECT sh FROM bg) GROUP BY doc_id, len3),
-        |sig AS (SELECT g.doc_id,
-        | len(regexp_extract_all(text, '\S+')) AS n_tokens,
-        | len(regexp_extract_all(lower(text), '\b(the|and|of)\b')) AS s_en,
-        | CASE WHEN len(g2) > 0
-        |   THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) ELSE 0.0 END AS dup2,
-        | md5(regexp_replace(lower(text), '[ \t\n\f\r]+', '', 'g')) AS fp,
-        | coalesce(cont.frac, 0.0) AS frac
-        | FROM g LEFT JOIN cont ON g.doc_id = cont.doc_id
-        | WHERE g.doc_id % 97 <> 0),
-        |f AS (SELECT fp,
-        | (n_tokens BETWEEN 25 AND 95) AS p1,
-        | (n_tokens BETWEEN 25 AND 95) AND s_en > 0 AS p2,
-        | (n_tokens BETWEEN 25 AND 95) AND s_en > 0 AND dup2 <= 0.1 AS p3,
-        | (n_tokens BETWEEN 25 AND 95) AND s_en > 0 AND dup2 <= 0.1
-        |   AND frac < 0.05 AS p4
-        | FROM sig)
-        |SELECT count(*) AS n_total,
-        | CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
-        | CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
-        | CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
-        | CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
-        | count(DISTINCT CASE WHEN p4 THEN fp END) AS n_dedup
-        |FROM f""".stripMargin,
-    "q49_frame_sample" ->
-      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-        | CAST((i * greatest(n - 32, 0)) // 3 AS INTEGER) AS "offset",
-        | CAST(least((i * greatest(n - 32, 0)) // 3 + 32, n)
-        |      - (i * greatest(n - 32, 0)) // 3 AS INTEGER) AS frame_len
-        |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),
-        |     (SELECT unnest(generate_series(0, 3)) AS i)""".stripMargin,
-  )
+  type Q = PipelineShared.Q
+
+  val queries: Map[String, Q] = PipelineMultimodalQueries.queries ++
+    PipelineDedupQueries.queries ++
+    PipelineSimilarityQueries.queries ++
+    PipelineTextQueries.queries ++
+    PipelineEventsQueries.queries ++
+    PipelineProfileQueries.queries ++
+    PipelineMiscQueries.queries
+
+  val oracles: Map[String, String] = PipelineMultimodalQueries.oracles ++
+    PipelineDedupQueries.oracles ++
+    PipelineSimilarityQueries.oracles ++
+    PipelineTextQueries.oracles ++
+    PipelineEventsQueries.oracles ++
+    PipelineProfileQueries.oracles ++
+    PipelineMiscQueries.oracles
 }
