@@ -538,24 +538,48 @@ object DedupOps {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4,
-      maxBucketSize: Int = 4096): DataFrame = {
+      maxBucketSize: Int = 4096): DataFrame =
+    simHashBandPairs(simHashBands(docs, idCol, textCol, bands),
+      maxHamming, bands, maxBucketSize)
+
+  /** SimHash band rows (id, band, chunk, simhash) — the banded view
+    * [[simHashPairs]] buckets on, exposed as a frame so it can also
+    * PERSIST as a durable store (q366, the [[minHashMd5Bands]]
+    * discipline for the SimHash family): the full 64-bit code rides
+    * in the row, so a store serve computes Hamming distance from the
+    * store alone — corpus text is never read at serve time.
+    */
+  def simHashBands(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
       s"bands must divide 64, got $bands")
-    require(maxHamming >= 0 && maxHamming < bands,
-      s"exactness needs maxHamming < bands, got $maxHamming vs $bands")
-    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = simHash(docs, idCol, textCol)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("chunk"))
     }
-    val banded = sh.select(col("id"), col("simhash"),
-      explode(array(bandCols: _*)).as("b"))
+    simHash(docs, idCol, textCol)
+      .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"),
+        col("b.chunk").as("chunk"), col("simhash"))
+  }
+
+  /** Near-dup pairs (a < b, hamming <= maxHamming) from a SimHash
+    * band-row frame (live [[simHashBands]] output or a persisted
+    * store read back) — bucket group, lazy in-row pair expansion,
+    * Hamming from the carried codes, final distinct. Pigeonhole
+    * exactness (up to the bucket cap) needs maxHamming < bands,
+    * exactly as in [[simHashPairs]].
+    */
+  def simHashBandPairs(bandRows: DataFrame, maxHamming: Int,
+      bands: Int, maxBucketSize: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"exactness needs maxHamming < bands, got $maxHamming vs $bands")
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
+    graft.functions.GraftFunctions.register(bandRows.sparkSession)
     val grouped = DropGuard.observed(
-      banded.groupBy(col("b"))
+      bandRows.groupBy(col("band"), col("chunk"))
         .agg(call_function("graft_bounded_collect",
           struct(col("id"), col("simhash")), lit(maxBucketSize)).as("c")),
       "simHashPairs")

@@ -236,4 +236,66 @@ object IndexStore {
     val it = lshStores.keySet.iterator()
     while (it.hasNext) if (it.next().appId == appId) it.remove()
   }
+
+  // ----------------------------------------------------------------
+  // SimHash band store
+  // ----------------------------------------------------------------
+
+  /** Append one batch of [[DedupOps.simHashBands]] rows to an
+    * append-only parquet band store — same contract as
+    * [[appendLshBands]] (one immutable corpus per store path).
+    */
+  def appendSimHashBands(bands: DataFrame, path: String): Unit =
+    append(bands, path)
+
+  /** Merge-on-read view of a SimHash band store: full-row dedup, so
+    * batch replays are no-ops and any batch split of the corpus
+    * merges to the from-scratch frame (band rows carry no cross-doc
+    * state).
+    */
+  def readSimHashBands(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).distinct()
+
+  /** Serve near-dup pairs (a < b, hamming <= maxHamming) from a
+    * persisted SimHash band store — bucket group + Hamming from the
+    * carried 64-bit codes; corpus text never read at serve time.
+    * Bit-identical to [[DedupOps.simHashPairs]] over the same corpus
+    * (SimhashStoreSpec pins the equality; the xxhash64 family has no
+    * SQL oracle, so q366 registers rows-only).
+    */
+  def serveSimHashPairs(spark: SparkSession, path: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    DedupOps.simHashBandPairs(readSimHashBands(spark, path),
+      maxHamming, bands)
+
+  private val simhashStores = new ConcurrentHashMap[WKey, String]()
+
+  /** Path of the q366 demo SimHash band store for `dir`, built ONCE
+    * per application+corpus: the documents table's band rows split
+    * into three pmod(id, 3) batch appends ([[lshDemoStorePath]]
+    * discipline).
+    */
+  def simhashDemoStorePath(spark: SparkSession, dir: String): String = {
+    val key = WKey(spark.sparkContext.applicationId, dir)
+    simhashStores.computeIfAbsent(key, new JFunction[WKey, String] {
+      override def apply(ignored: WKey): String = {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_q366").toString + "/bands"
+        val rows = DedupOps.simHashBands(
+          graft.Tables(spark, dir, "documents"), "doc_id", "text")
+          .localCheckpoint()
+        (0 until 3).foreach { b =>
+          appendSimHashBands(rows.where(pmod(col("id"), lit(3)) === b), path)
+        }
+        Checkpoints.release(rows)
+        path
+      }
+    })
+  }
+
+  /** Test hook: drop an application's SimHash demo stores. */
+  private[graft] def invalidateSimhashDemo(appId: String): Unit = {
+    val it = simhashStores.keySet.iterator()
+    while (it.hasNext) if (it.next().appId == appId) it.remove()
+  }
 }

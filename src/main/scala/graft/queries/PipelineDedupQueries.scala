@@ -69,6 +69,15 @@ private[graft] object PipelineDedupQueries {
       graft.ops.IndexStore.serveLshPairs(s,
         graft.ops.IndexStore.lshDemoStorePath(s, d))),
 
+    // SimHash durable band store — q365's discipline for the SimHash
+    // family: the xxhash64 code family has no SQL oracle (rows-only
+    // row in the gate), so the guarantee is SimhashStoreSpec pinning
+    // store-serve == the live simHashPairs pipeline bit-for-bit, plus
+    // the batch-replay idempotence of the merge-on-read store.
+    "q366_simhash_store" -> ((s, d) =>
+      graft.ops.IndexStore.serveSimHashPairs(s,
+        graft.ops.IndexStore.simhashDemoStorePath(s, d))),
+
     // Curation pipeline v3 — this round's stages composed into one
     // decision manifest over the candidate half (odd ids) of the
     // corpus: doc-level lang-ID (q96), span-perplexity retention
