@@ -618,4 +618,22 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("documents.parquet"),
       s"serve path must not rescan raw text:\n$s")
   }
+
+  test("q365 LSH band store serve: plan reads the persisted band store, " +
+      "NEVER the raw document corpus") {
+    val s = formatted("q365_lsh_store")
+    assert(s.contains("graft_q365"),
+      s"serve path must scan the persisted store:\n$s")
+    assert(!s.contains("documents.parquet"),
+      s"serve path must not rescan raw text:\n$s")
+  }
+
+  test("q366 SimHash band store serve: plan reads the persisted band store, " +
+      "NEVER the raw document corpus") {
+    val s = formatted("q366_simhash_store")
+    assert(s.contains("graft_q366"),
+      s"serve path must scan the persisted store:\n$s")
+    assert(!s.contains("documents.parquet"),
+      s"serve path must not rescan raw text:\n$s")
+  }
 }

@@ -720,6 +720,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keySet.map(_._1) == Set(0, 1), "both cells populated")
   }
 
+  test("streaming ingest -> durable LSH band store: foreachBatch-appended " +
+      "band rows serve pairs equal to the from-scratch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_lsh").toString + "/bands"
+    val input = MemoryStream[(Long, String)]
+    // the crawl-loop ingest: each micro-batch's md5-MinHash band rows
+    // append to the parquet store; serving never recomputes a batch
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.IndexStore.appendLshBands(
+          graft.ops.DedupOps.minHashMd5Bands(df, "doc_id", "text"), store)
+      }
+      .start()
+    val page = "the quick brown fox jumps over the lazy dog near the riverbank every single morning without fail"
+    val b1 = Seq((1L, page), (2L, page + " and naps"))
+    val b2 = Seq((3L, page), (4L, "completely different content about winter weather patterns across the northern mountain ranges today"))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val served = graft.ops.IndexStore
+      .serveLshPairs(spark.newSession(), store)
+      .collect().map(key).toSet
+    val scratch = graft.ops.DedupOps.lshBandPairs(
+        graft.ops.DedupOps.minHashMd5Bands(
+          (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text"),
+        numHashes = 16, minEstJaccard = 0.5)
+      .collect().map(key).toSet
+    assert(served == scratch,
+      s"streamed store must serve from-scratch pairs:\n$served\nvs\n$scratch")
+    assert(served.exists { case (a, b, j) => a == 1L && b == 3L && j == 1.0 },
+      "identical docs across batches must pair at est_jaccard 1.0")
+  }
+
   test("streaming ingest -> durable IVF store: foreachBatch-appended deltas " +
       "merge-on-read to the from-scratch stats") {
     implicit val sqlCtx = spark.sqlContext
