@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Discounted line revenue on the exact 1e-4-dollar grid (the q342
+    * spelling): price cents × discounted percent as a long — sums are
+    * order-free-exact, and both engines divide once at the end.
+    */
+  private def rev4: org.apache.spark.sql.Column =
+    (round(col("l_extendedprice") * 100, 0).cast("long")
+      * (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+      .as("rev4")
+  private val Rev4Sql =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) " +
+      "* (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
   // q364: lineitem converted to ORC once per (application, dir) —
   // the q56/WinnowStage memoization discipline, so bench warm runs
   // re-read the same files instead of re-writing them.
@@ -585,6 +597,201 @@ object RelationalQueries {
           (sum("bal_c").cast("double") / 100).as("total_bal"))
     }),
 
+    // TPC-H Q5 shape (local supplier volume): 1996 revenue in region
+    // ASIA where the supplying nation IS the customer's nation — the
+    // same-nation equi-condition is Q5's signature. Dims broadcast
+    // (nation/region/supplier are model-scale), the date filter pushes
+    // to the orders scan, and the fact table shuffles once on its own
+    // key.
+    "q367_local_supplier_volume" -> ((s, d) => {
+      val asia = Tables(s, d, "nation")
+        .join(broadcast(Tables(s, d, "region")
+          .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val o = Tables(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), rev4)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum("rev4").cast("double") / 1e4).as("revenue"))
+    }),
+
+    // TPC-H Q6 shape (forecast revenue change): pure scan-filter-agg,
+    // every predicate pushed to the parquet scan; the discount band is
+    // compared on the integer-percent grid the data lives on.
+    "q368_forecast_revenue" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          round(col("l_discount") * 100, 0).cast("long").between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg((sum(round(col("l_extendedprice") * 100, 0).cast("long")
+            * round(col("l_discount") * 100, 0).cast("long"))
+          .cast("double") / 1e4).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q7 shape (volume shipping): bilateral 1996-1997 trade
+    // between two nations by supplier-nation × customer-nation × ship
+    // year — nation names resolve through broadcast dims, the pair
+    // filter keeps both directions.
+    "q369_volume_shipping" -> ((s, d) => {
+      val nat = Tables(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables(s, d, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables(s, d, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"), rev4)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg((sum("rev4").cast("double") / 1e4).as("revenue"))
+    }),
+
+    // TPC-H Q8 shape (market share): NATION_1 suppliers' share of
+    // ECONOMY-part revenue sold to region-AMERICA customers per order
+    // year — numerator and denominator accumulate on the same exact
+    // cents grid in ONE aggregation, the ratio divides once (guarded,
+    // the ANSI rule).
+    "q370_market_share" -> ((s, d) => {
+      val nat = Tables(s, d, "nation")
+      val amer = nat.join(broadcast(Tables(s, d, "region")
+          .where(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = Tables(s, d, "customer")
+        .join(broadcast(amer), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val eco = Tables(s, d, "part").where(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val sup = Tables(s, d, "supplier")
+        .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), rev4)
+        .join(broadcast(eco), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_1", col("rev4"))
+          .otherwise(0L)).as("n4"), sum(col("rev4")).as("d4"))
+        .select(col("o_year"),
+          when(col("d4") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n4").cast("double")
+              / col("d4").cast("double"), 6)).as("mkt_share"))
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): conditional-sum ratio
+    // over one month of shipments, part flags broadcast.
+    "q371_promo_revenue" -> ((s, d) => {
+      val p = Tables(s, d, "part")
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+      Tables(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("l_partkey"), rev4)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("is_promo"), col("rev4")).otherwise(0L)).as("p4"),
+          sum(col("rev4")).as("t4"))
+        .select(when(col("t4") === 0, lit(null).cast("double"))
+          .otherwise(round(col("p4").cast("double") * 100
+            / col("t4").cast("double"), 6)).as("promo_share"))
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): group-HAVING on the
+    // fact table FIRST (the aggregate filter is the selective step),
+    // then two key joins — quantities are integral doubles, so the
+    // sum and the > 300 cut are exact.
+    "q372_large_volume_customers" -> ((s, d) => {
+      val big = Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > 300)
+      Tables(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+    }),
+
+    // TPC-H Q9 shape ADAPTED (product-line profit): the schema carries
+    // no partsupp table, so supply cost is proxied by p_retailprice ×
+    // quantity — the SHAPE (part-name filter, one fact scan, profit by
+    // supplier nation × order year) is Q9's; the cost column is not.
+    // All arithmetic on the 1e-4-dollar long grid.
+    "q373_product_profit" -> ((s, d) => {
+      val parts = Tables(s, d, "part").where(col("p_name").like("%red%"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100, 0).cast("long").as("cost2"))
+      val sup = Tables(s, d, "supplier")
+        .join(broadcast(Tables(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          rev4, round(col("l_quantity"), 0).cast("long").as("qty_l"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("supp_nation"), col("o_year"))
+        .agg((sum(col("rev4") - col("qty_l") * col("cost2") * 100)
+          .cast("double") / 1e4).as("profit"))
+    }),
+
+    // TPC-H Q19 shape ADAPTED (disjunctive brand/quantity predicate;
+    // the schema has no p_container): the point is the
+    // OR-of-conjunctions predicate evaluated in ONE broadcast-join
+    // scan instead of three unioned passes.
+    "q374_brand_quantity_revenue" -> ((s, d) => {
+      val p = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), rev4)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where((col("p_brand") === "Brand#1" &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#13" &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#20" &&
+            col("l_quantity").between(20, 30)))
+        .agg((sum("rev4").cast("double") / 1e4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Fulfillment-latency SLA percentiles: exact p50/p90/p99 of
     // ship-minus-order days per order priority — type-1 order
     // statistics via per-priority rank windows, integer day grid.
@@ -1127,6 +1334,105 @@ object RelationalQueries {
         |    WHERE o_custkey = c_custkey
         |      AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey""".stripMargin,
+    "q367_local_supplier_volume" ->
+      s"""SELECT n_name,
+        |  CAST(sum($Rev4Sql) AS DOUBLE) / 1e4 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND s_nationkey = c_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q368_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 1e4
+        |    AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "q369_volume_shipping" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum($Rev4Sql) AS DOUBLE) / 1e4 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q370_market_share" ->
+      s"""WITH base AS (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |   sn.n_name AS supp_nation,
+        |   $Rev4Sql AS rev4
+        | FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | WHERE p_type = 'ECONOMY'
+        |   AND EXISTS (SELECT 1 FROM customer
+        |     JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |     JOIN region ON cn.n_regionkey = r_regionkey
+        |     WHERE c_custkey = o_custkey AND r_name = 'AMERICA'))
+        |SELECT o_year,
+        |  CASE WHEN sum(rev4) = 0 THEN NULL
+        |    ELSE round(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+        |      THEN rev4 ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(rev4) AS DOUBLE), 6) END AS mkt_share
+        |FROM base GROUP BY o_year""".stripMargin,
+    "q371_promo_revenue" ->
+      s"""SELECT CASE WHEN sum($Rev4Sql) = 0 THEN NULL
+        |  ELSE round(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN $Rev4Sql ELSE 0 END) AS DOUBLE) * 100
+        |    / CAST(sum($Rev4Sql) AS DOUBLE), 6) END AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q372_large_volume_customers" ->
+      """WITH big AS (
+        | SELECT l_orderkey, sum(l_quantity) AS total_qty
+        | FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q373_product_profit" ->
+      s"""SELECT n_name AS supp_nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum($Rev4Sql
+        |    - CAST(round(l_quantity) AS BIGINT)
+        |      * CAST(round(p_retailprice * 100) AS BIGINT) * 100)
+        |    AS DOUBLE) / 1e4 AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q374_brand_quantity_revenue" ->
+      s"""SELECT CAST(sum($Rev4Sql) AS DOUBLE) / 1e4 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q292_fd_discovery" -> graft.ops.ProfileOps.fdAuditOracleSql(
       "lineitem", Seq(
         "l_orderkey" -> "l_suppkey",

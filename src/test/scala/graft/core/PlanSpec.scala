@@ -636,4 +636,25 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("documents.parquet"),
       s"serve path must not rescan raw text:\n$s")
   }
+
+  test("q367 local supplier volume (Q5): dims broadcast, date filter reaches " +
+      "the orders scan, one lineitem scan") {
+    val s = formatted("q367_local_supplier_volume")
+    assert(s.contains("BroadcastHashJoin"), s"dims must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("o_orderdate"), s)
+    assert("PushedFilters:.*o_orderdate".r.findFirstIn(s).isDefined ||
+      s.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date filter must push to the scan:\n$s")
+    assert("lineitem\\.parquet".r.findAllIn(s).size <= 1,
+      s"one fact scan only:\n$s")
+  }
+
+  test("q374 disjunctive brand/quantity predicate (Q19): ONE lineitem scan, " +
+      "part side broadcast") {
+    val s = formatted("q374_brand_quantity_revenue")
+    assert(s.contains("BroadcastHashJoin"), s"part side must broadcast:\n$s")
+    assert("lineitem\\.parquet".r.findAllIn(s).size <= 1,
+      s"the OR-of-conjunctions must not union multiple passes:\n$s")
+  }
 }
