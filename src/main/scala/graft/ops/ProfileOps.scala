@@ -3355,4 +3355,91 @@ object ProfileOps {
          |    FROM $table GROUP BY 1, 2) g
          |  GROUP BY av) p""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  // ----------------------------------------------------------------
+  // KMV (k-minimum-values) distinct sketch
+  // ----------------------------------------------------------------
+
+  /** Per-group KMV sketch: the `k` lexicographically-smallest md5
+    * coordinates (SampleOps.hashCoord, 13 hex chars = 2^52 space) of
+    * the group's DISTINCT values — the deterministic, oracle-
+    * replayable member of the sketch family (HLL/approx_count_distinct
+    * is engine-internal-seeded → rows-only q51; KMV's estimate is a
+    * pure function of md5 coordinates, so DuckDB replays it
+    * bit-for-bit).
+    *
+    * Scale shape: one narrow dedup shuffle on (group, coord) with
+    * map-side combine, one rank window keyed by the group (k rows
+    * survive per group). The sketch is bounded state — k coords per
+    * group — and MERGEABLE: k-min of a union is the k-min of the
+    * per-batch k-mins' union ([[kmvMerge]]), which is what lets
+    * per-batch sketches persist and fold like the q351/q365 stores.
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64, salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(groupCol).as("grp"),
+        SampleOps.hashCoord(col(valueCol), salt + ":").as("h"))
+      .distinct()
+    val w = Window.partitionBy("grp").orderBy(col("h"))
+    pts.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).select(col("grp"), col("h"))
+  }
+
+  /** Merge two KMV sketch frames: union, re-dedup (a value seen in
+    * both batches lands twice), re-top-k — exactly the from-scratch
+    * sketch of the concatenated inputs.
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy(col("h"))
+    a.unionByName(b).distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).select(col("grp"), col("h"))
+  }
+
+  /** Distinct-count estimate from a sketch frame: groups holding
+    * fewer than k coords report their EXACT distinct count (the
+    * sketch IS the value set there); saturated groups estimate
+    * (k-1) / u_k with u_k = (kth-smallest coordinate + 1) / 16^13.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int = 64): DataFrame =
+    sketch.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_coords"), max(col("h")).as("kth"))
+      .select(col("grp"), col("n_coords"),
+        when(col("n_coords") < k, col("n_coords").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            ((conv(col("kth"), 16, 10).cast("double") + 1)
+              / 4.503599627370497e15), 4)).as("est_distinct"))
+
+  /** DuckDB replay of sketch → estimate over the distinct word tokens
+    * of `textCol` per `groupCol` — from scratch, which against a
+    * batch-merged Spark sketch also proves [[kmvMerge]]'s union
+    * property by oracle hash.
+    */
+  def kmvTokensOracleSql(table: String, groupCol: String,
+      textCol: String, k: Int = 64, salt: String = "kmv"): String = {
+    val hexToInt = (1 to 13).map(i =>
+      s"(CASE substring(kth, $i, 1) WHEN 'a' THEN 10 WHEN 'b' THEN 11" +
+        s" WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14" +
+        s" WHEN 'f' THEN 15 ELSE CAST(substring(kth, $i, 1) AS BIGINT)" +
+        s" END) * ${BigInt(16).pow(13 - i)}").mkString(" + ")
+    s"""WITH tok AS (SELECT $groupCol AS grp,
+       |    unnest(list_filter(string_split_regex(lower($textCol),
+       |      '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS t
+       |  FROM $table),
+       |pts AS (SELECT DISTINCT grp,
+       |    substring(md5('$salt:' || t), 1, 13) AS h FROM tok),
+       |r AS (SELECT grp, h,
+       |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |  FROM pts),
+       |agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_coords,
+       |    max(h) AS kth FROM r WHERE rn <= $k GROUP BY grp)
+       |SELECT grp, n_coords,
+       |  CASE WHEN n_coords < $k THEN CAST(n_coords AS DOUBLE)
+       |    ELSE round(${k - 1} / ((CAST(($hexToInt) AS DOUBLE) + 1)
+       |      / 4.503599627370497e15), 4) END AS est_distinct
+       |FROM agg""".stripMargin
+  }
 }

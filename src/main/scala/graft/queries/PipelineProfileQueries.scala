@@ -13,6 +13,24 @@ import PipelineShared._
 private[graft] object PipelineProfileQueries {
   val queries: Map[String, Q] = Map(
 
+    // KMV distinct-token sketch per source, built as TWO per-batch
+    // sketches (doc_id parity) merged with kmvMerge — the
+    // deterministic, ORACLE-REPLAYABLE member of the sketch family
+    // (q51's HLL is engine-seeded → rows-only). The oracle replays
+    // sketch→estimate from scratch, so the hash match also proves the
+    // k-min union/merge property that makes per-batch sketches
+    // persistable bounded state.
+    "q375_kmv_distinct" -> ((s, d) => {
+      val toks = Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+      val h1 = ProfileOps.kmvSketch(
+        toks.where(col("doc_id") % 2 === 0), "source", "t")
+      val h2 = ProfileOps.kmvSketch(
+        toks.where(col("doc_id") % 2 === 1), "source", "t")
+      ProfileOps.kmvEstimate(ProfileOps.kmvMerge(h1, h2))
+    }),
+
     // Inverted-index sizing: delta-gap varint byte cost per frequent
     // term vs raw 64-bit postings — the shard planner's input; the
     // posting list is measured, never materialized.
@@ -283,6 +301,9 @@ private[graft] object PipelineProfileQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q375_kmv_distinct" -> ProfileOps.kmvTokensOracleSql(
+      "documents", "source", "text"),
 
     "q293_postings" -> graft.ops.RetrievalOps.postingsOracleSql(
       "documents", "doc_id", "text", 50L),

@@ -1,0 +1,39 @@
+package graft.core
+
+import graft.ops.ProfileOps
+import org.apache.spark.sql.functions._
+
+/** KMV distinct-sketch invariants (q375): merge == from-scratch
+  * (the k-min union property), exact reporting below saturation, and
+  * estimator accuracy on a known-cardinality set.
+  */
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvMerge of batch sketches equals the from-scratch sketch") {
+    val vals = (0 until 5000).map(i => ("g", s"v$i"))
+    val df = vals.toDF("grp", "v")
+    val whole = ProfileOps.kmvSketch(df, "grp", "v", k = 64)
+      .collect().map(_.getString(1)).sorted
+    val merged = ProfileOps.kmvMerge(
+        ProfileOps.kmvSketch(df.where(xxhash64(col("v")) % 2 === 0), "grp", "v", k = 64),
+        ProfileOps.kmvSketch(df.where(xxhash64(col("v")) % 2 =!= 0), "grp", "v", k = 64),
+        k = 64)
+      .collect().map(_.getString(1)).sorted
+    assert(merged.sameElements(whole), "k-min of union == k-min of k-min unions")
+  }
+
+  test("below saturation the estimate IS the exact distinct count; " +
+      "saturated groups estimate within 25%") {
+    val small = (0 until 40).map(i => ("s", s"x$i"))
+    val big = (0 until 20000).map(i => ("b", s"y$i"))
+    val est = ProfileOps.kmvEstimate(
+        ProfileOps.kmvSketch((small ++ big).toDF("grp", "v"), "grp", "v", k = 64))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(est("s") == ((40L, 40.0)), s"sub-k group must be exact: ${est("s")}")
+    val (nc, e) = est("b")
+    assert(nc == 64L)
+    assert(math.abs(e - 20000.0) / 20000.0 < 0.25,
+      s"k=64 estimate off by >25%: $e")
+  }
+}
