@@ -3413,6 +3413,29 @@ object ProfileOps {
             ((conv(col("kth"), 16, 10).cast("double") + 1)
               / 4.503599627370497e15), 4)).as("est_distinct"))
 
+  /** Append one batch's KMV sketch frame to an append-only parquet
+    * store ([[IndexStore]] discipline — the sketch is bounded state,
+    * k coords per group per batch, so the store stays model-scale
+    * however many batches land).
+    */
+  def kmvAppend(sketch: DataFrame, path: String): Unit =
+    IndexStore.append(sketch, path)
+
+  /** Re-derive the merged sketch from an appended store: union of all
+    * batch sketches, dedup (a value seen in many batches lands its
+    * coord once), re-top-k — equal to the from-scratch sketch of the
+    * concatenated inputs by the k-min union property, and idempotent
+    * under batch replays.
+    */
+  def kmvFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy(col("h"))
+    spark.read.parquet(path).distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).select(col("grp"), col("h"))
+  }
+
   /** DuckDB replay of sketch → estimate over the distinct word tokens
     * of `textCol` per `groupCol` — from scratch, which against a
     * batch-merged Spark sketch also proves [[kmvMerge]]'s union

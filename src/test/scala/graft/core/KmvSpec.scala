@@ -23,6 +23,27 @@ class KmvSpec extends SparkSpec {
     assert(merged.sameElements(whole), "k-min of union == k-min of k-min unions")
   }
 
+  test("durable KMV store: appended batch sketches re-derive the " +
+      "from-scratch sketch in a fresh session; replay is a no-op") {
+    val vals = (0 until 3000).map(i => ("g", s"v$i"))
+    val df = vals.toDF("grp", "v")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_kmv_spec").toString + "/kmv"
+    val b1 = ProfileOps.kmvSketch(
+      df.where(xxhash64(col("v")) % 2 === 0), "grp", "v", k = 64)
+    val b2 = ProfileOps.kmvSketch(
+      df.where(xxhash64(col("v")) % 2 =!= 0), "grp", "v", k = 64)
+    ProfileOps.kmvAppend(b1, path)
+    ProfileOps.kmvAppend(b2, path)
+    ProfileOps.kmvAppend(b2, path) // replay must be a no-op
+    val stored = ProfileOps.kmvFromStore(spark.newSession(), path, k = 64)
+      .collect().map(_.getString(1)).sorted
+    val whole = ProfileOps.kmvSketch(df, "grp", "v", k = 64)
+      .collect().map(_.getString(1)).sorted
+    assert(stored.sameElements(whole),
+      "store-derived sketch must equal from-scratch")
+  }
+
   test("below saturation the estimate IS the exact distinct count; " +
       "saturated groups estimate within 25%") {
     val small = (0 until 40).map(i => ("s", s"x$i"))
