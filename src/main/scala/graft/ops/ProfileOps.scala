@@ -3379,8 +3379,12 @@ object ProfileOps {
       k: Int = 64, salt: String = "kmv"): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
+    // NULL values hash to a NULL coordinate, which would sort FIRST
+    // and poison the k-min set — a null row is "no value", not the
+    // smallest value, so drop it before the window
     val pts = df.select(col(groupCol).as("grp"),
         SampleOps.hashCoord(col(valueCol), salt + ":").as("h"))
+      .where(col("h").isNotNull)
       .distinct()
     val w = Window.partitionBy("grp").orderBy(col("h"))
     pts.withColumn("rn", row_number().over(w))

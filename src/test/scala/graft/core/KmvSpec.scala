@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
 class KmvSpec extends SparkSpec {
   import spark.implicits._
 
+  test("NULL values are dropped, not sorted into the k-min set") {
+    val df = Seq(("g", Option("a")), ("g", Option("b")), ("g", None))
+      .toDF("grp", "v")
+    val got = ProfileOps.kmvEstimate(
+        ProfileOps.kmvSketch(df, "grp", "v", k = 8), k = 8)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(Array((2L, 2.0))),
+      s"null must not count as a value: ${got.mkString}")
+  }
+
   test("kmvMerge of batch sketches equals the from-scratch sketch") {
     val vals = (0 until 5000).map(i => ("g", s"v$i"))
     val df = vals.toDF("grp", "v")
