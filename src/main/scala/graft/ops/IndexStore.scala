@@ -182,7 +182,10 @@ object IndexStore {
     * append-only parquet band store — the crawl-loop write half:
     * each ingested batch persists its (id, band, band_key, sig) rows
     * and is never recomputed. One immutable corpus per store path
-    * (ids must not change content between appends).
+    * (ids must not change content between appends), and one
+    * parameterization per store: every batch must be banded with the
+    * SAME (shingleN, numHashes, bands) the serve side assumes —
+    * mixed-k signature arrays make pair agreement ill-defined.
     */
   def appendLshBands(bands: DataFrame, path: String): Unit =
     append(bands, path)
