@@ -650,6 +650,15 @@ class PlanSpec extends SparkSpec {
       s"one fact scan only:\n$s")
   }
 
+  test("q375 KMV sketch: per-batch scans only (two parity batches), " +
+      "no cartesian, rank window keyed by the group") {
+    val s = formatted("q375_kmv_distinct")
+    assert("documents\\.parquet".r.findAllIn(s).size <= 2,
+      s"one scan per batch sketch, no extra corpus passes:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("row_number"), s"k-min must be a rank window:\n$s")
+  }
+
   test("q374 disjunctive brand/quantity predicate (Q19): ONE lineitem scan, " +
       "part side broadcast") {
     val s = formatted("q374_brand_quantity_revenue")

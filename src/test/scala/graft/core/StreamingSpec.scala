@@ -758,6 +758,35 @@ class StreamingSpec extends SparkSpec {
       "identical docs across batches must pair at est_jaccard 1.0")
   }
 
+  test("streaming ingest -> durable KMV store: foreachBatch-appended batch " +
+      "sketches re-derive the from-scratch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_kmv").toString + "/kmv"
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("grp", "v")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.ProfileOps.kmvAppend(
+          graft.ops.ProfileOps.kmvSketch(df, "grp", "v", k = 16), store)
+      }
+      .start()
+    val b1 = (0 until 300).map(i => ("g", s"v$i"))
+    val b2 = (200 until 500).map(i => ("g", s"v$i")) // overlap on purpose
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val stored = graft.ops.ProfileOps
+      .kmvFromStore(spark.newSession(), store, k = 16)
+      .collect().map(_.getString(1)).sorted
+    val whole = graft.ops.ProfileOps.kmvSketch(
+        (b1 ++ b2).toDF("grp", "v"), "grp", "v", k = 16)
+      .collect().map(_.getString(1)).sorted
+    assert(stored.sameElements(whole),
+      "streamed sketch store must re-derive the from-scratch sketch")
+  }
+
   test("streaming ingest -> durable IVF store: foreachBatch-appended deltas " +
       "merge-on-read to the from-scratch stats") {
     implicit val sqlCtx = spark.sqlContext
