@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""One-command round seal: quiet-box preflight, full-board Bench via
+direct java (sbt holds a global lock and contaminates timings — the
+engine-conventions rule), then benchdiff vs the last committed seal
+with auto-isobench adjudication. Exits non-zero if the box is loud,
+the bench errors, or a mover is a confirmed regression.
+
+Usage: seal.py [--prev REF]   (default: bench_out.json at HEAD)
+After a clean exit: commit bench_out.json + a BENCHNOTES entry
+(paste the printed adjudication table), then run the full gate
+(Verify + check.py) and `sbt test` per .claude/skills/verify.
+"""
+import argparse, json, os, subprocess, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from isobench import ADD_OPENS  # noqa: E402  (same dir)
+
+
+def sh(cmd, **kw):
+    return subprocess.run(cmd, text=True, capture_output=True, **kw)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prev", default="HEAD",
+                    help="git ref holding the prior seal's bench_out.json")
+    ap.add_argument("--max-load", type=float, default=2.5)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    load1 = float(open("/proc/loadavg").read().split()[0])
+    javas = sh(["pgrep", "-c", "java"]).stdout.strip() or "0"
+    if load1 > args.max_load or int(javas) > 0:
+        sys.exit(f"box not quiet: load {load1}, {javas} java procs — "
+                 "wait (or kill strays) and rerun")
+
+    prev = sh(["git", "-C", REPO, "show", f"{args.prev}:bench_out.json"])
+    if prev.returncode != 0:
+        sys.exit(f"cannot read prior seal from {args.prev}: {prev.stderr}")
+    prev_path = "/tmp/seal_prev.json"
+    open(prev_path, "w").write(prev.stdout)
+
+    cmd = ["java"]
+    for p in ADD_OPENS:
+        cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
+    cmd += ["-Xmx" + os.environ.get("SPARK_DRIVER_MEM", "24g"),
+            "-cp", os.path.join(REPO, "target", "scala-2.13", "classes")
+            + ":/opt/spark/jars/*", "graft.Bench"]
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=args.sf_dir)
+    print("running full-board bench (this takes ~15 min)...", flush=True)
+    bench = subprocess.run(cmd, env=env, cwd=REPO, text=True,
+                           capture_output=True)
+    if bench.returncode != 0:
+        sys.exit(f"bench failed:\n{bench.stderr[-2000:]}")
+    out = json.load(open(os.path.join(REPO, "bench_out.json")))
+    if out.get("errors"):
+        sys.exit(f"bench errors: {out['errors']}")
+    print(f"bench done: {len(out['queries_warm'])} queries, "
+          f"warm {out['total_warm']:.1f}s, "
+          f"load {out['load_avg_start']} -> {out['load_avg_end']}")
+
+    diff = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "benchdiff.py"),
+         prev_path, os.path.join(REPO, "bench_out.json")],
+        env=env, text=True)
+    sys.exit(diff.returncode)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,9 @@
 #!/usr/bin/env python3
-"""One-shot refactoring aid (r12 verdict ask #7): split the 6.6k-LoC
+"""One-shot refactoring aid (r12 verdict ask #7) — APPLIED in r13
+(commit 5375a38); kept for provenance of the mechanical split. The
+family files have since gained entries directly (q366, q375), so
+rerunning this against the current tree would be wrong. Original:
+split the 6.6k-LoC
 PipelineQueries.scala by operator family, keeping the registration map
 thin. Mechanical: shared private helpers move to a package-private
 PipelineShared object, each family gets its own object with the
