@@ -402,6 +402,19 @@ object DedupOps {
     * over a batch-appended store, the hash match proves
     * merged-store serve == from-scratch (band rows carry no
     * cross-doc state, so any batch split unions to the same frame).
+    *
+    * Threshold translation: the Spark side filters on the 4dp-ROUNDED
+    * est_jaccard, so the integer agreement threshold here is the
+    * smallest m with round(m/numHashes, 4) >= minEstJaccard — NOT
+    * ceil(minEstJaccard·numHashes), which disagrees at rounding
+    * boundaries (numHashes=3, minEstJaccard=0.6667: Spark keeps
+    * matches=2 because round(2/3,4)=0.6667, ceil would demand 3).
+    *
+    * Known divergence: this replay has no bucket cap — it is exact
+    * where [[lshBandPairs]]'s `maxBucketSize` drops a degenerate
+    * bucket (>4096 members sharing a band key). DropGuard makes any
+    * such drop loud on the Spark side; at the oracle SFs the corpora
+    * are far below the cap.
     */
   def minHashMd5OracleSql(table: String, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
@@ -415,7 +428,12 @@ object DedupOps {
     }.mkString("\n UNION ALL\n ")
     val matches = (0 until numHashes).map(i =>
       s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-    val minMatches = math.ceil(minEstJaccard * numHashes).toInt
+    // smallest m whose 4dp-rounded fraction clears the threshold —
+    // mirrors Spark's round(matches/numHashes, 4) >= minEstJaccard
+    val minMatches = (0 to numHashes).find(m =>
+      BigDecimal(m.toDouble / numHashes)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        >= minEstJaccard).getOrElse(numHashes + 1)
     s"""WITH w AS (
        | SELECT $idCol AS id,
        |   string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+') AS w
@@ -508,13 +526,102 @@ object DedupOps {
     * one plan expression where the composed form carried 64 sum
     * columns plus a 64-term fold projection.
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashWith(docs, idCol, textCol, xxhash64(_))
+
+  /** [[simHash]] with the token-hash family INJECTED — the whole
+    * pipeline (tokenize, explode, one native `graft_simhash`
+    * aggregate) is shared verbatim between the xxhash64 production
+    * family and the md5 oracle family, so the two differ in exactly
+    * one scalar expression; that shared-code construction is the
+    * twin ≡ production pin the md5-oracled registrations (q41/q86/
+    * q366) rest on.
+    */
+  def simHashWith(docs: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = explode(TextOps.tokens(col(textCol))).as("tok")
     docs.select(col(idCol).as("id"), tok)
-      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .select(col("id"), tokenHash(col("tok")).as("h"))
       .groupBy("id").agg(call_function("graft_simhash", col("h")).as("simhash"))
   }
+
+  /** 64-bit long from the FIRST 16 hex chars of md5(value): char 1 is
+    * the most-significant nibble, so bit b (0 = LSB) of the result is
+    * bit (b mod 4) of hex digit 16 − b/4 — exactly the layout the
+    * DuckDB oracles decode digitwise (no `conv` there). The two
+    * 32-bit halves convert exactly (< 2³²) and the hi shift
+    * reassembles the full two's-complement pattern bit-for-bit, so
+    * this is the oracle-replayable member of the 64-bit token-hash
+    * family ([[simHash]]'s xxhash64 being the production member).
+    */
+  def md5Long64(c: Column): Column = {
+    val h = md5(c.cast("binary"))
+    val hi = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(h, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** Oracle-replayable SimHash: [[simHashWith]] under the
+    * [[md5Long64]] hash family — same plan shape as production, every
+    * stage replayable in ANSI SQL ([[simHashMd5OracleSql]]).
+    */
+  def simHashMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashWith(docs, idCol, textCol, md5Long64)
+
+  /** Shared DuckDB CTE body computing (id, simhash) for the
+    * [[md5Long64]] family over [[TextOps.tokens]] — per-token md5 hex
+    * decoded digitwise into 64 sign counters, code assembled in
+    * HUGEINT and folded to the signed BIGINT two's-complement value
+    * [[simHashMd5]] emits. `p` prefixes the CTE names so the body
+    * composes into larger oracles (q111) without collisions.
+    */
+  private def simHashMd5Ctes(p: String, table: String, idCol: String,
+      textCol: String): String =
+    s"""${p}tok AS (
+       | SELECT id, md5(t) AS h FROM (
+       |  SELECT $idCol AS id, unnest(list_filter(
+       |    string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+'),
+       |    x -> x <> '')) AS t
+       |  FROM $table) t0),
+       |${p}bits AS (
+       | SELECT id, b,
+       |  sum(CASE WHEN ((strpos('0123456789abcdef',
+       |      substr(h, CAST(16 - (b // 4) AS INT), 1)) - 1)
+       |     // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+       |        ELSE 8 END)) % 2 = 1
+       |   THEN 1 ELSE -1 END) AS s
+       | FROM ${p}tok CROSS JOIN
+       |   (SELECT unnest(generate_series(0, 63)) AS b) bs
+       | GROUP BY id, b),
+       |${p}code AS (
+       | SELECT id, CAST(CASE WHEN hs >= CAST('9223372036854775808' AS HUGEINT)
+       |    THEN hs - CAST('18446744073709551616' AS HUGEINT) ELSE hs END
+       |   AS BIGINT) AS simhash
+       | FROM (SELECT id, sum(CASE WHEN s > 0 THEN (CAST(1 AS HUGEINT) << b)
+       |         ELSE CAST(0 AS HUGEINT) END) AS hs
+       |       FROM ${p}bits GROUP BY id) t)""".stripMargin
+
+  /** DuckDB replay of [[simHashMd5]]: (id, simhash). */
+  def simHashMd5OracleSql(table: String, idCol: String,
+      textCol: String): String =
+    s"""WITH ${simHashMd5Ctes("", table, idCol, textCol)}
+       |SELECT id, simhash FROM code""".stripMargin
+
+  /** DuckDB replay of the md5-family [[simHashPairs]]: brute-force
+    * Hamming over the replayed codes — equal to the banded path by
+    * the pigeonhole argument (maxHamming < bands), up to the
+    * `maxBucketSize` cap the oracle (like [[minHashMd5OracleSql]])
+    * does not model; DropGuard makes any cap drop loud on the Spark
+    * side, and oracle-SF corpora sit far below it.
+    */
+  def simHashMd5PairsOracleSql(table: String, idCol: String,
+      textCol: String, maxHamming: Int): String =
+    s"""WITH ${simHashMd5Ctes("", table, idCol, textCol)}
+       |SELECT a.id AS a_id, b.id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM code a JOIN code b ON a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -538,8 +645,9 @@ object DedupOps {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4,
-      maxBucketSize: Int = 4096): DataFrame =
-    simHashBandPairs(simHashBands(docs, idCol, textCol, bands),
+      maxBucketSize: Int = 4096,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    simHashBandPairs(simHashBands(docs, idCol, textCol, bands, tokenHash),
       maxHamming, bands, maxBucketSize)
 
   /** SimHash band rows (id, band, chunk, simhash) — the banded view
@@ -550,7 +658,8 @@ object DedupOps {
     * store alone — corpus text is never read at serve time.
     */
   def simHashBands(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
       s"bands must divide 64, got $bands")
     val width = 64 / bands
@@ -559,7 +668,7 @@ object DedupOps {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("chunk"))
     }
-    simHash(docs, idCol, textCol)
+    simHashWith(docs, idCol, textCol, tokenHash)
       .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"),
         col("b.chunk").as("chunk"), col("simhash"))
@@ -1031,7 +1140,8 @@ object DedupOps {
       shingleN: Int = 3, minJaccard: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8,
       simHashTruthJaccard: Double = 0.9, maxHamming: Int = 3,
-      sampleFraction: Double = 1.0): DataFrame = {
+      sampleFraction: Double = 1.0,
+      md5Family: Boolean = false): DataFrame = {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     require(minJaccard <= simHashTruthJaccard,
@@ -1045,13 +1155,23 @@ object DedupOps {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // md5Family scores the oracle-replayable md5 detector twins (the
+    // q111 registration — the whole scoreboard then has a SQL oracle,
+    // [[dedupRecallMd5OracleSql]]); default scores the xxhash64
+    // production paths (spec coverage, at-scale default).
     val frames = Seq(
       ngramJaccardPairs(
         wordShingles(docs0, idCol, textCol, shingleN), minJaccard,
         sizesProvided = true),
-      minHashLshPairs(docs0, idCol, textCol, shingleN, numHashes, bands,
-        minEstJaccard = minJaccard),
-      simHashPairs(docs0, idCol, textCol, maxHamming))
+      if (md5Family)
+        lshBandPairs(minHashMd5Bands(docs0, idCol, textCol, shingleN,
+          numHashes, bands), numHashes, minEstJaccard = minJaccard)
+      else minHashLshPairs(docs0, idCol, textCol, shingleN, numHashes,
+        bands, minEstJaccard = minJaccard),
+      if (md5Family)
+        simHashPairs(docs0, idCol, textCol, maxHamming,
+          tokenHash = md5Long64)
+      else simHashPairs(docs0, idCol, textCol, maxHamming))
     val futs = frames.map(f => Future(f.localCheckpoint()))
     val Seq(exact, mh, sim) =
       try Await.result(Future.sequence(futs), Duration.Inf)
@@ -1071,5 +1191,64 @@ object DedupOps {
     val schema = report.schema
     Seq(exact, mh, sim).foreach(Checkpoints.release)
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** DuckDB replay of [[dedupRecallReport]] with `md5Family = true`:
+    * the exact n-gram-Jaccard truth, the md5-MinHash banded
+    * candidates ([[minHashMd5OracleSql]] nested verbatim) and the md5
+    * SimHash Hamming pairs ([[simHashMd5PairsOracleSql]] nested
+    * verbatim) all replay from scratch; the PR rows keep
+    * pairPrRow's zero-denominator NULL contract and 4dp rounding.
+    */
+  def dedupRecallMd5OracleSql(table: String, idCol: String,
+      textCol: String, shingleN: Int = 3, minJaccard: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 8,
+      simHashTruthJaccard: Double = 0.9, maxHamming: Int = 3): String = {
+    val gram = (0 until shingleN).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    val mh = minHashMd5OracleSql(table, idCol, textCol, shingleN,
+      numHashes, bands, minJaccard)
+    val sm = simHashMd5PairsOracleSql(table, idCol, textCol, maxHamming)
+    val jac = "round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 5)"
+    s"""WITH exw AS (
+       | SELECT $idCol AS id,
+       |   string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+') AS w
+       | FROM $table),
+       |exsh AS (
+       | SELECT DISTINCT id, shingle FROM (
+       |  SELECT id, unnest(list_transform(
+       |      generate_series(1, greatest(len(w) - ${shingleN - 1}, 0)),
+       |    i -> $gram)) AS shingle
+       |  FROM exw) t),
+       |exsizes AS (SELECT id, count(*) AS n_sh FROM exsh GROUP BY id),
+       |exinter AS (
+       | SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+       | FROM exsh a JOIN exsh b ON a.shingle = b.shingle AND a.id < b.id
+       | GROUP BY 1, 2),
+       |ex AS (
+       | SELECT a_id, b_id, $jac AS jaccard
+       | FROM exinter
+       | JOIN exsizes sa ON exinter.a_id = sa.id
+       | JOIN exsizes sb ON exinter.b_id = sb.id
+       | WHERE $jac >= $minJaccard),
+       |mh AS ($mh),
+       |sm AS ($sm)
+       |SELECT method, theta, n_true, n_detected, n_hit,
+       | CASE WHEN n_detected = 0 THEN NULL
+       |   ELSE round(CAST(n_hit AS DOUBLE) / n_detected, 4)
+       |   END AS "precision",
+       | CASE WHEN n_true = 0 THEN NULL
+       |   ELSE round(CAST(n_hit AS DOUBLE) / n_true, 4) END AS recall
+       |FROM (
+       | SELECT 'minhash_lsh' AS method, CAST($minJaccard AS DOUBLE) AS theta,
+       |  (SELECT count(*) FROM ex) AS n_true,
+       |  (SELECT count(*) FROM mh) AS n_detected,
+       |  (SELECT count(*) FROM ex JOIN mh USING (a_id, b_id)) AS n_hit
+       | UNION ALL
+       | SELECT 'simhash', CAST($simHashTruthJaccard AS DOUBLE),
+       |  (SELECT count(*) FROM ex WHERE jaccard >= $simHashTruthJaccard),
+       |  (SELECT count(*) FROM sm),
+       |  (SELECT count(*) FROM
+       |    (SELECT a_id, b_id FROM ex WHERE jaccard >= $simHashTruthJaccard) e
+       |    JOIN sm USING (a_id, b_id))) t""".stripMargin
   }
 }

@@ -47,6 +47,47 @@ object IndexStore {
   def append(delta: DataFrame, path: String): Unit =
     delta.write.mode("append").parquet(path)
 
+  /** ENFORCED single-parameterization contract (r13 ask #3): the
+    * first append persists the store's parameterization to a
+    * `<path>_params` sidecar (sorted `k=v` lines — engine-agnostic,
+    * any Hadoop FS); every later append require-matches the FULL
+    * parameter map and every serve require-matches the parameters it
+    * consumes, so a mixed-parameterization append or serve fails
+    * loudly instead of computing silently ill-defined agreement
+    * (mixed-k signature arrays, mixed-band chunks, mixed-k k-mins).
+    * Creation uses non-overwriting `create` — a concurrent first
+    * append has one winner and the loser re-checks against the
+    * winner's sidecar.
+    */
+  private[graft] def checkParams(spark: SparkSession, path: String,
+      kind: String, params: Map[String, String],
+      writeIfAbsent: Boolean): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + "_params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pretty(m: Map[String, String]) =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", ")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val gotMap = got.split("\n").iterator.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+      require(params.forall { case (k, v) => gotMap.get(k).contains(v) },
+        s"$kind store at $path is parameterized (${pretty(gotMap)}); " +
+          s"refusing mixed-parameterization use with (${pretty(params)})")
+    } else if (writeIfAbsent) {
+      val enc = params.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("\n")
+      try {
+        val out = fs.create(p, false)
+        try out.write(enc.getBytes("UTF-8")) finally out.close()
+      } catch { case _: java.io.IOException => // lost the create race
+        checkParams(spark, path, kind, params, writeIfAbsent = false)
+      }
+    }
+  }
+
   /** Merge-on-read view of an append-only stats store: one row per
     * key tuple with each sum column re-aggregated across deltas.
     * Decimal/long sums are associative, so this equals any eager
@@ -60,17 +101,54 @@ object IndexStore {
       .agg(agg.head, agg.tail: _*)
   }
 
-  /** Merged IVF coarse-quantizer stats (cell, pos, s, n) — feed to
-    * [[IvfIndexOps.refresh]].
+  /** Append one batch's IVF cell-stats delta under the enforced
+    * single-parameterization contract: stats from a k-cell quantizer
+    * merged into a k'-cell store are meaningless, so `k` is
+    * sidecar-pinned on first append and require-matched after.
     */
-  def readIvfStats(spark: SparkSession, path: String): DataFrame =
+  def appendIvfStats(delta: DataFrame, path: String, k: Int): Unit = {
+    checkParams(delta.sparkSession, path, "IVF stats",
+      Map("k" -> k.toString), writeIfAbsent = true)
+    append(delta, path)
+  }
+
+  /** Append one batch's PQ codebook-stats delta — (k, m, nbits-class
+    * nCodes) sidecar-pinned like [[appendIvfStats]].
+    */
+  def appendPqStats(delta: DataFrame, path: String, k: Int, m: Int,
+      nCodes: Int): Unit = {
+    checkParams(delta.sparkSession, path, "PQ stats",
+      Map("k" -> k.toString, "m" -> m.toString,
+        "nCodes" -> nCodes.toString), writeIfAbsent = true)
+    append(delta, path)
+  }
+
+  /** Merged IVF coarse-quantizer stats (cell, pos, s, n) — feed to
+    * [[IvfIndexOps.refresh]]. Pass `expectK` to require-match the
+    * store's sidecar-pinned quantizer size at serve time.
+    */
+  def readIvfStats(spark: SparkSession, path: String,
+      expectK: Int = -1): DataFrame = {
+    if (expectK >= 0)
+      checkParams(spark, path, "IVF stats",
+        Map("k" -> expectK.toString), writeIfAbsent = false)
     readMerged(spark, path, Seq("cell", "pos"), Seq("s", "n"))
+  }
 
   /** Merged PQ codebook stats (j, code, p, s, n) — feed to
-    * [[IvfIndexOps.refreshCodebooks]].
+    * [[IvfIndexOps.refreshCodebooks]]. Pass `expectM`/`expectCodes`
+    * to require-match the sidecar at serve time.
     */
-  def readPqStats(spark: SparkSession, path: String): DataFrame =
+  def readPqStats(spark: SparkSession, path: String,
+      expectM: Int = -1, expectCodes: Int = -1): DataFrame = {
+    val expect = (if (expectM >= 0) Map("m" -> expectM.toString)
+      else Map.empty[String, String]) ++
+      (if (expectCodes >= 0) Map("nCodes" -> expectCodes.toString)
+      else Map.empty[String, String])
+    if (expect.nonEmpty)
+      checkParams(spark, path, "PQ stats", expect, writeIfAbsent = false)
     readMerged(spark, path, Seq("j", "code", "p"), Seq("s", "n"))
+  }
 
   // ----------------------------------------------------------------
   // Winnow pair store
@@ -160,9 +238,10 @@ object IndexStore {
         val asg = IvfIndexOps.assign(spark, emb, "vec_id",
           "embedding", c0).localCheckpoint()
         (0 until 3).foreach { b =>
-          append(IvfIndexOps.cellStatsFromAssigned(
-            asg.where(pmod(col("id"), lit(3)) === b)), path)
+          appendIvfStats(IvfIndexOps.cellStatsFromAssigned(
+            asg.where(pmod(col("id"), lit(3)) === b)), path, k)
         }
+        Checkpoints.release(asg)
         path
       }
     })
@@ -183,12 +262,20 @@ object IndexStore {
     * each ingested batch persists its (id, band, band_key, sig) rows
     * and is never recomputed. One immutable corpus per store path
     * (ids must not change content between appends), and one
-    * parameterization per store: every batch must be banded with the
-    * SAME (shingleN, numHashes, bands) the serve side assumes —
-    * mixed-k signature arrays make pair agreement ill-defined.
+    * parameterization per store, ENFORCED via the [[checkParams]]
+    * sidecar: every batch must be banded with the SAME (shingleN,
+    * numHashes, bands) the serve side assumes — mixed-k signature
+    * arrays make pair agreement ill-defined, so a mismatched append
+    * now fails loudly instead.
     */
-  def appendLshBands(bands: DataFrame, path: String): Unit =
+  def appendLshBands(bands: DataFrame, path: String,
+      shingleN: Int = 3, numHashes: Int = 16, bandCount: Int = 4): Unit = {
+    checkParams(bands.sparkSession, path, "LSH band",
+      Map("shingleN" -> shingleN.toString,
+        "numHashes" -> numHashes.toString,
+        "bands" -> bandCount.toString), writeIfAbsent = true)
     append(bands, path)
+  }
 
   /** Merge-on-read view of a band store: the union of all appended
     * deltas with full-row duplicates collapsed — replaying a batch
@@ -202,12 +289,18 @@ object IndexStore {
 
   /** Serve near-dup candidate pairs from a persisted band store:
     * bucket-join + carried-signature agreement over the STORE frame
-    * only — the raw corpus text is never touched at serve time.
+    * only — the raw corpus text is never touched at serve time. The
+    * assumed `numHashes` is require-matched against the store's
+    * sidecar ([[checkParams]]) — serving a 32-hash store at 16
+    * denominates est_jaccard wrong, so it fails loudly.
     */
   def serveLshPairs(spark: SparkSession, path: String,
-      numHashes: Int = 16, minEstJaccard: Double = 0.5): DataFrame =
+      numHashes: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
+    checkParams(spark, path, "LSH band",
+      Map("numHashes" -> numHashes.toString), writeIfAbsent = false)
     DedupOps.lshBandPairs(readLshBands(spark, path), numHashes,
       minEstJaccard)
+  }
 
   private val lshStores = new ConcurrentHashMap[WKey, String]()
 
@@ -246,10 +339,20 @@ object IndexStore {
 
   /** Append one batch of [[DedupOps.simHashBands]] rows to an
     * append-only parquet band store — same contract as
-    * [[appendLshBands]] (one immutable corpus per store path).
+    * [[appendLshBands]] (one immutable corpus per store path, one
+    * parameterization enforced via the sidecar). `family` names the
+    * token-hash family the batch was coded with ("xxhash64"
+    * production / "md5" oracle) — the code columns are opaque longs,
+    * so a mixed-family append is exactly the silent corruption the
+    * sidecar exists to refuse.
     */
-  def appendSimHashBands(bands: DataFrame, path: String): Unit =
+  def appendSimHashBands(bands: DataFrame, path: String,
+      bandCount: Int = 4, family: String = "xxhash64"): Unit = {
+    checkParams(bands.sparkSession, path, "SimHash band",
+      Map("bands" -> bandCount.toString, "family" -> family),
+      writeIfAbsent = true)
     append(bands, path)
+  }
 
   /** Merge-on-read view of a SimHash band store: full-row dedup, so
     * batch replays are no-ops and any batch split of the corpus
@@ -267,16 +370,24 @@ object IndexStore {
     * SQL oracle, so q366 registers rows-only).
     */
   def serveSimHashPairs(spark: SparkSession, path: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    checkParams(spark, path, "SimHash band",
+      Map("bands" -> bands.toString), writeIfAbsent = false)
     DedupOps.simHashBandPairs(readSimHashBands(spark, path),
       maxHamming, bands)
+  }
 
   private val simhashStores = new ConcurrentHashMap[WKey, String]()
 
   /** Path of the q366 demo SimHash band store for `dir`, built ONCE
     * per application+corpus: the documents table's band rows split
     * into three pmod(id, 3) batch appends ([[lshDemoStorePath]]
-    * discipline).
+    * discipline). Banded under the [[DedupOps.md5Long64]] token-hash
+    * family so the store serve is fully SQL-oracled (q366's oracle
+    * replays codes digitwise and brute-forces the Hamming pairs —
+    * merge-on-read == from-scratch by the same band-row-statelessness
+    * argument as q365); the xxhash64 production family keeps its
+    * store ≡ live pin in SimhashStoreSpec.
     */
   def simhashDemoStorePath(spark: SparkSession, dir: String): String = {
     val key = WKey(spark.sparkContext.applicationId, dir)
@@ -285,10 +396,12 @@ object IndexStore {
         val path = java.nio.file.Files
           .createTempDirectory("graft_q366").toString + "/bands"
         val rows = DedupOps.simHashBands(
-          graft.Tables(spark, dir, "documents"), "doc_id", "text")
+          graft.Tables(spark, dir, "documents"), "doc_id", "text",
+          tokenHash = DedupOps.md5Long64)
           .localCheckpoint()
         (0 until 3).foreach { b =>
-          appendSimHashBands(rows.where(pmod(col("id"), lit(3)) === b), path)
+          appendSimHashBands(rows.where(pmod(col("id"), lit(3)) === b), path,
+            family = "md5")
         }
         Checkpoints.release(rows)
         path

@@ -63,28 +63,29 @@ object PreferenceOps {
       .filter(col(winnerCol) =!= col(loserCol))
       .select(col(winnerCol).cast("string").as("w"),
         col(loserCol).cast("string").as("l"))
-    // One input scan: the grouped (w, l) counts materialize on the
-    // EXECUTORS (localCheckpoint — distributed even when pathological),
-    // the model-scale guard is a scalar distinct-count aggregate over
-    // that frame, and only after it passes do the items² rows reach
-    // the driver. A data-scale item column (user ids instead of model
-    // labels) still fails fast before any driver materialization,
-    // without the second full comparison-stream scan the guard used
-    // to cost.
+    // Guard FIRST, materialize SECOND: the model-scale guard is a
+    // scalar distinct-count over the LAZY grouped frame — one
+    // comparison-stream scan that materializes nothing anywhere — so
+    // a data-scale item column (user ids instead of model labels)
+    // fails before a single grouped row is stored. Only after the
+    // guard passes (grouped is then provably <= items² <= maxItems²
+    // rows) does the second scan collect it to the driver. The r12
+    // eager-localCheckpoint form saved that second scan but paid for
+    // it by materializing a potentially corpus-scale grouped frame on
+    // executor storage BEFORE the require could fire — the wrong
+    // trade: the healthy path here is model-scale work either way,
+    // and the pathological path must stay O(1) in storage.
     val grouped = pairs
       .groupBy($"w", $"l")
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
     val nItems = grouped.select(explode(array($"w", $"l")).as("item"))
-      .agg(countDistinct($"item")).head.getLong(0)
-    if (nItems < 2 || nItems > maxItems) Checkpoints.release(grouped)
+      .agg(countDistinct($"item")).head().getLong(0)
     require(nItems >= 2, s"bradleyTerry needs >= 2 items, got $nItems")
     require(nItems <= maxItems,
       s"bradleyTerry found $nItems distinct items (> $maxItems): the item " +
         "column must be model-scale (labels), not data-scale (ids)")
     val counts = grouped
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    Checkpoints.release(grouped)
     val items = counts.flatMap(c => Seq(c._1, c._2)).distinct.sorted
     val idx = items.zipWithIndex.toMap
     val m = items.length

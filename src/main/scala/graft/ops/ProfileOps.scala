@@ -3408,22 +3408,39 @@ object ProfileOps {
     * sketch IS the value set there); saturated groups estimate
     * (k-1) / u_k with u_k = (kth-smallest coordinate + 1) / 16^13.
     */
-  def kmvEstimate(sketch: DataFrame, k: Int = 64): DataFrame =
+  def kmvEstimate(sketch: DataFrame, k: Int = 64): DataFrame = {
+    // conv(hex,16,10).cast(double) is EXACT only while the coordinate
+    // stays <= 13 hex digits (< 2^52, inside double's integer range);
+    // a wider coordinate would silently round in the mantissa and
+    // de-sync from the DuckDB oracle — fail loudly instead.
+    val widthGuard = when(length(col("kth")) > 13,
+      raise_error(concat(lit("kmvEstimate: coordinate wider than 13 hex "
+        + "digits (exactness bound of the double conversion): "),
+        col("kth"))))
     sketch.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_coords"), max(col("h")).as("kth"))
       .select(col("grp"), col("n_coords"),
         when(col("n_coords") < k, col("n_coords").cast("double"))
-          .otherwise(round(lit((k - 1).toDouble) /
-            ((conv(col("kth"), 16, 10).cast("double") + 1)
-              / 4.503599627370497e15), 4)).as("est_distinct"))
+          .otherwise(coalesce(widthGuard.cast("double"),
+            round(lit((k - 1).toDouble) /
+              ((conv(col("kth"), 16, 10).cast("double") + 1)
+                / 4.503599627370497e15), 4))).as("est_distinct"))
+  }
 
   /** Append one batch's KMV sketch frame to an append-only parquet
     * store ([[IndexStore]] discipline — the sketch is bounded state,
     * k coords per group per batch, so the store stays model-scale
-    * however many batches land).
+    * however many batches land). (k, salt) are sidecar-pinned
+    * ([[IndexStore.checkParams]]): merging k-min sets taken at
+    * different k (or over different hash salts) estimates nothing, so
+    * a mismatched append fails loudly.
     */
-  def kmvAppend(sketch: DataFrame, path: String): Unit =
+  def kmvAppend(sketch: DataFrame, path: String, k: Int = 64,
+      salt: String = "kmv"): Unit = {
+    IndexStore.checkParams(sketch.sparkSession, path, "KMV sketch",
+      Map("k" -> k.toString, "salt" -> salt), writeIfAbsent = true)
     IndexStore.append(sketch, path)
+  }
 
   /** Re-derive the merged sketch from an appended store: union of all
     * batch sketches, dedup (a value seen in many batches lands its
@@ -3434,6 +3451,8 @@ object ProfileOps {
   def kmvFromStore(spark: org.apache.spark.sql.SparkSession,
       path: String, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    IndexStore.checkParams(spark, path, "KMV sketch",
+      Map("k" -> k.toString), writeIfAbsent = false)
     val w = Window.partitionBy("grp").orderBy(col("h"))
     spark.read.parquet(path).distinct()
       .withColumn("rn", row_number().over(w))

@@ -340,6 +340,61 @@ object SimilarityOps {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** md5-derived ±1.0 sign planes for the oracle-replayable LSH
+    * bucket family: plane p, dim i = +1 iff the top bit of
+    * md5("lshp:p:i") is clear ([[projectionSigns]] discipline, its
+    * own salt). Generated driver-side, embedded as plan literals AND
+    * as SQL literals by [[lshBucketMd5Sql]] — same constants on both
+    * engines by construction.
+    */
+  private[graft] def lshPlaneSigns(d: Int, nbits: Int): IndexedSeq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nbits).map { p =>
+      (0 until d).map { i =>
+        val h = md.digest(s"lshp:$p:$i".getBytes("UTF-8"))
+        if ((h(0) & 0x80) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Oracle-replayable sign-plane bucket — [[lshBucket]]'s md5 twin:
+    * ±1 planes from [[lshPlaneSigns]], each projection summed on the
+    * exact integer MICRO grid (round(x·sign·1e6) as long — order-
+    * independent, so the sign decision replays bit-for-bit in SQL;
+    * a raw double fold's sub-ulp order sensitivity could flip a
+    * near-zero projection's sign between engines), bit p set iff the
+    * micro-sum is >= 0. Same hyperplane-LSH family as production
+    * (sign random projections); `d` must equal the vector dimension
+    * (zip_with would null-pad a mismatch — guarded by the micro-sum
+    * turning null and the caller's oracle failing loudly).
+    */
+  def lshBucketMd5(vec: Column, nbits: Int, d: Int): Column = {
+    require(nbits >= 1 && nbits <= 62, s"nbits must be in [1,62], got $nbits")
+    val planes = lshPlaneSigns(d, nbits)
+    (0 until nbits).map { p =>
+      val micro = aggregate(
+        zip_with(vec, typedlit(planes(p)),
+          (x, sg) => round(x * sg * 1e6, 0).cast("long")),
+        lit(0L), _ + _)
+      when(micro >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** DuckDB expression computing [[lshBucketMd5]] over list column
+    * `vecSql` — sign literals embedded from the same Scala generator.
+    */
+  private[graft] def lshBucketMd5Sql(vecSql: String, nbits: Int,
+      d: Int): String = {
+    val planes = lshPlaneSigns(d, nbits)
+    (0 until nbits).map { p =>
+      val lst = planes(p).map(s => if (s > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, $d), " +
+        s"i -> CAST(round($vecSql[i] * ($lst::DOUBLE[])[i] * 1e6) " +
+        s"AS BIGINT))) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket by hyperplane sign
     * bits, generate pairs only within a bucket, keep pairs above the
     * cosine threshold. Bucketing replaces the all-pairs cross product;
@@ -367,12 +422,13 @@ object SimilarityOps {
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, nbits: Int = 8,
-      maxBucketSize: Int = 4096): DataFrame = {
+      maxBucketSize: Int = 4096,
+      bucketExpr: (Column, Int) => Column = lshBucket): DataFrame = {
     require(nbits >= 1 && nbits <= 62, s"nbits must be in [1,62], got $nbits")
     require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), nbits))
+      .withColumn("bucket", bucketExpr(col("v"), nbits))
     DropGuard.observed(
       base.groupBy("bucket")
         .agg(call_function("graft_bounded_collect",
@@ -629,28 +685,39 @@ object SimilarityOps {
     centers
   }
 
-  /** Driver-bounded k-means fit sample: a seeded Bernoulli sample
-    * capped at an ABSOLUTE `maxFitRows` before anything is collected.
-    * The fraction alone is NOT a cap — at 100× corpus a 10% sample
+  /** Driver-bounded k-means fit sample: a CONTENT-KEYED sample capped
+    * at an ABSOLUTE `maxFitRows` before anything is collected. The
+    * fraction alone is NOT a cap — at 100× corpus a 10% sample
     * collects 100× more vectors; at 100 TB of embeddings that is
-    * terabytes on the driver. The `.limit` is a no-op below the cap
-    * (small corpora keep bit-identical fits) and bounds the collect
-    * to `maxFitRows` rows above it — quantizer quality needs only
-    * O(nCells·50…10⁵) vectors regardless of corpus size, and the
-    * recall floors in Verify gate the result either way. Same
-    * discipline as [[IvfIndexOps.initCenters]]'s md5-ordered
-    * `limit(k)` seed collection.
+    * terabytes on the driver — and `maxFitRows` bounds the collect
+    * above it: quantizer quality needs only O(nCells·50…10⁵) vectors
+    * regardless of corpus size, and the recall floors in Verify gate
+    * the result either way.
+    *
+    * Determinism: membership is [[SampleOps.hashCoord]] over the
+    * vector content (salted by `seed`) against
+    * [[SampleOps.thresholdHex]], and rows land in md5-coordinate
+    * order (TakeOrdered — per-partition top-k, never a full sort) —
+    * so the collected sample is a pure function of corpus CONTENT,
+    * identical across runs, partitionings and cluster layouts, below
+    * or above the cap (the [[IvfIndexOps.initCenters]] discipline; a
+    * seeded Bernoulli sample + bare `limit` was layout-dependent).
+    * Equal vectors share a coordinate; their mutual order is
+    * irrelevant to any fit (interchangeable points).
     */
   private[graft] def fitSample(base: DataFrame, vecCol: String,
       fitFraction: Double, maxFitRows: Int, seed: Long,
       minRows: Int): Array[Array[Double]] = {
     import base.sparkSession.implicits._
-    var sample = base.sample(withReplacement = false, fitFraction, seed)
-      .select(vecCol).limit(maxFitRows).as[Seq[Double]]
-      .collect().map(_.toArray)
+    val keyed = base.select(col(vecCol).as("_v"),
+      SampleOps.hashCoord(col(vecCol), s"fit:$seed:").as("_k"))
+    var sample = keyed
+      .where(col("_k") < lit(SampleOps.thresholdHex(fitFraction)))
+      .orderBy("_k").limit(maxFitRows)
+      .select("_v").as[Seq[Double]].collect().map(_.toArray)
     if (sample.isEmpty) // tiny-corpus guard
-      sample = base.select(vecCol).limit(minRows).as[Seq[Double]]
-        .collect().map(_.toArray)
+      sample = keyed.orderBy("_k").limit(minRows)
+        .select("_v").as[Seq[Double]].collect().map(_.toArray)
     sample
   }
 
@@ -860,12 +927,13 @@ object SimilarityOps {
     * recall; more probes buys recall back linearly in cost.
     */
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, nbits: Int = 8, probes: Int = 1): DataFrame = {
+      queryPred: Column, k: Int, nbits: Int = 8, probes: Int = 1,
+      bucketExpr: (Column, Int) => Column = lshBucket): DataFrame = {
     require(probes >= 1 && probes <= nbits + 1,
       s"probes must be in [1, nbits+1], got $probes for nbits=$nbits")
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), nbits))
+      .withColumn("bucket", bucketExpr(col("v"), nbits))
     val probeBuckets = array((0 until probes).map {
       case 0 => col("bucket")
       case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
@@ -883,6 +951,48 @@ object SimilarityOps {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"))
+  }
+
+  /** DuckDB replay of [[knnLsh]] under the [[lshBucketMd5]] family:
+    * sign-plane buckets (literal planes from the same generator),
+    * Hamming-1 multi-probe via xor, 6dp cosine, per-query top-k.
+    */
+  def knnLshMd5OracleSql(table: String, idCol: String, vecCol: String,
+      queryPredSql: String, k: Int, nbits: Int, probes: Int,
+      d: Int): String = {
+    val bucket = lshBucketMd5Sql("v", nbits, d)
+    val probeList = ("bucket" +: (1 until probes)
+      .map(p => s"xor(bucket, ${1L << (p - 1)})")).mkString("[", ", ", "]")
+    s"""WITH base AS (
+       | SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |bk AS (SELECT id, v, $bucket AS bucket FROM base),
+       |q AS (SELECT id AS query_id, v AS qv,
+       |   unnest($probeList) AS bucket
+       |  FROM bk WHERE $queryPredSql),
+       |s AS (SELECT query_id, bk.id AS cand_id,
+       |   round(list_cosine_similarity(qv, bk.v), 6) AS sim
+       |  FROM bk JOIN q USING (bucket) WHERE bk.id <> q.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY sim DESC, cand_id) AS rn FROM s)
+       |SELECT query_id, cand_id, sim FROM r WHERE rn <= $k""".stripMargin
+  }
+
+  /** DuckDB replay of [[embeddingNearDupPairs]] under the
+    * [[lshBucketMd5]] family: same-bucket pairs (a < b), 6dp cosine
+    * threshold. Like every banded-family oracle this does not model
+    * the `maxBucketSize` cap (DropGuard makes a cap drop loud on the
+    * Spark side; oracle-SF corpora sit far below it).
+    */
+  def embeddingNearDupMd5OracleSql(table: String, idCol: String,
+      vecCol: String, minCosine: Double, nbits: Int, d: Int): String = {
+    val bucket = lshBucketMd5Sql("v", nbits, d)
+    s"""WITH base AS (
+       | SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |bk AS (SELECT id, v, $bucket AS bucket FROM base)
+       |SELECT a.id AS a_id, b.id AS b_id,
+       |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+       |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $minCosine""".stripMargin
   }
 
   /** Distributed Lloyd's k-means over the FULL corpus — the semantic
@@ -916,10 +1026,21 @@ object SimilarityOps {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // ONE corpus materialization for the whole Lloyd loop: the seed
+    // fetch plus maxIter assignment+aggregate jobs all read this
+    // executor-cached projection (the GraphOps localCheckpoint loop
+    // discipline) — without it each of those 1+maxIter jobs re-scans
+    // the raw corpus (7 full reads at the defaults, the r13 plan
+    // audit's one efficiency anti-pattern). Released after the loop;
+    // the returned assignment is built on the UNCACHED base so it
+    // stays valid for callers after the release (its lazy-recompute
+    // contract is one scan per downstream action, unchanged).
+    val baseC = base.localCheckpoint()
+    try {
     // deterministic seeding: k distinct vectors in md5-coordinate
     // order. The 8k-row candidate fetch is driver-bounded (TakeOrdered)
     // and the overfetch absorbs duplicate vectors.
-    val cand = base
+    val cand = baseC
       .withColumn("_c", md5(concat(lit("kmeans:"), col("id").cast("string"))))
       .orderBy("_c").limit(math.max(k * 8, 64))
       .select("v").as[Seq[Double]].collect()
@@ -930,7 +1051,7 @@ object SimilarityOps {
     var centers: Seq[Seq[Double]] = init.toIndexedSeq.map(_.toSeq)
     val sumT = "decimal(38,18)"
     for (_ <- 1 to maxIter) {
-      val assigned = base.withColumn("cell",
+      val assigned = baseC.withColumn("cell",
         element_at(call_function("graft_nearest_cells",
           col("v"), typedlit(centers)), 1))
       val sums = assigned
@@ -951,6 +1072,7 @@ object SimilarityOps {
       element_at(call_function("graft_nearest_cells",
         col("v"), typedlit(centers)), 1))
     (centers, assignment)
+    } finally Checkpoints.release(baseC)
   }
 
   /** Per-vector cluster assignment: (id, cluster). */

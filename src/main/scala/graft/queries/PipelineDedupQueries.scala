@@ -31,7 +31,8 @@ private[graft] object PipelineDedupQueries {
       // of re-writing three deltas into a fresh temp dir each time
       val store = IndexStore.ivfDemoStorePath(s, d, k = 6)
       val asg = IvfIndexOps.assign(s, emb, "vec_id", "embedding", c0)
-      val cStore = IvfIndexOps.refresh(c0, IndexStore.readIvfStats(s, store))
+      val cStore = IvfIndexOps.refresh(c0,
+        IndexStore.readIvfStats(s, store, expectK = 6))
       val cScr = IvfIndexOps.refresh(c0,
         IvfIndexOps.cellStatsFromAssigned(asg))
       val probes = emb.where(col("vec_id") % 5 === 0)
@@ -70,10 +71,12 @@ private[graft] object PipelineDedupQueries {
         graft.ops.IndexStore.lshDemoStorePath(s, d))),
 
     // SimHash durable band store — q365's discipline for the SimHash
-    // family: the xxhash64 code family has no SQL oracle (rows-only
-    // row in the gate), so the guarantee is SimhashStoreSpec pinning
-    // store-serve == the live simHashPairs pipeline bit-for-bit, plus
-    // the batch-replay idempotence of the merge-on-read store.
+    // family, now banded under the md5Long64 token-hash family so the
+    // store serve is FULLY SQL-oracled: the oracle replays the codes
+    // digitwise from scratch and brute-forces the Hamming pairs, so
+    // the hash match proves merged-store serve == from-scratch
+    // (band rows carry no cross-doc state). SimhashStoreSpec keeps
+    // pinning the xxhash64 production family's store ≡ live equality.
     "q366_simhash_store" -> ((s, d) =>
       graft.ops.IndexStore.serveSimHashPairs(s,
         graft.ops.IndexStore.simhashDemoStorePath(s, d))),
@@ -504,11 +507,15 @@ private[graft] object PipelineDedupQueries {
       DedupOps.cdcChunkStats(Tables(s, d, "documents"), "doc_id", "text")),
 
     // LSH-bucketed approximate top-k (hyperplane sign bits), with one
-    // Hamming-1 multi-probe — no oracle (xxhash64 planes), rows-only +
-    // recall spec in ScalaTest.
+    // Hamming-1 multi-probe — registered under the md5 sign-plane
+    // family (lshBucketMd5) so the full pipeline replays in the
+    // DuckDB oracle; the xxhash64 production planes share this exact
+    // pipeline via the injected bucketExpr (q83 scoreboard +
+    // SimilaritySpec keep covering them).
     "q38_knn_lsh" -> ((s, d) =>
       SimilarityOps.knnLsh(Tables(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 5, 10, nbits = 4, probes = 2)),
+        col("vec_id") < 5, 10, nbits = 4, probes = 2,
+        bucketExpr = SimilarityOps.lshBucketMd5(_, _, d = 64))),
 
     // Exact n-gram Jaccard pairs over 3-gram shingles.
     "q39_ngram_jaccard" -> ((s, d) =>
@@ -516,20 +523,32 @@ private[graft] object PipelineDedupQueries {
         DedupOps.wordShingles(Tables(s, d, "documents"), "doc_id", "text", 3), 0.2,
         sizesProvided = true)),
 
-    // MinHash+LSH near-dup candidate pairs — no oracle (xxhash64).
+    // MinHash+LSH near-dup candidate pairs — the LIVE md5-family
+    // banding pipeline (the store-served q365's in-session twin) at
+    // its own parameterization (32 hashes / 8 bands), fully
+    // SQL-oracled; the xxhash64 native-signature production path
+    // (minHashLshPairs) keeps its spec + q111-scoreboard coverage
+    // and stays the at-scale default.
     "q40_minhash_lsh" -> ((s, d) =>
-      DedupOps.minHashLshPairs(Tables(s, d, "documents"), "doc_id", "text")),
+      DedupOps.lshBandPairs(
+        DedupOps.minHashMd5Bands(Tables(s, d, "documents"), "doc_id",
+          "text", shingleN = 3, numHashes = 32, bands = 8),
+        numHashes = 32, minEstJaccard = 0.5)),
 
-    // 64-bit SimHash — no oracle (xxhash64).
+    // 64-bit SimHash — registered under the md5Long64 token-hash
+    // family (full digitwise DuckDB replay); the xxhash64 production
+    // family shares the simHashWith pipeline verbatim (one injected
+    // scalar expression) and stays spec-covered.
     "q41_simhash" -> ((s, d) =>
-      DedupOps.simHash(Tables(s, d, "documents"), "doc_id", "text")),
+      DedupOps.simHashMd5(Tables(s, d, "documents"), "doc_id", "text")),
 
     // SimHash near-dup PAIRS: banded chunk buckets, exact for
-    // hamming<=3 by pigeonhole — no oracle (xxhash64); exactness vs
-    // the brute-force hamming join is spec-verified.
+    // hamming<=3 by pigeonhole — md5 token-hash family, so the
+    // oracle is a brute-force Hamming replay over the replayed
+    // codes; banding-vs-brute exactness is ALSO spec-verified.
     "q86_simhash_pairs" -> ((s, d) =>
       DedupOps.simHashPairs(Tables(s, d, "documents"), "doc_id", "text",
-        maxHamming = 3)),
+        maxHamming = 3, tokenHash = DedupOps.md5Long64)),
 
     // Benchmark-contamination sweep: corpus docs vs the distinct
     // 3-gram set of a (deterministic) benchmark slice; broadcast
@@ -673,15 +692,18 @@ private[graft] object PipelineDedupQueries {
 
     // Dedup-detection quality scoreboard: precision/recall of the
     // MinHash-LSH and SimHash candidate paths against exact n-gram
-    // Jaccard truth, SAME parameters as the production q39/q40/q41
-    // paths. Rows-only (xxhash-seeded paths have no SQL oracle);
-    // floors enforced in Verify + DedupScoreboardSpec, the q83
-    // discipline applied to dedup.
+    // Jaccard truth, SAME parameters as the q40/q41/q86
+    // registrations — md5 detector families, so the ENTIRE scoreboard
+    // (truth, both candidate paths, the PR arithmetic) replays in the
+    // DuckDB oracle; floors stay enforced in Verify +
+    // DedupScoreboardSpec (which also keeps scoring the xxhash
+    // production paths).
     "q111_dedup_recall" -> ((s, d) =>
       DedupOps.dedupRecallReport(s, Tables(s, d, "documents"),
         "doc_id", "text", shingleN = 3, minJaccard = 0.5,
         numHashes = 32, bands = 8,
-        simHashTruthJaccard = 0.9, maxHamming = 3)),
+        simHashTruthJaccard = 0.9, maxHamming = 3,
+        md5Family = true)),
 
     // SemDeDup-shape semantic dedup end-to-end: embedding near-dup
     // pairs -> connected components -> keep the highest-QUALITY member
@@ -737,6 +759,31 @@ private[graft] object PipelineDedupQueries {
       "doc_id", "text", minJaccard = 0.4),
     "q365_lsh_store" -> DedupOps.minHashMd5OracleSql("documents",
       "doc_id", "text"),
+    // q40 is the LIVE md5-band pipeline at its own parameterization
+    // (32 hashes / 8 bands — exercises the non-default threshold
+    // translation of the oracle generator).
+    "q40_minhash_lsh" -> DedupOps.minHashMd5OracleSql("documents",
+      "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8,
+      minEstJaccard = 0.5),
+    "q41_simhash" -> DedupOps.simHashMd5OracleSql("documents",
+      "doc_id", "text"),
+    // brute-force Hamming replay == the banded path by pigeonhole
+    // (maxHamming=3 < bands=4)
+    "q86_simhash_pairs" -> DedupOps.simHashMd5PairsOracleSql("documents",
+      "doc_id", "text", maxHamming = 3),
+    // from-scratch replay vs the 3-batch-appended store serve: the
+    // hash match IS the merge-on-read == from-scratch proof (q365's
+    // oracle argument, SimHash family)
+    "q366_simhash_store" -> DedupOps.simHashMd5PairsOracleSql("documents",
+      "doc_id", "text", maxHamming = 3),
+    "q38_knn_lsh" -> SimilarityOps.knnLshMd5OracleSql("embeddings",
+      "vec_id", "embedding", "id < 5", k = 10, nbits = 4, probes = 2,
+      d = 64),
+    // whole scoreboard replayed: truth + both md5 detector families +
+    // the PR arithmetic
+    "q111_dedup_recall" -> DedupOps.dedupRecallMd5OracleSql("documents",
+      "doc_id", "text", shingleN = 3, minJaccard = 0.5, numHashes = 32,
+      bands = 8, simHashTruthJaccard = 0.9, maxHamming = 3),
     "q245_mmr_diversified" -> SimilarityOps.mmrOracleSql("embeddings",
       "vec_id", "embedding", "q.vec_id < 5"),
     "q251_curation_v3" -> (LmOps.knOracleWith("d.lang = 'en'") +

@@ -200,11 +200,16 @@ private[graft] object PipelineSimilarityQueries {
       SimilarityOps.knnBrute(Tables(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, 10)),
 
-    // Embedding-cosine near-dup pairs via hyperplane buckets — no
-    // oracle (xxhash64 planes), recall covered in ScalaTest.
+    // Embedding-cosine near-dup pairs via hyperplane buckets —
+    // registered under the md5 sign-plane family (lshBucketMd5), so
+    // every stage replays in the DuckDB oracle; the xxhash64
+    // production plane family (lshBucket) shares this exact pipeline
+    // via the injected bucketExpr and stays spec/scoreboard-covered
+    // (q83, SimilaritySpec).
     "q47_embedding_neardup" -> ((s, d) =>
       SimilarityOps.embeddingNearDupPairs(Tables(s, d, "embeddings"),
-        "vec_id", "embedding", minCosine = 0.35, nbits = 4)),
+        "vec_id", "embedding", minCosine = 0.35, nbits = 4,
+        bucketExpr = SimilarityOps.lshBucketMd5(_, _, d = 64))),
 
     // IVF approximate top-k (KMeans coarse quantizer) — no oracle
     // (iterative clustering has no SQL equivalent); recall vs the
@@ -297,6 +302,11 @@ private[graft] object PipelineSimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // md5 sign-plane family — full bucket + cosine replay; same-bucket
+    // pairs only, so the hash match covers the banding itself
+    "q47_embedding_neardup" -> SimilarityOps.embeddingNearDupMd5OracleSql(
+      "embeddings", "vec_id", "embedding", minCosine = 0.35, nbits = 4,
+      d = 64),
     "q239_ivf_incremental" -> graft.ops.IvfIndexOps
       .incrementalRefreshOracleSql("embeddings", "vec_id", "embedding",
         k = 8, probeMod = 7),

@@ -104,11 +104,11 @@ class IvfIndexSpec extends SparkSpec {
     // three appended batch deltas per store (an ingest cadence)
     for (b <- 0 until 3) {
       val part = e4.where(pmod(col("vec_id"), lit(3)) === b)
-      IndexStore.append(IvfIndexOps.cellStats(spark, part, "vec_id",
-        "embedding", c0), s"$base/cells")
-      IndexStore.append(IvfIndexOps.codeStats(spark,
+      IndexStore.appendIvfStats(IvfIndexOps.cellStats(spark, part, "vec_id",
+        "embedding", c0), s"$base/cells", k = 2)
+      IndexStore.appendPqStats(IvfIndexOps.codeStats(spark,
         IvfIndexOps.residuals(spark, part, "vec_id", "embedding", c0),
-        b0), s"$base/codes")
+        b0), s"$base/codes", k = 2, m = 2, nCodes = 2)
     }
     // a FRESH session (no lineage, no cache) serves from the store
     val s2 = spark.newSession()
@@ -117,7 +117,7 @@ class IvfIndexSpec extends SparkSpec {
         ((r.getDecimal(2).toPlainString, r.getLong(3)))
     val cellScratch = IvfIndexOps.cellStats(spark, e4, "vec_id",
       "embedding", c0).collect().map(key).toMap
-    assert(IndexStore.readIvfStats(s2, s"$base/cells")
+    assert(IndexStore.readIvfStats(s2, s"$base/cells", expectK = 2)
       .collect().map(key).toMap == cellScratch)
     val key3 = (x: org.apache.spark.sql.Row) =>
       (x.getInt(0), x.getInt(1), x.getInt(2)) ->
@@ -125,7 +125,8 @@ class IvfIndexSpec extends SparkSpec {
     val codeScratch = IvfIndexOps.codeStats(spark,
       IvfIndexOps.residuals(spark, e4, "vec_id", "embedding", c0), b0)
       .collect().map(key3).toMap
-    assert(IndexStore.readPqStats(s2, s"$base/codes")
+    assert(IndexStore.readPqStats(s2, s"$base/codes", expectM = 2,
+        expectCodes = 2)
       .collect().map(key3).toMap == codeScratch)
     // refreshed centers from the stored stats == from-scratch refresh
     assert(IvfIndexOps.refresh(c0,

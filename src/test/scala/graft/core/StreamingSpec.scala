@@ -769,7 +769,8 @@ class StreamingSpec extends SparkSpec {
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
         graft.ops.ProfileOps.kmvAppend(
-          graft.ops.ProfileOps.kmvSketch(df, "grp", "v", k = 16), store)
+          graft.ops.ProfileOps.kmvSketch(df, "grp", "v", k = 16), store,
+          k = 16)
       }
       .start()
     val b1 = (0 until 300).map(i => ("g", s"v$i"))
@@ -800,9 +801,9 @@ class StreamingSpec extends SparkSpec {
     val q = input.toDF().toDF("vec_id", "embedding")
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.ops.IndexStore.append(
+        graft.ops.IndexStore.appendIvfStats(
           graft.ops.IvfIndexOps.cellStats(spark, df, "vec_id",
-            "embedding", centers), store)
+            "embedding", centers), store, k = centers.length)
       }
       .start()
     val b1 = Seq((1L, Seq(0.0, 0.2)), (2L, Seq(10.0, 10.4)))

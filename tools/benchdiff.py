@@ -114,10 +114,14 @@ def main():
             continue
         med, spread = s["warm_min_median"], s["spread"]
         real = med > a * args.iso_threshold
+        mild = (not real) and med > a * 1.2
         verdict = ("REGRESSION" if real else
-                   "contamination" if med <= a * 1.2 else
-                   f"mild real growth ({med / a:.2f}x)")
-        if real:
+                   f"mild real growth ({med / a:.2f}x)" if mild else
+                   "contamination")
+        # mild (1.2x, iso_threshold] growth is REAL growth on the
+        # isolated median — it must not auto-seal: require a human
+        # BENCHNOTES justification like a full regression does.
+        if real or mild:
             bad.append(q)
         print(f"| {q} | {a:.2f}s | {b:.2f}s | {r:.2f}x | "
               f"{med:.2f}s ({spread:.2f}) | {verdict} |")
@@ -125,8 +129,9 @@ def main():
         print(f"\nNOT seal-clean: {', '.join(bad)} — fix or justify "
               "in BENCHNOTES before committing")
         sys.exit(1)
-    print("\nall slower movers adjudicated clean — paste the table "
-          "into BENCHNOTES and seal")
+    print("\nall slower movers adjudicated clean (isolated medians "
+          "within 1.2x of the prior seal) — paste the table into "
+          "BENCHNOTES and seal")
 
 if __name__ == "__main__":
     main()
