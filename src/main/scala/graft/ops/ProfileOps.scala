@@ -3364,9 +3364,10 @@ object ProfileOps {
     * coordinates (SampleOps.hashCoord, 13 hex chars = 2^52 space) of
     * the group's DISTINCT values — the deterministic, oracle-
     * replayable member of the sketch family (HLL/approx_count_distinct
-    * is engine-internal-seeded → rows-only q51; KMV's estimate is a
-    * pure function of md5 coordinates, so DuckDB replays it
-    * bit-for-bit).
+    * is engine-internal-seeded and can never hash-match an oracle —
+    * which is why q51 runs on THIS sketch, with HLL's error bound
+    * pinned in OpsSpec; KMV's estimate is a pure function of md5
+    * coordinates, so DuckDB replays it bit-for-bit).
     *
     * Scale shape: one narrow dedup shuffle on (group, coord) with
     * map-side combine, one rank window keyed by the group (k rows
@@ -3464,13 +3465,39 @@ object ProfileOps {
     * batch-merged Spark sketch also proves [[kmvMerge]]'s union
     * property by oracle hash.
     */
+  /** DuckDB replay of [[kmvSketch]]+[[kmvEstimate]] over a plain value
+    * column (the q51 shape): k-min md5 coordinates per group, exact
+    * count below saturation, (k-1)/u_k above. Emits (grp, n_coords,
+    * est_distinct) — same hex→int CASE ladder as the tokens twin.
+    */
+  def kmvColumnOracleSql(table: String, groupCol: String,
+      valueCol: String, k: Int, salt: String): String = {
+    val hexToInt = hexToIntSql("kth")
+    s"""SELECT grp, n_coords,
+       |  CASE WHEN n_coords < $k THEN CAST(n_coords AS DOUBLE)
+       |    ELSE round(${k - 1} / ((CAST(($hexToInt) AS DOUBLE) + 1)
+       |      / 4.503599627370497e15), 4) END AS est_distinct
+       |FROM (SELECT grp, CAST(count(*) AS BIGINT) AS n_coords,
+       |    max(h) AS kth
+       |  FROM (SELECT grp, h,
+       |      row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |    FROM (SELECT DISTINCT $groupCol AS grp,
+       |        substring(md5('$salt:' || CAST($valueCol AS VARCHAR)), 1, 13) AS h
+       |      FROM $table WHERE $valueCol IS NOT NULL))
+       |  WHERE rn <= $k GROUP BY grp)""".stripMargin
+  }
+
+  /** The 13-hex-digit → BIGINT CASE ladder (DuckDB has no conv()). */
+  private def hexToIntSql(col: String): String =
+    (1 to 13).map(i =>
+      s"(CASE substring($col, $i, 1) WHEN 'a' THEN 10 WHEN 'b' THEN 11" +
+        s" WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14" +
+        s" WHEN 'f' THEN 15 ELSE CAST(substring($col, $i, 1) AS BIGINT)" +
+        s" END) * ${BigInt(16).pow(13 - i)}").mkString(" + ")
+
   def kmvTokensOracleSql(table: String, groupCol: String,
       textCol: String, k: Int = 64, salt: String = "kmv"): String = {
-    val hexToInt = (1 to 13).map(i =>
-      s"(CASE substring(kth, $i, 1) WHEN 'a' THEN 10 WHEN 'b' THEN 11" +
-        s" WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14" +
-        s" WHEN 'f' THEN 15 ELSE CAST(substring(kth, $i, 1) AS BIGINT)" +
-        s" END) * ${BigInt(16).pow(13 - i)}").mkString(" + ")
+    val hexToInt = hexToIntSql("kth")
     s"""WITH tok AS (SELECT $groupCol AS grp,
        |    unnest(list_filter(string_split_regex(lower($textCol),
        |      '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS t

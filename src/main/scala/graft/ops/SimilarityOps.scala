@@ -1168,6 +1168,105 @@ object SimilarityOps {
         round(col("inertia") / col("n_members"), 6))
   }
 
+  /** Explicit left-associated squared-L2 chain between two DOUBLE[]
+    * columns — SQL's `a + b + c` parses left-assoc, so the chain
+    * reproduces [[NearestCellsUtil.rank]]'s sequential double
+    * accumulation term-for-term (the reason the kmeans family CAN be
+    * oracled: every float op in the loop has a defined order). */
+  private def sqDistSql(a: String, b: String, d: Int): String =
+    (1 to d).map(j => s"($a[$j]-$b[$j])*($a[$j]-$b[$j])").mkString(" + ")
+
+  /** ANSI-SQL replay of [[kmeansCore]] as a CTE chain — the md5-twin
+    * discipline applied to ITERATION rather than hashing: the loop is
+    * fixed-count with no convergence test, seeds are md5-ordered, and
+    * every reduction is decimal or an ordered double fold, so each
+    * Lloyd step is one more CTE and the whole fit replays bit-for-bit
+    * (multiplying a double by 2^52, decimal(38,18) sums, and the
+    * left-assoc distance chain are all exact on both engines).
+    * Produces CTE bodies ending in `c<maxIter>` (cell, v) = final
+    * centers and `fin` (id, v, cluster) = final assignment; callers
+    * append their finishing SELECT.
+    */
+  private def kmeansOracleCtes(table: String, idCol: String,
+      vecCol: String, k: Int, maxIter: Int, d: Int): String = {
+    val candN = math.max(k * 8, 64)
+    val seed =
+      s"""base AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v
+         |  FROM $table),
+         |cand AS (SELECT v, row_number() OVER (
+         |    ORDER BY md5('kmeans:' || CAST(id AS VARCHAR))) AS rn
+         |  FROM base ORDER BY rn LIMIT $candN),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY mn) - 1 AS INT)
+         |    AS cell, v
+         |  FROM (SELECT v, min(rn) AS mn FROM cand GROUP BY v)
+         |  ORDER BY mn LIMIT $k)""".stripMargin
+    val iters = (1 to maxIter).map { t =>
+      val p = t - 1
+      s"""a$t AS (SELECT id, v, cell FROM (
+         |  SELECT b.id, b.v, c.cell, row_number() OVER (PARTITION BY b.id
+         |      ORDER BY ${sqDistSql("b.v", "c.v", d)}, c.cell) AS rnk
+         |    FROM base b CROSS JOIN c$p c) WHERE rnk = 1),
+         |s$t AS (SELECT cell, pos,
+         |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+         |  FROM (SELECT cell, unnest(v) AS x,
+         |      unnest(range(1, ${d + 1})) AS pos FROM a$t)
+         |  GROUP BY cell, pos),
+         |c$t AS (SELECT cell, list(coalesce(m, x) ORDER BY pos) AS v
+         |  FROM (SELECT cell, unnest(v) AS x,
+         |      unnest(range(1, ${d + 1})) AS pos FROM c$p) pc
+         |  LEFT JOIN s$t USING (cell, pos) GROUP BY cell)""".stripMargin
+    }
+    val fin =
+      s"""fin AS (SELECT id, v, cell AS cluster FROM (
+         |  SELECT b.id, b.v, c.cell, row_number() OVER (PARTITION BY b.id
+         |      ORDER BY ${sqDistSql("b.v", "c.v", d)}, c.cell) AS rnk
+         |    FROM base b CROSS JOIN c$maxIter c) WHERE rnk = 1)""".stripMargin
+    (seed +: iters :+ fin).mkString(",\n")
+  }
+
+  /** DuckDB replay of [[kmeansClusterProfile]] (q113). */
+  def kmeansProfileOracleSql(table: String, idCol: String, vecCol: String,
+      k: Int, maxIter: Int, d: Int): String =
+    s"""WITH ${kmeansOracleCtes(table, idCol, vecCol, k, maxIter, d)},
+       |pr AS (SELECT f.cluster, count(*) AS n_members,
+       |    round(CAST(sum(CAST((${sqDistSql("f.v", "c.v", d)})
+       |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS inertia
+       |  FROM fin f JOIN c$maxIter c ON f.cluster = c.cell
+       |  GROUP BY f.cluster)
+       |SELECT cluster, n_members, inertia,
+       |  round(inertia / n_members, 6) AS mean_sq_dist FROM pr""".stripMargin
+
+  /** DuckDB replay of [[clusterBalancedSample]] (q115): the kmeans
+    * CTE chain plus [[SampleOps.thresholdHex]] in SQL —
+    * `floor((t/n) * 2^52)` is exact because scaling a double by a
+    * power of two only shifts the exponent, so the printed hex
+    * threshold matches the Scala BigDecimal truncation digit-for-
+    * digit. */
+  def clusterBalanceOracleSql(table: String, idCol: String,
+      vecCol: String, k: Int, maxIter: Int, d: Int,
+      targetPerCluster: Long, salt: String): String =
+    s"""WITH ${kmeansOracleCtes(table, idCol, vecCol, k, maxIter, d)},
+       |thr AS (SELECT cluster,
+       |    CASE WHEN $targetPerCluster.0 / count(*) >= 1.0 THEN 'g'
+       |    ELSE printf('%013x', CAST(floor(($targetPerCluster.0 / count(*))
+       |      * 4503599627370496) AS BIGINT)) END AS t
+       |  FROM fin GROUP BY cluster)
+       |SELECT f.id, f.cluster FROM fin f JOIN thr USING (cluster)
+       |WHERE substring(md5('$salt' || CAST(f.id AS VARCHAR)), 1, 13)
+       |  < thr.t""".stripMargin
+
+  /** DuckDB replay of [[kmeansExemplars]] (q122). */
+  def kmeansExemplarsOracleSql(table: String, idCol: String,
+      vecCol: String, k: Int, maxIter: Int, d: Int, m: Int): String =
+    s"""WITH ${kmeansOracleCtes(table, idCol, vecCol, k, maxIter, d)},
+       |dd AS (SELECT f.cluster, f.id,
+       |    (${sqDistSql("f.v", "c.v", d)}) AS sq
+       |  FROM fin f JOIN c$maxIter c ON f.cluster = c.cell),
+       |rk AS (SELECT cluster, id, CAST(row_number() OVER (
+       |    PARTITION BY cluster ORDER BY sq ASC, id ASC) AS INT) AS rank,
+       |    round(sq, 6) AS sq_dist FROM dd)
+       |SELECT cluster, id, rank, sq_dist FROM rk WHERE rank <= $m""".stripMargin
+
   /** Per-label centroid outliers: the `topK` vectors farthest (L2)
     * from their label's centroid — the embedding-space mislabel /
     * contamination audit (a far outlier is a doc that does not belong

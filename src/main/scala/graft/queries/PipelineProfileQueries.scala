@@ -16,7 +16,7 @@ private[graft] object PipelineProfileQueries {
     // KMV distinct-token sketch per source, built as TWO per-batch
     // sketches (doc_id parity) merged with kmvMerge — the
     // deterministic, ORACLE-REPLAYABLE member of the sketch family
-    // (q51's HLL is engine-seeded → rows-only). The oracle replays
+    // (HLL is engine-seeded → unoracleable; q51 uses KMV too). The oracle replays
     // sketch→estimate from scratch, so the hash match also proves the
     // k-min union/merge property that makes per-batch sketches
     // persistable bounded state.

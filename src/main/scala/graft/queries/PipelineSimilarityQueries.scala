@@ -227,7 +227,8 @@ private[graft] object PipelineSimilarityQueries {
         col("vec_id") < 5, 10, nprobe = 8, m = 16, refine = 8)),
 
     // Cluster exemplars: the 3 members nearest each k-means center —
-    // the human-readable cluster label seed. Rows-only (iterative).
+    // the human-readable cluster label seed. Oracled: the fixed-count
+    // Lloyd loop unrolls into CTEs (kmeansExemplarsOracleSql).
     "q122_cluster_exemplars" -> ((s, d) =>
       SimilarityOps.kmeansExemplars(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, maxIter = 4, m = 3)),
@@ -275,8 +276,8 @@ private[graft] object PipelineSimilarityQueries {
     // Cluster-balanced sample: ~target members from each q113 cluster
     // (flatten the topic distribution before mixing). Corpus never
     // shuffles: assignment map + k-row control table + CASE-literal
-    // thresholds. Rows-only (kmeans is iterative); KmeansSpec pins
-    // determinism and per-cluster bounds.
+    // thresholds. Oracled (unrolled-Lloyd CTEs + thresholdHex in SQL);
+    // KmeansSpec pins determinism and per-cluster bounds.
     "q115_cluster_balance" -> ((s, d) =>
       SimilarityOps.clusterBalancedSample(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", targetPerCluster = 40, k = 8, maxIter = 4)),
@@ -284,8 +285,9 @@ private[graft] object PipelineSimilarityQueries {
     // Distributed full-corpus k-means (cluster-balanced sampling /
     // SemDeDup / mixture-design primitive): fixed iterations, decimal
     // sums, hash-order init — bit-deterministic under any
-    // partitioning, but iterative and so rows-only for the oracle;
-    // KmeansSpec pins a differential against the in-memory reference.
+    // partitioning, and THEREFORE fully oracleable: the loop unrolls
+    // into one CTE per Lloyd step (kmeansProfileOracleSql). KmeansSpec
+    // additionally pins a differential against the in-memory reference.
     "q113_kmeans_profile" -> ((s, d) =>
       SimilarityOps.kmeansClusterProfile(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, maxIter = 4)),
@@ -302,6 +304,18 @@ private[graft] object PipelineSimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // kmeans family: the fixed-iteration Lloyd loop replays as an
+    // unrolled CTE chain (md5-ordered seeds, decimal sums, ordered
+    // double folds — every reduction has a defined order, so the fit
+    // is bit-identical cross-engine; validated at sf0.001 + sf0.01)
+    "q113_kmeans_profile" -> SimilarityOps.kmeansProfileOracleSql(
+      "embeddings", "vec_id", "embedding", k = 8, maxIter = 4, d = 64),
+    "q115_cluster_balance" -> SimilarityOps.clusterBalanceOracleSql(
+      "embeddings", "vec_id", "embedding", k = 8, maxIter = 4, d = 64,
+      targetPerCluster = 40, salt = "cluster_balance"),
+    "q122_cluster_exemplars" -> SimilarityOps.kmeansExemplarsOracleSql(
+      "embeddings", "vec_id", "embedding", k = 8, maxIter = 4, d = 64,
+      m = 3),
     // md5 sign-plane family — full bucket + cosine replay; same-bucket
     // pairs only, so the hash match covers the banding itself
     "q47_embedding_neardup" -> SimilarityOps.embeddingNearDupMd5OracleSql(

@@ -876,20 +876,33 @@ object RelationalQueries {
         // cast('') would throw; the oracle uses TRY_CAST.
         expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS int)").as("k"))),
 
-    // Approximate count-distinct (HyperLogLog++): the scale-path twin
-    // of q27 — constant memory per group vs exact expand. No oracle
-    // (sketch internals are engine-specific); exactness bound asserted
-    // in ScalaTest instead.
-    "q51_approx_distinct" -> ((s, d) =>
-      Tables(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
-          count(lit(1)).as("n"))),
+    // Approximate count-distinct: the scale-path twin of q27 —
+    // constant memory per group vs exact expand. The estimator is the
+    // engine's own KMV sketch (q375 family): md5-coordinate k-min set
+    // per group, so the estimate is bit-deterministic under any
+    // partitioning AND fully SQL-oracled — unlike HLL, whose sketch
+    // internals are engine-specific (the HLL path stays covered by
+    // OpsSpec's exactness-bound assert).
+    "q51_approx_distinct" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val est = graft.ops.ProfileOps.kmvEstimate(
+        graft.ops.ProfileOps.kmvSketch(li, "l_returnflag", "l_partkey",
+          k = 256, salt = "q51"), k = 256)
+      val n = li.groupBy(col("l_returnflag").as("grp"))
+        .agg(count(lit(1)).as("n"))
+      est.join(broadcast(n), "grp")
+        .select(col("grp").as("l_returnflag"),
+          col("est_distinct").as("n_parts_approx"), col("n"))
+    }),
 
-    // Seeded Bernoulli sampling — deterministic per (seed, partition
-    // layout); rows-only check (no cross-engine RNG parity).
+    // Uniform 10% sample: the content-hash sampler (SampleOps) rather
+    // than seeded .sample() — the same rows survive on ANY engine,
+    // rerun, or partition layout (seeded Bernoulli is layout-dependent,
+    // which is exactly what a 1000-executor reshuffle breaks), and the
+    // membership rule is plain SQL, so the sample is oracle-checkable.
     "q52_sample" -> ((s, d) =>
-      Tables(s, d, "orders").sample(withReplacement = false, 0.1, seed = 42L)
+      graft.ops.SampleOps.deterministicSample(
+          Tables(s, d, "orders"), "o_orderkey", 0.1, "q52:")
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
 
     // Join + dim filter + group, classic star-schema probe.
@@ -961,6 +974,23 @@ object RelationalQueries {
           count_distinct(col("k")).as("n_distinct_k"))))
 
   val oracles: Map[String, String] = Map(
+    // KMV estimator replay (the q375 discipline) + exact group counts
+    "q51_approx_distinct" -> {
+      val est = graft.ops.ProfileOps.kmvColumnOracleSql(
+        "lineitem", "l_returnflag", "l_partkey", k = 256, salt = "q51")
+      s"""WITH est AS ($est),
+         |n AS (SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n
+         |      FROM lineitem GROUP BY 1)
+         |SELECT grp AS l_returnflag, est_distinct AS n_parts_approx, n
+         |FROM est JOIN n USING (grp)""".stripMargin
+    },
+    // content-hash sample membership is plain SQL: md5 coordinate
+    // below the fraction threshold (SampleOps.thresholdHex)
+    "q52_sample" ->
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM orders
+         |WHERE substring(md5('q52:' || CAST(o_orderkey AS VARCHAR)), 1, 13)
+         |      < '${graft.ops.SampleOps.thresholdHex(0.1)}'
+         |GROUP BY o_orderstatus""".stripMargin,
     "q186_window_ranks" ->
       """WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
         | FROM orders GROUP BY o_custkey)

@@ -67,4 +67,21 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(e - 20000.0) / 20000.0 < 0.25,
       s"k=64 estimate off by >25%: $e")
   }
+
+  test("q51 shape: k=256 KMV per-flag part estimates land within 20% " +
+      "of exact (the accuracy evidence the HLL variant carried)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = li.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = ProfileOps.kmvEstimate(
+        ProfileOps.kmvSketch(li, "l_returnflag", "l_partkey",
+          k = 256, salt = "q51"), k = 256)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    exact.foreach { case (flag, n) =>
+      val e = est(flag)
+      assert(math.abs(e - n) / n < 0.20, s"$flag: kmv $e vs exact $n")
+    }
+  }
 }

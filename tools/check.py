@@ -7,7 +7,10 @@ import duckdb
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
+# Bounded config: under restricted environments (thread/cgroup caps)
+# DuckDB's default ncpu thread pool dies with EAGAIN "bad allocation"
+# on tiny blocks; 8 threads / 8GB is plenty for the sf0.01 oracles.
+con = duckdb.connect(config={"memory_limit": "8GB", "threads": 8})
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf_dir}/{t}.parquet"

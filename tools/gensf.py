@@ -18,6 +18,7 @@ Usage: gensf.py <outDir> [factor=10] [tables]
 (seed fixed; rerun = same bytes; tables = comma list, default all —
  e.g. `documents,embeddings` for a text-family-only 100x pass)
 """
+import hashlib
 import random
 import sys
 
@@ -25,6 +26,27 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def signed_perm(i, dim=64):
+    """Per-replica orthogonal transform for the embedding amplifier:
+    a coordinate rotation + sign-flip mask, both md5-derived from the
+    replica index. Signed permutations preserve every within-replica
+    norm and inner product exactly (they're orthogonal matrices), but
+    the 2^64 distinct sign masks make cross-replica collisions
+    impossible at any replica count — unlike the old (i*7)%64
+    rotation-only schedule, which aliased at factor>=64 replicas and
+    (because rotations preserve the coordinate multiset) planted
+    near-exact cross-replica twins that corrupted ANN recall
+    measurement at sf10 (VERDICT r13 ask #4). Replica 0 is identity so
+    the sf0.1 prefix of every amplified corpus is byte-exact."""
+    if i == 0:
+        return 0, [1] * dim
+    h = hashlib.md5(f"graft-replica-{i}".encode()).digest()
+    rot = h[0] % dim
+    bits = int.from_bytes(h[8:16], "big")
+    signs = [1 if (bits >> (k % 64)) & 1 == 0 else -1 for k in range(dim)]
+    return rot, signs
 
 def main():
     out = sys.argv[1]
@@ -61,12 +83,16 @@ def main():
     if "documents" in which:
         con.sql(f"COPY ({docs}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
 
-    embs = "\nUNION ALL\n".join(
-        f"SELECT vec_id + {i * emb_shift} AS vec_id, "
-        f"CAST(list_transform(range(1, 65), k -> "
-        f"embedding[1 + ((k - 1 + {i} * 7) % 64)]) AS FLOAT[]) AS embedding, "
-        f"label FROM read_parquet('{SRC}/embeddings.parquet')"
-        for i in range(n))
+    def emb_replica(i):
+        rot, signs = signed_perm(i)
+        sign_list = "[" + ", ".join(str(s) for s in signs) + "]"
+        return (
+            f"SELECT vec_id + {i * emb_shift} AS vec_id, "
+            f"CAST(list_transform(range(1, 65), k -> "
+            f"embedding[1 + ((k - 1 + {rot}) % 64)] * ({sign_list})[k]) "
+            f"AS FLOAT[]) AS embedding, "
+            f"label FROM read_parquet('{SRC}/embeddings.parquet')")
+    embs = "\nUNION ALL\n".join(emb_replica(i) for i in range(n))
     if "embeddings" in which:
         con.sql(f"COPY ({embs}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
