@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object SampleOps {
 
-  private val Width = 13
+  private[graft] val Width = 13
   private val Space = BigInt(16).pow(Width) // 2^52 buckets
 
   /** Lowercase-hex md5 prefix of (salt, key) — the sampling coordinate

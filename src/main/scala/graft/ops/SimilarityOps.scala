@@ -625,21 +625,34 @@ object SimilarityOps {
     * default; raising nCells without raising nprobe trades recall for
     * speed silently — hence the guard below.
     */
-  /** Seeded Lloyd's iterations over an in-memory sample. A 16-cell
+  /** Lloyd's iterations over an in-memory sample. A 16-cell
     * coarse quantizer needs only a bounded sample (the caller sizes
     * `fitFraction` so ~10-100k vectors land here); running the
     * iterations on the driver costs milliseconds and zero Spark jobs,
     * where a distributed ML fit costs dozens of scheduler round-trips
     * per iteration — the wrong trade at ANY corpus size once the
     * sample is driver-bounded anyway. Empty clusters keep their old
-    * center; init picks seeded distinct sample points.
+    * center.
+    *
+    * Init: the first `nCells` DISTINCT points in input order — the
+    * input is already content-hash-ordered ([[fitSample]]), so this
+    * is [[kmeansCore]]'s md5 seeding discipline without an RNG.
+    * Portable by construction: the old `Random(seed).shuffle` init
+    * was deterministic only per Scala shuffle implementation, which
+    * pinned the fit to one library version and made the whole IVF
+    * family un-oracleable; first-distinct-in-order replays in ANSI
+    * SQL (`seed` still salts the sample's hash coordinates). The
+    * early convergence exit is safe for unrolled replays: if no
+    * assignment changed, the center update recomputes the same
+    * centers, so running the remaining iterations is a no-op.
     */
   private[ops] def lloydFit(points: Array[Array[Double]], nCells: Int,
       maxIter: Int, seed: Long): Array[Array[Double]] = {
     require(points.nonEmpty, "kmeans fit sample is empty")
-    val rng = new scala.util.Random(seed)
-    val centers = rng.shuffle(points.indices.toVector).take(nCells)
-      .map(i => points(i).clone).toArray
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+    val pit = points.iterator
+    while (seen.size < nCells && pit.hasNext) seen += pit.next().toSeq
+    val centers = seen.iterator.map(_.toArray).toArray
     val kEff = centers.length
     val assign = new Array[Int](points.length)
     var iter = 0
@@ -704,13 +717,25 @@ object SimilarityOps {
     * seeded Bernoulli sample + bare `limit` was layout-dependent).
     * Equal vectors share a coordinate; their mutual order is
     * irrelevant to any fit (interchangeable points).
+    *
+    * The hash coordinate is md5 over an ENGINE-PORTABLE rendering of
+    * the vector — comma-joined floor(x·10⁷) micro-units — rather
+    * than Spark's array-to-string cast (whose scientific-notation
+    * cutoffs are Java-specific: 1.0E-4 vs 0.0001), so an oracle can
+    * replay sample membership and order exactly ([[knnIvfOracleSql]]).
     */
+  private[graft] def fitVecKey(vec: Column, seed: Long): Column =
+    substring(md5(concat(lit(s"fit:$seed:"),
+      concat_ws(",", transform(vec,
+        x => floor(x * lit(1e7)).cast("long")))).cast("binary")),
+      1, SampleOps.Width)
+
   private[graft] def fitSample(base: DataFrame, vecCol: String,
       fitFraction: Double, maxFitRows: Int, seed: Long,
       minRows: Int): Array[Array[Double]] = {
     import base.sparkSession.implicits._
     val keyed = base.select(col(vecCol).as("_v"),
-      SampleOps.hashCoord(col(vecCol), s"fit:$seed:").as("_k"))
+      fitVecKey(col(vecCol), seed).as("_k"))
     var sample = keyed
       .where(col("_k") < lit(SampleOps.thresholdHex(fitFraction)))
       .orderBy("_k").limit(maxFitRows)
@@ -977,6 +1002,235 @@ object SimilarityOps {
        |SELECT query_id, cand_id, sim FROM r WHERE rn <= $k""".stripMargin
   }
 
+  /** DuckDB replay of [[knnIvf]] — the WHOLE pipeline, fit included:
+    * sample membership/order from [[fitVecKey]] (portable micro-unit
+    * rendering), [[lloydFit]]'s first-distinct-in-order init, every
+    * Lloyd iteration unrolled into CTEs (the q113 discipline applied
+    * to the sampled fit), then corpus assignment, multi-probe and the
+    * 6dp-cosine top-k. Exactness rests on defined float order at
+    * every step: the left-associated distance chain matches the
+    * kernel's sequential accumulation, and center updates replay the
+    * driver loop's point-order double sums via `list_sum(list(x ORDER
+    * BY rn))` (DuckDB's list_sum folds left-to-right). The early
+    * convergence exit needs no modelling — at a fixed point the
+    * remaining unrolled iterations recompute identical centers. The
+    * tiny-corpus fallback (empty sample) is not modelled: oracle-SF
+    * corpora put hundreds of vectors under the fraction threshold.
+    */
+  def knnIvfOracleSql(table: String, idCol: String, vecCol: String,
+      queryPredSql: String, k: Int, nCells: Int, nprobe: Int,
+      seed: Long, fitFraction: Double, maxFitRows: Int, d: Int,
+      maxIter: Int = 10): String = {
+    val thr = SampleOps.thresholdHex(fitFraction)
+    val keySql = s"substring(md5('fit:$seed:' || list_aggregate(" +
+      s"list_transform(v, x -> CAST(floor(x * 10000000.0) AS BIGINT))" +
+      s", 'string_agg', ',')), 1, 13)"
+    val seedCtes =
+      s"""base AS MATERIALIZED (SELECT $idCol AS id,
+         |    CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+         |samp AS MATERIALIZED (SELECT v,
+         |    row_number() OVER (ORDER BY fk) AS rn
+         |  FROM (SELECT v, $keySql AS fk FROM base)
+         |  WHERE fk < '$thr' ORDER BY fk LIMIT $maxFitRows),
+         |c0 AS MATERIALIZED (SELECT
+         |    CAST(row_number() OVER (ORDER BY mn) - 1 AS INT) AS cell, v
+         |  FROM (SELECT v, min(rn) AS mn FROM samp GROUP BY v)
+         |  ORDER BY mn LIMIT $nCells)""".stripMargin
+    val iters = (1 to maxIter).map { t =>
+      val p = t - 1
+      s"""a$t AS MATERIALIZED (SELECT rn, v, cell FROM (
+         |  SELECT s.rn, s.v, c.cell, row_number() OVER (PARTITION BY s.rn
+         |      ORDER BY ${sqDistSql("s.v", "c.v", d)}, c.cell) AS rnk
+         |    FROM samp s CROSS JOIN c$p c) WHERE rnk = 1),
+         |s$t AS MATERIALIZED (SELECT cell, pos,
+         |    list_sum(list(x ORDER BY rn)) / count(*) AS m
+         |  FROM (SELECT rn, cell, unnest(v) AS x,
+         |      unnest(range(1, ${d + 1})) AS pos FROM a$t)
+         |  GROUP BY cell, pos),
+         |c$t AS MATERIALIZED (SELECT cell,
+         |    list(coalesce(m, x) ORDER BY pos) AS v
+         |  FROM (SELECT cell, unnest(v) AS x,
+         |      unnest(range(1, ${d + 1})) AS pos FROM c$p) pc
+         |  LEFT JOIN s$t USING (cell, pos) GROUP BY cell)""".stripMargin
+    }
+    val serve =
+      s"""rkd AS MATERIALIZED (SELECT b.id, b.v, c.cell,
+         |    row_number() OVER (PARTITION BY b.id
+         |    ORDER BY ${sqDistSql("b.v", "c.v", d)}, c.cell) AS rnk
+         |  FROM base b CROSS JOIN c$maxIter c),
+         |cells AS (SELECT id, v, cell FROM rkd WHERE rnk = 1),
+         |probe AS (SELECT id AS query_id, v AS qv, cell FROM rkd
+         |  WHERE rnk <= $nprobe AND $queryPredSql),
+         |sims AS (SELECT query_id, cells.id AS cand_id,
+         |    round(list_cosine_similarity(qv, cells.v), 6) AS sim
+         |  FROM cells JOIN probe USING (cell)
+         |  WHERE cells.id <> probe.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, cand_id) AS rn FROM sims)
+         |SELECT query_id, cand_id, sim FROM r WHERE rn <= $k""".stripMargin
+    "WITH " + ((seedCtes +: iters).mkString(",\n")) + ",\n" + serve
+  }
+
+  /** DuckDB replay of [[knnIvfPq]] — the [[knnIvfOracleSql]]
+    * discipline extended through product quantization: unit
+    * normalization (ordered square-sum chain), the coarse Lloyd fit,
+    * per-sample residuals, `m` per-subspace codebook fits (each its
+    * own unrolled Lloyd chain over `d/m`-dim slices, first-distinct
+    * init in sample order), PQ encoding and the ADC shortlist
+    * (per-subspace distance terms summed in subspace order — the
+    * kernel's fold), then the exact-cosine refine on RAW vectors.
+    * Every kernel ([[graft.functions.PqCodec]], NearestCells) is a
+    * sequential fold with ties to the lower index, so the replay is
+    * bit-exact. ~500 CTEs at m=16 — all MATERIALIZED (inlining the
+    * chain re-evaluates it exponentially).
+    */
+  def knnIvfPqOracleSql(table: String, idCol: String, vecCol: String,
+      queryPredSql: String, k: Int, nCells: Int, nprobe: Int,
+      m: Int, nCodes: Int, refine: Int, seed: Long,
+      fitFraction: Double, maxFitRows: Int, d: Int,
+      maxIter: Int = 10): String = {
+    require(d % m == 0, s"d=$d must be divisible by m=$m")
+    val ds = d / m
+    val thr = SampleOps.thresholdHex(fitFraction)
+    val keySql = s"substring(md5('fit:$seed:' || list_aggregate(" +
+      s"list_transform(v, x -> CAST(floor(x * 10000000.0) AS BIGINT))" +
+      s", 'string_agg', ',')), 1, 13)"
+    val nrmChain = "(0.0 + " +
+      (1 to d).map(j => s"rv[$j]*rv[$j]").mkString(" + ") + ")"
+    // one Lloyd chain: first-distinct-in-order init + maxIter unrolled
+    // iterations over (rn, v) rows of `sampCte`, dims `dd`, k `kk`
+    def lloydChain(pfx: String, sampCte: String, kk: Int,
+        dd: Int): Seq[String] = {
+      val c0 =
+        s"""${pfx}c0 AS MATERIALIZED (SELECT
+           |    CAST(row_number() OVER (ORDER BY mn) - 1 AS INT) AS cell, v
+           |  FROM (SELECT v, min(rn) AS mn FROM $sampCte GROUP BY v)
+           |  ORDER BY mn LIMIT $kk)""".stripMargin
+      val its = (1 to maxIter).map { t =>
+        val p = t - 1
+        s"""${pfx}a$t AS MATERIALIZED (SELECT rn, v, cell FROM (
+           |  SELECT s.rn, s.v, c.cell, row_number() OVER (PARTITION BY s.rn
+           |      ORDER BY ${sqDistSql("s.v", "c.v", dd)}, c.cell) AS rnk
+           |    FROM $sampCte s CROSS JOIN ${pfx}c$p c) WHERE rnk = 1),
+           |${pfx}s$t AS MATERIALIZED (SELECT cell, pos,
+           |    list_sum(list(x ORDER BY rn)) / count(*) AS mm
+           |  FROM (SELECT rn, cell, unnest(v) AS x,
+           |      unnest(range(1, ${dd + 1})) AS pos FROM ${pfx}a$t)
+           |  GROUP BY cell, pos),
+           |${pfx}c$t AS MATERIALIZED (SELECT cell,
+           |    list(coalesce(mm, x) ORDER BY pos) AS v
+           |  FROM (SELECT cell, unnest(v) AS x,
+           |      unnest(range(1, ${dd + 1})) AS pos FROM ${pfx}c$p) pc
+           |  LEFT JOIN ${pfx}s$t USING (cell, pos) GROUP BY cell)""".stripMargin
+      }
+      c0 +: its
+    }
+    val head =
+      s"""raw AS MATERIALIZED (SELECT $idCol AS id,
+         |    CAST($vecCol AS DOUBLE[]) AS rv FROM $table),
+         |base AS MATERIALIZED (SELECT id, rv,
+         |    CASE WHEN nrm > 0 THEN list_transform(rv, x -> x / nrm)
+         |    ELSE rv END AS v
+         |  FROM (SELECT id, rv, sqrt($nrmChain) AS nrm FROM raw)),
+         |samp AS MATERIALIZED (SELECT v,
+         |    row_number() OVER (ORDER BY fk) AS rn
+         |  FROM (SELECT v, $keySql AS fk FROM base)
+         |  WHERE fk < '$thr' ORDER BY fk LIMIT $maxFitRows)""".stripMargin
+    val coarse = lloydChain("", "samp", nCells, d)
+    val resids =
+      s"""sasg AS MATERIALIZED (SELECT rn, v, cell FROM (
+         |  SELECT s.rn, s.v, c.cell, row_number() OVER (PARTITION BY s.rn
+         |      ORDER BY ${sqDistSql("s.v", "c.v", d)}, c.cell) AS rnk
+         |    FROM samp s CROSS JOIN c$maxIter c) WHERE rnk = 1),
+         |sres AS MATERIALIZED (SELECT a.rn,
+         |    list_transform(range(1, ${d + 1}), i -> a.v[i] - c.v[i]) AS r
+         |  FROM sasg a JOIN c$maxIter c USING (cell))""".stripMargin
+    // all m subspace fits run as ONE sub-keyed chain (a column, not
+    // m separate CTE chains — 10x fewer materializations, identical
+    // per-sub arithmetic)
+    val subDist4 = (1 to ds).map(i =>
+      s"(s.v[$i]-c.v[$i])*(s.v[$i]-c.v[$i])").mkString(" + ")
+    val subSeed =
+      s"""psamp AS MATERIALIZED (SELECT CAST(t.sub AS INT) AS sub, rn,
+         |    list_slice(r, t.sub*$ds + 1, t.sub*$ds + $ds) AS v
+         |  FROM sres, range(0, $m) t(sub)),
+         |pc0 AS MATERIALIZED (SELECT sub, CAST(rnk - 1 AS INT) AS cell, v
+         |  FROM (SELECT sub, v, row_number() OVER (PARTITION BY sub
+         |      ORDER BY mn) AS rnk
+         |    FROM (SELECT sub, v, min(rn) AS mn FROM psamp
+         |      GROUP BY sub, v)) WHERE rnk <= $nCodes)""".stripMargin
+    val subIters = (1 to maxIter).map { t =>
+      val p = t - 1
+      s"""pa$t AS MATERIALIZED (SELECT sub, rn, v, cell FROM (
+         |  SELECT s.sub, s.rn, s.v, c.cell,
+         |      row_number() OVER (PARTITION BY s.sub, s.rn
+         |        ORDER BY $subDist4, c.cell) AS rnk
+         |    FROM psamp s JOIN pc$p c USING (sub)) WHERE rnk = 1),
+         |ps$t AS MATERIALIZED (SELECT sub, cell, pos,
+         |    list_sum(list(x ORDER BY rn)) / count(*) AS mm
+         |  FROM (SELECT sub, rn, cell, unnest(v) AS x,
+         |      unnest(range(1, ${ds + 1})) AS pos FROM pa$t)
+         |  GROUP BY sub, cell, pos),
+         |pc$t AS MATERIALIZED (SELECT sub, cell,
+         |    list(coalesce(mm, x) ORDER BY pos) AS v
+         |  FROM (SELECT sub, cell, unnest(v) AS x,
+         |      unnest(range(1, ${ds + 1})) AS pos FROM pc$p) pcq
+         |  LEFT JOIN ps$t USING (sub, cell, pos) GROUP BY sub, cell)""".stripMargin
+    }
+    val subFits = subSeed +: subIters
+    val books =
+      s"books AS MATERIALIZED (SELECT sub, cell AS code, v FROM pc$maxIter)"
+    // per-subspace distance between a full-resid slice and a book
+    // entry, offset by the (qualified) `sub` COLUMN (1-based indexing)
+    def subDist(rCol: String, bCol: String, subRef: String): String =
+      (1 to ds).map(i =>
+        s"($rCol[$subRef*$ds + $i] - $bCol[$i])" +
+          s"*($rCol[$subRef*$ds + $i] - $bCol[$i])")
+        .mkString(" + ")
+    val serve =
+      s"""rkd AS MATERIALIZED (SELECT b.id, b.v, c.cell,
+         |    row_number() OVER (PARTITION BY b.id
+         |    ORDER BY ${sqDistSql("b.v", "c.v", d)}, c.cell) AS rnk
+         |  FROM base b CROSS JOIN c$maxIter c),
+         |cells AS MATERIALIZED (SELECT id, v, cell FROM rkd WHERE rnk = 1),
+         |resid AS MATERIALIZED (SELECT t.id, t.cell,
+         |    list_transform(range(1, ${d + 1}), i -> t.v[i] - c.v[i]) AS r
+         |  FROM cells t JOIN c$maxIter c USING (cell)),
+         |codes AS MATERIALIZED (SELECT id, cell, sub, code FROM (
+         |  SELECT rr.id, rr.cell, b.sub, b.code,
+         |      row_number() OVER (PARTITION BY rr.id, b.sub
+         |        ORDER BY ${subDist("rr.r", "b.v", "b.sub")}, b.code) AS rnk
+         |    FROM resid rr CROSS JOIN books b) WHERE rnk = 1),
+         |qprobe AS MATERIALIZED (SELECT id AS query_id, v AS qv, cell
+         |  FROM rkd WHERE rnk <= $nprobe AND $queryPredSql),
+         |qres AS MATERIALIZED (SELECT q.query_id, q.cell,
+         |    list_transform(range(1, ${d + 1}), i -> q.qv[i] - c.v[i]) AS r
+         |  FROM qprobe q JOIN c$maxIter c USING (cell)),
+         |adcterm AS MATERIALIZED (SELECT q.query_id, cd.id AS cand_id,
+         |    cd.sub AS sub, ${subDist("q.r", "b.v", "b.sub")} AS term
+         |  FROM qres q JOIN codes cd ON q.cell = cd.cell
+         |  JOIN books b ON b.sub = cd.sub AND b.code = cd.code
+         |  WHERE cd.id <> q.query_id),
+         |adc AS MATERIALIZED (SELECT query_id, cand_id,
+         |    list_sum(list(term ORDER BY sub)) AS adc
+         |  FROM adcterm GROUP BY query_id, cand_id),
+         |short AS MATERIALIZED (SELECT query_id, cand_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc ASC, cand_id ASC) AS rn FROM adc)
+         |  WHERE rn <= ${refine * k}),
+         |qv AS (SELECT id AS query_id, rv AS qvec FROM raw
+         |  WHERE $queryPredSql),
+         |fin AS (SELECT s.query_id, s.cand_id,
+         |    round(list_cosine_similarity(q.qvec, c.rv), 6) AS sim
+         |  FROM short s JOIN raw c ON c.id = s.cand_id
+         |  JOIN qv q USING (query_id))
+         |SELECT query_id, cand_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS rn FROM fin) WHERE rn <= $k""".stripMargin
+    "WITH " + ((Seq(head) ++ coarse ++ Seq(resids) ++ subFits ++
+      Seq(books)).mkString(",\n")) + ",\n" + serve
+  }
+
   /** DuckDB replay of [[embeddingNearDupPairs]] under the
     * [[lshBucketMd5]] family: same-bucket pairs (a < b), 6dp cosine
     * threshold. Like every banded-family oracle this does not model
@@ -1191,33 +1445,34 @@ object SimilarityOps {
       vecCol: String, k: Int, maxIter: Int, d: Int): String = {
     val candN = math.max(k * 8, 64)
     val seed =
-      s"""base AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v
-         |  FROM $table),
+      s"""base AS MATERIALIZED (SELECT $idCol AS id,
+         |    CAST($vecCol AS DOUBLE[]) AS v FROM $table),
          |cand AS (SELECT v, row_number() OVER (
          |    ORDER BY md5('kmeans:' || CAST(id AS VARCHAR))) AS rn
          |  FROM base ORDER BY rn LIMIT $candN),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY mn) - 1 AS INT)
-         |    AS cell, v
+         |c0 AS MATERIALIZED (SELECT
+         |    CAST(row_number() OVER (ORDER BY mn) - 1 AS INT) AS cell, v
          |  FROM (SELECT v, min(rn) AS mn FROM cand GROUP BY v)
          |  ORDER BY mn LIMIT $k)""".stripMargin
     val iters = (1 to maxIter).map { t =>
       val p = t - 1
-      s"""a$t AS (SELECT id, v, cell FROM (
+      s"""a$t AS MATERIALIZED (SELECT id, v, cell FROM (
          |  SELECT b.id, b.v, c.cell, row_number() OVER (PARTITION BY b.id
          |      ORDER BY ${sqDistSql("b.v", "c.v", d)}, c.cell) AS rnk
          |    FROM base b CROSS JOIN c$p c) WHERE rnk = 1),
-         |s$t AS (SELECT cell, pos,
+         |s$t AS MATERIALIZED (SELECT cell, pos,
          |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
          |  FROM (SELECT cell, unnest(v) AS x,
          |      unnest(range(1, ${d + 1})) AS pos FROM a$t)
          |  GROUP BY cell, pos),
-         |c$t AS (SELECT cell, list(coalesce(m, x) ORDER BY pos) AS v
+         |c$t AS MATERIALIZED (SELECT cell,
+         |    list(coalesce(m, x) ORDER BY pos) AS v
          |  FROM (SELECT cell, unnest(v) AS x,
          |      unnest(range(1, ${d + 1})) AS pos FROM c$p) pc
          |  LEFT JOIN s$t USING (cell, pos) GROUP BY cell)""".stripMargin
     }
     val fin =
-      s"""fin AS (SELECT id, v, cell AS cluster FROM (
+      s"""fin AS MATERIALIZED (SELECT id, v, cell AS cluster FROM (
          |  SELECT b.id, b.v, c.cell, row_number() OVER (PARTITION BY b.id
          |      ORDER BY ${sqDistSql("b.v", "c.v", d)}, c.cell) AS rnk
          |    FROM base b CROSS JOIN c$maxIter c) WHERE rnk = 1)""".stripMargin

@@ -708,7 +708,12 @@ private[graft] object PipelineDedupQueries {
     // SemDeDup-shape semantic dedup end-to-end: embedding near-dup
     // pairs -> connected components -> keep the highest-QUALITY member
     // of each semantic cluster (quality from the model-based scorer).
-    // Rows-only (xxhash planes); composition invariants in OpsSpec.
+    // Registered under the md5 sign-plane family (the q47 discipline)
+    // so the WHOLE composition oracles: pair replay + recursive-CTE
+    // connected components + the q79 quality replay + the keepBest
+    // tie rule. The xxhash64 production planes share this exact
+    // pipeline via the injected bucketExpr and stay spec/scoreboard-
+    // covered (q83, SimilaritySpec); composition invariants in OpsSpec.
     "q89_semantic_survivors" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val scored = docs.join(
@@ -716,7 +721,8 @@ private[graft] object PipelineDedupQueries {
           .select(col("id").as("doc_id"), col("quality")), Seq("doc_id"))
       val pairs = SimilarityOps.embeddingNearDupPairs(
         Tables(s, d, "embeddings"), "vec_id", "embedding",
-        minCosine = 0.35, nbits = 4)
+        minCosine = 0.35, nbits = 4,
+        bucketExpr = SimilarityOps.lshBucketMd5(_, _, d = 64))
       GraphOps.nearDupSurvivors(scored, "doc_id", "quality", pairs,
         "a_id", "b_id")
         .select(col("doc_id"), col("quality"))
@@ -749,6 +755,33 @@ private[graft] object PipelineDedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // full SemDeDup composition replay: md5-plane pair generation
+    // (the q47 oracle as a sub-select), connected components as a
+    // recursive CTE (comp = min reachable id — the min-label
+    // propagation fixed point), the q79 quality replay, and the
+    // keepBest tie rule (quality DESC, id ASC)
+    "q89_semantic_survivors" -> {
+      val pairSub = SimilarityOps.embeddingNearDupMd5OracleSql(
+        "embeddings", "vec_id", "embedding", minCosine = 0.35,
+        nbits = 4, d = 64)
+      s"""WITH RECURSIVE q AS (${qualityOracleSql(TextOps.QualityWeights())}),
+         |prs AS (SELECT a_id, b_id FROM ($pairSub)),
+         |edges AS (SELECT a_id AS u, b_id AS w FROM prs
+         |  UNION SELECT b_id AS u, a_id AS w FROM prs),
+         |lab AS (SELECT u AS id, u AS comp FROM edges
+         |  UNION SELECT e.w AS id, lab.comp
+         |    FROM lab JOIN edges e ON lab.id = e.u),
+         |cc AS (SELECT id, min(comp) AS comp FROM lab GROUP BY id),
+         |members AS (SELECT cc.id, cc.comp, q.quality
+         |  FROM cc JOIN q ON cc.id = q.doc_id),
+         |keep AS (SELECT id FROM (SELECT id, row_number() OVER (
+         |    PARTITION BY comp ORDER BY quality DESC, id ASC) AS rn
+         |  FROM members) WHERE rn = 1),
+         |losers AS (SELECT id FROM members
+         |  WHERE id NOT IN (SELECT id FROM keep))
+         |SELECT doc_id, quality FROM q
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin
+    },
     // q351's store path is proven by the same arithmetic replay as
     // q239 (stats additivity makes persisted 3-way == in-memory
     // 2-way == from-scratch), at this query's own k/probe params.

@@ -211,17 +211,21 @@ private[graft] object PipelineSimilarityQueries {
         "vec_id", "embedding", minCosine = 0.35, nbits = 4,
         bucketExpr = SimilarityOps.lshBucketMd5(_, _, d = 64))),
 
-    // IVF approximate top-k (KMeans coarse quantizer) — no oracle
-    // (iterative clustering has no SQL equivalent); recall vs the
-    // exact baseline is asserted in ScalaTest.
+    // IVF approximate top-k (KMeans coarse quantizer) — FULLY oracled,
+    // fit included: the sample is content-hash-ordered (fitVecKey),
+    // init is first-distinct-in-order, and the Lloyd loop is fixed
+    // arithmetic in defined order, so the whole pipeline (fit →
+    // assign → multi-probe → top-k) replays as SQL
+    // (knnIvfOracleSql); recall floors stay asserted in ScalaTest.
     "q48_knn_ivf" -> ((s, d) =>
       SimilarityOps.knnIvf(s, Tables(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, 10)),
 
     // IVF-PQ approximate top-k: coarse cells + product-quantized ADC
     // scan + exact re-rank of the shortlist — the billion-row ANN
-    // shape (codes are ~32× smaller than the vectors). No oracle
-    // (sampled k-means); recall floor enforced via q83 + ScalaTest.
+    // shape (codes are ~32× smaller than the vectors). FULLY oracled
+    // (knnIvfPqOracleSql replays coarse + 16 codebook fits + ADC +
+    // refine); recall floor stays enforced via q83 + ScalaTest.
     "q105_knn_ivfpq" -> ((s, d) =>
       SimilarityOps.knnIvfPq(s, Tables(s, d, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 5, 10, nprobe = 8, m = 16, refine = 8)),
@@ -316,6 +320,18 @@ private[graft] object PipelineSimilarityQueries {
     "q122_cluster_exemplars" -> SimilarityOps.kmeansExemplarsOracleSql(
       "embeddings", "vec_id", "embedding", k = 8, maxIter = 4, d = 64,
       m = 3),
+    // IVF end-to-end replay, FIT INCLUDED (portable sample key +
+    // first-distinct init + unrolled sampled-Lloyd CTEs)
+    "q48_knn_ivf" -> SimilarityOps.knnIvfOracleSql(
+      "embeddings", "vec_id", "embedding", "id < 5", k = 10,
+      nCells = 16, nprobe = 4, seed = 42L, fitFraction = 0.1,
+      maxFitRows = 100000, d = 64),
+    // IVF-PQ replay: coarse fit + 16 per-subspace codebook fits +
+    // ADC shortlist + exact-cosine refine, all unrolled
+    "q105_knn_ivfpq" -> SimilarityOps.knnIvfPqOracleSql(
+      "embeddings", "vec_id", "embedding", "id < 5", k = 10,
+      nCells = 16, nprobe = 8, m = 16, nCodes = 16, refine = 8,
+      seed = 42L, fitFraction = 0.1, maxFitRows = 100000, d = 64),
     // md5 sign-plane family — full bucket + cosine replay; same-bucket
     // pairs only, so the hash match covers the banding itself
     "q47_embedding_neardup" -> SimilarityOps.embeddingNearDupMd5OracleSql(

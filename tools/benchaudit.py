@@ -79,6 +79,17 @@ def main():
     if meta["errors"]:
         print("FOREIGN RUN HAS ERRORS — timings below are secondary",
               file=sys.stderr)
+    # An audit against a seal that IS the foreign snapshot proves
+    # nothing (this happened in r13: the driver's artifact commit
+    # overwrote bench_out.json with its own run, and the audit
+    # reported "nothing to adjudicate" about a 27s contaminated tail).
+    if meta["total_warm"] is not None and \
+            abs(meta["total_warm"] - seal["total_warm"]) < 1e-9:
+        print("\nSEAL == FOREIGN (identical total_warm): the committed "
+              "bench_out.json is the snapshot you are auditing, not a "
+              "quiet-box seal. Restore the real seal (git log "
+              "bench_out.json) and re-run.", file=sys.stderr)
+        sys.exit(2)
 
     movers = []
     for q, b in sorted(warm.items()):
