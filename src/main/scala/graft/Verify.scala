@@ -28,12 +28,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // ANN recall floors: the q83 scoreboard's approximate paths are
-    // xxhash/seed-based and can never have a DuckDB oracle, so a
-    // silent recall collapse would pass every oracle row. Enforce the
-    // pinned floors HERE (same parameters and floors as
-    // SimilaritySpec): on violation the q83 output is deleted so the
-    // driver's gate records a red row, not a quiet rows>0 pass. A
+    // ANN recall floors: q83 is now fully oracled (md5 planes +
+    // deterministic IVF fits), so a wrong scoreboard hash-fails — but
+    // the floors stay as defense in depth: an oracle match proves the
+    // two engines agree, not that recall is USABLE (a regression that
+    // lowered recall identically on both sides would still hash
+    // green). On violation the q83 output is deleted so the
+    // driver's gate records a red row, not a quiet pass. A
     // NULL recall (empty exact baseline) also fails — at any real SF
     // the baselines are nonempty, so NULL means the inputs broke.
     if (only.forall(_.exists("q83_ann_recall".startsWith))) try {

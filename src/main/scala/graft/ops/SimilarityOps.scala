@@ -520,11 +520,13 @@ object SimilarityOps {
   /** ANN quality as a harness-visible NUMBER: recall of the LSH and
     * IVF top-k paths and the bucketed near-dup pairs against their
     * exact baselines ([[knnBrute]], [[exactCosinePairs]]), one row per
-    * method. The approximate paths are xxhash64/sample-seeded and so
-    * can never have a SQL oracle — this query converts them from
-    * "rows>0" checks into a quantified quality signal at bench scale
-    * (thresholds pinned in SimilaritySpec; k is 0 on the pair row,
-    * where top-k doesn't apply).
+    * method — a quantified quality signal at bench scale (thresholds
+    * pinned in SimilaritySpec; k is 0 on the pair row, where top-k
+    * doesn't apply). Under the md5 plane family (injected
+    * `bucketExprKnn`/`bucketExprPairs`) and the deterministic IVF
+    * fits, the ENTIRE scoreboard replays in SQL
+    * ([[annRecallMd5OracleSql]]); the xxhash64 defaults keep their
+    * spec floors.
     *
     * `sampleFraction` is the AT-SCALE path: the exact baselines are
     * O(n²) in the corpus, so beyond bench scale the scoreboard must
@@ -542,7 +544,9 @@ object SimilarityOps {
   def annRecallReport(spark: org.apache.spark.sql.SparkSession,
       emb: DataFrame, idCol: String, vecCol: String, queryPred: Column,
       k: Int, nbitsKnn: Int, probes: Int, minCosine: Double,
-      nbitsPairs: Int, sampleFraction: Double = 1.0): DataFrame = {
+      nbitsPairs: Int, sampleFraction: Double = 1.0,
+      bucketExprKnn: (Column, Int) => Column = lshBucket,
+      bucketExprPairs: (Column, Int) => Column = lshBucket): DataFrame = {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     val emb0 = if (sampleFraction >= 1.0) emb
@@ -562,14 +566,16 @@ object SimilarityOps {
     import scala.concurrent.duration.Duration
     val frames = Seq(
       knnBrute(emb0, idCol, vecCol, queryPred, k),
-      knnLsh(emb0, idCol, vecCol, queryPred, k, nbitsKnn, probes),
+      knnLsh(emb0, idCol, vecCol, queryPred, k, nbitsKnn, probes,
+        bucketExpr = bucketExprKnn),
       knnIvf(spark, emb0, idCol, vecCol, queryPred, k),
       // PQ scoreboard params pinned with the q105 harness entry
       // (measured 0.78 sf0.01 / 0.64 sf0.1; defaults land ~0.3)
       knnIvfPq(spark, emb0, idCol, vecCol, queryPred, k,
         nprobe = 8, m = 16, refine = 8),
       exactCosinePairs(emb0, idCol, vecCol, minCosine),
-      embeddingNearDupPairs(emb0, idCol, vecCol, minCosine, nbitsPairs))
+      embeddingNearDupPairs(emb0, idCol, vecCol, minCosine, nbitsPairs,
+        bucketExpr = bucketExprPairs))
     val futs = frames.map(f => Future(f.localCheckpoint()))
     val Seq(exactTopK, lsh, ivf, ivfpq, exactPairs, lshPairs) =
       try Await.result(Future.sequence(futs), Duration.Inf)
@@ -1229,6 +1235,64 @@ object SimilarityOps {
          |      ORDER BY sim DESC, cand_id) AS rn FROM fin) WHERE rn <= $k""".stripMargin
     "WITH " + ((Seq(head) ++ coarse ++ Seq(resids) ++ subFits ++
       Seq(books)).mkString(",\n")) + ",\n" + serve
+  }
+
+  /** DuckDB replay of the WHOLE [[annRecallReport]] scoreboard under
+    * the md5 plane family: both exact baselines ([[knnBrute]] top-k,
+    * [[exactCosinePairs]]), all four approximate kernels (each its
+    * own oracle generator nested as a CTE body), and the
+    * [[recallRow]] arithmetic (distinct-key left join, NULL recall on
+    * an empty baseline, 4dp round). Models sampleFraction = 1.0 only
+    * (the registered q83 shape; the sampled path stays spec-covered).
+    */
+  def annRecallMd5OracleSql(table: String, idCol: String,
+      vecCol: String, queryPredSql: String, k: Int, nbitsKnn: Int,
+      probes: Int, minCosine: Double, nbitsPairs: Int, d: Int,
+      nCells: Int = 16, nprobe: Int = 4, pqNprobe: Int = 8,
+      m: Int = 16, nCodes: Int = 16, refine: Int = 8,
+      seed: Long = 42L, fitFraction: Double = 0.1,
+      maxFitRows: Int = 100000): String = {
+    def recallSelect(exact: String, approx: String, keys: Seq[String],
+        method: String, kOut: Int): String = {
+      val ks = keys.mkString(", ")
+      s"""SELECT '$method' AS method, CAST($kOut AS INT) AS k,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(h) AS BIGINT) AS n_hit,
+         |  CASE WHEN count(*) = 0 THEN CAST(NULL AS DOUBLE)
+         |    ELSE round(CAST(count(h) AS DOUBLE) / count(*), 4)
+         |  END AS recall
+         |FROM (SELECT DISTINCT $ks FROM $exact) e
+         |LEFT JOIN (SELECT DISTINCT $ks, 1 AS h FROM $approx) a
+         |  USING ($ks)""".stripMargin
+    }
+    val knnKeys = Seq("query_id", "cand_id")
+    s"""WITH bb AS MATERIALIZED (SELECT $idCol AS id,
+       |    CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |bq AS (SELECT id AS query_id, v AS qv FROM bb
+       |  WHERE $queryPredSql),
+       |brute AS MATERIALIZED (SELECT query_id, cand_id FROM (
+       |  SELECT query_id, bb.id AS cand_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY
+       |      round(list_cosine_similarity(qv, bb.v), 6) DESC, bb.id) AS rn
+       |    FROM bb, bq WHERE bb.id <> bq.query_id) WHERE rn <= $k),
+       |pexact AS MATERIALIZED (SELECT a.id AS a_id, b.id AS b_id
+       |  FROM bb a JOIN bb b ON a.id < b.id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $minCosine),
+       |lshq AS MATERIALIZED (${knnLshMd5OracleSql(table, idCol, vecCol,
+            queryPredSql, k, nbitsKnn, probes, d)}),
+       |ivfq AS MATERIALIZED (${knnIvfOracleSql(table, idCol, vecCol,
+            queryPredSql, k, nCells, nprobe, seed, fitFraction,
+            maxFitRows, d)}),
+       |pqq AS MATERIALIZED (${knnIvfPqOracleSql(table, idCol, vecCol,
+            queryPredSql, k, nCells, pqNprobe, m, nCodes, refine, seed,
+            fitFraction, maxFitRows, d)}),
+       |ndp AS MATERIALIZED (${embeddingNearDupMd5OracleSql(table, idCol,
+            vecCol, minCosine, nbitsPairs, d)})
+       |${recallSelect("brute", "lshq", knnKeys, "knn_lsh", k)}
+       |UNION ALL ${recallSelect("brute", "ivfq", knnKeys, "knn_ivf", k)}
+       |UNION ALL ${recallSelect("brute", "pqq", knnKeys, "knn_ivfpq", k)}
+       |UNION ALL ${recallSelect("pexact", "ndp", Seq("a_id", "b_id"),
+            "neardup_pairs", 0)}""".stripMargin
   }
 
   /** DuckDB replay of [[embeddingNearDupPairs]] under the

@@ -296,14 +296,18 @@ private[graft] object PipelineSimilarityQueries {
       SimilarityOps.kmeansClusterProfile(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", k = 8, maxIter = 4)),
 
-    // ANN recall scoreboard: the approximate paths (q38/q47/q48/q105)
-    // can never have SQL oracles (xxhash64/seeded-sample based), but
-    // their recall against the exact baselines IS computable — 4 rows
-    // of quantified quality instead of rows-only checks. Same
-    // parameters as q36/q38/q47/q48/q105.
+    // ANN recall scoreboard — 4 rows of quantified quality. Fully
+    // oracled: registered under the md5 plane family (q38/q47's
+    // discipline) with the now-deterministic IVF/IVF-PQ fits, so the
+    // oracle replays both exact baselines, all four approximate
+    // kernels AND the recall arithmetic. Same parameters as
+    // q36/q38/q47/q48/q105; xxhash64 plane recall stays covered by
+    // SimilaritySpec's floor asserts.
     "q83_ann_recall" -> ((s, d) =>
       SimilarityOps.annRecallReport(s, Tables(s, d, "embeddings"),
         "vec_id", "embedding", col("vec_id") < 5, k = 10,
+        bucketExprKnn = SimilarityOps.lshBucketMd5(_, _, d = 64),
+        bucketExprPairs = SimilarityOps.lshBucketMd5(_, _, d = 64),
         nbitsKnn = 4, probes = 2, minCosine = 0.35, nbitsPairs = 4)),
   )
 
@@ -332,6 +336,12 @@ private[graft] object PipelineSimilarityQueries {
       "embeddings", "vec_id", "embedding", "id < 5", k = 10,
       nCells = 16, nprobe = 8, m = 16, nCodes = 16, refine = 8,
       seed = 42L, fitFraction = 0.1, maxFitRows = 100000, d = 64),
+    // the whole scoreboard: exact baselines + all four kernels +
+    // recall arithmetic
+    "q83_ann_recall" -> SimilarityOps.annRecallMd5OracleSql(
+      "embeddings", "vec_id", "embedding", "id < 5", k = 10,
+      nbitsKnn = 4, probes = 2, minCosine = 0.35, nbitsPairs = 4,
+      d = 64),
     // md5 sign-plane family — full bucket + cosine replay; same-bucket
     // pairs only, so the hash match covers the banding itself
     "q47_embedding_neardup" -> SimilarityOps.embeddingNearDupMd5OracleSql(
