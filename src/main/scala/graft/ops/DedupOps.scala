@@ -329,20 +329,30 @@ object DedupOps {
   }
 
   /** Oracle-replayable MinHash band rows — the DURABLE-store twin of
-    * [[minHashLshPairs]]'s banding: the hash family is md5 hex
-    * strings (h_i(s) = md5("i:" ++ s), minima in lexicographic hex
-    * order), so every stage — signature, band key, pair agreement —
+    * [[minHashLshPairs]]'s banding: the hash family is affine over
+    * ONE md5 digest per shingle — h_i(s) = A(s) + i·(B(s)|1) mod 2⁶⁴
+    * with A/B the digest's two 64-bit halves (the Carter–Wegman
+    * trick) — so every stage — signature, band key, pair agreement —
     * replays verbatim in ANSI SQL, which is what lets a persisted
     * band store be PROVEN equal to a from-scratch pass by oracle hash
     * (q365), where the xxhash64 production family can only be
-    * floor-gated.
+    * floor-gated. One digest instead of numHashes digests per shingle
+    * (the r14 seal caught the per-seed-md5 version 5× slower at 32
+    * hashes), and long minima instead of 32-char string minima.
+    *
+    * Exactness plumbing: the affine runs in 32-bit halves so no
+    * intermediate exceeds 2³⁸ (ANSI-overflow-safe on the Spark side,
+    * plain BIGINT on the oracle side), and the assembled value is
+    * stored SIGN-FLIPPED (xor 2⁶³) so SIGNED min == UNSIGNED min —
+    * the oracle re-derives the same signed value via HUGEINT
+    * subtraction.
     *
     * Row shape (id, band, band_key, sig): the band key is md5 over
     * the band INDEX plus its signature rows (band-index salting —
     * equal row patterns in different bands cannot alias, the
     * [[minHashBandKeys]] discipline), and the full signature rides in
     * the row so a store serve computes pair agreement from the STORE
-    * alone — corpus text is never read again (numHashes × 32 B per
+    * alone — corpus text is never read again (numHashes × 8 B per
     * doc per band row, the price of text-free serving).
     */
   def minHashMd5Bands(docs: DataFrame, idCol: String, textCol: String,
@@ -350,9 +360,21 @@ object DedupOps {
     require(numHashes % bands == 0,
       s"bands must divide numHashes, got $numHashes/$bands")
     val rows = numHashes / bands
-    val mins = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"m_$i"))
-    val sig = wordShingles(docs, idCol, textCol, shingleN)
+    val h = md5(col("shingle").cast("binary"))
+    def hex32(start: Int) = conv(substring(h, start, 8), 16, 10).cast("long")
+    val keyed = wordShingles(docs, idCol, textCol, shingleN)
+      .withColumn("_ahi", hex32(1)).withColumn("_alo", hex32(9))
+      .withColumn("_bhi", hex32(17))
+      .withColumn("_blo", hex32(25).bitwiseOR(lit(1L)))
+    val mins = (0 until numHashes).map { i =>
+      val lo = col("_alo") + lit(i.toLong) * col("_blo")
+      val hi = col("_ahi") + lit(i.toLong) * col("_bhi") +
+        shiftright(lo, 32)
+      val v = shiftleft(hi.bitwiseAND(lit(0xffffffffL)), 32)
+        .bitwiseOR(lo.bitwiseAND(lit(0xffffffffL)))
+      min(v.bitwiseXOR(lit(Long.MinValue))).as(s"m_$i")
+    }
+    val sig = keyed
       .groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"m_$i")): _*).as("sig"))
@@ -360,7 +382,8 @@ object DedupOps {
       struct(lit(bnd).as("band"),
         md5(concat_ws("|",
           (lit(bnd.toString) +: (bnd * rows until (bnd + 1) * rows)
-            .map(i => element_at(col("sig"), i + 1))): _*).cast("binary"))
+            .map(i => element_at(col("sig"), i + 1).cast("string"))): _*)
+          .cast("binary"))
           .as("band_key"))
     }
     sig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("b"))
@@ -397,7 +420,8 @@ object DedupOps {
   }
 
   /** DuckDB replay of the md5-MinHash band pipeline from scratch —
-    * shingles → per-seed md5 minima → salted band keys → bucket pairs
+    * shingles → one digest each → affine-family minima (BIGINT
+    * halves, HUGEINT sign-flip) → salted band keys → bucket pairs
     * → signature agreement. Run against [[IndexStore.serveLshPairs]]
     * over a batch-appended store, the hash match proves
     * merged-store serve == from-scratch (band rows carry no
@@ -422,8 +446,8 @@ object DedupOps {
     val rows = numHashes / bands
     val gram = (0 until shingleN).map(k => s"w[i+$k]").mkString(" || ' ' || ")
     val bandSql = (0 until bands).map { b =>
-      val elems = (b * rows until (b + 1) * rows).map(i => s"m$i")
-        .mkString(" || '|' || ")
+      val elems = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT id, $b AS band, md5('$b|' || $elems) AS bk FROM sig"
     }.mkString("\n UNION ALL\n ")
     val matches = (0 until numHashes).map(i =>
@@ -434,6 +458,18 @@ object DedupOps {
       BigDecimal(m.toDouble / numHashes)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         >= minEstJaccard).getOrElse(numHashes + 1)
+    // 8-hex-digit → BIGINT ladder (exact, < 2^32)
+    def hex32(start: Int) = (1 to 8).map(k =>
+      s"(strpos('0123456789abcdef', substr(h, ${start + k - 1}, 1)) - 1)" +
+        s" * ${BigInt(16).pow(8 - k)}").mkString(" + ")
+    // the affine family member i, replaying minHashMd5Bands's 32-bit-
+    // half arithmetic: BIGINT throughout (every intermediate < 2^38),
+    // HUGEINT only for the final 2^63 sign-flip subtraction
+    def famMin(i: Int) =
+      s"""min(CAST((CAST((ahi + $i*bhi + (alo + $i*blo) // 4294967296)
+         |    % 4294967296 AS HUGEINT) * 4294967296
+         |  + (alo + $i*blo) % 4294967296)
+         |  - 9223372036854775808 AS BIGINT)) AS m$i""".stripMargin
     s"""WITH w AS (
        | SELECT $idCol AS id,
        |   string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+') AS w
@@ -444,10 +480,15 @@ object DedupOps {
        |      generate_series(1, greatest(len(w) - ${shingleN - 1}, 0)),
        |    i -> $gram)) AS shingle
        |  FROM w) t),
+       |ab AS (
+       | SELECT id, ${hex32(1)} AS ahi, ${hex32(9)} AS alo,
+       |  ${hex32(17)} AS bhi,
+       |  (${hex32(25)}) - ((${hex32(25)}) % 2) + 1 AS blo
+       | FROM (SELECT id, md5(shingle) AS h FROM sh) t),
        |sig AS (
        | SELECT id,
-       |  ${(0 until numHashes).map(i => s"min(md5('$i:' || shingle)) AS m$i").mkString(",\n  ")}
-       | FROM sh GROUP BY id),
+       |  ${(0 until numHashes).map(famMin).mkString(",\n  ")}
+       | FROM ab GROUP BY id),
        |bands AS (
        | $bandSql),
        |cand AS (

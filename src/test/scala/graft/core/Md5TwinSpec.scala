@@ -125,4 +125,34 @@ class Md5TwinSpec extends SparkSpec {
     assert(rep("minhash_lsh")._1 >= 0.9 && rep("minhash_lsh")._2 >= 0.9)
     assert(rep("simhash")._1 >= 0.7 && rep("simhash")._2 >= 0.45)
   }
+
+  test("annRecallReport: md5 plane family (the q83 registration) and " +
+      "xxhash production planes share shape and clear the same floors") {
+    def rep(md5: Boolean) = {
+      val fams =
+        if (md5) Some(SimilarityOps.lshBucketMd5(_: org.apache.spark.sql.Column,
+          _: Int, d = 64)) else None
+      (fams match {
+        case Some(f) => SimilarityOps.annRecallReport(spark, emb, "vec_id",
+          "embedding", col("vec_id") < 5, k = 10, nbitsKnn = 4, probes = 2,
+          minCosine = 0.35, nbitsPairs = 4,
+          bucketExprKnn = f, bucketExprPairs = f)
+        case None => SimilarityOps.annRecallReport(spark, emb, "vec_id",
+          "embedding", col("vec_id") < 5, k = 10, nbitsKnn = 4, probes = 2,
+          minCosine = 0.35, nbitsPairs = 4)
+      }).collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    }
+    val (m, x) = (rep(md5 = true), rep(md5 = false))
+    assert(m.keySet == x.keySet && m.size == 4)
+    val floors = Map("knn_ivf" -> 0.4, "knn_lsh" -> 0.1,
+      "knn_ivfpq" -> 0.4, "neardup_pairs" -> 0.1)
+    floors.foreach { case (k0, f) =>
+      assert(m(k0) >= f, s"md5 family $k0 ${m(k0)} < floor $f")
+      assert(x(k0) >= f, s"xxhash family $k0 ${x(k0)} < floor $f")
+    }
+    // the IVF rows don't depend on the plane family at all — same
+    // deterministic fit, so same recall on both scoreboard variants
+    assert(m("knn_ivf") == x("knn_ivf") && m("knn_ivfpq") == x("knn_ivfpq"))
+  }
 }
