@@ -66,6 +66,13 @@ object GraftFunctions {
           s"graft_minhash_sig requires exactly 2 arguments, got ${children.size}")
         MinHashSig(children.head, children(1))
       }),
+    ("graft_kmin_distinct",
+      new ExpressionInfo(classOf[KMinDistinct].getName, "graft_kmin_distinct"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_kmin_distinct requires exactly 2 arguments, got ${children.size}")
+        KMinDistinct(children.head, children(1))
+      }),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       (children: Seq[Expression]) => {

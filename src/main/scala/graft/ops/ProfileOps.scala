@@ -3376,33 +3376,40 @@ object ProfileOps {
     * per-batch k-mins' union ([[kmvMerge]]), which is what lets
     * per-batch sketches persist and fold like the q351/q365 stores.
     */
+  /** The (grp, h) k-min reduction shared by sketch/merge/store-read:
+    * ONE map-side-combined bounded aggregate
+    * ([[graft.functions.KMinDistinct]]) — each partition ships at
+    * most k coordinates per group and no sort exchange exists. The
+    * earlier composed form (`distinct()` + rank window) shuffled the
+    * FULL distinct coordinate set and whole-group-sorted it to keep k
+    * rows — the difference between k rows/group/partition and the
+    * entire column through one exchange at 100 TB. Bit-identical
+    * result: the k-min distinct set is partition-invariant.
+    */
+  private def kminReduce(pts: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(pts.sparkSession)
+    pts.where(col("h").isNotNull)
+      .groupBy("grp")
+      .agg(call_function("graft_kmin_distinct", col("h"), lit(k)).as("ks"))
+      .select(col("grp"), explode(col("ks")).as("h"))
+  }
+
   def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64, salt: String = "kmv"): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    import org.apache.spark.sql.expressions.Window
     // NULL values hash to a NULL coordinate, which would sort FIRST
     // and poison the k-min set — a null row is "no value", not the
-    // smallest value, so drop it before the window
-    val pts = df.select(col(groupCol).as("grp"),
-        SampleOps.hashCoord(col(valueCol), salt + ":").as("h"))
-      .where(col("h").isNotNull)
-      .distinct()
-    val w = Window.partitionBy("grp").orderBy(col("h"))
-    pts.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k).select(col("grp"), col("h"))
+    // smallest value, so kminReduce drops it
+    kminReduce(df.select(col(groupCol).as("grp"),
+      SampleOps.hashCoord(col(valueCol), salt + ":").as("h")), k)
   }
 
-  /** Merge two KMV sketch frames: union, re-dedup (a value seen in
-    * both batches lands twice), re-top-k — exactly the from-scratch
-    * sketch of the concatenated inputs.
+  /** Merge two KMV sketch frames: bounded k-min union — exactly the
+    * from-scratch sketch of the concatenated inputs (a value seen in
+    * both batches lands its coordinate once, by set semantics).
     */
-  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("grp").orderBy(col("h"))
-    a.unionByName(b).distinct()
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k).select(col("grp"), col("h"))
-  }
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 64): DataFrame =
+    kminReduce(a.unionByName(b), k)
 
   /** Distinct-count estimate from a sketch frame: groups holding
     * fewer than k coords report their EXACT distinct count (the
@@ -3451,13 +3458,9 @@ object ProfileOps {
     */
   def kmvFromStore(spark: org.apache.spark.sql.SparkSession,
       path: String, k: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     IndexStore.checkParams(spark, path, "KMV sketch",
       Map("k" -> k.toString), writeIfAbsent = false)
-    val w = Window.partitionBy("grp").orderBy(col("h"))
-    spark.read.parquet(path).distinct()
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k).select(col("grp"), col("h"))
+    kminReduce(spark.read.parquet(path), k)
   }
 
   /** DuckDB replay of sketch → estimate over the distinct word tokens

@@ -68,6 +68,28 @@ class KmvSpec extends SparkSpec {
       s"k=64 estimate off by >25%: $e")
   }
 
+  test("graft_kmin_distinct == the composed distinct+window form " +
+      "(bit-identity differential, duplicates + eviction + repartition)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // duplicate-heavy input; k far below the distinct count so the
+    // bounded buffer's eviction path runs on every partition
+    val rows = (0 until 3000).map(i => ("g" + (i % 3), f"v${i % 700}%04d"))
+    val df = rows.toDF("grp", "h").repartition(13)
+    val agg = df.groupBy("grp")
+      .agg(call_function("graft_kmin_distinct", col("h"), lit(16)).as("ks"))
+      .select(col("grp"), explode(col("ks")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("h")
+    val composed = df.distinct()
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 16)
+      .select("grp", "h")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(agg.sameElements(composed),
+      s"agg=${agg.take(5).mkString(",")} composed=${composed.take(5).mkString(",")}")
+  }
+
   test("q51 shape: k=256 KMV per-flag part estimates land within 20% " +
       "of exact (the accuracy evidence the HLL variant carried)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

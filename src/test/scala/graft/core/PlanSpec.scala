@@ -656,7 +656,14 @@ class PlanSpec extends SparkSpec {
     assert("documents\\.parquet".r.findAllIn(s).size <= 2,
       s"one scan per batch sketch, no extra corpus passes:\n$s")
     assert(!s.contains("CartesianProduct"), s)
-    assert(s.contains("row_number"), s"k-min must be a rank window:\n$s")
+    // k-min is the bounded MAP-SIDE-COMBINED aggregate, not a rank
+    // window: no group-wide sort exchange may exist (the window form
+    // shuffled every distinct coordinate; the agg ships <= k per
+    // group per partition)
+    assert(s.contains("graft_kmin_distinct"),
+      s"k-min must be the bounded aggregate:\n$s")
+    assert(!s.contains("row_number"),
+      s"the rank-window k-min shape must be gone:\n$s")
   }
 
   test("q374 disjunctive brand/quantity predicate (Q19): ONE lineitem scan, " +
