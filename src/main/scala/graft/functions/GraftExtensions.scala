@@ -66,6 +66,14 @@ object GraftFunctions {
           s"graft_minhash_sig requires exactly 2 arguments, got ${children.size}")
         MinHashSig(children.head, children(1))
       }),
+    ("graft_micro_plane_bits",
+      new ExpressionInfo(classOf[MicroPlaneBits].getName,
+        "graft_micro_plane_bits"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_micro_plane_bits requires exactly 2 arguments, got ${children.size}")
+        MicroPlaneBits(children.head, children(1))
+      }),
     ("graft_kmin_distinct",
       new ExpressionInfo(classOf[KMinDistinct].getName, "graft_kmin_distinct"),
       (children: Seq[Expression]) => {

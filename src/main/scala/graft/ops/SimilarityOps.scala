@@ -370,6 +370,19 @@ object SimilarityOps {
     */
   def lshBucketMd5(vec: Column, nbits: Int, d: Int): Column = {
     require(nbits >= 1 && nbits <= 62, s"nbits must be in [1,62], got $nbits")
+    // native kernel — one plan node vs nbits nested HOF trees;
+    // bit-identical to the composed form (SimilaritySpec
+    // differential), callers (knnLsh/embeddingNearDupPairs) register
+    // graft functions before applying the bucketExpr
+    call_function("graft_micro_plane_bits", vec,
+      typedlit(lshPlaneSigns(d, nbits).map(_.toSeq)))
+  }
+
+  /** The composed-HOF twin of [[lshBucketMd5]] — kept as the
+    * differential reference the native kernel is spec-pinned against.
+    */
+  private[graft] def lshBucketMd5Composed(vec: Column, nbits: Int,
+      d: Int): Column = {
     val planes = lshPlaneSigns(d, nbits)
     (0 until nbits).map { p =>
       val micro = aggregate(

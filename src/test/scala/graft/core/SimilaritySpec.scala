@@ -173,6 +173,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native graft_micro_plane_bits is bit-identical to the composed " +
+      "HOF form (gaussian + zero + half-up rounding boundaries)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val d = 64
+    // .5-micro boundaries exercise the decimal HALF_UP path: x*1e6
+    // landing exactly on n + 0.5 must round away from zero in BOTH
+    // forms (Math.round-style floor(x+0.5) would diverge on the
+    // negative ones)
+    val boundary = Seq.tabulate(d)(j =>
+      (if (j % 2 == 0) 1 else -1) * (j / 2).toDouble / 1e6 +
+        (if (j % 4 < 2) 0.5e-6 else 0.0))
+    val vecs: Seq[Seq[Double]] =
+      Seq(Seq.fill(d)(0.0), boundary) ++
+        (1 to 40).map(_ => Seq.fill(d)(rnd.nextGaussian()))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+    for (nbits <- Seq(1, 4, 8)) {
+      df.select(col("id"),
+        SimilarityOps.lshBucketMd5(col("v"), nbits, d).as("native"),
+        SimilarityOps.lshBucketMd5Composed(col("v"), nbits, d).as("composed"))
+        .collect().foreach { r =>
+          assert(r.getLong(1) == r.getLong(2),
+            s"nbits=$nbits id=${r.getLong(0)}: native ${r.getLong(1)} != composed ${r.getLong(2)}")
+        }
+    }
+  }
+
   test("graft_lsh_bits survives Java serialization (transient cache comes back null)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
