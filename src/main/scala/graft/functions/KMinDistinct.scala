@@ -55,13 +55,22 @@ case class KMinDistinct(child: Expression, kExpr: Expression,
   override def createAggregationBuffer(): java.util.TreeSet[UTF8String] =
     new java.util.TreeSet[UTF8String]()
 
+  /** Insert with the accept test BEFORE any copy: once the set is
+    * saturated, a value only needs cloning when it beats the current
+    * kth min — acceptance probability ~ k/n, so the hot path is one
+    * compareTo against a row-backed buffer, zero allocation (the KMV
+    * property that makes the sketch cheap is the same one that makes
+    * this aggregate allocation-free). `owned` = true when v already
+    * has its own backing bytes (merge path).
+    */
   private def add(buf: java.util.TreeSet[UTF8String],
-      v: UTF8String): Unit = {
-    if (buf.size < k) { buf.add(v); () }
-    else if (v.compareTo(buf.last) < 0) {
+      v: UTF8String, owned: Boolean): Unit = {
+    if (buf.size < k) {
+      buf.add(if (owned) v else v.clone()); ()
+    } else if (v.compareTo(buf.last) < 0) {
       // add first, THEN evict: if v is already present the set is
       // unchanged and nothing may be evicted
-      if (buf.add(v)) buf.pollLast()
+      if (buf.add(if (owned) v else v.clone())) buf.pollLast()
       ()
     }
   }
@@ -69,15 +78,16 @@ case class KMinDistinct(child: Expression, kExpr: Expression,
   override def update(buf: java.util.TreeSet[UTF8String],
       input: InternalRow): java.util.TreeSet[UTF8String] = {
     val v = child.eval(input)
-    // clone: the input row's UTF8String is backed by a reused buffer
-    if (v != null) add(buf, v.asInstanceOf[UTF8String].clone())
+    // the input row's UTF8String is backed by a reused buffer —
+    // add() clones it if (and only if) it is accepted
+    if (v != null) add(buf, v.asInstanceOf[UTF8String], owned = false)
     buf
   }
 
   override def merge(buf: java.util.TreeSet[UTF8String],
       other: java.util.TreeSet[UTF8String]): java.util.TreeSet[UTF8String] = {
     val it = other.iterator()
-    while (it.hasNext) add(buf, it.next())
+    while (it.hasNext) add(buf, it.next(), owned = true)
     buf
   }
 
