@@ -102,8 +102,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Self-limiting oracles: DuckDB's default thread pool (ncpu=32)
+    // dies under this sandbox's thread cap with "Out of Memory ... bad
+    // allocation" on KB-scale blocks — r14 flipped 16 green rows to
+    // `err` because the driver's inline checker connects UNCONFIGURED.
+    // duckdb-python `con.sql()` accepts multi-statement text and
+    // returns the LAST statement's frame, so prepending the PRAGMAs
+    // bounds the pool in ANY harness (driver inline + tools/check.py).
+    val limitPragmas = "PRAGMA threads=8; PRAGMA memory_limit='8GB'; "
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(limitPragmas + v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -74,6 +74,13 @@ object GraftFunctions {
           s"graft_micro_plane_bits requires exactly 2 arguments, got ${children.size}")
         MicroPlaneBits(children.head, children(1))
       }),
+    ("graft_md5_longs",
+      new ExpressionInfo(classOf[Md5Longs].getName, "graft_md5_longs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_md5_longs requires exactly 1 argument, got ${children.size}")
+        Md5Longs(children.head)
+      }),
     ("graft_kmin_distinct",
       new ExpressionInfo(classOf[KMinDistinct].getName, "graft_kmin_distinct"),
       (children: Seq[Expression]) => {

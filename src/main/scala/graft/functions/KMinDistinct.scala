@@ -39,7 +39,12 @@ case class KMinDistinct(child: Expression, kExpr: Expression,
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, kExpr.dataType) match {
       case (StringType, IntegerType) if kExpr.foldable =>
-        if (k > 0) TypeCheckResult.TypeCheckSuccess
+        // eval before the lazy `k` cast: a foldable NULL k (e.g.
+        // CAST(NULL AS INT)) must be a TypeCheckFailure, not an NPE
+        // mid-analysis
+        if (kExpr.eval(null) == null)
+          TypeCheckResult.TypeCheckFailure(s"$prettyName requires non-null k")
+        else if (k > 0) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0")
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, foldable int) arguments")

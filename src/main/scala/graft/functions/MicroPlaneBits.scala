@@ -21,10 +21,20 @@ object MicroPlaneBitsUtil {
     var p = 0
     while (p < planes.length) {
       val pl = planes(p)
-      val m = math.min(vec.numElements(), pl.length)
+      // fail loudly on malformed input: the composed HOF twin
+      // null-propagates on a null element and zips only to the
+      // shorter length — a silent min() here would let a
+      // dim-mismatched or null-holding vector land in a DIFFERENT
+      // bucket than the spec-pinned composed form (fail-loudly
+      // discipline: a wrong bucket is a silent recall loss)
+      if (vec.numElements() != pl.length) throw new IllegalArgumentException(
+        s"graft_micro_plane_bits: vector dim ${vec.numElements()} != " +
+          s"plane dim ${pl.length}")
       var acc = 0L
       var j = 0
-      while (j < m) {
+      while (j < pl.length) {
+        if (vec.isNullAt(j)) throw new IllegalArgumentException(
+          s"graft_micro_plane_bits: null element at index $j")
         acc += java.math.BigDecimal.valueOf(vec.getDouble(j) * pl(j) * 1e6)
           .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
         j += 1

@@ -360,12 +360,18 @@ object DedupOps {
     require(numHashes % bands == 0,
       s"bands must divide numHashes, got $numHashes/$bands")
     val rows = numHashes / bands
-    val h = md5(col("shingle").cast("binary"))
-    def hex32(start: Int) = conv(substring(h, start, 8), 16, 10).cast("long")
+    // one native digest split per shingle (graft_md5_longs) — the
+    // composed md5-hex + 4× conv/substring round-trip was most of the
+    // md5-family premium over the xxhash twins (r14 seal #5);
+    // element w is bit-identical to conv(substring(hex, 8w+1, 8),16,10)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val h = call_function("graft_md5_longs", col("shingle").cast("binary"))
     val keyed = wordShingles(docs, idCol, textCol, shingleN)
-      .withColumn("_ahi", hex32(1)).withColumn("_alo", hex32(9))
-      .withColumn("_bhi", hex32(17))
-      .withColumn("_blo", hex32(25).bitwiseOR(lit(1L)))
+      .withColumn("_hw", h)
+      .withColumn("_ahi", element_at(col("_hw"), 1))
+      .withColumn("_alo", element_at(col("_hw"), 2))
+      .withColumn("_bhi", element_at(col("_hw"), 3))
+      .withColumn("_blo", element_at(col("_hw"), 4).bitwiseOR(lit(1L)))
     val mins = (0 until numHashes).map { i =>
       val lo = col("_alo") + lit(i.toLong) * col("_blo")
       val hi = col("_ahi") + lit(i.toLong) * col("_bhi") +
@@ -597,9 +603,12 @@ object DedupOps {
     * family ([[simHash]]'s xxhash64 being the production member).
     */
   def md5Long64(c: Column): Column = {
-    val h = md5(c.cast("binary"))
-    val hi = conv(substring(h, 1, 8), 16, 10).cast("long")
-    val lo = conv(substring(h, 9, 8), 16, 10).cast("long")
+    // native digest split (graft_md5_longs, words 1–2) — callers
+    // register GraftFunctions via simHashWith/graft entry points; the
+    // hex form this replaces was conv(substring(md5_hex,1|9,8),16,10)
+    val h = call_function("graft_md5_longs", c.cast("binary"))
+    val hi = element_at(h, 1)
+    val lo = element_at(h, 2)
     shiftleft(hi, 32).bitwiseOR(lo)
   }
 

@@ -248,9 +248,13 @@ object LayoutOps {
       nShards: Int): DataFrame = {
     require(nShards >= 2, s"need >= 2 shards, got $nShards")
     import org.apache.spark.sql.functions._
+    // native digest split: word 1 of graft_md5_longs is bit-identical
+    // to conv(substring(md5_hex, 1, 8), 16, 10)
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val shard = pmod(
-      conv(substring(md5(col(keyCol).cast("string").cast("binary")),
-        1, 8), 16, 10).cast("long"), lit(nShards.toLong))
+      element_at(call_function("graft_md5_longs",
+        col(keyCol).cast("string").cast("binary")), 1),
+      lit(nShards.toLong))
     val per = df.select(shard.as("shard"),
         col(weightCol).cast("long").as("w"))
       .groupBy("shard")

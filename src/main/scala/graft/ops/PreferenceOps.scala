@@ -63,29 +63,36 @@ object PreferenceOps {
       .filter(col(winnerCol) =!= col(loserCol))
       .select(col(winnerCol).cast("string").as("w"),
         col(loserCol).cast("string").as("l"))
-    // Guard FIRST, materialize SECOND: the model-scale guard is a
-    // scalar distinct-count over the LAZY grouped frame — one
-    // comparison-stream scan that materializes nothing anywhere — so
-    // a data-scale item column (user ids instead of model labels)
-    // fails before a single grouped row is stored. Only after the
-    // guard passes (grouped is then provably <= items² <= maxItems²
-    // rows) does the second scan collect it to the driver. The r12
-    // eager-localCheckpoint form saved that second scan but paid for
-    // it by materializing a potentially corpus-scale grouped frame on
-    // executor storage BEFORE the require could fire — the wrong
-    // trade: the healthy path here is model-scale work either way,
-    // and the pathological path must stay O(1) in storage.
-    val grouped = pairs
+    // ONE comparison-stream scan, bounded on the pathological path:
+    // collect the grouped frame through limit(maxItems² + 1), then
+    // guard cardinality DRIVER-SIDE over the collected rows. The cap
+    // makes the shipment bounded regardless of input — a data-scale
+    // item column (user ids instead of model labels) ships at most
+    // maxItems²+1 model-scale rows, never the corpus. The cardinality
+    // check is sound under the cap: k distinct items admit at most
+    // k·(k−1) distinct ordered pairs, so ANY maxItems²+1 collected
+    // pair rows contain > maxItems distinct items — a cap-hit can
+    // only ever strengthen the failure, never mask a healthy input
+    // (healthy frames have ≤ maxItems² rows and are collected whole,
+    // so their counts are exact). This replaces the r13/r14 two-scan
+    // form (countDistinct guard + collect) — same O(1)-vs-data
+    // storage guarantee, one job on the healthy path (q171 doubled
+    // under the two-scan form).
+    val cap = maxItems.toLong * maxItems + 1
+    val counts = pairs
       .groupBy($"w", $"l")
       .agg(count(lit(1)).as("n"))
-    val nItems = grouped.select(explode(array($"w", $"l")).as("item"))
-      .agg(countDistinct($"item")).head().getLong(0)
+      .limit(if (cap > Int.MaxValue) Int.MaxValue else cap.toInt)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nItems = counts.iterator.flatMap(c => Iterator(c._1, c._2))
+      .toSet.size
     require(nItems >= 2, s"bradleyTerry needs >= 2 items, got $nItems")
+    // When the cap was hit, nItems is a lower bound — still provably
+    // > maxItems (see pair-count argument above), so the message is
+    // conservative but the decision is exact.
     require(nItems <= maxItems,
       s"bradleyTerry found $nItems distinct items (> $maxItems): the item " +
         "column must be model-scale (labels), not data-scale (ids)")
-    val counts = grouped
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val items = counts.flatMap(c => Seq(c._1, c._2)).distinct.sorted
     val idx = items.zipWithIndex.toMap
     val m = items.length

@@ -755,12 +755,21 @@ object SimilarityOps {
     import base.sparkSession.implicits._
     val keyed = base.select(col(vecCol).as("_v"),
       fitVecKey(col(vecCol), seed).as("_k"))
+    // (_k, _v) sort key: _k alone is a QUANTIZED content hash
+    // (floor(x·10⁷) micro-units), so two genuinely different vectors
+    // float-spaced below 1e-7 per coordinate share a key and their
+    // relative order would be engine-dependent — which can flip
+    // first-distinct init and desynchronize the oracle at larger
+    // corpora. Appending the vector itself (arrays order
+    // lexicographically element-wise, identically in Spark and
+    // DuckDB) makes the sample order TOTAL up to true vector
+    // equality, where order is irrelevant (interchangeable points).
     var sample = keyed
       .where(col("_k") < lit(SampleOps.thresholdHex(fitFraction)))
-      .orderBy("_k").limit(maxFitRows)
+      .orderBy(col("_k"), col("_v")).limit(maxFitRows)
       .select("_v").as[Seq[Double]].collect().map(_.toArray)
     if (sample.isEmpty) // tiny-corpus guard
-      sample = keyed.orderBy("_k").limit(minRows)
+      sample = keyed.orderBy(col("_k"), col("_v")).limit(minRows)
         .select("_v").as[Seq[Double]].collect().map(_.toArray)
     sample
   }
@@ -1048,9 +1057,9 @@ object SimilarityOps {
       s"""base AS MATERIALIZED (SELECT $idCol AS id,
          |    CAST($vecCol AS DOUBLE[]) AS v FROM $table),
          |samp AS MATERIALIZED (SELECT v,
-         |    row_number() OVER (ORDER BY fk) AS rn
+         |    row_number() OVER (ORDER BY fk, v) AS rn
          |  FROM (SELECT v, $keySql AS fk FROM base)
-         |  WHERE fk < '$thr' ORDER BY fk LIMIT $maxFitRows),
+         |  WHERE fk < '$thr' ORDER BY fk, v LIMIT $maxFitRows),
          |c0 AS MATERIALIZED (SELECT
          |    CAST(row_number() OVER (ORDER BY mn) - 1 AS INT) AS cell, v
          |  FROM (SELECT v, min(rn) AS mn FROM samp GROUP BY v)
@@ -1152,9 +1161,9 @@ object SimilarityOps {
          |    ELSE rv END AS v
          |  FROM (SELECT id, rv, sqrt($nrmChain) AS nrm FROM raw)),
          |samp AS MATERIALIZED (SELECT v,
-         |    row_number() OVER (ORDER BY fk) AS rn
+         |    row_number() OVER (ORDER BY fk, v) AS rn
          |  FROM (SELECT v, $keySql AS fk FROM base)
-         |  WHERE fk < '$thr' ORDER BY fk LIMIT $maxFitRows)""".stripMargin
+         |  WHERE fk < '$thr' ORDER BY fk, v LIMIT $maxFitRows)""".stripMargin
     val coarse = lloydChain("", "samp", nCells, d)
     val resids =
       s"""sasg AS MATERIALIZED (SELECT rn, v, cell FROM (

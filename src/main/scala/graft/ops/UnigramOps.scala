@@ -480,4 +480,90 @@ object UnigramOps {
        | coalesce(a.pieces_md5, md5('')) AS pieces_md5
        |FROM $table t LEFT JOIN agg a ON t.$idCol = a.id""".stripMargin
   }
+
+  /** DuckDB oracle replaying [[unigramEncode]] (Viterbi max-log-prob
+    * segmentation under a FROZEN model) — the q174 conversion that
+    * moves the query off rows-only. Two recursive CTEs:
+    *
+    *  1. `dp` — the forward DP over DISTINCT words (the oracle's
+    *     analogue of the expression's LRU word cache), one iteration
+    *     per character position, carrying the whole `best`/`bl`
+    *     frontier as lists. Candidates l = 1..maxLen are unrolled
+    *     (the greedy-oracle discipline); the winner is
+    *     `list_reverse_sort` over (val, l) structs — max val, then
+    *     max l, exactly [[viterbiWord]]'s ascending-length `>=`
+    *     sweep (later equal candidates replace earlier ones).
+    *  2. `bt` — the backtrack walk over the finished `bl` lists.
+    *
+    * Bit-exactness: every log-prob is computed by THIS generator with
+    * Java `math.log` and embedded as a `Double.toString` literal
+    * (round-trips to the identical double), so the SQL never calls
+    * `ln` — DuckDB's libm may differ from Java's in the last ulp,
+    * and a sub-ulp log difference could flip a path comparison. The
+    * DP sums are then identical IEEE additions in identical order on
+    * both engines, so the tie comparisons are exact replays. The
+    * UNK single-char floor ([[UnkLogProb]]) rides the same way via
+    * `coalesce` on the l=1 candidate; unknown multi-char pieces are
+    * NULL candidates dropped by `list_filter` (the kernel's
+    * `-inf` skip).
+    */
+  def viterbiOracleSql(table: String, idCol: String, textCol: String,
+      entries: Seq[String], maxLen: Int = MaxPieceLen): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val model = entries.map { s =>
+      val cut = s.lastIndexOf(' ')
+      require(cut > 0, s"unigram model entry '$s' is not 'piece prob'")
+      s.substring(0, cut) ->
+        math.log(java.lang.Double.parseDouble(s.substring(cut + 1)))
+    }
+    val keys = model.map(e => "'" + esc(e._1) + "'").mkString(", ")
+    val lps = model.map(_._2.toString).mkString(", ")
+    val unk = UnkLogProb.toString
+    // candidate for piece length l ending at position j+1 (1-based
+    // substring): val = best(j+1-l) + logProb(word[j+1-l .. j+1]);
+    // best list is 1-indexed (best[i+1] = best(i))
+    val cands = (1 to maxLen).map { l =>
+      val lp = s"vm.m[substr(word, j+2-$l, $l)][1]"
+      val lpGuard = if (l == 1) s"coalesce($lp, $unk)" else lp
+      s"struct_pack(val := CASE WHEN j+1 >= $l THEN best[j+2-$l] + $lpGuard END, l := $l)"
+    }.mkString(",\n       |     ")
+    s"""WITH RECURSIVE
+       |vm AS (SELECT map([$keys], [$lps]) AS m),
+       |w0 AS MATERIALIZED (
+       | SELECT $idCol AS id, wi, ws[wi] AS word FROM (
+       |  SELECT $idCol,
+       |   string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+') AS ws
+       |  FROM $table) t,
+       |  LATERAL (SELECT unnest(generate_series(1, len(ws))) AS wi)
+       | WHERE ws[wi] <> ''),
+       |wd AS MATERIALIZED (SELECT DISTINCT word FROM w0),
+       |dp (word, n, j, best, bl) AS (
+       | SELECT word, len(word), 0, [CAST(0.0 AS DOUBLE)], [0] FROM wd
+       | UNION ALL
+       | SELECT word, n, j+1, best || [pick.val], bl || [pick.l] FROM (
+       |  SELECT word, n, j, best, bl,
+       |   list_reverse_sort(list_filter([
+       |     $cands
+       |   ], x -> x.val IS NOT NULL))[1] AS pick
+       |  FROM dp, vm WHERE j < n) s),
+       |dpfin AS MATERIALIZED (SELECT word, n, bl FROM dp WHERE j = n),
+       |bt (word, pos, pieces) AS (
+       | SELECT word, n, CAST([] AS VARCHAR[]) FROM dpfin
+       | UNION ALL
+       | SELECT b.word, b.pos - d.bl[b.pos+1],
+       |   list_prepend(substr(b.word, b.pos - d.bl[b.pos+1] + 1,
+       |     d.bl[b.pos+1]), b.pieces)
+       | FROM bt b JOIN dpfin d ON b.word = d.word WHERE b.pos > 0),
+       |wp AS MATERIALIZED (SELECT word, pieces FROM bt WHERE pos = 0),
+       |fin AS MATERIALIZED (
+       | SELECT w0.id, w0.wi, wp.pieces FROM w0 JOIN wp ON w0.word = wp.word),
+       |agg AS (
+       | SELECT id, CAST(sum(len(pieces)) AS INT) AS n_pieces,
+       |  md5(string_agg(array_to_string(pieces, ' '), ' ' ORDER BY wi)) AS pieces_md5
+       | FROM fin GROUP BY id)
+       |SELECT t.$idCol AS doc_id,
+       | coalesce(a.n_pieces, 0) AS n_pieces,
+       | coalesce(a.pieces_md5, md5('')) AS pieces_md5
+       |FROM $table t LEFT JOIN agg a ON t.$idCol = a.id""".stripMargin
+  }
 }

@@ -1720,6 +1720,9 @@ private[graft] object PipelineTextQueries {
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "q175_wordpiece_tokens" -> graft.ops.UnigramOps.greedyOracleSql(
       "documents", "doc_id", "text", graft.ops.UnigramOps.DefaultVocab),
+    "q174_unigram_encode" -> graft.ops.UnigramOps.viterbiOracleSql(
+      "documents", "doc_id", "text",
+      graft.ops.UnigramOps.DefaultUnigramEntries),
     "q172_k_anonymity" ->
       """SELECT source, lang, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
         | CAST(count(*) AS BIGINT) AS n, count(*) < 5 AS at_risk

@@ -145,15 +145,28 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PreferenceOps.bradleyTerry(ok, "w", "l")
     }
-    // high-cardinality (data-scale) item column must fail FAST: the
-    // bound is enforced by a scalar distinct-count aggregate BEFORE
-    // the items² counts frame is ever collected to the driver.
+    // high-cardinality (data-scale) item column must fail with
+    // BOUNDED storage: the grouped frame is collected through
+    // limit(maxItems²+1), so at most 101 model-scale rows ship here
+    // (never the corpus), and the driver-side cardinality check
+    // fires. 30 distinct pairs < the 101 cap, so the full frame is
+    // collected and the reported count is exact.
     val big = Seq.tabulate(30)(i => (s"i$i", s"i${(i + 1) % 30}")).toDF("w", "l")
     val ex = intercept[IllegalArgumentException] {
       PreferenceOps.bradleyTerry(big, "w", "l", maxItems = 10)
     }
     assert(ex.getMessage.contains("30 distinct items"))
     assert(ex.getMessage.contains("model-scale"))
+    // Cap-hit path: 60 items in a ring → 120 distinct ordered pairs
+    // > 10²+1 = 101 cap; only ≤101 rows ship, yet the guard still
+    // fires because any 101 distinct pairs need > 10 items
+    // (k items admit ≤ k·(k−1) ordered pairs).
+    val ring = Seq.tabulate(60)(i => (s"r$i", s"r${(i + 1) % 60}"))
+    val both = (ring ++ ring.map(_.swap)).toDF("w", "l")
+    val ex2 = intercept[IllegalArgumentException] {
+      PreferenceOps.bradleyTerry(both, "w", "l", maxItems = 10)
+    }
+    assert(ex2.getMessage.contains("model-scale"))
   }
 
   // -------------------------------------------------------- k-anonymity

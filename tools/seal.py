@@ -60,8 +60,14 @@ def main():
           f"load {out['load_avg_start']} -> {out['load_avg_end']}")
 
     diff = subprocess.run(
+        # -t 1.3 closes the r14 dead zone: benchdiff's entry gate
+        # defaulted to 2.0x while its isobench confirmation threshold
+        # is 1.5x, so seal-to-seal movers in (1.5, 2.0)x were never
+        # examined (q171/q182/q197 in r14). The per-mover auto-isobench
+        # absorbs the extra candidates (~6/round at observed mover
+        # distribution).
         [sys.executable, os.path.join(REPO, "tools", "benchdiff.py"),
-         prev_path, os.path.join(REPO, "bench_out.json")],
+         "-t", "1.3", prev_path, os.path.join(REPO, "bench_out.json")],
         env=env, text=True)
     sys.exit(diff.returncode)
 
