@@ -4,6 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Self-limiting oracle prefix: DuckDB's default thread pool
+    * (ncpu=32) dies under sandbox thread caps with "Out of Memory ...
+    * bad allocation" on KB-scale blocks — r14 flipped 16 green rows
+    * to `err` because the driver's inline checker connects
+    * UNCONFIGURED. duckdb-python `con.sql()` accepts multi-statement
+    * text and returns the LAST statement's frame, so prepending the
+    * PRAGMAs bounds the pool in ANY harness (driver inline +
+    * tools/check.py). VerifyEmitSpec pins this contract.
+    */
+  private[graft] val LimitPragmas =
+    "PRAGMA threads=8; PRAGMA memory_limit='8GB'; "
+  private[graft] def selfLimiting(sql: String): String = LimitPragmas + sql
+
   def main(args: Array[String]): Unit = {
     // Optional third arg: comma-separated query-name prefixes to run
     // (local iteration aid; the driver always calls with two args).
@@ -102,16 +115,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Self-limiting oracles: DuckDB's default thread pool (ncpu=32)
-    // dies under this sandbox's thread cap with "Out of Memory ... bad
-    // allocation" on KB-scale blocks — r14 flipped 16 green rows to
-    // `err` because the driver's inline checker connects UNCONFIGURED.
-    // duckdb-python `con.sql()` accepts multi-statement text and
-    // returns the LAST statement's frame, so prepending the PRAGMAs
-    // bounds the pool in ANY harness (driver inline + tools/check.py).
-    val limitPragmas = "PRAGMA threads=8; PRAGMA memory_limit='8GB'; "
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(limitPragmas + v)}" }
+      .map { case (k, v) => s"${q(k)}: ${q(selfLimiting(v))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -629,6 +629,61 @@ object ProfileOps {
       .withColumn("homogeneous", col("l") === 1 && col("n") > 1)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    * third member of the release-privacy family: a class can be
+    * k-anonymous AND l-diverse yet still leak when its sensitive
+    * distribution is far from the corpus's (skewness attack: "90%
+    * of this class is lang X" is a disclosure even with l > 1
+    * values present). Per quasi-identifier class: class size `n`,
+    * `tvd` = total-variation distance between the class's and the
+    * global sensitive distribution (the categorical equal-ground-
+    * metric EMD of the paper), and `above_t`.
+    *
+    * Exactness: TVD is computed from integer cross-multiplications —
+    * |p_c(v) − p_g(v)| = |n_cv·N − n_v·n_c| / (n_c·N) — summed as
+    * DECIMAL(38,0) (overflow-safe to ~10¹⁹ rows), and absent values
+    * fold in closed form: Σ_{v∉class} p_g(v) = 1 − Σ_{v∈class}
+    * p_g(v), so only PRESENT (class, value) cells are ever
+    * materialized. The final double arithmetic is a fixed
+    * left-to-right tree both engines evaluate identically; 6dp
+    * report grid.
+    *
+    * Scale shape: one exchange to the (class, value) cell grain, a
+    * broadcast of the per-value global counts (bounded by sensitive
+    * cardinality), then a window + final aggregate that SHARE one
+    * hash partitioning on the class key (Catalyst reuses the
+    * exchange). The only collect is the global total — one scalar.
+    */
+  def tCloseness(df: DataFrame,
+      qi: Seq[(String, org.apache.spark.sql.Column)],
+      sensitive: org.apache.spark.sql.Column, t: Double): DataFrame = {
+    require(qi.nonEmpty, "tCloseness needs at least one quasi-identifier")
+    require(t > 0.0 && t < 1.0, s"tCloseness needs t in (0,1), got $t")
+    val qiCols = qi.map { case (n, _) => col(n) }
+    val cells = df
+      .groupBy(qi.map { case (n, c) => c.as(n) } :+ sensitive.as("_v"): _*)
+      .agg(count(lit(1)).as("_ncv"))
+    val glob = cells.groupBy(col("_v")).agg(sum("_ncv").as("_nv"))
+    val nTotal = glob.agg(sum("_nv")).head().getLong(0)
+    require(nTotal > 0, "tCloseness needs a non-empty input")
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols: _*)
+    val dec = "decimal(38,0)"
+    cells.join(broadcast(glob), "_v")
+      .withColumn("_nc", sum("_ncv").over(wn))
+      .groupBy(qiCols: _*)
+      .agg(max(col("_nc")).as("n"),
+        sum(abs(col("_ncv").cast(dec) * lit(nTotal) -
+          col("_nv").cast(dec) * col("_nc"))).as("_s1"),
+        sum(col("_nv")).as("_s2"))
+      .select(qiCols ++ Seq(col("n"),
+        round(lit(0.5) * (col("_s1").cast("double") / col("n").cast("double")
+            / lit(nTotal.toDouble) +
+          (lit(1.0) - col("_s2").cast("double") / lit(nTotal.toDouble))), 6)
+          .as("tvd")): _*)
+      .withColumn("above_t", col("tvd") > t)
+  }
+
   /** Calibration (reliability) buckets for a [0,1] score vs a 0/1
     * label: decile buckets (score·buckets floored, top-clamped), per
     * bucket n, positives, mean score, observed positive rate (6dp).

@@ -86,10 +86,17 @@ object SampleOps {
     * the SAME n rows, and growing a stratum only ever displaces the
     * highest-coordinate survivors.
     *
-    * One shuffle (window partitioned by stratum). At 100 TB pre-filter
-    * with [[deterministicSample]] at a fraction safely above
-    * n/stratum-size first, so the per-stratum sort sees a bounded
-    * slice instead of the full corpus.
+    * One shuffle (window partitioned by stratum), and the shuffle is
+    * BOUNDED: Catalyst's InferWindowGroupLimit rewrites the
+    * `rank <= n` filter into a map-side partial WindowGroupLimit
+    * before the exchange (verified: graft.PlanProbeQ73), so each
+    * input partition ships at most n rows per stratum — the same
+    * bounded-shipment property [[graft.functions.KMinDistinct]]
+    * provides manually where a distinct() blocks the rule (r15
+    * k-min inventory, BENCHNOTES). At 100 TB the residual cost is
+    * the map-side per-partition sort; pre-filter with
+    * [[deterministicSample]] at a fraction safely above
+    * n/stratum-size to shrink even that.
     */
   def stratifiedTake(df: org.apache.spark.sql.DataFrame, keyCol: String,
       stratumCol: String, n: Int, salt: String): org.apache.spark.sql.DataFrame = {

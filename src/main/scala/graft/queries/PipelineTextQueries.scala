@@ -655,6 +655,17 @@ private[graft] object PipelineTextQueries {
         "len_bucket" -> (col("n_chars") / 500).cast("long")),
         col("lang"), l = 3)),
 
+    // t-closeness audit: the third release-privacy probe — classes
+    // that are k-safe and l-diverse but whose language distribution
+    // is far from the corpus's still leak (skewness attack); TVD
+    // from exact integer cross-multiplications, absent values in
+    // closed form.
+    "q376_t_closeness" -> ((s, d) =>
+      ProfileOps.tCloseness(Tables(s, d, "documents"), Seq(
+        "source" -> col("source"),
+        "len_bucket" -> (col("n_chars") / 500).cast("long")),
+        col("lang"), t = 0.2)),
+
     // Unigram-LM tokenizer FIT (Kudo 2018 / SentencePiece family):
     // distributed EM over the word table, exact micro-unit count
     // aggregation — the trained-model twin of q80's frozen BPE. No
@@ -1727,6 +1738,34 @@ private[graft] object PipelineTextQueries {
       """SELECT source, lang, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
         | CAST(count(*) AS BIGINT) AS n, count(*) < 5 AS at_risk
         |FROM documents GROUP BY 1, 2, 3""".stripMargin,
+    // t-closeness: integer cross-mult TVD, absent values folded in
+    // closed form (1 - sum of present global mass); the double tree
+    // (0.5 * (s1/n/N + (1 - s2/N))) is left-to-right identical to
+    // the Spark side
+    "q376_t_closeness" ->
+      """WITH cells AS (SELECT source, n_chars // 500 AS len_bucket,
+        |   lang AS v, count(*) AS ncv FROM documents GROUP BY 1, 2, 3),
+        |gl AS (SELECT v, sum(ncv) AS nv FROM cells GROUP BY v),
+        |tot AS (SELECT CAST(sum(nv) AS BIGINT) AS nn FROM gl),
+        |j AS (SELECT c.source, c.len_bucket, c.ncv, g.nv,
+        |   sum(c.ncv) OVER (PARTITION BY c.source, c.len_bucket) AS nc
+        |  FROM cells c JOIN gl g USING (v)),
+        |per AS (SELECT source, len_bucket, max(nc) AS n,
+        |   sum(abs(CAST(ncv AS DECIMAL(38,0)) * (SELECT nn FROM tot)
+        |     - CAST(nv AS DECIMAL(38,0)) * nc)) AS s1,
+        |   sum(nv) AS s2
+        |  FROM j GROUP BY 1, 2)
+        |SELECT source, CAST(len_bucket AS BIGINT) AS len_bucket,
+        | CAST(n AS BIGINT) AS n,
+        | round(0.5 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |     / CAST((SELECT nn FROM tot) AS DOUBLE)
+        |   + (1.0 - CAST(s2 AS DOUBLE)
+        |     / CAST((SELECT nn FROM tot) AS DOUBLE))), 6) AS tvd,
+        | round(0.5 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |     / CAST((SELECT nn FROM tot) AS DOUBLE)
+        |   + (1.0 - CAST(s2 AS DOUBLE)
+        |     / CAST((SELECT nn FROM tot) AS DOUBLE))), 6) > 0.2 AS above_t
+        |FROM per""".stripMargin,
     "q162_sft_masks" -> graft.ops.PackOps.sftTokenRowsOracleSql(
       "documents", "doc_id", "text")
       .replaceFirst("SELECT id, CAST\\(pos AS INT\\)",

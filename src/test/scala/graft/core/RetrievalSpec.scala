@@ -231,4 +231,34 @@ class RetrievalSpec extends SparkSpec {
     assert(got("b") === ((3L, 3L, false, false)))
     assert(got("c") === ((1L, 1L, true, false)))
   }
+
+  test("tCloseness: hand-computed TVD, global-mirror class at 0, " +
+      "absent-value mass folded, partition-invariant") {
+    // global: en 6/10, fr 3/10, de 1/10
+    // class a (6 rows): en 4, fr 2        -> TVD = 1/2(|4/6-6/10| +
+    //   |2/6-3/10| + 1/10) = 1/2(1/15 + 1/30 + 1/10) = 0.1
+    // class b (4 rows): en 2, fr 1, de 1  -> TVD = 1/2(|1/2-6/10| +
+    //   |1/4-3/10| + |1/4-1/10|) = 1/2(0.1+0.05+0.15) = 0.15
+    val rows = Seq.fill(4)(("a", "en")) ++ Seq.fill(2)(("a", "fr")) ++
+      Seq.fill(2)(("b", "en")) ++ Seq(("b", "fr"), ("b", "de"))
+    val df = rows.toDF("g", "lang")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      ProfileOps.tCloseness(d, Seq("g" -> col("g")), col("lang"), t = 0.12)
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val got = run(df)
+    assert(got("a") === ((6L, 0.1, false)))
+    assert(got("b") === ((4L, 0.15, true)))
+    assert(got === run(df.repartition(7)), "partition-invariant")
+    // a class whose distribution mirrors the global exactly sits at 0
+    val mirror = (Seq.fill(6)(("m", "en")) ++ Seq.fill(3)(("m", "fr")) ++
+      Seq(("m", "de"))).toDF("g", "lang")
+    assert(run(mirror)("m") === ((10L, 0.0, false)))
+    intercept[IllegalArgumentException] {
+      ProfileOps.tCloseness(df, Seq.empty, col("lang"), t = 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      ProfileOps.tCloseness(df, Seq("g" -> col("g")), col("lang"), t = 1.5)
+    }
+  }
 }
