@@ -73,4 +73,50 @@ object BloomOps {
       call_function("graft_bloom_contains", lit(bos.toByteArray), col(largeKey)))
     pruned.join(small.select(col(smallKey).as(largeKey)), Seq(largeKey), "left_semi")
   }
+
+  /** `corpus ▷ ref` (anti join) with the corpus bloom-SPLIT before
+    * the join shuffle — the cross-corpus dedup shape ("drop every doc
+    * already in the previous crawl") at 100 TB: the plain `left_anti`
+    * shuffles the ENTIRE corpus on the key to discard a few percent;
+    * here bloom-NEGATIVE rows (definitely not in the reference — no
+    * false negatives) pass through with ZERO shuffle, and only
+    * probable hits (true dups + ~fpp of the rest) reach the
+    * verifying anti join. Exact on ANY bloom contents — the bloom is
+    * invisible in the output, so the oracle is a plain NOT EXISTS
+    * (q377).
+    *
+    * Null-key semantics match `left_anti`: a null key never equals
+    * anything, so null-key rows SURVIVE — they are routed around the
+    * bloom probe (whose null would otherwise drop them from both
+    * branches) straight into the clean branch.
+    */
+  def bloomAntiJoin(corpus: DataFrame, ref: DataFrame,
+      corpusKey: String, refKey: String, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    // same put/probe hash-family guard as the semi join — but here a
+    // family mismatch would be WORSE than empty: all-false-negatives
+    // means every true duplicate sails through the clean branch
+    // unverified
+    def family(t: DataType): String = t match {
+      case StringType => "string"
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case other => throw new IllegalArgumentException(
+        s"bloomAntiJoin supports integral or string keys, got ${other.simpleString}")
+    }
+    require(family(corpus.schema(corpusKey).dataType) ==
+        family(ref.schema(refKey).dataType),
+      s"key type families differ: ${corpus.schema(corpusKey).dataType.simpleString} vs " +
+        s"${ref.schema(refKey).dataType.simpleString}")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val bf = buildBloom(ref, refKey, fpp = fpp)
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mightHit = call_function("graft_bloom_contains",
+      lit(bos.toByteArray), col(corpusKey))
+    val clean = corpus.filter(col(corpusKey).isNull || !mightHit)
+    val verified = corpus.filter(mightHit)
+      .join(ref.select(col(refKey).as("_graft_bk")),
+        col(corpusKey) === col("_graft_bk"), "left_anti")
+    clean.unionByName(verified)
+  }
 }

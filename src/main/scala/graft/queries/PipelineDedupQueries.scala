@@ -500,6 +500,24 @@ private[graft] object PipelineDedupQueries {
     "q30_exact_dedup" -> ((s, d) =>
       DedupOps.exactDupGroups(Tables(s, d, "documents"), "doc_id", "text")),
 
+    // Bloom-prefiltered cross-corpus dedup: drop docs whose opening
+    // (80-char boilerplate prefix) already appears in the reference
+    // slice (doc_id % 10 = 0 = "previous snapshot"). Bloom-negative
+    // rows never shuffle; only probable hits reach the verifying
+    // anti join — the result is EXACT on any bloom contents, so the
+    // oracle is a plain NOT EXISTS.
+    "q377_bloom_dedup" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pk = md5(substring(col("text"), 1, 80).cast("binary"))
+      graft.ops.BloomOps.bloomAntiJoin(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), col("source"), pk.as("_k")),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(pk.as("rk")),
+        "_k", "rk")
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Content-defined chunking dedup: rolling-hash boundaries (exact
     // polynomial window hash — the oracle replays it per position),
     // md5 chunk fingerprints, shift-tolerant shared-chunk stats.
@@ -1221,6 +1239,11 @@ private[graft] object PipelineDedupQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "q377_bloom_dedup" ->
+      """SELECT c.doc_id, c.source FROM documents c
+        |WHERE c.doc_id % 10 <> 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents r WHERE r.doc_id % 10 = 0
+        |    AND md5(substr(r.text, 1, 80)) = md5(substr(c.text, 1, 80)))""".stripMargin,
     "q94_substr_spans" -> substrSpansOracleSql,
     "q101_remove_spans" -> removeSpansOracleSql,
     "q110_decontaminate" ->
