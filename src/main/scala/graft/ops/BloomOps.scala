@@ -25,6 +25,11 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomOps {
 
+  /** 2²⁸ bits = 32 MB serialized — the filter lives on the driver and
+    * rides to every task as a literal; past this, shard the build side
+    * or raise fpp rather than silently shipping a multi-GB payload. */
+  val MaxBloomBits: Long = 1L << 28
+
   /** Aggregate the build side's keys into a bloom filter (nulls
     * dropped — they can never equi-join). `expectedItems <= 0` sizes
     * from a count of the build side.
@@ -32,6 +37,11 @@ object BloomOps {
   def buildBloom(df: DataFrame, key: String, expectedItems: Long = -1L,
       fpp: Double = 0.01): BloomFilter = {
     val expected = if (expectedItems > 0) expectedItems else math.max(df.count(), 64L)
+    val bits = BloomFilter.optimalNumOfBits(expected, fpp)
+    require(bits <= MaxBloomBits,
+      s"bloom for $expected keys at fpp=$fpp needs $bits bits " +
+        s"(> $MaxBloomBits = 32 MB task payload): shard the build side " +
+        "or raise fpp")
     val keyed = df.select(col(key)).na.drop()
     def agg[T](ds: org.apache.spark.sql.Dataset[T])(put: (BloomFilter, T) => Unit): BloomFilter =
       ds.rdd.treeAggregate(BloomFilter.create(expected, fpp))(

@@ -42,6 +42,10 @@ class BloomOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       BloomOps.bloomAntiJoin(corpus, empty, "t", "rt", fpp = 1.5)
     }
+    intercept[IllegalArgumentException] { // driver-payload size guard
+      BloomOps.buildBloom(corpus, "t", expectedItems = 1000000000000L,
+        fpp = 1e-9)
+    }
     intercept[IllegalArgumentException] { // cross-family keys fail loudly
       BloomOps.bloomAntiJoin(corpus,
         Seq(1L).toDF("rk"), "t", "rk")
