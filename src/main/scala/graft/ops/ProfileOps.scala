@@ -651,8 +651,11 @@ object ProfileOps {
     * Scale shape: one exchange to the (class, value) cell grain, a
     * broadcast of the per-value global counts (bounded by sensitive
     * cardinality), then a window + final aggregate that SHARE one
-    * hash partitioning on the class key (Catalyst reuses the
-    * exchange). The only collect is the global total — one scalar.
+    * hash partitioning on the class key — and the cell subtree
+    * appearing under both the probe and the global branch collapses
+    * to a ReusedExchange at runtime, so the corpus is scanned once
+    * (both verified: PlanProbeQ376). The only collect is the global
+    * total — one scalar.
     */
   def tCloseness(df: DataFrame,
       qi: Seq[(String, org.apache.spark.sql.Column)],
