@@ -216,6 +216,19 @@ class PlanSpec extends SparkSpec {
     assert(joinIdx < filterIdx, "bloom filter should be under the join in the plan tree")
   }
 
+  test("q377: the bloom SPLIT holds — one anti join on the probable " +
+      "branch only, clean branch join-free") {
+    val s = planString("q377_bloom_dedup")
+    // exactly one join in the whole plan (the verifying anti join);
+    // the bloom-negative branch must reach the union as scan+filter
+    assert(s.contains("LeftAnti"), s)
+    val joins = "Join".r.findAllIn(s).size
+    assert(joins <= 2, // "LeftAnti" node prints Join once (+BHJ variant)
+      s"bloom-split anti join should have exactly one join, plan:\n$s")
+    // both branches probe the bloom (positively and negated)
+    assert("graft_bloom_contains".r.findAllIn(s).size >= 2, s)
+  }
+
   test("zero-shuffle claims hold at runtime: measured shuffle bytes are zero") {
     import graft.ops.PlanProbe
     // q88: the vocab pass shuffles (vocab-bounded, during query
