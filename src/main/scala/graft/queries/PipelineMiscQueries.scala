@@ -13,6 +13,21 @@ import PipelineShared._
 private[graft] object PipelineMiscQueries {
   val queries: Map[String, Q] = Map(
 
+    // JSONL interchange round-trip: the documents table exported once
+    // per app as gzipped JSONL (Spark-native distributed sink), read
+    // back schema-enforced + FAILFAST, and hash-compared against the
+    // ORIGINAL parquet by the oracle — proving writer, codec and
+    // reader preserve content exactly (the corpus interchange format
+    // training pipelines actually ship).
+    "q378_jsonl_roundtrip" -> ((s, d) => {
+      val path = graft.sources.JsonlIO.demoJsonlPath(s, d)
+      val schema = Tables(s, d, "documents")
+        .select("doc_id", "source", "lang", "n_chars", "text").schema
+      graft.sources.JsonlIO.load(s, path, schema)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+    }),
+
     // Hash-shard skew preflight: md5-bucket documents into 16 shards
     // weighted by n_chars, report per-shard load vs the even share —
     // the salt-before-you-shuffle planner check.
@@ -295,6 +310,12 @@ private[graft] object PipelineMiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle reads the ORIGINAL parquet — matching it proves the
+    // JSONL writer/codec/reader chain is content-preserving
+    "q378_jsonl_roundtrip" ->
+      """SELECT doc_id, source, lang, n_chars, md5(text) AS text_md5
+        |FROM documents""".stripMargin,
+
     "q195_pmi_cooccur" -> graft.ops.CooccurOps.pmiOracleSql(
       "documents", "doc_id", "text"),
 
