@@ -216,6 +216,22 @@ class PlanSpec extends SparkSpec {
     assert(joinIdx < filterIdx, "bloom filter should be under the join in the plan tree")
   }
 
+  test("q73 stratifiedTake: the rank<=n filter becomes a map-side " +
+      "WindowGroupLimit BEFORE the exchange (the r15 k-min inventory " +
+      "finding — pinned so an optimizer/config change cannot " +
+      "silently restore the full per-stratum shuffle)") {
+    val s = formatted("q73_stratified_take")
+    val firstWgl = s.indexOf("WindowGroupLimit")
+    val lastWgl = s.lastIndexOf("WindowGroupLimit")
+    assert(firstWgl >= 0 && lastWgl > firstWgl,
+      s"expected partial+final WindowGroupLimit, plan:\n$s")
+    // the PARTIAL group limit must sit below the exchange: in the
+    // formatted tree the exchange line appears between the two
+    val ex = s.indexOf("Exchange")
+    assert(ex > firstWgl && ex < lastWgl,
+      s"partial WindowGroupLimit must be under the Exchange, plan:\n$s")
+  }
+
   test("q377: the bloom SPLIT holds — one anti join on the probable " +
       "branch only, clean branch join-free") {
     val s = planString("q377_bloom_dedup")
