@@ -35,6 +35,19 @@ object JsonlIO {
   def load(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
+  /** Streaming JSONL ingest (the production continuous-ingestion
+    * shape: a landing directory that crawl shards drop files into).
+    * Same schema-enforced FAILFAST contract as [[load]]; the file
+    * source tracks processed files in the checkpoint, so each shard
+    * is ingested exactly once across restarts. `maxFilesPerTrigger`
+    * bounds per-batch work (at 100 TB a landing burst must not
+    * become one giant micro-batch).
+    */
+  def loadStream(spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.schema(schema).option("mode", "FAILFAST")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).json(path)
+
   private case class WKey(appId: String, dir: String)
   private val demoDirs = new ConcurrentHashMap[WKey, String]()
 

@@ -42,6 +42,42 @@ class JsonlIOSpec extends SparkSpec {
       df.orderBy("id").collect().toSeq)
   }
 
+  test("streaming ingest of a landing directory equals the batch " +
+      "aggregate after each drop (exactly-once file tracking)") {
+    val dir = tmp("stream")
+    val schema = Seq((1L, "a", "x")).toDF("id", "src", "t").schema
+    def drop(tag: String, rows: Seq[(Long, String, String)]): Unit = {
+      // one JSONL shard landing in the directory (distinct file name
+      // per drop, as a crawl shard would)
+      val lines = rows.map { case (i, s, t) =>
+        s"""{"id":$i,"src":"$s","t":"$t"}"""
+      }.mkString("", "\n", "\n")
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/shard_$tag.json"), lines)
+    }
+    drop("b1", Seq((1L, "s1", "aa"), (2L, "s2", "bb")))
+    val q = JsonlIO.loadStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      .groupBy("src").agg(count(lit(1)).as("n"), sum(length(col("t"))).as("chars"))
+      .writeStream.format("memory").queryName("jsonl_ingest")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.sql("SELECT * FROM jsonl_ingest")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      def batch() = JsonlIO.load(spark, dir, schema)
+        .groupBy("src").agg(count(lit(1)).as("n"), sum(length(col("t"))).as("chars"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got() === batch())
+      drop("b2", Seq((3L, "s1", "cccc"), (4L, "s3", "d")))
+      q.processAllAvailable()
+      assert(got() === batch())
+      assert(got() === Seq(("s1", 2L, 6L), ("s2", 1L, 2L), ("s3", 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("a corrupt line fails the read loudly (FAILFAST), not as a " +
       "silent null row") {
     val path = tmp("bad")
