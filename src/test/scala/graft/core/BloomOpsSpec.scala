@@ -52,6 +52,34 @@ class BloomOpsSpec extends SparkSpec {
     }
   }
 
+  test("the bloom split MEASURABLY shrinks the exchange: shuffle " +
+      "bytes a small fraction of the plain anti join's") {
+    // 20k corpus rows, 50 ref keys, 0.25% true overlap. Broadcast is
+    // disabled to simulate the regime the operator exists for — a
+    // reference too large to broadcast (billions of digests), where
+    // the plain anti join sort-merges the WHOLE corpus through the
+    // exchange and the bloom split ships only probable hits
+    // (~overlap + fpp). (With a broadcastable ref, neither shuffles
+    // and bloom's win is probe-time row killing only.)
+    val corpus = (0 until 20000).map(i => (i.toLong, s"doc_$i"))
+      .toDF("id", "t")
+    val ref = (0 until 20000 by 400).map(i => s"doc_$i").toDF("rt")
+    import graft.ops.PlanProbe
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val plain = PlanProbe.shuffleBytesWritten(
+        corpus.join(ref, col("t") === col("rt"), "left_anti"))
+      val split = PlanProbe.shuffleBytesWritten(
+        graft.ops.BloomOps.bloomAntiJoin(corpus, ref, "t", "rt", fpp = 0.01))
+      assert(plain > 0,
+        s"plain anti join should shuffle with broadcast disabled, got $plain")
+      assert(split < plain / 3,
+        s"bloom split should shuffle a small fraction: $split vs $plain bytes")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("null keys survive (anti-join null semantics preserved)") {
     val corpus = Seq((1L, Option("a")), (2L, Option.empty[String]))
       .toDF("id", "t")
