@@ -629,15 +629,15 @@ object ProfileOps {
       .withColumn("homogeneous", col("l") === 1 && col("n") > 1)
   }
 
-  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
-    * third member of the release-privacy family: a class can be
-    * k-anonymous AND l-diverse yet still leak when its sensitive
-    * distribution is far from the corpus's (skewness attack: "90%
-    * of this class is lang X" is a disclosure even with l > 1
-    * values present). Per quasi-identifier class: class size `n`,
-    * `tvd` = total-variation distance between the class's and the
-    * global sensitive distribution (the categorical equal-ground-
-    * metric EMD of the paper), and `above_t`.
+  /** CATEGORICAL t-closeness (Li, Li & Venkatasubramanian 2007,
+    * equal ground metric) — the unordered-attribute companion of the
+    * ordered-bucket EMD gate below ([[tCloseness]], q294): languages
+    * and sources have no order, so the paper's distance there is
+    * total variation, not cumulative EMD. A class can be k-anonymous
+    * AND l-diverse yet still leak when its sensitive distribution is
+    * far from the corpus's (skewness attack: "90% of this class is
+    * lang X" is a disclosure even with l > 1 values present). Per
+    * quasi-identifier class: class size `n`, `tvd`, and `above_t`.
     *
     * Exactness: TVD is computed from integer cross-multiplications —
     * |p_c(v) − p_g(v)| = |n_cv·N − n_v·n_c| / (n_c·N) — summed as
@@ -657,11 +657,13 @@ object ProfileOps {
     * (both verified: PlanProbeQ376). The only collect is the global
     * total — one scalar.
     */
-  def tCloseness(df: DataFrame,
+  def tClosenessCategorical(df: DataFrame,
       qi: Seq[(String, org.apache.spark.sql.Column)],
       sensitive: org.apache.spark.sql.Column, t: Double): DataFrame = {
-    require(qi.nonEmpty, "tCloseness needs at least one quasi-identifier")
-    require(t > 0.0 && t < 1.0, s"tCloseness needs t in (0,1), got $t")
+    require(qi.nonEmpty,
+      "tClosenessCategorical needs at least one quasi-identifier")
+    require(t > 0.0 && t < 1.0,
+      s"tClosenessCategorical needs t in (0,1), got $t")
     val qiCols = qi.map { case (n, _) => col(n) }
     val cells = df
       .groupBy(qi.map { case (n, c) => c.as(n) } :+ sensitive.as("_v"): _*)

@@ -655,13 +655,12 @@ private[graft] object PipelineTextQueries {
         "len_bucket" -> (col("n_chars") / 500).cast("long")),
         col("lang"), l = 3)),
 
-    // t-closeness audit: the third release-privacy probe — classes
-    // that are k-safe and l-diverse but whose language distribution
-    // is far from the corpus's still leak (skewness attack); TVD
-    // from exact integer cross-multiplications, absent values in
-    // closed form.
+    // CATEGORICAL t-closeness: the unordered-attribute companion of
+    // q294's ordered-bucket EMD gate (lang has no order, so the
+    // paper's distance is total variation); TVD from exact integer
+    // cross-multiplications, absent values in closed form.
     "q376_t_closeness" -> ((s, d) =>
-      ProfileOps.tCloseness(Tables(s, d, "documents"), Seq(
+      ProfileOps.tClosenessCategorical(Tables(s, d, "documents"), Seq(
         "source" -> col("source"),
         "len_bucket" -> (col("n_chars") / 500).cast("long")),
         col("lang"), t = 0.2)),

@@ -232,7 +232,7 @@ class RetrievalSpec extends SparkSpec {
     assert(got("c") === ((1L, 1L, true, false)))
   }
 
-  test("tCloseness: hand-computed TVD, global-mirror class at 0, " +
+  test("tClosenessCategorical: hand-computed TVD, global-mirror class at 0, " +
       "absent-value mass folded, partition-invariant") {
     // global: en 6/10, fr 3/10, de 1/10
     // class a (6 rows): en 4, fr 2        -> TVD = 1/2(|4/6-6/10| +
@@ -243,7 +243,7 @@ class RetrievalSpec extends SparkSpec {
       Seq.fill(2)(("b", "en")) ++ Seq(("b", "fr"), ("b", "de"))
     val df = rows.toDF("g", "lang")
     def run(d: org.apache.spark.sql.DataFrame) =
-      ProfileOps.tCloseness(d, Seq("g" -> col("g")), col("lang"), t = 0.12)
+      ProfileOps.tClosenessCategorical(d, Seq("g" -> col("g")), col("lang"), t = 0.12)
         .collect().map(r => (r.getString(0),
           (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
     val got = run(df)
@@ -255,10 +255,10 @@ class RetrievalSpec extends SparkSpec {
       Seq(("m", "de"))).toDF("g", "lang")
     assert(run(mirror)("m") === ((10L, 0.0, false)))
     intercept[IllegalArgumentException] {
-      ProfileOps.tCloseness(df, Seq.empty, col("lang"), t = 0.1)
+      ProfileOps.tClosenessCategorical(df, Seq.empty, col("lang"), t = 0.1)
     }
     intercept[IllegalArgumentException] {
-      ProfileOps.tCloseness(df, Seq("g" -> col("g")), col("lang"), t = 1.5)
+      ProfileOps.tClosenessCategorical(df, Seq("g" -> col("g")), col("lang"), t = 1.5)
     }
   }
 }
