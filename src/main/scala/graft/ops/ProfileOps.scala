@@ -638,6 +638,10 @@ object ProfileOps {
     * far from the corpus's (skewness attack: "90% of this class is
     * lang X" is a disclosure even with l > 1 values present). Per
     * quasi-identifier class: class size `n`, `tvd`, and `above_t`.
+    * NULL sensitive values are excluded from the audit entirely
+    * (from class sizes too): a null is "no recorded value", not a
+    * disclosure category — and both engines' USING-join semantics
+    * drop the null cell identically, so the oracle replays it.
     *
     * Exactness: TVD is computed from integer cross-multiplications —
     * |p_c(v) − p_g(v)| = |n_cv·N − n_v·n_c| / (n_c·N) — summed as
