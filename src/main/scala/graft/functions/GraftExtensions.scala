@@ -116,6 +116,22 @@ object GraftFunctions {
           s"graft_bloom_contains requires exactly 2 arguments, got ${children.size}")
         BloomContains(children.head, children(1))
       }),
+    ("graft_bloom_contains_ref",
+      new ExpressionInfo(classOf[BloomContainsRef].getName, "graft_bloom_contains_ref"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_bloom_contains_ref requires exactly 2 arguments, got ${children.size}")
+        // the token literal resolves to the driver-registered
+        // broadcast at analysis (the DropProbe pattern); the handle
+        // then serializes into the expression, keeping the filter
+        // payload out of the plan
+        val token = children.head.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+          case other => sys.error(s"graft_bloom_contains_ref: non-string token $other")
+        }
+        BloomContainsRef(children.head, children(1))(BloomBroadcasts.get(token))
+      }),
     ("graft_ordered_pairs",
       new ExpressionInfo(classOf[OrderedPairs].getName, "graft_ordered_pairs"),
       (children: Seq[Expression]) => {

@@ -20,8 +20,11 @@ import org.apache.spark.util.sketch.BloomFilter
   * 1 M expected keys at 1 % fpp ≈ 1.2 MB of task payload — the
   * filter is built once on the driver (one tree-aggregated action
   * over the build side, the same job `stat.bloomFilter` would run)
-  * and embedded as a literal probed by the native codegen expression
-  * [[graft.functions.BloomContains]].
+  * and probed by a native codegen expression — as a plan literal
+  * ([[graft.functions.BloomContains]]) while small, or through a
+  * broadcast handle ([[graft.functions.BloomContainsRef]]) once the
+  * serialized payload crosses [[BloomOps.BroadcastPayloadBytes]], so
+  * a near-ceiling filter never bloats the plan / explain / UI.
   */
 object BloomOps {
 
@@ -32,37 +35,80 @@ object BloomOps {
 
   /** Aggregate the build side's keys into a bloom filter (nulls
     * dropped — they can never equi-join). `expectedItems <= 0` sizes
-    * from a count of the build side.
+    * from a count of the build side — and to keep that a SINGLE scan
+    * of the reference plan, the keyed projection is cached across the
+    * sizing count and the aggregate (unpersisted before return). At
+    * scale, callers who know their cardinality (catalog stats, a
+    * prior count) should pass `expectedItems` and skip the cache
+    * entirely: the one-pass path touches the reference exactly once.
     */
   def buildBloom(df: DataFrame, key: String, expectedItems: Long = -1L,
       fpp: Double = 0.01): BloomFilter = {
-    val expected = if (expectedItems > 0) expectedItems else math.max(df.count(), 64L)
-    val bits = BloomFilter.optimalNumOfBits(expected, fpp)
-    require(bits <= MaxBloomBits,
-      s"bloom for $expected keys at fpp=$fpp needs $bits bits " +
-        s"(> $MaxBloomBits = 32 MB task payload): shard the build side " +
-        "or raise fpp")
-    val keyed = df.select(col(key)).na.drop()
-    def agg[T](ds: org.apache.spark.sql.Dataset[T])(put: (BloomFilter, T) => Unit): BloomFilter =
-      ds.rdd.treeAggregate(BloomFilter.create(expected, fpp))(
-        (bf, v) => { put(bf, v); bf },
-        (a, b) => { a.mergeInPlace(b); a })
-    df.schema(key).dataType match {
-      case StringType =>
-        agg(keyed.as[String](Encoders.STRING))(_ putString _)
-      case ByteType | ShortType | IntegerType | LongType =>
-        agg(keyed.select(col(key).cast("long")).as[Long](Encoders.scalaLong))(_ putLong _)
-      case t => throw new IllegalArgumentException(
-        s"buildBloom supports integral or string keys, got ${t.simpleString}")
+    val keyed0 = df.select(col(key)).na.drop()
+    val keyed = if (expectedItems > 0) keyed0
+      else keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val expected =
+        if (expectedItems > 0) expectedItems else math.max(keyed.count(), 64L)
+      val bits = BloomFilter.optimalNumOfBits(expected, fpp)
+      require(bits <= MaxBloomBits,
+        s"bloom for $expected keys at fpp=$fpp needs $bits bits " +
+          s"(> $MaxBloomBits = 32 MB task payload): shard the build side " +
+          "or raise fpp")
+      def agg[T](ds: org.apache.spark.sql.Dataset[T])(put: (BloomFilter, T) => Unit): BloomFilter =
+        ds.rdd.treeAggregate(BloomFilter.create(expected, fpp))(
+          (bf, v) => { put(bf, v); bf },
+          (a, b) => { a.mergeInPlace(b); a })
+      df.schema(key).dataType match {
+        case StringType =>
+          agg(keyed.as[String](Encoders.STRING))(_ putString _)
+        case ByteType | ShortType | IntegerType | LongType =>
+          agg(keyed.select(col(key).cast("long")).as[Long](Encoders.scalaLong))(_ putLong _)
+        case t => throw new IllegalArgumentException(
+          s"buildBloom supports integral or string keys, got ${t.simpleString}")
+      }
+    } finally {
+      if (!(expectedItems > 0)) keyed.unpersist(false)
+    }
+  }
+
+  /** Serialized-size threshold above which the probe rides as a
+    * broadcast reference instead of a plan literal: below it the
+    * literal is simpler and the plan stays small; above it the
+    * payload would bloat driver plan memory, `explain` and the UI,
+    * so only the token string enters the plan and executors pull the
+    * filter blocks once via torrent broadcast. */
+  val BroadcastPayloadBytes: Int = 4 << 20
+
+  /** Build the per-row probe column for `bf` against `key`: a binary
+    * literal + [[graft.functions.BloomContains]] under
+    * [[BroadcastPayloadBytes]], a broadcast handle +
+    * [[graft.functions.BloomContainsRef]] at or above it. Both forms
+    * are single-call codegen probes with identical semantics.
+    */
+  private def probeColumn(spark: org.apache.spark.sql.SparkSession,
+      bf: BloomFilter, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    if (bytes.length < BroadcastPayloadBytes)
+      call_function("graft_bloom_contains", lit(bytes), key)
+    else {
+      val token = graft.functions.BloomBroadcasts.put(
+        spark.sparkContext.broadcast(bf))
+      call_function("graft_bloom_contains_ref", lit(token), key)
     }
   }
 
   /** `large ⋉ small` with the probe side bloom-pruned before the join
     * shuffle. Exact: bloom false positives are removed by the final
-    * semi join; false negatives cannot occur.
+    * semi join; false negatives cannot occur. Pass `expectedItems`
+    * (build-side key cardinality, e.g. from catalog stats) to size
+    * the bloom without the auto-sizing count — the one-pass build.
     */
   def bloomPrunedSemiJoin(large: DataFrame, small: DataFrame,
-      largeKey: String, smallKey: String, fpp: Double = 0.01): DataFrame = {
+      largeKey: String, smallKey: String, fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
     // put/probe must use the same hash family: a long-built bloom
     // probed as string (or vice versa) would be all false negatives —
     // a silently empty "exact" result
@@ -76,11 +122,9 @@ object BloomOps {
       s"key type families differ: ${large.schema(largeKey).dataType.simpleString} vs " +
         s"${small.schema(smallKey).dataType.simpleString}")
     graft.functions.GraftFunctions.register(large.sparkSession)
-    val bf = buildBloom(small, smallKey, fpp = fpp)
-    val bos = new ByteArrayOutputStream()
-    bf.writeTo(bos)
+    val bf = buildBloom(small, smallKey, expectedItems = expectedItems, fpp = fpp)
     val pruned = large.filter(
-      call_function("graft_bloom_contains", lit(bos.toByteArray), col(largeKey)))
+      probeColumn(large.sparkSession, bf, col(largeKey)))
     pruned.join(small.select(col(smallKey).as(largeKey)), Seq(largeKey), "left_semi")
   }
 
@@ -99,9 +143,20 @@ object BloomOps {
     * anything, so null-key rows SURVIVE — they are routed around the
     * bloom probe (whose null would otherwise drop them from both
     * branches) straight into the clean branch.
+    *
+    * REQUIRES A DETERMINISTIC CORPUS PLAN: the split evaluates the
+    * corpus under two complementary filters (that is the point — the
+    * clean branch must stay a zero-shuffle pass-through, which a
+    * materializing cache would forfeit). A non-deterministic upstream
+    * (`rand()`, un-seeded `sample`, a changing view) could disagree
+    * between the branches, dropping or duplicating rows relative to a
+    * plain `left_anti`. Non-deterministic inputs must be
+    * checkpointed/written out by the CALLER first — same contract as
+    * the other recompute-based split operators in this library.
     */
   def bloomAntiJoin(corpus: DataFrame, ref: DataFrame,
-      corpusKey: String, refKey: String, fpp: Double = 0.01): DataFrame = {
+      corpusKey: String, refKey: String, fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
     // same put/probe hash-family guard as the semi join — but here a
     // family mismatch would be WORSE than empty: all-false-negatives
@@ -118,11 +173,8 @@ object BloomOps {
       s"key type families differ: ${corpus.schema(corpusKey).dataType.simpleString} vs " +
         s"${ref.schema(refKey).dataType.simpleString}")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val bf = buildBloom(ref, refKey, fpp = fpp)
-    val bos = new ByteArrayOutputStream()
-    bf.writeTo(bos)
-    val mightHit = call_function("graft_bloom_contains",
-      lit(bos.toByteArray), col(corpusKey))
+    val bf = buildBloom(ref, refKey, expectedItems = expectedItems, fpp = fpp)
+    val mightHit = probeColumn(corpus.sparkSession, bf, col(corpusKey))
     val clean = corpus.filter(col(corpusKey).isNull || !mightHit)
     val verified = corpus.filter(mightHit)
       .join(ref.select(col(refKey).as("_graft_bk")),

@@ -639,9 +639,13 @@ object ProfileOps {
     * lang X" is a disclosure even with l > 1 values present). Per
     * quasi-identifier class: class size `n`, `tvd`, and `above_t`.
     * NULL sensitive values are excluded from the audit entirely
-    * (from class sizes too): a null is "no recorded value", not a
-    * disclosure category — and both engines' USING-join semantics
-    * drop the null cell identically, so the oracle replays it.
+    * (from class sizes, the global distribution AND the grand total):
+    * a null is "no recorded value", not a disclosure category. The
+    * exclusion is an explicit `isNotNull` filter BEFORE any
+    * aggregation — relying on equi-join null semantics alone would
+    * drop null cells from the per-class terms while leaving their
+    * mass in the grand total, inflating every class's TVD by the
+    * null fraction (the r15 advisory bug).
     *
     * Exactness: TVD is computed from integer cross-multiplications —
     * |p_c(v) − p_g(v)| = |n_cv·N − n_v·n_c| / (n_c·N) — summed as
@@ -669,12 +673,14 @@ object ProfileOps {
     require(t > 0.0 && t < 1.0,
       s"tClosenessCategorical needs t in (0,1), got $t")
     val qiCols = qi.map { case (n, _) => col(n) }
-    val cells = df
+    val cells = df.filter(sensitive.isNotNull)
       .groupBy(qi.map { case (n, c) => c.as(n) } :+ sensitive.as("_v"): _*)
       .agg(count(lit(1)).as("_ncv"))
     val glob = cells.groupBy(col("_v")).agg(sum("_ncv").as("_nv"))
-    val nTotal = glob.agg(sum("_nv")).head().getLong(0)
-    require(nTotal > 0, "tCloseness needs a non-empty input")
+    val totRow = glob.agg(sum("_nv")).head()
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+      "tCloseness needs a non-empty input (after null-sensitive exclusion)")
+    val nTotal = totRow.getLong(0)
     val wn = org.apache.spark.sql.expressions.Window
       .partitionBy(qiCols: _*)
     val dec = "decimal(38,0)"

@@ -1743,7 +1743,8 @@ private[graft] object PipelineTextQueries {
     // the Spark side
     "q376_t_closeness" ->
       """WITH cells AS (SELECT source, n_chars // 500 AS len_bucket,
-        |   lang AS v, count(*) AS ncv FROM documents GROUP BY 1, 2, 3),
+        |   lang AS v, count(*) AS ncv FROM documents
+        |   WHERE lang IS NOT NULL GROUP BY 1, 2, 3),
         |gl AS (SELECT v, sum(ncv) AS nv FROM cells GROUP BY v),
         |tot AS (SELECT CAST(sum(nv) AS BIGINT) AS nn FROM gl),
         |j AS (SELECT c.source, c.len_bucket, c.ncv, g.nv,

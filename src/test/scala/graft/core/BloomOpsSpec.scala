@@ -80,6 +80,58 @@ class BloomOpsSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prev)
   }
 
+  test("broadcast-ref probe (payload >= 4 MB): same result as the " +
+      "literal path, token in the plan instead of the payload") {
+    // expectedItems = 4M at 1% fpp sizes the bloom to ~4.8 MB
+    // serialized — over BroadcastPayloadBytes, so the probe rides as
+    // graft_bloom_contains_ref(token, key) and only the token string
+    // enters the plan
+    val corpus = (0 until 500).map(i => (i.toLong, s"text_$i")).toDF("id", "t")
+    val ref = (0 until 500 by 7).map(i => s"text_$i").toDF("rt")
+    val big = BloomOps.bloomAntiJoin(corpus, ref, "t", "rt",
+      expectedItems = 4000000L)
+    val got = big.select("id").as[Long].collect().sorted.toSeq
+    assert(got === (0 until 500).filter(_ % 7 != 0).map(_.toLong))
+    val plan = big.queryExecution.analyzed.toString
+    assert(plan.contains("graft_bloom_contains_ref"),
+      s"expected the broadcast-ref probe in the plan:\n$plan")
+    assert(plan.length < 100000,
+      s"plan should carry the token, not a multi-MB literal: ${plan.length}")
+    // semi-join flavor through the same switch
+    val semi = BloomOps.bloomPrunedSemiJoin(corpus, ref, "t", "rt",
+      expectedItems = 4000000L)
+    assert(semi.count() === corpus.join(ref, col("t") === col("rt"),
+      "left_semi").count())
+  }
+
+  test("bloom-ref registry: unknown token fails loudly at analysis") {
+    graft.functions.GraftFunctions.register(spark)
+    val ex = intercept[Exception] {
+      Seq("a").toDF("t").select(
+        call_function("graft_bloom_contains_ref", lit("bloom-no-such"),
+          col("t"))).collect()
+    }
+    assert(ex.getMessage.contains("unknown or evicted bloom token"))
+  }
+
+  test("auto-sized build touches the reference plan once (cached " +
+      "projection); explicit expectedItems skips the cache") {
+    // a scan-counting accumulator via rdd would be invasive; instead
+    // pin the OBSERVABLE contract: auto-sizing must not leave the
+    // keyed projection cached behind (unpersist before return), and
+    // both sizing modes produce equivalent (exact) join results
+    val corpus = (0 until 300).map(i => (i.toLong, s"k$i")).toDF("id", "t")
+    val ref = (0 until 300 by 5).map(i => s"k$i").toDF("rt")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val auto = BloomOps.bloomAntiJoin(corpus, ref, "t", "rt")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "buildBloom must unpersist its sizing cache")
+    val sized = BloomOps.bloomAntiJoin(corpus, ref, "t", "rt",
+      expectedItems = 60L).select("id").as[Long].collect().sorted.toSeq
+    assert(auto === sized)
+  }
+
   test("null keys survive (anti-join null semantics preserved)") {
     val corpus = Seq((1L, Option("a")), (2L, Option.empty[String]))
       .toDF("id", "t")

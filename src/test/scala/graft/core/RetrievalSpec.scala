@@ -260,5 +260,32 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ProfileOps.tClosenessCategorical(df, Seq("g" -> col("g")), col("lang"), t = 1.5)
     }
+    // null sensitive values are excluded from class sizes, the global
+    // distribution AND the grand total (the r15 advisory bug dropped
+    // null cells from the per-class terms but left their mass in the
+    // grand total, adding the null fraction to every class's TVD).
+    // Non-null global: en 9/13, fr 3/13, de 1/13 (N = 13).
+    // m (10 non-null rows, en 6 fr 3 de 1):
+    //   1/2(|6/10-9/13| + |3/10-3/13| + |1/10-1/13|) = 12/130
+    // o (3 non-null rows, all en): 1/2(|1-9/13| + 3/13 + 1/13) = 4/13
+    val withNulls = (Seq.fill(6)(("m", "en")) ++ Seq.fill(3)(("m", "fr")) ++
+      Seq(("m", "de")) ++ Seq.fill(10)(("m", null: String)) ++
+      Seq.fill(3)(("o", "en")) ++ Seq.fill(5)(("o", null: String)))
+      .toDF("g", "lang")
+    val gotN = run(withNulls)
+    assert(gotN("m") === ((10L, 0.092308, false)),
+      "m: n counts only non-null rows; TVD vs the 13-row non-null global")
+    assert(gotN("o") === ((3L, 0.307692, true)))
+    // a class mirroring the non-null global exactly sits at 0 even
+    // when half the corpus is null
+    val mirrorN = (Seq.fill(6)(("m", "en")) ++ Seq.fill(3)(("m", "fr")) ++
+      Seq(("m", "de")) ++ Seq.fill(10)(("m", null: String))).toDF("g", "lang")
+    assert(run(mirrorN)("m") === ((10L, 0.0, false)))
+    // all-null input trips the non-empty require, not an NPE
+    intercept[IllegalArgumentException] {
+      ProfileOps.tClosenessCategorical(
+        Seq(("a", null: String)).toDF("g", "lang"),
+        Seq("g" -> col("g")), col("lang"), t = 0.1)
+    }
   }
 }
