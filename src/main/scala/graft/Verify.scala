@@ -115,7 +115,24 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Data-dependent oracles (the frozen-literal discipline where the
+    // frozen model is FIT on the target dir, so the SQL cannot live in
+    // the static SparkEntry.oracleSql map): generated here, against
+    // the same sfDir the queries ran on. A generator failure logs and
+    // drops the entry (the query then grades rows-only, never a bogus
+    // hash mismatch).
+    val dynamicOracles: Map[String, String] =
+      if (!only.forall(_.exists("q124_pca_project".startsWith))) Map.empty
+      else try {
+        val m = graft.ops.PcaOps.fit(
+          Tables(spark, sfDir, "embeddings"), "embedding", 16)
+        Map("q124_pca_project" -> graft.ops.PcaOps.projectOracleSql(
+          "embeddings", "vec_id", "embedding", m, 4))
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] q124 oracle generator failed: ${e.getMessage}")
+        Map.empty
+      }
+    val json = (SparkEntry.oracleSql ++ dynamicOracles)
       .map { case (k, v) => s"${q(k)}: ${q(selfLimiting(v))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -223,6 +223,44 @@ object PcaOps {
     emb.select((col(idCol).as("id") +: coords): _*)
   }
 
+  /** DuckDB SQL replaying [[project]] under a FROZEN fitted model —
+    * the q174-Viterbi frozen-literal discipline extended to PCA: the
+    * generator (Verify, driver-side) runs the same decimal-exact
+    * moments pass + Jacobi eigensolve on the target data dir and
+    * embeds the means and top-`k` components as exact
+    * `Double.toString` literals, so DuckDB never re-derives the
+    * eigensystem (whose rotation history is not SQL-expressible) —
+    * it replays the DATA-SCALE path end-to-end: read every vector,
+    * center against the frozen means, sequential-fold dot product
+    * per component ((x_i − μ_i)·w_i summed left-to-right — DuckDB's
+    * `list_sum` folds in list order, matching Spark's
+    * `aggregate(zip_with(...), 0.0, _+_)` term-for-term), round 6dp.
+    *
+    * Trust split (same as the q174 embedded log-probs): the JVM
+    * kernel producing the literals is pinned by PcaSpec
+    * (planted-axis recovery, orthonormality, covariance
+    * reconstruction, differential vs an in-memory reference); the
+    * oracle proves the distributed projection of every row matches
+    * an independent engine bit-for-bit.
+    */
+  def projectOracleSql(table: String, idCol: String, vecCol: String,
+      model: PcaModel, k: Int): String = {
+    require(k >= 1 && k <= model.components.length,
+      s"k must be in [1, ${model.components.length}], got $k")
+    val d = model.means.length
+    def arr(a: Array[Double]): String =
+      a.map(_.toString).mkString("[", ", ", "]")
+    val pcs = (0 until k).map { j =>
+      s"""round(list_sum(list_transform(generate_series(1, $d),
+         |   i -> (CAST($vecCol[i] AS DOUBLE) - (${arr(model.means)}::DOUBLE[])[i])
+         |        * (${arr(model.components(j))}::DOUBLE[])[i])), 6) AS pc_$j"""
+        .stripMargin
+    }.mkString(",\n ")
+    s"""SELECT $idCol,
+       | $pcs
+       |FROM $table""".stripMargin
+  }
+
   /** Closed-form PCA over TWO integer feature columns — the
     * cross-engine-exact twin of [[fit]] for the d=2 probe a pipeline
     * owner runs on scalar signals (e.g. chars × tokens: is length one

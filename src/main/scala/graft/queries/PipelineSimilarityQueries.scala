@@ -267,9 +267,13 @@ private[graft] object PipelineSimilarityQueries {
 
     // Full PCA on the embedding corpus: fit d=16 (decimal-exact
     // moments + driver Jacobi), project every vector onto the top-4
-    // components. Rows-only (the Jacobi rotation history is not
-    // SQL-expressible); PcaSpec pins orthonormality, variance
-    // ordering, and a differential vs a driver-side reference.
+    // components. Oracled via the frozen-literal discipline (q174's):
+    // Verify fits the same model on the target dir and embeds
+    // means/rotation as Double.toString literals
+    // (PcaOps.projectOracleSql) — DuckDB replays the per-row
+    // projection bit-for-bit; PcaSpec pins the eigensolve kernel
+    // (orthonormality, variance ordering, differential vs a
+    // driver-side reference).
     "q124_pca_project" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
       val m = PcaOps.fit(emb, "embedding", 16)

@@ -22,15 +22,38 @@ class VerifyEmitSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"oracles with inline PRAGMA: ${offenders.keys}")
   }
 
-  test("every registered query has either an oracle or a documented " +
-      "rows-only exemption") {
-    // the three PERMANENT rows-only queries (COVERAGE.md r15): zlib
-    // deflate, data-dependent Jacobi pivots, unigram-EM fixed point
-    val exempt = Set("q109_compression_ratio", "q124_pca_project",
-      "q173_unigram_fit")
+  test("every registered query has either an oracle, a dynamic " +
+      "(dir-fitted) oracle, or a documented rows-only exemption") {
+    // rows-only (COVERAGE.md): zlib deflate (q109), unigram-EM fixed
+    // point (q173). q124 moved to a DYNAMIC oracle in r16 — its
+    // frozen-literal SQL is fit on the target dir inside Verify.main
+    // (PcaOps.projectOracleSql), so it cannot appear in the static
+    // map; `dynamic` pins that the generator stays wired.
+    val exempt = Set("q109_compression_ratio", "q173_unigram_fit")
+    val dynamic = Set("q124_pca_project")
     val missing = graft.SparkEntry.queries.keySet --
-      graft.SparkEntry.oracleSql.keySet -- exempt
+      graft.SparkEntry.oracleSql.keySet -- exempt -- dynamic
     assert(missing.isEmpty,
       s"queries with neither oracle nor exemption: $missing")
+    assert((dynamic & graft.SparkEntry.oracleSql.keySet).isEmpty,
+      "dynamic oracles must not ALSO have a static entry (Verify " +
+        "would emit the static one last and silently shadow the fit)")
+  }
+
+  test("projectOracleSql embeds the model as exact literals and " +
+      "replays a left-to-right fold") {
+    val m = graft.ops.PcaOps.PcaModel(3L,
+      Array(0.5, -1.25), Array(2.0, 1.0),
+      Array(Array(0.6, 0.8), Array(-0.8, 0.6)))
+    val sql = graft.ops.PcaOps.projectOracleSql("embeddings", "vec_id",
+      "embedding", m, 2)
+    assert(sql.contains("[0.5, -1.25]::DOUBLE[]"), sql)
+    assert(sql.contains("[0.6, 0.8]::DOUBLE[]") &&
+      sql.contains("[-0.8, 0.6]::DOUBLE[]"))
+    assert(sql.contains("list_sum") && sql.contains("generate_series(1, 2)"))
+    assert(sql.contains("AS pc_0") && sql.contains("AS pc_1"))
+    intercept[IllegalArgumentException] {
+      graft.ops.PcaOps.projectOracleSql("e", "id", "v", m, 3)
+    }
   }
 }
