@@ -26,12 +26,59 @@ Verdicts per mover:
                  median returns to seal range
   contamination  isolated median within --iso-threshold x of the seal
   REGRESSION     isolated median stays above — exit 1
+  box-degraded   the CONTROL isobenches themselves isolate above
+                 --control-threshold x of their seal rows, so the
+                 host cannot reproduce ANY seal row right now and no
+                 REGRESSION verdict is meaningful — exit 3, re-run on
+                 a quiet host
+
+Control calibration (runs FIRST, before any mover is adjudicated):
+two untouched control queries (q76/q303 — the BENCHNOTES pair) are
+isobenched and compared to their own seal rows. r15 minted three
+false REGRESSIONs exactly because this step was manual: a lucky-fast
+seal row plus a ~2x-degraded host exceeds any fixed iso-threshold on
+code nobody touched. Mild inflation (controls between 1.0x and the
+cutoff) SCALES the iso-threshold instead, so the mover bar moves with
+the box.
 """
-import argparse, json, os, sys
+import argparse, json, os, statistics, sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 from benchdiff import isobench  # fresh-JVM adjudicator, shared
+
+DEFAULT_CONTROLS = "q76_bloom_semijoin,q303_ks_fdr"
+
+
+def calibrate(controls, seal_warm, samples, cutoff, iso_fn=isobench):
+    """Isobench the control pair; return (inflation, degraded, rows).
+
+    inflation = median over controls of (isolated median / seal row),
+    floored at 1.0 (a faster-than-seal box never TIGHTENS the bar).
+    degraded  = inflation > cutoff. rows = per-control detail for the
+    report. Controls missing from the seal or failing to isobench are
+    skipped; with zero usable controls the calibration is inconclusive
+    and (1.0, False, rows) is returned with a warning row.
+    """
+    rows, ratios = [], []
+    for q in controls:
+        a = seal_warm.get(q)
+        if a is None or a <= 0:
+            rows.append((q, None, None, "not in seal — skipped"))
+            continue
+        s = iso_fn(q, samples)
+        if s is None:
+            rows.append((q, a, None, "isobench FAILED — skipped"))
+            continue
+        r = s["warm_min_median"] / a
+        ratios.append(r)
+        rows.append((q, a, s["warm_min_median"], f"{r:.2f}x"))
+    if not ratios:
+        rows.append(("(calibration)", None, None,
+                     "NO usable controls — verdicts uncalibrated"))
+        return 1.0, False, rows
+    inflation = max(1.0, statistics.median(ratios))
+    return inflation, inflation > cutoff, rows
 
 
 def load_foreign(path):
@@ -63,6 +110,13 @@ def main():
     ap.add_argument("--iso-samples", type=int, default=3)
     ap.add_argument("--iso-threshold", type=float, default=1.5)
     ap.add_argument("--no-isobench", dest="iso", action="store_false")
+    ap.add_argument("--controls", default=DEFAULT_CONTROLS,
+                    help="comma-separated control queries isobenched "
+                         "FIRST to calibrate the host against the seal")
+    ap.add_argument("--control-threshold", type=float, default=1.4,
+                    help="controls isolating above this x of their "
+                         "seal rows mark the host degraded (exit 3)")
+    ap.add_argument("--no-controls", dest="ctl", action="store_false")
     args = ap.parse_args()
 
     warm, tel, meta = load_foreign(args.foreign)
@@ -107,6 +161,30 @@ def main():
               "nothing to adjudicate")
         return
 
+    # Control calibration BEFORE any mover verdict: can this host
+    # reproduce seal rows for code nobody touched?
+    inflation, degraded, eff_iso = 1.0, False, args.iso_threshold
+    if args.iso and args.ctl:
+        controls = [c for c in args.controls.split(",") if c]
+        print(f"\ncalibrating against controls {controls} "
+              f"(untouched queries; seal rows are the yardstick):")
+        inflation, degraded, rows = calibrate(
+            controls, sw, args.iso_samples, args.control_threshold)
+        for q, a, med, note in rows:
+            seal_s = "—" if a is None else f"{a:.3f}s"
+            iso_s = "—" if med is None else f"{med:.3f}s"
+            print(f"  control {q}: seal {seal_s}, isolated {iso_s} ({note})")
+        if degraded:
+            print(f"HOST DEGRADED: controls isolate {inflation:.2f}x above "
+                  f"their seal rows (> {args.control_threshold}x) — fresh "
+                  "JVMs cannot reproduce the seal for UNTOUCHED code, so "
+                  "no REGRESSION verdict below is meaningful. Re-run on a "
+                  "quiet host.")
+        elif inflation > 1.0:
+            eff_iso = args.iso_threshold * inflation
+            print(f"controls isolate {inflation:.2f}x — scaling the "
+                  f"iso-threshold {args.iso_threshold} -> {eff_iso:.2f}")
+
     print(f"\n{len(movers)} mover(s); adjudicating:")
     print("\n| query | seal | foreign | ratio | telemetry | "
           "isolated median (spread) | verdict |")
@@ -131,16 +209,24 @@ def main():
                   f"| isobench FAILED | unadjudicated |")
             continue
         med, spread = s["warm_min_median"], s["spread"]
-        clean = med <= a * args.iso_threshold
-        verdict = (("env-inflated" if env_hint else "contamination")
-                   if clean else "REGRESSION")
-        if not clean:
+        clean = med <= a * eff_iso
+        if clean:
+            verdict = "env-inflated" if env_hint else "contamination"
+        elif degraded:
+            verdict = (f"box-degraded (controls {inflation:.2f}x) — "
+                       "re-run on quiet host")
+        else:
+            verdict = "REGRESSION"
             bad.append(q)
         print(f"| {q} | {a:.2f}s | {b:.2f}s | {r:.2f}x | {telcol} "
               f"| {med:.3f}s ({spread:.3f}) | {verdict} |")
     if bad:
         print(f"\nNOT clean: {', '.join(bad)}")
         sys.exit(1)
+    if degraded:
+        print("\nhost degraded — adjudication INCONCLUSIVE, not clean: "
+              "re-run this audit on a quiet box")
+        sys.exit(3)
     print("\nall movers adjudicated clean against the committed seal — "
           "paste the table into BENCHNOTES")
 
