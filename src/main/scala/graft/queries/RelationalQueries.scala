@@ -412,6 +412,73 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q12 shape (shipmode / order-priority matrix). The base
+    // lineitem lacks l_shipmode/l_commitdate/l_receiptdate, so they
+    // are DERIVED deterministically from the row identity via the
+    // native md5 digest split (words 1-3 of graft_md5_longs ==
+    // conv(substring(md5_hex, 1|9|17, 8), 16, 10) — the portable
+    // '0x'-cast idiom every md5-twin oracle already replays):
+    // shipmode = mode[word1 % 7], commitdate = shipdate + word2%61-30
+    // days, receiptdate = shipdate + word3%30+1 days. One fact scan,
+    // filters cut ~2/7 of modes and a 1-year receipt window BEFORE
+    // the orders join; the CASE sums are one partial-agg'd exchange
+    // on the 2-row group key.
+    "q379_shipmode_priority" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val h = call_function("graft_md5_longs",
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).cast("binary"))
+      val modes = typedlit(Seq("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK",
+        "MAIL", "FOB"))
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          element_at(modes,
+            (pmod(element_at(h, 1), lit(7L)) + 1L).cast("int"))
+            .as("l_shipmode"),
+          col("l_shipdate").cast("date").as("_sd"),
+          (pmod(element_at(h, 2), lit(61L)) - 30L).cast("int").as("_clag"),
+          (pmod(element_at(h, 3), lit(30L)) + 1L).cast("int").as("_rlag"))
+        .withColumn("_commit", date_add(col("_sd"), col("_clag")))
+        .withColumn("_receipt", date_add(col("_sd"), col("_rlag")))
+        .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("_commit") < col("_receipt") && col("_sd") < col("_commit") &&
+          col("_receipt") >= lit("1997-01-01").cast("date") &&
+          col("_receipt") < lit("1998-01-01").cast("date"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_shipmode")
+    }),
+
+    // TPC-H Q16 shape (supplier count by part attributes): the
+    // partsupp relation is stood in by the DISTINCT (l_partkey,
+    // l_suppkey) pairs countDistinct already dedups, and the
+    // "complaints" NOT-IN exclusion by suppliers with negative
+    // balance. Part is a dim (broadcast), the exclusion set is tiny
+    // (broadcast anti join == NOT IN here: s_suppkey is never null),
+    // so the only exchange is the partial-agg'd distinct-count on the
+    // (brand, type, size) grain.
+    "q380_parts_supplier_cnt" -> ((s, d) => {
+      val p = Tables(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#45" &&
+          !col("p_type").startsWith("MEDIUM") &&
+          col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      val bad = Tables(s, d, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
     // TPC-H Q2 shape (min-per-group lookup join): for each part, the
     // EUROPE supplier(s) whose best offer equals the part's regional
     // minimum — the classic correlated scalar subquery
@@ -974,6 +1041,44 @@ object RelationalQueries {
           count_distinct(col("k")).as("n_distinct_k"))))
 
   val oracles: Map[String, String] = Map(
+    // Q12 twin: the derived columns replay word-for-word — word w of
+    // graft_md5_longs == CAST('0x' || substr(md5_hex, 8(w-1)+1, 8) AS
+    // BIGINT) (LayoutOps shard idiom); dates are DATE + int days.
+    "q379_shipmode_priority" ->
+      """WITH l AS (SELECT l_orderkey,
+        |  md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |      CAST(l_linenumber AS VARCHAR)) AS hx,
+        |  CAST(l_shipdate AS DATE) AS sd FROM lineitem),
+        |d AS (SELECT l_orderkey,
+        |  (['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB'])[
+        |    CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 7 AS INTEGER) + 1]
+        |    AS l_shipmode,
+        |  sd,
+        |  sd + CAST(CAST('0x' || substr(hx, 9, 8) AS BIGINT) % 61 - 30
+        |    AS INTEGER) AS cdt,
+        |  sd + CAST(CAST('0x' || substr(hx, 17, 8) AS BIGINT) % 30 + 1
+        |    AS INTEGER) AS rdt
+        | FROM l)
+        |SELECT l_shipmode,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM d JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipmode IN ('MAIL','SHIP') AND cdt < rdt AND sd < cdt
+        | AND rdt >= DATE '1997-01-01' AND rdt < DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q16 twin: spelled with the classic NOT IN subquery (equivalent
+    // to the broadcast anti join — s_suppkey is never null)
+    "q380_parts_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+        | AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+        | AND l_suppkey NOT IN
+        |   (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
     // KMV estimator replay (the q375 discipline) + exact group counts
     "q51_approx_distinct" -> {
       val est = graft.ops.ProfileOps.kmvColumnOracleSql(

@@ -245,6 +245,29 @@ class PlanSpec extends SparkSpec {
     assert("graft_bloom_contains".r.findAllIn(s).size >= 2, s)
   }
 
+  test("q379 (Q12): orders broadcasts onto the filtered fact scan; " +
+      "priority matrix aggregates map-side first") {
+    val s = formatted("q379_shipmode_priority")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), "orders join degraded to sort-merge")
+    assert("partial_sum".r.findAllIn(s).nonEmpty, s)
+    // derived-column predicates stay on the pruned 3-column scan
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema"))
+      .filter(_.contains("l_orderkey")).mkString
+    assert(!readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("q380 (Q16): part dim and the NOT-IN exclusion both broadcast; " +
+      "the fact never sort-merges") {
+    val s = formatted("q380_parts_supplier_cnt")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2, s)
+    assert(s.contains("LeftAnti"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    // part predicates pushed to the dim scan
+    assert(s.contains("Not(EqualTo(p_brand,Brand#45))"), s)
+  }
+
   test("zero-shuffle claims hold at runtime: measured shuffle bytes are zero") {
     import graft.ops.PlanProbe
     // q88: the vocab pass shuffles (vocab-bounded, during query
