@@ -86,7 +86,7 @@ object BloomOps {
     * [[graft.functions.BloomContainsRef]] at or above it. Both forms
     * are single-call codegen probes with identical semantics.
     */
-  private def probeColumn(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def probeColumn(spark: org.apache.spark.sql.SparkSession,
       bf: BloomFilter, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)

@@ -699,4 +699,92 @@ object StreamOps {
       .toDF("arm", "n_trials", "n_conv", "llr_final", "cross_idx",
         "decision")
   }
+
+  /** Streaming twin of [[graft.ops.BloomOps.bloomAntiJoin]] — the
+    * INCREMENTAL cross-crawl dedup (q377's production shape): crawl
+    * shards land as micro-batches (e.g. the q378 landing-directory
+    * source) and every document whose key is already in the prior
+    * crawl OR an earlier accepted batch drops; survivors go to the
+    * caller's `accept` sink and their keys append to a durable
+    * parquet key store (batch_id-partitioned, the IndexStore
+    * discipline).
+    *
+    * The reference bloom is UNION-maintained across batches: blooms
+    * of identical geometry are bitwise unions (`mergeInPlace`), so
+    * each batch pays only its OWN keys' build — never a rebuild of
+    * the full reference. That is why `expectedItems` is REQUIRED
+    * here: geometry must be fixed up front for merges to be legal.
+    * Size it for the LIFETIME key count; overflow past it only
+    * raises fpp (more verify traffic), never correctness — exact
+    * verification of probable hits reads the key STORE, so a bloom
+    * false positive cannot drop a fresh document, and false negatives
+    * remain impossible.
+    *
+    * Retry-safe (at-least-once foreachBatch): the verifying anti join
+    * reads only `batch_id < current`, so keys a failed attempt of the
+    * SAME batch already appended cannot turn its own documents into
+    * "duplicates"; the bloom is an over-approximation by construction
+    * (retried merges are idempotent unions). Per-batch equality with
+    * the batch operator — survivors(i) == bloomAntiJoin(batch_i,
+    * ref_0 ∪ accepted keys < i) — is pinned by StreamingSpec.
+    *
+    * The batch frame is persisted across the split's two branches
+    * (the split recomputes its input otherwise — satisfying the
+    * deterministic-corpus contract of the batch operator even over
+    * non-replayable sources) and unpersisted after the sink returns.
+    */
+  def crossCrawlDedupStream(stream: DataFrame, keyCol: String,
+      refKeys: DataFrame, refKeyCol: String, keyStore: String,
+      expectedItems: Long, fpp: Double = 0.01,
+      checkpointDir: Option[String] = None)(
+      accept: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(expectedItems > 0,
+      "crossCrawlDedupStream needs an explicit expectedItems: the " +
+        "bloom geometry must be fixed up front for cross-batch " +
+        "mergeInPlace unions to be legal")
+    val spark = stream.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val storePath = new org.apache.hadoop.fs.Path(keyStore)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(storePath)) {
+      // fresh pipeline: seed the store with the prior-crawl keys as
+      // batch -1. An EXISTING store is resumed as-is (restart case) —
+      // refKeys are assumed already folded in.
+      refKeys.select(col(refKeyCol).as("k")).na.drop().distinct()
+        .withColumn("batch_id", lit(-1L))
+        .write.partitionBy("batch_id").parquet(keyStore)
+    }
+    val bloom = graft.ops.BloomOps.buildBloom(
+      spark.read.parquet(keyStore).select("k"), "k",
+      expectedItems = expectedItems, fpp = fpp)
+    val writer = stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val ref = ss.read.parquet(keyStore)
+          .filter(col("batch_id") < lit(batchId))
+          .select(col("k").as("_graft_bk"))
+        val mightHit = graft.ops.BloomOps.probeColumn(ss, bloom, col(keyCol))
+        val b = batch.persist()
+        try {
+          val clean = b.filter(col(keyCol).isNull || !mightHit)
+          val verified = b.filter(mightHit)
+            .join(ref, col(keyCol) === col("_graft_bk"), "left_anti")
+          val survivors = clean.unionByName(verified).persist()
+          try {
+            val newKeys = survivors.select(col(keyCol).as("k"))
+              .na.drop().distinct()
+              .withColumn("batch_id", lit(batchId))
+            newKeys.write.mode("append").partitionBy("batch_id")
+              .parquet(keyStore)
+            bloom.mergeInPlace(graft.ops.BloomOps.buildBloom(
+              newKeys.select("k"), "k",
+              expectedItems = expectedItems, fpp = fpp))
+            accept(survivors, batchId)
+          } finally survivors.unpersist(false)
+        } finally b.unpersist(false)
+    }
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
 }

@@ -720,6 +720,80 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keySet.map(_._1) == Set(0, 1), "both cells populated")
   }
 
+  test("crossCrawlDedupStream: per-batch survivors equal the batch " +
+      "bloomAntiJoin against the growing reference; keys accumulate") {
+    implicit val sqlCtx = spark.sqlContext
+    import scala.collection.mutable
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_crawl_dedup").toString
+    val input = MemoryStream[(Long, String)]
+    val ref0 = Seq("seen_a", "seen_b", "seen_c").toDF("k0")
+    val got = mutable.Map[Long, Set[(Long, String)]]()
+    val q = StreamOps.crossCrawlDedupStream(
+      input.toDF().toDF("id", "url"), "url", ref0, "k0",
+      s"$tmp/keys", expectedItems = 1000L) { (df, bid) =>
+      got(bid) = df.select("id", "url").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    // batch 0: one prior-crawl dup, one internal pair (both kept — the
+    // batch operator doesn't dedup within the corpus), one null key
+    val b0 = Seq((1L, "seen_a"), (2L, "new_x"), (3L, "new_x"),
+      (4L, null.asInstanceOf[String]))
+    // batch 1: dups of batch 0's accepted keys must now drop
+    val b1 = Seq((5L, "new_x"), (6L, "seen_b"), (7L, "new_y"))
+    // batch 2: everything already seen
+    val b2 = Seq((8L, "new_y"), (9L, "new_x"), (10L, "seen_c"))
+    input.addData(b0: _*); q.processAllAvailable()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // replay each batch through the BATCH operator against the same
+    // growing reference the stream maintained
+    var refKeys = Seq("seen_a", "seen_b", "seen_c")
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val expect = graft.ops.BloomOps.bloomAntiJoin(
+          b.toDF("id", "url"), refKeys.toDF("rk"), "url", "rk")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1))).toSet
+      assert(got(i.toLong) === expect, s"batch $i")
+      refKeys = refKeys ++ expect.flatMap(t => Option(t._2))
+    }
+    assert(got(0L) === Set((2L, "new_x"), (3L, "new_x"),
+      (4L, null: String)), "b0: internal pair kept, null survives")
+    assert(got(1L) === Set((7L, "new_y")), "b1: accepted keys drop dups")
+    assert(got(2L) === Set.empty, "b2: all seen")
+    // the durable store holds exactly seed + accepted distinct keys
+    val stored = spark.read.parquet(s"$tmp/keys")
+      .select("k").as[String].collect().toSet
+    assert(stored === Set("seen_a", "seen_b", "seen_c", "new_x", "new_y"))
+  }
+
+  test("crossCrawlDedupStream: forced-high-fpp bloom stays exact " +
+      "(verify branch absorbs the false positives); geometry guard") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_crawl_fpp").toString
+    val input = MemoryStream[(Long, String)]
+    var survivors = Set.empty[Long]
+    val q = StreamOps.crossCrawlDedupStream(
+      input.toDF().toDF("id", "url"), "url",
+      Seq("d0").toDF("k0"), "k0", s"$tmp/keys",
+      expectedItems = 64L, fpp = 0.5) { (df, _) =>
+      survivors ++= df.select("id").as[Long].collect()
+    }
+    input.addData((0 until 200).map(i => (i.toLong, s"u$i")) :+
+      (999L, "d0"): _*)
+    q.processAllAvailable(); q.stop()
+    assert(survivors === (0 until 200).map(_.toLong).toSet,
+      "only the true duplicate drops at fpp=0.5")
+    intercept[IllegalArgumentException] {
+      StreamOps.crossCrawlDedupStream(
+        input.toDF().toDF("id", "url"), "url",
+        Seq("d0").toDF("k0"), "k0", s"$tmp/keys2",
+        expectedItems = -1L) { (_, _) => () }
+    }
+  }
+
   test("streaming ingest -> durable LSH band store: foreachBatch-appended " +
       "band rows serve pairs equal to the from-scratch pipeline") {
     implicit val sqlCtx = spark.sqlContext
