@@ -121,16 +121,23 @@ object Verify {
     // the same sfDir the queries ran on. A generator failure logs and
     // drops the entry (the query then grades rows-only, never a bogus
     // hash mismatch).
+    def dynamicOracle(name: String)(gen: => String): Map[String, String] =
+      if (!only.forall(_.exists(name.startsWith))) Map.empty
+      else try Map(name -> gen)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name oracle generator failed: ${e.getMessage}")
+        Map.empty
+      }
     val dynamicOracles: Map[String, String] =
-      if (!only.forall(_.exists("q124_pca_project".startsWith))) Map.empty
-      else try {
+      dynamicOracle("q124_pca_project") {
         val m = graft.ops.PcaOps.fit(
           Tables(spark, sfDir, "embeddings"), "embedding", 16)
-        Map("q124_pca_project" -> graft.ops.PcaOps.projectOracleSql(
-          "embeddings", "vec_id", "embedding", m, 4))
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] q124 oracle generator failed: ${e.getMessage}")
-        Map.empty
+        graft.ops.PcaOps.projectOracleSql(
+          "embeddings", "vec_id", "embedding", m, 4)
+      } ++
+      dynamicOracle("q173_unigram_fit") {
+        graft.ops.UnigramOps.fitOracleSql("documents", "text",
+          graft.ops.UnigramOps.q173Trace(Tables(spark, sfDir, "documents")))
       }
     val json = (SparkEntry.oracleSql ++ dynamicOracles)
       .map { case (k, v) => s"${q(k)}: ${q(selfLimiting(v))}" }

@@ -305,6 +305,28 @@ object UnigramOps {
       minCount: Long = 2L, maxSeedCollect: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    fitUnigramTrace(df, textCol, vocabSize, seedCap, maxLen, iters,
+      minCount, maxSeedCollect).rows
+      .toDF("piece", "piece_len", "logprob", "rank")
+  }
+
+  /** Full fit PLUS the two artifacts the q173 dynamic oracle needs:
+    * the model entries fed to the LAST E-step and that step's exact
+    * per-piece micro-unit sums. The oracle generator
+    * ([[fitOracleSql]]) embeds both, so DuckDB can replay the last
+    * E-step from the DATA and gate the embedded final rows on its
+    * independently-aggregated integers matching (the q174/q124
+    * frozen-literal trust split).
+    */
+  private[graft] case class UnigramFitTrace(
+      preEntries: Seq[String],
+      lastMicroSums: Seq[(String, BigInt)],
+      rows: Seq[(String, Int, Double, Int)])
+
+  private[graft] def fitUnigramTrace(df: DataFrame, textCol: String,
+      vocabSize: Int, seedCap: Int, maxLen: Int, iters: Int,
+      minCount: Long, maxSeedCollect: Int): UnigramFitTrace = {
+    val spark = df.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val wordTable = df
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
@@ -335,6 +357,8 @@ object UnigramOps {
       }
       val singleSet = singles.map(_._1)
       // ---- EM rounds: native per-word E-step, exact aggregation
+      var lastEntries: Seq[String] = Seq.empty
+      var lastSums: Seq[(String, BigInt)] = Seq.empty
       for (_ <- 1 to iters) {
         val entries = modelToEntries(new UnigramModel(probs, maxLen))
         val expect = call_function("graft_unigram_expect", col("w"),
@@ -346,6 +370,8 @@ object UnigramOps {
             .as("m"))
           .collect().map(r => (r.getString(0), BigInt(r.getDecimal(1).toBigInteger)))
           .sortBy(_._1)
+        lastEntries = entries
+        lastSums = sums
         val total = sums.map(_._2).sum
         probs = sums.collect {
           case (p, m) if m > 0 => p -> (BigDecimal(m) / BigDecimal(total)).toDouble
@@ -363,11 +389,23 @@ object UnigramOps {
         .sortBy { case (p, _, lp) => (-lp, p) }
         .zipWithIndex
         .map { case ((p, len, lp), i) => (p, len, lp, i + 1) }
-      rows.toDF("piece", "piece_len", "logprob", "rank")
+      UnigramFitTrace(lastEntries, lastSums, rows)
     } finally {
       wordTable.unpersist()
     }
   }
+
+  /** q173's registered parameterization — ONE definition shared by
+    * the query (PipelineTextQueries) and the dynamic oracle generator
+    * (Verify), so they can never drift apart. */
+  def q173Fit(df: DataFrame): DataFrame =
+    fitUnigram(df, "text", vocabSize = 120, seedCap = 600, iters = 3,
+      minCount = 2)
+
+  private[graft] def q173Trace(df: DataFrame): UnigramFitTrace =
+    fitUnigramTrace(df, "text", vocabSize = 120, seedCap = 600,
+      maxLen = MaxPieceLen, iters = 3, minCount = 2L,
+      maxSeedCollect = 1 << 20)
 
   /** Fitted-model Column encode: Viterbi pieces for a text column via
     * the native `graft_unigram_encode` expression (model rides as a
@@ -565,5 +603,107 @@ object UnigramOps {
        | coalesce(a.n_pieces, 0) AS n_pieces,
        | coalesce(a.pieces_md5, md5('')) AS pieces_md5
        |FROM $table t LEFT JOIN agg a ON t.$idCol = a.id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[fitUnigram]] (q173) — the LAST-E-STEP replay
+    * that moves the EM fit off rows-only. The full EM loop is
+    * genuinely SQL-inexpressible (each round's model feeds the next),
+    * but the trace splits it: the generator (Verify, driver-side)
+    * runs the fit, freezes the model ENTERING the final E-step as
+    * exact `Double.toString` literals, and DuckDB independently
+    * replays that E-step FROM THE DATA — tokenize, count words,
+    * forward–backward expected counts per distinct word (two
+    * recursive linear-space DPs; the backward pass is the forward
+    * recursion on the REVERSED word with a reversed-piece map, which
+    * is term-for-term beta: IEEE multiplication is commutative and
+    * the l-ascending addition order is preserved), per-(word, piece)
+    * micro-unit rounding via `floor(x·1e6 + 0.5)` (exactly Java's
+    * `math.round`), then the exact integer aggregation Σ micro·cnt.
+    *
+    * The embedded final rows (prune/renormalize/log/rank — a driver-
+    * side O(vocab) transform pinned by UnigramSpec) are gated on the
+    * data-derived integers MATCHING the trace's: each output row
+    * joins on `coalesce(m, 0) = <expected m literal>`, so any drift
+    * in the distributed aggregation drops rows and fails the compare.
+    * Micro rounding is what makes the cross-engine compare exact —
+    * sub-micro float drift cannot move the integers (the VERDICT r15
+    * "micro-unit longs already exact" argument).
+    */
+  def fitOracleSql(table: String, textCol: String,
+      trace: UnigramFitTrace, maxLen: Int = MaxPieceLen): String = {
+    require(trace.preEntries.nonEmpty,
+      "fitOracleSql needs a trace from iters >= 1")
+    def esc(s: String) = s.replace("'", "''")
+    val model = trace.preEntries.map { s =>
+      val cut = s.lastIndexOf(' ')
+      require(cut > 0, s"unigram model entry '$s' is not 'piece prob'")
+      (s.substring(0, cut), s.substring(cut + 1)) // keep prob as text
+    }
+    val keys = model.map(e => "'" + esc(e._1) + "'").mkString(", ")
+    val vals = model.map(_._2).mkString(", ")
+    val rkeys = model.map(e => "'" + esc(e._1.reverse) + "'").mkString(", ")
+    val mMap = trace.lastMicroSums.toMap
+    val expRows = trace.rows.map { case (p, len, lp, rank) =>
+      s"('${esc(p)}', ${mMap.getOrElse(p, BigInt(0))}, $len, $lp, $rank)"
+    }.mkString(",\n       |  ")
+    // alpha step candidates, l = 1..maxLen: alpha(j+1) gains
+    // alpha(j+1-l) * p(word[j+1-l .. j+1]) when j+1 >= l and known
+    def steps(strCol: String, mapRef: String) = (1 to maxLen).map { l =>
+      s"CASE WHEN j+1 >= $l THEN al[j+2-$l] * $mapRef[substr($strCol, j+2-$l, $l)][1] END"
+    }.mkString(",\n       |     ")
+    s"""WITH RECURSIVE
+       |vm AS MATERIALIZED (SELECT map([$keys], [$vals]) AS m),
+       |rm AS MATERIALIZED (SELECT map([$rkeys], [$vals]) AS m),
+       |w0 AS MATERIALIZED (
+       | SELECT ws[wi] AS word FROM (
+       |  SELECT string_split_regex(lower($textCol), '[ \\t\\n\\f\\r]+') AS ws
+       |  FROM $table) t,
+       |  LATERAL (SELECT unnest(generate_series(1, len(ws))) AS wi)
+       | WHERE ws[wi] <> ''),
+       |wc AS MATERIALIZED (
+       | SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w0 GROUP BY word),
+       |wd AS MATERIALIZED (
+       | SELECT word, len(word) AS n, reverse(word) AS rword FROM wc),
+       |fw (word, n, j, al) AS (
+       | SELECT word, n, 0, [CAST(1.0 AS DOUBLE)] FROM wd
+       | UNION ALL
+       | SELECT word, n, j+1, al || [coalesce(list_sum(list_filter([
+       |     ${steps("word", "vm.m")}
+       |   ], x -> x IS NOT NULL)), 0.0)]
+       | FROM fw, vm WHERE j < n),
+       |bw (word, rword, n, j, al) AS (
+       | SELECT word, rword, n, 0, [CAST(1.0 AS DOUBLE)] FROM wd
+       | UNION ALL
+       | SELECT word, rword, n, j+1, al || [coalesce(list_sum(list_filter([
+       |     ${steps("rword", "rm.m")}
+       |   ], x -> x IS NOT NULL)), 0.0)]
+       | FROM bw, rm WHERE j < n),
+       |fwf AS MATERIALIZED (SELECT word, n, al FROM fw WHERE j = n),
+       |bwf AS MATERIALIZED (SELECT word, al AS bl FROM bw WHERE j = n),
+       |cells AS MATERIALIZED (
+       | SELECT word, i, l, piece, e FROM (
+       |  SELECT f.word, ii.i, ll.l, substr(f.word, ii.i + 1, ll.l) AS piece,
+       |   f.al[ii.i + 1] * vm.m[substr(f.word, ii.i + 1, ll.l)][1]
+       |     * b.bl[f.n - (ii.i + ll.l) + 1] / f.al[f.n + 1] AS e
+       |  FROM fwf f JOIN bwf b USING (word) CROSS JOIN vm,
+       |   LATERAL (SELECT unnest(generate_series(0, f.n - 1)) AS i) ii,
+       |   LATERAL (SELECT unnest(generate_series(1,
+       |     least($maxLen, f.n - ii.i))) AS l) ll) s
+       | WHERE e IS NOT NULL),
+       |micro AS MATERIALIZED (
+       | SELECT word, piece,
+       |  CAST(floor(list_sum(list(e ORDER BY i, l)) * 1e6 + 0.5) AS BIGINT)
+       |    AS micro
+       | FROM cells GROUP BY word, piece),
+       |msum AS MATERIALIZED (
+       | SELECT piece, sum(CAST(micro AS DECIMAL(28,0)) * cnt) AS m
+       | FROM micro JOIN wc USING (word) GROUP BY piece),
+       |expd (piece, m, piece_len, logprob, rnk) AS (VALUES
+       |  $expRows)
+       |SELECT e.piece, CAST(e.piece_len AS INTEGER) AS piece_len,
+       | CAST(e.logprob AS DOUBLE) AS logprob,
+       | CAST(e.rnk AS INTEGER) AS "rank"
+       |FROM expd e LEFT JOIN msum ms ON e.piece = ms.piece
+       |WHERE coalesce(ms.m, 0) = e.m""".stripMargin
   }
 }

@@ -667,13 +667,16 @@ private[graft] object PipelineTextQueries {
 
     // Unigram-LM tokenizer FIT (Kudo 2018 / SentencePiece family):
     // distributed EM over the word table, exact micro-unit count
-    // aggregation — the trained-model twin of q80's frozen BPE. No
-    // SQL oracle (forward-backward is not SQL-expressible); the fit
-    // is differential-spec'd bit-for-bit vs an in-memory reference
-    // (UnigramSpec) and partition-invariant by construction.
+    // aggregation — the trained-model twin of q80's frozen BPE.
+    // Oracled DYNAMICALLY (r16): the full EM loop is not SQL-
+    // expressible, but Verify freezes the model entering the final
+    // E-step and DuckDB replays that step from the data — forward-
+    // backward expected counts, micro-unit integers, exact
+    // aggregation — gating the embedded final rows on the integers
+    // matching (UnigramOps.fitOracleSql; kernel pinned by
+    // UnigramSpec differentials, partition-invariant by construction).
     "q173_unigram_fit" -> ((s, d) =>
-      graft.ops.UnigramOps.fitUnigram(Tables(s, d, "documents"), "text",
-        vocabSize = 120, seedCap = 600, iters = 3, minCount = 2)),
+      graft.ops.UnigramOps.q173Fit(Tables(s, d, "documents"))),
 
     // Viterbi (max-likelihood) segmentation under the FROZEN unigram
     // model — zero-shuffle inference scan, LRU word cache. Rows-only

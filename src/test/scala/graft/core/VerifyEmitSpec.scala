@@ -24,13 +24,14 @@ class VerifyEmitSpec extends AnyFunSuite {
 
   test("every registered query has either an oracle, a dynamic " +
       "(dir-fitted) oracle, or a documented rows-only exemption") {
-    // rows-only (COVERAGE.md): zlib deflate (q109), unigram-EM fixed
-    // point (q173). q124 moved to a DYNAMIC oracle in r16 — its
-    // frozen-literal SQL is fit on the target dir inside Verify.main
-    // (PcaOps.projectOracleSql), so it cannot appear in the static
-    // map; `dynamic` pins that the generator stays wired.
-    val exempt = Set("q109_compression_ratio", "q173_unigram_fit")
-    val dynamic = Set("q124_pca_project")
+    // rows-only (COVERAGE.md): zlib deflate (q109) — the one
+    // genuinely impossible replay. q124 (r16) and q173 (r16) moved to
+    // DYNAMIC oracles — their frozen-literal SQL is fit on the target
+    // dir inside Verify.main (PcaOps.projectOracleSql /
+    // UnigramOps.fitOracleSql), so it cannot appear in the static
+    // map; `dynamic` pins that the generators stay wired.
+    val exempt = Set("q109_compression_ratio")
+    val dynamic = Set("q124_pca_project", "q173_unigram_fit")
     val missing = graft.SparkEntry.queries.keySet --
       graft.SparkEntry.oracleSql.keySet -- exempt -- dynamic
     assert(missing.isEmpty,
@@ -54,6 +55,31 @@ class VerifyEmitSpec extends AnyFunSuite {
     assert(sql.contains("AS pc_0") && sql.contains("AS pc_1"))
     intercept[IllegalArgumentException] {
       graft.ops.PcaOps.projectOracleSql("e", "id", "v", m, 3)
+    }
+  }
+
+  test("fitOracleSql gates every embedded row on the data-derived " +
+      "micro integer and replays the E-step shape") {
+    val trace = graft.ops.UnigramOps.UnigramFitTrace(
+      preEntries = Seq("a 0.5", "ab 0.25", "b 0.25"),
+      lastMicroSums = Seq("a" -> BigInt(3000000), "ab" -> BigInt(1500000)),
+      rows = Seq(("a", 1, -0.693147, 1), ("ab", 2, -1.386294, 2),
+        ("b", 1, -27.631021, 3)))
+    val sql = graft.ops.UnigramOps.fitOracleSql("documents", "text", trace)
+    // frozen model literals (prob text preserved verbatim)
+    assert(sql.contains("map(['a', 'ab', 'b'], [0.5, 0.25, 0.25])"), sql)
+    // reversed-piece map for the backward pass
+    assert(sql.contains("map(['a', 'ba', 'b']"), sql)
+    // micro-unit rounding is Java math.round: floor(x*1e6 + 0.5)
+    assert(sql.contains("floor(list_sum(list(e ORDER BY i, l)) * 1e6 + 0.5)"))
+    // each embedded row carries its expected integer; backstop
+    // singles (no m row) gate on 0 via the coalesce
+    assert(sql.contains("('a', 3000000, 1, -0.693147, 1)"), sql)
+    assert(sql.contains("('b', 0, 1, -27.631021, 3)"), sql)
+    assert(sql.contains("coalesce(ms.m, 0) = e.m"), sql)
+    intercept[IllegalArgumentException] {
+      graft.ops.UnigramOps.fitOracleSql("d", "t",
+        graft.ops.UnigramOps.UnigramFitTrace(Seq.empty, Seq.empty, Seq.empty))
     }
   }
 }
