@@ -247,6 +247,62 @@ object IndexStore {
     })
   }
 
+  /** Append one batch's PCA moment delta ([[PcaOps.momentsDelta]])
+    * under the enforced single-parameterization contract: moments of
+    * different dimension (different flattened-position layouts) are
+    * meaningless to merge, so `d` is sidecar-pinned on first append
+    * and require-matched after.
+    */
+  def appendPcaMoments(delta: DataFrame, path: String, d: Int): Unit = {
+    checkParams(delta.sparkSession, path, "PCA moments",
+      Map("d" -> d.toString), writeIfAbsent = true)
+    append(delta, path)
+  }
+
+  /** Merged PCA moments (pos, s) — feed to
+    * [[PcaOps.fitFromMomentsStore]]. Pass `expectD` to require-match
+    * the store's sidecar-pinned dimension at serve time.
+    */
+  def readPcaMoments(spark: SparkSession, path: String,
+      expectD: Int = -1): DataFrame = {
+    if (expectD >= 0)
+      checkParams(spark, path, "PCA moments",
+        Map("d" -> expectD.toString), writeIfAbsent = false)
+    readMerged(spark, path, Seq("pos"), Seq("s"))
+  }
+
+  private val pcaStores = new ConcurrentHashMap[WKey, String]()
+
+  /** q381's demo store: the embeddings corpus split into 3
+    * content-keyed batches (pmod(vec_id, 3)), each batch's moment
+    * delta appended — built ONCE per application+corpus (the
+    * ivfDemoStorePath memoization) so warm bench runs serve from it
+    * instead of re-appending into a fresh temp dir each run.
+    */
+  def pcaDemoStorePath(spark: SparkSession, dir: String,
+      d: Int = 16): String = {
+    val key = WKey(spark.sparkContext.applicationId, s"$dir#pca_d=$d")
+    pcaStores.computeIfAbsent(key, new JFunction[WKey, String] {
+      override def apply(ignored: WKey): String = {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_q381").toString + "/moments"
+        val emb = graft.Tables(spark, dir, "embeddings")
+        (0 until 3).foreach { b =>
+          appendPcaMoments(graft.ops.PcaOps.momentsDelta(
+            emb.where(pmod(col("vec_id"), lit(3)) === b), "embedding", d),
+            path, d)
+        }
+        path
+      }
+    })
+  }
+
+  /** Test hook: drop an application's PCA demo stores. */
+  private[graft] def invalidatePcaDemo(appId: String): Unit = {
+    val it = pcaStores.keySet.iterator()
+    while (it.hasNext) if (it.next().appId == appId) it.remove()
+  }
+
   /** Test hook: drop an application's IVF demo stores. */
   private[graft] def invalidateIvfDemo(appId: String): Unit = {
     val it = ivfStores.keySet.iterator()

@@ -58,7 +58,19 @@ object PcaOps {
     * shuffle) on everything.
     */
   private def moments(emb: DataFrame, vecCol: String, d: Int)
-      : (Long, Array[Double], Array[Array[Double]]) = {
+      : (Long, Array[Double], Array[Array[Double]]) =
+    fromPosSums(momentsDelta(emb, vecCol, d)
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap, d)
+
+  /** One batch's moment delta as a FRAME: `(pos, s DECIMAL(38,18))` —
+    * pos 0 is the row count (term 1.0 per row), 1..d the coordinate
+    * sums, then the upper-triangle product sums in (i ≤ j) scan
+    * order. Decimal sums are associative, so deltas append-merge
+    * (sum per pos) to EXACTLY the single-pass moments — the additive
+    * kernel behind [[graft.ops.IndexStore.appendPcaMoments]] and the
+    * streaming ingest twin.
+    */
+  def momentsDelta(emb: DataFrame, vecCol: String, d: Int): DataFrame = {
     val raw = col(vecCol).cast("array<double>")
     // A short vector would SHIFT flattened positions, not null them,
     // and a null ELEMENT would silently drop from per-position sums
@@ -71,10 +83,13 @@ object PcaOps {
     val prods = flatten(transform(vd, (x, i0) =>
       transform(slice(vd, i0 + 1, lit(d) - i0), y => x * y)))
     val terms = concat(array(lit(1.0)), vd, prods).cast(s"array<$D>")
-    val sums = emb
+    emb
       .select(posexplode(terms).as(Seq("pos", "term")))
       .groupBy("pos").agg(sum("term").as("s"))
-      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+  }
+
+  private def fromPosSums(sums: Map[Int, java.math.BigDecimal], d: Int)
+      : (Long, Array[Double], Array[Array[Double]]) = {
     def at(p: Int): Double = {
       val x = sums.getOrElse(p, null); if (x == null) 0.0 else x.doubleValue
     }
@@ -86,6 +101,24 @@ object PcaOps {
       p(i)(j) = at(idx); p(j)(i) = p(i)(j); idx += 1
     }
     (n, s, p)
+  }
+
+  /** Fit from a durable moments store ([[graft.ops.IndexStore]]'s
+    * merge-on-read view): bit-identical to [[fit]] on the union of
+    * every appended batch — decimal sums are associative, so the
+    * merge order (including "one batch") cannot move a single bit,
+    * and the eigensolve is a deterministic function of the sums.
+    * This is incremental PCA at 100 TB: each new shard appends one
+    * tiny (1 + d + d(d+1)/2)-row delta; refits never rescan vectors.
+    */
+  def fitFromMomentsStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, d: Int): PcaModel = {
+    val sums = graft.ops.IndexStore.readPcaMoments(spark, path, expectD = d)
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    val (n, s, p) = fromPosSums(sums, d)
+    require(n >= 2, s"pca needs at least 2 rows, got $n")
+    val (evals, evecs) = jacobiEigen(covariance(n, s, p))
+    PcaModel(n, s.map(_ / n.toDouble), evals, evecs)
   }
 
   /** Population covariance with a FIXED operation order (mirrors

@@ -281,6 +281,19 @@ private[graft] object PipelineSimilarityQueries {
         .withColumnRenamed("id", "vec_id")
     }),
 
+    // Durable PCA moments store (incremental PCA, the q351/q352
+    // discipline): the corpus split into 3 content-keyed batches,
+    // each batch's (1 + d + d(d+1)/2)-row decimal moment delta
+    // appended; the query serves the MERGE-ON-READ view. The oracle
+    // recomputes the moments from scratch in DuckDB, so the hash
+    // match proves batch-split + merge == single-pass, cross-engine.
+    // Refits never rescan vectors — each new shard appends ~KBs.
+    "q381_pca_moments_store" -> ((s, d) => {
+      val store = graft.ops.IndexStore.pcaDemoStorePath(s, d, d = 16)
+      graft.ops.IndexStore.readPcaMoments(s, store, expectD = 16)
+        .select(col("pos"), col("s").cast("double").as("s"))
+    }),
+
     // Cluster-balanced sample: ~target members from each q113 cluster
     // (flatten the topic distribution before mixing). Corpus never
     // shuffles: assignment map + k-row control table + CASE-literal
@@ -316,6 +329,23 @@ private[graft] object PipelineSimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // from-scratch moments replay: same term layout ([1] ++ vec ++
+    // upper-triangle products in (i <= j) scan order), same
+    // double -> DECIMAL(38,18) casts (the q113 parity precedent),
+    // exact decimal sums; matching the Spark side's 3-batch-appended
+    // merge-on-read proves the store discipline cross-engine
+    "q381_pca_moments_store" ->
+      """WITH e AS (SELECT list_transform(embedding[1:16],
+        |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |t AS (SELECT ([1.0] || v || flatten(list_transform(
+        |    generate_series(1, 16),
+        |    i -> list_transform(v[i:16], y -> v[i] * y)))) AS terms
+        |  FROM e),
+        |u AS (SELECT terms[p1] AS term, p1 FROM t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(terms))) AS p1))
+        |SELECT CAST(p1 - 1 AS INTEGER) AS pos,
+        | CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE) AS s
+        |FROM u GROUP BY 1""".stripMargin,
     // kmeans family: the fixed-iteration Lloyd loop replays as an
     // unrolled CTE chain (md5-ordered seeds, decimal sums, ordered
     // double folds — every reduction has a defined order, so the fit

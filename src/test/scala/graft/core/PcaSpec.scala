@@ -115,4 +115,68 @@ class PcaSpec extends SparkSpec {
     assert(dr(0).getDouble(4) === 1.0 && dr(0).getDouble(5) === 0.0)
     assert(dr(1).getDouble(4) === 0.0 && dr(1).getDouble(5) === 1.0)
   }
+
+  test("moments store: batch-split append + merge-on-read fits " +
+      "BIT-identically to from-scratch; sidecar pins d") {
+    import graft.ops.IndexStore
+    val rows = (0 until 120).map { i =>
+      Array((i % 11).toDouble * 0.3, (i % 7).toDouble - 2.0,
+        (i % 5).toDouble * 1.7, (i % 13).toDouble)
+    }
+    val df = rows.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("id", "v")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_pca_store").toString + "/moments"
+    // three deterministic batches, appended out of corpus order
+    Seq(2, 0, 1).foreach { b =>
+      IndexStore.appendPcaMoments(
+        PcaOps.momentsDelta(df.where(col("id") % 3 === b), "v", 4),
+        store, d = 4)
+    }
+    val fromStore = PcaOps.fitFromMomentsStore(spark, store, 4)
+    val scratch = PcaOps.fit(df, "v", 4)
+    assert(fromStore.n === scratch.n)
+    assert(fromStore.means.toSeq === scratch.means.toSeq, "means bit-equal")
+    assert(fromStore.eigenvalues.toSeq === scratch.eigenvalues.toSeq)
+    assert(fromStore.components.map(_.toSeq).toSeq ===
+      scratch.components.map(_.toSeq).toSeq, "components bit-equal")
+    // mixed-dimension append and serve fail loudly (sidecar contract)
+    intercept[IllegalArgumentException] {
+      IndexStore.appendPcaMoments(
+        PcaOps.momentsDelta(df, "v", 3), store, d = 3)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.readPcaMoments(spark, store, expectD = 8).collect()
+    }
+  }
+
+  test("streaming ingest -> moments store: foreachBatch-appended " +
+      "deltas fit equal to the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_pca_stream").toString + "/moments"
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("id", "v")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.IndexStore.appendPcaMoments(
+          PcaOps.momentsDelta(df, "v", 3), store, d = 3)
+      }
+      .start()
+    val b1 = (0 until 40).map(i =>
+      (i.toLong, Seq((i % 5).toDouble, (i % 3).toDouble, i * 0.01)))
+    val b2 = (40 until 90).map(i =>
+      (i.toLong, Seq((i % 7).toDouble, (i % 2).toDouble, -i * 0.02)))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = PcaOps.fitFromMomentsStore(spark, store, 3)
+    val batch = PcaOps.fit((b1 ++ b2).toDF("id", "v"), "v", 3)
+    assert(streamed.n === batch.n)
+    assert(streamed.means.toSeq === batch.means.toSeq)
+    assert(streamed.eigenvalues.toSeq === batch.eigenvalues.toSeq)
+    assert(streamed.components.map(_.toSeq).toSeq ===
+      batch.components.map(_.toSeq).toSeq)
+  }
 }
