@@ -284,6 +284,125 @@ object SimilarityOps {
       .select(col("src_id"), col("tgt_id"), col("sim"), col("margin"))
   }
 
+  /** THE at-scale candidate path for [[marginMining]] — the swap the
+    * exact operator's scaladoc names: candidate pairs come from a
+    * sign-plane LSH bucket equi-join (the q47 family) instead of the
+    * cartesian, and the margin math is UNCHANGED — neighborhood
+    * means only need the candidates' cosines (Artetxe & Schwenk's
+    * own retrieval step is approximate in production CCMatrix).
+    *
+    * Semantics vs the exact baseline: nn_k means and the best-match
+    * search run over the CANDIDATE set, so a query whose true match
+    * hashes to an unprobed bucket can miss (the recall trade every
+    * ANN path prices); a query with zero candidates emits nothing.
+    * Exactness of what IS emitted: same 6dp rounding discipline at
+    * every step, deterministic (margin desc, tgt_id) tie-break.
+    *
+    * Scale shape: one bucket-keyed shuffle joins the two sides (no
+    * cartesian, no broadcast needed on either side — both may be
+    * huge); multi-probe explodes only the src side by `probes`; the
+    * nn windows partition on the pair endpoints. The pair frame is
+    * localCheckpointed once and feeds all three reads (the exact
+    * operator's discipline; caller frees via Checkpoints.release).
+    */
+  def marginMiningLsh(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, queryPred: Column, k: Int, nbits: Int = 8,
+      probes: Int = 1,
+      bucketExpr: (Column, Int) => Column = lshBucket): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= 1 && probes <= nbits + 1,
+      s"probes must be in [1, nbits+1], got $probes for nbits=$nbits")
+    graft.functions.GraftFunctions.register(src.sparkSession)
+    val s = src.select(col(idCol).as("src_id"), asDouble(col(vecCol)).as("sv"))
+      .withColumn("bucket", bucketExpr(col("sv"), nbits))
+    val pairs = lshCandidatePairs(src, tgt, idCol, vecCol, nbits, probes,
+      bucketExpr).localCheckpoint()
+    def nnMean(side: String): DataFrame = {
+      val w = Window.partitionBy(side)
+        .orderBy(col("sim").desc, col(if (side == "src_id") "tgt_id" else "src_id"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(side).agg(round(avg("sim"), 6).as(s"nn_$side"))
+    }
+    val qs = s.filter(queryPred).select(col("src_id"))
+    val scored = pairs
+      .join(broadcast(qs), Seq("src_id"))
+      .join(nnMean("src_id"), Seq("src_id"))
+      .join(nnMean("tgt_id"), Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("sim"),
+        round(col("sim") / ((col("nn_src_id") + col("nn_tgt_id")) / 2.0), 6)
+          .as("margin"))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin"))
+  }
+
+  /** The candidate frame [[marginMiningLsh]] checkpoints: src×tgt
+    * pairs meeting on the bucket key (Hamming-1 multi-probe from the
+    * src side), cosine rounded once. Exposed pre-checkpoint so
+    * PlanSpec can pin the no-cartesian / bucket-equi-join shape the
+    * checkpoint would otherwise hide.
+    */
+  private[graft] def lshCandidatePairs(src: DataFrame, tgt: DataFrame,
+      idCol: String, vecCol: String, nbits: Int, probes: Int,
+      bucketExpr: (Column, Int) => Column): DataFrame = {
+    val s = src.select(col(idCol).as("src_id"), asDouble(col(vecCol)).as("sv"))
+      .withColumn("bucket", bucketExpr(col("sv"), nbits))
+    val t = tgt.select(col(idCol).as("tgt_id"), asDouble(col(vecCol)).as("tv"))
+      .withColumn("bucket", bucketExpr(col("tv"), nbits))
+    val probeBuckets = array((0 until probes).map {
+      case 0 => col("bucket")
+      case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
+    }: _*)
+    val sp = s.select(col("src_id"), col("sv"),
+      explode(probeBuckets).as("bucket"))
+    // a (src, tgt) pair matches at most one probe row (tgt has ONE
+    // bucket; a src's probed buckets are pairwise distinct) — no dedup
+    t.join(sp, Seq("bucket"))
+      .select(col("src_id"), col("tgt_id"),
+        round(nativeCosine(src)(col("sv"), col("tv")), 6).as("sim"))
+  }
+
+  /** DuckDB replay of [[marginMiningLsh]] under the [[lshBucketMd5]]
+    * plane family: same bucket literals, Hamming-1 multi-probe, 6dp
+    * cosine/mean/margin grid, same tie-breaks.
+    */
+  def marginMiningLshOracleSql(table: String, idCol: String,
+      vecCol: String, srcPredSql: String, tgtPredSql: String,
+      queryPredSql: String, k: Int, nbits: Int, probes: Int,
+      d: Int): String = {
+    val sb = lshBucketMd5Sql("sv", nbits, d)
+    val tb = lshBucketMd5Sql("tv", nbits, d)
+    val probeList = ("bucket" +: (1 until probes)
+      .map(p => s"xor(bucket, ${1L << (p - 1)})")).mkString("[", ", ", "]")
+    s"""WITH s0 AS (SELECT $idCol AS src_id, CAST($vecCol AS DOUBLE[]) AS sv
+       |  FROM $table WHERE $srcPredSql),
+       |t0 AS (SELECT $idCol AS tgt_id, CAST($vecCol AS DOUBLE[]) AS tv
+       |  FROM $table WHERE $tgtPredSql),
+       |s AS (SELECT src_id, sv, $sb AS bucket FROM s0),
+       |t AS (SELECT tgt_id, tv, $tb AS bucket FROM t0),
+       |sp AS (SELECT src_id, sv, unnest($probeList) AS bucket FROM s),
+       |p AS (SELECT src_id, tgt_id,
+       |   round(list_cosine_similarity(sv, tv), 6) AS sim
+       |  FROM t JOIN sp USING (bucket)),
+       |nns AS (SELECT src_id, round(avg(sim), 6) AS nn_s FROM (
+       |   SELECT src_id, sim, row_number() OVER (PARTITION BY src_id
+       |     ORDER BY sim DESC, tgt_id) AS rn FROM p) x
+       |  WHERE rn <= $k GROUP BY src_id),
+       |nnt AS (SELECT tgt_id, round(avg(sim), 6) AS nn_t FROM (
+       |   SELECT tgt_id, sim, row_number() OVER (PARTITION BY tgt_id
+       |     ORDER BY sim DESC, src_id) AS rn FROM p) x
+       |  WHERE rn <= $k GROUP BY tgt_id),
+       |sc AS (SELECT p.src_id, p.tgt_id, sim,
+       |    round(sim / ((nn_s + nn_t) / 2.0), 6) AS margin
+       |  FROM p JOIN nns USING (src_id) JOIN nnt USING (tgt_id)
+       |  WHERE $queryPredSql)
+       |SELECT src_id, tgt_id, sim, margin FROM (
+       | SELECT *, row_number() OVER (PARTITION BY src_id
+       |   ORDER BY margin DESC, tgt_id) AS rn FROM sc) f
+       |WHERE rn = 1""".stripMargin
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k most-similar corpus vectors with a DIFFERENT
     * label — maximally confusable negatives, the pairs a contrastive

@@ -256,6 +256,22 @@ private[graft] object PipelineSimilarityQueries {
         "vec_id", "embedding", col("vec_id") < 16, k = 4)
     }),
 
+    // q138's documented at-scale swap, EXERCISED and oracled (r16):
+    // candidate pairs from the md5 sign-plane bucket join (the q47
+    // family, Hamming-1 multi-probe) instead of the cartesian; margin
+    // math unchanged. One bucket-keyed shuffle joins the sides — no
+    // cartesian, neither side broadcast, the shape that survives two
+    // huge corpora.
+    "q382_margin_mining_lsh" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      SimilarityOps.marginMiningLsh(
+        emb.where(col("label") % 2 === 0),
+        emb.where(col("label") % 2 === 1),
+        "vec_id", "embedding", col("vec_id") < 16, k = 4,
+        nbits = 4, probes = 2,
+        bucketExpr = SimilarityOps.lshBucketMd5(_, _, d = 64))
+    }),
+
     // Closed-form 2-feature PCA over (chars, tokens): integer-exact
     // moments, fixed-IEEE-order eigensystem — the one PCA shape whose
     // full eigensolve an ANSI oracle can replay bit-for-bit.
@@ -346,6 +362,13 @@ private[graft] object PipelineSimilarityQueries {
         |SELECT CAST(p1 - 1 AS INTEGER) AS pos,
         | CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE) AS s
         |FROM u GROUP BY 1""".stripMargin,
+    // candidate-path margin mining: same plane literals, probes,
+    // 6dp grid and tie-breaks as the Spark side
+    "q382_margin_mining_lsh" -> SimilarityOps.marginMiningLshOracleSql(
+      "embeddings", "vec_id", "embedding",
+      srcPredSql = "label % 2 = 0", tgtPredSql = "label % 2 = 1",
+      queryPredSql = "p.src_id < 16", k = 4, nbits = 4, probes = 2,
+      d = 64),
     // kmeans family: the fixed-iteration Lloyd loop replays as an
     // unrolled CTE chain (md5-ordered seeds, decimal sums, ordered
     // double folds — every reduction has a defined order, so the fit

@@ -268,6 +268,21 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("Not(EqualTo(p_brand,Brand#45))"), s)
   }
 
+  test("q382 margin-mining candidate path: bucket equi-join, " +
+      "no cartesian (pinned on the pre-checkpoint pair frame)") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = graft.ops.SimilarityOps.lshCandidatePairs(
+      emb.where(col("label") % 2 === 0), emb.where(col("label") % 2 === 1),
+      "vec_id", "embedding", nbits = 4, probes = 2,
+      bucketExpr = graft.ops.SimilarityOps.lshBucketMd5(_, _, d = 64))
+    val s = pairs.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "candidate path must not degenerate to all-pairs:\n" + s)
+    assert(s.contains("bucket"), s)
+  }
+
   test("zero-shuffle claims hold at runtime: measured shuffle bytes are zero") {
     import graft.ops.PlanProbe
     // q88: the vocab pass shuffles (vocab-bounded, during query

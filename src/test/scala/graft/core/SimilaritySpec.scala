@@ -430,6 +430,40 @@ class SimilaritySpec extends SparkSpec {
       s"planted margin $margin7 vs noise max ${others.max}")
   }
 
+  test("marginMiningLsh: planted pair survives the candidate path; " +
+      "recall floor vs exact; partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(16)(rnd.nextDouble() - 0.5)
+    val srcVecs = (0L until 40L).map(i => (i, vec()))
+    val planted = srcVecs(7)._2.map(_ + 0.01)
+    val tgtVecs = (100L until 140L).map(i =>
+      (i, if (i == 100L) planted else vec()))
+    val src = srcVecs.toDF("vec_id", "embedding")
+    val tgt = tgtVecs.toDF("vec_id", "embedding")
+    def run(s: org.apache.spark.sql.DataFrame, t: org.apache.spark.sql.DataFrame) =
+      graft.ops.SimilarityOps.marginMiningLsh(
+        s, t, "vec_id", "embedding", col("vec_id") < 40, k = 4,
+        nbits = 3, probes = 2,
+        bucketExpr = graft.ops.SimilarityOps.lshBucketMd5(_, _, d = 16))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(src, tgt)
+    // a NEAR-IDENTICAL pair shares every plane sign, so the planted
+    // match is in the same bucket by construction — the one result
+    // the candidate path must never lose
+    assert(got.get(7L).contains(100L),
+      s"planted pair must survive the bucket join, got ${got.get(7L)}")
+    // recall floor vs the exact all-pairs baseline
+    val exact = graft.ops.SimilarityOps.marginMining(
+        src, tgt, "vec_id", "embedding", col("vec_id") < 40, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = exact.count { case (q, m) => got.get(q).contains(m) }
+    assert(agree >= exact.size * 3 / 10,
+      s"candidate-path best-match recall $agree/${exact.size} below floor")
+    assert(got === run(src.repartition(7), tgt.repartition(5)),
+      "partition-invariant")
+  }
+
   test("fitSample caps the driver collect at maxFitRows regardless of corpus size") {
     // fraction 1.0 would collect the whole corpus absent the cap —
     // the exact linear-in-corpus driver materialization the absolute
