@@ -430,6 +430,73 @@ object SimilarityOps {
         col("cand_label"), col("sim"))
   }
 
+  /** [[hardNegatives]]' documented at-scale swap, exercised: the
+    * brute label-mismatch join is replaced by the sign-plane bucket
+    * equi-join (Hamming-1 multi-probe from the query side) and the
+    * label filter rides the SAME join — same-label candidates never
+    * enter the ranking window, exactly the exact path's contract.
+    * One bucket-keyed shuffle, no cartesian, neither side broadcast.
+    * Approximation is recall-shaped only: a hard negative hashing to
+    * an unprobed bucket is missed; everything emitted carries the
+    * exact 6dp cosine and deterministic (sim desc, cand_id) order.
+    */
+  def hardNegativesLsh(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryPred: Column, k: Int, nbits: Int = 8,
+      probes: Int = 1,
+      bucketExpr: (Column, Int) => Column = lshBucket): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= 1 && probes <= nbits + 1,
+      s"probes must be in [1, nbits+1], got $probes for nbits=$nbits")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        col(labelCol).as("lbl"))
+      .withColumn("bucket", bucketExpr(col("v"), nbits))
+    val probeBuckets = array((0 until probes).map {
+      case 0 => col("bucket")
+      case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
+    }: _*)
+    val q = base.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("lbl").as("qlbl"), explode(probeBuckets).as("bucket"))
+    val sims = base.join(q,
+        Seq("bucket"))
+      .filter(col("id") =!= col("query_id") && col("lbl") =!= col("qlbl"))
+      .select(col("query_id"), col("qlbl").as("query_label"),
+        col("id").as("cand_id"), col("lbl").as("cand_label"),
+        round(nativeCosine(emb)(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("query_label"), col("cand_id"),
+        col("cand_label"), col("sim"))
+  }
+
+  /** DuckDB replay of [[hardNegativesLsh]] under [[lshBucketMd5]]:
+    * same plane literals, probes, label filter, 6dp grid, tie-break.
+    */
+  def hardNegativesLshOracleSql(table: String, idCol: String,
+      vecCol: String, labelCol: String, queryPredSql: String, k: Int,
+      nbits: Int, probes: Int, d: Int): String = {
+    val bucket = lshBucketMd5Sql("v", nbits, d)
+    val probeList = ("bucket" +: (1 until probes)
+      .map(p => s"xor(bucket, ${1L << (p - 1)})")).mkString("[", ", ", "]")
+    s"""WITH base AS (
+       | SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v,
+       |  $labelCol AS lbl FROM $table),
+       |bk AS (SELECT id, v, lbl, $bucket AS bucket FROM base),
+       |q AS (SELECT id AS query_id, v AS qv, lbl AS qlbl,
+       |   unnest($probeList) AS bucket
+       |  FROM bk WHERE $queryPredSql),
+       |s AS (SELECT query_id, qlbl AS query_label, bk.id AS cand_id,
+       |   bk.lbl AS cand_label,
+       |   round(list_cosine_similarity(qv, bk.v), 6) AS sim
+       |  FROM bk JOIN q USING (bucket)
+       |  WHERE bk.id <> q.query_id AND bk.lbl <> q.qlbl)
+       |SELECT query_id, query_label, cand_id, cand_label, sim FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY sim DESC, cand_id) AS rn FROM s) t
+       |WHERE rn <= $k""".stripMargin
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * xxhash64 mapped to [-1, 1]. No RNG state — same planes everywhere.
     */

@@ -244,6 +244,15 @@ private[graft] object PipelineSimilarityQueries {
       SimilarityOps.hardNegatives(Tables(s, d, "embeddings"),
         "vec_id", "embedding", "label", col("vec_id") < 8, 3)),
 
+    // q131's documented scale path, exercised and oracled (r16): the
+    // label-mismatch candidates come from the md5 sign-plane bucket
+    // join; the label filter rides the same join.
+    "q383_hard_negatives_lsh" -> ((s, d) =>
+      SimilarityOps.hardNegativesLsh(Tables(s, d, "embeddings"),
+        "vec_id", "embedding", "label", col("vec_id") < 8, 3,
+        nbits = 4, probes = 2,
+        bucketExpr = SimilarityOps.lshBucketMd5(_, _, d = 64))),
+
     // Margin-based bitext mining (Artetxe-Schwenk / CCMatrix): best
     // other-side candidate per query scored by cosine relative to
     // both endpoints' k-NN neighborhood density (hub correction).
@@ -362,6 +371,10 @@ private[graft] object PipelineSimilarityQueries {
         |SELECT CAST(p1 - 1 AS INTEGER) AS pos,
         | CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE) AS s
         |FROM u GROUP BY 1""".stripMargin,
+    // candidate-path hard negatives: full replay incl. label filter
+    "q383_hard_negatives_lsh" -> SimilarityOps.hardNegativesLshOracleSql(
+      "embeddings", "vec_id", "embedding", "label",
+      queryPredSql = "id < 8", k = 3, nbits = 4, probes = 2, d = 64),
     // candidate-path margin mining: same plane literals, probes,
     // 6dp grid and tie-breaks as the Spark side
     "q382_margin_mining_lsh" -> SimilarityOps.marginMiningLshOracleSql(

@@ -464,6 +464,42 @@ class SimilaritySpec extends SparkSpec {
       "partition-invariant")
   }
 
+  test("hardNegativesLsh: label contract holds, recall floor vs " +
+      "exact, partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 80L).map(i =>
+      (i, Seq.fill(16)(rnd.nextDouble() - 0.5), i % 4))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.SimilarityOps.hardNegativesLsh(d, "vec_id", "embedding",
+        "label", col("vec_id") < 10, k = 3, nbits = 3, probes = 2,
+        bucketExpr = graft.ops.SimilarityOps.lshBucketMd5(_, _, d = 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val got = run(df)
+    // the exact path's contract survives the candidate path: never a
+    // same-label candidate, never self, at most k per query
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, ql, c, cl, _) => ql != cl && q != c })
+    assert(got.groupBy(_._1).forall(_._2.size <= 3))
+    // every emitted (query, cand) carries the exact cosine: it must
+    // appear in the exact operator's FULL candidate ranking with the
+    // same sim (exact path at k = corpus bound)
+    val exactAll = graft.ops.SimilarityOps.hardNegatives(df, "vec_id",
+        "embedding", "label", col("vec_id") < 10, k = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(4)).toMap
+    assert(got.forall { case (q, _, c, _, s) => exactAll((q, c)) == s })
+    // recall floor vs the exact top-3
+    val exact3 = graft.ops.SimilarityOps.hardNegatives(df, "vec_id",
+        "embedding", "label", col("vec_id") < 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = got.count { case (q, _, c, _, _) => exact3((q, c)) }
+    assert(hit >= exact3.size * 2 / 10,
+      s"candidate-path recall $hit/${exact3.size} below floor")
+    assert(got.toSet === run(df.repartition(7)).toSet, "partition-invariant")
+  }
+
   test("fitSample caps the driver collect at maxFitRows regardless of corpus size") {
     // fraction 1.0 would collect the whole corpus absent the cap —
     // the exact linear-in-corpus driver materialization the absolute
