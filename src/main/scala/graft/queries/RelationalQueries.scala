@@ -430,16 +430,26 @@ object RelationalQueries {
           col("l_linenumber").cast("string")).cast("binary"))
       val modes = typedlit(Seq("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK",
         "MAIL", "FOB"))
+      // Generate barrier (the nearDupFilterStream discipline): the
+      // filter below references every derived column, and predicate
+      // pushdown through a plain Project would SUBSTITUTE the md5
+      // tree into each of the 6 conjuncts — one digest per row
+      // becomes six. explode(array(struct)) is a Generate that
+      // predicates cannot cross, so the digest runs once per row.
       val l = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"),
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("date").as("_sd"))
+        .withColumn("_hw", explode(array(h)))
+        .select(col("l_orderkey"), col("_sd"),
           element_at(modes,
-            (pmod(element_at(h, 1), lit(7L)) + 1L).cast("int"))
+            (pmod(element_at(col("_hw"), 1), lit(7L)) + 1L).cast("int"))
             .as("l_shipmode"),
-          col("l_shipdate").cast("date").as("_sd"),
-          (pmod(element_at(h, 2), lit(61L)) - 30L).cast("int").as("_clag"),
-          (pmod(element_at(h, 3), lit(30L)) + 1L).cast("int").as("_rlag"))
-        .withColumn("_commit", date_add(col("_sd"), col("_clag")))
-        .withColumn("_receipt", date_add(col("_sd"), col("_rlag")))
+          date_add(col("_sd"),
+            (pmod(element_at(col("_hw"), 2), lit(61L)) - 30L).cast("int"))
+            .as("_commit"),
+          date_add(col("_sd"),
+            (pmod(element_at(col("_hw"), 3), lit(30L)) + 1L).cast("int"))
+            .as("_receipt"))
         .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
           col("_commit") < col("_receipt") && col("_sd") < col("_commit") &&
           col("_receipt") >= lit("1997-01-01").cast("date") &&
