@@ -728,6 +728,21 @@ object StreamOps {
     * the batch operator — survivors(i) == bloomAntiJoin(batch_i,
     * ref_0 ∪ accepted keys < i) — is pinned by StreamingSpec.
     *
+    * RESTART contract: a fresh call on an EXISTING store resumes it —
+    * `refKeys` is ignored (assumed already folded in) and the bloom
+    * rebuilds from the whole store. Store batch ids are EPOCHED: each
+    * call starts at `max(stored batch_id) + 1`, so a resumed run's
+    * batch 0 still sees every prior run's keys as priors (without the
+    * epoch, Spark's restarting batch numbering would exclude them and
+    * resurface duplicates), while the current batch's own failed-
+    * attempt keys stay excluded. Residual hazard, by design: a batch
+    * that crashed BETWEEN its key-append and the `accept` sink is, on
+    * the next run, a new epoch — its orphaned keys count as priors
+    * and its rows drop on re-ingest. Exactly-once across crashes
+    * needs a transactional pairing of sink and key store; for this
+    * operator, either make `accept` idempotent-and-first or treat a
+    * crashed batch's rows as consumed.
+    *
     * The batch frame is persisted across the split's two branches
     * (the split recomputes its input otherwise — satisfying the
     * deterministic-corpus contract of the batch operator even over
@@ -758,8 +773,14 @@ object StreamOps {
     val bloom = graft.ops.BloomOps.buildBloom(
       spark.read.parquet(keyStore).select("k"), "k",
       expectedItems = expectedItems, fpp = fpp)
+    // epoch base: this call's batches number from max(stored)+1, so a
+    // resumed run's `< base + batchId` read still includes every
+    // prior run's keys (seed is -1 → a fresh store starts at 0)
+    val base: Long = spark.read.parquet(keyStore)
+      .agg(max(col("batch_id").cast("long"))).head().getLong(0) + 1L
     val writer = stream.writeStream.foreachBatch {
-      (batch: DataFrame, batchId: Long) =>
+      (batch: DataFrame, batchId0: Long) =>
+        val batchId = base + batchId0
         val ss = batch.sparkSession
         val ref = ss.read.parquet(keyStore)
           .filter(col("batch_id") < lit(batchId))

@@ -768,6 +768,37 @@ class StreamingSpec extends SparkSpec {
     assert(stored === Set("seen_a", "seen_b", "seen_c", "new_x", "new_y"))
   }
 
+  test("crossCrawlDedupStream: a fresh call on an existing store " +
+      "resumes it (bloom rebuilt from the store, refKeys ignored)") {
+    implicit val sqlCtx = spark.sqlContext
+    import scala.collection.mutable
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_crawl_resume").toString
+    def runOnce(batch: Seq[(Long, String)], ref: Seq[String])
+        : Set[(Long, String)] = {
+      val input = MemoryStream[(Long, String)]
+      val got = mutable.Set[(Long, String)]()
+      val q = StreamOps.crossCrawlDedupStream(
+        input.toDF().toDF("id", "url"), "url", ref.toDF("k0"), "k0",
+        s"$tmp/keys", expectedItems = 1000L) { (df, _) =>
+        got ++= df.select("id", "url").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+      }
+      input.addData(batch: _*); q.processAllAvailable(); q.stop()
+      got.toSet
+    }
+    val first = runOnce(Seq((1L, "a"), (2L, "b")), Seq("seed"))
+    assert(first === Set((1L, "a"), (2L, "b")))
+    // second RUN (new query, batch ids restart at 0): the store
+    // already holds seed/a/b — a and b must now drop, and the
+    // DIFFERENT refKeys passed here must be ignored (not folded in),
+    // so "c" survives even though the second ref names it
+    val second = runOnce(Seq((3L, "a"), (4L, "c"), (5L, "seed")),
+      Seq("c"))
+    assert(second === Set((4L, "c")),
+      s"resume must dedup against the store, not re-seed: $second")
+  }
+
   test("crossCrawlDedupStream: forced-high-fpp bloom stays exact " +
       "(verify branch absorbs the false positives); geometry guard") {
     implicit val sqlCtx = spark.sqlContext
