@@ -271,6 +271,58 @@ object IndexStore {
     readMerged(spark, path, Seq("pos"), Seq("s"))
   }
 
+  /** Append one batch's CMS counter delta ([[SketchOps.cmsSketch]])
+    * — counters are longs that ADD, the textbook mergeable sketch.
+    * Width is sidecar-pinned (counters of different widths hash the
+    * same key to different columns; the fixed d=3 polynomial family
+    * is part of the code, not the parameterization).
+    */
+  def appendCmsSketch(delta: DataFrame, path: String, w: Int): Unit = {
+    checkParams(delta.sparkSession, path, "CMS sketch",
+      Map("w" -> w.toString), writeIfAbsent = true)
+    append(delta, path)
+  }
+
+  /** Merged CMS counters (r, c, cnt) — feed to
+    * [[SketchOps.cmsHeavyHittersFromSketch]]. */
+  def readCmsSketch(spark: SparkSession, path: String,
+      expectW: Int = -1): DataFrame = {
+    if (expectW >= 0)
+      checkParams(spark, path, "CMS sketch",
+        Map("w" -> expectW.toString), writeIfAbsent = false)
+    readMerged(spark, path, Seq("r", "c"), Seq("cnt"))
+  }
+
+  private val cmsStores = new ConcurrentHashMap[WKey, String]()
+
+  /** q384's demo store: the events stream split into 3 content-keyed
+    * batches (pmod(event_id, 3)), each batch's counter delta appended
+    * — memoized per application+corpus like the other demo stores.
+    */
+  def cmsDemoStorePath(spark: SparkSession, dir: String,
+      w: Int = 64): String = {
+    val key = WKey(spark.sparkContext.applicationId, s"$dir#cms_w=$w")
+    cmsStores.computeIfAbsent(key, new JFunction[WKey, String] {
+      override def apply(ignored: WKey): String = {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_q384").toString + "/cms"
+        val ev = graft.Tables(spark, dir, "events")
+        (0 until 3).foreach { b =>
+          appendCmsSketch(graft.ops.SketchOps.cmsSketch(
+            ev.where(pmod(col("event_id"), lit(3)) === b), "user_id", w),
+            path, w)
+        }
+        path
+      }
+    })
+  }
+
+  /** Test hook: drop an application's CMS demo stores. */
+  private[graft] def invalidateCmsDemo(appId: String): Unit = {
+    val it = cmsStores.keySet.iterator()
+    while (it.hasNext) if (it.next().appId == appId) it.remove()
+  }
+
   private val pcaStores = new ConcurrentHashMap[WKey, String]()
 
   /** q381's demo store: the embeddings corpus split into 3

@@ -50,10 +50,21 @@ object SketchOps {
     * @return (key, exact, est, overest) — k rows
     */
   def cmsHeavyHitters(df: DataFrame, keyCol: String, w: Int,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    cmsHeavyHittersFromSketch(df, cmsSketch(df, keyCol, w), keyCol, w, k)
+
+  /** [[cmsHeavyHitters]] SERVED from an externally-supplied counter
+    * table — the store/merge half: counters add, so a sketch merged
+    * from any batch split of `df` (e.g.
+    * [[IndexStore.readCmsSketch]]'s merge-on-read view) yields the
+    * IDENTICAL audit, and a sketch covering a superset corpus yields
+    * estimates for the same keys without rescanning it.
+    */
+  def cmsHeavyHittersFromSketch(df: DataFrame, sketch: DataFrame,
+      keyCol: String, w: Int, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val sk = cmsSketch(df, keyCol, w)
+    val sk = sketch
     val exact = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("exact"))
     val top = exact.select(col("key"), col("exact"),

@@ -124,6 +124,18 @@ private[graft] object PipelineEventsQueries {
       graft.ops.SketchOps.cmsHeavyHitters(Tables(s, d, "events"),
         "user_id", w = 64, k = 20)),
 
+    // Durable CMS store (q310's merge/store half, the q351/q381
+    // discipline): counters from 3 content-keyed batch appends,
+    // merge-on-read == from-scratch — the oracle IS q310's
+    // from-scratch replay, so the hash match proves it cross-engine.
+    "q384_cms_store" -> ((s, d) => {
+      val store = graft.ops.IndexStore.cmsDemoStorePath(s, d, w = 64)
+      graft.ops.SketchOps.cmsHeavyHittersFromSketch(
+        Tables(s, d, "events"),
+        graft.ops.IndexStore.readCmsSketch(s, store, expectW = 64),
+        "user_id", w = 64, k = 20)
+    }),
+
     // Nelson-Aalen cumulative hazard over the q272 censored
     // time-to-purchase frame — the additive survival companion.
     "q316_nelson_aalen" -> ((s, d) => {
@@ -549,6 +561,9 @@ private[graft] object PipelineEventsQueries {
       "events", "user_id", "event_type", "value", "purchase"),
 
     "q310_cms_heavy" -> graft.ops.SketchOps.cmsHeavyHittersOracleSql(
+      "events", "user_id", w = 64, k = 20),
+
+    "q384_cms_store" -> graft.ops.SketchOps.cmsHeavyHittersOracleSql(
       "events", "user_id", w = 64, k = 20),
 
     "q316_nelson_aalen" -> graft.ops.EventOps.nelsonAalenOracleSql(

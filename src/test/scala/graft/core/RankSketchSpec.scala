@@ -47,4 +47,31 @@ class RankSketchSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(merged == whole)
   }
+
+  test("cms store: appended batch deltas serve the identical audit; " +
+      "sidecar pins the width") {
+    import graft.ops.IndexStore
+    val df = (0L until 400L).map(i => (i, i % 13)).toDF("id", "k")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_cms_store").toString + "/cms"
+    Seq(1, 2, 0).foreach { b =>
+      IndexStore.appendCmsSketch(
+        SketchOps.cmsSketch(df.where(col("id") % 3 === b), "k", 64),
+        store, w = 64)
+    }
+    def audit(sk: org.apache.spark.sql.DataFrame) =
+      SketchOps.cmsHeavyHittersFromSketch(df, sk, "k", 64, 5)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val served = audit(IndexStore.readCmsSketch(spark, store, expectW = 64))
+    val scratch = audit(SketchOps.cmsSketch(df, "k", 64))
+    assert(served == scratch, "merge-on-read must equal from-scratch")
+    intercept[IllegalArgumentException] {
+      IndexStore.appendCmsSketch(
+        SketchOps.cmsSketch(df, "k", 128), store, w = 128)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.readCmsSketch(spark, store, expectW = 32).collect()
+    }
+  }
 }
