@@ -825,6 +825,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest -> durable CMS store: foreachBatch-appended " +
+      "counter deltas serve the identical heavy-hitter audit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_cms").toString + "/cms"
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("k")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.IndexStore.appendCmsSketch(
+          graft.ops.SketchOps.cmsSketch(df, "k", 64), store, w = 64)
+      }
+      .start()
+    val b1 = (0L until 200L).map(_ % 9)
+    val b2 = (0L until 150L).map(_ % 4)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val all = (b1 ++ b2).toDF("k")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val served = graft.ops.SketchOps.cmsHeavyHittersFromSketch(all,
+        graft.ops.IndexStore.readCmsSketch(spark, store, expectW = 64),
+        "k", 64, 5).collect().map(key).toMap
+    val scratch = graft.ops.SketchOps.cmsHeavyHitters(all, "k", 64, 5)
+      .collect().map(key).toMap
+    assert(served == scratch,
+      s"streamed store must serve the from-scratch audit:\n$served\nvs\n$scratch")
+  }
+
   test("streaming ingest -> durable LSH band store: foreachBatch-appended " +
       "band rows serve pairs equal to the from-scratch pipeline") {
     implicit val sqlCtx = spark.sqlContext
