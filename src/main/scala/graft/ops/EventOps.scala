@@ -681,6 +681,73 @@ object EventOps {
        |  CAST((n * 2000000 + tot) // (tot * 2) AS BIGINT) AS p_ppm
        |FROM g JOIN t ON g.from_type = t.from_type""".stripMargin
 
+  /** Frequent k-step journeys ([[markovTransitions]]' higher-order
+    * companion — PrefixSpan's contiguous special case): within each
+    * (user, gap-session), every k-long consecutive event-type path in
+    * deterministic (t, id) order, counted globally, top-n by (count
+    * desc, path asc). The per-row path comes from k−1 `lead`s sharing
+    * ONE session-window pass — no per-session collect_list, so state
+    * is k types per row regardless of session length; the count is a
+    * map-side-combined aggregation on the path key, and the top-n
+    * rank filter is the map-side-bounded WindowGroupLimit shape
+    * (q73's verified rewrite).
+    */
+  def frequentJourneys(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, idCol: String, gapSeconds: Double, k: Int,
+      topN: Int): DataFrame = {
+    require(k >= 2, s"a journey needs k >= 2 steps, got $k")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val base = events.select(col(userCol).as("u"),
+      col(tsCol).cast("double").as("t"), col(idCol).as("id"),
+      col(typeCol).as("typ"))
+    val wo = Window.partitionBy("u").orderBy("t", "id")
+    val flag = when(lag("t", 1).over(wo).isNull ||
+      col("t") - lag("t", 1).over(wo) > gapSeconds, 1L).otherwise(0L)
+    val withSid = base.withColumn("sid",
+      sum(flag).over(wo.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val ws = Window.partitionBy("u", "sid").orderBy("t", "id")
+    val steps = (1 until k).map(i => lead("typ", i).over(ws))
+    val counts = withSid
+      .withColumn("path",
+        when(steps.map(_.isNotNull).reduce(_ && _),
+          concat_ws(" > ", (col("typ") +: steps): _*)))
+      .filter(col("path").isNotNull)
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("path").asc)))
+      .filter(col("rank") <= topN)
+  }
+
+  /** DuckDB twin of [[frequentJourneys]]. */
+  def frequentJourneysOracleSql(table: String, tsCol: String,
+      userCol: String, typeCol: String, idCol: String,
+      gapSeconds: Double, k: Int, topN: Int): String = {
+    val leads = (1 until k).map(i =>
+      s"lead(typ, $i) OVER (PARTITION BY u, sid ORDER BY t, id) AS s$i")
+      .mkString(",\n       |    ")
+    val nn = (1 until k).map(i => s"s$i IS NOT NULL").mkString(" AND ")
+    val cw = ("typ" +: (1 until k).map(i => s"s$i")).mkString(", ")
+    s"""WITH e AS (SELECT $userCol AS u, epoch($tsCol) AS t,
+       |    $idCol AS id, $typeCol AS typ FROM $table),
+       |fl AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+       |    OR t - lag(t) OVER w > $gapSeconds THEN 1 ELSE 0 END AS flag
+       |  FROM e WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+       |sd AS (SELECT *, sum(flag) OVER (PARTITION BY u ORDER BY t, id
+       |    ROWS UNBOUNDED PRECEDING) AS sid FROM fl),
+       |st AS (SELECT typ,
+       |    $leads
+       |  FROM sd),
+       |p AS (SELECT concat_ws(' > ', $cw) AS path FROM st WHERE $nn),
+       |g AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+       |  GROUP BY path)
+       |SELECT path, n, CAST(rank AS INTEGER) AS rank FROM (
+       | SELECT path, n, row_number() OVER (ORDER BY n DESC, path ASC)
+       |   AS rank FROM g) t
+       |WHERE rank <= $topN""".stripMargin
+  }
+
   /** Inter-arrival gap percentiles per user cohort (`userCol` mod
     * `cohorts`): consecutive-event gaps in seconds (deterministic
     * (t, id) order), then exact interpolated p50/p90 per cohort —

@@ -410,6 +410,14 @@ private[graft] object PipelineEventsQueries {
       graft.ops.EventOps.markovTransitions(Tables(s, d, "events"),
         "ts", "user_id", "event_type", "event_id", gapSeconds = 1800.0)),
 
+    // Frequent 3-step journeys over the same 30-min sessions —
+    // q206's higher-order companion (contiguous PrefixSpan): top-20
+    // session paths, k-1 leads in one window pass, no collect_list.
+    "q385_frequent_journeys" -> ((s, d) =>
+      graft.ops.EventOps.frequentJourneys(Tables(s, d, "events"),
+        "ts", "user_id", "event_type", "event_id", gapSeconds = 1800.0,
+        k = 3, topN = 20)),
+
     // Inter-arrival gap percentiles per user cohort (mod 10).
     "q207_interarrival" -> ((s, d) =>
       graft.ops.EventOps.interArrivalGaps(Tables(s, d, "events"),
@@ -710,6 +718,9 @@ private[graft] object PipelineEventsQueries {
       "k", "op", "value", "t", "event_id"),
     "q206_markov" -> graft.ops.EventOps.markovOracleSql(
       "events", "ts", "user_id", "event_type", "event_id", 1800.0),
+    "q385_frequent_journeys" -> graft.ops.EventOps.frequentJourneysOracleSql(
+      "events", "ts", "user_id", "event_type", "event_id", 1800.0,
+      k = 3, topN = 20),
     "q207_interarrival" -> graft.ops.EventOps.interArrivalOracleSql(
       "events", "ts", "user_id", "event_id"),
     "q208_conversion_latency" -> graft.ops.EventOps.conversionLatencyOracleSql(

@@ -83,4 +83,49 @@ class EventAnalyticsSpec extends SparkSpec {
     // earliest-valid view (Jan 1 06:00) leaves the purchase matchable
     assert(got(3) === 1L)
   }
+
+  test("frequentJourneys: paths never cross session gaps or users; " +
+      "counts and deterministic top-n tie-break by hand") {
+    // u1 session A: a b c d  (3-paths: a>b>c, b>c>d)
+    // u1 session B (2h later): a b c  (a>b>c)
+    // u2 one session: a b c  (a>b>c)  — a>b>c total 3
+    val rows = Seq(
+      (1L, 1L, "a", "2024-01-01 10:00:00"),
+      (1L, 2L, "b", "2024-01-01 10:01:00"),
+      (1L, 3L, "c", "2024-01-01 10:02:00"),
+      (1L, 4L, "d", "2024-01-01 10:03:00"),
+      (1L, 5L, "a", "2024-01-01 12:30:00"),
+      (1L, 6L, "b", "2024-01-01 12:31:00"),
+      (1L, 7L, "c", "2024-01-01 12:32:00"),
+      (2L, 8L, "a", "2024-01-01 09:00:00"),
+      (2L, 9L, "b", "2024-01-01 09:01:00"),
+      (2L, 10L, "c", "2024-01-01 09:02:00"))
+      .toDF("user_id", "event_id", "event_type", "s")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"))
+    val got = EventOps.frequentJourneys(rows, "ts", "user_id",
+        "event_type", "event_id", gapSeconds = 1800.0, k = 3, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet === Set(("a > b > c", 3L, 1), ("b > c > d", 1L, 2)),
+      got.mkString(", "))
+    // no c>d>a (session gap), no c>a>b across the 2.5h break, no
+    // cross-user stitching — all implied by the exact set above
+    // tie-break: equal counts rank by path asc
+    val tied = Seq(
+      (1L, 1L, "x", "2024-01-01 10:00:00"),
+      (1L, 2L, "y", "2024-01-01 10:01:00"),
+      (2L, 3L, "p", "2024-01-01 10:00:00"),
+      (2L, 4L, "q", "2024-01-01 10:01:00"))
+      .toDF("user_id", "event_id", "event_type", "s")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"))
+    val t = EventOps.frequentJourneys(tied, "ts", "user_id",
+        "event_type", "event_id", 1800.0, k = 2, topN = 1)
+      .collect().map(r => (r.getString(0), r.getInt(2)))
+    assert(t.toSeq === Seq(("p > q", 1)))
+    intercept[IllegalArgumentException] {
+      EventOps.frequentJourneys(tied, "ts", "user_id", "event_type",
+        "event_id", 1800.0, k = 1, topN = 1)
+    }
+  }
 }
