@@ -689,8 +689,9 @@ object EventOps {
     * ONE session-window pass — no per-session collect_list, so state
     * is k types per row regardless of session length; the count is a
     * map-side-combined aggregation on the path key, and the top-n
-    * rank filter is the map-side-bounded WindowGroupLimit shape
-    * (q73's verified rewrite).
+    * rank filter plans as TakeOrderedAndProject(limit=n) — a map-side
+    * top-k, so only n rows ever reach the rank window (PlanSpec pins
+    * it; stronger than the q73 WindowGroupLimit bound).
     */
   def frequentJourneys(events: DataFrame, tsCol: String, userCol: String,
       typeCol: String, idCol: String, gapSeconds: Double, k: Int,

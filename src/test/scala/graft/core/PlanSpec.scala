@@ -283,6 +283,14 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("bucket"), s)
   }
 
+  test("q385 journeys: top-n is a map-side TakeOrderedAndProject; " +
+      "session windows share one user exchange") {
+    val s = formatted("q385_frequent_journeys")
+    assert(s.contains("TakeOrderedAndProject(limit=20"), s)
+    assert("Exchange".r.findAllIn(s).size <= 2,
+      "expected only the user-partition and path-count exchanges:\n" + s)
+  }
+
   test("zero-shuffle claims hold at runtime: measured shuffle bytes are zero") {
     import graft.ops.PlanProbe
     // q88: the vocab pass shuffles (vocab-bounded, during query
