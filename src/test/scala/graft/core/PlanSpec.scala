@@ -285,7 +285,7 @@ class PlanSpec extends SparkSpec {
 
   test("q385 journeys: top-n is a map-side TakeOrderedAndProject; " +
       "session windows share one user exchange") {
-    val s = formatted("q385_frequent_journeys")
+    val s = plan("q385_frequent_journeys").toString
     assert(s.contains("TakeOrderedAndProject(limit=20"), s)
     assert("Exchange".r.findAllIn(s).size <= 2,
       "expected only the user-partition and path-count exchanges:\n" + s)
