@@ -350,6 +350,49 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  case class JourneyState(lastTsMs: Long, tail: Seq[String])
+
+  /** Streaming twin of [[graft.ops.EventOps.frequentJourneys]]' path
+    * EXTRACTION: per-user keyed state holds only the last `k` event
+    * types of the open session plus the last timestamp, and each
+    * arriving event emits the k-step path it completes (gap >
+    * `gapSeconds` resets the tail — paths never cross sessions).
+    * Downstream, paths count in a complete-mode aggregation or a
+    * foreachBatch store append; the top-n readout is the batch
+    * operator over that table.
+    *
+    * Equivalence contract (the funnelStream discipline): identical
+    * path multiset to the batch extraction when events arrive in
+    * event-time order across micro-batches (within a batch, rows sort
+    * by ts before the state transition; simultaneous events tie-break
+    * undefined — the batch side orders by (t, id)). State per user is
+    * k strings + one long, bounded by user cardinality.
+    */
+  def journeyPathStream(spark: SparkSession, events: Dataset[StepEvent],
+      gapSeconds: Double, k: Int): Dataset[String] = {
+    require(k >= 2, s"a journey needs k >= 2 steps, got $k")
+    import spark.implicits._
+    def update(userId: Long, rows: Iterator[StepEvent],
+        state: GroupState[JourneyState]): Iterator[String] = {
+      var st = state.getOption.getOrElse(JourneyState(Long.MinValue, Seq.empty))
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (e <- rows.toSeq.sortBy(_.ts.getTime)) {
+        val ms = e.ts.getTime
+        val fresh = st.lastTsMs == Long.MinValue ||
+          (ms - st.lastTsMs) / 1000.0 > gapSeconds
+        val tail0 = (if (fresh) Seq.empty else st.tail) :+ e.event_type
+        val tail = tail0.takeRight(k)
+        if (tail.size == k) out += tail.mkString(" > ")
+        st = JourneyState(ms, tail)
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   case class StepEvent(user_id: Long, ts: Timestamp, event_type: String)
   case class FunnelState(anchorMs: Long, lastMs: Long, depth: Int)
   case class FunnelOut(user_id: Long, depth: Int)

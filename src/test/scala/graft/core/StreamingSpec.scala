@@ -720,6 +720,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keySet.map(_._1) == Set(0, 1), "both cells populated")
   }
 
+  test("journeyPathStream: cross-batch path multiset equals the " +
+      "batch extraction; sessions reset the tail") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamOps.StepEvent]
+    val q = StreamOps.journeyPathStream(spark, input.toDS(),
+        gapSeconds = 1800.0, k = 3)
+      .writeStream.format("memory").queryName("journeys")
+      .outputMode("append").start()
+    def se(u: Long, t: Long, ty: String) =
+      StreamOps.StepEvent(u, ts(t), ty)
+    // b1 ends mid-session for u1; b2 continues it (state carries the
+    // tail across the batch boundary), then a 2h gap starts a new one
+    val b1 = Seq(se(1, 100, "a"), se(1, 160, "b"),
+      se(2, 100, "a"), se(2, 160, "b"), se(2, 220, "c"))
+    val b2 = Seq(se(1, 220, "c"), se(1, 280, "d"),
+      se(1, 9000, "a"), se(1, 9060, "b"), se(1, 9120, "c"))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("journeys").as[String]
+      .collect().groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val all = (b1 ++ b2).zipWithIndex
+      .map { case (e, i) => (e.user_id, i.toLong, e.event_type, e.ts) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val batch = graft.ops.EventOps.frequentJourneys(all, "ts", "user_id",
+        "event_type", "event_id", gapSeconds = 1800.0, k = 3,
+        topN = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch,
+      s"stream paths must equal batch extraction:\n$streamed\nvs\n$batch")
+    // the mid-batch session carry produced a>b>c and b>c>d for u1
+    assert(streamed("a > b > c") === 3L && streamed("b > c > d") === 1L)
+  }
+
   test("crossCrawlDedupStream: per-batch survivors equal the batch " +
       "bloomAntiJoin against the growing reference; keys accumulate") {
     implicit val sqlCtx = spark.sqlContext
