@@ -34,6 +34,17 @@ def main():
         sys.exit(f"box not quiet: load {load1}, {javas} java procs — "
                  "wait (or kill strays) and rerun")
 
+    # hardware-level preflight (r16 VERDICT ask #4): records a
+    # hostcheck row in hostcheck_history.jsonl and, once a quiet-box
+    # reference exists, exits 3 on a degraded host BEFORE we burn 15
+    # minutes on a bench whose controls would void it anyway.
+    hc = subprocess.run([sys.executable,
+                         os.path.join(REPO, "tools", "hostcheck.py")],
+                        text=True)
+    if hc.returncode == 3:
+        sys.exit("hostcheck: host degraded (see row above) — "
+                 "no seal attempt; retry on a quiet box")
+
     prev = sh(["git", "-C", REPO, "show", f"{args.prev}:bench_out.json"])
     if prev.returncode != 0:
         sys.exit(f"cannot read prior seal from {args.prev}: {prev.stderr}")
