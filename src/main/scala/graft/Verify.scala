@@ -138,6 +138,10 @@ object Verify {
       dynamicOracle("q173_unigram_fit") {
         graft.ops.UnigramOps.fitOracleSql("documents", "text",
           graft.ops.UnigramOps.q173Trace(Tables(spark, sfDir, "documents")))
+      } ++
+      dynamicOracle("q109_compression_ratio") {
+        graft.ops.TextOps.compressionOracleSql("documents", "doc_id",
+          "text", Tables(spark, sfDir, "documents"))
       }
     val json = (SparkEntry.oracleSql ++ dynamicOracles)
       .map { case (k, v) => s"${q(k)}: ${q(selfLimiting(v))}" }

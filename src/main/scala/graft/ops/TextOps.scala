@@ -75,6 +75,56 @@ object TextOps {
         round(col("n_deflate").cast("double") / col("n_bytes"), 5)))
   }
 
+  /** DuckDB SQL replaying [[compressionSignal]] under dir-fitted
+    * frozen deflate sizes — the q124/q173 dynamic-oracle discipline
+    * applied to the one SQL-inexpressible kernel left (zlib): the
+    * generator (Verify, driver-side) deflates every row's text in the
+    * JVM with a FRESH `java.util.zip.Deflater` (independent of the
+    * [[graft.functions.DeflateLenUtil]] per-thread reuse cache, so a
+    * `reset()` state-leak bug in the hot path would hash-fail here)
+    * and embeds `(doc_id, n_deflate)` as a VALUES table; DuckDB then
+    * independently recomputes the raw byte lengths FROM THE DATA
+    * (`strlen` = UTF-8 bytes, the exact twin of Spark's
+    * `length(cast binary)`) and replays the ratio arithmetic and the
+    * empty-text NULL branch. Embedded sizes are gated on id match:
+    * the inner join drops any drifted id, failing the row-count
+    * compare loudly.
+    *
+    * Trust split (same as the PCA/unigram dynamic oracles): the zlib
+    * kernel itself is pinned by its ScalaTest spec (known-answer +
+    * reuse-equals-fresh cases); the oracle proves the distributed
+    * plumbing — byte counting, null handling, division, 5dp rounding
+    * — matches an independent engine on every row.
+    */
+  def compressionOracleSql(table: String, idCol: String, textCol: String,
+      docs: DataFrame, level: Int = 6): String = {
+    val rows = docs.select(col(idCol).cast("long"), col(textCol)).collect()
+    require(rows.nonEmpty, s"compression oracle: $table is empty")
+    val d = new java.util.zip.Deflater(level, true)
+    val buf = new Array[Byte](8192)
+    val tuples = rows.map { r =>
+      val id = r.getLong(0)
+      if (r.isNullAt(1)) s"($id, NULL)"
+      else {
+        val bytes = r.getString(1)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        d.reset(); d.setInput(bytes); d.finish()
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        s"($id, $total)"
+      }
+    }
+    d.end()
+    s"""WITH dz (doc_id, n_deflate) AS (VALUES ${tuples.mkString(", ")})
+       |SELECT t.$idCol AS doc_id,
+       | CAST(strlen(t.$textCol) AS INTEGER) AS n_bytes,
+       | CAST(z.n_deflate AS INTEGER) AS n_deflate,
+       | CASE WHEN strlen(t.$textCol) > 0
+       |      THEN round(CAST(z.n_deflate AS DOUBLE) / strlen(t.$textCol), 5)
+       | END AS ratio
+       |FROM $table t JOIN dz z ON t.$idCol = z.doc_id""".stripMargin
+  }
+
   /** HTML → text extraction (the crawl pipeline's boilerplate-strip
     * stage, ahead of every dedup/quality operator): drop script and
     * style blocks and comments wholesale, replace remaining tags with

@@ -24,14 +24,16 @@ class VerifyEmitSpec extends AnyFunSuite {
 
   test("every registered query has either an oracle, a dynamic " +
       "(dir-fitted) oracle, or a documented rows-only exemption") {
-    // rows-only (COVERAGE.md): zlib deflate (q109) — the one
-    // genuinely impossible replay. q124 (r16) and q173 (r16) moved to
-    // DYNAMIC oracles — their frozen-literal SQL is fit on the target
-    // dir inside Verify.main (PcaOps.projectOracleSql /
-    // UnigramOps.fitOracleSql), so it cannot appear in the static
-    // map; `dynamic` pins that the generators stay wired.
-    val exempt = Set("q109_compression_ratio")
-    val dynamic = Set("q124_pca_project", "q173_unigram_fit")
+    // The rows-only exempt set is EMPTY as of r17: q109 (zlib
+    // deflate, the last holdout) joined q124/q173 as a DYNAMIC
+    // oracle — its frozen-literal SQL embeds dir-fitted deflate
+    // sizes inside Verify.main (TextOps.compressionOracleSql /
+    // PcaOps.projectOracleSql / UnigramOps.fitOracleSql), so it
+    // cannot appear in the static map; `dynamic` pins that the
+    // generators stay wired.
+    val exempt = Set.empty[String]
+    val dynamic = Set("q124_pca_project", "q173_unigram_fit",
+      "q109_compression_ratio")
     val missing = graft.SparkEntry.queries.keySet --
       graft.SparkEntry.oracleSql.keySet -- exempt -- dynamic
     assert(missing.isEmpty,
@@ -55,6 +57,43 @@ class VerifyEmitSpec extends AnyFunSuite {
     assert(sql.contains("AS pc_0") && sql.contains("AS pc_1"))
     intercept[IllegalArgumentException] {
       graft.ops.PcaOps.projectOracleSql("e", "id", "v", m, 3)
+    }
+  }
+
+  test("Bench writes the sealed path ONLY under GRAFT_BENCH_SEAL=1 " +
+      "(driver runs can no longer clobber the quiet-box seal)") {
+    assert(graft.Bench.outPath(Map.empty) === "bench_out_driver.json")
+    assert(graft.Bench.outPath(Map("GRAFT_BENCH_SEAL" -> "1"))
+      === "bench_out.json")
+    assert(graft.Bench.outPath(Map("GRAFT_BENCH_SEAL" -> "0"))
+      === "bench_out_driver.json")
+    assert(graft.Bench.outPath(Map("SPARK_GRAFT_BENCH_OUT" -> "/tmp/x.json",
+      "GRAFT_BENCH_SEAL" -> "1")) === "/tmp/x.json")
+  }
+
+  test("compressionOracleSql embeds independently-deflated sizes, " +
+      "recomputes raw bytes from the data, and gates on id match") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val docs = Seq((7L, "aaaaaaaaaaaaaaaaaaaaaaaa"), (8L, "xyz"))
+      .toDF("doc_id", "text")
+    val sql = graft.ops.TextOps.compressionOracleSql(
+      "documents", "doc_id", "text", docs)
+    // independent fresh-Deflater recompute must equal the kernel path
+    val want7 = graft.functions.DeflateLenUtil.len(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a" * 24), 6)
+    val want8 = graft.functions.DeflateLenUtil.len(
+      org.apache.spark.unsafe.types.UTF8String.fromString("xyz"), 6)
+    assert(sql.contains(s"(7, $want7)") && sql.contains(s"(8, $want8)"), sql)
+    // raw bytes come FROM THE DATA (strlen), never from literals
+    assert(sql.contains("CAST(strlen(t.text) AS INTEGER) AS n_bytes"))
+    // id-match gate: inner join, so a drifted id fails the row count
+    assert(sql.contains("JOIN dz z ON t.doc_id = z.doc_id"))
+    // empty-text NULL branch replayed
+    assert(sql.contains("CASE WHEN strlen(t.text) > 0"))
+    intercept[IllegalArgumentException] {
+      graft.ops.TextOps.compressionOracleSql(
+        "documents", "doc_id", "text", docs.limit(0))
     }
   }
 
