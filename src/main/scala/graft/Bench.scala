@@ -67,6 +67,20 @@ object Bench {
     } catch { case _: Throwable => () }
   }
 
+  /** Where the full JSON lands. bench_out.json is the QUIET-BOX SEAL
+    * benchaudit calibrates against, and the driver's per-round
+    * (loaded-box) run kept clobbering it — so only a run that
+    * declares itself a seal (GRAFT_BENCH_SEAL=1, set by tools/seal.py
+    * after its preflight passes) may write the seal path; every other
+    * invocation — the driver's included — lands in
+    * bench_out_driver.json, making the seal physically
+    * un-clobberable. SPARK_GRAFT_BENCH_OUT overrides both.
+    */
+  private[graft] def outPath(env: Map[String, String]): String =
+    env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      if (env.get("GRAFT_BENCH_SEAL").contains("1")) "bench_out.json"
+      else "bench_out_driver.json")
+
   /** 1-minute system load average (-1.0 where the JVM can't read it). */
   private[graft] def loadAvg(): Double =
     java.lang.management.ManagementFactory
@@ -145,7 +159,15 @@ object Bench {
     // this line (r5/r6: "parsed": null, cold block unreadable) — also
     // persist the complete JSON to a file that gets committed, so the
     // full cold+warm read-out survives any pipe truncation.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    //
+    // Seal protection (r16 VERDICT "What's wrong" #1): bench_out.json
+    // is the QUIET-BOX SEAL benchaudit calibrates against, and the
+    // driver's per-round (loaded-box) run kept clobbering it. Only a
+    // run that declares itself a seal (GRAFT_BENCH_SEAL=1, set by
+    // tools/seal.py after its preflight passes) may write the seal
+    // path; every other invocation — the driver's included — lands in
+    // bench_out_driver.json, so the seal is physically un-clobberable.
+    val outPath = Bench.outPath(sys.env)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")

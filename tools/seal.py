@@ -57,7 +57,11 @@ def main():
     cmd += ["-Xmx" + os.environ.get("SPARK_DRIVER_MEM", "24g"),
             "-cp", os.path.join(REPO, "target", "scala-2.13", "classes")
             + ":/opt/spark/jars/*", "graft.Bench"]
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=args.sf_dir)
+    # GRAFT_BENCH_SEAL=1 is what lets Bench write the seal path
+    # (bench_out.json); any invocation without it — the driver's
+    # per-round run included — writes bench_out_driver.json instead.
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=args.sf_dir,
+               GRAFT_BENCH_SEAL="1")
     print("running full-board bench (this takes ~15 min)...", flush=True)
     bench = subprocess.run(cmd, env=env, cwd=REPO, text=True,
                            capture_output=True)
