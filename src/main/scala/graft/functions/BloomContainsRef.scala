@@ -20,20 +20,43 @@ import org.apache.spark.util.sketch.BloomFilter
   * torrent protocol; the plan, `explain` output and UI carry only the
   * token string.
   *
-  * Entries are LRU-bounded: an evicted broadcast becomes GC-reachable
-  * and Spark's ContextCleaner reclaims its blocks. Eviction only
-  * matters if the same unresolved Column is re-ANALYZED later (each
-  * DataFrame analyzes once and caches), so the bound is a leak guard,
-  * not a working limit.
+  * Returned Columns must be attached to a DataFrame promptly: the
+  * token resolves at ANALYSIS time, and an unanalyzed Column held
+  * across 128+ further registrations fails loudly with "unknown or
+  * evicted bloom token" (every current call site analyzes
+  * immediately; the eager failure is the guard for future ones).
+  *
+  * Entries are LRU-bounded, and eviction `unpersist`s the broadcast
+  * (non-blocking) so executor block memory returns EAGERLY — a
+  * long-lived session cycling many ≥4 MB blooms no longer holds up
+  * to MaxEntries×32 MB of executor blocks hostage to GC timing.
+  * Deliberately unpersist, NOT destroy: an already-analyzed plan
+  * still holding the evicted handle keeps working (Spark re-ships
+  * the value from the driver on next use), whereas destroy would
+  * fail a live-but-lazy DataFrame that analyzed before the eviction.
+  * Driver-side, the handle stays reachable only from such live
+  * plans; once they go, ContextCleaner reclaims the rest.
   */
 object BloomBroadcasts {
   private val MaxEntries = 128
   private val counter = new AtomicLong(0L)
+
+  /** Eviction hook — a seam so BloomOpsSpec can observe evictions;
+    * production behavior is the non-blocking unpersist. */
+  private[graft] var onEvict: Broadcast[BloomFilter] => Unit =
+    _.unpersist(blocking = false)
+
   private val reg =
     new java.util.LinkedHashMap[String, Broadcast[BloomFilter]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Broadcast[BloomFilter]]): Boolean =
-        size() > MaxEntries
+          e: java.util.Map.Entry[String, Broadcast[BloomFilter]]): Boolean = {
+        val evict = size() > MaxEntries
+        if (evict) {
+          try onEvict(e.getValue)
+          catch { case _: Throwable => () } // eviction must never throw
+        }
+        evict
+      }
     }
 
   /** Register a broadcast bloom; returns the token to pass as the

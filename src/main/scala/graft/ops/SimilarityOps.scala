@@ -304,14 +304,22 @@ object SimilarityOps {
     * nn windows partition on the pair endpoints. The pair frame is
     * localCheckpointed once and feeds all three reads (the exact
     * operator's discipline; caller frees via Checkpoints.release).
+    *
+    * The ONE broadcast is the query-id set, and `maxQueries`
+    * (default 2^20 ≈ 8 MB of longs) makes its smallness an enforced
+    * contract: the operator counts the predicate matches first and
+    * throws above the cap instead of letting a too-broad predicate
+    * OOM the driver — raise it EXPLICITLY when you mean it.
     */
   def marginMiningLsh(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, queryPred: Column, k: Int, nbits: Int = 8,
       probes: Int = 1,
-      bucketExpr: (Column, Int) => Column = lshBucket): DataFrame = {
+      bucketExpr: (Column, Int) => Column = lshBucket,
+      maxQueries: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(probes >= 1 && probes <= nbits + 1,
       s"probes must be in [1, nbits+1], got $probes for nbits=$nbits")
+    require(maxQueries >= 1, s"maxQueries must be >= 1, got $maxQueries")
     graft.functions.GraftFunctions.register(src.sparkSession)
     val s = src.select(col(idCol).as("src_id"), asDouble(col(vecCol)).as("sv"))
       .withColumn("bucket", bucketExpr(col("sv"), nbits))
@@ -323,7 +331,20 @@ object SimilarityOps {
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
         .groupBy(side).agg(round(avg("sim"), 6).as(s"nn_$side"))
     }
+    // The query-id set is broadcast (it rides into every pair
+    // partition), so "queryPred is small" is a CONTRACT, not a hope:
+    // count the matches once and fail loudly above maxQueries rather
+    // than OOM the driver building a 100 TB-wide broadcast (the
+    // PreferenceOps bounded-shipment discipline). The count is a
+    // pushdown-friendly aggregate over the already-projected src scan
+    // — one cheap extra job, paid only by this operator.
     val qs = s.filter(queryPred).select(col("src_id"))
+    val nq = qs.count()
+    require(nq <= maxQueries,
+      s"marginMiningLsh: queryPred matches $nq rows, above the " +
+        s"broadcast cap maxQueries=$maxQueries — tighten the predicate " +
+        "or raise the cap explicitly (the query-id set is collected " +
+        "to the driver and broadcast to every executor)")
     val scored = pairs
       .join(broadcast(qs), Seq("src_id"))
       .join(nnMean("src_id"), Seq("src_id"))

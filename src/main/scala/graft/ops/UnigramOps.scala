@@ -619,6 +619,12 @@ object UnigramOps {
     * the l-ascending addition order is preserved), per-(word, piece)
     * micro-unit rounding via `floor(x·1e6 + 0.5)` (exactly Java's
     * `math.round`), then the exact integer aggregation Σ micro·cnt.
+    * Words unsegmentable under the frozen model (forward total 0)
+    * are dropped by the same `z > 0` guard as the native kernel
+    * ([[expectedCounts]]' early return) — without it the cells CTE
+    * would form 0/0 = NaN, which passes `IS NOT NULL` and errors the
+    * BIGINT cast, failing the whole oracle instead of skipping the
+    * word.
     *
     * The embedded final rows (prune/renormalize/log/rank — a driver-
     * side O(vocab) transform pinned by UnigramSpec) are gated on the
@@ -633,6 +639,12 @@ object UnigramOps {
       trace: UnigramFitTrace, maxLen: Int = MaxPieceLen): String = {
     require(trace.preEntries.nonEmpty,
       "fitOracleSql needs a trace from iters >= 1")
+    // a fit that pruned every piece would render `expd (...) AS
+    // (VALUES )` — a DuckDB syntax error instead of a loud generator
+    // failure; failing HERE lets Verify's dynamicOracle catch
+    // downgrade the query to rows-only instead of emitting bad SQL
+    require(trace.rows.nonEmpty,
+      "fitOracleSql needs at least one surviving model row")
     def esc(s: String) = s.replace("'", "''")
     val model = trace.preEntries.map { s =>
       val cut = s.lastIndexOf(' ')
@@ -688,7 +700,8 @@ object UnigramOps {
        |  FROM fwf f JOIN bwf b USING (word) CROSS JOIN vm,
        |   LATERAL (SELECT unnest(generate_series(0, f.n - 1)) AS i) ii,
        |   LATERAL (SELECT unnest(generate_series(1,
-       |     least($maxLen, f.n - ii.i))) AS l) ll) s
+       |     least($maxLen, f.n - ii.i))) AS l) ll
+       |  WHERE f.al[f.n + 1] > 0) s
        | WHERE e IS NOT NULL),
        |micro AS MATERIALIZED (
        | SELECT word, piece,

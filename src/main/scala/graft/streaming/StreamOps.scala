@@ -828,7 +828,24 @@ object StreamOps {
         val ref = ss.read.parquet(keyStore)
           .filter(col("batch_id") < lit(batchId))
           .select(col("k").as("_graft_bk"))
-        val mightHit = graft.ops.BloomOps.probeColumn(ss, bloom, col(keyCol))
+        // Probe an IMMUTABLE per-batch snapshot, never the long-lived
+        // mutable filter: on the ≥4 MB broadcast path in local mode,
+        // Broadcast.value aliases the driver's object, so a probe
+        // bound to `bloom` itself could be re-evaluated under a
+        // POST-merge state if the persisted split frames recompute
+        // (block eviction, or actions inside the caller's `accept`) —
+        // current-batch keys would then probe positive in `clean` and
+        // vanish from the split. The snapshot costs one serialize/
+        // deserialize per BATCH (driver-side, off the row path); the
+        // merge below mutates only the long-lived filter.
+        val snapshot = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+        }
+        val mightHit =
+          graft.ops.BloomOps.probeColumn(ss, snapshot, col(keyCol))
         val b = batch.persist()
         try {
           val clean = b.filter(col(keyCol).isNull || !mightHit)

@@ -114,6 +114,35 @@ class BloomOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("unknown or evicted bloom token"))
   }
 
+  test("LRU eviction unpersists the evicted broadcast eagerly and " +
+      "its token then fails loudly; live handles keep working") {
+    import graft.functions.BloomBroadcasts
+    import org.apache.spark.util.sketch.BloomFilter
+    val sc = spark.sparkContext
+    val evicted = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.broadcast.Broadcast[BloomFilter]]
+    val prod = BloomBroadcasts.onEvict
+    BloomBroadcasts.onEvict = bc => { evicted += bc; prod(bc) }
+    try {
+      val first = sc.broadcast(BloomFilter.create(64, 0.01))
+      val t1 = BloomBroadcasts.put(first)
+      // 128 further registrations push `first` (plus anything older
+      // from other suites) past the 128-entry capacity
+      val rest = (1 to 128).map(_ =>
+        BloomBroadcasts.put(sc.broadcast(BloomFilter.create(64, 0.01))))
+      val ex = intercept[IllegalArgumentException](BloomBroadcasts.get(t1))
+      assert(ex.getMessage.contains("unknown or evicted bloom token"))
+      assert(evicted.contains(first),
+        "eviction must run the unpersist hook on the dropped broadcast")
+      // unpersist, NOT destroy: a plan analyzed before the eviction
+      // still holds the handle and must keep resolving its value
+      // (Spark re-ships from the driver on demand)
+      assert(first.value.mightContainLong(123L) ||
+        !first.value.mightContainLong(123L)) // value accessible at all
+      BloomBroadcasts.get(rest.last) // newest survives
+    } finally BloomBroadcasts.onEvict = prod
+  }
+
   test("auto-sized build touches the reference plan once (cached " +
       "projection); explicit expectedItems skips the cache") {
     // a scan-counting accumulator via rdd would be invasive; instead

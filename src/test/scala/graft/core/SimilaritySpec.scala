@@ -430,6 +430,25 @@ class SimilaritySpec extends SparkSpec {
       s"planted margin $margin7 vs noise max ${others.max}")
   }
 
+  test("marginMiningLsh: a too-wide queryPred fails loudly at the " +
+      "broadcast cap instead of shipping it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 20L).map(i => (i, Seq.fill(8)(rnd.nextDouble())))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.SimilarityOps.marginMiningLsh(
+        emb, emb, "vec_id", "embedding", lit(true), k = 2,
+        nbits = 3, probes = 1, maxQueries = 5L)
+    }
+    assert(ex.getMessage.contains("above the broadcast cap") &&
+      ex.getMessage.contains("20"), ex.getMessage)
+    // the same predicate under the cap still runs
+    assert(graft.ops.SimilarityOps.marginMiningLsh(
+      emb, emb, "vec_id", "embedding", col("vec_id") < 3, k = 2,
+      nbits = 3, probes = 1, maxQueries = 5L).count() >= 0)
+  }
+
   test("marginMiningLsh: planted pair survives the candidate path; " +
       "recall floor vs exact; partition-invariant") {
     import spark.implicits._
