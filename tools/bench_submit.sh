@@ -20,7 +20,10 @@ if [ "${SKIP_PACKAGE:-0}" != "1" ]; then
   echo "[bench_submit] sbt package (pre-timing; sbt exits before the run)..." >&2
   sbt -batch package 1>&2
 fi
-JAR=$(ls -t "$REPO"/target/scala-2.13/feldmanspark_2.13-*.jar | head -1)
+# main-classes jar only — `sbt package` also leaves a *-tests.jar
+# beside it that must never win the newest-first pick
+JAR=$(ls -t "$REPO"/target/scala-2.13/feldmanspark_2.13-*.jar \
+      | grep -v -- '-tests\.jar' | head -1)
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 exec /opt/spark/bin/spark-submit \
   --class "$MAIN" \
