@@ -323,6 +323,22 @@ object SimilarityOps {
     graft.functions.GraftFunctions.register(src.sparkSession)
     val s = src.select(col(idCol).as("src_id"), asDouble(col(vecCol)).as("sv"))
       .withColumn("bucket", bucketExpr(col("sv"), nbits))
+    // The query-id set is broadcast (it rides into every pair
+    // partition), so "queryPred is small" is a CONTRACT, not a hope:
+    // count the matches once and fail loudly above maxQueries rather
+    // than OOM the driver building a 100 TB-wide broadcast (the
+    // PreferenceOps bounded-shipment discipline). The count is a
+    // pushdown-friendly aggregate over the projected src scan — one
+    // cheap extra job — and it runs BEFORE the candidate-pair
+    // checkpoint, so an over-cap call fails without materializing
+    // (and leaking) the expensive pair frame.
+    val qs = s.filter(queryPred).select(col("src_id"))
+    val nq = qs.count()
+    require(nq <= maxQueries,
+      s"marginMiningLsh: queryPred matches $nq rows, above the " +
+        s"broadcast cap maxQueries=$maxQueries — tighten the predicate " +
+        "or raise the cap explicitly (the query-id set is collected " +
+        "to the driver and broadcast to every executor)")
     val pairs = lshCandidatePairs(src, tgt, idCol, vecCol, nbits, probes,
       bucketExpr).localCheckpoint()
     def nnMean(side: String): DataFrame = {
@@ -331,20 +347,6 @@ object SimilarityOps {
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
         .groupBy(side).agg(round(avg("sim"), 6).as(s"nn_$side"))
     }
-    // The query-id set is broadcast (it rides into every pair
-    // partition), so "queryPred is small" is a CONTRACT, not a hope:
-    // count the matches once and fail loudly above maxQueries rather
-    // than OOM the driver building a 100 TB-wide broadcast (the
-    // PreferenceOps bounded-shipment discipline). The count is a
-    // pushdown-friendly aggregate over the already-projected src scan
-    // — one cheap extra job, paid only by this operator.
-    val qs = s.filter(queryPred).select(col("src_id"))
-    val nq = qs.count()
-    require(nq <= maxQueries,
-      s"marginMiningLsh: queryPred matches $nq rows, above the " +
-        s"broadcast cap maxQueries=$maxQueries — tighten the predicate " +
-        "or raise the cap explicitly (the query-id set is collected " +
-        "to the driver and broadcast to every executor)")
     val scored = pairs
       .join(broadcast(qs), Seq("src_id"))
       .join(nnMean("src_id"), Seq("src_id"))

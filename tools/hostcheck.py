@@ -37,7 +37,7 @@ q76/q303 controls passed <=1.4x), the exit code encodes health:
       box-degraded exit so seal.py can share the convention.
 
 """
-import ctypes, json, os, subprocess, sys, time, hashlib, tempfile
+import json, os, subprocess, sys, time, hashlib, tempfile
 import threading
 import multiprocessing as mp
 
