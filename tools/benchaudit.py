@@ -41,7 +41,7 @@ code nobody touched. Mild inflation (controls between 1.0x and the
 cutoff) SCALES the iso-threshold instead, so the mover bar moves with
 the box.
 """
-import argparse, json, os, statistics, sys
+import argparse, json, os, statistics, subprocess, sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
@@ -180,6 +180,16 @@ def main():
                   "JVMs cannot reproduce the seal for UNTOUCHED code, so "
                   "no REGRESSION verdict below is meaningful. Re-run on a "
                   "quiet host.")
+            # hardware attribution (r16 VERDICT ask #4): append a
+            # hostcheck row so the episode carries a CAUSE (thread-wake
+            # latency / page-fault path / CPU), not just a ratio — the
+            # row also lands in tools/hostcheck_history.jsonl
+            try:
+                subprocess.run(
+                    [sys.executable, os.path.join(HERE, "hostcheck.py")],
+                    text=True)
+            except Exception as e:
+                print(f"(hostcheck failed: {e})")
         elif inflation > 1.0:
             eff_iso = args.iso_threshold * inflation
             print(f"controls isolate {inflation:.2f}x — scaling the "

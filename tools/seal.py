@@ -74,6 +74,31 @@ def main():
           f"warm {out['total_warm']:.1f}s, "
           f"load {out['load_avg_start']} -> {out['load_avg_end']}")
 
+    # IN-BENCH control gate (r17): the r16/r17 episodes showed the
+    # host pathology (fresh-page faults + cross-core wake latency,
+    # see hostcheck.py) inflates FRESH-JVM isobenches ~2x while the
+    # long-lived bench JVM reproduces prior-seal rows at median 1.007
+    # — so the run's own control rows, compared to the prior seal,
+    # are the authoritative admissibility check. Fresh-JVM controls
+    # remain the cheap preflight; this gate is what actually decides.
+    prev_warm = json.load(open(prev_path)).get("queries_warm", {})
+    ctl_bad = []
+    for q in ("q76_bloom_semijoin", "q303_ks_fdr"):
+        a, b = prev_warm.get(q), out["queries_warm"].get(q)
+        if a and b and b / a > 1.15:
+            ctl_bad.append(f"{q}: {a:.3f}s -> {b:.3f}s ({b / a:.2f}x)")
+    import statistics as _st
+    ratios = [out["queries_warm"][q] / prev_warm[q]
+              for q in prev_warm
+              if q in out["queries_warm"] and prev_warm[q] >= 0.2]
+    med = _st.median(ratios) if ratios else 1.0
+    print(f"in-bench controls vs prior seal: "
+          f"{'OK' if not ctl_bad else '; '.join(ctl_bad)}; "
+          f"median per-query ratio {med:.3f} over {len(ratios)} rows")
+    if ctl_bad or med > 1.05:
+        sys.exit("in-bench control gate FAILED — this run's rows are "
+                 "inflated vs the prior seal; do not commit it")
+
     diff = subprocess.run(
         # -t 1.3 closes the r14 dead zone: benchdiff's entry gate
         # defaulted to 2.0x while its isobench confirmation threshold
