@@ -748,4 +748,49 @@ class PlanSpec extends SparkSpec {
     assert("lineitem\\.parquet".r.findAllIn(s).size <= 1,
       s"the OR-of-conjunctions must not union multiple passes:\n$s")
   }
+
+  test("AQE splits a skewed sort-merge join at runtime — the no-salt " +
+      "complement to SkewOps the 100 TB story leans on") {
+    // SkewOps documents manual salting for KNOWN hot keys; for
+    // unknown skew the design leans on AQE's runtime skew-join
+    // split. This probe proves the repo's join shapes actually get
+    // it: an 80%-hot-key equi-join under forced-low thresholds must
+    // execute as SortMergeJoin(skew=true) — i.e. the straggler
+    // partition was split, no salting required.
+    import spark.implicits._
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val big = spark.range(100000)
+        .select(org.apache.spark.sql.functions.when($"id" < 80000, 0L)
+          .otherwise($"id").as("k"), $"id".as("v"))
+      val dim = spark.range(200).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = big.join(dim, "k")
+      // only the hot key matches the dim (non-hot keys are >= 80000):
+      // exactly the worst case — ALL matching work in one partition.
+      // collect() (not count(), which builds a SEPARATE aggregate
+      // plan) so THIS queryExecution's adaptive plan is the one that
+      // finalizes and can be inspected below.
+      val n = joined.collect().length
+      assert(n === 80000, s"join correctness under skew split: $n")
+      val s = joined.queryExecution.executedPlan.toString
+      assert(s.contains("SortMergeJoin"), s"must exercise SMJ, got:\n$s")
+      assert(s.contains("skew=true"),
+        s"AQE must mark the hot partition's join skewed:\n$s")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
