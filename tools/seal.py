@@ -20,6 +20,37 @@ def sh(cmd, **kw):
     return subprocess.run(cmd, text=True, capture_output=True, **kw)
 
 
+def in_bench_gate(prev_warm, new_warm,
+                  controls=("q76_bloom_semijoin", "q303_ks_fdr"),
+                  ctl_max=1.15, med_max=1.05, min_sec=0.2):
+    """The r17 seal-admissibility check: the RUN'S OWN rows vs the
+    prior seal. Returns (ok, message, median_ratio).
+
+    Rationale: the host pathology hostcheck.py attributes (fresh-page
+    faults + cross-core wake latency) inflates FRESH-JVM isobenches
+    ~2x while a long-lived bench JVM reproduces prior-seal rows at
+    median ~1.0 — so fresh-JVM controls are only a cheap preflight
+    and THIS gate decides. A run passes iff each control row is
+    <= ctl_max x its prior-seal row AND the median per-query ratio
+    over rows >= min_sec is <= med_max. Controls missing from either
+    side are skipped (first seal passes trivially).
+    """
+    import statistics
+    ctl_bad = []
+    for q in controls:
+        a, b = prev_warm.get(q), new_warm.get(q)
+        if a and b and b / a > ctl_max:
+            ctl_bad.append(f"{q}: {a:.3f}s -> {b:.3f}s ({b / a:.2f}x)")
+    ratios = [new_warm[q] / prev_warm[q] for q in prev_warm
+              if q in new_warm and prev_warm[q] >= min_sec]
+    med = statistics.median(ratios) if ratios else 1.0
+    ok = not ctl_bad and med <= med_max
+    msg = (f"in-bench controls vs prior seal: "
+           f"{'OK' if not ctl_bad else '; '.join(ctl_bad)}; "
+           f"median per-query ratio {med:.3f} over {len(ratios)} rows")
+    return ok, msg, med
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--prev", default="HEAD",
@@ -74,28 +105,12 @@ def main():
           f"warm {out['total_warm']:.1f}s, "
           f"load {out['load_avg_start']} -> {out['load_avg_end']}")
 
-    # IN-BENCH control gate (r17): the r16/r17 episodes showed the
-    # host pathology (fresh-page faults + cross-core wake latency,
-    # see hostcheck.py) inflates FRESH-JVM isobenches ~2x while the
-    # long-lived bench JVM reproduces prior-seal rows at median 1.007
-    # — so the run's own control rows, compared to the prior seal,
-    # are the authoritative admissibility check. Fresh-JVM controls
-    # remain the cheap preflight; this gate is what actually decides.
+    # IN-BENCH control gate (r17): the authoritative admissibility
+    # check — see in_bench_gate's docstring.
     prev_warm = json.load(open(prev_path)).get("queries_warm", {})
-    ctl_bad = []
-    for q in ("q76_bloom_semijoin", "q303_ks_fdr"):
-        a, b = prev_warm.get(q), out["queries_warm"].get(q)
-        if a and b and b / a > 1.15:
-            ctl_bad.append(f"{q}: {a:.3f}s -> {b:.3f}s ({b / a:.2f}x)")
-    import statistics as _st
-    ratios = [out["queries_warm"][q] / prev_warm[q]
-              for q in prev_warm
-              if q in out["queries_warm"] and prev_warm[q] >= 0.2]
-    med = _st.median(ratios) if ratios else 1.0
-    print(f"in-bench controls vs prior seal: "
-          f"{'OK' if not ctl_bad else '; '.join(ctl_bad)}; "
-          f"median per-query ratio {med:.3f} over {len(ratios)} rows")
-    if ctl_bad or med > 1.05:
+    ok, msg, _ = in_bench_gate(prev_warm, out["queries_warm"])
+    print(msg)
+    if not ok:
         sys.exit("in-bench control gate FAILED — this run's rows are "
                  "inflated vs the prior seal; do not commit it")
 
