@@ -67,14 +67,16 @@ object Bench {
     } catch { case _: Throwable => () }
   }
 
-  /** Where the full JSON lands. bench_out.json is the QUIET-BOX SEAL
-    * benchaudit calibrates against, and the driver's per-round
-    * (loaded-box) run kept clobbering it — so only a run that
-    * declares itself a seal (GRAFT_BENCH_SEAL=1, set by tools/seal.py
-    * after its preflight passes) may write the seal path; every other
+  /** Where the full JSON lands. bench_out.json is the SEAL benchaudit
+    * calibrates against, and the driver's per-round (loaded-box) run
+    * kept clobbering it — so only a run that declares itself a seal
+    * (GRAFT_BENCH_SEAL=1) may write the seal path; every other
     * invocation — the driver's included — lands in
     * bench_out_driver.json, making the seal physically
-    * un-clobberable. SPARK_GRAFT_BENCH_OUT overrides both.
+    * un-clobberable. SPARK_GRAFT_BENCH_OUT overrides both —
+    * tools/seal.py uses it to land the run in a CANDIDATE file that
+    * is promoted to bench_out.json only after its in-bench control
+    * gate passes.
     */
   private[graft] def outPath(env: Map[String, String]): String =
     env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(

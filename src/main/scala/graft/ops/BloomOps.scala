@@ -90,10 +90,21 @@ object BloomOps {
       bf: BloomFilter, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
-    val bytes = bos.toByteArray
+    probeColumnBytes(spark, bos.toByteArray, key)
+  }
+
+  /** [[probeColumn]] from an ALREADY-serialized filter — for callers
+    * that need an immutable snapshot of a mutable filter anyway
+    * (crossCrawlDedupStream serializes once per batch): the literal
+    * path embeds the bytes directly, and only the ≥4 MB broadcast
+    * path pays the deserialize, so no filter is serialized twice.
+    */
+  private[graft] def probeColumnBytes(spark: org.apache.spark.sql.SparkSession,
+      bytes: Array[Byte], key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     if (bytes.length < BroadcastPayloadBytes)
       call_function("graft_bloom_contains", lit(bytes), key)
     else {
+      val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
       val token = graft.functions.BloomBroadcasts.put(
         spark.sparkContext.broadcast(bf))
       call_function("graft_bloom_contains_ref", lit(token), key)

@@ -325,20 +325,22 @@ object SimilarityOps {
       .withColumn("bucket", bucketExpr(col("sv"), nbits))
     // The query-id set is broadcast (it rides into every pair
     // partition), so "queryPred is small" is a CONTRACT, not a hope:
-    // count the matches once and fail loudly above maxQueries rather
+    // probe the cardinality and fail loudly above maxQueries rather
     // than OOM the driver building a 100 TB-wide broadcast (the
-    // PreferenceOps bounded-shipment discipline). The count is a
-    // pushdown-friendly aggregate over the projected src scan — one
-    // cheap extra job — and it runs BEFORE the candidate-pair
+    // PreferenceOps bounded-shipment discipline). limit(cap+1).count
+    // bounds BOTH paths: the scan stops as soon as cap+1 matches are
+    // seen (a wildly over-cap predicate fails after ~cap rows, not
+    // after scanning 100 TB), and an under-cap predicate pays at most
+    // one bounded extra job. Runs BEFORE the candidate-pair
     // checkpoint, so an over-cap call fails without materializing
     // (and leaking) the expensive pair frame.
     val qs = s.filter(queryPred).select(col("src_id"))
-    val nq = qs.count()
+    val nq = qs.limit((maxQueries + 1).min(Int.MaxValue).toInt).count()
     require(nq <= maxQueries,
-      s"marginMiningLsh: queryPred matches $nq rows, above the " +
-        s"broadcast cap maxQueries=$maxQueries — tighten the predicate " +
-        "or raise the cap explicitly (the query-id set is collected " +
-        "to the driver and broadcast to every executor)")
+      s"marginMiningLsh: queryPred matches more than the broadcast " +
+        s"cap maxQueries=$maxQueries — tighten the predicate or raise " +
+        "the cap explicitly (the query-id set is collected to the " +
+        "driver and broadcast to every executor)")
     val pairs = lshCandidatePairs(src, tgt, idCol, vecCol, nbits, probes,
       bucketExpr).localCheckpoint()
     def nnMean(side: String): DataFrame = {

@@ -79,9 +79,12 @@ object TextOps {
     * frozen deflate sizes — the q124/q173 dynamic-oracle discipline
     * applied to the one SQL-inexpressible kernel left (zlib): the
     * generator (Verify, driver-side) deflates every row's text in the
-    * JVM with a FRESH `java.util.zip.Deflater` (independent of the
-    * [[graft.functions.DeflateLenUtil]] per-thread reuse cache, so a
-    * `reset()` state-leak bug in the hot path would hash-fail here)
+    * JVM with a FRESH `java.util.zip.Deflater` PER ROW (no reuse at
+    * all — so any bug in [[graft.functions.DeflateLenUtil]]'s
+    * per-thread `reset()` reuse cache, per-level keying included,
+    * hash-fails against these never-reused instances; a zlib-level
+    * defect common to both paths is out of scope, pinned by the
+    * kernel spec's known-answer cases)
     * and embeds `(doc_id, n_deflate)` as a VALUES table; DuckDB then
     * independently recomputes the raw byte lengths FROM THE DATA
     * (`strlen` = UTF-8 bytes, the exact twin of Spark's
@@ -100,21 +103,28 @@ object TextOps {
       docs: DataFrame, level: Int = 6): String = {
     val rows = docs.select(col(idCol).cast("long"), col(textCol)).collect()
     require(rows.nonEmpty, s"compression oracle: $table is empty")
-    val d = new java.util.zip.Deflater(level, true)
     val buf = new Array[Byte](8192)
-    val tuples = rows.map { r =>
-      val id = r.getLong(0)
-      if (r.isNullAt(1)) s"($id, NULL)"
+    val tuples = rows.flatMap { r =>
+      // NULL (or non-long-castable) ids can't be id-gated: skip them
+      // here so the generator never NPEs — the engine still emits the
+      // null-id row, the oracle's inner join doesn't, and the
+      // row-count compare fails LOUDLY (the gate deciding, not a
+      // generator crash silently downgrading q109 to rows-only)
+      if (r.isNullAt(0)) None
+      else if (r.isNullAt(1)) Some(s"(${r.getLong(0)}, NULL)")
       else {
         val bytes = r.getString(1)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        d.reset(); d.setInput(bytes); d.finish()
-        var total = 0L
-        while (!d.finished()) total += d.deflate(buf)
-        s"($id, $total)"
+        val d = new java.util.zip.Deflater(level, true)
+        try {
+          d.setInput(bytes); d.finish()
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          Some(s"(${r.getLong(0)}, $total)")
+        } finally d.end()
       }
     }
-    d.end()
+    require(tuples.nonEmpty, s"compression oracle: no gateable ids in $table")
     s"""WITH dz (doc_id, n_deflate) AS (VALUES ${tuples.mkString(", ")})
        |SELECT t.$idCol AS doc_id,
        | CAST(strlen(t.$textCol) AS INTEGER) AS n_bytes,

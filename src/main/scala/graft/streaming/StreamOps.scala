@@ -835,17 +835,17 @@ object StreamOps {
         // POST-merge state if the persisted split frames recompute
         // (block eviction, or actions inside the caller's `accept`) —
         // current-batch keys would then probe positive in `clean` and
-        // vanish from the split. The snapshot costs one serialize/
-        // deserialize per BATCH (driver-side, off the row path); the
-        // merge below mutates only the long-lived filter.
-        val snapshot = {
+        // vanish from the split. Serialize ONCE per batch
+        // (driver-side, off the row path): the literal path embeds
+        // the bytes as-is, the broadcast path deserializes a private
+        // copy; the merge below mutates only the long-lived filter.
+        val snapshotBytes = {
           val bos = new java.io.ByteArrayOutputStream()
           bloom.writeTo(bos)
-          org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(bos.toByteArray))
+          bos.toByteArray
         }
         val mightHit =
-          graft.ops.BloomOps.probeColumn(ss, snapshot, col(keyCol))
+          graft.ops.BloomOps.probeColumnBytes(ss, snapshotBytes, col(keyCol))
         val b = batch.persist()
         try {
           val clean = b.filter(col(keyCol).isNull || !mightHit)

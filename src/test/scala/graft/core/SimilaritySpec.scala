@@ -441,8 +441,8 @@ class SimilaritySpec extends SparkSpec {
         emb, emb, "vec_id", "embedding", lit(true), k = 2,
         nbits = 3, probes = 1, maxQueries = 5L)
     }
-    assert(ex.getMessage.contains("above the broadcast cap") &&
-      ex.getMessage.contains("20"), ex.getMessage)
+    assert(ex.getMessage.contains("more than the broadcast cap") &&
+      ex.getMessage.contains("maxQueries=5"), ex.getMessage)
     // the same predicate under the cap still runs
     assert(graft.ops.SimilarityOps.marginMiningLsh(
       emb, emb, "vec_id", "embedding", col("vec_id") < 3, k = 2,

@@ -185,9 +185,15 @@ def main():
             # latency / page-fault path / CPU), not just a ratio — the
             # row also lands in tools/hostcheck_history.jsonl
             try:
-                subprocess.run(
+                hc = subprocess.run(
                     [sys.executable, os.path.join(HERE, "hostcheck.py")],
                     text=True)
+                # exit 3 = degraded-vs-reference, which is EXPECTED
+                # here; anything else nonzero means the probe itself
+                # broke and the episode has NO attribution row
+                if hc.returncode not in (0, 3):
+                    print(f"(hostcheck exited {hc.returncode} — no "
+                          "hardware attribution recorded for this episode)")
             except Exception as e:
                 print(f"(hostcheck failed: {e})")
         elif inflation > 1.0:

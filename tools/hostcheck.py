@@ -184,11 +184,23 @@ def main():
 
     ref = json.load(open(REF))
     degraded = []
+    # explicit None checks, NOT truthiness: a probe so degraded it
+    # rounds to 0.0 (fault_gbps) must trip the gate, not dodge it,
+    # and a probe that FAILED to run (jvm_loop None — java crashing
+    # is itself a degradation signal) must count as degraded.
     for k in ("py_md5_1c_sec", "jvm_loop_sec", "pingpong_us"):
-        if row.get(k) and ref.get(k) and row[k] > 1.4 * ref[k]:
+        if ref.get(k) is None:
+            continue
+        if row.get(k) is None:
+            degraded.append(f"{k}: probe FAILED (ref {ref[k]})")
+        elif row[k] > 1.4 * ref[k]:
             degraded.append(f"{k}: {row[k]} vs ref {ref[k]}")
     for k in ("py_scaling_eff", "fault_gbps"):
-        if ref.get(k) and row.get(k) and row[k] < 0.7 * ref[k]:
+        if ref.get(k) is None:
+            continue
+        if row.get(k) is None:
+            degraded.append(f"{k}: probe FAILED (ref {ref[k]})")
+        elif row[k] < 0.7 * ref[k]:
             degraded.append(f"{k}: {row[k]} vs ref {ref[k]}")
     if degraded:
         print("DEGRADED:\n  " + "\n  ".join(degraded))

@@ -88,19 +88,22 @@ def main():
     cmd += ["-Xmx" + os.environ.get("SPARK_DRIVER_MEM", "24g"),
             "-cp", os.path.join(REPO, "target", "scala-2.13", "classes")
             + ":/opt/spark/jars/*", "graft.Bench"]
-    # GRAFT_BENCH_SEAL=1 is what lets Bench write the seal path
-    # (bench_out.json); any invocation without it — the driver's
-    # per-round run included — writes bench_out_driver.json instead.
+    # The run lands in a CANDIDATE file and is promoted to the sealed
+    # bench_out.json only after the in-bench gate passes — a failed or
+    # errored run must never touch the seal (bench_out.json is what
+    # benchaudit calibrates against; a gate-failing run left there
+    # would mask real regressions, the r13/r16 clobber class).
+    cand_path = os.path.join(REPO, "bench_out_candidate.json")
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=args.sf_dir,
-               GRAFT_BENCH_SEAL="1")
+               SPARK_GRAFT_BENCH_OUT=cand_path)
     print("running full-board bench (this takes ~15 min)...", flush=True)
     bench = subprocess.run(cmd, env=env, cwd=REPO, text=True,
                            capture_output=True)
     if bench.returncode != 0:
         sys.exit(f"bench failed:\n{bench.stderr[-2000:]}")
-    out = json.load(open(os.path.join(REPO, "bench_out.json")))
+    out = json.load(open(cand_path))
     if out.get("errors"):
-        sys.exit(f"bench errors: {out['errors']}")
+        sys.exit(f"bench errors (candidate NOT promoted): {out['errors']}")
     print(f"bench done: {len(out['queries_warm'])} queries, "
           f"warm {out['total_warm']:.1f}s, "
           f"load {out['load_avg_start']} -> {out['load_avg_end']}")
@@ -112,7 +115,10 @@ def main():
     print(msg)
     if not ok:
         sys.exit("in-bench control gate FAILED — this run's rows are "
-                 "inflated vs the prior seal; do not commit it")
+                 "inflated vs the prior seal; candidate left at "
+                 f"{cand_path}, bench_out.json untouched")
+    os.replace(cand_path, os.path.join(REPO, "bench_out.json"))
+    print("gate passed — candidate promoted to bench_out.json")
 
     diff = subprocess.run(
         # -t 1.3 closes the r14 dead zone: benchdiff's entry gate
