@@ -165,6 +165,59 @@ object TextOps {
     trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
   }
 
+  /** Per-group line-frequency boilerplate removal (the CCNet /
+    * RefinedWeb line-wise filter, the stage AFTER [[htmlExtract]]):
+    * a line whose trimmed form appears in more than `maxShare` of a
+    * group's documents (and in at least `minDocs` of them — small
+    * groups can't vote) is template furniture (nav bars, cookie
+    * banners, copyright footers) and is cut from every document;
+    * surviving lines rejoin in original order. Line identity is the
+    * space-trimmed text within ONE group (`groupCol`, typically the
+    * domain/source): the same footer on two domains is dropped per
+    * domain, never globally — a common quote shared across the web
+    * is not boilerplate.
+    *
+    * Scale shape: posexplode is narrow; the line census and the
+    * drop-key join are both keyed by (group, line) — the join reuses
+    * the census's partitioning — and the rebuild is one aggregation
+    * keyed by doc id with map-side combine. Per-group doc counts are
+    * a broadcast (|groups| rows). Nothing is quadratic; the widest
+    * shuffle carries one row per (doc, line). NULL-text documents
+    * have no lines and drop out of the output (posexplode semantics,
+    * replayed by the oracle's unnest).
+    *
+    * Output: (id, n_lines_removed, text_clean). Empty lines are
+    * never counted or dropped (they carry no template signal) and
+    * survive in place.
+    */
+  def lineBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, maxShare: Double = 0.5, minDocs: Int = 3)
+      : DataFrame = {
+    require(maxShare > 0 && maxShare <= 1,
+      s"maxShare must be in (0, 1], got $maxShare")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val lines = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lk", trim(col("line")))
+    val groupSizes = docs.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val dropKeys = lines.filter(col("lk") =!= "")
+      .groupBy("grp", "lk").agg(countDistinct(col("id")).as("nd"))
+      .join(broadcast(groupSizes), Seq("grp"))
+      .filter(col("nd") >= minDocs && col("nd") > col("n_docs") * maxShare)
+      .select(col("grp"), col("lk"), lit(true).as("_drop"))
+    lines.join(dropKeys, Seq("grp", "lk"), "left")
+      .groupBy("id")
+      .agg(
+        sum(when(col("_drop"), 1L).otherwise(0L)).as("n_lines_removed"),
+        // collect_list skips the nulls the `when` produces for
+        // dropped lines; array_sort orders by the struct's first
+        // field (pos) — original line order, partition-invariant
+        array_join(transform(array_sort(collect_list(
+          when(col("_drop").isNull, struct(col("pos"), col("line"))))),
+          x => x("line")), "\n").as("text_clean"))
+  }
+
   /** Heuristic marker-word scores per language. */
   val langMarkers: Seq[(String, String)] = Seq(
     "en" -> "\\b(the|and|of)\\b",

@@ -834,6 +834,33 @@ private[graft] object PipelineTextQueries {
         .withColumn("n_chars_clean", length(col("text_clean")))
     }),
 
+    // Per-source line-frequency boilerplate removal (CCNet/RefinedWeb
+    // line-wise filter): deterministic multi-line pages manufactured
+    // around each document (the q107 messy-HTML precedent) — two
+    // whole-source template lines (nav + copyright) must drop, the
+    // text and per-doc lines survive, and a promo line planted on
+    // doc_id % 7 == 0 (~14% of each source — deliberately NOT % 10,
+    // which aligns with the source = doc_id % 20 assignment and would
+    // concentrate the line at 100% of two sources) stays under the
+    // 50% share and survives. The oracle replays the page manufacture
+    // and the census word for word. concat_ws skips the NULL promo
+    // slot in BOTH engines.
+    "q386_line_boilerplate" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val page = concat_ws("\n",
+        lit("Home | About | Contact"),
+        concat(lit("Source "), col("source"), lit(" News")),
+        col("text"),
+        when(col("doc_id") % 7 === 0, lit("Subscribe to our newsletter!")),
+        concat(lit("doc "), col("doc_id").cast("string")),
+        concat(lit("(c) 2026 "), col("source")))
+      TextOps.lineBoilerplate(
+          docs.select(col("doc_id"), col("source"), page.as("page")),
+          "doc_id", "page", "source")
+        .select(col("id").as("doc_id"), col("n_lines_removed"),
+          col("text_clean"))
+    }),
+
     // Documents rollup by (lang, source).
     "q37_doc_stats" -> ((s, d) =>
       Tables(s, d, "documents")
@@ -2236,6 +2263,36 @@ private[graft] object PipelineTextQueries {
     "q96_lang_ngram" -> langNgramOracleSql,
     "q102_lang_profile_table" -> langWideOracleSql,
 
+    "q386_line_boilerplate" ->
+      """WITH pages AS (SELECT doc_id, source AS grp,
+        |  concat_ws(chr(10),
+        |    'Home | About | Contact',
+        |    'Source ' || source || ' News',
+        |    text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'Subscribe to our newsletter!' END,
+        |    'doc ' || CAST(doc_id AS VARCHAR),
+        |    '(c) 2026 ' || source) AS page
+        | FROM documents),
+        |lines AS (SELECT doc_id, grp, ws[i] AS line, i AS pos,
+        |  trim(ws[i]) AS lk
+        | FROM (SELECT doc_id, grp, string_split(page, chr(10)) AS ws
+        |       FROM pages) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)),
+        |sizes AS (SELECT grp, count(DISTINCT doc_id) AS n_docs
+        | FROM pages GROUP BY grp),
+        |census AS (SELECT grp, lk, count(DISTINCT doc_id) AS nd
+        | FROM lines WHERE lk <> '' GROUP BY grp, lk),
+        |dropkeys AS (SELECT c.grp, c.lk
+        | FROM census c JOIN sizes s ON c.grp = s.grp
+        | WHERE c.nd >= 3 AND c.nd > s.n_docs * 0.5)
+        |SELECT l.doc_id,
+        | CAST(count(*) FILTER (WHERE d.lk IS NOT NULL) AS BIGINT)
+        |   AS n_lines_removed,
+        | coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+        |   FILTER (WHERE d.lk IS NULL), '') AS text_clean
+        |FROM lines l LEFT JOIN dropkeys d
+        |  ON l.grp = d.grp AND l.lk = d.lk
+        |GROUP BY l.doc_id""".stripMargin,
     "q107_html_extract" ->
       """WITH h AS (SELECT doc_id,
         |  '<html><head><title>D' || CAST(doc_id AS VARCHAR) ||

@@ -1452,6 +1452,42 @@ class OpsSpec extends SparkSpec {
       s"case ${r.getLong(0)}: got '${r.getString(1)}' want '${r.getString(2)}'"))
   }
 
+  test("lineBoilerplate: per-group template lines drop, minority and " +
+      "small-group lines survive, trim-keyed, order and blanks preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      // group a, 5 docs: NAV in all 5 (one with stray spaces — the
+      // trimmed key must still unify it), promo in only 2 (40% < 50%,
+      // and under minDocs=3 anyway)
+      (1L, "a", "NAV\nu1\n\npromo"),
+      (2L, "a", "NAV\nu2\npromo"),
+      (3L, "a", "NAV\nu3"),
+      (4L, "a", "NAV\nu4"),
+      (5L, "a", " NAV  \nu5"),
+      // group b, 2 docs sharing NAV: group too small to vote
+      // (minDocs=3), nothing drops
+      (6L, "b", "NAV\nu6"),
+      (7L, "b", "NAV\nu7")).toDF("doc_id", "source", "text")
+    val got = graft.ops.TextOps
+      .lineBoilerplate(docs, "doc_id", "text", "source",
+        maxShare = 0.5, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got(1L) === ((1L, "u1\n\npromo")), got(1L)) // blank line survives in place
+    assert(got(2L) === ((1L, "u2\npromo")))
+    assert(got(3L) === ((1L, "u3")))
+    assert(got(5L) === ((1L, "u5"))) // ' NAV  ' dropped via trimmed key
+    assert(got(6L) === ((0L, "NAV\nu6"))) // small group: kept
+    assert(got(7L) === ((0L, "NAV\nu7")))
+    // partition invariance (the census and rebuild are keyed aggs)
+    val re = graft.ops.TextOps
+      .lineBoilerplate(docs.repartition(5), "doc_id", "text", "source",
+        maxShare = 0.5, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(re === got)
+  }
+
   test("quantizeInt8: codes bounded, zero vector safe, reconstruction within half-step") {
     import spark.implicits._
     val emb = Seq(
