@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--iso-samples", type=int, default=3)
     ap.add_argument("--iso-threshold", type=float, default=1.5,
                     help="isolated median within this x of prev = jitter")
+    ap.add_argument("--no-controls", dest="ctl", action="store_false",
+                    help="skip the control calibration before "
+                         "adjudication (tests only)")
+    ap.add_argument("--control-threshold", type=float, default=1.4)
     args = ap.parse_args()
     prev = json.load(open(args.prev))
     cur = json.load(open(args.cur))
@@ -98,6 +102,41 @@ def main():
               "(tools/isobench.py <q> -n 3) before sealing")
         sys.exit(1)
 
+    # Control calibration FIRST (r17: ported from benchaudit after the
+    # fresh-JVM startup tax was measured at ~2x on a box whose warmed
+    # bench rows sat at seal parity): if untouched controls isolate
+    # above --control-threshold x their prev rows, a fresh JVM cannot
+    # reproduce ANY prev row and every isobench verdict below would be
+    # a false REGRESSION — report box-degraded and exit 3. Mild
+    # inflation scales the iso-threshold (and the mild-growth floor)
+    # instead, so the bar moves with the box.
+    eff_iso, mild_floor = args.iso_threshold, 1.2
+    if args.ctl:
+        from benchaudit import calibrate, DEFAULT_CONTROLS
+        controls = [c for c in DEFAULT_CONTROLS.split(",") if c]
+        print(f"\ncalibrating against controls {controls}:")
+        inflation, degraded, rows = calibrate(
+            controls, wp, args.iso_samples, args.control_threshold)
+        for q, a, med, note in rows:
+            pa = "—" if a is None else f"{a:.3f}s"
+            pm = "—" if med is None else f"{med:.3f}s"
+            print(f"  control {q}: prev {pa}, isolated {pm} ({note})")
+        if degraded:
+            print(f"HOST DEGRADED: controls isolate {inflation:.2f}x above "
+                  f"their prev rows (> {args.control_threshold}x) — fresh "
+                  "JVMs cannot reproduce prev rows for untouched code; "
+                  "movers below are box-degraded, not adjudicable. "
+                  "Re-run on a quiet host (exit 3).")
+            for q, a, b, r in slower:
+                print(f"  {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x) — box-degraded")
+            sys.exit(3)
+        if inflation > 1.0:
+            eff_iso = args.iso_threshold * inflation
+            mild_floor = 1.2 * inflation
+            print(f"controls isolate {inflation:.2f}x — scaling "
+                  f"iso-threshold {args.iso_threshold} -> {eff_iso:.2f}, "
+                  f"mild floor 1.2 -> {mild_floor:.2f}")
+
     # Auto-adjudication: fresh-JVM isolated medians decide jitter vs
     # regression mechanically (the table BENCHNOTES used to hand-roll).
     print(f"\nauto-isobench ({args.iso_samples} fresh JVMs per mover):")
@@ -113,8 +152,8 @@ def main():
                   f"isobench FAILED | unadjudicated |")
             continue
         med, spread = s["warm_min_median"], s["spread"]
-        real = med > a * args.iso_threshold
-        mild = (not real) and med > a * 1.2
+        real = med > a * eff_iso
+        mild = (not real) and med > a * mild_floor
         verdict = ("REGRESSION" if real else
                    f"mild real growth ({med / a:.2f}x)" if mild else
                    "contamination")
