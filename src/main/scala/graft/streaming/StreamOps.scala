@@ -582,6 +582,53 @@ object StreamOps {
       .drop("_g", "_bk")
   }
 
+  /** Streaming line-boilerplate filter vs a FROZEN census — the
+    * streaming twin of [[graft.ops.TextOps.lineBoilerplate]] (q386's
+    * crawl loop in flight): the per-group boilerplate line set is
+    * computed ONCE from a static reference corpus (the last crawl —
+    * production freezes the census per snapshot, as with the minhash
+    * band index above), and each arriving document is cleaned
+    * ROW-LOCALLY: one stream–static equi-join ships the group's drop
+    * set (collect_set per group — small by nature, boilerplate is
+    * the handful of template lines a domain repeats), then a single
+    * `filter` lambda cuts matching lines in place. Stateless, append
+    * mode, no per-batch aggregation state — the census explode/agg
+    * never runs on the stream side. Same trimmed-key identity and
+    * blank-line exemption as the batch operator; when the reference
+    * IS the arriving corpus, output equals the batch operator row
+    * for row (StreamingSpec pins it).
+    */
+  def lineBoilerplateFilterStream(stream: DataFrame, idCol: String,
+      textCol: String, groupCol: String, refDocs: DataFrame,
+      maxShare: Double = 0.5, minDocs: Int = 3): DataFrame = {
+    require(maxShare > 0 && maxShare <= 1,
+      s"maxShare must be in (0, 1], got $maxShare")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val lines = refDocs.select(col(idCol).as("id"),
+        col(groupCol).as("_grp"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .withColumn("lk", trim(col("line")))
+    val groupSizes = refDocs.groupBy(col(groupCol).as("_grp"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val dropSets = lines.filter(col("lk") =!= "")
+      .groupBy("_grp", "lk").agg(countDistinct(col("id")).as("nd"))
+      .join(broadcast(groupSizes), Seq("_grp"))
+      .filter(col("nd") >= minDocs && col("nd") > col("n_docs") * maxShare)
+      .groupBy("_grp").agg(sort_array(collect_set(col("lk"))).as("_drop_lks"))
+    val passthrough = stream.columns.map(col).toSeq
+    val kept = filter(split(col(textCol), "\n"),
+      l => !array_contains(col("_lks"), trim(l)))
+    stream
+      .join(dropSets.withColumnRenamed("_grp", groupCol),
+        Seq(groupCol), "left")
+      .withColumn("_lks",
+        coalesce(col("_drop_lks"), array().cast("array<string>")))
+      .select(passthrough ++ Seq(
+        (size(split(col(textCol), "\n")) - size(kept)).cast("long")
+          .as("n_lines_removed"),
+        array_join(kept, "\n").as("text_clean")): _*)
+  }
+
   /** Streaming passage-overlap filter vs a static fingerprint index —
     * the streaming twin of [[graft.ops.WinnowOps.overlapAgainstIndex]]
     * (q247's crawl loop in flight): each arriving document's winnow

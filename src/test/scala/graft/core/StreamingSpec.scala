@@ -1127,4 +1127,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1) == ((20L, 15L, "accept_h1")))
     assert(rows(2) == ((220L, 15L, "accept_h1"))) // latched
   }
+
+  test("streaming line-boilerplate filter equals the batch operator " +
+      "when the frozen census IS the arriving corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", "NAV\nu1\n\npromo"),
+      (2L, "a", "NAV\nu2\npromo"),
+      (3L, "a", "NAV\nu3"),
+      (4L, "a", "NAV\nu4"),
+      (5L, "a", " NAV  \nu5"),
+      (6L, "b", "NAV\nu6"),   // group of 2: under minDocs, kept
+      (7L, "b", "NAV\nu7"))
+    val ref = rows.toDF("doc_id", "source", "text")
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.lineBoilerplateFilterStream(
+        input.toDF().toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", ref, maxShare = 0.5, minDocs = 3)
+      .writeStream.format("memory").queryName("lbp_stream")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    // a group UNSEEN by the census passes through uncut
+    input.addData((8L, "c", "NAV\nu8"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lbp_stream")
+      .select("doc_id", "n_lines_removed", "text_clean")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    val batch = graft.ops.TextOps
+      .lineBoilerplate(ref, "doc_id", "text", "source",
+        maxShare = 0.5, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(batch.forall { case (id, v) => streamed.get(id).contains(v) },
+      s"stream must equal batch on the census corpus:\n$streamed\nvs\n$batch")
+    assert(streamed(8L) === ((0L, "NAV\nu8")), streamed(8L))
+  }
 }
