@@ -705,4 +705,145 @@ object GraphOps {
        |    ELSE CAST((2000000 * 3 * n_triangles + n_wedges)
        |      // (2 * n_wedges) AS DOUBLE) / 1e6 END AS global_cc
        |FROM nodes CROSS JOIN ne CROSS JOIN tri""".stripMargin
+
+  /** Deterministic DeepWalk/node2vec-style random walks over the
+    * undirected graph — the walk-corpus generator for graph-embedding
+    * training (walks in, skip-gram pairs out, [[skipGramPairs]]).
+    *
+    * Randomness is md5-derived, not seeded RNG: step `t` of walk
+    * (start, w) picks neighbor index
+    * `word1(md5("salt:start/w:t")) mod degree(cur)` — so the walk
+    * corpus is partition-invariant, rerun-stable, and REPLAYABLE IN
+    * SQL ([[walkPairsOracleSql]] unrolls one CTE per step with the
+    * '0x'-cast idiom every md5-twin oracle uses).
+    *
+    * Scale shape: adjacency (node, idx, nbr) and degree tables build
+    * once (one exchange each, keyed on node) and persist; each step is
+    * TWO equi-joins — frontier onto the degree table to compute the
+    * chosen index, then onto adjacency on (node, idx) — so a step
+    * costs O(frontier), never O(frontier · degree): the hub-fanout of
+    * the join-then-filter spelling is designed out. Frontier rows are
+    * (start, walk, cur) triples — O(1) state per walk; `walkLen` is
+    * bounded so lineage stays shallow, and the returned walk table is
+    * localCheckpoint-materialized (callers self-join it for pairs;
+    * release via [[Checkpoints.release]]).
+    *
+    * Dead ends cannot occur: symmetrization gives every edge-touching
+    * node degree >= 1; isolated nodes have no adjacency row and are
+    * never started.
+    *
+    * @return (start, walk, step, node), steps 0..walkLen
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      walkLen: Int = 4, walksPerNode: Int = 2,
+      salt: String = "walk"): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 16,
+      s"walkLen must be in [1, 16], got $walkLen")
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode must be in [1, 64], got $walksPerNode")
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = und.withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("a").orderBy("b")) - 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = deg.select(col("a").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk"))
+      .select(col("start"), col("walk"), col("start").as("node"))
+    val steps = scala.collection.mutable.ArrayBuffer(
+      cur.withColumn("step", lit(0)))
+    for (t <- 1 to walkLen) {
+      // word1 of md5("salt:start/w:t") — 32-bit, so the long is
+      // non-negative and pmod == % on both engines.
+      val r = conv(substring(md5(concat(lit(s"$salt:"),
+          col("start").cast("string"), lit("/"),
+          col("walk").cast("string"), lit(s":$t")).cast("binary")),
+        1, 8), 16, 10).cast("long")
+      cur = cur.join(deg.select(col("a").as("_dn"), col("deg")),
+          col("node") === col("_dn"))
+        .select(col("start"), col("walk"), col("node"),
+          pmod(r, col("deg")).as("_idx"))
+        .join(adj.select(col("a").as("_an"), col("idx").as("_ai"),
+            col("b").as("_nb")),
+          col("node") === col("_an") && col("_idx") === col("_ai"))
+        .select(col("start"), col("walk"), col("_nb").as("node"))
+      steps += cur.withColumn("step", lit(t))
+    }
+    val out = steps.reduce(_ unionByName _)
+      .select(col("start"), col("walk"), col("step"), col("node"))
+      .localCheckpoint()
+    und.unpersist(); adj.unpersist(); deg.unpersist()
+    out
+  }
+
+  /** Skip-gram co-occurrence pairs from a [[randomWalks]] table: for
+    * every walk, all ordered (center, context) position pairs within
+    * `window` steps, counted. The self-join is EQUI on the walk id
+    * (start, walk) — per-walk fan-out is the fixed (walkLen+1)² grid,
+    * so cost is linear in walks, and the count map-side combines.
+    *
+    * @return (center, context, pair_n) ordered (pair_n desc, center,
+    *         context)
+    */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 16,
+      s"window must be in [1, 16], got $window")
+    val l = walks.select(col("start").as("_s"), col("walk").as("_w"),
+      col("step").as("_i"), col("node").as("center"))
+    val r = walks.select(col("start").as("_s2"), col("walk").as("_w2"),
+      col("step").as("_j"), col("node").as("context"))
+    l.join(r, col("_s") === col("_s2") && col("_w") === col("_w2") &&
+        col("_i") =!= col("_j") &&
+        abs(col("_i") - col("_j")) <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("pair_n"))
+      .orderBy(col("pair_n").desc, col("center"), col("context"))
+  }
+
+  /** DuckDB replay of [[randomWalks]] + [[skipGramPairs]]: identical
+    * symmetrization, md5-indexed neighbor choice unrolled one CTE per
+    * step, identical pair grid. `edgesSql` must yield (src, dst).
+    */
+  def walkPairsOracleSql(edgesSql: String, walkLen: Int,
+      walksPerNode: Int, window: Int, salt: String = "walk"): String = {
+    val stepCtes = (1 to walkLen).map { t =>
+      val p = t - 1
+      // no continuation line may START with '|': this text is embedded
+      // in the outer template and stripMargin runs over it a second
+      // time there (the double-strip trap).
+      s"""s$t AS MATERIALIZED (
+         | SELECT s.start, s.walk, adj.b AS node
+         | FROM s$p s
+         | JOIN deg ON deg.a = s.node
+         | JOIN adj ON adj.a = s.node AND adj.idx = CAST('0x' ||
+         |   substr(md5('$salt:' || CAST(s.start AS VARCHAR) || '/' ||
+         |   CAST(s.walk AS VARCHAR) || ':$t'), 1, 8) AS BIGINT) % deg.deg)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to walkLen).map(t =>
+      s"SELECT start, walk, $t AS step, node FROM s$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e0 AS (SELECT src AS a, dst AS b FROM ($edgesSql) eraw
+       |  WHERE src <> dst),
+       |e AS MATERIALIZED (SELECT DISTINCT a, b FROM
+       |  (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0) u),
+       |adj AS MATERIALIZED (SELECT a, b,
+       |  row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx FROM e),
+       |deg AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS deg
+       |  FROM e GROUP BY a),
+       |s0 AS MATERIALIZED (SELECT deg.a AS start, w.walk, deg.a AS node
+       |  FROM deg CROSS JOIN
+       |    (SELECT unnest(range(0, $walksPerNode)) AS walk) w),
+       |$stepCtes,
+       |walks AS MATERIALIZED (
+       |  $unions)
+       |SELECT l.node AS center, r.node AS context,
+       |  CAST(count(*) AS BIGINT) AS pair_n
+       |FROM walks l JOIN walks r ON l.start = r.start AND l.walk = r.walk
+       |  AND l.step <> r.step AND abs(l.step - r.step) <= $window
+       |GROUP BY 1, 2
+       |ORDER BY pair_n DESC, center, context""".stripMargin
+  }
 }

@@ -95,6 +95,31 @@ private[graft] object PipelineSimilarityQueries {
       graft.ops.GraphOps.clusteringCoefficient(edges, "item_a", "item_b")
     }),
 
+    // Deterministic DeepWalk-style walk corpus + skip-gram pairs over
+    // the q276 brand co-purchase graph — the graph-embedding training
+    // data generator. md5-indexed neighbor choice, two equi-joins per
+    // step (degree then (node, idx) adjacency — no hub fan-out), pair
+    // grid bounded by (walkLen+1)² per walk.
+    "q387_walk_pairs" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val part = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val edges = graft.ops.CooccurOps.basketPairs(
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
+        "basket", "item", minSupport = 20L)
+        .select(col("item_a"), col("item_b"))
+      // NOTE: the walk table stays checkpoint-resident until session
+      // end — releasing it here would drop the blocks BEFORE the
+      // driver evaluates the returned (lazy) pair frame. It is
+      // |V|·walksPerNode·(walkLen+1) rows — model-scale by contract.
+      GraphOps.skipGramPairs(
+        GraphOps.randomWalks(edges, "item_a", "item_b",
+          walkLen = 4, walksPerNode = 2),
+        window = 2)
+    }),
+
     // Simplified silhouette over pinned seed centroids — the
     // deterministic cluster-separation scoreboard beside the seeded
     // k-means fits (q113/q115).
@@ -439,6 +464,15 @@ private[graft] object PipelineSimilarityQueries {
               "SELECT l_orderkey AS bk, p_brand AS it FROM lineitem " +
                 "JOIN part ON l_partkey = p_partkey",
               minSupport = 20L)}) pairs""".stripMargin),
+
+    "q387_walk_pairs" ->
+      graft.ops.GraphOps.walkPairsOracleSql(
+        s"""SELECT item_a AS src, item_b AS dst FROM (
+           |${graft.ops.CooccurOps.basketPairsOracleSql(
+              "SELECT l_orderkey AS bk, p_brand AS it FROM lineitem " +
+                "JOIN part ON l_partkey = p_partkey",
+              minSupport = 20L)}) pairs""".stripMargin,
+        walkLen = 4, walksPerNode = 2, window = 2),
 
     "q262_silhouette" -> SimilarityOps.silhouetteOracleSql(
       "embeddings", "vec_id", "embedding", "vec_id < 8"),
