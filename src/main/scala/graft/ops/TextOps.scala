@@ -1133,6 +1133,115 @@ object TextOps {
        |SELECT id, CAST(rank AS INT) AS rank, tok, w
        |FROM r WHERE rank <= $k""".stripMargin
 
+  /** Fixed RAKE delimiter stopword set — literal in both engines'
+    * regexes, so the phrase split replays exactly. */
+  private[graft] val RakeStops: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "for", "on",
+      "with", "as", "by", "at", "or", "be", "are", "was", "that",
+      "it", "this", "from")
+
+  /** RAKE keyword extraction (Rose et al. 2010) — PHRASE-level
+    * keywords, the co-occurrence complement of [[topKeywords]]'
+    * single-term tf-idf: candidate phrases are maximal runs between
+    * stopword/punctuation delimiters; word score = degree/frequency
+    * over the document's phrase instances; phrase score = the sum of
+    * its member word scores.
+    *
+    * Exactness: word scores are half-up integer micro-units
+    * ((2·deg·10⁶ + freq) div (2·freq)) and phrase scores exact long
+    * sums of them, so the per-document rank (score desc, phrase asc)
+    * is engine-portable with no float gate.
+    *
+    * Scale shape: the corpus is scanned ONCE (lower + two regex
+    * replaces + split — all codegen'd row expressions); everything
+    * downstream operates on the per-document DISTINCT-phrase table
+    * (bounded by text length), shuffling only on (id, phrase) /
+    * (id, word) — word stats are derived from phrase counts
+    * (freq = Σ n_inst·multiplicity), not from a second corpus pass.
+    * The rank window partitions by document — corpus-parallel,
+    * nothing global.
+    *
+    * @return (id, rank, phrase, n_inst, score_micro, score)
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, maxWords: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && maxWords >= 1, s"bad k=$k / maxWords=$maxWords")
+    val stopsRe = "\\b(" + RakeStops.mkString("|") + ")\\b"
+    val cleaned = regexp_replace(
+      regexp_replace(lower(col(textCol)), "[.,;:!?]", "|"), stopsRe, "|")
+    val inst = df.select(col(idCol).as("id"),
+        explode(transform(split(cleaned, "\\|"),
+          p => filter(split(p, Ws), x => x =!= ""))).as("toks"))
+      .where(size(col("toks")).between(1, maxWords))
+      .select(col("id"), array_join(col("toks"), " ").as("phrase"))
+    val phr = inst.groupBy("id", "phrase")
+      .agg(count(lit(1)).as("n_inst"))
+    // word stats FROM the phrase counts (phrase_str -> words is exact:
+    // words are non-empty and space-free by construction)
+    val pw = phr.select(col("id"), col("phrase"), col("n_inst"),
+      size(split(col("phrase"), " ")).cast("long").as("plen"),
+      explode(split(col("phrase"), " ")).as("w"))
+    val ws = pw.groupBy("id", "w")
+      .agg(sum(col("n_inst")).as("freq"),
+        sum(col("n_inst") * col("plen")).as("deg"))
+      .select(col("id").as("_wid"), col("w").as("_ww"),
+        expr("(2 * deg * 1000000 + freq) div (2 * freq)").as("sm"))
+    val psc = pw.join(ws,
+        pw("id") === col("_wid") && pw("w") === col("_ww"))
+      .groupBy(pw("id"), col("phrase"))
+      .agg(max(col("n_inst")).as("n_inst"),
+        sum(col("sm")).as("score_micro"))
+    psc.withColumn("rank", row_number().over(Window.partitionBy("id")
+        .orderBy(col("score_micro").desc, col("phrase").asc)))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("phrase"), col("n_inst"),
+        col("score_micro"),
+        (col("score_micro") / lit(1000000.0)).as("score"))
+  }
+
+  /** DuckDB twin of [[rakeKeywords]] — identical delimiter regexes
+    * (note DuckDB regexp_replace needs the explicit 'g' flag Spark
+    * applies implicitly), identical half-up micro scores.
+    */
+  def rakeKeywordsOracleSql(table: String, idCol: String,
+      textCol: String, k: Int = 5, maxWords: Int = 3): String = {
+    // DuckDB string literals do NOT process backslash escapes, so a
+    // single backslash reaches the regex engine: '\b' is the word
+    // boundary (the Scala "\\b" here renders one backslash).
+    val stopsRe = "\\b(" + RakeStops.mkString("|") + ")\\b"
+    s"""WITH cleaned AS (SELECT $idCol AS id,
+       |    regexp_replace(regexp_replace(lower($textCol),
+       |      '[.,;:!?]', '|', 'g'), '$stopsRe', '|', 'g') AS c
+       |  FROM $table),
+       |inst0 AS (SELECT id, list_filter(string_split_regex(p,
+       |      '[ \\t\\n\\f\\r]+'), x -> x <> '') AS toks
+       |  FROM (SELECT id, unnest(string_split(c, '|')) AS p
+       |    FROM cleaned) s0),
+       |inst AS (SELECT id, array_to_string(toks, ' ') AS phrase
+       |  FROM inst0 WHERE len(toks) BETWEEN 1 AND $maxWords),
+       |phr AS (SELECT id, phrase, CAST(count(*) AS BIGINT) AS n_inst
+       |  FROM inst GROUP BY 1, 2),
+       |pw AS (SELECT id, phrase, n_inst,
+       |    CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+       |    unnest(string_split(phrase, ' ')) AS w
+       |  FROM phr),
+       |ws AS (SELECT id, w,
+       |    (2 * sum(n_inst * plen) * 1000000 + sum(n_inst))
+       |      // (2 * sum(n_inst)) AS sm
+       |  FROM pw GROUP BY 1, 2),
+       |psc AS (SELECT pw.id, pw.phrase, max(pw.n_inst) AS n_inst,
+       |    sum(ws.sm) AS score_micro
+       |  FROM pw JOIN ws ON pw.id = ws.id AND pw.w = ws.w
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY id
+       |    ORDER BY score_micro DESC, phrase ASC) AS rank FROM psc)
+       |SELECT id, CAST(rank AS INT) AS rank, phrase, n_inst,
+       |  CAST(score_micro AS BIGINT) AS score_micro,
+       |  CAST(score_micro AS DOUBLE) / 1e6 AS score
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
   /** Declared-language vs dominant-script mismatch audit: the
     * dominant script by exact integer character counts (count desc,
     * fixed script-order tie-break), cross-tabulated per language with

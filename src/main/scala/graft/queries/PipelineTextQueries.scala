@@ -448,6 +448,12 @@ private[graft] object PipelineTextQueries {
     "q233_keywords" -> ((s, d) =>
       TextOps.topKeywords(Tables(s, d, "documents"), "doc_id", "text")),
 
+    // RAKE phrase keywords (q233's multi-word complement): stopword/
+    // punctuation-delimited candidate phrases, degree/frequency word
+    // scores on the half-up micro grid, exact integer phrase ranks.
+    "q388_rake_keywords" -> ((s, d) =>
+      TextOps.rakeKeywords(Tables(s, d, "documents"), "doc_id", "text")),
+
     // Declared-language vs dominant-script mismatch audit.
     "q234_script_mismatch" -> ((s, d) =>
       TextOps.scriptMismatch(Tables(s, d, "documents"), "lang", "text",
@@ -1578,6 +1584,8 @@ private[graft] object PipelineTextQueries {
         |   / CAST(sum(n) AS DOUBLE), 6) AS ece
         |FROM bk""".stripMargin),
     "q233_keywords" -> TextOps.topKeywordsOracleSql(
+      "documents", "doc_id", "text"),
+    "q388_rake_keywords" -> TextOps.rakeKeywordsOracleSql(
       "documents", "doc_id", "text"),
     "q234_script_mismatch" ->
       """WITH c AS (SELECT lang,

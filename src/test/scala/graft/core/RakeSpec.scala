@@ -1,0 +1,48 @@
+package graft.core
+
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+/** RAKE phrase keywords ([[TextOps.rakeKeywords]]): hand-computed
+  * degree/frequency scores, duplicate-instance counting, the
+  * maxWords cut, and empty/punctuation-only degeneracy.
+  */
+class RakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand case: deg/freq micro scores and phrase ranking") {
+    // cleaned: "| quick brown fox jumps| | lazy dog | | fox"
+    // phrases (maxWords=3): "lazy dog", "fox" — the 4-word run drops
+    val df = Seq((1L, "the quick brown fox jumps. a lazy dog and the fox"))
+      .toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(df, "doc_id", "text", k = 5)
+      .select("rank", "phrase", "n_inst", "score_micro")
+      .as[(Int, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // lazy: freq 1, deg 2 -> 2e6; dog: 2e6; fox: freq 1, deg 1 -> 1e6
+    assert(got == Seq((1, "lazy dog", 1L, 4000000L),
+      (2, "fox", 1L, 1000000L)))
+  }
+
+  test("duplicate phrase instances accumulate freq and deg") {
+    val df = Seq((7L, "good data, good data")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(df, "doc_id", "text")
+      .select("rank", "phrase", "n_inst", "score_micro")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    // good: freq 2, deg 4 -> 2e6; data: 2e6; phrase = 4e6, n_inst = 2
+    assert(got == Seq((1, "good data", 2L, 4000000L)))
+  }
+
+  test("stopword-only / punctuation-only / empty docs emit nothing") {
+    val df = Seq((1L, "the and of to"), (2L, "... !!! ,,,"), (3L, ""))
+      .toDF("doc_id", "text")
+    assert(TextOps.rakeKeywords(df, "doc_id", "text").count() == 0)
+  }
+
+  test("k caps per-document output; ties break phrase-asc") {
+    val df = Seq((1L, "alpha. beta. gamma. delta")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(df, "doc_id", "text", k = 2)
+      .select("rank", "phrase").as[(Int, String)].collect().toSeq
+    // four singleton phrases, all score 1e6 -> alphabetical cut
+    assert(got == Seq((1, "alpha"), (2, "beta")))
+  }
+}
