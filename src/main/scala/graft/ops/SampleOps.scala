@@ -269,6 +269,124 @@ object SampleOps {
          |   AS shortfall_tokens
          |FROM tw""".stripMargin
 
+  /** DoReMi-flavored excess-loss domain reweighting (the mixture-
+    * design signal of Xie et al. 2023, one-shot): for each domain,
+    * the unigram add-one NLL a CORPUS-level model pays on the domain
+    * minus what the domain's OWN model pays (the achievable floor);
+    * the positive part is the domain's EXCESS loss, and the published
+    * mixture is the token share scaled by exp(eta · excess) and
+    * renormalized — domains a generalist underfits get boosted,
+    * already-easy (template/duplicate-heavy) domains shrink. The
+    * multiplicative-weights step of the full algorithm with the proxy
+    * retrain replaced by the one-shot unigram estimate — the
+    * data-side signal, computable in one pass.
+    *
+    * Exactness: per-token NLLs are integer MICRONATS
+    * (round(−ln(p)·1e6), the DsirOps discipline), token-weighted sums
+    * are exact longs (ANSI: a domain past ~4.6e11 micronat·token
+    * units fails loudly rather than drifting — the ExactArith
+    * contract), per-token means are half-up integer division, and
+    * only the final exp/normalize runs in doubles with a fixed
+    * evaluation order, rounded at publication (weight 6dp, boost
+    * 4dp) exactly as the oracle replays.
+    *
+    * Scale shape: ONE corpus scan — every model quantity derives
+    * from the (domain, word) count table, whose build is the only
+    * corpus-wide exchange; Catalyst's exchange reuse serves all of
+    * its consumers (corpus marginals, domain totals, both NLL sums)
+    * from that single shuffle. Everything downstream is
+    * vocab·|domains|-bounded; the weight table is |domains| rows.
+    *
+    * @return (domain, n_tokens, nll_corpus_micro, nll_own_micro,
+    *         excess_micro, share, weight, boost)
+    */
+  def excessLossWeights(df: org.apache.spark.sql.DataFrame,
+      domainCol: String, textCol: String,
+      eta: Double): org.apache.spark.sql.DataFrame = {
+    require(eta >= 0.0 && eta <= 100.0, s"eta must be in [0,100], got $eta")
+    val cdw = df.select(col(domainCol).as("domain"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("domain", "w").agg(count(lit(1)).as("c"))
+    val cw = cdw.groupBy("w").agg(sum("c").as("cw"))
+    val glob = cw.agg(count(lit(1)).as("v"), sum("cw").as("t"))
+    val td = cdw.groupBy("domain").agg(sum("c").as("n_tokens"))
+    def micronat(p: Column): Column =
+      round(-log(p) * 1e6, 0).cast("long")
+    val corpusSum = cdw.join(cw, "w").crossJoin(broadcast(glob))
+      .select(col("domain"), (col("c") * micronat(
+        (col("cw") + 1).cast("double") / (col("t") + col("v"))
+          .cast("double"))).as("term"))
+      .groupBy("domain").agg(sum("term").as("s_corpus"))
+    val ownSum = cdw.join(td, "domain").crossJoin(broadcast(glob))
+      .select(col("domain"), (col("c") * micronat(
+        (col("c") + 1).cast("double") / (col("n_tokens") + col("v"))
+          .cast("double"))).as("term"))
+      .groupBy("domain").agg(sum("term").as("s_own"))
+    val dom = td.join(corpusSum, "domain").join(ownSum, "domain")
+      .crossJoin(broadcast(glob.select(col("t"))))
+      .select(col("domain"), col("n_tokens"),
+        ExactArith.halfUpDiv(col("s_corpus"), col("n_tokens"))
+          .as("nll_corpus_micro"),
+        ExactArith.halfUpDiv(col("s_own"), col("n_tokens"))
+          .as("nll_own_micro"),
+        col("t"))
+      .withColumn("excess_micro",
+        greatest(lit(0L), col("nll_corpus_micro") - col("nll_own_micro")))
+      .withColumn("_share", col("n_tokens").cast("double") / col("t"))
+      .withColumn("_u", col("_share") *
+        exp(lit(eta) * col("excess_micro").cast("double") / 1e6))
+    val den = dom.agg(sum("_u").as("den"))
+    dom.crossJoin(broadcast(den))
+      .select(col("domain"), col("n_tokens"), col("nll_corpus_micro"),
+        col("nll_own_micro"), col("excess_micro"),
+        round(col("_share"), 6).as("share"),
+        round(col("_u") / col("den"), 6).as("weight"),
+        round(col("_u") / col("den") / col("_share"), 4).as("boost"))
+  }
+
+  /** DuckDB replay of [[excessLossWeights]] — identical tokenizer,
+    * micronat rounding, half-up means, and double evaluation order.
+    */
+  def excessLossWeightsOracleSql(table: String, domainCol: String,
+      textCol: String, eta: Double): String =
+    s"""WITH cdw AS (SELECT $domainCol AS domain, w,
+       |    CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT $domainCol, unnest(list_filter(string_split_regex(
+       |      lower($textCol), '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS w
+       |    FROM $table) tk GROUP BY 1, 2),
+       |cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM cdw GROUP BY w),
+       |gl AS (SELECT CAST(count(*) AS BIGINT) AS v,
+       |    CAST(sum(cw) AS BIGINT) AS t FROM cw),
+       |td AS (SELECT domain, CAST(sum(c) AS BIGINT) AS n_tokens
+       |  FROM cdw GROUP BY domain),
+       |cs AS (SELECT domain, CAST(sum(c * CAST(round(-ln(
+       |      (cw + 1) * 1.0::DOUBLE / (t + v)) * 1e6, 0) AS BIGINT))
+       |    AS BIGINT) AS s_corpus
+       |  FROM cdw JOIN cw USING (w) CROSS JOIN gl GROUP BY domain),
+       |os AS (SELECT cdw.domain, CAST(sum(c * CAST(round(-ln(
+       |      (c + 1) * 1.0::DOUBLE / (n_tokens + v)) * 1e6, 0) AS BIGINT))
+       |    AS BIGINT) AS s_own
+       |  FROM cdw JOIN td ON cdw.domain = td.domain CROSS JOIN gl
+       |  GROUP BY cdw.domain),
+       |dom AS (SELECT td.domain, td.n_tokens,
+       |    (2 * s_corpus + n_tokens) // (2 * n_tokens) AS nll_corpus_micro,
+       |    (2 * s_own + n_tokens) // (2 * n_tokens) AS nll_own_micro,
+       |    greatest(0, (2 * s_corpus + n_tokens) // (2 * n_tokens)
+       |      - (2 * s_own + n_tokens) // (2 * n_tokens)) AS excess_micro,
+       |    CAST(n_tokens AS DOUBLE) / t AS sh
+       |  FROM td JOIN cs ON td.domain = cs.domain
+       |  JOIN os ON td.domain = os.domain CROSS JOIN gl),
+       |du AS (SELECT *, sh * exp($eta * CAST(excess_micro AS DOUBLE)
+       |    / 1e6) AS u FROM dom),
+       |den AS (SELECT sum(u) AS den FROM du)
+       |SELECT domain, n_tokens,
+       |  CAST(nll_corpus_micro AS BIGINT) AS nll_corpus_micro,
+       |  CAST(nll_own_micro AS BIGINT) AS nll_own_micro,
+       |  CAST(excess_micro AS BIGINT) AS excess_micro,
+       |  round(sh, 6) AS share, round(u / den, 6) AS weight,
+       |  round(u / den / sh, 4) AS boost
+       |FROM du CROSS JOIN den""".stripMargin
+
   /** Systematic probability-proportional-to-size sampling (Madow
     * 1949) per group with the DETERMINISTIC midpoint start — the
     * reproducible twin of randomized PPS: lay k equally-spaced grid

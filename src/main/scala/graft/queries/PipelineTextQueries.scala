@@ -1076,6 +1076,13 @@ private[graft] object PipelineTextQueries {
       SampleOps.temperatureWeights(Tables(s, d, "documents"),
         "source", "text", alpha = 0.3)),
 
+    // DoReMi-flavored excess-loss mixture (q128's loss-aware
+    // counterpart): corpus-vs-own unigram NLL gap per source in exact
+    // micronats, token shares scaled by exp(eta·excess), renormalized.
+    "q389_excess_loss_mixture" -> ((s, d) =>
+      SampleOps.excessLossWeights(Tables(s, d, "documents"),
+        "source", "text", eta = 0.5)),
+
     // Interpolated Kneser-Ney bigram LM trained on the English slice
     // (the CCNet shape: trusted reference LM, score everything). The
     // model is a dataset: every reference bigram type with its counts
@@ -1821,6 +1828,8 @@ private[graft] object PipelineTextQueries {
     "q154_vocab_coverage" -> TextOps.vocabCoverageOracleSql("documents", "text"),
     "q128_domain_mixture" -> SampleOps.temperatureWeightsOracleSql(
       "documents", "source", "text", alpha = 0.3),
+    "q389_excess_loss_mixture" -> SampleOps.excessLossWeightsOracleSql(
+      "documents", "source", "text", eta = 0.5),
     "q129_zipf_fit" -> ProfileOps.zipfOracleSql("documents", "text"),
     "q134_passage_windows" ->
       """WITH s0 AS (SELECT doc_id,
