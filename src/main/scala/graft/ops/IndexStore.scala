@@ -317,6 +317,62 @@ object IndexStore {
     })
   }
 
+  /** Append one batch's quantile-histogram delta
+    * ([[SketchOps.quantHistDelta]]) — bucket counts are longs that
+    * ADD. The cell width is sidecar-pinned: buckets cut at different
+    * cell widths are meaningless to merge.
+    */
+  def appendQuantHist(delta: DataFrame, path: String,
+      cellMicro: Long): Unit = {
+    checkParams(delta.sparkSession, path, "quantile histogram",
+      Map("cell_micro" -> cellMicro.toString), writeIfAbsent = true)
+    append(delta, path)
+  }
+
+  /** Merged quantile histogram (bucket, n) — feed to
+    * [[SketchOps.quantileAuditFromHist]] or serve rank queries
+    * directly. */
+  def readQuantHist(spark: SparkSession, path: String,
+      expectCellMicro: Long = -1L): DataFrame = {
+    if (expectCellMicro >= 0)
+      checkParams(spark, path, "quantile histogram",
+        Map("cell_micro" -> expectCellMicro.toString),
+        writeIfAbsent = false)
+    readMerged(spark, path, Seq("bucket"), Seq("n"))
+  }
+
+  private val quantStores = new ConcurrentHashMap[WKey, String]()
+
+  /** q390's demo store: lineitem prices split into 3 content-keyed
+    * batches (pmod(l_orderkey, 3)), each batch's bucket delta
+    * appended — memoized per application+corpus like the other demo
+    * stores so warm bench runs serve from it.
+    */
+  def quantHistDemoStorePath(spark: SparkSession, dir: String,
+      cellMicro: Long): String = {
+    val key = WKey(spark.sparkContext.applicationId,
+      s"$dir#quant_cell=$cellMicro")
+    quantStores.computeIfAbsent(key, new JFunction[WKey, String] {
+      override def apply(ignored: WKey): String = {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_q390").toString + "/quant"
+        val li = graft.Tables(spark, dir, "lineitem")
+        (0 until 3).foreach { b =>
+          appendQuantHist(graft.ops.SketchOps.quantHistDelta(
+            li.where(pmod(col("l_orderkey"), lit(3)) === b),
+            "l_extendedprice", cellMicro), path, cellMicro)
+        }
+        path
+      }
+    })
+  }
+
+  /** Test hook: drop an application's quantile demo stores. */
+  private[graft] def invalidateQuantDemo(appId: String): Unit = {
+    val it = quantStores.keySet.iterator()
+    while (it.hasNext) if (it.next().appId == appId) it.remove()
+  }
+
   /** Test hook: drop an application's CMS demo stores. */
   private[graft] def invalidateCmsDemo(appId: String): Unit = {
     val it = cmsStores.keySet.iterator()

@@ -108,4 +108,131 @@ object SketchOps {
        |FROM pr p JOIN sk ON sk.r = p.r AND sk.c = p.c
        |GROUP BY p.key, p.exact""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // Durable quantile histogram — the rank-query member of the
+  // mergeable-store family (moments: PcaOps, counters: cmsSketch,
+  // distinct: ProfileOps.kmvSketch). State is a fixed-cell bucket
+  // count table: bucket = floor(value_micro / cellMicro) — counts
+  // ADD, so per-shard/per-batch deltas merged in any order equal the
+  // from-scratch histogram bit-for-bit, and a quantile never needs a
+  // global sort: cumulative counts over the BOUNDED bucket table
+  // answer any rank query with error at most one cell width.
+  // ----------------------------------------------------------------
+
+  /** One batch's bucket-count delta: (bucket, n). Values enter on the
+    * micro grid (round(v·1e6), exact for doubles below ~2^53 micro
+    * units); the floor division is exact over the full long range
+    * ([[ExactArith.floorDiv]]), so negatives bucket correctly.
+    */
+  def quantHistDelta(df: DataFrame, valueCol: String,
+      cellMicro: Long): DataFrame = {
+    require(cellMicro >= 1L, s"cellMicro must be >= 1, got $cellMicro")
+    df.select(ExactArith.floorDiv(
+        round(col(valueCol).cast("double") * 1e6, 0).cast("long"),
+        lit(cellMicro)).as("bucket"))
+      .where(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimates from a (possibly merge-on-read) histogram,
+    * AUDITED against the exact order statistics: for each q (in
+    * millionths), rank = ceil(q·N/1e6) computed in exact integers,
+    * the estimate is the upper edge of the first bucket whose
+    * cumulative count reaches the rank, and the exact value is the
+    * same rank over the VALUE DISTRIBUTION (group-by value_micro —
+    * bounded by the value grid, never a corpus sort). The invariant
+    * the audit proves: 0 < est_hi_micro − exact_micro <= cellMicro.
+    *
+    * Scale shape: one corpus aggregation for the value distribution
+    * (map-side combined; at 100 TB this is the ONLY corpus-wide work
+    * and exists purely as the audit — production serves from the
+    * store alone); both cumulative windows run single-partition over
+    * BOUNDED frames (buckets, distinct grid values). The rank
+    * arithmetic is integer end to end — no double ceil can misround
+    * a boundary rank.
+    *
+    * @return (q_micro, rank_n, bucket, est_hi_micro, exact_micro,
+    *         err_micro) ordered by q_micro
+    */
+  def quantileAuditFromHist(df: DataFrame, valueCol: String,
+      hist: DataFrame, cellMicro: Long, qMicros: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qMicros.nonEmpty && qMicros.forall(q => q > 0 && q <= 1000000L),
+      "quantiles must be in (0, 1e6] millionths")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = qMicros.toDF("q_micro")
+    val tot = hist.agg(sum("n").as("nt"))
+    val ranks = qs.crossJoin(broadcast(tot))
+      .select(col("q_micro"),
+        ExactArith.floorDiv(col("q_micro") * col("nt") + 999999L,
+          lit(1000000L)).as("rank_n"))
+    val wb = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum("n").over(wb))
+    val est = broadcast(ranks).join(cum, col("cum") >= col("rank_n"))
+      .groupBy("q_micro", "rank_n").agg(min("bucket").as("bucket"))
+    val dist = df.select(round(col(valueCol).cast("double") * 1e6, 0)
+        .cast("long").as("vm"))
+      .where(col("vm").isNotNull)
+      .groupBy("vm").agg(count(lit(1)).as("c"))
+    val wd = Window.orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dcum = dist.withColumn("dcm", sum("c").over(wd))
+    val exact = broadcast(ranks.select(col("q_micro").as("_q"),
+        col("rank_n").as("_r")))
+      .join(dcum, col("dcm") >= col("_r"))
+      .groupBy("_q").agg(min("vm").as("exact_micro"))
+    est.join(exact, col("q_micro") === col("_q"))
+      .select(col("q_micro"), col("rank_n"), col("bucket"),
+        ((col("bucket") + 1L) * cellMicro).as("est_hi_micro"),
+        col("exact_micro"),
+        ((col("bucket") + 1L) * cellMicro - col("exact_micro"))
+          .as("err_micro"))
+      .orderBy("q_micro")
+  }
+
+  /** DuckDB replay of [[quantHistDelta]] (from scratch — which is
+    * exactly what proves merge-on-read == from-scratch when the
+    * engine side serves from a batch-appended store) +
+    * [[quantileAuditFromHist]].
+    */
+  def quantileAuditOracleSql(table: String, valueExpr: String,
+      cellMicro: Long, qMicros: Seq[Long]): String = {
+    val qsRows = qMicros.map(q => s"($q)").mkString(", ")
+    s"""WITH vm AS (SELECT CAST(round(CAST($valueExpr AS DOUBLE) * 1e6,
+       |      0) AS BIGINT) AS vm FROM $table
+       |  WHERE $valueExpr IS NOT NULL),
+       |hist AS (SELECT CASE WHEN vm >= 0 THEN vm // $cellMicro
+       |    ELSE -((-vm + $cellMicro - 1) // $cellMicro) END AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM vm GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM hist),
+       |qs AS (SELECT CAST(q AS BIGINT) AS q_micro
+       |  FROM (VALUES $qsRows) v(q)),
+       |ranks AS (SELECT q_micro,
+       |    (q_micro * nt + 999999) // 1000000 AS rank_n
+       |  FROM qs CROSS JOIN tot),
+       |cum AS (SELECT bucket, sum(n) OVER (ORDER BY bucket
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+       |est AS (SELECT q_micro, rank_n, min(bucket) AS bucket
+       |  FROM ranks JOIN cum ON cum.cum >= ranks.rank_n
+       |  GROUP BY 1, 2),
+       |dist AS (SELECT vm, CAST(count(*) AS BIGINT) AS c
+       |  FROM vm GROUP BY vm),
+       |dcum AS (SELECT vm, sum(c) OVER (ORDER BY vm
+       |    ROWS UNBOUNDED PRECEDING) AS dcm FROM dist),
+       |ex AS (SELECT q_micro AS _q, min(vm) AS exact_micro
+       |  FROM ranks JOIN dcum ON dcum.dcm >= ranks.rank_n
+       |  GROUP BY 1)
+       |SELECT est.q_micro, CAST(est.rank_n AS BIGINT) AS rank_n,
+       |  CAST(est.bucket AS BIGINT) AS bucket,
+       |  CAST((est.bucket + 1) * $cellMicro AS BIGINT) AS est_hi_micro,
+       |  CAST(ex.exact_micro AS BIGINT) AS exact_micro,
+       |  CAST((est.bucket + 1) * $cellMicro - ex.exact_micro AS BIGINT)
+       |    AS err_micro
+       |FROM est JOIN ex ON est.q_micro = ex._q
+       |ORDER BY est.q_micro""".stripMargin
+  }
 }

@@ -136,6 +136,21 @@ private[graft] object PipelineEventsQueries {
         "user_id", w = 64, k = 20)
     }),
 
+    // Durable quantile-histogram store (the rank-query member of the
+    // mergeable-store family beside q381/q384): price quantiles from
+    // 3 content-keyed batch appends served merge-on-read, audited
+    // against the exact order statistics — est − exact must sit in
+    // (0, cell]; the oracle replays from scratch, so the hash match
+    // proves batch-merge == from-scratch cross-engine.
+    "q390_quantile_store" -> ((s, d) => {
+      val cell = 100000000L // $100 cells on the micro grid
+      val store = graft.ops.IndexStore.quantHistDemoStorePath(s, d, cell)
+      graft.ops.SketchOps.quantileAuditFromHist(
+        Tables(s, d, "lineitem"), "l_extendedprice",
+        graft.ops.IndexStore.readQuantHist(s, store, expectCellMicro = cell),
+        cell, Seq(500000L, 900000L, 990000L))
+    }),
+
     // Nelson-Aalen cumulative hazard over the q272 censored
     // time-to-purchase frame — the additive survival companion.
     "q316_nelson_aalen" -> ((s, d) => {
@@ -573,6 +588,9 @@ private[graft] object PipelineEventsQueries {
 
     "q384_cms_store" -> graft.ops.SketchOps.cmsHeavyHittersOracleSql(
       "events", "user_id", w = 64, k = 20),
+    "q390_quantile_store" -> graft.ops.SketchOps.quantileAuditOracleSql(
+      "lineitem", "l_extendedprice", cellMicro = 100000000L,
+      qMicros = Seq(500000L, 900000L, 990000L)),
 
     "q316_nelson_aalen" -> graft.ops.EventOps.nelsonAalenOracleSql(
       """SELECT (coalesce(t_buy, t_last) - t0) // 3600000000 AS t,

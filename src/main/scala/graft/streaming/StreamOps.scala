@@ -750,6 +750,21 @@ object StreamOps {
       w: Int): DataFrame =
     graft.ops.SketchOps.cmsSketch(stream, keyCol, w)
 
+  /** Streaming quantile histogram — the ingest twin of
+    * [[graft.ops.SketchOps.quantHistDelta]] (q390): bucket counts
+    * are additive by construction, so the stream IS the delta's
+    * grouped aggregation in complete mode. State is bounded by the
+    * value range / cellMicro regardless of stream volume;
+    * complete-mode output at any instant equals the batch histogram
+    * of everything ingested, so
+    * [[graft.ops.SketchOps.quantileAuditFromHist]] serves rank
+    * queries from it directly (StreamingSpec asserts cross-batch
+    * equality with the batch delta).
+    */
+  def quantHistStream(stream: DataFrame, valueCol: String,
+      cellMicro: Long): DataFrame =
+    graft.ops.SketchOps.quantHistDelta(stream, valueCol, cellMicro)
+
   /** Streaming Wald SPRT monitor — the streaming twin of
     * [[graft.ops.EventOps.sprtMonitor]] (q317), which is sequential
     * BY NATURE: the decision walk consumes trials in arrival order

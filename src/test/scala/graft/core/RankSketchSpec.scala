@@ -74,4 +74,52 @@ class RankSketchSpec extends SparkSpec {
       IndexStore.readCmsSketch(spark, store, expectW = 32).collect()
     }
   }
+
+  // ---- durable quantile-histogram store (q390) ----
+
+  test("quantile store: batch-appended buckets re-derive the " +
+      "from-scratch histogram in a fresh session; cell width pinned") {
+    import graft.ops.IndexStore
+    val vals = (1 to 2000).map(i => (i.toLong, i * 0.731 - 300.0))
+    val df = vals.toDF("id", "v")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_quant_spec").toString + "/quant"
+    (0 until 3).foreach { b =>
+      IndexStore.appendQuantHist(SketchOps.quantHistDelta(
+        df.where(pmod(col("id"), lit(3)) === b), "v", 2000000L),
+        path, 2000000L)
+    }
+    val stored = IndexStore.readQuantHist(spark.newSession(), path,
+        expectCellMicro = 2000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = SketchOps.quantHistDelta(df, "v", 2000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored == whole, "merge-on-read must equal from-scratch")
+    intercept[IllegalArgumentException] {
+      IndexStore.appendQuantHist(SketchOps.quantHistDelta(
+        df, "v", 1000000L), path, 1000000L)
+    }
+  }
+
+  test("quantile audit: estimate bounds the exact order statistic " +
+      "within one cell; exact matches an in-memory rank") {
+    val vals = (1 to 999).map(i => ((i * 37 % 1000) + 0.25))
+    val df = vals.toDF("v")
+    val cell = 5000000L
+    val hist = SketchOps.quantHistDelta(df, "v", cell)
+    val qs = Seq(250000L, 500000L, 900000L)
+    val got = SketchOps.quantileAuditFromHist(df, "v", hist, cell, qs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val sortedMicro = vals.map(v => math.round(v * 1e6)).sorted
+    qs.foreach { q =>
+      val (rank, estHi, exact, err) = got(q)
+      val expRank = (q * vals.size + 999999L) / 1000000L
+      assert(rank == expRank)
+      assert(exact == sortedMicro((expRank - 1).toInt),
+        s"q=$q exact mismatch")
+      assert(err > 0 && err <= cell, s"q=$q err $err outside (0, cell]")
+      assert(estHi == exact + err)
+    }
+  }
 }

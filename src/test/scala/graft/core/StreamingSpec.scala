@@ -1020,6 +1020,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming quantile histogram equals the batch delta across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Double]
+    val q = StreamOps.quantHistStream(input.toDF().toDF("v"), "v", 250000L)
+      .writeStream.format("memory").queryName("quant_stream")
+      .outputMode("complete").start()
+    val b1 = (1 to 80).map(_ * 0.37)
+    val b2 = (1 to 50).map(i => -i * 1.13) // negatives bucket via floor
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("quant_stream")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.SketchOps.quantHistDelta(
+        (b1 ++ b2).toDF("v"), "v", 250000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.keys.exists(_ < 0), "negative buckets must exist")
+  }
+
   test("streaming Brier cells finish to the exact batch Murphy decomposition") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
