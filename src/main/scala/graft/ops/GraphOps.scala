@@ -780,6 +780,169 @@ object GraphOps {
     out
   }
 
+  /** Second-order (p, q)-biased walks — node2vec proper (Grover &
+    * Leskovec 2016) beside [[randomWalks]]' uniform DeepWalk: from
+    * edge (prev → cur), neighbor x of cur weighs 1/p when x = prev
+    * (return), 1 when x is also prev's neighbor (BFS-ish stay), 1/q
+    * otherwise (DFS-ish explore). Weights live on the integer micro
+    * grid (round(1e6/p) etc.), the walk key draws a 62-bit
+    * md5-derived integer, and the pick is the first neighbor whose
+    * cumulative weight exceeds key mod total — deterministic,
+    * partition-invariant, SQL-replayable ([[biasedWalksOracleSql]]).
+    * Step 1 has no prev and is uniform, exactly [[randomWalks]]' rule.
+    *
+    * Scale shape: a second-order walk must CLASSIFY every neighbor of
+    * cur against prev, so a step inherently costs O(Σ deg(cur)) — the
+    * candidate fan-out is the algorithm, not a spelling accident
+    * (the alias-table preprocessing of the reference implementation
+    * trades it for O(Σ_(u,v) deg(v)) memory, strictly worse at
+    * crawl-graph scale). Each step is: one equi-join onto adjacency,
+    * one LEFT equi-join onto the edge set for the BFS flag, one
+    * per-walk window (shuffles keyed on the walk id). State per walk
+    * is (prev, cur) — O(1); the returned table is checkpoint-
+    * materialized like [[randomWalks]].
+    *
+    * @return (start, walk, step, node), steps 0..walkLen
+    */
+  def biasedWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      walkLen: Int = 4, walksPerNode: Int = 2, p: Double = 1.0,
+      q: Double = 1.0, salt: String = "walk"): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 16,
+      s"walkLen must be in [1, 16], got $walkLen")
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode must be in [1, 64], got $walksPerNode")
+    require(p > 0.0 && q > 0.0, s"p/q must be positive, got $p/$q")
+    val retW = math.round(1e6 / p); val outW = math.round(1e6 / q)
+    require(retW >= 1 && outW >= 1, s"p/q too large: micro weights 0")
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("start", "walk")
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = und.withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("a").orderBy("b")) - 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def hx(t: Int) = md5(concat(lit(s"$salt:"),
+      col("start").cast("string"), lit("/"),
+      col("walk").cast("string"), lit(s":$t")).cast("binary"))
+    // step 0 + uniform step 1 (no prev yet — the randomWalks rule)
+    val s0 = deg.select(col("a").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk"))
+      .select(col("start"), col("walk"), col("start").as("node"))
+    val r1 = conv(substring(hx(1), 1, 8), 16, 10).cast("long")
+    var cur = s0.join(deg.select(col("a").as("_dn"), col("deg")),
+        col("node") === col("_dn"))
+      .select(col("start"), col("walk"), col("node"),
+        pmod(r1, col("deg")).as("_idx"))
+      .join(adj.select(col("a").as("_an"), col("idx").as("_ai"),
+          col("b").as("_nb")),
+        col("node") === col("_an") && col("_idx") === col("_ai"))
+      .select(col("start"), col("walk"), col("node").as("prev"),
+        col("_nb").as("node"))
+    val steps = scala.collection.mutable.ArrayBuffer(
+      s0.withColumn("step", lit(0)).select("start", "walk", "step", "node"),
+      cur.withColumn("step", lit(1)).select("start", "walk", "step", "node"))
+    for (t <- 2 to walkLen) {
+      // 62-bit key: (word1 mod 2^30)·2^32 + word2 — long-safe, and
+      // the identical spelling replays in SQL.
+      val r = (pmod(conv(substring(hx(t), 1, 8), 16, 10).cast("long"),
+          lit(1073741824L)) * 4294967296L +
+        conv(substring(hx(t), 9, 8), 16, 10).cast("long")).as("_r")
+      val cand = cur.join(adj.select(col("a").as("_ca"),
+            col("b").as("_x")), col("node") === col("_ca"))
+        .join(und.select(col("a").as("_ma"), col("b").as("_mbf"),
+            lit(1).as("_isn")),
+          col("prev") === col("_ma") && col("_x") === col("_mbf"),
+          "left")
+        .select(col("start"), col("walk"), col("node"), col("_x"),
+          when(col("_x") === col("prev"), lit(retW))
+            .when(col("_isn").isNotNull, lit(1000000L))
+            .otherwise(lit(outW)).as("_wgt"), r)
+      val cumd = cand
+        .withColumn("_cum", sum("_wgt").over(
+          wWin.orderBy("_x").rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("_tot", sum("_wgt").over(wWin))
+      cur = cumd
+        .where(col("_cum") - col("_wgt") <= pmod(col("_r"), col("_tot")) &&
+          pmod(col("_r"), col("_tot")) < col("_cum"))
+        .select(col("start"), col("walk"), col("node").as("prev"),
+          col("_x").as("node"))
+      steps += cur.withColumn("step", lit(t))
+        .select("start", "walk", "step", "node")
+    }
+    val out = steps.reduce(_ unionByName _).localCheckpoint()
+    und.unpersist(); adj.unpersist(); deg.unpersist()
+    out
+  }
+
+  /** DuckDB replay of [[biasedWalks]]: identical uniform first step,
+    * per-step candidate classification (return / BFS-neighbor /
+    * explore), micro cumulative weights, 62-bit key pick.
+    */
+  def biasedWalksOracleSql(edgesSql: String, walkLen: Int,
+      walksPerNode: Int, p: Double, q: Double,
+      salt: String = "walk"): String = {
+    val retW = math.round(1e6 / p); val outW = math.round(1e6 / q)
+    def h(t: Int) =
+      s"md5('$salt:' || CAST(s.start AS VARCHAR) || '/' || " +
+        s"CAST(s.walk AS VARCHAR) || ':$t')"
+    val stepCtes = (2 to walkLen).map { t =>
+      val pp = t - 1
+      s"""c$t AS MATERIALIZED (
+         | SELECT s.start, s.walk, s.node AS cur, adj.b AS x,
+         |   CASE WHEN adj.b = s.prev THEN $retW
+         |     WHEN m.a IS NOT NULL THEN 1000000
+         |     ELSE $outW END AS wgt,
+         |   (CAST('0x' || substr(${h(t)}, 1, 8) AS BIGINT) % 1073741824)
+         |     * 4294967296 + CAST('0x' || substr(${h(t)}, 9, 8) AS BIGINT)
+         |     AS r
+         | FROM s$pp s
+         | JOIN adj ON adj.a = s.node
+         | LEFT JOIN e m ON m.a = s.prev AND m.b = adj.b),
+         |w$t AS MATERIALIZED (
+         | SELECT start, walk, cur, x, wgt, r,
+         |   sum(wgt) OVER (PARTITION BY start, walk ORDER BY x
+         |     ROWS UNBOUNDED PRECEDING) AS cum,
+         |   sum(wgt) OVER (PARTITION BY start, walk) AS tot
+         | FROM c$t),
+         |s$t AS MATERIALIZED (
+         | SELECT start, walk, cur AS prev, x AS node
+         | FROM w$t WHERE cum - wgt <= r % tot AND r % tot < cum)""".stripMargin
+    }.mkString(",\n")
+    val tail = if (walkLen >= 2) ",\n" + stepCtes else ""
+    val unions = (s"SELECT start, walk, 0 AS step, start AS node FROM s0d" +:
+      (1 to walkLen).map(t =>
+        s"SELECT start, walk, $t AS step, node FROM s$t"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH e0 AS (SELECT src AS a, dst AS b FROM ($edgesSql) eraw
+       |  WHERE src <> dst),
+       |e AS MATERIALIZED (SELECT DISTINCT a, b FROM
+       |  (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0) u),
+       |adj AS MATERIALIZED (SELECT a, b,
+       |  row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx FROM e),
+       |deg AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS deg
+       |  FROM e GROUP BY a),
+       |s0d AS MATERIALIZED (SELECT deg.a AS start, w.walk
+       |  FROM deg CROSS JOIN
+       |    (SELECT unnest(range(0, $walksPerNode)) AS walk) w),
+       |s1 AS MATERIALIZED (
+       | SELECT s.start, s.walk, s.start AS prev, adj.b AS node
+       | FROM s0d s
+       | JOIN deg ON deg.a = s.start
+       | JOIN adj ON adj.a = s.start AND adj.idx = CAST('0x' ||
+       |   substr(md5('$salt:' || CAST(s.start AS VARCHAR) || '/' ||
+       |   CAST(s.walk AS VARCHAR) || ':1'), 1, 8) AS BIGINT) % deg.deg)$tail
+       |SELECT start, walk, step, node FROM (
+       |  $unions) walks
+       |ORDER BY start, walk, step""".stripMargin
+  }
+
   /** Skip-gram co-occurrence pairs from a [[randomWalks]] table: for
     * every walk, all ordered (center, context) position pairs within
     * `window` steps, counted. The self-join is EQUI on the walk id

@@ -84,6 +84,70 @@ object SketchOps {
         (col("est") - col("exact")).as("overest"))
   }
 
+  /** CMS inner-product JOIN-SIZE estimation (Cormode & Muthukrishnan
+    * §4.2, the AMS application): |A ⋈ B on key| = Σ_k cA(k)·cB(k),
+    * estimated as min over the d rows of Σ_c cntA(r,c)·cntB(r,c) —
+    * never an undercount, collisions only add. The planning primitive
+    * a 100 TB pipeline wants BEFORE committing to a shuffle join:
+    * each side is sketched independently (one scan each, d·w
+    * counters — shippable, mergeable across shards), and the
+    * estimate is a d·w-bounded join of the two counter tables; the
+    * corpus-side exact audit here is Σ over the per-key count tables
+    * (key-cardinality-bounded, the cmsHeavyHitters discipline).
+    *
+    * @return one row: (est_join_rows, exact_join_rows, overest,
+    *         ratio 6dp)
+    */
+  def cmsJoinSize(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, w: Int): DataFrame = {
+    val sa = cmsSketch(a, aKey, w)
+      .select(col("r"), col("c"), col("cnt").as("ca"))
+    val sb = cmsSketch(b, bKey, w)
+      .select(col("r"), col("c"), col("cnt").as("cb"))
+    val est = sa.join(sb, Seq("r", "c"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min("ip").as("est_join_rows"))
+    val ea = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("na"))
+    val eb = b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("nb"))
+    val exact = ea.join(eb, "k")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L))
+        .as("exact_join_rows"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est_join_rows"), col("exact_join_rows"),
+        (col("est_join_rows") - col("exact_join_rows")).as("overest"),
+        round(col("est_join_rows").cast("double") /
+          col("exact_join_rows"), 6).as("ratio"))
+  }
+
+  /** DuckDB replay of [[cmsJoinSize]]; `aSql`/`bSql` yield one `key`
+    * column each. */
+  def cmsJoinSizeOracleSql(aSql: String, bSql: String, w: Int): String = {
+    def hashes(src: String) = As.zip(Bs).zipWithIndex.map {
+      case ((a, b), r) =>
+        s"SELECT $r AS r, ((key * $a + $b) % $P) % $w AS c FROM ($src) s"
+    }.mkString(" UNION ALL ")
+    s"""WITH ska AS (SELECT r, c, CAST(count(*) AS BIGINT) AS ca
+       |  FROM (${hashes("__A__")}) h GROUP BY r, c),
+       |skb AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cb
+       |  FROM (${hashes("__B__")}) h GROUP BY r, c),
+       |ip AS (SELECT ska.r, CAST(sum(ca * cb) AS BIGINT) AS ip
+       |  FROM ska JOIN skb ON ska.r = skb.r AND ska.c = skb.c
+       |  GROUP BY ska.r),
+       |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM ip),
+       |ea AS (SELECT key AS k, CAST(count(*) AS BIGINT) AS na
+       |  FROM (__A__) s GROUP BY 1),
+       |eb AS (SELECT key AS k, CAST(count(*) AS BIGINT) AS nb
+       |  FROM (__B__) s GROUP BY 1),
+       |ex AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT)
+       |    AS exact_join_rows FROM ea JOIN eb USING (k))
+       |SELECT est_join_rows, exact_join_rows,
+       |  est_join_rows - exact_join_rows AS overest,
+       |  round(CAST(est_join_rows AS DOUBLE) / exact_join_rows, 6)
+       |    AS ratio
+       |FROM est CROSS JOIN ex""".stripMargin
+      .replace("__A__", aSql).replace("__B__", bSql)
+  }
+
   /** DuckDB replay of [[cmsHeavyHitters]]. */
   def cmsHeavyHittersOracleSql(table: String, keyExpr: String, w: Int,
       k: Int): String = {

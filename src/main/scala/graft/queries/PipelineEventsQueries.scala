@@ -151,6 +151,20 @@ private[graft] object PipelineEventsQueries {
         cell, Seq(500000L, 900000L, 990000L))
     }),
 
+    // CMS inner-product join-size estimation (AMS; CM §4.2): the
+    // pre-shuffle planning probe — both relation sides sketched
+    // independently (d·w counters each), |A ⋈ B| estimated as the
+    // min-row counter inner product, never an undercount; audited
+    // against the exact per-key count-table sum.
+    "q391_cms_join_size" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      graft.ops.SketchOps.cmsJoinSize(
+        li.where(col("l_quantity") < 25).select(col("l_partkey")),
+        "l_partkey",
+        li.where(col("l_quantity") >= 25).select(col("l_partkey")),
+        "l_partkey", w = 8192)
+    }),
+
     // Nelson-Aalen cumulative hazard over the q272 censored
     // time-to-purchase frame — the additive survival companion.
     "q316_nelson_aalen" -> ((s, d) => {
@@ -591,6 +605,10 @@ private[graft] object PipelineEventsQueries {
     "q390_quantile_store" -> graft.ops.SketchOps.quantileAuditOracleSql(
       "lineitem", "l_extendedprice", cellMicro = 100000000L,
       qMicros = Seq(500000L, 900000L, 990000L)),
+    "q391_cms_join_size" -> graft.ops.SketchOps.cmsJoinSizeOracleSql(
+      "SELECT l_partkey AS key FROM lineitem WHERE l_quantity < 25",
+      "SELECT l_partkey AS key FROM lineitem WHERE l_quantity >= 25",
+      w = 8192),
 
     "q316_nelson_aalen" -> graft.ops.EventOps.nelsonAalenOracleSql(
       """SELECT (coalesce(t_buy, t_last) - t0) // 3600000000 AS t,

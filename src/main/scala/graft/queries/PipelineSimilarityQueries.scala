@@ -120,6 +120,26 @@ private[graft] object PipelineSimilarityQueries {
         window = 2)
     }),
 
+    // Second-order (p, q)-biased walks — node2vec proper over the
+    // same brand graph (p=4: discourage backtracking, q=0.5: favor
+    // exploration). Every trajectory step is pinned by the oracle's
+    // unrolled replay of the candidate classification and the
+    // 62-bit-key weighted pick.
+    "q392_biased_walks" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val part = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val edges = graft.ops.CooccurOps.basketPairs(
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
+        "basket", "item", minSupport = 20L)
+        .select(col("item_a"), col("item_b"))
+      GraphOps.biasedWalks(edges, "item_a", "item_b",
+          walkLen = 4, walksPerNode = 2, p = 4.0, q = 0.5)
+        .orderBy("start", "walk", "step")
+    }),
+
     // Simplified silhouette over pinned seed centroids — the
     // deterministic cluster-separation scoreboard beside the seeded
     // k-means fits (q113/q115).
@@ -473,6 +493,15 @@ private[graft] object PipelineSimilarityQueries {
                 "JOIN part ON l_partkey = p_partkey",
               minSupport = 20L)}) pairs""".stripMargin,
         walkLen = 4, walksPerNode = 2, window = 2),
+
+    "q392_biased_walks" ->
+      graft.ops.GraphOps.biasedWalksOracleSql(
+        s"""SELECT item_a AS src, item_b AS dst FROM (
+           |${graft.ops.CooccurOps.basketPairsOracleSql(
+              "SELECT l_orderkey AS bk, p_brand AS it FROM lineitem " +
+                "JOIN part ON l_partkey = p_partkey",
+              minSupport = 20L)}) pairs""".stripMargin,
+        walkLen = 4, walksPerNode = 2, p = 4.0, q = 0.5),
 
     "q262_silhouette" -> SimilarityOps.silhouetteOracleSql(
       "embeddings", "vec_id", "embedding", "vec_id < 8"),

@@ -75,6 +75,22 @@ class RankSketchSpec extends SparkSpec {
     }
   }
 
+  test("cms join size: never undercounts; wide sketch is exact; " +
+      "exact side matches the closed form") {
+    val a = (0L until 600L).map(_ % 10).toDF("k") // 60 each of 0..9
+    val b = (0L until 150L).map(_ % 15).toDF("k") // 10 each of 0..14
+    // exact |A join B| = 10 shared keys x 60 x 10
+    val wide = SketchOps.cmsJoinSize(a, "k", b, "k", w = 4096)
+      .collect().head
+    assert(wide.getLong(1) == 6000L)
+    assert(wide.getLong(0) == 6000L, "wide sketch must be exact")
+    assert(wide.getLong(2) == 0L && wide.getDouble(3) == 1.0)
+    val narrow = SketchOps.cmsJoinSize(a, "k", b, "k", w = 16)
+      .collect().head
+    assert(narrow.getLong(0) >= narrow.getLong(1),
+      "CMS inner product never undercounts")
+  }
+
   // ---- durable quantile-histogram store (q390) ----
 
   test("quantile store: batch-appended buckets re-derive the " +

@@ -71,6 +71,61 @@ class WalkSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("biasedWalks: structure valid and every pick matches the " +
+      "JDK replay of the (p,q) weighted choice") {
+    def words(s: String): (Long, Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      def w(i: Int): Long = ((d(4 * i) & 0xffL) << 24) |
+        ((d(4 * i + 1) & 0xffL) << 16) |
+        ((d(4 * i + 2) & 0xffL) << 8) | (d(4 * i + 3) & 0xffL)
+      (w(0), w(1))
+    }
+    val p = 4.0; val q = 0.5
+    val retW = math.round(1e6 / p); val outW = math.round(1e6 / q)
+    val adj: Map[String, IndexedSeq[String]] = und.groupBy(_._1)
+      .map { case (a, es) => a -> es.map(_._2).toIndexedSeq.sorted }
+    def expectedPath(start: String, wk: Int, len: Int): Seq[String] = {
+      val (w1, _) = words(s"walk:$start/$wk:1")
+      var prev = start
+      var cur = adj(start)((w1 % adj(start).size).toInt)
+      start +: cur +: (2 to len).map { t =>
+        val (a, b) = words(s"walk:$start/$wk:$t")
+        val r = (a % 1073741824L) * 4294967296L + b
+        val cands = adj(cur)
+        val wgts = cands.map { x =>
+          if (x == prev) retW
+          else if (und.contains(prev -> x)) 1000000L
+          else outW
+        }
+        val rm = r % wgts.sum
+        var cum = 0L; var pick = cands.head
+        cands.zip(wgts).iterator.takeWhile(_ => true).foreach {
+          case (x, wg) =>
+            if (cum <= rm && rm < cum + wg) pick = x
+            cum += wg
+        }
+        prev = cur; cur = pick
+        cur
+      }
+    }
+    val w = GraphOps.biasedWalks(edgesDf, "s", "t",
+      walkLen = 4, walksPerNode = 2, p = p, q = q)
+    val got = w.as[(String, Int, Int, String)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.sortBy(_._3).map(_._4).toSeq }
+    assert(got.size == 8 && got.values.forall(_.size == 5))
+    for (start <- Seq("a", "b", "c", "d"); wk <- 0 to 1) {
+      val path = got((start, wk))
+      path.sliding(2).foreach { pr =>
+        assert(und.contains(pr(0) -> pr(1)),
+          s"(${pr(0)},${pr(1)}) is not an edge")
+      }
+      assert(path == expectedPath(start, wk, 4),
+        s"walk ($start,$wk) diverges from the JDK (p,q) replay")
+    }
+  }
+
   test("skipGramPairs: exact (walkLen+1)^2 window grid, no self pairs") {
     // one hand walk: steps 0..4 visiting a,b,c,b,a ; window 2
     val walks = Seq(("x", 0, 0, "a"), ("x", 0, 1, "b"), ("x", 0, 2, "c"),
