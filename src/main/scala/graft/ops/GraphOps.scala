@@ -780,6 +780,81 @@ object GraphOps {
     out
   }
 
+  /** k-core decomposition for a fixed k (Seidman 1983): repeatedly
+    * peel nodes of degree < k until the survivor subgraph is stable —
+    * the dense-cluster extractor beside [[connectedComponents]]
+    * (reachability) and [[clusteringCoefficient]] (cohesion): in a
+    * dedup graph the k-core isolates template families too dense to
+    * be organic; in an interaction graph it isolates the loyal core.
+    *
+    * Scale shape: each peel round is ONE degree aggregation (map-side
+    * combined, keyed on node) and two anti joins removing peeled
+    * endpoints — all shuffles on node ids, nothing global; rounds end
+    * in localCheckpoint (the CC loop discipline — constant per-round
+    * cost) and stop via the changed-row probe, so a graph that peels
+    * in 3 rounds pays 3, not a fixed budget. Peel depth is the
+    * degeneracy ordering's round count — small for the near-clique
+    * graphs dedup emits; `maxRounds` fails loudly on adversarial
+    * chains rather than looping.
+    *
+    * @return (node, core_deg): k-core members with their degree
+    *         INSIDE the core subgraph
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+    var e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"kCore did not converge within $maxRounds rounds")
+      val deg = e.groupBy("a").agg(count(lit(1)).as("deg"))
+      val bad = deg.where(col("deg") < k).select(col("a").as("_bad"))
+        .localCheckpoint()
+      if (bad.isEmpty) done = true
+      else {
+        val prev = e
+        e = e.join(bad, col("a") === col("_bad"), "left_anti")
+          .join(bad, col("b") === col("_bad"), "left_anti")
+          .localCheckpoint()
+        releaseCheckpoint(prev); releaseCheckpoint(bad)
+      }
+    }
+    e.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
+  /** DuckDB replay of [[kCore]]: `unrollRounds` peel rounds unrolled
+    * as CTE pairs. Correct whenever the graph converges within the
+    * unroll (extra rounds are no-ops once stable); a graph needing
+    * more rounds hash-MISMATCHES loudly instead of silently passing —
+    * size the unroll generously for the corpus.
+    */
+  def kCoreOracleSql(edgesSql: String, k: Int,
+      unrollRounds: Int = 8): String = {
+    val rounds = (1 to unrollRounds).map { i =>
+      val p = i - 1
+      s"""e$i AS MATERIALIZED (
+         | SELECT a, b FROM e$p
+         | WHERE a NOT IN (SELECT a FROM (SELECT a, count(*) AS d
+         |     FROM e$p GROUP BY a) dd WHERE d < $k)
+         |   AND b NOT IN (SELECT a FROM (SELECT a, count(*) AS d
+         |     FROM e$p GROUP BY a) dd WHERE d < $k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e00 AS (SELECT src AS a, dst AS b FROM ($edgesSql) eraw
+       |  WHERE src <> dst),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM
+       |  (SELECT a, b FROM e00 UNION ALL SELECT b AS a, a AS b FROM e00) u),
+       |$rounds
+       |SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$unrollRounds GROUP BY a ORDER BY node""".stripMargin
+  }
+
   /** Second-order (p, q)-biased walks — node2vec proper (Grover &
     * Leskovec 2016) beside [[randomWalks]]' uniform DeepWalk: from
     * edge (prev → cur), neighbor x of cur weighs 1/p when x = prev

@@ -196,6 +196,19 @@ private[graft] object PipelineProfileQueries {
       GraphOps.pageRank(edges, "src", "dst", "w")
     }),
 
+    // k-core of the q201 supplier-customer purchase graph (k=3): the
+    // loyal-core extractor — peel degree<3 nodes until stable; each
+    // round one degree agg + two anti joins, convergence-probed.
+    "q393_kcore" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val p = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("sn"),
+          (col("o_custkey").cast("long") + 1000000L).as("cn"))
+      GraphOps.kCore(p, "sn", "cn", k = 3)
+    }),
+
     // Right-to-be-forgotten cascade audit: customer cohort (%101) ->
     // orders -> lineitem, exact-ppm manifest.
     "q200_rtbf_audit" -> ((s, d) =>
@@ -388,6 +401,13 @@ private[graft] object PipelineProfileQueries {
         |  CAST((n_orphans * 2000000 + n_child) // (n_child * 2) AS BIGINT)
         |    AS orphan_ppm
         |FROM u""".stripMargin,
+    "q393_kcore" -> GraphOps.kCoreOracleSql(
+      """SELECT CAST(l_suppkey AS BIGINT) AS src,
+        |  CAST(o_custkey + 1000000 AS BIGINT) AS dst
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_linenumber = 1""".stripMargin,
+      k = 3, unrollRounds = 16),
+
     "q201_pagerank" -> GraphOps.pageRankOracleSql(
       """SELECT src, dst, count(*) AS w FROM (
         |  SELECT CAST(l_suppkey AS BIGINT) AS src,

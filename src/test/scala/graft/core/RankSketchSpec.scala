@@ -75,6 +75,23 @@ class RankSketchSpec extends SparkSpec {
     }
   }
 
+  test("kCore: cascading peel — a node whose degree only drops below " +
+      "k after round 1 is removed in round 2") {
+    // 4-clique {a,b,c,d}; e joined to a,b and to leaves f,g.
+    // e starts at degree 4; f,g peel in round 1, e drops to 2 and
+    // peels in round 2; the clique survives with core_deg 3.
+    val edges = (Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("e", "a"), ("e", "b"), ("e", "f"),
+      ("e", "g"))).toDF("s", "t")
+    val got = GraphOps.kCore(edges, "s", "t", k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // k above the densest core empties the graph
+    assert(GraphOps.kCore(edges, "s", "t", k = 4).count() == 0)
+    // k=1 keeps everything (no isolated nodes in an edge list)
+    assert(GraphOps.kCore(edges, "s", "t", k = 1).count() == 7)
+  }
+
   test("cms join size: never undercounts; wide sketch is exact; " +
       "exact side matches the closed form") {
     val a = (0L until 600L).map(_ % 10).toDF("k") // 60 each of 0..9
