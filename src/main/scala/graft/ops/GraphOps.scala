@@ -732,11 +732,17 @@ object GraphOps {
     * node degree >= 1; isolated nodes have no adjacency row and are
     * never started.
     *
+    * Below `driverMaxEdges` symmetrized edges (and String/integral
+    * node ids) the IDENTICAL trajectory runs on driver arrays — the
+    * pageRank fast-path contract; the distributed loop remains the
+    * 100 TB path and the semantics reference (WalkSpec pins
+    * bit-equality).
+    *
     * @return (start, walk, step, node), steps 0..walkLen
     */
   def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
       walkLen: Int = 4, walksPerNode: Int = 2,
-      salt: String = "walk"): DataFrame = {
+      salt: String = "walk", driverMaxEdges: Long = 1000000L): DataFrame = {
     require(walkLen >= 1 && walkLen <= 16,
       s"walkLen must be in [1, 16], got $walkLen")
     require(walksPerNode >= 1 && walksPerNode <= 64,
@@ -745,6 +751,16 @@ object GraphOps {
       .where(col("a") =!= col("b"))
     val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeType = und.schema("a").dataType
+    if (driverMaxEdges > 0 && walkFastEligible(nodeType)) {
+      val cap = math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt
+      val probe = und.limit(cap).collect()
+      if (probe.length <= driverMaxEdges) {
+        und.unpersist()
+        return walkFast(edges.sparkSession, probe, nodeType,
+          walkLen, walksPerNode, salt, biased = None)
+      }
+    }
     val adj = und.withColumn("idx", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("a").orderBy("b")) - 1)
@@ -779,6 +795,279 @@ object GraphOps {
     und.unpersist(); adj.unpersist(); deg.unpersist()
     out
   }
+
+  /** Driver fast-path walk engine shared by [[randomWalks]] /
+    * [[biasedWalks]] (the pageRank driverMaxEdges contract): below
+    * the edge bound the graph is model-sized and the distributed
+    * loop's cost is pure per-step scheduler overhead, so the
+    * IDENTICAL md5 trajectory runs on driver arrays. Only taken for
+    * String / integral node ids, where `toString` matches Spark's
+    * cast-to-string used in the hash key and the natural ordering
+    * matches the adjacency sort; anything else falls through to the
+    * distributed loop (the semantics reference, spec-pinned equal).
+    */
+  private def walkFast(spark: org.apache.spark.sql.SparkSession,
+      undRows: Array[org.apache.spark.sql.Row],
+      nodeType: org.apache.spark.sql.types.DataType, walkLen: Int,
+      walksPerNode: Int, salt: String,
+      biased: Option[(Long, Long)]): DataFrame = {
+    def word(s: String, i: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(4 * i) & 0xffL) << 24) | ((d(4 * i + 1) & 0xffL) << 16) |
+        ((d(4 * i + 2) & 0xffL) << 8) | (d(4 * i + 3) & 0xffL)
+    }
+    val und = undRows.iterator.map(r => (r.get(0), r.get(1))).toSet
+    val cmp: Ordering[Any] = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int = (x, y) match {
+        case (a: String, b: String) => a.compareTo(b)
+        case (a: Number, b: Number) =>
+          java.lang.Long.compare(a.longValue(), b.longValue())
+        case _ => throw new IllegalStateException("unsupported node type")
+      }
+    }
+    val adj: Map[Any, IndexedSeq[Any]] = und.groupBy(_._1)
+      .map { case (a, es) => a -> es.map(_._2).toIndexedSeq.sorted(cmp) }
+    val rows = for {
+      start <- adj.keys.toSeq
+      w <- 0 until walksPerNode
+    } yield {
+      val ss = start.toString
+      var prev: Any = null
+      var cur = start
+      val path = scala.collection.mutable.ArrayBuffer[Any](start)
+      for (t <- 1 to walkLen) {
+        val nbrs = adj(cur)
+        val next = (if (t == 1 || biased.isEmpty) {
+          nbrs((word(s"$salt:$ss/$w:$t", 0) % nbrs.size).toInt)
+        } else {
+          val (retW, outW) = biased.get
+          val wgts = nbrs.map { x =>
+            if (x == prev) retW
+            else if (und.contains(prev -> x)) 1000000L
+            else outW
+          }
+          val r = (word(s"$salt:$ss/$w:$t", 0) % 1073741824L) *
+            4294967296L + word(s"$salt:$ss/$w:$t", 1)
+          val rm = r % wgts.sum
+          var cum = 0L; var pick = nbrs.head
+          nbrs.zip(wgts).foreach { case (x, wg) =>
+            if (cum <= rm && rm < cum + wg) pick = x
+            cum += wg
+          }
+          pick
+        })
+        prev = cur; cur = next
+        path += cur
+      }
+      (start, w, path.toSeq)
+    }
+    val out = rows.flatMap { case (start, w, path) =>
+      path.zipWithIndex.map { case (n, t) =>
+        org.apache.spark.sql.Row(start, w, t, n)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("start", nodeType),
+      org.apache.spark.sql.types.StructField("walk",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("node", nodeType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out,
+        math.max(1, spark.sparkContext.defaultParallelism)), schema)
+  }
+
+  private def walkFastEligible(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** Degree assortativity (Newman 2002) + rich-club coefficient
+    * (Zhou & Mondragón 2004) — the mixing-pattern scoreboard beside
+    * [[clusteringCoefficient]]: assortativity is the Pearson
+    * correlation of endpoint degrees over the SYMMETRIZED edge list
+    * (each undirected edge contributes both orderings — Newman's
+    * convention, which makes the two marginals identical);
+    * rich-club φ(k) is the edge density among nodes of degree > k.
+    * Crawl/interaction graphs are typically disassortative (hubs
+    * link to leaves); a dedup graph drifting assortative with a
+    * dense rich club is template mass.
+    *
+    * Exactness: degrees are longs; every Pearson moment is an exact
+    * integer sum (Σjk, Σj, Σj² over the edge list — ANSI-loud past
+    * 2^63); the two final divisions run in doubles with a fixed
+    * order, rounded 6dp at publication exactly as the oracle
+    * replays. φ's numerator/denominator are published as exact
+    * integers beside the 6dp ratio.
+    *
+    * Scale shape: one degree aggregation, one edge⋈degree equi-join
+    * per endpoint (shuffles keyed on node ids), then a single
+    * global aggregate — nothing quadratic; the rich-club filter
+    * reuses the joined frame.
+    *
+    * @return one row: (n_nodes, n_edges, assortativity, k_rich,
+    *         n_rich, e_rich, phi_rich)
+    */
+  def degreeMixing(edges: DataFrame, srcCol: String, dstCol: String,
+      kRich: Long): DataFrame = {
+    require(kRich >= 1, s"kRich must be >= 1, got $kRich")
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    val j = und
+      .join(deg.select(col("a").as("_da"), col("deg").as("ja")),
+        col("a") === col("_da"))
+      .join(deg.select(col("a").as("_db"), col("deg").as("jb")),
+        col("b") === col("_db"))
+      .select(col("a"), col("b"), col("ja"), col("jb"))
+    val stats = j.agg(
+      count(lit(1)).as("m"),
+      sum(col("ja") * col("jb")).as("sjk"),
+      sum(col("ja")).as("sj"),
+      sum(col("ja") * col("ja")).as("sj2"),
+      sum(when(col("ja") > kRich && col("jb") > kRich, 1L)
+        .otherwise(0L)).as("e_rich2"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(when(col("deg") > kRich, 1L).otherwise(0L)).as("n_rich"))
+    // Pearson over the symmetric list: marginals of ja and jb are
+    // identical, so one set of (Σj, Σj²) moments serves both sides.
+    stats.crossJoin(broadcast(nn))
+      .select(col("n_nodes"),
+        expr("m div 2").as("n_edges"),
+        // a REGULAR graph (all degrees equal) has zero variance —
+        // null, not NaN (cliques are a real dedup shape)
+        when(col("m") * col("sj2") - col("sj") * col("sj") === 0L,
+            lit(null).cast("double"))
+          .otherwise(round((col("m").cast("double") * col("sjk") -
+              col("sj").cast("double") * col("sj")) /
+            (col("m").cast("double") * col("sj2") -
+              col("sj").cast("double") * col("sj")), 6))
+          .as("assortativity"),
+        lit(kRich).as("k_rich"), col("n_rich"),
+        expr("e_rich2 div 2").as("e_rich"),
+        when(col("n_rich") < 2, lit(null).cast("double"))
+          .otherwise(round(col("e_rich2").cast("double") /
+            (col("n_rich") * (col("n_rich") - 1)), 6))
+          .as("phi_rich"))
+  }
+
+  /** Newman modularity of a GIVEN node partition (Newman & Girvan
+    * 2004): Q = Σ_c (e_c/m − (d_c/2m)²) over communities c — the
+    * community-quality audit for any labeling the pipeline already
+    * owns (connected dup components, domain labels, geographic
+    * partitions). Q > 0 means denser-than-chance within labels.
+    *
+    * Exactness: e_c (intra-community edge endpoints), d_c (degree
+    * mass) and 2m are exact longs; each community's contribution is
+    * (e_c2·2m − d_c²)·1e6 / (2m)² with every product double-FIRST in
+    * a fixed order (IEEE mult/div are correctly rounded, so both
+    * engines compute identical bits; long-first products would
+    * ANSI-fail past 2^63 at crawl-graph scale), micro-rounded once
+    * per community — any later total is an order-free long sum.
+    *
+    * Scale shape: one degree agg, one labels⋈edges join per
+    * endpoint (shuffles on node ids), one |communities|-row
+    * aggregate. Labels for both endpoints join from the same
+    * broadcast-or-shuffled label frame; nothing quadratic.
+    *
+    * @return one row per community: (lbl, n_nodes, d_c, e_c,
+    *         q_contrib_micro); Q = Σ q_contrib_micro / 1e6
+    */
+  def modularityByCommunity(edges: DataFrame, srcCol: String,
+      dstCol: String, labels: DataFrame, nodeCol: String,
+      labelCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val lab = labels.select(col(nodeCol).as("_n"), col(labelCol).as("lbl"))
+    val j = und
+      .join(lab.select(col("_n").as("_na"), col("lbl").as("la")),
+        col("a") === col("_na"))
+      .join(lab.select(col("_n").as("_nb"), col("lbl").as("lb")),
+        col("b") === col("_nb"))
+    val m2 = j.agg(count(lit(1)).as("m2")) // = 2m directed endpoints
+    val deg = j.groupBy(col("la").as("lbl"))
+      .agg(count(lit(1)).as("d_c"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("e_c2"))
+    val nodes = lab.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+    deg.join(nodes, "lbl").crossJoin(broadcast(m2))
+      .select(col("lbl"), col("n_nodes"), col("d_c"),
+        expr("e_c2 div 2").as("e_c"),
+        // q_c = e_c2/m2 − (d_c/m2)² on the micro grid. Products run
+        // DOUBLE-first (IEEE mult is correctly rounded, so both
+        // engines compute identical bits; long-first would ANSI-fail
+        // past 2^63 at crawl-graph scale).
+        round((col("e_c2").cast("double") * col("m2").cast("double") -
+            col("d_c").cast("double") * col("d_c").cast("double")) * 1e6 /
+          (col("m2").cast("double") * col("m2").cast("double")), 0)
+          .cast("long").as("q_contrib_micro"))
+      .orderBy("lbl")
+  }
+
+  /** DuckDB replay of [[modularityByCommunity]]; `edgesSql` yields
+    * (src, dst), `labelsSql` yields (node, lbl). */
+  def modularityOracleSql(edgesSql: String, labelsSql: String): String =
+    s"""WITH e00 AS (SELECT src AS a, dst AS b FROM ($edgesSql) eraw
+       |  WHERE src <> dst),
+       |e AS MATERIALIZED (SELECT DISTINCT a, b FROM
+       |  (SELECT a, b FROM e00 UNION ALL SELECT b AS a, a AS b FROM e00) u),
+       |lab AS (SELECT node AS n, lbl FROM ($labelsSql) ls),
+       |j AS (SELECT e.a, e.b, la.lbl AS la, lb.lbl AS lb
+       |  FROM e JOIN lab la ON e.a = la.n JOIN lab lb ON e.b = lb.n),
+       |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM j),
+       |dc AS (SELECT la AS lbl, CAST(count(*) AS BIGINT) AS d_c,
+       |    CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS e_c2
+       |  FROM j GROUP BY 1),
+       |nn AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM lab GROUP BY lbl)
+       |SELECT dc.lbl, n_nodes, d_c, e_c2 // 2 AS e_c,
+       |  CAST(round((CAST(e_c2 AS DOUBLE) * CAST(m2 AS DOUBLE)
+       |      - CAST(d_c AS DOUBLE) * CAST(d_c AS DOUBLE)) * 1e6 /
+       |    (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 0) AS BIGINT)
+       |    AS q_contrib_micro
+       |FROM dc JOIN nn ON dc.lbl = nn.lbl CROSS JOIN m2
+       |ORDER BY dc.lbl""".stripMargin
+
+  /** DuckDB replay of [[degreeMixing]]. */
+  def degreeMixingOracleSql(edgesSql: String, kRich: Long): String =
+    s"""WITH e00 AS (SELECT src AS a, dst AS b FROM ($edgesSql) eraw
+       |  WHERE src <> dst),
+       |e AS MATERIALIZED (SELECT DISTINCT a, b FROM
+       |  (SELECT a, b FROM e00 UNION ALL SELECT b AS a, a AS b FROM e00) u),
+       |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg
+       |  FROM e GROUP BY a),
+       |j AS (SELECT e.a, e.b, da.deg AS ja, db.deg AS jb
+       |  FROM e JOIN deg da ON e.a = da.a JOIN deg db ON e.b = db.a),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(ja * jb) AS BIGINT) AS sjk,
+       |    CAST(sum(ja) AS BIGINT) AS sj,
+       |    CAST(sum(ja * ja) AS BIGINT) AS sj2,
+       |    CAST(sum(CASE WHEN ja > $kRich AND jb > $kRich
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS e_rich2
+       |  FROM j),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(CASE WHEN deg > $kRich THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_rich FROM deg)
+       |SELECT n_nodes, m // 2 AS n_edges,
+       |  CASE WHEN m * sj2 - sj * sj = 0 THEN NULL
+       |    ELSE round((CAST(m AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj)
+       |      / (CAST(m AS DOUBLE) * sj2 - CAST(sj AS DOUBLE) * sj), 6)
+       |    END AS assortativity,
+       |  CAST($kRich AS BIGINT) AS k_rich, n_rich,
+       |  e_rich2 // 2 AS e_rich,
+       |  CASE WHEN n_rich < 2 THEN NULL
+       |    ELSE round(CAST(e_rich2 AS DOUBLE) /
+       |      (n_rich * (n_rich - 1)), 6) END AS phi_rich
+       |FROM st CROSS JOIN nn""".stripMargin
 
   /** k-core decomposition for a fixed k (Seidman 1983): repeatedly
     * peel nodes of degree < k until the survivor subgraph is stable —
@@ -881,7 +1170,8 @@ object GraphOps {
     */
   def biasedWalks(edges: DataFrame, srcCol: String, dstCol: String,
       walkLen: Int = 4, walksPerNode: Int = 2, p: Double = 1.0,
-      q: Double = 1.0, salt: String = "walk"): DataFrame = {
+      q: Double = 1.0, salt: String = "walk",
+      driverMaxEdges: Long = 1000000L): DataFrame = {
     require(walkLen >= 1 && walkLen <= 16,
       s"walkLen must be in [1, 16], got $walkLen")
     require(walksPerNode >= 1 && walksPerNode <= 64,
@@ -895,6 +1185,16 @@ object GraphOps {
       .where(col("a") =!= col("b"))
     val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeType = und.schema("a").dataType
+    if (driverMaxEdges > 0 && walkFastEligible(nodeType)) {
+      val cap = math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt
+      val probe = und.limit(cap).collect()
+      if (probe.length <= driverMaxEdges) {
+        und.unpersist()
+        return walkFast(edges.sparkSession, probe, nodeType,
+          walkLen, walksPerNode, salt, biased = Some((retW, outW)))
+      }
+    }
     val adj = und.withColumn("idx", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("a").orderBy("b")) - 1)

@@ -1242,6 +1242,136 @@ object TextOps {
        |FROM r WHERE rank <= $k""".stripMargin
   }
 
+  /** TextTiling topic segmentation (Hearst 1997, deterministic
+    * variant) — lexical-cohesion boundaries for TOPIC-COHERENT
+    * chunking, the semantic upgrade over fixed windows
+    * ([[graft.ops.PackOps.chunkTokens]]) for RAG/packing: documents
+    * split into `blockTokens`-token pseudo-sentences; at each
+    * internal gap the cosine between the two adjacent
+    * `windowBlocks`-block bags is scored; a gap is a boundary when
+    * its DEPTH (how far cohesion dips below the local peaks on both
+    * sides, peaks taken over ±`horizon` gaps — the fixed-horizon
+    * determinization of Hearst's hill-climb) exceeds
+    * `depthThresholdMicro`.
+    *
+    * Exactness: bag dot products and norms are exact integer sums;
+    * cosine enters the micro grid as round(dot·1e6/sqrt(na·nb))
+    * (IEEE sqrt is correctly rounded, the IVF distance discipline),
+    * and depth/threshold arithmetic is pure integers after that —
+    * engine-portable with no float gate.
+    *
+    * Scale shape: one tokenize pass; each (block, word, count) row
+    * fans out to at most 2·windowBlocks (gap, side) contributions —
+    * a constant-factor explode, shuffled on (doc, gap, word), all
+    * aggregations map-side combinable; sims/depths live on the
+    * per-doc gap table (rows = blocks − 1) and the peak windows
+    * partition by document. Nothing global, nothing quadratic.
+    *
+    * @return (id, gap, sim_micro, depth_micro, is_boundary) — one
+    *         row per internal gap
+    */
+  def topicSegments(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 10, windowBlocks: Int = 2, horizon: Int = 3,
+      depthThresholdMicro: Long = 200000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blockTokens >= 2 && windowBlocks >= 1 && horizon >= 1,
+      s"bad blockTokens=$blockTokens/windowBlocks=$windowBlocks/horizon=$horizon")
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .select(col("id"), (col("pos") / blockTokens).cast("long").as("b"),
+        col("w"))
+    val nb = toks.groupBy("id").agg((max(col("b")) + 1).as("nblocks"))
+    val bc = toks.groupBy("id", "b", "w").agg(count(lit(1)).as("c"))
+    // block b sits in the LEFT bag of gaps b+1..b+windowBlocks and
+    // the RIGHT bag of gaps b-windowBlocks+1..b — one bounded explode
+    val contrib = bc.select(col("id"), col("b"), col("w"), col("c"),
+        explode(array(
+          (1 to windowBlocks).map(o =>
+            struct((col("b") + o).as("gap"), lit("L").as("side"))) ++
+          (0 until windowBlocks).map(o =>
+            struct((col("b") - o).as("gap"), lit("R").as("side"))): _*))
+          .as("gs"))
+      .select(col("id"), col("gs.gap").as("gap"), col("gs.side").as("side"),
+        col("w"), col("c"))
+      .join(nb, "id")
+      .where(col("gap") >= 1 && col("gap") <= col("nblocks") - 1)
+    val bags = contrib.groupBy("id", "gap", "w")
+      .agg(sum(when(col("side") === "L", col("c")).otherwise(0L)).as("cl"),
+        sum(when(col("side") === "R", col("c")).otherwise(0L)).as("cr"))
+    val sims = bags.groupBy("id", "gap")
+      .agg(sum(col("cl") * col("cr")).as("dot"),
+        sum(col("cl") * col("cl")).as("na"),
+        sum(col("cr") * col("cr")).as("nb2"))
+      .select(col("id"), col("gap"),
+        when(col("na") === 0L || col("nb2") === 0L, lit(0L))
+          .otherwise(round(col("dot").cast("double") * 1e6 /
+            sqrt((col("na") * col("nb2")).cast("double")), 0)
+            .cast("long")).as("sim_micro"))
+    val wl = Window.partitionBy("id").orderBy("gap")
+      .rowsBetween(-horizon, 0)
+    val wr = Window.partitionBy("id").orderBy("gap")
+      .rowsBetween(0, horizon)
+    sims
+      .withColumn("_pl", max("sim_micro").over(wl))
+      .withColumn("_pr", max("sim_micro").over(wr))
+      .select(col("id"), col("gap"), col("sim_micro"),
+        (col("_pl") - col("sim_micro") + col("_pr") - col("sim_micro"))
+          .as("depth_micro"))
+      .withColumn("is_boundary",
+        (col("depth_micro") > depthThresholdMicro).cast("int"))
+      .orderBy("id", "gap")
+  }
+
+  /** DuckDB replay of [[topicSegments]] — identical tokenizer, bag
+    * fan-out, integer moments, micro cosine, peak windows.
+    */
+  def topicSegmentsOracleSql(table: String, idCol: String,
+      textCol: String, blockTokens: Int = 10, windowBlocks: Int = 2,
+      horizon: Int = 3, depthThresholdMicro: Long = 200000L): String = {
+    val lefts = (1 to windowBlocks).map(o =>
+      s"SELECT id, b + $o AS gap, 'L' AS side, w, c FROM bc")
+    val rights = (0 until windowBlocks).map(o =>
+      s"SELECT id, b - $o AS gap, 'R' AS side, w, c FROM bc")
+    val fan = (lefts ++ rights).mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT $idCol AS id, (pos - 1) // $blockTokens AS b, w
+       |  FROM (SELECT $idCol,
+       |      unnest(list_filter(string_split_regex(lower($textCol),
+       |        '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS w,
+       |      generate_subscripts(list_filter(string_split_regex(
+       |        lower($textCol), '[ \\t\\n\\f\\r]+'), x -> x <> ''), 1)
+       |        AS pos
+       |    FROM $table) t),
+       |nb AS (SELECT id, max(b) + 1 AS nblocks FROM toks GROUP BY id),
+       |bc AS (SELECT id, b, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY 1, 2, 3),
+       |contrib AS (SELECT f.id, f.gap, f.side, f.w, f.c
+       |  FROM ($fan) f JOIN nb ON f.id = nb.id
+       |  WHERE f.gap >= 1 AND f.gap <= nb.nblocks - 1),
+       |bags AS (SELECT id, gap, w,
+       |    CAST(sum(CASE WHEN side = 'L' THEN c ELSE 0 END) AS BIGINT)
+       |      AS cl,
+       |    CAST(sum(CASE WHEN side = 'R' THEN c ELSE 0 END) AS BIGINT)
+       |      AS cr
+       |  FROM contrib GROUP BY 1, 2, 3),
+       |sims AS (SELECT id, gap,
+       |    CASE WHEN sum(cl * cl) = 0 OR sum(cr * cr) = 0 THEN 0
+       |      ELSE CAST(round(CAST(sum(cl * cr) AS DOUBLE) * 1e6 /
+       |        sqrt(CAST(sum(cl * cl) * sum(cr * cr) AS DOUBLE)), 0)
+       |        AS BIGINT) END AS sim_micro
+       |  FROM bags GROUP BY 1, 2),
+       |d AS (SELECT id, gap, sim_micro,
+       |    max(sim_micro) OVER (PARTITION BY id ORDER BY gap
+       |      ROWS BETWEEN $horizon PRECEDING AND CURRENT ROW)
+       |      - sim_micro
+       |    + max(sim_micro) OVER (PARTITION BY id ORDER BY gap
+       |      ROWS BETWEEN CURRENT ROW AND $horizon FOLLOWING)
+       |      - sim_micro AS depth_micro
+       |  FROM sims)
+       |SELECT id, CAST(gap AS BIGINT) AS gap, sim_micro, depth_micro,
+       |  CAST(depth_micro > $depthThresholdMicro AS INT) AS is_boundary
+       |FROM d ORDER BY id, gap""".stripMargin
+  }
+
   /** Declared-language vs dominant-script mismatch audit: the
     * dominant script by exact integer character counts (count desc,
     * fixed script-order tie-break), cross-tabulated per language with

@@ -209,6 +209,38 @@ private[graft] object PipelineProfileQueries {
       GraphOps.kCore(p, "sn", "cn", k = 3)
     }),
 
+    // Degree assortativity + rich-club density of the same purchase
+    // graph: hub-to-leaf mixing (disassortative by construction —
+    // suppliers are hubs) and the deg>10 club's edge density.
+    "q394_degree_mixing" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val p = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("sn"),
+          (col("o_custkey").cast("long") + 1000000L).as("cn"))
+      GraphOps.degreeMixing(p, "sn", "cn", kRich = 10L)
+    }),
+
+    // Modularity of the NATION partition over the purchase graph:
+    // is trade denser within nations than chance? One label join per
+    // endpoint, per-nation q-contributions on the micro grid.
+    "q396_nation_modularity" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val p = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("sn"),
+          (col("o_custkey").cast("long") + 1000000L).as("cn"))
+      val labels = Tables(s, d, "supplier")
+        .select(col("s_suppkey").cast("long").as("node"),
+          col("s_nationkey").cast("long").as("lbl"))
+        .unionByName(Tables(s, d, "customer")
+          .select((col("c_custkey").cast("long") + 1000000L).as("node"),
+            col("c_nationkey").cast("long").as("lbl")))
+      GraphOps.modularityByCommunity(p, "sn", "cn", labels, "node", "lbl")
+    }),
+
     // Right-to-be-forgotten cascade audit: customer cohort (%101) ->
     // orders -> lineitem, exact-ppm manifest.
     "q200_rtbf_audit" -> ((s, d) =>
@@ -407,6 +439,24 @@ private[graft] object PipelineProfileQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_linenumber = 1""".stripMargin,
       k = 3, unrollRounds = 16),
+
+    "q394_degree_mixing" -> GraphOps.degreeMixingOracleSql(
+      """SELECT CAST(l_suppkey AS BIGINT) AS src,
+        |  CAST(o_custkey + 1000000 AS BIGINT) AS dst
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_linenumber = 1""".stripMargin,
+      kRich = 10L),
+
+    "q396_nation_modularity" -> GraphOps.modularityOracleSql(
+      """SELECT CAST(l_suppkey AS BIGINT) AS src,
+        |  CAST(o_custkey + 1000000 AS BIGINT) AS dst
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_linenumber = 1""".stripMargin,
+      """SELECT CAST(s_suppkey AS BIGINT) AS node,
+        |  CAST(s_nationkey AS BIGINT) AS lbl FROM supplier
+        |UNION ALL
+        |SELECT CAST(c_custkey + 1000000 AS BIGINT),
+        |  CAST(c_nationkey AS BIGINT) FROM customer""".stripMargin),
 
     "q201_pagerank" -> GraphOps.pageRankOracleSql(
       """SELECT src, dst, count(*) AS w FROM (

@@ -454,6 +454,13 @@ private[graft] object PipelineTextQueries {
     "q388_rake_keywords" -> ((s, d) =>
       TextOps.rakeKeywords(Tables(s, d, "documents"), "doc_id", "text")),
 
+    // TextTiling topic segmentation: lexical-cohesion valleys as
+    // chunk boundaries (the semantic upgrade over fixed windows for
+    // RAG/packing) — integer bag moments, micro cosine via IEEE
+    // sqrt, fixed-horizon peak depth.
+    "q395_topic_segments" -> ((s, d) =>
+      TextOps.topicSegments(Tables(s, d, "documents"), "doc_id", "text")),
+
     // Declared-language vs dominant-script mismatch audit.
     "q234_script_mismatch" -> ((s, d) =>
       TextOps.scriptMismatch(Tables(s, d, "documents"), "lang", "text",
@@ -1593,6 +1600,8 @@ private[graft] object PipelineTextQueries {
     "q233_keywords" -> TextOps.topKeywordsOracleSql(
       "documents", "doc_id", "text"),
     "q388_rake_keywords" -> TextOps.rakeKeywordsOracleSql(
+      "documents", "doc_id", "text"),
+    "q395_topic_segments" -> TextOps.topicSegmentsOracleSql(
       "documents", "doc_id", "text"),
     "q234_script_mismatch" ->
       """WITH c AS (SELECT lang,

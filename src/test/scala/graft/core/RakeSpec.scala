@@ -38,6 +38,21 @@ class RakeSpec extends SparkSpec {
     assert(TextOps.rakeKeywords(df, "doc_id", "text").count() == 0)
   }
 
+  test("topicSegments: a planted two-topic document cuts exactly at " +
+      "the vocabulary switch") {
+    // blocks of 4: [x x x x][x x x x][y y y y][y y y y]
+    val df = Seq((1L, ("x " * 8 + "y " * 8).trim)).toDF("doc_id", "text")
+    val got = TextOps.topicSegments(df, "doc_id", "text",
+        blockTokens = 4, windowBlocks = 1, horizon = 2,
+        depthThresholdMicro = 500000L)
+      .select("gap", "sim_micro", "depth_micro", "is_boundary")
+      .as[(Long, Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 1000000L, 0L, 0),         // x-blocks either side: cos 1
+      (2L, 0L, 2000000L, 1),         // the topic switch: cos 0, deep
+      (3L, 1000000L, 0L, 0)))
+  }
+
   test("k caps per-document output; ties break phrase-asc") {
     val df = Seq((1L, "alpha. beta. gamma. delta")).toDF("doc_id", "text")
     val got = TextOps.rakeKeywords(df, "doc_id", "text", k = 2)

@@ -92,6 +92,42 @@ class RankSketchSpec extends SparkSpec {
     assert(GraphOps.kCore(edges, "s", "t", k = 1).count() == 7)
   }
 
+  test("modularity: two bridged triangles score the textbook 5/14") {
+    val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+      ("b1", "b2"), ("b2", "b3"), ("b3", "b1"), ("a1", "b1"))
+      .toDF("s", "t")
+    val labels = Seq(("a1", "A"), ("a2", "A"), ("a3", "A"),
+      ("b1", "B"), ("b2", "B"), ("b3", "B")).toDF("node", "lbl")
+    val got = GraphOps.modularityByCommunity(edges, "s", "t",
+        labels, "node", "lbl")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // per community: e_c2=6, d_c=7, m2=14 -> (6*14-49)*1e6/196 = 178571
+    assert(got("A") == ((3L, 7L, 3L, 178571L)))
+    assert(got("B") == ((3L, 7L, 3L, 178571L)))
+    // Q = 357142/1e6 ~ 5/14
+    assert(math.abs(got.values.map(_._4).sum - 5.0 / 14 * 1e6) <= 1)
+  }
+
+  test("degreeMixing: star is exactly -1 assortative; clique is " +
+      "null-variance; rich-club density closed form") {
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("s", "t")
+    val rs = GraphOps.degreeMixing(star, "s", "t", kRich = 1L)
+      .collect().head
+    assert(rs.getLong(0) == 4 && rs.getLong(1) == 3)
+    assert(rs.getDouble(2) == -1.0, s"star must be -1, got ${rs.get(2)}")
+    assert(rs.getLong(4) == 1 && rs.isNullAt(6),
+      "one-node club has no density")
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d")).toDF("s", "t")
+    val rk = GraphOps.degreeMixing(k4, "s", "t", kRich = 2L)
+      .collect().head
+    assert(rk.isNullAt(2), "regular graph has null assortativity")
+    // all 4 nodes have deg 3 > 2: club = whole clique, phi = 1
+    assert(rk.getLong(4) == 4 && rk.getLong(5) == 6 &&
+      rk.getDouble(6) == 1.0)
+  }
+
   test("cms join size: never undercounts; wide sketch is exact; " +
       "exact side matches the closed form") {
     val a = (0L until 600L).map(_ % 10).toDF("k") // 60 each of 0..9

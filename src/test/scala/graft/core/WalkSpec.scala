@@ -63,6 +63,23 @@ class WalkSpec extends SparkSpec {
         s"walk ($start,$wk) diverges from the JDK replay")
   }
 
+  test("driver fast path is bit-identical to the distributed loop " +
+      "(uniform and biased)") {
+    val fu = GraphOps.randomWalks(edgesDf, "s", "t", 4, 2)
+      .as[(String, Int, Int, String)].collect().sorted.toSeq
+    val du = GraphOps.randomWalks(edgesDf, "s", "t", 4, 2,
+        driverMaxEdges = 0)
+      .as[(String, Int, Int, String)].collect().sorted.toSeq
+    assert(fu == du, "uniform: fast path diverges from the loop")
+    val fb = GraphOps.biasedWalks(edgesDf, "s", "t", 4, 2, p = 4.0,
+        q = 0.5)
+      .as[(String, Int, Int, String)].collect().sorted.toSeq
+    val db = GraphOps.biasedWalks(edgesDf, "s", "t", 4, 2, p = 4.0,
+        q = 0.5, driverMaxEdges = 0)
+      .as[(String, Int, Int, String)].collect().sorted.toSeq
+    assert(fb == db, "biased: fast path diverges from the loop")
+  }
+
   test("walks are partition-invariant") {
     val a = GraphOps.randomWalks(edgesDf, "s", "t", 3, 2)
       .as[(String, Int, Int, String)].collect().sorted.toSeq
