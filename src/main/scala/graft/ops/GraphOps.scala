@@ -449,6 +449,196 @@ object GraphOps {
       (col("r") / lit(1000000.0)).as("rank"))
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — PageRank
+    * personalized to a TRUSTED seed set: teleport mass (and dangling
+    * mass) flows only to seeds, so scores measure proximity to
+    * trust — the crawl-quality propagator that separates organically
+    * linked content from spam farms, run before domain-level
+    * sampling. Same integer micro-grid discipline as [[pageRank]]
+    * (every quantity a long, every division the deterministic
+    * half-up spelling), so the trajectory is bit-stable and
+    * SQL-replayable:
+    *
+    *   seedBase        = halfup((100−d)·N·10⁴, |S|)
+    *   seedDangling_t  = halfup(d·danglingMass_t, 100·|S|)
+    *   r'_v = halfup(d·inflow_v, 100) + [v∈S]·(seedBase + seedDangling)
+    *
+    * Non-seed nodes with no inflow decay to 0 — the point of the
+    * algorithm. Scale shape identical to [[pageRank]]: per iteration
+    * one equi-join + one map-combined sum + a broadcast scalar;
+    * driver fast path below `driverMaxEdges` (bit-identical — the
+    * pageRank fast-path contract, RankSketchSpec-pinned).
+    *
+    * @param seeds one-column frame of trusted node ids
+    * @return (node, trust_micro, trust)
+    */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      iterations: Int = 10, dampingPct: Int = 85,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampingPct >= 1 && dampingPct <= 99,
+      s"dampingPct must be in [1, 99], got $dampingPct")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eCount = e.count()
+    require(eCount > 0, "trustRank: empty graph")
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (driverMaxEdges > 0 && eCount <= driverMaxEdges) {
+      val rows = e.collect()
+      val seedSet = sd.collect().map(_.get(0)).toSet
+      e.unpersist(); sd.unpersist()
+      require(seedSet.nonEmpty, "trustRank: empty seed set")
+      def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+      val ow = scala.collection.mutable.HashMap.empty[Any, Long]
+      val nodeSet = scala.collection.mutable.LinkedHashSet.empty[Any]
+      rows.foreach { r =>
+        val (s0, d0, w) = (r.get(0), r.get(1), r.getLong(2))
+        ow.update(s0, ow.getOrElse(s0, 0L) + w)
+        nodeSet += s0; nodeSet += d0
+      }
+      val inSeeds = nodeSet.iterator.filter(seedSet.contains).toSet
+      require(inSeeds.nonEmpty, "trustRank: no seed appears in the graph")
+      val n = nodeSet.size.toLong
+      val k = inSeeds.size.toLong
+      val seedBase = halfUp((100L - dampingPct) * n * 10000L, k)
+      var r = nodeSet.iterator
+        .map(nd => nd -> (if (inSeeds(nd)) halfUp(n * 1000000L, k) else 0L))
+        .toMap
+      for (_ <- 1 to iterations) {
+        val inflow = scala.collection.mutable.HashMap.empty[Any, Long]
+        rows.foreach { row =>
+          val (s0, d0, w) = (row.get(0), row.get(1), row.getLong(2))
+          inflow.update(d0,
+            inflow.getOrElse(d0, 0L) + halfUp(r(s0) * w, ow(s0)))
+        }
+        val dm = nodeSet.iterator.filterNot(ow.contains).map(r).sum
+        val sdg = halfUp(dampingPct * dm, 100L * k)
+        r = nodeSet.iterator.map(nd => nd ->
+          (halfUp(dampingPct * inflow.getOrElse(nd, 0L), 100L) +
+            (if (inSeeds(nd)) seedBase + sdg else 0L))).toMap
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          e.schema("src").dataType),
+        org.apache.spark.sql.types.StructField("trust_micro",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("trust",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val out = nodeSet.iterator.map(nd =>
+        org.apache.spark.sql.Row(nd, r(nd), r(nd) / 1000000.0)).toSeq
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out,
+          math.max(1, spark.sparkContext.defaultParallelism)), schema)
+    }
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val seedNodes = nodes.join(sd, "node")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val k = seedNodes.count()
+    require(k > 0, "trustRank: no seed appears in the graph")
+    val seedBase = ((100L - dampingPct) * n * 10000L * 2 + k) / (2 * k)
+    val ow = e.groupBy("src").agg(sum("w").as("ow"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e2 = e.join(ow, "src")
+      .select(col("src"), col("dst"), col("w"), col("ow"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dangling = nodes.join(ow.select(col("src").as("node")),
+        Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val isSeed = seedNodes.select(col("node"), lit(1).as("_s"))
+    var ranks = nodes.join(isSeed, Seq("node"), "left")
+      .select(col("node"),
+        when(col("_s").isNotNull,
+          halfDiv(lit(n * 1000000L), lit(k))).otherwise(lit(0L)).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = e2.join(ranks, e2("src") === ranks("node"))
+        .select(col("dst"), halfDiv(col("r") * col("w"), col("ow")).as("c"))
+      val inflow = contrib.groupBy("dst").agg(sum("c").as("inflow"))
+      val dmf = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+        .select(halfDiv(lit(dampingPct.toLong) * col("dm"),
+          lit(100L * k)).as("sdg"))
+      val prev = ranks
+      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .join(isSeed, Seq("node"), "left")
+        .crossJoin(broadcast(dmf))
+        .select(col("node"),
+          (halfDiv(lit(dampingPct.toLong) *
+              coalesce(col("inflow"), lit(0L)), lit(100L)) +
+            when(col("_s").isNotNull, lit(seedBase) + col("sdg"))
+              .otherwise(lit(0L))).as("r"))
+        .localCheckpoint()
+      releaseCheckpoint(prev)
+    }
+    e.unpersist(); e2.unpersist(); nodes.unpersist(); ow.unpersist()
+    dangling.unpersist(); sd.unpersist(); seedNodes.unpersist()
+    ranks.select(col("node"), col("r").as("trust_micro"),
+      (col("r") / lit(1000000.0)).as("trust"))
+  }
+
+  /** DuckDB replay of [[trustRank]]: identical integer trajectory,
+    * unrolled per iteration. `edgesSql` yields (src, dst, w);
+    * `seedsSql` yields (node).
+    */
+  def trustRankOracleSql(edgesSql: String, seedsSql: String,
+      iterations: Int = 10, dampingPct: Int = 85): String = {
+    val iters = (1 to iterations).map { kk =>
+      val p = kk - 1
+      s"""c$kk AS MATERIALIZED (
+         | SELECT e.dst, sum((r$p.r * e.w * 2 + e.ow) // (e.ow * 2)) AS inflow
+         | FROM e2 e JOIN r$p ON e.src = r$p.node GROUP BY e.dst),
+         |d$kk AS MATERIALIZED (
+         | SELECT (2 * $dampingPct * coalesce((SELECT sum(r) FROM r$p
+         |   WHERE node NOT IN (SELECT src FROM ow)), 0)
+         |   + 100 * (SELECT k FROM kk)) // (2 * 100 * (SELECT k FROM kk))
+         |   AS sdg),
+         |r$kk AS MATERIALIZED (
+         | SELECT nodes.node,
+         |   ($dampingPct * coalesce(c$kk.inflow, 0) * 2 + 100) // 200
+         |   + CASE WHEN sn.node IS NOT NULL
+         |       THEN (SELECT sb FROM sb) + (SELECT sdg FROM d$kk)
+         |       ELSE 0 END AS r
+         | FROM nodes LEFT JOIN c$kk ON nodes.node = c$kk.dst
+         | LEFT JOIN sn ON nodes.node = sn.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eraw AS (__EDGES__),
+       |e AS MATERIALIZED (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM eraw
+       |  WHERE w > 0 GROUP BY src, dst),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |sn AS MATERIALIZED (SELECT DISTINCT nodes.node
+       |  FROM nodes JOIN (__SEEDS__) s0 ON nodes.node = s0.node),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM sn),
+       |sb AS (SELECT ((100 - $dampingPct) * (SELECT n FROM nn) * 10000 * 2
+       |  + (SELECT k FROM kk)) // (2 * (SELECT k FROM kk)) AS sb),
+       |ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+       |e2 AS MATERIALIZED (SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow ON e.src = ow.src),
+       |r0 AS MATERIALIZED (SELECT nodes.node,
+       |  CASE WHEN sn.node IS NOT NULL THEN
+       |    ((SELECT n FROM nn) * 1000000 * 2 + (SELECT k FROM kk))
+       |      // (2 * (SELECT k FROM kk))
+       |  ELSE 0 END AS r
+       |  FROM nodes LEFT JOIN sn ON nodes.node = sn.node),
+       |$iters
+       |SELECT node, CAST(r AS BIGINT) AS trust_micro,
+       |  CAST(r AS BIGINT) / 1000000.0 AS trust
+       |FROM r$iterations""".stripMargin
+      .replace("__EDGES__", edgesSql).replace("__SEEDS__", seedsSql)
+  }
+
   /** DuckDB twin of [[pageRank]]: the identical integer trajectory,
     * unrolled one CTE pair per iteration. `edgesSql` must yield
     * (src, dst, w) rows.

@@ -209,6 +209,31 @@ private[graft] object PipelineProfileQueries {
       GraphOps.kCore(p, "sn", "cn", k = 3)
     }),
 
+    // TrustRank from nation-0 suppliers over the purchase graph:
+    // teleport (and dangling mass) only to the trusted seed set —
+    // proximity-to-trust scores, the spam-farm separator run before
+    // domain sampling. Integer micro-grid trajectory, 6 iterations.
+    "q397_trustrank" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val p = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("sn"),
+          (col("o_custkey").cast("long") + 1000000L).as("cn"))
+      val edges = p.select(col("sn").as("src"), col("cn").as("dst"))
+        .unionByName(p.select(col("cn").as("src"), col("sn").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      // seed rule must be non-empty at EVERY sf: the lowest nation
+      // key present (a fixed nation id can be absent at sf0.001)
+      val sup = Tables(s, d, "supplier")
+      val minNation = sup.agg(min(col("s_nationkey")).as("_mn"))
+      val seeds = sup.join(broadcast(minNation),
+          col("s_nationkey") === col("_mn"))
+        .select(col("s_suppkey").cast("long").as("node"))
+      GraphOps.trustRank(edges, "src", "dst", "w", seeds, "node",
+        iterations = 6)
+    }),
+
     // Degree assortativity + rich-club density of the same purchase
     // graph: hub-to-leaf mixing (disassortative by construction —
     // suppliers are hubs) and the deg>10 club's edge density.
@@ -446,6 +471,23 @@ private[graft] object PipelineProfileQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_linenumber = 1""".stripMargin,
       kRich = 10L),
+
+    "q397_trustrank" -> GraphOps.trustRankOracleSql(
+      """SELECT src, dst, count(*) AS w FROM (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS src,
+        |    CAST(o_custkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_linenumber = 1
+        |  UNION ALL
+        |  SELECT CAST(o_custkey + 1000000 AS BIGINT),
+        |    CAST(l_suppkey AS BIGINT)
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_linenumber = 1) u
+        |GROUP BY src, dst""".stripMargin,
+      """SELECT CAST(s_suppkey AS BIGINT) AS node FROM supplier
+        |WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)"""
+        .stripMargin,
+      iterations = 6),
 
     "q396_nation_modularity" -> GraphOps.modularityOracleSql(
       """SELECT CAST(l_suppkey AS BIGINT) AS src,

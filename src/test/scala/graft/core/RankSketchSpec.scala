@@ -92,6 +92,25 @@ class RankSketchSpec extends SparkSpec {
     assert(GraphOps.kCore(edges, "s", "t", k = 1).count() == 7)
   }
 
+  test("trustRank: hand trajectory on a seed->sink edge; fast path " +
+      "bit-identical to the distributed loop") {
+    val edges = Seq(("a", "b", 1L)).toDF("s", "t", "w")
+    val seeds = Seq("a").toDF("n")
+    // n=2, k=1, seedBase=300000; iter1: r=(300000, 1700000);
+    // iter2: sdg=halfup(85*1700000,100)=1445000 -> a=1745000, b=255000
+    val got = GraphOps.trustRank(edges, "s", "t", "w", seeds, "n",
+        iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1745000L, "b" -> 255000L), s"got $got")
+    val fast = GraphOps.trustRank(edges, "s", "t", "w", seeds, "n",
+        iterations = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val loop = GraphOps.trustRank(edges, "s", "t", "w", seeds, "n",
+        iterations = 5, driverMaxEdges = 0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(fast == loop, "fast path diverges from the loop")
+  }
+
   test("modularity: two bridged triangles score the textbook 5/14") {
     val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
       ("b1", "b2"), ("b2", "b3"), ("b3", "b1"), ("a1", "b1"))
