@@ -266,6 +266,14 @@ private[graft] object PipelineMiscQueries {
       graft.ops.SnapshotOps.snapshotDiff(cur, prev, "doc_id", "text")
     }),
 
+    // Corpus Merkle manifest (q92's O(1)-compare companion): the
+    // fixed-depth content tree — roots match iff corpora match, a
+    // divergent node names the id range to rescan. Bounded per-node
+    // state (leafSpan rows / fanout children), layout-independent.
+    "q398_merkle_manifest" -> ((s, d) =>
+      graft.ops.SnapshotOps.merkleManifest(
+        Tables(s, d, "documents"), "doc_id", "text")),
+
     // Per-doc curation decision manifest (the release provenance
     // record): first-failing-stage reason per document — rules /
     // blocklist / duplicate / keep. Failure modes injected per
@@ -529,6 +537,9 @@ private[graft] object PipelineMiscQueries {
          | FROM dom) t
          |WHERE rn <= 5""".stripMargin
     },
+    "q398_merkle_manifest" -> graft.ops.SnapshotOps
+      .merkleManifestOracleSql("documents", "doc_id", "text"),
+
     "q92_snapshot_diff" ->
       """WITH prev AS (SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END AS text

@@ -122,4 +122,31 @@ class RoundTenBSpec extends SparkSpec {
     assert(r.getLong(1) === 10L && r.getLong(2) === 30L)
     assert(r.getDouble(3) === 0.0)
   }
+
+  test("merkleManifest: layout-independent; a one-doc edit flips " +
+      "exactly the root path; n_docs conserves") {
+    val docs = (0L until 200L).map(i => (i, s"content $i"))
+      .toDF("doc_id", "text")
+    val m1 = SnapshotOps.merkleManifest(docs, "doc_id", "text",
+        leafSpan = 8, fanout = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    val m2 = SnapshotOps.merkleManifest(docs.repartition(13),
+        "doc_id", "text", leafSpan = 8, fanout = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(m1 == m2, "manifest must ignore partition layout")
+    assert(m1((3, 0L))._1 == 200L, "root must count every doc")
+    // edit doc 37: leaf 37/8=4, l1 4/4=1, l2 0, root 0 change;
+    // every other node digest stays identical
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 37L, lit("EDITED")).otherwise(col("text")))
+    val m3 = SnapshotOps.merkleManifest(edited, "doc_id", "text",
+        leafSpan = 8, fanout = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    val changed = m1.keySet.filter(k => m1(k)._2 != m3(k)._2)
+    assert(changed == Set((0, 4L), (1, 1L), (2, 0L), (3, 0L)),
+      s"changed path was $changed")
+  }
 }
