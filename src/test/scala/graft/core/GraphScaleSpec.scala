@@ -151,4 +151,36 @@ class GraphScaleSpec extends SparkSpec {
     assert(capped.length == 201)
     assert(capped.forall { case (id, comp) => comp <= id })
   }
+
+  test("50k-node walk corpus: the DISTRIBUTED loop (not the fast " +
+      "path) completes join-shaped in bounded time") {
+    import spark.implicits._
+    val n = 50000L
+    // ring + one 7919-stride chord per node: every node degree >= 2
+    val ring = spark.range(0, n).toDF("i")
+      .select(col("i").as("src"), ((col("i") + 1) % n).as("dst"))
+    val chords = spark.range(0, n).toDF("i")
+      .select(col("i").as("src"), ((col("i") * 7919) % n).as("dst"))
+    val t0 = System.nanoTime()
+    val w = GraphOps.randomWalks(ring.unionByName(chords), "src", "dst",
+      walkLen = 3, walksPerNode = 1, driverMaxEdges = 0)
+    val cnt = w.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cnt == n * 4, s"expected ${n * 4} walk rows, got $cnt")
+    assert(secs < 120, s"distributed walk loop took ${secs}s")
+    graft.ops.Checkpoints.release(w)
+  }
+
+  test("180k-edge star graph: kCore(2) peels everything in the " +
+      "cascading two rounds; loop stays flat") {
+    // leaves (deg 1) peel round 1; hubs drop to deg 0, peel round 2
+    val edges = spark.range(0, 200000).toDF("id")
+      .filter(col("id") % 10 =!= 0)
+      .select((col("id") - (col("id") % 10)).as("src"), col("id").as("dst"))
+    val t0 = System.nanoTime()
+    val core = GraphOps.kCore(edges, "src", "dst", k = 2)
+    assert(core.count() == 0, "stars have no 2-core")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120, s"kCore peel took ${secs}s")
+  }
 }
