@@ -1167,6 +1167,11 @@ object GraphOps {
     * aggregate. Labels for both endpoints join from the same
     * broadcast-or-shuffled label frame; nothing quadratic.
     *
+    * Contract: edges whose endpoint is MISSING from `labels` drop
+    * from the graph (inner label join — 2m counts labeled endpoints
+    * only), and `n_nodes` counts the LABELS frame per community,
+    * including nodes that touch no edge.
+    *
     * @return one row per community: (lbl, n_nodes, d_c, e_c,
     *         q_contrib_micro); Q = Σ q_contrib_micro / 1e6
     */

@@ -94,6 +94,10 @@ object SketchOps {
     * estimate is a d·w-bounded join of the two counter tables; the
     * corpus-side exact audit here is Σ over the per-key count tables
     * (key-cardinality-bounded, the cmsHeavyHitters discipline).
+    * Degenerate case: fully DISJOINT key sets can leave a sketch
+    * row with no common cells, so est/ratio come back NULL beside
+    * exact 0 (identically in the oracle) — any shared key makes
+    * every row's inner product >= exact and the min well-defined.
     *
     * @return one row: (est_join_rows, exact_join_rows, overest,
     *         ratio 6dp)

@@ -148,6 +148,10 @@ object SnapshotOps {
     * construction, the whole point of hashing a tree instead of one
     * giant sorted string_agg.
     *
+    * Ids must be NON-NEGATIVE: the bucket division is spelled for
+    * the non-negative grid (Spark's truncate and DuckDB's floor
+    * agree there and diverge below zero).
+    *
     * @return (level, bucket, n_docs, digest) — every tree node,
     *         level 0 = leaves, level 3 = root (bucket 0)
     */

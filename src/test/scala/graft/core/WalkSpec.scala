@@ -117,10 +117,9 @@ class WalkSpec extends SparkSpec {
         }
         val rm = r % wgts.sum
         var cum = 0L; var pick = cands.head
-        cands.zip(wgts).iterator.takeWhile(_ => true).foreach {
-          case (x, wg) =>
-            if (cum <= rm && rm < cum + wg) pick = x
-            cum += wg
+        cands.zip(wgts).foreach { case (x, wg) =>
+          if (cum <= rm && rm < cum + wg) pick = x
+          cum += wg
         }
         prev = cur; cur = pick
         cur
