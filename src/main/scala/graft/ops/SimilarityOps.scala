@@ -63,6 +63,106 @@ object SimilarityOps {
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 
+  /** Farthest-point (k-center greedy, Gonzalez 1985) coreset — the
+    * diversity-first data selector beside [[mmrTop3]]'s
+    * relevance-diversity re-ranking: pick the md5-min seed, then k−1 times the
+    * vector FARTHEST from everything chosen (max min-distance, the
+    * 2-approximation to the k-center cover). The selected set is a
+    * geometric skeleton of the corpus — finetuning-subset /
+    * eval-probe / codebook-seed construction.
+    *
+    * Determinism: distances round to 5dp before every comparison
+    * (the IVF assignment contract), argmax ties break id-ASC, and
+    * the seed is the md5-smallest id — partition-invariant and
+    * replayable in SQL ([[farthestPointOracleSql]] unrolls one CTE
+    * pair per pick).
+    *
+    * Scale shape: the state is ONE (id, v, dmin) frame; each round
+    * is a narrow map against the single broadcast new center
+    * (dmin = least(dmin, d(v, c))) plus a 1-row max-struct aggregate
+    * — no joins, no windows, no shuffle of the corpus; rounds end in
+    * localCheckpoint (the CC loop discipline), and only k rows ever
+    * reach the driver. k is bounded (≤ 64).
+    *
+    * @return (rank, id, dist_units): dist_units = the 5dp min-dist
+    *         ·1e5 at selection time (0 for the seed)
+    */
+  def farthestPointSample(emb: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2, 64], got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val seedRow = base
+      .withColumn("_c", md5(concat(lit("fps:"), col("id").cast("string"))))
+      .orderBy(col("_c"), col("id")).limit(1)
+      .select(col("id"), col("v")).collect().head
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (1, seedRow.getLong(0), 0L))
+    var cur = seedRow.getSeq[Double](1)
+    var st = base.select(col("id"), col("v"),
+      lit(Long.MaxValue).as("dmin")).localCheckpoint()
+    for (r <- 2 to k) {
+      val cArr = typedlit(cur)
+      val d = round(sqrt(aggregate(zip_with(col("v"), cArr,
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)) * 1e5, 0)
+        .cast("long")
+      val prev = st
+      st = st.select(col("id"), col("v"),
+        least(col("dmin"), d).as("dmin")).localCheckpoint()
+      releaseCheckpoint(prev)
+      // max dmin, ties id-asc: max of (dmin, -id) structs
+      val top = st.agg(max(struct(col("dmin"), (-col("id")).as("ni"),
+        col("v"))).as("t")).select(col("t.*")).collect().head
+      val id = -top.getLong(1)
+      picked += ((r, id, top.getLong(0)))
+      cur = top.getSeq[Double](2)
+    }
+    releaseCheckpoint(st)
+    picked.toSeq.toDF("rank", "id", "dist_units")
+  }
+
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
+  /** DuckDB replay of [[farthestPointSample]]: identical seed rule,
+    * 5dp distance grid, max-min picks with id-asc ties, unrolled one
+    * CTE pair per round.
+    */
+  def farthestPointOracleSql(table: String, idCol: String,
+      vecCol: String, k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val p = r - 1
+      s"""d$r AS MATERIALIZED (
+         | SELECT s.id, s.v, least(s.dmin, CAST(round(sqrt(list_sum(
+         |     list_transform(generate_series(1, len(s.v)),
+         |       j -> (s.v[j] - c$p.v[j]) * (s.v[j] - c$p.v[j]))))
+         |     * 1e5, 0) AS BIGINT)) AS dmin
+         | FROM d$p s CROSS JOIN c$p),
+         |c$r AS MATERIALIZED (
+         | SELECT id, v, dmin FROM d$r
+         | ORDER BY dmin DESC, id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val outs = (s"SELECT 1 AS rank, id, CAST(0 AS BIGINT) AS dist_units" +
+      " FROM c1") +:
+      (2 to k).map(r =>
+        s"SELECT $r AS rank, id, dmin AS dist_units FROM c$r")
+    s"""WITH base AS (SELECT CAST($idCol AS BIGINT) AS id,
+       |    CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |c1 AS MATERIALIZED (SELECT id, v FROM base
+       |  ORDER BY md5('fps:' || CAST(id AS VARCHAR)), id LIMIT 1),
+       |d1 AS MATERIALIZED (SELECT id, v,
+       |  CAST(9223372036854775807 AS BIGINT) AS dmin FROM base),
+       |$rounds
+       |${outs.mkString("\n  UNION ALL ")}
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Triplet mining for metric learning: per anchor, the HARD
     * POSITIVE (same label, LOWEST similarity — the pair the encoder
     * is failing to pull together) and the HARD NEGATIVE (different

@@ -120,6 +120,15 @@ private[graft] object PipelineSimilarityQueries {
         window = 2)
     }),
 
+    // Farthest-point (k-center greedy) coreset over the embedding
+    // corpus: md5-min seed, then max-min-distance picks on the 5dp
+    // grid — the diversity-first subset selector; state is one
+    // (id, v, dmin) frame, one narrow pass + 1-row aggregate per
+    // round.
+    "q399_fps_coreset" -> ((s, d) =>
+      SimilarityOps.farthestPointSample(
+        Tables(s, d, "embeddings"), "vec_id", "embedding", k = 8)),
+
     // Second-order (p, q)-biased walks — node2vec proper over the
     // same brand graph (p=4: discourage backtracking, q=0.5: favor
     // exploration). Every trajectory step is pinned by the oracle's
@@ -493,6 +502,9 @@ private[graft] object PipelineSimilarityQueries {
                 "JOIN part ON l_partkey = p_partkey",
               minSupport = 20L)}) pairs""".stripMargin,
         walkLen = 4, walksPerNode = 2, window = 2),
+
+    "q399_fps_coreset" -> SimilarityOps.farthestPointOracleSql(
+      "embeddings", "vec_id", "embedding", k = 8),
 
     "q392_biased_walks" ->
       graft.ops.GraphOps.biasedWalksOracleSql(
