@@ -163,6 +163,143 @@ object SimilarityOps {
        |ORDER BY rank""".stripMargin
   }
 
+  /** Grid DBSCAN over 2-D coordinates (Ester et al. 1996) — the
+    * DENSITY clustering family beside the centroid one
+    * ([[kmeansAssign]]/[[simplifiedSilhouette]]): arbitrary-shape
+    * clusters plus an explicit NOISE class, the outlier-aware
+    * grouping a quality/embedding scatter needs where k-means forces
+    * every point into a ball.
+    *
+    * Exactness is TOTAL — there is no float gate anywhere: points
+    * land on the micro grid, the eps test is the integer comparison
+    * dx² + dy² ≤ eps² (coordinate magnitudes bounded by the micro
+    * grid to ±~10⁹, squares to 2^63 ANSI-loud), cells are exact
+    * floor divisions, and cluster labels are min-reachable-id
+    * components.
+    *
+    * Scale shape: the neighbor search is the classic eps-grid
+    * spatial join — one side fans to its 9 neighbor cells (constant
+    * factor), then ONE equi-join on the cell key; no cartesian, no
+    * windows. Core flags are a map-combined count; the component
+    * step runs on the CORE-CORE edge set only
+    * ([[GraphOps.connectedComponents]], min-label,
+    * localCheckpoint-bounded rounds); border points attach by one
+    * more bounded join. Density caps: a pathological all-points-in-
+    * one-cell input degrades to that cell's pair count — eps chosen
+    * sanely keeps cells O(minPts)-sized.
+    *
+    * @return (id, n_nbrs, role core/border/noise, cluster — NULL
+    *         for noise) ordered by id
+    */
+  def dbscan2d(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, epsMicro: Long, minPts: Int): DataFrame = {
+    require(epsMicro >= 1, s"epsMicro must be >= 1, got $epsMicro")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pts = df.select(col(idCol).cast("long").as("id"),
+        round(col(xCol).cast("double") * 1e6, 0).cast("long").as("xm"),
+        round(col(yCol).cast("double") * 1e6, 0).cast("long").as("ym"))
+      .select(col("id"), col("xm"), col("ym"),
+        ExactArith.floorDiv(col("xm"), lit(epsMicro)).as("cx"),
+        ExactArith.floorDiv(col("ym"), lit(epsMicro)).as("cy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nine = (for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")))
+    val probe = pts.select(col("id").as("ia"), col("xm").as("xa"),
+        col("ym").as("ya"), explode(array(nine: _*)).as("nc"))
+      .select(col("ia"), col("xa"), col("ya"),
+        col("nc.cx").as("cx"), col("nc.cy").as("cy"))
+    val nbrs = probe.join(pts.select(col("id").as("ib"),
+          col("xm").as("xb"), col("ym").as("yb"), col("cx"), col("cy")),
+        Seq("cx", "cy"))
+      .where((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <=
+        lit(epsMicro) * lit(epsMicro))
+      .select(col("ia"), col("ib"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ncount = nbrs.groupBy("ia").agg(count(lit(1)).as("n_nbrs"))
+    val core = ncount.where(col("n_nbrs") >= minPts)
+      .select(col("ia").as("cid"))
+    val coreEdges = nbrs.where(col("ia") < col("ib"))
+      .join(core.select(col("cid").as("ia")), "ia")
+      .join(core.select(col("cid").as("ib")), "ib")
+    val comps = GraphOps.connectedComponents(coreEdges, "ia", "ib")
+      .select(col("id").as("cid2"), col("comp"))
+    // isolated core points (no core neighbor in eps) self-label
+    val coreLabeled = core.join(comps, col("cid") === col("cid2"), "left")
+      .select(col("cid"), coalesce(col("comp"), col("cid")).as("cluster"))
+    val borderLab = nbrs.where(col("ia") =!= col("ib"))
+      .join(coreLabeled.select(col("cid").as("ib"),
+        col("cluster").as("bcl")), "ib")
+      .groupBy(col("ia")).agg(min(col("bcl")).as("bcluster"))
+    val out = ncount
+      .join(coreLabeled, col("ia") === col("cid"), "left")
+      .join(borderLab.select(col("ia").as("_ba"),
+        col("bcluster")), col("ia") === col("_ba"), "left")
+      .select(col("ia").as("id"), col("n_nbrs"),
+        when(col("cid").isNotNull, lit("core"))
+          .when(col("bcluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("cid").isNotNull, col("cluster"))
+          .otherwise(col("bcluster")).as("cluster"))
+      .orderBy("id")
+    out
+  }
+
+  /** DuckDB replay of [[dbscan2d]]: identical grid join, integer eps
+    * test, recursive-CTE min-label components (the q66 discipline),
+    * border attachment.
+    */
+  def dbscan2dOracleSql(table: String, idExpr: String, xExpr: String,
+      yExpr: String, epsMicro: Long, minPts: Int): String =
+    s"""WITH RECURSIVE pts AS (
+       | SELECT CAST($idExpr AS BIGINT) AS id,
+       |   CAST(round(CAST($xExpr AS DOUBLE) * 1e6, 0) AS BIGINT) AS xm,
+       |   CAST(round(CAST($yExpr AS DOUBLE) * 1e6, 0) AS BIGINT) AS ym
+       | FROM $table),
+       |pc AS (SELECT id, xm, ym,
+       |   CASE WHEN xm >= 0 THEN xm // $epsMicro
+       |     ELSE -((-xm + $epsMicro - 1) // $epsMicro) END AS cx,
+       |   CASE WHEN ym >= 0 THEN ym // $epsMicro
+       |     ELSE -((-ym + $epsMicro - 1) // $epsMicro) END AS cy
+       | FROM pts),
+       |probe AS (SELECT id AS ia, xm AS xa, ym AS ya,
+       |   cx + d0.dx AS cx, cy + d1.dy AS cy
+       | FROM pc CROSS JOIN (SELECT unnest(range(-1, 2)) AS dx) d0
+       |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy) d1),
+       |nbrs AS (SELECT probe.ia, b.id AS ib
+       | FROM probe JOIN pc b ON probe.cx = b.cx AND probe.cy = b.cy
+       | WHERE (probe.xa - b.xm) * (probe.xa - b.xm)
+       |     + (probe.ya - b.ym) * (probe.ya - b.ym)
+       |     <= CAST($epsMicro AS BIGINT) * $epsMicro),
+       |nc AS (SELECT ia, CAST(count(*) AS BIGINT) AS n_nbrs
+       | FROM nbrs GROUP BY ia),
+       |core AS (SELECT ia AS cid FROM nc WHERE n_nbrs >= $minPts),
+       |ce AS (SELECT n.ia, n.ib FROM nbrs n
+       | JOIN core a ON n.ia = a.cid JOIN core b ON n.ib = b.cid
+       | WHERE n.ia < n.ib),
+       |bi AS (SELECT ia AS u, ib AS v FROM ce
+       |       UNION SELECT ib, ia FROM ce),
+       |reach(u, v) AS (
+       | SELECT u, u FROM (SELECT DISTINCT u FROM bi) nodes
+       | UNION
+       | SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u),
+       |comps AS (SELECT u AS id, min(v) AS comp FROM reach GROUP BY u),
+       |corelab AS (SELECT core.cid, coalesce(comps.comp, core.cid)
+       |   AS cluster
+       | FROM core LEFT JOIN comps ON core.cid = comps.id),
+       |blab AS (SELECT n.ia, min(cl.cluster) AS bcluster
+       | FROM nbrs n JOIN corelab cl ON n.ib = cl.cid
+       | WHERE n.ia <> n.ib GROUP BY n.ia)
+       |SELECT nc.ia AS id, nc.n_nbrs,
+       | CASE WHEN cl.cid IS NOT NULL THEN 'core'
+       |   WHEN blab.bcluster IS NOT NULL THEN 'border'
+       |   ELSE 'noise' END AS role,
+       | CASE WHEN cl.cid IS NOT NULL THEN cl.cluster
+       |   ELSE blab.bcluster END AS cluster
+       |FROM nc LEFT JOIN corelab cl ON nc.ia = cl.cid
+       |LEFT JOIN blab ON nc.ia = blab.ia
+       |ORDER BY id""".stripMargin
+
   /** Triplet mining for metric learning: per anchor, the HARD
     * POSITIVE (same label, LOWEST similarity — the pair the encoder
     * is failing to pull together) and the HARD NEGATIVE (different

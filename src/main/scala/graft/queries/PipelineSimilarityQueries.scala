@@ -120,6 +120,18 @@ private[graft] object PipelineSimilarityQueries {
         window = 2)
     }),
 
+    // Grid DBSCAN over the embedding scatter's first two dims: the
+    // density-clustering family (arbitrary shapes + an explicit
+    // noise class) — integer eps test end to end, 9-cell grid join,
+    // min-label core components.
+    "q400_dbscan" -> ((s, d) => {
+      val pts = Tables(s, d, "embeddings").select(col("vec_id"),
+        element_at(col("embedding"), 1).as("x"),
+        element_at(col("embedding"), 2).as("y"))
+      SimilarityOps.dbscan2d(pts, "vec_id", "x", "y",
+        epsMicro = 300000L, minPts = 4)
+    }),
+
     // Farthest-point (k-center greedy) coreset over the embedding
     // corpus: md5-min seed, then max-min-distance picks on the 5dp
     // grid — the diversity-first subset selector; state is one
@@ -505,6 +517,11 @@ private[graft] object PipelineSimilarityQueries {
 
     "q399_fps_coreset" -> SimilarityOps.farthestPointOracleSql(
       "embeddings", "vec_id", "embedding", k = 8),
+
+    "q400_dbscan" -> SimilarityOps.dbscan2dOracleSql(
+      "embeddings", "vec_id",
+      "CAST(embedding AS DOUBLE[])[1]", "CAST(embedding AS DOUBLE[])[2]",
+      epsMicro = 300000L, minPts = 4),
 
     "q392_biased_walks" ->
       graft.ops.GraphOps.biasedWalksOracleSql(

@@ -148,4 +148,28 @@ class KmeansSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("distinct"))
   }
+
+  test("dbscan2d: two clusters, a border at EXACTLY eps, and noise") {
+    // eps = 1.0 (1e6 micro), minPts = 4. A-cluster 1-4 all mutually
+    // within eps; point 5 sits exactly 1.0 from point 2 (the <=
+    // boundary on the integer grid) but sees only 2 points -> border;
+    // 6 is isolated noise; B-cluster 7-10 mirrors A at (10,10).
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.3, 0.0), (3L, 0.0, 0.3), (4L, 0.3, 0.3),
+      (5L, 1.3, 0.0), (6L, 5.0, 5.0),
+      (7L, 10.0, 10.0), (8L, 10.3, 10.0), (9L, 10.0, 10.3),
+      (10L, 10.3, 10.3)).toDF("id", "x", "y")
+    val got = SimilarityOps.dbscan2d(pts, "id", "x", "y",
+        epsMicro = 1000000L, minPts = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    for (i <- Seq(1L, 3L, 4L))
+      assert(got(i) == ((4L, "core", 1L)), s"$i: ${got(i)}")
+    assert(got(2L) == ((5L, "core", 1L)), s"2: ${got(2L)}") // sees 5 too
+    assert(got(5L) == ((2L, "border", 1L)), s"5: ${got(5L)}")
+    assert(got(6L) == ((1L, "noise", -1L)), s"6: ${got(6L)}")
+    for (i <- 7L to 10L)
+      assert(got(i) == ((4L, "core", 7L)), s"$i: ${got(i)}")
+  }
 }
