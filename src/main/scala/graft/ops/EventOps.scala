@@ -681,6 +681,110 @@ object EventOps {
        |  CAST((n * 2000000 + tot) // (tot * 2) AS BIGINT) AS p_ppm
        |FROM g JOIN t ON g.from_type = t.from_type""".stripMargin
 
+  /** Stationary distribution of the session Markov chain — the
+    * long-run state occupancy [[markovTransitions]]' matrix implies
+    * (where does a user's session walk settle): exact integer power
+    * iteration on the micro grid. Each round distributes every
+    * state's mass over its transitions with the half-up rule
+    * (halfup(pi_s·c_st, rowsum_s)); an ABSORBING state (no outgoing
+    * steps) keeps its own mass — the standard self-loop completion,
+    * so mass never leaks and the iteration is a true stochastic
+    * update. Bit-stable: every quantity is a long, so the unrolled
+    * SQL replay matches term for term.
+    *
+    * Scale shape: the ONLY corpus-scale work is the transition-count
+    * aggregation the caller already has; the iteration runs on the
+    * |states|²-bounded matrix on the driver (require-capped), the
+    * [[GraphOps.pageRank]] bounded-collect contract.
+    *
+    * @param transitions (from, to, n) counts — e.g.
+    *        [[markovTransitions]] output
+    * @return (state, pi_micro, pi) ordered by state
+    */
+  def stationaryDistribution(transitions: DataFrame, fromCol: String,
+      toCol: String, nCol: String, iters: Int = 12,
+      maxStates: Int = 10000): DataFrame = {
+    require(iters >= 1 && iters <= 100,
+      s"iters must be in [1, 100], got $iters")
+    val spark = transitions.sparkSession
+    import spark.implicits._
+    val rows = transitions.select(col(fromCol).cast("string"),
+      col(toCol).cast("string"), col(nCol).cast("long")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    require(states.nonEmpty, "stationaryDistribution: no transitions")
+    require(states.length <= maxStates,
+      s"${states.length} states exceed maxStates=$maxStates")
+    def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+    val rs = rows.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    var pi: Map[String, Long] =
+      states.map(_ -> halfUp(1000000L, states.length.toLong)).toMap
+    for (_ <- 1 to iters) {
+      val next = scala.collection.mutable.HashMap.empty[String, Long]
+      states.foreach { s =>
+        rs.get(s) match {
+          case Some(tot) => ()
+          case None => next.update(s, next.getOrElse(s, 0L) + pi(s))
+        }
+      }
+      rows.foreach { case (s, t, n) =>
+        next.update(t, next.getOrElse(t, 0L) + halfUp(pi(s) * n, rs(s)))
+      }
+      pi = states.map(s => s -> next.getOrElse(s, 0L)).toMap
+    }
+    states.map(s => (s, pi(s), pi(s) / 1000000.0)).toSeq
+      .toDF("state", "pi_micro", "pi")
+  }
+
+  /** DuckDB replay of [[markovTransitions]] + [[stationaryDistribution]]
+    * over the same session chain: identical counts, identical
+    * integer power iteration unrolled one CTE trio per round.
+    */
+  def stationaryOracleSql(table: String, tsCol: String, userCol: String,
+      typeCol: String, idCol: String, gapSeconds: Double,
+      iters: Int = 12): String = {
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""m$k AS MATERIALIZED (
+         | SELECT g.to_type AS s,
+         |   sum((p$p.pi * g.n * 2 + tt.tot) // (2 * tt.tot)) AS v
+         | FROM p$p JOIN g ON g.from_type = p$p.s
+         | JOIN tt ON tt.from_type = p$p.s GROUP BY 1),
+         |a$k AS MATERIALIZED (
+         | SELECT p$p.s, p$p.pi AS v FROM p$p
+         | WHERE p$p.s NOT IN (SELECT from_type FROM tt)),
+         |p$k AS MATERIALIZED (
+         | SELECT stt.s, CAST(coalesce(m.v, 0) + coalesce(a.v, 0)
+         |   AS BIGINT) AS pi
+         | FROM stt LEFT JOIN m$k m ON stt.s = m.s
+         | LEFT JOIN a$k a ON stt.s = a.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT $userCol AS u, epoch($tsCol) AS t,
+       |    $idCol AS id, $typeCol AS typ FROM $table),
+       |fl AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+       |    OR t - lag(t) OVER w > $gapSeconds THEN 1 ELSE 0 END AS flag
+       |  FROM e WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+       |sd AS (SELECT *, sum(flag) OVER (PARTITION BY u ORDER BY t, id
+       |    ROWS UNBOUNDED PRECEDING) AS sid FROM fl),
+       |st0 AS (SELECT typ AS from_type,
+       |    lead(typ) OVER (PARTITION BY u, sid ORDER BY t, id) AS to_type
+       |  FROM sd),
+       |g AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM st0 WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |tt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM g
+       |  GROUP BY from_type),
+       |stt AS (SELECT DISTINCT s FROM (SELECT from_type AS s FROM g
+       |  UNION ALL SELECT to_type FROM g) u0),
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM stt),
+       |p0 AS MATERIALIZED (SELECT s,
+       |  (1000000 * 2 + (SELECT n FROM ns)) // (2 * (SELECT n FROM ns))
+       |    AS pi FROM stt),
+       |$rounds
+       |SELECT s AS state, CAST(pi AS BIGINT) AS pi_micro,
+       |  CAST(pi AS BIGINT) / 1000000.0 AS pi
+       |FROM p$iters ORDER BY state""".stripMargin
+  }
+
   /** Frequent k-step journeys ([[markovTransitions]]' higher-order
     * companion — PrefixSpan's contiguous special case): within each
     * (user, gap-session), every k-long consecutive event-type path in

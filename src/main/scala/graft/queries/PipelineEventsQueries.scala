@@ -439,6 +439,16 @@ private[graft] object PipelineEventsQueries {
       graft.ops.EventOps.markovTransitions(Tables(s, d, "events"),
         "ts", "user_id", "event_type", "event_id", gapSeconds = 1800.0)),
 
+    // Long-run state occupancy of the q206 session chain: exact
+    // integer power iteration (absorbing states self-loop, mass
+    // never leaks), matrix-bounded driver math after the one
+    // corpus aggregation.
+    "q401_markov_stationary" -> ((s, d) =>
+      graft.ops.EventOps.stationaryDistribution(
+        graft.ops.EventOps.markovTransitions(Tables(s, d, "events"),
+          "ts", "user_id", "event_type", "event_id", gapSeconds = 1800.0),
+        "from_type", "to_type", "n")),
+
     // Frequent 3-step journeys over the same 30-min sessions —
     // q206's higher-order companion (contiguous PrefixSpan): top-20
     // session paths, k-1 leads in one window pass, no collect_list.
@@ -753,6 +763,8 @@ private[graft] object PipelineEventsQueries {
         |FROM events""".stripMargin,
       "k", "op", "value", "t", "event_id"),
     "q206_markov" -> graft.ops.EventOps.markovOracleSql(
+      "events", "ts", "user_id", "event_type", "event_id", 1800.0),
+    "q401_markov_stationary" -> graft.ops.EventOps.stationaryOracleSql(
       "events", "ts", "user_id", "event_type", "event_id", 1800.0),
     "q385_frequent_journeys" -> graft.ops.EventOps.frequentJourneysOracleSql(
       "events", "ts", "user_id", "event_type", "event_id", 1800.0,

@@ -128,4 +128,29 @@ class EventAnalyticsSpec extends SparkSpec {
         "event_id", 1800.0, k = 1, topN = 1)
     }
   }
+
+  test("stationaryDistribution: exact 2-iteration hand trajectory, " +
+      "convergence to 1/4-3/4, absorbing state swallows all mass") {
+    import spark.implicits._
+    val tr = Seq(("A", "B", 3L), ("B", "A", 1L), ("B", "B", 2L))
+      .toDF("f", "t", "n")
+    // pi0 = (500000, 500000); iter1 -> (166667, 833333);
+    // iter2 -> (277778, 722222) — every term the half-up spelling
+    val two = EventOps.stationaryDistribution(tr, "f", "t", "n",
+        iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two == Map("A" -> 277778L, "B" -> 722222L), s"got $two")
+    // the chain's stationary distribution is (1/4, 3/4)
+    val conv = EventOps.stationaryDistribution(tr, "f", "t", "n",
+        iters = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(conv("A") - 250000L) <= 2 &&
+      math.abs(conv("B") - 750000L) <= 2, s"got $conv")
+    // absorbing B: one step drains A entirely into B, forever
+    val abs = EventOps.stationaryDistribution(
+        Seq(("A", "B", 5L)).toDF("f", "t", "n"), "f", "t", "n",
+        iters = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(abs == Map("A" -> 0L, "B" -> 1000000L), s"got $abs")
+  }
 }
