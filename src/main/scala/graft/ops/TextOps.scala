@@ -1242,6 +1242,91 @@ object TextOps {
        |FROM r WHERE rank <= $k""".stripMargin
   }
 
+  /** Distinctive terms per domain — the "fightin' words" log-odds
+    * z-scores of Monroe, Colaresi & Quinn 2008 (the informed-
+    * Dirichlet variant): for each (domain, token), the log-odds
+    * delta of the token in the domain vs the REST of the corpus,
+    * regularized by a corpus-proportional prior (a0·c_w/T) and
+    * standardized by the Monroe variance — the statistically sound
+    * "what words characterize this source" table (raw tf-idf or
+    * PMI over-ranks rare words; the prior shrinks them).
+    *
+    * Determinism: counts are exact longs; the ln/sqrt cascade runs
+    * in a fixed double order and z rounds to 6dp BEFORE the rank
+    * (token-asc ties) — the knnBrute float-gate discipline.
+    *
+    * Scale shape: one tokenize pass to the (domain, word) count
+    * table (map-combined; the only corpus-wide exchange — Catalyst
+    * reuses it for the marginals), everything downstream
+    * vocab·|domains|-bounded; the rank window partitions by domain.
+    *
+    * @return (domain, rank, tok, n_domain, n_rest, z) — top `k`
+    *         per domain
+    */
+  def distinctiveTerms(df: DataFrame, domainCol: String,
+      textCol: String, k: Int = 5, a0: Double = 500.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && a0 > 0.0, s"bad k=$k / a0=$a0")
+    val cdw = df.select(col(domainCol).as("domain"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("domain", "w").agg(count(lit(1)).as("c"))
+    val cw = cdw.groupBy("w").agg(sum("c").as("cw"))
+    val td = cdw.groupBy("domain").agg(sum("c").as("tdom"))
+    val gl = cw.agg(sum("cw").as("t"))
+    val z = cdw.join(cw, "w").join(td, "domain").crossJoin(broadcast(gl))
+      .withColumn("aw", lit(a0) * col("cw").cast("double") / col("t"))
+      .withColumn("crest", (col("cw") - col("c")).cast("double"))
+      .withColumn("trest", (col("t") - col("tdom")).cast("double"))
+      .withColumn("delta",
+        log((col("c") + col("aw")) /
+          (col("tdom").cast("double") + lit(a0) - col("c") - col("aw"))) -
+        log((col("crest") + col("aw")) /
+          (col("trest") + lit(a0) - col("crest") - col("aw"))))
+      .withColumn("variance",
+        lit(1.0) / (col("c") + col("aw")) +
+        lit(1.0) / (col("crest") + col("aw")))
+      .select(col("domain"), col("w").as("tok"),
+        col("c").as("n_domain"), col("crest").cast("long").as("n_rest"),
+        round(col("delta") / sqrt(col("variance")), 6).as("z"))
+    z.withColumn("rank", row_number().over(Window.partitionBy("domain")
+        .orderBy(col("z").desc, col("tok").asc)))
+      .filter(col("rank") <= k)
+      .select(col("domain"), col("rank"), col("tok"), col("n_domain"),
+        col("n_rest"), col("z"))
+  }
+
+  /** DuckDB replay of [[distinctiveTerms]] — identical tokenizer,
+    * prior, double evaluation order, 6dp z gate. */
+  def distinctiveTermsOracleSql(table: String, domainCol: String,
+      textCol: String, k: Int = 5, a0: Double = 500.0): String =
+    s"""WITH cdw AS (SELECT $domainCol AS domain, w,
+       |    CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT $domainCol, unnest(list_filter(string_split_regex(
+       |      lower($textCol), '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS w
+       |    FROM $table) tk GROUP BY 1, 2),
+       |cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM cdw GROUP BY w),
+       |td AS (SELECT domain, CAST(sum(c) AS BIGINT) AS tdom
+       |  FROM cdw GROUP BY domain),
+       |gl AS (SELECT CAST(sum(cw) AS BIGINT) AS t FROM cw),
+       |zt AS (SELECT domain, w AS tok, c AS n_domain,
+       |    CAST(cw - c AS BIGINT) AS n_rest,
+       |    round((ln((c + $a0 * CAST(cw AS DOUBLE) / t) /
+       |        (CAST(tdom AS DOUBLE) + $a0 - c
+       |          - $a0 * CAST(cw AS DOUBLE) / t))
+       |      - ln((CAST(cw - c AS DOUBLE) + $a0 * CAST(cw AS DOUBLE) / t)
+       |        / (CAST(t - tdom AS DOUBLE) + $a0 - CAST(cw - c AS DOUBLE)
+       |          - $a0 * CAST(cw AS DOUBLE) / t)))
+       |      / sqrt(1.0 / (c + $a0 * CAST(cw AS DOUBLE) / t)
+       |        + 1.0 / (CAST(cw - c AS DOUBLE)
+       |          + $a0 * CAST(cw AS DOUBLE) / t)), 6) AS z
+       |  FROM cdw JOIN cw USING (w) JOIN td USING (domain)
+       |  CROSS JOIN gl),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY domain
+       |    ORDER BY z DESC, tok ASC) AS rank FROM zt)
+       |SELECT domain, CAST(rank AS INT) AS rank, tok, n_domain,
+       |  n_rest, z
+       |FROM r WHERE rank <= $k""".stripMargin
+
   /** TextTiling topic segmentation (Hearst 1997, deterministic
     * variant) — lexical-cohesion boundaries for TOPIC-COHERENT
     * chunking, the semantic upgrade over fixed windows

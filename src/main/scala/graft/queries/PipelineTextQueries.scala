@@ -1083,6 +1083,14 @@ private[graft] object PipelineTextQueries {
       SampleOps.temperatureWeights(Tables(s, d, "documents"),
         "source", "text", alpha = 0.3)),
 
+    // "Fightin' words" distinctive terms per source (Monroe et al.
+    // 2008): informed-Dirichlet log-odds z-scores vs the rest of the
+    // corpus — the statistically sound per-domain keyword table
+    // (the prior shrinks the rare-word over-ranking of tf-idf/PMI).
+    "q402_distinctive_terms" -> ((s, d) =>
+      TextOps.distinctiveTerms(Tables(s, d, "documents"),
+        "source", "text")),
+
     // DoReMi-flavored excess-loss mixture (q128's loss-aware
     // counterpart): corpus-vs-own unigram NLL gap per source in exact
     // micronats, token shares scaled by exp(eta·excess), renormalized.
@@ -1839,6 +1847,8 @@ private[graft] object PipelineTextQueries {
       "documents", "source", "text", alpha = 0.3),
     "q389_excess_loss_mixture" -> SampleOps.excessLossWeightsOracleSql(
       "documents", "source", "text", eta = 0.5),
+    "q402_distinctive_terms" -> TextOps.distinctiveTermsOracleSql(
+      "documents", "source", "text"),
     "q129_zipf_fit" -> ProfileOps.zipfOracleSql("documents", "text"),
     "q134_passage_windows" ->
       """WITH s0 AS (SELECT doc_id,

@@ -38,6 +38,26 @@ class RakeSpec extends SparkSpec {
     assert(TextOps.rakeKeywords(df, "doc_id", "text").count() == 0)
   }
 
+  test("distinctiveTerms: planted markers rank first per domain; " +
+      "prior shrinks a rare exclusive below a frequent skewed term") {
+    val docs = (
+      (1 to 20).map(i => (s"a$i", "A", "common words here zebra zebra")) ++
+      (1 to 20).map(i => (s"b$i", "B", "common words here yak yak")) ++
+      Seq(("ax", "A", "unicorn")) // rare A-exclusive
+    ).toDF("id", "domain", "text")
+    val got = TextOps.distinctiveTerms(docs, "domain", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getDouble(5)))).toMap
+    assert(got(("A", 1))._1 == "zebra" && got(("A", 1))._2 > 0)
+    assert(got(("B", 1))._1 == "yak" && got(("B", 1))._2 > 0)
+    // the 40x-repeated marker beats the once-seen exclusive
+    val aTop = (1 to 3).map(r => got(("A", r)))
+    val zebraZ = aTop.find(_._1 == "zebra").get._2
+    val uniZ = aTop.find(_._1 == "unicorn").map(_._2)
+    assert(uniZ.forall(_ < zebraZ),
+      s"prior must shrink the rare exclusive: $aTop")
+  }
+
   test("topicSegments: a planted two-topic document cuts exactly at " +
       "the vocabulary switch") {
     // blocks of 4: [x x x x][x x x x][y y y y][y y y y]
