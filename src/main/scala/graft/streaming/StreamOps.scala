@@ -750,6 +750,22 @@ object StreamOps {
       w: Int): DataFrame =
     graft.ops.SketchOps.cmsSketch(stream, keyCol, w)
 
+  /** Streaming Markov transition counts — the ingest twin of
+    * [[graft.ops.EventOps.markovTransitions]]' count core for
+    * PRE-SESSIONIZED steps (the caller supplies (from, to) step
+    * rows, e.g. from a sessionizing upstream stage): counts are
+    * additive, so the stream is the grouped aggregation in complete
+    * mode, state bounded at |types|² regardless of volume. The
+    * stationary finisher
+    * ([[graft.ops.EventOps.stationaryDistribution]]) runs on the
+    * output at any instant and equals the batch chain exactly
+    * (StreamingSpec).
+    */
+  def markovCountStream(steps: DataFrame, fromCol: String,
+      toCol: String): DataFrame =
+    steps.groupBy(col(fromCol).as("from_type"), col(toCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming quantile histogram — the ingest twin of
     * [[graft.ops.SketchOps.quantHistDelta]] (q390): bucket counts
     * are additive by construction, so the stream IS the delta's

@@ -1020,6 +1020,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming Markov counts + stationary finisher equal the batch chain") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String)]
+    val q = StreamOps.markovCountStream(
+        input.toDF().toDF("f", "t"), "f", "t")
+      .writeStream.format("memory").queryName("markov_stream")
+      .outputMode("complete").start()
+    val b1 = Seq(("A", "B"), ("A", "B"), ("B", "A"))
+    val b2 = Seq(("A", "B"), ("B", "B"), ("B", "B"))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = graft.ops.EventOps.stationaryDistribution(
+        spark.table("markov_stream"), "from_type", "to_type", "n",
+        iters = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.EventOps.stationaryDistribution(
+        (b1 ++ b2).toDF("f", "t").groupBy("f", "t")
+          .agg(count(lit(1)).as("n")), "f", "t", "n", iters = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming quantile histogram equals the batch delta across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
