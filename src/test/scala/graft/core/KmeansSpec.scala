@@ -172,4 +172,53 @@ class KmeansSpec extends SparkSpec {
     for (i <- 7L to 10L)
       assert(got(i) == ((4L, "core", 7L)), s"$i: ${got(i)}")
   }
+
+  test("dbscan2d: fine-cell contraction matches the brute-force reference on a dense random field") {
+    // 150 deterministic points in a tight box so MANY share fine
+    // cells and the core graph is dense — exercises the contraction
+    // (same-cell merge, inter-cell super-edges, isolated cells,
+    // border attach) against an exhaustive O(n^2) reference.
+    val eps = 250000L // 0.25 in micro units
+    val minPts = 4
+    val rnd = new scala.util.Random(7)
+    val ptsSeq = (1L to 150L).map(i =>
+      (i, math.rint(rnd.nextDouble() * 2e6 - 1e6) / 1e6,
+        math.rint(rnd.nextDouble() * 2e6 - 1e6) / 1e6))
+    // brute force on the micro grid, replaying the operator contract
+    val micro = ptsSeq.map { case (i, x, y) =>
+      (i, math.rint(x * 1e6).toLong, math.rint(y * 1e6).toLong) }
+    def within(a: (Long, Long, Long), b: (Long, Long, Long)) = {
+      val dx = a._2 - b._2; val dy = a._3 - b._3
+      dx * dx + dy * dy <= eps * eps
+    }
+    val nbrs = micro.map(a => a._1 -> micro.filter(b => within(a, b)).map(_._1))
+      .toMap
+    val coreIds = nbrs.filter(_._2.size >= minPts).keySet
+    // union-find over core-core pairs
+    val parent = scala.collection.mutable.HashMap[Long, Long](
+      coreIds.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long = { var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }; r }
+    for (a <- coreIds; b <- nbrs(a) if coreIds(b) && b != a) {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val clusterOf = coreIds.map { i =>
+      i -> coreIds.filter(j => find(j) == find(i)).min }.toMap
+    val expected = micro.map { case (i, _, _) =>
+      if (coreIds(i)) (i, nbrs(i).size.toLong, "core", clusterOf(i))
+      else {
+        val coreNb = nbrs(i).filter(j => coreIds(j) && j != i)
+        if (coreNb.nonEmpty)
+          (i, nbrs(i).size.toLong, "border", coreNb.map(clusterOf).min)
+        else (i, nbrs(i).size.toLong, "noise", -1L)
+      }
+    }.sortBy(_._1)
+    val got = SimilarityOps.dbscan2d(
+        ptsSeq.toDF("id", "x", "y"), "id", "x", "y", eps, minPts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == expected)
+    // sanity: the dense field must actually exercise contraction
+    assert(coreIds.nonEmpty && clusterOf.values.toSet.size >= 1)
+  }
 }

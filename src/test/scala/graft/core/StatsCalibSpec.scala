@@ -393,6 +393,27 @@ class StatsCalibSpec extends SparkSpec {
     assert(got(("b", "a")) == ((3L, 0L, 4L, 4L, 0.0)))
   }
 
+  test("fd audit: typed slots — nulls and mixed integral/string candidates group exactly") {
+    // nulls group as one value on both the integral and the string
+    // slot (pre-slot behavior: cast-to-string of NULL was NULL); a
+    // long candidate and a string candidate coexist in one audit
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(1L), Some("x")), (Some(1L), None),
+      (None, Some("x")), (None, Some("y")), (None, None))
+      .toDF("a", "b")
+    val got = ProfileOps.fdAudit(df, Seq("a" -> "b", "b" -> "a"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    // a->b: group a=1 -> {x:2, null:1} violating (keep 2); group
+    // a=null -> {x,y,null} violating (keep 1) => keep 3 of 6
+    assert(got(("a", "b")) == ((2L, 2L, 6L, 3L, 0.5)))
+    // b->a: b=x -> {1:2, null:1} (keep 2); b=y -> {null} ok;
+    // b=null -> {1, null} (keep 1) => keep 4 of 6
+    // g3 at the 6dp half-up grid: (2e6*2+6) div 12 = 333333 -> 0.333333
+    assert(got(("b", "a")) == ((3L, 2L, 6L, 4L, 0.333333)))
+  }
+
   test("winsorized mean: tails clamp to boundary order stats") {
     // 1..9,100 at 10% per side: rank1 -> 2, rank10 -> 9; mean 5.5
     val df = ((1 to 9) :+ 100).map(v => ("g", v.toLong)).toDF("g", "v")
