@@ -23,6 +23,22 @@ object MultimodalOps {
   def withBinaryPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).cast("binary").as("payload"))
 
+  /** Guarded parallelism floor for the payload generators: a small
+    * single-file table scans as ONE split, which serializes the
+    * (encode + downstream decode) mapPartitions passes onto one core
+    * while the rest idle — measured 1.0 s single-task decode at sf0.1
+    * for q177 with 31 cores idle. Repartition the NARROW pre-encode
+    * rows (ids only — never payload bytes) up to defaultParallelism,
+    * and ONLY when the scan is under-split: at real scale the scan
+    * already has >= cores splits and this is a no-op, so no extra
+    * exchange ever carries a wide row (guide §2.5 input-skew fix,
+    * §8 "move heavy bytes once").
+    */
+  private def spreadIds(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** True pixel dimensions from a PNG IHDR or JPEG SOF frame header —
     * pure header arithmetic, no codec library.
     *
@@ -140,7 +156,7 @@ object MultimodalOps {
     */
   def withImagePayload(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
+    spreadIds(docs.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(it => it.map(id => (id, encodePng(syntheticImage(id)))))
       .toDF("doc_id", "payload")
   }
@@ -203,7 +219,7 @@ object MultimodalOps {
   /** Real JPEG payloads (ImageIO-encoded smooth-formula pixels). */
   def withJpegPayload(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
+    spreadIds(docs.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(it => it.map(id => (id, encodeJpeg(syntheticJpegImage(id)))))
       .toDF("doc_id", "payload")
   }
@@ -387,8 +403,8 @@ object MultimodalOps {
   def withImagePayloadKeyed(spark: SparkSession, docs: DataFrame,
       idCol: String, key: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
-    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
-      key.cast("long").as("_k"))
+    val keyed = spreadIds(docs.select(col(idCol).cast("long").as("doc_id"),
+      key.cast("long").as("_k")))
     // Encode each DISTINCT payload ONCE: the keyed generator exists to
     // create deliberate duplicate groups, so |payloads| = |distinct
     // keys| (97 in the fixture queries) while docs is corpus-sized.
@@ -565,6 +581,14 @@ object MultimodalOps {
         col("first_pair.id_b").as("first_b"))
   }
 
+  // ImageIO defaults to a FILE-backed ImageInputStream cache: every
+  // read/write creates+deletes a temp file, and under 32 concurrent
+  // decode tasks the temp-dir churn serialized the stage (measured
+  // 67 s of task time for 5000 tiny decodes that take ~1 s
+  // sequentially). Payloads here are in-memory byte arrays — the
+  // memory cache is strictly better at any scale.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private[graft] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     // NonFatal, not just IOException: codec internals throw unchecked
@@ -622,7 +646,7 @@ object MultimodalOps {
     */
   def withAudioPayload(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
+    spreadIds(docs.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(it => it.map(id => (id, encodeWav(id))))
       .toDF("doc_id", "payload")
   }
@@ -636,8 +660,8 @@ object MultimodalOps {
     import spark.implicits._
     // same memoized-dim shape as [[withImagePayloadKeyed]]: encode
     // each distinct key's WAV once, broadcast-join onto the corpus.
-    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
-      key.cast("long").as("_k"))
+    val keyed = spreadIds(docs.select(col(idCol).cast("long").as("doc_id"),
+      key.cast("long").as("_k")))
     val dim = keyed.select(col("_k")).distinct().as[Long]
       .mapPartitions(_.map(k => (k, encodeWav(k))))
       .toDF("_k", "payload")
