@@ -77,7 +77,12 @@ object DedupOps {
     // array behind a Generate barrier: a plain Project here would
     // collapse into the token Project and inline `split` into the
     // per-element lambda — O(len²) per document again (measured 37×).
-    docs.select(col(idCol).as("id"), split(lower(col(textCol)), TextOps.Ws).as("_w"))
+    // parallelism floor BEFORE the tokenize/shingle pass: a 1-split
+    // doc table ran the whole pass on one core (measured 1.1 s
+    // single-task at sf0.1); the guard adds nothing at real scale
+    SkewOps.parallelismFloor(
+        docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"), split(lower(col("_t")), TextOps.Ws).as("_w"))
       .select(col("id"), explode(array(array_distinct(grams))).as("_g"))
       .select(col("id"), size(col("_g")).cast("long").as("n_sh"),
         explode(col("_g")).as("shingle"))
@@ -587,8 +592,11 @@ object DedupOps {
   def simHashWith(docs: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val tok = explode(TextOps.tokens(col(textCol))).as("tok")
-    docs.select(col(idCol).as("id"), tok)
+    val tok = explode(TextOps.tokens(col("_t"))).as("tok")
+    // parallelism floor before tokenize+hash (the wordShingles guard)
+    SkewOps.parallelismFloor(
+        docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"), tok)
       .select(col("id"), tokenHash(col("tok")).as("h"))
       .groupBy("id").agg(call_function("graft_simhash", col("h")).as("simhash"))
   }

@@ -50,8 +50,11 @@ object LmOps {
 
   private def bigramsOf(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      TextOps.tokens(col(textCol)).as("t"))
+    // parallelism floor before tokenize (the wordShingles guard):
+    // no-op unless the input is under-split
+    val base = SkewOps.parallelismFloor(
+        df.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"), TextOps.tokens(col("_t")).as("t"))
     base.select(col("id"),
       explode_outer(when(size(col("t")) >= 2,
         transform(sequence(lit(0), size(col("t")) - 2),
@@ -116,8 +119,13 @@ object LmOps {
     val heads = cab.groupBy("a")
       .agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1p_fwd"))
     val conts = cab.groupBy("b").agg(count(lit(1)).as("n1p_back"))
-    val scalars = cab.agg(count(lit(1)).as("bt"),
-      countDistinct(col("b")).as("vc"))
+    // bt/vc derive from the tiny per-tail aggregate instead of a
+    // SECOND full pass over the count table with a countDistinct
+    // expand: bt = sum of per-b type counts = |cab|, vc = |conts| —
+    // exact integers either way, one fewer corpus-scale aggregation
+    // per model build
+    val scalars = conts.agg(sum("n1p_back").as("bt"),
+      count(lit(1)).as("vc"))
     val d = lit(discount)
     cab
       .join(broadcast(heads), Seq("a"))
@@ -143,8 +151,13 @@ object LmOps {
     val heads = cab.groupBy("a")
       .agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1p_fwd"))
     val conts = cab.groupBy("b").agg(count(lit(1)).as("n1p_back"))
-    val scalars = cab.agg(count(lit(1)).as("bt"),
-      countDistinct(col("b")).as("vc"))
+    // bt/vc derive from the tiny per-tail aggregate instead of a
+    // SECOND full pass over the count table with a countDistinct
+    // expand: bt = sum of per-b type counts = |cab|, vc = |conts| —
+    // exact integers either way, one fewer corpus-scale aggregation
+    // per model build
+    val scalars = conts.agg(sum("n1p_back").as("bt"),
+      count(lit(1)).as("vc"))
     val d = lit(discount)
     // LEFT joins: unseen pairs/heads/tails coalesce into the backoff
     // terms; the null-bigram sentinel row (short docs) keeps NULL nll.
@@ -194,8 +207,10 @@ object LmOps {
 
   private def trigramsOf(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      TextOps.tokens(col(textCol)).as("t"))
+    // parallelism floor before tokenize (the wordShingles guard)
+    val base = SkewOps.parallelismFloor(
+        df.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"), TextOps.tokens(col("_t")).as("t"))
     base.select(col("id"),
       explode_outer(when(size(col("t")) >= 3,
         transform(sequence(lit(0), size(col("t")) - 3),
@@ -239,8 +254,11 @@ object LmOps {
     val mid = tbc.groupBy("b")
       .agg(sum("nbc").as("n_b_dot"), count(lit(1)).as("n1p_b"))
     val uni = tbc.groupBy("c").agg(count(lit(1)).as("n_dot_c"))
-    val scalars = tbc.agg(count(lit(1)).as("b2"),
-      countDistinct(col("c")).as("v"))
+    // b2/v from the tiny unigram aggregate (b2 = sum of per-c type
+    // counts = |tbc|, v = |uni|) — drops the extra tbc pass + its
+    // countDistinct expand
+    val scalars = uni.agg(sum("n_dot_c").as("b2"),
+      count(lit(1)).as("v"))
     val d = lit(discount)
     val p1 = (col("n_dot_c") + 1).cast("double") / (col("b2") + col("v") + 1)
     val p2 = greatest(col("nbc").cast("double") - d, lit(0.0)) / col("n_b_dot") +
@@ -273,8 +291,11 @@ object LmOps {
     val mid = tbc.groupBy("b")
       .agg(sum("nbc").as("n_b_dot"), count(lit(1)).as("n1p_b"))
     val uni = tbc.groupBy("c").agg(count(lit(1)).as("n_dot_c"))
-    val scalars = tbc.agg(count(lit(1)).as("b2"),
-      countDistinct(col("c")).as("v"))
+    // b2/v from the tiny unigram aggregate (b2 = sum of per-c type
+    // counts = |tbc|, v = |uni|) — drops the extra tbc pass + its
+    // countDistinct expand
+    val scalars = uni.agg(sum("n_dot_c").as("b2"),
+      count(lit(1)).as("v"))
     val d = lit(discount)
     val p1 = (coalesce(col("n_dot_c"), lit(0L)) + 1).cast("double") /
       (col("b2") + col("v") + 1)

@@ -36,6 +36,23 @@ object SkewOps {
   def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("n")).filter(col("n") > threshold)
 
+  /** Guarded parallelism floor for compute-heavy narrow passes over
+    * under-split inputs (guide §2.5 "input skew ... repartition
+    * immediately after the read"): a small single-file / single-row-
+    * group table scans as ONE split, which serializes tokenization /
+    * shingling / decode passes onto one core while the rest idle.
+    * Repartition up to defaultParallelism ONLY when the input has
+    * fewer partitions — at real scale the scan already has >= cores
+    * splits and this is a no-op (no exchange is added), so it can
+    * never collapse a large scan to the core count. Round-robin,
+    * so ONLY for order-free consumers (aggregations, joins,
+    * per-row maps).
+    */
+  def parallelismFloor(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Split-path join for known-hot keys: hot keys join via broadcast
     * (dim side filtered to the hot set is tiny by definition), the
     * long tail joins normally — no salt overhead on the tail, no

@@ -397,7 +397,10 @@ object TextOps {
     val Seq(toks, punct, stop, atl, dup2) = qualitySignalCols(t)
     val z = lit(w.bias) + toks * w.perToken + punct * w.punctRatio +
       stop * w.stopRatio + atl * w.avgTokenLen + dup2 * w.dup2gramFrac
-    df.select(col(idCol).as("id"), t.as(textCol), tokens(t).as("_w"))
+    // parallelism floor before the signal pass: the whole regex/token
+    // computation otherwise runs on a 1-split scan's single core
+    SkewOps.parallelismFloor(df.select(col(idCol).as("id"), t.as(textCol)))
+      .select(col("id"), t.as(textCol), tokens(t).as("_w"))
       .select(col("id"), explode(array(col("_w"))).as("_w"), t) // barrier
       .select(col("id"), round(lit(1.0) / (lit(1.0) + exp(-z)), 5).as("quality"))
   }

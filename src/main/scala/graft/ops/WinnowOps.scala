@@ -48,8 +48,13 @@ object WinnowOps {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, w: Int = 6): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(idCol).as("id"),
-        call_function("graft_winnow", normText(textCol), lit(k), lit(w)).as("_x"))
+    // parallelism floor before the winnow kernel: the per-row k-gram
+    // hash + window-min work otherwise runs on a 1-split scan's
+    // single core (the DedupOps.wordShingles guard)
+    SkewOps.parallelismFloor(docs.select(col(idCol).as("id"),
+        col(textCol).as("_t")))
+      .select(col("id"),
+        call_function("graft_winnow", normText("_t"), lit(k), lit(w)).as("_x"))
       .select(col("id"),
         array_distinct(transform(col("_x"), _.getField("fp"))).as("_f"))
       .select(col("id"), size(col("_f")).cast("long").as("n_fp"),
