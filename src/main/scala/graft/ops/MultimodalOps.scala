@@ -646,7 +646,13 @@ object MultimodalOps {
     */
   def withAudioPayload(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    spreadIds(docs.select(col(idCol).cast("long"))).as[Long]
+    // NO spreadIds here (unlike the image generators): encode AND
+    // decode go through javax.sound.sampled.AudioSystem, whose
+    // provider registry is synchronized per call — spreading to 32
+    // concurrent tasks measurably SLOWED the family (q99 0.7→2.0 s)
+    // by lock contention, where the single-split sequential pass was
+    // already cheap. Real audio columns at scale arrive pre-split.
+    docs.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(it => it.map(id => (id, encodeWav(id))))
       .toDF("doc_id", "payload")
   }
@@ -660,8 +666,9 @@ object MultimodalOps {
     import spark.implicits._
     // same memoized-dim shape as [[withImagePayloadKeyed]]: encode
     // each distinct key's WAV once, broadcast-join onto the corpus.
-    val keyed = spreadIds(docs.select(col(idCol).cast("long").as("doc_id"),
-      key.cast("long").as("_k")))
+    // no spreadIds: see withAudioPayload (AudioSystem lock contention)
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+      key.cast("long").as("_k"))
     val dim = keyed.select(col("_k")).distinct().as[Long]
       .mapPartitions(_.map(k => (k, encodeWav(k))))
       .toDF("_k", "payload")
