@@ -202,20 +202,45 @@ object SimilarityOps {
         ExactArith.floorDiv(col("xm"), lit(epsMicro)).as("cx"),
         ExactArith.floorDiv(col("ym"), lit(epsMicro)).as("cy"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nine = (for (dx <- -1 to 1; dy <- -1 to 1) yield
-      struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")))
+    // Half-plane cell enumeration (the standard grid-join halving):
+    // instead of fanning every point to all 9 neighbor cells and
+    // producing both (a,b) and (b,a), probe only the 5 offsets
+    // {(0,0),(1,0),(0,1),(1,1),(1,−1)} — one of each ± offset pair —
+    // so every unordered CELL pair is enumerated exactly once, and
+    // same-cell pairs keep ia ≤ ib. The expensive part (candidate
+    // generation + the integer eps test) halves; the full directed
+    // neighbor list is recovered afterwards by a cheap 2-way explode
+    // of the surviving pairs. Self-pairs (ia = ib) appear exactly
+    // once, from the (0,0) offset.
+    val five = Seq((0, 0), (1, 0), (0, 1), (1, 1), (1, -1)).map {
+      case (dx, dy) => struct((col("cx") + dx).as("cx"),
+        (col("cy") + dy).as("cy"), lit(dx == 0 && dy == 0).as("same"))
+    }
     val probe = pts.select(col("id").as("ia"), col("xm").as("xa"),
-        col("ym").as("ya"), explode(array(nine: _*)).as("nc"))
+        col("ym").as("ya"), explode(array(five: _*)).as("nc"))
       .select(col("ia"), col("xa"), col("ya"),
-        col("nc.cx").as("cx"), col("nc.cy").as("cy"))
-    val nbrs = probe.join(pts.select(col("id").as("ib"),
+        col("nc.cx").as("cx"), col("nc.cy").as("cy"),
+        col("nc.same").as("same"))
+    // half: one row per unordered in-eps pair (lo <= hi; lo = hi is
+    // the self-pair). Cross-cell rows may arrive with ids in either
+    // order — normalize with least/greatest.
+    val half = probe.join(pts.select(col("id").as("ib"),
           col("xm").as("xb"), col("ym").as("yb"), col("cx"), col("cy")),
         Seq("cx", "cy"))
-      .where((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      .where((!col("same") || col("ia") <= col("ib")) &&
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
         (col("ya") - col("yb")) * (col("ya") - col("yb")) <=
         lit(epsMicro) * lit(epsMicro))
-      .select(col("ia"), col("ib"))
+      .select(least(col("ia"), col("ib")).as("lo"),
+        greatest(col("ia"), col("ib")).as("hi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // full directed neighbor list (self once) — a narrow explode over
+    // the cached half set, recomputed per consumer for free
+    val nbrs = half.select(explode(when(col("lo") === col("hi"),
+        array(struct(col("lo").as("ia"), col("hi").as("ib"))))
+      .otherwise(array(struct(col("lo").as("ia"), col("hi").as("ib")),
+        struct(col("hi").as("ia"), col("lo").as("ib"))))).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
     val ncount = nbrs.groupBy("ia").agg(count(lit(1)).as("n_nbrs"))
     val core = ncount.where(col("n_nbrs") >= minPts)
       .select(col("ia").as("cid"))
@@ -242,7 +267,8 @@ object SimilarityOps {
     val cellMin = fcell.groupBy("fx", "fy").agg(min("cid").as("cmin"))
     val fm = fcell.join(cellMin, Seq("fx", "fy"))
       .select(col("cid"), col("cmin"))
-    val superEdges = nbrs.where(col("ia") < col("ib"))
+    val superEdges = half.where(col("lo") < col("hi"))
+      .select(col("lo").as("ia"), col("hi").as("ib"))
       .join(fm.select(col("cid").as("ia"), col("cmin").as("ca")), "ia")
       .join(fm.select(col("cid").as("ib"), col("cmin").as("cb")), "ib")
       .where(col("ca") =!= col("cb"))

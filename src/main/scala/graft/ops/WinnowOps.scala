@@ -253,11 +253,17 @@ object WinnowOps {
       .join(grams.select(col("id").as("id_a"), col("gs").as("ga")), Seq("id_a"))
       .join(grams.select(col("id").as("id_b"), col("gs").as("gb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("n_shared"),
+        size(array_intersect(col("ga"), col("gb"))).as("_i"),
+        (size(col("ga")) + size(col("gb"))).as("_t"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        // |A∪B| = |A| + |B| − |A∩B| (exact on sets — collect_set
+        // guarantees distinct): sizes instead of materializing the
+        // union array per pair halves the verify stage's set work.
         // greatest(…,1): a pair of <n-word docs has an empty gram
         // union — define jac=0 instead of NaN (engines disagree on
         // NaN ordering, and a no-evidence pair must not pass)
-        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          greatest(size(array_union(col("ga"), col("gb"))), lit(1)).cast("double"),
+        round(col("_i").cast("double") /
+          greatest(col("_t") - col("_i"), lit(1)).cast("double"),
           5).as("jac"))
     j.where(col("jac") >= minJaccard)
       .select("id_a", "id_b", "n_shared", "jac")
