@@ -41,10 +41,8 @@ object JobProbe {
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val info = e.stageInfo
-        jobs.forEach { (_, j) =>
-          if (info.completionTime.exists(t => t >= j.start) && j.end == 0L) ()
-        }
         // attribute task time to the most recent unfinished job
+        // (heuristic — good enough for per-query decomposition)
         val open = jobs.values().toArray(Array.empty[J]).filter(_.end == 0L)
         if (open.nonEmpty) {
           val j = open.maxBy(_.start)

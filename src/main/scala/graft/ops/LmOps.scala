@@ -124,7 +124,8 @@ object LmOps {
     // expand: bt = sum of per-b type counts = |cab|, vc = |conts| —
     // exact integers either way, one fewer corpus-scale aggregation
     // per model build
-    val scalars = conts.agg(sum("n1p_back").as("bt"),
+    val scalars = conts.agg(
+      coalesce(sum("n1p_back"), lit(0L)).as("bt"),
       count(lit(1)).as("vc"))
     val d = lit(discount)
     cab
@@ -156,7 +157,11 @@ object LmOps {
     // expand: bt = sum of per-b type counts = |cab|, vc = |conts| —
     // exact integers either way, one fewer corpus-scale aggregation
     // per model build
-    val scalars = conts.agg(sum("n1p_back").as("bt"),
+    // coalesce: on an empty count table (no >=2-token reference doc)
+    // sum() is NULL where the old countDistinct was 0 — keep the
+    // 0-denominator (not NULL) behavior for the degenerate model
+    val scalars = conts.agg(
+      coalesce(sum("n1p_back"), lit(0L)).as("bt"),
       count(lit(1)).as("vc"))
     val d = lit(discount)
     // LEFT joins: unseen pairs/heads/tails coalesce into the backoff
@@ -257,7 +262,8 @@ object LmOps {
     // b2/v from the tiny unigram aggregate (b2 = sum of per-c type
     // counts = |tbc|, v = |uni|) — drops the extra tbc pass + its
     // countDistinct expand
-    val scalars = uni.agg(sum("n_dot_c").as("b2"),
+    val scalars = uni.agg(
+      coalesce(sum("n_dot_c"), lit(0L)).as("b2"),
       count(lit(1)).as("v"))
     val d = lit(discount)
     val p1 = (col("n_dot_c") + 1).cast("double") / (col("b2") + col("v") + 1)
@@ -294,7 +300,9 @@ object LmOps {
     // b2/v from the tiny unigram aggregate (b2 = sum of per-c type
     // counts = |tbc|, v = |uni|) — drops the extra tbc pass + its
     // countDistinct expand
-    val scalars = uni.agg(sum("n_dot_c").as("b2"),
+    // coalesce: empty count table keeps the old 0 (not NULL) scalar
+    val scalars = uni.agg(
+      coalesce(sum("n_dot_c"), lit(0L)).as("b2"),
       count(lit(1)).as("v"))
     val d = lit(discount)
     val p1 = (coalesce(col("n_dot_c"), lit(0L)) + 1).cast("double") /
