@@ -241,7 +241,14 @@ object SimilarityOps {
       .otherwise(array(struct(col("lo").as("ia"), col("hi").as("ib")),
         struct(col("hi").as("ia"), col("lo").as("ib"))))).as("p"))
       .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+    // ncount feeds THREE consumers (core gate, border restriction,
+    // the final report) — checkpoint it once instead of re-running
+    // the explode+aggregate subtree per consumer and dragging each
+    // consumer's AQE chain through it (the query was measured at
+    // 74+ serial jobs, nearly all sub-second AQE stage
+    // materializations — stage-chain latency, not compute)
     val ncount = nbrs.groupBy("ia").agg(count(lit(1)).as("n_nbrs"))
+      .localCheckpoint()
     val core = ncount.where(col("n_nbrs") >= minPts)
       .select(col("ia").as("cid"))
     // Fine-grid contraction (the published grid-DBSCAN merge step):
@@ -260,13 +267,19 @@ object SimilarityOps {
     // edges (distributed min-label loop) to O(100) super-edges
     // (driver union-find) with byte-identical output.
     val fw = math.floor(epsMicro / math.sqrt(2.0)).toLong + 1
-    val fcell = pts.select(col("id").as("cid"),
+    // one grouped pass instead of groupBy + join-back: the member
+    // list per fine cell is bounded by the cell density cap (same
+    // bound as the grid join itself), and exploding it reproduces
+    // exactly the (cid, cmin) map the join produced. Checkpointed:
+    // it feeds the two superEdges probes AND the core labeling.
+    val fm = pts.select(col("id").as("cid"),
         ExactArith.floorDiv(col("xm"), lit(fw)).as("fx"),
         ExactArith.floorDiv(col("ym"), lit(fw)).as("fy"))
       .join(core, Seq("cid"))
-    val cellMin = fcell.groupBy("fx", "fy").agg(min("cid").as("cmin"))
-    val fm = fcell.join(cellMin, Seq("fx", "fy"))
-      .select(col("cid"), col("cmin"))
+      .groupBy("fx", "fy")
+      .agg(min("cid").as("cmin"), collect_list("cid").as("_cids"))
+      .select(explode(col("_cids")).as("cid"), col("cmin"))
+      .localCheckpoint()
     val superEdges = half.where(col("lo") < col("hi"))
       .select(col("lo").as("ia"), col("hi").as("ib"))
       .join(fm.select(col("cid").as("ia"), col("cmin").as("ca")), "ia")
@@ -276,10 +289,15 @@ object SimilarityOps {
     val comps = GraphOps.connectedComponents(superEdges, "ca", "cb")
       .select(col("id").as("cmin2"), col("comp"))
     // cells with no inter-cell edge self-label at their min core id
-    // (covers the isolated-core case: alone in its cell, no edges)
+    // (covers the isolated-core case: alone in its cell, no edges).
+    // Checkpointed once: read by border labeling AND the final join.
     val coreLabeled = fm.join(comps, col("cmin") === col("cmin2"), "left")
       .select(col("cid"), coalesce(col("comp"), col("cmin")).as("cluster"))
+      .localCheckpoint()
+    // border labels are only ever read for NON-core points (core rows
+    // take their own cluster) — restrict the aggregation to them
     val borderLab = nbrs.where(col("ia") =!= col("ib"))
+      .join(ncount.where(col("n_nbrs") < minPts).select(col("ia")), "ia")
       .join(coreLabeled.select(col("cid").as("ib"),
         col("cluster").as("bcl")), "ib")
       .groupBy(col("ia")).agg(min(col("bcl")).as("bcluster"))
