@@ -21,4 +21,28 @@ object Checkpoints {
         l.rdd.unpersist(blocking = false); ()
       case _ => ()
     }
+
+  /** localCheckpoint several INDEPENDENT frames with their jobs in
+    * flight together (guide §2.6 "overlap independent jobs"): each
+    * materialization is submitted from its own thread, so a cheap
+    * subtree's tasks back-fill executors idled by an expensive
+    * sibling's stragglers instead of queueing behind the whole job.
+    * The q83 ann-recall discipline, shared: plans are built by the
+    * caller; only the blocking checkpoint action forks. On failure
+    * the surviving siblings' blocks are released as they complete.
+    */
+  def concurrently(frames: Seq[DataFrame]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val futs = frames.map(f => Future(f.localCheckpoint()))
+    try Await.result(Future.sequence(futs), Duration.Inf)
+    catch { case e: Throwable =>
+      futs.foreach(_.onComplete {
+        case scala.util.Success(df) => release(df)
+        case _ => ()
+      })
+      throw e
+    }
+  }
 }

@@ -123,20 +123,31 @@ object CurationPipeline {
       targetLang: String = "en", minQuality: Double = 0.44,
       maxSubstrTokens: Long = 24): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val sc = call_function("graft_lang_scores",
-      coalesce(col(textCol), lit("")))
-    val langPred = element_at(typedLit(LangNgram.langs),
-      array_position(sc, array_max(sc)).cast("int"))
-    val base = corpus.select(col(idCol).as("id"),
-      langPred.as("lang_pred"),
-      TextOps.fingerprint(col(textCol)).as("fp"))
+    def langPredOf(t: Column): Column = {
+      val sc = call_function("graft_lang_scores", coalesce(t, lit("")))
+      element_at(typedLit(LangNgram.langs),
+        array_position(sc, array_max(sc)).cast("int"))
+    }
+    // the lang-score + fingerprint pass is per-row compute over the
+    // raw corpus — floor it off a single-split scan like the other
+    // text entry points (guide §2.5)
+    val base = SkewOps.parallelismFloor(
+        corpus.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"),
+        langPredOf(col("_t")).as("lang_pred"),
+        TextOps.fingerprint(col("_t")).as("fp"))
     val qual = TextOps.qualityScore(corpus, idCol, textCol,
       TextOps.TrainedQualityWeights)
     val spans = DedupOps.substrDupSpans(corpus, idCol, textCol, k = 4)
       .groupBy("id").agg(sum("span_tokens").as("substr_tokens"))
-    base
-      .join(qual, Seq("id"))
-      .join(spans, Seq("id"), "left")
+    // three independent signal subtrees: overlap their jobs
+    // (guide §2.6) instead of running them back to back inside one
+    // serial AQE chain
+    val Seq(baseC, qualC, spansC) =
+      Checkpoints.concurrently(Seq(base, qual, spans))
+    baseC
+      .join(qualC, Seq("id"))
+      .join(spansC, Seq("id"), "left")
       .withColumn("substr_tokens", coalesce(col("substr_tokens"), lit(0L)))
       .withColumn("p_lang", col("lang_pred") === targetLang)
       .withColumn("p_quality", col("p_lang") && col("quality") >= minQuality)

@@ -91,20 +91,35 @@ private[graft] object PipelineDedupQueries {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables(s, d, "documents")
       val langs = graft.ops.LangNgram.langs
-      val scored = docs.select(col("doc_id"),
+      // every downstream predicate is consumed ONLY for the candidate
+      // (odd-id) half — the final joins are inner (lang/pii) or left
+      // (ppl) on that half, so computing signals for even ids was
+      // discarded work. Restrict each signal pass to the candidates:
+      // per-doc signals are independent per row, so values for the
+      // surviving ids are unchanged.
+      val cand = docs.where(col("doc_id") % 2 === 1)
+      // lang scores and the Luhn card count are both per-row text
+      // signals: ONE floored scan computes both (two single-split
+      // passes + two joins before), guide §2.4/§2.5
+      val scored = graft.ops.SkewOps.parallelismFloor(
+          cand.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
           call_function("graft_lang_scores",
-            coalesce(col("text"), lit(""))).as("_sc"))
-        .select(col("doc_id") +: langs.zipWithIndex.map { case (l, i) =>
-          element_at(col("_sc"), i + 1).as(s"s_$l")
-        }: _*)
+            coalesce(col("text"), lit(""))).as("_sc"),
+          TextOps.luhnValidCount(col("text")).as("n_cards"))
+        .select(col("doc_id") +: col("n_cards") +:
+          langs.zipWithIndex.map { case (l, i) =>
+            element_at(col("_sc"), i + 1).as(s"s_$l")
+          }: _*)
       val pred = langs.zipWithIndex.foldRight(lit(langs.last)) {
         case ((l, i), rest) =>
           val laters = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o"))
           if (laters.isEmpty) rest
           else when(laters.reduce(_ && _), lit(l)).otherwise(rest)
       }
-      val lang = scored.select(col("doc_id"), pred.as("lang_pred"))
-      val spans = graft.ops.LangSpanOps.sentenceSpans(docs, "doc_id", "text")
+      val langPii = scored.select(col("doc_id"), pred.as("lang_pred"),
+        col("n_cards"))
+      val spans = graft.ops.LangSpanOps.sentenceSpans(cand, "doc_id", "text")
         .select((col("doc_id") * 100000 + col("span_idx")).as("id"),
           col("span"))
       val ppl = LmOps.score(spans,
@@ -117,20 +132,22 @@ private[graft] object PipelineDedupQueries {
           sum(when(col("kn_logppl") <= 6.0, 1L).otherwise(0L)).as("n_kept"))
         .select(col("doc_id"),
           expr("(2000000 * n_kept + n_spans) div (2 * n_spans)").as("kf6"))
-      val pii = docs.select(col("doc_id"),
-        TextOps.luhnValidCount(col("text")).as("n_cards"))
       val store = WinnowOps.fingerprintIndex(
         docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
       val fresh = WinnowOps.overlapAgainstIndex(
-          docs.where(col("doc_id") % 2 === 1), store, "doc_id", "text")
+          cand, store, "doc_id", "text")
         .select(col("id").as("doc_id"),
           (col("n_fp") === 0 || col("n_known") * 2 <= col("n_fp"))
             .cast("int").as("p_fresh"))
-      docs.where(col("doc_id") % 2 === 1).select(col("doc_id"))
-        .join(lang, Seq("doc_id"))
-        .join(ppl, Seq("doc_id"), "left")
-        .join(pii, Seq("doc_id"))
-        .join(fresh, Seq("doc_id"))
+      // the three signal subtrees are independent — checkpoint them
+      // with their jobs overlapped (guide §2.6) so the cheap passes
+      // back-fill the perplexity pipeline's stage tails
+      val Seq(langPiiC, pplC, freshC) =
+        graft.ops.Checkpoints.concurrently(Seq(langPii, ppl, fresh))
+      cand.select(col("doc_id"))
+        .join(langPiiC, Seq("doc_id"))
+        .join(pplC, Seq("doc_id"), "left")
+        .join(freshC, Seq("doc_id"))
         .select(col("doc_id"),
           (col("lang_pred") === "en").cast("int").as("p_lang"),
           (coalesce(col("kf6"), lit(0L)) >= 500000L).cast("int").as("p_ppl"),
