@@ -32,12 +32,11 @@ object MultimodalOps {
     * and ONLY when the scan is under-split: at real scale the scan
     * already has >= cores splits and this is a no-op, so no extra
     * exchange ever carries a wide row (guide §2.5 input-skew fix,
-    * §8 "move heavy bytes once").
+    * §8 "move heavy bytes once"). Delegates to the shared guard so
+    * the floor logic lives in exactly one place.
     */
-  private def spreadIds(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+  private def spreadIds(df: DataFrame): DataFrame =
+    SkewOps.parallelismFloor(df)
 
   /** True pixel dimensions from a PNG IHDR or JPEG SOF frame header —
     * pure header arithmetic, no codec library.
@@ -610,6 +609,48 @@ object MultimodalOps {
 
   val AudioSampleRate = 8000f
 
+  // javax.sound.sampled.AudioSystem routes EVERY read/write through
+  // its provider registry, and the registry lookup
+  // (JDK13Services.getProviders) is a static synchronized method — a
+  // JVM-WIDE lock taken per call. 32 concurrent encode/decode tasks
+  // serialize on it (measured r17: spreading the audio generators to
+  // 32 tasks REGRESSED q99 0.7→1.9 s purely on this lock). Resolve
+  // the WAV reader/writer ONCE per JVM and call the SPI objects
+  // directly — identical parsers, zero registry traffic (guide §4.5
+  // "initialise heavyweight state once per task, not per row").
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+      .find(_.isFileTypeSupported(
+        javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no WAVE AudioFileWriter provider on this JVM"))
+  }
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    // capability-probe with a minimal WAV rather than matching class
+    // names: whichever provider parses a real WAV header is the one
+    // AudioSystem would have dispatched to
+    val probe = {
+      val fmt = new javax.sound.sampled.AudioFormat(AudioSampleRate, 16,
+        1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](8)), fmt, 4L)
+      val bos = new java.io.ByteArrayOutputStream()
+      wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala
+      .find { r =>
+        try {
+          r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(probe)).close(); true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
+      .getOrElse(sys.error("no WAVE AudioFileReader provider on this JVM"))
+  }
+
   /** Samples per doc: 400..2000, varying so frame-count handling is
     * actually exercised.
     */
@@ -636,7 +677,7 @@ object MultimodalOps {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
+    wavWriter.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
@@ -646,13 +687,11 @@ object MultimodalOps {
     */
   def withAudioPayload(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    // NO spreadIds here (unlike the image generators): encode AND
-    // decode go through javax.sound.sampled.AudioSystem, whose
-    // provider registry is synchronized per call — spreading to 32
-    // concurrent tasks measurably SLOWED the family (q99 0.7→2.0 s)
-    // by lock contention, where the single-split sequential pass was
-    // already cheap. Real audio columns at scale arrive pre-split.
-    docs.select(col(idCol).cast("long")).as[Long]
+    // spread restored (r17 had it reverted): encode/decode now call
+    // the per-JVM-resolved WAV SPI objects directly, so the
+    // AudioSystem registry lock that made 32 concurrent tasks SLOWER
+    // than one (q99 0.7→2.0 s) is out of the path entirely.
+    spreadIds(docs.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(it => it.map(id => (id, encodeWav(id))))
       .toDF("doc_id", "payload")
   }
@@ -666,9 +705,10 @@ object MultimodalOps {
     import spark.implicits._
     // same memoized-dim shape as [[withImagePayloadKeyed]]: encode
     // each distinct key's WAV once, broadcast-join onto the corpus.
-    // no spreadIds: see withAudioPayload (AudioSystem lock contention)
-    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
-      key.cast("long").as("_k"))
+    // The corpus ids are spread so the DOWNSTREAM per-row decode
+    // parallelizes (lock-free now — see wavReader)
+    val keyed = spreadIds(docs.select(col(idCol).cast("long").as("doc_id"),
+      key.cast("long").as("_k")))
     val dim = keyed.select(col("_k")).distinct().as[Long]
       .mapPartitions(_.map(k => (k, encodeWav(k))))
       .toDF("_k", "payload")
@@ -877,7 +917,10 @@ object MultimodalOps {
     */
   private[graft] def decodeWavS16Mono(bytes: Array[Byte]): Option[(Int, Array[Int])] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      // direct SPI call — see wavReader: AudioSystem's registry lookup
+      // is a JVM-wide lock per call. Non-WAV payloads throw
+      // UnsupportedAudioFileException here exactly as before → None.
+      val ais = wavReader.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val f = ais.getFormat
       if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
