@@ -692,9 +692,12 @@ object GraphOps {
     */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    // e feeds SIX reads (degrees, edge census, all three legs of the
+    // oriented two-path triangle join) — one checkpoint instead of
+    // re-deriving the normalized edge list per leg
     val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
     val deg = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
