@@ -166,7 +166,11 @@ object IvfIndexOps {
   def residuals(spark: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, centers: Seq[Seq[Double]]): DataFrame = {
     val cent = centerTable(spark, centers)
-    assign(spark, emb, idCol, vecCol, centers)
+    // parallelism floor (batch-only op): the per-row nearest-cell +
+    // subtraction pass is compute over narrow rows, and a small
+    // single-file corpus scans as ONE split — no-op at real scale
+    assign(spark, SkewOps.parallelismFloor(
+        emb.select(col(idCol), col(vecCol))), idCol, vecCol, centers)
       .join(broadcast(cent), Seq("cell"))
       .select(col("id"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
@@ -181,10 +185,24 @@ object IvfIndexOps {
       vecCol: String, centers: Seq[Seq[Double]], m: Int,
       nCodes: Int): Seq[Seq[Seq[Double]]] = {
     import spark.implicits._
-    val rows = residuals(spark, emb, idCol, vecCol, centers)
+    // rank by md5 BEFORE computing residuals: the seed pick needs the
+    // residual of only nCodes rows, so the nearest-cell scan over the
+    // whole corpus that the naive residuals-then-limit form paid is
+    // dropped to a narrow (id, v) TakeOrdered + nCodes-row residual
+    // evaluation — residuals are row-local, so values are identical
+    val seeds = emb.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("_c", md5(concat(lit("pq:"), col("id").cast("string"))))
       .orderBy(col("_c"), col("id")).limit(nCodes)
-      .select("r").as[Seq[Double]].collect()
+      .select(col("_c"), col("id"), col("v"),
+        nearestCellCol(col("v"), centers).as("cell"))
+    // the broadcast join does not preserve the seed order — re-sort on
+    // the same (md5, id) key before collecting (seed order IS the
+    // code index assignment)
+    val rows = seeds.join(broadcast(centerTable(spark, centers)), Seq("cell"))
+      .orderBy(col("_c"), col("id"))
+      .select(zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+      .as[Seq[Double]].collect()
     require(rows.length == nCodes,
       s"corpus has ${rows.length} rows, need nCodes=$nCodes seeds")
     val dim = rows.head.length
@@ -211,20 +229,27 @@ object IvfIndexOps {
   def codeAssign(spark: SparkSession, resids: DataFrame,
       books: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = books.size
+    val nCodes = books.head.size
+    require(nCodes <= 1024, "codeAssign packs code into 10 bits")
     val ds = books.head.head.size
+    val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val sub = resids.select(col("id"),
         explode(sequence(lit(0), lit(m - 1))).as("j"), col("r"))
       .select(col("id"), col("j"),
         slice(col("r"), col("j") * ds + 1, lit(ds)).as("rv"))
-    val d = sub.join(broadcast(codebookTable(spark, books)), Seq("j"))
-      .select(col("id"), col("j"), col("code"), col("rv"),
-        round(sqrt(aggregate(
-          zip_with(col("rv"), col("bv"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), _ + _)), 5).as("dist"))
-    val w = Window.partitionBy("id", "j")
-      .orderBy(col("dist").asc, col("code").asc)
-    d.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select("id", "j", "code", "rv")
+    // same packed-key argmin as [[nearestCellCol]] (and the same
+    // documented 5dp identity: round(d, 5) ordering ≡ round(d·1e5, 0)
+    // integer ordering): (dist, code) packs into one comparable long,
+    // ties break code-asc exactly like the old (dist asc, code asc)
+    // window — ZERO shuffle, where the window form repartitioned the
+    // n·m·nCodes candidate frame by (id, j) just to rank nCodes rows
+    val key = array_min(transform(sequence(lit(0), lit(nCodes - 1)),
+      c => round(sqrt(aggregate(zip_with(col("rv"),
+          element_at(element_at(booksLit, col("j") + 1), c + 1),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)) * 1e5, 0)
+        .cast("long") * 1024L + c))
+    sub.select(col("id"), col("j"),
+      pmod(key, lit(1024L)).cast("int").as("code"), col("rv"))
   }
 
   /** One batch's codebook sufficient statistics: (j, code, p,

@@ -50,7 +50,11 @@ object SimilarityOps {
     */
   def knnBrute(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
-    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // parallelism floor: the O(n·q) cosine scan below happens on the
+    // streamed side of a broadcast join — a single-split input would
+    // run the whole thing on one core (guide §2.5)
+    val base = SkewOps.parallelismFloor(
+      emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")))
     val q = base.filter(queryPred).select(col("id").as("query_id"), col("v").as("qv"))
     // Rank on the ROUNDED similarity (ties broken by id) so sub-ulp
     // engine differences in the dot-product fold can't flip the top-k
@@ -571,17 +575,25 @@ object SimilarityOps {
       .select(col("src_id"), col("tgt_id"),
         round(nativeCosine(src)(col("sv"), col("tv")), 6).as("sim"))
       .localCheckpoint()
-    def nnMean(side: String): DataFrame = {
+    def nnMean(in: DataFrame, side: String): DataFrame = {
       val w = Window.partitionBy(side)
         .orderBy(col("sim").desc, col(if (side == "src_id") "tgt_id" else "src_id"))
-      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      in.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
         .groupBy(side).agg(round(avg("sim"), 6).as(s"nn_$side"))
     }
     val qs = s.filter(queryPred).select(col("src_id"))
+    // the src-side neighborhood mean is consumed ONLY for query src
+    // ids (the scored join filters to qs) — rank just those
+    // partitions instead of every src vector's. Per-src_id window
+    // results are unaffected by dropping other partitions, so the
+    // surviving values are identical; the tgt side genuinely needs
+    // every tgt's neighborhood (any tgt can be a candidate).
     val scored = pairs
       .join(broadcast(qs), Seq("src_id"))
-      .join(broadcast(nnMean("src_id")), Seq("src_id"))
-      .join(broadcast(nnMean("tgt_id")), Seq("tgt_id"))
+      .join(broadcast(
+        nnMean(pairs.join(broadcast(qs), Seq("src_id")), "src_id")),
+        Seq("src_id"))
+      .join(broadcast(nnMean(pairs, "tgt_id")), Seq("tgt_id"))
       .select(col("src_id"), col("tgt_id"), col("sim"),
         round(col("sim") / ((col("nn_src_id") + col("nn_tgt_id")) / 2.0), 6)
           .as("margin"))
@@ -650,16 +662,20 @@ object SimilarityOps {
         "driver and broadcast to every executor)")
     val pairs = lshCandidatePairs(src, tgt, idCol, vecCol, nbits, probes,
       bucketExpr).localCheckpoint()
-    def nnMean(side: String): DataFrame = {
+    def nnMean(in: DataFrame, side: String): DataFrame = {
       val w = Window.partitionBy(side)
         .orderBy(col("sim").desc, col(if (side == "src_id") "tgt_id" else "src_id"))
-      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      in.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
         .groupBy(side).agg(round(avg("sim"), 6).as(s"nn_$side"))
     }
+    // src-side neighborhoods are consumed only for query src ids —
+    // see [[marginMining]]: per-src_id window results are unchanged
+    // by dropping the non-query partitions
     val scored = pairs
       .join(broadcast(qs), Seq("src_id"))
-      .join(nnMean("src_id"), Seq("src_id"))
-      .join(nnMean("tgt_id"), Seq("tgt_id"))
+      .join(nnMean(pairs.join(broadcast(qs), Seq("src_id")), "src_id"),
+        Seq("src_id"))
+      .join(nnMean(pairs, "tgt_id"), Seq("tgt_id"))
       .select(col("src_id"), col("tgt_id"), col("sim"),
         round(col("sim") / ((col("nn_src_id") + col("nn_tgt_id")) / 2.0), 6)
           .as("margin"))
@@ -958,7 +974,10 @@ object SimilarityOps {
     require(nbits >= 1 && nbits <= 62, s"nbits must be in [1,62], got $nbits")
     require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // floor before the per-row bucket hash (md5-heavy for the
+    // sign-plane variants) feeding the bounded-collect aggregation
+    val base = SkewOps.parallelismFloor(
+        emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")))
       .withColumn("bucket", bucketExpr(col("v"), nbits))
     DropGuard.observed(
       base.groupBy("bucket")
@@ -1080,9 +1099,17 @@ object SimilarityOps {
       bucketExprPairs: (Column, Int) => Column = lshBucket): DataFrame = {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
-    val emb0 = if (sampleFraction >= 1.0) emb
-      else SampleOps.deterministicSample(emb, idCol, sampleFraction,
-        salt = "ann_recall")
+    // floor + checkpoint the (id, vec) base ONCE: all six subtrees
+    // below re-read it (before, each re-ran the scan — and the md5
+    // sample filter — itself, and each op's internal parallelism
+    // floor would re-shuffle it per subtree). One materialization,
+    // zero per-subtree exchanges: the ops' own floors see >= cores
+    // partitions and no-op.
+    val emb0 = SkewOps.parallelismFloor(
+      (if (sampleFraction >= 1.0) emb
+       else SampleOps.deterministicSample(emb, idCol, sampleFraction,
+         salt = "ann_recall"))
+        .select(col(idCol), col(vecCol))).localCheckpoint()
     // each result set is small (top-k rows / thresholded pairs) but
     // expensive to produce, and the exact baseline feeds TWO recall
     // rows — localCheckpoint pins each once instead of replanning the
@@ -1134,7 +1161,8 @@ object SimilarityOps {
     // discipline GraphOps/DedupOps follow)
     val rows = report.collect().toSeq
     val schema = report.schema
-    Seq(exactTopK, lsh, ivf, ivfpq, exactPairs, lshPairs).foreach(Checkpoints.release)
+    (emb0 +: Seq(exactTopK, lsh, ivf, ivfpq, exactPairs, lshPairs))
+      .foreach(Checkpoints.release)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
@@ -1271,8 +1299,10 @@ object SimilarityOps {
       fitFraction: Double, maxFitRows: Int, seed: Long,
       minRows: Int): Array[Array[Double]] = {
     import base.sparkSession.implicits._
-    val keyed = base.select(col(vecCol).as("_v"),
-      fitVecKey(col(vecCol), seed).as("_k"))
+    // floor: the md5 content key renders every vector to a string —
+    // real per-row work that a single-split scan serializes
+    val keyed = SkewOps.parallelismFloor(base.select(col(vecCol).as("_v")))
+      .select(col("_v"), fitVecKey(col("_v"), seed).as("_k"))
     // (_k, _v) sort key: _k alone is a QUANTIZED content hash
     // (floor(x·10⁷) micro-units), so two genuinely different vectors
     // float-spaced below 1e-7 per coordinate share a key and their
@@ -1308,7 +1338,9 @@ object SimilarityOps {
       System.err.println(s"[graft] knnIvf: nprobe=$nprobe of nCells=$nCells " +
         "searches <1% of the corpus — recall will be poor; raise nprobe")
     import spark.implicits._
-    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // floor before the per-row cell ranking + candidate cosine scan
+    val base = SkewOps.parallelismFloor(
+      emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")))
     val sample = fitSample(base, "v", fitFraction, maxFitRows, seed,
       minRows = nCells * 8)
     val centers2d: Seq[Seq[Double]] =
@@ -1421,7 +1453,9 @@ object SimilarityOps {
       s"maxFitRows must be >= max(nCells, nCodes), got $maxFitRows")
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val raw = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("rv"))
+    // floor before the normalize + assign + PQ-encode per-row passes
+    val raw = SkewOps.parallelismFloor(
+      emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("rv")))
     // unit-normalize once into the row (norm materialized first: a
     // lambda referencing the aggregate directly would inline — and
     // recompute — it per element)
@@ -1503,7 +1537,9 @@ object SimilarityOps {
     require(probes >= 1 && probes <= nbits + 1,
       s"probes must be in [1, nbits+1], got $probes for nbits=$nbits")
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // floor before the per-row bucket hash + candidate cosine scan
+    val base = SkewOps.parallelismFloor(
+        emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")))
       .withColumn("bucket", bucketExpr(col("v"), nbits))
     val probeBuckets = array((0 until probes).map {
       case 0 => col("bucket")

@@ -183,11 +183,21 @@ private[graft] object PipelineSimilarityQueries {
       // from-scratch aggregate, and the probe encodes)
       val rAll = IvfIndexOps.residuals(s, emb, "vec_id", "embedding", c0)
         .localCheckpoint()
-      val bInc = IvfIndexOps.refreshCodebooks(b0, IvfIndexOps.mergeCodeStats(
-        IvfIndexOps.codeStats(s, rAll.where(col("id") % 2 === 0), b0),
-        IvfIndexOps.codeStats(s, rAll.where(col("id") % 2 === 1), b0)))
-      val bScr = IvfIndexOps.refreshCodebooks(b0,
-        IvfIndexOps.codeStats(s, rAll, b0))
+      // the incremental-merge refresh and the from-scratch refresh
+      // are independent collects over the checkpointed residuals —
+      // overlap their jobs (guide §2.6) instead of paying two serial
+      // aggregation rounds
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val futInc = Future(IvfIndexOps.refreshCodebooks(b0,
+        IvfIndexOps.mergeCodeStats(
+          IvfIndexOps.codeStats(s, rAll.where(col("id") % 2 === 0), b0),
+          IvfIndexOps.codeStats(s, rAll.where(col("id") % 2 === 1), b0))))
+      val futScr = Future(IvfIndexOps.refreshCodebooks(b0,
+        IvfIndexOps.codeStats(s, rAll, b0)))
+      val bInc = Await.result(futInc, Duration.Inf)
+      val bScr = Await.result(futScr, Duration.Inf)
       val probes = rAll.where(col("id") % 7 === 0)
       val ai = IvfIndexOps.codeAssign(s, probes, bInc)
         .select(col("id").as("vec_id"), col("j").cast("int").as("subspace"),
