@@ -155,8 +155,15 @@ private[graft] object PipelineMiscQueries {
     "q237_brand_affinity" -> ((s, d) => {
       val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       val part = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
-      val ob = li.join(part, li("l_partkey") === part("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+      // ob feeds three reads (brand census + both pair-join sides):
+      // checkpoint it once. NOT floored: a round-robin spread of the
+      // pre-distinct rows costs a full extra shuffle (plus its
+      // sort-before-repartition) — measured slower than the few-split
+      // partial-aggregate it parallelizes (same finding as the q314/
+      // basketPairs attempt, reverted).
+      val ob = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct().localCheckpoint()
       val nOrders = Tables(s, d, "orders").agg(
         countDistinct("o_orderkey").as("n_orders"))
       val single = ob.groupBy("b").agg(count(lit(1)).as("n"))
