@@ -527,10 +527,11 @@ class PlanSpec extends SparkSpec {
     // corpus by id just to rank k candidate rows)
     assert(!plan("q239_ivf_incremental").toString.contains("Window"),
       "q239 assignment reintroduced a window shuffle")
-    // q242's per-subspace code argmin still windows, but its codebook
-    // table must broadcast
-    assert(plan("q242_pq_incremental").toString.contains("BroadcastHashJoin"),
-      "q242 codebook join must broadcast")
+    // q242's per-subspace code argmin is ALSO a pure expression now
+    // (packed-key array_min over the codebook literal): no window, no
+    // codebook join of any kind in the probe-assignment subtrees
+    assert(!plan("q242_pq_incremental").toString.contains("Window"),
+      "q242 code assignment reintroduced a window shuffle")
   }
 
   test("q241 audio spectral: narrow decode scan — payload dim broadcasts, no wide shuffle of payloads") {
