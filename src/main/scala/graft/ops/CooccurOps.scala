@@ -146,12 +146,8 @@ object CooccurOps {
     */
   def basketPairs(rows: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long): DataFrame = {
-    // bi feeds FOUR reads (basket census, per-item support, both
-    // sides of the pair self-join) — checkpoint the deduped
-    // (basket, item) frame once instead of re-deriving it per read
-    // and dragging each consumer's AQE chain through the source join
     val bi = rows.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct().localCheckpoint()
+      .distinct()
     val nBaskets = bi.agg(countDistinct("bk").as("n_baskets"))
     val supp = bi.groupBy("it").agg(count(lit(1)).as("n_item"))
     bi.as("a").join(bi.as("b"),

@@ -1134,35 +1134,47 @@ object SimilarityOps {
       exactCosinePairs(emb0, idCol, vecCol, minCosine),
       embeddingNearDupPairs(emb0, idCol, vecCol, minCosine, nbitsPairs,
         bucketExpr = bucketExprPairs))
-    val futs = frames.map(f => Future(f.localCheckpoint()))
+    // each result set is a handful of rows on the driver scale —
+    // COLLECT the key columns concurrently instead of checkpointing
+    // the frames and re-joining them: the recall arithmetic
+    // (distinct exact keys, distinct approx keys, left-join hit
+    // count) is set arithmetic the driver replays exactly, and the
+    // whole report subtree (4 recallRow joins + their AQE planning
+    // jobs + the block release round) disappears from the job chain
+    val keyColsOf = Seq(
+      Seq("query_id", "cand_id"), Seq("query_id", "cand_id"),
+      Seq("query_id", "cand_id"), Seq("query_id", "cand_id"),
+      Seq("a_id", "b_id"), Seq("a_id", "b_id"))
+    val keyFuts = frames.zip(keyColsOf).map { case (f, kc) =>
+      Future(f.select(kc.map(col): _*).collect()
+        .map(r => (r.get(0), r.get(1))).toSet)
+    }
     val Seq(exactTopK, lsh, ivf, ivfpq, exactPairs, lshPairs) =
-      try Await.result(Future.sequence(futs), Duration.Inf)
-      catch { case e: Throwable =>
-        // one checkpoint failed: the siblings' jobs can't be
-        // cancelled, but their pinned blocks must not outlive the
-        // error — release each as (or once) it completes
-        futs.foreach(_.onComplete {
-          case scala.util.Success(df) => Checkpoints.release(df)
-          case _ => ()
-        })
-        throw e
-      }
-    val report =
-      recallRow(exactTopK, lsh, Seq("query_id", "cand_id"), "knn_lsh", k)
-        .unionByName(recallRow(exactTopK, ivf, Seq("query_id", "cand_id"),
-          "knn_ivf", k))
-        .unionByName(recallRow(exactTopK, ivfpq, Seq("query_id", "cand_id"),
-          "knn_ivfpq", k))
-        .unionByName(recallRow(exactPairs, lshPairs, Seq("a_id", "b_id"),
-          "neardup_pairs", 0))
-    // the report is 4 rows — materialize it NOW so the six pinned
-    // frames' storage blocks can be released before returning, instead
-    // of leaking them for the session lifetime (the Checkpoints
-    // discipline GraphOps/DedupOps follow)
-    val rows = report.collect().toSeq
-    val schema = report.schema
-    (emb0 +: Seq(exactTopK, lsh, ivf, ivfpq, exactPairs, lshPairs))
-      .foreach(Checkpoints.release)
+      try Await.result(Future.sequence(keyFuts), Duration.Inf)
+      finally Checkpoints.release(emb0)
+    // recallRow replayed on the driver: n_exact = |distinct exact
+    // keys|, n_hit = |exact ∩ approx|, recall = round(hit/exact, 4)
+    // with Spark Round's HALF_UP-on-BigDecimal semantics; n_exact=0
+    // yields a NULL recall exactly as the SQL form did
+    def recallVals(exact: Set[(Any, Any)], approx: Set[(Any, Any)],
+        method: String, kk: Int): org.apache.spark.sql.Row = {
+      val nExact = exact.size.toLong
+      val nHit = exact.count(approx.contains).toLong
+      val recall = if (nExact == 0L) null
+        else java.lang.Double.valueOf(BigDecimal(nHit.toDouble / nExact)
+          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      org.apache.spark.sql.Row(method, kk, nExact, nHit, recall)
+    }
+    // schema from the UNEXECUTED SQL report (analysis only, no jobs)
+    // so the emitted frame is column-for-column the old one
+    val schema = recallRow(frames(0), frames(1),
+      Seq("query_id", "cand_id"), "knn_lsh", k).schema
+    val rows = Seq(
+      recallVals(exactTopK, lsh, "knn_lsh", k),
+      recallVals(exactTopK, ivf, "knn_ivf", k),
+      recallVals(exactTopK, ivfpq, "knn_ivfpq", k),
+      recallVals(exactPairs, lshPairs, "neardup_pairs", 0))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
@@ -1338,9 +1350,12 @@ object SimilarityOps {
       System.err.println(s"[graft] knnIvf: nprobe=$nprobe of nCells=$nCells " +
         "searches <1% of the corpus — recall will be poor; raise nprobe")
     import spark.implicits._
-    // floor before the per-row cell ranking + candidate cosine scan
-    val base = SkewOps.parallelismFloor(
-      emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")))
+    // NO floor or checkpoint here (unlike [[knnIvfPq]]): the cell
+    // ranking is one native call per row and the probe join
+    // broadcasts the small query side — both the r18 floor attempt
+    // (0.42→0.65 s warm) and a floor+checkpoint attempt (→0.95 s)
+    // measured SLOWER than the plain projection at sf0.1
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val sample = fitSample(base, "v", fitFraction, maxFitRows, seed,
       minRows = nCells * 8)
     val centers2d: Seq[Seq[Double]] =
@@ -1453,9 +1468,18 @@ object SimilarityOps {
       s"maxFitRows must be >= max(nCells, nCodes), got $maxFitRows")
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    // floor before the normalize + assign + PQ-encode per-row passes
+    // floor before the normalize + assign + PQ-encode per-row passes,
+    // then pin the narrow (id, rv) rows ONCE: the frame feeds the fit
+    // sample collect, the codes/query subtrees AND both refine legs —
+    // without the checkpoint each of those re-reads the source and
+    // re-runs the floor exchange per subtree. queryPred is evaluated
+    // INTO the frame first: a checkpoint severs lineage, so the
+    // caller's predicate (written against the source columns) could
+    // not resolve afterwards.
     val raw = SkewOps.parallelismFloor(
-      emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("rv")))
+      emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("rv"),
+        queryPred.as("_q")))
+      .localCheckpoint()
     // unit-normalize once into the row (norm materialized first: a
     // lambda referencing the aggregate directly would inline — and
     // recompute — it per element)
@@ -1481,7 +1505,7 @@ object SimilarityOps {
     val codes = assigned.select(col("id"), col("cell"),
       call_function("graft_pq_encode", col("resid"), booksLit).as("codes"))
 
-    val q = assigned.filter(queryPred)
+    val q = assigned.filter(col("_q"))
       .select(col("id").as("query_id"),
         explode(slice(col("ranked"), 1, nprobe)).as("cell"), col("v"))
       .withColumn("qresid",
@@ -1502,7 +1526,7 @@ object SimilarityOps {
 
     // refine: fetch full vectors for the tiny shortlist only, exact
     // cosine on RAW vectors (scale-invariant ⇒ identical to knnBrute)
-    val qvecs = raw.filter(queryPred)
+    val qvecs = raw.filter(col("_q"))
       .select(col("id").as("query_id"), col("rv").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
     raw.select(col("id").as("cand_id"), col("rv").as("cv"))
