@@ -222,11 +222,19 @@ object DedupOps {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .distinct()
-    val sa = sh.select(col("id").as("a_id"), col("shingle"))
-    val sb = sh.select(col("id").as("b_id"), col("shingle"))
-    cands.join(sa, "a_id").join(sb, Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_common"))
+    // verify via per-doc shingle SETS and array_intersect instead of
+    // re-exploding every candidate pair against both docs' shingle
+    // rows and counting matches through a second shuffle join + a
+    // |cands|·|shingles| group-by: wordShingles emits DISTINCT
+    // shingles per doc, so |A ∩ B| = size(array_intersect(A, B)) is
+    // the same n_common, computed per candidate row with no fan-out
+    val sets = sh.groupBy("id").agg(collect_set("shingle").as("_ss"))
+    cands
+      .join(sets.select(col("id").as("a_id"), col("_ss").as("_sa")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("_ss").as("_sb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long")
+          .as("n_common"))
       .where(col("n_common") * (1000 + tauPermille) >=
         lit(tauPermille) * (col("n_a") + col("n_b")))
       .select(col("a_id"), col("b_id"), col("n_common"), col("n_a"),
@@ -1230,24 +1238,52 @@ object DedupOps {
         simHashPairs(docs0, idCol, textCol, maxHamming,
           tokenHash = md5Long64)
       else simHashPairs(docs0, idCol, textCol, maxHamming))
-    val futs = frames.map(f => Future(f.localCheckpoint()))
-    val Seq(exact, mh, sim) =
-      try Await.result(Future.sequence(futs), Duration.Inf)
-      catch { case e: Throwable =>
-        futs.foreach(_.onComplete {
-          case scala.util.Success(df) => Checkpoints.release(df)
-          case _ => ()
-        })
-        throw e
-      }
-    val report =
-      pairPrRow(exact, mh, "minhash_lsh", minJaccard)
-        .unionByName(pairPrRow(
-          exact.filter(col("jaccard") >= simHashTruthJaccard), sim,
-          "simhash", simHashTruthJaccard))
-    val rows = report.collect().toSeq
-    val schema = report.schema
-    Seq(exact, mh, sim).foreach(Checkpoints.release)
+    // each pair set is small (thresholded near-dup pairs) — COLLECT
+    // the normalized (lo, hi) keys concurrently instead of
+    // checkpointing three frames and running two full-outer-join
+    // report subtrees on them: pairPrRow's arithmetic (distinct
+    // normalized keys, intersection, HALF_UP rounding) is set algebra
+    // the driver replays exactly (the annRecallReport discipline).
+    // least/greatest stay IN the select so id-ordering semantics are
+    // Spark's own; exact keeps jaccard for the simhash-truth refilter.
+    val futs = Seq(
+      Future(frames(0).select(least(col("a_id"), col("b_id")).as("lo"),
+          greatest(col("a_id"), col("b_id")).as("hi"), col("jaccard"))
+        .collect().map(r => ((r.get(0), r.get(1)), r.getDouble(2)))),
+      Future(frames(1).select(least(col("a_id"), col("b_id")).as("lo"),
+          greatest(col("a_id"), col("b_id")).as("hi"))
+        .collect().map(r => ((r.get(0), r.get(1)), 0.0d))),
+      Future(frames(2).select(least(col("a_id"), col("b_id")).as("lo"),
+          greatest(col("a_id"), col("b_id")).as("hi"))
+        .collect().map(r => ((r.get(0), r.get(1)), 0.0d))))
+    val Seq(exactKJ, mhK, simK) = Await.result(Future.sequence(futs),
+      Duration.Inf)
+    // distinct-normalized-key semantics: a (lo, hi) key's truth
+    // membership is "any collected row has it" — for the simhash
+    // truth row, "any row at or above the stricter threshold"
+    val exactAll = exactKJ.map(_._1).toSet
+    val exactStrict = exactKJ.collect {
+      case (k, j) if j >= simHashTruthJaccard => k
+    }.toSet
+    def prVals(truth: Set[(Any, Any)], det: Set[(Any, Any)],
+        method: String, theta: Double): org.apache.spark.sql.Row = {
+      val nTrue = truth.size.toLong
+      val nDet = det.size.toLong
+      val nHit = truth.count(det.contains).toLong
+      def ratio(num: Long, den: Long) = if (den == 0L) null
+        else java.lang.Double.valueOf(BigDecimal(num.toDouble / den)
+          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      org.apache.spark.sql.Row(method, theta, nTrue, nDet, nHit,
+        ratio(nHit, nDet), ratio(nHit, nTrue))
+    }
+    // schema from the UNEXECUTED SQL report (analysis only, no jobs)
+    val schema = pairPrRow(frames(0), frames(1), "minhash_lsh",
+      minJaccard).schema
+    val rows = Seq(
+      prVals(exactAll, mhK.map(_._1).toSet, "minhash_lsh", minJaccard),
+      prVals(exactStrict, simK.map(_._1).toSet, "simhash",
+        simHashTruthJaccard))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 

@@ -169,14 +169,18 @@ object FuzzyOps {
   def fellegiSunter(df: DataFrame, keyCol: String, blockCol: String,
       brandCol: String, typeCol: String, nameCol: String): DataFrame = {
     val key = col(keyCol)
-    val dirty = df.select(key.as("d_key"), col(blockCol).as("blk"),
+    // floor the probe side: the block join fans each dirty row out
+    // against its whole block, and a single-split scan runs that
+    // entire pair evaluation in one task (measured 1.3 s of q312's
+    // 1.8 s warm in one task); no-op at real scale
+    val dirty = SkewOps.parallelismFloor(df.select(key.as("d_key"), col(blockCol).as("blk"),
       when(pmod(key, lit(5L)) === 0, lit("Brand#MUTATED"))
         .otherwise(col(brandCol)).as("d_brand"),
       when(pmod(key, lit(7L)) === 0, lit("MUTATED"))
         .otherwise(col(typeCol)).as("d_type"),
       when(pmod(key, lit(3L)) === 0,
         corruptName(key, col(nameCol))).otherwise(col(nameCol))
-        .as("d_name"))
+        .as("d_name")))
     val clean = df.select(col(keyCol).as("c_key"),
       col(blockCol).as("blk"), col(brandCol).as("c_brand"),
       col(typeCol).as("c_type"), col(nameCol).as("c_name"))
